@@ -43,9 +43,11 @@ object ZipSource {
           while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue }
           m.toMap
       })
+    val charsetName = charset.name() // Charset itself is not serializable
     spark.createDataset(paths)
       .repartition(paths.size)
       .mapPartitions { pathIt =>
+        val cs = Charset.forName(charsetName)
         val conf = new Configuration(false)
         serConf.value.foreach { case (k, v) => conf.set(k, v) }
         pathIt.flatMap { p =>
@@ -66,7 +68,7 @@ object ZipSource {
                 val entry = zin.getNextEntry
                 if (entry == null) { zin.close(); return null }
                 if (!entry.isDirectory)
-                  reader = new BufferedReader(new InputStreamReader(zin, charset))
+                  reader = new BufferedReader(new InputStreamReader(zin, cs))
               }
               null
             }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different words about distributed columnar query engines"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: min-id survivor with copy count") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text")).orderBy("doc_id")
+      .select("doc_id", "n_copies").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("shingles: distinct 3-grams, empty when too short") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+      .select(Dedup.shingles(org.apache.spark.sql.functions.col("text")).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).toSet == Set("a_b_c", "b_c_d"))
+    assert(sh(1).isEmpty)
+  }
+
+  test("jaccardPairs finds near-dups and exact dups with correct scores") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("minhashDedup candidates+verify match all-pairs truth") {
+    val out = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.6)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("simhash: identical docs collide, unrelated docs differ") {
+    val sims = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(4L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 3)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, bands = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+}

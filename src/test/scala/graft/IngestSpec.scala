@@ -1,0 +1,100 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.charset.{Charset, StandardCharsets}
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.sources.{Listing, RawTable, ZipSource}
+
+class IngestSpec extends SparkSpec {
+
+  private def writeZip(dir: Path, name: String, content: String,
+                       charset: Charset): String = {
+    val f = dir.resolve(name).toFile
+    val zos = new ZipOutputStream(new FileOutputStream(f))
+    zos.putNextEntry(new ZipEntry(name.stripSuffix(".zip") + ".txt"))
+    zos.write(content.getBytes(charset))
+    zos.closeEntry(); zos.close()
+    f.getAbsolutePath
+  }
+
+  test("tableName derivation: basename, first-dot strip, lowercase") {
+    assert(RawTable.tableName("/a/b/VR_Snapshot_20240514.zip") == "vr_snapshot_20240514")
+    assert(RawTable.tableName("ncvoter_Statewide.zip") == "ncvoter_statewide")
+    assert(RawTable.tableName("x/Candidate_Listing_2024.csv") == "candidate_listing_2024")
+  }
+
+  test("dispatch picks encoding/sep/repair by filename pattern") {
+    assert(RawTable.dispatch("VR_Snapshot_20240514.zip").encoding == "UTF-16")
+    assert(RawTable.dispatch("VR_Snapshot_2006_something.zip").encoding == "ISO-8859-1")
+    assert(RawTable.dispatch("Candidate_Listing_2024.csv").extraNullColumns == Seq("email"))
+    assert(RawTable.dispatch("unknown.tsv") == graft.sources.SourceSpec())
+  }
+
+  test("zip lines: UTF-16 TSV round-trips through streaming decode") {
+    val dir = Files.createTempDirectory("graft_zip")
+    val content = "County ID\tNCID\n1\tAB123\n2\tCD456\n"
+    val p = writeZip(dir, "VR_Snapshot_20240514.zip", content, StandardCharsets.UTF_16)
+    val lines = ZipSource.lines(spark, Seq(p), StandardCharsets.UTF_16).collect()
+    assert(lines.toSeq == Seq("County ID\tNCID", "1\tAB123", "2\tCD456"))
+  }
+
+  test("full load: zip + charset + header normalization + all-string schema") {
+    val dir = Files.createTempDirectory("graft_load")
+    val content = "County ID\tLast Name\n32\tO\"BRIEN\n11\tSMITH\n"
+    val p = writeZip(dir, "VR_Snapshot_20240101.zip", content, StandardCharsets.UTF_16)
+    val (name, df) = RawTable.load(spark, p)
+    assert(name == "vr_snapshot_20240101")
+    assert(df.columns.toSeq == Seq("county_id", "last_name"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    val rows = df.orderBy("county_id").collect().map(_.toSeq)
+    assert(rows.toSeq == Seq(Seq("11", "SMITH"), Seq("32", "O'BRIEN")))
+  }
+
+  test("csv load with repair and email column (Candidate_Listing path)") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("Candidate_Listing_2024.csv")
+    Files.write(f, "Name,Office\nO\"HARA,Judge\n".getBytes(StandardCharsets.ISO_8859_1))
+    val (name, df) = RawTable.load(spark, f.toString)
+    assert(name == "candidate_listing_2024")
+    assert(df.columns.toSeq == Seq("name", "office", "email"))
+    val r = df.collect().head
+    assert(r.getString(0) == "O'HARA" && r.isNullAt(2))
+  }
+
+  test("manifest keys + include filter: regex OR, dir exclusion, dedup") {
+    val dir = Files.createTempDirectory("graft_manifest")
+    val manifest =
+      """{"Versions": [
+        |  {"Key": "data/ncvoter_Statewide.zip", "VersionId": "1"},
+        |  {"Key": "data/ncvoter_Statewide.zip", "VersionId": "2"},
+        |  {"Key": "data/", "VersionId": "3"},
+        |  {"Key": "other/readme.md", "VersionId": "4"},
+        |  {"Key": "Snapshots/VR_Snapshot_20240514.zip", "VersionId": "5"}
+        |]}""".stripMargin
+    val f = dir.resolve("versions.json")
+    Files.write(f, manifest.getBytes(StandardCharsets.UTF_8))
+    val keys = Listing.keys(spark, f.toString)
+    val out = Listing.includeFilter(keys,
+      Seq("_Statewide\\.zip$", "Snapshots/VR_Snapshot_"))
+      .collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("Snapshots/VR_Snapshot_20240514.zip", "data/ncvoter_Statewide.zip"))
+  }
+
+  test("planFiles prunes by pattern before any scan") {
+    val dir = Files.createTempDirectory("graft_plan")
+    Files.write(dir.resolve("keep_Statewide.zip"), Array[Byte](1))
+    Files.write(dir.resolve("skip.txt"), Array[Byte](1))
+    val planned = Listing.planFiles(spark, dir.toString, Seq("_Statewide\\.zip$".r))
+    assert(planned.size == 1 && planned.head.endsWith("keep_Statewide.zip"))
+  }
+
+  test("temporalPatterns: statewide + 2 snapshot years + 9 election years") {
+    val p = Listing.temporalPatterns(2024)
+    assert(p.contains("Snapshots/VR_Snapshot_2023"))
+    assert(p.contains("Snapshots/VR_Snapshot_2024"))
+    assert(p.count(_.startsWith("Elections/")) == 9)
+    assert(p.contains("Elections/2016") && !p.contains("Elections/2015"))
+  }
+}

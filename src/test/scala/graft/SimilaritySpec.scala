@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),   // close to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0),   // orthogonal to 0
+    (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 1),  // opposite of 0
+    (4L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1)    // identical to 0
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val out = Similarity.cosinePairsBlocked(
+      vecs.withColumn("blk", org.apache.spark.sql.functions.lit(0)),
+      "vec_id", "embedding", "blk", threshold = -2.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((0L, 4L)) == 1.0)
+    assert(out((0L, 2L)) == 0.0)
+    assert(out((0L, 3L)) == -1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak, self excluded") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 4L), (2, 1L), (3, 2L)))
+  }
+
+  test("lshTopK finds the identical vector (same bucket by construction)") {
+    val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 2, dims = 4)
+      .collect().map(r => r.getLong(2))
+    assert(out.contains(4L))
+  }
+
+  test("blocked pairs only form within a block") {
+    val out = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding", "label",
+      threshold = -2.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.get(0)
+
+  test("tokenCount") {
+    assert(one("a b c", TextAnalysis.tokenCount(col("text"))) == 3L)
+  }
+
+  test("langId votes by stopwords with deterministic ties") {
+    assert(one("the cat sat on a mat", TextAnalysis.langId(col("text"))) == "en")
+    assert(one("el gato y la casa", TextAnalysis.langId(col("text"))) == "es")
+    assert(one("xyz qrs tuv", TextAnalysis.langId(col("text"))) == "und")
+  }
+
+  test("fingerprint is invariant to token order and duplication") {
+    val a = one("b a c", TextAnalysis.fingerprint(col("text")))
+    val b = one("c b a a", TextAnalysis.fingerprint(col("text")))
+    val c = one("c b d", TextAnalysis.fingerprint(col("text")))
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("qualityScore in [0,1], higher for stopword-rich text") {
+    val lo = one("zzz qqq", TextAnalysis.qualityScore(col("text"))).asInstanceOf[Double]
+    val hi = one("the a of and is to in the a of", TextAnalysis.qualityScore(col("text"))).asInstanceOf[Double]
+    assert(lo >= 0.0 && hi <= 1.0 && hi > lo)
+  }
+
+  test("rollingHash: deterministic, order-sensitive") {
+    val a = one("abc", TextAnalysis.rollingHash(col("text")))
+    val b = one("abc", TextAnalysis.rollingHash(col("text")))
+    val c = one("cba", TextAnalysis.rollingHash(col("text")))
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("subwordCount counts ceil(len/4) units per word") {
+    // "distributed" (11 chars -> 3) + "db" (2 -> 1)
+    assert(one("distributed db", TextAnalysis.subwordCount(col("text"))) == 4L)
+  }
+}
