@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column support: media travel as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract / resize / frame-sample run as batched partition-level
+  * transforms.
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): `decodeStub` derives deterministic pseudo-metadata and
+  * pseudo-features from the bytes, so the Spark-side plumbing — schema,
+  * batch shape, partitioning, join-back — is real and tested, and a real
+  * decoder (JNI/ONNX/javacv) drops into [[MediaBatch.decode]] without
+  * touching the plan structure.
+  *
+  * Scale posture:
+  *  - media bytes never go through a shuffle wider than necessary: the
+  *    feature extraction is map-side (`mapPartitions`), emitting compact
+  *    feature vectors, and metadata-only plans prune the binary column
+  *    at the parquet scan (columnar pruning does the heavy lifting);
+  *  - batch iteration (`grouped(batchSize)`) mirrors the Arrow-batch
+  *    shape a vectorized/Pandas-style UDF would see — a real model
+  *    server call amortizes over the batch;
+  *  - blobs are size-skewed: `repartitionBySize` salts large files
+  *    apart so one task doesn't own all the video.
+  */
+object Multimodal {
+
+  final case class MediaBlob(media_id: Long, kind: String, content: Array[Byte])
+  final case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+                             width: Int, height: Int, n_frames: Int)
+  final case class MediaFeatures(media_id: Long, features: Array[Float])
+
+  /** Read a directory of media files as blobs (binaryFile source:
+    * path/length/content; id = hash of path for stable identity). */
+  def fromBinaryFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1).as("kind"),
+        col("length").as("n_bytes"),
+        col("content"))
+
+  /** ======== STUB: deterministic fake decode ======== *
+    * A real implementation decodes the codec headers; this derives
+    * stable pseudo-dimensions from a content hash so tests are
+    * deterministic and the schema contract is exercised. */
+  object MediaBatch {
+    def decode(blob: MediaBlob): MediaMeta = {
+      val h = java.util.Arrays.hashCode(blob.content).toLong & 0x7FFFFFFFL
+      MediaMeta(blob.media_id, blob.kind, blob.content.length.toLong,
+        width = (h % 1920).toInt + 16,
+        height = ((h / 1920) % 1080).toInt + 16,
+        n_frames = if (blob.kind == "mp4") (h % 240).toInt + 1 else 1)
+    }
+
+    /** STUB feature extractor: 8 deterministic moments of the byte
+      * stream standing in for an embedding model's output. */
+    def features(blob: MediaBlob, dim: Int = 8): MediaFeatures = {
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i < blob.content.length) {
+        acc(i % dim) += (blob.content(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      val n = math.max(1, blob.content.length / dim)
+      MediaFeatures(blob.media_id, acc.map(_ / n))
+    }
+  }
+
+  /** Batched metadata decode: partition-level iteration in fixed-size
+    * batches (the Arrow-batch shape), no driver involvement. */
+  def decodeMeta(blobs: Dataset[MediaBlob], batchSize: Int = 64): Dataset[MediaMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => batch.map(MediaBatch.decode) }
+    }
+  }
+
+  /** Batched feature extraction -> compact vectors; joinable back to
+    * metadata by media_id. */
+  def extractFeatures(blobs: Dataset[MediaBlob], dim: Int = 8,
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => batch.map(MediaBatch.features(_, dim)) }
+    }
+  }
+
+  /** Spread size-skewed blobs: big files get their own partitions
+    * (range-partition on cumulative size rank ≈ salting by size). */
+  def repartitionBySize(df: DataFrame, targetPartitions: Int): DataFrame =
+    df.repartitionByRange(targetPartitions, col("n_bytes").desc, col("media_id"))
+
+  /** Frame sampling stub for video blobs: emit (media_id, frame_idx)
+    * rows for every k-th frame — the generator shape a real decoder
+    * feeds; downstream ops treat frames as first-class rows. */
+  def sampleFrameIndexes(meta: Dataset[MediaMeta], everyK: Int): DataFrame =
+    meta.toDF()
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyK))))
+      .select(col("media_id"), col("frame_idx"))
+}

@@ -31,16 +31,23 @@ object Similarity {
   /** Cast a float array column to double (exact widening). */
   def asDouble(emb: Column): Column = transform(emb, _.cast("double"))
 
-  /** Σ aᵢ·bᵢ as a left fold from 0.0 — matches DuckDB list_sum order. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ as a left fold from 0.0 via composable builtins — kept as
+    * the reference formulation; allocates a zipped intermediate array
+    * per pair. Bit-identical to [[dot]]. */
+  def foldDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Σ aᵢ·bᵢ — fused native expression (graft.plans.VectorExpressions):
+    * one codegen'd pass, zero allocation, same left-to-right summation
+    * order as the fold (and as DuckDB list_sum). */
+  def dot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.vec_dot(a, b)
 
   def normSq(a: Column): Column = dot(a, a)
 
-  /** cosine(a,b) = dot / sqrt(|a|²·|b|²) — the exact operand order the
-    * oracle uses. */
+  /** cosine(a,b) = dot / sqrt(|a|²·|b|²), fused single pass. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(normSq(a) * normSq(b))
+    graft.plans.VectorExpressions.cosine_sim(a, b)
 
   /** Precompute (id, emb: array<double>, n2: double) once per side so
     * norms are not recomputed per pair. */

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the event stream (north-star
+  * extension — the reference is strictly batch-snapshot, SURVEY.md §2.8;
+  * its incremental `aws s3 sync` maps to the file-source's processed-log
+  * in [[incrementalFiles]]).
+  *
+  * Scale posture: watermark-bounded state only (no unbounded
+  * collect_list), keyed state partitioned by user — state store scales
+  * with active keys, not event volume. All aggregations are standard
+  * partial+final hash aggs over the shuffle on (window, type) / user.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, n_events: Long, start: Timestamp,
+                           end: Timestamp, total_value: Double)
+
+  /** Keyed session state — public so codegen'd encoders can reach it. */
+  final case class SessionState(n: Long, start: Long, end: Long, total: Double)
+
+  /** Tumbling-window counts/sums per event type with late-data handling
+    * via watermark. Works identically on a batch DataFrame (window() is
+    * batch-compatible) — the batch oracle query q_hourly_events is the
+    * degenerate form. */
+  def windowedTypeStats(events: DataFrame, watermarkDelay: String = "10 minutes",
+                        windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Incremental file ingest: the streaming file source remembers
+    * processed files (exactly-once), the Spark-native analog of the
+    * reference's incremental `aws s3 sync` (R3). */
+  def incrementalFiles(spark: SparkSession, path: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Gap-based sessionization with explicit keyed state
+    * (flatMapGroupsWithState): a session closes when the next event for
+    * the user arrives more than `gapMs` after the previous one; closed
+    * sessions are emitted in Append mode. State per user is O(1). */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end > gapMs =>
+                closed += Session(userId, s.n, new Timestamp(s.start),
+                  new Timestamp(s.end), s.total)
+                cur = Some(SessionState(1, t, t, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.n + 1, s.start, math.max(s.end, t),
+                  s.total + e.value))
+              case None =>
+                cur = Some(SessionState(1, t, t, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaBlob
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binaryFile ingest: id, kind, bytes, content schema") {
+    val dir = Files.createTempDirectory("graft_media")
+    Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("b.mp4"), Array[Byte](9, 8, 7, 6, 5))
+    val df = Multimodal.fromBinaryFiles(spark, dir.toString)
+    assert(df.columns.toSeq == Seq("media_id", "kind", "n_bytes", "content"))
+    val kinds = df.select("kind").collect().map(_.getString(0)).sorted
+    assert(kinds.toSeq == Seq("mp4", "png"))
+  }
+
+  test("stubbed decode is deterministic and batch-shaped") {
+    val blobs = Seq(
+      MediaBlob(1L, "png", Array[Byte](1, 2, 3)),
+      MediaBlob(2L, "mp4", Array.fill[Byte](100)(7))).toDS()
+    val meta1 = Multimodal.decodeMeta(blobs, batchSize = 1).collect().sortBy(_.media_id)
+    val meta2 = Multimodal.decodeMeta(blobs, batchSize = 64).collect().sortBy(_.media_id)
+    assert(meta1.toSeq == meta2.toSeq) // batch size must not change results
+    assert(meta1.forall(m => m.width >= 16 && m.height >= 16))
+    assert(meta1.find(_.media_id == 2L).get.n_frames >= 1)
+  }
+
+  test("feature extraction emits fixed-dim vectors, deterministic") {
+    val blobs = Seq(MediaBlob(1L, "png", Array.tabulate[Byte](32)(_.toByte))).toDS()
+    val f1 = Multimodal.extractFeatures(blobs, dim = 8).collect().head
+    val f2 = Multimodal.extractFeatures(blobs, dim = 8).collect().head
+    assert(f1.features.length == 8)
+    assert(f1.features.toSeq == f2.features.toSeq)
+  }
+
+  test("frame sampling explodes every-k frame rows") {
+    val blobs = Seq(MediaBlob(5L, "mp4", Array.fill[Byte](10)(3))).toDS()
+    val meta = Multimodal.decodeMeta(blobs)
+    val frames = Multimodal.sampleFrameIndexes(meta, everyK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.nonEmpty && frames.forall(_._1 == 5L))
+    assert(frames.map(_._2).forall(_ % 10 == 0))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.core.Config
+import graft.operators.Pipeline
+
+/** End-to-end pipeline test over a synthetic mini-bucket: two
+  * differently-shaped zip sources conformed onto shared components via
+  * per-source compressors (the reference's a_vr_snapshot/a_ncvoter
+  * pattern), exercising fetch planning, zip/charset load, header
+  * normalization, quote repair, and cross-compressor union dedup. */
+class PipelineSpec extends SparkSpec {
+
+  private def writeZip(dir: Path, name: String, content: String,
+                       charset: java.nio.charset.Charset): Unit = {
+    val zos = new ZipOutputStream(new FileOutputStream(dir.resolve(name).toFile))
+    zos.putNextEntry(new ZipEntry(name.stripSuffix(".zip") + ".txt"))
+    zos.write(content.getBytes(charset))
+    zos.closeEntry(); zos.close()
+  }
+
+  private val configYaml =
+    """fetch:
+      |  cycle_t:
+      |    bucket1:
+      |      include:
+      |        - 'VR_Snapshot_.*\.zip$'
+      |        - 'ncvoter_Statewide\.zip$'
+      |compress:
+      |  pack_vr:
+      |    include:
+      |      - '^vr_snapshot'
+      |    components:
+      |      c_person:
+      |        subst:
+      |          middle_name: midl_name
+      |      c_contact:
+      |        subst:
+      |          full_phone: area_cd||phone_num
+      |  pack_ncv:
+      |    include:
+      |      - '^ncvoter_statewide$'
+      |    components:
+      |      c_person: 1
+      |      c_contact: 1
+      |components:
+      |  c_person:
+      |    - last_name
+      |    - middle_name
+      |  c_contact:
+      |    - full_phone
+      |""".stripMargin
+
+  test("full pipeline: plan, load, conform per compressor, cross-compressor merge") {
+    val bucket = Files.createTempDirectory("graft_bucket")
+    // VR snapshot shape: midl_name + area_cd/phone_num, UTF-16, dirty quotes
+    writeZip(bucket, "VR_Snapshot_20240101.zip",
+      "Last Name\tMidl Name\tArea Cd\tPhone Num\n" +
+        "O\"BRIEN\tA\t919\t5550100\n" +
+        "SMITH\tB\t704\t5550199\n",
+      StandardCharsets.UTF_16)
+    // ncvoter shape: middle_name + full_phone (pre-joined), LATIN1, clean.
+    // SMITH/B and phone 7045550199 duplicate VR rows post-conformance.
+    writeZip(bucket, "ncvoter_Statewide.zip",
+      "Last Name\tMiddle Name\tFull Phone\n" +
+        "SMITH\tB\t7045550199\n" +
+        "GARCIA\tC\t3365550142\n",
+      StandardCharsets.ISO_8859_1)
+    // a file the include regexes must exclude
+    Files.write(bucket.resolve("layout_notes.txt"), "ignore me".getBytes)
+
+    val spec = Config.parse(configYaml)
+    val result = Pipeline.run(spark, spec, "cycle_t",
+      Map("bucket1" -> bucket.toString))
+
+    assert(result.tables.keySet == Set("vr_snapshot_20240101", "ncvoter_statewide"))
+    // quote repair applied on the dirty VR path
+    val vr = result.tables("vr_snapshot_20240101")
+    assert(vr.columns.toSeq == Seq("last_name", "midl_name", "area_cd", "phone_num"))
+    assert(vr.filter(org.apache.spark.sql.functions.col("last_name") === "O'BRIEN").count() == 1)
+
+    // c_contact: concat subst on VR side, identity on ncvoter side,
+    // union-dedup drops the shared 7045550199.
+    val contact = result.components("c_contact")
+      .collect().map(_.getString(0)).sorted
+    assert(contact.toSeq == Seq("3365550142", "7045550199", "9195550100"))
+
+    // c_person: rename subst on VR side, identity on ncvoter; SMITH/B deduped.
+    val person = result.components("c_person")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_.toString)
+    assert(person.toSeq == Seq(("GARCIA", "C"), ("O'BRIEN", "A"), ("SMITH", "B")))
+  }
+
+  test("stage skip flags gate load and compress") {
+    val bucket = Files.createTempDirectory("graft_bucket2")
+    writeZip(bucket, "VR_Snapshot_20240101.zip",
+      "A\tB\n1\t2\n", StandardCharsets.UTF_16)
+    val spec = Config.parse(configYaml)
+    val r = Pipeline.run(spark, spec, "cycle_t", Map("bucket1" -> bucket.toString),
+      stages = Pipeline.Stages(load = true, compress = false))
+    assert(r.tables.nonEmpty && r.components.isEmpty)
+    val r2 = Pipeline.run(spark, spec, "cycle_t", Map("bucket1" -> bucket.toString),
+      stages = Pipeline.Stages(load = false, compress = true))
+    assert(r2.tables.isEmpty && r2.components.isEmpty)
+  }
+}

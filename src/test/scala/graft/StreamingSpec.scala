@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedTypeStats aggregates tumbling windows over a stream") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedTypeStats(input.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode(OutputMode.Update).start()
+    input.addData(
+      Event(1, ts(1), 7, "click", 1.0),
+      Event(2, ts(4), 7, "click", 2.0),
+      Event(3, ts(12), 8, "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_stats")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L),
+      ("2024-01-01 10:10:00.0", "view", 1L)))
+  }
+
+  test("sessionize closes sessions on gap and keeps open state") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    // user 7: events at 10:01 and 10:03 (one session), then 10:30 (new
+    // session -> closes the first). user 8: single event, stays open.
+    input.addData(
+      Event(1, ts(1), 7, "click", 1.0),
+      Event(2, ts(3), 7, "click", 2.0),
+      Event(3, ts(2), 8, "view", 9.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts(30), 7, "click", 4.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sessions").as[EventStreams.Session].collect()
+    q.stop()
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.user_id == 7 && s.n_events == 2 && s.total_value == 3.0)
+    assert(s.start == ts(1) && s.end == ts(3))
+  }
+}

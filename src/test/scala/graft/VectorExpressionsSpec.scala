@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.plans.VectorExpressions
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(0.1f, -0.2f, 0.3f, 0.9f), Seq(0.5f, 0.4f, -0.3f, 0.2f)),
+    (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f), Seq(4.0f, 3.0f, 2.0f, 1.0f))
+  ).toDF("id", "a", "b")
+
+  test("native dot is bit-identical to the fold formulation") {
+    val rows = vecs.select(
+      VectorExpressions.vec_dot(
+        Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))).as("native"),
+      Similarity.foldDot(
+        Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))).as("fold"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("native cosine matches dot/sqrt(n2*n2) composition bit-exactly") {
+    val a = Similarity.asDouble(col("a")); val b = Similarity.asDouble(col("b"))
+    val rows = vecs.select(
+      VectorExpressions.cosine_sim(a, b).as("native"),
+      (Similarity.foldDot(a, b) /
+        sqrt(Similarity.foldDot(a, a) * Similarity.foldDot(b, b))).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("works directly on float arrays without cast") {
+    val r = vecs.select(VectorExpressions.vec_dot(col("a"), col("b")).as("d"))
+      .filter(col("d").isNotNull).count()
+    assert(r == 2)
+  }
+
+  test("SQL registration (same builder GraftExtensions injects)") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VectorExpressions.CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorExpressions.CosineSimilarity(args(0), args(1)))
+    vecs.createOrReplaceTempView("vec_test")
+    val out = spark.sql("SELECT cosine_sim(a, a) AS c FROM vec_test").collect()
+    out.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("codegen path: no eval fallback in the plan") {
+    val plan = vecs.select(VectorExpressions.cosine_sim(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || !plan.contains("CodegenFallback"))
+  }
+}
