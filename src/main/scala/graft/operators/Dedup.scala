@@ -31,54 +31,93 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles (distinct), empty when fewer than n tokens.
-    * Built from sequence/transform/element_at — codegen'd, no UDF. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws("_", (1 to n).map(k => element_at(toks, i + k)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles (distinct), empty when fewer than n tokens —
+    * native single-pass expression. The composable formulation
+    * (split → sequence → transform → array_distinct) is interpreted
+    * (HOFs have no codegen) and was measured ~1 ms/doc; see
+    * [[graft.plans.TextExpressions.WordNgrams]]. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.plans.TextExpressions.word_ngrams(text, n)
+
+  /** (id, sh: array<string>) shingle sets; docs too short to shingle
+    * are dropped. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   /** (id, shingle) exploded table + per-doc shingle-set sizes. */
   def shingleTables(df: DataFrame, idCol: String, textCol: String, n: Int = 3)
       : (DataFrame, DataFrame) = {
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val withSh = shingleSets(df, idCol, textCol, n)
     val exploded = withSh.select(col("id"), explode(col("sh")).as("s"))
     val sizes = withSh.select(col("id"), size(col("sh")).as("n_sh"))
     (exploded, sizes)
   }
 
-  /** All-pairs n-gram Jaccard ≥ threshold via inverted index:
-    * shared-shingle equi-join → per-pair intersection count → Jaccard
-    * against set sizes. `maxDocsPerShingle` drops degenerate hub
-    * shingles before the join (skew guard). */
+  /** Exact Jaccard verification of given candidate pairs against the
+    * per-doc shingle sets: one fused merge-walk per pair
+    * ([[graft.plans.VectorExpressions.SetExpressions.SortedArrayJaccard]])
+    * over pre-sorted arrays — no hash sets, and no tripled
+    * `array_intersect` when Catalyst pushes the threshold filter into
+    * the join condition. */
+  private def verifyJaccard(sets: DataFrame, candidates: DataFrame,
+                            threshold: Double,
+                            broadcastSets: Boolean = true): DataFrame = {
+    import graft.plans.SetExpressions.jaccard_sorted
+    // The per-doc set table is usually far smaller than the candidate-
+    // pair stream: broadcasting it makes verification map-side so the
+    // arrays never ride a shuffle. The hint FORCES broadcast, so at
+    // corpus sizes where the set table itself is huge callers pass
+    // broadcastSets=false and get a plain shuffle join.
+    val sorted = sets.select(col("id"), sort_array(col("sh")).as("sh"))
+    def side(alias: String) = {
+      val s = sorted.select(col("id").as(s"id_$alias"), col("sh").as(s"sh_$alias"))
+      if (broadcastSets) broadcast(s) else s
+    }
+    candidates
+      .join(side("a"), "id_a")
+      .join(side("b"), "id_b")
+      .withColumn("jaccard", jaccard_sorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** All-pairs n-gram Jaccard >= threshold — EXACT, via prefix filtering
+    * (the AllPairs/PPJoin family): under a global rarity order on
+    * shingles (document frequency asc), two sets with J >= t must share
+    * an element within each one's first |S| - ceil(t*|S|) + 1 shingles
+    * (J >= t implies overlap >= t*|S|). Candidate generation joins only
+    * on those rare prefixes — hub shingles (the sum-of-df^2 blowup and
+    * the skew bomb at 100 TB) sort to the suffix and never join — then
+    * every candidate is verified exactly. Output is identical to the
+    * naive inverted-index join at a fraction of the pairs. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3,
-                   maxDocsPerShingle: Int = 1000000): DataFrame = {
-    val (exploded, sizes) = shingleTables(df, idCol, textCol, n)
-    val pruned =
-      if (maxDocsPerShingle == Int.MaxValue) exploded
-      else {
-        val hot = exploded.groupBy("s").agg(count(lit(1)).as("df_s"))
-          .filter(col("df_s") > maxDocsPerShingle).select("s")
-        // NB: using-column joins put the key first — reselect explicitly.
-        exploded.join(hot, Seq("s"), "left_anti").select("id", "s")
-      }
-    val a = pruned.select(col("id").as("id_a"), col("s"))
-    val b = pruned.select(col("id").as("id_b"), col("s"))
-    val inter = a.join(b, "s").filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val ja = inter
-      .join(sizes.toDF("id_a", "n_a"), "id_a")
-      .join(sizes.toDF("id_b", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-    ja.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+                   broadcastSets: Boolean = true): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val ex = sets.select(col("id"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
+    // per-doc shingles in (rarity, shingle) order — a deterministic
+    // global total order; struct sort_array gives it directly. This one
+    // aggregated relation feeds prefixes AND verification (as the
+    // lexically re-sorted set), so its exchange is computed once and
+    // reused across the self-join branches.
+    val ordered = ex.join(dfreq, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df_s"), col("s")))).as("ord"))
+      .select(col("id"),
+        transform(col("ord"), x => x.getField("s")).as("sorted_sh"))
+      .withColumn("sh", sort_array(col("sorted_sh")))
+    val prefixLen = size(col("sorted_sh")) -
+      ceil(lit(threshold) * size(col("sorted_sh"))).cast("int") + lit(1)
+    val prefixes = ordered
+      .select(col("id"), explode(slice(col("sorted_sh"), lit(1), prefixLen)).as("s"))
+    val candidates = prefixes.select(col("id").as("id_a"), col("s"))
+      .join(prefixes.select(col("id").as("id_b"), col("s")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(ordered.select(col("id"), col("sh")), candidates, threshold,
+      broadcastSets)
   }
 
   // --- MinHash + LSH ---
@@ -135,24 +174,13 @@ object Dedup {
     * matches the all-pairs oracle. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numHashes: Int = 128,
-                   bands: Int = 32, n: Int = 3): DataFrame = {
+                   bands: Int = 32, n: Int = 3,
+                   broadcastSets: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, n)
     val cands = lshCandidates(sigs, bands, numHashes / bands)
-    val (exploded, sizes) = shingleTables(df, idCol, textCol, n)
-    val a = exploded.toDF("id_a", "s")
-    val b = exploded.toDF("id_b", "s")
-    val inter = a.join(b, "s").filter(col("id_a") < col("id_b"))
-      .join(cands, Seq("id_a", "id_b"), "left_semi")
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("id_a", "n_a"), "id_a")
-      .join(sizes.toDF("id_b", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b")
+    val sets = shingleSets(df, idCol, textCol, n)
+    verifyJaccard(sets, cands, threshold, broadcastSets).select("id_a", "id_b")
   }
 
   // --- SimHash ---

@@ -103,13 +103,14 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits of projections
-    * onto fixed pseudo-random hyperplanes. */
+    * onto fixed pseudo-random hyperplanes. Each projection is one fused
+    * [[graft.plans.VectorExpressions.DotProduct]] against a constant
+    * plane vector — not a `dims`-term expression tree, which chokes
+    * codegen at realistic dimensionality. */
   def lshBucket(emb: Column, dims: Int, planes: Int = 12): Column =
     (0 until planes).map { p =>
-      val proj = (0 until dims).map { d =>
-        element_at(emb, d + 1) * lit(planeComponent(p, d))
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = typedLit((0 until dims).map(d => planeComponent(p, d)))
+      when(dot(emb, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Approximate NN: corpus and queries bucketed by hyperplane LSH;

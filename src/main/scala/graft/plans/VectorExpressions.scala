@@ -144,3 +144,115 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => VectorExpressions.CosineSimilarity(args(0), args(1))))
   }
 }
+
+/** Single-pass Jaccard over two SORTED distinct string arrays (merge
+  * walk, no hash sets, no intermediate arrays). The composable
+  * formulation — `array_intersect` + two `size`s — gets duplicated when
+  * Catalyst pushes the threshold filter into a join condition,
+  * tripling the dominant cost of candidate verification; this fuses
+  * intersection counting and the Jaccard division into one O(n+m)
+  * pass. Division is (double)inter / (double)(n+m-inter), matching the
+  * oracle formulation bit-for-bit.
+  */
+object SetExpressions {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  case class SortedArrayJaccard(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard_sorted"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val (n, m) = (x.numElements(), y.numElements())
+      var i = 0; var j = 0; var inter = 0
+      while (i < n && j < m) {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      inter.toDouble / (n + m - inter).toDouble
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+        s"""
+           |int $n = $a.numElements(); int $m = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $n && $j < $m) {
+           |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($c == 0) { $inter++; $i++; $j++; }
+           |  else if ($c < 0) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = (double) $inter / (double) ($n + $m - $inter);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def jaccard_sorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      SortedArrayJaccard(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+}
+
+/** Native word-n-gram shingling: one pass over the text producing the
+  * DISTINCT n-gram array (first-occurrence order, matching
+  * `array_distinct`). The composable formulation
+  * (split -> sequence -> transform(concat_ws) -> array_distinct) runs
+  * interpreted — higher-order functions have no codegen — and costs
+  * ~1 ms per document; this is a plain per-row eval doing the same work
+  * in microseconds. Semantics match split(text, ' ') exactly
+  * (consecutive spaces yield empty tokens).
+  */
+object TextExpressions {
+  import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  case class WordNgrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_ngrams"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+      if (toks.length < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+        var i = 0
+        while (i <= toks.length - n) {
+          val sb = new java.lang.StringBuilder(32)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append('_')
+            sb.append(toks(i + k)); k += 1
+          }
+          seen.add(sb.toString); i += 1
+        }
+        val out = new Array[Any](seen.size)
+        val it = seen.iterator()
+        var j = 0
+        while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def word_ngrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      WordNgrams(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
+}
