@@ -268,6 +268,116 @@ object Queries {
              |FROM orders GROUP BY ROLLUP(y, o_orderstatus)""".stripMargin)
     )),
 
+    "q_pivot" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.orders(s, dir)
+          .withColumn("y", year(col("o_orderdate")).cast("int"))
+          .groupBy(col("y"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)")),
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+             |cast(sum(cast(o_totalprice as decimal(18,2))) FILTER (WHERE o_orderstatus = 'F') as double) AS F,
+             |cast(sum(cast(o_totalprice as decimal(18,2))) FILTER (WHERE o_orderstatus = 'O') as double) AS O,
+             |cast(sum(cast(o_totalprice as decimal(18,2))) FILTER (WHERE o_orderstatus = 'P') as double) AS P
+             |FROM orders GROUP BY 1""".stripMargin)
+    )),
+
+    "q_cube" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.orders(s, dir)
+          .withColumn("y", year(col("o_orderdate")).cast("int"))
+          .cube(col("y"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, o_orderpriority, count(*) AS n
+             |FROM orders GROUP BY CUBE(y, o_orderpriority)""".stripMargin)
+    )),
+
+    "q_lag_lead" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag("o_totalprice", 1).over(w).as("prev_price"),
+            lead("o_totalprice", 1).over(w).as("next_price"),
+            datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w))
+              .cast("int").as("days_since_prev"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |lag(o_totalprice, 1) OVER w AS prev_price,
+             |lead(o_totalprice, 1) OVER w AS next_price,
+             |CAST(datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS INTEGER) AS days_since_prev
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
+    )),
+
+    "q_above_cust_avg" -> ((
+      (s: SparkSession, dir: String) => {
+        val avgExpr = expr(
+          "cast(sum(cast(o_totalprice as decimal(18,2))) over (partition by o_custkey) as double)" +
+            " / count(*) over (partition by o_custkey)")
+        Tables.orders(s, dir)
+          .withColumn("cust_avg", avgExpr)
+          .filter(col("o_totalprice") > col("cust_avg"))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            round(col("cust_avg"), 6).as("cust_avg"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, round(cust_avg, 6) AS cust_avg FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    cast(sum(cast(o_totalprice as decimal(18,2))) OVER (PARTITION BY o_custkey) as double)
+             |      / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+             |  FROM orders
+             |) t WHERE o_totalprice > cust_avg""".stripMargin)
+    )),
+
+    "q_string_funcs" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.part(s, dir).select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_up"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          length(col("p_name")).cast("int").as("name_len"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          trim(col("p_brand")).as("brand_trim"),
+          regexp_extract(col("p_type"), "([a-z]+)", 1).as("type_word")),
+      Some("""SELECT p_partkey, upper(p_name) AS name_up, substring(p_type, 1, 5) AS type5,
+             |CAST(length(p_name) AS INTEGER) AS name_len,
+             |lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+             |trim(p_brand) AS brand_trim,
+             |regexp_extract(p_type, '([a-z]+)', 1) AS type_word
+             |FROM part""".stripMargin)
+    )),
+
+    "q_asof_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val events = Tables.events(s, dir)
+        val orders = Tables.orders(s, dir)
+        graft.operators.Joins.asofBackward(
+          events, orders,
+          leftKey = col("user_id"), rightKey = col("o_custkey"),
+          leftTime = col("ts"), rightTime = col("o_orderdate"),
+          leftId = col("event_id"), tieBreak = col("o_orderkey"))
+          .select(col("event_id"), col("o_orderkey").as("orderkey"))
+      },
+      Some("""SELECT event_id, o_orderkey AS orderkey FROM (
+             |  SELECT e.event_id, o.o_orderkey,
+             |    row_number() OVER (PARTITION BY e.event_id
+             |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |  FROM events e JOIN orders o
+             |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+             |) t WHERE rn = 1""".stripMargin)
+    )),
+
+    "q_approx_distinct" -> ((
+      // HLL sketches differ across engines — rows-only check by design.
+      (s: SparkSession, dir: String) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+            countDistinct(col("l_orderkey")).as("exact_orders")),
+      None
+    )),
+
     "q_json_extract" -> ((
       (s: SparkSession, dir: String) =>
         Tables.events(s, dir)

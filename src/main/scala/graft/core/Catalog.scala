@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Per-cycle catalog operations (reference: one SQLite DB per group,
+  * `bin/fetcher.bash:86-88`, and the catalog-metadata predicate
+  * `SELECT name FROM sqlite_schema WHERE type='table' AND name NOT LIKE
+  * 'sqlite_%'` at `:130` — F5/S10/D2 in SURVEY.md §2).
+  *
+  * A "cycle" maps to a Spark SQL database of parquet tables. Overwrite
+  * semantics per table reproduce the reference's drop-and-recreate-DB
+  * behavior without losing other tables mid-failure (each table swap is
+  * atomic at the table level, an improvement worth keeping rather than
+  * copying rm -f).
+  */
+object Catalog {
+
+  def ensureDatabase(spark: SparkSession, db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+
+  /** The reference's user-table listing predicate: all tables of the
+    * cycle database, excluding anything engine-internal (the sqlite_
+    * NOT LIKE maps to a name-prefix exclusion). */
+  def listUserTables(spark: SparkSession, db: String,
+                     excludePrefix: String = "_"): Seq[String] =
+    spark.catalog.listTables(db).collect()
+      .map(_.name)
+      .filterNot(_.startsWith(excludePrefix))
+      .sorted
+      .toSeq
+
+  def save(spark: SparkSession, db: String, table: String, df: DataFrame): Unit = {
+    ensureDatabase(spark, db)
+    df.write.mode(SaveMode.Overwrite).saveAsTable(s"`$db`.`$table`")
+  }
+
+  /** Drop-and-recreate a whole cycle database (D2). */
+  def resetDatabase(spark: SparkSession, db: String): Unit = {
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    ensureDatabase(spark, db)
+  }
+}

@@ -95,6 +95,22 @@ class PipelineSpec extends SparkSpec {
     assert(person.toSeq == Seq(("GARCIA", "C"), ("O'BRIEN", "A"), ("SMITH", "B")))
   }
 
+  test("persist: tables and components land in a per-group database (catalog sink)") {
+    val bucket = Files.createTempDirectory("graft_bucket3")
+    writeZip(bucket, "ncvoter_Statewide.zip",
+      "Last Name\tMiddle Name\tFull Phone\nSMITH\tB\t7045550199\n",
+      StandardCharsets.ISO_8859_1)
+    val spec = Config.parse(configYaml)
+    graft.core.Catalog.resetDatabase(spark, "cycle_t")
+    Pipeline.run(spark, spec, "cycle_t", Map("bucket1" -> bucket.toString),
+      persist = true)
+    val tables = graft.core.Catalog.listUserTables(spark, "cycle_t")
+    assert(tables.contains("ncvoter_statewide"))
+    assert(tables.contains("c_person"))
+    val persisted = spark.table("cycle_t.c_person").collect()
+    assert(persisted.map(_.getString(0)).toSeq == Seq("SMITH"))
+  }
+
   test("stage skip flags gate load and compress") {
     val bucket = Files.createTempDirectory("graft_bucket2")
     writeZip(bucket, "VR_Snapshot_20240101.zip",
