@@ -55,9 +55,23 @@ object Similarity {
     df.select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"))
       .withColumn("n2", normSq(col("emb")))
 
+  /** Per-query top-k extraction via the bounded-heap aggregate
+    * ([[graft.plans.TopKPairs]]): partial aggregation keeps at most k
+    * pairs per partition, so the shuffle is k×16 bytes per
+    * (query × partition) instead of a corpus-sized window sort. Output
+    * (query_id, rank, neighbor_id, score) is identical to the window
+    * formulation — the heap uses the same (score desc, id asc) order. */
+  private def topKOutput(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopKPairs.top_k_pairs(col("score"), col("id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("neighbor_id"), round(col("e.score"), 6).as("score"))
+
   /** Exact brute-force cosine top-k: for each query vector, the k
     * nearest corpus vectors (self excluded), deterministically
-    * tie-broken by neighbor id. Queries are broadcast. */
+    * tie-broken by neighbor id. Queries are broadcast; the corpus is
+    * scanned once, map-side, and only k pairs per partition survive. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, embCol: String, k: Int): DataFrame = {
     val c = prepared(corpus, idCol, embCol)
@@ -66,12 +80,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("score",
         dot(col("emb"), col("q_emb")) / sqrt(col("n2") * col("q_n2")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
-        round(col("score"), 6).as("score"))
+    topKOutput(scored, k)
   }
 
   /** Blocked cosine near-duplicate pairs: pairs within the same block
@@ -136,11 +145,8 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .withColumn("score",
         dot(col("emb"), col("q_emb")) / sqrt(col("n2") * col("q_n2")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
-        round(col("score"), 6).as("score"))
+      // multiprobe can hit the same (query, neighbor) in several buckets
+      .select(col("query_id"), col("id"), col("score")).distinct()
+    topKOutput(scored, k)
   }
 }

@@ -142,6 +142,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[VectorExpressions.CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => VectorExpressions.CosineSimilarity(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[TextExpressions.WordNgrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => TextExpressions.WordNgrams(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[SetExpressions.SortedArrayJaccard].getName, "jaccard_sorted"),
+      (args: Seq[Expression]) => SetExpressions.SortedArrayJaccard(args(0), args(1))))
   }
 }
 

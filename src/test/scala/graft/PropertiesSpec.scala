@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Components, Dedup}
+import graft.sources.TextRepair
+
+/** Property-based invariants (SURVEY.md §5.3): dedup idempotence,
+  * union-dedup order-insensitivity, header-normalization idempotence,
+  * quote-repair stability, shingle laws. Uses raw ScalaCheck generators
+  * with fixed seeds (no scalatest bridge in the offline cache). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+  private val text = Gen.listOfN(8, word).map(_.mkString(" "))
+  private val rows = Gen.listOfN(12, text)
+
+  private def samples[A](g: Gen[A], n: Int = 12): Seq[A] =
+    (0 until n).flatMap(i => g(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("distinct is idempotent: distinct(distinct(x)) == distinct(x)") {
+    samples(rows, 5).foreach { xs =>
+      val once = xs.toDF("t").distinct()
+      assert(once.distinct().collect().toSet == once.collect().toSet)
+    }
+  }
+
+  test("merge is order-insensitive for full-row keys and equals scala distinct") {
+    samples(Gen.zip(rows, rows), 5).foreach { case (a, b) =>
+      val (da, db) = (a.toDF("t"), b.toDF("t"))
+      val m1 = Components.merge(Seq(da, db)).collect().map(_.getString(0)).sorted
+      val m2 = Components.merge(Seq(db, da)).collect().map(_.getString(0)).sorted
+      assert(m1.toSeq == m2.toSeq)
+      assert(m1.toSeq == (a ++ b).distinct.sorted)
+    }
+  }
+
+  test("header normalization is idempotent, lowercase, space-free") {
+    samples(Gen.zip(Gen.alphaStr, Gen.alphaStr), 30).foreach { case (a, b) =>
+      val name = s"$a $b"
+      val n1 = TextRepair.normalizeName(name)
+      assert(TextRepair.normalizeName(n1) == n1)
+      assert(!n1.contains(' '))
+      assert(n1 == n1.toLowerCase)
+    }
+  }
+
+  test("shingles: distinct, size-bounded, 3 tokens each") {
+    samples(rows, 4).foreach { xs =>
+      val sh = xs.toDF("t")
+        .select(Dedup.shingles(col("t")).as("s"))
+        .collect().map(_.getSeq[String](0))
+      sh.zip(xs).foreach { case (arr, t) =>
+        val nTok = t.split(" ", -1).length
+        assert(arr.distinct.length == arr.length)
+        assert(arr.length <= math.max(0, nTok - 2))
+        arr.foreach(g => assert(g.split("_", -1).length == 3))
+      }
+    }
+  }
+
+  test("jaccardPairs: ids ordered, jaccard in [0,1], exact dups score 1.0") {
+    samples(rows, 3).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      pairs.foreach { case (a, b, j) =>
+        assert(a < b)
+        assert(j >= 0.0 && j <= 1.0)
+      }
+      val dups = xs.zipWithIndex.groupBy(_._1).values.filter(_.size > 1)
+      dups.foreach { g =>
+        val ids = g.map(_._2.toLong).sorted
+        assert(pairs.exists(p => p._1 == ids.head && p._2 == ids(1) && p._3 == 1.0))
+      }
+    }
+  }
+
+  test("quote repair leaves clean CSV lines unchanged") {
+    val cleanCsv = Gen.listOfN(3, Gen.oneOf("aa", "bb", "cc")).map(_.mkString(","))
+    samples(cleanCsv, 10).foreach { line =>
+      val out = Seq(line).toDF("value")
+        .select(TextRepair.repairLine(col("value")).as("v"))
+        .collect().head.getString(0)
+      assert(out == line)
+    }
+  }
+}
