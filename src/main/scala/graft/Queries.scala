@@ -368,6 +368,109 @@ object Queries {
              |) t WHERE rn = 1""".stripMargin)
     )),
 
+    "q_salted_agg" -> ((
+      // two-phase salted aggregation — result must equal a plain GROUP BY
+      (s: SparkSession, dir: String) =>
+        graft.operators.Skew.saltedSum(
+          Tables.lineitem(s, dir),
+          keys = Seq("l_returnflag"),
+          valueExpr = expr("cast(l_quantity as decimal(12,2))"),
+          saltSource = col("l_orderkey"),
+          outName = "sum_qty_dec")
+          .select(col("l_returnflag"),
+            col("sum_qty_dec").cast("double").as("sum_qty"),
+            col("sum_qty_dec_n").as("n")),
+      Some("""SELECT l_returnflag,
+             |cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty,
+             |count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    )),
+
+    "q_sessionize" -> ((
+      // batch twin of streaming/EventStreams.sessionize: 30-min gap
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("brk",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+              .otherwise(0))
+          .withColumn("sess_idx",
+            sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+          .groupBy(col("user_id"), col("sess_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            expr("cast(sum(cast(value as decimal(18,2))) as double)").as("sum_value"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 30*60*1000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS sess_idx
+             |  FROM g
+             |)
+             |SELECT user_id, sess_idx, count(*) AS n_events,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+             |FROM sess GROUP BY 1, 2""".stripMargin)
+    )),
+
+    "q_tfidf" -> ((
+      (s: SparkSession, dir: String) => {
+        val terms = Seq("spark", "join", "merge")
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .filter(col("t").isin(terms: _*))
+        val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val dfreq = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        tf.join(broadcast(dfreq), "t").crossJoin(broadcast(n))
+          .groupBy("doc_id")
+          .agg(round(sum(col("tf") * log(col("n").cast("double") / col("df").cast("double"))), 6)
+            .as("score"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+             |),
+             |ft AS (SELECT doc_id, t FROM tok WHERE t IN ('spark', 'join', 'merge')),
+             |tf AS (SELECT doc_id, t, count(*) AS tf FROM ft GROUP BY 1, 2),
+             |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM ft GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT doc_id, round(sum(tf * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE))), 6) AS score
+             |FROM tf JOIN dfreq USING (t) CROSS JOIN n GROUP BY doc_id""".stripMargin)
+    )),
+
+    "q_range_join" -> ((
+      // pairs of events by the same user within a 10-minute forward window,
+      // via the bucketed range join (equi-join on (user, time bucket))
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.Joins.pointInWindowJoin(
+          ev.toDF("event_a", "user_id", "ts_a"),
+          ev.toDF("event_b", "user_id", "ts_b"),
+          keyCols = Seq("user_id"),
+          leftTime = col("ts_a"), rightTime = col("ts_b"),
+          windowMicros = 10L * 60 * 1000000)
+          .filter(col("event_a") =!= col("event_b"))
+          .select(col("event_a"), col("event_b"))
+      },
+      Some("""SELECT a.event_id AS event_a, b.event_id AS event_b
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND epoch_us(b.ts) >= epoch_us(a.ts)
+             | AND epoch_us(b.ts) - epoch_us(a.ts) < 10*60*1000000
+             | AND a.event_id != b.event_id""".stripMargin)
+    )),
+
     "q_approx_distinct" -> ((
       // HLL sketches differ across engines — rows-only check by design.
       (s: SparkSession, dir: String) =>
@@ -494,6 +597,16 @@ object Queries {
              |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) rn FROM s)
              |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
              |FROM r WHERE rn <= 5""".stripMargin)
+    )),
+
+    // IVF ANN is approximate by construction — no SQL oracle (rows-only check).
+    "q_ann_ivf" -> ((
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+      },
+      None
     )),
 
     // LSH ANN is approximate by construction — no SQL oracle (rows-only check).

@@ -33,4 +33,28 @@ object Joins {
       .filter(col("__asof_rn") === 1)
       .drop("__asof_rn")
   }
+
+  /** Bucketed point-in-window range join: all (left, right) pairs with
+    * the same key and `rightTime` in `[leftTime, leftTime + window)`.
+    *
+    * A naive theta join on the time inequality is a per-key cartesian
+    * product that Spark plans as a nested loop; bucketing time by the
+    * window length turns it into an EQUI-join: a right row in bucket b
+    * can only match left rows in buckets {b-1, b}, so the left side is
+    * exploded to those two buckets and the residual inequality is a
+    * cheap post-filter. Shuffle is on (key, bucket) — bounded
+    * candidates per row, AQE-splittable on hot buckets. */
+  def pointInWindowJoin(left: DataFrame, right: DataFrame,
+                        keyCols: Seq[String],
+                        leftTime: Column, rightTime: Column,
+                        windowMicros: Long): DataFrame = {
+    val lb = floor(unix_micros(leftTime) / windowMicros)
+    val rb = floor(unix_micros(rightTime) / windowMicros)
+    val lExp = left.withColumn("__bucket", explode(array(lb, lb + 1)))
+    val rExp = right.withColumn("__bucket", rb)
+    lExp.join(rExp, keyCols :+ "__bucket")
+      .filter(unix_micros(rightTime) >= unix_micros(leftTime) &&
+        unix_micros(rightTime) - unix_micros(leftTime) < windowMicros)
+      .drop("__bucket")
+  }
 }

@@ -100,6 +100,68 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
   }
 
+  /** IVF (inverted-file) ANN: k-means-lite coarse quantizer + probe.
+    *
+    * Centroids are model state and live on the driver (nLists × dims
+    * doubles — KBs); everything row-shaped stays distributed:
+    * assignment is an argmin over centroid distances computed as fused
+    * dot products against constant vectors, centroid updates are one
+    * groupBy per iteration. Queries probe the `nProbe` nearest lists
+    * and exact-rerank only those lists' members via the bounded-heap
+    * top-k — the scale path when brute force over the full corpus is
+    * too expensive and hyperplane LSH recall is too coarse.
+    *
+    * Deterministic: init centroids are the lowest-id corpus vectors,
+    * iteration count is fixed, ties break on list index. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+              iters: Int = 2): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+    var centroids: Array[Seq[Double]] = c.orderBy(col("id")).limit(nLists)
+      .select(col("emb")).collect().map(_.getSeq[Double](0))
+
+    def assignExpr(cents: Array[Seq[Double]], emb: Column): Column = {
+      // argmin_j ||x - c_j||² = argmin_j (|c_j|² - 2·x·c_j); |x|² constant.
+      val scored = cents.zipWithIndex.map { case (cv, j) =>
+        val c2 = cv.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dot(emb, typedLit(cv))).as("d"),
+          lit(j).as("idx"))
+      }
+      array_min(array(scored: _*)).getField("idx")
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = c.withColumn("cl", assignExpr(centroids, col("emb")))
+      val updated = assigned
+        .select(col("cl"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cl", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cl").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cl"), expr("transform(ps, x -> x.m)").as("cent"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      centroids = centroids.indices.map(j => updated.getOrElse(j, centroids(j))).toArray
+    }
+
+    val assigned = c.withColumn("cl", assignExpr(centroids, col("emb")))
+    // each query probes its nProbe nearest lists
+    val probeExpr = {
+      val scored = centroids.zipWithIndex.map { case (cv, j) =>
+        val c2 = cv.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dot(col("q_emb"), typedLit(cv))).as("d"),
+          lit(j).as("idx"))
+      }
+      slice(array_sort(array(scored: _*)), 1, nProbe)
+    }
+    val q = prepared(queries, idCol, embCol)
+      .toDF("query_id", "q_emb", "q_n2")
+      .withColumn("cl", explode(probeExpr.getField("idx")))
+    val scored = assigned.join(broadcast(q), Seq("cl"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("score",
+        dot(col("emb"), col("q_emb")) / sqrt(col("n2") * col("q_n2")))
+      .select(col("query_id"), col("id"), col("score"))
+    topKOutput(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed integer mix mapped into [-1, 1]. Reproducible across
     * sessions with zero stored model state. */

@@ -38,6 +38,14 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains(4L))
   }
 
+  test("ivfTopK finds the identical vector and ranks exactly within probed lists") {
+    val out = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, nLists = 2, nProbe = 2, iters = 1)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    // probing both of 2 lists == exhaustive here -> must equal brute force
+    assert(out.toSeq == Seq((1, 4L), (2, 1L), (3, 2L)))
+  }
+
   test("blocked pairs only form within a block") {
     val out = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding", "label",
       threshold = -2.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
