@@ -25,18 +25,34 @@ object Bench {
     // JVM + parquet-footer warmup so query 1 doesn't pay session costs.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
+    val metrics = new graft.core.MetricsListener
+    spark.listenerManager.register(metrics)
+
     val results = Queries.all.map { case (name, (fn, _)) =>
+      metrics.label(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // listener callbacks are async: wait for this query's event before
+      // relabeling, or shuffle bytes get attributed to the next query
+      var tries = 0
+      while (ok && metrics.get(name).isEmpty && tries < 30) {
+        Thread.sleep(100); tries += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val shuffleMb = results.map { case (k, _) =>
+      val mb = metrics.get(k).map(_.shuffleBytes / 1e6).getOrElse(0.0)
+      "\"" + k + "\":" + f"$mb%.1f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shuffleMb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -109,13 +109,10 @@ object RawTable {
         val lines = ZipSource.lines(spark, Seq(path), Charset.forName(spec.encoding))
         parseLines(spark, lines, spec)
       } else if (spec.repair) {
-        import spark.implicits._
-        // spark.read.text keeps encoding handling consistent with csv's
-        val lines = spark.read
-          .option("encoding", spec.encoding)
-          .option("lineSep", "\n")
-          .text(path)
-          .select("value").as[String]
+        // NOT spark.read.text: the text source is UTF-8 only (it
+        // ignores encoding options), and repair must see decoded lines.
+        val lines = ZipSource.textLines(spark, Seq(path),
+          Charset.forName(spec.encoding))
         parseLines(spark, lines, spec)
       } else readClean(spark, path, spec)
     val withExtras = spec.extraNullColumns.foldLeft(base) { (df, c) =>

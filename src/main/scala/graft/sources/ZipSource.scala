@@ -34,7 +34,19 @@ object ZipSource {
     * splittable); the header line of the FIRST entry is kept and
     * subsequent entries' first lines are kept too (reference semantics:
     * `unzip -p` concatenates entries; NC archives hold a single file). */
-  def lines(spark: SparkSession, paths: Seq[String], charset: Charset): Dataset[String] = {
+  def lines(spark: SparkSession, paths: Seq[String], charset: Charset): Dataset[String] =
+    charsetLines(spark, paths, charset, zipped = true)
+
+  /** Charset-aware line reader for plain (non-zip) files. Needed
+    * because Spark's `text` source silently IGNORES any encoding
+    * option — it is UTF-8 only — so LATIN1/UTF-16 sources that must be
+    * line-repaired before parsing cannot go through it. Same streaming
+    * decode as the zip path, minus the ZipInputStream. */
+  def textLines(spark: SparkSession, paths: Seq[String], charset: Charset): Dataset[String] =
+    charsetLines(spark, paths, charset, zipped = false)
+
+  private def charsetLines(spark: SparkSession, paths: Seq[String],
+                           charset: Charset, zipped: Boolean): Dataset[String] = {
     import spark.implicits._
     val serConf = spark.sparkContext.broadcast(
       spark.sparkContext.hadoopConfiguration.iterator() match {
@@ -53,6 +65,19 @@ object ZipSource {
         pathIt.flatMap { p =>
           val hPath = new Path(p)
           val fs = hPath.getFileSystem(conf)
+          if (!zipped) {
+            val reader = new BufferedReader(new InputStreamReader(fs.open(hPath), cs))
+            new Iterator[String] {
+              private var nextLine: String = reader.readLine()
+              def hasNext: Boolean = nextLine != null
+              def next(): String = {
+                val l = nextLine
+                nextLine = reader.readLine()
+                if (nextLine == null) reader.close()
+                l
+              }
+            }
+          } else {
           val zin = new ZipInputStream(fs.open(hPath))
           // Iterator over all lines of all entries, streaming.
           new Iterator[String] {
@@ -76,6 +101,7 @@ object ZipSource {
             def next(): String = {
               val l = nextLine; nextLine = advance(); l
             }
+          }
           }
         }
       }

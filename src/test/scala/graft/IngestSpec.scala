@@ -55,12 +55,16 @@ class IngestSpec extends SparkSpec {
   test("csv load with repair and email column (Candidate_Listing path)") {
     val dir = Files.createTempDirectory("graft_csv")
     val f = dir.resolve("Candidate_Listing_2024.csv")
-    Files.write(f, "Name,Office\nO\"HARA,Judge\n".getBytes(StandardCharsets.ISO_8859_1))
+    // JOSÉ in ISO-8859-1: É = 0xC9, invalid as UTF-8 — proves the
+    // charset-aware line reader is actually decoding LATIN1.
+    Files.write(f, "Name,Office\nO\"HARA,Judge\nJOSÉ,Clerk\n"
+      .getBytes(StandardCharsets.ISO_8859_1))
     val (name, df) = RawTable.load(spark, f.toString)
     assert(name == "candidate_listing_2024")
     assert(df.columns.toSeq == Seq("name", "office", "email"))
-    val r = df.collect().head
-    assert(r.getString(0) == "O'HARA" && r.isNullAt(2))
+    val rows = df.orderBy("office").collect()
+    assert(rows(1).getString(0) == "O'HARA" && rows(1).isNullAt(2))
+    assert(rows(0).getString(0) == "JOSÉ")
   }
 
   test("manifest keys + include filter: regex OR, dir exclusion, dedup") {

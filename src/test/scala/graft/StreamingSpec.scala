@@ -33,6 +33,23 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:10:00.0", "view", 1L)))
   }
 
+  test("incremental file source processes each file exactly once (sync analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_inc_ck").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(dir)
+    val stream = graft.streaming.EventStreams.incrementalFiles(
+      spark, dir, spark.read.parquet(dir).schema)
+    val q = stream.writeStream.format("memory").queryName("inc_files")
+      .option("checkpointLocation", out).outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("inc_files").count() == 1)
+    Seq((2L, "b"), (3L, "c")).toDF("id", "v").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    // 3 rows total: the first file was not re-processed on the second batch
+    assert(spark.table("inc_files").count() == 3)
+  }
+
   test("sessionize closes sessions on gap and keeps open state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
