@@ -110,11 +110,23 @@ object Dedup {
       .withColumn("sh", sort_array(col("sorted_sh")))
     val prefixLen = size(col("sorted_sh")) -
       ceil(lit(threshold) * size(col("sorted_sh"))).cast("int") + lit(1)
+    // prefixes carry (position, set size) for PPJoin-style pruning
     val prefixes = ordered
-      .select(col("id"), explode(slice(col("sorted_sh"), lit(1), prefixLen)).as("s"))
-    val candidates = prefixes.select(col("id").as("id_a"), col("s"))
-      .join(prefixes.select(col("id").as("id_b"), col("s")), "s")
+      .select(col("id"), size(col("sorted_sh")).as("n"),
+        posexplode(slice(col("sorted_sh"), lit(1), prefixLen)).as(Seq("p", "s")))
+    // J >= t requires overlap >= ceil(t/(1+t)·(na+nb)); a pair first
+    // matching at 0-based positions (pa, pb) can overlap at most
+    // 1 + min(na-pa-1, nb-pb-1). Size filter: min(na,nb) >= t·max(na,nb).
+    // Both prune candidates only — verification stays exact.
+    val minOverlap = ceil(lit(threshold / (1 + threshold)) * (col("n_a") + col("n_b")))
+    val posBound = lit(1) +
+      least(col("n_a") - col("p_a") - 1, col("n_b") - col("p_b") - 1)
+    val candidates = prefixes.toDF("id_a", "n_a", "p_a", "s")
+      .join(prefixes.toDF("id_b", "n_b", "p_b", "s"), "s")
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")) >=
+        ceil(lit(threshold) * greatest(col("n_a"), col("n_b"))))
+      .filter(posBound >= minOverlap)
       .select("id_a", "id_b").distinct()
     verifyJaccard(ordered.select(col("id"), col("sh")), candidates, threshold,
       broadcastSets)

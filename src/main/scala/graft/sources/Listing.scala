@@ -61,6 +61,14 @@ object Listing {
     out.toSeq.sorted
   }
 
+  /** Incremental manifest diff (reference R3: `aws s3 sync` skips
+    * already-synced objects): the keys present in the current manifest
+    * but absent from the processed log — one anti-join, no state
+    * beyond the processed-keys table. */
+  def newKeys(current: DataFrame, processed: DataFrame,
+              keyCol: String = "key"): DataFrame =
+    current.join(processed, Seq(keyCol), "left_anti")
+
   /** The date-driven filter generation of `current_cycle.bash:36-45`
     * (F6): statewide always; VR snapshots for {year-1, year};
     * `Elections/<y>` for the trailing 8 years (judicial term length).

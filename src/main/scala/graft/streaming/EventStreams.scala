@@ -47,6 +47,16 @@ object EventStreams {
                        schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  /** Streaming exact dedup with bounded state: duplicates of a key are
+    * dropped as long as they arrive within the watermark window; state
+    * for keys older than the watermark is evicted, so memory is bounded
+    * by the churn inside the window — the streaming form of the
+    * pipeline's exact-dedup operator. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState): a session closes when the next event for
     * the user arrives more than `gapMs` after the previous one; closed
