@@ -220,6 +220,89 @@ object Queries {
              |FROM orders""".stripMargin)
     )),
 
+    "q_range_frame" -> ((
+      // RANGE frame: per-customer sum of all orders priced within 100 of
+      // the current one (value-based frame, not row-based)
+      (s: SparkSession, dir: String) =>
+        Tables.orders(s, dir)
+          .withColumn("near_total",
+            expr("cast(sum(cast(o_totalprice as decimal(18,2))) over " +
+              "(partition by o_custkey order by o_totalprice " +
+              "range between 100 preceding and 100 following) as double)"))
+          .select(col("o_custkey"), col("o_orderkey"), col("near_total")),
+      Some("""SELECT o_custkey, o_orderkey,
+             |cast(sum(cast(o_totalprice as decimal(18,2))) OVER
+             |  (PARTITION BY o_custkey ORDER BY o_totalprice
+             |   RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) as double) AS near_total
+             |FROM orders""".stripMargin)
+    )),
+
+    "q_first_last" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first("o_orderkey").over(w).as("first_order"),
+            last("o_orderkey").over(w).as("last_order"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |first_value(o_orderkey) OVER w AS first_order,
+             |last_value(o_orderkey) OVER w AS last_order,
+             |nth_value(o_orderkey, 2) OVER w AS second_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)
+    )),
+
+    "q_array_funcs" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            size(col("embedding")).cast("int").as("dim"),
+            element_at(col("embedding"), 1).cast("double").as("first_c"),
+            array_max(col("embedding")).cast("double").as("max_c"),
+            array_min(col("embedding")).cast("double").as("min_c"),
+            element_at(sort_array(col("embedding"), asc = false), 3)
+              .cast("double").as("third_largest")),
+      Some("""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+             |CAST(embedding[1] AS DOUBLE) AS first_c,
+             |CAST(list_max(embedding) AS DOUBLE) AS max_c,
+             |CAST(list_min(embedding) AS DOUBLE) AS min_c,
+             |CAST(list_sort(embedding, 'DESC')[3] AS DOUBLE) AS third_largest
+             |FROM embeddings""".stripMargin)
+    )),
+
+    "q_hash_sample" -> ((
+      // deterministic ~10% sample by order key — reproducible across
+      // engines/partitionings (oracle computes the same membership)
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sampling.hashSample(
+          Tables.orders(s, dir), col("o_orderkey"), 0.10)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 1000""".stripMargin)
+    )),
+
+    "q_percentiles" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+            expr("round(percentile(o_totalprice, 0.9), 4)").as("p90"),
+            expr("cast(min(o_totalprice) as double)").as("p_min"),
+            expr("cast(max(o_totalprice) as double)").as("p_max")),
+      Some("""SELECT o_orderstatus,
+             |round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             |cast(min(o_totalprice) as double) AS p_min,
+             |cast(max(o_totalprice) as double) AS p_max
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)
+    )),
+
     "q_semi_join" -> ((
       (s: SparkSession, dir: String) => {
         val cust = Tables.customer(s, dir)

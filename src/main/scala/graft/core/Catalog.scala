@@ -31,7 +31,12 @@ object Catalog {
 
   def save(spark: SparkSession, db: String, table: String, df: DataFrame): Unit = {
     ensureDatabase(spark, db)
-    df.write.mode(SaveMode.Overwrite).saveAsTable(s"`$db`.`$table`")
+    // zstd: ~30% smaller than snappy on text-heavy tables for a small
+    // CPU cost — at 100 TB the scan time is IO-bound, so this is a win
+    // on both storage and read throughput.
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .saveAsTable(s"`$db`.`$table`")
   }
 
   /** Drop-and-recreate a whole cycle database (D2). */

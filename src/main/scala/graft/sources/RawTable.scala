@@ -83,6 +83,21 @@ object RawTable {
     TextRepair.normalizeHeader(parsed)
   }
 
+  /** Clean-path read with explicit malformed-row capture (the O4
+    * fail-fast-vs-permissive choice made explicit): rows that fail to
+    * parse land whole in `_corrupt_line` instead of being silently
+    * nulled or aborting the job — auditable bad-row sink at scale. */
+  def readCleanAudited(spark: SparkSession, path: String, spec: SourceSpec,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("sep", spec.sep)
+      .option("encoding", spec.encoding)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_line")
+      .schema(schema.add("_corrupt_line", "string"))
+      .csv(path)
+
   /** Clean-path read: one-shot file scan with reader options (keeps the
     * scan a single FileSourceScanExec with pushdown). */
   def readClean(spark: SparkSession, path: String, spec: SourceSpec): DataFrame = {

@@ -67,6 +67,36 @@ class IngestSpec extends SparkSpec {
     assert(rows(0).getString(0) == "JOSÉ")
   }
 
+  test("audited read captures malformed rows instead of dropping them") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_audit")
+    val f = dir.resolve("data.csv")
+    Files.write(f, "a,b\n1,2\nnot_an_int,5\n3,4\n".getBytes(StandardCharsets.UTF_8))
+    val schema = StructType(Seq(StructField("a", IntegerType), StructField("b", IntegerType)))
+    // Spark disallows querying only the corrupt column off the raw
+    // file — materialize first (cache), as its own error message advises.
+    val df = RawTable.readCleanAudited(spark, f.toString,
+      graft.sources.SourceSpec(sep = ","), schema).cache()
+    val bad = df.filter(org.apache.spark.sql.functions.col("_corrupt_line").isNotNull)
+      .collect()
+    assert(bad.length == 1 && bad.head.getString(2).startsWith("not_an_int"))
+    assert(df.filter(org.apache.spark.sql.functions.col("_corrupt_line").isNull).count() == 2)
+  }
+
+  test("hash sampling: deterministic, disjoint train/test split") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("k")
+    val s1 = graft.operators.Sampling.hashSample(df, col("k"), 0.2).collect().map(_.getLong(0)).toSet
+    val s2 = graft.operators.Sampling.hashSample(df, col("k"), 0.2).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(s1.size > 100 && s1.size < 300) // ~20%
+    val (train, test) = graft.operators.Sampling.trainTestSplit(df, col("k"), 0.25)
+    val (tr, te) = (train.collect().map(_.getLong(0)).toSet, test.collect().map(_.getLong(0)).toSet)
+    assert(tr.intersect(te).isEmpty)
+    assert(tr.size + te.size == 1000)
+  }
+
   test("manifest keys + include filter: regex OR, dir exclusion, dedup") {
     val dir = Files.createTempDirectory("graft_manifest")
     val manifest =
