@@ -754,6 +754,53 @@ object Queries {
       }
     )),
 
+    "q_clean_text" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("clean")),
+      Some("""SELECT doc_id,
+             |trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+             |FROM documents""".stripMargin)
+    )),
+
+    "q_chunk" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(TextAnalysis.chunks(col("text"), chunkSize = 64, stride = 48)).as("c"))
+          .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+            col("c.chunk_text").as("chunk_text"),
+            col("c.n_tokens").cast("long").as("n_tokens")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |s AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 1, 0) + 1, 48)) AS st FROM t)
+             |SELECT doc_id, CAST(st / 48 AS INTEGER) AS chunk_idx,
+             |array_to_string(ws[st + 1 : st + 64], ' ') AS chunk_text,
+             |CAST(least(len(ws) - st, 64) AS BIGINT) AS n_tokens
+             |FROM s""".stripMargin)
+    )),
+
+    "q_normalize_embedding" -> ((
+      // scalar projections of the normalized vector (array columns break
+      // row-sorting in the hash compare): first/last unit components and
+      // the unit norm, which must come out exactly 1.0-ish
+      (s: SparkSession, dir: String) =>
+        // n2 bound as an attribute BEFORE the lambda — an inlined normSq
+        // would re-run the dot product per element (interpreted HOF)
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
+          .withColumn("n2", Similarity.normSq(col("emb")))
+          .withColumn("unit", transform(col("emb"), x => x / sqrt(col("n2"))))
+          .select(col("vec_id"), col("n2"),
+            element_at(col("unit"), 1).as("unit_first"),
+            element_at(col("unit"), 64).as("unit_last"),
+            round(Similarity.normSq(col("unit")), 9).as("unit_norm")),
+      Some("""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+             |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM p),
+             |u AS (SELECT vec_id, n2, [x / sqrt(n2) for x in emb] AS unit FROM n)
+             |SELECT vec_id, n2, unit[1] AS unit_first, unit[64] AS unit_last,
+             |round(list_sum([x*x for x in unit]), 9) AS unit_norm FROM u""".stripMargin)
+    )),
+
     "q_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
         Tables.documents(s, dir)

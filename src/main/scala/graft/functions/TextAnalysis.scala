@@ -72,6 +72,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Normalization for model input: lowercase, strip non-letters,
+    * squeeze whitespace. The canonical first stage of a text-cleaning
+    * pipeline; pure codegen'd regexps. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z ]", " "), " +", " "))
+
+  /** Token-window chunking with stride (training-data staple: split
+    * long documents into model-window-sized overlapping chunks).
+    * Returns array<struct<chunk_idx,chunk_text,n_tokens>>; explode it
+    * for one row per chunk. Deterministic: chunk i covers tokens
+    * [i·stride, i·stride + chunkSize). */
+  def chunks(text: Column, chunkSize: Int, stride: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      start => struct(
+        (start / stride).cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(toks, start + 1, lit(chunkSize))).as("chunk_text"),
+        least(size(toks) - start, lit(chunkSize)).cast("int").as("n_tokens")))
+  }
+
   /** Rolling polynomial hash over characters (mod 2^61-1), a
     * shingling-friendly fingerprint; implemented as a fold over the
     * char array — still codegen'd builtins. */

@@ -37,8 +37,15 @@ for name, sql in sorted(oracle.items()):
     if len(duck) != len(spark):
         results[name] = f"ROWCOUNT_MISMATCH: duck={len(duck)} spark={len(spark)}"
         continue
-    duck = duck.sort_values(by=list(duck.columns)).reset_index(drop=True)
-    spark = spark.sort_values(by=list(spark.columns)).reset_index(drop=True)
+    def sortable(df):
+        # array columns are unhashable for pandas sorting; stringify a copy
+        key = df.copy()
+        for c in key.columns:
+            if key[c].dtype == object:
+                key[c] = key[c].astype(str)
+        return df.iloc[key.sort_values(by=list(key.columns)).index].reset_index(drop=True)
+    duck = sortable(duck)
+    spark = sortable(spark)
     mismatch = None
     for c in duck.columns:
         a, b = duck[c], spark[c]
