@@ -22,6 +22,7 @@ object Session {
 
   def local(appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)

@@ -134,6 +134,7 @@ object VectorExpressions {
   * `spark.sql.extensions=graft.plans.GraftExtensions` conf. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RegexAnchorSimplification)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorExpressions.DotProduct].getName, "vec_dot"),
