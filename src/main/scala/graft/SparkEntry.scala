@@ -6,9 +6,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * sources in graft.sources, scalar function layers in graft.functions.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q1 rather than the multi-join q5: at sf0.001 the co-location
+    * constraint leaves q5 a single row — too fragile for a smoke check. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.queries("q5_region_revenue")(spark, "/root/testdata/sf0.001")
+    Queries.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
