@@ -165,15 +165,32 @@ object Dedup {
 
   /** LSH candidate pairs: band the signature, hash each band, equi-join
     * docs sharing any (band, bandHash). bands*rowsPerBand must equal
-    * numHashes. */
-  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    * numHashes.
+    *
+    * `maxBucketSize` is the skew guard for massive duplicate clusters:
+    * a bucket of m docs yields m²/2 pairs, so one 1M-doc cluster of
+    * boilerplate would emit 5e11 pairs. Capped buckets are dropped from
+    * the self-join; docs in them almost surely still pair through their
+    * other (bands-1) bands, but strict all-pairs recall inside
+    * mega-clusters is traded away — hence the default is uncapped (the
+    * oracle-exact configuration) and callers opt in at scale. */
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val bandCols = (0 until bands).map { bIdx =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${bIdx * rowsPerBand + r}"))
       struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val banded = signatures
+    val banded0 = signatures
       .select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+        banded0.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize)
+          .drop("__bsz")
+      }
     banded.toDF("id_a", "band", "bh")
       .join(banded.toDF("id_b", "band", "bh"), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))

@@ -47,6 +47,15 @@ object EventStreams {
                        schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  /** Stream-static enrichment: join a live event stream against a
+    * batch dimension table. Spark re-plans the static side per
+    * micro-batch; with a small dimension Catalyst broadcasts it, so the
+    * stream never shuffles — the standard pattern for attaching user /
+    * catalog attributes to events at ingest time. */
+  def enriched(events: DataFrame, dimension: DataFrame,
+               joinCols: Seq[String]): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dimension), joinCols)
+
   /** Streaming exact dedup with bounded state: duplicates of a key are
     * dropped as long as they arrive within the watermark window; state
     * for keys older than the watermark is evicted, so memory is bounded

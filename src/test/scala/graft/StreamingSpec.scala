@@ -50,6 +50,21 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("inc_files").count() == 3)
   }
 
+  test("stream-static join enriches events against a broadcast dimension") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val q = graft.streaming.EventStreams.enriched(input.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched_events")
+      .outputMode("append").start()
+    input.addData(Event(1, ts(1), 7, "click", 1.0), Event(2, ts(2), 9, "view", 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("enriched_events")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("tier")))
+    q.stop()
+    assert(rows.toSet == Set((1L, "gold"))) // user 9 has no dimension row
+  }
+
   test("sessionize closes sessions on gap and keeps open state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
