@@ -707,8 +707,13 @@ object Queries {
     "q_token_count" -> ((
       (s: SparkSession, dir: String) =>
         Tables.documents(s, dir)
-          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
-      Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.subwordCount(col("text")).as("n_subwords")),
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |CAST(list_sum([greatest(ceil(length(w) / 4.0), 1.0)
+             |  for w in string_split_regex(text, '[^A-Za-z0-9]+')]) AS BIGINT) AS n_subwords
+             |FROM documents""".stripMargin)
     )),
 
     "q_lang_id" -> ((
@@ -744,13 +749,18 @@ object Queries {
       Some {
         val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
           .map(w => s"'$w'").mkString(", ")
-        s"""SELECT doc_id, round(
-           |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
-           |  + (CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS DOUBLE)
-           |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
-           |  + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-           |     / CAST(length(text) AS DOUBLE)) * 0.3, 6) AS score
-           |FROM documents""".stripMargin
+        // single exact-integer division — no rounding, bit-identical
+        s"""WITH c AS (SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           |  CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS BIGINT) AS nstop,
+           |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nalpha,
+           |  CAST(length(text) AS BIGINT) AS nchars
+           |FROM documents)
+           |SELECT doc_id,
+           |  CAST(4 * least(ntok, 100) * ntok * nchars + 300 * nstop * nchars
+           |       + 300 * nalpha * ntok AS DOUBLE)
+           |  / CAST(1000 * ntok * nchars AS DOUBLE) AS score
+           |FROM c""".stripMargin
       }
     )),
 

@@ -54,16 +54,25 @@ object TextAnalysis {
   }
 
   /** Heuristic quality score in [0,1]: length credit (saturating at 100
-    * tokens), stopword-ratio credit and alphabetic-ratio credit. All
-    * double arithmetic on identical operands — deterministic and
-    * oracle-reproducible. */
+    * tokens), stopword-ratio credit and alphabetic-ratio credit.
+    *
+    * Computed as ONE division of exact integers:
+    * score = (4·min(ntok,100)·ntok·nchars + 300·nstop·nchars
+    *          + 300·nalpha·ntok) / (1000·ntok·nchars)
+    * which equals 0.4·min(ntok/100,1) + 0.3·nstop/ntok + 0.3·nalpha/nchars
+    * exactly. Summing three separately-rounded doubles can land within
+    * one ulp of a rounding boundary (observed once at sf0.1) — a single
+    * integer/integer division is bit-identical across engines with no
+    * rounding step at all. */
   def qualityScore(text: Column): Column = {
-    val nTok = size(tokens(text)).cast("double")
+    val nTok = size(tokens(text)).cast("long")
     val allStop = stopwords.values.flatten.toSeq.distinct
-    val stopRatio = stopwordHits(text, allStop).cast("double") / nTok
-    val alphaRatio =
-      length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text).cast("double")
-    round(least(nTok / 100.0, lit(1.0)) * 0.4 + stopRatio * 0.3 + alphaRatio * 0.3, 6)
+    val nStop = stopwordHits(text, allStop)
+    val nAlpha = length(regexp_replace(text, "[^a-z]", "")).cast("long")
+    val nChars = length(text).cast("long")
+    val num = lit(4L) * least(nTok, lit(100L)) * nTok * nChars +
+      lit(300L) * nStop * nChars + lit(300L) * nAlpha * nTok
+    num.cast("double") / (lit(1000L) * nTok * nChars).cast("double")
   }
 
   /** Content fingerprint: md5 over the sorted distinct token set —

