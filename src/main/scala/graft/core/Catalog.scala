@@ -56,6 +56,33 @@ object Catalog {
       .saveAsTable(s"`$db`.`$table`")
   }
 
+  /** Date/key-partitioned save: directory-partitioned layout so
+    * time-ranged queries prune whole partitions at planning time (the
+    * Spark-native version of the reference's year-based temporal
+    * pruning, F6 — at 100 TB a day-partitioned events table turns a
+    * month query into 30 directory reads). */
+  def savePartitioned(spark: SparkSession, db: String, table: String,
+                      df: DataFrame, partitionCols: Seq[String]): Unit = {
+    ensureDatabase(spark, db)
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy(partitionCols: _*)
+      .saveAsTable(s"`$db`.`$table`")
+  }
+
+  /** Upsert a slice of a partitioned table: with dynamic partition
+    * overwrite, only the partitions PRESENT in `slice` are replaced —
+    * the incremental-cycle refinement of the reference's
+    * drop-everything D2 semantics. */
+  def overwritePartitions(spark: SparkSession, db: String, table: String,
+                          slice: DataFrame): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try slice.write.mode(SaveMode.Overwrite)
+      .insertInto(s"`$db`.`$table`")
+    finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+  }
+
   /** Drop-and-recreate a whole cycle database (D2). */
   def resetDatabase(spark: SparkSession, db: String): Unit = {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")

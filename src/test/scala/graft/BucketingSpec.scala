@@ -34,4 +34,28 @@ class BucketingSpec extends SparkSpec {
       assert(agg.count() == 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("partitioned table: planning-time partition pruning on the filter") {
+    Catalog.resetDatabase(spark, "prt")
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+    val df = days.zipWithIndex.flatMap { case (d, i) =>
+      (1 to 10).map(j => (i * 10 + j, d))
+    }.toDF("id", "day")
+    Catalog.savePartitioned(spark, "prt", "events_p", df, Seq("day"))
+    val q = spark.table("prt.events_p").filter(col("day") === "2024-01-02")
+    assert(q.count() == 10)
+    val scan = q.queryExecution.executedPlan.toString
+    // partition filter present, and only one partition directory read
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-02"), scan)
+  }
+
+  test("dynamic partition overwrite replaces only the touched partition") {
+    val update = Seq((991, "2024-01-02"), (992, "2024-01-02")).toDF("id", "day")
+    Catalog.overwritePartitions(spark, "prt", "events_p", update)
+    val byDay = spark.table("prt.events_p").groupBy("day").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDay("2024-01-02") == 2)   // replaced
+    assert(byDay("2024-01-01") == 10)  // untouched
+    assert(byDay("2024-01-03") == 10)  // untouched
+  }
 }
