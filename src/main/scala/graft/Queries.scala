@@ -339,6 +339,57 @@ object Queries {
              |  (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) b""".stripMargin)
     )),
 
+    "q_left_join_coalesce" -> ((
+      (s: SparkSession, dir: String) => {
+        val counts = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_f"))
+        Tables.customer(s, dir)
+          .join(counts, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("n_f"), lit(0L)).as("n_f_orders"),
+            col("n_f").isNull.as("never_f"))
+      },
+      Some("""SELECT c_custkey, coalesce(n_f, 0) AS n_f_orders, n_f IS NULL AS never_f
+             |FROM customer LEFT JOIN (
+             |  SELECT o_custkey, count(*) AS n_f FROM orders
+             |  WHERE o_orderstatus = 'F' GROUP BY o_custkey
+             |) t ON c_custkey = o_custkey""".stripMargin)
+    )),
+
+    "q_except_all" -> ((
+      // bag semantics: multiplicity-aware difference
+      (s: SparkSession, dir: String) => {
+        val a = Tables.lineitem(s, dir).select(col("l_returnflag").as("flag"))
+        val b = Tables.orders(s, dir).limit(0)
+          .select(lit("R").as("flag")) // empty — except_all keeps all of a
+        val c = Tables.lineitem(s, dir).filter(col("l_linenumber") === 1)
+          .select(col("l_returnflag").as("flag"))
+        a.exceptAll(c).groupBy("flag").agg(count(lit(1)).as("n"))
+          .unionByName(b.groupBy("flag").agg(count(lit(1)).as("n")))
+      },
+      Some("""SELECT flag, count(*) AS n FROM (
+             |  SELECT l_returnflag AS flag FROM lineitem
+             |  EXCEPT ALL
+             |  SELECT l_returnflag FROM lineitem WHERE l_linenumber = 1
+             |) t GROUP BY flag""".stripMargin)
+    )),
+
+    "q_conditional_agg" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+            expr("cast(sum(case when o_orderstatus = 'O' then cast(o_totalprice as decimal(18,2)) else cast(0 as decimal(18,2)) end) as double)").as("open_total"),
+            max(col("o_orderstatus") === "P").as("any_p")),
+      Some("""SELECT o_orderpriority,
+             |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |cast(sum(CASE WHEN o_orderstatus = 'O' THEN cast(o_totalprice as decimal(18,2)) ELSE cast(0 as decimal(18,2)) END) as double) AS open_total,
+             |bool_or(o_orderstatus = 'P') AS any_p
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)
+    )),
+
     "q_rollup" -> ((
       (s: SparkSession, dir: String) =>
         Tables.orders(s, dir)

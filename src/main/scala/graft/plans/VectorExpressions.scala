@@ -226,38 +226,49 @@ object SetExpressions {
   */
 object TextExpressions {
   import org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   import org.apache.spark.sql.types.StringType
   import org.apache.spark.unsafe.types.UTF8String
 
+  /** Shingling kernel, callable from generated Java
+    * (`TextExpressions$.MODULE$.computeNgrams(...)`) so the expression
+    * stays INSIDE whole-stage codegen instead of CodegenFallback's
+    * boxed per-row eval path. */
+  def computeNgrams(v: UTF8String, n: Int): ArrayData = {
+    val toks = v.toString.split(" ", -1)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(32)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append('_')
+          sb.append(toks(i + k)); k += 1
+        }
+        seen.add(sb.toString); i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
   case class WordNgrams(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "word_ngrams"
 
-    override protected def nullSafeEval(v: Any): Any = {
-      val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
-      if (toks.length < n) new GenericArrayData(Array.empty[Any])
-      else {
-        val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
-        var i = 0
-        while (i <= toks.length - n) {
-          val sb = new java.lang.StringBuilder(32)
-          var k = 0
-          while (k < n) {
-            if (k > 0) sb.append('_')
-            sb.append(toks(i + k)); k += 1
-          }
-          seen.add(sb.toString); i += 1
-        }
-        val out = new Array[Any](seen.size)
-        val it = seen.iterator()
-        var j = 0
-        while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
-        new GenericArrayData(out)
-      }
-    }
+    override protected def nullSafeEval(v: Any): Any =
+      computeNgrams(v.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.plans.TextExpressions$$.MODULE$$.computeNgrams($input, $n);")
 
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
