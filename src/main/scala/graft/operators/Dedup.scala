@@ -149,19 +149,17 @@ object Dedup {
   def md5Hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Per-doc MinHash signature: array of `numHashes` minima. One
-    * explode + one groupBy — the signature shuffle carries
-    * numHashes×8 bytes per doc. */
+  /** Per-doc MinHash signature (id, sig: array<long>) — computed
+    * MAP-SIDE in one native-expression pass over the shingle array
+    * ([[graft.plans.SketchExpressions.MinHashSignature]]); the previous
+    * explode + 128-min-aggregate formulation shuffled every
+    * (doc, shingle) row. Values are identical (same md5-derived base
+    * hash and permutation constants). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 128, n: Int = 3): DataFrame = {
-    val (exploded, _) = shingleTables(df, idCol, textCol, n)
-    val hashed = exploded.withColumn("x", md5Hash32(col("s")))
-    val aggs = (0 until numHashes).map { i =>
-      val (a, b) = hashParams(i)
-      min(pmod(col("x") * a + b, lit(MinhashPrime))).as(s"h$i")
-    }
-    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-  }
+                        numHashes: Int = 128, n: Int = 3): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+      .select(col("id"),
+        graft.plans.SketchExpressions.minhash_signature(col("sh"), numHashes).as("sig"))
 
   /** LSH candidate pairs: band the signature, hash each band, equi-join
     * docs sharing any (band, bandHash). bands*rowsPerBand must equal
@@ -177,7 +175,8 @@ object Dedup {
   def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val bandCols = (0 until bands).map { bIdx =>
-      val cols = (0 until rowsPerBand).map(r => col(s"h${bIdx * rowsPerBand + r}"))
+      val cols = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), bIdx * rowsPerBand + r + 1))
       struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("bh"))
     }
     val banded0 = signatures

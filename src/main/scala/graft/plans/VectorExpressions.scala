@@ -277,3 +277,70 @@ object TextExpressions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       WordNgrams(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
 }
+
+/** Native MinHash signature: one pass over a document's shingle array
+  * computing all `numHashes` permutation minima — map-side, no
+  * explode/groupBy. The previous formulation (explode shingles →
+  * groupBy(doc) with 128 min-aggregates) shuffles every (doc, shingle)
+  * row; this computes the fixed-width signature inside the scan stage
+  * and shuffles nothing. Base hash = first 8 hex chars of md5 (matches
+  * `conv(substring(md5(s),1,8),16,10)` exactly, keeping candidate
+  * generation deterministic and engine-reproducible); permutations are
+  * (aᵢ·x + bᵢ) mod p with the same splitmix-derived constants as
+  * Dedup.hashParams.
+  */
+object SketchExpressions {
+  import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  private val Prime = 4294967311L // smallest prime > 2^32
+
+  def hashParamA(i: Int): Long = ((0x9E3779B97F4A7C15L * (i + 1)) & 0x7FFFFFFFL) | 1L
+  def hashParamB(i: Int): Long = (0xBF58476D1CE4E5B9L * (i + 1)) & 0x7FFFFFFFL
+
+  /** md5-derived 32-bit base hash of one shingle (value-identical to the
+    * SQL formulation used by the oracle-facing operators). */
+  def md5Hash32(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  def computeSignature(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val x = md5Hash32(shingles.getUTF8String(i).getBytes)
+      var h = 0
+      while (h < numHashes) {
+        val v = (hashParamA(h) * x + hashParamB(h)) % Prime
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+
+    override protected def nullSafeEval(v: Any): Any =
+      computeSignature(v.asInstanceOf[ArrayData], numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.plans.SketchExpressions$$.MODULE$$.computeSignature($input, $numHashes);")
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def minhash_signature(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      MinHashSignature(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingles), numHashes))
+}
