@@ -214,21 +214,14 @@ object Dedup {
   // --- SimHash ---
 
   /** 32-bit SimHash per doc from md5-derived token hashes: per-bit sign
-    * sum over token occurrences; bit set iff sum >= 0. 32 conditional
-    * aggregates — one groupBy, fully codegen'd. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(split(col(textCol), " ")).as("tok"))
-    val hashed = tok.withColumn("hv", md5Hash32(col("tok")))
-    val bitAggs = (0 until 32).map { j =>
-      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val sums = hashed.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val sim = (0 until 32).map { j =>
-      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col("id"), sim.as("simhash"))
-  }
+    * sum over token occurrences; bit set iff sum >= 0. Computed
+    * MAP-SIDE in one native-expression pass over the text
+    * ([[graft.plans.SketchExpressions.SimHash32]]); the previous
+    * explode + 32-conditional-aggregate formulation shuffled the whole
+    * token stream. Values identical (same md5 base hash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.plans.SketchExpressions.simhash32(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
     * via band join on `bands` equal bit-slices. Pigeonhole: with

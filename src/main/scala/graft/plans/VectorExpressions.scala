@@ -324,6 +324,51 @@ object SketchExpressions {
     new GenericArrayData(mins.map(java.lang.Long.valueOf(_): Any))
   }
 
+  /** 32-bit SimHash from the raw text in one pass: per-bit sign sums
+    * over token OCCURRENCES (split on single space, matching
+    * string_split semantics), bit set iff sum >= 0. Value-identical to
+    * the explode + 32-conditional-aggregate formulation the DuckDB
+    * oracle mirrors, but map-side with no token shuffle. */
+  def computeSimhash(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val sums = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      val h = md5Hash32(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) {
+      if (sums(j) >= 0) sim |= (1L << j)
+      j += 1
+    }
+    sim
+  }
+
+  case class SimHash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash32"
+
+    override protected def nullSafeEval(v: Any): Any =
+      computeSimhash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.plans.SketchExpressions$$.MODULE$$.computeSimhash($input);")
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def simhash32(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      SimHash32(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   case class MinHashSignature(child: Expression, numHashes: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
