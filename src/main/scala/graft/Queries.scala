@@ -638,6 +638,83 @@ object Queries {
              |FROM events GROUP BY 1, 2""".stripMargin)
     )),
 
+    "q_scalar_subquery" -> ((
+      // the engine's SQL surface: uncorrelated scalar subquery via spark.sql
+      (s: SparkSession, dir: String) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v
+                |WHERE o_totalprice > (
+                |  SELECT cast(sum(cast(o_totalprice as decimal(18,2))) as double) / count(*)
+                |  FROM orders_v)""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (
+             |  SELECT cast(sum(cast(o_totalprice as decimal(18,2))) as double) / count(*)
+             |  FROM orders)""".stripMargin)
+    )),
+
+    "q_curation_pipeline" -> ((
+      // the full curation flow as ONE lazy plan: clean -> quality filter ->
+      // exact dedup (bag-of-words fingerprint, min id survives) -> near-dup
+      // drop (jaccard >= 0.8 on cleaned text, higher id dropped) -> chunk
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val cleaned = docs.select(col("doc_id"),
+          TextAnalysis.cleanText(col("text")).as("ctext"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+          .filter(col("q") >= 0.5)
+        val kept = cleaned
+          .groupBy(TextAnalysis.fingerprint(col("ctext")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .join(cleaned, "doc_id")
+          .select(col("doc_id"), col("ctext"))
+        val nearDrops = Dedup.jaccardPairs(kept, "doc_id", "ctext", threshold = 0.8)
+          .select(col("id_b").as("doc_id")).distinct()
+        kept.join(nearDrops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            explode(TextAnalysis.chunks(col("ctext"), chunkSize = 64, stride = 48)).as("c"))
+          .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+            col("c.chunk_text").as("chunk_text"))
+      },
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH q AS (SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           |    CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS BIGINT) AS nstop,
+           |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nalpha,
+           |    CAST(length(text) AS BIGINT) AS nchars,
+           |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) AS ctext
+           |  FROM documents),
+           |cleaned AS (SELECT doc_id, ctext FROM q
+           |  WHERE CAST(4 * least(ntok, 100) * ntok * nchars + 300 * nstop * nchars
+           |        + 300 * nalpha * ntok AS DOUBLE) / CAST(1000 * ntok * nchars AS DOUBLE) >= 0.5),
+           |kept AS (SELECT c.doc_id, c.ctext FROM cleaned c JOIN (
+           |    SELECT min(doc_id) AS doc_id
+           |    FROM (SELECT doc_id,
+           |      md5(array_to_string(list_sort(list_distinct(string_split(ctext, ' '))), ' ')) AS fp
+           |      FROM cleaned) f GROUP BY fp
+           |  ) s ON c.doc_id = s.doc_id),
+           |w AS (SELECT doc_id, string_split(ctext, ' ') ws FROM kept),
+           |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+           |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+           |  ELSE [] END sh FROM w),
+           |e AS (SELECT doc_id, unnest(sh) sg FROM g),
+           |sz AS (SELECT doc_id, len(sh) n FROM g),
+           |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+           |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |drops AS (SELECT DISTINCT id_b AS doc_id FROM p
+           |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+           |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
+           |surv AS (SELECT doc_id, ctext FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+           |t AS (SELECT doc_id, string_split(ctext, ' ') AS ws FROM surv),
+           |st AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 1, 0) + 1, 48)) AS st FROM t)
+           |SELECT doc_id, CAST(st / 48 AS INTEGER) AS chunk_idx,
+           |array_to_string(ws[st + 1 : st + 64], ' ') AS chunk_text
+           |FROM st""".stripMargin
+      }
+    )),
+
     // ===== LLM-data-pipeline: dedup =====
 
     "q_dedup_exact" -> ((
