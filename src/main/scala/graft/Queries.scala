@@ -779,6 +779,36 @@ object Queries {
       }
     )),
 
+    "q_dedup_clusters" -> ((
+      // connected components over the jaccard>=0.8 near-dup graph:
+      // every member labeled with its component's minimum doc id
+      (s: SparkSession, dir: String) => {
+        val pairs = Dedup.jaccardPairs(Tables.documents(s, dir),
+          "doc_id", "text", threshold = 0.8).select("id_a", "id_b")
+        Dedup.duplicateClusters(pairs)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+             |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+             |  ELSE [] END sh FROM w),
+             |ex AS (SELECT doc_id, unnest(sh) sg FROM g),
+             |sz AS (SELECT doc_id, len(sh) n FROM g),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+             |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b FROM p
+             |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
+             |e AS (SELECT id_a a, id_b b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+             |r AS (
+             |  WITH RECURSIVE reach(x, y) AS (
+             |    SELECT a, b FROM e
+             |    UNION
+             |    SELECT reach.x, e.b FROM reach JOIN e ON reach.y = e.a
+             |  ) SELECT * FROM reach
+             |)
+             |SELECT x AS doc_id, least(x, min(y)) AS canonical_id FROM r GROUP BY x""".stripMargin)
+    )),
+
     "q_dedup_embedding" -> ((
       (s: SparkSession, dir: String) =>
         Similarity.cosinePairsBlocked(Tables.embeddings(s, dir),

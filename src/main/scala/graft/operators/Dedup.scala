@@ -132,6 +132,44 @@ object Dedup {
       broadcastSets)
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair graph, assigning every member the MINIMUM doc id of its
+    * component as the canonical representative (the id a curation
+    * pipeline keeps).
+    *
+    * Min-label propagation (Pregel-lite): each iteration every node
+    * adopts the smallest label among itself and its neighbors; the
+    * driver loops until no label changes (≤ graph diameter iterations
+    * — near-dup clusters are shallow). Each step is one equi-join + one
+    * min-aggregate, all distributed; per-iteration state is cached and
+    * the previous generation unpersisted, so memory is O(nodes).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .unionByName(neighborLabels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   // --- MinHash + LSH ---
 
   /** Deterministic (a,b) parameters for the i-th hash permutation —

@@ -41,6 +41,14 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("duplicateClusters: transitive components get the min id as canonical") {
+    // graph: {1-2, 2-5} one component (canonical 1), {7-9} another
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simhash: identical docs collide, unrelated docs differ") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
