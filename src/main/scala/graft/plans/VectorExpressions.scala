@@ -389,3 +389,35 @@ object SketchExpressions {
       MinHashSignature(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingles), numHashes))
 }
+
+/** Typed user-facing aggregator (the `Aggregator[IN, BUF, OUT]` API
+  * surface, complementing the TypedImperativeAggregate used for
+  * TopKPairs): merges per-document MinHash signatures by elementwise
+  * minimum. Because min is associative/commutative, the aggregate of a
+  * partition of documents IS the MinHash signature of their shingle
+  * UNION — collection-level signatures that estimate Jaccard overlap
+  * between whole corpora (or incrementally fold new batches into a
+  * stored sketch) without ever touching the raw text again.
+  */
+class MinSigAggregator(numHashes: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+  override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+  override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes && i < sig.length) {
+      if (sig(i) < buf(i)) buf(i) = sig(i)
+      i += 1
+    }
+    buf
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

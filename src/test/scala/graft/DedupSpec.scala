@@ -49,6 +49,25 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("MinSigAggregator: aggregate of docs == signature of their shingle union") {
+    import org.apache.spark.sql.functions.col
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 32)
+    // typed aggregation of per-doc signatures
+    val agg = new graft.plans.MinSigAggregator(32).toColumn
+    val merged = sigs.select(col("sig")).as[Seq[Long]]
+      .select(agg.name("s")).collect().head
+    // ground truth: signature of the UNION OF SHINGLE SETS (not of the
+    // concatenated text, which would add new boundary shingles)
+    val unionShingles = Dedup.shingleSets(docs, "doc_id", "text")
+      .select(org.apache.spark.sql.functions.explode(col("sh")).as("s"))
+      .distinct().collect().map(_.getString(0))
+    val unionSig = graft.plans.SketchExpressions.computeSignature(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        unionShingles.map(org.apache.spark.unsafe.types.UTF8String.fromString(_): Any)),
+      numHashes = 32).toLongArray().toSeq
+    assert(merged == unionSig)
+  }
+
   test("simhash: identical docs collide, unrelated docs differ") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
