@@ -140,6 +140,25 @@ object Queries {
       Some("SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS email FROM customer")
     )),
 
+    // The ingest path end-to-end under the hard gate: a zip'd UTF-16 TSV
+    // with broken quotes and dirty headers (written as a deterministic
+    // fixture at verify time) flows through dispatch → streaming unzip →
+    // charset decode → quotequote repair → header normalize → all-string
+    // parse; the oracle reads back the hand-pinned expected rows
+    // (reference semantics: bin/fetcher.bash:90-122, bin/quotequote:1-6).
+    "q_ingest_zip_repair" -> ((
+      (s: SparkSession, dir: String) => {
+        graft.sources.IngestFixture.ensure()
+        val (name, df) =
+          graft.sources.RawTable.load(s, graft.sources.IngestFixture.zipPath)
+        require(name == "vr_snapshot_20240601")
+        df.select(col("county_id"), col("last_name"), col("note"))
+      },
+      Some(s"""SELECT county_id, last_name, note
+              |FROM read_csv('${graft.sources.IngestFixture.expectedCsvPath}',
+              |  header=true, all_varchar=true)""".stripMargin)
+    )),
+
     // ===== analytics: aggregation / joins / windows / set ops =====
 
     "q1_pricing_summary" -> ((

@@ -22,24 +22,34 @@ import scala.util.matching.Regex
   * reference's all-TEXT semantics; typing happens downstream in
   * component projections.
   */
+/** @param quoted whether the parser performs CSV quote processing.
+  *   The reference imports tab-separated sources in sqlite `.mode tabs`,
+  *   which is QUOTE-BLIND (quotes are ordinary bytes) — only the
+  *   `.mode csv` path (Candidate_Listing) interprets quoting. Default
+  *   false, mirroring the reference's default tabs mode. */
 final case class SourceSpec(
     sep: String = "\t",
     encoding: String = "UTF-8",
     zipped: Boolean = false,
     repair: Boolean = false,
-    extraNullColumns: Seq[String] = Nil)
+    extraNullColumns: Seq[String] = Nil,
+    quoted: Boolean = false)
 
 object RawTable {
 
   /** The reference's dispatch table (`bin/fetcher.bash:98-118`),
     * expressed as ordered (pattern → spec); first match wins, default is
     * clean UTF-8 TSV. VR snapshots are UTF-16 except 2005-2007 vintages
-    * (`bin/fetcher.bash:105-110`). */
+    * — the reference tests the segment after the LAST underscore
+    * (`${base##*_}`, `bin/fetcher.bash:107-110`), so the vintage rule
+    * anchors on the final `_`-delimited token (`[^_]*\.zip$` forbids a
+    * later underscore), not on the prefix: `VR_Snapshot_NC_20060101.zip`
+    * is a 2006 vintage. */
   val referenceDispatch: Seq[(Regex, SourceSpec)] = Seq(
     "^Candidate_Listing_.*\\.csv$".r ->
       SourceSpec(sep = ",", encoding = "ISO-8859-1", repair = true,
-        extraNullColumns = Seq("email")),
-    "^VR_Snapshot_200[567].*\\.zip$".r ->
+        extraNullColumns = Seq("email"), quoted = true),
+    "^VR_Snapshot_(.*_)?200[567][^_]*\\.zip$".r ->
       SourceSpec(encoding = "ISO-8859-1", zipped = true, repair = true),
     "^VR_Snapshot_.*\\.zip$".r ->
       SourceSpec(encoding = "UTF-16", zipped = true, repair = true),
@@ -79,6 +89,8 @@ object RawTable {
       .option("sep", spec.sep)
       .option("inferSchema", "false")
       .option("mode", "PERMISSIVE")
+      // empty quote char = quote-blind parse (sqlite .mode tabs fidelity)
+      .option("quote", if (spec.quoted) "\"" else "")
       .csv(repaired)
     TextRepair.normalizeHeader(parsed)
   }
@@ -94,6 +106,7 @@ object RawTable {
       .option("sep", spec.sep)
       .option("encoding", spec.encoding)
       .option("mode", "PERMISSIVE")
+      .option("quote", if (spec.quoted) "\"" else "")
       .option("columnNameOfCorruptRecord", "_corrupt_line")
       .schema(schema.add("_corrupt_line", "string"))
       .csv(path)
@@ -107,6 +120,7 @@ object RawTable {
       .option("encoding", spec.encoding)
       .option("inferSchema", "false")
       .option("mode", "PERMISSIVE")
+      .option("quote", if (spec.quoted) "\"" else "")
       .csv(path)
     TextRepair.normalizeHeader(parsed)
   }

@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   * Scala UDFs, so they stay inside whole-stage codegen.
   *
   * Semantics (applied in sed order, U1 then U2 per SURVEY.md §2.4):
-  *  - U1 interior-quote escape: a stray closing quote inside a
-  *    space-prefixed quoted run is doubled (CSV escaping), repairing
-  *    unescaped inch-marks: ` "5' 10" tall"` → ` "5' 10"" tall"`.
+  *  - U1 interior-quote escape: the reference sed
+  *    `s/ \("[^",]*\)"/ "\1""/g` captures the OPENING quote inside the
+  *    group and then emits another one in the replacement, so both the
+  *    opening and the stray closing quote come out doubled:
+  *    ` "5' 10" tall"` → ` ""5' 10"" tall"`. Reproduced exactly
+  *    (verified against bin/quotequote output) — fidelity beats
+  *    cleanliness here because parsed field values depend on it.
   *  - U2 quote-between-capitals → apostrophe: `O"BRIEN` → `O'BRIEN`.
   *  - U3/U4 header: spaces → underscores, lowercase. The reference's
   *    `header_fix:2` lowercase has a typo'd group (`\(.*)\)`) that only
@@ -23,9 +27,11 @@ import org.apache.spark.sql.functions._
   * bytes → charset → lines → repair → parse ordering.
   */
 object TextRepair {
-  /** U1: double a stray interior closing quote. */
+  /** U1: double a stray interior closing quote — and, faithfully to the
+    * reference sed (whose group captures the opening quote and whose
+    * replacement re-adds one), the opening quote as well. */
   def escapeInteriorQuote(line: Column): Column =
-    regexp_replace(line, """ ("[^",]*)"""", " $1\"\"")
+    regexp_replace(line, """ ("[^",]*)"""", " \"$1\"\"")
 
   /** U2: quote between capitals is an apostrophe-typo; fix it. */
   def quoteBetweenCapitals(line: Column): Column =

@@ -27,7 +27,10 @@ class IngestSpec extends SparkSpec {
 
   test("dispatch picks encoding/sep/repair by filename pattern") {
     assert(RawTable.dispatch("VR_Snapshot_20240514.zip").encoding == "UTF-16")
-    assert(RawTable.dispatch("VR_Snapshot_2006_something.zip").encoding == "ISO-8859-1")
+    // vintage keys off the LAST underscore token (reference ${base##*_})
+    assert(RawTable.dispatch("VR_Snapshot_20060101.zip").encoding == "ISO-8859-1")
+    assert(RawTable.dispatch("VR_Snapshot_NC_20060101.zip").encoding == "ISO-8859-1")
+    assert(RawTable.dispatch("VR_Snapshot_2006_something.zip").encoding == "UTF-16")
     assert(RawTable.dispatch("Candidate_Listing_2024.csv").extraNullColumns == Seq("email"))
     assert(RawTable.dispatch("unknown.tsv") == graft.sources.SourceSpec())
   }

@@ -20,17 +20,19 @@ class RegexSimplificationSpec extends SparkSpec {
   private def optimized(pattern: String): String =
     stored.filter(col("k").rlike(pattern)).queryExecution.optimizedPlan.toString
 
-  test("anchored literal patterns rewrite to string predicates") {
-    assert(optimized("^abc$").contains("= abc"))
+  test("prefix-anchored and bare literal patterns rewrite to string predicates") {
     assert(optimized("^abc").contains("StartsWith"))
-    assert(optimized("abc$").contains("EndsWith"))
     assert(optimized("abc").contains("Contains"))
   }
 
-  test("patterns with metacharacters are untouched") {
+  test("patterns with metacharacters or $ anchors are untouched") {
     assert(optimized("^ab[cd]$").contains("RLIKE"))
     assert(optimized("a.c").contains("RLIKE"))
     assert(optimized("_Statewide\\.zip$").contains("RLIKE"))
+    // java.util.regex `$` also matches before a final line terminator,
+    // so EndsWith/EqualTo rewrites would change results on "p\n" values
+    assert(optimized("abc$").contains("RLIKE"))
+    assert(optimized("^abc$").contains("RLIKE"))
   }
 
   test("rewrite preserves RLIKE partial-match semantics") {
@@ -41,6 +43,14 @@ class RegexSimplificationSpec extends SparkSpec {
         .filter(s => p.r.findFirstIn(s).isDefined).sorted
       assert(simplified.toSeq == expected.toSeq, s"pattern $p")
     }
+  }
+
+  test("$-anchored values with trailing newline keep regex semantics") {
+    // "abc\n" must match 'abc$' (Java $ matches before the final \n);
+    // an EndsWith rewrite would drop it — pin that we do NOT rewrite
+    val vals = Seq("abc", "abc\n", "abcX").toDF("k")
+    val got = vals.filter(col("k").rlike("abc$")).collect().map(_.getString(0)).toSet
+    assert(got == Set("abc", "abc\n"))
   }
 
   test("rewritten predicate pushes to the parquet scan") {

@@ -11,8 +11,11 @@ class TextRepairSpec extends SparkSpec {
       .select(TextRepair.repairLine(col("value")).as("v"))
       .collect().head.getString(0)
 
-  test("U1: stray interior inch-mark quote is doubled") {
-    assert(repair("""name, "5' 10" tall",more""") == """name, "5' 10"" tall",more""")
+  test("U1: reference-sed fidelity — BOTH opening and stray quote doubled") {
+    // bin/quotequote: s/ \("[^",]*\)"/ "\1""/g — the group captures the
+    // opening quote and the replacement re-adds one, so the opening
+    // quote is doubled along with the stray interior quote
+    assert(repair("""name, "5' 10" tall",more""") == """name, ""5' 10"" tall",more""")
   }
 
   test("U2: quote between capitals becomes apostrophe") {
@@ -20,7 +23,7 @@ class TextRepairSpec extends SparkSpec {
   }
 
   test("U1+U2 combined on a dirty line") {
-    assert(repair("""x,O"NEAL, "6" exactly",y""") == """x,O'NEAL, "6"" exactly",y""")
+    assert(repair("""x,O"NEAL, "6" exactly",y""") == """x,O'NEAL, ""6"" exactly",y""")
   }
 
   test("clean lines pass through unchanged") {
