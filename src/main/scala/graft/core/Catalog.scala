@@ -88,4 +88,34 @@ object Catalog {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
     ensureDatabase(spark, db)
   }
+
+  /** JDBC sink — the reference's stated end goal is "prepping for
+    * postgres" (`README.md:1`); this is the hand-off. Each partition
+    * opens one connection and writes `batchSize`-row batches, so
+    * parallelism = partition count — repartition the frame to the
+    * number of concurrent connections the target DB tolerates.
+    * `overwrite = true` with `truncate` keeps the table's DDL (indexes,
+    * grants) and truncates instead of drop-and-recreate. */
+  def saveJdbc(df: DataFrame, url: String, table: String,
+               properties: java.util.Properties = new java.util.Properties,
+               overwrite: Boolean = false, truncate: Boolean = true,
+               batchSize: Int = 10000, numPartitions: Option[Int] = None): Unit = {
+    val sized = numPartitions.map(df.repartition(_)).getOrElse(df)
+    sized.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .option("truncate", truncate.toString)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, properties)
+  }
+
+  /** JDBC source, partition-parallel when a numeric split column is
+    * given (each partition issues a bounded-range query). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               properties: java.util.Properties = new java.util.Properties,
+               partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame =
+    partitionColumn match {
+      case Some((col, lo, hi, n)) =>
+        spark.read.jdbc(url, table, col, lo, hi, n, properties)
+      case None => spark.read.jdbc(url, table, properties)
+    }
 }

@@ -24,11 +24,19 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader refuses; read it as raw nanos (legacy conf) and convert to a
-    * microsecond timestamp in the plan. Loses sub-microsecond precision
-    * only, which no query semantics here depend on. */
+    * reader refuses; read it as raw nanos and convert to a microsecond
+    * timestamp in the plan (loses sub-microsecond precision only, which
+    * no query semantics here depend on). The required
+    * `spark.sql.legacy.parquet.nanosAsLong` conf is STATIC (plan-time):
+    * it must be set at session build ([[Session.local]] does; so do the
+    * Verify/Bench/test builders) — a loader mutating session conf as a
+    * side effect would leak into unrelated queries, so this one doesn't,
+    * and instead fails fast with a pointer when the conf is missing. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true set at " +
+        "session build (see graft.core.Session.local)")
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample run as batched partition-level
   * transforms.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives deterministic pseudo-metadata and
-  * pseudo-features from the bytes, so the Spark-side plumbing — schema,
-  * batch shape, partitioning, join-back — is real and tested, and a real
-  * decoder (JNI/ONNX/javacv) drops into [[MediaBatch.decode]] without
-  * touching the plan structure.
+  * IMAGE decode is REAL: javax.imageio reads true width/height for
+  * PNG/JPEG/GIF/BMP/TIFF from the codec header (no pixel decode, no
+  * external dependencies). Audio/video metadata and the feature
+  * extractor remain explicit STUBS (the JDK has no such codecs):
+  * deterministic pseudo-values keep the Spark-side plumbing — schema,
+  * batch shape, partitioning, join-back — real and tested, and a real
+  * decoder (JNI/ONNX/javacv) drops into [[MediaBatch.decodeStub]]
+  * without touching the plan structure.
   *
   * Scale posture:
   *  - media bytes never go through a shuffle wider than necessary: the
@@ -43,12 +45,52 @@ object Multimodal {
         col("length").as("n_bytes"),
         col("content"))
 
-  /** ======== STUB: deterministic fake decode ======== *
-    * A real implementation decodes the codec headers; this derives
-    * stable pseudo-dimensions from a content hash so tests are
-    * deterministic and the schema contract is exercised. */
+  /** Image formats the JDK decodes natively (javax.imageio) — real
+    * dimensions with zero external dependencies. */
+  private val ImageKinds = Set("png", "jpg", "jpeg", "gif", "bmp", "wbmp", "tif", "tiff")
+
+  /** Batch decode kernel: REAL header decode for JDK-supported image
+    * formats; deterministic stub only where the JDK has no codec
+    * (audio/video) or the bytes are corrupt. */
   object MediaBatch {
+
+    /** Read (width, height) from the image header via ImageIO readers —
+      * header-only, no full pixel decode, so cost is O(header) not
+      * O(pixels); None when no installed reader recognizes the bytes. */
+    def imageDimensions(content: Array[Byte]): Option[(Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers.hasNext) {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } catch {
+            case _: Exception => None
+          } finally r.dispose()
+        } else None
+      } finally iis.close()
+    }
+
     def decode(blob: MediaBlob): MediaMeta = {
+      val kind = blob.kind.toLowerCase
+      val real =
+        if (ImageKinds(kind)) imageDimensions(blob.content) else None
+      real match {
+        case Some((w, h)) =>
+          MediaMeta(blob.media_id, blob.kind, blob.content.length.toLong,
+            width = w, height = h, n_frames = 1)
+        case None => decodeStub(blob)
+      }
+    }
+
+    /** ======== STUB: deterministic fake decode (audio/video only) ====
+      * The JDK ships no mp4/audio codec; stable pseudo-dimensions from a
+      * content hash keep tests deterministic and the schema contract
+      * exercised until a real decoder (JNI/ONNX/javacv) drops in. */
+    def decodeStub(blob: MediaBlob): MediaMeta = {
       val h = java.util.Arrays.hashCode(blob.content).toLong & 0x7FFFFFFFL
       MediaMeta(blob.media_id, blob.kind, blob.content.length.toLong,
         width = (h % 1920).toInt + 16,

@@ -69,7 +69,18 @@ object EventStreams {
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState): a session closes when the next event for
     * the user arrives more than `gapMs` after the previous one; closed
-    * sessions are emitted in Append mode. State per user is O(1). */
+    * sessions are emitted in Append mode. State per user is O(1).
+    *
+    * MEMORY BOUND: one user's events are buffered and sorted PER
+    * MICRO-BATCH (events within a batch arrive unordered, so gap
+    * detection needs them in time order). Memory is therefore
+    * O(max events per user per micro-batch) — bounded by trigger
+    * interval × per-user rate, NOT by stream length; cap it by
+    * shortening the trigger interval or rate-limiting the source
+    * (maxFilesPerTrigger / maxOffsetsPerTrigger). Cross-batch state
+    * remains O(1) per user. Out-of-order arrivals WITHIN a batch are
+    * handled by the sort; arrivals straddling batches re-open/extend
+    * sessions via the carried state (see StreamingSpec). */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events

@@ -18,6 +18,29 @@ class MultimodalSpec extends SparkSpec {
     assert(kinds.toSeq == Seq("mp4", "png"))
   }
 
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: exact PNG dimensions via ImageIO header read") {
+    val blobs = Seq(
+      MediaBlob(1L, "png", pngBytes(123, 45)),
+      MediaBlob(2L, "PNG", pngBytes(320, 200))).toDS() // kind is case-blind
+    val meta = Multimodal.decodeMeta(blobs).collect().sortBy(_.media_id)
+    assert(meta(0).width == 123 && meta(0).height == 45 && meta(0).n_frames == 1)
+    assert(meta(1).width == 320 && meta(1).height == 200)
+  }
+
+  test("corrupt image bytes fall back to the deterministic stub") {
+    val junk = Array[Byte](1, 2, 3, 4) // not a PNG
+    val meta = Multimodal.decodeMeta(Seq(MediaBlob(9L, "png", junk)).toDS()).collect().head
+    assert(meta == Multimodal.MediaBatch.decodeStub(MediaBlob(9L, "png", junk)))
+  }
+
   test("stubbed decode is deterministic and batch-shaped") {
     val blobs = Seq(
       MediaBlob(1L, "png", Array[Byte](1, 2, 3)),

@@ -111,6 +111,25 @@ class PipelineSpec extends SparkSpec {
     assert(persisted.map(_.getString(0)).toSeq == Seq("SMITH"))
   }
 
+  test("JDBC sink round-trips a component table (postgres hand-off shape)") {
+    // embedded Derby stands in for postgres: same df.write.jdbc path,
+    // batch inserts, truncate-on-overwrite semantics
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val df = Seq((1L, "SMITH"), (2L, "O'BRIEN"), (3L, "MÜLLER"))
+      .toDF("person_id", "last_name")
+    graft.core.Catalog.saveJdbc(df, url, "c_person", overwrite = true,
+      batchSize = 2, numPartitions = Some(2))
+    val back = graft.core.Catalog.readJdbc(spark, url, "c_person")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((1L, "SMITH"), (2L, "O'BRIEN"), (3L, "MÜLLER")))
+    // append mode accumulates; truncate-overwrite replaces content
+    graft.core.Catalog.saveJdbc(df.limit(1), url, "c_person")
+    assert(graft.core.Catalog.readJdbc(spark, url, "c_person").count() == 4)
+    graft.core.Catalog.saveJdbc(df, url, "c_person", overwrite = true)
+    assert(graft.core.Catalog.readJdbc(spark, url, "c_person").count() == 3)
+  }
+
   test("stage skip flags gate load and compress") {
     val bucket = Files.createTempDirectory("graft_bucket2")
     writeZip(bucket, "VR_Snapshot_20240101.zip",

@@ -12,6 +12,7 @@ object TestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // fresh warehouse per JVM: the in-memory catalog forgets tables on
       // exit but their files would survive and break saveAsTable reruns

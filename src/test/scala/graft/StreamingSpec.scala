@@ -65,6 +65,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSet == Set((1L, "gold"))) // user 9 has no dimension row
   }
 
+  test("sessionize handles out-of-order events within a micro-batch") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode(OutputMode.Append).start()
+    // arrival order 10:04, 10:01, 10:03 — one session 10:01..10:04 only
+    // if the per-batch sort restores time order before gap detection
+    input.addData(
+      Event(1, ts(4), 7, "click", 1.0),
+      Event(2, ts(1), 7, "click", 2.0),
+      Event(3, ts(3), 7, "click", 4.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts(45), 7, "click", 8.0)) // gap -> closes it
+    q.processAllAvailable()
+    val sessions = spark.table("sessions_ooo").as[EventStreams.Session].collect()
+    q.stop()
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.n_events == 3 && s.start == ts(1) && s.end == ts(4) && s.total_value == 7.0)
+  }
+
   test("sessionize closes sessions on gap and keeps open state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
