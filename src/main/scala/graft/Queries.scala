@@ -1063,6 +1063,79 @@ object Queries {
              |md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
              |FROM documents""".stripMargin)
     )),
+
+    // Benchmark decontamination: training docs (doc_id % 10 != 0) that
+    // share any word 5-gram with the pseudo-benchmark slice
+    // (doc_id % 10 = 0) — cross-corpus n-gram overlap with per-doc
+    // collision counts. The benchmark n-gram set is the small side;
+    // at scale it broadcasts and the corpus probe is map-side.
+    "q_decontaminate" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        operators.Decontaminate.contaminated(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 5)
+      },
+      Some {
+        val gram5 = (1 to 5).map(k => s"ws[i+$k]").mkString(" || '_' || ")
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+           |g AS (SELECT doc_id, CASE WHEN len(ws) >= 5
+           |  THEN list_distinct([$gram5 for i in range(len(ws)-4)])
+           |  ELSE [] END sh FROM w),
+           |tr AS (SELECT doc_id, unnest(sh) gram FROM g WHERE doc_id % 10 != 0),
+           |te AS (SELECT doc_id AS test_id, unnest(sh) gram FROM g WHERE doc_id % 10 = 0)
+           |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_hit_grams,
+           |  count(DISTINCT te.test_id) AS n_test_docs
+           |FROM tr JOIN te USING (gram) GROUP BY 1""".stripMargin
+      }
+    )),
+
+    // Gopher/C4-style repetition gates, computed MAP-SIDE per doc (the
+    // top-bigram count is a run-length fold over the sorted bigram
+    // array — no (doc, ngram) shuffle).
+    "q_repetition" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.repetitionStats(col("text"), n = 2).as("r"))
+          .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+            col("r.rep_token_frac").as("rep_token_frac"),
+            col("r.n_ngrams").as("n_ngrams"),
+            col("r.top_ngram_count").as("top_ngram_count"),
+            col("r.top_ngram_frac").as("top_ngram_frac")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |b AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 2
+             |  THEN [ws[i+1] || '_' || ws[i+2] for i in range(len(ws)-1)]
+             |  ELSE [] END gs FROM w),
+             |e AS (SELECT doc_id, unnest(gs) g FROM b),
+             |cnt AS (SELECT doc_id, g, count(*) c FROM e GROUP BY 1, 2),
+             |top AS (SELECT doc_id, max(c) top_cnt FROM cnt GROUP BY 1)
+             |SELECT b.doc_id,
+             |  CAST(len(ws) AS BIGINT) AS n_tokens,
+             |  CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS rep_token_frac,
+             |  CAST(len(gs) AS BIGINT) AS n_ngrams,
+             |  coalesce(top_cnt, 0) AS top_ngram_count,
+             |  CASE WHEN len(gs) > 0
+             |    THEN CAST(coalesce(top_cnt, 0) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+             |    ELSE 0.0 END AS top_ngram_frac
+             |FROM b LEFT JOIN top USING (doc_id)""".stripMargin)
+    )),
+
+    // Deterministic stratified sample: exactly min(20, |stratum|) docs
+    // per source, selected by md5 order — class-balanced, stable across
+    // engines/partitionings (md5 IS the permutation).
+    "q_stratified_sample" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Sampling.stratified(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          Seq("source"), col("doc_id"), perStratum = 20),
+      Some("""WITH r AS (SELECT doc_id, source,
+             |  row_number() OVER (PARTITION BY source
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) rn
+             |  FROM documents)
+             |SELECT doc_id, source FROM r WHERE rn <= 20""".stripMargin)
+    )),
   )
 
   val queries: Map[String, QueryFn] = all.map { case (n, (f, _)) => n -> f }.toMap

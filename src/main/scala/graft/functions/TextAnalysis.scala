@@ -103,6 +103,54 @@ object TextAnalysis {
         least(size(toks) - start, lit(chunkSize)).cast("int").as("n_tokens")))
   }
 
+  /** NON-distinct n-gram occurrence list (order preserved) — the
+    * counting companion to the dedup family's distinct shingles. */
+  def ngramOccurrences(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws("_", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Repetition statistics (the Gopher/C4-style quality gates):
+    * `rep_token_frac` = fraction of token occurrences that are repeats
+    * of an earlier token; `top_ngram_frac` = share of all n-gram
+    * occurrences taken by the single most frequent n-gram. High values
+    * mean boilerplate/spam.
+    *
+    * Fully MAP-SIDE: the top-n-gram count is a run-length fold over the
+    * doc's SORTED n-gram array (equal grams are adjacent after sort, so
+    * the longest run IS the max multiplicity) — no (doc, ngram) shuffle,
+    * the classic explode+groupBy formulation's cost at 100 TB.
+    * Fractions are single integer/integer divisions, bit-reproducible
+    * across engines. */
+  def repetitionStats(text: Column, n: Int = 2): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val gramsSorted = sort_array(ngramOccurrences(text, n))
+    val nGrams = size(gramsSorted).cast("long")
+    // fold state: (previous gram, current run length, best run length)
+    val top = aggregate(
+      gramsSorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, g) => {
+        val run = when(g === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    struct(
+      nTok.as("n_tokens"),
+      ((nTok - nDistinct).cast("double") / nTok.cast("double")).as("rep_token_frac"),
+      nGrams.as("n_ngrams"),
+      top.as("top_ngram_count"),
+      when(nGrams > 0, top.cast("double") / nGrams.cast("double"))
+        .otherwise(lit(0.0)).as("top_ngram_frac"))
+  }
+
   /** Rolling polynomial hash over characters (mod 2^61-1), a
     * shingling-friendly fingerprint; implemented as a fold over the
     * char array — still codegen'd builtins. */

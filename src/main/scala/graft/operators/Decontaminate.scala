@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find training documents that share word
+  * n-grams with a held-out evaluation set — the standard guard against
+  * test-set leakage in LLM training corpora (the reference has no
+  * analog; this extends its dedup story to CROSS-corpus overlap).
+  *
+  * Scale design (100 TB train / MB-scale benchmark):
+  *  - the benchmark side is exploded to its DISTINCT n-grams — a tiny
+  *    relation (|benchmark| × ngrams/doc) that Catalyst/AQE broadcasts,
+  *    so the train side is a map-side semi-join probe inside the scan
+  *    stage: the 100 TB corpus is read once and never shuffled;
+  *  - n-gram extraction is the same single-pass native expression the
+  *    dedup family uses ([[graft.plans.TextExpressions.WordNgrams]]);
+  *  - output is per-train-doc collision counts, so downstream policy
+  *    (drop / flag / re-bucket) stays a cheap filter.
+  */
+object Decontaminate {
+
+  /** (id, gram) distinct n-grams per document. */
+  private def grams(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol).as("id"),
+        explode(Dedup.shingles(col(textCol), n)).as("gram"))
+
+  /** Per-train-doc contamination report: which training docs contain
+    * any of the benchmark's n-grams, with collision counts.
+    * Output: (doc_id, n_hit_grams, n_test_docs) — n_hit_grams counts
+    * the train doc's distinct n-grams seen anywhere in the benchmark,
+    * n_test_docs counts distinct benchmark docs sharing at least one. */
+  def contaminated(train: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val trainGrams = grams(train, idCol, textCol, n)
+    val testGrams = grams(benchmark, idCol, textCol, n)
+      .select(col("gram"), col("id").as("test_id"))
+    trainGrams.join(testGrams, "gram")
+      .groupBy(col("id").as("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hit_grams"),
+        countDistinct(col("test_id")).as("n_test_docs"))
+  }
+
+  /** Decontaminated corpus: training docs whose contamination stays
+    * under `maxHitGrams` (0 = drop on any overlap). Anti-join — the
+    * corpus never shuffles when the contaminated set is small. */
+  def clean(train: DataFrame, benchmark: DataFrame, idCol: String,
+            textCol: String, n: Int = 8, maxHitGrams: Long = 0): DataFrame = {
+    val bad = contaminated(train, benchmark, idCol, textCol, n)
+      .filter(col("n_hit_grams") > maxHitGrams)
+      .select(col("doc_id").as(idCol))
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+}

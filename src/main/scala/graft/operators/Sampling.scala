@@ -33,4 +33,24 @@ object Sampling {
     val cut = (testFraction * 10000).toLong
     (df.filter(hashBucket(key) >= cut), df.filter(hashBucket(key) < cut))
   }
+
+  /** Deterministic stratified sampling: exactly min(perStratum, |stratum|)
+    * rows from every stratum, chosen by md5 order of the key — a
+    * class-balanced subset that is stable across runs, partitionings
+    * and engines (the md5 order is the "random" permutation).
+    *
+    * One shuffle on the strata columns; within each stratum the
+    * window's rank is computed after a partition-local sort. For very
+    * hot strata at 100 TB, pre-filter with [[hashSample]] at a fraction
+    * safely above perStratum/|stratum| to bound the sorted volume, then
+    * stratify exactly. Ties (md5 collisions) break on the key itself. */
+  def stratified(df: DataFrame, strataCols: Seq[String], key: Column,
+                 perStratum: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(key.cast("string")), key.cast("string"))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.{Decontaminate, Sampling}
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def train = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),   // contains benchmark 3-gram
+    (2L, "one two three four five six"),           // clean
+    (3L, "beta gamma delta something else entirely") // shares the same 3-gram
+  ).toDF("doc_id", "text")
+
+  private def bench = Seq(
+    (100L, "xxx beta gamma delta yyy")
+  ).toDF("doc_id", "text")
+
+  test("contaminated: per-doc collision counts against the benchmark") {
+    val out = Decontaminate.contaminated(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 3L)) // doc 2 is clean
+    assert(out(1L) == (1L, 1L)) // one shared gram ("beta_gamma_delta"), one test doc
+    assert(out(3L) == (1L, 1L))
+  }
+
+  test("clean: anti-joins contaminated docs out, zero-tolerance default") {
+    val kept = Decontaminate.clean(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("stratified sampling: exact per-stratum counts, deterministic") {
+    val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val s1 = Sampling.stratified(df, Seq("grp"), col("id"), perStratum = 5)
+    val s2 = Sampling.stratified(df, Seq("grp"), col("id"), perStratum = 5)
+    val byGrp = s1.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("a" -> 5L, "b" -> 5L))
+    // deterministic: same rows every run
+    assert(s1.collect().map(_.toString).sorted.toSeq ==
+      s2.collect().map(_.toString).sorted.toSeq)
+    // small stratum: returns all of it, not an error
+    val tiny = Sampling.stratified(df.filter(col("id") <= 2), Seq("grp"),
+      col("id"), perStratum = 5)
+    assert(tiny.count() == 2)
+  }
+}

@@ -41,6 +41,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("repetitionStats: run-length fold finds the top n-gram multiplicity") {
+    // "a b a b a b c": bigrams a_b(x3), b_a(x2), b_c(x1) -> top=3 of 6
+    val r = Seq("a b a b a b c").toDF("text")
+      .select(TextAnalysis.repetitionStats(col("text"), 2).as("r"))
+      .select("r.*").collect().head
+    assert(r.getAs[Long]("n_tokens") == 7L)
+    assert(r.getAs[Long]("n_ngrams") == 6L)
+    assert(r.getAs[Long]("top_ngram_count") == 3L)
+    assert(r.getAs[Double]("top_ngram_frac") == 3.0 / 6.0)
+    // 7 tokens, 3 distinct -> 4/7 repeats
+    assert(r.getAs[Double]("rep_token_frac") == 4.0 / 7.0)
+  }
+
+  test("repetitionStats: degenerate short docs do not divide by zero") {
+    val r = Seq("solo").toDF("text")
+      .select(TextAnalysis.repetitionStats(col("text"), 2).as("r"))
+      .select("r.*").collect().head
+    assert(r.getAs[Long]("n_ngrams") == 0L)
+    assert(r.getAs[Long]("top_ngram_count") == 0L)
+    assert(r.getAs[Double]("top_ngram_frac") == 0.0)
+    assert(r.getAs[Double]("rep_token_frac") == 0.0)
+  }
+
   test("subwordCount counts ceil(len/4) units per word") {
     // "distributed" (11 chars -> 3) + "db" (2 -> 1)
     assert(one("distributed db", TextAnalysis.subwordCount(col("text"))) == 4L)
