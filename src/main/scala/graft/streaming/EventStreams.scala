@@ -66,6 +66,61 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  final case class DocBand(doc_id: Long, band: Int, bh: Long)
+  final case class DupCandidate(doc_id: Long, prior_doc_id: Long, band: Int)
+
+  /** Streaming MinHash-LSH candidate generation: documents arrive as a
+    * stream, signatures are computed MAP-SIDE (same native expression as
+    * the batch path, so stream and batch agree bit-for-bit), and keyed
+    * state per (band, bandHash) bucket remembers up to `maxPerBucket`
+    * prior doc ids — each arriving doc emits a candidate pair against
+    * every remembered doc in any shared bucket. Exact Jaccard
+    * verification stays a downstream batch job over the candidate log
+    * (the standard lambda split: cheap approximate recall online, exact
+    * precision offline).
+    *
+    * State is O(buckets × maxPerBucket) ids — fixed-width longs, not
+    * documents; `maxPerBucket` caps mega-cluster state exactly like the
+    * batch `maxBucketSize` guard (first-M semantics: later members of a
+    * saturated bucket still PAIR against the remembered M, they are just
+    * not remembered themselves). */
+  def lshCandidateStream(docs: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 128, bands: Int = 32, n: Int = 3,
+                         maxPerBucket: Int = 64): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    val rowsPerBand = numHashes / bands
+    val sigs = docs
+      .select(col(idCol).as("doc_id"),
+        graft.operators.Dedup.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0) // too-short docs have no signature
+      .select(col("doc_id"),
+        graft.plans.SketchExpressions.minhash_signature(col("sh"), numHashes).as("sig"))
+    val banded = sigs.select(col("doc_id"), explode(array(
+      (0 until bands).map { b =>
+        val cols = (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1))
+        struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      }: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+      .as[DocBand]
+    banded
+      .groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState[Array[Long], DupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), batch: Iterator[DocBand], state: GroupState[Array[Long]]) =>
+          var seen = state.getOption.getOrElse(Array.empty[Long])
+          val out = Seq.newBuilder[DupCandidate]
+          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!seen.contains(d.doc_id)) {
+              seen.foreach(p => out += DupCandidate(d.doc_id, p, key._1))
+              if (seen.length < maxPerBucket) seen = seen :+ d.doc_id
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState): a session closes when the next event for
     * the user arrives more than `gapMs` after the previous one; closed

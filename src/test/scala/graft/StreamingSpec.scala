@@ -65,6 +65,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSet == Set((1L, "gold"))) // user 9 has no dimension row
   }
 
+  test("streaming LSH candidates match the batch candidate generator") {
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (3L, "completely different text with no overlap whatsoever at all today"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again ok")) // near-dup
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.lshCandidateStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("lsh_cands")
+      .outputMode(OutputMode.Append).start()
+    input.addData(docs.take(2): _*) // batch 1: 1, 2
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*) // batch 2: 3, 4 — pairs vs REMEMBERED state
+    q.processAllAvailable()
+    val streamPairs = spark.table("lsh_cands")
+      .select("doc_id", "prior_doc_id").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    q.stop()
+    // batch-path truth on the same corpus
+    import spark.implicits._
+    val batchPairs = graft.operators.Dedup.lshCandidates(
+      graft.operators.Dedup.minhashSignatures(
+        docs.toDF("doc_id", "text"), "doc_id", "text"), bands = 32, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs == batchPairs)
+    assert(streamPairs.contains((1L, 2L)) && !streamPairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("sessionize handles out-of-order events within a micro-batch") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
