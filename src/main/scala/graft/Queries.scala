@@ -1122,6 +1122,54 @@ object Queries {
              |FROM b LEFT JOIN top USING (doc_id)""".stripMargin)
     )),
 
+    // Sequence packing: contiguous-fill token-budget bins, sharded by an
+    // md5 key so packing parallelizes (one running sum per shard, not
+    // one global serialized window). Output is per-bin fill stats.
+    "q_pack" -> ((
+      (s: SparkSession, dir: String) => {
+        val withTokens = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        operators.Packing.binStats(
+          operators.Packing.packBins(withTokens, "doc_id", "n_tok",
+            budget = 512, shards = 8), "n_tok")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) n_tok,
+             |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard
+             |  FROM documents),
+             |c AS (SELECT doc_id, shard, n_tok,
+             |  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |    ROWS UNBOUNDED PRECEDING) cum FROM t)
+             |SELECT shard, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS bin_idx,
+             |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // int8-quantized ANN: scales cancel in cosine, so ranking is exact
+    // integer arithmetic — deterministic, hence fully oracle-checked
+    // (the rare ANN variant where the compressed path has a SQL oracle).
+    "q_ann_int8" -> ((
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+      },
+      Some("""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+             |z AS (SELECT vec_id, emb,
+             |  CASE WHEN list_max([abs(x) for x in emb]) > 0
+             |    THEN list_max([abs(x) for x in emb]) / 127.0 ELSE 1.0 END scale FROM p),
+             |q8 AS (SELECT vec_id, [floor(x / scale + 0.5) for x in emb] q FROM z),
+             |n AS (SELECT vec_id, q, list_sum([x*x for x in q]) qn2 FROM q8),
+             |s AS (SELECT qq.vec_id query_id, c.vec_id neighbor_id,
+             |  list_sum([c.q[i+1]*qq.q[i+1] for i in range(len(c.q))]) / sqrt(c.qn2 * qq.qn2) score
+             |  FROM n qq JOIN n c ON c.vec_id != qq.vec_id WHERE qq.vec_id < 8),
+             |r AS (SELECT query_id, neighbor_id, score,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) rn FROM s)
+             |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+             |FROM r WHERE rn <= 5""".stripMargin)
+    )),
+
     // Deterministic stratified sample: exactly min(20, |stratum|) docs
     // per source, selected by md5 order — class-balanced, stable across
     // engines/partitionings (md5 IS the permutation).

@@ -162,6 +162,28 @@ object Similarity {
     topKOutput(scored, k)
   }
 
+  /** Quantized brute-force top-k: corpus and queries are int8-quantized
+    * ([[graft.functions.Quantize]]) and ranked by quantized cosine —
+    * the scales cancel, so scoring is integer dot products through the
+    * same fused kernel. 4× less memory/shuffle than float32 scanning;
+    * rank agreement with exact cosine is the quality trade (pinned in
+    * SimilaritySpec). Deterministic and SQL-reproducible, so it is
+    * oracle-checked end-to-end. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, embCol: String, k: Int): DataFrame = {
+    import graft.functions.Quantize
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("id"), Quantize.int8(col(embCol)).as("qz"))
+      .select(col("id"), col("qz.q").as("q"))
+      .withColumn("qn2", dot(col("q"), col("q")))
+    val c = prep(corpus)
+    val q = prep(queries).toDF("query_id", "qq", "q_qn2")
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("score",
+        dot(col("q"), col("qq")) / sqrt(col("qn2") * col("q_qn2")))
+    topKOutput(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed integer mix mapped into [-1, 1]. Reproducible across
     * sessions with zero stored model state — which also makes the whole

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contiguous-fill packing: offsets and bins follow the running sum") {
+    // single shard -> strictly sequential semantics are easy to pin
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 50L))
+      .toDF("doc_id", "n_tok")
+    val packed = Packing.packBins(df, "doc_id", "n_tok", budget = 512, shards = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_offset"),
+        r.getAs[Long]("bin_idx")))
+    // offsets 0, 300, 600, 900 -> bins 0, 0, 1, 1
+    assert(packed.toSeq == Seq((1L, 0L, 0L), (2L, 300L, 0L), (3L, 600L, 1L), (4L, 900L, 1L)))
+  }
+
+  test("sharded packing: every doc assigned once, per-shard fill ≈ budget") {
+    val df = (1L to 200L).map(i => (i, 64L)).toDF("doc_id", "n_tok")
+    val packed = Packing.packBins(df, "doc_id", "n_tok", budget = 256, shards = 4)
+    assert(packed.count() == 200)
+    assert(packed.select("shard").distinct().count() == 4)
+    val stats = Packing.binStats(packed, "n_tok")
+    // every bin except possibly each shard's last holds exactly
+    // budget/64 = 4 docs (uniform doc size -> perfect fill)
+    val counts = stats.collect().map(r => (r.getAs[Long]("shard"),
+      r.getAs[Long]("bin_idx"), r.getAs[Long]("n_docs")))
+    val lastBin = counts.groupBy(_._1).map { case (s, bs) => s -> bs.map(_._2).max }
+    counts.foreach { case (s, b, n) =>
+      if (b < lastBin(s)) assert(n == 4L, s"shard $s bin $b had $n docs")
+    }
+    // deterministic across runs
+    val again = Packing.packBins(df, "doc_id", "n_tok", budget = 256, shards = 4)
+    assert(packed.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+  }
+}

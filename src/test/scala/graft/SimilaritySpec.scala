@@ -65,6 +65,28 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("quantizedTopK: int8 ranking agrees with exact cosine on the fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    val quant = pairs(Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 5))
+    val agree = (exact intersect quant).size.toDouble / exact.size
+    assert(agree >= 0.8, s"int8 rank agreement dropped to $agree")
+  }
+
+  test("int8 quantization bounds reconstruction error by scale/2") {
+    import graft.functions.Quantize
+    val df = vecs.select(col("vec_id"),
+      Quantize.int8(col("embedding")).as("z"), col("embedding"))
+    val errs = df.select(
+      Quantize.maxError(col("embedding"), col("z.q"), col("z.scale")).as("e"),
+      (col("z.scale") / 2.0).as("bound")).collect()
+    errs.foreach(r => assert(r.getDouble(0) <= r.getDouble(1) + 1e-12))
+  }
+
   test("blocked pairs only form within a block") {
     val out = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding", "label",
       threshold = -2.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
