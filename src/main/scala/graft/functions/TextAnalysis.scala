@@ -119,29 +119,19 @@ object TextAnalysis {
     * occurrences taken by the single most frequent n-gram. High values
     * mean boilerplate/spam.
     *
-    * Fully MAP-SIDE: the top-n-gram count is a run-length fold over the
-    * doc's SORTED n-gram array (equal grams are adjacent after sort, so
-    * the longest run IS the max multiplicity) — no (doc, ngram) shuffle,
-    * the classic explode+groupBy formulation's cost at 100 TB.
+    * Fully MAP-SIDE and codegen'd: the counts come from one native
+    * hash-count pass over the text
+    * ([[graft.plans.TextExpressions.NgramStats]]) — no (doc, ngram)
+    * shuffle (the classic explode+groupBy cost at 100 TB) and no
+    * interpreted higher-order-function fold (~0.8 ms/doc measured).
     * Fractions are single integer/integer divisions, bit-reproducible
     * across engines. */
   def repetitionStats(text: Column, n: Int = 2): Column = {
-    val toks = tokens(text)
-    val nTok = size(toks).cast("long")
-    val nDistinct = size(array_distinct(toks)).cast("long")
-    val gramsSorted = sort_array(ngramOccurrences(text, n))
-    val nGrams = size(gramsSorted).cast("long")
-    // fold state: (previous gram, current run length, best run length)
-    val top = aggregate(
-      gramsSorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (st, g) => {
-        val run = when(g === st.getField("prev"), st.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(g.as("prev"), run.as("run"),
-          greatest(st.getField("best"), run).as("best"))
-      },
-      st => st.getField("best"))
+    val st = graft.plans.TextExpressions.ngram_stats(text, n)
+    val nTok = st.getField("n_tokens")
+    val nDistinct = st.getField("n_distinct")
+    val nGrams = st.getField("n_ngrams")
+    val top = st.getField("top_ngram_count")
     struct(
       nTok.as("n_tokens"),
       ((nTok - nDistinct).cast("double") / nTok.cast("double")).as("rep_token_frac"),

@@ -258,6 +258,63 @@ object TextExpressions {
     }
   }
 
+  /** Repetition-stat kernel: one pass over the text computing
+    * (n_tokens, n_distinct_tokens, n_ngrams, top_ngram_count) — the
+    * inputs of the Gopher/C4 repetition gates. The composable
+    * formulation (sort_array + `aggregate` with a struct accumulator)
+    * runs interpreted (HOFs have no codegen) and measured ~0.8 ms/doc;
+    * this is a hash-count pass in microseconds. Counts are exact
+    * integers, so oracle parity is unaffected. */
+  def computeNgramStats(v: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = v.toString.split(" ", -1)
+    val distinct = new java.util.HashSet[String](toks.length * 2)
+    var i = 0
+    while (i < toks.length) { distinct.add(toks(i)); i += 1 }
+    var nGrams = 0L
+    var top = 0L
+    if (toks.length >= n) {
+      nGrams = (toks.length - n + 1).toLong
+      val counts = new java.util.HashMap[String, Int](toks.length * 2)
+      i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(32)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append('_')
+          sb.append(toks(i + k)); k += 1
+        }
+        val key = sb.toString
+        val c = counts.merge(key, 1, Integer.sum)
+        if (c > top) top = c.toLong
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length.toLong, distinct.size.toLong, nGrams, top))
+  }
+
+  case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_distinct", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_ngrams", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("top_ngram_count", org.apache.spark.sql.types.LongType, nullable = false)))
+    override def prettyName: String = "ngram_stats"
+
+    override protected def nullSafeEval(v: Any): Any =
+      computeNgramStats(v.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.plans.TextExpressions$$.MODULE$$.computeNgramStats($input, $n);")
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def ngram_stats(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      NgramStats(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
+
   case class WordNgrams(child: Expression, n: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -41,7 +41,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a != c)
   }
 
-  test("repetitionStats: run-length fold finds the top n-gram multiplicity") {
+  test("repetitionStats: native hash-count pass finds the top n-gram multiplicity") {
     // "a b a b a b c": bigrams a_b(x3), b_a(x2), b_c(x1) -> top=3 of 6
     val r = Seq("a b a b a b c").toDF("text")
       .select(TextAnalysis.repetitionStats(col("text"), 2).as("r"))
