@@ -131,18 +131,61 @@ object Multimodal {
     }
   }
 
-  /** ======== STUB: resize ======== *
-    * A real implementation decodes, scales and re-encodes; the stub
-    * deterministically derives the target metadata and a content
-    * surrogate (hash of original bytes + target box) so the pipeline
-    * shape — binary in, binary out, metadata updated — is exercised.
-    * Aspect ratio is preserved with a fit-inside policy. */
+  /** Metadata-only resize (fit-inside, aspect preserved): the cheap
+    * planning variant when only target dimensions are needed — and the
+    * stub fallback for kinds the JDK cannot re-encode (audio/video). */
   def resizeStub(meta: Dataset[MediaMeta], maxW: Int, maxH: Int): Dataset[MediaMeta] = {
     import meta.sparkSession.implicits._
     meta.map { m =>
       val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
       m.copy(width = math.max(1, (m.width * scale).toInt),
         height = math.max(1, (m.height * scale).toInt))
+    }
+  }
+
+  /** REAL image resize: full decode → bilinear Graphics2D scale →
+    * PNG re-encode, fit-inside with aspect preserved, never upscales.
+    * JDK-only (javax.imageio + java.awt), batched map-side like the
+    * other media kernels. Non-image or undecodable blobs pass through
+    * UNCHANGED (resizing is a best-effort normalization step, not a
+    * filter — dropping media belongs to an explicit filter stage). */
+  def resizeImage(content: Array[Byte], maxW: Int, maxH: Int): Option[Array[Byte]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null) None
+    else {
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+      if (scale >= 1.0) Some(content) // already fits; keep original bytes
+      else {
+        val w = math.max(1, (img.getWidth * scale).toInt)
+        val h = math.max(1, (img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    }
+  }
+
+  /** Batched blob-level resize: images come back PNG-encoded inside the
+    * box; everything else passes through. */
+  def resizeBlobs(blobs: Dataset[MediaBlob], maxW: Int, maxH: Int,
+                  batchSize: Int = 64): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { b =>
+        if (ImageKinds(b.kind.toLowerCase))
+          resizeImage(b.content, maxW, maxH)
+            .map(bytes => if (bytes eq b.content) b else b.copy(kind = "png", content = bytes))
+            .getOrElse(b)
+        else b
+      })
     }
   }
 

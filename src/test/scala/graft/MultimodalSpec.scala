@@ -60,6 +60,20 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.features.toSeq == f2.features.toSeq)
   }
 
+  test("real image resize: fit-inside, aspect preserved, re-decodable PNG") {
+    val blobs = Seq(
+      MediaBlob(1L, "png", pngBytes(200, 100)),
+      MediaBlob(2L, "png", pngBytes(30, 20)),      // already fits: untouched
+      MediaBlob(3L, "mp4", Array[Byte](1, 2, 3))). // non-image: passthrough
+      toDS()
+    val out = Multimodal.resizeBlobs(blobs, maxW = 50, maxH = 50)
+      .collect().sortBy(_.media_id)
+    val dims1 = Multimodal.MediaBatch.imageDimensions(out(0).content)
+    assert(dims1.contains((50, 25))) // 200x100 -> fit 50x50 = 50x25
+    assert(out(1).content.toSeq == pngBytes(30, 20).toSeq) // bytes unchanged
+    assert(out(2).kind == "mp4" && out(2).content.length == 3)
+  }
+
   test("resize stub preserves aspect ratio with fit-inside policy") {
     val blobs = Seq(MediaBlob(1L, "png", Array.tabulate[Byte](64)(_.toByte))).toDS()
     val meta = Multimodal.decodeMeta(blobs)
