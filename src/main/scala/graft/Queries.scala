@@ -1170,6 +1170,81 @@ object Queries {
              |FROM r WHERE rn <= 5""".stripMargin)
     )),
 
+    // PII redaction end-to-end: deterministic synthetic PII is appended
+    // to each doc (so the patterns actually fire), then scrubbed; both
+    // engines build and redact the same bytes, so the output is
+    // hash-exact. Patterns live in TextAnalysis.piiPatterns (common
+    // java-regex/RE2 subset).
+    "q_pii_redact" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.redactPii(concat(
+              col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or 555-867-5309 at 10.0.0."),
+              pmod(col("doc_id"), lit(255L)))).as("clean")),
+      Some {
+        val replays = TextAnalysis.piiPatterns.foldLeft(
+          "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+            "'@example.com or 555-867-5309 at 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)") {
+          case (expr, (pat, rep)) =>
+            // DuckDB '...' literals keep backslashes verbatim — only
+            // quotes need doubling
+            val escaped = pat.replace("'", "''")
+            s"regexp_replace($expr, '$escaped', '$rep', 'g')"
+        }
+        s"SELECT doc_id, $replays AS clean FROM documents"
+      }
+    )),
+
+    // Collection-level sketches: ONE MinHash signature per SOURCE via
+    // the typed MinSigAggregator (min-merge of per-doc signatures ==
+    // signature of the source's shingle union), then pairwise Jaccard
+    // estimates between sources from component agreement. The estimator
+    // is deterministic (md5-derived hashes, fixed permutation
+    // constants), so even this sketch query has an exact SQL oracle.
+    "q_source_sketch_sim" -> ((
+      (s: SparkSession, dir: String) => {
+        val nh = 16
+        val docs = Tables.documents(s, dir)
+        val sigs = Dedup.shingleSets(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+          .select(col("source"),
+            graft.plans.SketchExpressions.minhash_signature(col("sh"), nh).as("sig"))
+        val minSig = udaf(new graft.plans.MinSigAggregator(nh),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+        val perSource = sigs.groupBy("source").agg(minSig(col("sig")).as("ssig"))
+        val a = perSource.toDF("source_a", "sig_a")
+        val b = perSource.toDF("source_b", "sig_b")
+        a.join(b, col("source_a") < col("source_b"))
+          .select(col("source_a"), col("source_b"),
+            (aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v).cast("double") / nh)
+              .as("est_jaccard"))
+      },
+      Some {
+        val p = 4294967311L
+        val mins = (0 until 16).map { i =>
+          val a = graft.plans.SketchExpressions.hashParamA(i)
+          val b = graft.plans.SketchExpressions.hashParamB(i)
+          s"min(($a * hv + $b) % $p) m$i"
+        }.mkString(", ")
+        val agree = (0 until 16).map(i =>
+          s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') ws FROM documents),
+           |g AS (SELECT source, CASE WHEN len(ws) >= 3
+           |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+           |  ELSE [] END sh FROM w),
+           |e AS (SELECT source, unnest(sh) s FROM g),
+           |h AS (SELECT source, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) hv FROM e),
+           |m AS (SELECT source, $mins FROM h GROUP BY source)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |  CAST($agree AS DOUBLE) / 16 AS est_jaccard
+           |FROM m a JOIN m b ON a.source < b.source""".stripMargin
+      }
+    )),
+
     // Deterministic stratified sample: exactly min(20, |stratum|) docs
     // per source, selected by md5 order — class-balanced, stable across
     // engines/partitionings (md5 IS the permutation).

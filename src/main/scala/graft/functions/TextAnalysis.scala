@@ -141,6 +141,25 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("top_ngram_frac"))
   }
 
+  /** PII redaction patterns, ordered (applied first to last). Written
+    * for the COMMON subset of java.util.regex and RE2 — character
+    * classes, bounded quantifiers, \b word boundaries; no
+    * backreferences or lookaround — so the DuckDB oracle replays them
+    * verbatim and redacted output is byte-identical across engines. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** Scrub emails/SSNs/phones/IPv4s — the minimum-viable PII pass every
+    * training corpus gets before release. Pure map-side codegen'd
+    * regexp_replace chain, zero shuffle. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
   /** Rolling polynomial hash over characters (mod 2^61-1), a
     * shingling-friendly fingerprint; implemented as a fold over the
     * char array — still codegen'd builtins. */

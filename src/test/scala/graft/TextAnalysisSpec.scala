@@ -64,6 +64,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("rep_token_frac") == 0.0)
   }
 
+  test("redactPii scrubs emails, SSNs, phones and IPv4s") {
+    val dirty = "mail a.user+x@sub.example.org ssn 123-45-6789 " +
+      "call 919-555-1234 or 919.555.1234 host 192.168.0.1 keep v1.2 and 2023"
+    val clean = one(dirty, TextAnalysis.redactPii(col("text")))
+    assert(clean == "mail <EMAIL> ssn <SSN> call <PHONE> or <PHONE> " +
+      "host <IP> keep v1.2 and 2023")
+  }
+
   test("subwordCount counts ceil(len/4) units per word") {
     // "distributed" (11 chars -> 3) + "db" (2 -> 1)
     assert(one("distributed db", TextAnalysis.subwordCount(col("text"))) == 4L)
