@@ -40,6 +40,15 @@ object Tables {
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
+  /** Note on fixture shape: documents/embeddings are ONE parquet file
+    * with ONE row group, so their scans yield a single partition and the
+    * first map stage of each doc query runs on one core locally. An
+    * eager `repartition(parallelism)` at load was MEASURED to make the
+    * suite 40% slower (round-robin repartition local-sorts full text
+    * rows per table reference — sortBeforeRepartition — and the extra
+    * exchanges don't reuse), so the loaders deliberately stay plain
+    * scans; production corpora arrive as many splits and parallelize
+    * naturally. */
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }
