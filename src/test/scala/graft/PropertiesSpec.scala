@@ -79,6 +79,61 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("native kernels == composable formulations (ngrams, stats, jaccard, simhash)") {
+    import org.apache.spark.sql.functions._
+    // richer generator: repeats, empty tokens (double spaces), unicode
+    val tok = Gen.oneOf("a", "b", "ab", "ñ", "", "loooongword")
+    val anyText = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, tok)).map(_.mkString(" "))
+    samples(anyText, 40).foreach { t =>
+      val df = Seq(t).toDF("t")
+      // WordNgrams == split→sequence→transform→array_distinct
+      val native = df.select(graft.plans.TextExpressions.word_ngrams(col("t"), 3))
+        .collect().head.getSeq[String](0)
+      val composed = df.select(
+        when(size(split(col("t"), " ", -1)) >= 3,
+          array_distinct(transform(
+            sequence(lit(1), size(split(col("t"), " ", -1)) - 2),
+            i => concat_ws("_", slice(split(col("t"), " ", -1), i, lit(3))))))
+          .otherwise(array().cast("array<string>")))
+        .collect().head.getSeq[String](0)
+      assert(native == composed, s"word_ngrams mismatch on '$t'")
+      // NgramStats counts == explode+groupBy counts
+      val st = df.select(graft.plans.TextExpressions.ngram_stats(col("t"), 2).as("s"))
+        .select("s.*").collect().head
+      val toks = t.split(" ", -1)
+      val grams = if (toks.length >= 2) toks.sliding(2).map(_.mkString("_")).toSeq else Seq.empty
+      assert(st.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(st.getAs[Long]("n_distinct") == toks.distinct.length.toLong)
+      assert(st.getAs[Long]("n_ngrams") == grams.length.toLong)
+      val expectedTop = if (grams.isEmpty) 0L
+        else grams.groupBy(identity).values.map(_.size).max.toLong
+      assert(st.getAs[Long]("top_ngram_count") == expectedTop, s"top mismatch on '$t'")
+    }
+    // SortedArrayJaccard == |intersect| / |union| on sorted distinct arrays
+    val arr = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w", "v")))
+    samples(Gen.zip(arr, arr), 25).foreach { case (a0, b0) =>
+      val (a, b) = (a0.distinct.sorted, b0.distinct.sorted)
+      if (a.nonEmpty || b.nonEmpty) {
+        val got = Seq((a, b)).toDF("a", "b")
+          .select(graft.plans.SetExpressions.jaccard_sorted(col("a"), col("b")))
+          .collect().head.getDouble(0)
+        val inter = a.toSet.intersect(b.toSet).size
+        val expect = inter.toDouble / (a.length + b.length - inter)
+        assert(got == expect, s"jaccard mismatch on $a vs $b")
+      }
+    }
+    // SimHash64: permutation-invariant over token multiset, order-free
+    samples(anyText, 15).foreach { t =>
+      val shuffled = t.split(" ", -1).reverse.mkString(" ")
+      val Seq(h1, h2) = Seq(t, shuffled).map { s =>
+        Seq(s).toDF("t")
+          .select(graft.plans.SketchExpressions.simhash64(col("t")))
+          .collect().head.getLong(0)
+      }
+      assert(h1 == h2, s"simhash not order-free on '$t'")
+    }
+  }
+
   test("quote repair leaves clean CSV lines unchanged") {
     val cleanCsv = Gen.listOfN(3, Gen.oneOf("aa", "bb", "cc")).map(_.mkString(","))
     samples(cleanCsv, 10).foreach { line =>
