@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** The end-to-end corpus-curation driver: the single entry point a
+  * training-data pipeline calls, composing the library's map-side gates
+  * and distributed dedup into ONE lazy plan per stage group (Catalyst
+  * fuses the scalar gates into the scan; the expensive set operations
+  * stay explicit, orderable and individually skippable).
+  *
+  * Stage order is the cost-aware one — cheap row-local filters first so
+  * every later (shuffling) stage sees a smaller corpus:
+  *   1. redact PII (map)
+  *   2. quality + repetition gates (map)
+  *   3. exact dedup by content fingerprint, min-id survivor (1 shuffle)
+  *   4. near-dup drop via MinHash-LSH + exact verify, cluster-canonical
+  *      survivor (banded equi-joins)
+  *   5. benchmark decontamination (broadcast semi-join)
+  *
+  * Each stage is a pure DataFrame => DataFrame; `Curation.run` with the
+  * default config is the reference composition and every knob has the
+  * operator's own default.
+  */
+object Curation {
+
+  final case class Config(
+      redact: Boolean = true,
+      minQuality: Double = 0.5,
+      maxTopNgramFrac: Double = 0.5,
+      maxRepTokenFrac: Double = 0.9,
+      exactDedup: Boolean = true,
+      nearDupThreshold: Option[Double] = Some(0.8),
+      benchmark: Option[DataFrame] = None,
+      benchmarkTextCol: String = "text",
+      decontaminateNgram: Int = 8)
+
+  /** Run the full flow over (idCol, textCol) — returns the surviving
+    * corpus with a `clean_text` column. */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          cfg: Config = Config()): DataFrame = {
+    val id = col(idCol)
+
+    // 1+2: map-side gates — one fused projection+filter over the scan
+    val text0 = if (cfg.redact) TextAnalysis.redactPii(col(textCol)) else col(textCol)
+    val gated = docs
+      .withColumn("clean_text", text0)
+      .withColumn("__rep", TextAnalysis.repetitionStats(col("clean_text")))
+      .filter(TextAnalysis.qualityScore(col("clean_text")) >= cfg.minQuality)
+      .filter(col("__rep.top_ngram_frac") <= cfg.maxTopNgramFrac &&
+        col("__rep.rep_token_frac") <= cfg.maxRepTokenFrac)
+      .drop("__rep")
+
+    // 3: exact dedup — min-id survivor per content fingerprint
+    val exact =
+      if (!cfg.exactDedup) gated
+      else gated
+        .groupBy(TextAnalysis.fingerprint(col("clean_text")).as("__fp"))
+        .agg(min(id).as(idCol))
+        .join(gated, idCol)
+
+    // 4: near-dup drop — every member of a near-dup cluster except its
+    // minimum id goes (cluster-level, so transitive chains collapse to
+    // ONE survivor, not pairwise coin flips)
+    val nearDeduped = cfg.nearDupThreshold match {
+      case None => exact
+      case Some(t) =>
+        val pairs = Dedup.minhashDedup(exact, idCol, "clean_text", threshold = t)
+        val drops = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("canonical_id"))
+          .select(col("doc_id").as(idCol))
+        exact.join(drops, Seq(idCol), "left_anti")
+    }
+
+    // 5: decontamination against a held-out benchmark (benchmark frame
+    // must carry the same idCol; its text column is configurable)
+    val decontaminated = cfg.benchmark match {
+      case None => nearDeduped
+      case Some(bench) =>
+        val b =
+          if (cfg.benchmarkTextCol == "clean_text") bench
+          else bench.withColumnRenamed(cfg.benchmarkTextCol, "clean_text")
+        Decontaminate.clean(nearDeduped, b, idCol, "clean_text",
+          n = cfg.decontaminateNgram)
+    }
+
+    decontaminated.drop("__fp")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good = "the cat sat on a mat and the dog ran to the park " +
+    "with a ball and a stick while the sun was up in the sky over the town"
+
+  private def docs = Seq(
+    (1L, good),                                        // survives
+    (2L, good),                                        // exact dup of 1 -> dropped
+    (3L, good + " extra tail words here today"),       // near dup of 1 -> dropped
+    (4L, "zz zz zz zz zz zz zz zz zz zz"),             // repetitive junk -> gated
+    (5L, "the web site is a good place to read " +
+      "about the many things that people make"),       // survives
+    (6L, "mail me at someone@example.com " + good)     // PII redacted, near dup -> dropped
+  ).toDF("doc_id", "text")
+
+  test("full curation run: gates, exact+near dedup, redaction compose") {
+    val out = Curation.run(docs, "doc_id", "text",
+      Curation.Config(minQuality = 0.3))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(1L) && !ids.contains(2L)) // min-id exact survivor
+    assert(!ids.contains(3L))                     // near-dup cluster collapsed
+    assert(!ids.contains(4L))                     // repetition gate
+    assert(ids.contains(5L))
+    val texts = out.select("clean_text").collect().map(_.getString(0))
+    assert(texts.forall(!_.contains("example.com"))) // PII gone everywhere
+  }
+
+  test("decontamination stage drops docs overlapping the benchmark") {
+    val bench = Seq((100L, "the dog ran to the park with a ball"))
+      .toDF("doc_id", "text")
+    val out = Curation.run(docs, "doc_id", "text",
+      Curation.Config(minQuality = 0.3, benchmark = Some(bench),
+        decontaminateNgram = 5))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L)) // shares 5-grams with the benchmark
+    assert(ids.contains(5L))  // clean of benchmark overlap
+  }
+
+  test("stages are individually skippable") {
+    val out = Curation.run(docs, "doc_id", "text",
+      Curation.Config(redact = false, minQuality = 0.0,
+        maxTopNgramFrac = 1.0, maxRepTokenFrac = 1.0,
+        exactDedup = false, nearDupThreshold = None))
+    assert(out.count() == 6) // nothing filtered
+    val t6 = out.filter(col("doc_id") === 6L).select("clean_text")
+      .collect().head.getString(0)
+    assert(t6.contains("someone@example.com")) // redaction skipped
+  }
+}
