@@ -45,6 +45,33 @@ class ZipLinesSourceSpec extends SparkSpec {
     assert(byDir.count() == 3)
   }
 
+  test("ziplines: one partition per ENTRY via central directory") {
+    val dir = Files.createTempDirectory("graft_zl5")
+    val p = writeZip(dir, "multi.zip",
+      (1 to 5).map(i => s"part$i.txt" -> s"line a $i\nline b $i\n"),
+      StandardCharsets.UTF_8)
+    val df = spark.read.format("ziplines").load(p)
+    assert(df.rdd.getNumPartitions == 5)
+    assert(df.count() == 10)
+    // entry provenance survives the split and lines stay with their entry
+    val byEntry = df.collect().groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byEntry == (1 to 5).map(i => s"part$i.txt" -> 2).toMap)
+  }
+
+  test("ziplines: sizeable deflated entries round-trip exactly") {
+    val dir = Files.createTempDirectory("graft_zl6")
+    val content = (1 to 5000).map(i => s"row $i with some repetitive text")
+    val p = writeZip(dir, "big.zip",
+      Seq("big.txt" -> (content.mkString("\n") + "\n"),
+        "small.txt" -> "tail\n"),
+      StandardCharsets.UTF_8)
+    val df = spark.read.format("ziplines").load(p)
+    assert(df.rdd.getNumPartitions == 2)
+    val got = df.filter(org.apache.spark.sql.functions.col("entry") === "big.txt")
+      .collect().map(_.getString(0))
+    assert(got.length == 5000 && got.head == content.head && got.last == content.last)
+  }
+
   test("ziplines: column pruning reaches the scan") {
     val dir = Files.createTempDirectory("graft_zl3")
     val p = writeZip(dir, "c.zip", Seq("c.txt" -> "only\n"), StandardCharsets.UTF_8)
