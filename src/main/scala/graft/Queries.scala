@@ -1245,6 +1245,23 @@ object Queries {
       }
     )),
 
+    // Temperature resampling (alpha=0.5): sources are down-sampled
+    // toward sqrt-flattened proportions; membership by md5 bucket so
+    // the kept set is engine-exact (sqrt is IEEE-correctly-rounded
+    // everywhere, unlike pow).
+    "q_temperature_resample" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Sampling.temperatureResample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "source", col("doc_id"), alpha = 0.5),
+      Some("""WITH c AS (SELECT source, count(*) n FROM documents GROUP BY 1),
+             |m AS (SELECT min(n) nmin FROM c),
+             |r AS (SELECT source, sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) rate FROM c, m)
+             |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+             |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS DOUBLE)
+             |  < rate * 10000.0""".stripMargin)
+    )),
+
     // Deterministic stratified sample: exactly min(20, |stratum|) docs
     // per source, selected by md5 order — class-balanced, stable across
     // engines/partitionings (md5 IS the permutation).

@@ -34,6 +34,36 @@ object Sampling {
     (df.filter(hashBucket(key) >= cut), df.filter(hashBucket(key) < cut))
   }
 
+  /** Temperature resampling for source mixing: DOWN-sample each group
+    * toward a flatter distribution, keeping rate
+    * `r_g = (n_min / n_g)^(1-alpha)` — `alpha = 1` keeps everything,
+    * `alpha = 0` equalizes every group to ~n_min rows, values between
+    * interpolate (the n^alpha mixing rule, downsampling-only form).
+    * Membership is decided by the md5 hash bucket of the row key, so
+    * the SAME rows are kept across runs, partitionings and engines.
+    *
+    * One tiny count aggregation (broadcast back); the keep-filter is
+    * map-side. NOTE on determinism: with `alpha = 0.5` the rate is a
+    * pure `sqrt` — IEEE-exact in every engine; other alphas go through
+    * `pow`, which may differ in the last ulp across libm
+    * implementations (only rows exactly on a bucket boundary could
+    * flip). */
+  def temperatureResample(df: DataFrame, groupCol: String, key: Column,
+                          alpha: Double = 0.5): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+    val rated = withMin.withColumn("__rate",
+      when(lit(alpha) === 0.5,
+        sqrt(col("__nmin").cast("double") / col("__n").cast("double")))
+        .otherwise(pow(col("__nmin").cast("double") / col("__n").cast("double"),
+          lit(1.0 - alpha))))
+      .select(col(groupCol), col("__rate"))
+    df.join(broadcast(rated), groupCol)
+      .filter(hashBucket(key).cast("double") < col("__rate") * 10000.0)
+      .drop("__rate")
+  }
+
   /** Deterministic stratified sampling: exactly min(perStratum, |stratum|)
     * rows from every stratum, chosen by md5 order of the key — a
     * class-balanced subset that is stable across runs, partitionings

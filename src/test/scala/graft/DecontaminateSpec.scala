@@ -30,6 +30,23 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("temperature resampling flattens group proportions, deterministically") {
+    val df = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
+      .toDF("id", "grp")
+    val out = Sampling.temperatureResample(df, "grp", col("id"), alpha = 0.5)
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=0.5: big keeps ~sqrt(100/900)=1/3 of 900 = ~300; small keeps all-ish
+    assert(counts("big") > 200 && counts("big") < 400)
+    assert(counts("small") > 80)
+    // deterministic + a subset of the input
+    val again = Sampling.temperatureResample(df, "grp", col("id"), alpha = 0.5)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+    // alpha=1 keeps everything
+    assert(Sampling.temperatureResample(df, "grp", col("id"), alpha = 1.0).count() == 1000)
+  }
+
   test("stratified sampling: exact per-stratum counts, deterministic") {
     val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "grp")
