@@ -98,9 +98,38 @@ object Multimodal {
         n_frames = if (blob.kind == "mp4") (h % 240).toInt + 1 else 1)
     }
 
+    /** Feature extractor. For JDK-decodable images: a REAL normalized
+      * `dim`-bin luminance histogram over the pixels (deterministic,
+      * resolution-independent content signature — enough for the
+      * embedding-shaped plumbing and for coarse near-dup blocking).
+      * For audio/video/corrupt bytes: the byte-moment STUB below. */
+    def features(blob: MediaBlob, dim: Int = 8): MediaFeatures =
+      (if (ImageKinds(blob.kind.toLowerCase))
+         Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.content)))
+       else None) match {
+        case Some(img) =>
+          val hist = new Array[Long](dim)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) * 299 +
+                ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+              hist(math.min(dim - 1, lum * dim / 256)) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = math.max(1L, img.getWidth.toLong * img.getHeight)
+          MediaFeatures(blob.media_id, hist.map(_.toFloat / n))
+        case None => featuresStub(blob, dim)
+      }
+
     /** STUB feature extractor: 8 deterministic moments of the byte
-      * stream standing in for an embedding model's output. */
-    def features(blob: MediaBlob, dim: Int = 8): MediaFeatures = {
+      * stream standing in for an embedding model's output (audio/video
+      * only — images get real pixel histograms). */
+    def featuresStub(blob: MediaBlob, dim: Int = 8): MediaFeatures = {
       val acc = new Array[Float](dim)
       var i = 0
       while (i < blob.content.length) {

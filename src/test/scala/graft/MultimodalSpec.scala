@@ -53,11 +53,27 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("feature extraction emits fixed-dim vectors, deterministic") {
-    val blobs = Seq(MediaBlob(1L, "png", Array.tabulate[Byte](32)(_.toByte))).toDS()
+    val blobs = Seq(MediaBlob(1L, "mp4", Array.tabulate[Byte](32)(_.toByte))).toDS()
     val f1 = Multimodal.extractFeatures(blobs, dim = 8).collect().head
     val f2 = Multimodal.extractFeatures(blobs, dim = 8).collect().head
     assert(f1.features.length == 8)
     assert(f1.features.toSeq == f2.features.toSeq)
+  }
+
+  test("real image features: luminance histogram from actual pixels") {
+    // all-black image -> all mass in bin 0; histogram sums to 1
+    val black = MediaBlob(1L, "png", pngBytes(10, 10))
+    val f = Multimodal.MediaBatch.features(black, dim = 8)
+    assert(f.features(0) == 1.0f && f.features.drop(1).forall(_ == 0.0f))
+    // a white image lands in the top bin
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics(); g.setColor(java.awt.Color.WHITE)
+    g.fillRect(0, 0, 4, 4); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val fw = Multimodal.MediaBatch.features(MediaBlob(2L, "png", bos.toByteArray), dim = 8)
+    assert(fw.features(7) == 1.0f)
   }
 
   test("real image resize: fit-inside, aspect preserved, re-decodable PNG") {
