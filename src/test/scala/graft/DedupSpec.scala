@@ -49,6 +49,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("duplicateClusters: 1000-node path converges within pointer-jumping budget") {
+    // worst-case diameter for the default maxIter=20: a single chain
+    // 0-1-2-...-999. Plain min-propagation needs ~1000 iterations;
+    // pointer jumping needs ~log2(1000) ≈ 10 — if the hop is broken
+    // this throws the non-convergence error instead of silently
+    // returning partial labels.
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == 1000)
+    assert(out.forall(_._2 == 0L), "every chain node must resolve to min id 0")
+  }
+
   test("MinSigAggregator: aggregate of docs == signature of their shingle union") {
     import org.apache.spark.sql.functions.col
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 32)
