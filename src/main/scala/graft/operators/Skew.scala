@@ -37,4 +37,26 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum(col("__partial")).as(outName), sum(col("__n")).as(s"${outName}_n"))
   }
+
+  /** Skew-safe equi-join for a hot-keyed FACT side against a smaller
+    * (but not broadcastable) BUILD side: each fact row gets a random-ish
+    * but DETERMINISTIC salt derived from `saltSource`, the build side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt) — a hot key's rows spread over `saltFactor` reducers
+    * instead of melting one. Row multiset is IDENTICAL to the plain
+    * join (each fact row matches exactly the one replica carrying its
+    * salt).
+    *
+    * Prefer AQE's runtime skew-join splitting when it fires; explicit
+    * salting is for the cases it cannot see — skew materializing after
+    * upstream operators in the same stage, or non-AQE deployments. Cost:
+    * build side × saltFactor, so size the factor to the skew, not to
+    * the cluster. */
+  def saltedJoin(facts: DataFrame, build: DataFrame, key: String,
+                 saltSource: Column, saltFactor: Int = 16): DataFrame = {
+    val salted = facts.withColumn("__salt", saltColumn(saltSource, saltFactor))
+    val replicated = build
+      .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }
