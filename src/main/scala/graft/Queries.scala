@@ -455,6 +455,44 @@ object Queries {
              |FROM orders GROUP BY ROLLUP(y, o_orderstatus)""".stripMargin)
     )),
 
+    // GROUPING SETS — the general form rollup/cube specialize; the
+    // DataFrame API has no direct method, so this goes through Spark
+    // SQL on a registered view (same Catalyst plan as rollup's).
+    "q_grouping_sets" -> ((
+      (s: SparkSession, dir: String) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus,
+                 count(*) AS n,
+                 cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+                 FROM orders_gs
+                 GROUP BY GROUPING SETS ((y), (o_orderstatus), (y, o_orderstatus))""")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, o_orderstatus,
+             |count(*) AS n, cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((y), (o_orderstatus), (y, o_orderstatus))""".stripMargin)
+    )),
+
+    // The rank-family windows not covered elsewhere: ntile buckets,
+    // percent_rank and cume_dist (exact rational -> double, identical
+    // arithmetic in both engines).
+    "q_rank_family" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             |percent_rank() OVER w AS pr,
+             |cume_dist() OVER w AS cd
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin)
+    )),
+
     "q_pivot" -> ((
       (s: SparkSession, dir: String) =>
         Tables.orders(s, dir)
@@ -1242,6 +1280,31 @@ object Queries {
            |SELECT a.source AS source_a, b.source AS source_b,
            |  CAST($agree AS DOUBLE) / 16 AS est_jaccard
            |FROM m a JOIN m b ON a.source < b.source""".stripMargin
+      }
+    )),
+
+    // Adaptive quality gate: drop the bottom decile by quality score —
+    // the threshold is a single exact-percentile scalar computed from
+    // the corpus itself (relative gate), then a map-side filter.
+    "q_quality_cutoff" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Curation.dropBottomQuantile(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q")),
+          col("q"), quantile = 0.1).select("doc_id", "q"),
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH s AS (SELECT doc_id,
+           |  CAST(4 * least(CAST(len(string_split(text, ' ')) AS BIGINT), 100)
+           |         * len(string_split(text, ' ')) * length(text)
+           |       + 300 * len([w for w in string_split(text, ' ') if w IN ($allStop)]) * length(text)
+           |       + 300 * length(regexp_replace(text, '[^a-z]', '', 'g')) * len(string_split(text, ' '))
+           |    AS DOUBLE)
+           |  / CAST(1000 * len(string_split(text, ' ')) * length(text) AS DOUBLE) AS q
+           |  FROM documents),
+           |t AS (SELECT quantile_cont(q, 0.1) AS thr FROM s)
+           |SELECT doc_id, q FROM s, t WHERE q >= thr""".stripMargin
       }
     )),
 

@@ -37,6 +37,19 @@ object Curation {
       benchmarkTextCol: String = "text",
       decontaminateNgram: Int = 8)
 
+  /** Adaptive quality cutoff: drop the lowest `quantile` fraction of
+    * rows by `score` (e.g. 0.1 = drop the bottom decile) — corpus
+    * curation's "relative" gate, vs the fixed thresholds in [[run]].
+    * The threshold is ONE exact-percentile scalar (a single aggregate,
+    * broadcast back), so the filter itself is map-side; the percentile
+    * is the exact interpolating one, reproducible across engines. */
+  def dropBottomQuantile(df: DataFrame, score: org.apache.spark.sql.Column,
+                         quantile: Double): DataFrame = {
+    val t = df.select(score.as("__s"))
+      .agg(expr(s"percentile(__s, $quantile)").as("__thr"))
+    df.join(broadcast(t), score >= col("__thr")).drop("__thr")
+  }
+
   /** Run the full flow over (idCol, textCol) — returns the surviving
     * corpus with a `clean_text` column. */
   def run(docs: DataFrame, idCol: String, textCol: String,
