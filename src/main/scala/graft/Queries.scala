@@ -970,6 +970,31 @@ object Queries {
              |FROM r WHERE rn <= 5""".stripMargin)
     )),
 
+    // PQ in its oracle-exact configuration: a re-rank shortlist larger
+    // than any corpus makes the exact re-rank see EVERY candidate, so
+    // the output equals brute-force top-k regardless of codebook float
+    // noise — oracle-checking the whole PQ machinery (subspace k-means
+    // fit, encoding, ADC lookup scoring through the bounded heap, exact
+    // re-rank). The approximate shortlist regime is pinned by
+    // SimilaritySpec's recall assertions.
+    "q_ann_pq" -> ((
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 1,
+          rerank = Int.MaxValue / 2)
+      },
+      Some("""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+             |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM p),
+             |s AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+             |  list_sum([c.emb[i+1]*q.emb[i+1] for i in range(len(c.emb))]) / sqrt(c.n2 * q.n2) score
+             |  FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE q.vec_id < 8),
+             |r AS (SELECT query_id, neighbor_id, score,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) rn FROM s)
+             |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+             |FROM r WHERE rn <= 5""".stripMargin)
+    )),
+
     // Hyperplane LSH is fully deterministic (fixed mixed-integer plane
     // components), so the WHOLE approximate pipeline — bucketing,
     // multi-probe, candidate join, exact re-rank — is SQL-expressible:

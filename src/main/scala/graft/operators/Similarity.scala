@@ -184,6 +184,95 @@ object Similarity {
     topKOutput(scored, k)
   }
 
+  /** Product quantization (PQ) ANN — the canonical billion-vector
+    * compression: the embedding space splits into `m` subspaces, each
+    * with its own `ksub`-centroid codebook (k-means-lite, deterministic
+    * lowest-id init like IVF); vectors encode to `m` small codes
+    * (m bytes at ksub≤256 — 32× smaller than float32 at m=8/d=64).
+    * Queries score candidates ASYMMETRICALLY (ADC): per query, a lookup
+    * table of query-subvector · centroid dot products is precomputed
+    * (m×ksub doubles, driver/broadcast scale), and a candidate's
+    * approximate inner product is m table lookups — no float vector is
+    * ever touched at scan time.
+    *
+    * Scale shape: codebooks and LUTs are model state (KBs); encoding is
+    * map-side; scoring is a broadcast join + m element_at terms (static
+    * expression, codegen'd) into the bounded-heap top-k. Ranking is by
+    * approximate INNER PRODUCT (the standard ADC objective; on
+    * normalized vectors that is cosine ranking). Approximation quality
+    * is pinned by SimilaritySpec recall-vs-bruteforce.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+             iters: Int = 2, rerank: Int = 0): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+    val dims = c.select(size(col("emb"))).head().getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+
+    def sub(emb: Column, j: Int): Column = slice(emb, j * dsub + 1, dsub)
+
+    // fit: per-subspace k-means on the subvectors (deterministic init)
+    val codebooks: Array[Array[Seq[Double]]] = (0 until m).toArray.map { j =>
+      var cents: Array[Seq[Double]] = c.orderBy(col("id")).limit(ksub)
+        .select(sub(col("emb"), j)).collect().map(_.getSeq[Double](0))
+      def assignExpr(cs: Array[Seq[Double]], v: Column): Column =
+        array_min(array(cs.zipWithIndex.map { case (cv, i) =>
+          struct((lit(cv.map(x => x * x).sum) - lit(2.0) * dot(v, typedLit(cv))).as("d"),
+            lit(i).as("idx"))
+        }: _*)).getField("idx")
+      for (_ <- 1 to iters) {
+        val updated = c.select(assignExpr(cents, sub(col("emb"), j)).as("cl"),
+            posexplode(sub(col("emb"), j)).as(Seq("pos", "v")))
+          .groupBy("cl", "pos").agg(avg(col("v")).as("mu"))
+          .groupBy("cl").agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("ps"))
+          .select(col("cl"), expr("transform(ps, x -> x.mu)").as("cent"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+      }
+      cents
+    }
+
+    // encode the corpus: m argmin codes, map-side
+    val codeCols = (0 until m).map { j =>
+      array_min(array(codebooks(j).zipWithIndex.map { case (cv, i) =>
+        struct((lit(cv.map(x => x * x).sum) -
+          lit(2.0) * dot(sub(col("emb"), j), typedLit(cv))).as("d"), lit(i).as("idx"))
+      }: _*)).getField("idx").as(s"c$j")
+    }
+    val encoded = c.select(col("id") +: codeCols: _*)
+
+    // per-query ADC lookup tables: lut[j*ksub + code] = q_j · cent
+    val q = prepared(queries, idCol, embCol).toDF("query_id", "q_emb", "q_n2")
+      .withColumn("lut", array((0 until m).flatMap { j =>
+        (0 until ksub).map { i =>
+          dot(sub(col("q_emb"), j), typedLit(codebooks(j)(i)))
+        }
+      }: _*))
+      .select(col("query_id"), col("lut"))
+    val score = (0 until m).map(j =>
+      element_at(col("lut"), col(s"c$j") + lit(j * ksub + 1))).reduce(_ + _)
+    val scored = encoded.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("score", score)
+    if (rerank <= k) topKOutput(scored, k)
+    else {
+      // standard PQ deployment shape: ADC makes a cheap shortlist of
+      // `rerank` candidates per query, then ONLY those rows touch the
+      // real float vectors for an exact cosine re-rank — compression
+      // prunes the scan, exactness decides the ranking.
+      val shortlist = topKOutput(scored, rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val qFull = prepared(queries, idCol, embCol).toDF("query_id", "q_emb", "q_n2")
+      val exact = shortlist
+        .join(c.toDF("neighbor_id", "emb", "n2"), "neighbor_id")
+        .join(broadcast(qFull), "query_id")
+        .withColumn("score",
+          dot(col("emb"), col("q_emb")) / sqrt(col("n2") * col("q_n2")))
+        .select(col("query_id"), col("neighbor_id").as("id"), col("score"))
+      topKOutput(exact, k)
+    }
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed integer mix mapped into [-1, 1]. Reproducible across
     * sessions with zero stored model state — which also makes the whole

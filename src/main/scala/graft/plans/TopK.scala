@@ -94,7 +94,10 @@ object TopKPairs {
     * always the WORST kept entry; offer() evicts it when a better pair
     * arrives. */
   final class Heap(k: Int) {
-    private val q = new java.util.PriorityQueue[(Double, Long)](k,
+    // initial capacity stays small: a huge k (e.g. a rerank shortlist
+    // sized "larger than any corpus") must not eagerly allocate k slots
+    // in every partial buffer — the queue grows to live size only
+    private val q = new java.util.PriorityQueue[(Double, Long)](math.min(k, 16),
       (a: (Double, Long), b: (Double, Long)) => {
         val c = java.lang.Double.compare(a._1, b._1)
         if (c != 0) c else java.lang.Long.compare(b._2, a._2)

@@ -87,6 +87,36 @@ class SimilaritySpec extends SparkSpec {
     errs.foreach(r => assert(r.getDouble(0) <= r.getDouble(1) + 1e-12))
   }
 
+  test("pqTopK: ADC inner-product recall vs brute force on normalized vectors") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // normalize so inner-product ranking == cosine ranking
+    val emb = raw.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        Similarity.asDouble(col("embedding")),
+        x => x / org.apache.spark.sql.functions.sqrt(
+          Similarity.normSq(Similarity.asDouble(col("embedding"))))).as("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    // ADC-only shortlist quality (no re-rank): weak by design
+    val adcOnly = pairs(Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, m = 8, ksub = 16))
+    val adcRecall = (exact intersect adcOnly).size.toDouble / exact.size
+    assert(adcRecall >= 0.15, s"raw ADC recall@5 collapsed to $adcRecall")
+    // production shape: ADC shortlist of 25 + exact re-rank
+    val pq = pairs(Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, m = 8, ksub = 16, rerank = 25))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ+rerank recall@5 dropped to $recall")
+    assert(recall > adcRecall, "re-rank must improve on raw ADC")
+    // determinism: same codes, same answer
+    val again = pairs(Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, m = 8, ksub = 16, rerank = 25))
+    assert(pq == again)
+  }
+
   test("blocked pairs only form within a block") {
     val out = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding", "label",
       threshold = -2.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
