@@ -195,65 +195,74 @@ object Similarity {
     * approximate inner product is m table lookups — no float vector is
     * ever touched at scan time.
     *
-    * Scale shape: codebooks and LUTs are model state (KBs); encoding is
-    * map-side; scoring is a broadcast join + m element_at terms (static
-    * expression, codegen'd) into the bounded-heap top-k. Ranking is by
-    * approximate INNER PRODUCT (the standard ADC objective; on
-    * normalized vectors that is cosine ranking). Approximation quality
-    * is pinned by SimilaritySpec recall-vs-bruteforce.
+    * Scale shape: codebooks are FIT ON A BOUNDED TRAINING SAMPLE pulled
+    * to the driver in one TakeOrdered job (lowest-id `trainSample`
+    * vectors — MB-scale model-fitting state, the same posture as IVF's
+    * centroids and faiss's sampled PQ training; never the corpus);
+    * encoding is map-side; scoring is a broadcast join + m element_at
+    * terms (static expression, codegen'd) into the bounded-heap top-k.
+    * Ranking is by approximate INNER PRODUCT (the standard ADC
+    * objective; on normalized vectors that is cosine ranking).
+    * Approximation quality is pinned by SimilaritySpec
+    * recall-vs-bruteforce.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              embCol: String, k: Int, m: Int = 8, ksub: Int = 16,
-             iters: Int = 2, rerank: Int = 0): DataFrame = {
+             iters: Int = 2, rerank: Int = 0,
+             trainSample: Int = 16384): DataFrame = {
     val c = prepared(corpus, idCol, embCol)
-    val dims = c.select(size(col("emb"))).head().getInt(0)
+
+    // one job: deterministic training sample (TakeOrdered, no full sort)
+    val train: Array[Array[Double]] = c.select(col("id"), col("emb"))
+      .orderBy(col("id")).limit(trainSample)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(train.nonEmpty, "pqTopK: empty corpus")
+    val dims = train(0).length
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
 
-    def sub(emb: Column, j: Int): Column = slice(emb, j * dsub + 1, dsub)
-
-    // fit: per-subspace k-means on the subvectors (deterministic init)
-    val codebooks: Array[Array[Seq[Double]]] = (0 until m).toArray.map { j =>
-      var cents: Array[Seq[Double]] = c.orderBy(col("id")).limit(ksub)
-        .select(sub(col("emb"), j)).collect().map(_.getSeq[Double](0))
-      def assignExpr(cs: Array[Seq[Double]], v: Column): Column =
-        array_min(array(cs.zipWithIndex.map { case (cv, i) =>
-          struct((lit(cv.map(x => x * x).sum) - lit(2.0) * dot(v, typedLit(cv))).as("d"),
-            lit(i).as("idx"))
-        }: _*)).getField("idx")
+    // fit: per-subspace Lloyd iterations over the driver-side sample.
+    // Same semantics as a distributed fit (lowest-id init, mean update,
+    // argmin with lowest-index tiebreak, empty cluster keeps its old
+    // centroid) without m×iters Spark jobs. ksub×dsub doubles per
+    // subspace — KBs.
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val subs = train.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      var cents: Array[Array[Double]] = subs.take(ksub).map(_.clone)
       for (_ <- 1 to iters) {
-        val updated = c.select(assignExpr(cents, sub(col("emb"), j)).as("cl"),
-            posexplode(sub(col("emb"), j)).as(Seq("pos", "v")))
-          .groupBy("cl", "pos").agg(avg(col("v")).as("mu"))
-          .groupBy("cl").agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("ps"))
-          .select(col("cl"), expr("transform(ps, x -> x.mu)").as("cent"))
-          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-        cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.PositiveInfinity; var i = 0
+          while (i < cents.length) {
+            var d = 0.0; var p = 0
+            while (p < dsub) { val t = v(p) - cents(i)(p); d += t * t; p += 1 }
+            if (d < bestD) { bestD = d; best = i }
+            i += 1
+          }
+          counts(best) += 1
+          var p = 0
+          while (p < dsub) { sums(best)(p) += v(p); p += 1 }
+        }
+        cents = Array.tabulate(ksub) { i =>
+          if (counts(i) == 0) cents(i) else sums(i).map(_ / counts(i))
+        }
       }
       cents
     }
+    // flat layout for the native kernels: [(j*ksub + i)*dsub + p]
+    val cbFlat: Array[Double] = codebooks.flatten.flatten
 
-    // encode the corpus: m argmin codes, map-side
-    val codeCols = (0 until m).map { j =>
-      array_min(array(codebooks(j).zipWithIndex.map { case (cv, i) =>
-        struct((lit(cv.map(x => x * x).sum) -
-          lit(2.0) * dot(sub(col("emb"), j), typedLit(cv))).as("d"), lit(i).as("idx"))
-      }: _*)).getField("idx").as(s"c$j")
-    }
-    val encoded = c.select(col("id") +: codeCols: _*)
+    import graft.plans.PqExpressions.{pq_encode, pq_lut, pq_adc}
+    // encode the corpus: m argmin codes in ONE codegen'd node, map-side
+    val encoded = c.select(col("id"),
+      pq_encode(col("emb"), cbFlat, m, ksub).as("codes"))
 
     // per-query ADC lookup tables: lut[j*ksub + code] = q_j · cent
     val q = prepared(queries, idCol, embCol).toDF("query_id", "q_emb", "q_n2")
-      .withColumn("lut", array((0 until m).flatMap { j =>
-        (0 until ksub).map { i =>
-          dot(sub(col("q_emb"), j), typedLit(codebooks(j)(i)))
-        }
-      }: _*))
-      .select(col("query_id"), col("lut"))
-    val score = (0 until m).map(j =>
-      element_at(col("lut"), col(s"c$j") + lit(j * ksub + 1))).reduce(_ + _)
+      .select(col("query_id"), pq_lut(col("q_emb"), cbFlat, m, ksub).as("lut"))
     val scored = encoded.join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("score", score)
+      .withColumn("score", pq_adc(col("lut"), col("codes")))
     if (rerank <= k) topKOutput(scored, k)
     else {
       // standard PQ deployment shape: ADC makes a cheap shortlist of

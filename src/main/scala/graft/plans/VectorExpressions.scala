@@ -462,6 +462,134 @@ object SketchExpressions {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingles), numHashes))
 }
 
+/** Native product-quantization kernels. The composable formulation of
+  * PQ encoding — `array_min` over ksub literal structs per subspace —
+  * builds an m×ksub-node expression tree (128 `typedLit` centroids at
+  * m=8/ksub=16): seconds of Catalyst analysis per query and a generated
+  * method too large to JIT well. Here the codebook rides along as a
+  * flattened `double[]` REFERENCE OBJECT (model state, exactly like a
+  * broadcast hash table — not part of the expression tree), and each
+  * operation is one codegen'd node calling a tight primitive loop.
+  *
+  * Layout: `codebooks[(j*ksub + i)*dsub + p]` = coordinate p of
+  * centroid i of subspace j; dsub = dims/m.
+  */
+object PqExpressions {
+  import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.IntegerType
+
+  /** Argmin-centroid code per subspace: array<int> of length m. */
+  def encode(emb: ArrayData, cb: Array[Double], m: Int, ksub: Int): ArrayData = {
+    val dsub = emb.numElements() / m
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < ksub) {
+        val off = (j * ksub + i) * dsub
+        var d = 0.0; var p = 0
+        while (p < dsub) {
+          val t = emb.getDouble(j * dsub + p) - cb(off + p)
+          d += t * t; p += 1
+        }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC lookup table for one query: array<double> of length m·ksub,
+    * `lut[j*ksub + i]` = query-subvector(j) · centroid(j,i). */
+  def lut(emb: ArrayData, cb: Array[Double], m: Int, ksub: Int): ArrayData = {
+    val dsub = emb.numElements() / m
+    val out = new Array[Any](m * ksub)
+    var j = 0
+    while (j < m) {
+      var i = 0
+      while (i < ksub) {
+        val off = (j * ksub + i) * dsub
+        var dot = 0.0; var p = 0
+        while (p < dsub) { dot += emb.getDouble(j * dsub + p) * cb(off + p); p += 1 }
+        out(j * ksub + i) = dot
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Approximate inner product: Σⱼ lut[j·ksub + codes[j]]. */
+  def adc(lutArr: ArrayData, codes: ArrayData): Double = {
+    val m = codes.numElements()
+    val ksub = lutArr.numElements() / m
+    var s = 0.0; var j = 0
+    while (j < m) { s += lutArr.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+    s
+  }
+
+  case class PqEncode(child: Expression, codebooks: Array[Double], m: Int, ksub: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+
+    override protected def nullSafeEval(v: Any): Any =
+      encode(v.asInstanceOf[ArrayData], codebooks, m, ksub)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[]")
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.plans.PqExpressions$$.MODULE$$.encode($input, $cb, $m, $ksub);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  case class PqLut(child: Expression, codebooks: Array[Double], m: Int, ksub: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "pq_lut"
+
+    override protected def nullSafeEval(v: Any): Any =
+      lut(v.asInstanceOf[ArrayData], codebooks, m, ksub)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[]")
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.plans.PqExpressions$$.MODULE$$.lut($input, $cb, $m, $ksub);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  case class AdcScore(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "pq_adc"
+
+    override protected def nullSafeEval(l: Any, c: Any): Any =
+      adc(l.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, c) =>
+        s"${ev.value} = graft.plans.PqExpressions$$.MODULE$$.adc($l, $c);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def pq_encode(emb: Column, cb: Array[Double], m: Int, ksub: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(emb), cb, m, ksub))
+  def pq_lut(emb: Column, cb: Array[Double], m: Int, ksub: Int): Column =
+    ColumnBridge.column(PqLut(ColumnBridge.expression(emb), cb, m, ksub))
+  def pq_adc(lut: Column, codes: Column): Column =
+    ColumnBridge.column(AdcScore(ColumnBridge.expression(lut), ColumnBridge.expression(codes)))
+}
+
 /** Typed user-facing aggregator (the `Aggregator[IN, BUF, OUT]` API
   * surface, complementing the TypedImperativeAggregate used for
   * TopKPairs): merges per-document MinHash signatures by elementwise
