@@ -1154,6 +1154,33 @@ object Queries {
       }
     )),
 
+    // Bloom-prefiltered decontamination: same answer as q_decontaminate
+    // (the filter has no false negatives and the exact join removes its
+    // false positives), but the corpus side is tested map-side inside
+    // the scan BEFORE any explode/join — the 100 TB shape. The oracle
+    // is therefore the exact-join SQL, which is the whole point.
+    "q_decontaminate_bloom" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        operators.Decontaminate.contaminatedBloom(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 5)
+      },
+      Some {
+        val gram5 = (1 to 5).map(k => s"ws[i+$k]").mkString(" || '_' || ")
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+           |g AS (SELECT doc_id, CASE WHEN len(ws) >= 5
+           |  THEN list_distinct([$gram5 for i in range(len(ws)-4)])
+           |  ELSE [] END sh FROM w),
+           |tr AS (SELECT doc_id, unnest(sh) gram FROM g WHERE doc_id % 10 != 0),
+           |te AS (SELECT doc_id AS test_id, unnest(sh) gram FROM g WHERE doc_id % 10 = 0)
+           |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_hit_grams,
+           |  count(DISTINCT te.test_id) AS n_test_docs
+           |FROM tr JOIN te USING (gram) GROUP BY 1""".stripMargin
+      }
+    )),
+
     // Gopher/C4-style repetition gates, computed MAP-SIDE per doc (the
     // top-bigram count is a run-length fold over the sorted bigram
     // array — no (doc, ngram) shuffle).

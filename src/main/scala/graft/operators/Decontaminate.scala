@@ -51,4 +51,31 @@ object Decontaminate {
       .select(col("doc_id").as(idCol))
     train.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** [[contaminated]] with a Bloom pre-filter on the train side — the
+    * 100 TB shape. [[contaminated]] explodes EVERY training doc to
+    * (doc, gram) rows before the broadcast probe discards ~all of them;
+    * here a Bloom filter over the benchmark's distinct grams
+    * ([[graft.plans.BloomExpressions]], MBs, built in one distributed
+    * pass) tests each doc's shingle array INSIDE the scan stage, and
+    * only docs with ≥1 possible hit pay the explode + exact join. No
+    * false negatives ⇒ the surviving sliver is a superset of the truly
+    * contaminated docs; the exact join then removes the false
+    * positives, so the result is IDENTICAL to [[contaminated]] — which
+    * is exactly what the shared oracle checks.
+    *
+    * `expectedGrams` sizes the filter (over-sizing costs bits, not
+    * correctness; ~1.2 MB per million grams at fpp=0.03). */
+  def contaminatedBloom(train: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, n: Int = 8,
+                        expectedGrams: Long = 1L << 20,
+                        fpp: Double = 0.03): DataFrame = {
+    val testGrams = grams(benchmark, idCol, textCol, n).select("gram").distinct()
+    val bloom = graft.plans.BloomExpressions.buildBloom(
+      testGrams, "gram", expectedGrams, fpp)
+    val suspicious = train.filter(
+      graft.plans.BloomExpressions.bloom_hits(
+        Dedup.shingles(col(textCol), n), bloom) > 0)
+    contaminated(suspicious, benchmark, idCol, textCol, n)
+  }
 }

@@ -30,6 +30,36 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("contaminatedBloom: identical to exact contaminated, even undersized") {
+    val exact = Decontaminate.contaminated(train, bench, "doc_id", "text", n = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val bloom = Decontaminate.contaminatedBloom(train, bench, "doc_id", "text", n = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bloom == exact)
+    // a deliberately undersized filter (high fpp) lets more docs through
+    // the pre-filter but the exact join must still give the same answer
+    val tiny = Decontaminate.contaminatedBloom(train, bench, "doc_id", "text",
+      n = 3, expectedGrams = 4, fpp = 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(tiny == exact)
+  }
+
+  test("bloom_hits: no false negatives; zero hits for disjoint grams") {
+    import graft.plans.BloomExpressions
+    val values = Seq("a_b", "c_d", "e_f").toDF("gram")
+    val bf = BloomExpressions.buildBloom(values, "gram", expectedItems = 100)
+    val probe = Seq(
+      (1L, Seq("a_b", "zz")),   // one true member
+      (2L, Seq("qq", "rr"))     // none
+    ).toDF("id", "grams")
+    val hits = probe.select(col("id"),
+        BloomExpressions.bloom_hits(col("grams"), bf).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hits(1L) >= 1)       // membership can never be missed
+    // 100-capacity filter on 3 items: fp odds for 2 probes ~ 0
+    assert(hits(2L) == 0)
+  }
+
   test("temperature resampling flattens group proportions, deterministically") {
     val df = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
       .toDF("id", "grp")
