@@ -1118,6 +1118,23 @@ object Queries {
              |round(list_sum([x*x for x in unit]), 9) AS unit_norm FROM u""".stripMargin)
     )),
 
+    // Per-label mean embeddings via the fixed-point aggregator: exact
+    // long summation makes the result partition-order-independent, so
+    // a float mean is oracle-checkable at all. Output exploded to
+    // (grp, pos, value) scalar rows.
+    "q_embed_centroids" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Embeddings.groupCentroids(
+          Tables.embeddings(s, dir), "label", "embedding"),
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+             |u AS (SELECT label, generate_subscripts(emb, 1) pos, unnest(emb) x FROM e),
+             |s AS (SELECT label AS grp, pos, sum(CAST(floor(x * 1e9) AS BIGINT)) fx,
+             |  count(*) n FROM u GROUP BY 1, 2)
+             |SELECT grp, CAST(pos AS INTEGER) AS pos,
+             |  round(CAST(fx AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) AS value
+             |FROM s""".stripMargin)
+    )),
+
     "q_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
         Tables.documents(s, dir)

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+
+/** Group-level embedding aggregation: mean vectors ("centroids") per
+  * source / cluster / language — the building block for source-drift
+  * monitoring, topic profiling, cluster summarization, and seeding
+  * coarse quantizers (IVF) from data instead of lowest-id rows.
+  *
+  * Scale + determinism design: the naive formulation
+  * (`posexplode` → `groupBy(grp, pos).avg`) shuffles docs × dims rows,
+  * and float summation order depends on partitioning, so two runs of
+  * the same job can disagree in the last ulp — unacceptable for a
+  * curation engine whose every other operator is reproducible. Instead
+  * each component is quantized to FIXED POINT (`floor(x · 10⁹)` — floor
+  * has no rounding-tie ambiguity across engines) and summed as a long:
+  * exact 64-bit integer addition is associative and commutative, so the
+  * partial aggregation is map-side (one d-long buffer per group per
+  * partition), the shuffle carries one buffer per group, and the result
+  * is bit-identical on ANY partitioning and engine — which the DuckDB
+  * oracle checks. Dims up to ~2¹⁴ overflow-safe for ~2⁵⁰ rows per
+  * group (|x|≤10⁴ after scaling ⇒ sums stay < 2⁶³).
+  */
+object Embeddings {
+
+  /** Sums fixed-point-scaled components; slot 0 of the buffer is the
+    * row count, slots 1..d the component sums. Associative integer
+    * merge — the same map-side posture as [[graft.plans.MinSigAggregator]]. */
+  class FixedPointSumAggregator(scale: Double)
+      extends Aggregator[Seq[Double], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.empty[Long]
+
+    override def reduce(buf: Array[Long], emb: Seq[Double]): Array[Long] = {
+      val b = if (buf.isEmpty) new Array[Long](emb.length + 1) else buf
+      b(0) += 1L
+      var i = 0
+      while (i < emb.length) {
+        b(i + 1) += math.floor(emb(i) * scale).toLong
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      Encoders.javaSerialization[Array[Long]]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Per-group mean embedding, exact and partition-order-independent.
+    * Output is the EXPLODED form (grp, pos, value) — one row per group
+    * per dimension (groups × dims rows, tiny), value = the fixed-point
+    * mean rounded to 6 decimals. `scale` sets the fixed-point grid
+    * (10⁹ ≈ nano precision, far below any embedding's signal). */
+  def groupCentroids(df: DataFrame, grpCol: String, embCol: String,
+                     scale: Double = 1e9): DataFrame = {
+    val sumAgg = udaf(new FixedPointSumAggregator(scale))
+    df.select(col(grpCol).as("grp"),
+        Similarity.asDouble(col(embCol)).as("emb"))
+      .groupBy(col("grp"))
+      .agg(sumAgg(col("emb")).as("sums"))
+      .select(col("grp"), posexplode(expr("slice(sums, 2, size(sums) - 1)"))
+        .as(Seq("pos0", "s")),
+        element_at(col("sums"), 1).as("n"))
+      .select(col("grp"), (col("pos0") + 1).cast("int").as("pos"),
+        round(col("s").cast("double") / lit(scale) / col("n").cast("double"), 6)
+          .as("value"))
+  }
+}

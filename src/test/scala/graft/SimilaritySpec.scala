@@ -122,4 +122,19 @@ class SimilaritySpec extends SparkSpec {
       threshold = -2.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
   }
+
+  test("groupCentroids: exact fixed-point mean, partitioning-independent") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0, 2.0)), ("a", Seq(3.0, 4.0)),   // mean (2.0, 3.0)
+      ("b", Seq(0.1, -0.2))                          // mean (0.1, -0.2)
+    ).toDF("label", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Embeddings.groupCentroids(d, "label", "embedding")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    val out = run(df)
+    assert(out == Set(("a", 1, 2.0), ("a", 2, 3.0), ("b", 1, 0.1), ("b", 2, -0.2)))
+    // exact integer sums: any repartitioning gives the identical result
+    assert(run(df.repartition(7)) == out)
+  }
 }
