@@ -121,6 +121,37 @@ object EventStreams {
       }
   }
 
+  /** Streaming collection-level MinHash sketches: one signature per
+    * (window, group) that estimates the Jaccard overlap of everything
+    * the group published in that window — corpus drift / cross-source
+    * overlap monitoring that never stores the documents themselves.
+    *
+    * Because the signature merge is an associative/commutative
+    * elementwise MIN ([[graft.plans.MinSigAggregator]]), it runs as a
+    * standard streaming aggregation: per-doc signatures are computed
+    * MAP-SIDE by the same native expression as the batch path (stream
+    * and batch sketches agree bit-for-bit), partial states are one
+    * `numHashes`-long array per (window, group), and the watermark
+    * bounds the state store. Append mode emits each window's final
+    * sketch once the watermark passes it. */
+  def windowedSourceSketch(docs: DataFrame, tsCol: String, groupCol: String,
+                           textCol: String, numHashes: Int = 16, n: Int = 3,
+                           watermarkDelay: String = "10 minutes",
+                           windowLength: String = "1 hour"): DataFrame = {
+    val minSig = udaf(new graft.plans.MinSigAggregator(numHashes),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    docs
+      .select(col(tsCol).as("ts"), col(groupCol).as("grp"),
+        graft.operators.Dedup.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("ts"), col("grp"),
+        graft.plans.SketchExpressions.minhash_signature(col("sh"), numHashes).as("sig"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("grp"))
+      .agg(minSig(col("sig")).as("sketch"))
+      .select(col("window.start").as("window_start"), col("grp"), col("sketch"))
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState): a session closes when the next event for
     * the user arrives more than `gapMs` after the previous one; closed

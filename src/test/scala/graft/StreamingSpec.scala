@@ -96,6 +96,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamPairs.contains((1L, 2L)) && !streamPairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("windowed source sketch merges across batches and matches the batch sketch") {
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      (ts(1), "a", "the quick brown fox jumps over the lazy dog"),
+      (ts(2), "a", "a completely different document with other words entirely"),
+      (ts(3), "b", "the quick brown fox jumps over the lazy dog"))
+    val input = MemoryStream[(Timestamp, String, String)]
+    val q = EventStreams.windowedSourceSketch(
+      input.toDF().toDF("ts", "source", "text"), "ts", "source", "text",
+      numHashes = 16, watermarkDelay = "0 seconds", windowLength = "1 hour")
+      .writeStream.format("memory").queryName("src_sketch")
+      .outputMode(OutputMode.Append).start()
+    input.addData(docs.take(1): _*)    // source a, doc 1
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)    // source a doc 2 merges INTO the window state
+    q.processAllAvailable()
+    // watermark-advancing late batch far in the future closes the window
+    input.addData((Timestamp.valueOf("2024-01-02 00:00:00"), "z", "x y z w"))
+    q.processAllAvailable()
+    val out = spark.table("src_sketch")
+      .collect().map(r => r.getString(1) -> r.getSeq[Long](2)).toMap
+    q.stop()
+    // batch truth: same signature expression + MinSigAggregator over the union
+    import org.apache.spark.sql.functions._
+    val minSig = org.apache.spark.sql.functions.udaf(
+      new graft.plans.MinSigAggregator(16),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val batch = docs.toDF("ts", "source", "text")
+      .select(col("source"), graft.plans.SketchExpressions.minhash_signature(
+        graft.operators.Dedup.shingles(col("text"), 3), 16).as("sig"))
+      .groupBy("source").agg(minSig(col("sig")).as("sketch"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("a") == batch("a") && out("b") == batch("b"))
+    // two docs merged: source a's sketch is the elementwise min, so it
+    // cannot exceed either doc's own signature anywhere
+    assert(out("a").zip(out("b")).count { case (x, y) => x == y } < 16)
+  }
+
   test("sessionize handles out-of-order events within a micro-batch") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
