@@ -716,6 +716,27 @@ object Queries {
              |FROM lineitem GROUP BY 1""".stripMargin)
     )),
 
+    // One-pass multi-column profiling (exact mode so every cell is
+    // oracle-hashable; the operator's default is the HLL single-pass
+    // form for the 100 TB path). Timestamp min/max string forms match
+    // because both engines render 'yyyy-MM-dd HH:mm:ss'.
+    "q_profile" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.profile(Tables.lineitem(s, dir),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"),
+          exact = true),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS column_name, count($c) AS n_notnull,
+             |count(*) - count($c) AS n_nulls,
+             |count(DISTINCT $c) AS n_distinct,
+             |CAST(min($c) AS VARCHAR) AS min_value,
+             |CAST(max($c) AS VARCHAR) AS max_value FROM lineitem""".stripMargin
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+          .map(one).mkString("\nUNION ALL\n")
+      }
+    )),
+
     "q_json_extract" -> ((
       (s: SparkSession, dir: String) =>
         Tables.events(s, dir)

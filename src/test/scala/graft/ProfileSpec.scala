@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (Some(1L), Some("a")),
+    (Some(1L), None),
+    (Some(3L), Some("b")),
+    (None, Some("a"))
+  ).toDF("k", "v")
+
+  test("profile: exact counts, nulls, distinct, min/max per column") {
+    val out = Profile.profile(df, Seq("k", "v"), exact = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(out("k") == (3L, 1L, 2L, "1", "3"))
+    assert(out("v") == (3L, 1L, 2L, "a", "b"))
+  }
+
+  test("profile: approx distinct lands within HLL bounds on a real column") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val byMode = Seq(false, true).map { exact =>
+      Profile.profile(docs, Seq("doc_id"), exact = exact)
+        .collect().head.getLong(3)
+    }
+    val (approx, ex) = (byMode(0), byMode(1))
+    assert(math.abs(approx - ex).toDouble / ex <= 0.15)
+  }
+}
