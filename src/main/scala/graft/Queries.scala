@@ -849,6 +849,23 @@ object Queries {
              |FROM documents GROUP BY 1""".stripMargin)
     )),
 
+    // Passage-level exact dedup: 20-token consecutive passages, global
+    // first-writer-wins by (doc_id, pos), documents reassembled from
+    // surviving passages. DuckDB replays it with list slicing + a
+    // min-tuple window; both sides order "first" by (doc_id, pos).
+    "q_passage_dedup" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.passageDedup(Tables.documents(s, dir), "doc_id", "text", k = 20),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |i AS (SELECT doc_id, ws, unnest(range((len(ws) + 19) // 20)) pos FROM t),
+             |p AS (SELECT doc_id, pos,
+             |        array_to_string(ws[pos*20+1 : pos*20+20], ' ') passage FROM i),
+             |w AS (SELECT doc_id, pos, passage,
+             |        min(row(doc_id, pos)) OVER (PARTITION BY passage) win FROM p)
+             |SELECT doc_id, string_agg(passage, ' ' ORDER BY pos) AS text_dedup
+             |FROM w WHERE win = row(doc_id, pos) GROUP BY doc_id""".stripMargin)
+    )),
+
     "q_dedup_ngram_jaccard" -> ((
       (s: SparkSession, dir: String) =>
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5),
@@ -1428,6 +1445,21 @@ object Queries {
              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) rn
              |  FROM documents)
              |SELECT doc_id, source FROM r WHERE rn <= 20""".stripMargin)
+    )),
+
+    // Deterministic global corpus shuffle: a stable training-order
+    // permutation in [1, N]. The Spark side computes ranks WITHOUT a
+    // single-partition window (range partition + per-partition offsets
+    // — Sampling.globalShuffle); the oracle is the naive global window,
+    // which is exactly what the distributed formulation must equal.
+    "q_corpus_shuffle" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Sampling.globalShuffle(
+          Tables.documents(s, dir).select(col("doc_id")), col("doc_id"))
+          .select(col("doc_id"), col("shuffle_pos")),
+      Some("""SELECT doc_id, row_number() OVER (
+             |  ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+             |) AS shuffle_pos FROM documents""".stripMargin)
     )),
   )
 

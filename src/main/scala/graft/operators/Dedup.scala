@@ -197,6 +197,49 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Passage-level exact dedup — the practical form of exact-substring
+    * deduplication for training corpora (the suffix-array formulation of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", at fixed passage granularity): split every document into
+    * consecutive `k`-token passages, keep only the globally FIRST
+    * occurrence of each distinct passage (first = minimum (doc id,
+    * position) — a deterministic total order, not ingest order), and
+    * reassemble each document from its surviving passages in position
+    * order. Documents whose every passage already appeared elsewhere
+    * drop out entirely.
+    *
+    * Scale shape: two hash shuffles, both on bounded-width keys.
+    * Winners are resolved by `groupBy(md5(passage))` — partial
+    * aggregation collapses each partition's passages map-side, and the
+    * 128-bit key (not the passage text) is what the aggregation
+    * exchange carries beyond the first occurrence per partition.
+    * The winner set then equi-joins back (AQE promotes it to broadcast
+    * when small) and reassembly is a per-doc aggregate. No windows —
+    * a window over `partitionBy(passage)` would sort full passage text
+    * within every partition. */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 20): DataFrame = {
+    require(k > 0, "passage length must be positive")
+    val passages = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .select(col("id"), posexplode(
+        transform(
+          sequence(lit(0), floor((size(col("ws")) - 1) / lit(k)).cast("int")),
+          i => concat_ws(" ", slice(col("ws"), i * k + 1, lit(k)))))
+        .as(Seq("pos", "passage")))
+      .withColumn("h", md5(col("passage")))
+    val winners = passages
+      .groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("win"))
+    passages.join(winners, "h")
+      .filter(col("win.id") === col("id") && col("win.pos") === col("pos"))
+      .groupBy("id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("passage")))),
+          x => x.getField("passage"))).as("text_dedup"))
+      .select(col("id").as("doc_id"), col("text_dedup"))
+  }
+
   // --- MinHash + LSH ---
 
   /** Deterministic (a,b) parameters for the i-th hash permutation —

@@ -64,6 +64,65 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Deterministic global corpus shuffle: every row gets a stable
+    * permutation position `shuffle_pos` in [1, N] — the "shuffle the
+    * training data" step, made reproducible by ordering on
+    * (md5(key), key) instead of a seeded RNG. The same corpus always
+    * yields the same permutation, on any cluster size or engine.
+    *
+    * Scale shape — the naive formulation is
+    * `row_number() OVER (ORDER BY md5(key))`, an empty-frame window
+    * that Spark executes on a SINGLE partition (the whole corpus
+    * through one task). Here instead:
+    *   1. range-repartition + sort within partitions on the hash key
+    *      (the boundaries come from Spark's reservoir sample; ANY
+    *      boundaries give the same global order since partitions are
+    *      range-disjoint and internally sorted);
+    *   2. `localCheckpoint` the sorted partitions — the two passes
+    *      below each read the materialized blocks, not the shuffle
+    *      lineage;
+    *   3. pass 1 counts rows per partition (tiny: numPartitions rows
+    *      to the driver), prefix-summed into per-partition offsets;
+    *   4. pass 2 assigns rank = offset(pid) + local index, where the
+    *      local index is recovered from `monotonically_increasing_id`
+    *      (its low 33 bits are exactly the row's position within its
+    *      partition's evaluation order — the sorted order after step 1).
+    * No global sort to one task, no corpus-wide window state: the
+    * heaviest step is one range exchange, same cost class as any
+    * `ORDER BY` write. */
+  def globalShuffle(df: DataFrame, key: Column,
+                    numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val h = md5(key.cast("string"))
+    val sorted = df
+      .withColumn("__h", h).withColumn("__t", key.cast("string"))
+      .repartitionByRange(n, col("__h"), col("__t"))
+      .sortWithinPartitions(col("__h"), col("__t"))
+      .localCheckpoint()
+    val mask = (1L << 33) - 1
+    val counts = sorted
+      .groupBy(spark_partition_id().as("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L) { (acc, pid) =>
+      acc + counts.getOrElse(pid, 0L)
+    }
+    val offsetsDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList((0 until n).map(pid =>
+        org.apache.spark.sql.Row(pid, offsets(pid))): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType))))
+    sorted
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__li", monotonically_increasing_id().bitwiseAND(mask))
+      .join(broadcast(offsetsDf), "__pid")
+      .withColumn("shuffle_pos", col("__off") + col("__li") + lit(1))
+      .drop("__h", "__t", "__pid", "__li", "__off")
+  }
+
   /** Deterministic stratified sampling: exactly min(perStratum, |stratum|)
     * rows from every stratum, chosen by md5 order of the key — a
     * class-balanced subset that is stable across runs, partitionings

@@ -81,6 +81,25 @@ class DedupSpec extends SparkSpec {
     assert(merged == unionSig)
   }
 
+  test("passageDedup: first occurrence survives, repeats drop, docs reassemble") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),   // passages (k=3): "a b c", "d e f"
+      (2L, "a b c x y z"),   // "a b c" repeats doc 1 pos 0 -> dropped
+      (3L, "d e f"),         // entire doc already seen -> vanishes
+      (4L, "x y z a b")      // "x y z" repeats doc 2; tail passage "a b" is new
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a b c d e f", 2L -> "x y z", 4L -> "a b"))
+  }
+
+  test("passageDedup: duplicate passage inside ONE doc keeps only first") {
+    val corpus = Seq((7L, "p q r p q r s")).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(7L -> "p q r s"))
+  }
+
   test("simhash: identical docs collide, unrelated docs differ") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
