@@ -716,6 +716,30 @@ object Queries {
              |FROM lineitem GROUP BY 1""".stripMargin)
     )),
 
+    // Mergeable quantile sketch (percentile_approx = KLL-style, the
+    // distributed one-pass path). Like q_approx_distinct the sketch
+    // VALUE is engine-specific, but its rank-error contract is not:
+    // accuracy 10000 bounds rank error by n/10000, far inside the
+    // exact p45..p55 window computed alongside — the oracle asserts
+    // the containment literally TRUE and cross-checks the group counts.
+    "q_approx_quantile" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+              .as("approx_median"),
+            expr("percentile(l_extendedprice, 0.45)").as("p45"),
+            expr("percentile(l_extendedprice, 0.55)").as("p55"),
+            count(lit(1)).as("n_prices"))
+          .select(col("l_returnflag"), col("n_prices"),
+            (col("approx_median") >= col("p45") &&
+              col("approx_median") <= col("p55")).as("median_within_bound")),
+      Some("""SELECT l_returnflag, count(*) AS n_prices,
+             |TRUE AS median_within_bound
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    )),
+
     // One-pass multi-column profiling (exact mode so every cell is
     // oracle-hashable; the operator's default is the HLL single-pass
     // form for the 100 TB path). Timestamp min/max string forms match
@@ -877,6 +901,32 @@ object Queries {
              |sz AS (SELECT doc_id, len(sh) n FROM g),
              |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
              |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+             |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5""".stripMargin)
+    )),
+
+    // Cross-relation similarity join (record linkage): even-id docs
+    // fuzzy-joined against odd-id docs on 3-gram Jaccard >= 0.5 —
+    // the two-relation AllPairs/PPJoin with one shared rarity order.
+    "q_fuzzy_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.jaccardJoin(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", threshold = 0.5)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+             |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+             |  ELSE [] END sh FROM w),
+             |e AS (SELECT doc_id, unnest(sh) s FROM g),
+             |sz AS (SELECT doc_id, len(sh) n FROM g),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+             |      FROM e a JOIN e b ON a.s = b.s
+             |      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2)
              |SELECT id_a, id_b,
              |  round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
              |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
@@ -1445,6 +1495,52 @@ object Queries {
              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) rn
              |  FROM documents)
              |SELECT doc_id, source FROM r WHERE rn <= 20""".stripMargin)
+    )),
+
+    // SCD Type-2 merge: dimension rows versioned with (valid_from,
+    // valid_to). Current dim = customers with custkey % 5 != 0 (so the
+    // snapshot brings inserts); snapshot = customers with custkey % 7
+    // != 0 (deletes) and acctbal bumped for custkey % 10 == 0
+    // (changes). One full-outer join; both engines compute the same
+    // double arithmetic bit-for-bit.
+    "q_scd2_merge" -> ((
+      (s: SparkSession, dir: String) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val current = cust.filter(pmod(col("c_custkey"), lit(5)) =!= 0)
+          .withColumn("valid_from", to_date(lit("2020-01-01")))
+          .withColumn("valid_to", lit(null).cast("date"))
+        val snapshot = cust.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+          .withColumn("c_acctbal",
+            when(pmod(col("c_custkey"), lit(10)) === 0,
+              col("c_acctbal") + 100.0).otherwise(col("c_acctbal")))
+        operators.Components.scd2Merge(current, snapshot,
+          Seq("c_custkey"), Seq("c_mktsegment", "c_acctbal"),
+          to_date(lit("2021-06-01")))
+      },
+      Some("""WITH cur AS (
+             |  SELECT c_custkey, c_mktsegment, c_acctbal,
+             |         DATE '2020-01-01' AS vf FROM customer WHERE c_custkey % 5 != 0),
+             |snap AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+             |              ELSE c_acctbal END AS c_acctbal
+             |  FROM customer WHERE c_custkey % 7 != 0),
+             |j AS (SELECT coalesce(c.c_custkey, s.c_custkey) k,
+             |        c.c_custkey IS NOT NULL o, s.c_custkey IS NOT NULL sp,
+             |        c.c_mktsegment om, c.c_acctbal ob, c.vf ovf,
+             |        s.c_mktsegment sm, s.c_acctbal sb,
+             |        (c.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment AND
+             |         c.c_acctbal IS NOT DISTINCT FROM s.c_acctbal) same
+             |      FROM cur c FULL JOIN snap s ON c.c_custkey = s.c_custkey)
+             |SELECT k AS c_custkey, om AS c_mktsegment, ob AS c_acctbal,
+             |       ovf AS valid_from,
+             |       CASE WHEN sp AND same THEN NULL
+             |            ELSE DATE '2021-06-01' END AS valid_to
+             |FROM j WHERE o
+             |UNION ALL
+             |SELECT k, sm, sb, DATE '2021-06-01', NULL
+             |FROM j WHERE sp AND NOT (o AND same)""".stripMargin)
     )),
 
     // Deterministic global corpus shuffle: a stable training-order

@@ -71,4 +71,55 @@ object Components {
     * projection — parquet tables need no post-hoc ALTER. */
   def withNullColumn(df: DataFrame, name: String): DataFrame =
     df.withColumn(name, lit(null).cast("string"))
+
+  /** Slowly-changing-dimension Type 2 merge: apply a full key snapshot
+    * to a versioned dimension (the warehouse-side sibling of the
+    * reference's drop-and-recreate cycle — history kept instead of
+    * overwritten). `current` carries `keys ++ attrs ++ (valid_from,
+    * valid_to)` with `valid_to IS NULL` marking open rows; `snapshot`
+    * carries `keys ++ attrs` as of `asOf`. Per key:
+    *  - open row, attrs unchanged in snapshot → stays open;
+    *  - open row, attrs changed → closed at `asOf` + new open row;
+    *  - open row, key gone from snapshot → closed at `asOf` (delete);
+    *  - key new to the dimension → new open row from `asOf`;
+    *  - already-closed rows pass through untouched.
+    *
+    * Scale shape: ONE full-outer equi-join of the open slice against
+    * the snapshot on the key; the changed-key double row comes from
+    * exploding a filtered two-struct array in the same pass, not a
+    * second join branch. Attr comparison is null-safe (`<=>`). */
+  def scd2Merge(current: DataFrame, snapshot: DataFrame, keys: Seq[String],
+                attrs: Seq[String], asOf: Column,
+                validFrom: String = "valid_from",
+                validTo: String = "valid_to"): DataFrame = {
+    val outCols = keys ++ attrs ++ Seq(validFrom, validTo)
+    val closed = current.filter(col(validTo).isNotNull)
+      .select(outCols.map(col): _*)
+    val vtType = current.schema(validTo).dataType
+    val open = current.filter(col(validTo).isNull)
+      .select(keys.map(col) ++ attrs.map(c => col(c).as(s"__o_$c")) :+
+        col(validFrom).as("__o_vf"): _*)
+      .withColumn("__o", lit(true))
+    val snap = snapshot
+      .select(keys.map(col) ++ attrs.map(c => col(c).as(s"__s_$c")): _*)
+      .withColumn("__s", lit(true))
+    val j = open.join(snap, keys, "full_outer")
+      .withColumn("__o", coalesce(col("__o"), lit(false)))
+      .withColumn("__s", coalesce(col("__s"), lit(false)))
+    val same = attrs.map(c => col(s"__o_$c") <=> col(s"__s_$c")).reduce(_ && _)
+    def row(attr: String => Column, vf: Column, vt: Column, keep: Column) =
+      struct(attrs.map(c => attr(c).as(c)) :+ vf.as(validFrom) :+
+        vt.as(validTo) :+ keep.as("__keep"): _*)
+    val oldRow = row(c => col(s"__o_$c"), col("__o_vf"),
+      when(col("__s") && same, lit(null).cast(vtType)).otherwise(asOf),
+      col("__o"))
+    val newRow = row(c => col(s"__s_$c"), asOf, lit(null).cast(vtType),
+      col("__s") && !(col("__o") && same))
+    j.select(keys.map(col) :+
+        explode(filter(array(oldRow, newRow),
+          x => x.getField("__keep"))).as("__r"): _*)
+      .select(keys.map(col) ++
+        (attrs ++ Seq(validFrom, validTo)).map(c => col(s"__r.$c").as(c)): _*)
+      .unionByName(closed)
+  }
 }

@@ -62,7 +62,14 @@ object Dedup {
     * the join condition. */
   private def verifyJaccard(sets: DataFrame, candidates: DataFrame,
                             threshold: Double,
-                            broadcastSets: Boolean = false): DataFrame = {
+                            broadcastSets: Boolean = false): DataFrame =
+    verifyJaccardAB(sets, sets, candidates, threshold, broadcastSets)
+
+  /** Two-relation form: candidate (id_a, id_b) pairs verified against
+    * side-specific set tables (identical tables in the self-join case). */
+  private def verifyJaccardAB(setsA: DataFrame, setsB: DataFrame,
+                              candidates: DataFrame, threshold: Double,
+                              broadcastSets: Boolean = false): DataFrame = {
     import graft.plans.SetExpressions.jaccard_sorted
     // The per-doc set table grows linearly with the corpus, so a forced
     // broadcast would OOM at scale — the default is a plain shuffle
@@ -70,14 +77,14 @@ object Dedup {
     // automatically whenever the set table really is small. Callers that
     // KNOW the set side is tiny (e.g. a filtered sub-corpus) can still
     // force it with broadcastSets=true.
-    val sorted = sets.select(col("id"), sort_array(col("sh")).as("sh"))
-    def side(alias: String) = {
-      val s = sorted.select(col("id").as(s"id_$alias"), col("sh").as(s"sh_$alias"))
+    def side(sets: DataFrame, alias: String) = {
+      val s = sets.select(col("id").as(s"id_$alias"),
+        sort_array(col("sh")).as(s"sh_$alias"))
       if (broadcastSets) broadcast(s) else s
     }
     candidates
-      .join(side("a"), "id_a")
-      .join(side("b"), "id_b")
+      .join(side(setsA, "a"), "id_a")
+      .join(side(setsB, "b"), "id_b")
       .withColumn("jaccard", jaccard_sorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -92,45 +99,88 @@ object Dedup {
     * the skew bomb at 100 TB) sort to the suffix and never join — then
     * every candidate is verified exactly. Output is identical to the
     * naive inverted-index join at a fraction of the pairs. */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, n: Int = 3,
-                   broadcastSets: Boolean = false): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
-    val ex = sets.select(col("id"), explode(col("sh")).as("s"))
-    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
-    // per-doc shingles in (rarity, shingle) order — a deterministic
-    // global total order; struct sort_array gives it directly. This one
-    // aggregated relation feeds prefixes AND verification (as the
-    // lexically re-sorted set), so its exchange is computed once and
-    // reused across the self-join branches.
-    val ordered = ex.join(dfreq, "s")
+  /** Per-doc shingles in (rarity, shingle) order — a deterministic
+    * global total order; struct sort_array gives it directly. This one
+    * aggregated relation feeds prefixes AND verification (as the
+    * lexically re-sorted set), so its exchange is computed once and
+    * reused across the join branches. */
+  private def rarityOrdered(sets: DataFrame, dfreq: DataFrame): DataFrame =
+    sets.select(col("id"), explode(col("sh")).as("s"))
+      .join(dfreq, "s")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df_s"), col("s")))).as("ord"))
       .select(col("id"),
         transform(col("ord"), x => x.getField("s")).as("sorted_sh"))
       .withColumn("sh", sort_array(col("sorted_sh")))
+
+  /** (id, n, p, s) prefix rows: under the rarity order, a set with
+    * J >= t against anything must match within its first
+    * |S| - ceil(t*|S|) + 1 shingles; positions and sizes ride along for
+    * PPJoin-style pruning. */
+  private def prefixTable(ordered: DataFrame, threshold: Double): DataFrame = {
     val prefixLen = size(col("sorted_sh")) -
       ceil(lit(threshold) * size(col("sorted_sh"))).cast("int") + lit(1)
-    // prefixes carry (position, set size) for PPJoin-style pruning
-    val prefixes = ordered
-      .select(col("id"), size(col("sorted_sh")).as("n"),
-        posexplode(slice(col("sorted_sh"), lit(1), prefixLen)).as(Seq("p", "s")))
-    // J >= t requires overlap >= ceil(t/(1+t)·(na+nb)); a pair first
-    // matching at 0-based positions (pa, pb) can overlap at most
-    // 1 + min(na-pa-1, nb-pb-1). Size filter: min(na,nb) >= t·max(na,nb).
-    // Both prune candidates only — verification stays exact.
+    ordered.select(col("id"), size(col("sorted_sh")).as("n"),
+      posexplode(slice(col("sorted_sh"), lit(1), prefixLen)).as(Seq("p", "s")))
+  }
+
+  /** J >= t requires overlap >= ceil(t/(1+t)·(na+nb)); a pair first
+    * matching at 0-based positions (pa, pb) can overlap at most
+    * 1 + min(na-pa-1, nb-pb-1). Size filter: min(na,nb) >= t·max(na,nb).
+    * Both prune candidates only — verification stays exact. */
+  private def ppjoinPruned(prefA: DataFrame, prefB: DataFrame,
+                           threshold: Double): DataFrame = {
     val minOverlap = ceil(lit(threshold / (1 + threshold)) * (col("n_a") + col("n_b")))
     val posBound = lit(1) +
       least(col("n_a") - col("p_a") - 1, col("n_b") - col("p_b") - 1)
-    val candidates = prefixes.toDF("id_a", "n_a", "p_a", "s")
-      .join(prefixes.toDF("id_b", "n_b", "p_b", "s"), "s")
-      .filter(col("id_a") < col("id_b"))
+    prefA.toDF("id_a", "n_a", "p_a", "s")
+      .join(prefB.toDF("id_b", "n_b", "p_b", "s"), "s")
       .filter(least(col("n_a"), col("n_b")) >=
         ceil(lit(threshold) * greatest(col("n_a"), col("n_b"))))
       .filter(posBound >= minOverlap)
       .select("id_a", "id_b").distinct()
+  }
+
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, n: Int = 3,
+                   broadcastSets: Boolean = false): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val dfreq = sets.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df_s"))
+    val ordered = rarityOrdered(sets, dfreq)
+    val prefixes = prefixTable(ordered, threshold)
+    val candidates = ppjoinPruned(prefixes, prefixes, threshold)
+      .filter(col("id_a") < col("id_b"))
     verifyJaccard(ordered.select(col("id"), col("sh")), candidates, threshold,
       broadcastSets)
+  }
+
+  /** Cross-relation similarity join (record linkage): all (left, right)
+    * pairs with n-gram Jaccard >= threshold — EXACT, the two-relation
+    * form of [[jaccardPairs]]. Blocking is the same AllPairs/PPJoin
+    * prefix filter, under ONE rarity order computed over the union of
+    * both relations' shingles (the prefix bound needs a shared total
+    * order; per-side document frequencies would break the guarantee).
+    * Hub shingles common to both corpora sort to the suffixes and never
+    * join — the cross-corpus skew bomb at 100 TB.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a from `left`, id_b from
+    * `right`. Self-pairs are NOT excluded — relations are distinct. */
+  def jaccardJoin(left: DataFrame, right: DataFrame,
+                  idCol: String, textCol: String,
+                  threshold: Double, n: Int = 3,
+                  broadcastSets: Boolean = false): DataFrame = {
+    val setsL = shingleSets(left, idCol, textCol, n)
+    val setsR = shingleSets(right, idCol, textCol, n)
+    val dfreq = setsL.select(explode(col("sh")).as("s"))
+      .unionByName(setsR.select(explode(col("sh")).as("s")))
+      .groupBy("s").agg(count(lit(1)).as("df_s"))
+    val ordL = rarityOrdered(setsL, dfreq)
+    val ordR = rarityOrdered(setsR, dfreq)
+    val candidates = ppjoinPruned(
+      prefixTable(ordL, threshold), prefixTable(ordR, threshold), threshold)
+    verifyJaccardAB(ordL.select(col("id"), col("sh")),
+      ordR.select(col("id"), col("sh")), candidates, threshold, broadcastSets)
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup

@@ -43,4 +43,41 @@ class ComponentsSpec extends SparkSpec {
     assert(out.schema("email").dataType.typeName == "string")
     assert(out.collect().head.isNullAt(1))
   }
+
+  test("scd2Merge: unchanged stays open, change versions, delete closes, insert opens") {
+    import org.apache.spark.sql.functions._
+    val d0 = java.sql.Date.valueOf("2020-01-01")
+    val current = Seq(
+      (1L, "a", Some(d0), None: Option[java.sql.Date]),          // unchanged
+      (2L, "b", Some(d0), None: Option[java.sql.Date]),          // attr changes
+      (3L, "c", Some(d0), None: Option[java.sql.Date]),          // deleted
+      (4L, "old", Some(java.sql.Date.valueOf("2019-01-01")),
+        Some(d0))                                                // already closed
+    ).toDF("k", "attr", "valid_from", "valid_to")
+    val snapshot = Seq((1L, "a"), (2L, "B"), (5L, "new")).toDF("k", "attr")
+    val out = Components.scd2Merge(current, snapshot, Seq("k"), Seq("attr"),
+        to_date(lit("2021-06-01")))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getDate(2)).map(_.toString).orNull,
+        Option(r.getDate(3)).map(_.toString).orNull)).toSet
+    assert(out == Set(
+      (1L, "a", "2020-01-01", null),           // untouched open row
+      (2L, "b", "2020-01-01", "2021-06-01"),   // closed at asOf
+      (2L, "B", "2021-06-01", null),           // new version
+      (3L, "c", "2020-01-01", "2021-06-01"),   // delete -> closed
+      (5L, "new", "2021-06-01", null),         // insert
+      (4L, "old", "2019-01-01", "2020-01-01")  // closed history passes through
+    ))
+  }
+
+  test("scd2Merge: null-safe attr comparison treats null==null as unchanged") {
+    import org.apache.spark.sql.functions._
+    val d0 = java.sql.Date.valueOf("2020-01-01")
+    val current = Seq((1L, None: Option[String], Some(d0), None: Option[java.sql.Date]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val snapshot = Seq((1L, None: Option[String])).toDF("k", "attr")
+    val out = Components.scd2Merge(current, snapshot, Seq("k"), Seq("attr"),
+      to_date(lit("2021-06-01"))).collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
 }

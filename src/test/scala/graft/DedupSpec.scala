@@ -81,6 +81,29 @@ class DedupSpec extends SparkSpec {
     assert(merged == unionSig)
   }
 
+  test("jaccardJoin: cross-relation pairs match brute-force truth, self-pairs allowed") {
+    val left = docs.filter("doc_id % 2 = 1")  // docs 1, 3
+    val right = docs.filter("doc_id % 2 = 0") // docs 2, 4
+    val out = Dedup.jaccardJoin(left, right, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1~2 near-dup, 1~4 exact dup, 3 matches nothing
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 4L)))
+    assert(out.find(p => p._1 == 1L && p._2 == 4L).get._3 == 1.0)
+  }
+
+  test("jaccardJoin equals jaccardPairs restricted to the bipartition") {
+    val left = docs.filter("doc_id % 2 = 1")
+    val right = docs.filter("doc_id % 2 = 0")
+    val cross = Dedup.jaccardJoin(left, right, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1))).toSet
+    val all = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 % 2 != p._2 % 2)
+      .map(p => (p._1 min p._2, p._1 max p._2)).toSet
+    assert(cross == all)
+  }
+
   test("passageDedup: first occurrence survives, repeats drop, docs reassemble") {
     val corpus = Seq(
       (1L, "a b c d e f"),   // passages (k=3): "a b c", "d e f"
