@@ -66,6 +66,30 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events sharing its key whose timestamp falls in
+    * `[leftTs, leftTs + windowSeconds)` — funnels, click→conversion
+    * attribution, cause→effect correlation, live.
+    *
+    * Both sides are watermarked, and the time-interval condition is
+    * what lets Spark BOUND the join state: each side's buffered rows
+    * are evicted once the other side's watermark passes the interval,
+    * so state is O(events inside watermark+window), not O(stream).
+    * Without the interval bound a stream-stream join must buffer
+    * forever — the condition is load-bearing, not an optimization.
+    * Right-side key columns are dropped from the output (they equal
+    * the left's); non-key columns must be pre-renamed to be disjoint. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTs: String, rightTs: String, windowSeconds: Long,
+                   watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val cond = keyCols.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) < l(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS")
+    keyCols.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+  }
+
   final case class DocBand(doc_id: Long, band: Int, bh: Long)
   final case class DupCandidate(doc_id: Long, prior_doc_id: Long, band: Int)
 

@@ -156,6 +156,31 @@ class StreamingSpec extends SparkSpec {
     assert(s.n_events == 3 && s.start == ts(1) && s.end == ts(4) && s.total_value == 7.0)
   }
 
+  test("intervalJoin pairs events within the window, drops ones outside") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val left = clicks.toDF().select($"user_id", $"ts".as("click_ts"),
+      $"event_id".as("click_id"))
+    val right = buys.toDF().select($"user_id", $"ts".as("buy_ts"),
+      $"event_id".as("buy_id"))
+    val q = EventStreams.intervalJoin(left, right, Seq("user_id"),
+        "click_ts", "buy_ts", windowSeconds = 5 * 60)
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData(Event(1, ts(1), 7, "click", 0), Event(2, ts(2), 8, "click", 0))
+    // user 7 converts inside the 5-min window; user 8 converts too late;
+    // user 9 converts with no click at all
+    buys.addData(Event(11, ts(4), 7, "buy", 0), Event(12, ts(20), 8, "buy", 0),
+      Event(13, ts(3), 9, "buy", 0))
+    q.processAllAvailable()
+    val got = spark.table("attributed")
+      .select("user_id", "click_id", "buy_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got == Set((7L, 1L, 11L)))
+  }
+
   test("sessionize closes sessions on gap and keeps open state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
