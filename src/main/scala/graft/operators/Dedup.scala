@@ -247,6 +247,52 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Asymmetric containment join: (a, b) pairs where
+    * |Sh(a) ∩ Sh(b)| / |Sh(a)| >= threshold — "how much of LEFT doc a
+    * is contained in RIGHT doc b". The provenance/quotation sibling of
+    * [[jaccardJoin]]: Jaccard punishes length mismatch, containment is
+    * exactly the "short doc quoted inside a long doc" detector (test-set
+    * contamination, boilerplate provenance, quote mining).
+    *
+    * Pruning: containment >= t forces overlap >= ceil(t·|A|), so a
+    * qualifying pair must share a shingle within A's first
+    * |A| - ceil(t·|A|) + 1 shingles under ANY fixed per-set order
+    * (rarity order, to keep hub shingles out of the prefixes). The
+    * right side admits NO such bound (a huge b can contain all of a),
+    * so candidates join A-prefixes against the full exploded right
+    * side — still an equi-join on shingle, never a cross product.
+    * Verification is exact via the sorted-merge overlap count. */
+  def containmentJoin(left: DataFrame, right: DataFrame,
+                      idCol: String, textCol: String,
+                      threshold: Double, n: Int = 3): DataFrame = {
+    import graft.plans.SetExpressions.overlap_sorted
+    val setsL = shingleSets(left, idCol, textCol, n)
+    val setsR = shingleSets(right, idCol, textCol, n)
+    val dfreq = setsL.select(explode(col("sh")).as("s"))
+      .unionByName(setsR.select(explode(col("sh")).as("s")))
+      .groupBy("s").agg(count(lit(1)).as("df_s"))
+    val ordL = rarityOrdered(setsL, dfreq)
+    // containment prefix: overlap >= ceil(t*|A|) leaves at most
+    // |A| - ceil(t*|A|) leading misses
+    val prefixLen = size(col("sorted_sh")) -
+      ceil(lit(threshold) * size(col("sorted_sh"))).cast("int") + lit(1)
+    val prefL = ordL.select(col("id").as("id_a"),
+      posexplode(slice(col("sorted_sh"), lit(1), prefixLen)).as(Seq("p", "s")))
+      .drop("p")
+    val exR = setsR.select(col("id").as("id_b"), explode(col("sh")).as("s"))
+    val candidates = prefL.join(exR, "s").select("id_a", "id_b").distinct()
+    val sortedL = ordL.select(col("id").as("id_a"), sort_array(col("sh")).as("sh_a"))
+    val sortedR = setsR.select(col("id").as("id_b"), sort_array(col("sh")).as("sh_b"))
+    candidates
+      .join(sortedL, "id_a").join(sortedR, "id_b")
+      .withColumn("containment",
+        overlap_sorted(col("sh_a"), col("sh_b")).cast("double") /
+          size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Passage-level exact dedup — the practical form of exact-substring
     * deduplication for training corpora (the suffix-array formulation of
     * Lee et al., "Deduplicating Training Data Makes Language Models

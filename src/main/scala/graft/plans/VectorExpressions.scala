@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 
 /** Native Catalyst expressions for the vector hot path.
@@ -211,6 +211,55 @@ object SetExpressions {
   def jaccard_sorted(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       SortedArrayJaccard(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  /** Intersection SIZE of two pre-sorted string arrays — the same
+    * single merge-walk as [[SortedArrayJaccard]] returning the raw
+    * count, for asymmetric measures (containment i/|A|) where the
+    * caller owns the denominator. */
+  case class SortedArrayOverlap(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "overlap_sorted"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val (n, m) = (x.numElements(), y.numElements())
+      var i = 0; var j = 0; var inter = 0
+      while (i < n && j < m) {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      inter
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+        s"""
+           |int $n = $a.numElements(); int $m = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $n && $j < $m) {
+           |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($c == 0) { $inter++; $i++; $j++; }
+           |  else if ($c < 0) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $inter;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def overlap_sorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      SortedArrayOverlap(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 }

@@ -104,6 +104,38 @@ class DedupSpec extends SparkSpec {
     assert(cross == all)
   }
 
+  test("containmentJoin: short doc inside long doc scores 1.0, jaccard would not") {
+    val shortDoc = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val longDocs = Seq(
+      (20L, "intro words alpha beta gamma delta plus a very long tail of extra content here"),
+      (21L, "nothing shared with the query document at all in any way")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentJoin(shortDoc, longDocs, "doc_id", "text",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10L, 20L, 1.0)))
+    // sanity: symmetric jaccard on the same pair is far below 0.9
+    val j = Dedup.jaccardJoin(shortDoc, longDocs, "doc_id", "text",
+      threshold = 0.9).count()
+    assert(j == 0)
+  }
+
+  test("containmentJoin matches brute-force containment on the fixture docs") {
+    val left = docs.filter("doc_id % 2 = 1")
+    val right = docs.filter("doc_id % 2 = 0")
+    val got = Dedup.containmentJoin(left, right, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force via shingle sets
+    val sets = Dedup.shingleSets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; if a % 2 == 1
+      (b, sb) <- sets.toSeq; if b % 2 == 0
+      if sa.intersect(sb).size.toDouble / sa.size >= 0.5
+    } yield (a, b)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("passageDedup: first occurrence survives, repeats drop, docs reassemble") {
     val corpus = Seq(
       (1L, "a b c d e f"),   // passages (k=3): "a b c", "d e f"
