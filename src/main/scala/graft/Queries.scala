@@ -784,6 +784,35 @@ object Queries {
              |FROM events GROUP BY 1, 2""".stripMargin)
     )),
 
+    // Dense hourly grid per user with forward fill: buckets with no
+    // events inherit the last observed hour's sum (decimal-exact so
+    // the filled doubles hash identically). is_gap marks synthesized
+    // rows; each user's first bucket has data, so the fill is total.
+    "q_gap_fill" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Timeseries.gapFill(
+          Tables.events(s, dir).filter(col("user_id") < 40),
+          Seq("user_id"), "ts",
+          expr("cast(sum(cast(value as decimal(18,2))) as double)"),
+          unit = "hour")
+          .select(col("user_id"),
+            date_format(col("bucket"), "yyyy-MM-dd HH:00").as("hour"),
+            col("v_filled"), col("is_gap")),
+      Some("""WITH b AS (SELECT user_id, date_trunc('hour', ts) bucket,
+             |         cast(sum(cast(value as decimal(18,2))) as double) v
+             |       FROM events WHERE user_id < 40 GROUP BY 1, 2),
+             |spans AS (SELECT user_id, min(bucket) lo, max(bucket) hi FROM b GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) bucket
+             |         FROM spans),
+             |j AS (SELECT g.user_id, g.bucket, b.v FROM grid g
+             |      LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket)
+             |SELECT user_id, strftime(bucket, '%Y-%m-%d %H:00') AS hour,
+             |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+             |  v IS NULL AS is_gap
+             |FROM j""".stripMargin)
+    )),
+
     "q_scalar_subquery" -> ((
       // the engine's SQL surface: uncorrelated scalar subquery via spark.sql
       (s: SparkSession, dir: String) => {

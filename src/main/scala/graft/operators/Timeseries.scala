@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an event stream onto a fixed
+  * grid and forward-fill the gaps — the step every monitoring /
+  * feature-engineering pipeline runs before windowed models, and a
+  * capability the reference's snapshot loads have no answer to.
+  *
+  * Scale shape: one aggregation to the (key, bucket) grain, one tiny
+  * per-key span aggregate whose `sequence` explode regenerates the
+  * dense grid (rows = keys × span buckets — bound the span upstream
+  * for sparse keys with multi-year gaps), a left equi-join back, and
+  * one per-key window for the fill. Everything shuffles on the key:
+  * no driver loops, no cross products.
+  */
+object Timeseries {
+
+  /** Dense per-key time grid from each key's min to max bucket with
+    * `agg` computed where data exists, nulls forward-filled from the
+    * last observed bucket (`last(..., ignoreNulls)` — each key's first
+    * bucket always has data, so the fill is total). Output:
+    * keys, `bucket`, `v_filled`, `is_gap`.
+    *
+    * `unit` is any `date_trunc` unit with a matching 1-unit interval
+    * step ("minute", "hour", "day", "week", "month"). */
+  def gapFill(df: DataFrame, keys: Seq[String], tsCol: String, agg: Column,
+              unit: String = "hour"): DataFrame = {
+    val k = keys.map(col)
+    val bucketed = df
+      .groupBy(k :+ date_trunc(unit, col(tsCol)).as("bucket"): _*)
+      .agg(agg.as("v"))
+    val grid = bucketed
+      .groupBy(k: _*).agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(k :+ explode(sequence(col("lo"), col("hi"),
+        expr(s"interval 1 $unit"))).as("bucket"): _*)
+    val w = Window.partitionBy(k: _*).orderBy(col("bucket"))
+    grid.join(bucketed, keys :+ "bucket", "left")
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("v").isNull)
+      .drop("v")
+  }
+}
