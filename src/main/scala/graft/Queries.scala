@@ -1029,6 +1029,32 @@ object Queries {
       }
     )),
 
+    // Capped-TF weighted SimHash (cap=2): distinct tokens vote with
+    // min(tf,2), so repeated-token spam can't dominate the sketch.
+    // Integer votes keep both engines bit-identical; same band join
+    // and pigeonhole recall as the unweighted form.
+    "q_dedup_simhash_weighted" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 3, bands = 4, tfCap = 2),
+      Some {
+        def bitTerms(hv: String) = (0 until 32).map { j =>
+          s"(CASE WHEN sum(CASE WHEN ($hv >> $j) & 1 = 1 THEN w ELSE -w END) >= 0" +
+            s" THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+           |tf AS (SELECT doc_id, tok, least(count(*), 2) w FROM t GROUP BY 1, 2),
+           |h AS (SELECT doc_id, w, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) hh,
+           |             CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) hl FROM tf),
+           |s AS (SELECT doc_id, (${bitTerms("hh")}) sim_hi, (${bitTerms("hl")}) sim_lo
+           |      FROM h GROUP BY doc_id)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INTEGER) AS hamming
+           |FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3""".stripMargin
+      }
+    )),
+
     "q_dedup_clusters" -> ((
       // connected components over the jaccard>=0.8 near-dup graph:
       // every member labeled with its component's minimum doc id

@@ -431,9 +431,12 @@ object Dedup {
     * 64-bit width (round 2; was 32) so each of the 4 band values spans
     * 16 bits: 65 536 bucket values per band instead of 256, keeping the
     * band self-join linear-ish at billions of docs. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              tfCap: Int = 0): DataFrame =
     df.select(col(idCol).as("id"),
-      graft.plans.SketchExpressions.simhash64(col(textCol)).as("simhash"))
+      (if (tfCap > 0)
+        graft.plans.SketchExpressions.simhash64_weighted(col(textCol), tfCap)
+      else graft.plans.SketchExpressions.simhash64(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
     * via band join on `bands` equal bit-slices. Pigeonhole: with
@@ -448,11 +451,12 @@ object Dedup {
     * configuration). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bands: Int = 4,
-                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                   maxBucketSize: Int = Int.MaxValue,
+                   tfCap: Int = 0): DataFrame = {
     require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
     require(64 % bands == 0, "bands must divide 64")
     val bits = 64 / bands
-    val sims = simhash(df, idCol, textCol)
+    val sims = simhash(df, idCol, textCol, tfCap)
     val banded0 = sims.select(col("id"), col("simhash"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),

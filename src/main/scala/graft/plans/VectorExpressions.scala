@@ -472,6 +472,65 @@ object SketchExpressions {
     sim
   }
 
+  /** Capped-term-frequency weighted 64-bit SimHash: each DISTINCT
+    * token votes with weight min(tf, cap) instead of once per
+    * occurrence — sublinear TF damping, so one token repeated 500
+    * times (SEO spam, boilerplate padding) cannot dominate the
+    * sketch. Integer weights keep the bit votes EXACTLY reproducible
+    * in any engine (no float summation order); cap=1 is pure
+    * distinct-token SimHash. */
+  def computeSimhashWeighted(text: org.apache.spark.unsafe.types.UTF8String,
+                             cap: Int): Long = {
+    val toks = text.toString.split(" ", -1)
+    val tf = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < toks.length) {
+      tf.merge(toks(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    val sums = new Array[Int](64)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val w = math.min(e.getValue, cap)
+      val h = md5Hash64(e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 64) {
+        if (((h >> j) & 1L) == 1L) sums(j) += w else sums(j) -= w
+        j += 1
+      }
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) >= 0) sim |= (1L << j)
+      j += 1
+    }
+    sim
+  }
+
+  case class SimHash64Weighted(child: Expression, cap: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64_weighted"
+
+    override protected def nullSafeEval(v: Any): Any =
+      computeSimhashWeighted(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], cap)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.plans.SketchExpressions$$.MODULE$$" +
+          s".computeSimhashWeighted($input, $cap);")
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def simhash64_weighted(text: Column, cap: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      SimHash64Weighted(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), cap))
+
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"

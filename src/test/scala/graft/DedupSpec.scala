@@ -155,6 +155,23 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(7L -> "p q r s"))
   }
 
+  test("weighted simhash: repeated-token spam can't drag a doc toward a dup") {
+    import graft.plans.SketchExpressions.{computeSimhash, computeSimhashWeighted}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val spam = base + (" viagra" * 50)
+    // unweighted: 50 repeats of one token dominate the bit votes
+    val unweightedDist = java.lang.Long.bitCount(
+      computeSimhash(u(base)) ^ computeSimhash(u(spam)))
+    val weightedDist = java.lang.Long.bitCount(
+      computeSimhashWeighted(u(base), 2) ^ computeSimhashWeighted(u(spam), 2))
+    assert(weightedDist < unweightedDist)
+    // cap=1 on distinct-token text equals the unweighted sketch
+    val distinctText = "one two three four five"
+    assert(computeSimhashWeighted(u(distinctText), 1) ==
+      computeSimhash(u(distinctText)))
+  }
+
   test("simhash: identical docs collide, unrelated docs differ") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
