@@ -176,6 +176,43 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("grp"), col("sketch"))
   }
 
+  /** Streaming upsert sink: each micro-batch merges into a parquet
+    * key-value table with LAST-writer-wins per key across batches
+    * (within a batch, deterministic first-writer-wins by `tieBreak` —
+    * [[graft.operators.Components.mergeFirstWriterWins]] with the new
+    * batch at priority 0). The merge is idempotent, so checkpointed
+    * batch replays after a crash converge to the same table —
+    * effectively-once without a transactional table format.
+    *
+    * The merged result is staged to `<path>.staging` and swapped in
+    * (parquet cannot overwrite a path it is reading); the swap is
+    * single-writer, not reader-atomic — at production scale this
+    * per-batch rewrite is the cue to move to a transactional format,
+    * or keep per-key state small (dimension/state tables, not facts). */
+  def upsertSink(stream: DataFrame, path: String, checkpoint: String,
+                 keys: Seq[String],
+                 tieBreak: Seq[org.apache.spark.sql.Column] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(path)
+        val merged =
+          if (fs.exists(target))
+            graft.operators.Components.mergeFirstWriterWins(
+              Seq(batch, spark.read.parquet(path)), keys, tieBreak)
+          else batch
+        val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(target, true)
+        fs.rename(staging, target)
+        ()
+      }
+      .start()
+
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState): a session closes when the next event for
     * the user arrives more than `gapMs` after the previous one; closed

@@ -181,6 +181,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((7L, 1L, 11L)))
   }
 
+  test("upsertSink: later batches win per key, earlier keys survive") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val path = s"$dir/state"
+    val ck = s"$dir/ck"
+    val q = EventStreams.upsertSink(
+      input.toDF().select($"user_id", $"event_type", $"value"),
+      path, ck, keys = Seq("user_id"))
+    input.addData(Event(1, ts(1), 7, "click", 1.0), Event(2, ts(2), 8, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(3), 8, "buy", 9.0), Event(4, ts(4), 9, "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      7L -> ("click", 1.0),  // untouched from batch 1
+      8L -> ("buy", 9.0),    // batch 2 overwrote batch 1
+      9L -> ("view", 3.0)))  // inserted by batch 2
+  }
+
   test("sessionize closes sessions on gap and keeps open state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
