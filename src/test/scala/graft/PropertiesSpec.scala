@@ -134,6 +134,55 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("passageDedup invariants: every distinct passage survives exactly once; dedup is idempotent") {
+    val k = 3
+    samples(rows, 5).foreach { xs =>
+      val docs = xs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.passageDedup(docs, "doc_id", "text", k)
+      val survivors = out.collect().map(r => r.getLong(0) -> r.getString(1))
+      // union of surviving passages == distinct passages of the input
+      def passagesOf(t: String) =
+        t.split(" ", -1).grouped(k).map(_.mkString(" ")).toSeq
+      val inputPassages = xs.flatMap(passagesOf).distinct.sorted
+      val outputPassages = survivors.flatMap(p => passagesOf(p._2)).sorted
+      assert(outputPassages.toSeq == inputPassages,
+        "surviving passages must be exactly the distinct input passages")
+      // idempotence: re-deduping the output changes nothing
+      val again = Dedup.passageDedup(
+        survivors.toSeq.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(again == survivors.toMap)
+    }
+  }
+
+  test("containment laws: self-containment is 1; containment(a in b) = 1 when a's shingles ⊆ b's") {
+    samples(text, 8).foreach { t =>
+      val doc = Seq((1L, t)).toDF("doc_id", "text")
+      val ext = Seq((2L, t + " omega psi chi")).toDF("doc_id", "text")
+      val c = Dedup.containmentJoin(doc, ext, "doc_id", "text", threshold = 0.99)
+        .collect()
+      assert(c.length == 1 && c.head.getDouble(2) == 1.0,
+        s"prefix-of-superset containment must be 1.0 for '$t'")
+    }
+  }
+
+  test("globalShuffle is a permutation and agrees with the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    samples(Gen.listOfN(30, Gen.choose(0L, 1000L)).map(_.distinct), 5).foreach { ks =>
+      val df = ks.toDF("k")
+      val got = graft.operators.Sampling.globalShuffle(df, col("k"), 5)
+        .select("k", "shuffle_pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.withColumn("p", row_number().over(
+          Window.orderBy(md5(col("k").cast("string")), col("k").cast("string")))
+          .cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    }
+  }
+
   test("quote repair leaves clean CSV lines unchanged") {
     val cleanCsv = Gen.listOfN(3, Gen.oneOf("aa", "bb", "cc")).map(_.mkString(","))
     samples(cleanCsv, 10).foreach { line =>
