@@ -611,6 +611,66 @@ object Queries {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     )),
 
+    // Ordered funnel (view -> click -> purchase by FIRST occurrence,
+    // strict timestamp order): one groupBy to per-user first-touch
+    // times, then integer stage counts — microsecond timestamps, so
+    // comparisons are exact in both engines.
+    "q_funnel" -> ((
+      (s: SparkSession, dir: String) => {
+        def firstTs(t: String) =
+          min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+          .agg(
+            count(col("t_view")).as("n_view"),
+            count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+            count(when(col("t_view") < col("t_click") &&
+              col("t_click") < col("t_purchase"), 1)).as("n_full_funnel"))
+      },
+      Some("""WITH m AS (SELECT user_id,
+             |  min(ts) FILTER (event_type = 'view') tv,
+             |  min(ts) FILTER (event_type = 'click') tc,
+             |  min(ts) FILTER (event_type = 'purchase') tp
+             |  FROM events GROUP BY 1)
+             |SELECT count(tv) AS n_view,
+             |  count(CASE WHEN tv < tc THEN 1 END) AS n_view_click,
+             |  count(CASE WHEN tv < tc AND tc < tp THEN 1 END) AS n_full_funnel
+             |FROM m""".stripMargin)
+    )),
+
+    // Per-group z-score outliers WITHOUT floating-point variance:
+    // on cent-integers, |v-mean| > 3σ  ⟺  (n·v − S)² > 9·(n·Q − S²)
+    // with S=Σv, Q=Σv² — pure decimal(38,0) integer arithmetic, exact
+    // and overflow-safe in both engines at any SF. The 5-row per-type
+    // aggregate broadcasts back; no window over a 5-partition shuffle.
+    "q_outliers" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("decimal(38,0)").as("c"))
+        val stats = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("c")).as("s"),
+            sum(col("c") * col("c")).as("q"))
+        ev.join(broadcast(stats), "event_type")
+          .filter((col("n") * col("c") - col("s")) *
+            (col("n") * col("c") - col("s")) >
+            lit(9) * (col("n") * col("q") - col("s") * col("s")))
+          .select(col("event_id"), col("event_type"))
+      },
+      // DuckDB side rides HUGEINT (int128) where Spark uses
+      // decimal(38,0): same exact integer arithmetic, so the filter
+      // boolean is engine-independent even though the internal types
+      // differ (only ids are output).
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |    CAST(round(value * 100) AS HUGEINT) c FROM events),
+             |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) n,
+             |    sum(c) s, sum(c*c) q FROM e GROUP BY 1)
+             |SELECT event_id, event_type FROM e JOIN st USING (event_type)
+             |WHERE (n*c - s)*(n*c - s) > 9*(n*q - s*s)""".stripMargin)
+    )),
+
     "q_sessionize" -> ((
       // batch twin of streaming/EventStreams.sessionize: 30-min gap
       (s: SparkSession, dir: String) => {
