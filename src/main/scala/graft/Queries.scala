@@ -1049,6 +1049,43 @@ object Queries {
              |WHERE CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8""".stripMargin)
     )),
 
+    // Entity resolution end-to-end: cross-relation fuzzy MATCH
+    // (jaccardJoin) -> duplicate CLUSTERING over the bipartite match
+    // graph -> every linked doc labeled with its cluster's canonical
+    // (minimum) id. The linkage sibling of q_dedup_clusters; the
+    // oracle replays the clustering as a recursive-CTE closure.
+    "q_linkage_clusters" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.jaccardJoin(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", threshold = 0.5).select("id_a", "id_b")
+        Dedup.duplicateClusters(pairs)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+             |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+             |  ELSE [] END sh FROM w),
+             |ex AS (SELECT doc_id, unnest(sh) sg FROM g),
+             |sz AS (SELECT doc_id, len(sh) n FROM g),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+             |      FROM ex a JOIN ex b ON a.sg = b.sg
+             |      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b FROM p
+             |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+             |e AS (SELECT id_a a, id_b b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+             |r AS (
+             |  WITH RECURSIVE reach(x, y) AS (
+             |    SELECT a, b FROM e
+             |    UNION
+             |    SELECT reach.x, e.b FROM reach JOIN e ON reach.y = e.a
+             |  ) SELECT * FROM reach
+             |)
+             |SELECT x AS doc_id, least(x, min(y)) AS canonical_id FROM r GROUP BY x""".stripMargin)
+    )),
+
     "q_dedup_minhash_lsh" -> ((
       (s: SparkSession, dir: String) =>
         Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", "text", threshold = 0.8),

@@ -42,4 +42,27 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, n_notnull, n_nulls, n_distinct, min_value, max_value)"))
   }
+
+  /** Schema drift between two snapshots of "the same" table — the
+    * monitoring twin of the reference's add-column evolution (D1):
+    * one row per added / removed / retyped column, empty when the
+    * schemas agree. Pure metadata (no job runs); returned as a
+    * DataFrame so drift reports compose with the rest of a monitoring
+    * pipeline (union over tables, sink to the catalog, alert filter). */
+  def schemaDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val a = after.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val names = (before.schema.fieldNames ++ after.schema.fieldNames).distinct
+    val drift = names.flatMap { n =>
+      (b.get(n), a.get(n)) match {
+        case (None, Some(t))              => Some((n, "added", null: String, t))
+        case (Some(t), None)              => Some((n, "removed", t, null: String))
+        case (Some(x), Some(y)) if x != y => Some((n, "retyped", x, y))
+        case _                            => None
+      }
+    }
+    val spark = before.sparkSession
+    import spark.implicits._
+    drift.toSeq.toDF("column_name", "change", "before_type", "after_type")
+  }
 }

@@ -21,6 +21,19 @@ class ProfileSpec extends SparkSpec {
     assert(out("v") == (3L, 1L, 2L, "a", "b"))
   }
 
+  test("schemaDrift: added, removed, retyped columns; empty when identical") {
+    val before = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val after = Seq((1L, 1, true)).toDF("id", "name", "active")
+    val drift = Profile.schemaDrift(before, after)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(drift == Set(
+      ("name", "retyped", Some("string"), Some("int")),
+      ("score", "removed", Some("double"), None),
+      ("active", "added", None, Some("boolean"))))
+    assert(Profile.schemaDrift(before, before).isEmpty)
+  }
+
   test("profile: approx distinct lands within HLL bounds on a real column") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val byMode = Seq(false, true).map { exact =>
