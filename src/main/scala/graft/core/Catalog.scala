@@ -108,6 +108,37 @@ object Catalog {
       .jdbc(url, table, properties)
   }
 
+  /** Small-file compaction for a parquet directory: incremental sinks
+    * (per-cycle appends, streaming upserts, dynamic partition
+    * overwrites) accumulate files far below the ~128-256 MB a scan
+    * wants, and at 100 TB the resulting task-per-tiny-file overhead
+    * and NameNode/listing pressure dominate. Rewrites the directory to
+    * ceil(bytes / targetFileBytes) files via `coalesce` (a NARROW
+    * repartitioning — no shuffle; skipped entirely if the file count
+    * is already at or below the target), staged and swapped like the
+    * streaming upsert sink. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 256L * 1024 * 1024): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val dataFiles = fs.listStatus(target)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val want = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (dataFiles.length <= want) (dataFiles.length, dataFiles.length)
+    else {
+      val staging = new org.apache.hadoop.fs.Path(path + ".compacting")
+      spark.read.parquet(path).coalesce(want)
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      fs.delete(target, true)
+      fs.rename(staging, target)
+      val after = fs.listStatus(target)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      (dataFiles.length, after)
+    }
+  }
+
   /** JDBC source, partition-parallel when a numeric split column is
     * given (each partition issues a bounded-range query). */
   def readJdbc(spark: SparkSession, url: String, table: String,

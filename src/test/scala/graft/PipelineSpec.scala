@@ -130,6 +130,24 @@ class PipelineSpec extends SparkSpec {
     assert(graft.core.Catalog.readJdbc(spark, url, "c_person").count() == 3)
   }
 
+  test("compact merges small parquet files, preserves rows, skips when already compact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1L to 1000L).toDF("id")
+    df.repartition(20).write.parquet(dir)
+    val (before, after) = graft.core.Catalog.compact(spark, dir,
+      targetFileBytes = 1L * 1024 * 1024)
+    assert(before == 20 && after == 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == 500500L)
+    // second pass is a no-op: already at or below the target file count
+    val (b2, a2) = graft.core.Catalog.compact(spark, dir,
+      targetFileBytes = 1L * 1024 * 1024)
+    assert(b2 == 1 && a2 == 1)
+  }
+
   test("stage skip flags gate load and compress") {
     val bucket = Files.createTempDirectory("graft_bucket2")
     writeZip(bucket, "VR_Snapshot_20240101.zip",
