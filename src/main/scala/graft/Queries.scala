@@ -66,6 +66,32 @@ object Queries {
        |FROM r WHERE rn <= $k""".stripMargin
   }
 
+  /** Literal-hyperplane oracle for the blocking-free LSH PAIR variant:
+    * per-table buckets over disjoint plane ranges, same-bucket
+    * candidates, exact cosine verify. */
+  private def lshPairsOracleSql(dims: Int, ppt: Int, tables: Int,
+                                threshold: Double): String = {
+    val planeRows = (0 until ppt * tables).map { p =>
+      val vs = (0 until dims).map(d => Similarity.planeComponent(p, d)).mkString(", ")
+      s"($p, [$vs])"
+    }.mkString(",\n")
+    s"""WITH pl(p, v) AS (SELECT * FROM (VALUES
+       |$planeRows
+       |) t(p, v)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+       |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM e),
+       |bk AS (SELECT n.vec_id, pl.p // $ppt AS tbl,
+       |  CAST(sum(CASE WHEN list_sum([n.emb[i+1] * pl.v[i+1] for i in range(len(n.emb))]) >= 0
+       |    THEN (CAST(1 AS BIGINT) << (pl.p % $ppt)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM n, pl GROUP BY 1, 2),
+       |c AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b FROM bk a
+       |  JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |s AS (SELECT id_a, id_b,
+       |  list_sum([x.emb[i+1] * y.emb[i+1] for i in range(len(x.emb))]) / sqrt(x.n2 * y.n2) score
+       |  FROM c JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b)
+       |SELECT id_a, id_b, round(score, 6) AS score FROM s WHERE score >= $threshold""".stripMargin
+  }
+
   /** name -> (spark impl, optional DuckDB oracle SQL). Ordered. */
   val all: Seq[(String, (QueryFn, Option[String]))] = Seq(
 
@@ -1192,6 +1218,17 @@ object Queries {
              |  list_sum([a.emb[i+1]*b.emb[i+1] for i in range(len(a.emb))]) / sqrt(a.n2 * b.n2) score
              |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
              |SELECT id_a, id_b, round(score, 6) AS score FROM s WHERE score >= 0.3""".stripMargin)
+    )),
+
+    // Blocking-free embedding near-dup: 4 independent hyperplane LSH
+    // tables (6 planes each, disjoint plane ranges) generate
+    // candidates with NO semantic label column; exact cosine verify
+    // >= 0.3. The oracle replays the fixed planes as literals.
+    "q_dedup_embedding_lsh" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.lshCosinePairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.3, dims = 64),
+      Some(lshPairsOracleSql(dims = 64, ppt = 6, tables = 4, threshold = 0.3))
     )),
 
     // ===== LLM-data-pipeline: similarity search =====

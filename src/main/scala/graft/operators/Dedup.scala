@@ -411,8 +411,8 @@ object Dedup {
   /** Drop rows of over-sized join buckets — the skew guard shared by
     * the banded candidate generators. `Int.MaxValue` means uncapped
     * (the oracle-exact configuration). */
-  private def capBuckets(df: DataFrame, bucketCols: Seq[String],
-                         maxBucketSize: Int): DataFrame =
+  private[operators] def capBuckets(df: DataFrame, bucketCols: Seq[String],
+                                    maxBucketSize: Int): DataFrame =
     if (maxBucketSize == Int.MaxValue) df
     else {
       val w = org.apache.spark.sql.expressions.Window

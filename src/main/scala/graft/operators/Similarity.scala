@@ -300,11 +300,50 @@ object Similarity {
     * [[graft.plans.VectorExpressions.DotProduct]] against a constant
     * plane vector — not a `dims`-term expression tree, which chokes
     * codegen at realistic dimensionality. */
-  def lshBucket(emb: Column, dims: Int, planes: Int = 12): Column =
+  def lshBucket(emb: Column, dims: Int, planes: Int = 12,
+                planeOffset: Int = 0): Column =
     (0 until planes).map { p =>
-      val plane = typedLit((0 until dims).map(d => planeComponent(p, d)))
+      val plane = typedLit((0 until dims).map(d =>
+        planeComponent(planeOffset + p, d)))
       when(dot(emb, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Blocking-free embedding near-dup pairs: `tables` INDEPENDENT
+    * hyperplane LSH tables (disjoint plane ranges), candidate pairs =
+    * vectors sharing a (table, bucket), exact cosine verification of
+    * candidates >= threshold. Removes [[cosinePairsBlocked]]'s
+    * requirement for a semantic blocking column — the 100 TB path when
+    * no label exists: candidate generation is an equi-join on
+    * (table, bucket), signatures are map-side dots against constant
+    * planes, and the band explode ships only (id, table, bucket) —
+    * embeddings join back for verification by id. Recall is
+    * 1-(1-(1-θ/π)^p)^T per pair — tune planes down / tables up for
+    * recall, up for precision; `maxBucketSize` is the same mega-bucket
+    * skew guard as the text-LSH path. */
+  def lshCosinePairs(df: DataFrame, idCol: String, embCol: String,
+                     threshold: Double, dims: Int,
+                     planesPerTable: Int = 6, tables: Int = 4,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val p = prepared(df, idCol, embCol)
+    val banded0 = p.select(col("id"), explode(array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(col("emb"), dims, planesPerTable, t * planesPerTable)
+          .as("bucket"))
+    }: _*)).as("b"))
+      .select(col("id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val banded = Dedup.capBuckets(banded0, Seq("tbl", "bucket"), maxBucketSize)
+    val candidates = banded.toDF("id_a", "tbl", "bucket")
+      .join(banded.toDF("id_b", "tbl", "bucket"), Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(p.toDF("id_a", "emb_a", "n2_a"), "id_a")
+      .join(p.toDF("id_b", "emb_b", "n2_b"), "id_b")
+      .withColumn("score",
+        dot(col("emb_a"), col("emb_b")) / sqrt(col("n2_a") * col("n2_b")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+  }
 
   /** Approximate NN: corpus and queries bucketed by hyperplane LSH;
     * candidates = same-bucket pairs (optionally multi-probe over

@@ -123,6 +123,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
   }
 
+  test("lshCosinePairs: near-identical vectors pair without any blocking column") {
+    import spark.implicits._
+    val dims = 8
+    val base = (0 until dims).map(_.toDouble / 10 + 0.1)
+    val near = base.updated(0, base.head + 0.01)    // cosine ~ 1
+    val far = (0 until dims).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val df = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.operators.Similarity.lshCosinePairs(
+        df, "vec_id", "embedding", threshold = 0.9, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 > 0.99)
+    // identical vectors share every table's bucket -> always candidates
+    val dup = graft.operators.Similarity.lshCosinePairs(
+      Seq((1L, base), (9L, base)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.99, dims = dims)
+      .collect()
+    assert(dup.length == 1 && dup.head.getDouble(2) == 1.0)
+  }
+
   test("groupCentroids: exact fixed-point mean, partitioning-independent") {
     import spark.implicits._
     val df = Seq(
