@@ -35,7 +35,13 @@ object Curation {
       nearDupThreshold: Option[Double] = Some(0.8),
       benchmark: Option[DataFrame] = None,
       benchmarkTextCol: String = "text",
-      decontaminateNgram: Int = 8)
+      decontaminateNgram: Int = 8,
+      /** Some(k) rewrites surviving docs through
+        * [[Dedup.passageDedup]] with k-token passages AFTER doc-level
+        * dedup — removes cross-document boilerplate doc-level dedup
+        * can't see. Docs whose every passage already appeared are
+        * dropped entirely. */
+      passageDedupTokens: Option[Int] = None)
 
   /** Adaptive quality cutoff: drop the lowest `quantile` fraction of
     * rows by `score` (e.g. 0.1 = drop the bottom decile) — corpus
@@ -99,6 +105,18 @@ object Curation {
           n = cfg.decontaminateNgram)
     }
 
-    decontaminated.drop("__fp")
+    // 6: passage-level exact dedup — cross-document boilerplate removal
+    // at sub-document granularity; replaces clean_text with the
+    // reassembled survivor text (docs fully covered elsewhere drop out)
+    val passaged = cfg.passageDedupTokens match {
+      case None => decontaminated
+      case Some(k) =>
+        val kept = Dedup.passageDedup(decontaminated, idCol, "clean_text", k)
+          .withColumnRenamed("doc_id", idCol)
+        decontaminated.drop("clean_text")
+          .join(kept.withColumnRenamed("text_dedup", "clean_text"), idCol)
+    }
+
+    passaged.drop("__fp")
   }
 }

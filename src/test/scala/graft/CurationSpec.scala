@@ -42,6 +42,23 @@ class CurationSpec extends SparkSpec {
     assert(ids.contains(5L))  // clean of benchmark overlap
   }
 
+  test("passage-dedup stage strips cross-document boilerplate from survivors") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma unique one text here now"),
+      (2L, "alpha beta gamma other words follow in this doc")
+    ).toDF("doc_id", "text")
+    val out = Curation.run(corpus, "doc_id", "text",
+      Curation.Config(redact = false, minQuality = 0.0,
+        maxTopNgramFrac = 1.0, maxRepTokenFrac = 1.0,
+        exactDedup = false, nearDupThreshold = None,
+        passageDedupTokens = Some(3)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(out(1L) == "alpha beta gamma unique one text here now")
+    // doc 2's first passage "alpha beta gamma" was already written by doc 1
+    assert(out(2L) == "other words follow in this doc")
+  }
+
   test("stages are individually skippable") {
     val out = Curation.run(docs, "doc_id", "text",
       Curation.Config(redact = false, minQuality = 0.0,
