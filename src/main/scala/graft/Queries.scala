@@ -1315,6 +1315,22 @@ object Queries {
 
     // ===== LLM-data-pipeline: text analysis =====
 
+    // Corpus heavy terms: the canonical distributed wordcount with a
+    // deterministic global top-20 (count desc, term asc tie-break).
+    // Partial aggregation collapses each partition's counts map-side;
+    // the final top-k is a tiny sorted limit over distinct terms.
+    "q_heavy_terms" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term"))
+          .limit(20),
+      Some("""SELECT term, count(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) term FROM documents)
+             |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin)
+    )),
+
     "q_token_count" -> ((
       (s: SparkSession, dir: String) =>
         Tables.documents(s, dir)
