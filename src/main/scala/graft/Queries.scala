@@ -1128,6 +1128,31 @@ object Queries {
              |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin)
     )),
 
+    // Incremental dedup: the even-id "new batch" LSH-joined against
+    // the odd-id "standing corpus" at j >= 0.8 — banded signature
+    // equi-join, exact verify; oracle is the exhaustive cross pairs.
+    "q_incremental_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.minhashJoin(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", threshold = 0.8)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+             |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+             |  ELSE [] END sh FROM w),
+             |e AS (SELECT doc_id, unnest(sh) s FROM g),
+             |sz AS (SELECT doc_id, len(sh) n FROM g),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+             |      FROM e a JOIN e b ON a.s = b.s
+             |      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2)
+             |SELECT id_a, id_b
+             |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin)
+    )),
+
     "q_dedup_simhash" -> ((
       (s: SparkSession, dir: String) =>
         Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",

@@ -376,17 +376,23 @@ object Dedup {
     * other (bands-1) bands, but strict all-pairs recall inside
     * mega-clusters is traded away — hence the default is uncapped (the
     * oracle-exact configuration) and callers opt in at scale. */
-  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
-                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
+  /** (id, band, bh) banded signature rows — the LSH join key table. */
+  private def bandSignatures(signatures: DataFrame, bands: Int,
+                             rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { bIdx =>
       val cols = (0 until rowsPerBand).map(r =>
         element_at(col("sig"), bIdx * rowsPerBand + r + 1))
       struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val banded0 = signatures
+    signatures
       .select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val banded = capBuckets(banded0, Seq("band", "bh"), maxBucketSize)
+  }
+
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val banded = capBuckets(bandSignatures(signatures, bands, rowsPerBand),
+      Seq("band", "bh"), maxBucketSize)
     banded.toDF("id_a", "band", "bh")
       .join(banded.toDF("id_b", "band", "bh"), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
@@ -406,6 +412,41 @@ object Dedup {
     val cands = lshCandidates(sigs, bands, numHashes / bands)
     val sets = shingleSets(df, idCol, textCol, n)
     verifyJaccard(sets, cands, threshold, broadcastSets).select("id_a", "id_b")
+  }
+
+  /** Incremental / cross-relation MinHash-LSH dedup: near-dup pairs
+    * BETWEEN two relations (a new document batch vs the standing
+    * corpus — the daily-incremental path). Signatures are map-side on
+    * both sides; candidates are a banded equi-join between the two
+    * signature tables; verification is exact Jaccard. At b=32, r=4 the
+    * per-pair miss probability at j >= 0.8 is < 5e-8, so the verified
+    * output matches the exhaustive cross-join oracle.
+    *
+    * vs [[jaccardJoin]]: same output contract, different blocking
+    * economics — the PPJoin prefix filter touches every (doc, prefix
+    * shingle) pair and is exact-recall; LSH banding ships a FIXED
+    * 32-row key table per doc regardless of document length, the
+    * right choice when the standing corpus has precomputed signatures
+    * (store `minhashSignatures` once, join each new batch against it). */
+  def minhashJoin(left: DataFrame, right: DataFrame,
+                  idCol: String, textCol: String,
+                  threshold: Double = 0.8, numHashes: Int = 128,
+                  bands: Int = 32, n: Int = 3,
+                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandedL = capBuckets(
+      bandSignatures(minhashSignatures(left, idCol, textCol, numHashes, n),
+        bands, r), Seq("band", "bh"), maxBucketSize)
+    val bandedR = capBuckets(
+      bandSignatures(minhashSignatures(right, idCol, textCol, numHashes, n),
+        bands, r), Seq("band", "bh"), maxBucketSize)
+    val candidates = bandedL.toDF("id_a", "band", "bh")
+      .join(bandedR.toDF("id_b", "band", "bh"), Seq("band", "bh"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccardAB(shingleSets(left, idCol, textCol, n),
+      shingleSets(right, idCol, textCol, n), candidates, threshold)
+      .select("id_a", "id_b")
   }
 
   /** Drop rows of over-sized join buckets — the skew guard shared by

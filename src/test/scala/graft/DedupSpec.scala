@@ -104,6 +104,16 @@ class DedupSpec extends SparkSpec {
     assert(cross == all)
   }
 
+  test("minhashJoin: cross-relation LSH candidates+verify equal jaccardJoin") {
+    val left = docs.filter("doc_id % 2 = 1")
+    val right = docs.filter("doc_id % 2 = 0")
+    val lsh = Dedup.minhashJoin(left, right, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardJoin(left, right, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact && exact.nonEmpty)
+  }
+
   test("containmentJoin: short doc inside long doc scores 1.0, jaccard would not") {
     val shortDoc = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val longDocs = Seq(
