@@ -74,22 +74,49 @@ object Multimodal {
       } finally iis.close()
     }
 
+    /** Uncompressed-audio formats the JDK parses natively
+      * (javax.sound.sampled) — real sample rate / channels / frame
+      * count with zero external dependencies. */
+    private val AudioKinds = Set("wav", "wave", "aiff", "aif", "au")
+
+    /** (sampleRate Hz, channels, frames) from the audio file header —
+      * header-only (`getAudioFileFormat` never reads the sample data);
+      * None when the JDK has no parser for the bytes. */
+    def audioMeta(content: Array[Byte]): Option[(Int, Int, Int)] =
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(content))
+        val fmt = aff.getFormat
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, aff.getFrameLength))
+      } catch { case _: Exception => None }
+
+    /** REAL decode for JDK-supported formats. Field mapping per kind:
+      * images → (width, height, n_frames=1); audio → (width=sample
+      * rate Hz, height=channels, n_frames=sample frames) — the same
+      * typed header contract, one schema for every modality. */
     def decode(blob: MediaBlob): MediaMeta = {
       val kind = blob.kind.toLowerCase
-      val real =
-        if (ImageKinds(kind)) imageDimensions(blob.content) else None
-      real match {
-        case Some((w, h)) =>
-          MediaMeta(blob.media_id, blob.kind, blob.content.length.toLong,
-            width = w, height = h, n_frames = 1)
-        case None => decodeStub(blob)
-      }
+      val real: Option[MediaMeta] =
+        if (ImageKinds(kind))
+          imageDimensions(blob.content).map { case (w, h) =>
+            MediaMeta(blob.media_id, blob.kind, blob.content.length.toLong,
+              width = w, height = h, n_frames = 1)
+          }
+        else if (AudioKinds(kind))
+          audioMeta(blob.content).map { case (rate, ch, frames) =>
+            MediaMeta(blob.media_id, blob.kind, blob.content.length.toLong,
+              width = rate, height = ch, n_frames = frames)
+          }
+        else None
+      real.getOrElse(decodeStub(blob))
     }
 
-    /** ======== STUB: deterministic fake decode (audio/video only) ====
-      * The JDK ships no mp4/audio codec; stable pseudo-dimensions from a
-      * content hash keep tests deterministic and the schema contract
-      * exercised until a real decoder (JNI/ONNX/javacv) drops in. */
+    /** ======== STUB: deterministic fake decode (video + compressed
+      * audio only) ====
+      * The JDK ships no mp4/mp3/flac codec; stable pseudo-dimensions
+      * from a content hash keep tests deterministic and the schema
+      * contract exercised until a real decoder (JNI/ONNX/javacv)
+      * drops in. */
     def decodeStub(blob: MediaBlob): MediaMeta = {
       val h = java.util.Arrays.hashCode(blob.content).toLong & 0x7FFFFFFFL
       MediaMeta(blob.media_id, blob.kind, blob.content.length.toLong,

@@ -35,6 +35,22 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(1).width == 320 && meta(1).height == 200)
   }
 
+  test("real audio decode: WAV sample rate, channels, frames via javax.sound header read") {
+    import javax.sound.sampled._
+    // 8000 Hz mono 16-bit PCM, 1234 sample frames of silence
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](1234 * 2)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 1234L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val meta = Multimodal.MediaBatch.decode(
+      Multimodal.MediaBlob(5L, "wav", bos.toByteArray))
+    assert(meta.width == 8000)   // sample rate
+    assert(meta.height == 1)     // channels
+    assert(meta.n_frames == 1234)
+  }
+
   test("corrupt image bytes fall back to the deterministic stub") {
     val junk = Array[Byte](1, 2, 3, 4) // not a PNG
     val meta = Multimodal.decodeMeta(Seq(MediaBlob(9L, "png", junk)).toDS()).collect().head
