@@ -92,6 +92,36 @@ object Queries {
        |SELECT id_a, id_b, round(score, 6) AS score FROM s WHERE score >= $threshold""".stripMargin
   }
 
+  /** Literal-hyperplane oracle for the corpus-wide kNN graph: same
+    * multi-table bucketing as [[lshPairsOracleSql]], both-direction
+    * candidates, per-vector top-k by (score desc, id asc). */
+  private def knnGraphOracleSql(dims: Int, ppt: Int, tables: Int, k: Int,
+                                idBound: Long): String = {
+    val planeRows = (0 until ppt * tables).map { p =>
+      val vs = (0 until dims).map(d => Similarity.planeComponent(p, d)).mkString(", ")
+      s"($p, [$vs])"
+    }.mkString(",\n")
+    s"""WITH pl(p, v) AS (SELECT * FROM (VALUES
+       |$planeRows
+       |) t(p, v)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings
+       |      WHERE vec_id < $idBound),
+       |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM e),
+       |bk AS (SELECT n.vec_id, pl.p // $ppt AS tbl,
+       |  CAST(sum(CASE WHEN list_sum([n.emb[i+1] * pl.v[i+1] for i in range(len(n.emb))]) >= 0
+       |    THEN (CAST(1 AS BIGINT) << (pl.p % $ppt)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM n, pl GROUP BY 1, 2),
+       |c AS (SELECT DISTINCT a.vec_id query_id, b.vec_id neighbor_id FROM bk a
+       |  JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id),
+       |s AS (SELECT query_id, neighbor_id,
+       |  list_sum([x.emb[i+1] * y.emb[i+1] for i in range(len(x.emb))]) / sqrt(x.n2 * y.n2) score
+       |  FROM c JOIN n x ON x.vec_id = query_id JOIN n y ON y.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) rn FROM s)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rn <= $k""".stripMargin
+  }
+
   /** name -> (spark impl, optional DuckDB oracle SQL). Ordered. */
   val all: Seq[(String, (QueryFn, Option[String]))] = Seq(
 
@@ -1254,6 +1284,18 @@ object Queries {
         Similarity.lshCosinePairs(Tables.embeddings(s, dir),
           "vec_id", "embedding", threshold = 0.3, dims = 64),
       Some(lshPairsOracleSql(dims = 64, ppt = 6, tables = 4, threshold = 0.3))
+    )),
+
+    // Corpus-wide kNN graph (every vector's top-5 neighbors among its
+    // LSH bucket-mates) — the embedding-clustering primitive; bounded
+    // to vec_id < 1000 so the DuckDB replay stays cheap.
+    "q_knn_graph" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.knnGraph(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 1000),
+          "vec_id", "embedding", k = 5, dims = 64),
+      Some(knnGraphOracleSql(dims = 64, ppt = 6, tables = 4, k = 5,
+        idBound = 1000))
     )),
 
     // ===== LLM-data-pipeline: similarity search =====

@@ -282,6 +282,43 @@ object Similarity {
     }
   }
 
+  /** Corpus-wide kNN GRAPH build (LSH-blocked): for EVERY vector, its
+    * top-k most-cosine-similar neighbors among candidates sharing any
+    * of `tables` hyperplane LSH buckets — the primitive under
+    * embedding-space clustering, near-dup graph construction and
+    * diversity filtering. Unlike the query-set ANN entry points
+    * (queries broadcast), both sides here are the corpus: candidates
+    * come from the same multi-table bucket equi-join as
+    * [[lshCosinePairs]] (only ids + buckets shuffle; embeddings rejoin
+    * by id), and the per-vector top-k is the bounded-heap
+    * [[graft.plans.TopKPairs]] aggregate — k×16 bytes per
+    * (vector × partition), never a corpus-wide window sort.
+    * Approximate by construction: vectors sharing no bucket are never
+    * scored. */
+  def knnGraph(df: DataFrame, idCol: String, embCol: String, k: Int,
+               dims: Int, planesPerTable: Int = 6, tables: Int = 4,
+               maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val p = prepared(df, idCol, embCol)
+    val banded0 = p.select(col("id"), explode(array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(col("emb"), dims, planesPerTable, t * planesPerTable)
+          .as("bucket"))
+    }: _*)).as("b"))
+      .select(col("id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val banded = Dedup.capBuckets(banded0, Seq("tbl", "bucket"), maxBucketSize)
+    val candidates = banded.toDF("query_id", "tbl", "bucket")
+      .join(banded.toDF("id", "tbl", "bucket"), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("id"))
+      .select("query_id", "id").distinct()
+    val scored = candidates
+      .join(p.toDF("query_id", "q_emb", "q_n2"), "query_id")
+      .join(p.toDF("id", "emb", "n2"), "id")
+      .withColumn("score",
+        dot(col("q_emb"), col("emb")) / sqrt(col("q_n2") * col("n2")))
+      .select(col("query_id"), col("id"), col("score"))
+    topKOutput(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed integer mix mapped into [-1, 1]. Reproducible across
     * sessions with zero stored model state — which also makes the whole

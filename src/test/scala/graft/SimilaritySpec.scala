@@ -144,6 +144,25 @@ class SimilaritySpec extends SparkSpec {
     assert(dup.length == 1 && dup.head.getDouble(2) == 1.0)
   }
 
+  test("knnGraph: every vector gets ranked bucket-mate neighbors; identicals rank first") {
+    import spark.implicits._
+    val dims = 8
+    val base = (0 until dims).map(_.toDouble / 10 + 0.1)
+    val near = base.updated(0, base.head + 0.01)
+    val df = Seq((1L, base), (2L, near), (3L, base))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.knnGraph(df, "vec_id", "embedding",
+        k = 2, dims = dims)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQuery = out.groupBy(_._1)
+    // 1 and 3 are identical: each ranks the other first with score 1.0
+    assert(byQuery(1L).head == ((1L, 1, 3L, 1.0)))
+    assert(byQuery(3L).head == ((3L, 1, 1L, 1.0)))
+    // near vector sees both, ranked deterministically (score, then id)
+    assert(byQuery(2L).map(_._3).toSet == Set(1L, 3L))
+  }
+
   test("groupCentroids: exact fixed-point mean, partitioning-independent") {
     import spark.implicits._
     val df = Seq(
