@@ -1298,6 +1298,50 @@ object Queries {
         idBound = 1000))
     )),
 
+    // Embedding-space semantic clustering: high-similarity pairs from
+    // the blocking-free LSH join (cosine >= 0.3) resolved into
+    // connected components — every member labeled with its cluster's
+    // canonical (minimum) vec_id. The embedding sibling of
+    // q_dedup_clusters / q_linkage_clusters.
+    "q_semantic_clusters" -> ((
+      (s: SparkSession, dir: String) => {
+        val pairs = Similarity.lshCosinePairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.3, dims = 64)
+          .select("id_a", "id_b")
+        Dedup.duplicateClusters(pairs)
+      },
+      Some {
+        val ppt = 6; val tables = 4
+        val planeRows = (0 until ppt * tables).map { p =>
+          val vs = (0 until 64).map(d => Similarity.planeComponent(p, d)).mkString(", ")
+          s"($p, [$vs])"
+        }.mkString(",\n")
+        s"""WITH pl(p, v) AS (SELECT * FROM (VALUES
+           |$planeRows
+           |) t(p, v)),
+           |emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+           |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM emb0),
+           |bk AS (SELECT n.vec_id, pl.p // $ppt AS tbl,
+           |  CAST(sum(CASE WHEN list_sum([n.emb[i+1] * pl.v[i+1] for i in range(len(n.emb))]) >= 0
+           |    THEN (CAST(1 AS BIGINT) << (pl.p % $ppt)) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM n, pl GROUP BY 1, 2),
+           |c AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b FROM bk a
+           |  JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           |pairs AS (SELECT id_a, id_b FROM c
+           |  JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
+           |  WHERE list_sum([x.emb[i+1] * y.emb[i+1] for i in range(len(x.emb))]) / sqrt(x.n2 * y.n2) >= 0.3),
+           |e AS (SELECT id_a a, id_b b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+           |r AS (
+           |  WITH RECURSIVE reach(x, y) AS (
+           |    SELECT a, b FROM e
+           |    UNION
+           |    SELECT reach.x, e.b FROM reach JOIN e ON reach.y = e.a
+           |  ) SELECT * FROM reach
+           |)
+           |SELECT x AS doc_id, least(x, min(y)) AS canonical_id FROM r GROUP BY x""".stripMargin
+      }
+    )),
+
     // ===== LLM-data-pipeline: similarity search =====
 
     "q_ann_bruteforce" -> ((
