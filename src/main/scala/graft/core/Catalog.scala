@@ -108,6 +108,50 @@ object Catalog {
       .jdbc(url, table, properties)
   }
 
+  /** Crash-safe staged swap: replace `target` with `staging` without a
+    * window in which neither exists. The naive delete-then-rename
+    * protocol loses the table if the process dies between the two ops
+    * (and a checkpointed streaming replay that then sees
+    * `exists(target) == false` would rebuild from the batch alone,
+    * silently dropping every previously merged key). Protocol here:
+    * rename target→target.bak, rename staging→target, delete bak —
+    * at every instant either target or a completed predecessor
+    * (bak / staging-with-_SUCCESS) exists, and [[recoverSwap]] can
+    * finish or roll back an interrupted swap on the next entry. */
+  private[graft] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+                              staging: org.apache.hadoop.fs.Path,
+                              target: org.apache.hadoop.fs.Path): Unit = {
+    val bak = new org.apache.hadoop.fs.Path(target.toString + ".bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(target) && !fs.rename(target, bak))
+      sys.error(s"swap: could not move $target aside to $bak")
+    if (!fs.rename(staging, target)) {
+      if (fs.exists(bak)) fs.rename(bak, target) // roll back
+      sys.error(s"swap: could not rename $staging to $target")
+    }
+    fs.delete(bak, true)
+    ()
+  }
+
+  /** Recover a table left mid-swap by a crash, before reading it.
+    * If `target` is missing: a staging dir with a `_SUCCESS` marker is
+    * a fully written successor (the crash hit between the bak-rename
+    * and the staging-rename) — promote it; otherwise restore the bak.
+    * If `target` exists, any leftover bak is an orphan from a crash
+    * after the swap completed — drop it. Idempotent. */
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                 target: org.apache.hadoop.fs.Path,
+                                 staging: org.apache.hadoop.fs.Path): Unit = {
+    val bak = new org.apache.hadoop.fs.Path(target.toString + ".bak")
+    if (!fs.exists(target)) {
+      val stagingComplete = fs.exists(staging) &&
+        fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+      if (stagingComplete) { fs.rename(staging, target); fs.delete(bak, true) }
+      else if (fs.exists(bak)) fs.rename(bak, target)
+    } else if (fs.exists(bak)) fs.delete(bak, true)
+    ()
+  }
+
   /** Small-file compaction for a parquet directory: incremental sinks
     * (per-cycle appends, streaming upserts, dynamic partition
     * overwrites) accumulate files far below the ~128-256 MB a scan
@@ -115,24 +159,25 @@ object Catalog {
     * and NameNode/listing pressure dominate. Rewrites the directory to
     * ceil(bytes / targetFileBytes) files via `coalesce` (a NARROW
     * repartitioning — no shuffle; skipped entirely if the file count
-    * is already at or below the target), staged and swapped like the
-    * streaming upsert sink. Returns (filesBefore, filesAfter). */
+    * is already at or below the target), staged and swapped via the
+    * crash-safe [[swapInto]] protocol (an interrupted run is repaired
+    * by [[recoverSwap]] on the next one). Returns
+    * (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 256L * 1024 * 1024): (Int, Int) = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".compacting")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, target, staging)
     val dataFiles = fs.listStatus(target)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
     val want = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     if (dataFiles.length <= want) (dataFiles.length, dataFiles.length)
     else {
-      val staging = new org.apache.hadoop.fs.Path(path + ".compacting")
       spark.read.parquet(path).coalesce(want)
         .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      fs.delete(target, true)
-      fs.rename(staging, target)
+      swapInto(fs, staging, target)
       val after = fs.listStatus(target)
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       (dataFiles.length, after)

@@ -220,6 +220,11 @@ object Similarity {
     val dims = train(0).length
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
+    // A sample smaller than ksub would yield a short codebook while the
+    // encode/LUT kernels still loop i < ksub over the flattened array —
+    // an ArrayIndexOutOfBounds at task runtime. Clamp and thread the
+    // effective value through everything that indexes the codebook.
+    val ksubEff = math.min(ksub, train.length)
 
     // fit: per-subspace Lloyd iterations over the driver-side sample.
     // Same semantics as a distributed fit (lowest-id init, mean update,
@@ -228,10 +233,10 @@ object Similarity {
     // subspace — KBs.
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       val subs = train.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-      var cents: Array[Array[Double]] = subs.take(ksub).map(_.clone)
+      var cents: Array[Array[Double]] = subs.take(ksubEff).map(_.clone)
       for (_ <- 1 to iters) {
-        val sums = Array.fill(ksub)(new Array[Double](dsub))
-        val counts = new Array[Long](ksub)
+        val sums = Array.fill(ksubEff)(new Array[Double](dsub))
+        val counts = new Array[Long](ksubEff)
         subs.foreach { v =>
           var best = 0; var bestD = Double.PositiveInfinity; var i = 0
           while (i < cents.length) {
@@ -244,7 +249,7 @@ object Similarity {
           var p = 0
           while (p < dsub) { sums(best)(p) += v(p); p += 1 }
         }
-        cents = Array.tabulate(ksub) { i =>
+        cents = Array.tabulate(ksubEff) { i =>
           if (counts(i) == 0) cents(i) else sums(i).map(_ / counts(i))
         }
       }
@@ -256,11 +261,11 @@ object Similarity {
     import graft.plans.PqExpressions.{pq_encode, pq_lut, pq_adc}
     // encode the corpus: m argmin codes in ONE codegen'd node, map-side
     val encoded = c.select(col("id"),
-      pq_encode(col("emb"), cbFlat, m, ksub).as("codes"))
+      pq_encode(col("emb"), cbFlat, m, ksubEff).as("codes"))
 
     // per-query ADC lookup tables: lut[j*ksub + code] = q_j · cent
     val q = prepared(queries, idCol, embCol).toDF("query_id", "q_emb", "q_n2")
-      .select(col("query_id"), pq_lut(col("q_emb"), cbFlat, m, ksub).as("lut"))
+      .select(col("query_id"), pq_lut(col("q_emb"), cbFlat, m, ksubEff).as("lut"))
     val scored = encoded.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("score", pq_adc(col("lut"), col("codes")))
     if (rerank <= k) topKOutput(scored, k)

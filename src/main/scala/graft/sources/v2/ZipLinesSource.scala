@@ -56,11 +56,15 @@ object ZipLines {
     StructField("entry", StringType, nullable = false)))
 
   /** Paths arrive from DataFrameReader as `path` (single load arg) or
-    * `paths` (JSON array for multi-arg load). */
+    * `paths` (a JSON-encoded string array for multi-arg load — written
+    * by Spark with an ObjectMapper, so it must be parsed as real JSON:
+    * a naive bracket-strip + split(',') would shred any path containing
+    * a comma or an escaped quote into fragments that silently glob to
+    * nothing). */
   private[v2] def requestedPaths(props: Map[String, String]): Seq[String] = {
     val multi = props.get("paths").toSeq.flatMap { json =>
-      json.stripPrefix("[").stripSuffix("]").split(",").toSeq
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(json, classOf[Array[String]]).toSeq
     }
     val single = props.get("path").toSeq
     (multi ++ single).distinct
@@ -159,6 +163,10 @@ object CentralDirectory {
       var k = 0
       while (k < nEntries) {
         if (o + 46 > cd.length || u32(cd, o) != (CEN_SIG & 0xFFFFFFFFL)) return None
+        val flags = u16(cd, o + 8)
+        if ((flags & 0x1) != 0) return None // encrypted entry: the raw
+        // seek-and-inflate reader would emit garbage — fall back to
+        // ZipInputStream, which raises a clear unsupported-entry error.
         val method = u16(cd, o + 10)
         val csize = u32(cd, o + 20)
         val nameLen = u16(cd, o + 28)

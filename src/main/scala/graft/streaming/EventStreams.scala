@@ -90,7 +90,7 @@ object EventStreams {
     keyCols.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
   }
 
-  final case class DocBand(doc_id: Long, band: Int, bh: Long)
+  final case class DocBand(doc_id: Long, band: Int, bh: Long, ts: Timestamp)
   final case class DupCandidate(doc_id: Long, prior_doc_id: Long, band: Int)
 
   /** Streaming MinHash-LSH candidate generation: documents arrive as a
@@ -103,45 +103,89 @@ object EventStreams {
     * (the standard lambda split: cheap approximate recall online, exact
     * precision offline).
     *
-    * State is O(buckets × maxPerBucket) ids — fixed-width longs, not
-    * documents; `maxPerBucket` caps mega-cluster state exactly like the
-    * batch `maxBucketSize` guard (first-M semantics: later members of a
-    * saturated bucket still PAIR against the remembered M, they are just
-    * not remembered themselves). */
+    * State bound: each entry is ≤ `maxPerBucket` fixed-width longs
+    * (`maxPerBucket` caps mega-cluster state exactly like the batch
+    * `maxBucketSize` guard — first-M semantics: later members of a
+    * saturated bucket still PAIR against the remembered M, they are
+    * just not remembered themselves). The ENTRY COUNT is bounded by the
+    * event-time timeout when `tsCol` is given: a bucket's state is
+    * evicted once the stream's watermark passes `horizonMs` beyond the
+    * bucket's last arrival, so state is O(buckets active inside the
+    * recency horizon), not O(distinct buckets ever seen) — new arrivals
+    * only need to pair against a bounded recency window (the standard
+    * streaming-dedup contract; corpus-wide pairing is the batch job's
+    * business). Without `tsCol` there is no eviction: that mode is for
+    * BOUNDED corpora (replay of a finite backlog), documented here
+    * because bucket cardinality grows with the corpus. */
   def lshCandidateStream(docs: DataFrame, idCol: String, textCol: String,
                          numHashes: Int = 128, bands: Int = 32, n: Int = 3,
-                         maxPerBucket: Int = 64): Dataset[DupCandidate] = {
+                         maxPerBucket: Int = 64,
+                         tsCol: Option[String] = None,
+                         watermarkDelay: String = "10 minutes",
+                         horizonMs: Long = 60L * 60 * 1000): Dataset[DupCandidate] = {
     import docs.sparkSession.implicits._
     val rowsPerBand = numHashes / bands
-    val sigs = docs
-      .select(col(idCol).as("doc_id"),
-        graft.operators.Dedup.shingles(col(textCol), n).as("sh"))
+    val based = tsCol match {
+      // watermark AFTER the cast: tagging before it would leave the
+      // delay metadata on the pre-cast attribute, and the projection's
+      // new `ts` attribute would reach flatMapGroupsWithState untagged
+      // (UnsupportedOperationChecker then rejects EventTimeTimeout)
+      case Some(t) => docs
+        .select(col(idCol).as("doc_id"), col(t).cast("timestamp").as("ts"),
+          graft.operators.Dedup.shingles(col(textCol), n).as("sh"))
+        .withWatermark("ts", watermarkDelay)
+      case None => docs
+        .select(col(idCol).as("doc_id"), lit(null).cast("timestamp").as("ts"),
+          graft.operators.Dedup.shingles(col(textCol), n).as("sh"))
+    }
+    val sigs = based
       .filter(size(col("sh")) > 0) // too-short docs have no signature
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("ts"),
         graft.plans.SketchExpressions.minhash_signature(col("sh"), numHashes).as("sig"))
-    val banded = sigs.select(col("doc_id"), explode(array(
+    val banded = sigs.select(col("doc_id"), col("ts"), explode(array(
       (0 until bands).map { b =>
         val cols = (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1))
         struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
       }: _*)).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"),
+        col("ts"))
       .as[DocBand]
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(d => (d.band, d.bh))
       .flatMapGroupsWithState[Array[Long], DupCandidate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: (Int, Long), batch: Iterator[DocBand], state: GroupState[Array[Long]]) =>
-          var seen = state.getOption.getOrElse(Array.empty[Long])
-          val out = Seq.newBuilder[DupCandidate]
-          batch.toSeq.sortBy(_.doc_id).foreach { d =>
-            if (!seen.contains(d.doc_id)) {
-              seen.foreach(p => out += DupCandidate(d.doc_id, p, key._1))
-              if (seen.length < maxPerBucket) seen = seen :+ d.doc_id
+          if (state.hasTimedOut) { // horizon passed with no new arrivals
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Array.empty[Long])
+            // O(1) membership; the stored state stays a compact long array
+            val seenSet = scala.collection.mutable.HashSet.empty[Long]
+            seen.foreach(seenSet += _)
+            val out = Seq.newBuilder[DupCandidate]
+            var maxTs = Long.MinValue
+            batch.toSeq.sortBy(_.doc_id).foreach { d =>
+              if (d.ts != null) maxTs = math.max(maxTs, d.ts.getTime)
+              if (!seenSet.contains(d.doc_id)) {
+                seen.foreach(p => out += DupCandidate(d.doc_id, p, key._1))
+                if (seen.length < maxPerBucket) {
+                  seen = seen :+ d.doc_id
+                  seenSet += d.doc_id
+                }
+              }
             }
+            state.update(seen)
+            if (timeoutConf == GroupStateTimeout.EventTimeTimeout && maxTs != Long.MinValue)
+              // never below the current watermark (Spark rejects that)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
   }
 
@@ -185,10 +229,17 @@ object EventStreams {
     * effectively-once without a transactional table format.
     *
     * The merged result is staged to `<path>.staging` and swapped in
-    * (parquet cannot overwrite a path it is reading); the swap is
-    * single-writer, not reader-atomic — at production scale this
-    * per-batch rewrite is the cue to move to a transactional format,
-    * or keep per-key state small (dimension/state tables, not facts). */
+    * (parquet cannot overwrite a path it is reading) via the
+    * crash-safe [[graft.core.Catalog.swapInto]] protocol
+    * (bak-rename, promote, drop bak): at every instant either the
+    * table or a completed predecessor exists, and
+    * [[graft.core.Catalog.recoverSwap]] repairs an interrupted swap
+    * at the start of the next batch — so a replayed batch always
+    * merges against the pre-crash table instead of rebuilding from
+    * batch-only data. The swap is single-writer, not reader-atomic —
+    * at production scale this per-batch rewrite is the cue to move to
+    * a transactional format, or keep per-key state small
+    * (dimension/state tables, not facts). */
   def upsertSink(stream: DataFrame, path: String, checkpoint: String,
                  keys: Seq[String],
                  tieBreak: Seq[org.apache.spark.sql.Column] = Nil)
@@ -197,18 +248,17 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val target = new org.apache.hadoop.fs.Path(path)
+        val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.core.Catalog.recoverSwap(fs, target, staging)
         val merged =
           if (fs.exists(target))
             graft.operators.Components.mergeFirstWriterWins(
               Seq(batch, spark.read.parquet(path)), keys, tieBreak)
           else batch
-        val staging = new org.apache.hadoop.fs.Path(path + ".staging")
         merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(target, true)
-        fs.rename(staging, target)
+        graft.core.Catalog.swapInto(fs, staging, target)
         ()
       }
       .start()

@@ -148,6 +148,52 @@ class PipelineSpec extends SparkSpec {
     assert(b2 == 1 && a2 == 1)
   }
 
+  test("recoverSwap repairs every crash window of the staged swap") {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    def writeTable(dir: String, ids: Seq[Long]): Unit =
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    def readIds(dir: String): Set[Long] =
+      spark.read.parquet(dir).collect().map(_.getLong(0)).toSet
+
+    // crash window 1: target renamed to bak, staging complete, neither
+    // promoted — recovery must promote the staging successor
+    val d1 = Files.createTempDirectory("graft_swap1").toString
+    writeTable(s"$d1/t", Seq(1L))
+    writeTable(s"$d1/t.staging", Seq(1L, 2L))
+    fs.rename(path(s"$d1/t"), path(s"$d1/t.bak"))
+    graft.core.Catalog.recoverSwap(fs, path(s"$d1/t"), path(s"$d1/t.staging"))
+    assert(readIds(s"$d1/t") == Set(1L, 2L))
+    assert(!fs.exists(path(s"$d1/t.bak")) && !fs.exists(path(s"$d1/t.staging")))
+
+    // crash window 2: target moved aside, staging INCOMPLETE (no
+    // _SUCCESS) — recovery must restore the bak, not promote garbage
+    val d2 = Files.createTempDirectory("graft_swap2").toString
+    writeTable(s"$d2/t", Seq(7L))
+    fs.rename(path(s"$d2/t"), path(s"$d2/t.bak"))
+    fs.mkdirs(path(s"$d2/t.staging")) // partial write, no _SUCCESS
+    graft.core.Catalog.recoverSwap(fs, path(s"$d2/t"), path(s"$d2/t.staging"))
+    assert(readIds(s"$d2/t") == Set(7L))
+
+    // crash window 3: swap completed but bak not yet deleted — recovery
+    // drops the orphan and leaves the table alone
+    val d3 = Files.createTempDirectory("graft_swap3").toString
+    writeTable(s"$d3/t", Seq(9L))
+    writeTable(s"$d3/t.bak", Seq(8L))
+    graft.core.Catalog.recoverSwap(fs, path(s"$d3/t"), path(s"$d3/t.staging"))
+    assert(readIds(s"$d3/t") == Set(9L) && !fs.exists(path(s"$d3/t.bak")))
+
+    // and the happy-path swap itself: target replaced, no residue
+    val d4 = Files.createTempDirectory("graft_swap4").toString
+    writeTable(s"$d4/t", Seq(1L))
+    writeTable(s"$d4/t.staging", Seq(2L, 3L))
+    graft.core.Catalog.swapInto(fs, path(s"$d4/t.staging"), path(s"$d4/t"))
+    assert(readIds(s"$d4/t") == Set(2L, 3L))
+    assert(!fs.exists(path(s"$d4/t.bak")) && !fs.exists(path(s"$d4/t.staging")))
+  }
+
   test("stage skip flags gate load and compress") {
     val bucket = Files.createTempDirectory("graft_bucket2")
     writeZip(bucket, "VR_Snapshot_20240101.zip",

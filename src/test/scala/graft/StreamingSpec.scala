@@ -96,6 +96,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamPairs.contains((1L, 2L)) && !streamPairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lshCandidateStream with tsCol evicts bucket state past the horizon") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.lshCandidateStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      tsCol = Some("ts"), watermarkDelay = "0 seconds",
+      horizonMs = 60L * 60 * 1000) // 1 hour
+      .writeStream.format("memory").queryName("lsh_evict")
+      .outputMode(OutputMode.Append).start()
+
+    def stateRows: Long = Option(q.lastProgress)
+      .flatMap(p => p.stateOperators.headOption).map(_.numRowsTotal).getOrElse(0L)
+
+    input.addData(
+      (1L, ts(0), "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, ts(1), "the quick brown fox jumps over the lazy dog again and again"))
+    q.processAllAvailable()
+    val afterFirst = stateRows
+    assert(afterFirst > 0, "bucket state should exist after the first batch")
+
+    // a doc 3 hours later pushes the watermark past horizon for batch-1
+    // buckets; its OWN buckets are fresh state
+    input.addData((3L, Timestamp.valueOf("2024-01-01 13:30:00"),
+      "completely different text with no overlap whatsoever at all today"))
+    q.processAllAvailable()
+    // timeouts fire against the watermark set at the END of the previous
+    // batch — one more batch processes the evictions
+    input.addData((4L, Timestamp.valueOf("2024-01-01 13:31:00"),
+      "yet another unrelated document talking about entirely new things"))
+    q.processAllAvailable()
+    val afterEviction = stateRows
+    q.stop()
+    // batch-1 buckets (docs 1,2 share all 32 band buckets) are gone;
+    // only the recent docs' buckets remain: doc 3's 32 + doc 4's 32
+    // (minus any band-hash collisions). Without eviction the total
+    // would be afterFirst + 64.
+    assert(afterEviction <= 64,
+      s"state grew unboundedly: first=$afterFirst now=$afterEviction")
+    // and the dup pair from batch 1 was still emitted before eviction
+    val pairs = spark.table("lsh_evict").select("doc_id", "prior_doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 1L)))
+  }
+
   test("windowed source sketch merges across batches and matches the batch sketch") {
     implicit val sc = spark.sqlContext
     val docs = Seq(
