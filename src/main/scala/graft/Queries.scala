@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Components, Dedup, Similarity}
+import graft.operators.{Components, Dedup, Pipeline, Similarity}
 import graft.sources.Listing
 
 /** The oracle-checked query suite: every operator from SURVEY.md §2 plus
@@ -213,6 +213,47 @@ object Queries {
       Some(s"""SELECT county_id, last_name, note
               |FROM read_csv('${graft.sources.IngestFixture.expectedCsvPath}',
               |  header=true, all_varchar=true)""".stripMargin)
+    )),
+
+    // The reference's WHOLE pipeline (Fetch→Sync→Load→Compress,
+    // bin/fetcher.bash:13-24) in one oracle row: a mini-bucket with two
+    // differently-shaped zip sources (UTF-16 dirty VR + LATIN1 clean
+    // ncvoter) flows through include-filter planning → dispatch →
+    // unzip/decode/repair/parse → per-compressor subst conformance →
+    // cross-compressor union-distinct merge. The oracle replays only
+    // the compress stage (bin/fetcher.bash:156-160 SELECT DISTINCT +
+    // INSERT OR IGNORE ≡ UNION) over the hand-pinned post-load truth of
+    // each source. Both component tables ride in one long-form result.
+    "q_pipeline_components" -> ((
+      (s: SparkSession, dir: String) => {
+        val bucket = graft.sources.PipelineFixture.ensure()
+        val spec = graft.core.Config.parse(graft.sources.PipelineFixture.configYaml)
+        val r = Pipeline.run(s, spec, "cycle_t", Map("bucket1" -> bucket))
+        require(r.tables.keySet == Set("vr_snapshot_20240601", "ncvoter_statewide"),
+          s"pipeline planned/loaded wrong tables: ${r.tables.keySet}")
+        val person = r.components("c_person").select(
+          lit("c_person").as("component"),
+          col("last_name").as("v1"), col("middle_name").as("v2"))
+        val contact = r.components("c_contact").select(
+          lit("c_contact").as("component"),
+          col("full_phone").as("v1"), lit(null).cast("string").as("v2"))
+        person.unionByName(contact)
+      },
+      Some(s"""WITH vr AS (SELECT * FROM read_csv('${graft.sources.PipelineFixture.vrExpectedPath}',
+              |  header=true, all_varchar=true)),
+              |ncv AS (SELECT * FROM read_csv('${graft.sources.PipelineFixture.ncvExpectedPath}',
+              |  header=true, all_varchar=true)),
+              |person AS (
+              |  SELECT last_name, midl_name AS middle_name FROM vr
+              |  UNION
+              |  SELECT last_name, middle_name FROM ncv),
+              |contact AS (
+              |  SELECT area_cd || phone_num AS full_phone FROM vr
+              |  UNION
+              |  SELECT full_phone FROM ncv)
+              |SELECT 'c_person' AS component, last_name AS v1, middle_name AS v2 FROM person
+              |UNION ALL
+              |SELECT 'c_contact', full_phone, NULL FROM contact""".stripMargin)
     )),
 
     // ===== analytics: aggregation / joins / windows / set ops =====
