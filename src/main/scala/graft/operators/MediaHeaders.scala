@@ -1,0 +1,332 @@
+package graft.operators
+
+/** Container-header metadata parsers for the media kinds the JDK has no
+  * codec for — pure-JVM byte parsing of PUBLIC container formats (ISO
+  * BMFF / Matroska EBML / MP3 frame headers / OGG pages / FLAC
+  * STREAMINFO), the same class of work as the WAV RIFF parser
+  * (javax.sound) and the zip central-directory parser
+  * ([[graft.sources.v2.CentralDirectory]]). No codec payload is ever
+  * decoded — cost is O(header), not O(media).
+  *
+  * Every parser is total: `None` on anything it does not fully
+  * recognize, so callers can fall back (to [[Multimodal.MediaBatch
+  * .decodeStub]]) instead of throwing inside a task.
+  */
+object MediaHeaders {
+
+  final case class VideoMeta(width: Int, height: Int, nFrames: Int)
+  final case class AudioMeta(sampleRate: Int, channels: Int, frames: Long)
+
+  // ---- shared big-endian readers ----
+  private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xFF
+  private def u16(b: Array[Byte], o: Int): Int = (u8(b, o) << 8) | u8(b, o + 1)
+  private def u24(b: Array[Byte], o: Int): Int = (u16(b, o) << 8) | u8(b, o + 2)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (u24(b, o).toLong << 8) | u8(b, o + 3)
+  private def u64(b: Array[Byte], o: Int): Long =
+    (u32(b, o) << 32) | u32(b, o + 4)
+  private def leU32(b: Array[Byte], o: Int): Long =
+    u8(b, o).toLong | (u8(b, o + 1).toLong << 8) |
+      (u8(b, o + 2).toLong << 16) | (u8(b, o + 3).toLong << 24)
+  private def leU64(b: Array[Byte], o: Int): Long =
+    leU32(b, o) | (leU32(b, o + 4) << 32)
+
+  // ================= MP4 / ISO base media (mp4, m4v, mov) =============
+  //
+  // Box grammar (ISO 14496-12 §4.2): [size u32][type 4cc][body]; size==1
+  // means a u64 largesize follows; size==0 means "to end of file".
+  // Containers relevant to metadata: moov > trak > mdia > minf > stbl.
+
+  private val Mp4Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  /** Walk the direct children of byte range [from, to). */
+  private def mp4Children(b: Array[Byte], from: Long, to: Long): Seq[(String, Long, Long)] = {
+    val out = Seq.newBuilder[(String, Long, Long)]
+    var o = from
+    while (o + 8 <= to) {
+      val size0 = u32(b, o.toInt)
+      val typ = new String(b, o.toInt + 4, 4, "ISO-8859-1")
+      val (bodyStart, boxEnd) =
+        if (size0 == 1L && o + 16 <= to) (o + 16, o + u64(b, o.toInt + 8))
+        else if (size0 == 0L) (o + 8, to)
+        else (o + 8, o + size0)
+      if (boxEnd <= o || boxEnd > to) return out.result() // corrupt size
+      out += ((typ, bodyStart, boxEnd))
+      o = boxEnd
+    }
+    out.result()
+  }
+
+  private def mp4Find(b: Array[Byte], from: Long, to: Long,
+                      path: List[String]): Option[(Long, Long)] = path match {
+    case Nil => Some((from, to))
+    case head :: rest =>
+      mp4Children(b, from, to).collectFirst {
+        case (t, s, e) if t == head => (s, e)
+      }.flatMap { case (s, e) => mp4Find(b, s, e, rest) }
+  }
+
+  /** (width, height) from a tkhd box body: 16.16 fixed-point at the end
+    * of the fixed layout (v0: offsets 76/80; v1: 88/92 — the version-1
+    * times are 64-bit). */
+  private def tkhdDims(b: Array[Byte], s: Long, e: Long): Option[(Int, Int)] = {
+    if (e - s < 84) return None
+    val version = u8(b, s.toInt)
+    val wOff = if (version == 1) 88 else 76
+    if (e - s < wOff + 8) return None
+    val w = (u32(b, s.toInt + wOff) >> 16).toInt
+    val h = (u32(b, s.toInt + wOff + 4) >> 16).toInt
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
+  /** mp4 video metadata: dimensions from the video trak's tkhd, frame
+    * count from the same trak's stbl/stsz sample_count (every video
+    * sample is one frame). The video trak is the one whose tkhd carries
+    * nonzero dimensions (audio traks have 0×0). */
+  def mp4(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes.length < 16) return None
+    val top = mp4Children(bytes, 0L, bytes.length.toLong)
+    // an ISO-BMFF file leads with ftyp (or styp for segments)
+    if (!top.headOption.exists(t => t._1 == "ftyp" || t._1 == "styp")) return None
+    val moov = top.collectFirst { case ("moov", s, e) => (s, e) }
+    moov.flatMap { case (ms, me) =>
+      val traks = mp4Children(bytes, ms, me).filter(_._1 == "trak")
+      traks.flatMap { case (_, ts, te) =>
+        for {
+          (ths, the) <- mp4Find(bytes, ts, te, List("tkhd"))
+          (w, h) <- tkhdDims(bytes, ths, the)
+        } yield {
+          val nFrames = mp4Find(bytes, ts, te, List("mdia", "minf", "stbl", "stsz"))
+            .collect { case (ss, se) if se - ss >= 12 => u32(bytes, ss.toInt + 8).toInt }
+            .filter(_ > 0).getOrElse(1)
+          VideoMeta(w, h, nFrames)
+        }
+      }.headOption
+    }
+  }
+
+  // ================= Matroska / WebM (EBML) ===========================
+  //
+  // EBML varints: leading zero bits of the first byte give the width;
+  // IDs keep the marker bit, sizes clear it. All-ones size = unknown
+  // (stream to end).
+
+  /** (value, bytesConsumed); keepMarker for element IDs. */
+  private def ebmlVint(b: Array[Byte], o: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+    if (o >= b.length) return None
+    val first = u8(b, o)
+    if (first == 0) return None
+    val len = Integer.numberOfLeadingZeros(first) - 23 // 32-bit minus 8-bit, +1
+    if (len < 1 || len > 8 || o + len > b.length) return None
+    var v: Long = if (keepMarker) first.toLong else (first & (0xFF >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | u8(b, o + i); i += 1 }
+    Some((v, len))
+  }
+
+  /** Direct children of [from,to): (id, bodyStart, bodyEnd). */
+  private def ebmlChildren(b: Array[Byte], from: Int, to: Int): Seq[(Long, Int, Int)] = {
+    val out = Seq.newBuilder[(Long, Int, Int)]
+    var o = from
+    var ok = true
+    while (ok && o < to) {
+      val step = for {
+        (id, idLen) <- ebmlVint(b, o, keepMarker = true)
+        (size, szLen) <- ebmlVint(b, o + idLen, keepMarker = false)
+      } yield {
+        val bodyStart = o + idLen + szLen
+        // all-marker-bits size = unknown length → runs to container end
+        val unknown = size == (1L << (7 * szLen)) - 1
+        val bodyEnd = if (unknown) to else bodyStart + size.toInt
+        (id, bodyStart, math.min(bodyEnd, to))
+      }
+      step match {
+        case Some((id, s, e)) if e >= s => out += ((id, s, e)); o = e
+        case _ => ok = false
+      }
+    }
+    out.result()
+  }
+
+  private def ebmlFind(b: Array[Byte], from: Int, to: Int,
+                       path: List[Long]): Option[(Int, Int)] = path match {
+    case Nil => Some((from, to))
+    case head :: rest =>
+      ebmlChildren(b, from, to).collectFirst {
+        case (id, s, e) if id == head => (s, e)
+      }.flatMap { case (s, e) => ebmlFind(b, s, e, rest) }
+  }
+
+  private def ebmlUInt(b: Array[Byte], s: Int, e: Int): Long = {
+    var v = 0L; var i = s
+    while (i < e) { v = (v << 8) | u8(b, i); i += 1 }
+    v
+  }
+
+  private def ebmlFloat(b: Array[Byte], s: Int, e: Int): Option[Double] = (e - s) match {
+    case 4 => Some(java.lang.Float.intBitsToFloat(u32(b, s).toInt).toDouble)
+    case 8 => Some(java.lang.Double.longBitsToDouble(u64(b, s)))
+    case _ => None
+  }
+
+  private val EbmlHeader = 0x1A45DFA3L
+  private val Segment = 0x18538067L
+  private val InfoE = 0x1549A966L
+  private val TimestampScale = 0x2AD7B1L
+  private val DurationE = 0x4489L
+  private val TracksE = 0x1654AE6BL
+  private val TrackEntry = 0xAEL
+  private val DefaultDuration = 0x23E383L
+  private val VideoE = 0xE0L
+  private val PixelWidth = 0xB0L
+  private val PixelHeight = 0xBAL
+
+  /** Matroska/WebM video metadata: PixelWidth/PixelHeight from the
+    * first TrackEntry carrying a Video element; frame count estimated
+    * as Info.Duration (in TimestampScale ns ticks) over the track's
+    * DefaultDuration (ns per frame) when both are present, else 1. */
+  def matroska(bytes: Array[Byte]): Option[VideoMeta] = {
+    val top = ebmlChildren(bytes, 0, bytes.length)
+    if (!top.exists(_._1 == EbmlHeader)) return None
+    val seg = top.collectFirst { case (Segment, s, e) => (s, e) }
+    seg.flatMap { case (ss, se) =>
+      val segKids = ebmlChildren(bytes, ss, se)
+      val videoTrack = segKids.collectFirst { case (TracksE, ts, te) => (ts, te) }
+        .toSeq.flatMap { case (ts, te) => ebmlChildren(bytes, ts, te) }
+        .collect { case (TrackEntry, s, e) => (s, e) }
+        .flatMap { case (s, e) =>
+          val kids = ebmlChildren(bytes, s, e)
+          kids.collectFirst { case (VideoE, vs, ve) => (vs, ve) }.map { case (vs, ve) =>
+            val vkids = ebmlChildren(bytes, vs, ve)
+            val w = vkids.collectFirst { case (PixelWidth, a, b2) => ebmlUInt(bytes, a, b2) }
+            val h = vkids.collectFirst { case (PixelHeight, a, b2) => ebmlUInt(bytes, a, b2) }
+            val dd = kids.collectFirst { case (DefaultDuration, a, b2) => ebmlUInt(bytes, a, b2) }
+            (w, h, dd)
+          }
+        }.headOption
+      videoTrack.flatMap {
+        case (Some(w), Some(h), defaultDur) if w > 0 && h > 0 =>
+          val info = segKids.collectFirst { case (InfoE, is, ie) => (is, ie) }
+          val nFrames = (for {
+            (is, ie) <- info
+            ikids = ebmlChildren(bytes, is, ie)
+            dur <- ikids.collectFirst { case (DurationE, a, b2) => ebmlFloat(bytes, a, b2) }.flatten
+            dd <- defaultDur if dd > 0
+          } yield {
+            val scale = ikids.collectFirst {
+              case (TimestampScale, a, b2) => ebmlUInt(bytes, a, b2)
+            }.getOrElse(1000000L) // spec default: 1 ms ticks
+            math.max(1L, math.round(dur * scale / dd)).toInt
+          }).getOrElse(1)
+          Some(VideoMeta(w.toInt, h.toInt, nFrames))
+        case _ => None
+      }
+    }
+  }
+
+  // ================= MP3 (MPEG-1/2 Layer III frame headers) ===========
+
+  private val BitrateV1L3 = // kbps, index 1-14 (0=free, 15=bad)
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val RateV1 = Array(44100, 48000, 32000)
+  private val RateV2 = Array(22050, 24000, 16000)
+  private val RateV25 = Array(11025, 12000, 8000)
+
+  /** MP3 audio metadata from the first Layer-III frame header after any
+    * ID3v2 tag: (rate, channels) from the header fields; frame count
+    * estimated from stream length over the fixed per-frame byte length
+    * (CBR assumption — the honest fast answer without walking every
+    * frame; VBR files are approximated by their first frame's rate). */
+  def mp3(bytes: Array[Byte]): Option[AudioMeta] = {
+    var o = 0
+    // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe u28 size, then tag body
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val size = (u8(bytes, 6) << 21) | (u8(bytes, 7) << 14) |
+        (u8(bytes, 8) << 7) | u8(bytes, 9)
+      o = 10 + size
+    }
+    if (o + 4 > bytes.length) return None
+    val b1 = u8(bytes, o); val b2 = u8(bytes, o + 1)
+    val b3 = u8(bytes, o + 2); val b4 = u8(bytes, o + 3)
+    if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) return None
+    val versionBits = (b2 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layerBits = (b2 >> 1) & 0x3   // 1=Layer III
+    if (layerBits != 1 || versionBits == 1) return None
+    val brIdx = (b3 >> 4) & 0xF
+    val srIdx = (b3 >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val padding = (b3 >> 1) & 0x1
+    val channels = if (((b4 >> 6) & 0x3) == 3) 1 else 2
+    val (bitrate, rate, samplesPerFrame) = versionBits match {
+      case 3 => (BitrateV1L3(brIdx) * 1000, RateV1(srIdx), 1152)
+      case 2 => (BitrateV2L3(brIdx) * 1000, RateV2(srIdx), 576)
+      case _ => (BitrateV2L3(brIdx) * 1000, RateV25(srIdx), 576)
+    }
+    val frameLen = samplesPerFrame / 8 * bitrate / rate + padding
+    if (frameLen <= 0) return None
+    val nFrames = math.max(1L, ((bytes.length - o).toLong / frameLen))
+    Some(AudioMeta(rate, channels, nFrames * samplesPerFrame))
+  }
+
+  // ================= OGG (Vorbis / Opus) ==============================
+
+  /** OGG audio metadata: (rate, channels) from the identification
+    * packet on the first page (`\x01vorbis` or `OpusHead`); total
+    * sample count from the LAST page's granule position (for Opus the
+    * granule clock is fixed 48 kHz per RFC 7845 — reported against the
+    * 48 kHz rate so rate×seconds stays consistent). */
+  def ogg(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes.length < 58 || !hasMagic(bytes, 0, "OggS")) return None
+    val nSegs = u8(bytes, 26)
+    val packetStart = 27 + nSegs
+    if (packetStart + 19 > bytes.length) return None
+    // last granule: scan backwards for the final "OggS" capture pattern
+    val lastPage = lastIndexOfMagic(bytes, "OggS")
+    val granule = if (lastPage >= 0 && lastPage + 14 <= bytes.length)
+      leU64(bytes, lastPage + 6) else 0L
+    if (u8(bytes, packetStart) == 1 && hasMagic(bytes, packetStart + 1, "vorbis")) {
+      val channels = u8(bytes, packetStart + 11)
+      val rate = leU32(bytes, packetStart + 12).toInt
+      if (rate <= 0 || channels <= 0) None
+      else Some(AudioMeta(rate, channels, math.max(0L, granule)))
+    } else if (hasMagic(bytes, packetStart, "OpusHead")) {
+      val channels = u8(bytes, packetStart + 9)
+      if (channels <= 0) None
+      else Some(AudioMeta(48000, channels, math.max(0L, granule)))
+    } else None
+  }
+
+  // ================= FLAC (STREAMINFO) ================================
+
+  /** FLAC audio metadata from the mandatory first STREAMINFO block:
+    * sample rate (20 bits), channels-1 (3 bits), total samples (36
+    * bits) — bit-packed at body offset 10 (ISO/IEC-free public spec,
+    * xiph.org/flac/format.html). */
+  def flac(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes.length < 42 || !hasMagic(bytes, 0, "fLaC")) return None
+    val blockType = u8(bytes, 4) & 0x7F
+    val blockLen = u24(bytes, 5)
+    if (blockType != 0 || blockLen < 34) return None
+    val b = 8 + 10 // block body + fixed blocksize/framesize fields
+    val packed = u64(bytes, b) // rate(20) ch(3) bps(5) total(36)
+    val rate = (packed >>> 44).toInt
+    val channels = ((packed >>> 41) & 0x7).toInt + 1
+    val total = packed & 0xFFFFFFFFFL
+    if (rate <= 0) None else Some(AudioMeta(rate, channels, total))
+  }
+
+  private def hasMagic(b: Array[Byte], o: Int, magic: String): Boolean =
+    o + magic.length <= b.length &&
+      magic.indices.forall(i => (b(o + i) & 0xFF) == (magic.charAt(i) & 0xFF))
+
+  private def lastIndexOfMagic(b: Array[Byte], magic: String): Int = {
+    var o = b.length - magic.length
+    while (o >= 0) {
+      if (hasMagic(b, o, magic)) return o
+      o -= 1
+    }
+    -1
+  }
+}

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample run as batched partition-level
   * transforms.
   *
-  * IMAGE decode is REAL: javax.imageio reads true width/height for
-  * PNG/JPEG/GIF/BMP/TIFF from the codec header (no pixel decode, no
-  * external dependencies). Audio/video metadata and the feature
-  * extractor remain explicit STUBS (the JDK has no such codecs):
-  * deterministic pseudo-values keep the Spark-side plumbing — schema,
-  * batch shape, partitioning, join-back — real and tested, and a real
-  * decoder (JNI/ONNX/javacv) drops into [[MediaBatch.decodeStub]]
-  * without touching the plan structure.
+  * METADATA decode is REAL for every supported container: javax.imageio
+  * reads true width/height for PNG/JPEG/GIF/BMP/TIFF, javax.sound parses
+  * WAV/AIFF/AU, and [[MediaHeaders]] parses mp4/mov, mkv/webm, mp3,
+  * ogg/opus, and flac container headers byte-for-byte (header-only —
+  * no codec payload is decoded). Only the pixel/sample-level FEATURE
+  * extractor remains a STUB for non-image kinds (the JDK has no such
+  * codecs): deterministic pseudo-values keep the Spark-side plumbing —
+  * schema, batch shape, partitioning, join-back — real and tested, and
+  * a real decoder (JNI/ONNX/javacv) drops into
+  * [[MediaBatch.featuresStub]] without touching the plan structure.
   *
   * Scale posture:
   *  - media bytes never go through a shuffle wider than necessary: the
@@ -90,33 +92,53 @@ object Multimodal {
         Some((fmt.getSampleRate.toInt, fmt.getChannels, aff.getFrameLength))
       } catch { case _: Exception => None }
 
-    /** REAL decode for JDK-supported formats. Field mapping per kind:
-      * images → (width, height, n_frames=1); audio → (width=sample
-      * rate Hz, height=channels, n_frames=sample frames) — the same
-      * typed header contract, one schema for every modality. */
+    /** Compressed-audio containers parsed by [[MediaHeaders]] (header
+      * bytes only — no codec). */
+    private val CodedAudioKinds = Set("mp3", "ogg", "opus", "oga", "flac")
+
+    /** Video containers parsed by [[MediaHeaders]]. */
+    private val VideoKinds = Set("mp4", "m4v", "mov", "mkv", "webm")
+
+    /** REAL decode for every supported container. Field mapping per
+      * kind: images/video → (width, height, n_frames); audio →
+      * (width=sample rate Hz, height=channels, n_frames=sample frames)
+      * — the same typed header contract, one schema for every modality.
+      * Images via javax.imageio, WAV/AIFF/AU via javax.sound, mp4/mov,
+      * mkv/webm, mp3, ogg/opus, flac via the [[MediaHeaders]] container
+      * parsers. Only unrecognized/corrupt bytes fall through to the
+      * deterministic stub. */
     def decode(blob: MediaBlob): MediaMeta = {
       val kind = blob.kind.toLowerCase
+      def meta(w: Int, h: Int, n: Int) =
+        MediaMeta(blob.media_id, blob.kind, blob.content.length.toLong,
+          width = w, height = h, n_frames = n)
       val real: Option[MediaMeta] =
         if (ImageKinds(kind))
-          imageDimensions(blob.content).map { case (w, h) =>
-            MediaMeta(blob.media_id, blob.kind, blob.content.length.toLong,
-              width = w, height = h, n_frames = 1)
-          }
+          imageDimensions(blob.content).map { case (w, h) => meta(w, h, 1) }
         else if (AudioKinds(kind))
-          audioMeta(blob.content).map { case (rate, ch, frames) =>
-            MediaMeta(blob.media_id, blob.kind, blob.content.length.toLong,
-              width = rate, height = ch, n_frames = frames)
+          audioMeta(blob.content).map { case (rate, ch, fr) => meta(rate, ch, fr) }
+        else if (VideoKinds(kind)) {
+          val v = if (kind == "mkv" || kind == "webm")
+            MediaHeaders.matroska(blob.content)
+          else MediaHeaders.mp4(blob.content)
+          v.map(m => meta(m.width, m.height, m.nFrames))
+        } else if (CodedAudioKinds(kind)) {
+          val a = kind match {
+            case "mp3" => MediaHeaders.mp3(blob.content)
+            case "flac" => MediaHeaders.flac(blob.content)
+            case _ => MediaHeaders.ogg(blob.content)
           }
-        else None
+          a.map(m => meta(m.sampleRate, m.channels,
+            math.min(m.frames, Int.MaxValue.toLong).toInt))
+        } else None
       real.getOrElse(decodeStub(blob))
     }
 
-    /** ======== STUB: deterministic fake decode (video + compressed
-      * audio only) ====
-      * The JDK ships no mp4/mp3/flac codec; stable pseudo-dimensions
-      * from a content hash keep tests deterministic and the schema
-      * contract exercised until a real decoder (JNI/ONNX/javacv)
-      * drops in. */
+    /** ======== STUB: deterministic fake decode (unrecognized or
+      * corrupt bytes only) ====
+      * Stable pseudo-dimensions from a content hash keep tests
+      * deterministic and the schema contract exercised for bytes no
+      * parser recognizes. */
     def decodeStub(blob: MediaBlob): MediaMeta = {
       val h = java.util.Arrays.hashCode(blob.content).toLong & 0x7FFFFFFFL
       MediaMeta(blob.media_id, blob.kind, blob.content.length.toLong,

@@ -127,4 +127,123 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.nonEmpty && frames.forall(_._1 == 5L))
     assert(frames.map(_._2).forall(_ % 10 == 0))
   }
+
+  // ==== synthesized container fixtures for the MediaHeaders parsers ====
+
+  private def mp4Box(typ: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(body.length + 8)
+    bb.putInt(body.length + 8).put(typ.getBytes("ISO-8859-1")).put(body)
+    bb.array()
+  }
+
+  test("mp4 header decode: tkhd dimensions + stsz frame count") {
+    // tkhd v0: 84-byte body, 16.16 fixed-point width/height at 76/80
+    val tkhd = java.nio.ByteBuffer.allocate(84)
+      .putInt(76, 640 << 16).putInt(80, 360 << 16).array()
+    val stsz = java.nio.ByteBuffer.allocate(12)
+      .putInt(4, 0).putInt(8, 120).array() // variable sizes, 120 samples
+    val trak = mp4Box("trak", mp4Box("tkhd", tkhd) ++
+      mp4Box("mdia", mp4Box("minf", mp4Box("stbl", mp4Box("stsz", stsz)))))
+    val bytes = mp4Box("ftyp", "isomiso2".getBytes) ++ mp4Box("moov", trak)
+    val meta = Multimodal.MediaBatch.decode(MediaBlob(11L, "mp4", bytes))
+    assert(meta.width == 640 && meta.height == 360 && meta.n_frames == 120)
+  }
+
+  private def ebmlEl(id: Long, body: Array[Byte]): Array[Byte] = {
+    // id bytes as-stored (marker included); size as a 1-byte vint
+    val idBytes = BigInt(id).toByteArray.dropWhile(_ == 0)
+    require(body.length < 127)
+    idBytes ++ Array((0x80 | body.length).toByte) ++ body
+  }
+  private def ebmlUint(id: Long, v: Long): Array[Byte] = {
+    val b = BigInt(v).toByteArray.dropWhile(_ == 0)
+    ebmlEl(id, if (b.isEmpty) Array(0.toByte) else b)
+  }
+
+  test("matroska header decode: pixel dims + duration/defaultDuration frames") {
+    val video = ebmlEl(0xE0L,
+      ebmlUint(0xB0L, 1280) ++ ebmlUint(0xBAL, 720))
+    val trackEntry = ebmlEl(0xAEL,
+      ebmlUint(0x23E383L, 40000000L) ++ video) // 40 ms/frame = 25 fps
+    val tracks = ebmlEl(0x1654AE6BL, trackEntry)
+    val duration = ebmlEl(0x4489L, // float64: 2000 ticks
+      java.nio.ByteBuffer.allocate(8).putDouble(2000.0).array())
+    val info = ebmlEl(0x1549A966L,
+      ebmlUint(0x2AD7B1L, 1000000L) ++ duration) // 1 ms ticks
+    val bytes = ebmlEl(0x1A45DFA3L, Array.empty[Byte]) ++
+      ebmlEl(0x18538067L, info ++ tracks)
+    val meta = Multimodal.MediaBatch.decode(MediaBlob(12L, "mkv", bytes))
+    // 2000 ticks × 1e6 ns = 2 s; / 40 ms per frame = 50 frames
+    assert(meta.width == 1280 && meta.height == 720 && meta.n_frames == 50)
+  }
+
+  test("mp3 header decode: rate/channels from frame header, frames from length") {
+    // ID3v2 tag (100-byte body) then 10 CBR frames:
+    // 0xFF 0xFB = MPEG1 Layer III; 0x90 = 128 kbps @ 44100; 0x44 = stereo
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 100) ++
+      new Array[Byte](100)
+    val frameLen = 144 * 128000 / 44100 // 417
+    val frame = Array(0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x44.toByte) ++
+      new Array[Byte](frameLen - 4)
+    val bytes = id3 ++ Array.fill(10)(frame).flatten
+    val meta = Multimodal.MediaBatch.decode(MediaBlob(13L, "mp3", bytes))
+    assert(meta.width == 44100 && meta.height == 2)
+    assert(meta.n_frames == 10 * 1152) // sample frames
+  }
+
+  test("ogg opus header decode: id packet channels + last-page granule") {
+    def page(headerType: Int, granule: Long, packet: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(28 + packet.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes).put(0.toByte).put(headerType.toByte)
+        .putLong(granule).putInt(77).putInt(0).putInt(0)
+        .put(1.toByte).put(packet.length.toByte).put(packet)
+      bb.array()
+    }
+    val opusHead = "OpusHead".getBytes ++ Array[Byte](1, 2) ++ // v1, 2 ch
+      Array[Byte](0x38, 1) ++ // preskip 312 LE
+      Array[Byte](0x80.toByte, 0xBB.toByte, 0, 0) ++ // input rate 48000 LE
+      Array[Byte](0, 0, 0) // gain + mapping
+    val bytes = page(0x02, 0L, opusHead) ++ page(0x04, 96000L, Array[Byte](1))
+    val meta = Multimodal.MediaBatch.decode(MediaBlob(14L, "ogg", bytes))
+    assert(meta.width == 48000 && meta.height == 2 && meta.n_frames == 96000)
+  }
+
+  test("ogg vorbis header decode: id packet rate/channels") {
+    def page(headerType: Int, granule: Long, packet: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(28 + packet.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes).put(0.toByte).put(headerType.toByte)
+        .putLong(granule).putInt(88).putInt(0).putInt(0)
+        .put(1.toByte).put(packet.length.toByte).put(packet)
+      bb.array()
+    }
+    // 0x01 'vorbis' version(4) channels(1)=2 rate(4 LE)=22050 …
+    val vorbisId = Array[Byte](1) ++ "vorbis".getBytes ++
+      Array[Byte](0, 0, 0, 0, 2) ++
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(22050).array() ++ new Array[Byte](9)
+    val bytes = page(0x02, 0L, vorbisId) ++ page(0x04, 44100L, Array[Byte](1))
+    val meta = Multimodal.MediaBatch.decode(MediaBlob(17L, "ogg", bytes))
+    assert(meta.width == 22050 && meta.height == 2 && meta.n_frames == 44100)
+  }
+
+  test("flac STREAMINFO decode: bit-packed rate/channels/total samples") {
+    val packed = (44100L << 44) | (1L << 41) | (15L << 36) | 88200L
+    val streaminfo = java.nio.ByteBuffer.allocate(34)
+      .putLong(10, packed).array() // blocksize/framesize fields zeroed
+    val bytes = "fLaC".getBytes ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ streaminfo // last-block, type 0
+    val meta = Multimodal.MediaBatch.decode(MediaBlob(15L, "flac", bytes))
+    assert(meta.width == 44100 && meta.height == 2 && meta.n_frames == 88200)
+  }
+
+  test("corrupt video/audio container bytes fall back to the stub") {
+    for (kind <- Seq("mp4", "mkv", "mp3", "ogg", "flac")) {
+      val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+      val meta = Multimodal.MediaBatch.decode(MediaBlob(16L, kind, junk))
+      assert(meta == Multimodal.MediaBatch.decodeStub(MediaBlob(16L, kind, junk)),
+        s"$kind junk should fall back to the stub")
+    }
+  }
 }
