@@ -1339,15 +1339,27 @@ object Queries {
         idBound = 1000))
     )),
 
-    // Embedding-space semantic clustering: high-similarity pairs from
-    // the blocking-free LSH join (cosine >= 0.3) resolved into
-    // connected components — every member labeled with its cluster's
-    // canonical (minimum) vec_id. The embedding sibling of
+    // Embedding-space semantic clustering at a REALISTIC threshold
+    // (cosine >= 0.85): the raw fixture has no true near-dups at 0.85,
+    // so the query plants a deterministic near-dup cohort — vec_id < 30
+    // get perturbed copies (id + 100000, each component nudged by 5% of
+    // its circular neighbor → cosine ≈ 0.9988 to the base) — and both
+    // engines derive the SAME cohort from the same parquet. The verify
+    // filter now does real discriminating work: thousands of LSH
+    // bucket-mate candidates collapse to the ~30 planted pairs.
+    // Clusters via connected components — every member labeled with its
+    // cluster's canonical (minimum) vec_id. The embedding sibling of
     // q_dedup_clusters / q_linkage_clusters.
     "q_semantic_clusters" -> ((
       (s: SparkSession, dir: String) => {
-        val pairs = Similarity.lshCosinePairs(Tables.embeddings(s, dir),
-          "vec_id", "embedding", threshold = 0.3, dims = 64)
+        val base = Tables.embeddings(s, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        val planted = base.filter(col("vec_id") < 30).select(
+          (col("vec_id") + 100000).as("vec_id"),
+          expr("transform(emb, (x, i) -> x + 0.05D * element_at(emb, (i + 1) % 64 + 1))")
+            .as("emb"))
+        val pairs = Similarity.lshCosinePairs(base.unionByName(planted),
+          "vec_id", "emb", threshold = 0.85, dims = 64)
           .select("id_a", "id_b")
         Dedup.duplicateClusters(pairs)
       },
@@ -1360,7 +1372,12 @@ object Queries {
         s"""WITH pl(p, v) AS (SELECT * FROM (VALUES
            |$planeRows
            |) t(p, v)),
-           |emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+           |raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+           |emb0 AS (SELECT vec_id, emb FROM raw
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    [emb[i+1] + 0.05 * emb[((i+1) % 64) + 1] for i in range(64)]
+           |  FROM raw WHERE vec_id < 30),
            |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM emb0),
            |bk AS (SELECT n.vec_id, pl.p // $ppt AS tbl,
            |  CAST(sum(CASE WHEN list_sum([n.emb[i+1] * pl.v[i+1] for i in range(len(n.emb))]) >= 0
@@ -1370,7 +1387,7 @@ object Queries {
            |  JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
            |pairs AS (SELECT id_a, id_b FROM c
            |  JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
-           |  WHERE list_sum([x.emb[i+1] * y.emb[i+1] for i in range(len(x.emb))]) / sqrt(x.n2 * y.n2) >= 0.3),
+           |  WHERE list_sum([x.emb[i+1] * y.emb[i+1] for i in range(len(x.emb))]) / sqrt(x.n2 * y.n2) >= 0.85),
            |e AS (SELECT id_a a, id_b b FROM pairs UNION SELECT id_b, id_a FROM pairs),
            |r AS (
            |  WITH RECURSIVE reach(x, y) AS (
