@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Replay-vs-batch differential harness: every stateful streaming
+  * operator is replayed over the REAL events fixture via MemoryStream
+  * (time-ordered micro-batches — the shape a watermark contract
+  * guarantees nothing is dropped under) and its accumulated output is
+  * asserted EQUAL to the batch formulation over the same rows. This
+  * puts watermark semantics, window finalization, and interval-join
+  * state eviction under the same differential discipline as the
+  * DuckDB-oracled batch queries (which cannot see streaming state
+  * machinery).
+  */
+class StreamingDifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** First 600 fixture events, time-ordered, in 3 consecutive chunks.
+    * Within a chunk order is irrelevant (the watermark only advances
+    * between micro-batches), so chunks are reversed to prove it. */
+  private lazy val chunks: Seq[Seq[Event]] = {
+    val evs = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq.sortBy(_.ts.getTime).take(600)
+    evs.grouped(200).map(_.reverse).toSeq
+  }
+  private lazy val allEvents: Seq[Event] = chunks.flatten
+
+  /** Far-future event that pushes the watermark past every fixture
+    * window so Append mode finalizes them; excluded from comparisons. */
+  private val flusher =
+    Event(-1L, Timestamp.valueOf("2024-06-01 00:00:00"), -1L, "flush", 0.0)
+
+  test("windowedTypeStats replay equals the batch window aggregation") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedTypeStats(input.toDF(),
+      watermarkDelay = "10 minutes", windowLength = "1 hour")
+      .writeStream.format("memory").queryName("diff_win")
+      .outputMode(OutputMode.Append).start()
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    input.addData(flusher); q.processAllAvailable()
+    q.stop()
+
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6)) // sums accumulate in different
+    }.toSet                               // orders stream-vs-batch
+    val streamed = canon(spark.table("diff_win")
+      .filter(col("event_type") =!= "flush").collect())
+    val batch = canon(EventStreams.windowedTypeStats(allEvents.toDF())
+      .collect())
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("dedupWithinWatermark replay equals batch dropDuplicates") {
+    implicit val sc = spark.sqlContext
+    // inject a duplicate of every 10th event in its own micro-batch
+    // (arrival inside the watermark window — the contract's domain)
+    val withDups = chunks.map(c => c ++ c.filter(_.event_id % 10 == 0))
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupWithinWatermark(input.toDF(),
+      keyCols = Seq("event_id"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("diff_dedup")
+      .outputMode(OutputMode.Append).start()
+    withDups.foreach { c => input.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.table("diff_dedup").as[Event].collect().toSet
+    val batch = withDups.flatten.toDF().dropDuplicates("event_id")
+      .as[Event].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == allEvents.size) // dups actually dropped
+  }
+
+  test("intervalJoin replay equals the batch range join") {
+    implicit val sc = spark.sqlContext
+    val left = MemoryStream[Event]
+    val right = MemoryStream[Event]
+    def rightDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+        col("user_id"), col("event_type").as("r_type"),
+        col("value").as("r_value"))
+    val joined = EventStreams.intervalJoin(
+      left.toDF().filter(col("event_type") === "click"),
+      rightDf(right.toDF()).filter(col("r_type") === "purchase"),
+      keyCols = Seq("user_id"), leftTs = "ts", rightTs = "r_ts",
+      windowSeconds = 24 * 3600, watermarkDelay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("diff_ij")
+      .outputMode(OutputMode.Append).start()
+    chunks.foreach { c =>
+      left.addData(c); right.addData(c); q.processAllAvailable()
+    }
+    left.addData(flusher); right.addData(flusher); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("diff_ij")
+      .filter(col("user_id") >= 0) // drop any flusher self-pair
+      .select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    val batchL = allEvents.toDF().filter(col("event_type") === "click")
+    val batchR = rightDf(allEvents.toDF()).filter(col("r_type") === "purchase")
+    val batch = batchL.join(batchR,
+        batchL("user_id") === batchR("user_id") &&
+          col("r_ts") >= col("ts") &&
+          col("r_ts") < col("ts") + expr("INTERVAL 86400 SECONDS"))
+      .select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
