@@ -1,0 +1,115 @@
+package graft
+
+/** Plan-shape regression tests: pin the structural invariants of the
+  * most expensive suite queries — no cartesian products, bounded
+  * exchange counts, broadcast on the intended side, pushdown reaching
+  * the parquet scan — so a refactor cannot silently reintroduce a
+  * scale-killer. Plans are built against the parquet fixture (plans
+  * over LocalRelation constant-fold away and assert nothing).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  private def exchanges(p: String): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(p).length
+
+  private def assertNoCartesian(p: String, name: String): Unit = {
+    assert(!p.contains("CartesianProduct"),
+      s"$name plan contains a CartesianProduct")
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"$name has a nested-loop join without a broadcast side")
+  }
+
+  test("q1_pricing_summary: one shuffle (partial+final agg), filter pushed to scan") {
+    val p = plan("q1_pricing_summary")
+    assertNoCartesian(p, "q1")
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(p.contains("HashAggregate"))
+    // the shipdate predicate must reach the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "l_shipdate filter not pushed to the lineitem scan")
+  }
+
+  test("q3_top_orders: customer broadcast, top-k via TakeOrderedAndProject") {
+    val p = plan("q3_top_orders")
+    assertNoCartesian(p, "q3")
+    assert(p.contains("BroadcastHashJoin"), "customer side should broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "LIMIT 10 should plan as TakeOrderedAndProject, not a global sort")
+  }
+
+  test("q5_region_revenue: three dimension broadcasts, no cartesian") {
+    val p = plan("q5_region_revenue")
+    assertNoCartesian(p, "q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "supplier/nation/region should all broadcast")
+  }
+
+  test("q_dedup_ngram_jaccard: PPJoin candidates via equi-join, no cartesian") {
+    val p = plan("q_dedup_ngram_jaccard")
+    assertNoCartesian(p, "q_dedup_ngram_jaccard")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "prefix candidates must come from an equi-join on shingles")
+  }
+
+  test("q_fuzzy_join: cross-relation PPJoin stays equi-join shaped") {
+    val p = plan("q_fuzzy_join")
+    assertNoCartesian(p, "q_fuzzy_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_dedup_minhash_lsh: map-side signature expression + banded equi-join") {
+    val p = plan("q_dedup_minhash_lsh")
+    assertNoCartesian(p, "q_dedup_minhash_lsh")
+    assert(p.contains("minhash_signature"),
+      "signature must be the codegen'd map-side expression")
+  }
+
+  test("q_ann_bruteforce: queries broadcast against the corpus") {
+    val p = plan("q_ann_bruteforce")
+    assert(!p.contains("CartesianProduct"),
+      "ANN must broadcast the query side, never a cartesian")
+    // non-equi (id != query_id) join is nested-loop BY DESIGN — but the
+    // small query side must be the broadcast side
+    assert(p.contains("BroadcastExchange"),
+      "query side should be broadcast")
+  }
+
+  test("q_decontaminate_bloom: bloom prefilter sits at the scan side") {
+    val p = plan("q_decontaminate_bloom")
+    assertNoCartesian(p, "q_decontaminate_bloom")
+    assert(p.contains("bloom_hits"),
+      "bloom prefilter expression missing from the plan")
+  }
+
+  test("q_token_count: scan reads only the projected document columns") {
+    val p = plan("q_token_count")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    // the documents table carries many columns; the projection needs few
+    assert(readSchemas.forall(s => s.split(",").length <= 4),
+      s"scan reads more columns than the projection needs: $readSchemas")
+  }
+
+  test("q_curation_pipeline: filters precede the PPJoin, anti-join drops near-dups") {
+    val p = plan("q_curation_pipeline")
+    assertNoCartesian(p, "q_curation_pipeline")
+    assert(p.contains("LeftAnti"), "near-dup drop should be an anti-join")
+  }
+
+  test("q_hourly_events / q_stratified_sample: single-exchange aggregations") {
+    val ph = plan("q_hourly_events")
+    assert(exchanges(ph) <= 2, s"q_hourly_events exchange count grew:\n$ph")
+    val ps = plan("q_stratified_sample")
+    assertNoCartesian(ps, "q_stratified_sample")
+  }
+}
