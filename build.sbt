@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program stdout must reach sbt's stdout RAW: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which breaks
+// any consumer that json-parses the Bench/Verify output lines.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

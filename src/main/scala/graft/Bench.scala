@@ -47,14 +47,29 @@ object Bench {
       }
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val total = results.map(_._2).sum
+
+    // Full-precision per-query detail (all queries + shuffle bytes) goes to a
+    // FILE: the harness that runs this main captures only a ~2000-char tail of
+    // stdout, so the printed line must stay compact. Printing every query at
+    // full double precision (~4.5 KB for 85 queries) made the line truncate
+    // mid-JSON and parse as null in rounds 2-3.
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val shuffleMb = results.map { case (k, _) =>
       val mb = metrics.get(k).map(_.shuffleBytes / 1e6).getOrElse(0.0)
       "\"" + k + "\":" + f"$mb%.1f"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shuffleMb,"sf":"$sfDir"}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"cpus":$cpus,"queries":$qsFull,"shuffle_mb":$shuffleMb,"sf":"$sfDir"}""")
+
+    // Compact single line: suite total + the slowest 40 queries at 2 decimals
+    // (~1.3 KB — fits the tail window with margin even as the suite grows).
+    val top = results.sortBy(-_._2).take(40)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},"queries":$top,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1224,6 +1224,39 @@ object Queries {
              |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin)
     )),
 
+    // Same semantics as q_incremental_dedup, but the standing corpus'
+    // banded signatures are PERSISTED BUCKETED on the LSH join key first
+    // (Dedup.persistBandedSignatures → Catalog.saveBucketed) and the
+    // batch probes the stored table — the store-once incremental posture
+    // where only the new batch is ever shuffled. Oracle: the same
+    // exhaustive cross-join Jaccard as q_incremental_dedup.
+    "q_incremental_dedup_bucketed" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        graft.core.Catalog.scratchDatabase(s, "graft_inc")
+        Dedup.persistBandedSignatures(s, "graft_inc", "corpus_sigs", corpus,
+          "doc_id", "text")
+        Dedup.minhashJoinPrecomputed(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          s.table("graft_inc.corpus_sigs"),
+          Dedup.shingleSets(corpus, "doc_id", "text"),
+          "doc_id", "text", threshold = 0.8)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+             |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+             |  ELSE [] END sh FROM w),
+             |e AS (SELECT doc_id, unnest(sh) s FROM g),
+             |sz AS (SELECT doc_id, len(sh) n FROM g),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+             |      FROM e a JOIN e b ON a.s = b.s
+             |      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2)
+             |SELECT id_a, id_b
+             |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin)
+    )),
+
     "q_dedup_simhash" -> ((
       (s: SparkSession, dir: String) =>
         Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",

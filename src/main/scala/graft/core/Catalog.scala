@@ -89,6 +89,18 @@ object Catalog {
     ensureDatabase(spark, db)
   }
 
+  /** Create-or-replace a database rooted at a FRESH temp directory — for
+    * scratch tables written inside repeatable query runs. The default
+    * warehouse keeps table FILES across JVM exits while the in-memory
+    * catalog forgets the metadata, so a re-run's `saveAsTable` would die
+    * with LOCATION_ALREADY_EXISTS; a fresh location per call sidesteps
+    * that without touching the caller's warehouse. */
+  def scratchDatabase(spark: SparkSession, db: String): Unit = {
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory(s"graft_scratch_$db")
+    spark.sql(s"CREATE DATABASE `$db` LOCATION '${loc.toUri}'")
+  }
+
   /** JDBC sink — the reference's stated end goal is "prepping for
     * postgres" (`README.md:1`); this is the hand-off. Each partition
     * opens one connection and writes `batchSize`-row batches, so

@@ -449,6 +449,59 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Persist a standing corpus' LSH join-key table — (id, band, bh)
+    * banded MinHash signatures — BUCKETED on the join key, so that
+    * every future incremental batch joins against it with NO exchange
+    * on the corpus side ([[graft.core.Catalog.saveBucketed]]).
+    *
+    * This is the storage half of the daily-incremental economics that
+    * [[minhashJoin]] documents: the corpus signatures are computed once
+    * (map-side, fixed `bands` rows per doc), written pre-partitioned,
+    * and each new batch only shuffles ITSELF. At 100 TB the standing
+    * side is the overwhelmingly larger one — re-shuffling it per batch
+    * is the cost this removes. */
+  def persistBandedSignatures(spark: org.apache.spark.sql.SparkSession,
+                              db: String, table: String, corpus: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 128, bands: Int = 32,
+                              n: Int = 3, numBuckets: Int = 8): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val banded = bandSignatures(
+      minhashSignatures(corpus, idCol, textCol, numHashes, n),
+      bands, numHashes / bands)
+    graft.core.Catalog.saveBucketed(spark, db, table, banded,
+      Seq("band", "bh"), numBuckets)
+  }
+
+  /** Incremental MinHash join against a PRECOMPUTED banded signature
+    * table (written by [[persistBandedSignatures]] and read back with
+    * `spark.table`). Identical output contract to [[minhashJoin]];
+    * only the new batch's signatures are computed (map-side) and only
+    * the new batch is shuffled — the bucketed corpus side is already
+    * laid out on (band, bh).
+    *
+    * `corpusSets` supplies the exact-verification side for the standing
+    * corpus: either `shingleSets(corpusDocs, ...)` recomputed, or a
+    * persisted (id, sh) table for the full store-once posture. */
+  def minhashJoinPrecomputed(newBatch: DataFrame, corpusBanded: DataFrame,
+                             corpusSets: DataFrame, idCol: String,
+                             textCol: String, threshold: Double = 0.8,
+                             numHashes: Int = 128, bands: Int = 32,
+                             n: Int = 3,
+                             maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val bandedNew = capBuckets(
+      bandSignatures(minhashSignatures(newBatch, idCol, textCol, numHashes, n),
+        bands, numHashes / bands), Seq("band", "bh"), maxBucketSize)
+    val candidates = bandedNew.toDF("id_a", "band", "bh")
+      .join(corpusBanded.select(col("id").as("id_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccardAB(shingleSets(newBatch, idCol, textCol, n), corpusSets,
+      candidates, threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Drop rows of over-sized join buckets — the skew guard shared by
     * the banded candidate generators. `Int.MaxValue` means uncapped
     * (the oracle-exact configuration). */

@@ -133,10 +133,14 @@ object MediaHeaders {
       val step = for {
         (id, idLen) <- ebmlVint(b, o, keepMarker = true)
         (size, szLen) <- ebmlVint(b, o + idLen, keepMarker = false)
-      } yield {
-        val bodyStart = o + idLen + szLen
+        bodyStart = o + idLen + szLen
         // all-marker-bits size = unknown length → runs to container end
-        val unknown = size == (1L << (7 * szLen)) - 1
+        unknown = size == (1L << (7 * szLen)) - 1
+        // a declared size beyond the remaining bytes is corrupt; reject it
+        // BEFORE .toInt — a >2^31 size would otherwise truncate to a small
+        // positive value and yield a plausible-but-wrong body range
+        if unknown || size <= (to - bodyStart).toLong
+      } yield {
         val bodyEnd = if (unknown) to else bodyStart + size.toInt
         (id, bodyStart, math.min(bodyEnd, to))
       }
@@ -282,10 +286,11 @@ object MediaHeaders {
     val nSegs = u8(bytes, 26)
     val packetStart = 27 + nSegs
     if (packetStart + 19 > bytes.length) return None
-    // last granule: scan backwards for the final "OggS" capture pattern
-    val lastPage = lastIndexOfMagic(bytes, "OggS")
-    val granule = if (lastPage >= 0 && lastPage + 14 <= bytes.length)
-      leU64(bytes, lastPage + 6) else 0L
+    // last granule: scan backwards for the final VALID page header — the
+    // raw "OggS" pattern can occur inside packet payload, so each
+    // candidate must also pass the structural checks in [[lastOggPage]]
+    val lastPage = lastOggPage(bytes)
+    val granule = if (lastPage >= 0) leU64(bytes, lastPage + 6) else 0L
     if (u8(bytes, packetStart) == 1 && hasMagic(bytes, packetStart + 1, "vorbis")) {
       val channels = u8(bytes, packetStart + 11)
       val rate = leU32(bytes, packetStart + 12).toInt
@@ -321,10 +326,22 @@ object MediaHeaders {
     o + magic.length <= b.length &&
       magic.indices.forall(i => (b(o + i) & 0xFF) == (magic.charAt(i) & 0xFF))
 
-  private def lastIndexOfMagic(b: Array[Byte], magic: String): Int = {
-    var o = b.length - magic.length
+  /** Offset of the last STRUCTURALLY VALID OGG page header, or -1.
+    * Validity (RFC 3533 §6): capture pattern, version byte 0, header-type
+    * flags confined to the 3 defined bits, and the full header + segment
+    * table + laced payload fitting inside the buffer — so an "OggS"
+    * byte sequence inside packet payload is not mistaken for a page. */
+  private def lastOggPage(b: Array[Byte]): Int = {
+    var o = b.length - 27
     while (o >= 0) {
-      if (hasMagic(b, o, magic)) return o
+      if (hasMagic(b, o, "OggS") && u8(b, o + 4) == 0 && (u8(b, o + 5) & ~0x07) == 0) {
+        val nSegs = u8(b, o + 26)
+        if (o + 27 + nSegs <= b.length) {
+          var payload = 0; var i = 0
+          while (i < nSegs) { payload += u8(b, o + 27 + i); i += 1 }
+          if (o + 27 + nSegs + payload <= b.length) return o
+        }
+      }
       o -= 1
     }
     -1

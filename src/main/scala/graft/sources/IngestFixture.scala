@@ -26,9 +26,19 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   * fixture (like the real data, where quotes appear mid-field) avoids
   * quote-initial fields; that corner is documented as out of scope.
   */
+/** One per-process temp root for all oracle fixtures. Fixed /tmp paths
+  * race across concurrent JVMs (sbt test vs Verify vs Bench): a stale or
+  * foreign file would silently become the oracle input. Queries embed
+  * these paths into oracle SQL in the same process that writes the
+  * files, so query and oracle always agree. */
+object FixtureDirs {
+  lazy val base: String =
+    Files.createTempDirectory("graft_fixtures_").toString
+}
+
 object IngestFixture {
 
-  val dir = "/tmp/graft_fixtures"
+  val dir: String = FixtureDirs.base
   val zipName = "VR_Snapshot_20240601.zip"
   val expectedCsvName = "vr_snapshot_expected.csv"
 

@@ -29,8 +29,8 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   */
 object PipelineFixture {
 
-  val dir = "/tmp/graft_fixtures/pipeline_bucket"
-  private val expectedDir = "/tmp/graft_fixtures"
+  val dir: String = s"${FixtureDirs.base}/pipeline_bucket"
+  private def expectedDir: String = FixtureDirs.base
 
   /** VR snapshot shape: separate name + phone parts, UTF-16, dirty
     * quotes (U2 case), non-ASCII survivors that only decode correctly

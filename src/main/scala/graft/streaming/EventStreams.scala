@@ -133,6 +133,10 @@ object EventStreams {
       case Some(t) => docs
         .select(col(idCol).as("doc_id"), col(t).cast("timestamp").as("ts"),
           graft.operators.Dedup.shingles(col(textCol), n).as("sh"))
+        // a null ts (failed cast) can neither advance the watermark nor
+        // set an event-time timeout — dropping it here keeps every
+        // surviving bucket's state evictable
+        .filter(col(t).cast("timestamp").isNotNull)
         .withWatermark("ts", watermarkDelay)
       case None => docs
         .select(col(idCol).as("doc_id"), lit(null).cast("timestamp").as("ts"),
@@ -180,10 +184,16 @@ object EventStreams {
               }
             }
             state.update(seen)
-            if (timeoutConf == GroupStateTimeout.EventTimeTimeout && maxTs != Long.MinValue)
-              // never below the current watermark (Spark rejects that)
+            if (timeoutConf == GroupStateTimeout.EventTimeTimeout) {
+              // null-ts rows are filtered upstream, but keep a watermark
+              // fallback so NO batch can leave a bucket without a timeout
+              // (unevictable state); never below the current watermark
+              // (Spark rejects that)
+              val base = if (maxTs != Long.MinValue) maxTs + horizonMs
+                         else state.getCurrentWatermarkMs + horizonMs
               state.setTimeoutTimestamp(
-                math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
+                math.max(base, state.getCurrentWatermarkMs + 1))
+            }
             out.result().iterator
           }
       }

@@ -35,6 +35,48 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("persisted banded signatures: same pairs as minhashJoin, fewer exchanges") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different words about distributed columnar query engines"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    val corpus = docs.filter("doc_id % 2 = 1")
+    val batch = docs.filter("doc_id % 2 = 0")
+    Catalog.scratchDatabase(spark, "incb")
+    Dedup.persistBandedSignatures(spark, "incb", "sigs", corpus,
+      "doc_id", "text", numBuckets = 4)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pre = Dedup.minhashJoinPrecomputed(batch, spark.table("incb.sigs"),
+        Dedup.shingleSets(corpus, "doc_id", "text"), "doc_id", "text",
+        threshold = 0.6)
+      val plain = Dedup.minhashJoin(batch, corpus, "doc_id", "text",
+        threshold = 0.6)
+      // identical output contract
+      val a = pre.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = plain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b && a.nonEmpty)
+      // the bucketed corpus side needs NO exchange: the candidates join
+      // shuffles only the probe batch — strictly fewer exchanges than the
+      // compute-both-sides formulation (an upper bound, not an exact
+      // count: planner changes must not fail the suite)
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)).length
+      assert(exchanges(pre) < exchanges(plain),
+        s"bucketed path should shuffle less: pre=${exchanges(pre)} plain=${exchanges(plain)}")
+      // and the candidates really come from the stored bucketed table
+      assert(pre.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode).contains("incb.sigs"),
+        "plan does not scan the persisted signature table")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("partitioned table: planning-time partition pruning on the filter") {
     Catalog.resetDatabase(spark, "prt")
     val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")

@@ -29,10 +29,13 @@ class PlanSpec extends SparkSpec {
   test("q1_pricing_summary: one shuffle (partial+final agg), filter pushed to scan") {
     val p = plan("q1_pricing_summary")
     assertNoCartesian(p, "q1")
-    assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    // upper bound, not equality: a harmless planner change (AQE, config)
+    // must not fail the suite — only a GROWTH in shuffles is a regression
+    assert(exchanges(p) <= 1, s"expected at most 1 exchange:\n$p")
     assert(p.contains("HashAggregate"))
-    // the shipdate predicate must reach the parquet scan
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+    // the shipdate predicate must reach the parquet scan — match loosely,
+    // tolerant of filter ordering/formatting across Spark versions
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
       "l_shipdate filter not pushed to the lineitem scan")
   }
 
@@ -106,7 +109,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "near-dup drop should be an anti-join")
   }
 
-  test("q_hourly_events / q_stratified_sample: single-exchange aggregations") {
+  test("q_hourly_events / q_stratified_sample: bounded-exchange aggregations") {
     val ph = plan("q_hourly_events")
     assert(exchanges(ph) <= 2, s"q_hourly_events exchange count grew:\n$ph")
     val ps = plan("q_stratified_sample")
