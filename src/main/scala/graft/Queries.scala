@@ -26,6 +26,11 @@ object Queries {
 
   type QueryFn = (SparkSession, String) => DataFrame
 
+  /** Exactly 10 tokens — one aligned k=10 passage when prepended; the
+    * planted template block for the boilerplate-removal oracle. */
+  private val BoilerplateBlock =
+    "subscribe to our newsletter for daily updates click here now"
+
   // Exact-decimal money fragments — same text works in Spark SQL and DuckDB.
   private val Price = "cast(l_extendedprice as decimal(18,2))"
   private val OneMinusDisc = "(cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))"
@@ -90,6 +95,62 @@ object Queries {
        |  list_sum([x.emb[i+1] * y.emb[i+1] for i in range(len(x.emb))]) / sqrt(x.n2 * y.n2) score
        |  FROM c JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b)
        |SELECT id_a, id_b, round(score, 6) AS score FROM s WHERE score >= $threshold""".stripMargin
+  }
+
+  /** The embeddings table with a planted near-dup cohort: every
+    * vec_id < 30 additionally appears as (vec_id + 100000) with each
+    * component nudged by 5% of its circular neighbor — cosine ≈ 0.9988
+    * to its base, so realistic high thresholds (0.85+) have non-trivial
+    * answers on the synthetic fixture. Shared by the semantic-cluster,
+    * diversity-pruning and embedding-decontamination queries; the
+    * DuckDB replay is the `emb0` CTE of [[plantedClusterCte]]. */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val planted = base.filter(col("vec_id") < 30).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      expr("transform(emb, (x, i) -> x + 0.05D * element_at(emb, (i + 1) % 64 + 1))")
+        .as("emb"))
+    base.unionByName(planted)
+  }
+
+  /** WITH-prefix replaying [[plantedEmbeddings]] + multi-table LSH
+    * pairs ≥ threshold + recursive-CTE connected components; exposes
+    * `emb0` (the planted corpus), `pairs` and `r` (reachability) for a
+    * final SELECT appended by the caller. */
+  private def plantedClusterCte(threshold: Double): String = {
+    val ppt = 6; val tables = 4
+    val planeRows = (0 until ppt * tables).map { p =>
+      val vs = (0 until 64).map(d => Similarity.planeComponent(p, d)).mkString(", ")
+      s"($p, [$vs])"
+    }.mkString(",\n")
+    s"""WITH pl(p, v) AS (SELECT * FROM (VALUES
+       |$planeRows
+       |) t(p, v)),
+       |raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+       |emb0 AS (SELECT vec_id, emb FROM raw
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |    [emb[i+1] + 0.05 * emb[((i+1) % 64) + 1] for i in range(64)]
+       |  FROM raw WHERE vec_id < 30),
+       |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM emb0),
+       |bk AS (SELECT n.vec_id, pl.p // $ppt AS tbl,
+       |  CAST(sum(CASE WHEN list_sum([n.emb[i+1] * pl.v[i+1] for i in range(len(n.emb))]) >= 0
+       |    THEN (CAST(1 AS BIGINT) << (pl.p % $ppt)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM n, pl GROUP BY 1, 2),
+       |c AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b FROM bk a
+       |  JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT id_a, id_b FROM c
+       |  JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
+       |  WHERE list_sum([x.emb[i+1] * y.emb[i+1] for i in range(len(x.emb))]) / sqrt(x.n2 * y.n2) >= $threshold),
+       |e AS (SELECT id_a a, id_b b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |r AS (
+       |  WITH RECURSIVE reach(x, y) AS (
+       |    SELECT a, b FROM e
+       |    UNION
+       |    SELECT reach.x, e.b FROM reach JOIN e ON reach.y = e.a
+       |  ) SELECT * FROM reach
+       |)""".stripMargin
   }
 
   /** Literal-hyperplane oracle for the corpus-wide kNN graph: same
@@ -1076,6 +1137,37 @@ object Queries {
              |FROM w WHERE win = row(doc_id, pos) GROUP BY doc_id""".stripMargin)
     )),
 
+    // Cross-document boilerplate removal (CCNet-family): a fixed
+    // 10-token template block is prepended to every doc_id % 3 == 0
+    // document — one k-aligned passage per planted doc, so the genuine
+    // passages shift by exactly one passage and survive intact — and
+    // stripBoilerplate must drop every copy seen in >= 3 docs of a
+    // source while reassembling the original text byte-identically.
+    "q_boilerplate_strip" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(BoilerplateBlock + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+        Dedup.stripBoilerplate(docs, "doc_id", "text", "source",
+          k = 10, minDocFreq = 3)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+             |  CASE WHEN doc_id % 3 = 0 THEN '$BoilerplateBlock ' || text ELSE text END AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id, source, string_split(text, ' ') ws FROM d),
+             |i AS (SELECT doc_id, source, ws, unnest(range((len(ws) + 9) // 10)) pos FROM t),
+             |p AS (SELECT doc_id, source, pos,
+             |        array_to_string(ws[pos*10+1 : pos*10+10], ' ') passage FROM i),
+             |f AS (SELECT source, passage FROM p GROUP BY 1, 2
+             |        HAVING count(DISTINCT doc_id) >= 3)
+             |SELECT doc_id, string_agg(passage, ' ' ORDER BY pos) AS text_clean
+             |FROM p
+             |WHERE NOT EXISTS (SELECT 1 FROM f
+             |  WHERE f.source = p.source AND f.passage = p.passage)
+             |GROUP BY doc_id""".stripMargin)
+    )),
+
     "q_dedup_ngram_jaccard" -> ((
       (s: SparkSession, dir: String) =>
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5),
@@ -1385,52 +1477,29 @@ object Queries {
     // q_dedup_clusters / q_linkage_clusters.
     "q_semantic_clusters" -> ((
       (s: SparkSession, dir: String) => {
-        val base = Tables.embeddings(s, dir).select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("emb"))
-        val planted = base.filter(col("vec_id") < 30).select(
-          (col("vec_id") + 100000).as("vec_id"),
-          expr("transform(emb, (x, i) -> x + 0.05D * element_at(emb, (i + 1) % 64 + 1))")
-            .as("emb"))
-        val pairs = Similarity.lshCosinePairs(base.unionByName(planted),
+        val pairs = Similarity.lshCosinePairs(plantedEmbeddings(s, dir),
           "vec_id", "emb", threshold = 0.85, dims = 64)
           .select("id_a", "id_b")
         Dedup.duplicateClusters(pairs)
       },
-      Some {
-        val ppt = 6; val tables = 4
-        val planeRows = (0 until ppt * tables).map { p =>
-          val vs = (0 until 64).map(d => Similarity.planeComponent(p, d)).mkString(", ")
-          s"($p, [$vs])"
-        }.mkString(",\n")
-        s"""WITH pl(p, v) AS (SELECT * FROM (VALUES
-           |$planeRows
-           |) t(p, v)),
-           |raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
-           |emb0 AS (SELECT vec_id, emb FROM raw
-           |  UNION ALL
-           |  SELECT vec_id + 100000,
-           |    [emb[i+1] + 0.05 * emb[((i+1) % 64) + 1] for i in range(64)]
-           |  FROM raw WHERE vec_id < 30),
-           |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM emb0),
-           |bk AS (SELECT n.vec_id, pl.p // $ppt AS tbl,
-           |  CAST(sum(CASE WHEN list_sum([n.emb[i+1] * pl.v[i+1] for i in range(len(n.emb))]) >= 0
-           |    THEN (CAST(1 AS BIGINT) << (pl.p % $ppt)) ELSE 0 END) AS BIGINT) AS bucket
-           |  FROM n, pl GROUP BY 1, 2),
-           |c AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b FROM bk a
-           |  JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-           |pairs AS (SELECT id_a, id_b FROM c
-           |  JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
-           |  WHERE list_sum([x.emb[i+1] * y.emb[i+1] for i in range(len(x.emb))]) / sqrt(x.n2 * y.n2) >= 0.85),
-           |e AS (SELECT id_a a, id_b b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-           |r AS (
-           |  WITH RECURSIVE reach(x, y) AS (
-           |    SELECT a, b FROM e
-           |    UNION
-           |    SELECT reach.x, e.b FROM reach JOIN e ON reach.y = e.a
-           |  ) SELECT * FROM reach
-           |)
-           |SELECT x AS doc_id, least(x, min(y)) AS canonical_id FROM r GROUP BY x""".stripMargin
-      }
+      Some(plantedClusterCte(0.85) +
+        "\nSELECT x AS doc_id, least(x, min(y)) AS canonical_id FROM r GROUP BY x")
+    )),
+
+    // SemDeDup-style diversity pruning over the same planted cohort:
+    // keep ONE representative (minimum vec_id) per semantic cluster at
+    // cosine >= 0.85 plus everything unclustered — the planted
+    // perturbed copies collapse onto their originals and everything
+    // genuine survives. Output: the kept vec_ids.
+    "q_semdedup_prune" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.diversityPrune(plantedEmbeddings(s, dir),
+          "vec_id", "emb", threshold = 0.85, dims = 64)
+          .select("vec_id"),
+      Some(plantedClusterCte(0.85) + """
+           |, canon AS (SELECT x, least(x, min(y)) AS c FROM r GROUP BY x)
+           |SELECT vec_id FROM emb0
+           |WHERE NOT EXISTS (SELECT 1 FROM canon WHERE canon.x = emb0.vec_id AND canon.x <> canon.c)""".stripMargin)
     )),
 
     // ===== LLM-data-pipeline: similarity search =====
@@ -1720,6 +1789,34 @@ object Queries {
       }
     )),
 
+    // Embedding-space decontamination: benchmark vectors leaked into the
+    // train side as perturbed copies (the planted cohort — vec_id < 30
+    // reappear as id+100000 at cosine ≈ 0.9988) must be dropped by the
+    // broadcast nested-loop ANTI join at threshold 0.85; genuine train
+    // vectors survive. Catches paraphrased leakage the n-gram
+    // decontamination above cannot see.
+    "q_decontaminate_embedding" -> ((
+      (s: SparkSession, dir: String) => {
+        val all = plantedEmbeddings(s, dir)
+        operators.Decontaminate.byEmbedding(
+          all.filter(col("vec_id") >= 30),      // train incl. the leaks
+          all.filter(col("vec_id") < 30),       // benchmark
+          "vec_id", "emb", threshold = 0.85)
+          .select("vec_id")
+      },
+      Some("""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+             |emb0 AS (SELECT vec_id, emb FROM raw
+             |  UNION ALL
+             |  SELECT vec_id + 100000,
+             |    [emb[i+1] + 0.05 * emb[((i+1) % 64) + 1] for i in range(64)]
+             |  FROM raw WHERE vec_id < 30),
+             |tr AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM emb0 WHERE vec_id >= 30),
+             |ev AS (SELECT emb, list_sum([x*x for x in emb]) n2 FROM emb0 WHERE vec_id < 30)
+             |SELECT vec_id FROM tr WHERE NOT EXISTS (
+             |  SELECT 1 FROM ev WHERE
+             |    list_sum([tr.emb[i+1] * ev.emb[i+1] for i in range(len(tr.emb))]) / sqrt(tr.n2 * ev.n2) >= 0.85)""".stripMargin)
+    )),
+
     // Gopher/C4-style repetition gates, computed MAP-SIDE per doc (the
     // top-bigram count is a run-length fold over the sorted bigram
     // array — no (doc, ngram) shuffle).
@@ -1929,6 +2026,48 @@ object Queries {
              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) rn
              |  FROM documents)
              |SELECT doc_id, source FROM r WHERE rn <= 20""".stripMargin)
+    )),
+
+    // Data-mixing report: per-source token counts, corpus share, and the
+    // uniform-target resampling weight — exact long sums, two pinned
+    // IEEE divisions (share = n/total, weight = total/(G*n)).
+    "q_mixture_weights" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Sampling.mixtureWeights(Tables.documents(s, dir),
+          "source", TextAnalysis.tokenCount(col("text"))),
+      Some("""WITH c AS (SELECT source,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_units
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT CAST(sum(n_units) AS BIGINT) AS total,
+             |  count(*) AS groups FROM c)
+             |SELECT source, n_units,
+             |  CAST(n_units AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+             |  CAST(total AS DOUBLE) / CAST(groups * n_units AS DOUBLE) AS weight
+             |FROM c, t""".stripMargin)
+    )),
+
+    // Out-of-vocabulary profiling: docs with doc_id % 7 == 0 get a
+    // doc-unique planted token (df = 1, below the vocabulary cutoff), so
+    // their OOV counts are non-trivial while everything else scores 0 —
+    // both engines derive the same planted corpus from the same parquet.
+    "q_oov_rate" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" zq"), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"))
+        operators.Profile.oovStats(docs, "doc_id", "text", minDf = 5)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 7 = 0 THEN text || ' zq' || CAST(doc_id AS VARCHAR)
+             |       ELSE text END AS text FROM documents),
+             |t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM d),
+             |v AS (SELECT tok FROM t GROUP BY tok HAVING count(DISTINCT doc_id) >= 5)
+             |SELECT t.doc_id, count(*) AS n_tokens,
+             |  count(*) FILTER (v.tok IS NULL) AS n_oov,
+             |  CAST(count(*) FILTER (v.tok IS NULL) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+             |FROM t LEFT JOIN v ON t.tok = v.tok
+             |GROUP BY t.doc_id""".stripMargin)
     )),
 
     // SCD Type-2 merge: dimension rows versioned with (valid_from,

@@ -78,4 +78,31 @@ object Decontaminate {
         Dedup.shingles(col(textCol), n), bloom) > 0)
     contaminated(suspicious, benchmark, idCol, textCol, n)
   }
+
+  /** Embedding-space decontamination: drop every training row whose
+    * embedding has cosine ≥ `threshold` against ANY benchmark
+    * embedding — catches paraphrased/reworded benchmark leakage that
+    * n-gram overlap ([[contaminated]]) cannot see.
+    *
+    * Scale shape: benchmark sets are small by nature (thousands of
+    * rows), so the eval side is force-broadcast and the corpus streams
+    * through a broadcast nested-loop ANTI join — one scan of the
+    * corpus, no shuffle of either side, exactly the [[Similarity
+    * .bruteForceTopK]] posture. For benchmark sets too big to
+    * broadcast, pre-bucket both sides with [[Similarity
+    * .lshCosinePairs]]'s tables instead. */
+  def byEmbedding(train: DataFrame, benchmark: DataFrame,
+                  idCol: String, embCol: String,
+                  threshold: Double = 0.95): DataFrame = {
+    val t = Similarity.prepared(train, idCol, embCol)
+      .select(col("id").as("__tid"), col("emb").as("__temb"),
+        col("n2").as("__tn2"))
+    val b = Similarity.prepared(benchmark, idCol, embCol)
+      .select(col("emb").as("__bemb"), col("n2").as("__bn2"))
+    val kept = t.join(broadcast(b),
+      Similarity.dot(col("__temb"), col("__bemb")) /
+        sqrt(col("__tn2") * col("__bn2")) >= threshold,
+      "left_anti")
+    train.join(kept.select(col("__tid").as(idCol)), Seq(idCol), "left_semi")
+  }
 }

@@ -315,25 +315,66 @@ object Dedup {
     * within every partition. */
   def passageDedup(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 20): DataFrame = {
-    require(k > 0, "passage length must be positive")
-    val passages = df
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
-      .select(col("id"), posexplode(
-        transform(
-          sequence(lit(0), floor((size(col("ws")) - 1) / lit(k)).cast("int")),
-          i => concat_ws(" ", slice(col("ws"), i * k + 1, lit(k)))))
-        .as(Seq("pos", "passage")))
-      .withColumn("h", md5(col("passage")))
+    val passages = passageTable(df, idCol, textCol, k, Nil)
     val winners = passages
       .groupBy("h")
       .agg(min(struct(col("id"), col("pos"))).as("win"))
-    passages.join(winners, "h")
+    val survivors = passages.join(winners, "h")
       .filter(col("win.id") === col("id") && col("win.pos") === col("pos"))
+    reassemble(survivors, "text_dedup")
+  }
+
+  /** (id, pos, passage, h[, extra…]) consecutive `k`-token passages of
+    * every document — the shared splitter behind [[passageDedup]] and
+    * [[stripBoilerplate]]. */
+  private def passageTable(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, extraCols: Seq[String]): DataFrame = {
+    require(k > 0, "passage length must be positive")
+    df
+      .select(col(idCol).as("id") +: extraCols.map(col) :+
+        split(col(textCol), " ").as("ws"): _*)
+      .select(col("id") +: extraCols.map(col) :+ posexplode(
+        transform(
+          sequence(lit(0), floor((size(col("ws")) - 1) / lit(k)).cast("int")),
+          i => concat_ws(" ", slice(col("ws"), i * k + 1, lit(k)))))
+        .as(Seq("pos", "passage")): _*)
+      .withColumn("h", md5(col("passage")))
+  }
+
+  /** Rebuild each doc's text from its surviving passages in position
+    * order; docs with no surviving passage drop out. */
+  private def reassemble(passages: DataFrame, outCol: String): DataFrame =
+    passages
       .groupBy("id")
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("pos"), col("passage")))),
-          x => x.getField("passage"))).as("text_dedup"))
-      .select(col("id").as("doc_id"), col("text_dedup"))
+          x => x.getField("passage"))).as(outCol))
+      .select(col("id").as("doc_id"), col(outCol))
+
+  /** Cross-document boilerplate REMOVAL at passage granularity (the
+    * CCNet-family move): a passage that recurs across `minDocFreq`+
+    * distinct documents of the SAME source — headers, navigation
+    * chrome, legal footers — is template, not content, so ALL its
+    * copies are dropped (vs [[passageDedup]], which keeps the first).
+    * Documents are reassembled from their surviving passages; docs that
+    * were pure boilerplate drop out.
+    *
+    * Scale shape: the frequency count shuffles (source, 128-bit hash)
+    * with map-side partial aggregation; the boilerplate set is tiny by
+    * construction (only passages repeated across many docs) so AQE
+    * broadcasts the anti-join; reassembly is one shuffle on doc id. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, k: Int = 10,
+                       minDocFreq: Int = 3): DataFrame = {
+    require(minDocFreq > 1, "minDocFreq must be at least 2")
+    val passages = passageTable(df, idCol, textCol, k, Seq(sourceCol))
+    val boilerplate = passages
+      .groupBy(col(sourceCol), col("h"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col(sourceCol), col("h"))
+    reassemble(passages.join(boilerplate, Seq(sourceCol, "h"), "left_anti"),
+      "text_clean")
   }
 
   // --- MinHash + LSH ---

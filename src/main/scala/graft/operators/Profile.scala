@@ -65,4 +65,34 @@ object Profile {
     import spark.implicits._
     drift.toSeq.toDF("column_name", "change", "before_type", "after_type")
   }
+
+  /** Out-of-vocabulary profile: build the corpus vocabulary (tokens
+    * appearing in ≥ `minDf` distinct documents) and report, per
+    * document, total token occurrences, occurrences outside the
+    * vocabulary, and the OOV rate — the standard proxy for
+    * noise/garbled text and for tokenizer coverage planning.
+    *
+    * Scale shape: the vocabulary aggregation shuffles (token) with
+    * map-side partials; the membership probe is an equi-join that AQE
+    * broadcasts when the vocabulary is small (vocabularies grow
+    * sub-linearly in corpus size — Heaps' law — so the broadcast only
+    * gets relatively cheaper at 100 TB); the per-doc rollup shuffles
+    * the doc id. The OOV rate is ONE IEEE division of two exact longs —
+    * bit-reproducible across engines. */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               minDf: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val vocab = toks.groupBy("tok")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("tok"), lit(1).as("__v"))
+    toks.join(vocab, Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__v").isNull, 1)).as("n_oov"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
 }

@@ -142,4 +142,28 @@ object Sampling {
       .filter(col("__rn") <= perStratum)
       .drop("__rn")
   }
+
+  /** Data-mixing weights: per-group size (in `unit`, e.g. a token
+    * count) plus each group's corpus share and the resampling weight
+    * that would equalize the mixture to a UNIFORM target — the report
+    * a training run's data-mixture config is written from.
+    * `weight > 1` means the group is under-represented (sample it more
+    * / repeat epochs), `< 1` over-represented.
+    *
+    * One aggregation (map-side partials, one shuffle on the group key)
+    * + a 1-row total broadcast back. Division order is pinned
+    * (share = n/total, weight = total/(G·n) — each one IEEE division)
+    * so results reproduce bitwise across engines. */
+  def mixtureWeights(df: DataFrame, groupCol: String, unit: Column): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(sum(unit).as("n_units"))
+    val total = counts.agg(sum(col("n_units")).as("__total"),
+      count(lit(1)).as("__groups"))
+    counts.crossJoin(broadcast(total))
+      .select(col(groupCol),
+        col("n_units"),
+        (col("n_units").cast("double") / col("__total").cast("double"))
+          .as("share"),
+        (col("__total").cast("double") /
+          (col("__groups") * col("n_units")).cast("double")).as("weight"))
+  }
 }

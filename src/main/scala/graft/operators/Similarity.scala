@@ -387,6 +387,30 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
   }
 
+  /** SemDeDup-style diversity pruning: cluster the corpus by embedding
+    * cosine (LSH candidates → exact verify ≥ `threshold` →
+    * connected components) and keep ONE representative per semantic
+    * cluster — the minimum id, a deterministic canonical — plus
+    * everything unclustered. The training-data move behind "semantic
+    * deduplication": paraphrases and re-renderings of the same content
+    * add tokens but no signal, so all but one go.
+    *
+    * Composes scale-safe parts: [[lshCosinePairs]] (only (id, table,
+    * bucket) shuffles) and [[graft.operators.Dedup.duplicateClusters]]
+    * (pointer-jumping components); the final drop is an anti-join, so
+    * the corpus itself never reshuffles. */
+  def diversityPrune(df: DataFrame, idCol: String, embCol: String,
+                     threshold: Double, dims: Int,
+                     planesPerTable: Int = 6, tables: Int = 4,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val pairs = lshCosinePairs(df, idCol, embCol, threshold, dims,
+      planesPerTable, tables, maxBucketSize).select("id_a", "id_b")
+    val drops = graft.operators.Dedup.duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Approximate NN: corpus and queries bucketed by hyperplane LSH;
     * candidates = same-bucket pairs (optionally multi-probe over
     * Hamming-1 neighbor buckets); exact cosine re-rank of candidates.

@@ -24,6 +24,20 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(3L) == (1L, 1L))
   }
 
+  test("byEmbedding: near-copies of benchmark vectors are dropped, rest kept") {
+    val trainVecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),  // identical to benchmark → drop
+      (2L, Seq(0.99f, 0.05f, 0.0f, 0.0f)), // near-copy → drop
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f))   // orthogonal → keep
+    ).toDF("vec_id", "embedding")
+    val evalVecs = Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Decontaminate.byEmbedding(trainVecs, evalVecs,
+      "vec_id", "embedding", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+
   test("clean: anti-joins contaminated docs out, zero-tolerance default") {
     val kept = Decontaminate.clean(train, bench, "doc_id", "text", n = 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -182,6 +182,25 @@ class DedupSpec extends SparkSpec {
       computeSimhash(u(distinctText)))
   }
 
+  test("stripBoilerplate: frequent template passages go, content stays, pure-template docs drop") {
+    // k=2 passages; "click here" opens 3 of 4 docs in src1 → boilerplate
+    val in = Seq(
+      (1L, "src1", "click here alpha beta gamma delta"),
+      (2L, "src1", "click here epsilon zeta eta theta"),
+      (3L, "src1", "click here"),                        // pure boilerplate
+      (4L, "src1", "iota kappa lambda mu"),              // untouched
+      (5L, "src2", "click here nu xi")                   // same text, other source: df=1 there
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.stripBoilerplate(in, "doc_id", "text", "source",
+      k = 2, minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "alpha beta gamma delta",
+      2L -> "epsilon zeta eta theta",
+      4L -> "iota kappa lambda mu",
+      5L -> "click here nu xi")) // doc 3 dropped entirely
+  }
+
   test("simhash: identical docs collide, unrelated docs differ") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

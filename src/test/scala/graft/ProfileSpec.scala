@@ -34,6 +34,21 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.schemaDrift(before, before).isEmpty)
   }
 
+  test("oovStats: rare tokens count as OOV, frequent vocabulary does not") {
+    // "common" appears in 3 docs (df >= 2 → vocab); "rare1"/"rare2" df=1
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common"),
+      (3L, "common rare2")
+    ).toDF("doc_id", "text")
+    val out = Profile.oovStats(docs, "doc_id", "text", minDf = 2)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == (3L, 1L, 1.0 / 3.0))
+    assert(out(2L) == (1L, 0L, 0.0))
+    assert(out(3L) == (2L, 1L, 0.5))
+  }
+
   test("profile: approx distinct lands within HLL bounds on a real column") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val byMode = Seq(false, true).map { exact =>

@@ -34,4 +34,16 @@ class SamplingSpec extends SparkSpec {
       .select("k", "shuffle_pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("mixtureWeights: shares sum to 1, uniform target weight is total/(G*n)") {
+    // groups of 1, 3 and 4 units → total 8, G = 3
+    val df = Seq(("a", 1L), ("b", 3L), ("c", 4L)).toDF("g", "units")
+    val out = Sampling.mixtureWeights(df, "g", col("units"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("a") == (1L, 1.0 / 8.0, 8.0 / 3.0))
+    assert(out("b") == (3L, 3.0 / 8.0, 8.0 / 9.0))
+    assert(out("c") == (4L, 4.0 / 8.0, 8.0 / 12.0))
+    assert(out.values.map(_._2).sum == 1.0)
+  }
 }

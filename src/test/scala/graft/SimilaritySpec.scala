@@ -31,6 +31,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 4L), (2, 1L), (3, 2L)))
   }
 
+  test("diversityPrune: one representative per semantic cluster, rest untouched") {
+    // 0 and 4 are identical, 1 is near-identical to both → one cluster
+    // {0, 1, 4} keeps min id 0; 2 and 3 are unclustered at 0.9
+    val kept = Similarity.diversityPrune(vecs, "vec_id", "embedding",
+      threshold = 0.9, dims = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && kept.contains(2L) && kept.contains(3L))
+    assert(!kept.contains(4L)) // identical twin of 0 pruned
+  }
+
   test("lshTopK finds the identical vector (same bucket by construction)") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0L),
       "vec_id", "embedding", k = 2, dims = 4)
