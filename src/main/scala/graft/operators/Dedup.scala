@@ -325,10 +325,11 @@ object Dedup {
   }
 
   /** (id, pos, passage, h[, extra…]) consecutive `k`-token passages of
-    * every document — the shared splitter behind [[passageDedup]] and
-    * [[stripBoilerplate]]. */
-  private def passageTable(df: DataFrame, idCol: String, textCol: String,
-                           k: Int, extraCols: Seq[String]): DataFrame = {
+    * every document — the shared splitter behind [[passageDedup]],
+    * [[stripBoilerplate]] and the streaming
+    * [[graft.streaming.EventStreams.passageDedupStream]]. */
+  private[graft] def passageTable(df: DataFrame, idCol: String, textCol: String,
+                                  k: Int, extraCols: Seq[String]): DataFrame = {
     require(k > 0, "passage length must be positive")
     df
       .select(col(idCol).as("id") +: extraCols.map(col) :+

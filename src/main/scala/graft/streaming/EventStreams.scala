@@ -90,6 +90,31 @@ object EventStreams {
     keyCols.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
   }
 
+  /** Streaming passage-level dedup: arriving documents are split into
+    * consecutive `k`-token passages (the SAME splitter as the batch
+    * [[graft.operators.Dedup.passageDedup]], so stream and batch hash
+    * identical passages) and a passage survives only if its 128-bit
+    * hash was not already seen within the watermark horizon —
+    * `dropDuplicatesWithinWatermark` keyed on the hash, so state is
+    * bounded by the horizon's churn, not the corpus.
+    *
+    * Output is the SURVIVING PASSAGE STREAM (doc_id, ts, pos, passage);
+    * per-document reassembly is the sink's (or a downstream batch
+    * job's) business — a per-doc streaming aggregation here would
+    * re-buffer every document against its own watermark for no recall
+    * benefit. First-occurrence semantics follow ARRIVAL order (the
+    * streaming contract) rather than batch's global (id, pos) minimum;
+    * the two agree whenever ids ascend with event time. */
+  def passageDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                         tsCol: String, k: Int = 20,
+                         watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.operators.Dedup
+      .passageTable(docs, idCol, textCol, k, Seq(tsCol))
+      .withColumnRenamed(tsCol, "ts")
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("id").as("doc_id"), col("ts"), col("pos"), col("passage"))
+
   final case class DocBand(doc_id: Long, band: Int, bh: Long, ts: Timestamp)
   final case class DupCandidate(doc_id: Long, prior_doc_id: Long, band: Int)
 

@@ -115,4 +115,41 @@ class StreamingDifferentialSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("passageDedupStream: survivors = batch winners when ids ascend with time") {
+    implicit val sc = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // k=3 passages; doc 3 repeats doc 1's first passage, doc 4 is a full
+    // duplicate of doc 2 — duplicates arrive in LATER micro-batches
+    val batches: Seq[Seq[(Long, Timestamp, String)]] = Seq(
+      Seq((1L, t(0), "a b c d e f"), (2L, t(1), "g h i")),
+      Seq((3L, t(10), "a b c x y z"), (4L, t(11), "g h i")),
+      Seq((5L, t(20), "fresh words only"))
+    )
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.passageDedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      "ts", k = 3, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("diff_pd")
+      .outputMode(OutputMode.Append).start()
+    batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    val survivors = spark.table("diff_pd")
+      .select("doc_id", "pos", "passage")
+      .as[(Long, Int, String)].collect().toSet
+    // batch winners: global first occurrence by (doc_id, pos) — equal to
+    // arrival order here because ids ascend with event time
+    assert(survivors == Set(
+      (1L, 0, "a b c"), (1L, 1, "d e f"),
+      (2L, 0, "g h i"),
+      (3L, 1, "x y z"),
+      (5L, 0, "fresh words only")))
+    // and the batch operator reassembles exactly these survivors
+    val batchTexts = graft.operators.Dedup.passageDedup(
+      batches.flatten.toDF("doc_id", "ts", "text"), "doc_id", "text", k = 3)
+      .as[(Long, String)].collect().toMap
+    assert(batchTexts == Map(1L -> "a b c d e f", 2L -> "g h i",
+      3L -> "x y z", 5L -> "fresh words only"))
+  }
 }
