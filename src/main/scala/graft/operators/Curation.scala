@@ -41,7 +41,13 @@ object Curation {
         * dedup — removes cross-document boilerplate doc-level dedup
         * can't see. Docs whose every passage already appeared are
         * dropped entirely. */
-      passageDedupTokens: Option[Int] = None)
+      passageDedupTokens: Option[Int] = None,
+      /** Some((sourceCol, k, minDocFreq)) strips cross-document
+        * boilerplate ([[Dedup.stripBoilerplate]]) FIRST — before the
+        * quality gates, because template passages inflate quality and
+        * repetition metrics and poison content fingerprints. Docs that
+        * were pure template drop out here. */
+      boilerplate: Option[(String, Int, Int)] = None)
 
   /** Adaptive quality cutoff: drop the lowest `quantile` fraction of
     * rows by `score` (e.g. 0.1 = drop the bottom decile) — corpus
@@ -62,9 +68,20 @@ object Curation {
           cfg: Config = Config()): DataFrame = {
     val id = col(idCol)
 
+    // 0: cross-document boilerplate strip — BEFORE the gates (template
+    // text inflates quality/repetition metrics and poisons fingerprints)
+    val deboiled = cfg.boilerplate match {
+      case None => docs
+      case Some((sourceCol, k, minDf)) =>
+        val stripped = Dedup.stripBoilerplate(docs, idCol, textCol,
+          sourceCol, k, minDf).withColumnRenamed("doc_id", idCol)
+        docs.drop(textCol)
+          .join(stripped.withColumnRenamed("text_clean", textCol), idCol)
+    }
+
     // 1+2: map-side gates — one fused projection+filter over the scan
     val text0 = if (cfg.redact) TextAnalysis.redactPii(col(textCol)) else col(textCol)
-    val gated = docs
+    val gated = deboiled
       .withColumn("clean_text", text0)
       .withColumn("__rep", TextAnalysis.repetitionStats(col("clean_text")))
       .filter(TextAnalysis.qualityScore(col("clean_text")) >= cfg.minQuality)

@@ -59,6 +59,23 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == "other words follow in this doc")
   }
 
+  test("boilerplate stage removes template passages before the gates") {
+    val corpus = Seq(
+      (1L, "src1", "click here now alpha beta gamma"),
+      (2L, "src1", "click here now delta epsilon zeta"),
+      (3L, "src1", "click here now eta theta iota"),
+      (4L, "src1", "kappa lambda mu nu xi omicron")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.run(corpus, "doc_id", "text",
+      Curation.Config(redact = false, minQuality = 0.0,
+        maxTopNgramFrac = 1.0, maxRepTokenFrac = 1.0,
+        exactDedup = false, nearDupThreshold = None,
+        boilerplate = Some(("source", 3, 3))))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(out(1L) == "alpha beta gamma")     // template stripped
+    assert(out(4L) == "kappa lambda mu nu xi omicron") // untouched
+  }
+
   test("stages are individually skippable") {
     val out = Curation.run(docs, "doc_id", "text",
       Curation.Config(redact = false, minQuality = 0.0,

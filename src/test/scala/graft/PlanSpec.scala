@@ -109,6 +109,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "near-dup drop should be an anti-join")
   }
 
+  test("q_boilerplate_strip: frequency agg feeds an anti-join, no cartesian") {
+    val p = plan("q_boilerplate_strip")
+    assertNoCartesian(p, "q_boilerplate_strip")
+    assert(p.contains("LeftAnti"), "boilerplate drop should be an anti-join")
+    assert(p.contains("HashAggregate"), "doc-frequency count should hash-aggregate")
+  }
+
+  test("q_decontaminate_embedding: eval side broadcast, anti-join shape") {
+    val p = plan("q_decontaminate_embedding")
+    assert(p.contains("BroadcastExchange"),
+      "benchmark side should broadcast")
+    assert(p.contains("LeftAnti") || p.contains("LeftSemi"),
+      "decontamination should be an anti/semi join")
+  }
+
   test("q_hourly_events / q_stratified_sample: bounded-exchange aggregations") {
     val ph = plan("q_hourly_events")
     assert(exchanges(ph) <= 2, s"q_hourly_events exchange count grew:\n$ph")
