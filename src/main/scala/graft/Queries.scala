@@ -2070,6 +2070,34 @@ object Queries {
              |GROUP BY t.doc_id""".stripMargin)
     )),
 
+    // Bigram-LM quality scoring (CCNet-style reference-corpus filter):
+    // add-one-smoothed bigram MLE fit on the doc_id % 10 == 0 slice,
+    // every document scored by its MEAN per-bigram probability. Every
+    // probability is one IEEE division of exact longs and the roll-up
+    // is a left fold over the SORTED probability list — bit-identical
+    // across engines (no ln/log, which IEEE does not require to be
+    // correctly rounded).
+    "q_lm_score" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val model = operators.NgramLM.fit(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+        operators.NgramLM.score(docs, "doc_id", "text", model)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |iw AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) i FROM w WHERE len(ws) >= 2),
+             |bg AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2 FROM iw),
+             |c12 AS (SELECT w1, w2, count(*) c12 FROM bg WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) c1 FROM bg WHERE doc_id % 10 = 0 GROUP BY 1),
+             |v AS (SELECT count(DISTINCT tok) v FROM (SELECT unnest(ws) tok FROM w WHERE doc_id % 10 = 0)),
+             |p AS (SELECT bg.doc_id,
+             |  CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE) / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE) AS p
+             |  FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(list_sum(list_sort(list(p))) / CAST(count(*) AS DOUBLE), 6) AS avg_prob
+             |FROM p GROUP BY doc_id""".stripMargin)
+    )),
+
     // SCD Type-2 merge: dimension rows versioned with (valid_from,
     // valid_to). Current dim = customers with custkey % 5 != 0 (so the
     // snapshot brings inserts); snapshot = customers with custkey % 7

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language-model scoring — the CCNet/KenLM-style
+  * "does this text look like the reference corpus" quality filter, the
+  * standard statistical gate between heuristic quality scores and
+  * model-based classifiers in a training-data pipeline.
+  *
+  * The model is add-one-smoothed bigram MLE: p(w2 | w1) =
+  * (c(w1,w2) + 1) / (c(w1·) + V), fit on a reference corpus. A
+  * document's score is its MEAN per-bigram probability. The mean of
+  * probabilities (not log-perplexity) is deliberate: every per-bigram
+  * probability is ONE IEEE division of exact longs and the document
+  * roll-up is a LEFT FOLD over the SORTED probability list, so scores
+  * reproduce bit-for-bit across engines — `ln`/`log` are not
+  * correctly-rounded by IEEE and would break the hash-equality oracle
+  * discipline (see Queries.scala header). Rank order under the mean
+  * tracks the perplexity order closely enough for a cutoff filter, and
+  * a caller that wants true log-perplexity can take logs of the same
+  * per-bigram probabilities downstream.
+  *
+  * Scale shape: fitting is two hash aggregations over the reference's
+  * (w1, w2) pairs — map-side partials, shuffle on bounded-width token
+  * keys; vocabulary size is ONE scalar to the driver (bounded model
+  * state, the learned-index posture shared with IVF/PQ). Scoring is two
+  * equi-joins of the document bigrams against the count tables — AQE
+  * broadcasts them when the vocabulary is small (Heaps' law:
+  * vocabulary grows sub-linearly in corpus size) — plus one per-doc
+  * aggregation.
+  */
+object NgramLM {
+
+  /** Fitted model: bigram counts (w1, w2, c12), context counts
+    * (w1, c1), and the reference vocabulary size for smoothing. The two
+    * count tables are DataFrames — persist them with
+    * [[graft.core.Catalog.saveBucketed]] on w1 for the score-many-
+    * batches posture. */
+  final case class Model(bigrams: DataFrame, contexts: DataFrame,
+                         vocabSize: Long)
+
+  /** (id, w1, w2) consecutive token pairs of every document. The
+    * `size >= 2` filter is load-bearing: Spark's `sequence(1, 0)` is
+    * DESCENDING [1, 0], so a single-token doc would index past the
+    * array instead of producing zero bigrams. */
+  private def bigramTable(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  def fit(reference: DataFrame, idCol: String, textCol: String): Model = {
+    val bg = bigramTable(reference, idCol, textCol)
+    val bigrams = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val contexts = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = reference
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    Model(bigrams, contexts, vocab)
+  }
+
+  /** Per-document LM score: (id, n_bigrams, avg_prob) — docs with fewer
+    * than two tokens have no bigrams and drop out, mirroring the SQL
+    * formulation. `avg_prob` is rounded to 6 decimals after the pinned
+    * fold, the same presentation contract as the similarity scores. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: Model): DataFrame = {
+    val v = lit(model.vocabSize)
+    val p: Column =
+      (coalesce(col("c12"), lit(0L)) + 1L).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + v).cast("double")
+    bigramTable(docs, idCol, textCol)
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.contexts, Seq("w1"), "left")
+      .withColumn("p", p)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(col("p"))).as("ps"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        round(expr("aggregate(ps, cast(0 as double), (acc, x) -> acc + x)") /
+          col("n_bigrams").cast("double"), 6).as("avg_prob"))
+  }
+}
