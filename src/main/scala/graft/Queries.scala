@@ -2098,6 +2098,33 @@ object Queries {
              |FROM p GROUP BY doc_id""".stripMargin)
     )),
 
+    // Multimodal metadata extraction under the oracle gate: a fixture
+    // directory of tiny WELL-FORMED containers (PNG, WAV, MP4, Matroska,
+    // MP3, OGG-Opus, FLAC) is read through the binaryFile source and
+    // the typed header decoders; the oracle reads the HAND-PINNED truth
+    // (spec-derived constants, not computed by the code under test).
+    "q_multimodal_meta" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensure()
+        s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1).as("kind"),
+            col("length").as("n_bytes"), col("content"))
+          .as[(String, String, Long, Array[Byte])]
+          .map { case (name, kind, n, content) =>
+            val m = operators.Multimodal.MediaBatch.decode(
+              operators.Multimodal.MediaBlob(0L, kind, content))
+            (name, kind, n, m.width, m.height, m.n_frames)
+          }
+          .toDF("name", "kind", "n_bytes", "width", "height", "n_frames")
+      },
+      Some(s"""SELECT name, kind, n_bytes, width, height, n_frames
+              |FROM read_csv('${graft.sources.MediaFixture.expectedCsvPath}', header=true,
+              |  columns={'name':'VARCHAR','kind':'VARCHAR','n_bytes':'BIGINT',
+              |           'width':'INTEGER','height':'INTEGER','n_frames':'INTEGER'})""".stripMargin)
+    )),
+
     // SCD Type-2 merge: dimension rows versioned with (valid_from,
     // valid_to). Current dim = customers with custkey % 5 != 0 (so the
     // snapshot brings inserts); snapshot = customers with custkey % 7

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+/** Deterministic multimodal fixture: one tiny well-formed file per
+  * supported container (PNG via ImageIO, WAV via javax.sound, and
+  * hand-assembled MP4 / Matroska / MP3 / OGG-Opus / FLAC headers —
+  * public byte formats, the same constructions unit-tested in
+  * MultimodalSpec), plus the PINNED post-decode truth as a CSV for
+  * DuckDB.
+  *
+  * This puts the multimodal metadata path (binaryFile source → typed
+  * header decode) under the hard oracle gate: the expected
+  * width/height/n_frames values are hand-derived constants from the
+  * container specs — NOT computed by the code under test; only
+  * `n_bytes` (a length the fixture controls, not a decode result) is
+  * taken from the written arrays. */
+object MediaFixture {
+
+  val dir: String = s"${FixtureDirs.base}/media"
+  val expectedCsvPath: String = s"${FixtureDirs.base}/media_expected.csv"
+
+  // ---- container byte builders (public formats) ----
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val raw = new Array[Byte](frames * 2 * channels)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def mp4Box(typ: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(body.length + 8)
+    bb.putInt(body.length + 8).put(typ.getBytes("ISO-8859-1")).put(body)
+    bb.array()
+  }
+
+  /** ftyp + moov/trak/tkhd(dims) + stbl/stsz(sample count). */
+  private def mp4Bytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val tkhd = java.nio.ByteBuffer.allocate(84)
+      .putInt(76, w << 16).putInt(80, h << 16).array()
+    val stsz = java.nio.ByteBuffer.allocate(12)
+      .putInt(4, 0).putInt(8, frames).array()
+    val trak = mp4Box("trak", mp4Box("tkhd", tkhd) ++
+      mp4Box("mdia", mp4Box("minf", mp4Box("stbl", mp4Box("stsz", stsz)))))
+    mp4Box("ftyp", "isomiso2".getBytes) ++ mp4Box("moov", trak)
+  }
+
+  private def ebmlEl(id: Long, body: Array[Byte]): Array[Byte] = {
+    val idBytes = BigInt(id).toByteArray.dropWhile(_ == 0)
+    require(body.length < 127)
+    idBytes ++ Array((0x80 | body.length).toByte) ++ body
+  }
+  private def ebmlUint(id: Long, v: Long): Array[Byte] = {
+    val b = BigInt(v).toByteArray.dropWhile(_ == 0)
+    ebmlEl(id, if (b.isEmpty) Array(0.toByte) else b)
+  }
+
+  /** EBML header + Segment(Info(scale, duration), Tracks(video dims,
+    * default frame duration)). */
+  private def mkvBytes(w: Int, h: Int, frames: Int, fps: Int): Array[Byte] = {
+    val nsPerFrame = 1000000000L / fps
+    val video = ebmlEl(0xE0L, ebmlUint(0xB0L, w) ++ ebmlUint(0xBAL, h))
+    val trackEntry = ebmlEl(0xAEL, ebmlUint(0x23E383L, nsPerFrame) ++ video)
+    val tracks = ebmlEl(0x1654AE6BL, trackEntry)
+    val durationTicks = frames.toDouble * nsPerFrame / 1000000.0 // 1 ms ticks
+    val duration = ebmlEl(0x4489L,
+      java.nio.ByteBuffer.allocate(8).putDouble(durationTicks).array())
+    val info = ebmlEl(0x1549A966L, ebmlUint(0x2AD7B1L, 1000000L) ++ duration)
+    ebmlEl(0x1A45DFA3L, Array.empty[Byte]) ++
+      ebmlEl(0x18538067L, info ++ tracks)
+  }
+
+  /** ID3v2 tag + `frames` CBR MPEG1 Layer-III frames
+    * (128 kbps @ 44100, stereo). */
+  private def mp3Bytes(frames: Int): Array[Byte] = {
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 100) ++
+      new Array[Byte](100)
+    val frameLen = 144 * 128000 / 44100
+    val frame = Array(0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x44.toByte) ++
+      new Array[Byte](frameLen - 4)
+    id3 ++ Array.fill(frames)(frame).flatten
+  }
+
+  private def oggPage(headerType: Int, granule: Long,
+                      packet: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(28 + packet.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("OggS".getBytes).put(0.toByte).put(headerType.toByte)
+      .putLong(granule).putInt(77).putInt(0).putInt(0)
+      .put(1.toByte).put(packet.length.toByte).put(packet)
+    bb.array()
+  }
+
+  /** BOS page with an OpusHead id packet + EOS page carrying the final
+    * granule (total 48 kHz samples). */
+  private def oggOpusBytes(channels: Int, granule: Long): Array[Byte] = {
+    val opusHead = "OpusHead".getBytes ++ Array[Byte](1, channels.toByte) ++
+      Array[Byte](0x38, 1) ++
+      Array[Byte](0x80.toByte, 0xBB.toByte, 0, 0) ++
+      Array[Byte](0, 0, 0)
+    oggPage(0x02, 0L, opusHead) ++ oggPage(0x04, granule, Array[Byte](1))
+  }
+
+  /** fLaC + STREAMINFO (rate 20 bits, channels-1 3 bits, bps-1 5 bits,
+    * total samples 36 bits, bit-packed at body offset 10). */
+  private def flacBytes(rate: Long, channels: Int, total: Long): Array[Byte] = {
+    val packed = (rate << 44) | ((channels - 1).toLong << 41) |
+      (15L << 36) | total
+    val streaminfo = java.nio.ByteBuffer.allocate(34).putLong(10, packed).array()
+    "fLaC".getBytes ++ Array[Byte](0, 0, 0, 34) ++ streaminfo
+  }
+
+  /** (filename, bytes, pinned width, height, n_frames) per container. */
+  private def entries: Seq[(String, Array[Byte], Int, Int, Int)] = Seq(
+    ("img_320x200.png", pngBytes(320, 200), 320, 200, 1),
+    ("audio_8k_mono.wav", wavBytes(8000f, 1, 1234), 8000, 1, 1234),
+    ("video_640x360.mp4", mp4Bytes(640, 360, 120), 640, 360, 120),
+    ("video_1280x720.mkv", mkvBytes(1280, 720, 50, 25), 1280, 720, 50),
+    ("audio_cbr.mp3", mp3Bytes(10), 44100, 2, 10 * 1152),
+    ("audio_opus.ogg", oggOpusBytes(2, 96000L), 48000, 2, 96000),
+    ("audio_44k.flac", flacBytes(44100L, 2, 88200L), 44100, 2, 88200))
+
+  /** Write the media files + the pinned expected CSV; returns `dir`. */
+  def ensure(): String = {
+    Files.createDirectories(Paths.get(dir))
+    val rows = entries.map { case (name, bytes, w, h, n) =>
+      Files.write(Paths.get(dir, name), bytes)
+      val kind = name.substring(name.lastIndexOf('.') + 1)
+      s"$name,$kind,${bytes.length},$w,$h,$n"
+    }
+    Files.write(Paths.get(expectedCsvPath),
+      ("name,kind,n_bytes,width,height,n_frames\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    dir
+  }
+}
