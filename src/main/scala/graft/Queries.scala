@@ -2098,6 +2098,27 @@ object Queries {
              |FROM p GROUP BY doc_id""".stripMargin)
     )),
 
+    // Hashed bag-of-words features (the DSIR/fastText hashing trick):
+    // dense 16-bucket md5-hashed token counts per document, computed in
+    // ONE codegen'd map-side pass — the featurizer for cheap linear
+    // classifiers / importance weighting. The oracle rebuilds the dense
+    // list from exploded bucket counts.
+    "q_hashed_features" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir).select(col("doc_id"),
+          posexplode(TextAnalysis.hashedNgramFeatures(col("text"), dim = 16)))
+          .select(col("doc_id"), col("pos").as("bucket"),
+            col("col").as("cnt")),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+             |b AS (SELECT doc_id,
+             |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS bk FROM t),
+             |c AS (SELECT doc_id, bk, count(*) c FROM b GROUP BY 1, 2),
+             |g AS (SELECT doc_id, unnest(range(16)) i FROM (SELECT DISTINCT doc_id FROM t))
+             |SELECT g.doc_id, CAST(g.i AS INTEGER) AS bucket,
+             |  COALESCE(c.c, CAST(0 AS BIGINT)) AS cnt
+             |FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bk = g.i""".stripMargin)
+    )),
+
     // Multimodal metadata extraction under the oracle gate: a fixture
     // directory of tiny WELL-FORMED containers (PNG, WAV, MP4, Matroska,
     // MP3, OGG-Opus, FLAC) is read through the binaryFile source and

@@ -18,6 +18,22 @@ object TextAnalysis {
     * `\s+` keeps it robust to real text. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Hashed bag-of-ngrams feature vector (the DSIR / fastText-style
+    * "hashing trick"): every word n-gram OCCURRENCE is md5-hashed into
+    * one of `dim` buckets and the vector is the per-bucket count,
+    * emitted as a DENSE array<long> of length `dim`. Entirely map-side
+    * — ONE codegen'd expression pass per row
+    * ([[graft.plans.SketchExpressions.HashedCounts]]; an interpreted
+    * HOF fold here would re-hash per (gram × dim)), no explode, no
+    * shuffle — so featurizing 100 TB is exactly one scan. The
+    * md5-derived bucket is the same hash the sampling operators use,
+    * reproducible across engines. Compose with any linear classifier or
+    * importance weighting downstream. */
+  def hashedNgramFeatures(text: Column, dim: Int, n: Int = 1): Column = {
+    val grams = if (n == 1) tokens(text) else ngramOccurrences(text, n)
+    graft.plans.SketchExpressions.hashed_counts(grams, dim)
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** A BPE-ish sub-word count: words are split at letter/digit

@@ -568,6 +568,44 @@ object SketchExpressions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       MinHashSignature(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingles), numHashes))
+
+  /** Dense hashed bag-of-grams counts: counts[b] = occurrences of grams
+    * whose md5-derived 32-bit hash lands in bucket b (mod dim) — ONE
+    * pass over the gram array, O(grams + dim) per row. The hash is the
+    * same [[md5Hash32]] the sampling/sketch operators use, so a SQL
+    * engine replays the bucket as
+    * `CAST(('0x' || substr(md5(g),1,8)) AS BIGINT) % dim`. */
+  def computeHashedCounts(grams: ArrayData, dim: Int): ArrayData = {
+    val counts = new Array[Long](dim)
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      val x = md5Hash32(grams.getUTF8String(i).getBytes)
+      counts((x % dim).toInt) += 1 // md5Hash32 is non-negative (32-bit)
+      i += 1
+    }
+    new GenericArrayData(counts.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  case class HashedCounts(child: Expression, dim: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hashed_counts"
+
+    override protected def nullSafeEval(v: Any): Any =
+      computeHashedCounts(v.asInstanceOf[ArrayData], dim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.plans.SketchExpressions$$.MODULE$$.computeHashedCounts($input, $dim);")
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def hashed_counts(grams: Column, dim: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      HashedCounts(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(grams), dim))
 }
 
 /** Native product-quantization kernels. The composable formulation of

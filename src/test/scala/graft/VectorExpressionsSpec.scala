@@ -56,4 +56,22 @@ class VectorExpressionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WholeStageCodegen") || !plan.contains("CodegenFallback"))
   }
+
+  test("hashed_counts: dense occurrence counts match the SQL bucket formula") {
+    import spark.implicits._
+    val df = Seq((1L, "x x y")).toDF("id", "text")
+    val out = df.select(graft.plans.SketchExpressions.hashed_counts(
+        org.apache.spark.sql.functions.split(col("text"), " "), 8).as("f"))
+      .collect().head.getSeq[Long](0)
+    // replay the bucket hash exactly as the DuckDB oracle does
+    def bucket(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 8).toInt
+    }
+    val expected = Array.fill(8)(0L)
+    Seq("x", "x", "y").foreach(t => expected(bucket(t)) += 1)
+    assert(out == expected.toSeq)
+    assert(out.sum == 3) // occurrences, not distinct tokens
+  }
 }
