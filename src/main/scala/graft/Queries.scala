@@ -31,6 +31,12 @@ object Queries {
   private val BoilerplateBlock =
     "subscribe to our newsletter for daily updates click here now"
 
+  /** Frozen 16-dim classifier weights (deterministic, non-trivial,
+    * mixed-sign). `Double.toString` round-trips exactly, so the SAME
+    * literals reach both engines. */
+  private val ClassifierWeights: Seq[Double] =
+    (0 until 16).map(i => ((i * 7) % 11 - 5) / 10.0)
+
   // Exact-decimal money fragments — same text works in Spark SQL and DuckDB.
   private val Price = "cast(l_extendedprice as decimal(18,2))"
   private val OneMinusDisc = "(cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))"
@@ -2117,6 +2123,33 @@ object Queries {
              |SELECT g.doc_id, CAST(g.i AS INTEGER) AS bucket,
              |  COALESCE(c.c, CAST(0 AS BIGINT)) AS cnt
              |FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bk = g.i""".stripMargin)
+    )),
+
+    // Frozen-weight linear classifier over the hashed features — the
+    // scoring half of a fastText-style quality model, entirely map-side
+    // (featurize + 16-term dot in one projection). Weights are literal
+    // doubles embedded identically in both engines; the left-associated
+    // term order makes the double sum bit-exact.
+    "q_classifier_score" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir).select(col("doc_id"),
+          round(TextAnalysis.linearScore(
+            TextAnalysis.hashedNgramFeatures(col("text"), dim = 16),
+            ClassifierWeights), 6).as("score")),
+      Some {
+        val terms = ClassifierWeights.zipWithIndex
+          .map { case (w, i) => s"$w * CAST(features[${i + 1}] AS DOUBLE)" }
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+           |b AS (SELECT doc_id,
+           |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS bk FROM t),
+           |c AS (SELECT doc_id, bk, count(*) c FROM b GROUP BY 1, 2),
+           |g AS (SELECT doc_id, unnest(range(16)) i FROM (SELECT DISTINCT doc_id FROM t)),
+           |f AS (SELECT g.doc_id, list(COALESCE(c.c, 0) ORDER BY g.i) AS features
+           |      FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bk = g.i
+           |      GROUP BY g.doc_id)
+           |SELECT doc_id, round($terms, 6) AS score FROM f""".stripMargin
+      }
     )),
 
     // Multimodal metadata extraction under the oracle gate: a fixture

@@ -34,6 +34,19 @@ object TextAnalysis {
     graft.plans.SketchExpressions.hashed_counts(grams, dim)
   }
 
+  /** Frozen linear model over a feature vector: Σ wᵢ·featuresᵢ as an
+    * EXPLICIT left-associated expression chain (16 literal-weight terms
+    * compile to straight-line codegen — no HOF, no loop) so the double
+    * arithmetic is bit-reproducible in any engine that evaluates the
+    * same formula text. This is the scoring half of a fastText-style
+    * quality classifier: train offline, freeze the weights, gate the
+    * corpus map-side. */
+  def linearScore(features: Column, weights: Seq[Double]): Column =
+    weights.zipWithIndex
+      .map { case (w, i) =>
+        lit(w) * element_at(features, i + 1).cast("double") }
+      .reduceLeft(_ + _)
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** A BPE-ish sub-word count: words are split at letter/digit
