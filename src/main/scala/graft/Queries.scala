@@ -2152,6 +2152,41 @@ object Queries {
       }
     )),
 
+    // Fixed-point PageRank over the supplier→customer graph (edges =
+    // distinct (l_suppkey, o_custkey) pairs): the crawl-pipeline
+    // centrality signal, made hash-comparable by integer fixed-point
+    // arithmetic — floor division everywhere, so five iterations replay
+    // exactly in SQL. Floating-point PageRank could never hash-match
+    // (contribution order does not commute in doubles).
+    "q_pagerank" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+        operators.Graph.pageRank(e, iterations = 5)
+      },
+      Some {
+        val s0 = 1000000000000L
+        val steps = (1 to 5).map { i =>
+          s"""r$i AS (SELECT nodes.id,
+             |  (SELECT (15 * $s0) // (100 * n) FROM n)
+             |  + CAST((85 * CAST(COALESCE(s.s, 0) AS BIGINT)) // 100 AS BIGINT) AS r
+             | FROM nodes LEFT JOIN (
+             |   SELECT e.dst AS id, CAST(sum(r${i - 1}.r // deg.deg) AS BIGINT) AS s
+             |   FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src
+             |   JOIN deg ON deg.src = e.src GROUP BY 1) s ON s.id = nodes.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |n AS (SELECT count(*) AS n FROM nodes),
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |r0 AS (SELECT id, (SELECT $s0 // n FROM n) AS r FROM nodes),
+           |$steps
+           |SELECT id, r AS rank_fp FROM r5""".stripMargin
+      }
+    )),
+
     // Multimodal metadata extraction under the oracle gate: a fixture
     // directory of tiny WELL-FORMED containers (PNG, WAV, MP4, Matroska,
     // MP3, OGG-Opus, FLAC) is read through the binaryFile source and

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph centrality — the data-quality signal family the
+  * big crawl pipelines use (PageRank / harmonic centrality over the
+  * link graph decides which domains are worth keeping). Complements
+  * [[Dedup.duplicateClusters]] (connected components): components say
+  * WHICH rows belong together, centrality says which node of a
+  * component is the prototype.
+  *
+  * Determinism: ranks are FIXED-POINT integers (scaled by `scale`,
+  * floor division everywhere), so every iteration is exact 64-bit
+  * integer arithmetic — bit-identical across runs, partitionings and
+  * engines, hash-comparable against a SQL replay. Floating-point
+  * PageRank cannot make that promise: per-node contributions arrive in
+  * shuffle order and double addition does not commute.
+  *
+  * Scale shape: each iteration is one equi-join of the edge list
+  * against the current ranks on `src` (shuffle on a bounded-width key,
+  * map-side partial aggregation of contributions) plus a left join
+  * back to the node set; `localCheckpoint` truncates lineage per
+  * iteration exactly like the components loop. Driver state is ONE
+  * scalar (the node count). Dangling nodes keep the teleport term.
+  */
+object Graph {
+
+  /** Fixed-point PageRank over a directed edge list (`src`, `dst`):
+    * r'(v) = (15·scale)/(100·N) + (85 · Σ_{u→v} r(u) div outdeg(u)) div 100,
+    * run for exactly `iterations` rounds from the uniform start
+    * (scale div N). Returns (id, rank_fp) with rank_fp ≈ rank·scale. */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint() // edge generation runs exactly once
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count() // bounded driver state: one scalar
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val teleport = 15L * scale / (100L * n) // floor, same in the SQL replay
+    var ranks = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iterations) {
+      val sums = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(sums, Seq("id"), "left")
+        .select(col("id"), (lit(teleport) +
+          expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("r").as("rank_fp"))
+  }
+}
