@@ -2274,6 +2274,157 @@ object Queries {
              |  ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
              |) AS shuffle_pos FROM documents""".stripMargin)
     )),
+
+    // Hamming-space ANN: vectors collapse to 2 longs (sign bits, packed
+    // 32 per word so the oracle's BIGINT shifts can't overflow) and
+    // ranking is XOR+popcount — integer arithmetic end-to-end, so the
+    // whole funnel (pack, scan, bounded-heap top-k) hash-matches SQL.
+    "q_ann_hamming" -> ((
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+      },
+      Some("""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+             |w AS (SELECT vec_id,
+             |  CAST(list_sum([CASE WHEN emb[i+1] >= 0 THEN 1::BIGINT << i ELSE 0::BIGINT END for i in range(32)]) AS BIGINT) w0,
+             |  CAST(list_sum([CASE WHEN emb[i+33] >= 0 THEN 1::BIGINT << i ELSE 0::BIGINT END for i in range(32)]) AS BIGINT) w1
+             |  FROM p),
+             |s AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+             |  bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) AS hamming
+             |  FROM w q JOIN w c ON c.vec_id != q.vec_id WHERE q.vec_id < 8),
+             |r AS (SELECT query_id, neighbor_id, hamming,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) rn FROM s)
+             |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+             |  CAST(hamming AS INTEGER) AS hamming
+             |FROM r WHERE rn <= 5""".stripMargin)
+    )),
+
+    // Matryoshka two-stage funnel: prefix-16-dim cosine keeps 50
+    // candidates per query, full 64-dim cosine re-ranks only those —
+    // both stages deterministic (ties by id), so the funnel is
+    // oracle-exact, not just recall-tested.
+    "q_ann_matryoshka" -> ((
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, coarseDims = 16, m = 50)
+      },
+      Some("""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+             |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2,
+             |  emb[1:16] cemb, list_sum([x*x for x in emb[1:16]]) cn2 FROM p),
+             |coarse AS (SELECT q.vec_id query_id, c.vec_id id,
+             |  list_sum([c.cemb[i+1]*q.cemb[i+1] for i in range(16)]) / sqrt(c.cn2 * q.cn2) cs
+             |  FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE q.vec_id < 8),
+             |cand AS (SELECT query_id, id FROM (SELECT query_id, id,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, id ASC) crn
+             |  FROM coarse) WHERE crn <= 50),
+             |s AS (SELECT cand.query_id, cand.id neighbor_id,
+             |  list_sum([c.emb[i+1]*q.emb[i+1] for i in range(len(c.emb))]) / sqrt(c.n2 * q.n2) score
+             |  FROM cand JOIN n c ON c.vec_id = cand.id JOIN n q ON q.vec_id = cand.query_id),
+             |r AS (SELECT query_id, neighbor_id, score,
+             |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) rn FROM s)
+             |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+             |FROM r WHERE rn <= 5""".stripMargin)
+    )),
+
+    // Weighted sampling without replacement: priority = hash32/weight,
+    // 15 smallest per source — single-division keys reproduce bitwise
+    // in any engine (ln/pow exponential keys would not).
+    "q_weighted_sample" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Sampling.weightedSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+          "source", col("doc_id"), col("n_chars"), perGroup = 15),
+      Some("""WITH r AS (SELECT doc_id, source, n_chars,
+             |  row_number() OVER (PARTITION BY source
+             |    ORDER BY CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+             |               / CAST(n_chars AS DOUBLE),
+             |             CAST(doc_id AS VARCHAR)) rn
+             |  FROM documents)
+             |SELECT doc_id, source, n_chars FROM r WHERE rn <= 15""".stripMargin)
+    )),
+
+    // Epoch-style mixture materialization: per-source uniform-target
+    // weights ([[Sampling.mixtureWeights]]) drive row REPETITION —
+    // ⌊w⌋ copies always, one more for a deterministic frac(w) share of
+    // rows (up- AND down-sampling in one pass, no shuffle).
+    "q_mixture_sample" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+        val wts = operators.Sampling.mixtureWeights(docs, "source",
+          TextAnalysis.tokenCount(col("text"))).select(col("source"), col("weight"))
+        operators.Sampling.mixtureResample(
+          docs.select(col("doc_id"), col("source")), "source", col("doc_id"), wts)
+          .select(col("doc_id"), col("source"), col("copy"))
+      },
+      Some("""WITH c AS (SELECT source,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_units
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT CAST(sum(n_units) AS BIGINT) AS total, count(*) AS groups FROM c),
+             |w AS (SELECT source,
+             |  least(CAST(total AS DOUBLE) / CAST(groups * n_units AS DOUBLE), 8.0) AS w
+             |  FROM c, t),
+             |r AS (SELECT d.doc_id, d.source,
+             |  CAST(floor(w.w) AS BIGINT) +
+             |  CASE WHEN CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+             |         / 4294967296.0 < w.w - floor(w.w)
+             |       THEN 1 ELSE 0 END AS reps
+             |  FROM documents d JOIN w USING (source))
+             |SELECT doc_id, source, unnest(generate_series(1, reps)) AS copy
+             |FROM r WHERE reps >= 1""".stripMargin)
+    )),
+
+    // BM25 ranking (k1=1.2, b=0.75) for a fixed term set: idf and the
+    // length-normalized tf saturation — the retrieval scorer data-
+    // curation search/decontamination tooling actually uses. avgdl is
+    // an exact-integer token sum over the corpus divided once, so no
+    // order-dependent float accumulation crosses rows.
+    "q_bm25" -> ((
+      (s: SparkSession, dir: String) => {
+        val terms = Seq("spark", "join", "merge")
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .filter(col("t").isin(terms: _*))
+        val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val dfreq = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+        val stats = docs.agg(count(lit(1)).as("n"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sumdl"))
+        val dl = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+        tf.join(broadcast(dfreq), "t").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl", col("sumdl").cast("double") / col("n").cast("double"))
+          .withColumn("idf", log(
+            (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+          .withColumn("contrib",
+            col("idf") * (col("tf").cast("double") * lit(2.2)) /
+              (col("tf").cast("double") +
+                lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(round(sum(col("contrib")), 6).as("bm25"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+             |),
+             |ft AS (SELECT doc_id, t FROM tok WHERE t IN ('spark', 'join', 'merge')),
+             |tf AS (SELECT doc_id, t, count(*) AS tf FROM ft GROUP BY 1, 2),
+             |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM ft GROUP BY 1),
+             |stats AS (SELECT count(*) AS n,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sumdl FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents)
+             |SELECT tf.doc_id,
+             |  round(sum(
+             |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+             |    * (CAST(tf AS DOUBLE) * 2.2)
+             |    / (CAST(tf AS DOUBLE)
+             |       + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+             |  ), 6) AS bm25
+             |FROM tf JOIN dfreq USING (t) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+             |GROUP BY tf.doc_id""".stripMargin)
+    )),
   )
 
   val queries: Map[String, QueryFn] = all.map { case (n, (f, _)) => n -> f }.toMap

@@ -166,4 +166,68 @@ object Sampling {
         (col("__total").cast("double") /
           (col("__groups") * col("n_units")).cast("double")).as("weight"))
   }
+
+  /** Raw md5-derived 32-bit hash of the key (uniform on [0, 2³²)) — the
+    * integer "random" draw every deterministic sampler here is built
+    * from. */
+  def hash32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic weighted sampling: `perGroup` rows per group, chosen
+    * with probability (approximately) proportional to `weight`, without
+    * replacement. Each row draws priority = hash32(key)/weight — a
+    * heavier row gets a stochastically smaller priority, and the
+    * `perGroup` smallest priorities win (weighted priority sampling;
+    * the single-division analogue of the Efraimidis–Spirakis
+    * exponential-key scheme, chosen because one IEEE division
+    * reproduces bitwise in any engine while `ln`/`pow` keys are at the
+    * mercy of libm). Ties (identical priority) break on the key.
+    *
+    * Same scale shape as [[stratified]]: one shuffle on the group
+    * column, per-stratum window rank; pre-filter hot groups with
+    * [[hashSample]] to bound sorted volume at extreme scale. */
+  def weightedSample(df: DataFrame, groupCol: String, key: Column,
+                     weight: Column, perGroup: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__prio"), key.cast("string"))
+    df.withColumn("__prio",
+        hash32(key).cast("double") / weight.cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perGroup)
+      .drop("__prio", "__rn")
+  }
+
+  /** Deterministic mixture resampling by REPETITION: each row is
+    * emitted `⌊w⌋ + [u < frac(w)]` times, where `w` is its group's
+    * resampling weight and `u = hash32(key)/2³²` — i.e. groups with
+    * weight 2.3 are repeated twice always and a deterministic 30% of
+    * their rows a third time; weight 0.4 keeps a 40% subset (the
+    * repetition generalization of [[temperatureResample]], covering
+    * up-sampling as well as down-). In expectation every group
+    * contributes `n_g·w_g` rows — the epoch-style mixture a training
+    * run materializes. `maxRepeat` caps pathological weights so one
+    * tiny group cannot explode the output (capped groups are simply
+    * repeated `maxRepeat` times — log the cap, don't hide it).
+    *
+    * The weight table is one tiny broadcast; the repetition is
+    * map-side `explode(sequence(...))` — no shuffle at all. The output
+    * carries `copy` (1-based repetition index) so downstream global
+    * shuffling can separate the copies. */
+  def mixtureResample(df: DataFrame, groupCol: String, key: Column,
+                      weights: DataFrame, weightCol: String = "weight",
+                      maxRepeat: Int = 8): DataFrame = {
+    val w = least(col(weightCol).cast("double"), lit(maxRepeat.toDouble))
+    val reps = floor(w).cast("long") +
+      when(hash32(key).cast("double") / lit(4294967296.0) < (w - floor(w)),
+        1L).otherwise(0L)
+    df.join(broadcast(weights.select(col(groupCol), col(weightCol))), groupCol)
+      .withColumn("__reps", reps)
+      // sequence(1, 0) would count DOWN ([1, 0]); zero-rep rows need an
+      // empty array so explode drops them
+      .withColumn("copy", explode(when(col("__reps") >= 1L,
+        sequence(lit(1L), col("__reps")))
+        .otherwise(array().cast("array<bigint>"))))
+      .drop("__reps", weightCol)
+  }
 }

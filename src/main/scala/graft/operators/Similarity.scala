@@ -162,6 +162,75 @@ object Similarity {
     topKOutput(scored, k)
   }
 
+  /** Hamming-space ANN over bit-packed sign quantization: every vector
+    * collapses to ⌈dims/32⌉ longs ([[graft.plans.SketchExpressions
+    * .sign_pack]] — bit i = sign of coordinate i, 16× smaller than
+    * float32 at d=64), and ranking is XOR+popcount Hamming distance —
+    * the cheapest possible scan kernel (two long ops per 32 dims, no
+    * float math at scan time). Sign-bit agreement estimates angular
+    * similarity (Charikar's hyperplane sketch on the coordinate
+    * planes), so Hamming order approximates cosine order; recall vs
+    * exact cosine is pinned in SimilaritySpec.
+    *
+    * Scale shape: packing is a map-side codegen'd expression at both
+    * sides; queries broadcast; per-query top-k via the bounded heap
+    * (score = −distance keeps the heap's (desc, id asc) order ==
+    * (distance asc, id asc)). Ties at equal distance are deterministic
+    * by neighbor id. Integer arithmetic end-to-end — oracle-exact. */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, embCol: String, k: Int): DataFrame = {
+    import graft.plans.SketchExpressions.sign_pack
+    def packed(df: DataFrame) = df
+      .select(col(idCol).as("id"), sign_pack(col(embCol)).as("sig"))
+    val c = packed(corpus)
+    val q = packed(queries).toDF("query_id", "q_sig")
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("score",
+        -graft.plans.SketchExpressions.hamming_dist(col("sig"), col("q_sig"))
+          .cast("double"))
+    topKOutput(scored, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("score")).cast("int").as("hamming"))
+  }
+
+  /** Matryoshka (prefix-dimension) two-stage ANN: embeddings trained
+    * with matryoshka representation learning keep most signal in their
+    * leading coordinates, so stage 1 ranks by cosine over only the
+    * first `coarseDims` dims (a `coarseDims/dims` fraction of the scan
+    * flops) and keeps `m` candidates per query; stage 2 re-ranks just
+    * those `m` by full-width cosine via an equi-join back to the
+    * corpus. The rerank join ships m×(id,score) rows per query — the
+    * candidate set, never the corpus. Both stages are deterministic
+    * (ties by id), so the whole funnel is oracle-checked exactly. */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, embCol: String, k: Int,
+                     coarseDims: Int, m: Int): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+      .withColumn("c_emb", slice(col("emb"), 1, coarseDims))
+      .withColumn("c_n2", normSq(col("c_emb")))
+    val q = prepared(queries, idCol, embCol)
+      .toDF("query_id", "q_emb", "q_n2")
+      .withColumn("cq_emb", slice(col("q_emb"), 1, coarseDims))
+      .withColumn("cq_n2", normSq(col("cq_emb")))
+    // stage 1: prefix-cosine candidates, m per query, bounded-heap
+    val coarse = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("score",
+        dot(col("c_emb"), col("cq_emb")) / sqrt(col("c_n2") * col("cq_n2")))
+      .select(col("query_id"), col("id"), col("score"))
+    val cands = coarse.groupBy(col("query_id"))
+      .agg(graft.plans.TopKPairs.top_k_pairs(col("score"), col("id"), m).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("id"))
+    // stage 2: full-width exact rerank of the m candidates only
+    val scored = cands
+      .join(c.select(col("id"), col("emb"), col("n2")), Seq("id"))
+      .join(broadcast(q.select(col("query_id"), col("q_emb"), col("q_n2"))),
+        Seq("query_id"))
+      .withColumn("score",
+        dot(col("emb"), col("q_emb")) / sqrt(col("n2") * col("q_n2")))
+      .select(col("query_id"), col("id"), col("score"))
+    topKOutput(scored, k)
+  }
+
   /** Quantized brute-force top-k: corpus and queries are int8-quantized
     * ([[graft.functions.Quantize]]) and ranked by quantized cosine —
     * the scales cancel, so scoring is integer dot products through the

@@ -152,6 +152,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[SetExpressions.SortedArrayJaccard].getName, "jaccard_sorted"),
       (args: Seq[Expression]) => SetExpressions.SortedArrayJaccard(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("sign_pack"),
+      new ExpressionInfo(classOf[SketchExpressions.SignPack].getName, "sign_pack"),
+      (args: Seq[Expression]) => SketchExpressions.SignPack(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[SketchExpressions.HammingDistance].getName, "hamming_dist"),
+      (args: Seq[Expression]) => SketchExpressions.HammingDistance(args(0), args(1))))
   }
 }
 
@@ -606,6 +614,77 @@ object SketchExpressions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       HashedCounts(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(grams), dim))
+
+  /** Binary sign quantization: bit i of word ⌊i/32⌋ is set iff
+    * emb[i] ≥ 0 — 32 dims per 64-bit word (the top 32 bits of every
+    * word stay zero so a SQL engine can replay the packing with plain
+    * non-overflowing BIGINT arithmetic:
+    * `list_sum([CASE WHEN emb[32j+i+1] >= 0 THEN 1<<i ELSE 0 END ...])`).
+    * 64 floats → 2 longs: a 16× size cut that turns cosine ANN into
+    * XOR+popcount Hamming ANN (Charikar hyperplane sketch specialized
+    * to the coordinate planes). */
+  def computeSignPack(emb: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = emb.numElements()
+    val words = new Array[Long]((n + 31) / 32)
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      if (v >= 0.0) words(i >> 5) |= (1L << (i & 31))
+      i += 1
+    }
+    new GenericArrayData(words.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  /** Σ popcount(aᵢ xor bᵢ) over packed sign words. */
+  def computeHamming(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0
+    var i = 0
+    while (i < n) { d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
+    d
+  }
+
+  case class SignPack(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "sign_pack"
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType == org.apache.spark.sql.types.FloatType
+
+    override protected def nullSafeEval(v: Any): Any =
+      computeSignPack(v.asInstanceOf[ArrayData], isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.plans.SketchExpressions$$.MODULE$$.computeSignPack($input, $isFloat);")
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  case class HammingDistance(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "hamming_dist"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      computeHamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.SketchExpressions$$.MODULE$$.computeHamming($a, $b);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def sign_pack(emb: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      SignPack(org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb)))
+  def hamming_dist(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      HammingDistance(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 }
 
 /** Native product-quantization kernels. The composable formulation of

@@ -46,4 +46,53 @@ class SamplingSpec extends SparkSpec {
     assert(out("c") == (4L, 4.0 / 8.0, 8.0 / 12.0))
     assert(out.values.map(_._2).sum == 1.0)
   }
+
+  test("weightedSample: exactly perGroup rows per group, heavier keys favored") {
+    // 200 keys per group; weight = 1 for even keys, 1000 for odd keys —
+    // the odd keys' priorities are 1000× smaller, so (with overwhelming
+    // margin at this ratio) every winner is odd
+    val df = (1L to 400L).map(k => (if (k <= 200) "a" else "b", k,
+      if (k % 2 == 1) 1000L else 1L)).toDF("g", "k", "w")
+    val out = Sampling.weightedSample(df, "g", col("k"), col("w"), perGroup = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.count(_._1 == "a") == 10 && out.count(_._1 == "b") == 10)
+    assert(out.forall(_._2 % 2 == 1), "all winners should carry weight 1000")
+  }
+
+  test("weightedSample: deterministic across repartitionings") {
+    val df = (1L to 300L).map(k => ("g", k, k)).toDF("g", "k", "w")
+    val a = Sampling.weightedSample(df.repartition(11), "g", col("k"), col("w"), 20)
+      .collect().map(_.getLong(1)).toSet
+    val b = Sampling.weightedSample(df.coalesce(1), "g", col("k"), col("w"), 20)
+      .collect().map(_.getLong(1)).toSet
+    assert(a == b && a.size == 20)
+  }
+
+  test("mixtureResample: integer weights repeat exactly, zero weight drops") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("c", 4L)).toDF("g", "k")
+    val w = Seq(("a", 2.0), ("b", 1.0), ("c", 0.0)).toDF("g", "weight")
+    val out = Sampling.mixtureResample(df, "g", col("k"), w)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // integer weights have frac 0 → the stochastic extra copy never fires
+    assert(out.count(_._1 == 1L) == 2 && out.count(_._1 == 2L) == 2)
+    assert(out.count(_._1 == 3L) == 1)
+    assert(!out.exists(_._1 == 4L), "weight-0 group must vanish")
+    assert(out.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("mixtureResample: fractional weight emits floor or ceil copies, expectation ≈ w") {
+    val df = (1L to 1000L).map(k => ("g", k)).toDF("g", "k")
+    val w = Seq(("g", 1.5)).toDF("g", "weight")
+    val counts = Sampling.mixtureResample(df, "g", col("k"), w)
+      .groupBy("k").count().collect().map(_.getLong(1))
+    assert(counts.forall(c => c == 1 || c == 2))
+    // hash32/2³² is uniform: the extra-copy share concentrates near 0.5
+    val extra = counts.count(_ == 2).toDouble / 1000
+    assert(extra > 0.4 && extra < 0.6, s"extra-copy share $extra far from 0.5")
+    // cap: weight 100 clamps to maxRepeat
+    val capped = Sampling.mixtureResample(df.limit(5), "g", col("k"),
+      Seq(("g", 100.0)).toDF("g", "weight"), maxRepeat = 3)
+      .groupBy("k").count().collect().map(_.getLong(1))
+    assert(capped.forall(_ == 3))
+  }
 }

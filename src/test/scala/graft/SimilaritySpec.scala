@@ -173,6 +173,50 @@ class SimilaritySpec extends SparkSpec {
     assert(byQuery(2L).map(_._3).toSet == Set(1L, 3L))
   }
 
+  test("hammingTopK: sign-identical vector at distance 0, sign-opposite at dims") {
+    val out = Similarity.hammingTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getInt(3)))
+    // 1, 2 and 4 share 0's sign pattern (all coords ≥ 0, and 0.0 counts
+    // as non-negative) → Hamming 0, ordered by id; 3 flips only
+    // coordinate 0's sign → distance 1, ranked last
+    assert(out.toSeq == Seq((1L, 0), (2L, 0), (4L, 0), (3L, 1)))
+  }
+
+  test("sign_pack packs 32 dims per long word, bit i = sign of coord i") {
+    import spark.implicits._
+    // 33 dims: coord 0 negative, coord 32 positive → word0 has bit 0
+    // clear and bits 1..31 set; word1 has bit 0 set
+    val emb = (0 until 33).map(i => if (i == 0) -1.0f else 1.0f)
+    val out = Seq(Tuple1(emb)).toDF("e")
+      .select(graft.plans.SketchExpressions.sign_pack(col("e")).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(out == Seq(0xFFFFFFFEL, 1L))
+  }
+
+  test("matryoshkaTopK with full-width coarse stage equals brute force") {
+    // coarseDims = dims and m ≥ corpus ⇒ the funnel is exhaustive: the
+    // two-stage machinery (heap candidates, rerank join) must reproduce
+    // bruteForceTopK exactly
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val mat = Similarity.matryoshkaTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, coarseDims = 4, m = 10)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(mat.toSeq == brute.toSeq)
+  }
+
+  test("matryoshkaTopK prefix stage prunes: candidates bound the rerank set") {
+    // prefix-2 coarse ranking on 4-dim vectors still surfaces the
+    // identical vector (its prefix is identical too)
+    val out = Similarity.matryoshkaTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 2, coarseDims = 2, m = 3)
+      .collect().map(_.getLong(2))
+    assert(out.contains(4L))
+  }
+
   test("groupCentroids: exact fixed-point mean, partitioning-independent") {
     import spark.implicits._
     val df = Seq(
