@@ -2376,6 +2376,89 @@ object Queries {
              |FROM r WHERE reps >= 1""".stripMargin)
     )),
 
+    // Concatenate-then-chunk materialized: per fixed-128-token training
+    // window, the document segments that fill it (straddlers split
+    // across windows) — pure integer arithmetic over the packing
+    // offsets, so the whole dataloader-facing view is oracle-exact.
+    "q_context_windows" -> ((
+      (s: SparkSession, dir: String) => {
+        val withTokens = Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        operators.Packing.contextWindows(withTokens, "doc_id", "n_tok",
+          budget = 128, shards = 8)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) n_tok,
+             |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard
+             |  FROM documents),
+             |c AS (SELECT doc_id, shard, n_tok,
+             |  CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |    ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_offset FROM t),
+             |e AS (SELECT doc_id, shard, n_tok, start_offset,
+             |  unnest(generate_series(
+             |    CAST(floor(start_offset / 128.0) AS BIGINT),
+             |    CAST(floor((start_offset + n_tok - 1) / 128.0) AS BIGINT))) AS window_id
+             |  FROM c WHERE n_tok > 0)
+             |SELECT shard, window_id, doc_id,
+             |  greatest(window_id * 128 - start_offset, 0) AS seg_start,
+             |  least(n_tok, (window_id + 1) * 128 - start_offset) AS seg_end
+             |FROM e""".stripMargin)
+    )),
+
+    // Exact duplicated-substring spans (Lee et al. ExactSubstr at
+    // 8-token granularity): corpus-wide sliding-gram counting → dup
+    // positions → maximal merged spans, all integer arithmetic.
+    "q_dup_spans" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text", k = 8),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |t2 AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 8),
+             |g AS (SELECT doc_id, unnest(range(len(ws) - 7)) AS gpos, ws FROM t2),
+             |g2 AS (SELECT doc_id, gpos, array_to_string(ws[gpos+1:gpos+8], '_') AS gram FROM g),
+             |c AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) > 1),
+             |d AS (SELECT g2.doc_id, g2.gpos FROM g2 JOIN c USING (gram)),
+             |i AS (SELECT doc_id, gpos, CASE WHEN gpos > coalesce(
+             |    max(gpos + 8) OVER (PARTITION BY doc_id ORDER BY gpos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |  THEN 1 ELSE 0 END AS brk FROM d),
+             |s AS (SELECT doc_id, gpos, sum(brk) OVER (PARTITION BY doc_id ORDER BY gpos
+             |  ROWS UNBOUNDED PRECEDING) AS island FROM i)
+             |SELECT doc_id, CAST(min(gpos) AS BIGINT) AS span_start,
+             |  CAST(max(gpos) + 8 AS BIGINT) AS span_end,
+             |  CAST(max(gpos) + 8 - min(gpos) AS BIGINT) AS span_tokens
+             |FROM s GROUP BY doc_id, island""".stripMargin)
+    )),
+
+    // The cleaning companion: tokens covered by any duplicated span are
+    // cut, the rest reassembled in order; fully-duplicated docs vanish.
+    "q_strip_dup_spans" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.stripDuplicateSpans(Tables.documents(s, dir), "doc_id", "text", k = 8),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |t2 AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 8),
+             |g AS (SELECT doc_id, unnest(range(len(ws) - 7)) AS gpos, ws FROM t2),
+             |g2 AS (SELECT doc_id, gpos, array_to_string(ws[gpos+1:gpos+8], '_') AS gram FROM g),
+             |c AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) > 1),
+             |d AS (SELECT g2.doc_id, g2.gpos FROM g2 JOIN c USING (gram)),
+             |i AS (SELECT doc_id, gpos, CASE WHEN gpos > coalesce(
+             |    max(gpos + 8) OVER (PARTITION BY doc_id ORDER BY gpos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |  THEN 1 ELSE 0 END AS brk FROM d),
+             |s AS (SELECT doc_id, gpos, sum(brk) OVER (PARTITION BY doc_id ORDER BY gpos
+             |  ROWS UNBOUNDED PRECEDING) AS island FROM i),
+             |spans AS (SELECT doc_id, min(gpos) AS span_start, max(gpos) + 8 AS span_end
+             |  FROM s GROUP BY doc_id, island),
+             |toks AS (SELECT doc_id, unnest(range(len(ws))) AS pos, ws
+             |  FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)),
+             |tok2 AS (SELECT doc_id, pos, ws[pos+1] AS tok FROM toks),
+             |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok2 k
+             |  WHERE NOT EXISTS (SELECT 1 FROM spans sp WHERE sp.doc_id = k.doc_id
+             |    AND sp.span_start <= k.pos AND k.pos < sp.span_end))
+             |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+             |FROM kept GROUP BY doc_id
+             |HAVING length(string_agg(tok, ' ' ORDER BY pos)) > 0""".stripMargin)
+    )),
+
     // BM25 ranking (k1=1.2, b=0.75) for a fixed term set: idf and the
     // length-normalized tf saturation — the retrieval scorer data-
     // curation search/decontamination tooling actually uses. avgdl is

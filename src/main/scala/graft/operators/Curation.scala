@@ -47,7 +47,14 @@ object Curation {
         * quality gates, because template passages inflate quality and
         * repetition metrics and poison content fingerprints. Docs that
         * were pure template drop out here. */
-      boilerplate: Option[(String, Int, Int)] = None)
+      boilerplate: Option[(String, Int, Int)] = None,
+      /** Some(k) cuts every corpus-duplicated run of ≥ k tokens from
+        * surviving docs ([[Dedup.stripDuplicateSpans]] — the Lee et al.
+        * ExactSubstr cleaning) as the LAST stage: it sees the deduped
+        * corpus, so what remains duplicated is genuine cross-document
+        * repetition, not whole-document copies already dropped. Docs
+        * that were entirely duplicated text drop out. */
+      dupSpanTokens: Option[Int] = None)
 
   /** Adaptive quality cutoff: drop the lowest `quantile` fraction of
     * rows by `score` (e.g. 0.1 = drop the bottom decile) — corpus
@@ -134,6 +141,17 @@ object Curation {
           .join(kept.withColumnRenamed("text_dedup", "clean_text"), idCol)
     }
 
-    passaged.drop("__fp")
+    // 7: exact duplicated-substring cleaning — sliding-gram (vs stage
+    // 6's aligned-block) duplicate removal over whatever survived
+    val spanned = cfg.dupSpanTokens match {
+      case None => passaged
+      case Some(k) =>
+        val kept = Dedup.stripDuplicateSpans(passaged, idCol, "clean_text", k)
+          .withColumnRenamed("doc_id", idCol)
+        passaged.drop("clean_text")
+          .join(kept.withColumnRenamed("text_clean", "clean_text"), idCol)
+    }
+
+    spanned.drop("__fp")
   }
 }

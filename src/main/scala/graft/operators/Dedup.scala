@@ -352,6 +352,78 @@ object Dedup {
           x => x.getField("passage"))).as(outCol))
       .select(col("id").as("doc_id"), col(outCol))
 
+  /** Exact duplicated-substring detection at `k`-token granularity
+    * (the Lee et al. "Deduplicating Training Data Makes Language
+    * Models Better" ExactSubstr operation, re-expressed relationally):
+    * every SLIDING k-gram occurring more than once in the whole corpus
+    * marks its token interval [pos, pos+k) as duplicated; overlapping
+    * or touching intervals within a document merge into MAXIMAL spans.
+    * Output: (doc_id, span_start inclusive, span_end exclusive,
+    * span_tokens) in 0-based token indices — the spans a cleaning pass
+    * would cut (Lee et al. use suffix arrays on one machine; corpus-
+    * wide k-gram counting is the shuffle-friendly distributed
+    * equivalent, exact at granularity k: any duplicated substring of
+    * ≥ k tokens is found in full, shorter ones are ignored).
+    *
+    * Scale shape: grams never carry text downstream of the count —
+    * the frequency aggregation shuffles (gram, count) with map-side
+    * partials, the dup-gram join ships only (gram → doc_id, pos), and
+    * span merging is a per-document window over gram POSITIONS (a few
+    * ints per duplicated gram, not per token). Hub grams (boilerplate
+    * shared by millions of docs) are exactly the ones that matter
+    * here, so there is no cap — skew lands on the count aggregate
+    * (decomposable) and AQE's skew-join split, not on pair explosion:
+    * output stays linear in gram occurrences, never quadratic. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    require(k > 0, "gram length must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("ws")) - k),
+          i => concat_ws("_", slice(col("ws"), i + 1, lit(k)))))
+        .as(Seq("gpos", "gram")))
+    val dupGrams = grams.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select("gram")
+    val hits = grams.join(dupGrams, "gram").select(col("id"), col("gpos"))
+    // island merge: a gram starts a new span iff its interval begins
+    // after every previous interval's end (running max of gpos+k)
+    val byPos = Window.partitionBy(col("id")).orderBy(col("gpos"))
+    val prevMax = max(col("gpos") + k).over(
+      byPos.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("brk",
+        when(col("gpos") > coalesce(prevMax, lit(-1)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("gpos")).cast("long").as("span_start"),
+        (max(col("gpos")) + k).cast("long").as("span_end"))
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Companion cleaning pass: drop every token covered by a duplicated
+    * span (per [[duplicateSpans]] semantics) and reassemble the
+    * remainder; docs that were entirely duplicated text drop out. */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), concat_ws(" ", filter(col("ws"),
+        (w, i) => col("spans").isNull || !exists(col("spans"),
+          s => s.getField("span_start") <= i && i < s.getField("span_end"))))
+        .as("text_clean"))
+      .filter(length(col("text_clean")) > 0)
+  }
+
   /** Cross-document boilerplate REMOVAL at passage granularity (the
     * CCNet-family move): a passage that recurs across `minDocFreq`+
     * distinct documents of the SAME source — headers, navigation

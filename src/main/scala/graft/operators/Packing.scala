@@ -44,4 +44,30 @@ object Packing {
   def binStats(packed: DataFrame, tokenCol: String): DataFrame =
     packed.groupBy(col("shard"), col("bin_idx"))
       .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
+
+  /** The splitter [[binStats]] defers to: materialize the
+    * concatenate-then-chunk view as (shard, window_id, doc_id,
+    * seg_start, seg_end) document SEGMENTS — each fixed-`budget`
+    * training window lists exactly which token range [seg_start,
+    * seg_end) of which document fills it, straddling documents split
+    * across consecutive windows. Every window's segments sum to
+    * `budget` tokens (except each shard's ragged tail), and every
+    * document's segments tile [0, n_tokens) — the attention-mask /
+    * example-boundary metadata a pretraining dataloader needs.
+    *
+    * Same sharded scale shape as [[packBins]]; the segment explode
+    * emits ⌈tokens/budget⌉+1 rows per document at most — output is
+    * linear in corpus tokens over `budget`, never token-level. */
+  def contextWindows(df: DataFrame, idCol: String, tokenCol: String,
+                     budget: Long, shards: Int = 64): DataFrame =
+    packBins(df, idCol, tokenCol, budget, shards)
+      .filter(col(tokenCol) > 0)
+      .withColumn("window_id", explode(sequence(
+        floor(col("start_offset") / budget).cast("long"),
+        floor((col("start_offset") + col(tokenCol) - 1) / budget).cast("long"))))
+      .select(col("shard"), col("window_id"), col(idCol),
+        greatest(col("window_id") * budget - col("start_offset"), lit(0L))
+          .as("seg_start"),
+        least(col(tokenCol).cast("long"),
+          (col("window_id") + 1) * budget - col("start_offset")).as("seg_end"))
 }

@@ -76,6 +76,24 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == "kappa lambda mu nu xi omicron") // untouched
   }
 
+  test("dup-span stage cuts cross-document repeated runs from survivors") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over it alpha beta gamma"),
+      (2L, "prefix words the quick brown fox jumps over it suffix"),
+      (3L, "totally unrelated content with its own distinct words")
+    ).toDF("doc_id", "text")
+    val out = Curation.run(corpus, "doc_id", "text",
+      Curation.Config(redact = false, minQuality = 0.0,
+        maxTopNgramFrac = 1.0, maxRepTokenFrac = 1.0,
+        exactDedup = false, nearDupThreshold = None,
+        dupSpanTokens = Some(7)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    // "the quick brown fox jumps over it" (7 tokens) recurs → cut everywhere
+    assert(out(1L) == "alpha beta gamma")
+    assert(out(2L) == "prefix words suffix")
+    assert(out(3L) == "totally unrelated content with its own distinct words")
+  }
+
   test("stages are individually skippable") {
     val out = Curation.run(docs, "doc_id", "text",
       Curation.Config(redact = false, minQuality = 0.0,

@@ -201,6 +201,46 @@ class DedupSpec extends SparkSpec {
       5L -> "click here nu xi")) // doc 3 dropped entirely
   }
 
+  test("duplicateSpans: shared k-gram runs become maximal merged spans") {
+    // k=3: docs 10/11 share the 5-token run "a b c d e" → grams at
+    // positions 0,1,2 merge into one span [0,5) in doc 10, [1,6) in 11;
+    // doc 12 shares nothing 3 tokens long
+    val in = Seq(
+      (10L, "a b c d e x y"),
+      (11L, "z a b c d e q"),
+      (12L, "p q r s t u v")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(in, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set((10L, 0L, 5L, 5L), (11L, 1L, 6L, 5L)))
+  }
+
+  test("duplicateSpans: disjoint duplicated runs stay separate spans") {
+    // "a b c" (pos 0) and "x y z" (pos 4) both duplicated, gap at pos 3
+    val in = Seq(
+      (1L, "a b c q x y z"),
+      (2L, "a b c"),
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(in, "doc_id", "text", k = 3)
+      .filter($"doc_id" === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((0L, 3L), (4L, 7L)))
+  }
+
+  test("stripDuplicateSpans: covered tokens cut, clean docs untouched, full dups vanish") {
+    val in = Seq(
+      (10L, "a b c d e x y"),
+      (11L, "z a b c d e q"),
+      (12L, "p q r s t u v"),
+      (13L, "a b c d e"),   // fully covered (duplicated against 10/11)
+      (14L, "a b c d e")    // its exact twin
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(in, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(10L -> "x y", 11L -> "z q", 12L -> "p q r s t u v"))
+  }
+
   test("simhash: identical docs collide, unrelated docs differ") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

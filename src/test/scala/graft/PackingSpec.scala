@@ -37,4 +37,35 @@ class PackingSpec extends SparkSpec {
     assert(packed.orderBy("doc_id").collect().toSeq ==
       again.orderBy("doc_id").collect().toSeq)
   }
+
+  test("contextWindows: straddlers split, windows fill to budget, docs tile fully") {
+    import org.apache.spark.sql.functions._
+    // one shard: offsets 0,300,600,900 over a 950-token corpus; budget
+    // 512 → doc 2 straddles windows 0/1 at offset 512 (in-doc token
+    // 212); window 1 is the ragged tail [512, 950)
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 50L))
+      .toDF("doc_id", "n_tok")
+    val out = Packing.contextWindows(df, "doc_id", "n_tok", budget = 512, shards = 1)
+      .orderBy("doc_id", "window_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("window_id"),
+        r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end")))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 300L),
+      (2L, 0L, 0L, 212L), (2L, 1L, 212L, 300L),
+      (3L, 1L, 0L, 300L),
+      (4L, 1L, 0L, 50L)))
+    // segments per doc tile [0, n_tok)
+    val perDoc = out.groupBy(_._1).view
+      .mapValues(_.map(s => (s._3, s._4)).sorted.toList)
+    perDoc.foreach { case (_, segs) =>
+      segs.sliding(2).foreach {
+        case List((_, e1), (s2, _)) => assert(e1 == s2); case _ =>
+      }
+    }
+    // every full window's segments sum to exactly the budget
+    val winFill = out.groupBy(_._2).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toMap
+    assert(winFill(0L) == 512L)
+    assert(winFill(1L) == 438L) // ragged tail [512, 950)
+  }
 }

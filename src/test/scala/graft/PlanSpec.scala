@@ -124,6 +124,34 @@ class PlanSpec extends SparkSpec {
       "decontamination should be an anti/semi join")
   }
 
+  test("q_ann_hamming: packed signatures, queries broadcast, no cartesian") {
+    val p = plan("q_ann_hamming")
+    assert(!p.contains("CartesianProduct"),
+      "Hamming ANN must broadcast the query side, never a cartesian")
+    assert(p.contains("BroadcastExchange"), "query side should broadcast")
+    assert(p.contains("sign_pack"),
+      "packing must be the codegen'd map-side expression")
+  }
+
+  test("q_dup_spans: dup grams via equi-join + hash agg, no cartesian") {
+    val p = plan("q_dup_spans")
+    assertNoCartesian(p, "q_dup_spans")
+    assert(p.contains("HashAggregate"), "gram counting should hash-aggregate")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "dup-gram positions must come from an equi-join on the gram")
+  }
+
+  test("q_mixture_sample / q_context_windows: map-side explode, tiny broadcasts only") {
+    val pm = plan("q_mixture_sample")
+    assertNoCartesian(pm, "q_mixture_sample")
+    assert(pm.contains("BroadcastExchange") || pm.contains("BroadcastNestedLoopJoin"),
+      "the weight table should broadcast")
+    val pc = plan("q_context_windows")
+    assertNoCartesian(pc, "q_context_windows")
+    assert(pc.contains("Generate"), "window split should be a map-side explode")
+  }
+
   test("q_hourly_events / q_stratified_sample: bounded-exchange aggregations") {
     val ph = plan("q_hourly_events")
     assert(exchanges(ph) <= 2, s"q_hourly_events exchange count grew:\n$ph")
