@@ -30,7 +30,15 @@ object Bench {
     val metrics = new graft.core.MetricsListener
     spark.listenerManager.register(metrics)
 
-    val results = Queries.all.map { case (name, (fn, _)) =>
+    // optional diagnostic subset: SPARK_GRAFT_BENCH_FILTER=regex runs
+    // only matching queries (isolates suite-order effects from
+    // per-query cost when chasing a regression)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val selected = filter match {
+      case None => Queries.all
+      case Some(re) => Queries.all.filter { case (n, _) => re.findFirstIn(n).isDefined }
+    }
+    val results = selected.map { case (name, (fn, _)) =>
       metrics.label(name)
       val t0 = System.nanoTime()
       val ok =
@@ -45,6 +53,10 @@ object Bench {
       while (ok && metrics.get(name).isEmpty && tries < 30) {
         Thread.sleep(100); tries += 1
       }
+      // queries are independent: any RDD still persisted (checkpoint
+      // blocks from iterative operators) is leaked state that would
+      // squeeze later queries' execution memory over a 100+-query run
+      graft.core.Checkpoints.freeAllPersisted(spark)
       name -> elapsed
     }
     val total = results.map(_._2).sum

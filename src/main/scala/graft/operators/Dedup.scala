@@ -207,14 +207,15 @@ object Dedup {
     *    partially propagated labels are wrong answers.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint() // eager: pair generation runs exactly once
+    import graft.core.Checkpoints
+    val (edges, edgeIds) = Checkpoints.eager(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()) // eager: pair generation runs exactly once
     val labelType = edges.schema("src").dataType
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var (labels, labelIds) = Checkpoints.eager(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -227,18 +228,24 @@ object Dedup {
         .select(col("id0").as("id"), col("label"))
       // exactly one row per id carries old != null (its own previous
       // label), so max(old) recovers it and chg = strict improvement
-      val next = labels.select(col("id"), col("label"), col("label").as("old"))
-        .unionByName(neighborLabels.withColumn("old", lit(null).cast(labelType)))
-        .unionByName(hop.withColumn("old", lit(null).cast(labelType)))
-        .groupBy("id")
-        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-        .withColumn("chg", (col("label") < col("old")).cast("long"))
-        .localCheckpoint() // eager: the one real job this iteration
+      val (next, nextIds) = Checkpoints.eager(
+        labels.select(col("id"), col("label"), col("label").as("old"))
+          .unionByName(neighborLabels.withColumn("old", lit(null).cast(labelType)))
+          .unionByName(hop.withColumn("old", lit(null).cast(labelType)))
+          .groupBy("id")
+          .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+          .withColumn("chg", (col("label") < col("old")).cast("long"))
+      ) // eager: the one real job this iteration
       // cheap second pass over the in-memory checkpointed blocks
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      // the superseded generation's blocks are dead — free them, or a
+      // long session leaks a generation per iteration per query
+      Checkpoints.free(labels, labelIds)
       labels = next.select("id", "label")
+      labelIds = nextIds
       iter += 1
     }
+    Checkpoints.free(edges, edgeIds) // final labels are self-contained
     if (changed > 0)
       throw new IllegalStateException(
         s"duplicateClusters did not converge after $maxIter iterations " +

@@ -33,26 +33,37 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int = 5,
                scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint() // edge generation runs exactly once
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
+    import graft.core.Checkpoints
+    val (e, eIds) = Checkpoints.eager(
+      edges.select(col("src"), col("dst")).distinct()
+    ) // edge generation runs exactly once
+    val (nodes, nodeIds) = Checkpoints.eager(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
     val n = nodes.count() // bounded driver state: one scalar
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val teleport = 15L * scale / (100L * n) // floor, same in the SQL replay
     var ranks = nodes.withColumn("r", lit(scale / n))
+    var rankIds = Seq.empty[Int]
     for (_ <- 1 to iterations) {
       val sums = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .join(outDeg, "src")
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(sums, Seq("id"), "left")
-        .select(col("id"), (lit(teleport) +
-          expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
-        .localCheckpoint()
+      val (next, nextIds) = Checkpoints.eager(
+        nodes.join(sums, Seq("id"), "left")
+          .select(col("id"), (lit(teleport) +
+            expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r")))
+      // superseded generation's blocks are dead — free them
+      Checkpoints.free(ranks, rankIds)
+      ranks = next
+      rankIds = nextIds
     }
+    // the final generation is a self-contained checkpoint; edge/node
+    // blocks are no longer reachable from it
+    Checkpoints.free(e, eIds)
+    Checkpoints.free(nodes, nodeIds)
     ranks.select(col("id"), col("r").as("rank_fp"))
   }
 }
