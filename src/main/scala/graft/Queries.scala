@@ -2459,6 +2459,42 @@ object Queries {
              |HAVING length(string_agg(tok, ' ' ORDER BY pos)) > 0""".stripMargin)
     )),
 
+    // Count-min sketch heavy hitters: the d×w matrix is built with
+    // engine-neutral md5 bucket hashing, so the cells — and therefore
+    // the min-cell estimates — hash-match a SQL replay exactly; the
+    // output also pins CMS's one-sided error (est ≥ exact, always).
+    "q_heavy_hitters_cms" -> ((
+      (s: SparkSession, dir: String) => {
+        val tok = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("t"))
+        val exact = tok.groupBy("t").agg(count(lit(1)).as("exact_cnt"))
+        val top = exact.orderBy(col("exact_cnt").desc, col("t").asc).limit(20)
+        val sketch = operators.Sketches.countMin(tok, "t", d = 4, w = 1024)
+        val est = operators.Sketches.countMinEstimate(
+          sketch, top.select("t"), "t", d = 4, w = 1024)
+        top.join(est, "t")
+          .select(col("t").as("term"), col("exact_cnt"), col("cms_est"),
+            (col("cms_est") >= col("exact_cnt")).as("never_underestimates"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+             |ex AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+             |top AS (SELECT t, c FROM ex ORDER BY c DESC, t ASC LIMIT 20),
+             |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+             |cells AS (SELECT rws.r,
+             |    CAST('0x' || substr(md5(CAST(rws.r AS VARCHAR) || '_' || tok.t), 1, 8) AS BIGINT) % 1024 AS b,
+             |    count(*) AS cnt
+             |  FROM tok, rws GROUP BY 1, 2),
+             |probes AS (SELECT top.t, top.c, rws.r,
+             |    CAST('0x' || substr(md5(CAST(rws.r AS VARCHAR) || '_' || top.t), 1, 8) AS BIGINT) % 1024 AS b
+             |  FROM top, rws),
+             |est AS (SELECT p.t, p.c, min(cells.cnt) AS e
+             |  FROM probes p JOIN cells ON cells.r = p.r AND cells.b = p.b
+             |  GROUP BY 1, 2)
+             |SELECT t AS term, CAST(c AS BIGINT) AS exact_cnt,
+             |  CAST(e AS BIGINT) AS cms_est, e >= c AS never_underestimates
+             |FROM est""".stripMargin)
+    )),
+
     // BM25 ranking (k1=1.2, b=0.75) for a fixed term set: idf and the
     // length-normalized tf saturation — the retrieval scorer data-
     // curation search/decontamination tooling actually uses. avgdl is

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch: the sublinear frequency-estimation structure the
+  * sketch family was missing (HLL covers distinct counts, KLL
+  * quantiles, MinHash/SimHash set similarity, Bloom membership — CMS
+  * covers "how often does term t occur" over a vocabulary too large to
+  * count exactly).
+  *
+  * The sketch is a d×w integer matrix: row i counts tokens by their
+  * i-salted hash bucket; a term's estimate is the MIN of its d cells —
+  * never an underestimate (each cell ≥ the true count; collisions only
+  * inflate), and within εN of truth with probability 1−δ at
+  * w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉ (Cormode & Muthukrishnan 2005).
+  *
+  * Scale shape: the matrix is d·w cells REGARDLESS of corpus size —
+  * built with ONE shuffle of (row, bucket) pairs with map-side partial
+  * counts, mergeable across corpora/streams by cell-wise addition.
+  * Estimates join candidates against the d·w-row sketch (AQE
+  * broadcasts it — KBs). Hashing is the engine-neutral md5-derived
+  * 32-bit used by every sampling/sketch operator, so cells — and
+  * therefore estimates — reproduce EXACTLY in a SQL replay: the sketch
+  * is oracle-checkable, unlike implementation-defined native sketch
+  * binaries.
+  */
+object Sketches {
+
+  /** Bucket of `token` in salted row `i`:
+    * hash32(i || '_' || token) mod w. */
+  private def bucket(token: Column, i: Int, w: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"${i}_"), token)), 1, 8), 16, 10)
+      .cast("long"), lit(w.toLong))
+
+  /** Build the sketch: (row, bucket, cnt) — d·w rows at most. `tokens`
+    * is one token per input row (pre-exploded, so callers control
+    * tokenization). */
+  def countMin(tokens: DataFrame, tokenCol: String,
+               d: Int = 4, w: Int = 1024): DataFrame =
+    tokens
+      .select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("row"), bucket(col(tokenCol), i, w).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Estimate each candidate's frequency from a prebuilt sketch:
+    * min over the d cells the candidate hashes into. Candidates carry
+    * one term per row in `termCol`; output (term, cms_est). */
+  def countMinEstimate(sketch: DataFrame, candidates: DataFrame,
+                       termCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
+    val probes = candidates
+      .select(col(termCol), explode(array((0 until d).map(i =>
+        struct(lit(i).as("row"), bucket(col(termCol), i, w).as("bucket"))): _*))
+        .as("rb"))
+      .select(col(termCol), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+    probes.join(sketch, Seq("row", "bucket"))
+      .groupBy(col(termCol))
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+}
