@@ -29,7 +29,7 @@ object Sketches {
 
   /** Bucket of `token` in salted row `i`:
     * hash32(i || '_' || token) mod w. */
-  private def bucket(token: Column, i: Int, w: Int): Column =
+  private[graft] def bucket(token: Column, i: Int, w: Int): Column =
     pmod(conv(substring(md5(concat(lit(s"${i}_"), token)), 1, 8), 16, 10)
       .cast("long"), lit(w.toLong))
 

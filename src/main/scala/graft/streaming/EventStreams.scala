@@ -255,6 +255,38 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("grp"), col("sketch"))
   }
 
+  /** Streaming windowed count-min sketch: one d×w frequency matrix per
+    * event-time window — live heavy-hitter monitoring whose state is
+    * d·w cells per window REGARDLESS of stream volume. Cell counts are
+    * a plain decomposable SUM over (window, row, bucket), so this runs
+    * as a standard watermarked streaming aggregation (map-side
+    * partials, state bounded by the watermark), and because the bucket
+    * hash is the same engine-neutral md5 derivation as the batch
+    * [[graft.operators.Sketches.countMin]], a window's streamed cells
+    * equal the batch sketch of the same rows bit-for-bit
+    * (differential-tested). Estimates over the emitted cells use the
+    * batch [[graft.operators.Sketches.countMinEstimate]] unchanged —
+    * sketches built live merge with sketches built offline by cellwise
+    * addition. */
+  def windowedCountMin(events: DataFrame, tsCol: String, tokenCol: String,
+                       d: Int = 4, w: Int = 1024,
+                       watermarkDelay: String = "10 minutes",
+                       windowLength: String = "1 hour"): DataFrame = {
+    val bucketed = events
+      .select(col(tsCol).as("ts"), col(tokenCol).as("t"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), explode(array((0 until d).map(i =>
+        struct(lit(i).as("row"),
+          graft.operators.Sketches.bucket(col("t"), i, w).as("bucket"))): _*))
+        .as("rb"))
+    bucketed
+      .groupBy(window(col("ts"), windowLength),
+        col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("row"), col("bucket"), col("cnt"))
+  }
+
   /** Streaming upsert sink: each micro-batch merges into a parquet
     * key-value table with LAST-writer-wins per key across batches
     * (within a batch, deterministic first-writer-wins by `tieBreak` —

@@ -116,6 +116,37 @@ class StreamingDifferentialSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("windowedCountMin replay equals the batch sketch of each window's rows") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedCountMin(
+      input.toDF().select(col("ts"), col("event_type").as("tok")),
+      "ts", "tok", d = 3, w = 64,
+      watermarkDelay = "10 minutes", windowLength = "1 hour")
+      .writeStream.format("memory").queryName("diff_cms")
+      .outputMode(OutputMode.Append).start()
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    input.addData(flusher); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("diff_cms")
+      .filter(col("window_start") < Timestamp.valueOf("2024-05-01 00:00:00"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // batch: per epoch-aligned hour window, the batch countMin of that
+    // window's rows (hour windows align to epoch in any timezone)
+    val perWindow = allEvents.groupBy(e =>
+      e.ts.getTime - Math.floorMod(e.ts.getTime, 3600L * 1000))
+    val expected = perWindow.toSeq.flatMap { case (ws, evs) =>
+      graft.operators.Sketches.countMin(
+        evs.map(_.event_type).toDF("tok"), "tok", d = 3, w = 64)
+        .collect().map(r => (ws, r.getInt(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("passageDedupStream: survivors = batch winners when ids ascend with time") {
     implicit val sc = spark.sqlContext
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
