@@ -152,6 +152,21 @@ class PlanSpec extends SparkSpec {
     assert(pc.contains("Generate"), "window split should be a map-side explode")
   }
 
+  test("q_heavy_hitters_cms: cell agg hash-aggregates, probe join broadcasts") {
+    val p = plan("q_heavy_hitters_cms")
+    assertNoCartesian(p, "q_heavy_hitters_cms")
+    assert(p.contains("HashAggregate"), "cell counting should hash-aggregate")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 exact terms should plan as TakeOrdered, not a global sort")
+  }
+
+  test("q_bm25: tf map-side, df/stats broadcast, no cartesian blowup") {
+    val p = plan("q_bm25")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row stats crossJoin must broadcast, never a cartesian")
+    assert(p.contains("BroadcastExchange"), "df/stats tables should broadcast")
+  }
+
   test("q_hourly_events / q_stratified_sample: bounded-exchange aggregations") {
     val ph = plan("q_hourly_events")
     assert(exchanges(ph) <= 2, s"q_hourly_events exchange count grew:\n$ph")
