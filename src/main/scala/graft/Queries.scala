@@ -2127,18 +2127,21 @@ object Queries {
 
     // Frozen-weight linear classifier over the hashed features — the
     // scoring half of a fastText-style quality model, entirely map-side
-    // (featurize + 16-term dot in one projection). Weights are literal
-    // doubles embedded identically in both engines; the left-associated
-    // term order makes the double sum bit-exact.
+    // (featurize + 16-term dot in one projection). The weights are exact
+    // tenths, so the dot product Σ(10·wᵢ)·cᵢ is an exact int64 on both
+    // engines; ONE final IEEE division by 10 yields a bit-identical
+    // double — no intermediate double sum, no decimal-rounding boundary
+    // (the round-4 hash mismatch was exactly that trap).
     "q_classifier_score" -> ((
       (s: SparkSession, dir: String) =>
         Tables.documents(s, dir).select(col("doc_id"),
-          round(TextAnalysis.linearScore(
+          TextAnalysis.linearScoreFixedPoint(
             TextAnalysis.hashedNgramFeatures(col("text"), dim = 16),
-            ClassifierWeights), 6).as("score")),
+            ClassifierWeights).as("score")),
       Some {
         val terms = ClassifierWeights.zipWithIndex
-          .map { case (w, i) => s"$w * CAST(features[${i + 1}] AS DOUBLE)" }
+          .map { case (w, i) =>
+            s"${math.round(w * 10)} * CAST(features[${i + 1}] AS BIGINT)" }
           .mkString(" + ")
         s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
            |b AS (SELECT doc_id,
@@ -2148,7 +2151,7 @@ object Queries {
            |f AS (SELECT g.doc_id, list(COALESCE(c.c, 0) ORDER BY g.i) AS features
            |      FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bk = g.i
            |      GROUP BY g.doc_id)
-           |SELECT doc_id, round($terms, 6) AS score FROM f""".stripMargin
+           |SELECT doc_id, CAST($terms AS DOUBLE) / 10 AS score FROM f""".stripMargin
       }
     )),
 

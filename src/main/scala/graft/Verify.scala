@@ -17,7 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset run for fast local iteration (mirrors Bench's
+    // SPARK_GRAFT_BENCH_FILTER); the driver never sets it → full suite.
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER").map(_.r)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      filter.forall(_.findFirstIn(name).isDefined) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -47,6 +47,30 @@ object TextAnalysis {
         lit(w) * element_at(features, i + 1).cast("double") }
       .reduceLeft(_ + _)
 
+  /** Exact fixed-point linear score for weights that are exact decimal
+    * multiples of 1/scale (e.g. tenths with scale=10): the dot product
+    * Σ (scale·wᵢ)·cᵢ is computed entirely in int64 over integer feature
+    * counts, then divided ONCE by `scale` — a single IEEE operation that
+    * is bit-identical in every engine. Avoids the rounding-boundary trap
+    * of `round(Σ wᵢ·cᵢ, 6)` over a left-folded double sum (see
+    * [[qualityScore]]'s note): there is no intermediate double and no
+    * decimal-rounding step at all. Throws if any weight is not an exact
+    * multiple of 1/scale. */
+  def linearScoreFixedPoint(features: Column, weights: Seq[Double],
+      scale: Long = 10L): Column = {
+    val intWeights = weights.map { w =>
+      val iw = math.round(w * scale)
+      require(iw.toDouble / scale == w,
+        s"weight $w is not an exact multiple of 1/$scale")
+      iw
+    }
+    val sum = intWeights.zipWithIndex
+      .map { case (iw, i) =>
+        lit(iw) * element_at(features, i + 1).cast("long") }
+      .reduceLeft(_ + _)
+    sum.cast("double") / lit(scale.toDouble)
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** A BPE-ish sub-word count: words are split at letter/digit
