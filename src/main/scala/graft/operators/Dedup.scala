@@ -392,11 +392,19 @@ object Dedup {
         transform(sequence(lit(0), size(col("ws")) - k),
           i => concat_ws("_", slice(col("ws"), i + 1, lit(k)))))
         .as(Seq("gpos", "gram")))
-    val dupGrams = grams.groupBy("gram")
-      .agg(count(lit(1)).as("cnt"))
+    // Per-gram occurrence count as a WINDOW over the exploded table:
+    // the k-gram explode — the dominant cost at scale — runs ONCE and
+    // shuffles ONCE. (The former groupBy + self-join referenced the
+    // explode subtree twice, so the corpus was tokenized and exploded
+    // twice per call; recomputing a k×-corpus map stage costs more at
+    // 100 TB than the residual skew advantage of an AQE-splittable
+    // join.) Hub grams land in one spillable window group
+    // (ExternalAppendOnlyUnsafeRowArray) — bounded buffering over
+    // (id, gpos, gram) rows, never pair explosion.
+    val hits = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .filter(col("cnt") > 1)
-      .select("gram")
-    val hits = grams.join(dupGrams, "gram").select(col("id"), col("gpos"))
+      .select(col("id"), col("gpos"))
     // island merge: a gram starts a new span iff its interval begins
     // after every previous interval's end (running max of gpos+k)
     val byPos = Window.partitionBy(col("id")).orderBy(col("gpos"))
@@ -418,8 +426,17 @@ object Dedup {
     * span (per [[duplicateSpans]] semantics) and reassemble the
     * remainder; docs that were entirely duplicated text drop out. */
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                          k: Int = 8): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, k)
+                          k: Int = 8): DataFrame =
+    stripDuplicateSpans(df, idCol, textCol,
+      duplicateSpans(df, idCol, textCol, k))
+
+  /** Overload taking precomputed spans (the output of
+    * [[duplicateSpans]]) so a pipeline that already detected spans —
+    * e.g. to report them AND clean them — runs the gram scan once
+    * instead of re-deriving the whole span computation. */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          spansDf: DataFrame): DataFrame = {
+    val spans = spansDf
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))

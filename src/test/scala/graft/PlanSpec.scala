@@ -133,13 +133,17 @@ class PlanSpec extends SparkSpec {
       "packing must be the codegen'd map-side expression")
   }
 
-  test("q_dup_spans: dup grams via equi-join + hash agg, no cartesian") {
+  test("q_dup_spans: the k-gram explode runs ONCE (window count, no self-join)") {
     val p = plan("q_dup_spans")
     assertNoCartesian(p, "q_dup_spans")
-    assert(p.contains("HashAggregate"), "gram counting should hash-aggregate")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"),
-      "dup-gram positions must come from an equi-join on the gram")
+    // tree nodes print as "Generate (n)"; the detail section repeats
+    // each as "(n) Generate" — count only the tree occurrences
+    val nGenerate = "Generate \\(\\d".r.findAllIn(p).length
+    assert(nGenerate == 1,
+      s"expected exactly one gram explode in the plan, found $nGenerate — " +
+        "a second Generate means the explode subtree is referenced twice")
+    assert(p.contains("Window"),
+      "per-gram counts should come from a window over the single explode")
   }
 
   test("q_mixture_sample / q_context_windows: map-side explode, tiny broadcasts only") {
