@@ -500,7 +500,7 @@ object Queries {
           Tables.orders(s, dir), col("o_orderkey"), 0.10)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 1000""".stripMargin)
+             |WHERE CAST(('0x' || substr(md5('hs_' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 1000""".stripMargin)
     )),
 
     "q_percentiles" -> ((
@@ -1868,7 +1868,7 @@ object Queries {
       },
       Some("""WITH t AS (SELECT doc_id,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) n_tok,
-             |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard
+             |  CAST('0x' || substr(md5('pack_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard
              |  FROM documents),
              |c AS (SELECT doc_id, shard, n_tok,
              |  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
@@ -2015,7 +2015,7 @@ object Queries {
              |m AS (SELECT min(n) nmin FROM c),
              |r AS (SELECT source, sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) rate FROM c, m)
              |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
-             |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS DOUBLE)
+             |WHERE CAST(CAST('0x' || substr(md5('temp_' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS DOUBLE)
              |  < rate * 10000.0""".stripMargin)
     )),
 
@@ -2029,7 +2029,7 @@ object Queries {
           Seq("source"), col("doc_id"), perStratum = 20),
       Some("""WITH r AS (SELECT doc_id, source,
              |  row_number() OVER (PARTITION BY source
-             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) rn
+             |    ORDER BY md5('strat_' || CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) rn
              |  FROM documents)
              |SELECT doc_id, source FROM r WHERE rn <= 20""".stripMargin)
     )),
@@ -2274,7 +2274,7 @@ object Queries {
           Tables.documents(s, dir).select(col("doc_id")), col("doc_id"))
           .select(col("doc_id"), col("shuffle_pos")),
       Some("""SELECT doc_id, row_number() OVER (
-             |  ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+             |  ORDER BY md5('shuf_' || CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
              |) AS shuffle_pos FROM documents""".stripMargin)
     )),
 
@@ -2341,10 +2341,10 @@ object Queries {
           "source", col("doc_id"), col("n_chars"), perGroup = 15),
       Some("""WITH r AS (SELECT doc_id, source, n_chars,
              |  row_number() OVER (PARTITION BY source
-             |    ORDER BY CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+             |    ORDER BY CAST(CAST('0x' || substr(md5('wt_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
              |               / CAST(n_chars AS DOUBLE),
              |             CAST(doc_id AS VARCHAR)) rn
-             |  FROM documents)
+             |  FROM documents WHERE n_chars > 0)
              |SELECT doc_id, source, n_chars FROM r WHERE rn <= 15""".stripMargin)
     )),
 
@@ -2371,7 +2371,7 @@ object Queries {
              |  FROM c, t),
              |r AS (SELECT d.doc_id, d.source,
              |  CAST(floor(w.w) AS BIGINT) +
-             |  CASE WHEN CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+             |  CASE WHEN CAST(CAST('0x' || substr(md5('mix_' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
              |         / 4294967296.0 < w.w - floor(w.w)
              |       THEN 1 ELSE 0 END AS reps
              |  FROM documents d JOIN w USING (source))
@@ -2392,7 +2392,7 @@ object Queries {
       },
       Some("""WITH t AS (SELECT doc_id,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) n_tok,
-             |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard
+             |  CAST('0x' || substr(md5('pack_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard
              |  FROM documents),
              |c AS (SELECT doc_id, shard, n_tok,
              |  CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id

@@ -79,9 +79,10 @@ object Graph {
         ranks = next
       }
     }
-    // edge/node blocks (eIds/nodeIds) stay persisted: the returned lazy
-    // plan reads them on every downstream action — the harness sweep
-    // (or the caller, once done) frees them
+    // the edge/node checkpoint blocks stay persisted (their ids are
+    // deliberately discarded above): the returned lazy plan reads them
+    // on every downstream action — the harness sweep (or the caller,
+    // once done) frees them
     ranks.select(col("id"), col("r").as("rank_fp"))
   }
 }

@@ -26,9 +26,9 @@ object Packing {
     * reproduces the strictly-sequential global packing. */
   def packBins(df: DataFrame, idCol: String, tokenCol: String,
                budget: Long, shards: Int = 64): DataFrame = {
-    val shard = pmod(
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(shards.toLong))
+    // "pack_"-salted draw: composed pipelines must not see the same
+    // uniform as the sampling operators (see Sampling.hash32)
+    val shard = pmod(Sampling.hash32(col(idCol), "pack_"), lit(shards.toLong))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", shard)

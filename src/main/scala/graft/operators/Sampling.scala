@@ -16,14 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, 10000) from the key's md5. */
-  def hashBucket(key: Column): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(10000L))
+  /** Stable bucket in [0, 10000) from the key's md5. `salt` namespaces
+    * the bucket per operator — see [[hash32]] for why composed samplers
+    * must not share a draw. */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    pmod(hash32(key, salt), lit(10000L))
 
   /** Keep ~fraction of rows, deterministically by key. */
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
-    df.filter(hashBucket(key) < (fraction * 10000).toLong)
+    df.filter(hashBucket(key, "hs_") < (fraction * 10000).toLong)
 
   /** Disjoint deterministic train/test split by key: test gets
     * ~testFraction, train the rest. Same key always lands on the same
@@ -31,7 +32,8 @@ object Sampling {
   def trainTestSplit(df: DataFrame, key: Column,
                      testFraction: Double): (DataFrame, DataFrame) = {
     val cut = (testFraction * 10000).toLong
-    (df.filter(hashBucket(key) >= cut), df.filter(hashBucket(key) < cut))
+    (df.filter(hashBucket(key, "tts_") >= cut),
+      df.filter(hashBucket(key, "tts_") < cut))
   }
 
   /** Temperature resampling for source mixing: DOWN-sample each group
@@ -60,7 +62,7 @@ object Sampling {
           lit(1.0 - alpha))))
       .select(col(groupCol), col("__rate"))
     df.join(broadcast(rated), groupCol)
-      .filter(hashBucket(key).cast("double") < col("__rate") * 10000.0)
+      .filter(hashBucket(key, "temp_").cast("double") < col("__rate") * 10000.0)
       .drop("__rate")
   }
 
@@ -94,7 +96,7 @@ object Sampling {
                     numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val h = md5(key.cast("string"))
+    val h = md5(concat(lit("shuf_"), key.cast("string")))
     val sorted = df
       .withColumn("__h", h).withColumn("__t", key.cast("string"))
       .repartitionByRange(n, col("__h"), col("__t"))
@@ -137,7 +139,8 @@ object Sampling {
                  perStratum: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
-      .orderBy(md5(key.cast("string")), key.cast("string"))
+      .orderBy(md5(concat(lit("strat_"), key.cast("string"))),
+        key.cast("string"))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perStratum)
       .drop("__rn")
@@ -169,9 +172,18 @@ object Sampling {
 
   /** Raw md5-derived 32-bit hash of the key (uniform on [0, 2³²)) — the
     * integer "random" draw every deterministic sampler here is built
-    * from. */
-  def hash32(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    * from. `salt` namespaces the draw PER OPERATOR: without it, a
+    * pipeline composing several samplers would hand every stage the
+    * SAME uniform draw for a given key (e.g. a doc's mixture extra-copy
+    * indicator becoming a monotone function of its weighted-sample
+    * priority), biasing multi-stage sampling. Each operator passes its
+    * own salt ("wt_", "mix_", "pack_"), mirrored verbatim in the SQL
+    * oracles. */
+  def hash32(key: Column, salt: String = ""): Column = {
+    val k = if (salt.isEmpty) key.cast("string")
+      else concat(lit(salt), key.cast("string"))
+    conv(substring(md5(k), 1, 8), 16, 10).cast("long")
+  }
 
   /** Deterministic weighted sampling: `perGroup` rows per group, chosen
     * with probability (approximately) proportional to `weight`, without
@@ -183,6 +195,11 @@ object Sampling {
     * reproduces bitwise in any engine while `ln`/`pow` keys are at the
     * mercy of libm). Ties (identical priority) break on the key.
     *
+    * Rows with `weight <= 0` (or null) are EXCLUDED — they have no
+    * meaningful inclusion probability (weight 0 would yield priority
+    * Infinity/NaN, negative weights would always win), so they are
+    * filtered rather than silently producing nonsense.
+    *
     * Same scale shape as [[stratified]]: one shuffle on the group
     * column, per-stratum window rank; pre-filter hot groups with
     * [[hashSample]] to bound sorted volume at extreme scale. */
@@ -191,8 +208,9 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("__prio"), key.cast("string"))
-    df.withColumn("__prio",
-        hash32(key).cast("double") / weight.cast("double"))
+    df.filter(weight > 0)
+      .withColumn("__prio",
+        hash32(key, "wt_").cast("double") / weight.cast("double"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perGroup)
       .drop("__prio", "__rn")
@@ -213,13 +231,18 @@ object Sampling {
     * The weight table is one tiny broadcast; the repetition is
     * map-side `explode(sequence(...))` — no shuffle at all. The output
     * carries `copy` (1-based repetition index) so downstream global
-    * shuffling can separate the copies. */
+    * shuffling can separate the copies.
+    *
+    * NOTE: the weight join is INNER — rows whose group is absent from
+    * `weights` are dropped (an absent group has no defined mixture
+    * weight; pass weight 0 explicitly to drop a group on purpose, or
+    * 1.0 to pass it through unchanged). */
   def mixtureResample(df: DataFrame, groupCol: String, key: Column,
                       weights: DataFrame, weightCol: String = "weight",
                       maxRepeat: Int = 8): DataFrame = {
     val w = least(col(weightCol).cast("double"), lit(maxRepeat.toDouble))
     val reps = floor(w).cast("long") +
-      when(hash32(key).cast("double") / lit(4294967296.0) < (w - floor(w)),
+      when(hash32(key, "mix_").cast("double") / lit(4294967296.0) < (w - floor(w)),
         1L).otherwise(0L)
     df.join(broadcast(weights.select(col(groupCol), col(weightCol))), groupCol)
       .withColumn("__reps", reps)
