@@ -25,12 +25,23 @@ object Checkpoints {
 
   /** Eagerly localCheckpoint `df`, returning the checkpointed frame
     * plus the persistent-RDD ids backing it (pass to [[free]] once a
-    * newer generation supersedes it). */
+    * newer generation supersedes it).
+    *
+    * Attribution reads the checkpointed Dataset's OWN plan — its
+    * `LogicalRDD` wraps exactly the RDD `localCheckpoint` persisted —
+    * rather than diffing `getPersistentRDDs` before/after, which is
+    * only sound on a single-threaded driver: under concurrent jobs the
+    * diff could capture another operation's RDD ids, and [[free]] would
+    * then unpersist LIVE localCheckpoint blocks, which are
+    * non-recomputable (lineage truncated) and fail downstream jobs. */
   def eager(df: DataFrame): (DataFrame, Seq[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    val ids = (sc.getPersistentRDDs.keySet -- before).toSeq
+    val ids = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    require(ids.nonEmpty,
+      "localCheckpoint did not produce a LogicalRDD plan — " +
+        "checkpoint-block attribution would silently leak")
     (out, ids)
   }
 

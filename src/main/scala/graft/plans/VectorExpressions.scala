@@ -628,6 +628,12 @@ object SketchExpressions {
     val words = new Array[Long]((n + 31) / 32)
     var i = 0
     while (i < n) {
+      // a null slot would read as 0.0 and SET the sign bit, silently
+      // diverging from the oracle's CASE WHEN emb[i] >= 0 (NULL → bit
+      // clear) — malformed embeddings must fail loudly instead
+      if (emb.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"sign_pack: null element at index $i — embedding arrays must be non-null")
       val v = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
       if (v >= 0.0) words(i >> 5) |= (1L << (i & 31))
       i += 1
@@ -635,9 +641,15 @@ object SketchExpressions {
     new GenericArrayData(words.map(java.lang.Long.valueOf(_): Any))
   }
 
-  /** Σ popcount(aᵢ xor bᵢ) over packed sign words. */
+  /** Σ popcount(aᵢ xor bᵢ) over packed sign words. Signature widths
+    * must match — truncating to the shorter side would silently
+    * under-count distance between differently-packed vectors. */
   def computeHamming(a: ArrayData, b: ArrayData): Int = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"hamming_dist: signature widths differ ($n vs ${b.numElements()}) — " +
+          "both sides must be sign_pack'd from equal-dimension embeddings")
     var d = 0
     var i = 0
     while (i < n) { d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
@@ -647,6 +659,15 @@ object SketchExpressions {
   case class SignPack(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "sign_pack"
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sign_pack needs array<float|double>, got $other")
+      }
     private def isFloat: Boolean =
       child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
         .elementType == org.apache.spark.sql.types.FloatType
@@ -665,6 +686,16 @@ object SketchExpressions {
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = org.apache.spark.sql.types.IntegerType
     override def prettyName: String = "hamming_dist"
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(org.apache.spark.sql.types.LongType, _),
+              ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"hamming_dist needs two array<bigint> sign packs, got $l / $r")
+      }
 
     override protected def nullSafeEval(a: Any, b: Any): Any =
       computeHamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -195,6 +195,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(0xFFFFFFFEL, 1L))
   }
 
+  test("sign_pack fails loudly on null elements; hamming_dist on width mismatch") {
+    import spark.implicits._
+    // a null slot must NOT silently read as 0.0 (which would set the
+    // sign bit and diverge from the SQL oracle's NULL handling)
+    val nullEmb = Seq(Tuple1(Seq[java.lang.Float](1.0f, null, 2.0f))).toDF("e")
+    val exN = intercept[Exception] {
+      nullEmb.select(graft.plans.SketchExpressions.sign_pack(col("e"))).collect()
+    }
+    assert(exN.getMessage != null)
+    // differing signature widths must throw, not truncate to the shorter
+    val packs = Seq((Seq(1L), Seq(1L, 2L))).toDF("a", "b")
+    val exW = intercept[Exception] {
+      packs.select(graft.plans.SketchExpressions.hamming_dist(col("a"), col("b"))).collect()
+    }
+    assert(exW.getMessage != null)
+  }
+
   test("matryoshkaTopK with full-width coarse stage equals brute force") {
     // coarseDims = dims and m ≥ corpus ⇒ the funnel is exhaustive: the
     // two-stage machinery (heap candidates, rerank join) must reproduce
