@@ -38,26 +38,46 @@ object Bench {
       case None => Queries.all
       case Some(re) => Queries.all.filter { case (n, _) => re.findFirstIn(n).isDefined }
     }
+    // Best-of-N per query (default 3): a single-shot record is one host
+    // starvation burst away from being garbage — round 4's recorded run
+    // had 150× spikes on queries an independent probe reproduced at
+    // ~1 s. The MIN over N same-session runs is the least
+    // noise-sensitive point estimate of the code's cost (host bursts
+    // only ever ADD time); the median is recorded alongside as the
+    // honest typical-run number.
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3))
     val results = selected.map { case (name, (fn, _)) =>
-      metrics.label(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (1 to reps).map { r =>
+        val lbl = s"$name#$r"
+        metrics.label(lbl)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // listener callbacks are async: wait for this run's event before
+        // relabeling, or shuffle bytes get attributed to the next run.
+        // 30 s cap — the old 3 s silently misattributed under a starved
+        // host; if even 30 s is not enough, say so LOUDLY.
+        var tries = 0
+        while (ok && metrics.get(lbl).isEmpty && tries < 300) {
+          Thread.sleep(100); tries += 1
         }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // listener callbacks are async: wait for this query's event before
-      // relabeling, or shuffle bytes get attributed to the next query
-      var tries = 0
-      while (ok && metrics.get(name).isEmpty && tries < 30) {
-        Thread.sleep(100); tries += 1
+        if (ok && metrics.get(lbl).isEmpty)
+          System.err.println(s"[bench] WARN: no listener event for $lbl " +
+            "after 30 s — shuffle attribution for this query is unreliable")
+        // queries are independent: any RDD still persisted (checkpoint
+        // blocks from iterative operators) is leaked state that would
+        // squeeze later queries' execution memory over a 100+-query run
+        graft.core.Checkpoints.freeAllPersisted(spark)
+        elapsed
       }
-      // queries are independent: any RDD still persisted (checkpoint
-      // blocks from iterative operators) is leaked state that would
-      // squeeze later queries' execution memory over a 100+-query run
-      graft.core.Checkpoints.freeAllPersisted(spark)
-      name -> elapsed
+      val sorted = times.sorted
+      val shuffle = (1 to reps).flatMap(r => metrics.get(s"$name#$r")).headOption
+      (name, sorted.head, sorted(sorted.length / 2), times, shuffle)
     }
     val total = results.map(_._2).sum
 
@@ -66,22 +86,29 @@ object Bench {
     // stdout, so the printed line must stay compact. Printing every query at
     // full double precision (~4.5 KB for 85 queries) made the line truncate
     // mid-JSON and parse as null in rounds 2-3.
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // "queries" stays the flat per-query number (now the best-of-N min)
+    // for parser compatibility; medians and raw runs ride alongside.
+    val qsFull = results.map { case (k, mn, _, _, _) => "\"" + k + "\":" + f"$mn%.3f" }
       .mkString("{", ",", "}")
-    val shuffleMb = results.map { case (k, _) =>
-      val mb = metrics.get(k).map(_.shuffleBytes / 1e6).getOrElse(0.0)
+    val qsMed = results.map { case (k, _, md, _, _) => "\"" + k + "\":" + f"$md%.3f" }
+      .mkString("{", ",", "}")
+    val qsRuns = results.map { case (k, _, _, ts, _) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val shuffleMb = results.map { case (k, _, _, _, sh) =>
+      val mb = sh.map(_.shuffleBytes / 1e6).getOrElse(-1.0) // -1 = unattributed, loud
       "\"" + k + "\":" + f"$mb%.1f"
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"cpus":$cpus,"queries":$qsFull,"shuffle_mb":$shuffleMb,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"cpus":$cpus,"reps":$reps,"queries":$qsFull,"queries_median":$qsMed,"queries_runs":$qsRuns,"shuffle_mb":$shuffleMb,"sf":"$sfDir"}""")
 
     // Compact single line: suite total + the slowest 40 queries at 2 decimals
     // (~1.3 KB — fits the tail window with margin even as the suite grows).
     val top = results.sortBy(-_._2).take(40)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .map { case (k, mn, _, _, _) => "\"" + k + "\":" + f"$mn%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},"queries":$top,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},"reps":$reps,"queries":$top,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
