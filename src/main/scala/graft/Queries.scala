@@ -1143,6 +1143,29 @@ object Queries {
              |FROM w WHERE win = row(doc_id, pos) GROUP BY doc_id""".stripMargin)
     )),
 
+    // STREAMING under the hard gate: the first 400 documents are
+    // replayed through the real passageDedupStream (MemoryStream, one
+    // micro-batch per doc in ascending id order, state-store dedup on
+    // the passage hash) — arrival order equals (id, pos) order, so the
+    // streaming survivors must equal batch passage-dedup's global
+    // minimum winners, which IS the SQL oracle. The rest of the
+    // streaming surface is covered transitively by the differential
+    // specs; this row puts the stream path itself under DuckDB.
+    "q_stream_passage_dedup" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStreams.replayPassageDedup(
+          Tables.documents(s, dir), "doc_id", "text", k = 20, maxDocs = 400),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') ws
+             |          FROM documents WHERE doc_id < 400),
+             |i AS (SELECT doc_id, ws, unnest(range((len(ws) + 19) // 20)) pos FROM t),
+             |p AS (SELECT doc_id, pos,
+             |        array_to_string(ws[pos*20+1 : pos*20+20], ' ') passage FROM i),
+             |w AS (SELECT doc_id, pos, passage,
+             |        min(row(doc_id, pos)) OVER (PARTITION BY passage) win FROM p)
+             |SELECT doc_id, CAST(pos AS INTEGER) AS pos, passage
+             |FROM w WHERE win = row(doc_id, pos)""".stripMargin)
+    )),
+
     // Cross-document boilerplate removal (CCNet-family): a fixed
     // 10-token template block is prepended to every doc_id % 3 == 0
     // document — one k-aligned passage per planted doc, so the genuine

@@ -115,6 +115,62 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("h")
       .select(col("id").as("doc_id"), col("ts"), col("pos"), col("passage"))
 
+  /** Driver-gate replay harness for [[passageDedupStream]]: re-run a
+    * BOUNDED batch of documents through the real streaming operator —
+    * one micro-batch per document, in ascending id order — and return
+    * the surviving passages as a batch DataFrame. Because arrival order
+    * equals ascending (id, pos) order, the streaming first-arrival
+    * winner IS batch passage-dedup's global (id, pos)-minimum winner,
+    * so the result is SQL-oracle-checkable (the hard correctness gate's
+    * one direct streaming row; the differential specs cover the rest of
+    * the streaming surface).
+    *
+    * The driver-side collect is the REPLAY HARNESS, not the operator:
+    * production streams arrive from a source, and the operator's state
+    * stays watermark-bounded regardless (its 100 TB posture is argued
+    * at [[passageDedupStream]]). `maxDocs` bounds the replay so the
+    * gate's cost does not grow with the fixture SF. */
+  def replayPassageDedup(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 20, maxDocs: Int = 400): DataFrame = {
+    val spark = docs.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .filter(col(idCol) < maxDocs)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String)]
+    val sinkName = "graft_replay_passage_dedup"
+    spark.catalog.dropTempView(sinkName)
+    // a handful of state partitions: replay state is tiny, and each
+    // micro-batch otherwise schedules numShufflePartitions state-store
+    // tasks (the dominant replay cost); restored after the stream stops
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = passageDedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      k = k, watermarkDelay = "365 days")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    // Chunked micro-batches, 32 docs per addData call: ONE insertion-
+    // ordered input partition per micro-batch, so same-key rows reach
+    // the state store in ascending (id, pos) order (a single map task
+    // writes the shuffle block in row order and a reducer reads it
+    // sequentially) — first-arrival dedup therefore picks exactly the
+    // batch operator's global minimum winner, deterministically.
+    try rows.grouped(32).foreach { chunk =>
+      input.addData(chunk.map { case (id, text) =>
+        (id, new Timestamp(base + id * 1000L), text) })
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(sinkName).select(col("doc_id"), col("pos"), col("passage"))
+  }
+
   final case class DocBand(doc_id: Long, band: Int, bh: Long, ts: Timestamp)
   final case class DupCandidate(doc_id: Long, prior_doc_id: Long, band: Int)
 
