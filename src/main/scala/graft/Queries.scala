@@ -2402,6 +2402,72 @@ object Queries {
              |FROM r WHERE reps >= 1""".stripMargin)
     )),
 
+    // DSIR-style importance weights (Xie et al. 2023), linearized for
+    // engine-exact arithmetic: target = English docs, model = hashed
+    // unigram buckets, importance = (Σc·t)·R / ((Σc·r)·T) — every term
+    // an exact int64 (the bucket totals are ONE bounded aggregation
+    // re-embedded as literals), one final IEEE division. The corpus
+    // scoring pass is pure map-side codegen, zero shuffle.
+    "q_dsir_importance" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Importance.hashedImportance(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+          "doc_id", "text", col("lang") === "en", dim = 16)
+          .select(col("doc_id"), col("imp_num"), col("imp_den"), col("importance")),
+      Some("""WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) tok FROM documents),
+             |b AS (SELECT doc_id, lang,
+             |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS bk FROM t),
+             |c AS (SELECT doc_id, bk, count(*) c FROM b GROUP BY 1, 2),
+             |w AS (SELECT g.i AS bk,
+             |  1 + COALESCE(sum(CASE WHEN b.lang = 'en' THEN 1 ELSE 0 END), 0) AS tb,
+             |  1 + COALESCE(count(b.bk), 0) AS rb
+             |  FROM (SELECT unnest(range(16)) i) g LEFT JOIN b ON b.bk = g.i GROUP BY 1),
+             |tot AS (SELECT sum(tb) tt, sum(rb) rt FROM w),
+             |s AS (SELECT c.doc_id, sum(c.c * w.tb) num0, sum(c.c * w.rb) den0
+             |      FROM c JOIN w ON w.bk = c.bk GROUP BY 1)
+             |SELECT s.doc_id,
+             |  CAST(num0 * rt AS BIGINT) AS imp_num,
+             |  CAST(den0 * tt AS BIGINT) AS imp_den,
+             |  CASE WHEN den0 * tt = 0 THEN 1.0
+             |       ELSE CAST(num0 * rt AS DOUBLE) / CAST(den0 * tt AS DOUBLE)
+             |  END AS importance
+             |FROM s, tot""".stripMargin)
+    )),
+
+    // The DSIR selection step: 300 docs drawn with probability
+    // proportional to importance (without replacement) via the salted
+    // single-division priority scheme — the full select-then-resample
+    // pipeline under one oracle.
+    "q_dsir_resample" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Importance.resampleByImportance(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+          "doc_id", "text", col("lang") === "en", keep = 300)
+          .select(col("doc_id"), col("lang"), col("importance")),
+      Some("""WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) tok FROM documents),
+             |b AS (SELECT doc_id, lang,
+             |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS bk FROM t),
+             |c AS (SELECT doc_id, bk, count(*) c FROM b GROUP BY 1, 2),
+             |w AS (SELECT g.i AS bk,
+             |  1 + COALESCE(sum(CASE WHEN b.lang = 'en' THEN 1 ELSE 0 END), 0) AS tb,
+             |  1 + COALESCE(count(b.bk), 0) AS rb
+             |  FROM (SELECT unnest(range(16)) i) g LEFT JOIN b ON b.bk = g.i GROUP BY 1),
+             |tot AS (SELECT sum(tb) tt, sum(rb) rt FROM w),
+             |s AS (SELECT c.doc_id, sum(c.c * w.tb) num0, sum(c.c * w.rb) den0
+             |      FROM c JOIN w ON w.bk = c.bk GROUP BY 1),
+             |j AS (SELECT d.doc_id, d.lang,
+             |  CASE WHEN den0 * tt = 0 THEN 1.0
+             |       ELSE CAST(num0 * rt AS DOUBLE) / CAST(den0 * tt AS DOUBLE)
+             |  END AS importance
+             |  FROM documents d JOIN s ON s.doc_id = d.doc_id, tot),
+             |r AS (SELECT doc_id, lang, importance,
+             |  row_number() OVER (ORDER BY
+             |    CAST(CAST('0x' || substr(md5('wt_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+             |      / importance,
+             |    CAST(doc_id AS VARCHAR)) rn FROM j)
+             |SELECT doc_id, lang, importance FROM r WHERE rn <= 300""".stripMargin)
+    )),
+
     // Concatenate-then-chunk materialized: per fixed-128-token training
     // window, the document segments that fill it (straddlers split
     // across windows) — pure integer arithmetic over the packing

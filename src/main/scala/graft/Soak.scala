@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale soak: the dedup/ANN/curation subset at ~10× sf0.1 volume
+  * (50k documents / 50k embeddings), exercising the skew guards —
+  * `maxBucketSize`, rarity-ordered prefixes, AQE skew splitting —
+  * under real memory pressure instead of by plan shape alone.
+  *
+  * The 10× corpus is synthetic replication of the sf0.1 fixture with
+  * deterministic perturbation chosen to be ADVERSARIAL for dedup: every
+  * document gains 9 copies (two thirds exact, one third near-dup with a
+  * marker suffix), so every LSH bucket holds a ~10-doc cluster and the
+  * cluster graph has ~5k components of size ~10 — the "mega-cluster"
+  * regime the guards exist for, at a volume where recall shortcuts or
+  * quadratic blowups become visible as wall time, shuffle and spill.
+  * Embeddings likewise gain 9 near-copies (one coordinate nudged per
+  * copy), stressing ANN bucket collision handling.
+  *
+  * `runMain graft.Soak [sfDir] [workDir]` — generates the corpus into
+  * workDir once (reused on re-run), executes each operator through the
+  * noop sink, and prints one summary line per operator plus a final
+  * JSON line: wall seconds, shuffle MB, spill MB, output rows. Results
+  * are recorded in BASELINE.md's SOAK section.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_soak"
+    val spark = core.Session.local("graft-soak")
+    val docsPath = s"$workDir/documents10x.parquet"
+    val embPath = s"$workDir/embeddings10x.parquet"
+
+    if (!new java.io.File(docsPath).exists()) {
+      val docs = core.Tables.documents(spark, sfDir)
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      docs.crossJoin(spark.range(10).toDF("copy"))
+        .select(
+          (col("doc_id") + col("copy") * n).as("doc_id"),
+          col("source"),
+          when(col("copy") === 0 ||
+              pmod(col("doc_id") + col("copy"), lit(3)) =!= 0, col("text"))
+            .otherwise(concat(col("text"), lit(" soakmarker"), col("copy")))
+            .as("text"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    if (!new java.io.File(embPath).exists()) {
+      val emb = core.Tables.embeddings(spark, sfDir)
+      val n = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      emb.crossJoin(spark.range(10).toDF("copy"))
+        .select(
+          (col("vec_id") + col("copy") * n).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === pmod(col("copy"), lit(64)).cast("int"),
+              x + col("copy").cast("float") * lit(0.001f))
+              .otherwise(x)).as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(embPath)
+    }
+
+    val docs10 = spark.read.parquet(docsPath)
+    val emb10 = spark.read.parquet(embPath)
+    val nDocs = docs10.count()
+    println(s"[soak] corpus: $nDocs docs, ${emb10.count()} embeddings")
+
+    val metrics = new core.MetricsListener
+    spark.listenerManager.register(metrics)
+
+    def run(name: String)(df: => DataFrame): (String, Double, Double, Double) = {
+      metrics.label(name)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      var tries = 0
+      while (metrics.get(name).isEmpty && tries < 300) { Thread.sleep(100); tries += 1 }
+      val m = metrics.get(name)
+      val (shuf, spill) = m.map(q => (q.shuffleBytes / 1e6, q.spillBytes / 1e6))
+        .getOrElse((-1.0, -1.0))
+      core.Checkpoints.freeAllPersisted(spark)
+      println(f"[soak] $name%-28s ${wall}%8.2f s  shuffle ${shuf}%10.1f MB  spill ${spill}%10.1f MB")
+      (name, wall, shuf, spill)
+    }
+
+    import operators._
+    val results = Seq(
+      run("exact_dedup") {
+        Dedup.exact(docs10, "doc_id", Seq("text"))
+      },
+      run("minhash_lsh_capped") {
+        // maxBucketSize ENGAGED (vs the oracle-exact uncapped default):
+        // with ~10-doc clusters in every bucket, the cap must bound the
+        // self-join without collapsing recall through the other bands
+        Dedup.lshCandidates(
+          Dedup.minhashSignatures(docs10, "doc_id", "text", 128, 3),
+          bands = 32, rowsPerBand = 4, maxBucketSize = 64)
+      },
+      run("minhash_dedup_verified") {
+        Dedup.minhashDedup(docs10, "doc_id", "text", threshold = 0.8)
+      },
+      run("duplicate_clusters") {
+        Dedup.duplicateClusters(
+          Dedup.minhashDedup(docs10, "doc_id", "text", threshold = 0.8))
+      },
+      run("ngram_jaccard_pairs") {
+        Dedup.jaccardPairs(docs10, "doc_id", "text", threshold = 0.8)
+      },
+      run("passage_dedup") {
+        Dedup.passageDedup(docs10, "doc_id", "text", k = 20)
+      },
+      run("dup_spans_strip") {
+        Dedup.stripDuplicateSpans(docs10, "doc_id", "text", k = 8)
+      },
+      run("ann_lsh_topk") {
+        Similarity.lshTopK(emb10, emb10.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, dims = 64)
+      },
+      run("ann_hamming_topk") {
+        Similarity.hammingTopK(emb10, emb10.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+      },
+      run("curation_run") {
+        Curation.run(docs10, "doc_id", "text",
+          Curation.Config(nearDupThreshold = Some(0.8),
+            dupSpanTokens = Some(8)))
+      })
+
+    val total = results.map(_._2).sum
+    val line = results.map { case (n, w, sh, sp) =>
+      "\"" + n + "\":{\"sec\":" + f"$w%.2f" +
+        ",\"shuffle_mb\":" + f"$sh%.1f" + ",\"spill_mb\":" + f"$sp%.1f" + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"soak_total","value":${f"$total%.2f"},"unit":"sec","ops":$line,"docs":$nDocs,"sf10x":"$sfDir"}""")
+    spark.stop()
+  }
+}

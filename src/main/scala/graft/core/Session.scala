@@ -27,6 +27,16 @@ object Session {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalesces post-shuffle partitions by SIZE; its parallelism
+      // floor is minPartitionSize (1 MB default), so a CPU-heavy stage
+      // whose rows are compact — candidate-pair joins feeding per-pair
+      // set merge-walks, pointer-jumping iterations — collapses to 1-3
+      // tasks and runs the merge CPU single-threaded (measured 30-100×
+      // on the 10× soak: verify 192 s on 3 MB of pairs). 64 KB keeps
+      // such stages at full parallelism while still coalescing truly
+      // empty partitions; byte-heavy stages are unaffected (they hit
+      // the advisory size first).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       // static (plan-time) conf for the TIMESTAMP(NANOS) events table —
       // set once here, never mutated by loaders (see Tables.events)

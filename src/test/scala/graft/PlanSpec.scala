@@ -146,6 +146,18 @@ class PlanSpec extends SparkSpec {
       "per-gram counts should come from a window over the single explode")
   }
 
+  test("q_dsir_importance: scoring is a zero-exchange map pass over the scan") {
+    // the bucket-total model is collected as bounded driver state at
+    // construction and re-embedded as literals, so the SCORING plan must
+    // be scan -> project with no shuffle and no broadcast at all
+    val p = plan("q_dsir_importance")
+    assertNoCartesian(p, "q_dsir_importance")
+    assert(exchanges(p) == 0,
+      s"importance scoring must not shuffle — literal weights only:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      "model state should be literals, not a broadcast")
+  }
+
   test("q_mixture_sample / q_context_windows: map-side explode, tiny broadcasts only") {
     val pm = plan("q_mixture_sample")
     assertNoCartesian(pm, "q_mixture_sample")
