@@ -176,7 +176,8 @@ class PropertiesSpec extends SparkSpec {
         .select("k", "shuffle_pos").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = df.withColumn("p", row_number().over(
-          Window.orderBy(md5(col("k").cast("string")), col("k").cast("string")))
+          Window.orderBy(md5(concat(lit("shuf_"), col("k").cast("string"))),
+            col("k").cast("string")))
           .cast("long"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want)
