@@ -84,17 +84,20 @@ object Importance {
   /** The selection step: deterministic importance resampling — keep
     * `keep` documents drawn with probability proportional to
     * importance, without replacement, via the salted single-division
-    * priority scheme ([[Sampling.weightedSample]]; priority =
-    * hash32/weight, smallest win). One global window over a constant
-    * group: at extreme scale pre-gate with a cheap importance floor
-    * (e.g. importance > 0.5) so the sorted volume is the candidate
-    * pool, not the corpus. */
+    * priority scheme ([[Sampling.weightedTopK]]; priority =
+    * hash32/weight, smallest win). Global top-k, NOT a global window:
+    * TakeOrderedAndProject keeps a `keep`-row heap per partition and
+    * merges on the driver — the corpus (text included) never moves to
+    * a single task. */
   def resampleByImportance(df: DataFrame, idCol: String, textCol: String,
                            isTarget: Column, keep: Int,
                            dim: Int = 16, n: Int = 1): DataFrame = {
     val scored = hashedImportance(df, idCol, textCol, isTarget, dim, n)
-      .withColumn("__all", lit("all"))
-    Sampling.weightedSample(scored, "__all", col(idCol),
-      col("importance"), keep).drop("__all")
+    // importance > 0 by construction: Laplace smoothing keeps every
+    // bucket total >= 1, so any doc with a token has imp_num > 0, and
+    // the featureless fallback is exactly 1.0 — skipping the guard
+    // stops Catalyst inlining the featurizer 34x into a pushed filter.
+    Sampling.weightedTopK(scored, col(idCol), col("importance"), keep,
+      weightProvablyPositive = true)
   }
 }

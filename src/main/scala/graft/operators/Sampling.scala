@@ -216,6 +216,41 @@ object Sampling {
       .drop("__prio", "__rn")
   }
 
+  /** UNGROUPED weighted sampling: the `k` globally-smallest priorities
+    * (same `wt_`-salted priority = hash32/weight and same key
+    * tie-break as [[weightedSample]], so the selected SET is identical
+    * to `weightedSample(df, <constant group>, …)`), but formulated as
+    * `orderBy(priority).limit(k)` — Spark plans that as
+    * TakeOrderedAndProject: a bounded k-row heap per partition merged
+    * on the driver, ZERO shuffle, no single-partition global window.
+    * The window formulation moves the whole corpus (text columns
+    * included) through one task; this one moves k rows per partition.
+    * Use this whenever the sample is corpus-global (DSIR selection,
+    * budgeted pools); use [[weightedSample]] when a per-group quota is
+    * the point.
+    *
+    * `weightProvablyPositive`: Catalyst pushes the `weight > 0` guard
+    * below the projection that computes `weight` and INLINES the full
+    * expression into the filter condition — if the weight is an
+    * expensive derived column (DSIR importance evaluates its
+    * hashed-ngram featurizer 34× per row inside the pushed-down
+    * predicate), the guard can dominate the query. A caller that can
+    * prove positivity by construction (e.g. Laplace-smoothed
+    * likelihood ratios are > 0 whenever any feature fires, and the
+    * featureless fallback is 1.0) sets this to skip the guard; the
+    * default keeps it, because weight ≤ 0 silently corrupts the
+    * priority order. */
+  def weightedTopK(df: DataFrame, key: Column, weight: Column,
+                   k: Int, weightProvablyPositive: Boolean = false): DataFrame = {
+    val pool = if (weightProvablyPositive) df else df.filter(weight > 0)
+    pool
+      .withColumn("__prio",
+        hash32(key, "wt_").cast("double") / weight.cast("double"))
+      .orderBy(col("__prio"), key.cast("string"))
+      .limit(k)
+      .drop("__prio")
+  }
+
   /** Deterministic mixture resampling by REPETITION: each row is
     * emitted `⌊w⌋ + [u < frac(w)]` times, where `w` is its group's
     * resampling weight and `u = hash32(key)/2³²` — i.e. groups with
