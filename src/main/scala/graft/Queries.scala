@@ -2636,6 +2636,138 @@ object Queries {
              |FROM tf JOIN dfreq USING (t) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
              |GROUP BY tf.doc_id""".stripMargin)
     )),
+
+    // Corpus snapshot diff: yesterday's corpus vs today's, emitting only
+    // the churn an incremental pipeline consumes (re-embed `changed`,
+    // dedup-check `added`, tombstone `removed`). Both snapshots are
+    // deterministic slices of the documents fixture — old drops
+    // doc_id%7==0, new drops %5==0 and rewrites %11==0 — so the oracle
+    // replays them exactly; rows are compared as one md5 over
+    // (text, source) regardless of content width.
+    "q_corpus_delta" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 0, upper(col("text")))
+              .otherwise(col("text")))
+        operators.Delta.churn(oldSnap, newSnap, "doc_id", Seq("text", "source"))
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(text || chr(1) || source) AS old_hash
+             |          FROM documents WHERE doc_id % 7 <> 0),
+             |n AS (SELECT doc_id,
+             |  md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END
+             |      || chr(1) || source) AS new_hash
+             |      FROM documents WHERE doc_id % 5 <> 0),
+             |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             |  CASE WHEN o.doc_id IS NULL THEN 'added'
+             |       WHEN n.doc_id IS NULL THEN 'removed'
+             |       WHEN old_hash = new_hash THEN 'unchanged'
+             |       ELSE 'changed' END AS status,
+             |  old_hash, new_hash
+             |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+             |SELECT doc_id, status, old_hash, new_hash FROM j
+             |WHERE status <> 'unchanged'""".stripMargin)
+    )),
+
+    // k-anonymity release gate: customers whose (nation, market
+    // segment) combination is shared by fewer than k=10 rows get both
+    // quasi-identifiers suppressed to NULL; `qi_group_n` keeps the
+    // original group size for the release audit.
+    "q_k_anonymize" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Privacy.kAnonymize(
+          Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+          Seq("c_nationkey", "c_mktsegment"), k = 10),
+      Some("""WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+             |  count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS qi_group_n
+             |  FROM customer)
+             |SELECT c_custkey,
+             |  CASE WHEN qi_group_n < 10 THEN NULL ELSE c_nationkey END AS c_nationkey,
+             |  CASE WHEN qi_group_n < 10 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+             |  qi_group_n
+             |FROM c""".stripMargin)
+    )),
+
+    // Per-domain frequency cap (RefinedWeb-style): at most 15 docs per
+    // source, survivors chosen by the cap_-salted md5 order so the cap
+    // composes independently of every other sampling stage.
+    "q_domain_cap" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Sampling.domainCap(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "source", col("doc_id"), cap = 15),
+      Some("""WITH r AS (SELECT doc_id, source,
+             |  row_number() OVER (PARTITION BY source
+             |    ORDER BY md5('cap_' || CAST(doc_id AS VARCHAR)),
+             |             CAST(doc_id AS VARCHAR)) AS rn
+             |  FROM documents)
+             |SELECT doc_id, source FROM r WHERE rn <= 15""".stripMargin)
+    )),
+
+    // Token-budgeted mixture: each source contributes documents in
+    // tb_-salted md5 order until its running token total crosses 600 —
+    // the "N tokens of web, M of code" recipe, materialized.
+    "q_token_budget" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Sampling.tokenBudget(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"),
+              TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "source", col("doc_id"), col("n_tokens"), budget = 600L),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |r AS (SELECT doc_id, source, n_tokens,
+             |  COALESCE(sum(n_tokens) OVER (PARTITION BY source
+             |    ORDER BY md5('tb_' || CAST(doc_id AS VARCHAR)),
+             |             CAST(doc_id AS VARCHAR)
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+             |  FROM t)
+             |SELECT doc_id, source, n_tokens FROM r
+             |WHERE tok_before < 600""".stripMargin)
+    )),
+
+    // Curriculum schedule: quality-tier phases (high first), shuffled
+    // within each phase, emitted as one global training position — via
+    // the range-partitioned rank machinery, never a one-task window.
+    "q_curriculum" -> ((
+      (s: SparkSession, dir: String) => {
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("score"))
+          .withColumn("phase",
+            when(col("score") >= 0.55, 0)
+              .when(col("score") >= 0.45, 1).otherwise(2))
+        operators.Sampling.curriculumOrder(scored, col("phase"), col("doc_id"))
+          .select(col("doc_id"), col("phase"), col("curriculum_pos"))
+      },
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH c AS (SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           |  CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS BIGINT) AS nstop,
+           |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nalpha,
+           |  CAST(length(text) AS BIGINT) AS nchars
+           |FROM documents),
+           |s AS (SELECT doc_id,
+           |  CAST(4 * least(ntok, 100) * ntok * nchars + 300 * nstop * nchars
+           |       + 300 * nalpha * ntok AS DOUBLE)
+           |  / CAST(1000 * ntok * nchars AS DOUBLE) AS score
+           |FROM c),
+           |p AS (SELECT doc_id,
+           |  CASE WHEN score >= 0.55 THEN 0
+           |       WHEN score >= 0.45 THEN 1 ELSE 2 END AS phase
+           |FROM s)
+           |SELECT doc_id, phase,
+           |  row_number() OVER (ORDER BY phase,
+           |    md5('cur_' || CAST(doc_id AS VARCHAR)),
+           |    CAST(doc_id AS VARCHAR)) AS curriculum_pos
+           |FROM p""".stripMargin
+      }
+    )),
   )
 
   val queries: Map[String, QueryFn] = all.map { case (n, (f, _)) => n -> f }.toMap

@@ -75,7 +75,7 @@ object Sampling {
     * Scale shape — the naive formulation is
     * `row_number() OVER (ORDER BY md5(key))`, an empty-frame window
     * that Spark executes on a SINGLE partition (the whole corpus
-    * through one task). Here instead:
+    * through one task). Here instead ([[orderedPositions]]):
     *   1. range-repartition + sort within partitions on the hash key
     *      (the boundaries come from Spark's reservoir sample; ANY
     *      boundaries give the same global order since partitions are
@@ -94,13 +94,48 @@ object Sampling {
     * `ORDER BY` write. */
   def globalShuffle(df: DataFrame, key: Column,
                     numPartitions: Int = 0): DataFrame = {
+    val h = md5(concat(lit("shuf_"), key.cast("string")))
+    orderedPositions(df, Seq(h, key.cast("string")), "shuffle_pos",
+      numPartitions)
+  }
+
+  /** Deterministic curriculum ordering: a global training position
+    * `curriculum_pos` that walks the phase column in ascending order
+    * (phase 0 first — e.g. highest-quality docs, or shortest
+    * sequences) and SHUFFLES within each phase by the `cur_`-salted
+    * md5 of the key — the "easy-first, random within difficulty tier"
+    * schedule curriculum training consumes (Bengio et al. 2009),
+    * reproducible on any engine or cluster size.
+    *
+    * Same machinery as [[globalShuffle]] ([[orderedPositions]] on
+    * (phase, hash, key)), so the phase column never becomes a window
+    * PARTITION: a 3-phase curriculum over a 100 TB corpus would
+    * otherwise sort through 3 tasks. */
+  def curriculumOrder(df: DataFrame, phase: Column, key: Column,
+                      numPartitions: Int = 0): DataFrame = {
+    val h = md5(concat(lit("cur_"), key.cast("string")))
+    orderedPositions(df, Seq(phase, h, key.cast("string")),
+      "curriculum_pos", numPartitions)
+  }
+
+  /** Shared kernel of [[globalShuffle]] / [[curriculumOrder]]: assign
+    * each row its 1-based global rank under lexicographic `sortCols`
+    * order WITHOUT a single-partition global window (range exchange +
+    * per-partition offsets; see the [[globalShuffle]] scaladoc for the
+    * 4-step argument). `sortCols` must be a total order (append the
+    * key as the last column). */
+  private def orderedPositions(df: DataFrame, sortCols: Seq[Column],
+                               posName: String,
+                               numPartitions: Int): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val h = md5(concat(lit("shuf_"), key.cast("string")))
-    val sorted = df
-      .withColumn("__h", h).withColumn("__t", key.cast("string"))
-      .repartitionByRange(n, col("__h"), col("__t"))
-      .sortWithinPartitions(col("__h"), col("__t"))
+    val tagged = sortCols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      acc.withColumn(s"__s$i", c)
+    }
+    val sCols = sortCols.indices.map(i => col(s"__s$i"))
+    val sorted = tagged
+      .repartitionByRange(n, sCols: _*)
+      .sortWithinPartitions(sCols: _*)
       .localCheckpoint()
     val mask = (1L << 33) - 1
     val counts = sorted
@@ -121,8 +156,8 @@ object Sampling {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__li", monotonically_increasing_id().bitwiseAND(mask))
       .join(broadcast(offsetsDf), "__pid")
-      .withColumn("shuffle_pos", col("__off") + col("__li") + lit(1))
-      .drop("__h", "__t", "__pid", "__li", "__off")
+      .withColumn(posName, col("__off") + col("__li") + lit(1))
+      .drop(sortCols.indices.map(i => s"__s$i") :+ "__pid" :+ "__li" :+ "__off": _*)
   }
 
   /** Deterministic stratified sampling: exactly min(perStratum, |stratum|)
@@ -144,6 +179,56 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perStratum)
       .drop("__rn")
+  }
+
+  /** Per-domain frequency cap: at most `cap` rows per group, survivors
+    * chosen by the `cap_`-salted md5 order of the key — the
+    * over-represented-domain guard of web-corpus curation (RefinedWeb
+    * caps pages per registered domain so no single site dominates the
+    * mixture). Same mechanics as [[stratified]] but the SEMANTICS
+    * differ: strata are classes you balance a sample across; the cap
+    * is a ceiling applied to every domain, keeping small domains
+    * intact. One shuffle on the group column. At 100 TB a pathological
+    * domain (a crawler trap with 10⁹ pages) still window-sorts its
+    * whole group; pre-thin such groups with [[hashSample]] at a rate
+    * safely above cap/|domain| (from a first-pass count), then cap
+    * exactly — survivors are identical as long as the thinning keeps
+    * ≥ cap rows, because both orders are the same md5 order. */
+  def domainCap(df: DataFrame, groupCol: String, key: Column,
+                cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit("cap_"), key.cast("string"))),
+        key.cast("string"))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Per-group TOKEN budget: walk each group in `tb_`-salted md5 order
+    * and keep documents until the group's running token total reaches
+    * `budget` (the straddler that crosses the line is kept, so every
+    * group with enough material fills its budget). This is the
+    * mixture-construction primitive when the recipe is expressed in
+    * tokens — "20 B tokens of web, 5 B of code" — rather than document
+    * counts ([[domainCap]]) or proportions ([[temperatureResample]]).
+    *
+    * One shuffle on the group column; the window's running sum carries
+    * 8 bytes of state. The same hot-domain note as [[domainCap]]
+    * applies, with the thinning rate bounded via the domain's mean
+    * tokens/doc. */
+  def tokenBudget(df: DataFrame, groupCol: String, key: Column,
+                  tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit("tb_"), key.cast("string"))),
+        key.cast("string"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__before", coalesce(sum(tokens).over(w), lit(0L)))
+      .filter(col("__before") < budget)
+      .drop("__before")
   }
 
   /** Data-mixing weights: per-group size (in `unit`, e.g. a token

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Delta, Privacy}
+
+class DeltaPrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDelta: one row per key with the right status") {
+    val old = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "x"))
+      .toDF("k", "t", "s")
+    val neu = Seq((2L, "b", "x"), (3L, "C", "x"), (4L, "d", "x"))
+      .toDF("k", "t", "s")
+    val got = Delta.snapshotDelta(old, neu, "k", Seq("t", "s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDelta: content hash spans all columns, separator-safe") {
+    // ("ab", "c") vs ("a", "bc") concatenate identically without a
+    // separator — the U+0001 join must keep them distinct
+    val old = Seq((1L, "ab", "c")).toDF("k", "t", "s")
+    val neu = Seq((1L, "a", "bc")).toDF("k", "t", "s")
+    val got = Delta.snapshotDelta(old, neu, "k", Seq("t", "s"))
+      .select("status").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("changed"))
+  }
+
+  test("churn: drops unchanged rows only") {
+    val old = Seq((1L, "a"), (2L, "b")).toDF("k", "t")
+    val neu = Seq((1L, "a"), (2L, "B")).toDF("k", "t")
+    val got = Delta.churn(old, neu, "k", Seq("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed"))
+  }
+
+  test("kAnonymize: small QI groups suppressed to null, large kept, types preserved") {
+    val df = (1 to 10).map(i => (i.toLong, if (i <= 8) 7 else 9, "seg"))
+      .toDF("id", "nation", "seg")
+    val out = Privacy.kAnonymize(df, Seq("nation", "seg"), k = 3)
+    assert(out.schema("nation").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+    // group (7, seg) has 8 members -> kept; (9, seg) has 2 -> suppressed
+    assert(rows.filter(_._1 <= 8).forall(r =>
+      r._2.contains(7) && r._3.contains("seg") && r._4 == 8L))
+    assert(rows.filter(_._1 > 8).forall(r =>
+      r._2.isEmpty && r._3.isEmpty && r._4 == 2L))
+  }
+
+  test("kAnonymize: row count unchanged; audit flags exactly the sub-k groups") {
+    val df = (1 to 20).map(i => (i.toLong, i % 6)).toDF("id", "qi")
+    val out = Privacy.kAnonymize(df, Seq("qi"), k = 4)
+    assert(out.count() == 20)
+    val audit = Privacy.anonymityAudit(df, Seq("qi"), k = 4)
+      .collect().map(r => r.getInt(0) -> r.getBoolean(2)).toMap
+    // residues of 1..20 mod 6: qi 1,2 have 4 rows; qi 0,3,4,5 have 3
+    assert(audit(1) && audit(2) && !audit(0) && !audit(5))
+  }
+}

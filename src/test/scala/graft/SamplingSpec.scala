@@ -96,4 +96,69 @@ class SamplingSpec extends SparkSpec {
       .groupBy("k").count().collect().map(_.getLong(1))
     assert(capped.forall(_ == 3))
   }
+
+  test("weightedTopK: same selected set as weightedSample over one constant group") {
+    val df = (1L to 300L).map(k => ("all", k, k)).toDF("g", "k", "w")
+    val win = Sampling.weightedSample(df, "g", col("k"), col("w"), 25)
+      .collect().map(_.getLong(1)).toSet
+    val topk = Sampling.weightedTopK(df, col("k"), col("w"), 25)
+      .collect().map(_.getLong(1)).toSet
+    assert(topk == win && topk.size == 25)
+    // the provably-positive fast path selects the identical set
+    val fast = Sampling.weightedTopK(df, col("k"), col("w"), 25,
+      weightProvablyPositive = true)
+      .collect().map(_.getLong(1)).toSet
+    assert(fast == win)
+  }
+
+  test("domainCap: caps hot domains, leaves small ones whole, stable under repartition") {
+    val df = ((1L to 100L).map(k => ("hot", k)) ++ Seq(("cold", 200L), ("cold", 201L)))
+      .toDF("g", "k")
+    val out = Sampling.domainCap(df, "g", col("k"), cap = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.count(_._1 == "hot") == 10 && out.count(_._1 == "cold") == 2)
+    val again = Sampling.domainCap(df.repartition(7), "g", col("k"), cap = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("tokenBudget: running total fills the budget, straddler kept") {
+    // one group, every doc 10 tokens, budget 35 -> the kept docs are
+    // exactly the first 4 in tb_-salted hash order (30 before the 4th
+    // is < 35, 40 before the 5th is not)
+    val df = (1L to 50L).map(k => ("g", k, 10L)).toDF("g", "k", "toks")
+    val kept = Sampling.tokenBudget(df, "g", col("k"), col("toks"), budget = 35L)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept.size == 4)
+    val order = df.withColumn("h",
+        md5(concat(lit("tb_"), col("k").cast("string"))))
+      .orderBy(col("h"), col("k").cast("string"))
+      .collect().map(_.getLong(1)).take(4).toSet
+    assert(kept == order)
+    // a group with fewer tokens than the budget survives whole
+    val tiny = Sampling.tokenBudget(
+      Seq(("t", 1L, 5L), ("t", 2L, 5L)).toDF("g", "k", "toks"),
+      "g", col("k"), col("toks"), budget = 100L)
+    assert(tiny.count() == 2)
+  }
+
+  test("curriculumOrder: positions are a bijection walking phases in order, shuffled within") {
+    val df = (1L to 90L).map(k => (k, (k % 3).toInt)).toDF("k", "phase")
+    val got = Sampling.curriculumOrder(df, col("phase"), col("k"), numPartitions = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.map(_._3).sorted.toSeq == (1L to 90L), "bijection onto [1, N]")
+    // phase blocks are contiguous: every phase-0 position < every phase-1 < phase-2
+    val byPhase = got.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    assert(byPhase(0).max < byPhase(1).min && byPhase(1).max < byPhase(2).min)
+    // within a phase the order is the cur_-salted hash order, not key order
+    val phase0 = got.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(phase0.toSeq != phase0.sorted.toSeq, "within-phase order should be shuffled")
+    // matches the naive global-window formulation exactly
+    val want = df.withColumn("curriculum_pos",
+        row_number().over(Window.orderBy(col("phase"),
+          md5(concat(lit("cur_"), col("k").cast("string"))),
+          col("k").cast("string"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.map(t => t._1 -> t._3).toMap == want)
+  }
 }
