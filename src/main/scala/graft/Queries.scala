@@ -2768,6 +2768,68 @@ object Queries {
            |FROM p""".stripMargin
       }
     )),
+
+    // The mixture-construction composition end-to-end under ONE oracle:
+    // per-domain cap -> per-domain token budget -> curriculum schedule.
+    // Three sampling stages, three DIFFERENT salts (cap_, tb_, cur_) —
+    // the composed pipeline the per-operator salting exists for: each
+    // stage sees an independent uniform draw per doc.
+    "q_mixture_pipeline" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+        val capped = operators.Sampling.domainCap(d, "source", col("doc_id"), cap = 15)
+        val budgeted = operators.Sampling.tokenBudget(
+          capped.withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+          "source", col("doc_id"), col("n_tokens"), budget = 600L)
+        val phased = budgeted
+          .withColumn("score", TextAnalysis.qualityScore(col("text")))
+          .withColumn("phase",
+            when(col("score") >= 0.55, 0)
+              .when(col("score") >= 0.45, 1).otherwise(2))
+        operators.Sampling.curriculumOrder(phased, col("phase"), col("doc_id"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("phase"), col("curriculum_pos"))
+      },
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH capped AS (SELECT doc_id, source, text FROM (
+           |  SELECT doc_id, source, text,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY md5('cap_' || CAST(doc_id AS VARCHAR)),
+           |               CAST(doc_id AS VARCHAR)) AS rn
+           |  FROM documents) WHERE rn <= 15),
+           |tb AS (SELECT doc_id, source, text,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM capped),
+           |kept AS (SELECT doc_id, source, text, n_tokens FROM (
+           |  SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source
+           |    ORDER BY md5('tb_' || CAST(doc_id AS VARCHAR)),
+           |             CAST(doc_id AS VARCHAR)
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+           |  FROM tb) WHERE tok_before < 600),
+           |c AS (SELECT doc_id, source, n_tokens,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           |  CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS BIGINT) AS nstop,
+           |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nalpha,
+           |  CAST(length(text) AS BIGINT) AS nchars
+           |FROM kept),
+           |p AS (SELECT doc_id, source, n_tokens,
+           |  CASE WHEN CAST(4 * least(ntok, 100) * ntok * nchars + 300 * nstop * nchars
+           |            + 300 * nalpha * ntok AS DOUBLE)
+           |       / CAST(1000 * ntok * nchars AS DOUBLE) >= 0.55 THEN 0
+           |       WHEN CAST(4 * least(ntok, 100) * ntok * nchars + 300 * nstop * nchars
+           |            + 300 * nalpha * ntok AS DOUBLE)
+           |       / CAST(1000 * ntok * nchars AS DOUBLE) >= 0.45 THEN 1
+           |       ELSE 2 END AS phase
+           |FROM c)
+           |SELECT doc_id, source, n_tokens, phase,
+           |  row_number() OVER (ORDER BY phase,
+           |    md5('cur_' || CAST(doc_id AS VARCHAR)),
+           |    CAST(doc_id AS VARCHAR)) AS curriculum_pos
+           |FROM p""".stripMargin
+      }
+    )),
   )
 
   val queries: Map[String, QueryFn] = all.map { case (n, (f, _)) => n -> f }.toMap

@@ -189,4 +189,48 @@ class PlanSpec extends SparkSpec {
     val ps = plan("q_stratified_sample")
     assertNoCartesian(ps, "q_stratified_sample")
   }
+
+  test("q_dsir_resample: selection is TakeOrderedAndProject with zero exchange") {
+    val p = plan("q_dsir_resample")
+    assertNoCartesian(p, "q_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global weighted selection must plan as a bounded per-partition heap")
+    assert(exchanges(p) == 0,
+      s"DSIR selection should read the scan directly — no exchange:\n$p")
+    // the regression this pin exists for: the positivity guard must not
+    // re-inline the featurizer into a pushed-down Filter
+    assert(!"\\(\\d+\\) Filter".r.findFirstIn(p).isDefined ||
+      !"Filter[\\s\\S]{0,4000}?hashed_counts".r.findFirstIn(p).isDefined,
+      s"featurizer leaked into a pushed-down filter condition:\n${p.take(2000)}")
+  }
+
+  test("q_corpus_delta: one join, md5 payload only, no cartesian") {
+    val p = plan("q_corpus_delta")
+    assertNoCartesian(p, "q_corpus_delta")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "snapshot diff must be an equi-join")
+    // the md5 must be computed BELOW the exchange: no shuffled row may
+    // carry the full text column, only (key, 128-bit hash)
+    val shuffled = "\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffled.nonEmpty && shuffled.forall(!_.contains("text#")),
+      s"full text column travels through the diff exchange: $shuffled")
+  }
+
+  test("q_k_anonymize / q_domain_cap / q_token_budget: one shuffle each, no cartesian") {
+    for (q <- Seq("q_k_anonymize", "q_domain_cap", "q_token_budget")) {
+      val p = plan(q)
+      assertNoCartesian(p, q)
+      assert(p.contains("Window"), s"$q should be a window pass")
+      assert(exchanges(p) <= 1, s"$q exchange count grew:\n$p")
+    }
+  }
+
+  test("q_curriculum: phase is a sort prefix, never a window partition") {
+    val p = plan("q_curriculum")
+    assertNoCartesian(p, "q_curriculum")
+    assert(!p.contains("Window"),
+      "curriculum position must use the range-partitioned rank machinery, " +
+        "not a window (a phase-partitioned window would collapse to 3 tasks)")
+  }
 }
