@@ -206,6 +206,56 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** [[domainCap]] with the hot-domain pre-thinning ENGAGED — the
+    * 100 TB formulation. A crawler-trap domain with 10⁹ rows would
+    * make the plain cap window-sort the whole group; here a first
+    * aggregation counts each domain, and domains above
+    * `oversample · cap` rows are pre-thinned to rows whose `cap_`-hash
+    * PREFIX (the numeric value of the md5's first 8 hex chars) falls
+    * under `2³² · oversample · cap / n` before the exact window runs.
+    *
+    * Survivors are PROVABLY identical to [[domainCap]]'s: md5 hex
+    * strings of equal length compare lexicographically ⇔ numerically,
+    * so if any true winner (global `cap_`-order rank ≤ cap) were
+    * thinned away, every one of the ≥ cap retained rows would compare
+    * strictly smaller — contradiction. The only failure mode is the
+    * thinning keeping FEWER than cap rows (Binomial(n, oversample·cap/n)
+    * under-shooting — Chernoff-improbable at oversample 8), and that
+    * fails LOUDLY: the audit compares per-domain survivor counts
+    * against min(cap, n) and throws on any shortfall, at the cost of
+    * one extra aggregation over the (already capped, ≤ cap·G rows)
+    * output. Disable `audit` only after sizing `oversample` for the
+    * corpus. */
+  def domainCapThinned(df: DataFrame, groupCol: String, key: Column,
+                       cap: Int, oversample: Int = 8,
+                       audit: Boolean = true): DataFrame = {
+    require(cap > 0 && oversample >= 2, "need cap > 0 and oversample >= 2")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val target = oversample.toLong * cap
+    val thinned = df.join(broadcast(counts), Seq(groupCol))
+      .filter(col("__n") <= target ||
+        hash32(key, "cap_") < (lit(4294967296L) * lit(target)) / col("__n"))
+      .drop("__n")
+    val capped = domainCap(thinned, groupCol, key, cap)
+    if (!audit) capped
+    else {
+      val (ck, ids) = graft.core.Checkpoints.eager(capped)
+      val bad = counts.join(
+          ck.groupBy(col(groupCol)).agg(count(lit(1)).as("__got")),
+          Seq(groupCol), "left")
+        .filter(coalesce(col("__got"), lit(0L)) <
+          least(col("__n"), lit(cap.toLong)))
+        .limit(1).collect()
+      if (bad.nonEmpty) {
+        graft.core.Checkpoints.free(ck, ids)
+        throw new IllegalStateException(
+          s"domainCapThinned: thinning shortfall in group ${bad.head.get(0)} " +
+            s"— raise oversample (=$oversample)")
+      }
+      ck
+    }
+  }
+
   /** Per-group TOKEN budget: walk each group in `tb_`-salted md5 order
     * and keep documents until the group's running token total reaches
     * `budget` (the straddler that crosses the line is kept, so every

@@ -122,6 +122,22 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 
+  test("domainCapThinned: identical survivors to domainCap on a skewed corpus") {
+    // one crawler-trap domain at 5000 rows, two normal ones — the
+    // thinned path must select the EXACT same winners the plain window
+    // formulation does (prefix thresholding preserves md5 order)
+    val df = ((1L to 5000L).map(k => ("trap", k)) ++
+      (6000L to 6030L).map(k => ("a", k)) ++ Seq(("b", 7000L)))
+      .toDF("g", "k")
+    val plain = Sampling.domainCap(df, "g", col("k"), cap = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val thinned = Sampling.domainCapThinned(df, "g", col("k"), cap = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(thinned == plain)
+    assert(plain.count(_._1 == "trap") == 12 &&
+      plain.count(_._1 == "a") == 12 && plain.count(_._1 == "b") == 1)
+  }
+
   test("tokenBudget: running total fills the budget, straddler kept") {
     // one group, every doc 10 tokens, budget 35 -> the kept docs are
     // exactly the first 4 in tb_-salted hash order (30 before the 4th
