@@ -2691,6 +2691,37 @@ object Queries {
              |FROM c""".stripMargin)
     )),
 
+    // l-diversity release audit: a QI group passing k-anonymity can
+    // still leak if every member shares one sensitive value — per
+    // nation, how many distinct market segments appear and whether the
+    // diversity floor l=4 holds.
+    "q_l_diversity" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Privacy.lDiversityAudit(
+          Tables.customer(s, dir), Seq("c_nationkey"), "c_mktsegment", l = 4),
+      Some("""SELECT c_nationkey, count(*) AS n,
+             |count(DISTINCT c_mktsegment) AS n_sensitive,
+             |count(DISTINCT c_mktsegment) >= 4 AS meets_l
+             |FROM customer GROUP BY 1""".stripMargin)
+    )),
+
+    // The streaming form of the domain cap under the hard gate: replay
+    // a bounded slice through the REAL domainCapStream (one int of
+    // keyed state per domain) in cap_-hash arrival order, so the
+    // first-cap admissions are exactly the batch sampler's winners and
+    // the stream output is oracle-checkable.
+    "q_stream_domain_cap" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStreams.replayDomainCap(
+          Tables.documents(s, dir), "doc_id", "source", cap = 15),
+      Some("""WITH r AS (SELECT doc_id, source,
+             |  row_number() OVER (PARTITION BY source
+             |    ORDER BY md5('cap_' || CAST(doc_id AS VARCHAR)),
+             |             CAST(doc_id AS VARCHAR)) AS rn
+             |  FROM documents WHERE doc_id < 400)
+             |SELECT doc_id, source FROM r WHERE rn <= 15""".stripMargin)
+    )),
+
     // Per-domain frequency cap (RefinedWeb-style): at most 15 docs per
     // source, survivors chosen by the cap_-salted md5 order so the cap
     // composes independently of every other sampling stage.

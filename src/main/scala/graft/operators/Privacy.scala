@@ -52,4 +52,18 @@ object Privacy {
     df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("meets_k", col("n") >= k)
+
+  /** l-diversity audit (Machanavajjhala et al. 2007): k-anonymity is
+    * defeated by a homogeneous group — 50 rows sharing one QI
+    * combination AND one sensitive value reveal that value for anyone
+    * known to be in the group. Per QI group: its size, the number of
+    * DISTINCT sensitive values, and whether it meets the diversity
+    * floor `l`. Same single-shuffle shape as [[anonymityAudit]]
+    * (count-distinct partials are map-side). */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, l: Int): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("meets_l", col("n_sensitive") >= l)
 }

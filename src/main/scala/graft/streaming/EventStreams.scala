@@ -171,6 +171,88 @@ object EventStreams {
     spark.table(sinkName).select(col("doc_id"), col("pos"), col("passage"))
   }
 
+  final case class CapDoc(doc_id: Long, grp: String, ts: Timestamp)
+  final case class CapOut(doc_id: Long, grp: String)
+
+  /** Streaming per-domain frequency cap — capped INGESTION: admit the
+    * first `cap` documents of each domain and drop the rest as they
+    * arrive (the online form of [[graft.operators.Sampling.domainCap]];
+    * a crawler feed hitting a trap domain stops contributing after cap
+    * admissions instead of flooding downstream state).
+    *
+    * State is ONE int per domain ever seen, no timeout: a cap must
+    * remember saturated domains for the stream's lifetime (evicting
+    * would re-admit the trap). At 10⁸ domains that is O(GB) across a
+    * cluster's state stores — bounded by DOMAIN cardinality, never by
+    * event volume. Admission follows ARRIVAL order (the streaming
+    * contract); it equals the batch operator's salted-hash winners
+    * exactly when arrival order is that hash order (see
+    * [[replayDomainCap]], which constructs this for the oracle gate).
+    */
+  def domainCapStream(docs: Dataset[CapDoc], cap: Int,
+                      watermarkDelay: String = "10 minutes"): Dataset[CapOut] = {
+    import docs.sparkSession.implicits._
+    require(cap > 0, "cap must be positive")
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[Int, CapOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (grp: String, batch: Iterator[CapDoc], state: GroupState[Int]) =>
+          var n = state.getOption.getOrElse(0)
+          val admitted = Seq.newBuilder[CapOut]
+          batch.foreach { d =>
+            if (n < cap) { admitted += CapOut(d.doc_id, d.grp); n += 1 }
+          }
+          state.update(n)
+          admitted.result().iterator
+      }
+  }
+
+  /** Driver-gate replay harness for [[domainCapStream]] (same scheme as
+    * [[replayPassageDedup]]): feed a bounded document slice through the
+    * real streaming operator in ascending `cap_`-hash order — computed
+    * driver-side with the same md5 the batch sampler uses — in chunked
+    * single-partition micro-batches, so each domain's first-`cap`
+    * arrivals are EXACTLY the batch [[graft.operators.Sampling.domainCap]]
+    * winners and the output is SQL-oracle-checkable. */
+  def replayDomainCap(docs: DataFrame, idCol: String, groupCol: String,
+                      cap: Int, maxDocs: Int = 400): DataFrame = {
+    val spark = docs.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def capHash(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"cap_$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    }
+    val rows = docs
+      .select(col(idCol).cast("long"), col(groupCol).cast("string"))
+      .filter(col(idCol) < maxDocs)
+      .as[(Long, String)].collect()
+      .sortBy { case (id, _) => (capHash(id), id.toString) }
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[CapDoc]
+    val sinkName = "graft_replay_domain_cap"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = domainCapStream(input.toDS(), cap, watermarkDelay = "365 days")
+      .toDF("doc_id", "source")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try rows.grouped(32).zipWithIndex.foreach { case (chunk, i) =>
+      input.addData(chunk.map { case (id, g) =>
+        CapDoc(id, g, new Timestamp(base + i * 1000L)) })
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(sinkName)
+  }
+
   final case class DocBand(doc_id: Long, band: Int, bh: Long, ts: Timestamp)
   final case class DupCandidate(doc_id: Long, prior_doc_id: Long, band: Int)
 

@@ -269,4 +269,28 @@ class StreamingSpec extends SparkSpec {
     assert(s.user_id == 7 && s.n_events == 2 && s.total_value == 3.0)
     assert(s.start == ts(1) && s.end == ts(3))
   }
+
+  test("domainCapStream: saturation persists across micro-batches, arrival order wins") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.CapDoc]
+    def d(id: Long, g: String, m: Int) =
+      EventStreams.CapDoc(id, g, java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00"))
+    val q = EventStreams.domainCapStream(input.toDS(), cap = 2,
+        watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("capped")
+      .outputMode(OutputMode.Append).start()
+    input.addData(d(1, "hot", 1), d(2, "hot", 1), d(3, "hot", 1), d(4, "cold", 1))
+    q.processAllAvailable()
+    // the hot domain saturated in batch 1 — batch 2 arrivals must drop,
+    // while cold still admits
+    input.addData(d(5, "hot", 2), d(6, "cold", 2))
+    q.processAllAvailable()
+    val got = spark.table("capped").as[EventStreams.CapOut].collect()
+    q.stop()
+    assert(got.count(_.grp == "hot") == 2, "hot must stay capped across batches")
+    assert(got.filter(_.grp == "hot").map(_.doc_id).toSet == Set(1L, 2L),
+      "admission is first-arrival")
+    assert(got.count(_.grp == "cold") == 2)
+  }
 }
