@@ -124,6 +124,31 @@ object Soak {
         Curation.run(docs10, "doc_id", "text",
           Curation.Config(nearDupThreshold = Some(0.8),
             dupSpanTokens = Some(8)))
+      },
+      run("domain_cap_thinned") {
+        // the 10x corpus has 20 sources x 2.5k docs each — every domain
+        // is "hot" relative to cap 50, so the prefix pre-thinning (and
+        // its shortfall audit) engages on all of them
+        Sampling.domainCapThinned(docs10, "source", col("doc_id"), cap = 50)
+      },
+      run("token_budget") {
+        Sampling.tokenBudget(
+          docs10.withColumn("n_tokens",
+            graft.functions.TextAnalysis.tokenCount(col("text"))),
+          "source", col("doc_id"), col("n_tokens"), budget = 20000L)
+      },
+      run("curriculum_order") {
+        Sampling.curriculumOrder(
+          docs10.withColumn("phase", pmod(col("doc_id"), lit(3)).cast("int")),
+          col("phase"), col("doc_id"))
+      },
+      run("snapshot_delta") {
+        Delta.churn(
+          docs10.filter(col("doc_id") % 7 =!= 0),
+          docs10.filter(col("doc_id") % 5 =!= 0)
+            .withColumn("text", when(col("doc_id") % 11 === 0,
+              upper(col("text"))).otherwise(col("text"))),
+          "doc_id", Seq("text", "source"))
       })
 
     val total = results.map(_._2).sum
