@@ -193,4 +193,50 @@ class PropertiesSpec extends SparkSpec {
       assert(out == line)
     }
   }
+
+  test("domainCap laws: subset of input, count per group == min(cap, n), cap-monotone") {
+    import org.apache.spark.sql.functions._
+    val grouped = Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.choose(0L, 500L))).map(_.distinct)
+    samples(grouped, 4).foreach { xs =>
+      val df = xs.toDF("g", "k")
+      val sizes = xs.groupBy(_._1).view.mapValues(_.size).toMap
+      val c5 = graft.operators.Sampling.domainCap(df, "g", col("k"), 5)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(c5.toSet.subsetOf(xs.toSet), "output must be a subset of input")
+      c5.groupBy(_._1).foreach { case (g, rows) =>
+        assert(rows.length == math.min(5, sizes(g)),
+          s"group $g: got ${rows.length}, want min(5, ${sizes(g)})")
+      }
+      // raising the cap only ADDS survivors (prefix property of the
+      // md5 order) — a recipe can be tightened without reshuffling
+      val c8 = graft.operators.Sampling.domainCap(df, "g", col("k"), 8)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(c5.toSet.subsetOf(c8.toSet), "cap must be monotone")
+    }
+  }
+
+  test("tokenBudget laws: subset, budget-monotone, every group fills or exhausts") {
+    import org.apache.spark.sql.functions._
+    val grouped = Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b"),
+      Gen.choose(0L, 500L), Gen.choose(1L, 20L))).map(_.distinctBy(t => (t._1, t._2)))
+    samples(grouped, 4).foreach { xs =>
+      val df = xs.toDF("g", "k", "toks")
+      def run(b: Long) = graft.operators.Sampling
+        .tokenBudget(df, "g", col("k"), col("toks"), b)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val b30 = run(30L)
+      assert(b30.map(t => (t._1, t._2)).toSet
+        .subsetOf(xs.map(t => (t._1, t._2)).toSet))
+      assert(b30.map(t => (t._1, t._2)).toSet
+        .subsetOf(run(60L).map(t => (t._1, t._2)).toSet), "budget-monotone")
+      // each group either reaches the budget or took everything it had
+      val totals = xs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      b30.groupBy(_._1).foreach { case (g, rows) =>
+        val kept = rows.map(_._3).sum
+        assert(kept >= math.min(30L, totals(g)),
+          s"group $g kept $kept of ${totals(g)} against budget 30")
+      }
+    }
+  }
 }
