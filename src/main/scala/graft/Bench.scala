@@ -83,8 +83,13 @@ object Bench {
         elapsed
       }
       val sorted = times.sorted
+      // true median: for even N average the two middles — the upper-middle
+      // element alone would record a worse-than-median "typical" value
+      val med =
+        if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+        else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
       val shuffle = (1 to reps).flatMap(r => metrics.get(s"$name#$r")).headOption
-      (name, sorted.head, sorted(sorted.length / 2), times, shuffle)
+      (name, sorted.head, med, times, shuffle)
     }
     val total = results.map(_._2).sum
 

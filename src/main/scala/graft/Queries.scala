@@ -2414,7 +2414,7 @@ object Queries {
           Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
           "doc_id", "text", col("lang") === "en", dim = 16)
           .select(col("doc_id"), col("imp_num"), col("imp_den"), col("importance")),
-      Some("""WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) tok FROM documents),
+      Some("""WITH t AS (SELECT doc_id, lang, unnest(string_split(coalesce(text, ''), ' ')) tok FROM documents),
              |b AS (SELECT doc_id, lang,
              |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS bk FROM t),
              |c AS (SELECT doc_id, bk, count(*) c FROM b GROUP BY 1, 2),
@@ -2444,7 +2444,7 @@ object Queries {
           Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
           "doc_id", "text", col("lang") === "en", keep = 300)
           .select(col("doc_id"), col("lang"), col("importance")),
-      Some("""WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) tok FROM documents),
+      Some("""WITH t AS (SELECT doc_id, lang, unnest(string_split(coalesce(text, ''), ' ')) tok FROM documents),
              |b AS (SELECT doc_id, lang,
              |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS bk FROM t),
              |c AS (SELECT doc_id, bk, count(*) c FROM b GROUP BY 1, 2),
@@ -2654,12 +2654,20 @@ object Queries {
               .otherwise(col("text")))
         operators.Delta.churn(oldSnap, newSnap, "doc_id", Seq("text", "source"))
       },
-      Some("""WITH o AS (SELECT doc_id, md5(text || chr(1) || source) AS old_hash
+      Some("""WITH o AS (SELECT doc_id,
+             |  md5(CASE WHEN text IS NULL THEN 'n' ELSE 'v' END || chr(1)
+             |      || COALESCE(text, '') || chr(1)
+             |      || CASE WHEN source IS NULL THEN 'n' ELSE 'v' END || chr(1)
+             |      || COALESCE(source, '')) AS old_hash
              |          FROM documents WHERE doc_id % 7 <> 0),
              |n AS (SELECT doc_id,
-             |  md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END
-             |      || chr(1) || source) AS new_hash
-             |      FROM documents WHERE doc_id % 5 <> 0),
+             |  md5(CASE WHEN t2 IS NULL THEN 'n' ELSE 'v' END || chr(1)
+             |      || COALESCE(t2, '') || chr(1)
+             |      || CASE WHEN source IS NULL THEN 'n' ELSE 'v' END || chr(1)
+             |      || COALESCE(source, '')) AS new_hash
+             |      FROM (SELECT doc_id, source,
+             |            CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS t2
+             |            FROM documents WHERE doc_id % 5 <> 0)),
              |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
              |  CASE WHEN o.doc_id IS NULL THEN 'added'
              |       WHEN n.doc_id IS NULL THEN 'removed'

@@ -13,6 +13,10 @@ object SoakProbe {
     val spark = core.Session.local("graft-soak-probe")
     val docs10 = spark.read.parquet(s"$workDir/documents10x.parquet")
 
+    // appended from the listener-bus thread, drained from main: every
+    // access goes through stages.synchronized, and time() snapshots
+    // under the lock after the settle sleep so a late stage event can
+    // neither tear the sort nor leak into the next step's table
     val stages = ArrayBuffer.empty[(Int, String, Long, Int, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
@@ -20,19 +24,22 @@ object SoakProbe {
         val wall = (for { s <- si.submissionTime; c <- si.completionTime }
           yield c - s).getOrElse(-1L)
         val cpu = si.taskMetrics.executorCpuTime / 1000000L
-        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60),
-          wall, si.numTasks, cpu))
+        stages.synchronized {
+          stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60),
+            wall, si.numTasks, cpu))
+        }
       }
     })
 
     def time[A](name: String)(f: => A): A = {
-      stages.clear()
+      stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       val a = f
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
+      val snap = stages.synchronized(stages.toList)
       println(f"[probe] $name%-32s $wall%8.2f s")
-      stages.sortBy(-_._3).take(8).foreach { case (id, nm, w, nt, cpu) =>
+      snap.sortBy(-_._3).take(8).foreach { case (id, nm, w, nt, cpu) =>
         println(f"[probe]   stage $id%4d ${w / 1000.0}%8.2f s wall ${cpu / 1000.0}%8.2f s cpu tasks=$nt%4d  $nm")
       }
       a

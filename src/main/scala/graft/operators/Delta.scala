@@ -24,17 +24,25 @@ object Delta {
 
   /** Row-level diff of two snapshots keyed by `keyCol`: one row per key
     * present in either side, with `status` ∈ added | removed | changed |
-    * unchanged (content compared as md5 over `contentCols`, fields
-    * joined with U+0001 so column boundaries can't alias). Keys must be
-    * unique per side — this is a snapshot diff, not a bag diff
-    * (duplicate keys would make "changed" ill-defined; use
-    * [[Dedup.exact]] upstream if a snapshot can carry duplicates). */
+    * unchanged. Content is compared as one md5 over `contentCols`, each
+    * field emitted as a null-indicator ('n' | 'v') plus the
+    * NULL-coalesced value, all joined with U+0001: the indicator keeps
+    * NULL distinguishable from the empty string, and coalescing means
+    * `concat_ws` (which silently SKIPS null arguments) can never
+    * collapse two column boundaries into one — without it,
+    * (NULL, "x") and ("x", NULL) would both hash as "x" and a real
+    * change would report `unchanged`. Keys must be unique per side —
+    * this is a snapshot diff, not a bag diff (duplicate keys would make
+    * "changed" ill-defined; use [[Dedup.exact]] upstream if a snapshot
+    * can carry duplicates). */
   def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame,
                     keyCol: String, contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "need at least one content column")
     def hashed(df: DataFrame, as: String) = df.select(
       col(keyCol),
-      md5(concat_ws("\u0001", contentCols.map(c => col(c).cast("string")): _*))
+      md5(concat_ws("\u0001", contentCols.flatMap(c => Seq(
+        when(col(c).isNull, lit("n")).otherwise(lit("v")),
+        coalesce(col(c).cast("string"), lit("")))): _*))
         .as(as))
     val o = hashed(oldSnap, "old_hash")
     val n = hashed(newSnap, "new_hash")

@@ -44,15 +44,19 @@ object Importance {
     * int64) and `importance` = imp_num/imp_den (one IEEE division).
     * `isTarget` marks the rows whose distribution the corpus should be
     * steered toward; rows are scored whether or not they are targets.
-    * Docs with no featurizable text (imp_den = 0 cannot happen — the
-    * Laplace smoothing keeps every bucket total positive and an empty
-    * feature vector scores num = den = 0·…; such docs get importance
-    * 1.0 via the 0/0 guard: no evidence either way). */
+    * NULL text is featurized as the empty string (a NULL feature vector
+    * would otherwise propagate into a NULL importance, and NULLS-FIRST
+    * ordering would hand such docs every top-k slot downstream). Docs
+    * with no featurizable text get importance 1.0 via the 0/0 guard:
+    * no evidence either way — Laplace smoothing keeps the bucket
+    * totals positive, so num = den = 0 only for an empty gram array
+    * (e.g. n-grams over text shorter than n). */
   def hashedImportance(df: DataFrame, idCol: String, textCol: String,
                        isTarget: Column, dim: Int = 16, n: Int = 1,
                        smooth: Long = 1L): DataFrame = {
     require(dim > 0 && smooth >= 1, "need dim > 0 and smoothing >= 1")
-    val feats = TextAnalysis.hashedNgramFeatures(col(textCol), dim, n)
+    val feats = TextAnalysis.hashedNgramFeatures(
+      coalesce(col(textCol), lit("")), dim, n)
     val featured = df.withColumn("__f", feats)
       .withColumn("__t", isTarget)
 
@@ -94,8 +98,9 @@ object Importance {
                            dim: Int = 16, n: Int = 1): DataFrame = {
     val scored = hashedImportance(df, idCol, textCol, isTarget, dim, n)
     // importance > 0 by construction: Laplace smoothing keeps every
-    // bucket total >= 1, so any doc with a token has imp_num > 0, and
-    // the featureless fallback is exactly 1.0 — skipping the guard
+    // bucket total >= 1, so any doc with a token has imp_num > 0,
+    // NULL text is featurized as "" (never a NULL score), and the
+    // featureless fallback is exactly 1.0 — skipping the guard
     // stops Catalyst inlining the featurizer 34x into a pushed filter.
     Sampling.weightedTopK(scored, col(idCol), col("importance"), keep,
       weightProvablyPositive = true)

@@ -230,11 +230,26 @@ object Sampling {
                        cap: Int, oversample: Int = 8,
                        audit: Boolean = true): DataFrame = {
     require(cap > 0 && oversample >= 2, "need cap > 0 and oversample >= 2")
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     val target = oversample.toLong * cap
+    // The threshold compare runs in decimal(38,0): the naive int64 form
+    // 2^32 * target overflows (wraps negative, ANSI off) once
+    // oversample*cap exceeds 2^31, silently thinning every hot domain
+    // to zero rows. Rearranged as hash*n < target*2^32 the products are
+    // <= 29 decimal digits — exact in decimal(38,0) for any cap/n.
+    // With audit on, `counts` is checkpointed so the audit reuses the
+    // G-row aggregate instead of re-scanning the corpus (the scaladoc
+    // prices the audit at one aggregation over the CAPPED output, not a
+    // second full-corpus pass); with audit off it stays lazy — computed
+    // once when the caller materializes the result, and nothing leaks.
+    def countsPlan = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val (counts, countIds) =
+      if (audit) graft.core.Checkpoints.eager(countsPlan)
+      else (countsPlan, Seq.empty[Int])
+    def dec(c: Column) = c.cast("decimal(20,0)")
     val thinned = df.join(broadcast(counts), Seq(groupCol))
       .filter(col("__n") <= target ||
-        hash32(key, "cap_") < (lit(4294967296L) * lit(target)) / col("__n"))
+        dec(hash32(key, "cap_")) * dec(col("__n")) <
+          dec(lit(target)) * dec(lit(4294967296L)))
       .drop("__n")
     val capped = domainCap(thinned, groupCol, key, cap)
     if (!audit) capped
@@ -246,6 +261,7 @@ object Sampling {
         .filter(coalesce(col("__got"), lit(0L)) <
           least(col("__n"), lit(cap.toLong)))
         .limit(1).collect()
+      graft.core.Checkpoints.free(counts, countIds)
       if (bad.nonEmpty) {
         graft.core.Checkpoints.free(ck, ids)
         throw new IllegalStateException(
