@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.TextAnalysis
+import graft.functions.{TextAnalysis, Web}
 import graft.operators.{Components, Dedup, Pipeline, Similarity}
 import graft.sources.Listing
 
@@ -2869,7 +2869,110 @@ object Queries {
            |FROM p""".stripMargin
       }
     )),
+    // Main-text extraction from HTML: a deterministic page is wrapped
+    // around each document (title/style/script/comment boilerplate, a
+    // "<" inside inline JS, an entity-encoded body) and Web.htmlText
+    // must recover exactly title + heading + decoded body. The oracle
+    // replays page construction AND the extraction chain in DuckDB;
+    // WebSpec pins the semantics on literal cases so the mirrored
+    // chains can't hide a shared bug.
+    "q_html_extract" -> ((
+      (s: SparkSession, dir: String) => {
+        val page = concat(
+          lit("<html><head><title>"), col("source"),
+          lit("</title><style>p { color: #333 }</style>" +
+            "<script>if (1 < 2) { em(\"<p>\"); }</script></head><body><h1>"),
+          col("source"),
+          lit("</h1><!-- note --><p>"),
+          regexp_replace(col("text"), "table", "t&amp;ble"),
+          lit("</p></body></html>"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), Web.htmlText(page).as("main_text"))
+          .withColumn("n_chars_main", length(col("main_text")).cast("long"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<html><head><title>' || source
+             |  || '</title><style>p { color: #333 }</style><script>if (1 < 2) { em("<p>"); }</script></head><body><h1>'
+             |  || source || '</h1><!-- note --><p>'
+             |  || regexp_replace(text, 'table', 't&amp;ble', 'g')
+             |  || '</p></body></html>' AS html
+             |FROM documents),
+             |e AS (SELECT doc_id,
+             |  trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+             |        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             |        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             |        '(?s)<!--.*?-->', ' ', 'g'),
+             |        '<[^>]+>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             |    '[ \t\r\n]+', ' ', 'g')) AS main_text
+             |FROM h)
+             |SELECT doc_id, main_text,
+             |  CAST(length(main_text) AS BIGINT) AS n_chars_main FROM e""".stripMargin)
+    )),
+
+    // Link-graph harvest + URL canonicalization feeding the
+    // registrable-domain key the per-domain samplers group on: each doc
+    // carries four outlinks (mixed-case scheme/host, default ports, a
+    // fragment, a two-level public suffix, and a mailto that must
+    // normalize to NULL and be dropped loudly), harvested with
+    // htmlLinks, canonicalized, and rolled up per registrable domain.
+    "q_url_normalize" -> ((
+      (s: SparkSession, dir: String) => {
+        val page = concat(
+          lit("<p><a href=\"HTTP://WWW.Example.COM:80/p/"),
+          col("doc_id").cast("string"),
+          lit("#frag\">a</a> <A HREF=\"https://cdn."), col("source"),
+          lit(".CO.UK:443/lib.js?v=1\">b</A> <a href=\"https://"),
+          col("source"),
+          lit(".example.org\">c</a> <a href=\"mailto:x@example.com\">m</a></p>"))
+        Tables.documents(s, dir)
+          .select(explode(Web.htmlLinks(page)).as("link"))
+          .select(Web.urlNormalize(col("link")).as("url"))
+          .filter(col("url").isNotNull)
+          .select(col("url"),
+            Web.registeredDomain(Web.urlHost(col("url"))).as("domain"))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct(col("url")).as("n_urls"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<p><a href="HTTP://WWW.Example.COM:80/p/' || CAST(doc_id AS VARCHAR)
+             |  || '#frag">a</a> <A HREF="https://cdn.' || source
+             |  || '.CO.UK:443/lib.js?v=1">b</A> <a href="https://' || source
+             |  || '.example.org">c</a> <a href="mailto:x@example.com">m</a></p>' AS html
+             |FROM documents),
+             |l AS (SELECT unnest(regexp_extract_all(html,
+             |  '(?i)(^|[ \t\r\n<])href[ \t\r\n]*=[ \t\r\n]*"([^"]*)"', 2)) AS link
+             |FROM h),
+             |parts AS (SELECT link,
+             |  lower(regexp_extract(link, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |  lower(regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS auth,
+             |  regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
+             |FROM l),
+             |norm AS (SELECT
+             |  scheme || '://' ||
+             |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+             |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+             |       ELSE auth END ||
+             |  CASE WHEN rest = '' THEN '/'
+             |       WHEN rest LIKE '?%' THEN '/' || rest
+             |       ELSE rest END AS url
+             |FROM parts WHERE scheme <> ''),
+             |d AS (SELECT url,
+             |  regexp_extract(
+             |    regexp_replace(regexp_replace(
+             |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+             |      '^[^@]*@', ''), ':[0-9]+$', ''),
+             |    '([^.]+\.(?:ac|co|com|edu|gov|net|org)\.(?:au|br|in|jp|nz|uk)|[^.]+\.[^.]+)$',
+             |    1) AS domain
+             |FROM norm)
+             |SELECT domain, count(*) AS n_links, count(DISTINCT url) AS n_urls
+             |FROM d GROUP BY 1""".stripMargin)
+    )),
   )
+
 
   val queries: Map[String, QueryFn] = all.map { case (n, (f, _)) => n -> f }.toMap
   val oracleSql: Map[String, String] =

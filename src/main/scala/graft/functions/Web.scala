@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML and URL primitives for web-corpus curation — the front door of
+  * a web-scale training pipeline: strip a crawled page to its main
+  * text, harvest its outlinks, and canonicalize URLs so per-domain
+  * policies ([[graft.operators.Sampling.domainCap]], crawl-frontier
+  * dedup) key on a stable value.
+  *
+  * Everything here is a composition of codegen'd `regexp_replace` /
+  * `regexp_extract` / literal `replace` calls — one narrow projection,
+  * no UDFs, no shuffle; at 100 TB these run at scan speed inside
+  * whole-stage codegen. The patterns are deliberately restricted to
+  * the common subset of Java regex and RE2 (no backreferences, no
+  * lookaround, no `\s` — whose character class differs between the
+  * engines — and no group references in replacement strings, where
+  * Java's `$1` and RE2's `\1` diverge) so an external engine can
+  * replay them byte-for-byte.
+  */
+object Web {
+
+  /** Whitespace class shared verbatim by Java regex and RE2 (`\s`
+    * differs between them: Java adds U+000B, RE2 adds U+000C). */
+  private val Ws = "[ \\t\\r\\n]+"
+
+  /** Main-text extraction from an HTML page: drop `<script>`,
+    * `<style>` and comment blocks (their CONTENT must not leak into
+    * the text — a `<` inside inline JavaScript would otherwise derail
+    * the generic tag strip), collapse every remaining tag to a space,
+    * decode the six ubiquitous entities (`&amp;` LAST, so
+    * `&amp;lt;` decodes to the literal text `&lt;` rather than
+    * double-decoding to `<`), then squeeze whitespace. An UNCLOSED
+    * script/style block is left for the generic tag strip, which
+    * removes its tags but keeps its text — malformed input degrades
+    * to noisy text rather than dropping the document. */
+  def htmlText(html: Column): Column = {
+    val noScript  = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle   = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags    = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, Ws, " "))
+  }
+
+  /** Every double-quoted `href` value on the page, in document order
+    * (`array<string>`; explode for one row per outlink). Unquoted and
+    * single-quoted attributes are skipped — on crawl data the quoted
+    * form dominates and a permissive pattern would harvest garbage.
+    * The attribute name must follow whitespace or `<` (RE2 has no
+    * lookbehind and `\b` sits after the `-` of `data-href` too, so the
+    * guard is a consumed character class and the URL is group 2) —
+    * without it `data-href="…"` template attributes pollute the link
+    * graph. */
+  def htmlLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)(^|[ \\t\\r\\n<])href[ \\t\\r\\n]*=[ \\t\\r\\n]*\"([^\"]*)\""),
+      lit(2))
+
+  /** Lowercased host of an absolute URL: authority minus userinfo and
+    * port. Empty string when `url` has no `scheme://` part. */
+  def urlHost(url: Column): Column = {
+    val auth = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    regexp_replace(regexp_replace(auth, "^[^@]*@", ""), ":[0-9]+$", "")
+  }
+
+  /** Canonical form of an absolute URL: scheme and authority
+    * lowercased, default port dropped (`:80` for http, `:443` for
+    * https), fragment removed, empty path normalized to `/` (so
+    * `http://x.com` and `http://x.com/` key identically in a
+    * frontier-dedup join). Path and query are preserved byte-for-byte
+    * — percent-decoding is NOT attempted (decoding can change which
+    * resource the URL names). Returns NULL for anything that is not
+    * an absolute URL (no `scheme://`): relative links, `mailto:`,
+    * `javascript:` — the caller filters, loudly, rather than
+    * receiving a silently mangled key. */
+  def urlNormalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val rest = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    val path = when(rest === "", lit("/"))
+      .when(rest.startsWith("?"), concat(lit("/"), rest))
+      .otherwise(rest)
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), authNoPort, path))
+  }
+
+  /** Registrable domain of a host — the right key for per-domain caps:
+    * subdomains of one registrant (`cdn.x.co.uk`, `www.x.co.uk`) must
+    * count against ONE budget. Last two labels, except under the
+    * common two-level public suffixes (`co.uk`, `com.au`, …) where it
+    * is the last three. The suffix list is a deliberately small
+    * HEURISTIC subset of the Mozilla Public Suffix List (the full list
+    * is ~9k entries and changes monthly; callers needing exactness
+    * should join against a maintained snapshot instead). Empty string
+    * for single-label hosts (`localhost`). The alternation relies on
+    * leftmost-FIRST branch choice, which Java regex and RE2 (Perl
+    * mode) share. */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host,
+      "([^.]+\\.(?:ac|co|com|edu|gov|net|org)\\.(?:au|br|in|jp|nz|uk)|[^.]+\\.[^.]+)$",
+      1)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Web
+
+/** Literal input/output anchors for the web primitives. The oracle
+  * queries mirror the same regexp chains in DuckDB — a mirrored oracle
+  * would pass even if both sides shared a bug, so THESE hand-computed
+  * cases are what pins the semantics. */
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(in: String, c: org.apache.spark.sql.Column): Any =
+    Seq(in).toDF("s").select(c).head.get(0)
+
+  test("htmlText strips script/style/comment content, tags, entities, ws") {
+    val html =
+      """<html><head><title>T</title>
+        |<style>p { color: #333 } /* < not a tag */</style>
+        |<script type="text/js">if (1 < 2) { em("<p>"); }</script>
+        |</head><body><h1>Head</h1><!-- note <b> -->
+        |<p>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>
+        |</body></html>""".stripMargin
+    assert(one(html, Web.htmlText(col("s"))) ===
+      "T Head a & b <tag> \"q\" 's' end")
+  }
+
+  test("htmlText decodes &amp; last — &amp;lt; is literal text, not <") {
+    assert(one("<p>&amp;lt;</p>", Web.htmlText(col("s"))) === "&lt;")
+  }
+
+  test("htmlText leaves unclosed script text behind (degrades, not drops)") {
+    assert(one("<script>var a = 1;<p>tail", Web.htmlText(col("s"))) ===
+      "var a = 1; tail")
+  }
+
+  test("htmlLinks harvests double-quoted hrefs in order, any case/spacing") {
+    val html = """<a href="http://a/1">x</a><A HREF = "http://a/2">y</A>
+                 |<a href='skipped'>z</a><a data-href="no">n</a>""".stripMargin
+    // data-href must NOT be harvested: the pattern requires ws or < in
+    // front of the attribute name, which '-' fails
+    assert(one(html, Web.htmlLinks(col("s")))
+      .asInstanceOf[collection.Seq[String]].toList ===
+      List("http://a/1", "http://a/2"))
+  }
+
+  test("urlNormalize: case, default ports, fragments, empty path") {
+    val cases = Map(
+      "HTTP://WWW.Example.COM:80/Path/X?q=1#frag" -> "http://www.example.com/Path/X?q=1",
+      "https://Host.CO.UK:443" -> "https://host.co.uk/",
+      "https://h:8443/x" -> "https://h:8443/x", // non-default port kept
+      "http://h?q=1" -> "http://h/?q=1",        // empty path, query only
+      "ftp://H/x" -> "ftp://h/x"                // unknown scheme: port rule skipped
+    )
+    cases.foreach { case (in, want) =>
+      assert(one(in, Web.urlNormalize(col("s"))) === want, s"for $in")
+    }
+    assert(one("mailto:x@y", Web.urlNormalize(col("s"))) === null)
+    assert(one("/relative/path", Web.urlNormalize(col("s"))) === null)
+  }
+
+  test("urlHost strips userinfo and port, lowercases") {
+    assert(one("https://User:Pw@Www.X.Org:8080/p", Web.urlHost(col("s"))) ===
+      "www.x.org")
+    assert(one("no-scheme", Web.urlHost(col("s"))) === "")
+  }
+
+  test("registeredDomain: two labels, three under two-level suffixes") {
+    val cases = Map(
+      "www.example.com" -> "example.com",
+      "cdn.assets.x.co.uk" -> "x.co.uk",
+      "a.b.ac.jp" -> "b.ac.jp",
+      "plain.org" -> "plain.org",
+      "localhost" -> "")
+    cases.foreach { case (in, want) =>
+      assert(one(in, Web.registeredDomain(col("s"))) === want, s"for $in")
+    }
+  }
+}
