@@ -2971,7 +2971,31 @@ object Queries {
              |SELECT domain, count(*) AS n_links, count(DISTINCT url) AS n_urls
              |FROM d GROUP BY 1""".stripMargin)
     )),
+    // WARC ingestion end-to-end under the oracle: a hand-built crawl
+    // archive (warcinfo/request noise, an embedded false record-
+    // boundary magic, UTF-8 multibyte bytes, entity-encoded HTML,
+    // mixed-case URIs) flows through the splittable warc source, the
+    // response filter, URL canonicalization and HTML main-text
+    // extraction. The oracle reads the hand-pinned post-extraction
+    // truth — constants derived from the WARC spec by hand, not
+    // computed by the code under test (IngestFixture discipline).
+    "q_warc_ingest" -> ((
+      (s: SparkSession, dir: String) => {
+        graft.sources.WarcFixture.ensure()
+        s.read.format("warc").load(graft.sources.WarcFixture.warcPath)
+          .filter(col("warc_type") === "response")
+          .select(
+            Web.urlNormalize(col("target_uri")).as("url"),
+            col("content_length"),
+            Web.htmlText(col("payload").cast("string")).as("main_text"))
+      },
+      Some(s"""SELECT url, CAST(content_length AS BIGINT) AS content_length,
+              |  main_text
+              |FROM read_csv('${graft.sources.WarcFixture.expectedCsvPath}',
+              |  header=true, all_varchar=true)""".stripMargin)
+    )),
   )
+
 
 
   val queries: Map[String, QueryFn] = all.map { case (n, (f, _)) => n -> f }.toMap
