@@ -46,9 +46,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **Payload pruning**: when the projection does not include
   *    `payload`, bodies are SKIPPED, not read — a metadata-only query
   *    (`count by content_type`) streams headers at I/O speed.
-  *  - After alignment, parsing is STRICT: a malformed record mid-file
-  *    raises with the file and byte offset rather than silently
-  *    resyncing past corrupt data.
+  *  - After alignment, parsing is STRICT by default: a malformed
+  *    record mid-file raises with the file and byte offset rather than
+  *    silently resyncing past corrupt data. `option("mode",
+  *    "permissive")` instead resyncs to the next VALIDATED record
+  *    boundary and keeps going — real crawl archives do contain
+  *    truncated records — with the damage surfaced, not swallowed:
+  *    skipped-record and skipped-byte counts are reported as DSv2
+  *    custom metrics (visible per-stage in the Spark UI), mirroring
+  *    the reference's fail-fast vs permissive ingest split (O4,
+  *    `bin/fetcher.bash`).
   */
 class WarcSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
@@ -113,8 +120,22 @@ class WarcScanBuilder(props: Map[String, String])
     val splitSize = props.get("splitsize").map(_.toLong).getOrElse(128L << 20)
     val maxPayload = props.get("maxpayloadbytes").map(_.toLong).getOrElse(256L << 20)
     require(splitSize > 0 && maxPayload > 0, "splitSize/maxPayloadBytes must be > 0")
-    WarcScan(files, splitSize, maxPayload, required, confMap)
+    val mode = props.getOrElse("mode", "strict").toLowerCase
+    require(mode == "strict" || mode == "permissive",
+      s"warc mode must be strict or permissive, got $mode")
+    WarcScan(files, splitSize, maxPayload, mode == "permissive", required, confMap)
   }
+}
+
+/** Corrupt-record accounting for permissive mode, surfaced per stage in
+  * the Spark UI — skipped damage must be visible, never silent. */
+final class WarcSkippedRecords extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "warcSkippedRecords"
+  override def description(): String = "skipped corrupt WARC records"
+}
+final class WarcSkippedBytes extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "warcSkippedBytes"
+  override def description(): String = "bytes skipped resyncing past corrupt WARC data"
 }
 
 /** Byte range [start, end) of a plain .warc file. */
@@ -125,12 +146,15 @@ final case class WarcSplitPartition(path: String, start: Long, end: Long)
 final case class WarcGzPartition(path: String) extends InputPartition
 
 final case class WarcScan(files: Seq[String], splitSize: Long, maxPayload: Long,
+                          permissive: Boolean,
                           required: StructType, confMap: Map[String, String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new WarcSkippedRecords, new WarcSkippedBytes)
   override def description(): String =
-    s"warc ${files.size} files, splitSize=$splitSize"
+    s"warc ${files.size} files, splitSize=$splitSize, mode=${if (permissive) "permissive" else "strict"}"
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
@@ -146,10 +170,11 @@ final case class WarcScan(files: Seq[String], splitSize: Long, maxPayload: Long,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    WarcReaderFactory(required.fieldNames, maxPayload, confMap)
+    WarcReaderFactory(required.fieldNames, maxPayload, permissive, confMap)
 }
 
 final case class WarcReaderFactory(fields: Array[String], maxPayload: Long,
+                                   permissive: Boolean,
                                    confMap: Map[String, String])
     extends PartitionReaderFactory {
   private def conf = {
@@ -168,7 +193,7 @@ final case class WarcReaderFactory(fields: Array[String], maxPayload: Long,
         fsIn.seek(seekTo)
         new WarcPartitionReader(
           new PushbackCounting(fsIn, seekTo), path, start, end,
-          alignFirst = start > 0, fields, maxPayload,
+          alignFirst = start > 0, fields, maxPayload, permissive,
           () => fsIn.close())
       case WarcGzPartition(path) =>
         val hp = new Path(path)
@@ -176,7 +201,7 @@ final case class WarcReaderFactory(fields: Array[String], maxPayload: Long,
         val gz = new GZIPInputStream(fsIn, 1 << 16)
         new WarcPartitionReader(
           new PushbackCounting(gz, 0L), path, 0L, Long.MaxValue,
-          alignFirst = false, fields, maxPayload,
+          alignFirst = false, fields, maxPayload, permissive,
           () => { gz.close(); fsIn.close() })
     }
 }
@@ -285,7 +310,8 @@ private object WarcParse {
 final class WarcPartitionReader(in: PushbackCounting, path: String,
                                 rangeStart: Long, rangeEnd: Long,
                                 alignFirst: Boolean, fields: Array[String],
-                                maxPayload: Long, closer: () => Unit)
+                                maxPayload: Long, permissive: Boolean,
+                                closer: () => Unit)
     extends PartitionReader[InternalRow] {
   import WarcParse._
 
@@ -293,6 +319,19 @@ final class WarcPartitionReader(in: PushbackCounting, path: String,
   private val needPayload = fields.contains("payload")
   private var aligned = !alignFirst
   private var row: InternalRow = _
+  private var skippedRecords = 0L
+  private var skippedBytes = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = "warcSkippedRecords"
+        override def value(): Long = skippedRecords
+      },
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = "warcSkippedBytes"
+        override def value(): Long = skippedBytes
+      })
 
   /** Scan forward for a VALIDATED record boundary whose "WARC/" starts
     * in [rangeStart, rangeEnd); leaves the stream positioned AT the
@@ -409,7 +448,23 @@ final class WarcPartitionReader(in: PushbackCounting, path: String,
 
   override def next(): Boolean = {
     if (!aligned) { aligned = true; if (!align()) return false }
-    readRecord()
+    if (!permissive) readRecord()
+    else {
+      // permissive: a record that fails to parse is skipped by
+      // resyncing to the next VALIDATED boundary still inside the
+      // range; the damage is counted, never silent
+      while (true) {
+        val failStart = in.pos
+        try return readRecord()
+        catch {
+          case e: java.io.IOException =>
+            skippedRecords += 1
+            if (!align()) { skippedBytes += in.pos - failStart; return false }
+            skippedBytes += in.pos - failStart
+        }
+      }
+      false
+    }
   }
 
   override def get(): InternalRow = row

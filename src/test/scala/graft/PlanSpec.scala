@@ -233,4 +233,22 @@ class PlanSpec extends SparkSpec {
       "curriculum position must use the range-partitioned rank machinery, " +
         "not a window (a phase-partitioned window would collapse to 3 tasks)")
   }
+
+  test("q_html_extract: map-only over the scan — zero exchange") {
+    val p = plan("q_html_extract")
+    assert(exchanges(p) == 0,
+      s"html extraction must stay a codegen'd map over the scan:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("Filter ("),
+      "no UDFs and no residual filter expected")
+  }
+
+  test("q_url_normalize: explode + distinct-agg only, bounded exchanges") {
+    val p = plan("q_url_normalize")
+    assertNoCartesian(p, "q_url_normalize")
+    // count(DISTINCT url) per domain plans as two aggregations: one
+    // exchange on (domain, url), one on domain — growth past that is a
+    // regression (e.g. a window sneaking in)
+    assert(exchanges(p) <= 2, s"expected at most 2 exchanges:\n$p")
+    assert(!p.contains("Window"), "no window expected in the link rollup")
+  }
 }

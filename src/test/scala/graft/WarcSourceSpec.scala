@@ -55,6 +55,35 @@ class WarcSourceSpec extends SparkSpec {
     assert(counts === Map("warcinfo" -> 1L, "request" -> 1L, "response" -> 3L))
   }
 
+  test("permissive mode resyncs past a corrupt record; strict throws") {
+    // a truncated record remnant between two good records: header line
+    // without a colon -> parse failure exactly where strict must stop
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(
+        "file://" + WarcFixture.warcPath)))
+    // split after the second record's trailing \r\n\r\n: find the 3rd
+    // occurrence of "WARC/1.0" (start of record 3)
+    val text = new String(good, "ISO-8859-1")
+    val rec3 = text.indexOf("WARC/1.0", text.indexOf("WARC/1.0",
+      text.indexOf("WARC/1.0") + 1) + 1)
+    assert(rec3 > 0)
+    val corrupt = "WARC/1.0\r\nbroken header without colon\r\n\r\nremnant\r\n\r\n"
+    val bytes = good.take(rec3) ++ corrupt.getBytes("ISO-8859-1") ++ good.drop(rec3)
+    val dir = java.nio.file.Files.createTempDirectory("warc_corrupt")
+    val p = dir.resolve("corrupt.warc")
+    java.nio.file.Files.write(p, bytes)
+
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").load(p.toString).count()
+    }
+    val rows = spark.read.format("warc").option("mode", "permissive")
+      .load(p.toString)
+      .select("warc_type", "target_uri").orderBy("record_offset").collect()
+    assert(rows.length === 5, "all five real records survive the resync")
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("warcinfo", "request", "response", "response", "response"))
+  }
+
   test("oversized payload fails loudly, not silently truncated") {
     val e = intercept[org.apache.spark.SparkException] {
       spark.read.format("warc").option("maxPayloadBytes", "10").load(path)
