@@ -84,6 +84,34 @@ class WarcSourceSpec extends SparkSpec {
       Seq("warcinfo", "request", "response", "response", "response"))
   }
 
+  test("streaming tails the landing directory: each new archive exactly once") {
+    val land = java.nio.file.Files.createTempDirectory("warc_land")
+    WarcFixture.ensure()
+    def landFile(n: String): Unit =
+      java.nio.file.Files.copy(java.nio.file.Paths.get(WarcFixture.warcPath),
+        land.resolve(n))
+    landFile("crawl_20260813_000001.warc")
+
+    val q = spark.readStream.format("warc").load(land.toString)
+      .groupBy("warc_type").count()
+      .writeStream.format("memory").outputMode("complete")
+      .queryName("warc_stream").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("warc_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(first === Map("warcinfo" -> 1L, "request" -> 1L, "response" -> 3L))
+
+      // a second archive lands (monotone name, atomic) — the watermark
+      // offset must pick up exactly its records, no replays
+      landFile("crawl_20260813_000002.warc")
+      q.processAllAvailable()
+      val second = spark.table("warc_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(second === Map("warcinfo" -> 2L, "request" -> 2L, "response" -> 6L))
+    } finally q.stop()
+  }
+
   test("oversized payload fails loudly, not silently truncated") {
     val e = intercept[org.apache.spark.SparkException] {
       spark.read.format("warc").option("maxPayloadBytes", "10").load(path)
