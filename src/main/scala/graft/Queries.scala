@@ -2994,7 +2994,52 @@ object Queries {
               |FROM read_csv('${graft.sources.WarcFixture.expectedCsvPath}',
               |  header=true, all_varchar=true)""".stripMargin)
     )),
+    // Crawl politeness: REP (robots.txt) disallow rules from the
+    // User-agent: * group filter the corpus's URL paths by prefix
+    // match — rules scoped to named agents must NOT apply (the
+    // /private path stays allowed), and '/admin' blocks '/admindata'
+    // (REP is a raw prefix match). WebSpec anchors the parsing on
+    // literal cases; the oracle replays the extraction in DuckDB.
+    "q_robots_filter" -> ((
+      (s: SparkSession, dir: String) => {
+        val robots = lit("User-agent: bot1\nDisallow: /private\n\n" +
+          "User-agent: *\nDisallow: /admin\nDisallow: /tmp/\n\n" +
+          "User-agent: bot2\nDisallow: /")
+        val path = when(col("doc_id") % 4 === 0,
+            concat(lit("/admin/p"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/tmp/x"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/private/y"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/public/z"), col("doc_id").cast("string")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), path.as("url_path"))
+          .withColumn("blocked",
+            Web.robotsBlocked(col("url_path"), Web.robotsDisallows(robots)))
+      },
+      Some("""WITH r AS (SELECT
+             |  'User-agent: bot1' || chr(10) || 'Disallow: /private' || chr(10) || chr(10) ||
+             |  'User-agent: *' || chr(10) || 'Disallow: /admin' || chr(10) ||
+             |  'Disallow: /tmp/' || chr(10) || chr(10) ||
+             |  'User-agent: bot2' || chr(10) || 'Disallow: /' AS robots),
+             |dis AS (SELECT list_filter(list_transform(regexp_extract_all(
+             |    regexp_extract(robots,
+             |      '(?is)user-agent:[ \t]*\*[ \t\r]*\n(.*?)(\nuser-agent:|$)', 1),
+             |    '(?i)disallow:[ \t]*([^\r\n#]*)', 1),
+             |    x -> trim(x)), x -> x <> '') AS ds FROM r),
+             |d AS (SELECT doc_id,
+             |  CASE CAST(doc_id % 4 AS INTEGER)
+             |    WHEN 0 THEN '/admin/p' || CAST(doc_id AS VARCHAR)
+             |    WHEN 1 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+             |    WHEN 2 THEN '/private/y' || CAST(doc_id AS VARCHAR)
+             |    ELSE '/public/z' || CAST(doc_id AS VARCHAR) END AS url_path
+             |  FROM documents)
+             |SELECT doc_id, url_path,
+             |  len(list_filter(ds, p -> starts_with(url_path, p))) > 0 AS blocked
+             |FROM d CROSS JOIN dis""".stripMargin)
+    )),
   )
+
 
 
 

@@ -95,6 +95,32 @@ object Web {
       .otherwise(concat(scheme, lit("://"), authNoPort, path))
   }
 
+  /** The `Disallow:` path prefixes a crawler honoring REP (RFC 9309)
+    * must skip, extracted from the FIRST `User-agent: *` group of a
+    * robots.txt body. Rules scoped to named agents are ignored, empty
+    * `Disallow:` values (allow-all markers) are dropped, and a body
+    * with no `*` group yields an empty array — nothing blocked, which
+    * is REP's default-allow. Deliberately a simplification of full REP
+    * (no `Allow:` precedence, no wildcards in paths, first `*` group
+    * only) — the prefix-match core covers the overwhelming majority of
+    * real robots files and stays replayable in an external engine. */
+  def robotsDisallows(robotsTxt: Column): Column = {
+    val starBlock = regexp_extract(robotsTxt,
+      "(?is)user-agent:[ \\t]*\\*[ \\t\\r]*\\n(.*?)(\\nuser-agent:|$)", 1)
+    filter(
+      transform(
+        regexp_extract_all(starBlock,
+          lit("(?i)disallow:[ \\t]*([^\\r\\n#]*)"), lit(1)),
+        d => trim(d)),
+      d => d =!= "")
+  }
+
+  /** REP prefix match: is `path` under any of the disallowed
+    * prefixes? Pair with [[robotsDisallows]] to drop impolitely
+    * crawled URLs from a corpus. */
+  def robotsBlocked(path: Column, disallows: Column): Column =
+    exists(disallows, d => path.startsWith(d))
+
   /** Registrable domain of a host — the right key for per-domain caps:
     * subdomains of one registrant (`cdn.x.co.uk`, `www.x.co.uk`) must
     * count against ONE budget. Last two labels, except under the

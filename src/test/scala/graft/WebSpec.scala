@@ -65,6 +65,28 @@ class WebSpec extends SparkSpec {
     assert(one("no-scheme", Web.urlHost(col("s"))) === "")
   }
 
+  test("robotsDisallows: star group only, empty rules dropped, default-allow") {
+    val robots = "User-agent: bot1\nDisallow: /private\n\n" +
+      "User-agent: *\nDisallow: /admin\nDisallow:\nDisallow: /tmp/ \n\n" +
+      "User-agent: bot2\nDisallow: /"
+    assert(one(robots, Web.robotsDisallows(col("s")))
+      .asInstanceOf[collection.Seq[String]].toList === List("/admin", "/tmp/"))
+    // no star group -> nothing disallowed (REP default-allow)
+    assert(one("User-agent: bot1\nDisallow: /x", Web.robotsDisallows(col("s")))
+      .asInstanceOf[collection.Seq[String]].toList === Nil)
+  }
+
+  test("robotsBlocked: prefix semantics, /admin blocks /admindata too") {
+    val dis = array(lit("/admin"), lit("/tmp/"))
+    def blocked(p: String): Boolean =
+      Seq(p).toDF("s").select(Web.robotsBlocked(col("s"), dis)).head.getBoolean(0)
+    assert(blocked("/admin/x"))
+    assert(blocked("/admindata")) // REP is a raw prefix match
+    assert(blocked("/tmp/y"))
+    assert(!blocked("/tmp"))      // "/tmp/" does not cover bare "/tmp"
+    assert(!blocked("/public"))
+  }
+
   test("registeredDomain: two labels, three under two-level suffixes") {
     val cases = Map(
       "www.example.com" -> "example.com",
