@@ -3038,7 +3038,79 @@ object Queries {
              |  len(list_filter(ds, p -> starts_with(url_path, p))) > 0 AS blocked
              |FROM d CROSS JOIN dis""".stripMargin)
     )),
+    // The WHOLE web front door composed under ONE oracle: page
+    // construction -> main-text extraction -> robots politeness filter
+    // (rule mechanism proven in q_robots_filter; here the constant
+    // rules replay as their semantic prefix checks) -> token-count
+    // quality gate -> per-registrable-domain frequency cap in
+    // cap_-salted order. The web analogue of q_mixture_pipeline: every
+    // stage already oracle-proven alone, composed end-to-end here.
+    "q_web_curation" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val page = concat(lit("<html><head><title>"), col("source"),
+          lit("</title><style>p { }</style><script>a(\"<i>\");</script></head><body><h1>"),
+          col("source"), lit("</h1><!-- c --><p>"),
+          regexp_replace(col("text"), "table", "t&amp;ble"),
+          lit("</p></body></html>"))
+        val path = when(col("doc_id") % 4 === 0,
+            concat(lit("/admin/p"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/tmp/x"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/private/y"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/public/z"), col("doc_id").cast("string")))
+        val robots = lit("User-agent: *\nDisallow: /admin\nDisallow: /tmp/")
+        val url = concat(lit("https://www."), col("source"), lit(".co.uk"), path)
+        val staged = d.select(col("doc_id"),
+            Web.htmlText(page).as("main_text"),
+            path.as("url_path"), url.as("url"))
+          .filter(!Web.robotsBlocked(col("url_path"), Web.robotsDisallows(robots)))
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("main_text")))
+          .filter(col("n_tokens") >= 30)
+          .withColumn("domain", Web.registeredDomain(Web.urlHost(col("url"))))
+        operators.Sampling.domainCap(staged, "domain", col("doc_id"), cap = 15)
+          .select(col("doc_id"), col("domain"), col("n_tokens"))
+      },
+      Some("""WITH h AS (SELECT doc_id, source,
+             |  '<html><head><title>' || source
+             |  || '</title><style>p { }</style><script>a("<i>");</script></head><body><h1>'
+             |  || source || '</h1><!-- c --><p>'
+             |  || regexp_replace(text, 'table', 't&amp;ble', 'g')
+             |  || '</p></body></html>' AS html,
+             |  CASE CAST(doc_id % 4 AS INTEGER)
+             |    WHEN 0 THEN '/admin/p' || CAST(doc_id AS VARCHAR)
+             |    WHEN 1 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+             |    WHEN 2 THEN '/private/y' || CAST(doc_id AS VARCHAR)
+             |    ELSE '/public/z' || CAST(doc_id AS VARCHAR) END AS url_path
+             |FROM documents),
+             |e AS (SELECT doc_id, source, url_path,
+             |  trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+             |        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             |        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             |        '(?s)<!--.*?-->', ' ', 'g'),
+             |        '<[^>]+>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             |    '[ \t\r\n]+', ' ', 'g')) AS main_text
+             |FROM h),
+             |allowed AS (SELECT * FROM e
+             |  WHERE NOT (starts_with(url_path, '/admin')
+             |          OR starts_with(url_path, '/tmp/'))),
+             |gated AS (SELECT doc_id, source || '.co.uk' AS domain,
+             |  CAST(len(string_split(main_text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM allowed
+             |  WHERE CAST(len(string_split(main_text, ' ')) AS BIGINT) >= 30),
+             |capped AS (SELECT doc_id, domain, n_tokens FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY domain
+             |    ORDER BY md5('cap_' || CAST(doc_id AS VARCHAR)),
+             |             CAST(doc_id AS VARCHAR)) AS rn
+             |  FROM gated) WHERE rn <= 15)
+             |SELECT doc_id, domain, n_tokens FROM capped""".stripMargin)
+    )),
   )
+
 
 
 
