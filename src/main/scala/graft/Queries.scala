@@ -3109,6 +3109,109 @@ object Queries {
              |  FROM gated) WHERE rn <= 15)
              |SELECT doc_id, domain, n_tokens FROM capped""".stripMargin)
     )),
+
+    // Gopher-style quality rules (Rae et al. 2021): the page-layout
+    // decoration (lines/bullets/ellipses — see
+    // TextAnalysis.decoratePage) is replayed identically in both
+    // engines, then every signal is an exact-integer count or a single
+    // long/long division, and the composite verdict compares those
+    // exact divisions to literal thresholds — so even the boolean
+    // column is hash-checkable. Thresholds were picked to be
+    // discriminative on the fixture (~40% of docs pass).
+    "q_gopher_rules" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.gopherSignals(
+              TextAnalysis.decoratePage(col("text"), col("doc_id"))).as("g"))
+          .select(col("doc_id"), col("g.n_words").as("n_words"),
+            col("g.mean_word_len").as("mean_word_len"),
+            col("g.frac_alpha_words").as("frac_alpha_words"),
+            col("g.n_stopword_hits").as("n_stopword_hits"),
+            col("g.n_lines").as("n_lines"),
+            col("g.frac_bullet_lines").as("frac_bullet_lines"),
+            col("g.frac_ellipsis_lines").as("frac_ellipsis_lines"),
+            col("g.passes").as("passes")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |l AS (SELECT doc_id, [
+             |  CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' || array_to_string(ws[i*8+1 : i*8+8], ' ')
+             |       WHEN (doc_id + i) % 7 = 3 THEN array_to_string(ws[i*8+1 : i*8+8], ' ') || '...'
+             |       ELSE array_to_string(ws[i*8+1 : i*8+8], ' ') || '.' END
+             |  for i in range(0, CAST(floor((len(ws)-1)/8) AS INTEGER) + 1)] lines FROM w),
+             |p AS (SELECT doc_id, lines,
+             |  string_split_regex(array_to_string(lines, chr(10)), '[ \n]') wd FROM l),
+             |c AS (SELECT doc_id,
+             |  CAST(len(wd) AS BIGINT) n_words,
+             |  CAST(list_sum([length(x) for x in wd]) AS BIGINT) sum_wl,
+             |  CAST(len([x for x in wd if regexp_matches(x, '[a-z]')]) AS BIGINT) n_alpha_w,
+             |  CAST(len([x for x in wd if x IN ('the','a','of','and','is','to','in',
+             |    'el','la','de','y','que','en','los','der','die','das','und','ist',
+             |    'von','mit','le','et','les','des','un')]) AS BIGINT) n_stopword_hits,
+             |  CAST(len(lines) AS BIGINT) n_lines,
+             |  CAST(len([x for x in lines if x LIKE '- %']) AS BIGINT) n_bullet,
+             |  CAST(len([x for x in lines if x LIKE '%...']) AS BIGINT) n_ellip
+             |FROM p)
+             |SELECT doc_id, n_words,
+             |  CAST(sum_wl AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+             |  CAST(n_alpha_w AS DOUBLE) / CAST(n_words AS DOUBLE) AS frac_alpha_words,
+             |  n_stopword_hits, n_lines,
+             |  CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) AS frac_bullet_lines,
+             |  CAST(n_ellip AS DOUBLE) / CAST(n_lines AS DOUBLE) AS frac_ellipsis_lines,
+             |  (n_words >= 25
+             |   AND CAST(sum_wl AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+             |   AND CAST(sum_wl AS DOUBLE) / CAST(n_words AS DOUBLE) <= 4.7
+             |   AND CAST(n_alpha_w AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.75
+             |   AND n_stopword_hits >= 2
+             |   AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.25
+             |   AND CAST(n_ellip AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.2) AS passes
+             |FROM c""".stripMargin)
+    )),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): same decorated
+    // page, then keep lines ending in terminal punctuation with >= 5
+    // words; the whole doc is dropped when < 3 lines survive or a
+    // blocklist marker appears ('lorem ipsum' / '{' — injected into a
+    // deterministic sliver of docs so the markers actually fire).
+    // Bullet lines carry no terminal '.', so the two rule families
+    // interact the way they do on real crawl text.
+    "q_c4_filter" -> ((
+      (s: SparkSession, dir: String) => {
+        val page = TextAnalysis.decoratePage(col("text"), col("doc_id"))
+        val injected =
+          when(col("doc_id") % 97 === 13,
+            concat(page, lit("\nlorem ipsum dolor sit amet.")))
+          .when(col("doc_id") % 89 === 7,
+            concat(page, lit("\nvar x = { a: 1 };")))
+          .otherwise(page)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.c4Clean(injected).as("c"))
+          .select(col("doc_id"), col("c.n_lines").as("n_lines"),
+            col("c.n_lines_kept").as("n_lines_kept"),
+            col("c.doc_kept").as("doc_kept"),
+            col("c.clean").as("clean"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |l AS (SELECT doc_id, [
+             |  CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' || array_to_string(ws[i*8+1 : i*8+8], ' ')
+             |       WHEN (doc_id + i) % 7 = 3 THEN array_to_string(ws[i*8+1 : i*8+8], ' ') || '...'
+             |       ELSE array_to_string(ws[i*8+1 : i*8+8], ' ') || '.' END
+             |  for i in range(0, CAST(floor((len(ws)-1)/8) AS INTEGER) + 1)] lines FROM w),
+             |inj AS (SELECT doc_id, CASE
+             |  WHEN doc_id % 97 = 13 THEN array_to_string(lines, chr(10)) || chr(10) || 'lorem ipsum dolor sit amet.'
+             |  WHEN doc_id % 89 = 7 THEN array_to_string(lines, chr(10)) || chr(10) || 'var x = { a: 1 };'
+             |  ELSE array_to_string(lines, chr(10)) END page FROM l),
+             |s AS (SELECT doc_id, page, string_split(page, chr(10)) lines,
+             |  [x for x in string_split(page, chr(10))
+             |   if regexp_matches(x, '[.!?"]$') AND len(string_split(x, ' ')) >= 5] kept
+             |FROM inj)
+             |SELECT doc_id,
+             |  CAST(len(lines) AS BIGINT) AS n_lines,
+             |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+             |  (len(kept) >= 3 AND NOT contains(page, 'lorem ipsum')
+             |   AND NOT contains(page, '{')) AS doc_kept,
+             |  coalesce(array_to_string(kept, chr(10)), '') AS clean
+             |FROM s""".stripMargin)
+    )),
   )
 
 

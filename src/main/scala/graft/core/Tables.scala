@@ -23,22 +23,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader refuses; read it as raw nanos and convert to a microsecond
-    * timestamp in the plan (loses sub-microsecond precision only, which
-    * no query semantics here depend on). The required
-    * `spark.sql.legacy.parquet.nanosAsLong` conf is STATIC (plan-time):
-    * it must be set at session build ([[Session.local]] does; so do the
-    * Verify/Bench/test builders) — a loader mutating session conf as a
-    * side effect would leak into unrelated queries, so this one doesn't,
-    * and instead fails fast with a pointer when the conf is missing. */
+  /** events.ts arrives in either of two encodings the fixture
+    * generator has used across rounds: parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader refuses unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` turns it into raw
+    * int64 nanos (STATIC plan-time conf; [[Session.local]] and the
+    * Verify/Bench/test builders all set it) — or plain TIMESTAMP(MICROS),
+    * which reads as a timestamp directly. Dispatch on the INFERRED
+    * column type, not a fixture-version flag, so the loader keeps
+    * working when the driver regenerates the data either way; both
+    * paths normalize to session-tz TimestampType (UTC everywhere here)
+    * so downstream query semantics are identical. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true set at " +
-        "session build (see graft.core.Session.local)")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long: convert, sub-µs precision unused
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _ => // TIMESTAMP_NTZ: same instant under the fixed UTC session
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   /** Note on fixture shape: documents/embeddings are ONE parquet file
     * with ONE row group, so their scans yield a single partition and the

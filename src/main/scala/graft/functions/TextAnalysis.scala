@@ -213,6 +213,93 @@ object TextAnalysis {
       regexp_replace(c, pat, rep)
     }
 
+  /** Deterministic page-layout synthesis for the line-level quality
+    * rules: the fixtures are single-line word soup, so bullet/ellipsis/
+    * terminal-punctuation signals would never fire on them. Both
+    * engines derive the SAME structured page — lines of `lineLen`
+    * words; line i bulleted when (doc_id+i) % bulletMod == 0, suffixed
+    * '...' when (doc_id+i) % ellipsisMod == 3, terminal '.' otherwise —
+    * so the rules are exercised on realistic shapes while staying
+    * hash-exact (same q_pii_redact discipline: the operator handles
+    * arbitrary text; the query feeds it a reproducible document). */
+  def decoratePage(text: Column, docId: Column, lineLen: Int = 8,
+      bulletMod: Int = 5, ellipsisMod: Int = 7): Column = {
+    val toks = tokens(text)
+    // start positions 0, lineLen, 2·lineLen … (same trick as [[chunks]]:
+    // sequence-by-stride avoids Spark's double-typed integer division)
+    val lines = transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(lineLen)),
+      st => {
+        val i = (st / lineLen).cast("long") // exact: st is a multiple
+        val line = concat_ws(" ", slice(toks, st + 1, lit(lineLen)))
+        when(pmod(docId + i, lit(bulletMod)) === 0, concat(lit("- "), line))
+          .when(pmod(docId + i, lit(ellipsisMod)) === 3,
+            concat(line, lit("...")))
+          .otherwise(concat(line, lit(".")))
+      })
+    concat_ws("\n", lines)
+  }
+
+  /** Gopher-style quality signals (Rae et al. 2021, §A1.1) over a
+    * multi-line page: word count, mean word length, alphabetic-word
+    * fraction, stopword hits, bullet-line and ellipsis-line fractions,
+    * plus the composite pass verdict. Every fraction is ONE division of
+    * two exact longs (bit-reproducible; see [[qualityScore]]'s note on
+    * why summed-rounded doubles are a trap), and the verdict compares
+    * those exact divisions against literals — identical in any engine.
+    * Pure map-side; at 100 TB this is a scan-embedded gate. */
+  def gopherSignals(page: Column): Column = {
+    val lines = split(page, "\n")
+    val words = split(page, "[ \n]")
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(
+      transform(words, w => length(w).cast("long")), lit(0L), _ + _)
+    val nAlphaW = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    val nStop = size(filter(words, w => w.isin(allStop.map(lit): _*)))
+      .cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.like("- %"))).cast("long")
+    val nEllip = size(filter(lines, l => l.like("%..."))).cast("long")
+    val meanWl = sumLen.cast("double") / nWords.cast("double")
+    val fracAlpha = nAlphaW.cast("double") / nWords.cast("double")
+    val fracBullet = nBullet.cast("double") / nLines.cast("double")
+    val fracEllip = nEllip.cast("double") / nLines.cast("double")
+    struct(
+      nWords.as("n_words"),
+      meanWl.as("mean_word_len"),
+      fracAlpha.as("frac_alpha_words"),
+      nStop.as("n_stopword_hits"),
+      nLines.as("n_lines"),
+      fracBullet.as("frac_bullet_lines"),
+      fracEllip.as("frac_ellipsis_lines"),
+      (nWords >= 25 && meanWl >= 3.0 && meanWl <= 4.7 &&
+        fracAlpha >= 0.75 && nStop >= 2 &&
+        fracBullet <= 0.25 && fracEllip <= 0.2).as("passes"))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep
+    * lines that end in terminal punctuation AND have >= `minLineWords`
+    * words; drop the whole document when fewer than `minKeptLines`
+    * survive or it contains a blocklist marker ('lorem ipsum', '{').
+    * Returns struct(n_lines, n_lines_kept, doc_kept, clean) — emit all
+    * docs with the verdict rather than filtering, so audits see what
+    * was dropped and why. Map-side codegen'd builtins only. */
+  def c4Clean(page: Column, minLineWords: Int = 5,
+      minKeptLines: Int = 3): Column = {
+    val lines = split(page, "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= minLineWords)
+    val nl = size(lines).cast("long")
+    val nk = size(kept).cast("long")
+    val hasBad = page.contains("lorem ipsum") || page.contains("{")
+    struct(
+      nl.as("n_lines"),
+      nk.as("n_lines_kept"),
+      (nk >= minKeptLines && !hasBad).as("doc_kept"),
+      concat_ws("\n", kept).as("clean"))
+  }
+
   /** Rolling polynomial hash over characters (mod 2^61-1), a
     * shingling-friendly fingerprint; implemented as a fold over the
     * char array — still codegen'd builtins. */

@@ -76,4 +76,59 @@ class TextAnalysisSpec extends SparkSpec {
     // "distributed" (11 chars -> 3) + "db" (2 -> 1)
     assert(one("distributed db", TextAnalysis.subwordCount(col("text"))) == 4L)
   }
+
+  test("decoratePage: lines of 8 words, bullet/ellipsis/period by (doc_id+i) mod") {
+    // 17 words, doc_id=0 -> lines i=0,1,2; i=0: (0+0)%5==0 bullet;
+    // i=1: %5!=0, (0+1)%7!=3 -> '.'; i=2: '.' as well
+    val words = (1 to 17).map(n => s"w$n").mkString(" ")
+    val page = Seq((0L, words)).toDF("doc_id", "text")
+      .select(TextAnalysis.decoratePage(col("text"), col("doc_id")).as("p"))
+      .collect().head.getString(0)
+    val lines = page.split("\n")
+    assert(lines.length == 3)
+    assert(lines(0) == "- w1 w2 w3 w4 w5 w6 w7 w8")
+    assert(lines(1) == "w9 w10 w11 w12 w13 w14 w15 w16.")
+    assert(lines(2) == "w17.")
+    // doc_id=3, i=0: (3+0)%7==3 -> ellipsis
+    val p3 = Seq((3L, "a b")).toDF("doc_id", "text")
+      .select(TextAnalysis.decoratePage(col("text"), col("doc_id")).as("p"))
+      .collect().head.getString(0)
+    assert(p3 == "a b...")
+  }
+
+  test("gopherSignals: exact counts and single-division fractions") {
+    val page = "- alpha beta\nthe gamma delta is.\nepsilon zeta..."
+    val r = Seq(page).toDF("text")
+      .select(TextAnalysis.gopherSignals(col("text")).as("g"))
+      .select("g.*").collect().head
+    // words: -, alpha, beta, the, gamma, delta, is., epsilon, zeta...
+    assert(r.getAs[Long]("n_words") == 9L)
+    assert(r.getAs[Long]("n_lines") == 3L)
+    assert(r.getAs[Double]("frac_bullet_lines") == 1.0 / 3.0)
+    assert(r.getAs[Double]("frac_ellipsis_lines") == 1.0 / 3.0)
+    // '-' has no [a-z] -> 8/9 alpha words
+    assert(r.getAs[Double]("frac_alpha_words") == 8.0 / 9.0)
+    // 'the' and 'is.'? 'is.' is not a stopword token ('is' is, with the
+    // period glued it is not) -> only 'the' hits
+    assert(r.getAs[Long]("n_stopword_hits") == 1L)
+    assert(!r.getAs[Boolean]("passes")) // n_words < 25
+  }
+
+  test("c4Clean keeps punctuated >=5-word lines and flags blocklisted docs") {
+    val page = "one two three four five six.\n- bullet line no period\n" +
+      "short line.\nseven eight nine ten eleven twelve!"
+    val r = Seq(page).toDF("text")
+      .select(TextAnalysis.c4Clean(col("text")).as("c"))
+      .select("c.*").collect().head
+    assert(r.getAs[Long]("n_lines") == 4L)
+    assert(r.getAs[Long]("n_lines_kept") == 2L) // bullet: no punct; short: <5 words
+    assert(!r.getAs[Boolean]("doc_kept")) // 2 < minKeptLines=3
+    assert(r.getAs[String]("clean") ==
+      "one two three four five six.\nseven eight nine ten eleven twelve!")
+    val bad = Seq("a b c d e.\nf g h i j.\nk l m n o { bad }.")
+      .toDF("text").select(TextAnalysis.c4Clean(col("text")).as("c"))
+      .select("c.*").collect().head
+    assert(bad.getAs[Long]("n_lines_kept") == 3L)
+    assert(!bad.getAs[Boolean]("doc_kept")) // '{' blocklist
+  }
 }
