@@ -3212,6 +3212,80 @@ object Queries {
              |  coalesce(array_to_string(kept, chr(10)), '') AS clean
              |FROM s""".stripMargin)
     )),
+
+    // Unicode NFC normalization (corpus hygiene: composed vs decomposed
+    // forms of the same grapheme defeat exact dedup/shingling/stopword
+    // matches; normalizing at ingest makes byte equality mean grapheme
+    // equality). A third of docs get DECOMPOSED suffixes (base letter +
+    // combining mark), a third the precomposed equivalents, a third
+    // nothing — after NFC the first two thirds converge to identical
+    // bytes, which the hash compare proves. Both engines implement
+    // Unicode TR-15 NFC (JDK Normalizer vs DuckDB's utf8proc), so
+    // byte-level agreement is a real cross-implementation check, not a
+    // mirrored formula. Spark side is a native codegen'd kernel with an
+    // isNormalized fast path — mostly-ASCII corpora pay ~nothing.
+    "q_unicode_normalize" -> ((
+      (s: SparkSession, dir: String) => {
+        // combining marks spelled as escapes (NEVER paste rendered
+        // text here: an editor could silently re-compose it and both
+        // branches would become identical)
+        val decomposed = lit(" cafe\u0301 nin\u0303o A\u030Angstro\u0308m")
+        val precomposed = lit(" caf\u00e9 ni\u00f1o \u00c5ngstr\u00f6m")
+        val raw = concat(col("text"),
+          when(pmod(col("doc_id"), lit(3L)) === 0, decomposed)
+            .when(pmod(col("doc_id"), lit(3L)) === 1, precomposed)
+            .otherwise(lit("")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            length(raw).cast("long").as("raw_len"),
+            graft.plans.UnicodeExpressions.nfc_normalize(raw).as("nfc_text"))
+          .withColumn("nfc_len", length(col("nfc_text")).cast("long"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text ||
+             |  CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' nin' || chr(771) || 'o A' || chr(778) || 'ngstro' || chr(776) || 'm'
+             |       WHEN doc_id % 3 = 1 THEN ' caf' || chr(233) || ' ni' || chr(241) || 'o ' || chr(197) || 'ngstr' || chr(246) || 'm'
+             |       ELSE '' END AS raw FROM documents)
+             |SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_len,
+             |  nfc_normalize(raw) AS nfc_text,
+             |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len
+             |FROM d""".stripMargin)
+    )),
+
+    // Z-order (Morton) layout key for multi-dimensional data skipping:
+    // interleave the low 16 bits of two dimension columns so that
+    // sorting by the key makes every file span a narrow RECTANGLE of
+    // both dimensions — parquet min/max stats then prune on EITHER
+    // column (the Delta/Iceberg OPTIMIZE ZORDER trick; write path is
+    // repartitionByRange(zkey) + sortWithinPartitions, no new reader).
+    // The query proves the locality property the layout depends on:
+    // per high-bits key bucket, the min/max span of each dimension —
+    // exact integers, fully hash-checked against an arithmetic
+    // bit-interleave replay in SQL.
+    "q_zorder_layout" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = Tables.orders(s, dir)
+          .select(pmod(col("o_custkey"), lit(65536L)).as("a"),
+            pmod(col("o_orderkey"), lit(65536L)).as("b"))
+          .withColumn("zkey",
+            graft.plans.LayoutExpressions.zorder_key(col("a"), col("b")))
+        o.groupBy(shiftright(col("zkey"), 20).as("z_bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min("a").as("min_a"), max("a").as("max_a"),
+            min("b").as("min_b"), max("b").as("max_b"))
+      },
+      Some {
+        val terms = (0 until 16).map(i =>
+          s"(((CAST(a AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+            s"(((CAST(b AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT o_custkey % 65536 AS a, o_orderkey % 65536 AS b FROM orders),
+           |z AS (SELECT a, b, $terms AS zkey FROM t)
+           |SELECT zkey >> 20 AS z_bucket, count(*) AS n_rows,
+           |  min(a) AS min_a, max(a) AS max_a,
+           |  min(b) AS min_b, max(b) AS max_b
+           |FROM z GROUP BY 1""".stripMargin
+      }
+    )),
   )
 
 

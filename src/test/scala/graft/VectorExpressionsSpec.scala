@@ -74,4 +74,41 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out == expected.toSeq)
     assert(out.sum == 3) // occurrences, not distinct tokens
   }
+
+  test("nfc_normalize composes combining marks; identity on NFC input") {
+    val df = Seq(
+      ("cafe\u0301", "caf\u00e9"), // decomposed -> precomposed
+      ("plain ascii", "plain ascii"),
+      ("caf\u00e9", "caf\u00e9") // already NFC: unchanged
+    ).toDF("raw", "expected")
+    val out = df.select(
+      graft.plans.UnicodeExpressions.nfc_normalize(col("raw")).as("nfc"),
+      col("expected")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // null propagates
+    val n = Seq(Option.empty[String]).toDF("raw")
+      .select(graft.plans.UnicodeExpressions.nfc_normalize(col("raw")))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("zorder_key interleaves bits: a at even positions, b at odd") {
+    import graft.plans.LayoutExpressions
+    assert(LayoutExpressions.computeZOrder(0L, 0L) == 0L)
+    assert(LayoutExpressions.computeZOrder(3L, 1L) == 7L) // 0b11 ⨯ 0b01 -> 0b0111
+    assert(LayoutExpressions.computeZOrder(5L, 10L) == 153L)
+    assert(LayoutExpressions.computeZOrder(0xFFFFL, 0L) == 0x55555555L)
+    assert(LayoutExpressions.computeZOrder(0L, 0xFFFFL) == 0xAAAAAAAAL)
+    // only the low 16 bits participate (callers quantize wider domains)
+    assert(LayoutExpressions.computeZOrder(0x10000L, 0L) == 0L)
+    // expression path agrees with the kernel
+    val z = Seq((5L, 10L)).toDF("a", "b")
+      .select(LayoutExpressions.zorder_key(col("a"), col("b")))
+      .collect().head.getLong(0)
+    assert(z == 153L)
+    // locality: adjacent points land in the same high-bit bucket
+    val k1 = LayoutExpressions.computeZOrder(100L, 200L)
+    val k2 = LayoutExpressions.computeZOrder(101L, 201L)
+    assert((k1 >> 8) == (k2 >> 8))
+  }
 }
