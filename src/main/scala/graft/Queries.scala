@@ -3251,6 +3251,40 @@ object Queries {
              |FROM d""".stripMargin)
     )),
 
+    // Mojibake repair (the ftfy 'UTF-8 read as Latin-1' case): a
+    // quarter of docs get a repairable 'cafÃ©'-style digraph suffix, a
+    // quarter a different one, a quarter a LONE high byte (0xB0 — an
+    // invalid UTF-8 continuation, so the conservative all-or-nothing
+    // decoder must leave the whole string untouched: the negative
+    // case), a quarter nothing. The oracle replays the repair as
+    // targeted digraph replaces — equivalent to the real decoder HERE
+    // because each doc's injection is disjoint (a doc never mixes a
+    // repairable digraph with an invalid byte); UnicodeSpec pins the
+    // mixed case the fixture can't express.
+    "q_mojibake_repair" -> ((
+      (s: SparkSession, dir: String) => {
+        val raw = concat(col("text"),
+          when(pmod(col("doc_id"), lit(4L)) === 0, lit(" caf\u00c3\u00a9 time"))
+            .when(pmod(col("doc_id"), lit(4L)) === 1, lit(" ni\u00c3\u00b1o born"))
+            .when(pmod(col("doc_id"), lit(4L)) === 2, lit(" 90\u00b0 day"))
+            .otherwise(lit("")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), raw.as("raw"),
+            graft.plans.UnicodeExpressions.fix_mojibake(raw).as("fixed"))
+          .select(col("doc_id"), col("fixed"),
+            (col("fixed") =!= col("raw")).as("changed"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text ||
+             |  CASE WHEN doc_id % 4 = 0 THEN ' caf' || chr(195) || chr(169) || ' time'
+             |       WHEN doc_id % 4 = 1 THEN ' ni' || chr(195) || chr(177) || 'o born'
+             |       WHEN doc_id % 4 = 2 THEN ' 90' || chr(176) || ' day'
+             |       ELSE '' END AS raw FROM documents),
+             |f AS (SELECT doc_id, raw,
+             |  replace(replace(raw, chr(195) || chr(169), chr(233)),
+             |          chr(195) || chr(177), chr(241)) AS fixed FROM d)
+             |SELECT doc_id, fixed, (fixed <> raw) AS changed FROM f""".stripMargin)
+    )),
+
     // Z-order (Morton) layout key for multi-dimensional data skipping:
     // interleave the low 16 bits of two dimension columns so that
     // sorting by the key makes every file span a narrow RECTANGLE of

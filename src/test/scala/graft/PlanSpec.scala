@@ -251,4 +251,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p) <= 2, s"expected at most 2 exchanges:\n$p")
     assert(!p.contains("Window"), "no window expected in the link rollup")
   }
+
+  test("q_gopher_rules / q_c4_filter / q_unicode_normalize: map-only gates") {
+    // the quality/hygiene gates must stay scan-embedded (zero exchange):
+    // at 100 TB each of these is one map pass, or it is a regression
+    for (q <- Seq("q_gopher_rules", "q_c4_filter", "q_unicode_normalize")) {
+      val p = plan(q)
+      assert(exchanges(p) == 0, s"$q must be a zero-exchange map pass:\n$p")
+      assert(!p.contains("BatchEvalPython"), s"$q must not use Python UDFs")
+    }
+  }
+
+  test("q_zorder_layout: one shuffle for the bucket agg, key is codegen'd") {
+    val p = plan("q_zorder_layout")
+    // partial agg map-side, one exchange on z_bucket, final agg — the
+    // same shape a 100 TB layout-stats pass would want
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("CodegenFallback"),
+      "zorder_key must participate in codegen")
+  }
 }

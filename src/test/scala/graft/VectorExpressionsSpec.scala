@@ -92,6 +92,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("fix_mojibake repairs double-encoding, conservative on everything else") {
+    def fix(s: String): String =
+      graft.plans.UnicodeExpressions.computeFixMojibake(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    assert(fix("caf\u00c3\u00a9") == "caf\u00e9") // UTF-8-as-Latin-1 repaired
+    assert(fix("plain ascii") == "plain ascii")
+    assert(fix("90\u00b0") == "90\u00b0") // lone continuation byte: untouched
+    // genuine single-encoded Latin-1 prose: 0xE9 alone is invalid UTF-8
+    assert(fix("caf\u00e9") == "caf\u00e9")
+    // mixed repairable + invalid: all-or-nothing leaves the WHOLE string
+    assert(fix("caf\u00c3\u00a9 90\u00b0") == "caf\u00c3\u00a9 90\u00b0")
+    // chars beyond Latin-1 mean real Unicode: untouched
+    assert(fix("price \u20ac9") == "price \u20ac9")
+  }
+
   test("zorder_key interleaves bits: a at even positions, b at odd") {
     import graft.plans.LayoutExpressions
     assert(LayoutExpressions.computeZOrder(0L, 0L) == 0L)
