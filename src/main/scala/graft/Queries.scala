@@ -3251,6 +3251,76 @@ object Queries {
              |FROM d""".stripMargin)
     )),
 
+    // BPE tokenizer TRAINING on-cluster (Sennrich et al. 2016): the
+    // corpus is aggregated ONCE to word frequencies (vocabulary is
+    // Heaps'-law sublinear), then each merge round runs over the vocab
+    // table only — pair-count shuffle, top-1 TakeOrderedAndProject,
+    // map-side replace. Ties break (count DESC, pair ASC) in binary
+    // string order, so the merge table is deterministic and the oracle
+    // replays all three rounds as unrolled CTEs.
+    "q_bpe_train" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Bpe.trainMerges(Tables.documents(s, dir), "text", rounds = 3),
+      Some {
+        def round(i: Int) =
+          s"""p$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) c FROM (
+             |  SELECT cnt, unnest([ss[i] || ' ' || ss[i+1] for i in range(1, len(ss))]) AS pair
+             |  FROM (SELECT cnt, string_split(sym, ' ') ss FROM s${i - 1})) GROUP BY 1),
+             |m$i AS (SELECT pair, replace(pair, ' ', '') merged, c FROM p$i
+             |  ORDER BY c DESC, pair ASC LIMIT 1),
+             |s$i AS (SELECT cnt, replace(sym, (SELECT pair FROM m$i),
+             |  (SELECT merged FROM m$i)) sym FROM s${i - 1})""".stripMargin
+        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
+           |wf AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+           |s0 AS (SELECT cnt, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym FROM wf),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT 1 AS round, pair, merged, c AS n FROM m1
+           |UNION ALL SELECT 2, pair, merged, c FROM m2
+           |UNION ALL SELECT 3, pair, merged, c FROM m3""".stripMargin
+      }
+    )),
+
+    // The apply side: train the 3 merges, then re-tokenize every doc
+    // with them in ONE zero-shuffle map pass (transform+aggregate over
+    // the word array — no explode, no groupBy) and count BPE tokens
+    // per doc. End-to-end train→apply composition under one oracle.
+    "q_bpe_apply" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        operators.Bpe.applyMerges(d, "text", "doc_id", merges)
+      },
+      Some {
+        def round(i: Int) =
+          s"""p$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) c FROM (
+             |  SELECT cnt, unnest([ss[i] || ' ' || ss[i+1] for i in range(1, len(ss))]) AS pair
+             |  FROM (SELECT cnt, string_split(sym, ' ') ss FROM s${i - 1})) GROUP BY 1),
+             |m$i AS (SELECT pair, replace(pair, ' ', '') merged, c FROM p$i
+             |  ORDER BY c DESC, pair ASC LIMIT 1),
+             |s$i AS (SELECT cnt, replace(sym, (SELECT pair FROM m$i),
+             |  (SELECT merged FROM m$i)) sym FROM s${i - 1})""".stripMargin
+        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
+           |wf AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+           |s0 AS (SELECT cnt, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym FROM wf),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)},
+           |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+           |dsym AS (SELECT doc_id, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) sym FROM docw),
+           |fin AS (SELECT doc_id,
+           |  replace(replace(replace(sym,
+           |    (SELECT pair FROM m1), (SELECT merged FROM m1)),
+           |    (SELECT pair FROM m2), (SELECT merged FROM m2)),
+           |    (SELECT pair FROM m3), (SELECT merged FROM m3)) fs FROM dsym)
+           |SELECT doc_id, CAST(sum(len(string_split(fs, ' '))) AS BIGINT) AS n_bpe_tokens
+           |FROM fin GROUP BY 1""".stripMargin
+      }
+    )),
+
     // Mojibake repair (the ftfy 'UTF-8 read as Latin-1' case): a
     // quarter of docs get a repairable 'cafÃ©'-style digraph suffix, a
     // quarter a different one, a quarter a LONE high byte (0xB0 — an

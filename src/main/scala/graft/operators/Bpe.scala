@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING on-cluster (Sennrich et al.
+  * 2016): repeatedly merge the most frequent adjacent symbol pair.
+  * The training loop the big tokenizers run offline, expressed in the
+  * engine's own operators so the corpus never leaves the cluster.
+  *
+  * 100 TB posture: the corpus is touched ONCE (word-frequency
+  * aggregation — map-side partials, one shuffle; the vocabulary is
+  * Heaps'-law sublinear in corpus size). Every merge round then runs
+  * over the VOCABULARY table only: pair counting is one map-side
+  * explode + one shuffle on the pair key, the argmax is a top-1
+  * TakeOrderedAndProject (never a full sort), and the merge itself is
+  * a map-side string replace. Driver state is one (pair, count) row
+  * per round — bounded model state, the same discipline as the IVF
+  * centroids. Determinism: ties break by (count DESC, pair ASC) in
+  * BINARY string order, identical in any engine, so the whole merge
+  * table is oracle-checkable.
+  */
+object Bpe {
+
+  /** Train `rounds` merges over whitespace words of `textCol`.
+    * Returns one row per round: (round, pair, merged, n) where `pair`
+    * is the space-separated symbol pair chosen at that round and `n`
+    * its weighted occurrence count at selection time. */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of range")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // ONE corpus pass: word frequencies, then the symbol string
+    // ('h e l l o') every round rewrites. Persisted — each round's
+    // pair count re-reads this small table, not the corpus.
+    val words0 = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+      .persist()
+
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var cur = words0
+    try {
+      for (r <- 1 to rounds) {
+        val pairs = cur
+          .select(col("cnt"), split(col("sym"), " ").as("ss"))
+          // guard: Spark's sequence(1, 0) yields a DESCENDING ramp,
+          // not empty — single-symbol words must be filtered out
+          .filter(size(col("ss")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(ss) - 1), " +
+              "i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))"))
+            .as("pair"))
+        val top = pairs.groupBy("pair").agg(sum("cnt").as("c"))
+          .orderBy(desc("c"), asc("pair")).limit(1).collect()
+        if (top.isEmpty) return spark.createDataFrame(out.result())
+          .toDF("round", "pair", "merged", "n")
+        val pair = top(0).getString(0)
+        val n = top(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        out += ((r, pair, merged, n))
+        // non-overlapping left-to-right replace — the same greedy
+        // semantics in Java and SQL engines, so rounds replay exactly
+        val pq = pair.replace("'", "''")
+        val mq = merged.replace("'", "''")
+        cur = cur.withColumn("sym", expr(s"replace(sym, '$pq', '$mq')"))
+      }
+      spark.createDataFrame(out.result()).toDF("round", "pair", "merged", "n")
+    } finally words0.unpersist()
+  }
+
+  /** Re-tokenize `textCol` with a trained merge list: per-word symbol
+    * split, merges applied in training order, symbols counted. The
+    * apply side of [[trainMerges]] — a ZERO-shuffle map pass (merges
+    * are literals in the plan; the whole per-doc count is one
+    * transform+aggregate over the word array, no explode/groupBy),
+    * emitting the per-doc BPE token count. */
+  def applyMerges(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    def wordTokens(w: org.apache.spark.sql.Column) = {
+      val sym = merges.foldLeft(trim(regexp_replace(w, "(.)", "$1 "))) {
+        case (c, (pair, merged)) => replace(c, lit(pair), lit(merged))
+      }
+      size(split(sym, " ")).cast("long")
+    }
+    docs.select(col(idCol),
+      aggregate(transform(split(col(textCol), " "), wordTokens(_)),
+        lit(0L), _ + _).as("n_bpe_tokens"))
+  }
+}

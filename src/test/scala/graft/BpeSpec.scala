@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainMerges: frequency-weighted argmax, then merged symbols pair up") {
+    // words: aa x2, ab x1 -> round 1 merges 'a a' (count 2); round 2
+    // only 'a b' remains (the merged 'aa' word is a single symbol)
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, "text", rounds = 3)
+      .orderBy("round").collect()
+    assert(m.length == 2) // round 3 finds no pairs -> early stop
+    assert(m(0).getInt(0) == 1 && m(0).getString(1) == "a a" &&
+      m(0).getString(2) == "aa" && m(0).getLong(3) == 2L)
+    assert(m(1).getInt(0) == 2 && m(1).getString(1) == "a b" &&
+      m(1).getString(2) == "ab" && m(1).getLong(3) == 1L)
+  }
+
+  test("trainMerges: ties break by binary pair order") {
+    val docs = Seq((1L, "xy yx")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, "text", rounds = 1).collect()
+    assert(m.head.getString(1) == "x y") // 'x y' < 'y x'
+  }
+
+  test("applyMerges: zero-shuffle per-doc BPE token count") {
+    val docs = Seq((1L, "aa ab aa"), (2L, "ba")).toDF("doc_id", "text")
+    val merges = Seq(("a a", "aa"), ("a b", "ab"))
+    val out = Bpe.applyMerges(docs, "text", "doc_id", merges)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: aa->1, ab->1, aa->1 = 3; doc 2: 'b a' has no merge -> 2
+    assert(rows(1L) == 3L)
+    assert(rows(2L) == 2L)
+    // plan: no exchange (map-side transform+aggregate, no explode)
+    val p = out.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), s"apply must be a map pass:\n$p")
+  }
+
+  test("replace is non-overlapping left-to-right in both engines") {
+    // 'a a a' under merge 'a a'->'aa': leftmost pair wins -> 'aa a'
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val m = Seq(("a a", "aa"))
+    val n = Bpe.applyMerges(docs, "text", "doc_id", m).collect().head.getLong(1)
+    assert(n == 2L) // 'aa' + 'a'
+  }
+}
