@@ -2596,16 +2596,28 @@ object Queries {
       (s: SparkSession, dir: String) => {
         val terms = Seq("spark", "join", "merge")
         val docs = Tables.documents(s, dir)
-        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        // ONE tokenize+explode subtree feeds everything per-term: dl
+        // rides along through the explode (constant per doc, so max()
+        // under the tf grouping recovers it — no separate dl scan, no
+        // doc_id shuffle-join), and df comes from a window count over
+        // tf partitioned by term (tf rows are distinct (doc_id, t), so
+        // count(*) per t == countDistinct doc_id over the raw tokens)
+        // — no df join, no second reference to the explode subtree.
+        // The window partitions by query term over the ALREADY-filtered
+        // tf table (rows = docs containing a query term), so partition
+        // width is df(t), never corpus-sized. Only the global (n,
+        // avgdl) stats make a second corpus pass — irreducible, and a
+        // broadcast 1-row aggregate.
+        val ws = split(col("text"), " ")
+        val tok = docs.select(col("doc_id"),
+            size(ws).cast("long").as("dl"), explode(ws).as("t"))
           .filter(col("t").isin(terms: _*))
-        val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-        val dfreq = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+        val tf = tok.groupBy("doc_id", "t")
+          .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("t")))
         val stats = docs.agg(count(lit(1)).as("n"),
           sum(size(split(col("text"), " ")).cast("long")).as("sumdl"))
-        val dl = docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("dl"))
-        tf.join(broadcast(dfreq), "t").join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
+        tf.crossJoin(broadcast(stats))
           .withColumn("avgdl", col("sumdl").cast("double") / col("n").cast("double"))
           .withColumn("idf", log(
             (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -3143,7 +3155,7 @@ object Queries {
              |c AS (SELECT doc_id,
              |  CAST(len(wd) AS BIGINT) n_words,
              |  CAST(list_sum([length(x) for x in wd]) AS BIGINT) sum_wl,
-             |  CAST(len([x for x in wd if regexp_matches(x, '[a-z]')]) AS BIGINT) n_alpha_w,
+             |  CAST(len([x for x in wd if regexp_matches(x, '[a-zA-Z]')]) AS BIGINT) n_alpha_w,
              |  CAST(len([x for x in wd if x IN ('the','a','of','and','is','to','in',
              |    'el','la','de','y','que','en','los','der','die','das','und','ist',
              |    'von','mit','le','et','les','des','un')]) AS BIGINT) n_stopword_hits,
@@ -3333,7 +3345,19 @@ object Queries {
     // mixed case the fixture can't express.
     "q_mojibake_repair" -> ((
       (s: SparkSession, dir: String) => {
-        val raw = concat(col("text"),
+        // The replace-based oracle below is only equivalent to the real
+        // all-or-nothing decoder while the BASE fixture text is pure
+        // ASCII (a non-ASCII base — or a literal 'Ã©' digraph — would
+        // make the two diverge in a confusing hash mismatch). The
+        // driver regenerates fixtures between rounds, so guard the
+        // assumption in-plan: any non-ASCII base text fails LOUDLY at
+        // run time instead of silently red-lining the gate.
+        val asciiGuard = when(col("text").rlike("[^\\x00-\\x7F]"),
+          raise_error(concat(
+            lit("q_mojibake_repair oracle assumes ASCII documents.text; " +
+              "non-ASCII base text at doc_id="),
+            col("doc_id").cast("string")))).otherwise(lit(""))
+        val raw = concat(col("text"), asciiGuard,
           when(pmod(col("doc_id"), lit(4L)) === 0, lit(" caf\u00c3\u00a9 time"))
             .when(pmod(col("doc_id"), lit(4L)) === 1, lit(" ni\u00c3\u00b1o born"))
             .when(pmod(col("doc_id"), lit(4L)) === 2, lit(" 90\u00b0 day"))

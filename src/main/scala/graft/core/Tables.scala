@@ -36,14 +36,20 @@ object Tables {
     * so downstream query semantics are identical. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType => // nanos-as-long: convert, sub-µs precision unused
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => df
-      case _ => // TIMESTAMP_NTZ: same instant under the fixed UTC session
+      case TimestampNTZType => // same instant under the fixed UTC session
         df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other — expected TIMESTAMP(MICROS), " +
+          "TIMESTAMP_NTZ, or int64 nanos (the latter requires " +
+          "spark.sql.legacy.parquet.nanosAsLong=true at session build; " +
+          "see Session.local). The fixture generator changed encoding " +
+          "again: extend this dispatch deliberately, don't cast blindly.")
     }
   }
   /** Note on fixture shape: documents/embeddings are ONE parquet file

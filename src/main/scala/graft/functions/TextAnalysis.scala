@@ -254,7 +254,9 @@ object TextAnalysis {
     val nWords = size(words).cast("long")
     val sumLen = aggregate(
       transform(words, w => length(w).cast("long")), lit(0L), _ + _)
-    val nAlphaW = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    // Gopher's rule is '>=1 ALPHABETIC character' — either case, so
+    // acronyms and capitalized nouns count (oracle mirrors the class).
+    val nAlphaW = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
     val allStop = stopwords.values.flatten.toSeq.distinct
     val nStop = size(filter(words, w => w.isin(allStop.map(lit): _*)))
       .cast("long")

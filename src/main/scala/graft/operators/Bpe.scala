@@ -62,10 +62,12 @@ object Bpe {
         val merged = pair.replace(" ", "")
         out += ((r, pair, merged, n))
         // non-overlapping left-to-right replace — the same greedy
-        // semantics in Java and SQL engines, so rounds replay exactly
-        val pq = pair.replace("'", "''")
-        val mq = merged.replace("'", "''")
-        cur = cur.withColumn("sym", expr(s"replace(sym, '$pq', '$mq')"))
+        // semantics in Java and SQL engines, so rounds replay exactly.
+        // Column API with lit(), not a SQL string: interpolating a
+        // corpus-derived pair into a literal would re-enter the SQL
+        // parser's backslash-escape handling and corrupt pairs
+        // containing '\' (common in code-like corpora).
+        cur = cur.withColumn("sym", replace(col("sym"), lit(pair), lit(merged)))
       }
       spark.createDataFrame(out.result()).toDF("round", "pair", "merged", "n")
     } finally words0.unpersist()

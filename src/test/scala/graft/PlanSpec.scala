@@ -181,6 +181,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "the 1-row stats crossJoin must broadcast, never a cartesian")
     assert(p.contains("BroadcastExchange"), "df/stats tables should broadcast")
+    // the round-5 regression this pins: tf, df and dl must all derive
+    // from ONE tokenize+explode subtree (df from tf, dl riding through
+    // the explode) — a second Generate means the corpus is re-tokenized
+    val nGenerate = "Generate \\(\\d".r.findAllIn(p).length
+    assert(nGenerate == 1,
+      s"expected exactly one tokenize explode in the plan, found $nGenerate")
   }
 
   test("q_hourly_events / q_stratified_sample: bounded-exchange aggregations") {

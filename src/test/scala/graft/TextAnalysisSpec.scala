@@ -106,8 +106,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_lines") == 3L)
     assert(r.getAs[Double]("frac_bullet_lines") == 1.0 / 3.0)
     assert(r.getAs[Double]("frac_ellipsis_lines") == 1.0 / 3.0)
-    // '-' has no [a-z] -> 8/9 alpha words
+    // '-' has no alphabetic char -> 8/9 alpha words
     assert(r.getAs[Double]("frac_alpha_words") == 8.0 / 9.0)
+    // uppercase-only words ARE alphabetic (Gopher: >=1 alphabetic char)
+    val up = Seq("NASA nasa - 42").toDF("text")
+      .select(TextAnalysis.gopherSignals(col("text")).as("g"))
+      .select("g.*").collect().head
+    assert(up.getAs[Double]("frac_alpha_words") == 2.0 / 4.0)
     // 'the' and 'is.'? 'is.' is not a stopword token ('is' is, with the
     // period glued it is not) -> only 'the' hits
     assert(r.getAs[Long]("n_stopword_hits") == 1L)
