@@ -37,6 +37,47 @@ object Queries {
   private val ClassifierWeights: Seq[Double] =
     (0 until 16).map(i => ((i * 7) % 11 - 5) / 10.0)
 
+  /** Shared DuckDB-oracle prefix for the BPE encode-family queries:
+    * the 3 training rounds (identical to q_bpe_train's CTEs), the
+    * vocab build (corpus alphabet in binary order, then one id per
+    * merge, min(id) first-wins on composed collisions), and the
+    * per-doc id-sequence encode. Ends with the `enc` CTE (doc_id,
+    * bpe_ids) and NO trailing comma — callers append either the final
+    * SELECT or further CTEs. */
+  private val BpeEncodeOracleCtes: String = {
+    def round(i: Int) =
+      s"""p$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) c FROM (
+         |  SELECT cnt, unnest([ss[i] || ' ' || ss[i+1] for i in range(1, len(ss))]) AS pair
+         |  FROM (SELECT cnt, string_split(sym, ' ') ss FROM s${i - 1})) GROUP BY 1),
+         |m$i AS (SELECT pair, replace(pair, ' ', '') merged, c FROM p$i
+         |  ORDER BY c DESC, pair ASC LIMIT 1),
+         |s$i AS (SELECT cnt, replace(sym, (SELECT pair FROM m$i),
+         |  (SELECT merged FROM m$i)) sym FROM s${i - 1})""".stripMargin
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
+       |wf AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+       |s0 AS (SELECT cnt, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym FROM wf),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |alpha AS (SELECT c, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) id
+       |  FROM (SELECT DISTINCT unnest(string_split(w, '')) AS c FROM wf)),
+       |vocab0 AS (
+       |  SELECT c AS tok, id FROM alpha
+       |  UNION ALL SELECT merged, (SELECT count(*) FROM alpha) + 0 FROM m1
+       |  UNION ALL SELECT merged, (SELECT count(*) FROM alpha) + 1 FROM m2
+       |  UNION ALL SELECT merged, (SELECT count(*) FROM alpha) + 2 FROM m3),
+       |vocab AS (SELECT tok, min(id) AS id FROM vocab0 GROUP BY tok),
+       |vm AS (SELECT map(list(tok ORDER BY id), list(id ORDER BY id)) m FROM vocab),
+       |mm AS (SELECT m1.pair pr1, m1.merged mg1, m2.pair pr2, m2.merged mg2,
+       |              m3.pair pr3, m3.merged mg3 FROM m1, m2, m3),
+       |enc AS (SELECT doc_id, flatten([
+       |    [element_at(m, t)[1] for t in string_split(
+       |       replace(replace(replace(trim(regexp_replace(w, '(.)', '\\1 ', 'g')),
+       |         pr1, mg1), pr2, mg2), pr3, mg3), ' ')]
+       |    for w in [x for x in string_split(text, ' ') if x <> '']]) AS bpe_ids
+       |  FROM documents, vm, mm)""".stripMargin
+  }
+
   // Exact-decimal money fragments — same text works in Spark SQL and DuckDB.
   private val Price = "cast(l_extendedprice as decimal(18,2))"
   private val OneMinusDisc = "(cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))"
@@ -3331,6 +3372,80 @@ object Queries {
            |SELECT doc_id, CAST(sum(len(string_split(fs, ' '))) AS BIGINT) AS n_bpe_tokens
            |FROM fin GROUP BY 1""".stripMargin
       }
+    )),
+
+    // BPE ENCODE — the dataloader-facing end of the tokenizer: train
+    // the merges, derive the vocab (corpus alphabet in binary order +
+    // one id per merge, first-wins on composed collisions), then emit
+    // each doc's ACTUAL token id sequence (Bpe.encode returns
+    // array<bigint>; the oracle projection pins the sequence as a
+    // canonical CSV string — every id in order, hash-exact — because
+    // the driver compare is only proven on scalar columns). n_oov
+    // counts NULL ids (symbols missing from the vocab): hash-checked
+    // to 0, so a silent vocab hole can't hide in the join. The encode
+    // plan is a zero-shuffle map pass: merges and the vocab map are
+    // literals (bounded model state).
+    "q_bpe_encode" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = operators.Bpe.vocab(d, "text", merges)
+        operators.Bpe.encode(d, "text", "doc_id", merges, vocab)
+          .select(col("doc_id"),
+            array_join(col("bpe_ids"), ",").as("bpe_ids_csv"),
+            col("n_bpe"),
+            size(filter(col("bpe_ids"), _.isNull)).cast("long").as("n_oov"))
+      },
+      Some(BpeEncodeOracleCtes + "\n" +
+        """SELECT doc_id, array_to_string(bpe_ids, ',') AS bpe_ids_csv,
+          |  CAST(len(bpe_ids) AS BIGINT) AS n_bpe,
+          |  CAST(len([x for x in bpe_ids if x IS NULL]) AS BIGINT) AS n_oov
+          |FROM enc""".stripMargin)
+    )),
+
+    // Sequence packing over REAL BPE token ids: encode → sharded
+    // contiguous-fill context windows over n_bpe → slice each window's
+    // actual id segment out of the doc's array (the bpe_ids array
+    // rides through the pack explode via carryCols — no join back to
+    // the encode subtree). Output is exactly what a pretraining
+    // dataloader consumes: (shard, window, doc, [seg_start, seg_end),
+    // token ids), windows tiling each shard at 256 tokens.
+    "q_pack_bpe" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = operators.Bpe.vocab(d, "text", merges)
+        val enc = operators.Bpe.encode(d, "text", "doc_id", merges, vocab)
+        operators.Packing.contextWindows(enc, "doc_id", "n_bpe",
+            budget = 256, shards = 8, carryCols = Seq("bpe_ids"))
+          .select(col("shard"), col("window_id"), col("doc_id"),
+            col("seg_start"), col("seg_end"),
+            array_join(slice(col("bpe_ids"), (col("seg_start") + 1).cast("int"),
+              (col("seg_end") - col("seg_start")).cast("int")), ",")
+              .as("seg_ids_csv"))
+      },
+      Some(BpeEncodeOracleCtes + ",\n" +
+        """t AS (SELECT doc_id, bpe_ids, CAST(len(bpe_ids) AS BIGINT) n_tok,
+          |  CAST('0x' || substr(md5('pack_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard
+          |  FROM enc),
+          |c AS (SELECT doc_id, bpe_ids, shard, n_tok,
+          |  CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS so
+          |  FROM t WHERE n_tok > 0),
+          |seg AS (SELECT shard, doc_id, bpe_ids, n_tok, so,
+          |  unnest(generate_series(CAST(floor(so / 256.0) AS BIGINT),
+          |    CAST(floor((so + n_tok - 1) / 256.0) AS BIGINT))) AS window_id
+          |  FROM c)
+          |SELECT shard, window_id, doc_id,
+          |  greatest(window_id * 256 - so, 0) AS seg_start,
+          |  least(n_tok, (window_id + 1) * 256 - so) AS seg_end,
+          |  array_to_string(list_slice(bpe_ids, greatest(window_id * 256 - so, 0) + 1,
+          |    least(n_tok, (window_id + 1) * 256 - so)), ',') AS seg_ids_csv
+          |FROM seg""".stripMargin)
     )),
 
     // Mojibake repair (the ftfy 'UTF-8 read as Latin-1' case): a

@@ -73,6 +73,53 @@ object Bpe {
     } finally words0.unpersist()
   }
 
+  /** Vocabulary for [[encode]]: every distinct corpus character (ids
+    * 0..A-1 in binary sort order — fixture text is ASCII, where
+    * Spark's UTF-16 and DuckDB's UTF-8 orderings agree) followed by
+    * one entry per merge in training order (id A+round-1). Distinct
+    * merges CAN compose the same string ('a bc' and 'ab c' both yield
+    * 'abc'); first-wins, the rule the oracle replays with min(id).
+    * The alphabet scan explodes per-doc DISTINCT characters (bounded
+    * by charset size per doc, never corpus length), and the result is
+    * bounded driver model state — |alphabet| + |merges| entries, the
+    * same discipline as the merge table itself. */
+  def vocab(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): Seq[(String, Long)] = {
+    val alpha = docs
+      .select(explode(array_distinct(split(col(textCol), ""))).as("c"))
+      .filter(col("c") =!= " " && col("c") =!= "")
+      .distinct().orderBy("c")
+      .collect().map(_.getString(0)).toSeq
+    val entries = alpha.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
+      merges.zipWithIndex.map { case ((_, m), i) => (m, (alpha.size + i).toLong) }
+    entries.groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq.sortBy(_._2)
+  }
+
+  /** Re-tokenize to the actual BPE token ID SEQUENCE per doc — the
+    * dataloader-facing sibling of [[applyMerges]]: per-word symbol
+    * split, merges applied in training order, each resulting symbol
+    * looked up in the vocab map. The map is a LITERAL in the plan
+    * (bounded vocab, same as the merge literals), so the whole encode
+    * is a zero-shuffle codegen'd map pass. Empty words (doubled-
+    * separator split artifacts) are dropped identically on both
+    * engines; a symbol missing from the vocab surfaces as a NULL id —
+    * loud, never silently skipped. */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], vocab: Seq[(String, Long)]): DataFrame = {
+    val vmap = typedLit(vocab.toMap)
+    def wordIds(w: org.apache.spark.sql.Column) = {
+      val sym = merges.foldLeft(trim(regexp_replace(w, "(.)", "$1 "))) {
+        case (c, (pair, merged)) => replace(c, lit(pair), lit(merged))
+      }
+      transform(split(sym, " "), t => element_at(vmap, t))
+    }
+    docs.select(col(idCol),
+      flatten(transform(
+        filter(split(col(textCol), " "), w => length(w) > 0),
+        wordIds(_))).as("bpe_ids"))
+      .withColumn("n_bpe", size(col("bpe_ids")).cast("long"))
+  }
+
   /** Re-tokenize `textCol` with a trained merge list: per-word symbol
     * split, merges applied in training order, symbols counted. The
     * apply side of [[trainMerges]] — a ZERO-shuffle map pass (merges

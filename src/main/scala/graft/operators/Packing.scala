@@ -59,15 +59,19 @@ object Packing {
     * emits ⌈tokens/budget⌉+1 rows per document at most — output is
     * linear in corpus tokens over `budget`, never token-level. */
   def contextWindows(df: DataFrame, idCol: String, tokenCol: String,
-                     budget: Long, shards: Int = 64): DataFrame =
+                     budget: Long, shards: Int = 64,
+                     carryCols: Seq[String] = Nil): DataFrame =
     packBins(df, idCol, tokenCol, budget, shards)
       .filter(col(tokenCol) > 0)
       .withColumn("window_id", explode(sequence(
         floor(col("start_offset") / budget).cast("long"),
         floor((col("start_offset") + col(tokenCol) - 1) / budget).cast("long"))))
-      .select(col("shard"), col("window_id"), col(idCol),
+      .select(Seq(col("shard"), col("window_id"), col(idCol),
         greatest(col("window_id") * budget - col("start_offset"), lit(0L))
           .as("seg_start"),
         least(col(tokenCol).cast("long"),
           (col("window_id") + 1) * budget - col("start_offset")).as("seg_end"))
+        // carryCols ride through the explode (e.g. the BPE id array a
+        // dataloader slices per segment) — no join back to the source
+        ++ carryCols.map(col): _*)
 }

@@ -45,4 +45,33 @@ class BpeSpec extends SparkSpec {
     val n = Bpe.applyMerges(docs, "text", "doc_id", m).collect().head.getLong(1)
     assert(n == 2L) // 'aa' + 'a'
   }
+
+  test("vocab: alphabet in binary order, merges appended, first-wins on collisions") {
+    val docs = Seq((1L, "ba ab")).toDF("doc_id", "text")
+    // alphabet {a, b} -> ids 0, 1; merges get 2, 3...
+    val v = Bpe.vocab(docs, "text", Seq(("a b", "ab"), ("b a", "ba")))
+    assert(v == Seq(("a", 0L), ("b", 1L), ("ab", 2L), ("ba", 3L)))
+    // two merges composing the same string: the EARLIER id survives
+    val v2 = Bpe.vocab(docs, "text", Seq(("a b", "ab"), ("a b", "ab")))
+    assert(v2 == Seq(("a", 0L), ("b", 1L), ("ab", 2L)))
+  }
+
+  test("encode: id sequences follow merges; OOV is NULL; zero-shuffle plan") {
+    val docs = Seq((1L, "aa ab ba"), (2L, "a  z")).toDF("doc_id", "text")
+    val merges = Seq(("a a", "aa"), ("a b", "ab"))
+    val vocab = Bpe.vocab(Seq((1L, "aa ab ba")).toDF("doc_id", "text"),
+      "text", merges) // built WITHOUT 'z' -> z is OOV for doc 2
+    val out = Bpe.encode(docs, "text", "doc_id", merges, vocab)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getSeq[Any](1), r.getLong(2))).toMap
+    // vocab: a=0, b=1, aa=2, ab=3
+    assert(rows(1L)._1 == Seq(2L, 3L, 1L, 0L)) // aa | ab | b,a
+    assert(rows(1L)._2 == 4L)
+    // doc 2: double space -> empty word dropped; 'z' unseen -> null id
+    assert(rows(2L)._1 == Seq(0L, null))
+    assert(rows(2L)._2 == 2L)
+    val p = out.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), s"encode must be a map pass:\n$p")
+  }
 }
