@@ -2924,11 +2924,15 @@ object Queries {
     )),
     // Main-text extraction from HTML: a deterministic page is wrapped
     // around each document (title/style/script/comment boilerplate, a
-    // "<" inside inline JS, an entity-encoded body) and Web.htmlText
-    // must recover exactly title + heading + decoded body. The oracle
-    // replays page construction AND the extraction chain in DuckDB;
-    // WebSpec pins the semantics on literal cases so the mirrored
-    // chains can't hide a shared bug.
+    // "<" inside inline JS, an entity-encoded body, and a numeric-
+    // entity paragraph: decimal &#176;, &#233;, hex &#x41;, a BMP
+    // reference &#8217; that must stay LITERAL — outside the Latin-1
+    // decode scope — an overlong &#999999; likewise literal, and the
+    // double-escape &amp;#65; which must yield the text '&#65;') and
+    // Web.htmlText must recover exactly title + heading + decoded
+    // body. The oracle replays page construction AND the extraction
+    // chain in DuckDB; WebSpec pins the semantics on literal cases so
+    // the mirrored chains can't hide a shared bug.
     "q_html_extract" -> ((
       (s: SparkSession, dir: String) => {
         val page = concat(
@@ -2938,7 +2942,8 @@ object Queries {
           col("source"),
           lit("</h1><!-- note --><p>"),
           regexp_replace(col("text"), "table", "t&amp;ble"),
-          lit("</p></body></html>"))
+          lit("</p><p>90&#176; caf&#233; &#x41;ster &#8217;q&#8217; " +
+            "&#999999; &amp;#65;</p></body></html>"))
         Tables.documents(s, dir)
           .select(col("doc_id"), Web.htmlText(page).as("main_text"))
           .withColumn("n_chars_main", length(col("main_text")).cast("long"))
@@ -2948,19 +2953,30 @@ object Queries {
              |  || '</title><style>p { color: #333 }</style><script>if (1 < 2) { em("<p>"); }</script></head><body><h1>'
              |  || source || '</h1><!-- note --><p>'
              |  || regexp_replace(text, 'table', 't&amp;ble', 'g')
-             |  || '</p></body></html>' AS html
+             |  || '</p><p>90&#176; caf&#233; &#x41;ster &#8217;q&#8217; &#999999; &amp;#65;</p></body></html>' AS html
              |FROM documents),
+             |s AS (SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+             |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             |    '(?s)<!--.*?-->', ' ', 'g'),
+             |    '<[^>]+>', ' ', 'g') AS t FROM h),
+             |n AS (SELECT doc_id, array_to_string(list_transform(
+             |  regexp_extract_all(t, '&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};|&|[^&]+'),
+             |  tk -> CASE
+             |    WHEN regexp_matches(tk, '^&#[0-9]')
+             |      AND TRY_CAST(substr(tk, 3, length(tk) - 3) AS BIGINT) BETWEEN 1 AND 255
+             |      THEN chr(CAST(substr(tk, 3, length(tk) - 3) AS INTEGER))
+             |    WHEN regexp_matches(tk, '^&#[xX]')
+             |      AND TRY_CAST('0x' || substr(tk, 4, length(tk) - 4) AS BIGINT) BETWEEN 1 AND 255
+             |      THEN chr(CAST('0x' || substr(tk, 4, length(tk) - 4) AS INTEGER))
+             |    ELSE tk END), '') AS t FROM s),
              |e AS (SELECT doc_id,
              |  trim(regexp_replace(
-             |    replace(replace(replace(replace(replace(replace(
-             |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-             |        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-             |        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-             |        '(?s)<!--.*?-->', ' ', 'g'),
-             |        '<[^>]+>', ' ', 'g'),
+             |    replace(replace(replace(replace(replace(replace(t,
              |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
              |    '[ \t\r\n]+', ' ', 'g')) AS main_text
-             |FROM h)
+             |FROM n)
              |SELECT doc_id, main_text,
              |  CAST(length(main_text) AS BIGINT) AS n_chars_main FROM e""".stripMargin)
     )),
@@ -3024,6 +3040,62 @@ object Queries {
              |SELECT domain, count(*) AS n_links, count(DISTINCT url) AS n_urls
              |FROM d GROUP BY 1""".stripMargin)
     )),
+    // Registrable-domain EXACTNESS: the pinned public-suffix snapshot
+    // (checked-in data file, broadcast-join variant) against the
+    // zero-join heuristic, on planted hosts where they must disagree —
+    // com.cn / co.za / co.kr are not in the heuristic's alternation,
+    // so last-two-labels mis-keys them; the snapshot registers the
+    // last THREE. Also pinned: agreement on .com and co.uk, the
+    // host-IS-a-suffix edge ('' registrable), and single-label hosts.
+    // The oracle inlines the SAME snapshot (VALUES generated from the
+    // resource file at SQL build time) so both engines key off
+    // identical pinned data.
+    "q_registered_domain" -> ((
+      (s: SparkSession, dir: String) => {
+        val host = when(col("doc_id") % 7 === 0,
+            concat(lit("shop."), col("source"), lit(".com.cn")))
+          .when(col("doc_id") % 7 === 1,
+            concat(lit("www."), col("source"), lit(".co.za")))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("source"), lit(".example.com")))
+          .when(col("doc_id") % 7 === 3,
+            concat(lit("cdn."), col("source"), lit(".co.uk")))
+          .when(col("doc_id") % 7 === 4, lit("com.cn"))
+          .when(col("doc_id") % 7 === 5, lit("localhost"))
+          .otherwise(concat(lit("a.b."), col("source"), lit(".co.kr")))
+        val hosts = Tables.documents(s, dir)
+          .select(col("doc_id"), host.as("host"),
+            Web.registeredDomain(host).as("heuristic"))
+        Web.registeredDomainExact(hosts, "host", "exact_domain")
+          .withColumn("agree", col("heuristic") === col("exact_domain"))
+      },
+      Some {
+        val values = Web.pslSnapshot.map(sfx => s"('$sfx')").mkString(", ")
+        s"""WITH psl(suffix) AS (SELECT * FROM (VALUES $values)),
+           |hosts AS (SELECT doc_id,
+           |  CASE CAST(doc_id % 7 AS INTEGER)
+           |    WHEN 0 THEN 'shop.' || source || '.com.cn'
+           |    WHEN 1 THEN 'www.' || source || '.co.za'
+           |    WHEN 2 THEN source || '.example.com'
+           |    WHEN 3 THEN 'cdn.' || source || '.co.uk'
+           |    WHEN 4 THEN 'com.cn'
+           |    WHEN 5 THEN 'localhost'
+           |    ELSE 'a.b.' || source || '.co.kr' END AS host
+           |  FROM documents),
+           |t AS (SELECT doc_id, host,
+           |  regexp_extract(host,
+           |    '([^.]+\\.(?:ac|co|com|edu|gov|net|org)\\.(?:au|br|in|jp|nz|uk)|[^.]+\\.[^.]+)$$',
+           |    1) AS heuristic,
+           |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS t2,
+           |  regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS t3
+           |  FROM hosts)
+           |SELECT doc_id, host, heuristic,
+           |  CASE WHEN t2 IN (SELECT suffix FROM psl) THEN t3 ELSE t2 END AS exact_domain,
+           |  (heuristic = CASE WHEN t2 IN (SELECT suffix FROM psl) THEN t3 ELSE t2 END) AS agree
+           |FROM t""".stripMargin
+      }
+    )),
+
     // WARC ingestion end-to-end under the oracle: a hand-built crawl
     // archive (warcinfo/request noise, an embedded false record-
     // boundary magic, UTF-8 multibyte bytes, entity-encoded HTML,
@@ -3047,49 +3119,87 @@ object Queries {
               |FROM read_csv('${graft.sources.WarcFixture.expectedCsvPath}',
               |  header=true, all_varchar=true)""".stripMargin)
     )),
-    // Crawl politeness: REP (robots.txt) disallow rules from the
-    // User-agent: * group filter the corpus's URL paths by prefix
-    // match — rules scoped to named agents must NOT apply (the
-    // /private path stays allowed), and '/admin' blocks '/admindata'
-    // (REP is a raw prefix match). WebSpec anchors the parsing on
-    // literal cases; the oracle replays the extraction in DuckDB.
+    // Crawl politeness, full RFC 9309 core: the User-agent: * group
+    // carries BOTH Allow and Disallow rules with REP's wildcards, and
+    // the verdict is longest-match precedence (most pattern octets,
+    // Allow wins ties) — the behavior real sites rely on
+    // (Allow: /admin/public under Disallow: /admin). Planted paths
+    // exercise: plain prefix block, Allow override of a Disallow
+    // prefix, '*' mid-pattern, trailing '$' anchor (blocks .pdf but
+    // NOT .pdfx), an Allow that un-blocks a wildcard Disallow, rules
+    // scoped to named agents staying inert, and the default-allow
+    // fallthrough. The oracle compiles each pattern to the same
+    // anchored regex (identical literal-replace escape chain) and
+    // picks the winner with a window argmax.
     "q_robots_filter" -> ((
       (s: SparkSession, dir: String) => {
         val robots = lit("User-agent: bot1\nDisallow: /private\n\n" +
-          "User-agent: *\nDisallow: /admin\nDisallow: /tmp/\n\n" +
+          "User-agent: *\nDisallow: /admin\nAllow: /admin/public\n" +
+          "Disallow: /tmp/\nDisallow: /*.pdf$\nAllow: /docs/*.pdf$\n" +
+          "Disallow: /cgi*bin/\n\n" +
           "User-agent: bot2\nDisallow: /")
-        val path = when(col("doc_id") % 4 === 0,
-            concat(lit("/admin/p"), col("doc_id").cast("string")))
-          .when(col("doc_id") % 4 === 1,
-            concat(lit("/tmp/x"), col("doc_id").cast("string")))
-          .when(col("doc_id") % 4 === 2,
-            concat(lit("/private/y"), col("doc_id").cast("string")))
-          .otherwise(concat(lit("/public/z"), col("doc_id").cast("string")))
+        val id = col("doc_id").cast("string")
+        val path = when(col("doc_id") % 9 === 0, concat(lit("/admin/p"), id))
+          .when(col("doc_id") % 9 === 1, concat(lit("/admin/public/p"), id))
+          .when(col("doc_id") % 9 === 2, concat(lit("/tmp/x"), id))
+          .when(col("doc_id") % 9 === 3, concat(lit("/private/y"), id))
+          .when(col("doc_id") % 9 === 4, concat(lit("/files/f"), id, lit(".pdf")))
+          .when(col("doc_id") % 9 === 5, concat(lit("/docs/d"), id, lit(".pdf")))
+          .when(col("doc_id") % 9 === 6, concat(lit("/cgi-bin/q"), id))
+          .when(col("doc_id") % 9 === 7, concat(lit("/files/f"), id, lit(".pdfx")))
+          .otherwise(concat(lit("/public/z"), id))
         Tables.documents(s, dir)
           .select(col("doc_id"), path.as("url_path"))
-          .withColumn("blocked",
-            Web.robotsBlocked(col("url_path"), Web.robotsDisallows(robots)))
+          .withColumn("allowed",
+            Web.robotsAllowed(col("url_path"), Web.robotsRules(robots)))
       },
       Some("""WITH r AS (SELECT
              |  'User-agent: bot1' || chr(10) || 'Disallow: /private' || chr(10) || chr(10) ||
              |  'User-agent: *' || chr(10) || 'Disallow: /admin' || chr(10) ||
-             |  'Disallow: /tmp/' || chr(10) || chr(10) ||
+             |  'Allow: /admin/public' || chr(10) || 'Disallow: /tmp/' || chr(10) ||
+             |  'Disallow: /*.pdf$' || chr(10) || 'Allow: /docs/*.pdf$' || chr(10) ||
+             |  'Disallow: /cgi*bin/' || chr(10) || chr(10) ||
              |  'User-agent: bot2' || chr(10) || 'Disallow: /' AS robots),
-             |dis AS (SELECT list_filter(list_transform(regexp_extract_all(
-             |    regexp_extract(robots,
-             |      '(?is)user-agent:[ \t]*\*[ \t\r]*\n(.*?)(\nuser-agent:|$)', 1),
-             |    '(?i)disallow:[ \t]*([^\r\n#]*)', 1),
-             |    x -> trim(x)), x -> x <> '') AS ds FROM r),
+             |blk AS (SELECT regexp_extract(robots,
+             |  '(?is)user-agent:[ \t]*\*[ \t\r]*\n(.*?)(\nuser-agent:|$)', 1) AS b FROM r),
+             |ln AS (SELECT unnest(string_split(b, chr(10))) AS l FROM blk),
+             |r0 AS (SELECT
+             |  trim(regexp_extract(l, '(?i)^[ \t]*disallow:[ \t]*([^\r\n#]*)', 1)) AS dis,
+             |  trim(regexp_extract(l, '(?i)^[ \t]*allow:[ \t]*([^\r\n#]*)', 1)) AS alw FROM ln),
+             |rules AS (SELECT CASE WHEN dis <> '' THEN dis ELSE alw END AS pat,
+             |  (dis = '') AS allow FROM r0 WHERE dis <> '' OR alw <> ''),
+             |rx AS (SELECT pat, allow, CAST(length(pat) AS BIGINT) AS plen,
+             |  '^' || replace(
+             |    replace(replace(replace(replace(replace(replace(replace(replace(
+             |    replace(replace(replace(replace(replace(
+             |      CASE WHEN pat LIKE '%$' THEN substr(pat, 1, length(pat) - 1) ELSE pat END,
+             |      '\', '\\'), '.', '\.'), '+', '\+'), '?', '\?'), '[', '\['),
+             |      ']', '\]'), '(', '\('), ')', '\)'), '^', '\^'), '$', '\$'),
+             |      '|', '\|'), '{', '\{'), '}', '\}'),
+             |    '*', '.*')
+             |  || CASE WHEN pat LIKE '%$' THEN '$' ELSE '' END AS rex
+             |  FROM rules),
              |d AS (SELECT doc_id,
-             |  CASE CAST(doc_id % 4 AS INTEGER)
+             |  CASE CAST(doc_id % 9 AS INTEGER)
              |    WHEN 0 THEN '/admin/p' || CAST(doc_id AS VARCHAR)
-             |    WHEN 1 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
-             |    WHEN 2 THEN '/private/y' || CAST(doc_id AS VARCHAR)
+             |    WHEN 1 THEN '/admin/public/p' || CAST(doc_id AS VARCHAR)
+             |    WHEN 2 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+             |    WHEN 3 THEN '/private/y' || CAST(doc_id AS VARCHAR)
+             |    WHEN 4 THEN '/files/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+             |    WHEN 5 THEN '/docs/d' || CAST(doc_id AS VARCHAR) || '.pdf'
+             |    WHEN 6 THEN '/cgi-bin/q' || CAST(doc_id AS VARCHAR)
+             |    WHEN 7 THEN '/files/f' || CAST(doc_id AS VARCHAR) || '.pdfx'
              |    ELSE '/public/z' || CAST(doc_id AS VARCHAR) END AS url_path
-             |  FROM documents)
-             |SELECT doc_id, url_path,
-             |  len(list_filter(ds, p -> starts_with(url_path, p))) > 0 AS blocked
-             |FROM d CROSS JOIN dis""".stripMargin)
+             |  FROM documents),
+             |m AS (SELECT d.doc_id, d.url_path, rx.plen, rx.allow
+             |  FROM d CROSS JOIN rx WHERE regexp_matches(d.url_path, rx.rex)),
+             |best AS (SELECT doc_id, allow,
+             |  row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY plen DESC, allow DESC) AS rn FROM m)
+             |SELECT d.doc_id, d.url_path,
+             |  coalesce(b.allow, true) AS allowed
+             |FROM d LEFT JOIN (SELECT doc_id, allow FROM best WHERE rn = 1) b
+             |  USING (doc_id)""".stripMargin)
     )),
     // The WHOLE web front door composed under ONE oracle: page
     // construction -> main-text extraction -> robots politeness filter

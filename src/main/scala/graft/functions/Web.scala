@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** HTML and URL primitives for web-corpus curation — the front door of
@@ -40,11 +40,38 @@ object Web {
     val noStyle   = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags    = regexp_replace(noComment, "<[^>]+>", " ")
+    val numeric   = decodeNumericEntities(noTags)
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+      .foldLeft(numeric) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
     trim(regexp_replace(decoded, Ws, " "))
+  }
+
+  /** Numeric character references — `&#NNN;` / `&#xNN;` — decoded to
+    * their code points for the Latin-1 range 1–255, where Spark's
+    * `chr` and external engines agree (Spark chr is mod-256 ABOVE
+    * 255, so BMP/astral references like `&#8217;` are left as literal
+    * text rather than silently corrupted — scoped, documented, same
+    * spirit as the six-entity named set). The tokenize pattern tiles
+    * the whole string (numeric entity | lone `&` | `&`-free run) via
+    * leftmost-FIRST alternation, which Java regex and RE2 share;
+    * digit counts are bounded so the numeric cast cannot overflow.
+    * Runs BEFORE the named-entity pass for the same reason `&amp;`
+    * decodes last: `&amp;#65;` must yield the literal text `&#65;`
+    * (the price: the rare double-escape `&#38;amp;` decodes all the
+    * way to `&` — both engines replay the same order, so the choice
+    * is pinned, not drifting). */
+  private def decodeNumericEntities(c: Column): Column = {
+    val toks = regexp_extract_all(c,
+      lit("&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};|&|[^&]+"), lit(0))
+    array_join(transform(toks, t => {
+      val isDec = t.rlike("^&#[0-9]")
+      val isHex = t.rlike("^&#[xX]")
+      val n = when(isDec, t.substr(lit(3), length(t) - 3).cast("long"))
+        .when(isHex, conv(t.substr(lit(4), length(t) - 4), 16, 10).cast("long"))
+      when((isDec || isHex) && n.between(1, 255), chr(n)).otherwise(t)
+    }), "")
   }
 
   /** Every double-quoted `href` value on the page, in document order
@@ -121,6 +148,65 @@ object Web {
   def robotsBlocked(path: Column, disallows: Column): Column =
     exists(disallows, d => path.startsWith(d))
 
+  /** Full RFC 9309 rule set from the first `User-agent: *` group:
+    * BOTH `Allow:` and `Disallow:` lines, in order, as
+    * `array<struct<pat: string, allow: boolean>>`. Empty-valued lines
+    * (allow-all markers) are dropped; a body with no `*` group yields
+    * an empty array — REP's default-allow. Feed to [[robotsAllowed]]
+    * for longest-match precedence with `*`/`$` wildcards — the part
+    * of REP [[robotsDisallows]] deliberately skipped (e.g.
+    * `Allow: /public` under `Disallow: /`, which real sites rely
+    * on). */
+  def robotsRules(robotsTxt: Column): Column = {
+    val starBlock = regexp_extract(robotsTxt,
+      "(?is)user-agent:[ \\t]*\\*[ \\t\\r]*\\n(.*?)(\\nuser-agent:|$)", 1)
+    filter(
+      transform(split(starBlock, "\n"), l => {
+        val dis = trim(regexp_extract(l, "(?i)^[ \\t]*disallow:[ \\t]*([^\\r\\n#]*)", 1))
+        val alw = trim(regexp_extract(l, "(?i)^[ \\t]*allow:[ \\t]*([^\\r\\n#]*)", 1))
+        struct(
+          when(dis =!= "", dis).otherwise(alw).as("pat"),
+          (dis === "").as("allow"))
+      }),
+      r => r.getField("pat") =!= "")
+  }
+
+  /** RFC 9309 group-matching verdict for one path: the MOST SPECIFIC
+    * matching rule wins (most pattern octets — length of the raw
+    * pattern including wildcards, the rule Google's reference parser
+    * implements), Allow beating Disallow on ties; no matching rule is
+    * allow. Patterns support REP's two wildcards: `*` (any run) and a
+    * TRAILING `$` (end anchor). Each pattern is compiled to an
+    * anchored regex with literal replaces only (no group references
+    * in replacements — Java `$1` vs RE2 `\1` diverge): escape every
+    * shared metachar with backslash-first ordering, then `*` → `.*`.
+    * The per-element regex is data-driven (compiled per row), which
+    * is fine where it runs: rule arrays are per-DOMAIN and tiny,
+    * never corpus-length. */
+  def robotsAllowed(path: Column, rules: Column): Column = {
+    def toRegex(p: Column): Column = {
+      val anchored = p.endsWith("$")
+      val core = when(anchored, p.substr(lit(1), length(p) - 1)).otherwise(p)
+      val esc = Seq("\\", ".", "+", "?", "[", "]", "(", ")", "^", "$", "|", "{", "}")
+        .foldLeft(core)((c, ch) => replace(c, lit(ch), lit("\\" + ch)))
+      concat(lit("^"), replace(esc, lit("*"), lit(".*")),
+        when(anchored, lit("$")).otherwise(lit("")))
+    }
+    val best = aggregate(rules,
+      struct(lit(-1L).as("len"), lit(true).as("allow")),
+      (acc, r) => {
+        val m = regexp_like(path, toRegex(r.getField("pat")))
+        val rl = length(r.getField("pat")).cast("long")
+        val better = m && (rl > acc.getField("len") ||
+          (rl === acc.getField("len") && r.getField("allow") &&
+            !acc.getField("allow")))
+        when(better,
+          struct(rl.as("len"), r.getField("allow").as("allow")))
+          .otherwise(acc)
+      })
+    best.getField("allow")
+  }
+
   /** Registrable domain of a host — the right key for per-domain caps:
     * subdomains of one registrant (`cdn.x.co.uk`, `www.x.co.uk`) must
     * count against ONE budget. Last two labels, except under the
@@ -136,4 +222,40 @@ object Web {
     regexp_extract(host,
       "([^.]+\\.(?:ac|co|com|edu|gov|net|org)\\.(?:au|br|in|jp|nz|uk)|[^.]+\\.[^.]+)$",
       1)
+
+  /** Pinned public-suffix snapshot (two-level public suffixes only; see
+    * the resource file header for scope). Bounded model state: a few
+    * hundred entries, loaded once per JVM from the library's own
+    * classpath — no network, no environment. */
+  lazy val pslSnapshot: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/psl_snapshot.txt")
+    require(in != null, "psl_snapshot.txt missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    finally in.close()
+  }
+
+  /** EXACT registrable domain via the pinned snapshot — the
+    * broadcast-join variant [[registeredDomain]]'s scaladoc points
+    * callers at: a host whose last two labels are a listed public
+    * suffix registers at its last THREE labels, anything else at the
+    * last two (the PSL's implicit `*` default), `''` for single-label
+    * hosts and for hosts that ARE a public suffix. The snapshot is a
+    * broadcast hash join side (~400 rows), so the lookup costs one
+    * map-side probe per row — no shuffle of the corpus; the heuristic
+    * column function stays the zero-join default for callers that
+    * can tolerate last-two-labels on the uncommon ccTLD registries. */
+  def registeredDomainExact(df: DataFrame, hostCol: String,
+      out: String = "registered_domain"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val psl = pslSnapshot.toDF("psl_suffix")
+    val h = lower(col(hostCol))
+    df.withColumn("__t2", regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
+      .withColumn("__t3", regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+      .join(broadcast(psl), col("__t2") === col("psl_suffix"), "left")
+      .withColumn(out,
+        when(col("psl_suffix").isNotNull, col("__t3")).otherwise(col("__t2")))
+      .drop("__t2", "__t3", "psl_suffix")
+  }
 }

@@ -98,4 +98,58 @@ class WebSpec extends SparkSpec {
       assert(one(in, Web.registeredDomain(col("s"))) === want, s"for $in")
     }
   }
+
+  test("htmlText decodes numeric entities in the Latin-1 range only") {
+    assert(one("<p>90&#176; caf&#233; &#x41;!</p>", Web.htmlText(col("s"))) ===
+      "90° café A!")
+    // out of Latin-1 scope or malformed: left as literal text
+    assert(one("<p>&#8217; &#999999; &#x110000; &#; &#xG1;</p>",
+      Web.htmlText(col("s"))) === "&#8217; &#999999; &#x110000; &#; &#xG1;")
+    // double-escape: &amp;#65; yields the TEXT &#65; (numeric runs first)
+    assert(one("<p>&amp;#65;</p>", Web.htmlText(col("s"))) === "&#65;")
+  }
+
+  test("robotsRules + robotsAllowed: longest match, Allow ties, wildcards") {
+    val robots = "User-agent: *\nDisallow: /admin\nAllow: /admin/public\n" +
+      "Disallow: /*.pdf$\nAllow: /docs/*.pdf$\nDisallow: /cgi*bin/\nAllow:\n"
+    def allowed(p: String): Boolean =
+      Seq((robots, p)).toDF("r", "p")
+        .select(Web.robotsAllowed(col("p"), Web.robotsRules(col("r"))))
+        .head.getBoolean(0)
+    assert(!allowed("/admin/secret"))       // plain prefix block
+    assert(allowed("/admin/public/x"))      // longer Allow overrides
+    assert(!allowed("/files/a.pdf"))        // * wildcard + $ anchor
+    assert(allowed("/files/a.pdfx"))        // $ anchors: .pdfx survives
+    assert(allowed("/docs/a.pdf"))          // longer Allow beats /*.pdf$
+    assert(!allowed("/cgi-bin/q"))          // mid-pattern *
+    assert(allowed("/anything/else"))       // default-allow
+    // regex metachars in a rule pattern stay literal
+    val tricky = "User-agent: *\nDisallow: /a+b(c)\n"
+    assert(!Seq((tricky, "/a+b(c)/d")).toDF("r", "p")
+      .select(Web.robotsAllowed(col("p"), Web.robotsRules(col("r"))))
+      .head.getBoolean(0))
+    assert(Seq((tricky, "/aab")).toDF("r", "p")
+      .select(Web.robotsAllowed(col("p"), Web.robotsRules(col("r"))))
+      .head.getBoolean(0)) // '+' is not a quantifier
+  }
+
+  test("registeredDomainExact: snapshot keys ccTLD registries the heuristic misses") {
+    val hosts = Seq("shop.x.com.cn", "www.y.co.za", "a.b.z.co.kr",
+      "cdn.w.co.uk", "v.example.com", "com.cn", "localhost")
+      .toDF("host")
+    val out = Web.registeredDomainExact(hosts, "host", "exact")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("shop.x.com.cn") === "x.com.cn")
+    assert(out("www.y.co.za") === "y.co.za")
+    assert(out("a.b.z.co.kr") === "z.co.kr")
+    assert(out("cdn.w.co.uk") === "w.co.uk")
+    assert(out("v.example.com") === "example.com")
+    assert(out("com.cn") === "")   // host IS a public suffix
+    assert(out("localhost") === "")
+    // the plan must broadcast the snapshot side
+    val p = Web.registeredDomainExact(hosts, "host", "exact")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"snapshot join should broadcast:\n$p")
+  }
 }
