@@ -149,6 +149,48 @@ object Soak {
             .withColumn("text", when(col("doc_id") % 11 === 0,
               upper(col("text"))).otherwise(col("text"))),
           "doc_id", Seq("text", "source"))
+      },
+      run("web_curation") {
+        // the full front door at 10x: HTML wrap -> main-text extraction
+        // (incl. the numeric-entity decode pass) -> robots gate ->
+        // token-count gate -> per-registrable-domain cap. All gates are
+        // scan-embedded; the only shuffle is the domain-cap window.
+        import graft.functions.{TextAnalysis, Web}
+        val page = concat(lit("<html><head><title>"), col("source"),
+          lit("</title><script>a(\"<i>\");</script></head><body><h1>"),
+          col("source"), lit("</h1><p>"), col("text"),
+          lit(" 90&#176; &amp;x</p></body></html>"))
+        val path = when(col("doc_id") % 4 === 0,
+            concat(lit("/admin/p"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/tmp/x"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/public/z"), col("doc_id").cast("string")))
+        val robots = lit("User-agent: *\nDisallow: /admin\nDisallow: /tmp/")
+        val url = concat(lit("https://www."), col("source"), lit(".co.uk"), path)
+        val staged = docs10.select(col("doc_id"),
+            Web.htmlText(page).as("main_text"),
+            path.as("url_path"), url.as("url"))
+          .filter(!Web.robotsBlocked(col("url_path"), Web.robotsDisallows(robots)))
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("main_text")))
+          .filter(col("n_tokens") >= 30)
+          .withColumn("domain", Web.registeredDomain(Web.urlHost(col("url"))))
+        Sampling.domainCap(staged, "domain", col("doc_id"), cap = 150)
+      },
+      run("bpe_train8") {
+        // 8 merge rounds over the 10x corpus: ONE corpus aggregation,
+        // then 8 vocab-table rounds (pair-count shuffle + top-1 argmax
+        // each) — wall time should be corpus-pass + 8 small rounds, not
+        // 8 corpus passes; driver state stays one row per round
+        Bpe.trainMerges(docs10, "text", rounds = 8)
+      },
+      run("bpe_encode") {
+        // the dataloader path at 10x: train 3 rounds, then the encode
+        // map pass emitting real id sequences — zero shuffle expected
+        val merges = Bpe.trainMerges(docs10, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = Bpe.vocab(docs10, "text", merges)
+        Bpe.encode(docs10, "text", "doc_id", merges, vocab)
       })
 
     val total = results.map(_._2).sum
