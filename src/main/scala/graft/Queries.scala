@@ -2925,14 +2925,16 @@ object Queries {
     // Main-text extraction from HTML: a deterministic page is wrapped
     // around each document (title/style/script/comment boilerplate, a
     // "<" inside inline JS, an entity-encoded body, and a numeric-
-    // entity paragraph: decimal &#176;, &#233;, hex &#x41;, a BMP
-    // reference &#8217; that must stay LITERAL — outside the Latin-1
-    // decode scope — an overlong &#999999; likewise literal, and the
-    // double-escape &amp;#65; which must yield the text '&#65;') and
-    // Web.htmlText must recover exactly title + heading + decoded
-    // body. The oracle replays page construction AND the extraction
-    // chain in DuckDB; WebSpec pins the semantics on literal cases so
-    // the mirrored chains can't hide a shared bug.
+    // entity paragraph: decimal &#176;, &#233;, hex &#x41;, the BMP
+    // curly quote &#8217;, an ASTRAL emoji &#x1F600; — the native
+    // kernel decodes the full Unicode range — plus a surrogate
+    // &#xD800; and an out-of-range &#1114112; that must stay LITERAL,
+    // and the double-escape &amp;#65; which must yield the text
+    // '&#65;'). Web.htmlText must recover exactly title + heading +
+    // decoded body. The kernel side is a native scan; the oracle
+    // replays the decode with a regexp tokenize + chr() — a genuine
+    // cross-implementation check; WebSpec pins the semantics on
+    // literal cases so mirrored chains can't hide a shared bug.
     "q_html_extract" -> ((
       (s: SparkSession, dir: String) => {
         val page = concat(
@@ -2943,7 +2945,7 @@ object Queries {
           lit("</h1><!-- note --><p>"),
           regexp_replace(col("text"), "table", "t&amp;ble"),
           lit("</p><p>90&#176; caf&#233; &#x41;ster &#8217;q&#8217; " +
-            "&#999999; &amp;#65;</p></body></html>"))
+            "e&#x1F600;e &#xD800; &#1114112; &amp;#65;</p></body></html>"))
         Tables.documents(s, dir)
           .select(col("doc_id"), Web.htmlText(page).as("main_text"))
           .withColumn("n_chars_main", length(col("main_text")).cast("long"))
@@ -2953,7 +2955,7 @@ object Queries {
              |  || '</title><style>p { color: #333 }</style><script>if (1 < 2) { em("<p>"); }</script></head><body><h1>'
              |  || source || '</h1><!-- note --><p>'
              |  || regexp_replace(text, 'table', 't&amp;ble', 'g')
-             |  || '</p><p>90&#176; caf&#233; &#x41;ster &#8217;q&#8217; &#999999; &amp;#65;</p></body></html>' AS html
+             |  || '</p><p>90&#176; caf&#233; &#x41;ster &#8217;q&#8217; e&#x1F600;e &#xD800; &#1114112; &amp;#65;</p></body></html>' AS html
              |FROM documents),
              |s AS (SELECT doc_id,
              |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
@@ -2965,10 +2967,12 @@ object Queries {
              |  regexp_extract_all(t, '&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};|&|[^&]+'),
              |  tk -> CASE
              |    WHEN regexp_matches(tk, '^&#[0-9]')
-             |      AND TRY_CAST(substr(tk, 3, length(tk) - 3) AS BIGINT) BETWEEN 1 AND 255
+             |      AND TRY_CAST(substr(tk, 3, length(tk) - 3) AS BIGINT) BETWEEN 1 AND 1114111
+             |      AND NOT (TRY_CAST(substr(tk, 3, length(tk) - 3) AS BIGINT) BETWEEN 55296 AND 57343)
              |      THEN chr(CAST(substr(tk, 3, length(tk) - 3) AS INTEGER))
              |    WHEN regexp_matches(tk, '^&#[xX]')
-             |      AND TRY_CAST('0x' || substr(tk, 4, length(tk) - 4) AS BIGINT) BETWEEN 1 AND 255
+             |      AND TRY_CAST('0x' || substr(tk, 4, length(tk) - 4) AS BIGINT) BETWEEN 1 AND 1114111
+             |      AND NOT (TRY_CAST('0x' || substr(tk, 4, length(tk) - 4) AS BIGINT) BETWEEN 55296 AND 57343)
              |      THEN chr(CAST('0x' || substr(tk, 4, length(tk) - 4) AS INTEGER))
              |    ELSE tk END), '') AS t FROM s),
              |e AS (SELECT doc_id,

@@ -40,38 +40,19 @@ object Web {
     val noStyle   = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags    = regexp_replace(noComment, "<[^>]+>", " ")
-    val numeric   = decodeNumericEntities(noTags)
+    // numeric refs (&#NNN;/&#xNN;) decode FIRST — full Unicode range
+    // via the native kernel (Spark's builtin chr is mod-256 above
+    // 0xFF, so a builtin composition couldn't decode the very common
+    // &#8217; curly quote) — then the named chain with &amp; LAST, so
+    // &amp;#65; yields the literal text &#65;. The rare double-escape
+    // &#38;amp; decodes all the way to '&' under this order; both
+    // engines replay the same order, so the choice is pinned.
+    val numeric = graft.plans.UnicodeExpressions.decode_html_entities(noTags)
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(numeric) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
     trim(regexp_replace(decoded, Ws, " "))
-  }
-
-  /** Numeric character references — `&#NNN;` / `&#xNN;` — decoded to
-    * their code points for the Latin-1 range 1–255, where Spark's
-    * `chr` and external engines agree (Spark chr is mod-256 ABOVE
-    * 255, so BMP/astral references like `&#8217;` are left as literal
-    * text rather than silently corrupted — scoped, documented, same
-    * spirit as the six-entity named set). The tokenize pattern tiles
-    * the whole string (numeric entity | lone `&` | `&`-free run) via
-    * leftmost-FIRST alternation, which Java regex and RE2 share;
-    * digit counts are bounded so the numeric cast cannot overflow.
-    * Runs BEFORE the named-entity pass for the same reason `&amp;`
-    * decodes last: `&amp;#65;` must yield the literal text `&#65;`
-    * (the price: the rare double-escape `&#38;amp;` decodes all the
-    * way to `&` — both engines replay the same order, so the choice
-    * is pinned, not drifting). */
-  private def decodeNumericEntities(c: Column): Column = {
-    val toks = regexp_extract_all(c,
-      lit("&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};|&|[^&]+"), lit(0))
-    array_join(transform(toks, t => {
-      val isDec = t.rlike("^&#[0-9]")
-      val isHex = t.rlike("^&#[xX]")
-      val n = when(isDec, t.substr(lit(3), length(t) - 3).cast("long"))
-        .when(isHex, conv(t.substr(lit(4), length(t) - 4), 16, 10).cast("long"))
-      when((isDec || isHex) && n.between(1, 255), chr(n)).otherwise(t)
-    }), "")
   }
 
   /** Every double-quoted `href` value on the page, in document order

@@ -98,4 +98,85 @@ object UnicodeExpressions {
   def fix_mojibake(text: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       FixMojibake(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  /** Numeric HTML character references (`&#NNN;` / `&#xNN;`) decoded
+    * to their code points over the FULL Unicode range — BMP and astral
+    * included. Spark's builtin `chr` is mod-256 above 0xFF, so a
+    * builtin-composed decode had to stop at Latin-1 (and leave the
+    * very common `&#8217;` curly quote as literal text); this native
+    * kernel removes that cap while staying inside whole-stage codegen.
+    *
+    * Decoded forms are EXACTLY `&#` + 1-7 decimal digits + `;` or
+    * `&#x`/`&#X` + 1-6 hex digits + `;`, with code point in
+    * 1..0x10FFFF excluding the surrogate block — anything else
+    * (unterminated, overlong, `&#0;`, `&#xD800;`, out of range) is
+    * left as literal text, never mangled. Named entities are NOT
+    * handled here: the caller's replace chain runs AFTER this kernel
+    * (same `&amp;`-last discipline, so `&amp;#65;` still yields the
+    * literal text `&#65;`). The fast path returns the input UTF8String
+    * untouched when no `&#` occurs — at 100 TB, entity-free text pays
+    * one memchr-style scan. The DuckDB oracle replays the decode with
+    * a regexp tokenize + `chr()`, a genuine cross-implementation
+    * check (different parser, same defined result). */
+  def computeDecodeEntities(v: UTF8String): UTF8String = {
+    val s = v.toString
+    if (s.indexOf("&#") < 0) return v
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      var consumed = false
+      if (c == '&' && i + 2 < n && s.charAt(i + 1) == '#') {
+        var j = i + 2
+        val hex = j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')
+        if (hex) j += 1
+        val digitStart = j
+        val maxDigits = if (hex) 6 else 7
+        var value = 0L
+        while (j < n && j - digitStart < maxDigits + 1 && {
+          val d = s.charAt(j)
+          if (hex) (d >= '0' && d <= '9') || (d >= 'a' && d <= 'f') || (d >= 'A' && d <= 'F')
+          else d >= '0' && d <= '9'
+        }) {
+          val d = s.charAt(j)
+          val dv =
+            if (d <= '9') d - '0'
+            else if (d <= 'F') d - 'A' + 10
+            else d - 'a' + 10
+          value = value * (if (hex) 16 else 10) + dv
+          j += 1
+        }
+        val nDigits = j - digitStart
+        if (nDigits >= 1 && nDigits <= maxDigits &&
+            j < n && s.charAt(j) == ';' &&
+            value >= 1 && value <= 0x10FFFF &&
+            !(value >= 0xD800 && value <= 0xDFFF)) {
+          sb.appendCodePoint(value.toInt)
+          i = j + 1
+          consumed = true
+        }
+      }
+      if (!consumed) { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  case class DecodeHtmlEntities(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "decode_html_entities"
+
+    override protected def nullSafeEval(v: Any): Any =
+      computeDecodeEntities(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.plans.UnicodeExpressions$$.MODULE$$.computeDecodeEntities($input);")
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def decode_html_entities(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      DecodeHtmlEntities(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 }

@@ -99,12 +99,17 @@ class WebSpec extends SparkSpec {
     }
   }
 
-  test("htmlText decodes numeric entities in the Latin-1 range only") {
+  test("htmlText decodes numeric entities across the full Unicode range") {
     assert(one("<p>90&#176; caf&#233; &#x41;!</p>", Web.htmlText(col("s"))) ===
       "90° café A!")
-    // out of Latin-1 scope or malformed: left as literal text
-    assert(one("<p>&#8217; &#999999; &#x110000; &#; &#xG1;</p>",
-      Web.htmlText(col("s"))) === "&#8217; &#999999; &#x110000; &#; &#xG1;")
+    // BMP and astral decode via the native kernel (builtin chr stops
+    // at 0xFF); \u escapes here, never pasted rendered text
+    assert(one("<p>&#8217;q&#8217; e&#x1F600;e</p>", Web.htmlText(col("s"))) ===
+      "\u2019q\u2019 e\uD83D\uDE00e")
+    // invalid: surrogate block, > 0x10FFFF, zero, malformed, overlong
+    assert(one("<p>&#xD800; &#x110000; &#0; &#; &#xG1; &#12345678;</p>",
+      Web.htmlText(col("s"))) ===
+      "&#xD800; &#x110000; &#0; &#; &#xG1; &#12345678;")
     // double-escape: &amp;#65; yields the TEXT &#65; (numeric runs first)
     assert(one("<p>&amp;#65;</p>", Web.htmlText(col("s"))) === "&#65;")
   }
