@@ -3049,23 +3049,30 @@ object Queries {
     // zero-join heuristic, on planted hosts where they must disagree —
     // com.cn / co.za / co.kr are not in the heuristic's alternation,
     // so last-two-labels mis-keys them; the snapshot registers the
-    // last THREE. Also pinned: agreement on .com and co.uk, the
+    // last THREE. Wildcard rules (*.ck, *.bd: EVERY second-level label
+    // is a suffix) and the exception !www.ck (www.ck IS registrable)
+    // are exercised too. Also pinned: agreement on .com and co.uk, the
     // host-IS-a-suffix edge ('' registrable), and single-label hosts.
-    // The oracle inlines the SAME snapshot (VALUES generated from the
-    // resource file at SQL build time) so both engines key off
-    // identical pinned data.
+    // The oracle inlines the SAME snapshot (VALUES + IN-lists
+    // generated from the resource file at SQL build time) so both
+    // engines key off identical pinned data.
     "q_registered_domain" -> ((
       (s: SparkSession, dir: String) => {
-        val host = when(col("doc_id") % 7 === 0,
+        val host = when(col("doc_id") % 10 === 0,
             concat(lit("shop."), col("source"), lit(".com.cn")))
-          .when(col("doc_id") % 7 === 1,
+          .when(col("doc_id") % 10 === 1,
             concat(lit("www."), col("source"), lit(".co.za")))
-          .when(col("doc_id") % 7 === 2,
+          .when(col("doc_id") % 10 === 2,
             concat(col("source"), lit(".example.com")))
-          .when(col("doc_id") % 7 === 3,
+          .when(col("doc_id") % 10 === 3,
             concat(lit("cdn."), col("source"), lit(".co.uk")))
-          .when(col("doc_id") % 7 === 4, lit("com.cn"))
-          .when(col("doc_id") % 7 === 5, lit("localhost"))
+          .when(col("doc_id") % 10 === 4, lit("com.cn"))
+          .when(col("doc_id") % 10 === 5, lit("localhost"))
+          .when(col("doc_id") % 10 === 6,
+            concat(lit("a.b."), col("source"), lit(".ck")))
+          .when(col("doc_id") % 10 === 7, lit("www.ck"))
+          .when(col("doc_id") % 10 === 8,
+            concat(lit("shop."), col("source"), lit(".com.bd")))
           .otherwise(concat(lit("a.b."), col("source"), lit(".co.kr")))
         val hosts = Tables.documents(s, dir)
           .select(col("doc_id"), host.as("host"),
@@ -3074,16 +3081,23 @@ object Queries {
           .withColumn("agree", col("heuristic") === col("exact_domain"))
       },
       Some {
-        val values = Web.pslSnapshot.map(sfx => s"('$sfx')").mkString(", ")
+        val (exact, wild, exc) = Web.pslRules
+        val values = exact.map(sfx => s"('$sfx')").mkString(", ")
+        val wildIn = wild.map(t => s"'$t'").mkString(", ")
+        val excIn =
+          if (exc.isEmpty) "''" else exc.map(e => s"'$e'").mkString(", ")
         s"""WITH psl(suffix) AS (SELECT * FROM (VALUES $values)),
            |hosts AS (SELECT doc_id,
-           |  CASE CAST(doc_id % 7 AS INTEGER)
+           |  CASE CAST(doc_id % 10 AS INTEGER)
            |    WHEN 0 THEN 'shop.' || source || '.com.cn'
            |    WHEN 1 THEN 'www.' || source || '.co.za'
            |    WHEN 2 THEN source || '.example.com'
            |    WHEN 3 THEN 'cdn.' || source || '.co.uk'
            |    WHEN 4 THEN 'com.cn'
            |    WHEN 5 THEN 'localhost'
+           |    WHEN 6 THEN 'a.b.' || source || '.ck'
+           |    WHEN 7 THEN 'www.ck'
+           |    WHEN 8 THEN 'shop.' || source || '.com.bd'
            |    ELSE 'a.b.' || source || '.co.kr' END AS host
            |  FROM documents),
            |t AS (SELECT doc_id, host,
@@ -3091,12 +3105,17 @@ object Queries {
            |    '([^.]+\\.(?:ac|co|com|edu|gov|net|org)\\.(?:au|br|in|jp|nz|uk)|[^.]+\\.[^.]+)$$',
            |    1) AS heuristic,
            |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS t2,
-           |  regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS t3
-           |  FROM hosts)
+           |  regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS t3,
+           |  regexp_extract(host, '([^.]+)$$', 1) AS tld
+           |  FROM hosts),
+           |v AS (SELECT doc_id, host, heuristic,
+           |  (t2 IN (SELECT suffix FROM psl)
+           |   OR (tld IN ($wildIn) AND t2 NOT IN ($excIn)
+           |       AND contains(t2, '.'))) AS is_suffix, t2, t3 FROM t)
            |SELECT doc_id, host, heuristic,
-           |  CASE WHEN t2 IN (SELECT suffix FROM psl) THEN t3 ELSE t2 END AS exact_domain,
-           |  (heuristic = CASE WHEN t2 IN (SELECT suffix FROM psl) THEN t3 ELSE t2 END) AS agree
-           |FROM t""".stripMargin
+           |  CASE WHEN is_suffix THEN t3 ELSE t2 END AS exact_domain,
+           |  (heuristic = CASE WHEN is_suffix THEN t3 ELSE t2 END) AS agree
+           |FROM v""".stripMargin
       }
     )),
 
@@ -3275,6 +3294,105 @@ object Queries {
              |             CAST(doc_id AS VARCHAR)) AS rn
              |  FROM gated) WHERE rn <= 15)
              |SELECT doc_id, domain, n_tokens FROM capped""".stripMargin)
+    )),
+
+    // The front door v2 — same composition upgraded with the round-6
+    // machinery, end-to-end under ONE oracle: extraction -> FULL
+    // RFC 9309 robots verdict (Allow override of a Disallow prefix,
+    // '*'+'$' wildcard block, anchor survivor — mechanism proven in
+    // q_robots_filter, replayed here as its semantic prefix/suffix
+    // checks) -> token gate -> EXACT registrable domain via the pinned
+    // PSL snapshot (hosts planted across co.za / com.cn / .com so the
+    // heuristic would COLLAPSE all .co.za sources into one cap bucket
+    // — the exactness path is what keeps per-registrant budgets
+    // honest) -> per-domain cap in cap_-salted order.
+    "q_web_curation_exact" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val page = concat(lit("<html><head><title>"), col("source"),
+          lit("</title><script>a(\"<i>\");</script></head><body><h1>"),
+          col("source"), lit("</h1><p>"), col("text"),
+          lit("</p></body></html>"))
+        val id = col("doc_id").cast("string")
+        val path = when(col("doc_id") % 5 === 0, concat(lit("/admin/p"), id))
+          .when(col("doc_id") % 5 === 1, concat(lit("/admin/public/p"), id))
+          .when(col("doc_id") % 5 === 2, concat(lit("/files/f"), id, lit(".pdf")))
+          .when(col("doc_id") % 5 === 3, concat(lit("/public/z"), id))
+          .otherwise(concat(lit("/docs/d"), id, lit(".pdfx")))
+        val host = when(col("doc_id") % 3 === 0,
+            concat(lit("www."), col("source"), lit(".co.za")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("cdn."), col("source"), lit(".com.cn")))
+          .otherwise(concat(lit("www."), col("source"), lit(".com")))
+        val robots = lit("User-agent: *\nDisallow: /admin\n" +
+          "Allow: /admin/public\nDisallow: /*.pdf$")
+        val staged = d.select(col("doc_id"),
+            Web.htmlText(page).as("main_text"),
+            path.as("url_path"), host.as("host"))
+          .filter(Web.robotsAllowed(col("url_path"), Web.robotsRules(robots)))
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("main_text")))
+          .filter(col("n_tokens") >= 30)
+        val keyed = Web.registeredDomainExact(staged, "host", "domain")
+        operators.Sampling.domainCap(keyed, "domain", col("doc_id"), cap = 4)
+          .select(col("doc_id"), col("domain"), col("n_tokens"))
+      },
+      Some {
+        val (exact, wild, exc) = Web.pslRules
+        val values = exact.map(sfx => s"('$sfx')").mkString(", ")
+        val wildIn = wild.map(t => s"'$t'").mkString(", ")
+        val excIn =
+          if (exc.isEmpty) "''" else exc.map(e => s"'$e'").mkString(", ")
+        s"""WITH psl(suffix) AS (SELECT * FROM (VALUES $values)),
+           |h AS (SELECT doc_id, source,
+           |  '<html><head><title>' || source
+           |  || '</title><script>a("<i>");</script></head><body><h1>'
+           |  || source || '</h1><p>' || text || '</p></body></html>' AS html,
+           |  CASE CAST(doc_id % 5 AS INTEGER)
+           |    WHEN 0 THEN '/admin/p' || CAST(doc_id AS VARCHAR)
+           |    WHEN 1 THEN '/admin/public/p' || CAST(doc_id AS VARCHAR)
+           |    WHEN 2 THEN '/files/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+           |    WHEN 3 THEN '/public/z' || CAST(doc_id AS VARCHAR)
+           |    ELSE '/docs/d' || CAST(doc_id AS VARCHAR) || '.pdfx' END AS url_path,
+           |  CASE CAST(doc_id % 3 AS INTEGER)
+           |    WHEN 0 THEN 'www.' || source || '.co.za'
+           |    WHEN 1 THEN 'cdn.' || source || '.com.cn'
+           |    ELSE 'www.' || source || '.com' END AS host
+           |FROM documents),
+           |e AS (SELECT doc_id, url_path, host,
+           |  trim(regexp_replace(
+           |    replace(replace(replace(replace(replace(replace(
+           |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+           |        '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+           |        '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+           |        '(?s)<!--.*?-->', ' ', 'g'),
+           |        '<[^>]+>', ' ', 'g'),
+           |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           |    '[ \\t\\r\\n]+', ' ', 'g')) AS main_text
+           |FROM h),
+           |allowed AS (SELECT * FROM e
+           |  WHERE NOT (starts_with(url_path, '/admin')
+           |             AND NOT starts_with(url_path, '/admin/public'))
+           |    AND NOT (url_path LIKE '%.pdf')),
+           |gated AS (SELECT doc_id, host,
+           |  CAST(len(string_split(main_text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM allowed
+           |  WHERE CAST(len(string_split(main_text, ' ')) AS BIGINT) >= 30),
+           |keyed AS (SELECT doc_id, n_tokens,
+           |  CASE WHEN t2 IN (SELECT suffix FROM psl)
+           |         OR (tld IN ($wildIn) AND t2 NOT IN ($excIn)
+           |             AND contains(t2, '.'))
+           |       THEN t3 ELSE t2 END AS domain
+           |  FROM (SELECT doc_id, n_tokens,
+           |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS t2,
+           |    regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS t3,
+           |    regexp_extract(host, '([^.]+)$$', 1) AS tld FROM gated)),
+           |capped AS (SELECT doc_id, domain, n_tokens FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY domain
+           |    ORDER BY md5('cap_' || CAST(doc_id AS VARCHAR)),
+           |             CAST(doc_id AS VARCHAR)) AS rn
+           |  FROM keyed) WHERE rn <= 4)
+           |SELECT doc_id, domain, n_tokens FROM capped""".stripMargin
+      }
     )),
 
     // Gopher-style quality rules (Rae et al. 2021): the page-layout

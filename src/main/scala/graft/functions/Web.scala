@@ -204,39 +204,57 @@ object Web {
       "([^.]+\\.(?:ac|co|com|edu|gov|net|org)\\.(?:au|br|in|jp|nz|uk)|[^.]+\\.[^.]+)$",
       1)
 
-  /** Pinned public-suffix snapshot (two-level public suffixes only; see
-    * the resource file header for scope). Bounded model state: a few
-    * hundred entries, loaded once per JVM from the library's own
-    * classpath — no network, no environment. */
-  lazy val pslSnapshot: Seq[String] = {
+  /** Pinned public-suffix snapshot rules (see the resource file header
+    * for scope): (exact two-level suffixes, wildcard TLDs from `*.tld`
+    * lines, exception suffixes from `!name.tld` lines). Bounded model
+    * state: a few hundred entries, loaded once per JVM from the
+    * library's own classpath — no network, no environment. */
+  lazy val pslRules: (Seq[String], Seq[String], Seq[String]) = {
     val in = getClass.getResourceAsStream("/graft/psl_snapshot.txt")
     require(in != null, "psl_snapshot.txt missing from classpath")
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
+      finally in.close()
+    val (exc, rest) = lines.partition(_.startsWith("!"))
+    val (wild, exact) = rest.partition(_.startsWith("*."))
+    (exact, wild.map(_.stripPrefix("*.")), exc.map(_.stripPrefix("!")))
   }
+
+  /** The exact two-level suffix entries of [[pslRules]] — the broadcast
+    * join side of [[registeredDomainExact]]. */
+  lazy val pslSnapshot: Seq[String] = pslRules._1
 
   /** EXACT registrable domain via the pinned snapshot — the
     * broadcast-join variant [[registeredDomain]]'s scaladoc points
-    * callers at: a host whose last two labels are a listed public
-    * suffix registers at its last THREE labels, anything else at the
-    * last two (the PSL's implicit `*` default), `''` for single-label
-    * hosts and for hosts that ARE a public suffix. The snapshot is a
-    * broadcast hash join side (~400 rows), so the lookup costs one
-    * map-side probe per row — no shuffle of the corpus; the heuristic
-    * column function stays the zero-join default for callers that
-    * can tolerate last-two-labels on the uncommon ccTLD registries. */
+    * callers at. A host's last two labels are a public suffix when
+    * they match an exact entry, OR when the TLD carries a wildcard
+    * rule (`*.ck`: every second-level label is a suffix) and the two
+    * labels are not an exception (`!www.ck`); a suffix match registers
+    * the host at its last THREE labels, anything else at the last two
+    * (the PSL's implicit `*` default). `''` for single-label hosts and
+    * for hosts that ARE a public suffix. The exact entries are a
+    * broadcast hash join side (~400 rows) — one map-side probe per
+    * row, the corpus never shuffles; wildcard TLDs and exceptions are
+    * tiny literal IN-lists in the same projection. The heuristic
+    * column function stays the zero-join default for callers that can
+    * tolerate last-two-labels on the uncommon ccTLD registries. */
   def registeredDomainExact(df: DataFrame, hostCol: String,
       out: String = "registered_domain"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val psl = pslSnapshot.toDF("psl_suffix")
+    val (exact, wild, exc) = pslRules
+    val psl = exact.toDF("psl_suffix")
     val h = lower(col(hostCol))
+    val wildcardHit = col("__tld").isin(wild: _*) &&
+      !col("__t2").isin(exc: _*) && col("__t2").contains(".")
     df.withColumn("__t2", regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
       .withColumn("__t3", regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+      .withColumn("__tld", regexp_extract(h, "([^.]+)$", 1))
       .join(broadcast(psl), col("__t2") === col("psl_suffix"), "left")
       .withColumn(out,
-        when(col("psl_suffix").isNotNull, col("__t3")).otherwise(col("__t2")))
-      .drop("__t2", "__t3", "psl_suffix")
+        when(col("psl_suffix").isNotNull || wildcardHit, col("__t3"))
+          .otherwise(col("__t2")))
+      .drop("__t2", "__t3", "__tld", "psl_suffix")
   }
 }

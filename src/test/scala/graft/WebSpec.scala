@@ -140,7 +140,8 @@ class WebSpec extends SparkSpec {
 
   test("registeredDomainExact: snapshot keys ccTLD registries the heuristic misses") {
     val hosts = Seq("shop.x.com.cn", "www.y.co.za", "a.b.z.co.kr",
-      "cdn.w.co.uk", "v.example.com", "com.cn", "localhost")
+      "cdn.w.co.uk", "v.example.com", "com.cn", "localhost",
+      "a.b.ck", "www.ck", "x.www.ck", "shop.y.com.bd", "b.ck")
       .toDF("host")
     val out = Web.registeredDomainExact(hosts, "host", "exact")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -151,6 +152,14 @@ class WebSpec extends SparkSpec {
     assert(out("v.example.com") === "example.com")
     assert(out("com.cn") === "")   // host IS a public suffix
     assert(out("localhost") === "")
+    // wildcard *.ck: every second-level label is a public suffix
+    assert(out("a.b.ck") === "a.b.ck")
+    assert(out("b.ck") === "")     // IS a suffix under *.ck
+    // exception !www.ck: www.ck is itself registrable
+    assert(out("www.ck") === "www.ck")
+    assert(out("x.www.ck") === "www.ck")
+    // wildcard *.bd
+    assert(out("shop.y.com.bd") === "y.com.bd")
     // the plan must broadcast the snapshot side
     val p = Web.registeredDomainExact(hosts, "host", "exact")
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
