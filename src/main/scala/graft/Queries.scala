@@ -37,6 +37,13 @@ object Queries {
   private val ClassifierWeights: Seq[Double] =
     (0 until 16).map(i => ((i * 7) % 11 - 5) / 10.0)
 
+  /** Blocklist dictionary for `q_blocklist` — shared verbatim by the
+    * Spark automaton and the oracle's generated substring counts.
+    * Deliberately includes a pattern pair where one is a suffix of
+    * another ('he'/'she') and a self-overlapping pattern ('aba'). */
+  private val BlocklistDict: Seq[String] =
+    Seq("lorem ipsum", "click here", "aba", "she", "he")
+
   /** Shared DuckDB-oracle prefix for the BPE encode-family queries:
     * the 3 training rounds (identical to q_bpe_train's CTEs), the
     * vocab build (corpus alphabet in binary order, then one id per
@@ -3392,6 +3399,47 @@ object Queries {
            |             CAST(doc_id AS VARCHAR)) AS rn
            |  FROM keyed) WHERE rn <= 4)
            |SELECT doc_id, domain, n_tokens FROM capped""".stripMargin
+      }
+    )),
+
+    // Multi-pattern blocklist gate (the C4 "bad words" filter): an
+    // Aho-Corasick automaton counts ALL dictionary occurrences in one
+    // pass per document — overlapping matches ('aba' twice in the
+    // planted "ababa") and suffix patterns ('he' firing inside 'she',
+    // and inside every 'the' of the base text) included, so the count
+    // is the sum over patterns of all substring positions. The oracle
+    // replays exactly that definition as an all-positions substring
+    // scan per pattern — O(chars·patterns), fine at oracle SF; the
+    // automaton's O(chars) single pass is the 100 TB path. Both the
+    // count and the keep verdict are hash-checked.
+    "q_blocklist" -> ((
+      (s: SparkSession, dir: String) => {
+        val injected = concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" lorem ipsum dolor sit"))
+            .when(col("doc_id") % 4 === 1, lit(" click here now ababa"))
+            .when(col("doc_id") % 4 === 2, lit(" she said nothing"))
+            .otherwise(lit(" clean tail")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.plans.BlocklistExpressions
+              .blocklist_hits(injected, BlocklistDict).as("n_hits"))
+          .withColumn("kept", col("n_hits") === 0)
+      },
+      Some {
+        val counts = BlocklistDict.map { p =>
+          val l = p.length
+          s"CAST(len([i for i in range(greatest(length(t) - $l + 1, 0)) " +
+            s"if substr(t, i + 1, $l) = '$p']) AS BIGINT)"
+        }.mkString(" + ")
+        s"""WITH d AS (SELECT doc_id, text ||
+           |  CASE CAST(doc_id % 4 AS INTEGER)
+           |    WHEN 0 THEN ' lorem ipsum dolor sit'
+           |    WHEN 1 THEN ' click here now ababa'
+           |    WHEN 2 THEN ' she said nothing'
+           |    ELSE ' clean tail' END AS t FROM documents)
+           |SELECT doc_id, $counts AS n_hits,
+           |  ($counts) = 0 AS kept
+           |FROM d""".stripMargin
       }
     )),
 

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.BlocklistExpressions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hand-computed anchors for the Aho-Corasick blocklist matcher — the
+  * oracle mirrors the same definition, so these literal cases are what
+  * pins the semantics. */
+class BlocklistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def count(text: String, dict: Seq[String]): Long =
+    new BlocklistExpressions.AhoCorasick(dict)
+      .countMatches(UTF8String.fromString(text))
+
+  test("counts every match position: overlaps and suffix patterns fire") {
+    // 'aba' overlaps itself in 'ababa' -> 2
+    assert(count("ababa", Seq("aba")) === 2L)
+    // 'he' fires inside 'she' AND standalone; 'she' fires once
+    assert(count("she", Seq("he", "she")) === 2L)
+    assert(count("the shed", Seq("he", "she")) === 3L) // t[he] s[he]+[she]
+    // disjoint dictionary, no hits
+    assert(count("clean text", Seq("lorem ipsum", "click here")) === 0L)
+    // multi-word phrase matches across spaces
+    assert(count("x lorem ipsum y", Seq("lorem ipsum")) === 1L)
+    // empty text
+    assert(count("", Seq("a")) === 0L)
+  }
+
+  test("expression evaluates in a codegen'd plan, zero shuffle") {
+    val df = Seq((1L, "she sells ababa"), (2L, "nothing")).toDF("id", "t")
+      .select(col("id"),
+        BlocklistExpressions.blocklist_hits(col("t"), Seq("she", "he", "aba"))
+          .as("n"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) === 4L) // she + he(in she) + aba x2
+    assert(rows(2L) === 0L)
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), s"blocklist gate must be a map pass:\n$p")
+    assert(!p.contains("CodegenFallback"),
+      "blocklist_hits must participate in codegen")
+  }
+}

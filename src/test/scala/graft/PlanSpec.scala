@@ -268,6 +268,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_registered_domain / q_web_curation_exact: PSL side broadcasts, no cartesian") {
+    for (q <- Seq("q_registered_domain", "q_web_curation_exact")) {
+      val p = plan(q)
+      assertNoCartesian(p, q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q: the pinned-snapshot join must broadcast:\n$p")
+    }
+  }
+
   test("q_zorder_layout: one shuffle for the bucket agg, key is codegen'd") {
     val p = plan("q_zorder_layout")
     // partial agg map-side, one exchange on z_bucket, final agg — the
