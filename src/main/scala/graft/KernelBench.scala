@@ -58,6 +58,52 @@ object KernelBench {
       val s1 = (System.nanoTime() - t1) / 1e9
       println(f"[kbench] 1-task kernel run $r: $s1%.2f s ($c rows) = ${s1 / 250000 * 1e6}%.2f us/row")
     }
+
+    // Blocklist gate: Aho-Corasick ONE pass vs a contains() chain that
+    // scans the text once PER PHRASE — the dictionary-size multiplier
+    // the automaton exists to delete. 200-phrase dictionary, 100k
+    // ~150-word docs, ~1% planted hits.
+    val dict = (0 until 200).map(i => f"badphrase$i%03d x")
+    val docs = spark.range(100000).select(col("id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(149)),
+        i => element_at(lit(words.toArray),
+          pmod(col("id") * 7 + i * 3, lit(120)).cast("int") + 1))).as("t"))
+      .withColumn("t",
+        when(pmod(col("id"), lit(97)) === 0,
+          concat(col("t"), lit(" badphrase042 x"))).otherwise(col("t")))
+      .localCheckpoint()
+    println(s"[kbench] blocklist rows = ${docs.count()}")
+    for (r <- 1 to 3) {
+      val t1 = System.nanoTime()
+      val c = docs.filter(
+        plans.BlocklistExpressions.blocklist_hits(col("t"), dict) > 0).count()
+      val s1 = (System.nanoTime() - t1) / 1e9
+      println(f"[kbench] aho-corasick run $r: $s1%.2f s ($c hits)")
+    }
+    for (r <- 1 to 3) {
+      val t1 = System.nanoTime()
+      val c = docs.filter(
+        dict.map(p => col("t").contains(p)).reduce(_ || _)).count()
+      val s1 = (System.nanoTime() - t1) / 1e9
+      println(f"[kbench] contains-chain run $r: $s1%.2f s ($c hits)")
+    }
+
+    // Numeric-entity decode kernel: entity-free fast path (returns the
+    // input UTF8String, zero allocation) vs entity-rich text.
+    val plainTxt = UTF8String.fromString(("lorem ipsum dolor sit amet " * 40))
+    val entTxt = UTF8String.fromString(
+      ("90&#176; caf&#233; &#x41; &#8217; text " * 40))
+    for ((nm, txt) <- Seq(("entity-free", plainTxt), ("entity-rich", entTxt))) {
+      var sink = 0L
+      for (_ <- 1 to 10000) // warmup
+        sink += plans.UnicodeExpressions.computeDecodeEntities(txt).numChars()
+      val t1 = System.nanoTime()
+      val reps2 = 200000
+      for (_ <- 1 to reps2)
+        sink += plans.UnicodeExpressions.computeDecodeEntities(txt).numChars()
+      val s1 = (System.nanoTime() - t1) / 1e9
+      println(f"[kbench] decode_html_entities $nm%-12s: ${s1 / reps2 * 1e6}%.2f us/eval (sink=$sink)")
+    }
     spark.stop()
   }
 }

@@ -54,7 +54,14 @@ object Curation {
         * corpus, so what remains duplicated is genuine cross-document
         * repetition, not whole-document copies already dropped. Docs
         * that were entirely duplicated text drop out. */
-      dupSpanTokens: Option[Int] = None)
+      dupSpanTokens: Option[Int] = None,
+      /** Non-empty = drop any doc containing a dictionary phrase (the
+        * C4 "bad words" gate), matched case-sensitively against the
+        * redacted text by ONE Aho-Corasick pass
+        * ([[graft.plans.BlocklistExpressions.blocklist_hits]])
+        * regardless of dictionary size. Runs with the stage-1/2 map
+        * gates so it fuses into the scan. */
+      blocklist: Seq[String] = Nil)
 
   /** Adaptive quality cutoff: drop the lowest `quantile` fraction of
     * rows by `score` (e.g. 0.1 = drop the bottom decile) — corpus
@@ -88,13 +95,17 @@ object Curation {
 
     // 1+2: map-side gates — one fused projection+filter over the scan
     val text0 = if (cfg.redact) TextAnalysis.redactPii(col(textCol)) else col(textCol)
-    val gated = deboiled
+    val gated0 = deboiled
       .withColumn("clean_text", text0)
       .withColumn("__rep", TextAnalysis.repetitionStats(col("clean_text")))
       .filter(TextAnalysis.qualityScore(col("clean_text")) >= cfg.minQuality)
       .filter(col("__rep.top_ngram_frac") <= cfg.maxTopNgramFrac &&
         col("__rep.rep_token_frac") <= cfg.maxRepTokenFrac)
       .drop("__rep")
+    val gated =
+      if (cfg.blocklist.isEmpty) gated0
+      else gated0.filter(graft.plans.BlocklistExpressions
+        .blocklist_hits(col("clean_text"), cfg.blocklist) === 0)
 
     // 3: exact dedup — min-id survivor per content fingerprint
     val exact =

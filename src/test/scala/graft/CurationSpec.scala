@@ -31,6 +31,19 @@ class CurationSpec extends SparkSpec {
     assert(texts.forall(!_.contains("example.com"))) // PII gone everywhere
   }
 
+  test("blocklist stage drops dictionary-hit docs in the map-gate pass") {
+    val corpus = Seq(
+      (1L, good),
+      (2L, good + " win a prize now today it is here"),
+      (3L, "the web site is a good place to read about many fine things")
+    ).toDF("doc_id", "text")
+    val out = Curation.run(corpus, "doc_id", "text",
+      Curation.Config(minQuality = 0.3, nearDupThreshold = None,
+        blocklist = Seq("win a prize", "lorem ipsum")))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L)) // doc 2 hits 'win a prize'
+  }
+
   test("decontamination stage drops docs overlapping the benchmark") {
     val bench = Seq((100L, "the dog ran to the park with a ball"))
       .toDF("doc_id", "text")
