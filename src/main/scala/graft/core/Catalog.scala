@@ -196,6 +196,48 @@ object Catalog {
     }
   }
 
+  /** Z-ORDERED write: the Delta/Iceberg `OPTIMIZE ZORDER` layout trick
+    * on plain parquet — interleave the low bits of two dimension
+    * columns ([[graft.plans.LayoutExpressions.zorder_key]]), range-
+    * partition on the key and sort within partitions, so every output
+    * file spans a narrow RECTANGLE of both dimensions. Parquet's
+    * ordinary column min/max stats then skip files on a predicate over
+    * EITHER column, with no new reader and no table format. `nFiles`
+    * sizes the layout (one range partition = one file); the key column
+    * is dropped before write — it exists to ORDER the data, not to be
+    * stored. The range exchange is the only shuffle and is exactly the
+    * shuffle any global layout requires. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+                    colB: String, nFiles: Int = 64): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__zkey",
+        graft.plans.LayoutExpressions.zorder_key(col(colA), col(colB)))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Token-balanced TRAINING SHARDS: materialize a corpus as
+    * `shard=<s>/bin_idx=<b>` parquet directories where each bin holds
+    * ~`budget` tokens (contiguous fill per shard —
+    * [[graft.operators.Packing.packBins]]'s deterministic assignment,
+    * so bin membership is reproducible across runs/engines, never
+    * arrival order). One repartition on the exact (shard, bin) key
+    * puts each bin wholly in one task → one file per bin; dataloaders
+    * then stream whole bins as ~equal-sized work units. Bin token
+    * sums land within ±(max single-doc tokens) of `budget` except
+    * each shard's ragged tail — the property LayoutWriterSpec pins. */
+  def writeTokenShards(df: DataFrame, tokenCol: String, idCol: String,
+                       budget: Long, path: String, shards: Int = 64): Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Packing.packBins(df, idCol, tokenCol, budget, shards)
+      .drop("start_offset")
+      .repartition(col("shard"), col("bin_idx"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard", "bin_idx").parquet(path)
+  }
+
   /** JDBC source, partition-parallel when a numeric split column is
     * given (each partition issues a bounded-range query). */
   def readJdbc(spark: SparkSession, url: String, table: String,
