@@ -160,6 +160,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[SketchExpressions.HammingDistance].getName, "hamming_dist"),
       (args: Seq[Expression]) => SketchExpressions.HammingDistance(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[UnicodeExpressions.NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => UnicodeExpressions.NfcNormalize(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[UnicodeExpressions.FixMojibake].getName, "fix_mojibake"),
+      (args: Seq[Expression]) => UnicodeExpressions.FixMojibake(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("decode_html_entities"),
+      new ExpressionInfo(classOf[UnicodeExpressions.DecodeHtmlEntities].getName,
+        "decode_html_entities"),
+      (args: Seq[Expression]) => UnicodeExpressions.DecodeHtmlEntities(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[LayoutExpressions.ZOrderKey].getName, "zorder_key"),
+      (args: Seq[Expression]) => LayoutExpressions.ZOrderKey(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("blocklist_hits"),
+      new ExpressionInfo(classOf[BlocklistExpressions.BlocklistHits].getName,
+        "blocklist_hits"),
+      (args: Seq[Expression]) => {
+        // dictionary must be a foldable array literal — the automaton
+        // is plan-construction state, same as the Column-API path
+        val arr = args(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val pats = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        BlocklistExpressions.BlocklistHits(args(0),
+          new BlocklistExpressions.AhoCorasick(pats))
+      }))
   }
 }
 

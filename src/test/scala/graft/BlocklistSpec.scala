@@ -28,6 +28,21 @@ class BlocklistSpec extends SparkSpec {
     assert(count("", Seq("a")) === 0L)
   }
 
+  test("SQL surface: round-5/6 kernels resolve through GraftExtensions") {
+    val r = spark.sql(
+      "SELECT blocklist_hits('she sells ababa', array('she','he','aba')) AS bl, " +
+        "nfc_normalize('cafe\u0301') AS n, " +
+        "fix_mojibake('caf\u00c3\u00a9') AS m, " +
+        "decode_html_entities('A&#66;C &#x44;') AS d, " +
+        "zorder_key(CAST(3 AS BIGINT), CAST(5 AS BIGINT)) AS z").head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getString(1) === "caf\u00e9") // decomposed e+U+0301 -> NFC
+    assert(r.getString(2) === "caf\u00e9") // UTF-8-as-Latin-1 repaired
+    assert(r.getString(3) === "ABC D")
+    // a=3 -> even bit positions 0,2 = 5; b=5 -> odd positions 1,5 = 34
+    assert(r.getLong(4) === 39L)
+  }
+
   test("expression evaluates in a codegen'd plan, zero shuffle") {
     val df = Seq((1L, "she sells ababa"), (2L, "nothing")).toDF("id", "t")
       .select(col("id"),
