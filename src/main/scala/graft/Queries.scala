@@ -3231,6 +3231,84 @@ object Queries {
              |FROM d LEFT JOIN (SELECT doc_id, allow FROM best WHERE rn = 1) b
              |  USING (doc_id)""".stripMargin)
     )),
+    // Per-SITE robots — the deployment shape: every domain publishes
+    // its own robots.txt, so rules live in a (domain, robots) table
+    // that BROADCASTS against the URL stream, and robotsRules parses a
+    // COLUMN (per-row rule sets), not a constant. Each site's rules
+    // differ materially: its own /private/<source> disallow, an Allow
+    // override under it, and every third site a *.log$ wildcard ban —
+    // so the verdict genuinely depends on which site a URL belongs to.
+    // The oracle rebuilds the same per-site rule table and replays the
+    // longest-match verdict with the regex-compile CTE machinery from
+    // q_robots_filter, per (site, rule).
+    "q_robots_by_domain" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val robotsTbl = d.select(col("source")).distinct()
+          .withColumn("site_robots", concat(
+            lit("User-agent: *\nDisallow: /private/"), col("source"),
+            lit("\nAllow: /private/"), col("source"), lit("/ok\n"),
+            when(length(col("source")) % 3 === 0,
+              lit("Disallow: /*.log$\n")).otherwise(lit(""))))
+        val id = col("doc_id").cast("string")
+        val path = when(col("doc_id") % 4 === 0,
+            concat(lit("/private/"), col("source"), lit("/x"), id))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/private/"), col("source"), lit("/ok/y"), id))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/logs/run"), id, lit(".log")))
+          .otherwise(concat(lit("/public/z"), id))
+        d.select(col("doc_id"), col("source"), path.as("url_path"))
+          .join(broadcast(robotsTbl), "source")
+          .withColumn("allowed", Web.robotsAllowed(col("url_path"),
+            Web.robotsRules(col("site_robots"))))
+          .select(col("doc_id"), col("source"), col("url_path"), col("allowed"))
+      },
+      Some("""WITH sites AS (SELECT DISTINCT source FROM documents),
+             |rob AS (SELECT source,
+             |  'User-agent: *' || chr(10) || 'Disallow: /private/' || source || chr(10) ||
+             |  'Allow: /private/' || source || '/ok' || chr(10) ||
+             |  CASE WHEN length(source) % 3 = 0
+             |    THEN 'Disallow: /*.log$' || chr(10) ELSE '' END AS site_robots
+             |  FROM sites),
+             |ln AS (SELECT source, unnest(string_split(regexp_extract(site_robots,
+             |  '(?is)user-agent:[ \t]*\*[ \t\r]*\n(.*?)(\nuser-agent:|$)', 1),
+             |  chr(10))) AS l FROM rob),
+             |r0 AS (SELECT source,
+             |  trim(regexp_extract(l, '(?i)^[ \t]*disallow:[ \t]*([^\r\n#]*)', 1)) AS dis,
+             |  trim(regexp_extract(l, '(?i)^[ \t]*allow:[ \t]*([^\r\n#]*)', 1)) AS alw FROM ln),
+             |rules AS (SELECT source, CASE WHEN dis <> '' THEN dis ELSE alw END AS pat,
+             |  (dis = '') AS allow FROM r0 WHERE dis <> '' OR alw <> ''),
+             |rx AS (SELECT source, pat, allow, CAST(length(pat) AS BIGINT) AS plen,
+             |  '^' || replace(
+             |    replace(replace(replace(replace(replace(replace(replace(replace(
+             |    replace(replace(replace(replace(replace(
+             |      CASE WHEN pat LIKE '%$' THEN substr(pat, 1, length(pat) - 1) ELSE pat END,
+             |      '\', '\\'), '.', '\.'), '+', '\+'), '?', '\?'), '[', '\['),
+             |      ']', '\]'), '(', '\('), ')', '\)'), '^', '\^'), '$', '\$'),
+             |      '|', '\|'), '{', '\{'), '}', '\}'),
+             |    '*', '.*')
+             |  || CASE WHEN pat LIKE '%$' THEN '$' ELSE '' END AS rex
+             |  FROM rules),
+             |d AS (SELECT doc_id, source,
+             |  CASE CAST(doc_id % 4 AS INTEGER)
+             |    WHEN 0 THEN '/private/' || source || '/x' || CAST(doc_id AS VARCHAR)
+             |    WHEN 1 THEN '/private/' || source || '/ok/y' || CAST(doc_id AS VARCHAR)
+             |    WHEN 2 THEN '/logs/run' || CAST(doc_id AS VARCHAR) || '.log'
+             |    ELSE '/public/z' || CAST(doc_id AS VARCHAR) END AS url_path
+             |  FROM documents),
+             |m AS (SELECT d.doc_id, rx.plen, rx.allow
+             |  FROM d JOIN rx ON rx.source = d.source
+             |  WHERE regexp_matches(d.url_path, rx.rex)),
+             |best AS (SELECT doc_id, allow,
+             |  row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY plen DESC, allow DESC) AS rn FROM m)
+             |SELECT d.doc_id, d.source, d.url_path,
+             |  coalesce(b.allow, true) AS allowed
+             |FROM d LEFT JOIN (SELECT doc_id, allow FROM best WHERE rn = 1) b
+             |  USING (doc_id)""".stripMargin)
+    )),
+
     // The WHOLE web front door composed under ONE oracle: page
     // construction -> main-text extraction -> robots politeness filter
     // (rule mechanism proven in q_robots_filter; here the constant
