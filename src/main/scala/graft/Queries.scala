@@ -2261,6 +2261,40 @@ object Queries {
       }
     )),
 
+    // EXACT triangle enumeration by degree-ordered orientation: wedges
+    // are enumerated only at each vertex's OUT-neighbors under the
+    // (degree, id) total order — hub vertices contribute edges as wedge
+    // endpoints, never a Σdeg² wedge center (the PPJoin rarity-prefix
+    // discipline applied to graphs). Everything is integer equi-joins,
+    // so the full canonical triangle SET hash-matches a SQL replay.
+    // Edge fixture: a moderately dense deterministic slice of the
+    // customer/order key space.
+    "q_triangles" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(23L)) < 3)
+          .select(pmod(col("o_custkey"), lit(40L)).as("src"),
+            pmod(col("o_orderkey"), lit(40L)).as("dst"))
+        operators.Graph.triangles(e)
+      },
+      Some("""WITH raw AS (SELECT o_custkey % 40 AS s, o_orderkey % 40 AS t
+             |  FROM orders WHERE o_orderkey % 23 < 3),
+             |e0 AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+             |  FROM raw WHERE s <> t),
+             |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+             |  SELECT a AS x FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+             |o AS (SELECT
+             |  CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS lo,
+             |  CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS hi
+             |  FROM e0 JOIN deg da ON da.x = a JOIN deg db ON db.x = b),
+             |orr AS (SELECT o.lo, o.hi, deg.d AS dh FROM o JOIN deg ON deg.x = o.hi),
+             |wg AS (SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+             |  FROM orr e1 JOIN orr e2 ON e1.lo = e2.lo
+             |  AND (e1.dh < e2.dh OR (e1.dh = e2.dh AND e1.hi < e2.hi)))
+             |SELECT u, v, w FROM wg
+             |WHERE EXISTS (SELECT 1 FROM o WHERE o.lo = wg.v AND o.hi = wg.w)""".stripMargin)
+    )),
+
     // Multimodal metadata extraction under the oracle gate: a fixture
     // directory of tiny WELL-FORMED containers (PNG, WAV, MP4, Matroska,
     // MP3, OGG-Opus, FLAC) is read through the binaryFile source and

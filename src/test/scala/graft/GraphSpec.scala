@@ -32,4 +32,35 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("triangles: exact set on a known graph; dedup, loops, direction ignored") {
+    // K4 on {1,2,3,4} (4 triangles) + square 5-6-7-8 (0 triangles) +
+    // pendant 4-9; duplicates, reversals and a self-loop must not count
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val square = Seq((5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L))
+    val noise = Seq((2L, 1L), (1L, 2L), (3L, 3L), (4L, 9L))
+    val e = (k4 ++ square ++ noise).toDF("src", "dst")
+    val tri = Graph.triangles(e).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.length === 4, s"expected 4 triangle rows, got ${tri.length}")
+    assert(tri.toSet === Set(
+      Set(1L, 2L, 3L), Set(1L, 2L, 4L), Set(1L, 3L, 4L), Set(2L, 3L, 4L)))
+    // every output row is (wedge center, then rank-ordered endpoints):
+    // deterministic canonical form — no duplicate orientations
+    assert(tri.distinct.length === tri.length)
+  }
+
+  test("triangles: hub never becomes a wedge center (orientation bound)") {
+    // star: hub 0 connected to 1..20, plus one closing edge (1,2) ->
+    // exactly ONE triangle; the hub's 20 edges must not generate
+    // C(20,2) wedges — the closing count proves orientation ran
+    val star = (1L to 20L).map(l => (0L, l))
+    val e = (star ++ Seq((1L, 2L))).toDF("src", "dst")
+    val tri = Graph.triangles(e).collect()
+    assert(tri.length === 1)
+    assert(Set(tri.head.getLong(0), tri.head.getLong(1),
+      tri.head.getLong(2)) === Set(0L, 1L, 2L))
+    // low-degree vertex is the center under (degree, id) order
+    assert(tri.head.getLong(0) === 1L)
+  }
 }
