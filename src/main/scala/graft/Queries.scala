@@ -3840,6 +3840,57 @@ object Queries {
           |FROM seg""".stripMargin)
     )),
 
+    // T5/UL2 span corruption over REAL BPE ids — the denoising
+    // training examples materialized on-cluster: train the merges,
+    // encode every doc to its id stream, then collapse hash-selected
+    // 8-token blocks into sentinel ids (vocabSize + span ordinal) in
+    // the input stream and (sentinel, originals...) in the target
+    // stream. The mask_-salted draw makes the corruption pattern
+    // engine-reproducible, so the oracle replays the EXAMPLES
+    // themselves id-for-id (CSV projection), not just counts. The
+    // whole corrupt pass is zero-shuffle array arithmetic fused into
+    // the scan.
+    "q_span_corrupt" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = operators.Bpe.vocab(d, "text", merges)
+        operators.Bpe.encode(d, "text", "doc_id", merges, vocab)
+          .select(col("doc_id"),
+            operators.Denoise.spanCorrupt(col("bpe_ids"), col("doc_id"),
+              vocabSize = vocab.size.toLong).as("x"))
+          .select(col("doc_id"),
+            array_join(col("x.input_ids"), ",").as("input_ids_csv"),
+            array_join(col("x.target_ids"), ",").as("target_ids_csv"),
+            col("x.n_spans").as("n_spans"))
+      },
+      Some(BpeEncodeOracleCtes + ",\n" +
+        """nv AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM vocab),
+          |mb AS (SELECT doc_id, bpe_ids, vsz,
+          |  CAST(len(bpe_ids) AS BIGINT) AS n,
+          |  [CAST('0x' || substr(md5('mask_' || CAST(doc_id AS VARCHAR)
+          |     || '_' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 5 = 0
+          |   for b in range(CAST(ceil(len(bpe_ids) / 8.0) AS BIGINT))] AS mk
+          |  FROM enc, nv),
+          |sp AS (SELECT doc_id, n,
+          |  coalesce(array_to_string(flatten([
+          |    CASE WHEN mk[b + 1]
+          |      THEN [vsz + len([i for i in range(b) if mk[i + 1]])]
+          |      ELSE bpe_ids[b * 8 + 1 : least((b + 1) * 8, n)] END
+          |    for b in range(len(mk))]), ','), '') AS input_ids_csv,
+          |  coalesce(array_to_string(flatten([
+          |    CASE WHEN mk[b + 1]
+          |      THEN [vsz + len([i for i in range(b) if mk[i + 1]])]
+          |           || bpe_ids[b * 8 + 1 : least((b + 1) * 8, n)]
+          |      ELSE [] END
+          |    for b in range(len(mk))]), ','), '') AS target_ids_csv,
+          |  CAST(len([x for x in mk if x]) AS BIGINT) AS n_spans
+          |  FROM mb)
+          |SELECT doc_id, input_ids_csv, target_ids_csv, n_spans FROM sp""".stripMargin)
+    )),
+
     // Mojibake repair (the ftfy 'UTF-8 read as Latin-1' case): a
     // quarter of docs get a repairable 'cafÃ©'-style digraph suffix, a
     // quarter a different one, a quarter a LONE high byte (0xB0 — an

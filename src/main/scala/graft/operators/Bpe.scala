@@ -95,6 +95,40 @@ object Bpe {
     entries.groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq.sortBy(_._2)
   }
 
+  /** Word-structured encode: `array<array<bigint>>` — one inner array
+    * of token ids per word, preserving the word boundaries the flat
+    * [[encode]] stream drops. The invertible form: [[decodeWords]]
+    * reconstructs the exact text (single-space joined), and the
+    * round-trip is what proves the vocab/merge tables actually carry
+    * the corpus' information. Same zero-shuffle map-pass shape as
+    * [[encode]]. */
+  def encodeWords(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], vocab: Seq[(String, Long)]): DataFrame = {
+    val vmap = typedLit(vocab.toMap)
+    def wordIds(w: org.apache.spark.sql.Column) = {
+      val sym = merges.foldLeft(trim(regexp_replace(w, "(.)", "$1 "))) {
+        case (c, (pair, merged)) => replace(c, lit(pair), lit(merged))
+      }
+      transform(split(sym, " "), t => element_at(vmap, t))
+    }
+    docs.select(col(idCol),
+      transform(
+        filter(split(col(textCol), " "), w => length(w) > 0),
+        wordIds(_)).as("bpe_word_ids"))
+  }
+
+  /** Inverse of [[encodeWords]]: token ids → token strings (reverse
+    * vocab map literal), concatenated per word, words joined by one
+    * space. `decodeWords(encodeWords(text)) == text` for any
+    * single-spaced corpus — BpeSpec proves the round-trip on real
+    * fixture docs. */
+  def decodeWords(wordIds: org.apache.spark.sql.Column,
+      vocab: Seq[(String, Long)]): org.apache.spark.sql.Column = {
+    val rmap = typedLit(vocab.map { case (t, i) => (i, t) }.toMap)
+    array_join(transform(wordIds, ids =>
+      array_join(transform(ids, i => element_at(rmap, i)), "")), " ")
+  }
+
   /** Re-tokenize to the actual BPE token ID SEQUENCE per doc — the
     * dataloader-facing sibling of [[applyMerges]]: per-word symbol
     * split, merges applied in training order, each resulting symbol

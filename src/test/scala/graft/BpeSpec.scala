@@ -56,6 +56,21 @@ class BpeSpec extends SparkSpec {
     assert(v2 == Seq(("a", 0L), ("b", 1L), ("ab", 2L)))
   }
 
+  test("encodeWords/decodeWords: exact round-trip on real fixture docs") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainMerges(docs, "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = Bpe.vocab(docs, "text", merges)
+    val enc = Bpe.encodeWords(docs, "text", "doc_id", merges, vocab)
+    val bad = enc.join(docs, "doc_id")
+      .withColumn("rt", Bpe.decodeWords(col("bpe_word_ids"), vocab))
+      .filter(col("rt") =!= col("text"))
+      .count()
+    assert(bad === 0L, "decode(encode(text)) must reproduce every doc")
+  }
+
   test("encode: id sequences follow merges; OOV is NULL; zero-shuffle plan") {
     val docs = Seq((1L, "aa ab ba"), (2L, "a  z")).toDF("doc_id", "text")
     val merges = Seq(("a a", "aa"), ("a b", "ab"))

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bpe, Denoise}
+
+/** Structural invariants of span corruption, proven on REAL encoded
+  * fixture docs: substituting every sentinel's target span back into
+  * the input stream must reproduce the original id stream exactly —
+  * the denoising objective's defining property. */
+class DenoiseSpec extends SparkSpec {
+
+  test("spanCorrupt: sentinel-substitution reconstructs the original ids") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainMerges(docs, "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = Bpe.vocab(docs, "text", merges)
+    val vsz = vocab.size.toLong
+    val rows = Bpe.encode(docs, "text", "doc_id", merges, vocab)
+      .select(col("doc_id"), col("bpe_ids"),
+        Denoise.spanCorrupt(col("bpe_ids"), col("doc_id"), vsz).as("x"))
+      .select(col("bpe_ids"), col("x.input_ids"), col("x.target_ids"),
+        col("x.n_spans"))
+      .collect()
+    assert(rows.nonEmpty)
+    var totalSpans = 0L
+    rows.foreach { r =>
+      val orig = r.getSeq[Long](0)
+      val input = r.getSeq[Long](1)
+      val target = r.getSeq[Long](2)
+      val nSpans = r.getLong(3)
+      totalSpans += nSpans
+      // targets parse as k groups, each led by sentinel vsz+k in order
+      val spans = scala.collection.mutable.Map.empty[Long, Vector[Long]]
+      var cur = -1L
+      target.foreach { id =>
+        if (id >= vsz) { cur = id; spans(cur) = Vector.empty }
+        else spans(cur) :+= id
+      }
+      assert(spans.keySet === (0L until nSpans).map(vsz + _).toSet)
+      // substitute each input sentinel with its span -> original stream
+      val rebuilt = input.flatMap(id =>
+        if (id >= vsz) spans(id) else Vector(id))
+      assert(rebuilt === orig, "sentinel substitution must reconstruct")
+    }
+    // the 1-in-5 block draw must actually fire across the corpus
+    assert(totalSpans > 0L, "no spans masked — the draw is broken")
+  }
+}
