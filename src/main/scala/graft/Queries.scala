@@ -3891,6 +3891,46 @@ object Queries {
           |SELECT doc_id, input_ids_csv, target_ids_csv, n_spans FROM sp""".stripMargin)
     )),
 
+    // Fill-in-the-middle (Bavarian et al. 2022) over real BPE ids: the
+    // infilling objective's PSM reordering [PRE]prefix[SUF]suffix
+    // [MID]middle with deterministic fim_-salted split points — the
+    // third member of the objectives family (causal = packing,
+    // denoising = span corruption, infilling = FIM), every example
+    // hash-checked id-for-id.
+    "q_fim" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = operators.Bpe.vocab(d, "text", merges)
+        operators.Bpe.encode(d, "text", "doc_id", merges, vocab)
+          .select(col("doc_id"),
+            operators.Denoise.fim(col("bpe_ids"), col("doc_id"),
+              vocabSize = vocab.size.toLong).as("x"))
+          .select(col("doc_id"),
+            array_join(col("x.fim_ids"), ",").as("fim_ids_csv"),
+            col("x.fim_lo").as("fim_lo"), col("x.fim_hi").as("fim_hi"))
+      },
+      Some(BpeEncodeOracleCtes + ",\n" +
+        """nv AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM vocab),
+          |f AS (SELECT doc_id, bpe_ids, vsz,
+          |  CAST(len(bpe_ids) AS BIGINT) AS n,
+          |  CAST('0x' || substr(md5('fim_' || CAST(doc_id AS VARCHAR) || '_a'), 1, 8) AS BIGINT)
+          |    % (CAST(len(bpe_ids) AS BIGINT) + 1) AS lo
+          |  FROM enc, nv),
+          |g AS (SELECT doc_id, bpe_ids, vsz, n, lo,
+          |  lo + CAST('0x' || substr(md5('fim_' || CAST(doc_id AS VARCHAR) || '_b'), 1, 8) AS BIGINT)
+          |    % (n - lo + 1) AS hi
+          |  FROM f)
+          |SELECT doc_id,
+          |  array_to_string([vsz] || bpe_ids[1 : lo] || [vsz + 1]
+          |    || bpe_ids[hi + 1 : n] || [vsz + 2]
+          |    || bpe_ids[lo + 1 : hi], ',') AS fim_ids_csv,
+          |  lo AS fim_lo, hi AS fim_hi
+          |FROM g""".stripMargin)
+    )),
+
     // Mojibake repair (the ftfy 'UTF-8 read as Latin-1' case): a
     // quarter of docs get a repairable 'cafÃ©'-style digraph suffix, a
     // quarter a different one, a quarter a LONE high byte (0xB0 — an

@@ -64,4 +64,31 @@ object Denoise {
     struct(inputIds.as("input_ids"), targetIds.as("target_ids"),
       nSpans.as("n_spans"))
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022 — the
+    * infilling objective code models train on): split the id stream at
+    * two deterministic points into (prefix, middle, suffix) and emit
+    * the PSM reordering `[PRE] prefix [SUF] suffix [MID] middle`, so a
+    * causal model learns to complete a middle given both sides.
+    * Sentinels are vocabSize+0/1/2 (PRE/SUF/MID). Split points are the
+    * `fim_`-salted uniform draw mapped into [0, n]: lo = draw1 % (n+1),
+    * hi = lo + draw2 % (n - lo + 1) — both ends inclusive-exclusive,
+    * degenerate (empty) segments allowed, exactly replayable in SQL.
+    * Zero-shuffle array arithmetic like [[spanCorrupt]]. */
+  def fim(ids: Column, docId: Column, vocabSize: Long,
+      salt: String = "fim_"): Column = {
+    val n = size(ids).cast("long")
+    def draw(tag: String): Column =
+      Sampling.hash32(concat(docId.cast("string"), lit(tag)), salt)
+    val lo = pmod(draw("_a"), n + 1)
+    val hi = lo + pmod(draw("_b"), n - lo + 1)
+    val pre = slice(ids, lit(1), lo.cast("int"))
+    val mid = slice(ids, (lo + 1).cast("int"), (hi - lo).cast("int"))
+    val suf = slice(ids, (hi + 1).cast("int"), (n - hi).cast("int"))
+    val out = concat(
+      array(lit(vocabSize)), pre,
+      array(lit(vocabSize + 1)), suf,
+      array(lit(vocabSize + 2)), mid)
+    struct(out.as("fim_ids"), lo.as("fim_lo"), hi.as("fim_hi"))
+  }
 }

@@ -46,4 +46,35 @@ class DenoiseSpec extends SparkSpec {
     // the 1-in-5 block draw must actually fire across the corpus
     assert(totalSpans > 0L, "no spans masked — the draw is broken")
   }
+
+  test("fim: PSM segments reassemble to the original stream") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainMerges(docs, "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = Bpe.vocab(docs, "text", merges)
+    val vsz = vocab.size.toLong
+    val rows = Bpe.encode(docs, "text", "doc_id", merges, vocab)
+      .select(col("bpe_ids"),
+        Denoise.fim(col("bpe_ids"), col("doc_id"), vsz).as("x"))
+      .select(col("bpe_ids"), col("x.fim_ids"), col("x.fim_lo"), col("x.fim_hi"))
+      .collect()
+    var nonTrivial = 0
+    rows.foreach { r =>
+      val orig = r.getSeq[Long](0)
+      val fim = r.getSeq[Long](1)
+      val (lo, hi) = (r.getLong(2), r.getLong(3))
+      // parse [PRE]p[SUF]s[MID]m by sentinel positions
+      assert(fim.head === vsz)
+      val iSuf = fim.indexOf(vsz + 1)
+      val iMid = fim.indexOf(vsz + 2)
+      val pre = fim.slice(1, iSuf)
+      val suf = fim.slice(iSuf + 1, iMid)
+      val mid = fim.drop(iMid + 1)
+      assert(pre.length === lo && mid.length === hi - lo)
+      assert((pre ++ mid ++ suf) === orig, "PSM must reassemble")
+      if (mid.nonEmpty && pre.nonEmpty && suf.nonEmpty) nonTrivial += 1
+    }
+    assert(nonTrivial > 0, "every split degenerate — the draw is broken")
+  }
 }
