@@ -2226,6 +2226,67 @@ object Queries {
       }
     )),
 
+    // On-cluster perceptron TRAINING (the training half of the
+    // classifier story; scoring is q_classifier_score): batch
+    // perceptron over the 16-bucket hashed features with labels from a
+    // deterministic token-count rule, kept entirely in int64 — the
+    // weight TRAJECTORY (3 rounds × 16 weights) hash-matches an
+    // unrolled-CTE SQL replay, the same promise fixed-point PageRank
+    // makes. Each round is one map+aggregate corpus pass; weights
+    // re-enter the next round as plan literals.
+    "q_perceptron_train" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+        val feats = TextAnalysis.hashedNgramFeatures(col("text"), dim = 16)
+        val y = when(size(split(col("text"), " ")) >= 150, 1L).otherwise(-1L)
+        val hist = operators.Classifier.trainPerceptron(
+          d.select(feats.as("f"), y.as("y")), col("f"), col("y"),
+          dim = 16, rounds = 3)
+        hist.flatMap { case (r, ws) =>
+          ws.zipWithIndex.map { case (wv, j) => (r, j, wv) } }
+          .toDF("round", "bucket", "w")
+      },
+      Some {
+        // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        // each round references the previous one many times — without
+        // materialization the replay cost grows EXPONENTIALLY in rounds
+        def wRound(k: Int) = {
+          val sums = (0 until 16).map(j =>
+            s"CAST(COALESCE(sum(y * features[${j + 1}]), 0) AS BIGINT) AS g${j + 1}")
+            .mkString(",\n             |   ")
+          val terms = (0 until 16).map(j => s"w[${j + 1}] + g${j + 1}")
+            .mkString("[", ", ", "]")
+          s"""m$k AS MATERIALIZED (SELECT fl.doc_id, fl.y, fl.features FROM fl, w${k - 1}
+             |  WHERE y * list_sum([w[i + 1] * features[i + 1] for i in range(16)]) <= 0),
+             |gr$k AS MATERIALIZED (SELECT
+             |   $sums FROM m$k),
+             |w$k AS MATERIALIZED (SELECT $terms AS w FROM w${k - 1}, gr$k)""".stripMargin
+        }
+        val zeros = Seq.fill(16)("CAST(0 AS BIGINT)").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+           |b AS (SELECT doc_id,
+           |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS bk FROM t),
+           |c AS (SELECT doc_id, bk, count(*) c FROM b GROUP BY 1, 2),
+           |g AS (SELECT doc_id, unnest(range(16)) i FROM (SELECT DISTINCT doc_id FROM t)),
+           |f AS (SELECT g.doc_id, list(COALESCE(c.c, 0) ORDER BY g.i) AS features
+           |      FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bk = g.i
+           |      GROUP BY g.doc_id),
+           |lb AS (SELECT doc_id,
+           |  CAST(CASE WHEN len(string_split(text, ' ')) >= 150 THEN 1 ELSE -1 END AS BIGINT) AS y
+           |  FROM documents),
+           |fl AS MATERIALIZED (SELECT f.doc_id, f.features, lb.y FROM f JOIN lb USING (doc_id)),
+           |w0 AS (SELECT $zeros AS w),
+           |${wRound(1)},
+           |${wRound(2)},
+           |${wRound(3)},
+           |idx AS (SELECT CAST(unnest(range(16)) AS INTEGER) AS bucket)
+           |SELECT CAST(1 AS INTEGER) AS round, bucket, w[bucket + 1] AS w FROM w1, idx
+           |UNION ALL SELECT CAST(2 AS INTEGER), bucket, w[bucket + 1] FROM w2, idx
+           |UNION ALL SELECT CAST(3 AS INTEGER), bucket, w[bucket + 1] FROM w3, idx""".stripMargin
+      }
+    )),
+
     // Fixed-point PageRank over the supplier→customer graph (edges =
     // distinct (l_suppkey, o_custkey) pairs): the crawl-pipeline
     // centrality signal, made hash-comparable by integer fixed-point
