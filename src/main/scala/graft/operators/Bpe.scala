@@ -73,6 +73,54 @@ object Bpe {
     } finally words0.unpersist()
   }
 
+  /** INCREMENTAL training: continue a frozen merge list with `rounds`
+    * NEW merges learned from (possibly different) `docs` — the
+    * new-data-batch story of the incremental-dedup family applied to
+    * the tokenizer: the standing vocabulary is immutable (ids already
+    * shipped in trained models), and fresh corpus batches extend it.
+    * Numbering continues from `existing.size + 1`, and by construction
+    * `trainMerges(d, k + r) == trainMerges(d, k) ++ continueMerges(d,
+    * firstK, r)` on an unchanged corpus (BpeSpec pins it). Same scale
+    * shape as [[trainMerges]]: ONE corpus pass (existing merges are
+    * applied to the word table map-side during that pass), then
+    * vocab-table rounds. */
+  def continueMerges(docs: DataFrame, textCol: String,
+      existing: Seq[(String, String)], rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of range")
+    val spark = docs.sparkSession
+    val words0 = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", existing.foldLeft(
+        trim(regexp_replace(col("w"), "(.)", "$1 "))) {
+        case (c, (pair, merged)) => replace(c, lit(pair), lit(merged))
+      })
+      .persist()
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var cur = words0
+    try {
+      for (r <- existing.size + 1 to existing.size + rounds) {
+        val pairs = cur
+          .select(col("cnt"), split(col("sym"), " ").as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(ss) - 1), " +
+              "i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))"))
+            .as("pair"))
+        val top = pairs.groupBy("pair").agg(sum("cnt").as("c"))
+          .orderBy(desc("c"), asc("pair")).limit(1).collect()
+        if (top.isEmpty) return spark.createDataFrame(out.result())
+          .toDF("round", "pair", "merged", "n")
+        val pair = top(0).getString(0)
+        val n = top(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        out += ((r, pair, merged, n))
+        cur = cur.withColumn("sym", replace(col("sym"), lit(pair), lit(merged)))
+      }
+      spark.createDataFrame(out.result()).toDF("round", "pair", "merged", "n")
+    } finally words0.unpersist()
+  }
+
   /** Vocabulary for [[encode]]: every distinct corpus character (ids
     * 0..A-1 in binary sort order — fixture text is ASCII, where
     * Spark's UTF-16 and DuckDB's UTF-8 orderings agree) followed by

@@ -56,6 +56,22 @@ class BpeSpec extends SparkSpec {
     assert(v2 == Seq(("a", 0L), ("b", 1L), ("ab", 2L)))
   }
 
+  test("continueMerges: continuation equals training straight through") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    val full = rows(Bpe.trainMerges(docs, "text", rounds = 5))
+    val first3 = full.take(3)
+    val cont = rows(Bpe.continueMerges(docs, "text",
+      first3.map(m => (m._2, m._3)), rounds = 2))
+    assert(cont === full.drop(3),
+      "continuing from the first 3 merges must reproduce merges 4..5")
+    // numbering continues from the frozen prefix
+    assert(cont.map(_._1) === Seq(4, 5))
+  }
+
   test("encodeWords/decodeWords: exact round-trip on real fixture docs") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")

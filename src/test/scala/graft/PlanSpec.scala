@@ -277,6 +277,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_span_corrupt / q_fim: objective materialization is a zero-exchange map") {
+    // training runs at plan CONSTRUCTION (bounded driver state); the
+    // returned example-materialization plan must be scan -> project
+    for (q <- Seq("q_span_corrupt", "q_fim")) {
+      val p = plan(q)
+      assert(exchanges(p) == 0, s"$q must fuse into the scan:\n$p")
+      assert(!p.contains("BatchEvalPython"), s"$q must not use Python UDFs")
+    }
+  }
+
   test("q_zorder_layout: one shuffle for the bucket agg, key is codegen'd") {
     val p = plan("q_zorder_layout")
     // partial agg map-side, one exchange on z_bucket, final agg — the
