@@ -191,6 +191,36 @@ object Soak {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         val vocab = Bpe.vocab(docs10, "text", merges)
         Bpe.encode(docs10, "text", "doc_id", merges, vocab)
+      },
+      run("span_corrupt") {
+        // denoising examples over the 10x id stream: train + encode +
+        // corrupt — the whole objective materialization, zero shuffle
+        // beyond the bounded training rounds
+        val merges = Bpe.trainMerges(docs10, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = Bpe.vocab(docs10, "text", merges)
+        import org.apache.spark.sql.functions.col
+        Bpe.encode(docs10, "text", "doc_id", merges, vocab)
+          .select(col("doc_id"),
+            Denoise.spanCorrupt(col("bpe_ids"), col("doc_id"),
+              vocab.size.toLong).as("x"))
+      },
+      run("perceptron_train4") {
+        // 4 integer-exact training rounds at 10x: each is one
+        // map+aggregate corpus pass; driver state is 16 longs/round
+        import org.apache.spark.sql.functions._
+        val feats = graft.functions.TextAnalysis
+          .hashedNgramFeatures(col("text"), dim = 16)
+        val y = when(size(split(col("text"), " ")) >= 150, 1L).otherwise(-1L)
+        val hist = Classifier.trainPerceptron(
+          docs10.select(feats.as("f"), y.as("y")), col("f"), col("y"),
+          dim = 16, rounds = 4)
+        val spark2 = docs10.sparkSession
+        import spark2.implicits._
+        hist.flatMap { case (r, ws) =>
+          ws.zipWithIndex.map { case (wv, j) => (r, j, wv) } }
+          .toDF("round", "bucket", "w")
       })
 
     val total = results.map(_._2).sum
