@@ -2048,6 +2048,55 @@ object Queries {
       }
     )),
 
+    // The dataset card — the per-source datasheet every released
+    // training corpus ships with: doc/token/char volumes, length
+    // profile, and gate pass-rates, in ONE aggregation pass (map-side
+    // partials; at 100 TB this is a scan + one bounded-key shuffle).
+    // avg_tokens is one IEEE division of exact longs; the quality
+    // pass-count compares the exact-integer score against the same
+    // literal both engines use — every cell hash-checks.
+    "q_dataset_card" -> ((
+      (s: SparkSession, dir: String) => {
+        val ntok = size(split(col("text"), " ")).cast("long")
+        Tables.documents(s, dir)
+          .select(col("source"), ntok.as("ntok"),
+            TextAnalysis.qualityScore(col("text")).as("q"),
+            length(col("text")).cast("long").as("nchars"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("ntok").as("n_tokens"),
+            (sum("ntok").cast("double") / count(lit(1)).cast("double"))
+              .as("avg_tokens"),
+            max("ntok").as("max_tokens"),
+            sum(when(col("ntok") < 30, 1L).otherwise(0L)).as("n_short"),
+            sum(when(col("q") >= 0.55, 1L).otherwise(0L)).as("n_quality_pass"),
+            sum("nchars").as("n_chars"))
+      },
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH s AS (SELECT source,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           |  CAST(4 * least(CAST(len(string_split(text, ' ')) AS BIGINT), 100)
+           |         * len(string_split(text, ' ')) * length(text)
+           |       + 300 * len([w for w in string_split(text, ' ') if w IN ($allStop)]) * length(text)
+           |       + 300 * length(regexp_replace(text, '[^a-z]', '', 'g')) * len(string_split(text, ' '))
+           |    AS DOUBLE)
+           |  / CAST(1000 * len(string_split(text, ' ')) * length(text) AS DOUBLE) AS q,
+           |  CAST(length(text) AS BIGINT) AS nchars
+           |  FROM documents)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           |  CAST(CAST(sum(ntok) AS BIGINT) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS avg_tokens,
+           |  CAST(max(ntok) AS BIGINT) AS max_tokens,
+           |  CAST(sum(CASE WHEN ntok < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           |  CAST(sum(CASE WHEN q >= 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+           |  CAST(sum(nchars) AS BIGINT) AS n_chars
+           |FROM s GROUP BY 1""".stripMargin
+      }
+    )),
+
     // Adaptive quality gate: drop the bottom decile by quality score —
     // the threshold is a single exact-percentile scalar computed from
     // the corpus itself (relative gate), then a map-side filter.
