@@ -29,21 +29,29 @@ object Classifier {
   def trainPerceptron(docs: DataFrame, featCol: Column, labelCol: Column,
       dim: Int, rounds: Int): Seq[(Int, Seq[Long])] = {
     require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of range")
+    // featurize ONCE: the (x, y) projection is dim+1 integers per doc —
+    // orders of magnitude smaller than the text it came from — so
+    // persisting it across rounds is the right trade at any scale
+    // (same reasoning as the persisted BPE word-frequency table;
+    // without this every round re-tokenizes and re-hashes the corpus)
     val base = docs.select(featCol.as("x"), labelCol.cast("long").as("y"))
+      .persist()
     val w = Array.fill(dim)(0L)
     val out = Seq.newBuilder[(Int, Seq[Long])]
-    for (r <- 1 to rounds) {
-      val dot = (0 until dim)
-        .map(j => lit(w(j)) * element_at(col("x"), j + 1))
-        .reduce(_ + _)
-      val mis = base.filter(col("y") * dot <= 0)
-      val aggs = (0 until dim).map(j =>
-        sum(col("y") * element_at(col("x"), j + 1)).as(s"g$j"))
-      val row = mis.agg(aggs.head, aggs.tail: _*).head()
-      for (j <- 0 until dim)
-        w(j) += (if (row.isNullAt(j)) 0L else row.getLong(j))
-      out += ((r, w.toVector))
-    }
-    out.result()
+    try {
+      for (r <- 1 to rounds) {
+        val dot = (0 until dim)
+          .map(j => lit(w(j)) * element_at(col("x"), j + 1))
+          .reduce(_ + _)
+        val mis = base.filter(col("y") * dot <= 0)
+        val aggs = (0 until dim).map(j =>
+          sum(col("y") * element_at(col("x"), j + 1)).as(s"g$j"))
+        val row = mis.agg(aggs.head, aggs.tail: _*).head()
+        for (j <- 0 until dim)
+          w(j) += (if (row.isNullAt(j)) 0L else row.getLong(j))
+        out += ((r, w.toVector))
+      }
+      out.result()
+    } finally base.unpersist()
   }
 }
