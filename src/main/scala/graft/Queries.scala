@@ -1839,6 +1839,54 @@ object Queries {
       }
     )),
 
+    // Per-benchmark contamination REPORT — the release-gate artifact:
+    // two stacked pseudo-benchmarks (the %10 and %7 doc slices, which
+    // overlap each other — a real hazard the per-benchmark keying must
+    // keep separate), train = docs in neither; for each benchmark the
+    // report carries train-docs-hit, bench-docs-hit, distinct gram
+    // collisions and the benchmark's size. A handful of output rows
+    // regardless of corpus size.
+    "q_contamination_report" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val train = docs.filter(col("doc_id") % 10 =!= 0 &&
+          col("doc_id") % 7 =!= 0)
+        val benches = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("bench", lit("holdout_a"))
+          .unionByName(docs.filter(col("doc_id") % 7 === 0)
+            .withColumn("bench", lit("holdout_b")))
+        operators.Decontaminate.report(train, benches,
+          "doc_id", "text", "bench", n = 5)
+      },
+      Some {
+        val gram5 = (1 to 5).map(k => s"ws[i+$k]").mkString(" || '_' || ")
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+           |g AS (SELECT doc_id, CASE WHEN len(ws) >= 5
+           |  THEN list_distinct([$gram5 for i in range(len(ws)-4)])
+           |  ELSE [] END sh FROM w),
+           |tr AS (SELECT doc_id, unnest(sh) gram FROM g
+           |  WHERE doc_id % 10 != 0 AND doc_id % 7 != 0),
+           |te AS (SELECT 'holdout_a' AS benchmark, doc_id AS test_id, unnest(sh) gram
+           |  FROM g WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT 'holdout_b', doc_id, unnest(sh) FROM g WHERE doc_id % 7 = 0),
+           |sz AS (SELECT 'holdout_a' AS benchmark,
+           |    CAST(count(*) AS BIGINT) AS n_bench_docs
+           |  FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT 'holdout_b', CAST(count(*) AS BIGINT)
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |hits AS (SELECT te.benchmark,
+           |  count(DISTINCT tr.doc_id) AS n_train_docs_hit,
+           |  count(DISTINCT te.test_id) AS n_bench_docs_hit,
+           |  count(DISTINCT tr.gram) AS n_grams_hit
+           |  FROM tr JOIN te USING (gram) GROUP BY 1)
+           |SELECT hits.benchmark, n_train_docs_hit, n_bench_docs_hit,
+           |  n_grams_hit, n_bench_docs
+           |FROM hits JOIN sz USING (benchmark)""".stripMargin
+      }
+    )),
+
     // Bloom-prefiltered decontamination: same answer as q_decontaminate
     // (the filter has no false negatives and the exact join removes its
     // false positives), but the corpus side is tested map-side inside

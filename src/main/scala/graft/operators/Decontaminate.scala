@@ -41,6 +41,31 @@ object Decontaminate {
         countDistinct(col("test_id")).as("n_test_docs"))
   }
 
+  /** Per-BENCHMARK contamination report — the release-gate artifact an
+    * eval team reviews before trusting any score: for each benchmark
+    * (keyed by `benchCol` in a stacked benchmark table), how many
+    * training docs touch it, how many of ITS docs are touched, the
+    * distinct colliding-gram volume, and the benchmark's size for
+    * rate computation. Same join shape as [[contaminated]] (benchmark
+    * grams are the small broadcast side at scale) with one extra
+    * bounded-key rollup — benchmarks are units, so the output is a
+    * handful of rows regardless of corpus size. */
+  def report(train: DataFrame, benchmarks: DataFrame, idCol: String,
+             textCol: String, benchCol: String, n: Int = 8): DataFrame = {
+    val trainGrams = grams(train, idCol, textCol, n)
+    val testGrams = benchmarks.select(col(benchCol).as("benchmark"),
+      col(idCol).as("test_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val benchSizes = benchmarks.groupBy(col(benchCol).as("benchmark"))
+      .agg(countDistinct(col(idCol)).as("n_bench_docs"))
+    trainGrams.join(testGrams, "gram")
+      .groupBy("benchmark")
+      .agg(countDistinct(col("id")).as("n_train_docs_hit"),
+        countDistinct(col("test_id")).as("n_bench_docs_hit"),
+        countDistinct(col("gram")).as("n_grams_hit"))
+      .join(benchSizes, "benchmark")
+  }
+
   /** Decontaminated corpus: training docs whose contamination stays
     * under `maxHitGrams` (0 = drop on any overlap). Anti-join — the
     * corpus never shuffles when the contaminated set is small. */
