@@ -21,18 +21,38 @@ object Bench {
       .split(" ").take(3).mkString("[", ",", "]")
     catch { case _: Throwable => "[]" }
 
-  /** Committed quiet-host per-query baselines (BENCH_QUIET.json — the
-    * "queries" object of a quiet full-suite BENCH_DETAIL run, pinned
-    * in git). Parsed with a first-occurrence regex scan, no JSON lib:
-    * the first "name":num block in the file IS the min map. */
-  private def quietBaseline(): Map[String, Double] = {
-    val p = java.nio.file.Paths.get("BENCH_QUIET.json")
-    if (!java.nio.file.Files.exists(p)) return Map.empty
-    val txt = java.nio.file.Files.readString(p)
-    val re = """"(q[A-Za-z0-9_]+)":([0-9]+\.?[0-9]*)""".r
+  /** Parse a BENCH_QUIET.json body into the per-query min map. First
+    * occurrence of each name wins (the "queries" object precedes
+    * "queries_median"/"queries_runs" in BENCH_DETAIL-shaped files).
+    * `\s*` after the colon: both compact (`"q_x":0.8`) and
+    * pretty-printed (`"q_x": 0.8`) records must parse — the round-6
+    * committed file was pretty-printed and the stricter regex silently
+    * returned an EMPTY map, making the outlier re-probe dead code.
+    * Exposed (not private) so BenchSpec can round-trip the COMMITTED
+    * file through this exact parser. */
+  def parseQuietBaseline(txt: String): Map[String, Double] = {
+    val re = """"(q[A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
     re.findAllMatchIn(txt).foldLeft(Map.empty[String, Double]) { (m, g) =>
       if (m.contains(g.group(1))) m else m + (g.group(1) -> g.group(2).toDouble)
     }
+  }
+
+  /** Committed quiet-host per-query baselines (BENCH_QUIET.json — the
+    * "queries" object of a quiet full-suite BENCH_DETAIL run, pinned
+    * in git). A present-but-unparseable file is a LOUD failure, not a
+    * silent no-baseline state: that exact silence hid a dead re-probe
+    * for a full round. */
+  private def quietBaseline(): Map[String, Double] = {
+    val p = java.nio.file.Paths.get("BENCH_QUIET.json")
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val parsed = parseQuietBaseline(java.nio.file.Files.readString(p))
+    if (parsed.isEmpty)
+      System.err.println("[bench] WARN: BENCH_QUIET.json exists but parsed " +
+        "to an EMPTY baseline map — outlier re-probe is disabled; fix the " +
+        "file (or parser) before trusting n_reprobed:0")
+    else
+      System.err.println(s"[bench] quiet baseline loaded: ${parsed.size} pins")
+    parsed
   }
 
   def main(args: Array[String]): Unit = {
