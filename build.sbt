@@ -1,4 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
+// The container has no LANG/LC_ALL, so the JVM platform charset is not
+// guaranteed UTF-8 — pin it, or non-ASCII string literals (the BPE
+// non-ASCII fixture suffixes) silently mis-decode at compile time.
+ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
+ThisBuild / javacOptions ++= Seq("-encoding", "UTF-8")
 ThisBuild / version := "0.1.0"
 name := "k8efetchspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

@@ -46,12 +46,17 @@ object Queries {
 
   /** Shared DuckDB-oracle prefix for the BPE encode-family queries:
     * the 3 training rounds (identical to q_bpe_train's CTEs), the
-    * vocab build (corpus alphabet in binary order, then one id per
-    * merge, min(id) first-wins on composed collisions), and the
-    * per-doc id-sequence encode. Ends with the `enc` CTE (doc_id,
-    * bpe_ids) and NO trailing comma — callers append either the final
-    * SELECT or further CTEs. */
-  private val BpeEncodeOracleCtes: String = {
+    * vocab build (corpus alphabet in code-point order — DuckDB's
+    * binary ORDER BY — then one id per merge, min(id) first-wins on
+    * composed collisions), and the per-doc id-sequence encode. Ends
+    * with the `enc` CTE (doc_id, bpe_ids) and NO trailing comma —
+    * callers append either the final SELECT or further CTEs.
+    * `preCtes` + `src` let a caller interpose a derived corpus CTE
+    * (e.g. q_bpe_encode's planted non-ASCII suffixes) as the table
+    * the pipeline reads — DuckDB forbids a CTE shadowing a base
+    * table, so the derived corpus needs its own name. */
+  private def bpeEncodeOracleCtes(preCtes: String = "",
+      src: String = "documents"): String = {
     def round(i: Int) =
       s"""p$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) c FROM (
          |  SELECT cnt, unnest([ss[i] || ' ' || ss[i+1] for i in range(1, len(ss))]) AS pair
@@ -60,7 +65,7 @@ object Queries {
          |  ORDER BY c DESC, pair ASC LIMIT 1),
          |s$i AS (SELECT cnt, replace(sym, (SELECT pair FROM m$i),
          |  (SELECT merged FROM m$i)) sym FROM s${i - 1})""".stripMargin
-    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
+    s"""WITH ${preCtes}toks AS (SELECT unnest(string_split(text, ' ')) w FROM $src),
        |wf AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
        |s0 AS (SELECT cnt, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym FROM wf),
        |${round(1)},
@@ -82,8 +87,11 @@ object Queries {
        |       replace(replace(replace(trim(regexp_replace(w, '(.)', '\\1 ', 'g')),
        |         pr1, mg1), pr2, mg2), pr3, mg3), ' ')]
        |    for w in [x for x in string_split(text, ' ') if x <> '']]) AS bpe_ids
-       |  FROM documents, vm, mm)""".stripMargin
+       |  FROM $src, vm, mm)""".stripMargin
   }
+
+  /** The old zero-arg form, for the callers that read the base corpus. */
+  private val BpeEncodeOracleCtes: String = bpeEncodeOracleCtes()
 
   // Exact-decimal money fragments — same text works in Spark SQL and DuckDB.
   private val Price = "cast(l_extendedprice as decimal(18,2))"
@@ -3935,9 +3943,24 @@ object Queries {
     // to 0, so a silent vocab hole can't hide in the join. The encode
     // plan is a zero-shuffle map pass: merges and the vocab map are
     // literals (bounded model state).
+    // Non-ASCII hardening: a quarter of docs get precomposed accents,
+    // a quarter CJK, a quarter ASTRAL emoji (UTF-16 surrogate pairs in
+    // the JVM — the exact case where a code-unit character split would
+    // fabricate lone-surrogate "alphabet" entries no other engine has).
+    // Vocab ids must stay engine-deterministic (code-point order) and
+    // n_oov must stay hash-checked 0 across all four corpus slices.
     "q_bpe_encode" -> ((
       (s: SparkSession, dir: String) => {
-        val d = Tables.documents(s, dir)
+        // raw UTF-8 literals are safe: build.sbt pins -encoding UTF-8
+        // (the container has no LANG, so the platform charset isn't)
+        val d = Tables.documents(s, dir).withColumn("text", concat(col("text"),
+          when(pmod(col("doc_id"), lit(4L)) === 0,
+            lit(" café naïve"))
+            .when(pmod(col("doc_id"), lit(4L)) === 1,
+              lit(" 日本語 モデル"))
+            .when(pmod(col("doc_id"), lit(4L)) === 2,
+              lit(" 😀😀 🚀"))
+            .otherwise(lit(""))))
         val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
           .orderBy("round").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -3948,7 +3971,13 @@ object Queries {
             col("n_bpe"),
             size(filter(col("bpe_ids"), _.isNull)).cast("long").as("n_oov"))
       },
-      Some(BpeEncodeOracleCtes + "\n" +
+      Some(bpeEncodeOracleCtes(preCtes =
+        """docs_nonascii AS (SELECT doc_id, text ||
+          |  CASE WHEN doc_id % 4 = 0 THEN ' café naïve'
+          |       WHEN doc_id % 4 = 1 THEN ' 日本語 モデル'
+          |       WHEN doc_id % 4 = 2 THEN ' 😀😀 🚀'
+          |       ELSE '' END AS text FROM documents),
+          |""".stripMargin, src = "docs_nonascii") + "\n" +
         """SELECT doc_id, array_to_string(bpe_ids, ',') AS bpe_ids_csv,
           |  CAST(len(bpe_ids) AS BIGINT) AS n_bpe,
           |  CAST(len([x for x in bpe_ids if x IS NULL]) AS BIGINT) AS n_oov

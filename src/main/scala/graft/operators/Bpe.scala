@@ -121,12 +121,30 @@ object Bpe {
     } finally words0.unpersist()
   }
 
-  /** Vocabulary for [[encode]]: every distinct corpus character (ids
-    * 0..A-1 in binary sort order — fixture text is ASCII, where
-    * Spark's UTF-16 and DuckDB's UTF-8 orderings agree) followed by
-    * one entry per merge in training order (id A+round-1). Distinct
-    * merges CAN compose the same string ('a bc' and 'ab c' both yield
-    * 'abc'); first-wins, the rule the oracle replays with min(id).
+  /** Vocabulary for [[encode]]: every distinct corpus CODE POINT (ids
+    * 0..A-1 in code-point order) followed by one entry per merge in
+    * training order (id A+round-1). Distinct merges CAN compose the
+    * same string ('a bc' and 'ab c' both yield 'abc'); first-wins,
+    * the rule the oracle replays with min(id).
+    *
+    * Engine determinism on NON-ASCII corpora, by construction:
+    *  - the alphabet is extracted with the SAME `(.)` regex split the
+    *    symbol/encode paths use. Java regex `.` matches a full code
+    *    point (one match per astral emoji), exactly like RE2's `.` in
+    *    UTF-8 mode — unlike `split(text, "")`, which fractures
+    *    supplementary characters into lone UTF-16 surrogates that no
+    *    other engine produces (the pre-round-7 OOV hole);
+    *  - ids are assigned by an explicit DRIVER-side code-point sort
+    *    (each entry is a single code point, so `codePointAt(0)` is
+    *    total), which equals UTF-8 binary order — the ordering DuckDB
+    *    replays with a plain ORDER BY — independent of any engine
+    *    collation configuration.
+    * Because the alphabet and the encode symbol split share one
+    * mechanism, every symbol the encoder can emit over the training
+    * corpus is in the vocab: OOV on the training corpus is impossible
+    * by construction (frozen-vocab encode of NEW text still surfaces
+    * unseen code points as NULL ids — loud, never silent).
+    *
     * The alphabet scan explodes per-doc DISTINCT characters (bounded
     * by charset size per doc, never corpus length), and the result is
     * bounded driver model state — |alphabet| + |merges| entries, the
@@ -134,10 +152,12 @@ object Bpe {
   def vocab(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): Seq[(String, Long)] = {
     val alpha = docs
-      .select(explode(array_distinct(split(col(textCol), ""))).as("c"))
-      .filter(col("c") =!= " " && col("c") =!= "")
-      .distinct().orderBy("c")
+      .select(explode(array_distinct(
+        split(trim(regexp_replace(col(textCol), "(.)", "$1 ")), " "))).as("c"))
+      .filter(col("c") =!= "")
+      .distinct()
       .collect().map(_.getString(0)).toSeq
+      .sortBy(_.codePointAt(0))
     val entries = alpha.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
       merges.zipWithIndex.map { case ((_, m), i) => (m, (alpha.size + i).toLong) }
     entries.groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq.sortBy(_._2)

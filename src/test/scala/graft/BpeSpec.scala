@@ -56,6 +56,24 @@ class BpeSpec extends SparkSpec {
     assert(v2 == Seq(("a", 0L), ("b", 1L), ("ab", 2L)))
   }
 
+  test("vocab: non-ASCII alphabet is code-point split and code-point ordered") {
+    // é (U+00E9), 日 (U+65E5), 😀 (U+1F600 — a SURROGATE PAIR in the
+    // JVM: a UTF-16 code-unit split would fabricate two lone-surrogate
+    // entries here) — plus ASCII. Expected order = code point order,
+    // which is also UTF-8 binary order (what DuckDB's ORDER BY does).
+    val docs = Seq((1L, "zé 😀日 az")).toDF("doc_id", "text")
+    val v = Bpe.vocab(docs, "text", Nil)
+    assert(v.map(_._1) ==
+      Seq("a", "z", "é", "日", "😀"))
+    assert(v.forall { case (t, _) => t.codePointCount(0, t.length) == 1 },
+      s"every alphabet entry must be ONE code point, got $v")
+    // and encode over the same corpus has no OOV, by construction
+    val enc = Bpe.encode(docs, "text", "doc_id", Nil, v)
+    val ids = enc.collect().head.getSeq[Any](1)
+    assert(!ids.contains(null), s"OOV NULL leaked: $ids")
+    assert(ids.length == 6) // z é | 😀 日 | a z
+  }
+
   test("continueMerges: continuation equals training straight through") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     def rows(df: org.apache.spark.sql.DataFrame) =
