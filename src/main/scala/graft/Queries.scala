@@ -3258,28 +3258,36 @@ object Queries {
     // so last-two-labels mis-keys them; the snapshot registers the
     // last THREE. Wildcard rules (*.ck, *.bd: EVERY second-level label
     // is a suffix) and the exception !www.ck (www.ck IS registrable)
-    // are exercised too. Also pinned: agreement on .com and co.uk, the
-    // host-IS-a-suffix edge ('' registrable), and single-label hosts.
-    // The oracle inlines the SAME snapshot (VALUES + IN-lists
-    // generated from the resource file at SQL build time) so both
-    // engines key off identical pinned data.
+    // are exercised too, plus THREE-level exact entries (the
+    // act.edu.au state-registry family: hosts register at the last
+    // FOUR labels, and the three-level rule must beat the edu.au
+    // two-level rule by the PSL's most-labels precedence). Also
+    // pinned: agreement on .com and co.uk, the host-IS-a-suffix edge
+    // ('' registrable), and single-label hosts. The oracle inlines the
+    // SAME snapshot (VALUES + IN-lists generated from the resource
+    // file at SQL build time) so both engines key off identical
+    // pinned data.
     "q_registered_domain" -> ((
       (s: SparkSession, dir: String) => {
-        val host = when(col("doc_id") % 10 === 0,
+        val host = when(col("doc_id") % 12 === 0,
             concat(lit("shop."), col("source"), lit(".com.cn")))
-          .when(col("doc_id") % 10 === 1,
+          .when(col("doc_id") % 12 === 1,
             concat(lit("www."), col("source"), lit(".co.za")))
-          .when(col("doc_id") % 10 === 2,
+          .when(col("doc_id") % 12 === 2,
             concat(col("source"), lit(".example.com")))
-          .when(col("doc_id") % 10 === 3,
+          .when(col("doc_id") % 12 === 3,
             concat(lit("cdn."), col("source"), lit(".co.uk")))
-          .when(col("doc_id") % 10 === 4, lit("com.cn"))
-          .when(col("doc_id") % 10 === 5, lit("localhost"))
-          .when(col("doc_id") % 10 === 6,
+          .when(col("doc_id") % 12 === 4, lit("com.cn"))
+          .when(col("doc_id") % 12 === 5, lit("localhost"))
+          .when(col("doc_id") % 12 === 6,
             concat(lit("a.b."), col("source"), lit(".ck")))
-          .when(col("doc_id") % 10 === 7, lit("www.ck"))
-          .when(col("doc_id") % 10 === 8,
+          .when(col("doc_id") % 12 === 7, lit("www.ck"))
+          .when(col("doc_id") % 12 === 8,
             concat(lit("shop."), col("source"), lit(".com.bd")))
+          .when(col("doc_id") % 12 === 9,
+            concat(col("source"), lit(".vic.edu.au")))
+          .when(col("doc_id") % 12 === 10,
+            concat(lit("www."), col("source"), lit(".act.gov.au")))
           .otherwise(concat(lit("a.b."), col("source"), lit(".co.kr")))
         val hosts = Tables.documents(s, dir)
           .select(col("doc_id"), host.as("host"),
@@ -3289,13 +3297,16 @@ object Queries {
       },
       Some {
         val (exact, wild, exc) = Web.pslRules
-        val values = exact.map(sfx => s"('$sfx')").mkString(", ")
+        val (exact3, exact2) = exact.partition(_.count(_ == '.') == 2)
+        val values = exact2.map(sfx => s"('$sfx')").mkString(", ")
+        val values3 = exact3.map(sfx => s"('$sfx')").mkString(", ")
         val wildIn = wild.map(t => s"'$t'").mkString(", ")
         val excIn =
           if (exc.isEmpty) "''" else exc.map(e => s"'$e'").mkString(", ")
         s"""WITH psl(suffix) AS (SELECT * FROM (VALUES $values)),
+           |psl3(suffix) AS (SELECT * FROM (VALUES $values3)),
            |hosts AS (SELECT doc_id,
-           |  CASE CAST(doc_id % 10 AS INTEGER)
+           |  CASE CAST(doc_id % 12 AS INTEGER)
            |    WHEN 0 THEN 'shop.' || source || '.com.cn'
            |    WHEN 1 THEN 'www.' || source || '.co.za'
            |    WHEN 2 THEN source || '.example.com'
@@ -3305,6 +3316,8 @@ object Queries {
            |    WHEN 6 THEN 'a.b.' || source || '.ck'
            |    WHEN 7 THEN 'www.ck'
            |    WHEN 8 THEN 'shop.' || source || '.com.bd'
+           |    WHEN 9 THEN source || '.vic.edu.au'
+           |    WHEN 10 THEN 'www.' || source || '.act.gov.au'
            |    ELSE 'a.b.' || source || '.co.kr' END AS host
            |  FROM documents),
            |t AS (SELECT doc_id, host,
@@ -3313,15 +3326,19 @@ object Queries {
            |    1) AS heuristic,
            |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS t2,
            |  regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS t3,
+           |  regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$$', 1) AS t4,
            |  regexp_extract(host, '([^.]+)$$', 1) AS tld
            |  FROM hosts),
            |v AS (SELECT doc_id, host, heuristic,
+           |  t3 IN (SELECT suffix FROM psl3) AS is_suffix3,
            |  (t2 IN (SELECT suffix FROM psl)
            |   OR (tld IN ($wildIn) AND t2 NOT IN ($excIn)
-           |       AND contains(t2, '.'))) AS is_suffix, t2, t3 FROM t)
+           |       AND contains(t2, '.'))) AS is_suffix, t2, t3, t4 FROM t)
            |SELECT doc_id, host, heuristic,
-           |  CASE WHEN is_suffix THEN t3 ELSE t2 END AS exact_domain,
-           |  (heuristic = CASE WHEN is_suffix THEN t3 ELSE t2 END) AS agree
+           |  CASE WHEN is_suffix3 THEN t4
+           |       WHEN is_suffix THEN t3 ELSE t2 END AS exact_domain,
+           |  (heuristic = CASE WHEN is_suffix3 THEN t4
+           |     WHEN is_suffix THEN t3 ELSE t2 END) AS agree
            |FROM v""".stripMargin
       }
     )),

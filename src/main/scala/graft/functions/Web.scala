@@ -227,34 +227,44 @@ object Web {
 
   /** EXACT registrable domain via the pinned snapshot — the
     * broadcast-join variant [[registeredDomain]]'s scaladoc points
-    * callers at. A host's last two labels are a public suffix when
-    * they match an exact entry, OR when the TLD carries a wildcard
-    * rule (`*.ck`: every second-level label is a suffix) and the two
-    * labels are not an exception (`!www.ck`); a suffix match registers
-    * the host at its last THREE labels, anything else at the last two
-    * (the PSL's implicit `*` default). `''` for single-label hosts and
-    * for hosts that ARE a public suffix. The exact entries are a
-    * broadcast hash join side (~400 rows) — one map-side probe per
-    * row, the corpus never shuffles; wildcard TLDs and exceptions are
-    * tiny literal IN-lists in the same projection. The heuristic
-    * column function stays the zero-join default for callers that can
-    * tolerate last-two-labels on the uncommon ccTLD registries. */
+    * callers at. Rule matching follows the PSL algorithm's
+    * most-labels-wins order:
+    *  - last THREE labels match an exact three-level entry
+    *    (`act.edu.au` family) → register at the last FOUR labels;
+    *  - else last two labels match an exact two-level entry, OR the
+    *    TLD carries a wildcard rule (`*.ck`: every second-level label
+    *    is a suffix) and the two labels are not an exception
+    *    (`!www.ck`) → register at the last THREE labels;
+    *  - else the PSL's implicit `*` default → the last two labels.
+    * `''` for single-label hosts and for hosts that ARE a public
+    * suffix. Both exact tiers are broadcast hash join sides (a few
+    * hundred rows each) — map-side probes, the corpus never shuffles;
+    * wildcard TLDs and exceptions are tiny literal IN-lists in the
+    * same projection. The heuristic column function stays the
+    * zero-join default for callers that can tolerate last-two-labels
+    * on the uncommon ccTLD registries. */
   def registeredDomainExact(df: DataFrame, hostCol: String,
       out: String = "registered_domain"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val (exact, wild, exc) = pslRules
-    val psl = exact.toDF("psl_suffix")
+    val (exact3, exact2) = exact.partition(_.count(_ == '.') == 2)
+    val psl2 = exact2.toDF("psl_suffix")
+    val psl3 = exact3.toDF("psl3_suffix")
     val h = lower(col(hostCol))
     val wildcardHit = col("__tld").isin(wild: _*) &&
       !col("__t2").isin(exc: _*) && col("__t2").contains(".")
     df.withColumn("__t2", regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
       .withColumn("__t3", regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+      .withColumn("__t4",
+        regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1))
       .withColumn("__tld", regexp_extract(h, "([^.]+)$", 1))
-      .join(broadcast(psl), col("__t2") === col("psl_suffix"), "left")
+      .join(broadcast(psl2), col("__t2") === col("psl_suffix"), "left")
+      .join(broadcast(psl3), col("__t3") === col("psl3_suffix"), "left")
       .withColumn(out,
-        when(col("psl_suffix").isNotNull || wildcardHit, col("__t3"))
+        when(col("psl3_suffix").isNotNull, col("__t4"))
+          .when(col("psl_suffix").isNotNull || wildcardHit, col("__t3"))
           .otherwise(col("__t2")))
-      .drop("__t2", "__t3", "__tld", "psl_suffix")
+      .drop("__t2", "__t3", "__t4", "__tld", "psl_suffix", "psl3_suffix")
   }
 }

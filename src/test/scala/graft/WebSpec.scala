@@ -166,4 +166,21 @@ class WebSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"snapshot join should broadcast:\n$p")
   }
+
+  test("registeredDomainExact: three-level entries register at four labels") {
+    val hosts = Seq("school.act.edu.au", "www.school.act.edu.au",
+      "act.edu.au", "dept.vic.gov.au", "uni.edu.au", "x.uni.edu.au")
+      .toDF("host")
+    val out = Web.registeredDomainExact(hosts, "host", "exact")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // three-level rule act.edu.au beats the two-level edu.au rule
+    // (PSL most-labels precedence): registrable = last FOUR labels
+    assert(out("school.act.edu.au") === "school.act.edu.au")
+    assert(out("www.school.act.edu.au") === "school.act.edu.au")
+    assert(out("act.edu.au") === "") // host IS the three-level suffix
+    assert(out("dept.vic.gov.au") === "dept.vic.gov.au")
+    // a NON-state label under edu.au still keys by the two-level rule
+    assert(out("uni.edu.au") === "uni.edu.au")
+    assert(out("x.uni.edu.au") === "uni.edu.au")
+  }
 }
