@@ -37,30 +37,47 @@ object Denoise {
       salt: String = "mask_"): Column = {
     val n = size(ids)
     val nBlocks = ceil(n.cast("double") / blockLen).cast("long")
+    // guard: Spark's sequence(0, -1) yields a DESCENDING ramp, not
+    // empty (same gotcha as Bpe's single-symbol words)
     val blockIdx = sequence(lit(0L), greatest(nBlocks - 1, lit(0L)))
     def masked(b: Column): Column =
       pmod(Sampling.hash32(concat(docId.cast("string"), lit("_"),
         b.cast("string")), salt), lit(maskEvery.toLong)) === 0
-    // span ordinal of block b = count of masked blocks before b —
-    // O(nBlocks²) in expression land, but nBlocks is tokens/blockLen
-    // per DOC (tens), never corpus-scale
-    // guard b=0: Spark's sequence(0, -1) yields a DESCENDING ramp,
-    // not empty (same gotcha as Bpe's single-symbol words)
-    def ordinal(b: Column): Column =
-      when(b === 0, lit(0L))
-        .otherwise(size(filter(sequence(lit(0L), b - 1), p => masked(p)))
-          .cast("long"))
-    def blockSlice(b: Column): Column =
-      slice(ids, (b * blockLen + 1).cast("int"), lit(blockLen))
-    val inputIds = flatten(transform(blockIdx, b =>
+    // The salted-md5 draw is evaluated ONCE per block and shared by
+    // all three outputs (pre-round-7 each output re-derived it, and
+    // the per-block ordinal re-filtered sequence(0, b-1) — O(nBlocks²)
+    // hash evaluations, quadratic wall time on 100k-token docs).
+    val maskArr = transform(blockIdx, b => masked(b))
+    // ordinals[b] = count of masked blocks BEFORE b, built in one
+    // cumulative fold over the mask array. The running concat still
+    // copies O(nBlocks²) array cells, but those are plain long moves —
+    // the md5 work, the actual constant, is linear now (DenoiseSpec
+    // pins a 1k-block doc completing in bounded time).
+    val ordinals = aggregate(maskArr,
+      struct(array().cast("array<bigint>").as("arr"), lit(0L).as("cnt")),
+      (acc, m) => struct(
+        concat(acc.getField("arr"), array(acc.getField("cnt"))).as("arr"),
+        (acc.getField("cnt") + when(m, lit(1L)).otherwise(lit(0L)))
+          .as("cnt")),
+      acc => acc.getField("arr"))
+    // zip mask+ordinal BEFORE the per-block lambdas: a lambda body
+    // referencing the fold would re-evaluate it per element (invariant
+    // subtrees are not hoisted out of higher-order-function lambdas);
+    // as a zip_with ARGUMENT it is evaluated once per row.
+    val maskOrd = zip_with(maskArr, ordinals,
+      (m, o) => struct(m.as("m"), o.as("o")))
+    def blockSlice(i: Column): Column =
+      slice(ids, (i.cast("long") * blockLen + 1).cast("int"), lit(blockLen))
+    val inputIds = flatten(transform(maskOrd, (s, i) =>
       when(n === 0, array().cast("array<bigint>"))
-        .when(masked(b), array(lit(vocabSize) + ordinal(b)))
-        .otherwise(blockSlice(b))))
-    val targetIds = flatten(transform(blockIdx, b =>
-      when(n === 0 || !masked(b), array().cast("array<bigint>"))
-        .otherwise(concat(array(lit(vocabSize) + ordinal(b)), blockSlice(b)))))
+        .when(s.getField("m"), array(lit(vocabSize) + s.getField("o")))
+        .otherwise(blockSlice(i))))
+    val targetIds = flatten(transform(maskOrd, (s, i) =>
+      when(n === 0 || !s.getField("m"), array().cast("array<bigint>"))
+        .otherwise(concat(array(lit(vocabSize) + s.getField("o")),
+          blockSlice(i)))))
     val nSpans = when(n === 0, lit(0L))
-      .otherwise(size(filter(blockIdx, b => masked(b))).cast("long"))
+      .otherwise(size(filter(maskArr, m => m)).cast("long"))
     struct(inputIds.as("input_ids"), targetIds.as("target_ids"),
       nSpans.as("n_spans"))
   }

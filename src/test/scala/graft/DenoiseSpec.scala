@@ -47,6 +47,41 @@ class DenoiseSpec extends SparkSpec {
     assert(totalSpans > 0L, "no spans masked — the draw is broken")
   }
 
+  test("spanCorrupt: a 1k-block doc completes in bounded time and reconstructs") {
+    // 10k tokens = 1,250 blocks at blockLen=8 — the long-doc regime
+    // where the pre-round-7 per-block ordinal (re-filtering
+    // sequence(0, b-1), so O(nBlocks²) salted-md5 draws × 3 outputs)
+    // took minutes. With the single mask pass + cumulative ordinals
+    // it is one scan; the reconstruction invariant must still hold.
+    import spark.implicits._
+    val vsz = 50L
+    val n = 10000
+    val docs = Seq((7L, (0 until n).map(i => (i % vsz).toLong).toList))
+      .toDF("doc_id", "bpe_ids")
+    val t0 = System.nanoTime()
+    val r = docs.select(col("bpe_ids"),
+        Denoise.spanCorrupt(col("bpe_ids"), col("doc_id"), vsz).as("x"))
+      .select(col("bpe_ids"), col("x.input_ids"), col("x.target_ids"),
+        col("x.n_spans"))
+      .collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30, f"1k-block doc took $secs%.1f s — ordinal is quadratic again")
+    val orig = r.getSeq[Long](0)
+    val input = r.getSeq[Long](1)
+    val target = r.getSeq[Long](2)
+    val nSpans = r.getLong(3)
+    assert(nSpans > 100, s"draw broken: only $nSpans of ~250 expected spans")
+    // substitute every sentinel's span back -> original stream
+    val spans = scala.collection.mutable.Map.empty[Long, Vector[Long]]
+    var cur = -1L
+    target.foreach { id =>
+      if (id >= vsz) { cur = id; spans(cur) = Vector.empty }
+      else spans(cur) :+= id
+    }
+    val rebuilt = input.flatMap(id => if (id >= vsz) spans(id) else Vector(id))
+    assert(rebuilt === orig, "sentinel substitution must reconstruct")
+  }
+
   test("fim: PSM segments reassemble to the original stream") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = Bpe.trainMerges(docs, "text", rounds = 2)
