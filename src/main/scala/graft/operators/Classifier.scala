@@ -25,10 +25,25 @@ object Classifier {
 
   /** Train `rounds` batch-perceptron updates from w=0 over
     * (`featCol`: array<bigint> of length `dim`, `labelCol`: ±1).
-    * Returns the full weight trajectory: (round, weights) per round. */
+    * Returns the full weight trajectory: (round, weights) per round.
+    *
+    * Plan size is O(1) in `dim`: the weights enter each round as ONE
+    * array literal, the dot is a codegen'd zip_with+aggregate fold,
+    * and the misclassified gradient Σ y·x is summed element-wise
+    * inside each partition (one long[] accumulator — the map-side
+    * combine, written out), with ≤numPartitions partial vectors
+    * merged on the driver. (The pre-round-7 form expanded `dim`
+    * literal product terms and `dim` sum columns into the plan —
+    * fine at dim=16, quadratic plan-compile pain at the 2^18 of a
+    * real hashed-feature classifier.) Integer addition is order-free,
+    * so the trajectory stays bit-reproducible under any partitioning
+    * — ClassifierSpec pins dim=16 values unchanged and plans+runs
+    * dim=1024. */
   def trainPerceptron(docs: DataFrame, featCol: Column, labelCol: Column,
       dim: Int, rounds: Int): Seq[(Int, Seq[Long])] = {
     require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of range")
+    val spark = docs.sparkSession
+    import spark.implicits._
     // featurize ONCE: the (x, y) projection is dim+1 integers per doc —
     // orders of magnitude smaller than the text it came from — so
     // persisting it across rounds is the right trade at any scale
@@ -40,15 +55,24 @@ object Classifier {
     val out = Seq.newBuilder[(Int, Seq[Long])]
     try {
       for (r <- 1 to rounds) {
-        val dot = (0 until dim)
-          .map(j => lit(w(j)) * element_at(col("x"), j + 1))
-          .reduce(_ + _)
-        val mis = base.filter(col("y") * dot <= 0)
-        val aggs = (0 until dim).map(j =>
-          sum(col("y") * element_at(col("x"), j + 1)).as(s"g$j"))
-        val row = mis.agg(aggs.head, aggs.tail: _*).head()
-        for (j <- 0 until dim)
-          w(j) += (if (row.isNullAt(j)) 0L else row.getLong(j))
+        val dot = aggregate(
+          zip_with(col("x"), typedLit(w.toSeq), (xi, wi) => xi * wi),
+          lit(0L), _ + _)
+        val partials = base.filter(col("y") * dot <= 0)
+          .select(transform(col("x"), xi => col("y") * xi).as("gx"))
+          .as[Seq[Long]]
+          .mapPartitions { it =>
+            val acc = Array.fill(dim)(0L)
+            var any = false
+            it.foreach { a =>
+              any = true
+              var i = 0
+              while (i < dim) { acc(i) += a(i); i += 1 }
+            }
+            if (any) Iterator.single(acc.toSeq) else Iterator.empty
+          }
+          .collect() // ≤ numPartitions vectors of dim longs — bounded
+        for (g <- partials; j <- 0 until dim) w(j) += g(j)
         out += ((r, w.toVector))
       }
       out.result()
