@@ -3384,21 +3384,34 @@ object Queries {
           "User-agent: *\nDisallow: /admin\nAllow: /admin/public\n" +
           "Disallow: /tmp/\nDisallow: /*.pdf$\nAllow: /docs/*.pdf$\n" +
           "Disallow: /cgi*bin/\n\n" +
+          "User-agent: bot1-news\nDisallow: /news\n\n" +
           "User-agent: bot2\nDisallow: /")
         val id = col("doc_id").cast("string")
-        val path = when(col("doc_id") % 9 === 0, concat(lit("/admin/p"), id))
-          .when(col("doc_id") % 9 === 1, concat(lit("/admin/public/p"), id))
-          .when(col("doc_id") % 9 === 2, concat(lit("/tmp/x"), id))
-          .when(col("doc_id") % 9 === 3, concat(lit("/private/y"), id))
-          .when(col("doc_id") % 9 === 4, concat(lit("/files/f"), id, lit(".pdf")))
-          .when(col("doc_id") % 9 === 5, concat(lit("/docs/d"), id, lit(".pdf")))
-          .when(col("doc_id") % 9 === 6, concat(lit("/cgi-bin/q"), id))
-          .when(col("doc_id") % 9 === 7, concat(lit("/files/f"), id, lit(".pdfx")))
+        val path = when(col("doc_id") % 10 === 0, concat(lit("/admin/p"), id))
+          .when(col("doc_id") % 10 === 1, concat(lit("/admin/public/p"), id))
+          .when(col("doc_id") % 10 === 2, concat(lit("/tmp/x"), id))
+          .when(col("doc_id") % 10 === 3, concat(lit("/private/y"), id))
+          .when(col("doc_id") % 10 === 4, concat(lit("/files/f"), id, lit(".pdf")))
+          .when(col("doc_id") % 10 === 5, concat(lit("/docs/d"), id, lit(".pdf")))
+          .when(col("doc_id") % 10 === 6, concat(lit("/cgi-bin/q"), id))
+          .when(col("doc_id") % 10 === 7, concat(lit("/files/f"), id, lit(".pdfx")))
+          .when(col("doc_id") % 10 === 8, concat(lit("/news/n"), id))
           .otherwise(concat(lit("/public/z"), id))
+        // named-agent group selection (RFC 9309 §2.2.1) alongside the
+        // * verdict: Bot1 (case-insensitive exact) ignores the * group
+        // entirely; bot1-NewsReader picks bot1-news by LONGEST prefix
+        // over bot1, so /private is allowed for it; bot2's total block
+        // applies only to bot2
         Tables.documents(s, dir)
           .select(col("doc_id"), path.as("url_path"))
           .withColumn("allowed",
             Web.robotsAllowed(col("url_path"), Web.robotsRules(robots)))
+          .withColumn("allowed_bot1", Web.robotsAllowed(col("url_path"),
+            Web.robotsRulesForAgent(robots, lit("Bot1"))))
+          .withColumn("allowed_news", Web.robotsAllowed(col("url_path"),
+            Web.robotsRulesForAgent(robots, lit("bot1-NewsReader"))))
+          .withColumn("allowed_bot2", Web.robotsAllowed(col("url_path"),
+            Web.robotsRulesForAgent(robots, lit("bot2"))))
       },
       Some("""WITH r AS (SELECT
              |  'User-agent: bot1' || chr(10) || 'Disallow: /private' || chr(10) || chr(10) ||
@@ -3406,6 +3419,7 @@ object Queries {
              |  'Allow: /admin/public' || chr(10) || 'Disallow: /tmp/' || chr(10) ||
              |  'Disallow: /*.pdf$' || chr(10) || 'Allow: /docs/*.pdf$' || chr(10) ||
              |  'Disallow: /cgi*bin/' || chr(10) || chr(10) ||
+             |  'User-agent: bot1-news' || chr(10) || 'Disallow: /news' || chr(10) || chr(10) ||
              |  'User-agent: bot2' || chr(10) || 'Disallow: /' AS robots),
              |blk AS (SELECT regexp_extract(robots,
              |  '(?is)user-agent:[ \t]*\*[ \t\r]*\n(.*?)(\nuser-agent:|$)', 1) AS b FROM r),
@@ -3427,7 +3441,7 @@ object Queries {
              |  || CASE WHEN pat LIKE '%$' THEN '$' ELSE '' END AS rex
              |  FROM rules),
              |d AS (SELECT doc_id,
-             |  CASE CAST(doc_id % 9 AS INTEGER)
+             |  CASE CAST(doc_id % 10 AS INTEGER)
              |    WHEN 0 THEN '/admin/p' || CAST(doc_id AS VARCHAR)
              |    WHEN 1 THEN '/admin/public/p' || CAST(doc_id AS VARCHAR)
              |    WHEN 2 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
@@ -3436,6 +3450,7 @@ object Queries {
              |    WHEN 5 THEN '/docs/d' || CAST(doc_id AS VARCHAR) || '.pdf'
              |    WHEN 6 THEN '/cgi-bin/q' || CAST(doc_id AS VARCHAR)
              |    WHEN 7 THEN '/files/f' || CAST(doc_id AS VARCHAR) || '.pdfx'
+             |    WHEN 8 THEN '/news/n' || CAST(doc_id AS VARCHAR)
              |    ELSE '/public/z' || CAST(doc_id AS VARCHAR) END AS url_path
              |  FROM documents),
              |m AS (SELECT d.doc_id, d.url_path, rx.plen, rx.allow
@@ -3444,7 +3459,10 @@ object Queries {
              |  row_number() OVER (PARTITION BY doc_id
              |    ORDER BY plen DESC, allow DESC) AS rn FROM m)
              |SELECT d.doc_id, d.url_path,
-             |  coalesce(b.allow, true) AS allowed
+             |  coalesce(b.allow, true) AS allowed,
+             |  NOT starts_with(d.url_path, '/private') AS allowed_bot1,
+             |  NOT starts_with(d.url_path, '/news') AS allowed_news,
+             |  NOT starts_with(d.url_path, '/') AS allowed_bot2
              |FROM d LEFT JOIN (SELECT doc_id, allow FROM best WHERE rn = 1) b
              |  USING (doc_id)""".stripMargin)
     )),
@@ -3466,7 +3484,8 @@ object Queries {
             lit("User-agent: *\nDisallow: /private/"), col("source"),
             lit("\nAllow: /private/"), col("source"), lit("/ok\n"),
             when(length(col("source")) % 3 === 0,
-              lit("Disallow: /*.log$\n")).otherwise(lit(""))))
+              lit("Disallow: /*.log$\n")).otherwise(lit("")),
+            lit("\nUser-agent: graftbot\nDisallow: /logs/\n")))
         val id = col("doc_id").cast("string")
         val path = when(col("doc_id") % 4 === 0,
             concat(lit("/private/"), col("source"), lit("/x"), id))
@@ -3475,18 +3494,27 @@ object Queries {
           .when(col("doc_id") % 4 === 2,
             concat(lit("/logs/run"), id, lit(".log")))
           .otherwise(concat(lit("/public/z"), id))
+        // graftbot selects its NAMED per-site group: only /logs/ is
+        // blocked for it, and the * group's /private/<site> rules do
+        // not apply (named-group override, per site, rules from a
+        // COLUMN rather than a constant)
         d.select(col("doc_id"), col("source"), path.as("url_path"))
           .join(broadcast(robotsTbl), "source")
           .withColumn("allowed", Web.robotsAllowed(col("url_path"),
             Web.robotsRules(col("site_robots"))))
-          .select(col("doc_id"), col("source"), col("url_path"), col("allowed"))
+          .withColumn("allowed_graftbot", Web.robotsAllowed(col("url_path"),
+            Web.robotsRulesForAgent(col("site_robots"), lit("graftbot"))))
+          .select(col("doc_id"), col("source"), col("url_path"),
+            col("allowed"), col("allowed_graftbot"))
       },
       Some("""WITH sites AS (SELECT DISTINCT source FROM documents),
              |rob AS (SELECT source,
              |  'User-agent: *' || chr(10) || 'Disallow: /private/' || source || chr(10) ||
              |  'Allow: /private/' || source || '/ok' || chr(10) ||
              |  CASE WHEN length(source) % 3 = 0
-             |    THEN 'Disallow: /*.log$' || chr(10) ELSE '' END AS site_robots
+             |    THEN 'Disallow: /*.log$' || chr(10) ELSE '' END
+             |  || chr(10) || 'User-agent: graftbot' || chr(10)
+             |  || 'Disallow: /logs/' || chr(10) AS site_robots
              |  FROM sites),
              |ln AS (SELECT source, unnest(string_split(regexp_extract(site_robots,
              |  '(?is)user-agent:[ \t]*\*[ \t\r]*\n(.*?)(\nuser-agent:|$)', 1),
@@ -3521,7 +3549,8 @@ object Queries {
              |  row_number() OVER (PARTITION BY doc_id
              |    ORDER BY plen DESC, allow DESC) AS rn FROM m)
              |SELECT d.doc_id, d.source, d.url_path,
-             |  coalesce(b.allow, true) AS allowed
+             |  coalesce(b.allow, true) AS allowed,
+             |  NOT starts_with(d.url_path, '/logs/') AS allowed_graftbot
              |FROM d LEFT JOIN (SELECT doc_id, allow FROM best WHERE rn = 1) b
              |  USING (doc_id)""".stripMargin)
     )),

@@ -152,6 +152,72 @@ object Web {
       r => r.getField("pat") =!= "")
   }
 
+  /** RFC 9309 §2.2.1 named-agent group selection: the rule set of the
+    * group whose `User-agent:` token most specifically matches
+    * `agent` — a group token matches when it is `*` (specificity 0)
+    * or a case-insensitive PREFIX of the crawler's product token
+    * (specificity = token length, the Googlebot-News-obeys-googlebot
+    * convention); the highest specificity wins, first group on ties,
+    * and a crawler with a matching NAMED group ignores the `*` group
+    * entirely (even when the named group is empty — RFC's "only one
+    * group applies"). Stacked `User-agent:` lines share one group
+    * (a run of UA lines is a single group header). Implemented as ONE
+    * sequential fold over the body's lines (groups are positional
+    * state — blank lines do NOT terminate a group in RFC 9309, only
+    * the next UA-line run does), so it composes per-ROW like
+    * [[robotsRules]]: rule bodies are per-domain and tiny, the fold
+    * is linear in body lines. Feed the result to [[robotsAllowed]]. */
+  def robotsRulesForAgent(robotsTxt: Column, agent: Column): Column = {
+    val emptyRules = array().cast("array<struct<pat:string,allow:boolean>>")
+    val agentLc = lower(agent)
+    val zero = struct(
+      lit(-1L).as("best_score"), emptyRules.as("best"),
+      lit(-1L).as("cur_score"), emptyRules.as("cur"),
+      lit(false).as("in_run"))
+    def step(acc: Column, l: Column): Column = {
+      val uaTok = trim(regexp_extract(l,
+        "(?i)^[ \\t]*user-agent:[ \\t]*([^\\r\\n#]*)", 1))
+      val isUa = uaTok =!= ""
+      val dis = trim(regexp_extract(l,
+        "(?i)^[ \\t]*disallow:[ \\t]*([^\\r\\n#]*)", 1))
+      val alw = trim(regexp_extract(l,
+        "(?i)^[ \\t]*allow:[ \\t]*([^\\r\\n#]*)", 1))
+      val pat = when(dis =!= "", dis).otherwise(alw)
+      val isRule = pat =!= ""
+      val tokScore = when(uaTok === "*", lit(0L))
+        .when(agentLc.startsWith(lower(uaTok)), length(uaTok).cast("long"))
+        .otherwise(lit(-1L))
+      val bs = acc.getField("best_score"); val b = acc.getField("best")
+      val cs = acc.getField("cur_score"); val c = acc.getField("cur")
+      val inRun = acc.getField("in_run")
+      // closing the current group: promote it over best on STRICTLY
+      // greater specificity (ties keep the earlier group)
+      val promote = cs > bs
+      val nbs = when(promote, cs).otherwise(bs)
+      val nb = when(promote, c).otherwise(b)
+      when(isUa && inRun, // stacked UA line: same group, best token wins
+        struct(bs.as("best_score"), b.as("best"),
+          greatest(cs, tokScore).as("cur_score"), c.as("cur"),
+          lit(true).as("in_run")))
+        .when(isUa, // new UA run: finalize the previous group
+          struct(nbs.as("best_score"), nb.as("best"),
+            tokScore.as("cur_score"), emptyRules.as("cur"),
+            lit(true).as("in_run")))
+        .when(isRule,
+          struct(bs.as("best_score"), b.as("best"),
+            cs.as("cur_score"),
+            concat(c, array(struct(pat.as("pat"), (dis === "").as("allow"))))
+              .as("cur"),
+            lit(false).as("in_run")))
+        .otherwise( // blank/comment/other: ends a UA run, keeps the group
+          struct(bs.as("best_score"), b.as("best"),
+            cs.as("cur_score"), c.as("cur"), lit(false).as("in_run")))
+    }
+    aggregate(split(robotsTxt, "\n"), zero, step,
+      acc => when(acc.getField("cur_score") > acc.getField("best_score"),
+        acc.getField("cur")).otherwise(acc.getField("best")))
+  }
+
   /** RFC 9309 group-matching verdict for one path: the MOST SPECIFIC
     * matching rule wins (most pattern octets — length of the raw
     * pattern including wildcards, the rule Google's reference parser

@@ -138,6 +138,49 @@ class WebSpec extends SparkSpec {
       .head.getBoolean(0)) // '+' is not a quantifier
   }
 
+  test("robotsRulesForAgent: most-specific named group beats *, falls back to *") {
+    val body = "User-agent: bot1\nDisallow: /private\n\n" +
+      "User-agent: bot1-news\nDisallow: /news\n\n" +
+      "User-agent: *\nDisallow: /admin\n\n" +
+      "User-agent: bot2\nDisallow: /"
+    def verdict(agent: String, path: String): Boolean =
+      Seq((body, path)).toDF("r", "p")
+        .select(Web.robotsAllowed(col("p"),
+          Web.robotsRulesForAgent(col("r"), lit(agent))))
+        .head.getBoolean(0)
+    // named group overrides *: bot1 ignores the * group's /admin block
+    assert(verdict("bot1", "/admin/x"))
+    assert(!verdict("bot1", "/private/x"))
+    // longest matching token wins: bot1-NewsReader selects bot1-news
+    // (prefix, len 9) over bot1 (len 4) — /private is ALLOWED for it
+    assert(!verdict("bot1-NewsReader", "/news/x"))
+    assert(verdict("bot1-NewsReader", "/private/x"))
+    // case-insensitive token match
+    assert(!verdict("BOT2", "/anything"))
+    // unknown agent falls back to the * group
+    assert(!verdict("nobody", "/admin/x"))
+    assert(verdict("nobody", "/private/x"))
+  }
+
+  test("robotsRulesForAgent: stacked UA lines share a group; empty named group wins") {
+    val stacked = "User-agent: a\nUser-agent: b\nDisallow: /x\n\n" +
+      "User-agent: *\nDisallow: /y"
+    def verdict(body: String, agent: String, path: String): Boolean =
+      Seq((body, path)).toDF("r", "p")
+        .select(Web.robotsAllowed(col("p"),
+          Web.robotsRulesForAgent(col("r"), lit(agent))))
+        .head.getBoolean(0)
+    assert(!verdict(stacked, "a", "/x/1"))
+    assert(!verdict(stacked, "b", "/x/1"))
+    assert(verdict(stacked, "b", "/y/1")) // named group, not *
+    assert(!verdict(stacked, "c", "/y/1")) // falls to *
+    // a matching named group with NO rules means allow-all for that
+    // agent (only one group applies), not fall-through to *
+    val empty = "User-agent: vip\n\nUser-agent: *\nDisallow: /"
+    assert(verdict(empty, "vip", "/anything"))
+    assert(!verdict(empty, "other", "/anything"))
+  }
+
   test("registeredDomainExact: snapshot keys ccTLD registries the heuristic misses") {
     val hosts = Seq("shop.x.com.cn", "www.y.co.za", "a.b.z.co.kr",
       "cdn.w.co.uk", "v.example.com", "com.cn", "localhost",
