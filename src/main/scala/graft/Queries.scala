@@ -1853,7 +1853,10 @@ object Queries {
     // keep separate), train = docs in neither; for each benchmark the
     // report carries train-docs-hit, bench-docs-hit, distinct gram
     // collisions and the benchmark's size. A handful of output rows
-    // regardless of corpus size.
+    // regardless of corpus size. holdout_c is a planted ZERO-collision
+    // benchmark (3-word docs — no 5-grams at all): it must still
+    // appear in the report with explicit 0s, because a consumer has to
+    // distinguish "clean benchmark" from "benchmark not checked".
     "q_contamination_report" -> ((
       (s: SparkSession, dir: String) => {
         val docs = Tables.documents(s, dir)
@@ -1863,6 +1866,9 @@ object Queries {
           .withColumn("bench", lit("holdout_a"))
           .unionByName(docs.filter(col("doc_id") % 7 === 0)
             .withColumn("bench", lit("holdout_b")))
+          .unionByName(docs.filter(col("doc_id") % 10 === 1)
+            .withColumn("text", lit("short clean holdout"))
+            .withColumn("bench", lit("holdout_c")))
         operators.Decontaminate.report(train, benches,
           "doc_id", "text", "bench", n = 5)
       },
@@ -1883,15 +1889,20 @@ object Queries {
            |  FROM documents WHERE doc_id % 10 = 0
            |  UNION ALL
            |  SELECT 'holdout_b', CAST(count(*) AS BIGINT)
-           |  FROM documents WHERE doc_id % 7 = 0),
+           |  FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT 'holdout_c', CAST(count(*) AS BIGINT)
+           |  FROM documents WHERE doc_id % 10 = 1),
            |hits AS (SELECT te.benchmark,
            |  count(DISTINCT tr.doc_id) AS n_train_docs_hit,
            |  count(DISTINCT te.test_id) AS n_bench_docs_hit,
            |  count(DISTINCT tr.gram) AS n_grams_hit
            |  FROM tr JOIN te USING (gram) GROUP BY 1)
-           |SELECT hits.benchmark, n_train_docs_hit, n_bench_docs_hit,
-           |  n_grams_hit, n_bench_docs
-           |FROM hits JOIN sz USING (benchmark)""".stripMargin
+           |SELECT sz.benchmark,
+           |  coalesce(n_train_docs_hit, 0) AS n_train_docs_hit,
+           |  coalesce(n_bench_docs_hit, 0) AS n_bench_docs_hit,
+           |  coalesce(n_grams_hit, 0) AS n_grams_hit, n_bench_docs
+           |FROM sz LEFT JOIN hits USING (benchmark)""".stripMargin
       }
     )),
 
@@ -3565,9 +3576,20 @@ object Queries {
     "q_web_curation" -> ((
       (s: SparkSession, dir: String) => {
         val d = Tables.documents(s, dir)
+        // htmlText numeric-decodes &#NNN; entities but this composed
+        // oracle replays only the named-entity set — equivalent ONLY
+        // while base text carries no '&#'. The driver regenerates
+        // fixtures between rounds, so guard the assumption in-plan
+        // (same discipline as q_mojibake_repair's ASCII guard): fail
+        // LOUDLY instead of silently red-lining the gate.
+        val entityGuard = when(col("text").contains("&#"),
+          raise_error(concat(
+            lit("q_web_curation oracle omits numeric entity decode; " +
+              "'&#' appeared in base documents.text at doc_id="),
+            col("doc_id").cast("string")))).otherwise(lit(""))
         val page = concat(lit("<html><head><title>"), col("source"),
           lit("</title><style>p { }</style><script>a(\"<i>\");</script></head><body><h1>"),
-          col("source"), lit("</h1><!-- c --><p>"),
+          col("source"), lit("</h1><!-- c --><p>"), entityGuard,
           regexp_replace(col("text"), "table", "t&amp;ble"),
           lit("</p></body></html>"))
         val path = when(col("doc_id") % 4 === 0,
@@ -3640,9 +3662,16 @@ object Queries {
     "q_web_curation_exact" -> ((
       (s: SparkSession, dir: String) => {
         val d = Tables.documents(s, dir)
+        // same latent-divergence guard as q_web_curation: this
+        // composed oracle has no numeric-entity decode step
+        val entityGuard = when(col("text").contains("&#"),
+          raise_error(concat(
+            lit("q_web_curation_exact oracle omits numeric entity " +
+              "decode; '&#' appeared in base documents.text at doc_id="),
+            col("doc_id").cast("string")))).otherwise(lit(""))
         val page = concat(lit("<html><head><title>"), col("source"),
           lit("</title><script>a(\"<i>\");</script></head><body><h1>"),
-          col("source"), lit("</h1><p>"), col("text"),
+          col("source"), lit("</h1><p>"), entityGuard, col("text"),
           lit("</p></body></html>"))
         val id = col("doc_id").cast("string")
         val path = when(col("doc_id") % 5 === 0, concat(lit("/admin/p"), id))

@@ -49,7 +49,11 @@ object Decontaminate {
     * rate computation. Same join shape as [[contaminated]] (benchmark
     * grams are the small broadcast side at scale) with one extra
     * bounded-key rollup — benchmarks are units, so the output is a
-    * handful of rows regardless of corpus size. */
+    * handful of rows regardless of corpus size. Every benchmark in
+    * the input appears in the report: a benchmark with ZERO colliding
+    * grams shows explicit 0s (benchSizes is the left side), so a
+    * consumer can tell "clean benchmark" from "benchmark not
+    * checked". */
   def report(train: DataFrame, benchmarks: DataFrame, idCol: String,
              textCol: String, benchCol: String, n: Int = 8): DataFrame = {
     val trainGrams = grams(train, idCol, textCol, n)
@@ -58,12 +62,17 @@ object Decontaminate {
       explode(Dedup.shingles(col(textCol), n)).as("gram"))
     val benchSizes = benchmarks.groupBy(col(benchCol).as("benchmark"))
       .agg(countDistinct(col(idCol)).as("n_bench_docs"))
-    trainGrams.join(testGrams, "gram")
+    val hits = trainGrams.join(testGrams, "gram")
       .groupBy("benchmark")
       .agg(countDistinct(col("id")).as("n_train_docs_hit"),
         countDistinct(col("test_id")).as("n_bench_docs_hit"),
         countDistinct(col("gram")).as("n_grams_hit"))
-      .join(benchSizes, "benchmark")
+    benchSizes.join(hits, Seq("benchmark"), "left")
+      .select(col("benchmark"),
+        coalesce(col("n_train_docs_hit"), lit(0L)).as("n_train_docs_hit"),
+        coalesce(col("n_bench_docs_hit"), lit(0L)).as("n_bench_docs_hit"),
+        coalesce(col("n_grams_hit"), lit(0L)).as("n_grams_hit"),
+        col("n_bench_docs"))
   }
 
   /** Decontaminated corpus: training docs whose contamination stays

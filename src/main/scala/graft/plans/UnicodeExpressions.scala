@@ -119,8 +119,19 @@ object UnicodeExpressions {
     * a regexp tokenize + `chr()`, a genuine cross-implementation
     * check (different parser, same defined result). */
   def computeDecodeEntities(v: UTF8String): UTF8String = {
+    // fast path on the RAW UTF-8 bytes: entity-free text (the vast
+    // majority at corpus scale) must return without the toString
+    // UTF-16 decode + allocation — '&' and '#' are ASCII, so the byte
+    // pair 0x26 0x23 appears iff the text contains "&#"
+    val bytes = v.getBytes
+    var k = 0
+    var found = false
+    while (!found && k < bytes.length - 1) {
+      if (bytes(k) == 0x26 && bytes(k + 1) == 0x23) found = true
+      k += 1
+    }
+    if (!found) return v
     val s = v.toString
-    if (s.indexOf("&#") < 0) return v
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     val n = s.length

@@ -182,10 +182,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BlocklistExpressions.BlocklistHits].getName,
         "blocklist_hits"),
       (args: Seq[Expression]) => {
-        // dictionary must be a foldable array literal — the automaton
-        // is plan-construction state, same as the Column-API path
+        // dictionary must be a foldable array-of-strings literal — the
+        // automaton is plan-construction state, same as the Column-API
+        // path. Validate BEFORE eval/cast: a column reference or
+        // non-array here used to surface as a ClassCastException/NPE
+        // from inside extension loading instead of an analysis error.
+        def bad(why: String) =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              ("blocklist_hits: second argument must be a foldable " +
+                s"array-of-strings literal (e.g. array('a','b')) — $why")))
+        if (args.length != 2) bad(s"got ${args.length} arguments")
+        if (!args(1).foldable) bad("it is not foldable")
+        val ok = args(1).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _) => true
+          case _ => false
+        }
+        if (!ok) bad(s"its type is ${args(1).dataType.simpleString}")
         val arr = args(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        if (arr == null) bad("it evaluated to NULL")
         val pats = (0 until arr.numElements())
           .map(i => arr.getUTF8String(i).toString)
         BlocklistExpressions.BlocklistHits(args(0),

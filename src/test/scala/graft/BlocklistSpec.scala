@@ -43,6 +43,22 @@ class BlocklistSpec extends SparkSpec {
     assert(r.getLong(4) === 39L)
   }
 
+  test("SQL surface: non-foldable or non-array dictionary is a clean analysis error") {
+    import org.apache.spark.sql.AnalysisException
+    // a column reference is not a foldable dictionary
+    val e1 = intercept[AnalysisException] {
+      Seq(("x", "she")).toDF("t", "d")
+        .createOrReplaceTempView("bl_bad")
+      spark.sql("SELECT blocklist_hits(t, array(d)) FROM bl_bad").collect()
+    }
+    assert(e1.getMessage.contains("foldable array-of-strings"))
+    // a scalar literal is not an array
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT blocklist_hits('x', 'she')").collect()
+    }
+    assert(e2.getMessage.contains("foldable array-of-strings"))
+  }
+
   test("expression evaluates in a codegen'd plan, zero shuffle") {
     val df = Seq((1L, "she sells ababa"), (2L, "nothing")).toDF("id", "t")
       .select(col("id"),
