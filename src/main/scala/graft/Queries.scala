@@ -82,12 +82,13 @@ object Queries {
        |vm AS (SELECT map(list(tok ORDER BY id), list(id ORDER BY id)) m FROM vocab),
        |mm AS (SELECT m1.pair pr1, m1.merged mg1, m2.pair pr2, m2.merged mg2,
        |              m3.pair pr3, m3.merged mg3 FROM m1, m2, m3),
-       |enc AS (SELECT doc_id, flatten([
+       |encw AS (SELECT doc_id, [
        |    [element_at(m, t)[1] for t in string_split(
        |       replace(replace(replace(trim(regexp_replace(w, '(.)', '\\1 ', 'g')),
        |         pr1, mg1), pr2, mg2), pr3, mg3), ' ')]
-       |    for w in [x for x in string_split(text, ' ') if x <> '']]) AS bpe_ids
-       |  FROM $src, vm, mm)""".stripMargin
+       |    for w in [x for x in string_split(text, ' ') if x <> '']] AS bpe_words
+       |  FROM $src, vm, mm),
+       |enc AS (SELECT doc_id, flatten(bpe_words) AS bpe_ids FROM encw)""".stripMargin
   }
 
   /** The old zero-arg form, for the callers that read the base corpus. */
@@ -4273,6 +4274,327 @@ object Queries {
            |  min(b) AS min_b, max(b) AS max_b
            |FROM z GROUP BY 1""".stripMargin
       }
+    )),
+
+    // ---- round 7: post-training (SFT / preference) data prep ----
+
+    // Multi-turn conversation fixture (deterministic: docs bucketed
+    // into conversations by id, turn order = id order, roles
+    // alternate) rendered through a ChatML-style template. The
+    // rendered strings ARE the training artifact, so the oracle
+    // replays the assembly byte-for-byte — template literals, newline
+    // joins, system preamble and all.
+    "q_chat_render" -> ((
+      (s: SparkSession, dir: String) => {
+        val turns = Tables.documents(s, dir)
+          .select(pmod(col("doc_id"), lit(50L)).as("conv_id"), col("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 10), " ").as("msg"))
+          .withColumn("turn", row_number().over(
+            Window.partitionBy(col("conv_id")).orderBy(col("doc_id"))))
+          .withColumn("role",
+            when(pmod(col("turn"), lit(2)) === 1, lit("user"))
+              .otherwise(lit("assistant")))
+        operators.PostTraining.renderChat(turns, "conv_id", "turn", "role", "msg")
+      },
+      Some("""WITH t AS (SELECT doc_id % 50 AS conv_id, doc_id,
+             |  array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS msg
+             |  FROM documents),
+             |r AS (SELECT conv_id, msg,
+             |  row_number() OVER (PARTITION BY conv_id ORDER BY doc_id) AS turn FROM t),
+             |x AS (SELECT conv_id, turn,
+             |  CASE WHEN turn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role, msg FROM r)
+             |SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             |  '<|im_start|>system' || chr(10) || 'You are a helpful assistant.<|im_end|>'
+             |    || chr(10) ||
+             |    string_agg('<|im_start|>' || role || chr(10) || msg || '<|im_end|>',
+             |      chr(10) ORDER BY turn) AS rendered
+             |FROM x GROUP BY conv_id""".stripMargin)
+    )),
+
+    // SFT loss masking over REAL BPE ids: encode word-structured
+    // (boundaries intact), mask the first k words' token ids to -100
+    // (the cross-entropy ignore_index convention) in the label stream
+    // while input_ids keep the full sequence — the exact example shape
+    // a fine-tuning dataloader consumes, with the prompt/response
+    // split landing on a word boundary under ANY merge table. The
+    // oracle replays input_ids and labels id-for-id (CSV projection).
+    "q_sft_mask" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = operators.Bpe.vocab(d, "text", merges)
+        val ew = operators.Bpe.encodeWords(d, "text", "doc_id", merges, vocab)
+        operators.PostTraining.lossMask(ew, "doc_id", "bpe_word_ids",
+            pmod(col("doc_id"), lit(7L)) + 1)
+          .select(col("doc_id"),
+            array_join(col("input_ids"), ",").as("input_ids_csv"),
+            array_join(col("labels"), ",").as("labels_csv"),
+            col("n_masked"))
+      },
+      Some(BpeEncodeOracleCtes + ",\n" +
+        """mk AS (SELECT doc_id, bpe_words, doc_id % 7 + 1 AS k FROM encw),
+          |lab AS (SELECT doc_id, k,
+          |  flatten(bpe_words) AS input_ids,
+          |  flatten([CASE WHEN i < k
+          |      THEN list_transform(bpe_words[i+1], x -> CAST(-100 AS BIGINT))
+          |      ELSE bpe_words[i+1] END
+          |    for i in range(len(bpe_words))]) AS labels
+          |  FROM mk)
+          |SELECT doc_id,
+          |  array_to_string(input_ids, ',') AS input_ids_csv,
+          |  array_to_string(labels, ',') AS labels_csv,
+          |  CAST(len([x for x in labels if x = -100]) AS BIGINT) AS n_masked
+          |FROM lab""".stripMargin)
+    )),
+
+    // DPO preference-pair mining: candidates bucketed per prompt,
+    // scored by the integer-ratio quality score (identical doubles in
+    // both engines), chosen = argmax / rejected = argmin under the
+    // total (score, id) order. One window shuffle; the margin is the
+    // difference of bit-identical doubles, so the pairs hash-match.
+    "q_dpo_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        val cands = Tables.documents(s, dir)
+          .select(pmod(col("doc_id"), lit(100L)).as("prompt_id"), col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("score"))
+        operators.PostTraining.dpoPairs(cands, "prompt_id", "doc_id", "score")
+      },
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH c AS (SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           |  CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS BIGINT) AS nstop,
+           |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nalpha,
+           |  CAST(length(text) AS BIGINT) AS nchars
+           |FROM documents),
+           |sc AS (SELECT doc_id,
+           |  CAST(4 * least(ntok, 100) * ntok * nchars + 300 * nstop * nchars
+           |       + 300 * nalpha * ntok AS DOUBLE)
+           |  / CAST(1000 * ntok * nchars AS DOUBLE) AS score
+           |FROM c),
+           |p AS (SELECT doc_id % 100 AS prompt_id, doc_id, score FROM sc),
+           |rk AS (SELECT prompt_id, doc_id, score,
+           |  row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id ASC) AS rc,
+           |  row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, doc_id ASC) AS rr
+           |FROM p)
+           |SELECT ch.prompt_id, ch.doc_id AS chosen_id, rj.doc_id AS rejected_id,
+           |  round(ch.score - rj.score, 6) AS margin
+           |FROM (SELECT * FROM rk WHERE rc = 1) ch
+           |JOIN (SELECT * FROM rk WHERE rr = 1) rj USING (prompt_id)
+           |WHERE ch.doc_id <> rj.doc_id""".stripMargin
+      }
+    )),
+
+    // Block-diagonal attention boundaries for packed windows: the
+    // (shard, window) → ordered per-doc segment spans a dataloader
+    // needs to build the cross-document attention mask over q_pack_bpe's
+    // windows. One groupBy over the already-exploded pack rows;
+    // segment order within a window is total (contiguous doc_id tiling
+    // by construction), so the CSV assembly is deterministic.
+    "q_pack_boundaries" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = operators.Bpe.vocab(d, "text", merges)
+        val enc = operators.Bpe.encode(d, "text", "doc_id", merges, vocab)
+        operators.Packing.contextWindows(enc, "doc_id", "n_bpe",
+            budget = 256, shards = 8)
+          .withColumn("seg_len", col("seg_end") - col("seg_start"))
+          .groupBy("shard", "window_id")
+          .agg(count(lit(1)).as("n_segs"),
+            sum("seg_len").as("n_tokens"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("seg_len")))),
+              t => concat(t.getField("doc_id").cast("string"), lit(":"),
+                t.getField("seg_len").cast("string"))), ",").as("segments_csv"))
+      },
+      Some(BpeEncodeOracleCtes + ",\n" +
+        """t AS (SELECT doc_id, CAST(len(bpe_ids) AS BIGINT) n_tok,
+          |  CAST('0x' || substr(md5('pack_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard
+          |  FROM enc),
+          |c AS (SELECT doc_id, shard, n_tok,
+          |  CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS so
+          |  FROM t WHERE n_tok > 0),
+          |seg AS (SELECT shard, doc_id, n_tok, so,
+          |  unnest(generate_series(CAST(floor(so / 256.0) AS BIGINT),
+          |    CAST(floor((so + n_tok - 1) / 256.0) AS BIGINT))) AS window_id
+          |  FROM c),
+          |sp AS (SELECT shard, window_id, doc_id,
+          |  least(n_tok, (window_id + 1) * 256 - so)
+          |    - greatest(window_id * 256 - so, 0) AS seg_len FROM seg)
+          |SELECT shard, window_id, CAST(count(*) AS BIGINT) AS n_segs,
+          |  CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+          |  string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(seg_len AS VARCHAR),
+          |    ',' ORDER BY doc_id) AS segments_csv
+          |FROM sp GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // ---- round 7: retrieval fusion, graph cores, product analytics ----
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.):
+    // a per-query BM25 ranking (term table broadcast, same single-
+    // tokenize shape as q_bm25) and a brute-force cosine ranking over
+    // the aligned embeddings are fused by 1/(60+rank) — the standard
+    // RRF constant. Ranks are computed over round(score, 6) on the
+    // lexical side (double sums under GROUP BY do not commute; rounded
+    // values do) and raw cosine on the vector side (left-fold dots are
+    // bit-identical), absent list entries contribute 0 via the SAME
+    // COALESCE expression in both engines, and the fused ordering
+    // tiebreaks on doc_id — every rank, score and fusion value
+    // hash-matches.
+    "q_rrf_fusion" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val terms = Seq((0L, "spark"), (0L, "join"), (1L, "merge"), (1L, "table"),
+          (2L, "stream"), (2L, "window"), (3L, "vector"), (3L, "scan"))
+          .toDF("query_id", "t")
+        val docs = Tables.documents(s, dir)
+        val ws = split(col("text"), " ")
+        val tok = docs.select(col("doc_id"),
+          size(ws).cast("long").as("dl"), explode(ws).as("t"))
+        val tf = tok.join(broadcast(terms), "t")
+          .groupBy("query_id", "doc_id", "t")
+          .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("query_id", "t")))
+        val stats = docs.agg(count(lit(1)).as("n"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sumdl"))
+        val bm = tf.crossJoin(broadcast(stats))
+          .withColumn("avgdl", col("sumdl").cast("double") / col("n").cast("double"))
+          .withColumn("idf", log(
+            (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+          .withColumn("contrib",
+            col("idf") * (col("tf").cast("double") * lit(2.2)) /
+              (col("tf").cast("double") +
+                lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          .groupBy("query_id", "doc_id")
+          .agg(round(sum(col("contrib")), 6).as("bm25"))
+        val lex = bm.withColumn("rank_lex", row_number().over(
+            Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
+          .filter(col("rank_lex") <= 20).select("query_id", "doc_id", "rank_lex")
+        val emb = Tables.embeddings(s, dir)
+        val vec = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 4),
+            "vec_id", "embedding", k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").as("rank_vec"))
+        lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (col("rank_lex").cast("double") + lit(60.0)), lit(0.0)) +
+              coalesce(lit(1.0) / (col("rank_vec").cast("double") + lit(60.0)), lit(0.0)))
+          .withColumn("fused_rank", row_number().over(
+            Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))))
+          .filter(col("fused_rank") <= 10)
+          .select(col("query_id"), col("fused_rank"), col("doc_id"),
+            round(col("rrf"), 6).as("rrf"),
+            coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+            coalesce(col("rank_vec"), lit(0)).as("rank_vec"))
+      },
+      Some("""WITH qt(query_id, t) AS (SELECT * FROM (VALUES
+             |  (0, 'spark'), (0, 'join'), (1, 'merge'), (1, 'table'),
+             |  (2, 'stream'), (2, 'window'), (3, 'vector'), (3, 'scan')) v(q, t)),
+             |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+             |ft AS (SELECT qt.query_id, tok.doc_id, tok.t FROM tok JOIN qt USING (t)),
+             |tf AS (SELECT query_id, doc_id, t, count(*) AS tf FROM ft GROUP BY 1, 2, 3),
+             |dfreq AS (SELECT query_id, t, count(DISTINCT doc_id) AS df FROM ft GROUP BY 1, 2),
+             |stats AS (SELECT count(*) AS n,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sumdl FROM documents),
+             |bm AS (SELECT tf.query_id, tf.doc_id,
+             |  round(sum(
+             |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+             |    * (CAST(tf AS DOUBLE) * 2.2)
+             |    / (CAST(tf AS DOUBLE)
+             |       + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+             |  ), 6) AS bm25
+             |  FROM tf JOIN dfreq USING (query_id, t) JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN stats GROUP BY 1, 2),
+             |lex AS (SELECT query_id, doc_id, rank_lex FROM (
+             |  SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+             |  FROM bm) WHERE rank_lex <= 20),
+             |p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+             |nn AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM p),
+             |sv AS (SELECT q.vec_id query_id, c.vec_id doc_id,
+             |  list_sum([c.emb[i+1] * q.emb[i+1] for i in range(len(c.emb))]) / sqrt(c.n2 * q.n2) score
+             |  FROM nn q JOIN nn c ON c.vec_id != q.vec_id WHERE q.vec_id < 4),
+             |vec AS (SELECT query_id, doc_id, rank_vec FROM (
+             |  SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank_vec
+             |  FROM sv) WHERE rank_vec <= 20),
+             |fu AS (SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+             |  COALESCE(lex.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
+             |  COALESCE(1.0 / (CAST(rank_lex AS DOUBLE) + 60.0), 0.0)
+             |    + COALESCE(1.0 / (CAST(rank_vec AS DOUBLE) + 60.0), 0.0) AS rrf
+             |  FROM lex FULL OUTER JOIN vec
+             |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+             |SELECT CAST(query_id AS BIGINT) AS query_id,
+             |  CAST(fused_rank AS INTEGER) AS fused_rank, doc_id,
+             |  round(rrf, 6) AS rrf,
+             |  CAST(COALESCE(rank_lex, 0) AS INTEGER) AS rank_lex,
+             |  CAST(COALESCE(rank_vec, 0) AS INTEGER) AS rank_vec
+             |FROM (SELECT *, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+             |  FROM fu)
+             |WHERE fused_rank <= 10""".stripMargin)
+    )),
+
+    // k-core decomposition by bounded-round parallel peeling: every
+    // peel deletes the ENTIRE sub-k fringe at once (degree agg + two
+    // semi-joins, all keyed on vertex ids), and six rounds replay
+    // exactly in SQL via materialized per-round CTEs — the same
+    // fixed-iteration discipline as q_pagerank/q_perceptron_train.
+    // Edge fixture: a deterministic 300-node slice of the order/
+    // customer key space, dense enough that peeling at k=11 removes a
+    // real fringe over three rounds without emptying the core.
+    "q_kcore" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(13L)) < 2)
+          .select(pmod(col("o_custkey"), lit(300L)).as("src"),
+            pmod(col("o_orderkey"), lit(300L)).as("dst"))
+        operators.Graph.kCore(e, k = 11, rounds = 6)
+      },
+      Some {
+        val rounds = (1 to 6).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT x, count(*) AS d FROM (
+             |  SELECT a AS x FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+             |k$i AS MATERIALIZED (SELECT x FROM d$i WHERE d >= 11),
+             |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+             |  JOIN k$i ka ON ka.x = e.a JOIN k$i kb ON kb.x = e.b)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH raw AS (SELECT o_custkey % 300 AS s, o_orderkey % 300 AS t
+           |  FROM orders WHERE o_orderkey % 13 < 2),
+           |e0 AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+           |  FROM raw WHERE s <> t),
+           |$rounds
+           |SELECT x AS id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+           |  SELECT a AS x FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1""".stripMargin
+      }
+    )),
+
+    // Weekly cohort retention over the event stream: entities keyed to
+    // their first active ISO week, exact distinct-activity counts per
+    // (cohort, week-offset) cell. Both engines truncate weeks to the
+    // ISO Monday and the offsets are exact integer multiples, so the
+    // retention triangle hash-matches.
+    "q_retention_cohorts" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Timeseries.retentionCohorts(
+          Tables.events(s, dir).filter(col("event_type") === "purchase"),
+          "user_id", "ts", "week"),
+      Some("""WITH a AS (SELECT DISTINCT user_id AS e, date_trunc('week', ts) AS bucket
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT e, min(bucket) AS c0 FROM a GROUP BY 1)
+             |SELECT strftime(c0, '%Y-%m-%d') AS cohort,
+             |  CAST(date_diff('day', c0, bucket) // 7 AS INTEGER) AS offset,
+             |  count(*) AS n_active
+             |FROM a JOIN c USING (e) GROUP BY 1, 2""".stripMargin)
     )),
   )
 

@@ -42,4 +42,37 @@ object Timeseries {
       .withColumn("is_gap", col("v").isNull)
       .drop("v")
   }
+
+  /** Cohort retention: assign every entity to the cohort of its FIRST
+    * active `unit` bucket, then count distinct entities per (cohort,
+    * offset) cell — the classic retention triangle. Output:
+    * `cohort` (yyyy-MM-dd of the cohort bucket), `offset` (whole
+    * units since the cohort bucket, 0 = the cohort cell itself),
+    * `n_active`.
+    *
+    * Scale shape: the raw stream collapses to distinct (entity,
+    * bucket) FIRST (one shuffle on the entity key; map-side distinct
+    * partials), so the min-bucket cohort aggregate and the join back
+    * both run over the collapsed activity table, never the raw event
+    * stream — at 100 TB of events the distinct table is bounded by
+    * entities × active buckets. The final rollup groups by (cohort,
+    * offset): a few hundred cells, map-side partials, no skew (counts
+    * are exact since (entity, bucket) rows are already distinct —
+    * count(*), not a second countDistinct shuffle). */
+  def retentionCohorts(df: DataFrame, entityCol: String, tsCol: String,
+                       unit: String = "week"): DataFrame = {
+    val daysPerUnit = unit match {
+      case "day" => 1; case "week" => 7
+      case other => throw new IllegalArgumentException(
+        s"unit=$other unsupported: offsets need a fixed day width")
+    }
+    val active = df
+      .select(col(entityCol).as("e"), date_trunc(unit, col(tsCol)).as("bucket"))
+      .distinct()
+    val cohorts = active.groupBy("e").agg(min(col("bucket")).as("c0"))
+    active.join(cohorts, "e")
+      .groupBy(date_format(col("c0"), "yyyy-MM-dd").as("cohort"),
+        (datediff(col("bucket"), col("c0")) / daysPerUnit).cast("int").as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

@@ -63,4 +63,49 @@ class GraphSpec extends SparkSpec {
     // low-degree vertex is the center under (degree, id) order
     assert(tri.head.getLong(0) === 1L)
   }
+
+  test("kCore: clique survives, pendants and their cascade peel off") {
+    // K5 on {1..5} (every vertex degree 4) + a pendant chain 5-10-11:
+    // at k=3 the whole chain (degrees 1 and 2) peels while the clique
+    // is untouched; residual degrees are all 4
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val e = (k5 ++ Seq((5L, 10L), (10L, 11L))).toDF("src", "dst")
+    val core = Graph.kCore(e, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(core.values.forall(_ == 4L))
+  }
+
+  test("kCore: bounded rounds stop mid-cascade deterministically") {
+    // path 1-2-3-4-5 at k=2: each round removes the two endpoints;
+    // ONE round leaves the inner path 2-3-4, two rounds leave just 3's
+    // edges gone (empty), so rounds is a real semantic parameter
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val one = Graph.kCore(path, k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == Set(2L, 3L, 4L))
+    // after round 1 the edges are (2,3),(3,4); round 2 peels 2 and 4
+    // (degree 1), leaving no edges at all -> empty output
+    val two = Graph.kCore(path, k = 2, rounds = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(two.isEmpty)
+  }
+
+  test("kCore: dedup, self-loops and direction are normalized away") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    // triangle 1-2-3: every vertex residual degree 2 at k=2
+    val core = Graph.kCore(e, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: deterministic across repartitionings; checkpoint path runs") {
+    val edges = (1L to 200L).map(i => (i % 40, (i * 7) % 40)).toDF("src", "dst")
+    val a = Graph.kCore(edges.repartition(11), k = 4, rounds = 8,
+      checkpointInterval = 2).collect().map(_.toSeq).toSet
+    val b = Graph.kCore(edges.coalesce(1), k = 4, rounds = 8,
+      checkpointInterval = 2).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bpe, PostTraining}
+
+class PostTrainingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("renderChat: assembly order follows the turn ordinal, not row order") {
+    // rows arrive deliberately out of order
+    val turns = Seq(
+      (1L, 2, "assistant", "hi there"),
+      (1L, 1, "user", "hello"),
+      (1L, 3, "user", "bye"))
+      .toDF("conv_id", "turn", "role", "msg")
+    val out = PostTraining.renderChat(turns, "conv_id", "turn", "role", "msg")
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_turns") == 3L)
+    assert(out(0).getAs[String]("rendered") ==
+      "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n" +
+        "<|im_start|>user\nhello<|im_end|>\n" +
+        "<|im_start|>assistant\nhi there<|im_end|>\n" +
+        "<|im_start|>user\nbye<|im_end|>")
+  }
+
+  test("renderChat: deterministic across repartitionings") {
+    val turns = (1 to 40).map(i => ((i % 4).toLong, i, "user", s"m$i"))
+      .toDF("conv_id", "turn", "role", "msg")
+    val a = PostTraining.renderChat(turns.repartition(7), "conv_id", "turn", "role", "msg")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val b = PostTraining.renderChat(turns.coalesce(1), "conv_id", "turn", "role", "msg")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(a == b)
+  }
+
+  test("lossMask: prompt words -> -100, response ids intact, count exact") {
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    val merges = Seq.empty[(String, String)]
+    val vocab = Bpe.vocab(docs, "text", merges) // chars a..f, ids 0..5
+    val ew = Bpe.encodeWords(docs, "text", "doc_id", merges, vocab)
+    val out = PostTraining.lossMask(ew, "doc_id", "bpe_word_ids", lit(1L))
+      .collect()(0)
+    val ids = out.getAs[scala.collection.Seq[Long]]("input_ids")
+    val labels = out.getAs[scala.collection.Seq[Long]]("labels")
+    assert(ids.length == 6 && labels.length == 6)
+    // first word 'ab' (2 tokens) masked, the rest pass through
+    assert(labels.take(2) == Seq(-100L, -100L))
+    assert(labels.drop(2) == ids.drop(2))
+    assert(out.getAs[Long]("n_masked") == 2L)
+  }
+
+  test("lossMask: k beyond the word count masks everything") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val vocab = Bpe.vocab(docs, "text", Seq.empty)
+    val ew = Bpe.encodeWords(docs, "text", "doc_id", Seq.empty, vocab)
+    val out = PostTraining.lossMask(ew, "doc_id", "bpe_word_ids", lit(99L))
+      .collect()(0)
+    assert(out.getAs[scala.collection.Seq[Long]]("labels").forall(_ == -100L))
+    assert(out.getAs[Long]("n_masked") == out.getAs[scala.collection.Seq[Long]]("input_ids").length)
+  }
+
+  test("dpoPairs: extremes paired under the (score, id) total order") {
+    val cands = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.1), (1L, 12L, 0.5),
+      (2L, 20L, 0.7), (2L, 21L, 0.7), // exact tie: ids break it
+      (3L, 30L, 0.4) // single candidate: no pair
+    ).toDF("prompt_id", "doc_id", "score")
+    val out = PostTraining.dpoPairs(cands, "prompt_id", "doc_id", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((10L, 11L, 0.8)))
+    // exact score tie: BOTH orders put the lower id first, so chosen ==
+    // rejected and the degenerate pair is filtered — prompt 2 absent
+    assert(!out.contains(2L))
+    assert(!out.contains(3L))
+  }
+
+  test("dpoPairs: deterministic across repartitionings") {
+    val cands = (1 to 100).map(i => ((i % 10).toLong, i.toLong, (i * 37 % 13) / 13.0))
+      .toDF("prompt_id", "doc_id", "score")
+    val a = PostTraining.dpoPairs(cands.repartition(9), "prompt_id", "doc_id", "score")
+      .collect().map(_.toSeq).toSet
+    val b = PostTraining.dpoPairs(cands.coalesce(1), "prompt_id", "doc_id", "score")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}

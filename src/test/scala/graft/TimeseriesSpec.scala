@@ -44,4 +44,39 @@ class TimeseriesSpec extends SparkSpec {
       ("2024-03-01", 1.0, false), ("2024-03-02", 1.0, true),
       ("2024-03-03", 1.0, true), ("2024-03-04", 9.0, false)))
   }
+
+  test("retentionCohorts: first active week anchors each entity's cohort") {
+    // user 1 starts week of Jan 1 (Mon), returns 2 weeks later;
+    // user 2 starts week of Jan 8, returns the next week;
+    // user 3 only ever appears in week of Jan 8
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-03 11:00:00")),
+      (1L, ts("2024-01-17 09:00:00")),
+      (2L, ts("2024-01-10 08:00:00")), (2L, ts("2024-01-15 20:00:00")),
+      (3L, ts("2024-01-12 07:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Timeseries.retentionCohorts(events, "user_id", "ts", "week")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-08", 0) -> 2L, ("2024-01-08", 1) -> 1L))
+  }
+
+  test("retentionCohorts: multiple events in one bucket count once") {
+    val events = Seq(
+      (1L, ts("2024-02-01 10:00:00")), (1L, ts("2024-02-01 11:00:00")),
+      (1L, ts("2024-02-02 09:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Timeseries.retentionCohorts(events, "user_id", "ts", "day")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("2024-02-01", 0) -> 1L, ("2024-02-01", 1) -> 1L))
+  }
+
+  test("retentionCohorts: rejects units without a fixed day width") {
+    intercept[IllegalArgumentException] {
+      Timeseries.retentionCohorts(
+        Seq((1L, ts("2024-02-01 10:00:00"))).toDF("user_id", "ts"),
+        "user_id", "ts", "month")
+    }
+  }
 }
