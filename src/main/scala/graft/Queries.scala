@@ -3392,12 +3392,13 @@ object Queries {
     // picks the winner with a window argmax.
     "q_robots_filter" -> ((
       (s: SparkSession, dir: String) => {
-        val robots = lit("User-agent: bot1\nDisallow: /private\n\n" +
+        val robotsText = "User-agent: bot1\nDisallow: /private\n\n" +
           "User-agent: *\nDisallow: /admin\nAllow: /admin/public\n" +
           "Disallow: /tmp/\nDisallow: /*.pdf$\nAllow: /docs/*.pdf$\n" +
           "Disallow: /cgi*bin/\n\n" +
           "User-agent: bot1-news\nDisallow: /news\n\n" +
-          "User-agent: bot2\nDisallow: /")
+          "User-agent: bot2\nDisallow: /"
+        val robots = lit(robotsText)
         val id = col("doc_id").cast("string")
         val path = when(col("doc_id") % 10 === 0, concat(lit("/admin/p"), id))
           .when(col("doc_id") % 10 === 1, concat(lit("/admin/public/p"), id))
@@ -3413,17 +3414,22 @@ object Queries {
         // * verdict: Bot1 (case-insensitive exact) ignores the * group
         // entirely; bot1-NewsReader picks bot1-news by LONGEST prefix
         // over bot1, so /private is allowed for it; bot2's total block
-        // applies only to bot2
+        // applies only to bot2. The robots body is ONE literal, so the
+        // per-agent group-selection fold runs ONCE driver-side
+        // (parseRobotsForAgent — a real 1-row robotsRulesForAgent
+        // plan) and the verdicts compile to constant-pattern when-
+        // chains; re-parsing a constant config per corpus row cost 6x
+        // the whole query. The dynamic column forms stay exercised by
+        // `allowed` here and per-site in q_robots_by_domain.
+        def agentVerdict(agent: String) = Web.robotsAllowedCompiled(
+          col("url_path"), Web.parseRobotsForAgent(s, robotsText, agent))
         Tables.documents(s, dir)
           .select(col("doc_id"), path.as("url_path"))
           .withColumn("allowed",
             Web.robotsAllowed(col("url_path"), Web.robotsRules(robots)))
-          .withColumn("allowed_bot1", Web.robotsAllowed(col("url_path"),
-            Web.robotsRulesForAgent(robots, lit("Bot1"))))
-          .withColumn("allowed_news", Web.robotsAllowed(col("url_path"),
-            Web.robotsRulesForAgent(robots, lit("bot1-NewsReader"))))
-          .withColumn("allowed_bot2", Web.robotsAllowed(col("url_path"),
-            Web.robotsRulesForAgent(robots, lit("bot2"))))
+          .withColumn("allowed_bot1", agentVerdict("Bot1"))
+          .withColumn("allowed_news", agentVerdict("bot1-NewsReader"))
+          .withColumn("allowed_bot2", agentVerdict("bot2"))
       },
       Some("""WITH r AS (SELECT
              |  'User-agent: bot1' || chr(10) || 'Disallow: /private' || chr(10) || chr(10) ||
@@ -4595,6 +4601,103 @@ object Queries {
              |  CAST(date_diff('day', c0, bucket) // 7 AS INTEGER) AS offset,
              |  count(*) AS n_active
              |FROM a JOIN c USING (e) GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // Tokenizer fitness report per source: fertility (BPE tokens per
+    // word) and compression (chars per BPE token) over the REAL
+    // trained tokenizer — the metric sheet a tokenizer change ships
+    // with. Integer sums per source, ratios as one double division of
+    // exact longs — identical in both engines.
+    "q_tokenizer_stats" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = operators.Bpe.vocab(d, "text", merges)
+        val enc = operators.Bpe.encode(d, "text", "doc_id", merges, vocab)
+        d.select(col("doc_id"), col("source"),
+            size(filter(split(col("text"), " "), w => length(w) > 0))
+              .cast("long").as("n_words"),
+            length(col("text")).cast("long").as("n_chars"))
+          .join(enc.select(col("doc_id"), col("n_bpe")), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_words").as("words"),
+            sum("n_bpe").as("bpe_tokens"),
+            sum("n_chars").as("chars"))
+          .select(col("source"), col("n_docs"), col("words"),
+            col("bpe_tokens"), col("chars"),
+            round(col("bpe_tokens").cast("double") / col("words").cast("double"), 6)
+              .as("fertility"),
+            round(col("chars").cast("double") / col("bpe_tokens").cast("double"), 6)
+              .as("compression"))
+      },
+      Some(BpeEncodeOracleCtes + ",\n" +
+        """st AS (SELECT d.source,
+          |    CAST(len([x for x in string_split(d.text, ' ') if x <> '']) AS BIGINT) AS n_words,
+          |    CAST(length(d.text) AS BIGINT) AS n_chars,
+          |    CAST(len(enc.bpe_ids) AS BIGINT) AS n_bpe
+          |  FROM documents d JOIN enc ON enc.doc_id = d.doc_id),
+          |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(n_words) AS BIGINT) AS words,
+          |    CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+          |    CAST(sum(n_chars) AS BIGINT) AS chars
+          |  FROM st GROUP BY 1)
+          |SELECT source, n_docs, words, bpe_tokens, chars,
+          |  round(CAST(bpe_tokens AS DOUBLE) / CAST(words AS DOUBLE), 6) AS fertility,
+          |  round(CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6) AS compression
+          |FROM ag""".stripMargin)
+    )),
+
+    // Length-bucketed batching for padding-efficient fine-tuning: docs
+    // land in a power-of-two length rung (fixed CASE ladder — integer-
+    // exact, no float log2 near-boundary ambiguity), each rung packs
+    // batches of 4096 padded tokens (batch index = (rn-1)·bucket div
+    // 4096, pure integer arithmetic), and the report prices every
+    // batch's padding efficiency. The dataloader-side complement of
+    // q_pack_bpe's contiguous-fill pretraining windows — SFT batches
+    // pad to the bucket width instead of concatenating.
+    "q_length_buckets" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("bucket",
+            when(col("n_tokens") <= 64, 64)
+              .when(col("n_tokens") <= 128, 128)
+              .when(col("n_tokens") <= 256, 256)
+              .when(col("n_tokens") <= 512, 512)
+              .when(col("n_tokens") <= 1024, 1024).otherwise(2048))
+        d.withColumn("rn", row_number().over(
+            Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+          .withColumn("batch_id",
+            expr("cast((cast(rn as bigint) - 1) * bucket div 4096 as bigint)"))
+          .groupBy("bucket", "batch_id")
+          .agg(count(lit(1)).as("n_rows"), sum("n_tokens").as("actual_tokens"))
+          .select(col("bucket"), col("batch_id"), col("n_rows"),
+            (col("bucket").cast("long") * col("n_rows")).as("padded_tokens"),
+            col("actual_tokens"),
+            round(col("actual_tokens").cast("double") /
+              (col("bucket").cast("double") * col("n_rows").cast("double")), 6)
+              .as("efficiency"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |b AS (SELECT doc_id, n_tokens,
+             |  CASE WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+             |       WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+             |       WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END AS bucket FROM t),
+             |r AS (SELECT doc_id, n_tokens, bucket,
+             |  row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM b),
+             |g AS (SELECT bucket,
+             |  CAST((CAST(rn AS BIGINT) - 1) * bucket // 4096 AS BIGINT) AS batch_id,
+             |  count(*) AS n_rows, CAST(sum(n_tokens) AS BIGINT) AS actual_tokens
+             |  FROM r GROUP BY 1, 2)
+             |SELECT bucket, batch_id, n_rows,
+             |  CAST(bucket AS BIGINT) * n_rows AS padded_tokens, actual_tokens,
+             |  round(CAST(actual_tokens AS DOUBLE)
+             |    / (CAST(bucket AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS efficiency
+             |FROM g""".stripMargin)
     )),
   )
 

@@ -206,6 +206,53 @@ object Soak {
             Denoise.spanCorrupt(col("bpe_ids"), col("doc_id"),
               vocab.size.toLong).as("x"))
       },
+      run("chat_render") {
+        // conversation assembly at 10x: 1000 conversations x ~50 turns
+        // — ONE conversation-keyed shuffle of (turn, role, msg) structs
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val turns = docs10
+          .select(pmod(col("doc_id"), lit(1000L)).as("conv_id"), col("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 10), " ").as("msg"))
+          .withColumn("turn", row_number().over(
+            Window.partitionBy(col("conv_id")).orderBy(col("doc_id"))))
+          .withColumn("role",
+            when(pmod(col("turn"), lit(2)) === 1, lit("user"))
+              .otherwise(lit("assistant")))
+        PostTraining.renderChat(turns, "conv_id", "turn", "role", "msg")
+      },
+      run("sft_mask") {
+        // label masking over the 10x word-structured encode: train +
+        // encodeWords + mask — zero shuffle beyond the training rounds
+        import org.apache.spark.sql.functions._
+        val merges = Bpe.trainMerges(docs10, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = Bpe.vocab(docs10, "text", merges)
+        val ew = Bpe.encodeWords(docs10, "text", "doc_id", merges, vocab)
+        PostTraining.lossMask(ew, "doc_id", "bpe_word_ids",
+          pmod(col("doc_id"), lit(7L)) + 1)
+      },
+      run("dpo_pairs") {
+        // preference mining at 10x: 5000 prompts x ~10 candidates,
+        // both extreme windows over ONE prompt-key exchange
+        import org.apache.spark.sql.functions._
+        PostTraining.dpoPairs(
+          docs10.select(pmod(col("doc_id"), lit(5000L)).as("prompt_id"),
+            col("doc_id"),
+            graft.functions.TextAnalysis.qualityScore(col("text")).as("score")),
+          "prompt_id", "doc_id", "score")
+      },
+      run("kcore_peel6") {
+        // six peel rounds over a ~1M-edge deterministic graph — the
+        // degree agg + semi-join loop at real volume, checkpointed
+        import org.apache.spark.sql.functions._
+        val ids = docs10.sparkSession.range(1000000L)
+        Graph.kCore(ids.select(
+            pmod(col("id") * 2654435761L, lit(20000L)).as("src"),
+            pmod(col("id") * 40503L + 17L, lit(20000L)).as("dst")),
+          k = 60, rounds = 6)
+      },
       run("perceptron_train4") {
         // 4 integer-exact training rounds at 10x: each is one
         // map+aggregate corpus pass; driver state is 16 longs/round

@@ -254,6 +254,53 @@ object Web {
     best.getField("allow")
   }
 
+  /** Scala twin of [[robotsAllowed]]'s per-rule regex compile — the
+    * SAME escape chain in the same order (backslash first, `*` →
+    * `.*`, trailing `$` re-anchored), so a driver-side compiled
+    * verdict matches the column-expression verdict bit-for-bit
+    * (WebSpec pins the parity on the metachar corpus). */
+  def robotsPatternRegex(p: String): String = {
+    val anchored = p.endsWith("$")
+    val core = if (anchored) p.dropRight(1) else p
+    val esc = Seq("\\", ".", "+", "?", "[", "]", "(", ")", "^", "$", "|", "{", "}")
+      .foldLeft(core)((c, ch) => c.replace(ch, "\\" + ch))
+    "^" + esc.replace("*", ".*") + (if (anchored) "$" else "")
+  }
+
+  /** Parse a CONSTANT robots.txt for one agent ONCE, driver-side,
+    * through the real [[robotsRulesForAgent]] expression (a 1-row
+    * plan — the group-selection fold is exercised, not reimplemented)
+    * and return the bounded rule set as driver model state. The
+    * robots-config sibling of collecting BPE merges: when the crawler
+    * config is one literal robots body, re-running the per-line parse
+    * fold for every corpus row is pure waste — rules are per-site
+    * bounded state and belong in the PLAN, not the row loop.
+    * Per-site rule COLUMNS (the q_robots_by_domain deployment shape)
+    * still use the expression forms directly. */
+  def parseRobotsForAgent(spark: org.apache.spark.sql.SparkSession,
+      robotsTxt: String, agent: String): Seq[(String, Boolean)] =
+    spark.range(1)
+      .select(robotsRulesForAgent(lit(robotsTxt), lit(agent)).as("r"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getBoolean(1)))
+
+  /** RFC 9309 verdict for one path against a DRIVER-KNOWN rule set:
+    * rules sort once by (pattern octets desc, Allow first) — the
+    * longest-match / Allow-on-ties precedence [[robotsAllowed]]
+    * computes with its runtime fold — and compile to a when-chain of
+    * CONSTANT-pattern regexes, so every regex is compiled once at
+    * codegen instead of per row per rule. Semantically identical to
+    * `robotsAllowed(path, <same rules>)` for every path (first match
+    * in (len desc, allow desc) order IS the fold's argmax; WebSpec
+    * pins the equivalence). The 100 TB shape for a fixed crawler
+    * config: rule-set size is per-site bounded, path volume is not. */
+  def robotsAllowedCompiled(path: Column,
+      rules: Seq[(String, Boolean)]): Column =
+    rules.sortBy { case (p, a) => (-p.length, !a) }
+      .foldRight(lit(true)) { case ((p, a), els) =>
+        when(path.rlike(robotsPatternRegex(p)), lit(a)).otherwise(els)
+      }
+
   /** Registrable domain of a host — the right key for per-domain caps:
     * subdomains of one registrant (`cdn.x.co.uk`, `www.x.co.uk`) must
     * count against ONE budget. Last two labels, except under the

@@ -226,4 +226,38 @@ class WebSpec extends SparkSpec {
     assert(out("uni.edu.au") === "uni.edu.au")
     assert(out("x.uni.edu.au") === "uni.edu.au")
   }
+
+  test("robotsAllowedCompiled == robotsAllowed on the metachar rule corpus") {
+    // the compiled (constant-pattern when-chain) verdict must agree
+    // with the runtime fold on every path, including wildcard/$ rules,
+    // Allow-on-tie, and regex-metachar literals
+    val robotsText = "User-agent: crawler\nDisallow: /a\nAllow: /a/ok\n" +
+      "Disallow: /*.pdf$\nAllow: /docs/*.pdf$\nDisallow: /p+q(r)\n" +
+      "Disallow: /cgi*bin/\n\nUser-agent: *\nDisallow: /"
+    val rules = Web.parseRobotsForAgent(spark, robotsText, "crawler")
+    assert(rules.nonEmpty)
+    val paths = Seq("/a/x", "/a/ok/y", "/b/f.pdf", "/docs/d.pdf",
+      "/docs/d.pdfx", "/p+q(r)/z", "/cgi-bin/q", "/cgixxbin/q", "/free")
+      .toDF("p")
+    val both = paths.select(col("p"),
+        Web.robotsAllowed(col("p"),
+          Web.robotsRulesForAgent(lit(robotsText), lit("crawler"))).as("dyn"),
+        Web.robotsAllowedCompiled(col("p"), rules).as("cmp"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getBoolean(1) === r.getBoolean(2),
+        s"verdict mismatch for ${r.getString(0)}")
+    }
+    // spot-check absolute truth, not just parity
+    val m = both.map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!m("/a/x") && m("/a/ok/y") && !m("/b/f.pdf") && m("/docs/d.pdf"))
+    assert(m("/docs/d.pdfx") && !m("/p+q(r)/z") && !m("/cgi-bin/q") && m("/free"))
+  }
+
+  test("parseRobotsForAgent returns bounded driver state in group order") {
+    val rules = Web.parseRobotsForAgent(spark,
+      "User-agent: bot\nDisallow: /x\nAllow: /x/y\n\nUser-agent: *\nDisallow: /",
+      "bot")
+    assert(rules === Seq(("/x", false), ("/x/y", true)))
+  }
 }
