@@ -94,6 +94,37 @@ object Queries {
   /** The old zero-arg form, for the callers that read the base corpus. */
   private val BpeEncodeOracleCtes: String = bpeEncodeOracleCtes()
 
+  /** Shared DuckDB replay of the jaccard>=0.8 near-dup clusters over
+    * `documents` (trigram shingles → exact-overlap pairs →
+    * recursive-CTE closure), ending with
+    * `cl(doc_id, canonical_id)` — the [[operators.Dedup
+    * .duplicateClusters]] contract (canonical = component min id;
+    * only dup-involved docs appear). No leading WITH and no trailing
+    * comma: callers compose `"WITH " + JaccardClusterOracleCtes +
+    * ",..."`. Used by q_dedup_clusters and the round-7
+    * cluster-representative / leakage-safe-split queries. */
+  private val JaccardClusterOracleCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+      |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+      |  ELSE [] END sh FROM w),
+      |ex AS (SELECT doc_id, unnest(sh) sg FROM g),
+      |sz AS (SELECT doc_id, len(sh) n FROM g),
+      |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+      |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM p
+      |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
+      |e AS (SELECT id_a a, id_b b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |r AS (
+      |  WITH RECURSIVE reach(x, y) AS (
+      |    SELECT a, b FROM e
+      |    UNION
+      |    SELECT reach.x, e.b FROM reach JOIN e ON reach.y = e.a
+      |  ) SELECT * FROM reach
+      |),
+      |cl AS (SELECT x AS doc_id, least(x, min(y)) AS canonical_id FROM r GROUP BY x)""".stripMargin
+
   // Exact-decimal money fragments — same text works in Spark SQL and DuckDB.
   private val Price = "cast(l_extendedprice as decimal(18,2))"
   private val OneMinusDisc = "(cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))"
@@ -1493,26 +1524,8 @@ object Queries {
           "doc_id", "text", threshold = 0.8).select("id_a", "id_b")
         Dedup.duplicateClusters(pairs)
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
-             |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
-             |  ELSE [] END sh FROM w),
-             |ex AS (SELECT doc_id, unnest(sh) sg FROM g),
-             |sz AS (SELECT doc_id, len(sh) n FROM g),
-             |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
-             |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
-             |pairs AS (SELECT id_a, id_b FROM p
-             |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-             |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
-             |e AS (SELECT id_a a, id_b b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-             |r AS (
-             |  WITH RECURSIVE reach(x, y) AS (
-             |    SELECT a, b FROM e
-             |    UNION
-             |    SELECT reach.x, e.b FROM reach JOIN e ON reach.y = e.a
-             |  ) SELECT * FROM reach
-             |)
-             |SELECT x AS doc_id, least(x, min(y)) AS canonical_id FROM r GROUP BY x""".stripMargin)
+      Some("WITH " + JaccardClusterOracleCtes +
+        "\nSELECT doc_id, canonical_id FROM cl")
     )),
 
     "q_dedup_embedding" -> ((
@@ -4698,6 +4711,76 @@ object Queries {
              |  round(CAST(actual_tokens AS DOUBLE)
              |    / (CAST(bucket AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS efficiency
              |FROM g""".stripMargin)
+    )),
+
+    // Quality-argmax cluster representative: canonical-id dedup keeps
+    // an ARBITRARY member of each near-dup family; curation should
+    // keep the cleanest one. Clusters from the jaccard>=0.8 graph,
+    // scored by the integer-ratio quality score, argmax under the
+    // total (score desc, id asc) order — representative choice is
+    // deterministic and the oracle replays clusters AND choice.
+    "q_cluster_best" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val clusters = Dedup.duplicateClusters(
+          Dedup.jaccardPairs(d, "doc_id", "text", threshold = 0.8)
+            .select("id_a", "id_b"))
+        val scored = d.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+        Dedup.clusterBest(clusters, scored, "doc_id", "score")
+      },
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        "WITH " + JaccardClusterOracleCtes + ",\n" +
+          s"""qc AS (SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+             |  CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS BIGINT) AS nstop,
+             |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nalpha,
+             |  CAST(length(text) AS BIGINT) AS nchars
+             |FROM documents),
+             |sc AS (SELECT doc_id,
+             |  CAST(4 * least(ntok, 100) * ntok * nchars + 300 * nstop * nchars
+             |       + 300 * nalpha * ntok AS DOUBLE)
+             |  / CAST(1000 * ntok * nchars AS DOUBLE) AS score
+             |FROM qc),
+             |jn AS (SELECT cl.canonical_id, cl.doc_id, sc.score
+             |  FROM cl JOIN sc USING (doc_id)),
+             |rk AS (SELECT canonical_id, doc_id, score,
+             |  row_number() OVER (PARTITION BY canonical_id
+             |    ORDER BY score DESC, doc_id ASC) AS rn,
+             |  count(*) OVER (PARTITION BY canonical_id) AS n FROM jn)
+             |SELECT canonical_id, doc_id AS best_id, round(score, 6) AS best_score,
+             |  CAST(n AS BIGINT) AS cluster_size
+             |FROM rk WHERE rn = 1""".stripMargin
+      }
+    )),
+
+    // Leakage-safe train/val/test assignment: the split hash keys off
+    // the DUPLICATE-CLUSTER id, so a near-dup family can never straddle
+    // train and eval (the silent-memorization leak a plain per-row
+    // hash split ships). 80/10/10 by md5 bucket of the cluster key;
+    // singleton docs key by themselves. The oracle replays clusters,
+    // fallback key and bucket arithmetic exactly.
+    "q_leakage_safe_splits" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val clusters = Dedup.duplicateClusters(
+          Dedup.jaccardPairs(d, "doc_id", "text", threshold = 0.8)
+            .select("id_a", "id_b"))
+        operators.Sampling.leakageSafeSplit(d.select("doc_id"), "doc_id",
+          clusters, valFraction = 0.1, testFraction = 0.1)
+      },
+      Some("WITH " + JaccardClusterOracleCtes + ",\n" +
+        """al AS (SELECT d.doc_id, COALESCE(cl.canonical_id, d.doc_id) AS cluster_key
+          |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+          |bk AS (SELECT doc_id, cluster_key,
+          |  CAST(('0x' || substr(md5('split_' || CAST(cluster_key AS VARCHAR)), 1, 8)) AS BIGINT)
+          |    % 10000 AS b FROM al)
+          |SELECT doc_id, cluster_key,
+          |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM bk""".stripMargin)
     )),
   )
 

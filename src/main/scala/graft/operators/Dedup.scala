@@ -704,4 +704,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Quality-argmax cluster representative: for each duplicate cluster
+    * ([[duplicateClusters]] output), keep the member with the HIGHEST
+    * score under the total (score desc, id asc) order — the curation
+    * upgrade over canonical-id dedup, which keeps an arbitrary (min-id)
+    * member and can throw away the cleanest copy of a near-dup family.
+    * Returns (canonical_id, best_id, best_score, cluster_size).
+    *
+    * Scale shape: one equi-join of the cluster table against the score
+    * table on the member id, then a row_number + count window pair over
+    * ONE canonical-id exchange. Cluster tables are the SMALL side of a
+    * corpus (only dup-involved docs appear); per-cluster width is
+    * bounded by the dedup family size. */
+  def clusterBest(clusters: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = clusters.join(
+      scores.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")),
+      "doc_id")
+    val w = Window.partitionBy(col("canonical_id"))
+    val ranked = j
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__score").desc, col("doc_id").asc)))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+    ranked.filter(col("__rn") === 1)
+      .select(col("canonical_id"), col("doc_id").as("best_id"),
+        round(col("__score"), 6).as("best_score"), col("cluster_size"))
+  }
 }

@@ -36,6 +36,35 @@ object Sampling {
       df.filter(hashBucket(key, "tts_") < cut))
   }
 
+  /** Leakage-safe train/val/test assignment: the split is hashed from
+    * the row's DUPLICATE-CLUSTER key, not the row key, so every member
+    * of a near-dup family lands in the SAME split — the property plain
+    * [[trainTestSplit]] cannot give (hash a near-identical pair by row
+    * id and one copy trains while its twin evaluates: silent
+    * memorization leakage). `clusters` is a (doc_id, canonical_id)
+    * table ([[Dedup.duplicateClusters]] output — only dup-involved
+    * rows appear); singletons fall back to their own key. Returns the
+    * input plus `cluster_key` and `split` ('train'/'val'/'test').
+    *
+    * One broadcast-or-shuffle left join against the (small) cluster
+    * table; the split predicate itself is a map-side md5 bucket,
+    * deterministic across runs, partitionings and engines. */
+  def leakageSafeSplit(df: DataFrame, keyCol: String, clusters: DataFrame,
+      valFraction: Double, testFraction: Double): DataFrame = {
+    require(valFraction >= 0 && testFraction >= 0 &&
+      valFraction + testFraction < 1, "fractions must leave room for train")
+    val valCut = ((1.0 - valFraction - testFraction) * 10000).toLong
+    val testCut = ((1.0 - testFraction) * 10000).toLong
+    df.join(clusters.select(col("doc_id").as(keyCol), col("canonical_id")),
+        Seq(keyCol), "left")
+      .withColumn("cluster_key", coalesce(col("canonical_id"), col(keyCol)))
+      .drop("canonical_id")
+      .withColumn("split", {
+        val b = hashBucket(col("cluster_key"), "split_")
+        when(b < valCut, "train").when(b < testCut, "val").otherwise("test")
+      })
+  }
+
   /** Temperature resampling for source mixing: DOWN-sample each group
     * toward a flatter distribution, keeping rate
     * `r_g = (n_min / n_g)^(1-alpha)` — `alpha = 1` keeps everything,

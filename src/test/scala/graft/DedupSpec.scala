@@ -251,4 +251,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
     assert(!pairs.contains((1L, 3L)))
   }
+
+  test("clusterBest: argmax by (score desc, id asc) with exact sizes") {
+    // clusters {1,2,3} (canonical 1) and {7,8} (canonical 7);
+    // scores make 2 the best of the first cluster; 7/8 tie exactly ->
+    // the LOWER id wins the tie
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "canonical_id")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (7L, 0.4), (8L, 0.4),
+      (99L, 1.0)) // 99 is in no cluster: must not appear
+      .toDF("doc_id", "score")
+    val out = Dedup.clusterBest(clusters, scores, "doc_id", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out == Map(1L -> ((2L, 0.9, 3L)), 7L -> ((7L, 0.4, 2L))))
+  }
+
+  test("clusterBest: deterministic across repartitionings") {
+    val clusters = (1L to 60L).map(i => (i, i % 6)).toDF("doc_id", "canonical_id")
+    val scores = (1L to 60L).map(i => (i, (i * 13 % 7) / 7.0)).toDF("doc_id", "score")
+    val a = Dedup.clusterBest(clusters.repartition(7), scores.repartition(5),
+      "doc_id", "score").collect().map(_.toSeq).toSet
+    val b = Dedup.clusterBest(clusters.coalesce(1), scores.coalesce(1),
+      "doc_id", "score").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

@@ -177,4 +177,31 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(got.map(t => t._1 -> t._3).toMap == want)
   }
+
+  test("leakageSafeSplit: a near-dup family never straddles splits") {
+    val docs = (1L to 200L).toDF("doc_id")
+    // clusters: {1..10} -> canonical 1, {11..14} -> canonical 11
+    val clusters = ((1L to 10L).map(i => (i, 1L)) ++
+      (11L to 14L).map(i => (i, 11L))).toDF("doc_id", "canonical_id")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", clusters, 0.1, 0.1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 200)
+    // every cluster member shares its canonical's split
+    assert((1L to 10L).map(out(_)._2).toSet.size == 1)
+    assert((11L to 14L).map(out(_)._2).toSet.size == 1)
+    // cluster members key by the canonical, singletons by themselves
+    assert((1L to 10L).forall(out(_)._1 == 1L))
+    assert(out(50L)._1 == 50L)
+    // all three splits are populated at n=200 and the ratio is sane
+    val bySplit = out.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > 100)
+  }
+
+  test("leakageSafeSplit: rejects fractions that leave no train share") {
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit((1L to 3L).toDF("doc_id"), "doc_id",
+        Seq.empty[(Long, Long)].toDF("doc_id", "canonical_id"), 0.6, 0.5)
+    }
+  }
 }
