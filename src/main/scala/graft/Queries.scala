@@ -4782,6 +4782,42 @@ object Queries {
           |       ELSE 'test' END AS split
           |FROM bk""".stripMargin)
     )),
+
+    // Margin-based bitext mining (ratio margin + mutual-best filter —
+    // the Artetxe–Schwenk mining criterion): sides are the label<5 /
+    // label>=5 halves of the embedding space standing in for two
+    // languages. Every score, the best/second-best ratio margin, and
+    // the mutual flag are replayed: forward and backward rankings both
+    // derive from ONE symmetric score set in the oracle, which is
+    // exactly what the engine computes (elementwise multiply commutes
+    // bitwise in IEEE).
+    "q_bitext_margin" -> ((
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bitextMarginPairs(
+          emb.filter(col("label") < 5), emb.filter(col("label") >= 5),
+          "vec_id", "embedding")
+      },
+      Some("""WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+             |n AS (SELECT vec_id, label, emb, list_sum([x*x for x in emb]) n2 FROM p),
+             |a AS (SELECT * FROM n WHERE label < 5),
+             |b AS (SELECT * FROM n WHERE label >= 5),
+             |fs AS (SELECT a.vec_id src_id, b.vec_id tgt_id,
+             |  list_sum([b.emb[i+1] * a.emb[i+1] for i in range(len(b.emb))]) / sqrt(b.n2 * a.n2) AS score
+             |  FROM a, b),
+             |fr AS (SELECT src_id, tgt_id, score,
+             |  row_number() OVER (PARTITION BY src_id ORDER BY score DESC, tgt_id ASC) AS rn FROM fs),
+             |br AS (SELECT tgt_id, src_id,
+             |  row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, src_id ASC) AS rn FROM fs),
+             |bb AS (SELECT tgt_id AS match_id, src_id AS back_id FROM br WHERE rn = 1),
+             |f1 AS (SELECT src_id, tgt_id AS match_id, round(score, 6) AS score
+             |  FROM fr WHERE rn = 1),
+             |f2 AS (SELECT src_id, round(score, 6) AS score2 FROM fr WHERE rn = 2)
+             |SELECT f1.src_id, f1.match_id, f1.score,
+             |  round(f1.score / f2.score2, 6) AS margin,
+             |  (bb.back_id = f1.src_id) AS mutual
+             |FROM f1 JOIN f2 USING (src_id) JOIN bb USING (match_id)""".stripMargin)
+    )),
   )
 
 

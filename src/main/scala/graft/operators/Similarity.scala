@@ -83,6 +83,39 @@ object Similarity {
     topKOutput(scored, k)
   }
 
+  /** Margin-based bitext mining (the ratio-margin criterion of
+    * Artetxe & Schwenk's mining family): for every `src` vector, its
+    * best `tgt` match, the RATIO margin best/second-best (a
+    * translation pair stands out from the neighborhood; a hubness
+    * artifact does not), and whether the match is MUTUAL (tgt's best
+    * src is this src — the standard keep filter). Requires
+    * |tgt| >= 2 (the margin needs a second-best). Returns
+    * (src_id, match_id, score, margin, mutual).
+    *
+    * Built on [[bruteForceTopK]] both directions — the exact-scoring
+    * baseline; swap in [[lshTopK]]/[[ivfTopK]] candidates for
+    * billion-pair mining, the margin/mutual algebra is unchanged.
+    * Forward and backward scores are the SAME IEEE doubles
+    * (elementwise multiply commutes exactly), so the mutual check
+    * never disagrees with the forward ranking. */
+  def bitextMarginPairs(src: DataFrame, tgt: DataFrame,
+                        idCol: String, embCol: String): DataFrame = {
+    val fwd = bruteForceTopK(tgt, src, idCol, embCol, k = 2)
+    val f1 = fwd.filter(col("rank") === 1)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("match_id"), col("score"))
+    val f2 = fwd.filter(col("rank") === 2)
+      .select(col("query_id").as("src_id"), col("score").as("score2"))
+    val bwd = bruteForceTopK(src, tgt, idCol, embCol, k = 1)
+      .select(col("query_id").as("match_id"), col("neighbor_id").as("back_id"))
+    f1.join(f2, "src_id")
+      .withColumn("margin", round(col("score") / col("score2"), 6))
+      .join(bwd, "match_id")
+      .withColumn("mutual", col("back_id") === col("src_id"))
+      .select(col("src_id"), col("match_id"), col("score"),
+        col("margin"), col("mutual"))
+  }
+
   /** Blocked cosine near-duplicate pairs: pairs within the same block
     * (e.g. a cluster/label/LSH bucket) with cosine ≥ threshold. The
     * block key turns the quadratic all-pairs into an equi-join. */

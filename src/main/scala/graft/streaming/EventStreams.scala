@@ -511,4 +511,66 @@ object EventStreams {
           closed.result().iterator
       }
   }
+
+  final case class RetEvent(user_id: Long, ts: Timestamp)
+  final case class RetActivity(user_id: Long, cohort: String, offset: Int)
+  /** Per-user retention state — public so codegen'd encoders reach it:
+    * the anchor (first-seen ISO week, epoch days) and the offsets
+    * already emitted. */
+  final case class RetState(anchorDays: Long, seen: Set[Int])
+
+  /** ISO-Monday week truncation in epoch days (1970-01-05 = epoch day
+    * 4 was a Monday), the same convention `date_trunc('week', …)`
+    * uses in Spark and DuckDB. */
+  private def weekStartDays(ts: Timestamp): Long = {
+    val days = Math.floorDiv(ts.getTime, 86400000L)
+    days - Math.floorMod(days - 4L, 7L)
+  }
+
+  /** Streaming cohort retention: the online form of
+    * [[graft.operators.Timeseries.retentionCohorts]]. Each user's
+    * FIRST-seen ISO week anchors their cohort; every first activity in
+    * a later week emits ONE (user, cohort, offset) row — the
+    * retention triangle is then a trivial count over the emissions
+    * (rows are unique per (user, offset) by construction, so count(*)
+    * is the exact distinct-user count per cell).
+    *
+    * State is one (anchor, seen-offset set) per user — bounded by
+    * users × stream-lifetime weeks, never event volume — with no
+    * timeout: retention must remember a user's cohort for the
+    * analysis horizon (evicting would re-cohort a returning user).
+    * Cohorting follows ARRIVAL order (the streaming contract): a
+    * late-arriving event from BEFORE the anchor week re-anchors the
+    * cohort for FUTURE emissions but does not retract rows already
+    * emitted — it equals the batch operator exactly when per-user
+    * arrival is time-ordered, which the differential spec constructs
+    * (and real event streams approximate within the watermark). */
+  def retentionStream(events: Dataset[RetEvent],
+                      watermarkDelay: String = "10 minutes"): Dataset[RetActivity] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetActivity](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[RetEvent], state: GroupState[RetState]) =>
+          // micro-batch iterators carry no order promise: sort so the
+          // earliest event of the batch anchors before offsets derive
+          val weeks = batch.map(e => weekStartDays(e.ts)).toSeq.sorted
+          var st = state.getOption.getOrElse(
+            RetState(weeks.headOption.getOrElse(0L), Set.empty))
+          val out = Seq.newBuilder[RetActivity]
+          weeks.foreach { w =>
+            if (w < st.anchorDays) st = st.copy(anchorDays = w)
+            val off = ((w - st.anchorDays) / 7L).toInt
+            if (!st.seen.contains(off)) {
+              st = st.copy(seen = st.seen + off)
+              out += RetActivity(userId,
+                java.time.LocalDate.ofEpochDay(st.anchorDays).toString, off)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

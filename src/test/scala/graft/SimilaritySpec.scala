@@ -248,4 +248,41 @@ class SimilaritySpec extends SparkSpec {
     // exact integer sums: any repartitioning gives the identical result
     assert(run(df.repartition(7)) == out)
   }
+
+  test("bitextMarginPairs: matches, ratio margins, and mutual-best flags") {
+    // src 1=(1,0) pairs with tgt 11=(1,0); src 2=(0,1) with 13=(0,1);
+    // src 3=(0.6,0.8) is collinear with 12 and MUTUAL with it; src 4
+    // =(0.7,0.7) also picks 12 but 12's best src is 3 -> NOT mutual
+    val src = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.6, 0.8)), (4L, Seq(0.7, 0.7))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (11L, Seq(1.0, 0.0)), (12L, Seq(0.6, 0.8)), (13L, Seq(0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMarginPairs(src, tgt, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._1 == 11L && out(1L)._4, "x-axis pair is mutual best")
+    assert(out(2L)._1 == 13L && out(2L)._4, "y-axis pair is mutual best")
+    assert(out(3L)._1 == 12L && out(3L)._4, "collinear pair is mutual")
+    assert(out(4L)._1 == 12L && !out(4L)._4,
+      "4's best is 12 but 12's best is 3 -> not mutual")
+    assert(math.abs(out(1L)._2 - 1.0) < 1e-9 &&
+      math.abs(out(1L)._3 - 1.666667) < 1e-5, "margin = 1.0 / 0.6")
+    assert(out.values.forall(_._3 >= 1.0), "best/second-best ratio >= 1")
+  }
+
+  test("bitextMarginPairs: deterministic across repartitionings") {
+    val vecs = (0L until 40L).map(i => (i,
+      Seq(((i * 13 % 17) / 17.0), ((i * 7 % 11) / 11.0), 0.3)))
+    val src = vecs.take(20).toDF("vec_id", "embedding")
+    val tgt = vecs.drop(20).toDF("vec_id", "embedding")
+    val a = Similarity.bitextMarginPairs(src.repartition(5), tgt.repartition(3),
+      "vec_id", "embedding").collect().map(_.toSeq).toSet
+    val b = Similarity.bitextMarginPairs(src.coalesce(1), tgt.coalesce(1),
+      "vec_id", "embedding").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

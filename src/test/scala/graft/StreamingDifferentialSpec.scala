@@ -183,4 +183,31 @@ class StreamingDifferentialSpec extends SparkSpec {
     assert(batchTexts == Map(1L -> "a b c d e f", 2L -> "g h i",
       3L -> "x y z", 5L -> "fresh words only"))
   }
+
+  test("retentionStream replay equals the batch retention triangle") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[EventStreams.RetEvent]
+    val q = EventStreams.retentionStream(input.toDS(),
+        watermarkDelay = "365 days")
+      .writeStream.format("memory").queryName("diff_ret")
+      .outputMode(OutputMode.Append).start()
+    chunks.foreach { c =>
+      input.addData(c.map(e => EventStreams.RetEvent(e.user_id, e.ts)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    // emissions are unique per (user, offset), so the triangle is a
+    // plain count — compare against the batch operator on the same rows
+    val streamed = spark.table("diff_ret")
+      .groupBy("cohort", "offset").agg(count(lit(1)).as("n_active"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = graft.operators.Timeseries.retentionCohorts(
+        allEvents.toDF().select(col("user_id"), col("ts")),
+        "user_id", "ts", "week")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_._1).size > 0 && streamed.exists(_._2 > 0),
+      "fixture slice must span multiple weeks")
+  }
 }
