@@ -4818,6 +4818,31 @@ object Queries {
              |  (bb.back_id = f1.src_id) AS mutual
              |FROM f1 JOIN f2 USING (src_id) JOIN bb USING (match_id)""".stripMargin)
     )),
+
+    // Perceptual image hashing under the oracle gate: dHash64 over a
+    // fixture of constructed PNGs whose hashes are HAND-DERIVED from
+    // the dHash definition (flat → 0, strict gradient → all 64 bits,
+    // inverted → 0, half-split → one rising edge per row) — the same
+    // pinned-truth scheme as q_multimodal_meta, so the decode +
+    // area-average + bit-assembly path is checked against constants
+    // the code under test never produced.
+    "q_multimodal_dhash" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureDHash()
+        s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (name, content) =>
+            (name, operators.Multimodal.dHash64(content).get)
+          }
+          .toDF("name", "dhash")
+      },
+      Some(s"""SELECT name, dhash
+              |FROM read_csv('${graft.sources.MediaFixture.expectedDHashCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','dhash':'BIGINT'})""".stripMargin)
+    )),
   )
 
 

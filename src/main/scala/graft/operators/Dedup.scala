@@ -684,23 +684,38 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bands: Int = 4,
                    maxBucketSize: Int = Int.MaxValue,
-                   tfCap: Int = 0): DataFrame = {
+                   tfCap: Int = 0): DataFrame =
+    hammingPairs64(simhash(df, idCol, textCol, tfCap), "id", "simhash",
+      maxHamming, bands, maxBucketSize)
+
+  /** Banded Hamming self-join over ANY 64-bit signature column —
+    * the pigeonhole candidate generator [[simhashPairs]] always used,
+    * factored out so other 64-bit perceptual hashes (image dHash,
+    * audio chromaprints) reuse the identical discipline: split the
+    * hash into `bands` equal slices, equi-join on any shared slice
+    * (Hamming ≤ maxHamming < bands GUARANTEES one slice matches),
+    * verify with one XOR popcount. Returns (id_a, id_b, hamming).
+    * `maxBucketSize` caps degenerate buckets (constant-background
+    * media) exactly like the text path. */
+  def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int, bands: Int = 4,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
     require(64 % bands == 0, "bands must divide 64")
     val bits = 64 / bands
-    val sims = simhash(df, idCol, textCol, tfCap)
-    val banded0 = sims.select(col("id"), col("simhash"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * bits).bitwiseAND((1L << bits) - 1).as("bv"))
-      }: _*)).as("b"))
-      .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val banded0 = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("h"), b * bits).bitwiseAND((1L << bits) - 1).as("bv"))
+        }: _*)).as("b"))
+      .select(col("id"), col("h"), col("b.band").as("band"), col("b.bv").as("bv"))
     val banded = capBuckets(banded0, Seq("band", "bv"), maxBucketSize)
-    banded.toDF("id_a", "sim_a", "band", "bv")
-      .join(banded.toDF("id_b", "sim_b", "band", "bv"), Seq("band", "bv"))
+    banded.toDF("id_a", "h_a", "band", "bv")
+      .join(banded.toDF("id_b", "h_b", "band", "bv"), Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

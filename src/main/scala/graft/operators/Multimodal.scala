@@ -280,4 +280,87 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyK))))
       .select(col("media_id"), col("frame_idx"))
+
+  /** 64-bit difference hash (dHash) of a decoded image: the standard
+    * perceptual fingerprint — downsample to a 9×8 luminance grid, one
+    * bit per horizontally-adjacent cell pair (left < right). Near-
+    * identical images (re-encode, mild resize, small edits) land
+    * within a few bits; unrelated images differ in ~32.
+    *
+    * The downsample is an explicit integer AREA AVERAGE over pixel
+    * blocks (sum of luminances / count, integer division) — not a
+    * Graphics2D scale — so the hash is bit-deterministic across JVMs
+    * and platforms, the same determinism discipline as the text
+    * SimHash. Undecodable/non-image input → None (loud at the caller,
+    * never a silent constant hash). */
+  def dHash64(content: Array[Byte]): Option[Long] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val cells = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * h / 8
+        val y1 = math.min(h, math.max(y0 + 1, (gy + 1) * h / 8))
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9
+          val x1 = math.min(w, math.max(x0 + 1, (gx + 1) * w / 9))
+          var sum = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xFF) * 299 +
+                ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          cells(gy)(gx) = sum / math.max(1L, n)
+          gx += 1
+        }
+        gy += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        val row = i / 8; val colIdx = i % 8
+        if (cells(row)(colIdx) < cells(row)(colIdx + 1)) bits |= (1L << i)
+        i += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** Batched dHash extraction for image blobs → (media_id, dhash).
+    * Non-image/undecodable blobs are dropped HERE, at the explicit
+    * fingerprint stage (unlike resize, a hash of garbage has no
+    * pass-through meaning). Map-side only, same batch shape as the
+    * other media kernels. */
+  def imageDHashes(blobs: Dataset[MediaBlob], batchSize: Int = 64): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { b =>
+        if (ImageKinds(b.kind.toLowerCase))
+          dHash64(b.content).map(hd => (b.media_id, hd))
+        else None
+      })
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs by banded dHash: the multimodal twin
+    * of the text SimHash dedup — same pigeonhole banded join
+    * ([[Dedup.hammingPairs64]]), so recall for pairs within
+    * `maxHamming` bits is GUARANTEED, not probabilistic. Decode and
+    * hash are map-side; the only shuffle ships (id, band, slice)
+    * rows — image BYTES never shuffle. */
+  def imageNearDupPairs(blobs: Dataset[MediaBlob], maxHamming: Int = 3,
+                        bands: Int = 4,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame =
+    Dedup.hammingPairs64(imageDHashes(blobs), "media_id", "dhash",
+      maxHamming, bands, maxBucketSize)
 }

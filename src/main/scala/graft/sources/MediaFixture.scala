@@ -147,4 +147,54 @@ object MediaFixture {
         .getBytes(StandardCharsets.UTF_8))
     dir
   }
+
+  // ---- perceptual-hash fixture (hand-derivable dHash truths) ----
+
+  val dhashDir: String = s"${FixtureDirs.base}/media_dhash"
+  val expectedDHashCsvPath: String = s"${FixtureDirs.base}/media_dhash_expected.csv"
+
+  private def lumPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = v(x, y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (filename, bytes, HAND-DERIVED dHash). The pinned values follow
+    * from the dHash definition alone (9×8 area-averaged luminance
+    * cells, bit i set iff cell(i/8, i%8) < its right neighbor), never
+    * from running the code under test. Width 63 makes the 9 grid
+    * columns exactly 7 px wide; gray pixels make luminance == the
+    * gray value ((299+587+114)/1000 = 1 exactly):
+    *  - flat       → all cells equal, no strict `<` → 0
+    *  - hgrad      → cell means strictly increase left→right (block
+    *                 means are ~28.8 gray levels apart) → all 64 bits → -1
+    *  - hgrad_inv  → strictly decrease → no bit → 0
+    *  - half_split → black cols 0-3 (x<28=4·7), white cols 4-8: the
+    *                 only strict rise is col 3→4, bit 3 of every row
+    *                 byte → 0x0808080808080808. */
+  private def dhashEntries: Seq[(String, Array[Byte], Long)] = Seq(
+    ("flat.png", lumPng(64, 48, (_, _) => 0), 0L),
+    ("hgrad.png", lumPng(63, 48, (x, _) => x * 255 / 62), -1L),
+    ("hgrad_inv.png", lumPng(63, 48, (x, _) => 255 - x * 255 / 62), 0L),
+    ("half_split.png", lumPng(63, 48, (x, _) => if (x < 28) 0 else 255),
+      0x0808080808080808L))
+
+  /** Write the dHash images + the pinned hash CSV; returns `dhashDir`. */
+  def ensureDHash(): String = {
+    Files.createDirectories(Paths.get(dhashDir))
+    val rows = dhashEntries.map { case (name, bytes, hash) =>
+      Files.write(Paths.get(dhashDir, name), bytes)
+      s"$name,$hash"
+    }
+    Files.write(Paths.get(expectedDHashCsvPath),
+      ("name,dhash\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    dhashDir
+  }
 }

@@ -246,4 +246,58 @@ class MultimodalSpec extends SparkSpec {
         s"$kind junk should fall back to the stub")
     }
   }
+
+  /** Horizontal-gradient PNG with an optional per-pixel tweak. */
+  private def gradientPng(w: Int, h: Int, invert: Boolean = false,
+      tweak: (Int, Int) => Int = (_, _) => 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = x * 255 / (w - 1)
+      val v0 = if (invert) 255 - base else base
+      val v = math.max(0, math.min(255, v0 + tweak(x, y)))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash64: re-encode-identical images hash equal; gradients differ") {
+    val a = Multimodal.dHash64(gradientPng(64, 48)).get
+    val a2 = Multimodal.dHash64(gradientPng(64, 48)).get
+    assert(a == a2, "deterministic")
+    // pure horizontal gradient: every left cell < right cell -> all-ones
+    assert(a == -1L)
+    val inv = Multimodal.dHash64(gradientPng(64, 48, invert = true)).get
+    assert(java.lang.Long.bitCount(a ^ inv) == 64, "inverted gradient flips every bit")
+    assert(Multimodal.dHash64(Array[Byte](1, 2, 3)).isEmpty, "garbage -> None")
+  }
+
+  test("dHash64: small local edits stay within a few bits") {
+    val base = Multimodal.dHash64(gradientPng(64, 48)).get
+    // brighten one 4x4 patch: at most the cells touching the patch move
+    val edited = Multimodal.dHash64(gradientPng(64, 48,
+      tweak = (x, y) => if (x >= 30 && x < 34 && y >= 20 && y < 24) 24 else 0)).get
+    val d = java.lang.Long.bitCount(base ^ edited)
+    assert(d <= 3, s"local edit moved $d bits")
+  }
+
+  test("imageNearDupPairs: edited copy pairs with original, inverse does not") {
+    val blobs = Seq(
+      MediaBlob(1L, "png", gradientPng(64, 48)),
+      MediaBlob(2L, "png", gradientPng(64, 48,
+        tweak = (x, y) => if (x >= 30 && x < 34 && y >= 20 && y < 24) 24 else 0)),
+      MediaBlob(3L, "png", gradientPng(64, 48, invert = true)),
+      MediaBlob(4L, "mp4", Array[Byte](1, 2, 3)), // non-image: ignored
+      MediaBlob(5L, "png", Array[Byte](9, 9))     // undecodable: dropped
+    ).toDS()
+    val pairs = Multimodal.imageNearDupPairs(blobs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 <= 3)
+    // and the hash table only carries decodable images
+    val hashed = Multimodal.imageDHashes(blobs).collect().map(_.getLong(0)).toSet
+    assert(hashed == Set(1L, 2L, 3L))
+  }
 }
