@@ -4843,6 +4843,30 @@ object Queries {
               |FROM read_csv('${graft.sources.MediaFixture.expectedDHashCsvPath}',
               |  header=true, columns={'name':'VARCHAR','dhash':'BIGINT'})""".stripMargin)
     )),
+
+    // Audio energy fingerprinting under the oracle gate: real PCM
+    // decode (javax.sound) → 65-window integer energy envelope →
+    // 64 louder-than-previous bits, pinned against HAND-DERIVED
+    // constants (flat envelope → 0, rising ramp → all ones, one step
+    // → single bit) — the third modality on the q_multimodal_meta
+    // pinned-truth scheme.
+    "q_multimodal_audiofp" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureAudioFp()
+        s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (name, content) =>
+            (name, operators.Multimodal.audioFingerprint64(content).get)
+          }
+          .toDF("name", "afp")
+      },
+      Some(s"""SELECT name, afp
+              |FROM read_csv('${graft.sources.MediaFixture.expectedAudioFpCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
+    )),
   )
 
 

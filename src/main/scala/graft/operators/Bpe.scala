@@ -222,6 +222,36 @@ object Bpe {
       .withColumn("n_bpe", size(col("bpe_ids")).cast("long"))
   }
 
+  /** Persist a trained tokenizer (ordered merge list + vocab) as two
+    * parquet tables under `path` — the artifact a training run ships
+    * so every later job (and every OTHER engine that reads parquet)
+    * re-tokenizes with the identical id mapping. Merge ORDER is the
+    * model (BPE applies merges in training order), so it is stored as
+    * an explicit `ord` column, never directory order. */
+  def save(spark: org.apache.spark.sql.SparkSession, path: String,
+           merges: Seq[(String, String)], vocab: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((p, m), i) => (i, p, m) }
+      .toDF("ord", "pair", "merged")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/merges")
+    vocab.toDF("tok", "id")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Inverse of [[save]]: (merges in training order, vocab by id).
+    * `encode(load(save(m, v))) == encode(m, v)` — BpeSpec pins the
+    * round-trip on real fixture docs. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): (Seq[(String, String)], Seq[(String, Long)]) = {
+    val m = spark.read.parquet(s"$path/merges")
+      .orderBy("ord").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val v = spark.read.parquet(s"$path/vocab")
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    (m, v)
+  }
+
   /** Re-tokenize `textCol` with a trained merge list: per-word symbol
     * split, merges applied in training order, symbols counted. The
     * apply side of [[trainMerges]] — a ZERO-shuffle map pass (merges

@@ -363,4 +363,88 @@ object Multimodal {
                         maxBucketSize: Int = Int.MaxValue): DataFrame =
     Dedup.hammingPairs64(imageDHashes(blobs), "media_id", "dhash",
       maxHamming, bands, maxBucketSize)
+
+  /** 64-bit audio energy-delta fingerprint — dHash's audio twin over
+    * REAL decoded PCM (16-bit signed WAV/AIFF via javax.sound, the
+    * kinds this container can genuinely decode; compressed codecs
+    * stay with the header-only stubs): mix channels, slice the sample
+    * stream into 65 equal windows, bit i set iff window i+1 carries
+    * MORE energy than window i. Re-encodes and small edits preserve
+    * the coarse energy envelope (a few bits); different material
+    * scrambles ~half.
+    *
+    * All-integer arithmetic (energy = Σ mixed², Long — 16-bit
+    * squares × any realistic window length stay < 2⁶³), so the
+    * fingerprint is bit-deterministic across platforms. None for
+    * undecodable input, non-16-bit-PCM encodings, or streams shorter
+    * than 65 frames — loud, never a constant hash. */
+  def audioFingerprint64(content: Array[Byte]): Option[Long] = {
+    import javax.sound.sampled._
+    try {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) return None
+      val ch = fmt.getChannels
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / (2 * ch)
+      if (n < 65) return None
+      val big = fmt.isBigEndian
+      def sample(i: Int): Long = { // channel-mixed frame i
+        var s = 0L; var c = 0
+        while (c < ch) {
+          val o = (i * ch + c) * 2
+          val v = if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xFF)).toShort
+                  else ((bytes(o + 1) << 8) | (bytes(o) & 0xFF)).toShort
+          s += v; c += 1
+        }
+        s / ch
+      }
+      val energy = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        val i0 = w * n / 65; val i1 = (w + 1) * n / 65
+        var e = 0L; var i = i0
+        while (i < i1) { val s = sample(i); e += s * s; i += 1 }
+        energy(w) = e
+        w += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (energy(i + 1) > energy(i)) bits |= (1L << i)
+        i += 1
+      }
+      Some(bits)
+    } catch { case _: Exception => None }
+  }
+
+  private val AudioFpKinds = Set("wav", "wave", "aiff", "aif", "au")
+
+  /** Batched audio fingerprints for decodable PCM blobs →
+    * (media_id, afp). Same drop-at-the-fingerprint-stage contract as
+    * [[imageDHashes]]. */
+  def audioFingerprints(blobs: Dataset[MediaBlob],
+                        batchSize: Int = 64): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { b =>
+        if (AudioFpKinds(b.kind.toLowerCase))
+          audioFingerprint64(b.content).map(h => (b.media_id, h))
+        else None
+      })
+    }.toDF("media_id", "afp")
+  }
+
+  /** Audio near-duplicate pairs by banded energy fingerprint — the
+    * third client of [[Dedup.hammingPairs64]]'s pigeonhole join
+    * (text SimHash, image dHash, audio energy hash: one banding
+    * discipline, three modalities). Audio bytes never shuffle. */
+  def audioNearDupPairs(blobs: Dataset[MediaBlob], maxHamming: Int = 3,
+                        bands: Int = 4,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame =
+    Dedup.hammingPairs64(audioFingerprints(blobs), "media_id", "afp",
+      maxHamming, bands, maxBucketSize)
 }

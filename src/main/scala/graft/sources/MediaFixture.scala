@@ -197,4 +197,55 @@ object MediaFixture {
         .getBytes(StandardCharsets.UTF_8))
     dhashDir
   }
+
+  // ---- audio-fingerprint fixture (hand-derivable energy hashes) ----
+
+  val audioFpDir: String = s"${FixtureDirs.base}/media_audiofp"
+  val expectedAudioFpCsvPath: String = s"${FixtureDirs.base}/media_audiofp_expected.csv"
+
+  /** Mono 16-bit little-endian PCM WAV from explicit samples. */
+  private def pcmWav(samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xFF).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 6500 frames = 65 fingerprint windows of exactly 100 frames each;
+    * `amp(w)` is the constant sample value inside window w. */
+  private def envSamples(amp: Int => Int): Array[Short] =
+    Array.tabulate(6500)(i => amp(i / 100).toShort)
+
+  /** (filename, bytes, HAND-DERIVED energy fingerprint): window
+    * energy = 100·amp², bit i set iff window i+1 louder than i —
+    *  - flat envelope  → all windows equal → 0
+    *  - rising ramp    → strictly increasing → all 64 bits → -1
+    *  - step at w=32   → one louder transition, bit 31 → 2^31. */
+  private def audioFpEntries: Seq[(String, Array[Byte], Long)] = Seq(
+    ("flat_tone.wav", pcmWav(envSamples(_ => 1000)), 0L),
+    ("ramp.wav", pcmWav(envSamples(w => (w + 1) * 10)), -1L),
+    ("step.wav", pcmWav(envSamples(w => if (w < 32) 100 else 2000)), 1L << 31))
+
+  /** Write the fingerprint WAVs + the pinned CSV; returns `audioFpDir`. */
+  def ensureAudioFp(): String = {
+    Files.createDirectories(Paths.get(audioFpDir))
+    val rows = audioFpEntries.map { case (name, bytes, hash) =>
+      Files.write(Paths.get(audioFpDir, name), bytes)
+      s"$name,$hash"
+    }
+    Files.write(Paths.get(expectedAudioFpCsvPath),
+      ("name,afp\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    audioFpDir
+  }
 }

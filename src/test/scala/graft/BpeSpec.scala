@@ -123,4 +123,24 @@ class BpeSpec extends SparkSpec {
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("Exchange"), s"encode must be a map pass:\n$p")
   }
+
+  test("save/load round-trip: reloaded tokenizer encodes identically") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50)
+    val merges = Bpe.trainMerges(docs, "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = Bpe.vocab(docs, "text", merges)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe").toString
+    Bpe.save(spark, path, merges, vocab)
+    val (m2, v2) = Bpe.load(spark, path)
+    assert(m2 == merges, "merge ORDER must survive the round-trip")
+    assert(v2 == vocab.sortBy(_._2))
+    val a = Bpe.encode(docs, "text", "doc_id", merges, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val b = Bpe.encode(docs, "text", "doc_id", m2, v2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(a == b)
+  }
 }

@@ -300,4 +300,49 @@ class MultimodalSpec extends SparkSpec {
     val hashed = Multimodal.imageDHashes(blobs).collect().map(_.getLong(0)).toSet
     assert(hashed == Set(1L, 2L, 3L))
   }
+
+  /** Mono 16-bit PCM WAV with per-window amplitude envelope over
+    * 65 windows × 100 frames (the fingerprint's exact window grid). */
+  private def envWav(amp: Int => Int, jitter: Int => Int = _ => 0): Array[Byte] = {
+    import javax.sound.sampled._
+    val samples = Array.tabulate(6500)(i => (amp(i / 100) + jitter(i)).toShort)
+    val raw = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      raw(2 * i) = (samples(i) & 0xFF).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioFingerprint64: envelope-derived bits, deterministic, loud on junk") {
+    val ramp = Multimodal.audioFingerprint64(envWav(w => (w + 1) * 10))
+    assert(ramp.contains(-1L), "strictly rising envelope sets every bit")
+    assert(Multimodal.audioFingerprint64(envWav(_ => 500)).contains(0L))
+    assert(Multimodal.audioFingerprint64(
+      envWav(w => if (w < 32) 100 else 2000)).contains(1L << 31))
+    assert(Multimodal.audioFingerprint64(Array[Byte](1, 2, 3)).isEmpty)
+    // small additive jitter leaves the coarse envelope intact
+    val jittered = Multimodal.audioFingerprint64(
+      envWav(w => (w + 1) * 10, jitter = i => (i * 7) % 5 - 2))
+    assert(java.lang.Long.bitCount(ramp.get ^ jittered.get) <= 3)
+  }
+
+  test("audioNearDupPairs: jittered copy pairs, reversed envelope does not") {
+    val blobs = Seq(
+      MediaBlob(1L, "wav", envWav(w => (w + 1) * 10)),
+      MediaBlob(2L, "wav", envWav(w => (w + 1) * 10, jitter = i => (i * 7) % 5 - 2)),
+      MediaBlob(3L, "wav", envWav(w => (65 - w) * 10)),
+      MediaBlob(4L, "mp3", Array[Byte](1, 2, 3)) // non-PCM kind: ignored
+    ).toDS()
+    val pairs = Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+    assert(Multimodal.audioFingerprints(blobs).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
 }
