@@ -4867,6 +4867,66 @@ object Queries {
               |FROM read_csv('${graft.sources.MediaFixture.expectedAudioFpCsvPath}',
               |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
     )),
+
+    // The post-training composition end-to-end under ONE oracle —
+    // the q_mixture_pipeline discipline applied to the SFT wing:
+    // near-dup clusters → leakage-safe 80/10/10 split (cluster-
+    // closed, so no near-dup family straddles train and eval) →
+    // tokenizer trained on the FULL corpus (one tokenizer,
+    // split-independent — the production shape) → word-structured
+    // encode → loss mask → keep the train split. The oracle replays
+    // clusters, split hash, three BPE training rounds, the per-word
+    // encode, and the label mask in one statement.
+    "q_sft_pipeline" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val clusters = Dedup.duplicateClusters(
+          Dedup.jaccardPairs(d, "doc_id", "text", threshold = 0.8)
+            .select("id_a", "id_b"))
+        val split = operators.Sampling.leakageSafeSplit(d.select("doc_id"),
+          "doc_id", clusters, valFraction = 0.1, testFraction = 0.1)
+        val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = operators.Bpe.vocab(d, "text", merges)
+        val ew = operators.Bpe.encodeWords(d, "text", "doc_id", merges, vocab)
+        operators.PostTraining.lossMask(ew, "doc_id", "bpe_word_ids",
+            pmod(col("doc_id"), lit(7L)) + 1)
+          .join(split.filter(col("split") === "train"), "doc_id")
+          .select(col("doc_id"), col("cluster_key"),
+            array_join(col("input_ids"), ",").as("input_ids_csv"),
+            array_join(col("labels"), ",").as("labels_csv"),
+            col("n_masked"))
+      },
+      Some {
+        val splitCtes =
+          JaccardClusterOracleCtes + ",\n" +
+            """al AS (SELECT d.doc_id, COALESCE(cl.canonical_id, d.doc_id) AS cluster_key
+              |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+              |spl AS (SELECT doc_id, cluster_key,
+              |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+              |       ELSE 'test' END AS split
+              |  FROM (SELECT doc_id, cluster_key,
+              |    CAST(('0x' || substr(md5('split_' || CAST(cluster_key AS VARCHAR)), 1, 8)) AS BIGINT)
+              |      % 10000 AS b FROM al)),
+              |""".stripMargin
+        bpeEncodeOracleCtes(preCtes = splitCtes) + ",\n" +
+          """mk AS (SELECT doc_id, bpe_words, doc_id % 7 + 1 AS k FROM encw),
+            |lab AS (SELECT doc_id,
+            |  flatten(bpe_words) AS input_ids,
+            |  flatten([CASE WHEN i < k
+            |      THEN list_transform(bpe_words[i+1], x -> CAST(-100 AS BIGINT))
+            |      ELSE bpe_words[i+1] END
+            |    for i in range(len(bpe_words))]) AS labels
+            |  FROM mk)
+            |SELECT lab.doc_id, spl.cluster_key,
+            |  array_to_string(input_ids, ',') AS input_ids_csv,
+            |  array_to_string(labels, ',') AS labels_csv,
+            |  CAST(len([x for x in labels if x = -100]) AS BIGINT) AS n_masked
+            |FROM lab JOIN spl ON spl.doc_id = lab.doc_id
+            |WHERE spl.split = 'train'""".stripMargin
+      }
+    )),
   )
 
 
