@@ -4927,6 +4927,49 @@ object Queries {
             |WHERE spl.split = 'train'""".stripMargin
       }
     )),
+
+    // Cross-source n-gram novelty: what fraction of each source's
+    // distinct trigrams appears in NO other source — the inter-source
+    // redundancy signal mixture design needs (a source whose grams all
+    // exist elsewhere adds volume, not coverage). Exact set algebra:
+    // distinct (source, gram) pairs → per-gram source count → per-
+    // source exclusive fraction. One gram-keyed aggregation with
+    // map-side distinct partials; grams never fan out per doc.
+    "q_ngram_novelty" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        // Spark's sequence(1, 0) DESCENDS (the Bpe guard) — short docs
+        // must hit the empty-array branch, never the ramp
+        val grams = d.select(col("source"),
+            explode(expr(
+              "case when size(split(text, ' ')) < 3 then array() " +
+                "else transform(sequence(1, size(split(text, ' ')) - 2), " +
+                "i -> concat_ws('_', element_at(split(text, ' '), i), " +
+                "element_at(split(text, ' '), i + 1), " +
+                "element_at(split(text, ' '), i + 2))) end")).as("g"))
+          .distinct()
+        val bySrc = grams.groupBy("g")
+          .agg(count(lit(1)).as("nsrc"))
+        grams.join(bySrc, "g")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+          .select(col("source"), col("n_grams"), col("n_exclusive"),
+            round(col("n_exclusive").cast("double") / col("n_grams").cast("double"), 6)
+              .as("novelty"))
+      },
+      Some("""WITH t AS (SELECT source, string_split(text, ' ') ws FROM documents),
+             |g AS (SELECT DISTINCT source,
+             |  unnest([ws[i] || '_' || ws[i+1] || '_' || ws[i+2]
+             |    for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS g
+             |  FROM t),
+             |ns AS (SELECT g, count(*) AS nsrc FROM g GROUP BY 1)
+             |SELECT source, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+             |  round(CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+             |FROM g JOIN ns USING (g) GROUP BY source""".stripMargin)
+    )),
   )
 
 
