@@ -50,6 +50,15 @@ class PostTrainingSpec extends SparkSpec {
     assert(out.getAs[Long]("n_masked") == 2L)
   }
 
+  test("lossMask plan: zero exchanges — mask fuses into the encode scan") {
+    val docs = Seq((1L, "ab cd ef"), (2L, "gh ij")).toDF("doc_id", "text")
+    val vocab = Bpe.vocab(docs, "text", Seq.empty)
+    val ew = Bpe.encodeWords(docs, "text", "doc_id", Seq.empty, vocab)
+    val plan = PostTraining.lossMask(ew, "doc_id", "bpe_word_ids", lit(1L))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Exchange"), s"lossMask must stay a map pass:\n$plan")
+  }
+
   test("lossMask: k beyond the word count masks everything") {
     val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
     val vocab = Bpe.vocab(docs, "text", Seq.empty)
