@@ -4970,6 +4970,41 @@ object Queries {
              |    / CAST(count(*) AS DOUBLE), 6) AS novelty
              |FROM g JOIN ns USING (g) GROUP BY source""".stripMargin)
     )),
+
+    // Personalized PageRank from a trusted seed set — the crawl-seed
+    // expansion signal (teleport mass lands only on seeds; high-rank
+    // UNSEEN nodes are the next domains worth fetching). Same integer
+    // fixed-point discipline as q_pagerank, so five iterations replay
+    // exactly; the seed set is a plan literal.
+    "q_personalized_pagerank" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+        operators.Graph.personalizedPageRank(e, Seq(1L, 2L, 3L), iterations = 5)
+      },
+      Some {
+        val s0 = 1000000000000L
+        val steps = (1 to 5).map { i =>
+          s"""r$i AS (SELECT nodes.id,
+             |  (CASE WHEN nodes.id IN (1, 2, 3) THEN (15 * $s0) // (100 * 3) ELSE 0 END)
+             |  + CAST((85 * CAST(COALESCE(s.s, 0) AS BIGINT)) // 100 AS BIGINT) AS r
+             | FROM nodes LEFT JOIN (
+             |   SELECT e.dst AS id, CAST(sum(r${i - 1}.r // deg.deg) AS BIGINT) AS s
+             |   FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src
+             |   JOIN deg ON deg.src = e.src GROUP BY 1) s ON s.id = nodes.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |r0 AS (SELECT id,
+           |  CASE WHEN id IN (1, 2, 3) THEN $s0 // 3 ELSE CAST(0 AS BIGINT) END AS r
+           |  FROM nodes),
+           |$steps
+           |SELECT id, r AS rank_fp FROM r5""".stripMargin
+      }
+    )),
   )
 
 

@@ -86,6 +86,62 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /** Personalized PageRank: identical fixed-point arithmetic to
+    * [[pageRank]], but the teleport mass lands ONLY on the `seeds`
+    * set — r'(v) = [v ∈ seeds]·(15·scale)/(100·|seeds|) + (85 ·
+    * Σ_{u→v} r(u) div outdeg(u)) div 100, from the uniform-over-seeds
+    * start. The crawl-seed-expansion form: rank mass diffuses outward
+    * from a trusted seed list, so high-PPR unseen nodes are the next
+    * domains worth fetching (and low-PPR high-degree nodes are spam
+    * hubs). Same scale shape and determinism promise as [[pageRank]];
+    * seeds are a driver-side bounded set shipped as a broadcast-joined
+    * literal table. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+                           iterations: Int = 5,
+                           scale: Long = 1000000000000L,
+                           checkpointInterval: Int = 5): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(seeds.nonEmpty, "personalization needs at least one seed")
+    import graft.core.Checkpoints
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (e, _) = Checkpoints.eager(
+      edges.select(col("src"), col("dst")).distinct())
+    val (nodes, _) = Checkpoints.eager(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+    val seedDf = seeds.distinct.toDF("id").withColumn("is_seed", lit(true))
+    val teleport = 15L * scale / (100L * seeds.distinct.size)
+    val start = scale / seeds.distinct.size
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withSeed = nodes.join(broadcast(seedDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    var ranks = withSeed
+      .withColumn("r", when(col("is_seed"), lit(start)).otherwise(lit(0L)))
+      .select("id", "r")
+    var rankIds = Seq.empty[Int]
+    for (i <- 1 to iterations) {
+      val sums = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      val next = withSeed.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
+      if (i % checkpointInterval == 0 && i < iterations) {
+        val (ck, ckIds) = Checkpoints.eager(next)
+        Checkpoints.free(ranks, rankIds)
+        ranks = ck
+        rankIds = ckIds
+      } else {
+        ranks = next
+      }
+    }
+    ranks.select(col("id"), col("r").as("rank_fp"))
+  }
+
   /** EXACT triangle enumeration by degree-ordered orientation (the
     * standard distributed formulation): orient every undirected edge
     * from its lower-(degree, id) endpoint to the higher, enumerate

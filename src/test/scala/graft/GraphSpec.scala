@@ -64,6 +64,28 @@ class GraphSpec extends SparkSpec {
     assert(tri.head.getLong(0) === 1L)
   }
 
+  test("personalizedPageRank: seeds-only teleport; all-seeds == plain PageRank") {
+    val edges = (1L to 50L).map(i => (i, (i * 7) % 50 + 1))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    // with EVERY node seeded, the formula degenerates to plain PageRank
+    val ppr = Graph.personalizedPageRank(edges.toDF("src", "dst"), nodes, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pr = Graph.pageRank(edges.toDF("src", "dst"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ppr == pr)
+  }
+
+  test("personalizedPageRank: mass diffuses outward from the seed") {
+    // chain 1 -> 2 -> 3 -> 4, seed = 1: rank strictly decreases with
+    // distance from the seed, and an unreachable node (10 -> 11 branch)
+    // gets zero
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val r = Graph.personalizedPageRank(edges.toDF("src", "dst"), Seq(1L), 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L))
+    assert(r(10L) == 0L && r(11L) == 0L)
+  }
+
   test("kCore: clique survives, pendants and their cascade peel off") {
     // K5 on {1..5} (every vertex degree 4) + a pendant chain 5-10-11:
     // at k=3 the whole chain (degrees 1 and 2) peels while the clique

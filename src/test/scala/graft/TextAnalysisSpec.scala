@@ -136,4 +136,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad.getAs[Long]("n_lines_kept") == 3L)
     assert(!bad.getAs[Boolean]("doc_kept")) // '{' blocklist
   }
+
+  test("compressionRatios: repetition compresses, prose does not") {
+    val spam = Array.fill(200)("click here now").mkString(" ")
+    val prose = (1 to 120).map(i =>
+      f"entry$i%03x ${(i * 2654435761L).toHexString}").mkString(" ")
+    val df = Seq((1L, spam), (2L, prose), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatios(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 < 0.1, s"pure repetition must compress hard: ${out(1L)}")
+    assert(out(2L)._3 > 3 * out(1L)._3, "diverse text compresses far less")
+    assert(out(1L)._1 == spam.getBytes("UTF-8").length.toLong)
+    assert(out(3L)._1 == 0L && out(3L)._2 > 0L) // deflate header still emitted
+  }
+
+  test("compressionRatios: deterministic across repartitionings") {
+    val df = (1L to 60L).map(i => (i, s"doc $i " * (i % 7 + 1).toInt))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.compressionRatios(df.repartition(7), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.compressionRatios(df.coalesce(1), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
