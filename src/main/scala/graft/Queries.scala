@@ -4947,10 +4947,13 @@ object Queries {
                 "i -> concat_ws('_', element_at(split(text, ' '), i), " +
                 "element_at(split(text, ' '), i + 1), " +
                 "element_at(split(text, ' '), i + 2))) end")).as("g"))
-          .distinct()
-        val bySrc = grams.groupBy("g")
-          .agg(count(lit(1)).as("nsrc"))
-        grams.join(bySrc, "g")
+        // ONE g-keyed aggregation: collect_set dedups map-side and the
+        // per-gram source set is bounded by source cardinality, so the
+        // shuffle ships (gram, partial set) once — no corpus-wide
+        // distinct exchange, no second window/join pass over the grams
+        grams.groupBy("g").agg(collect_set(col("source")).as("srcs"))
+          .select(explode(col("srcs")).as("source"),
+            size(col("srcs")).as("nsrc"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_grams"),
             sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_exclusive"))
