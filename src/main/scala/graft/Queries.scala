@@ -5008,6 +5008,99 @@ object Queries {
            |SELECT id, r AS rank_fp FROM r5""".stripMargin
       }
     )),
+
+    // Code-switching detection: segment every doc into 10-token
+    // windows, language-ID each segment by stopword vote (same
+    // precedence as TextAnalysis.langId), and report per doc the
+    // dominant language, the number of adjacent-segment language
+    // switches, and the minority fraction — the multilingual-corpus
+    // signal that catches documents which flip language mid-stream
+    // (boilerplate wrappers, quoted translations, spam). Docs get
+    // planted 20-token Spanish/German suffixes (es-only / de-only
+    // stopwords, so at least one PURE foreign segment exists at any
+    // window alignment) to make the switches non-trivial; the oracle
+    // replays segmentation, votes, switch counts and tie-breaks.
+    "q_code_switch" -> ((
+      (s: SparkSession, dir: String) => {
+        val esSuf = Seq.fill(5)("el y que los").mkString(" ")
+        val deSuf = Seq.fill(4)("der das und ist von").mkString(" ")
+        val d = Tables.documents(s, dir).withColumn("text",
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(5L)) === 0, lit(" " + esSuf))
+              .when(pmod(col("doc_id"), lit(5L)) === 1, lit(" " + deSuf))
+              .otherwise(lit(""))))
+        val segs = d.select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, cast((size(split(text, ' ')) + 9) div 10 as int) - 1), " +
+                "i -> slice(split(text, ' '), i * 10 + 1, 10))")))
+          .toDF("doc_id", "pos", "seg")
+        def hits(lang: String) =
+          size(filter(col("seg"),
+            w => w.isin(TextAnalysis.stopwords(lang).map(lit): _*))).cast("long")
+        val (en, es, de, fr) = (hits("en"), hits("es"), hits("de"), hits("fr"))
+        val langRows = segs.select(col("doc_id"), col("pos"),
+          when(en > 0 && en >= es && en >= de && en >= fr, lit("en"))
+            .when(es > 0 && es >= de && es >= fr, lit("es"))
+            .when(de > 0 && de >= fr, lit("de"))
+            .when(fr > 0, lit("fr")).otherwise(lit("und")).as("lang"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val perDoc = langRows
+          .withColumn("prev", lag(col("lang"), 1).over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_segments"),
+            sum(when(col("prev").isNotNull && col("lang") =!= col("prev"), 1L)
+              .otherwise(0L)).as("n_switches"))
+        val dom = langRows.groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("c").desc, col("lang").asc)))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("lang").as("dominant_lang"), col("c"))
+        perDoc.join(dom, "doc_id")
+          .select(col("doc_id"), col("n_segments"), col("dominant_lang"),
+            col("n_switches"),
+            round(lit(1.0) - col("c").cast("double") /
+              col("n_segments").cast("double"), 6).as("minority_frac"))
+      },
+      Some {
+        def inList(lang: String) = TextAnalysis.stopwords(lang)
+          .map(x => s"'$x'").mkString(", ")
+        val esSuf = Seq.fill(5)("el y que los").mkString(" ")
+        val deSuf = Seq.fill(4)("der das und ist von").mkString(" ")
+        s"""WITH t AS (SELECT doc_id, text ||
+           |  CASE CAST(doc_id % 5 AS INTEGER)
+           |    WHEN 0 THEN ' $esSuf' WHEN 1 THEN ' $deSuf' ELSE '' END AS text
+           |  FROM documents),
+           |wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM t),
+           |segl AS (SELECT doc_id, pos, list_slice(ws, pos * 10 + 1, pos * 10 + 10) AS seg
+           |  FROM (SELECT doc_id, ws, unnest(range((len(ws) + 9) // 10)) AS pos FROM wt)),
+           |lng AS (SELECT doc_id, pos,
+           |  CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+           |       WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+           |       WHEN de > 0 AND de >= fr THEN 'de'
+           |       WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang
+           |  FROM (SELECT doc_id, pos,
+           |    len([w for w in seg if w IN (${inList("en")})]) AS en,
+           |    len([w for w in seg if w IN (${inList("es")})]) AS es,
+           |    len([w for w in seg if w IN (${inList("de")})]) AS de,
+           |    len([w for w in seg if w IN (${inList("fr")})]) AS fr
+           |  FROM segl)),
+           |swp AS (SELECT doc_id, lang,
+           |  lag(lang) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM lng),
+           |pd AS (SELECT doc_id, count(*) AS n_segments,
+           |  CAST(sum(CASE WHEN prev IS NOT NULL AND lang <> prev THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_switches
+           |  FROM swp GROUP BY 1),
+           |cnt AS (SELECT doc_id, lang, count(*) AS c FROM lng GROUP BY 1, 2),
+           |dom AS (SELECT doc_id, lang AS dominant_lang, c FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY c DESC, lang ASC) AS rn FROM cnt) WHERE rn = 1)
+           |SELECT pd.doc_id, pd.n_segments, dom.dominant_lang, pd.n_switches,
+           |  round(1.0 - CAST(dom.c AS DOUBLE) / CAST(pd.n_segments AS DOUBLE), 6)
+           |    AS minority_frac
+           |FROM pd JOIN dom USING (doc_id)""".stripMargin
+      }
+    )),
   )
 
 

@@ -253,6 +253,36 @@ object Soak {
             pmod(col("id") * 40503L + 17L, lit(20000L)).as("dst")),
           k = 60, rounds = 6)
       },
+      run("ngram_novelty") {
+        // the collect_set plan at 10x: ~10M exploded trigram rows
+        // collapse through ONE g-keyed aggregation with bounded
+        // per-gram source sets — the shuffle ships partial sets, not
+        // the raw gram stream
+        import org.apache.spark.sql.functions._
+        val grams = docs10.select(col("source"),
+          explode(expr(
+            "case when size(split(text, ' ')) < 3 then array() " +
+              "else transform(sequence(1, size(split(text, ' ')) - 2), " +
+              "i -> concat_ws('_', element_at(split(text, ' '), i), " +
+              "element_at(split(text, ' '), i + 1), " +
+              "element_at(split(text, ' '), i + 2))) end")).as("g"))
+        grams.groupBy("g").agg(collect_set(col("source")).as("srcs"))
+          .select(explode(col("srcs")).as("source"),
+            size(col("srcs")).as("nsrc"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+      },
+      run("personalized_pagerank5") {
+        // seed-teleport diffusion over the same 1M-edge graph as the
+        // k-core soak: five integer fixed-point rounds
+        import org.apache.spark.sql.functions._
+        val ids = docs10.sparkSession.range(1000000L)
+        Graph.personalizedPageRank(ids.select(
+            pmod(col("id") * 2654435761L, lit(20000L)).as("src"),
+            pmod(col("id") * 40503L + 17L, lit(20000L)).as("dst")),
+          seeds = (0L until 20L).toSeq, iterations = 5)
+      },
       run("perceptron_train4") {
         // 4 integer-exact training rounds at 10x: each is one
         // map+aggregate corpus pass; driver state is 16 longs/round
