@@ -323,7 +323,8 @@ object TextAnalysis {
     * The one deliberate UDF-shaped operator in this package: no
     * builtin or codegen'd kernel computes DEFLATE, so this runs as a
     * batched `mapPartitions` with ONE reused Deflater per partition
-    * (reset per row, end()ed at exhaustion) — still pure map-side
+    * (reset per row, end()ed by a task-completion listener so early
+    * termination cannot leak it) — still pure map-side
     * scan-stage work, zero shuffle. Deterministic for a fixed JVM's
     * zlib (not cross-engine — no DuckDB oracle; unit-pinned ordering
     * properties instead). */
@@ -334,21 +335,20 @@ object TextAnalysis {
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater()
+        // free the native zlib state when the TASK completes, not when
+        // the iterator is exhausted: a downstream limit/take or
+        // short-circuit may drop the iterator early, and an
+        // exhaustion-hook alone would leak the native buffer until
+        // finalization. end() is idempotent.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         val buf = new Array[Byte](1 << 16)
-        val mapped = it.map { case (id, text) =>
+        it.map { case (id, text) =>
           val in = Option(text).getOrElse("").getBytes("UTF-8")
           d.reset(); d.setInput(in); d.finish()
           var out = 0L
           while (!d.finished()) out += d.deflate(buf)
           (id, in.length.toLong, out)
-        }
-        new Iterator[(Long, Long, Long)] {
-          def hasNext: Boolean = {
-            val h = mapped.hasNext
-            if (!h) d.end() // idempotent; frees native zlib state
-            h
-          }
-          def next(): (Long, Long, Long) = mapped.next()
         }
       }
       .toDF(idCol, "n_bytes", "n_compressed")

@@ -292,8 +292,12 @@ object Multimodal {
     * Graphics2D scale — so the hash is bit-deterministic across JVMs
     * and platforms, the same determinism discipline as the text
     * SimHash. Undecodable/non-image input → None (loud at the caller,
-    * never a silent constant hash). */
-  def dHash64(content: Array[Byte]): Option[Long] = {
+    * never a silent constant hash) — including CORRUPT data of a
+    * recognized format: ImageIO.read returns null only for formats it
+    * does not recognize but THROWS (IIOException) on a truncated PNG,
+    * so the decode is wrapped like [[audioFingerprint64]]'s — one bad
+    * blob must not fail a whole fingerprint job. */
+  def dHash64(content: Array[Byte]): Option[Long] = try {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     if (img == null) None
     else {
@@ -333,7 +337,7 @@ object Multimodal {
       }
       Some(bits)
     }
-  }
+  } catch { case _: Exception => None }
 
   /** Batched dHash extraction for image blobs → (media_id, dhash).
     * Non-image/undecodable blobs are dropped HERE, at the explicit

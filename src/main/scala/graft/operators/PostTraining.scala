@@ -79,12 +79,14 @@ object PostTraining {
     * under the total order (score, id) so ties are engine-independent.
     * Prompts with a single candidate produce no pair (chosen ==
     * rejected is filtered). Returns (prompt, chosen_id, rejected_id,
-    * chosen_score, rejected_score, margin).
+    * margin).
     *
     * Both row_number windows partition by the SAME prompt key, so
     * Catalyst plans ONE exchange and two in-partition sorts — the
-    * whole mine is a single shuffle of the candidate table, never a
-    * self-join of it. */
+    * CANDIDATE TABLE is never self-joined. The final pairing IS still
+    * a join, but of the two 1-row-per-prompt extreme branches (chosen
+    * ⋈ rejected on the prompt key) — |prompts|-sized sides, not
+    * candidate-sized. */
   def dpoPairs(cands: DataFrame, promptCol: String, idCol: String,
       scoreCol: String): DataFrame = {
     val best = Window.partitionBy(col(promptCol))

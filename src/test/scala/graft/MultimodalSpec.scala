@@ -274,6 +274,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash64(Array[Byte](1, 2, 3)).isEmpty, "garbage -> None")
   }
 
+  test("dHash64: TRUNCATED data of a recognized format is None, not an exception") {
+    // a real PNG cut mid-stream: ImageIO recognizes the signature and
+    // THROWS from the decoder (it returns null only for unrecognized
+    // formats) — the undecodable->None contract must cover this too,
+    // or one corrupt blob fails a whole fingerprint job
+    val whole = gradientPng(64, 48)
+    for (frac <- Seq(2, 3, 8)) {
+      val cut = java.util.Arrays.copyOf(whole, whole.length / frac)
+      assert(Multimodal.dHash64(cut).isEmpty, s"truncated 1/$frac -> None")
+    }
+  }
+
   test("dHash64: small local edits stay within a few bits") {
     val base = Multimodal.dHash64(gradientPng(64, 48)).get
     // brighten one 4x4 patch: at most the cells touching the patch move
