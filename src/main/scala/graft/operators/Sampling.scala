@@ -189,6 +189,31 @@ object Sampling {
       .drop(sortCols.indices.map(i => s"__s$i") :+ "__pid" :+ "__li" :+ "__off": _*)
   }
 
+  /** Per-GROUP 1-based positions under `sortCols` order — the
+    * `row_number() OVER (PARTITION BY groupCols ORDER BY sortCols)`
+    * result WITHOUT a window over the group key, for BOUNDED-
+    * CARDINALITY groups (length rungs, curriculum phases, shard
+    * labels): a window would sort each group's ENTIRE population in
+    * one task — six rungs means six tasks no matter the cluster size —
+    * while here the global rank comes from [[orderedPositions]]'s
+    * range exchange on (group, sort), so every partition sorts only
+    * its range slice, and the per-group position is recovered by
+    * subtracting the group's minimum global rank (a |groups|-row
+    * aggregate, broadcast back). `sortCols` must totalize order within
+    * a group (append the row key last). Output positions are LONG
+    * (ranks can exceed Int at corpus scale). */
+  def groupedPositions(df: DataFrame, groupCols: Seq[String],
+                       sortCols: Seq[Column], posName: String,
+                       numPartitions: Int = 0): DataFrame = {
+    val withPos = orderedPositions(df, groupCols.map(col) ++ sortCols,
+      "__gpos", numPartitions)
+    val firsts = withPos.groupBy(groupCols.map(col): _*)
+      .agg(min(col("__gpos")).as("__gmin"))
+    withPos.join(broadcast(firsts), groupCols)
+      .withColumn(posName, col("__gpos") - col("__gmin") + 1)
+      .drop("__gpos", "__gmin")
+  }
+
   /** Deterministic stratified sampling: exactly min(perStratum, |stratum|)
     * rows from every stratum, chosen by md5 order of the key — a
     * class-balanced subset that is stable across runs, partitionings

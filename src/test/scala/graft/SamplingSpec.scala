@@ -36,6 +36,31 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("groupedPositions: equals the per-group row_number window formulation") {
+    // 3 groups of very different sizes over a key order that interleaves
+    // the groups — the six-rung length-bucket regime in miniature
+    val df = (1L to 300L).map(k => (k, (k % 7 min 2).toString)).toDF("k", "g")
+    val got = Sampling.groupedPositions(df, Seq("g"), Seq(col("k")), "rn",
+        numPartitions = 5)
+      .select("g", "k", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = df.withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy("k")).cast("long"))
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("groupedPositions: positions are a bijection onto [1, |group|] per group") {
+    val df = (1L to 100L).map(k => (k, (k % 3).toString)).toDF("k", "g")
+    val out = Sampling.groupedPositions(df, Seq("g"), Seq(col("k")), "rn",
+        numPartitions = 16)
+      .select("g", "rn").collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    out.foreach { case (g, pos) =>
+      assert(pos == (1L to pos.size), s"group $g positions not 1..n: $pos")
+    }
+  }
+
   test("mixtureWeights: shares sum to 1, uniform target weight is total/(G*n)") {
     // groups of 1, 3 and 4 units → total 8, G = 3
     val df = Seq(("a", 1L), ("b", 3L), ("c", 4L)).toDF("g", "units")
