@@ -143,7 +143,9 @@ object Bpe {
     * mechanism, every symbol the encoder can emit over the training
     * corpus is in the vocab: OOV on the training corpus is impossible
     * by construction (frozen-vocab encode of NEW text still surfaces
-    * unseen code points as NULL ids — loud, never silent).
+    * unseen code points as NULL ids — loud, never silent;
+    * [[encodeFallback]] closes even that hole with GPT-2-style byte
+    * ids).
     *
     * The alphabet scan explodes per-doc DISTINCT characters (bounded
     * by charset size per doc, never corpus length), and the result is
@@ -220,6 +222,49 @@ object Bpe {
         filter(split(col(textCol), " "), w => length(w) > 0),
         wordIds(_))).as("bpe_ids"))
       .withColumn("n_bpe", size(col("bpe_ids")).cast("long"))
+  }
+
+  /** [[encode]] with GPT-2-style BYTE FALLBACK: a symbol absent from
+    * the vocab encodes as its UTF-8 bytes, one id per byte, in the
+    * reserved id range `[base, base + 256)` where
+    * `base = max(vocab id) + 1` — so OOV is impossible BY CONSTRUCTION
+    * on ANY input, not just the training corpus. The paths that encode
+    * HELD-OUT text (decontamination probes, eval sets, SFT data the
+    * tokenizer never trained on) hit exactly this: plain [[encode]]
+    * surfaces their unseen code points as NULL ids (loud), this
+    * variant degrades them to byte ids instead (usable). In-vocab
+    * symbols take the identical id as [[encode]], so on the training
+    * corpus the two functions agree id-for-id.
+    *
+    * Still a zero-shuffle codegen'd map pass, and still portable SQL:
+    * the byte expansion is `hex(encode(sym, 'utf-8'))` cut into
+    * 2-char byte pairs — builtins on both engines, so the oracle
+    * replays fallback ids bit-for-bit. */
+  def encodeFallback(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], vocab: Seq[(String, Long)]): DataFrame = {
+    val vmap = typedLit(vocab.toMap)
+    val base = vocab.map(_._2).max + 1
+    def symIds(t: org.apache.spark.sql.Column) = {
+      val utf8 = org.apache.spark.sql.functions.encode(t, "UTF-8")
+      val h = hex(utf8)
+      val byteIds = transform(sequence(lit(1), length(utf8)),
+        i => lit(base) + conv(h.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
+      when(element_at(vmap, t).isNotNull, array(element_at(vmap, t)))
+        .otherwise(byteIds)
+    }
+    def wordIds(w: org.apache.spark.sql.Column) = {
+      val sym = merges.foldLeft(trim(regexp_replace(w, "(.)", "$1 "))) {
+        case (c, (pair, merged)) => replace(c, lit(pair), lit(merged))
+      }
+      flatten(transform(split(sym, " "), symIds(_)))
+    }
+    docs.select(col(idCol),
+      flatten(transform(
+        filter(split(col(textCol), " "), w => length(w) > 0),
+        wordIds(_))).as("bpe_ids"))
+      .withColumn("n_bpe", size(col("bpe_ids")).cast("long"))
+      .withColumn("n_fallback",
+        size(filter(col("bpe_ids"), id => id >= base)).cast("long"))
   }
 
   /** Persist a trained tokenizer (ordered merge list + vocab) as two

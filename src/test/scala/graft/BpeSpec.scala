@@ -124,6 +124,34 @@ class BpeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"encode must be a map pass:\n$p")
   }
 
+  test("encodeFallback: byte ids for unseen code points, exact agreement in-vocab, zero-shuffle") {
+    val train = Seq((1L, "aa ab ba")).toDF("doc_id", "text")
+    val merges = Seq(("a a", "aa"), ("a b", "ab"))
+    val vocab = Bpe.vocab(train, "text", merges) // a=0 b=1 aa=2 ab=3
+    val base = vocab.map(_._2).max + 1 // 4
+    // in-vocab text: identical ids to plain encode, n_fallback = 0
+    val same = Bpe.encodeFallback(train, "text", "doc_id", merges, vocab)
+      .collect().map(r => (r.getSeq[Any](1), r.getLong(2), r.getLong(3))).head
+    assert(same._1 == Seq(2L, 3L, 1L, 0L) && same._2 == 4L && same._3 == 0L)
+    // held-out text: 'z' (0x7A), 'ü' (0xC3 0xBC), '🚀' (0xF0 0x9F 0x9A
+    // 0x80) are unseen -> UTF-8 byte ids in [base, base+256); 'a' stays
+    // vocab id 0. No NULLs anywhere — OOV impossible by construction.
+    val hold = Seq((9L, "a zü🚀")).toDF("doc_id", "text")
+    val out = Bpe.encodeFallback(hold, "text", "doc_id", merges, vocab)
+    val r = out.collect().head
+    assert(r.getSeq[Any](1) == Seq(0L,
+      base + 0x7AL, base + 0xC3L, base + 0xBCL,
+      base + 0xF0L, base + 0x9FL, base + 0x9AL, base + 0x80L))
+    assert(r.getLong(2) == 8L && r.getLong(3) == 7L)
+    // plain encode on the same text surfaces NULLs instead
+    val plain = Bpe.encode(hold, "text", "doc_id", merges, vocab)
+      .collect().head.getSeq[Any](1)
+    assert(plain.count(_ == null) == 3) // z, ü, 🚀 symbols
+    val p = out.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), s"fallback encode must be a map pass:\n$p")
+  }
+
   test("save/load round-trip: reloaded tokenizer encodes identically") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
       .limit(50)
