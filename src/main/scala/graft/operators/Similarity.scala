@@ -93,8 +93,9 @@ object Similarity {
     * (src_id, match_id, score, margin, mutual).
     *
     * Built on [[bruteForceTopK]] both directions — the exact-scoring
-    * baseline; swap in [[lshTopK]]/[[ivfTopK]] candidates for
-    * billion-pair mining, the margin/mutual algebra is unchanged.
+    * baseline; [[bitextMarginPairsAnn]] is the billion-pair
+    * composition (banded LSH candidates, identical margin/mutual
+    * algebra, oracle-checked).
     * Forward and backward scores are the SAME IEEE doubles
     * (elementwise multiply commutes exactly), so the mutual check
     * never disagrees with the forward ranking. */
@@ -107,6 +108,68 @@ object Similarity {
     val f2 = fwd.filter(col("rank") === 2)
       .select(col("query_id").as("src_id"), col("score").as("score2"))
     val bwd = bruteForceTopK(src, tgt, idCol, embCol, k = 1)
+      .select(col("query_id").as("match_id"), col("neighbor_id").as("back_id"))
+    f1.join(f2, "src_id")
+      .withColumn("margin", round(col("score") / col("score2"), 6))
+      .join(bwd, "match_id")
+      .withColumn("mutual", col("back_id") === col("src_id"))
+      .select(col("src_id"), col("match_id"), col("score"),
+        col("margin"), col("mutual"))
+  }
+
+  /** ANN-candidate bitext mining — the billion-pair composition
+    * [[bitextMarginPairs]]'s scaladoc names, made concrete: in bitext
+    * BOTH sides are corpora, so the brute path's corpus-sized
+    * broadcast is disqualified by definition. Candidates instead come
+    * from `tables` independent hyperplane LSH tables computed on EACH
+    * side (the [[lshCosinePairs]] banding, cross-corpus): the
+    * (tbl, bucket) equi-join ships only ids + buckets, embeddings
+    * rejoin by id for EXACT scoring, and the margin/mutual algebra is
+    * unchanged — top-2-per-src ratio margin, top-1-per-tgt mutual
+    * check, both via the bounded-heap [[graft.plans.TopKPairs]]
+    * aggregate — just restricted to the candidate set. Because the
+    * re-rank is exact, the scored output is deterministic and
+    * oracle-checkable; approximation only affects WHICH pairs are
+    * scored (recall vs brute pinned in SimilaritySpec).
+    *
+    * Src rows with fewer than 2 scored candidates drop out (the ratio
+    * margin needs a second-best — the same |tgt| >= 2 requirement the
+    * brute path states, now per candidate neighborhood). `mutual` is
+    * likewise candidate-restricted: tgt's best SCORED src. Tune
+    * planesPerTable down / tables up for recall; `maxBucketSize` is
+    * the standard mega-bucket skew guard. */
+  def bitextMarginPairsAnn(src: DataFrame, tgt: DataFrame,
+                           idCol: String, embCol: String, dims: Int,
+                           planesPerTable: Int = 4, tables: Int = 4,
+                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val ps = prepared(src, idCol, embCol)
+    val pt = prepared(tgt, idCol, embCol)
+    def banded(p: DataFrame) = {
+      val b0 = p.select(col("id"), explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshBucket(col("emb"), dims, planesPerTable, t * planesPerTable)
+            .as("bucket"))
+      }: _*)).as("b"))
+        .select(col("id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      Dedup.capBuckets(b0, Seq("tbl", "bucket"), maxBucketSize)
+    }
+    val cands = banded(ps).toDF("src_id", "tbl", "bucket")
+      .join(banded(pt).toDF("tgt_id", "tbl", "bucket"), Seq("tbl", "bucket"))
+      .select("src_id", "tgt_id").distinct()
+    val scored = cands
+      .join(ps.toDF("src_id", "s_emb", "s_n2"), "src_id")
+      .join(pt.toDF("tgt_id", "t_emb", "t_n2"), "tgt_id")
+      .withColumn("score",
+        dot(col("s_emb"), col("t_emb")) / sqrt(col("s_n2") * col("t_n2")))
+    val fwd = topKOutput(scored.select(col("src_id").as("query_id"),
+      col("tgt_id").as("id"), col("score")), 2)
+    val f1 = fwd.filter(col("rank") === 1)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("match_id"), col("score"))
+    val f2 = fwd.filter(col("rank") === 2)
+      .select(col("query_id").as("src_id"), col("score").as("score2"))
+    val bwd = topKOutput(scored.select(col("tgt_id").as("query_id"),
+      col("src_id").as("id"), col("score")), 1)
       .select(col("query_id").as("match_id"), col("neighbor_id").as("back_id"))
     f1.join(f2, "src_id")
       .withColumn("margin", round(col("score") / col("score2"), 6))
