@@ -573,4 +573,47 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  /** Driver-gate replay harness for [[retentionStream]] (the
+    * [[replayPassageDedup]] scheme): a bounded user slice's events are
+    * replayed through the REAL streaming operator in ascending
+    * (ts, user_id) order — per-user arrival is then time-ordered, the
+    * regime where the streaming cohort/offset emissions equal the
+    * batch [[graft.operators.Timeseries.retentionCohorts]] ACTIVITY
+    * rows exactly (each user's first event anchors the cohort; no
+    * re-anchoring path fires), so the emission stream itself is
+    * SQL-oracle-checkable — a finer gate than the aggregated
+    * triangle, and the streaming family's third direct CORRECTNESS
+    * row. The collect is the REPLAY HARNESS, not the operator
+    * (production state posture is argued at [[retentionStream]]);
+    * `maxUsers` bounds the gate's cost independent of fixture SF. */
+  def replayRetention(events: DataFrame, entityCol: String, tsCol: String,
+                      maxUsers: Long = 200): DataFrame = {
+    val spark = events.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = events
+      .select(col(entityCol).cast("long"), col(tsCol).cast("timestamp"))
+      .filter(col(entityCol) < maxUsers)
+      .as[(Long, Timestamp)].collect()
+      .sortBy { case (u, ts) => (ts.getTime, u) }
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[RetEvent]
+    val sinkName = "graft_replay_retention"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = retentionStream(input.toDS(), watermarkDelay = "3650 days")
+      .toDF()
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try rows.grouped(256).foreach { chunk =>
+      input.addData(chunk.map { case (u, ts) => RetEvent(u, ts) })
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(sinkName)
+  }
 }
