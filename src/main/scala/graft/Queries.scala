@@ -54,9 +54,16 @@ object Queries {
     * `preCtes` + `src` let a caller interpose a derived corpus CTE
     * (e.g. q_bpe_encode's planted non-ASCII suffixes) as the table
     * the pipeline reads — DuckDB forbids a CTE shadowing a base
-    * table, so the derived corpus needs its own name. */
+    * table, so the derived corpus needs its own name. `encSrc` (when
+    * non-empty) decouples the ENCODED table from the TRAINING corpus
+    * — the held-out-text regime; `fallback` switches the encode to
+    * [[operators.Bpe.encodeFallback]]'s byte-level base (absent
+    * symbols expand to `max(vocab id) + 1 + utf8_byte` ids via the
+    * same hex-pair arithmetic). */
   private def bpeEncodeOracleCtes(preCtes: String = "",
-      src: String = "documents"): String = {
+      src: String = "documents", encSrc: String = "",
+      fallback: Boolean = false): String = {
+    val encFrom = if (encSrc.isEmpty) src else encSrc
     def round(i: Int) =
       s"""p$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) c FROM (
          |  SELECT cnt, unnest([ss[i] || ' ' || ss[i+1] for i in range(1, len(ss))]) AS pair
@@ -82,13 +89,27 @@ object Queries {
        |vm AS (SELECT map(list(tok ORDER BY id), list(id ORDER BY id)) m FROM vocab),
        |mm AS (SELECT m1.pair pr1, m1.merged mg1, m2.pair pr2, m2.merged mg2,
        |              m3.pair pr3, m3.merged mg3 FROM m1, m2, m3),
-       |encw AS (SELECT doc_id, [
-       |    [element_at(m, t)[1] for t in string_split(
-       |       replace(replace(replace(trim(regexp_replace(w, '(.)', '\\1 ', 'g')),
-       |         pr1, mg1), pr2, mg2), pr3, mg3), ' ')]
-       |    for w in [x for x in string_split(text, ' ') if x <> '']] AS bpe_words
-       |  FROM $src, vm, mm),
-       |enc AS (SELECT doc_id, flatten(bpe_words) AS bpe_ids FROM encw)""".stripMargin
+       |${if (!fallback)
+        s"""encw AS (SELECT doc_id, [
+           |    [element_at(m, t)[1] for t in string_split(
+           |       replace(replace(replace(trim(regexp_replace(w, '(.)', '\\1 ', 'g')),
+           |         pr1, mg1), pr2, mg2), pr3, mg3), ' ')]
+           |    for w in [x for x in string_split(text, ' ') if x <> '']] AS bpe_words
+           |  FROM $encFrom, vm, mm),
+           |enc AS (SELECT doc_id, flatten(bpe_words) AS bpe_ids FROM encw)""".stripMargin
+      else
+        s"""vs AS (SELECT max(id) + 1 AS v FROM vocab),
+           |encw AS (SELECT doc_id, [
+           |    [CASE WHEN element_at(m, t)[1] IS NOT NULL THEN [element_at(m, t)[1]]
+           |          ELSE [v + CAST('0x' || substr(hex(encode(t)), 2*i-1, 2) AS BIGINT)
+           |                for i in range(1, octet_length(encode(t)) + 1)] END
+           |     for t in string_split(
+           |       replace(replace(replace(trim(regexp_replace(w, '(.)', '\\1 ', 'g')),
+           |         pr1, mg1), pr2, mg2), pr3, mg3), ' ')]
+           |    for w in [x for x in string_split(text, ' ') if x <> '']] AS bpe_words
+           |  FROM $encFrom, vm, mm, vs),
+           |enc AS (SELECT doc_id, flatten(flatten(bpe_words)) AS bpe_ids FROM encw)""".stripMargin
+      }""".stripMargin
   }
 
   /** The old zero-arg form, for the callers that read the base corpus. */
@@ -189,6 +210,180 @@ object Queries {
        |  list_sum([x.emb[i+1] * y.emb[i+1] for i in range(len(x.emb))]) / sqrt(x.n2 * y.n2) score
        |  FROM c JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b)
        |SELECT id_a, id_b, round(score, 6) AS score FROM s WHERE score >= $threshold""".stripMargin
+  }
+
+  /** Lexical leg of the RRF-fusion queries: BM25 (k1=1.2, b=0.75) for
+    * 4 fixed 2-term queries over `documents`, top-20 per query under
+    * the (bm25 desc, doc_id) total order. Shared by q_rrf_fusion and
+    * q_rrf_fusion_ann so both fuse the IDENTICAL lexical ranking. */
+  private def rrfLexLeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq((0L, "spark"), (0L, "join"), (1L, "merge"), (1L, "table"),
+      (2L, "stream"), (2L, "window"), (3L, "vector"), (3L, "scan"))
+      .toDF("query_id", "t")
+    val docs = Tables.documents(s, dir)
+    val ws = split(col("text"), " ")
+    val tok = docs.select(col("doc_id"),
+      size(ws).cast("long").as("dl"), explode(ws).as("t"))
+    val tf = tok.join(broadcast(terms), "t")
+      .groupBy("query_id", "doc_id", "t")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("query_id", "t")))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(split(col("text"), " ")).cast("long")).as("sumdl"))
+    val bm = tf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sumdl").cast("double") / col("n").cast("double"))
+      .withColumn("idf", log(
+        (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+    bm.withColumn("rank_lex", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
+      .filter(col("rank_lex") <= 20).select("query_id", "doc_id", "rank_lex")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al.): full-outer join of the
+    * two rankings on (query, doc), rrf = Σ 1/(60 + rank), top-10 per
+    * query under the (rrf desc, doc_id) total order. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame =
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("rank_lex").cast("double") + lit(60.0)), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rank_vec").cast("double") + lit(60.0)), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))))
+      .filter(col("fused_rank") <= 10)
+      .select(col("query_id"), col("fused_rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"),
+        coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+        coalesce(col("rank_vec"), lit(0)).as("rank_vec"))
+
+  /** DuckDB twin of [[rrfLexLeg]]: the BM25 CTE chain ending in
+    * `lex(query_id, doc_id, rank_lex)`. No leading WITH / trailing
+    * comma — composed by both RRF oracles. */
+  private val RrfLexCtesSql: String =
+    """qt(query_id, t) AS (SELECT * FROM (VALUES
+      |  (0, 'spark'), (0, 'join'), (1, 'merge'), (1, 'table'),
+      |  (2, 'stream'), (2, 'window'), (3, 'vector'), (3, 'scan')) v(q, t)),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+      |ft AS (SELECT qt.query_id, tok.doc_id, tok.t FROM tok JOIN qt USING (t)),
+      |tf AS (SELECT query_id, doc_id, t, count(*) AS tf FROM ft GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT query_id, t, count(DISTINCT doc_id) AS df FROM ft GROUP BY 1, 2),
+      |stats AS (SELECT count(*) AS n,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sumdl FROM documents),
+      |bm AS (SELECT tf.query_id, tf.doc_id,
+      |  round(sum(
+      |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+      |    * (CAST(tf AS DOUBLE) * 2.2)
+      |    / (CAST(tf AS DOUBLE)
+      |       + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+      |  ), 6) AS bm25
+      |  FROM tf JOIN dfreq USING (query_id, t) JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats GROUP BY 1, 2),
+      |lex AS (SELECT query_id, doc_id, rank_lex FROM (
+      |  SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+      |  FROM bm) WHERE rank_lex <= 20)""".stripMargin
+
+  /** DuckDB twin of [[rrfFuse]]: full-outer fusion of `lex` and `vec`
+    * + the final top-10 select. Appended after the vec CTE chain. */
+  private val RrfFuseSelectSql: String =
+    """,fu AS (SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+      |  COALESCE(lex.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
+      |  COALESCE(1.0 / (CAST(rank_lex AS DOUBLE) + 60.0), 0.0)
+      |    + COALESCE(1.0 / (CAST(rank_vec AS DOUBLE) + 60.0), 0.0) AS rrf
+      |  FROM lex FULL OUTER JOIN vec
+      |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(fused_rank AS INTEGER) AS fused_rank, doc_id,
+      |  round(rrf, 6) AS rrf,
+      |  CAST(COALESCE(rank_lex, 0) AS INTEGER) AS rank_lex,
+      |  CAST(COALESCE(rank_vec, 0) AS INTEGER) AS rank_vec
+      |FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+      |  FROM fu)
+      |WHERE fused_rank <= 10""".stripMargin
+
+  /** The [[lshOracleSql]] CTE chain re-targeted at composition: ends
+    * in `vec(query_id, doc_id, rank_vec)` (top-`k` multi-probe LSH
+    * cosine ranking for query vectors vec_id < 4), no leading WITH —
+    * the ANN vector leg of the fused-retrieval oracle. */
+  private def lshVecCtesSql(dims: Int, planes: Int, k: Int): String = {
+    val planeRows = (0 until planes).map { p =>
+      val vs = (0 until dims).map(d => Similarity.planeComponent(p, d)).mkString(", ")
+      s"($p, [$vs])"
+    }.mkString(",\n")
+    s"""pl(p, v) AS (SELECT * FROM (VALUES
+       |$planeRows
+       |) t(p, v)),
+       |pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+       |pn AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM pe),
+       |bk AS (SELECT pn.vec_id,
+       |  CAST(sum(CASE WHEN list_sum([pn.emb[i+1] * pl.v[i+1] for i in range(len(pn.emb))]) >= 0
+       |    THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pn, pl GROUP BY pn.vec_id),
+       |pc AS (SELECT pn.vec_id, emb, n2, bucket FROM pn JOIN bk USING (vec_id)),
+       |pq AS (SELECT vec_id AS query_id, emb AS q_emb, n2 AS q_n2,
+       |  unnest(list_prepend(bucket,
+       |    [xor(bucket, CAST(1 AS BIGINT) << CAST(pp AS INTEGER)) for pp in range($planes)])) AS bucket
+       |  FROM pc WHERE vec_id < 4),
+       |ps AS (SELECT DISTINCT pq.query_id, pc.vec_id AS neighbor_id,
+       |  list_sum([pc.emb[i+1] * pq.q_emb[i+1] for i in range(len(pc.emb))]) / sqrt(pc.n2 * pq.q_n2) AS score
+       |  FROM pc JOIN pq ON pc.bucket = pq.bucket AND pc.vec_id != pq.query_id),
+       |vec AS (SELECT query_id, neighbor_id AS doc_id, CAST(rn AS INTEGER) AS rank_vec FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) rn
+       |  FROM ps) WHERE rn <= $k)""".stripMargin
+  }
+
+  /** Literal-hyperplane oracle for [[Similarity.bitextMarginPairsAnn]]:
+    * per-side banding over `tables` disjoint plane ranges, the
+    * cross-corpus (tbl, bucket) candidate join, exact cosine on
+    * candidates, then the SAME margin/mutual windows as the brute
+    * bitext oracle — restricted to the candidate set. */
+  private def bitextAnnOracleSql(dims: Int, ppt: Int, tables: Int): String = {
+    val planeRows = (0 until ppt * tables).map { p =>
+      val vs = (0 until dims).map(d => Similarity.planeComponent(p, d)).mkString(", ")
+      s"($p, [$vs])"
+    }.mkString(",\n")
+    s"""WITH pl(p, v) AS (SELECT * FROM (VALUES
+       |$planeRows
+       |) t(p, v)),
+       |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+       |n AS (SELECT vec_id, label, emb, list_sum([x*x for x in emb]) n2 FROM e),
+       |a AS (SELECT * FROM n WHERE label < 5),
+       |b AS (SELECT * FROM n WHERE label >= 5),
+       |bka AS (SELECT a.vec_id, pl.p // $ppt AS tbl,
+       |  CAST(sum(CASE WHEN list_sum([a.emb[i+1] * pl.v[i+1] for i in range(len(a.emb))]) >= 0
+       |    THEN (CAST(1 AS BIGINT) << (pl.p % $ppt)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM a, pl GROUP BY 1, 2),
+       |bkb AS (SELECT b.vec_id, pl.p // $ppt AS tbl,
+       |  CAST(sum(CASE WHEN list_sum([b.emb[i+1] * pl.v[i+1] for i in range(len(b.emb))]) >= 0
+       |    THEN (CAST(1 AS BIGINT) << (pl.p % $ppt)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM b, pl GROUP BY 1, 2),
+       |c AS (SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS tgt_id FROM bka x
+       |  JOIN bkb y ON x.tbl = y.tbl AND x.bucket = y.bucket),
+       |fs AS (SELECT c.src_id, c.tgt_id,
+       |  list_sum([sa.emb[i+1] * tb.emb[i+1] for i in range(len(sa.emb))]) / sqrt(sa.n2 * tb.n2) AS score
+       |  FROM c JOIN a sa ON sa.vec_id = c.src_id JOIN b tb ON tb.vec_id = c.tgt_id),
+       |fr AS (SELECT src_id, tgt_id, score,
+       |  row_number() OVER (PARTITION BY src_id ORDER BY score DESC, tgt_id ASC) AS rn FROM fs),
+       |br AS (SELECT tgt_id, src_id,
+       |  row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, src_id ASC) AS rn FROM fs),
+       |bb AS (SELECT tgt_id AS match_id, src_id AS back_id FROM br WHERE rn = 1),
+       |f1 AS (SELECT src_id, tgt_id AS match_id, round(score, 6) AS score
+       |  FROM fr WHERE rn = 1),
+       |f2 AS (SELECT src_id, round(score, 6) AS score2 FROM fr WHERE rn = 2)
+       |SELECT f1.src_id, f1.match_id, f1.score,
+       |  round(f1.score / f2.score2, 6) AS margin,
+       |  (bb.back_id = f1.src_id) AS mutual
+       |FROM f1 JOIN f2 USING (src_id) JOIN bb USING (match_id)""".stripMargin
   }
 
   /** The embeddings table with a planted near-dup cohort: every
@@ -4079,6 +4274,48 @@ object Queries {
           |FROM enc""".stripMargin)
     )),
 
+    // HELD-OUT text through the frozen tokenizer with GPT-2-style BYTE
+    // FALLBACK: train on the base corpus (24-letter alphabet), then
+    // encode docs carrying a suffix of code points the tokenizer NEVER
+    // saw (z, ü, digits, °, an astral emoji, x — none are in the
+    // fixture charset). Plain encode would emit NULL ids for every one
+    // of them; encodeFallback expands each unseen symbol to its UTF-8
+    // bytes in the reserved id range [max vocab id + 1, +256). The
+    // oracle replays the byte arithmetic via hex pairs, so the full id
+    // sequence — in-vocab ids AND fallback bytes — is hash-exact, with
+    // n_oov pinned 0 BY CONSTRUCTION and n_fallback pinned to the
+    // suffix's exact UTF-8 byte count. This is the decontamination/
+    // eval-set regime: the paths that encode text the tokenizer never
+    // trained on.
+    "q_bpe_holdout" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = operators.Bpe.vocab(d, "text", merges)
+        val hold = d.filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" zürich 99° 🚀x")).as("text"))
+        operators.Bpe.encodeFallback(hold, "text", "doc_id", merges, vocab)
+          .select(col("doc_id"),
+            array_join(col("bpe_ids"), ",").as("bpe_ids_csv"),
+            col("n_bpe"),
+            size(filter(col("bpe_ids"), _.isNull)).cast("long").as("n_oov"),
+            col("n_fallback"))
+      },
+      Some(bpeEncodeOracleCtes(preCtes =
+        """holdout AS (SELECT doc_id, text || ' zürich 99° 🚀x' AS text
+          |  FROM documents WHERE doc_id < 40),
+          |""".stripMargin,
+        src = "documents", encSrc = "holdout", fallback = true) + "\n" +
+        """SELECT doc_id, array_to_string(bpe_ids, ',') AS bpe_ids_csv,
+          |  CAST(len(bpe_ids) AS BIGINT) AS n_bpe,
+          |  CAST(len([x for x in bpe_ids if x IS NULL]) AS BIGINT) AS n_oov,
+          |  CAST(len([x for x in bpe_ids if x >= v]) AS BIGINT) AS n_fallback
+          |FROM enc, vs""".stripMargin)
+    )),
+
     // Sequence packing over REAL BPE token ids: encode → sharded
     // contiguous-fill context windows over n_bpe → slice each window's
     // actual id segment out of the doc's array (the bpe_ids array
@@ -4469,98 +4706,49 @@ object Queries {
     // hash-matches.
     "q_rrf_fusion" -> ((
       (s: SparkSession, dir: String) => {
-        import s.implicits._
-        val terms = Seq((0L, "spark"), (0L, "join"), (1L, "merge"), (1L, "table"),
-          (2L, "stream"), (2L, "window"), (3L, "vector"), (3L, "scan"))
-          .toDF("query_id", "t")
-        val docs = Tables.documents(s, dir)
-        val ws = split(col("text"), " ")
-        val tok = docs.select(col("doc_id"),
-          size(ws).cast("long").as("dl"), explode(ws).as("t"))
-        val tf = tok.join(broadcast(terms), "t")
-          .groupBy("query_id", "doc_id", "t")
-          .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-          .withColumn("df", count(lit(1)).over(Window.partitionBy("query_id", "t")))
-        val stats = docs.agg(count(lit(1)).as("n"),
-          sum(size(split(col("text"), " ")).cast("long")).as("sumdl"))
-        val bm = tf.crossJoin(broadcast(stats))
-          .withColumn("avgdl", col("sumdl").cast("double") / col("n").cast("double"))
-          .withColumn("idf", log(
-            (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
-              (col("df").cast("double") + lit(0.5)) + lit(1.0)))
-          .withColumn("contrib",
-            col("idf") * (col("tf").cast("double") * lit(2.2)) /
-              (col("tf").cast("double") +
-                lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
-          .groupBy("query_id", "doc_id")
-          .agg(round(sum(col("contrib")), 6).as("bm25"))
-        val lex = bm.withColumn("rank_lex", row_number().over(
-            Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
-          .filter(col("rank_lex") <= 20).select("query_id", "doc_id", "rank_lex")
         val emb = Tables.embeddings(s, dir)
         val vec = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 4),
             "vec_id", "embedding", k = 20)
           .select(col("query_id"), col("neighbor_id").as("doc_id"),
             col("rank").as("rank_vec"))
-        lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
-          .withColumn("rrf",
-            coalesce(lit(1.0) / (col("rank_lex").cast("double") + lit(60.0)), lit(0.0)) +
-              coalesce(lit(1.0) / (col("rank_vec").cast("double") + lit(60.0)), lit(0.0)))
-          .withColumn("fused_rank", row_number().over(
-            Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))))
-          .filter(col("fused_rank") <= 10)
-          .select(col("query_id"), col("fused_rank"), col("doc_id"),
-            round(col("rrf"), 6).as("rrf"),
-            coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
-            coalesce(col("rank_vec"), lit(0)).as("rank_vec"))
+        rrfFuse(rrfLexLeg(s, dir), vec)
       },
-      Some("""WITH qt(query_id, t) AS (SELECT * FROM (VALUES
-             |  (0, 'spark'), (0, 'join'), (1, 'merge'), (1, 'table'),
-             |  (2, 'stream'), (2, 'window'), (3, 'vector'), (3, 'scan')) v(q, t)),
-             |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-             |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-             |ft AS (SELECT qt.query_id, tok.doc_id, tok.t FROM tok JOIN qt USING (t)),
-             |tf AS (SELECT query_id, doc_id, t, count(*) AS tf FROM ft GROUP BY 1, 2, 3),
-             |dfreq AS (SELECT query_id, t, count(DISTINCT doc_id) AS df FROM ft GROUP BY 1, 2),
-             |stats AS (SELECT count(*) AS n,
-             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sumdl FROM documents),
-             |bm AS (SELECT tf.query_id, tf.doc_id,
-             |  round(sum(
-             |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-             |    * (CAST(tf AS DOUBLE) * 2.2)
-             |    / (CAST(tf AS DOUBLE)
-             |       + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
-             |  ), 6) AS bm25
-             |  FROM tf JOIN dfreq USING (query_id, t) JOIN dl ON dl.doc_id = tf.doc_id
-             |  CROSS JOIN stats GROUP BY 1, 2),
-             |lex AS (SELECT query_id, doc_id, rank_lex FROM (
-             |  SELECT query_id, doc_id,
-             |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
-             |  FROM bm) WHERE rank_lex <= 20),
-             |p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
-             |nn AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM p),
-             |sv AS (SELECT q.vec_id query_id, c.vec_id doc_id,
-             |  list_sum([c.emb[i+1] * q.emb[i+1] for i in range(len(c.emb))]) / sqrt(c.n2 * q.n2) score
-             |  FROM nn q JOIN nn c ON c.vec_id != q.vec_id WHERE q.vec_id < 4),
-             |vec AS (SELECT query_id, doc_id, rank_vec FROM (
-             |  SELECT query_id, doc_id,
-             |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank_vec
-             |  FROM sv) WHERE rank_vec <= 20),
-             |fu AS (SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
-             |  COALESCE(lex.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
-             |  COALESCE(1.0 / (CAST(rank_lex AS DOUBLE) + 60.0), 0.0)
-             |    + COALESCE(1.0 / (CAST(rank_vec AS DOUBLE) + 60.0), 0.0) AS rrf
-             |  FROM lex FULL OUTER JOIN vec
-             |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
-             |SELECT CAST(query_id AS BIGINT) AS query_id,
-             |  CAST(fused_rank AS INTEGER) AS fused_rank, doc_id,
-             |  round(rrf, 6) AS rrf,
-             |  CAST(COALESCE(rank_lex, 0) AS INTEGER) AS rank_lex,
-             |  CAST(COALESCE(rank_vec, 0) AS INTEGER) AS rank_vec
-             |FROM (SELECT *, row_number() OVER (
-             |    PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS fused_rank
-             |  FROM fu)
-             |WHERE fused_rank <= 10""".stripMargin)
+      Some("WITH " + RrfLexCtesSql + ",\n" +
+        """p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+          |nn AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) n2 FROM p),
+          |sv AS (SELECT q.vec_id query_id, c.vec_id doc_id,
+          |  list_sum([c.emb[i+1] * q.emb[i+1] for i in range(len(c.emb))]) / sqrt(c.n2 * q.n2) score
+          |  FROM nn q JOIN nn c ON c.vec_id != q.vec_id WHERE q.vec_id < 4),
+          |vec AS (SELECT query_id, doc_id, rank_vec FROM (
+          |  SELECT query_id, doc_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank_vec
+          |  FROM sv) WHERE rank_vec <= 20)""".stripMargin + "\n" +
+        RrfFuseSelectSql)
+    )),
+
+    // RRF fusion with the ANN vector leg — the scale composition the
+    // round-7 verdict asked for: the cosine ranking comes from the
+    // multi-probe hyperplane-LSH pipeline (the q_ann_lsh machinery at
+    // k=20, planes=6 — bucket count sized to the 500-vector fixture;
+    // planes grow with log|corpus|) instead of a brute-force corpus
+    // scan, and the fused ranking is STILL oracle-exact because the
+    // LSH buckets, probe sets and re-rank scores are all
+    // deterministic. The lexical leg and the fusion arithmetic are
+    // byte-shared with q_rrf_fusion (same helpers both sides), so the
+    // two queries differ ONLY in candidate generation — the ANN leg's
+    // recall vs brute is pinned in SimilaritySpec (bounded by the
+    // near-uniform fixture geometry, documented there).
+    "q_rrf_fusion_ann" -> ((
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        val vec = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 4),
+            "vec_id", "embedding", k = 20, dims = 64, planes = 6)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").as("rank_vec"))
+        rrfFuse(rrfLexLeg(s, dir), vec)
+      },
+      Some("WITH " + RrfLexCtesSql + ",\n" + lshVecCtesSql(64, 6, 20) + "\n" +
+        RrfFuseSelectSql)
     )),
 
     // k-core decomposition by bounded-round parallel peeling: every
@@ -4614,6 +4802,28 @@ object Queries {
              |  CAST(date_diff('day', c0, bucket) // 7 AS INTEGER) AS offset,
              |  count(*) AS n_active
              |FROM a JOIN c USING (e) GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // STREAMING cohort retention under the hard gate (the streaming
+    // family's third direct row, after q_stream_passage_dedup and
+    // q_stream_domain_cap): a bounded user slice's purchase events are
+    // replayed through the real retentionStream in ascending
+    // (ts, user_id) order — per-user arrival is time-ordered, so each
+    // user's first event anchors the cohort and the state-store
+    // emissions equal the batch retentionCohorts ACTIVITY rows, which
+    // IS the SQL oracle (finer than the aggregated triangle: every
+    // (user, cohort, offset) emission is hash-checked).
+    "q_stream_retention" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStreams.replayRetention(
+          Tables.events(s, dir).filter(col("event_type") === "purchase"),
+          "user_id", "ts", maxUsers = 200),
+      Some("""WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS bucket
+             |  FROM events WHERE event_type = 'purchase' AND user_id < 200),
+             |c AS (SELECT user_id, min(bucket) AS c0 FROM a GROUP BY 1)
+             |SELECT user_id, strftime(c0, '%Y-%m-%d') AS cohort,
+             |  CAST(date_diff('day', c0, bucket) // 7 AS INTEGER) AS offset
+             |FROM a JOIN c USING (user_id)""".stripMargin)
     )),
 
     // Tokenizer fitness report per source: fertility (BPE tokens per
@@ -4670,7 +4880,13 @@ object Queries {
     // 4096, pure integer arithmetic), and the report prices every
     // batch's padding efficiency. The dataloader-side complement of
     // q_pack_bpe's contiguous-fill pretraining windows — SFT batches
-    // pad to the bucket width instead of concatenating.
+    // pad to the bucket width instead of concatenating. Per-rung
+    // positions come from the range-partitioned groupedPositions
+    // machinery, NOT a row_number window over the SIX-value bucket
+    // key: that window would sort each rung's whole population in ONE
+    // task at scale. The arithmetic is identical, so the report (and
+    // its oracle, which SQL-expresses the same rank as a window) is
+    // unchanged.
     "q_length_buckets" -> ((
       (s: SparkSession, dir: String) => {
         val d = Tables.documents(s, dir)
@@ -4681,8 +4897,8 @@ object Queries {
               .when(col("n_tokens") <= 256, 256)
               .when(col("n_tokens") <= 512, 512)
               .when(col("n_tokens") <= 1024, 1024).otherwise(2048))
-        d.withColumn("rn", row_number().over(
-            Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+        operators.Sampling.groupedPositions(
+            d, Seq("bucket"), Seq(col("doc_id")), "rn")
           .withColumn("batch_id",
             expr("cast((cast(rn as bigint) - 1) * bucket div 4096 as bigint)"))
           .groupBy("bucket", "batch_id")
@@ -4817,6 +5033,26 @@ object Queries {
              |  round(f1.score / f2.score2, 6) AS margin,
              |  (bb.back_id = f1.src_id) AS mutual
              |FROM f1 JOIN f2 USING (src_id) JOIN bb USING (match_id)""".stripMargin)
+    )),
+
+    // ANN-candidate bitext mining — q_bitext_margin's 100 TB shape
+    // under its own oracle: in bitext BOTH sides are corpora, so the
+    // brute path's corpus-sized broadcast is disqualified by
+    // definition; candidates come from 4 independent hyperplane LSH
+    // tables banded on EACH side (only ids+buckets shuffle), and the
+    // margin/mutual algebra runs EXACTLY on the candidate set — the
+    // exact re-rank makes the kept pairs deterministic, so the oracle
+    // replays buckets, candidate join, both rankings, margins and the
+    // mutual flags bit-for-bit. Recall vs the brute miner is pinned
+    // in SimilaritySpec.
+    "q_bitext_margin_ann" -> ((
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bitextMarginPairsAnn(
+          emb.filter(col("label") < 5), emb.filter(col("label") >= 5),
+          "vec_id", "embedding", dims = 64)
+      },
+      Some(bitextAnnOracleSql(dims = 64, ppt = 4, tables = 4))
     )),
 
     // Perceptual image hashing under the oracle gate: dHash64 over a
