@@ -25,6 +25,85 @@ import org.apache.spark.sql.functions._
   * are recorded in BASELINE.md's SOAK section.
   */
 object Soak {
+
+  /** Deterministic 64-bit mix for the media generators. */
+  private def mix(seed: Long): Long = {
+    var z = seed * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z ^ (z >>> 31)
+  }
+
+  /** Map-side PNG for the image near-dup soak: 192×128 gray. The
+    * luminance pattern is PER-CLIQUE (id/10) and PER-CELL of the dHash
+    * grid — a clique-seeded random level per 24×16 cell plus shared
+    * per-pixel noise — so each clique's dHash is a distinct ~random
+    * 64-bit word (cliques land in distinct buckets; a single global
+    * pattern, e.g. one gradient, would collapse all 2000 images into
+    * ONE mega-bucket and the banded join into an all-pairs). Copies
+    * share the pattern exactly; each adds a uniform brightness shift
+    * (invariant under dHash's within-image comparisons) plus a small
+    * boost of one grid cell, flipping at most that cell's near-tie
+    * comparisons — genuine few-bit near-dups, not byte-dups. Noise
+    * makes the PNGs poorly compressible (tens of KB each). */
+  private[graft] def soakPng(id: Long): Array[Byte] = {
+    val clique = id / 10; val copy = (id % 10).toInt
+    val w = 192; val h = 128
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = (copy % 8) * 24 // tweak patch: one 24×16 grid cell
+    val py = (copy % 4) * 32
+    var y = 0
+    while (y < h) {
+      val cy = y / 16
+      var x = 0
+      while (x < w) {
+        val cell = cy * 8 + x / 24
+        val cellBase = 20 + ((mix(clique * 1000003L + cell) >>> 56).toInt * 3) / 4
+        val noise = ((mix(clique * 977L + y.toLong * w + x) >>> 58).toInt - 32) / 2
+        val patch = if (x >= px && x < px + 24 && y >= py && y < py + 16) copy * 4 else 0
+        val v = math.min(255, math.max(0, cellBase + noise + copy + patch))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Map-side WAV for the audio near-dup soak: 6500 mono 16-bit
+    * frames = 65 fingerprint windows of 100; the per-window amplitude
+    * envelope is clique-seeded and shared by the 10 copies, each copy
+    * scales ONE window's amplitude by ~10% — flipping at most the two
+    * adjacent louder-than-previous bits. ~13 KB each → ~26 MB. */
+  private[graft] def soakWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val clique = id / 10; val copy = (id % 10).toInt
+    val samples = new Array[Short](6500)
+    var wdw = 0
+    while (wdw < 65) {
+      val amp0 = 200 + ((mix(clique * 7919L + wdw) >>> 52).toInt % 1800 + 1800) % 1800
+      val amp = if (wdw == (copy * 5 + 7) % 65) amp0 + amp0 / 10 else amp0
+      var i = 0
+      while (i < 100) { samples(wdw * 100 + i) = amp.toShort; i += 1 }
+      wdw += 1
+    }
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xFF).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_soak"
@@ -282,6 +361,30 @@ object Soak {
             pmod(col("id") * 2654435761L, lit(20000L)).as("src"),
             pmod(col("id") * 40503L + 17L, lit(20000L)).as("dst")),
           seeds = (0L until 20L).toSeq, iterations = 5)
+      },
+      run("image_near_dup") {
+        // 2000 PNGs (~60 MB of image bytes) generated MAP-SIDE in 200
+        // near-dup cliques of 10 — few-bit dHash perturbations, the
+        // text-SimHash adversarial regime at media scale. Decode +
+        // hash are scan-stage; the banded pigeonhole join ships only
+        // (id, band, slice) rows, so the shuffle_mb column IS the
+        // image-bytes-never-shuffle proof
+        import org.apache.spark.sql.functions.col
+        val spark2 = docs10.sparkSession
+        import spark2.implicits._
+        val blobs = spark2.range(2000).repartition(32)
+          .map(id => Multimodal.MediaBlob(id, "png", soakPng(id)))
+        Multimodal.imageNearDupPairs(blobs, maxHamming = 3)
+      },
+      run("audio_near_dup") {
+        // 2000 WAVs (~26 MB of PCM bytes), 200 envelope cliques of 10
+        // with one-window amplitude perturbations — same discipline,
+        // third modality: audio bytes never shuffle
+        val spark2 = docs10.sparkSession
+        import spark2.implicits._
+        val blobs = spark2.range(2000).repartition(32)
+          .map(id => Multimodal.MediaBlob(id, "wav", soakWav(id)))
+        Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
       },
       run("perceptron_train4") {
         // 4 integer-exact training rounds at 10x: each is one

@@ -274,6 +274,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash64(Array[Byte](1, 2, 3)).isEmpty, "garbage -> None")
   }
 
+  test("soak media generators: cliques are few-bit near-dups, cross-clique is far") {
+    // the SOAK fixture's load-bearing property, pinned here instead of
+    // assumed: per-clique patterns give distinct hashes ACROSS cliques
+    // (no mega-bucket — a degenerate all-pairs join at soak scale) and
+    // few-bit distances WITHIN a clique (pairs actually form)
+    val ih = (0L until 30L).map(id => id -> Multimodal.dHash64(Soak.soakPng(id)).get)
+    val ah = (0L until 30L).map(id => id -> Multimodal.audioFingerprint64(Soak.soakWav(id)).get)
+    for (hs <- Seq(ih, ah)) {
+      val within = for {
+        (a, ha) <- hs; (b, hb) <- hs
+        if a < b && a / 10 == b / 10
+      } yield java.lang.Long.bitCount(ha ^ hb)
+      val across = for {
+        (a, ha) <- hs; (b, hb) <- hs
+        if a < b && a / 10 != b / 10
+      } yield java.lang.Long.bitCount(ha ^ hb)
+      assert(within.max <= 6, s"clique pair drifted to ${within.max} bits")
+      assert(within.count(_ <= 3) * 2 >= within.size,
+        "most clique pairs must sit within the maxHamming=3 soak radius")
+      assert(across.min >= 8, s"cross-clique collision at ${across.min} bits")
+    }
+  }
+
   test("dHash64: TRUNCATED data of a recognized format is None, not an exception") {
     // a real PNG cut mid-stream: ImageIO recognizes the signature and
     // THROWS from the decoder (it returns null only for unrecognized
