@@ -5104,6 +5104,83 @@ object Queries {
               |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
     )),
 
+    // Image near-dup PAIRS under the oracle gate: the real decode →
+    // dHash → banded-pigeonhole pipeline end-to-end, cross-checked
+    // against DuckDB computing xor/bit_count pairs FROM THE PINNED
+    // HASH CSV (pigeonhole equivalence: with 4 bands, any pair within
+    // Hamming 3 shares a band, so the banded output EQUALS the plain
+    // <=3 filter — the oracle needs no banding replay). The fixture
+    // plants hand-derived 1-bit edits (hgrad_edit, half_split_edit)
+    // AND an honest degenerate: flat and hgrad_inv are structurally
+    // different images with the SAME all-zeros dHash (no strict
+    // left<right rise anywhere) — they pair at Hamming 0, the
+    // documented coarseness of any 64-bit perceptual hash.
+    "q_multimodal_dhash_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureDHash()
+        val files = s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("mid", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) =>
+            operators.Multimodal.MediaBlob(idx(n).toLong, "png", c) }
+        operators.Multimodal.imageNearDupPairs(blobs, maxHamming = 3)
+          .join(broadcast(nameDf.toDF("id_a", "name_a")), "id_a")
+          .join(broadcast(nameDf.toDF("id_b", "name_b")), "id_b")
+          .select("name_a", "name_b", "hamming")
+      },
+      Some(s"""WITH h AS (SELECT name, dhash,
+              |    row_number() OVER (ORDER BY name) - 1 AS mid
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedDHashCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','dhash':'BIGINT'}))
+              |SELECT a.name AS name_a, b.name AS name_b,
+              |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+              |FROM h a JOIN h b ON a.mid < b.mid
+              |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin)
+    )),
+
+    // Audio near-dup PAIRS — the third modality through the same
+    // pinned-CSV pairs oracle. The planted variants pin the
+    // fingerprint's invariances by hand: step_louder has the SAME
+    // envelope SHAPE as step (level-invariance → Hamming 0), two_step
+    // sits at exactly the Hamming-3 banding radius from step, and the
+    // coarse envelope hash honestly pairs flat_tone with the single-
+    // transition signals (1-2 bits) — a 64-bit envelope cannot
+    // distinguish quiet-vs-loud constant levels.
+    "q_multimodal_audiofp_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureAudioFp()
+        val files = s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("mid", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) =>
+            operators.Multimodal.MediaBlob(idx(n).toLong, "wav", c) }
+        operators.Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
+          .join(broadcast(nameDf.toDF("id_a", "name_a")), "id_a")
+          .join(broadcast(nameDf.toDF("id_b", "name_b")), "id_b")
+          .select("name_a", "name_b", "hamming")
+      },
+      Some(s"""WITH h AS (SELECT name, afp,
+              |    row_number() OVER (ORDER BY name) - 1 AS mid
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedAudioFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'}))
+              |SELECT a.name AS name_a, b.name AS name_b,
+              |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+              |FROM h a JOIN h b ON a.mid < b.mid
+              |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin)
+    )),
+
     // The post-training composition end-to-end under ONE oracle —
     // the q_mixture_pipeline discipline applied to the SFT wing:
     // near-dup clusters → leakage-safe 80/10/10 split (cluster-

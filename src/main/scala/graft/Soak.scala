@@ -386,6 +386,18 @@ object Soak {
           .map(id => Multimodal.MediaBlob(id, "wav", soakWav(id)))
         Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
       },
+      run("bitext_ann") {
+        // ANN bitext mining at 10x: 10k x 10k corpora (even/odd halves
+        // of the perturbed embeddings — true near-identical matches
+        // exist across the halves by construction). NOTHING broadcasts:
+        // candidates come from the per-side banded tables (256 buckets
+        // per table at planesPerTable=8, ~40 ids per bucket), exact
+        // margin re-rank on candidates only
+        Similarity.bitextMarginPairsAnn(
+          emb10.filter(col("vec_id") % 2 === 0),
+          emb10.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", dims = 64, planesPerTable = 8, tables = 4)
+      },
       run("perceptron_train4") {
         // 4 integer-exact training rounds at 10x: each is one
         // map+aggregate corpus pass; driver state is 16 longs/round

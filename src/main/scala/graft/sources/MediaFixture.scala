@@ -169,21 +169,37 @@ object MediaFixture {
     * from the dHash definition alone (9×8 area-averaged luminance
     * cells, bit i set iff cell(i/8, i%8) < its right neighbor), never
     * from running the code under test. Width 63 makes the 9 grid
-    * columns exactly 7 px wide; gray pixels make luminance == the
-    * gray value ((299+587+114)/1000 = 1 exactly):
+    * columns exactly 7 px wide (rows are 6 px); gray pixels make
+    * luminance == the gray value ((299+587+114)/1000 = 1 exactly):
     *  - flat       → all cells equal, no strict `<` → 0
     *  - hgrad      → cell means strictly increase left→right (block
     *                 means are ~28.8 gray levels apart) → all 64 bits → -1
     *  - hgrad_inv  → strictly decrease → no bit → 0
     *  - half_split → black cols 0-3 (x<28=4·7), white cols 4-8: the
     *                 only strict rise is col 3→4, bit 3 of every row
-    *                 byte → 0x0808080808080808. */
+    *                 byte → 0x0808080808080808.
+    * Round-8 near-dup variants (for the PAIRS oracle —
+    * q_multimodal_dhash_pairs):
+    *  - hgrad_edit → hgrad with cells (7,0) and (7,1) zeroed (x<14,
+    *                 y≥42): comparison c(7,0)<c(7,1) becomes 0<0 =
+    *                 false, clearing exactly bit 56 (c(7,1)=0 < c(7,2)
+    *                 stays true) → -1 ^ (1<<56), Hamming 1 from hgrad
+    *  - half_split_edit → half_split with cell (0,4) at 100 instead of
+    *                 255 (28≤x<35, y<6): row 0 gains bit 4 (100<255)
+    *                 and keeps bit 3 (0<100) → row-0 byte 0x18 →
+    *                 0x0808080808080818, Hamming 1 from half_split. */
   private def dhashEntries: Seq[(String, Array[Byte], Long)] = Seq(
     ("flat.png", lumPng(64, 48, (_, _) => 0), 0L),
     ("hgrad.png", lumPng(63, 48, (x, _) => x * 255 / 62), -1L),
     ("hgrad_inv.png", lumPng(63, 48, (x, _) => 255 - x * 255 / 62), 0L),
     ("half_split.png", lumPng(63, 48, (x, _) => if (x < 28) 0 else 255),
-      0x0808080808080808L))
+      0x0808080808080808L),
+    ("hgrad_edit.png", lumPng(63, 48,
+      (x, y) => if (y >= 42 && x < 14) 0 else x * 255 / 62),
+      -1L ^ (1L << 56)),
+    ("half_split_edit.png", lumPng(63, 48,
+      (x, y) => if (x < 28) 0 else if (x < 35 && y < 6) 100 else 255),
+      0x0808080808080818L))
 
   /** Write the dHash images + the pinned hash CSV; returns `dhashDir`. */
   def ensureDHash(): String = {
@@ -230,11 +246,23 @@ object MediaFixture {
     * energy = 100·amp², bit i set iff window i+1 louder than i —
     *  - flat envelope  → all windows equal → 0
     *  - rising ramp    → strictly increasing → all 64 bits → -1
-    *  - step at w=32   → one louder transition, bit 31 → 2^31. */
+    *  - step at w=32   → one louder transition, bit 31 → 2^31.
+    * Round-8 near-dup variants (q_multimodal_audiofp_pairs):
+    *  - step_louder    → same single transition at w=32, louder top
+    *                     (amp 2200): the envelope SHAPE is the hash, so
+    *                     the fingerprint is IDENTICAL to step — 2^31
+    *                     (Hamming 0: level-invariance by construction)
+    *  - two_step       → rises at w=21 and w=43 → bits 20 and 42 →
+    *                     (1<<20)|(1<<42); Hamming 3 from step (bits
+    *                     20, 31, 42) — exactly the banding radius. */
   private def audioFpEntries: Seq[(String, Array[Byte], Long)] = Seq(
     ("flat_tone.wav", pcmWav(envSamples(_ => 1000)), 0L),
     ("ramp.wav", pcmWav(envSamples(w => (w + 1) * 10)), -1L),
-    ("step.wav", pcmWav(envSamples(w => if (w < 32) 100 else 2000)), 1L << 31))
+    ("step.wav", pcmWav(envSamples(w => if (w < 32) 100 else 2000)), 1L << 31),
+    ("step_louder.wav", pcmWav(envSamples(w => if (w < 32) 100 else 2200)), 1L << 31),
+    ("two_step.wav", pcmWav(envSamples(w =>
+      if (w < 21) 100 else if (w < 43) 1000 else 2000)),
+      (1L << 20) | (1L << 42)))
 
   /** Write the fingerprint WAVs + the pinned CSV; returns `audioFpDir`. */
   def ensureAudioFp(): String = {
