@@ -4644,6 +4644,87 @@ object Queries {
       }
     )),
 
+    // Group-relative advantage normalization (GRPO preprocessing):
+    // per-prompt z-scores of candidate rewards — the value-baseline-
+    // free advantage RL-from-grouped-rollouts trains on. Double sums
+    // under GROUP BY don't commute, so mean/variance are LEFT FOLDS
+    // over the group's (id, reward) structs sorted by candidate id
+    // (Spark aggregate ≡ DuckDB list_sum over list(... ORDER BY ...)),
+    // making every advantage bit-deterministic and hash-checked;
+    // std-0 groups (single candidate, or all rewards equal) pin
+    // advantage 0 by convention, never NaN.
+    "q_grpo_advantage" -> ((
+      (s: SparkSession, dir: String) => {
+        val cands = Tables.documents(s, dir)
+          .select(pmod(col("doc_id"), lit(100L)).as("prompt_id"), col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("score"))
+        operators.PostTraining.groupAdvantage(
+          cands, "prompt_id", "doc_id", "score")
+      },
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH c AS (SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           |  CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS BIGINT) AS nstop,
+           |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nalpha,
+           |  CAST(length(text) AS BIGINT) AS nchars
+           |FROM documents),
+           |sc AS (SELECT doc_id,
+           |  CAST(4 * least(ntok, 100) * ntok * nchars + 300 * nstop * nchars
+           |       + 300 * nalpha * ntok AS DOUBLE)
+           |  / CAST(1000 * ntok * nchars AS DOUBLE) AS score
+           |FROM c),
+           |p AS (SELECT doc_id % 100 AS prompt_id, doc_id AS cand_id, score AS r FROM sc),
+           |g AS (SELECT prompt_id, list(r ORDER BY cand_id) AS rs,
+           |  list(cand_id ORDER BY cand_id) AS ids, count(*) AS n FROM p GROUP BY 1),
+           |m AS (SELECT prompt_id, ids, rs, n, list_sum(rs) / n AS mean FROM g),
+           |v AS (SELECT prompt_id, ids, rs, n, mean,
+           |  sqrt(list_sum([(x - mean) * (x - mean) for x in rs]) / n) AS sd FROM m),
+           |e AS (SELECT prompt_id, n, mean, sd,
+           |  unnest(ids) AS cand_id, unnest(rs) AS reward FROM v)
+           |SELECT prompt_id, cand_id, reward, CAST(n AS BIGINT) AS group_n,
+           |  CASE WHEN sd = 0 THEN 0.0 ELSE round((reward - mean) / sd, 6) END AS advantage
+           |FROM e""".stripMargin
+      }
+    )),
+
+    // Threaded-conversation flattening: forum/chat messages with a
+    // parent pointer become one row per LEAF — the root-to-leaf path a
+    // linear training example renders from. The fixture builds
+    // SF-independent 50-message trees (heap-shaped within each
+    // doc_id-div-50 group, depth <= 6), so the bounded walk (8 rounds,
+    // the kCore fixed-rounds discipline) never truncates and the
+    // DuckDB recursive CTE replays every path id-for-id.
+    "q_thread_paths" -> ((
+      (s: SparkSession, dir: String) => {
+        val t = Tables.documents(s, dir).select(col("doc_id"),
+          expr("CASE WHEN doc_id % 50 = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE (doc_id div 50) * 50 + (doc_id % 50 - 1) div 2 END").as("parent"))
+        operators.PostTraining.threadPaths(t, "doc_id", "parent", maxDepth = 8)
+          .select(col("leaf_id"), col("root_id"), col("depth"),
+            array_join(transform(col("path_ids"), _.cast("string")), ">")
+              .as("path_csv"))
+      },
+      Some("""WITH t AS (SELECT doc_id AS id,
+             |  CASE WHEN doc_id % 50 = 0 THEN NULL
+             |       ELSE (doc_id // 50) * 50 + (doc_id % 50 - 1) // 2 END AS parent
+             |  FROM documents),
+             |lv AS (SELECT id, parent FROM t
+             |  WHERE id NOT IN (SELECT parent FROM t WHERE parent IS NOT NULL)),
+             |w AS (
+             |  WITH RECURSIVE walk(leaf_id, cur, path) AS (
+             |    SELECT id, parent, [id] FROM lv
+             |    UNION ALL
+             |    SELECT w.leaf_id, t2.parent, list_prepend(w.cur, w.path)
+             |    FROM walk w JOIN t t2 ON t2.id = w.cur)
+             |  SELECT * FROM walk)
+             |SELECT leaf_id, path[1] AS root_id,
+             |  CAST(len(path) AS BIGINT) AS depth,
+             |  array_to_string(path, '>') AS path_csv
+             |FROM w WHERE cur IS NULL""".stripMargin)
+    )),
+
     // Block-diagonal attention boundaries for packed windows: the
     // (shard, window) → ordered per-doc segment spans a dataloader
     // needs to build the cross-document attention mask over q_pack_bpe's
@@ -4871,6 +4952,61 @@ object Queries {
           |  round(CAST(bpe_tokens AS DOUBLE) / CAST(words AS DOUBLE), 6) AS fertility,
           |  round(CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6) AS compression
           |FROM ag""".stripMargin)
+    )),
+
+    // Tokenizer vocabulary coverage curve: the smallest usage-ranked
+    // vocab prefix covering 50/90/99% of all token OCCURRENCES — the
+    // metric behind vocab-size decisions (a long tail of rarely-hit
+    // entries is wasted embedding rows). Integer arithmetic throughout
+    // (cum·100 >= pct·total — no float thresholds), ranked under the
+    // total (count desc, id asc) order. The rank window runs over the
+    // USED-VOCAB table — bounded model-state scale (Heaps'-law
+    // sublinear, thousands of rows), not a corpus-sized single-task
+    // window; the corpus itself is touched once by the id-keyed count.
+    "q_vocab_coverage" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+        val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = operators.Bpe.vocab(d, "text", merges)
+        val enc = operators.Bpe.encode(d, "text", "doc_id", merges, vocab)
+        val counts = enc.select(explode(col("bpe_ids")).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(desc("n"), asc("id"))
+        val ranked = counts.select(col("id"), col("n"),
+          row_number().over(w).cast("long").as("rank"),
+          sum("n").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("cum"))
+        val totals = ranked.agg(max("cum").as("total"),
+          max("rank").as("vocab_used"))
+        val th = Seq(50, 90, 99).toDF("pct")
+        ranked.crossJoin(broadcast(totals)).crossJoin(broadcast(th))
+          .filter(col("cum") * 100 >= col("pct").cast("long") * col("total"))
+          .groupBy("pct")
+          .agg(min("rank").as("tokens_needed"),
+            max("vocab_used").as("vocab_used"))
+          .select(col("pct"), col("tokens_needed"), col("vocab_used"),
+            round(col("tokens_needed").cast("double") /
+              col("vocab_used").cast("double"), 6).as("vocab_fraction"))
+      },
+      Some(BpeEncodeOracleCtes + ",\n" +
+        """cnt AS (SELECT id, count(*) AS n FROM
+          |  (SELECT unnest(bpe_ids) AS id FROM enc) GROUP BY 1),
+          |rk AS (SELECT id, n,
+          |  CAST(row_number() OVER (ORDER BY n DESC, id ASC) AS BIGINT) AS rank,
+          |  CAST(sum(n) OVER (ORDER BY n DESC, id ASC
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM cnt),
+          |tt AS (SELECT max(cum) AS total, max(rank) AS vocab_used FROM rk),
+          |th(pct) AS (SELECT * FROM (VALUES (50), (90), (99)) x(p))
+          |SELECT pct, min(rank) AS tokens_needed,
+          |  max(vocab_used) AS vocab_used,
+          |  round(CAST(min(rank) AS DOUBLE) / CAST(max(vocab_used) AS DOUBLE), 6)
+          |    AS vocab_fraction
+          |FROM rk, tt, th
+          |WHERE cum * 100 >= pct * total
+          |GROUP BY pct""".stripMargin)
     )),
 
     // Length-bucketed batching for padding-efficient fine-tuning: docs

@@ -107,4 +107,84 @@ object PostTraining {
       .select(col(promptCol), col("chosen_id"), col("rejected_id"),
         round(col("chosen_score") - col("rejected_score"), 6).as("margin"))
   }
+
+  /** Group-relative advantage normalization (the GRPO preprocessing
+    * step): per prompt group, advantage = (reward − group mean) /
+    * group population std — the per-group z-score RL-from-grouped-
+    * rollouts training consumes instead of a learned value baseline.
+    * Degenerate groups (std = 0: a single candidate, or all rewards
+    * equal) get advantage 0 by convention — no signal, not NaN.
+    * Returns (prompt, cand, reward, group_n, advantage).
+    *
+    * Determinism discipline: double sums under GROUP BY do not
+    * commute, so mean and variance are LEFT FOLDS over the group's
+    * candidates collected and sorted by candidate id — one prompt-key
+    * shuffle of (id, reward) structs, the same ordered-fold trick as
+    * the vector kernels (Spark `aggregate` ≡ DuckDB fold over
+    * `list(... ORDER BY ...)`), so every advantage is oracle-exact.
+    * Group size is bounded by the sampler's N (an RL rollout count,
+    * typically 4-64), never corpus-sized — collect_list here is
+    * bounded per key by construction. */
+  def groupAdvantage(cands: DataFrame, promptCol: String, idCol: String,
+      rewardCol: String): DataFrame = {
+    val cs = array_sort(collect_list(
+      struct(col(idCol).as("id"), col(rewardCol).as("r"))))
+    cands.groupBy(col(promptCol))
+      .agg(cs.as("cs"))
+      .withColumn("group_n", size(col("cs")).cast("long"))
+      .withColumn("mean",
+        aggregate(col("cs"), lit(0.0), (a, x) => a + x.getField("r")) /
+          col("group_n").cast("double"))
+      .withColumn("sd", sqrt(
+        aggregate(col("cs"), lit(0.0), (a, x) =>
+          a + (x.getField("r") - col("mean")) * (x.getField("r") - col("mean"))) /
+          col("group_n").cast("double")))
+      .select(col(promptCol), col("group_n"), col("mean"), col("sd"),
+        explode(col("cs")).as("c"))
+      .select(col(promptCol), col("c.id").as("cand_id"),
+        col("c.r").as("reward"), col("group_n"),
+        when(col("sd") === 0.0, lit(0.0))
+          .otherwise(round((col("c.r") - col("mean")) / col("sd"), 6))
+          .as("advantage"))
+  }
+
+  /** Threaded-conversation flattening: messages with a `parent` pointer
+    * (forum threads, branching chat trees) become ONE row per LEAF —
+    * the root-to-leaf path a linear training example is rendered from.
+    * Returns (leaf_id, root_id, depth, path_ids: array<bigint> in
+    * root→leaf order). Leaves are nodes no other message answers
+    * (left-anti join on the parent column); paths are built by
+    * `maxDepth` bounded walk-up rounds, each ONE equi-join of the
+    * frontier against the (id, parent) table — the kCore/pageRank
+    * fixed-rounds discipline, O(maxDepth) shuffles of LEAF-count rows
+    * regardless of corpus size (chat trees are shallow; a thread
+    * deeper than maxDepth keeps its truncated tail LOUDLY: depth =
+    * maxDepth + 1 rows carry a NULL root_id rather than a silently
+    * wrong one). Composes with [[renderChat]]: explode the path,
+    * alternate roles by position, render. */
+  def threadPaths(msgs: DataFrame, idCol: String, parentCol: String,
+      maxDepth: Int = 16): DataFrame = {
+    val t = msgs.select(col(idCol).cast("long").as("id"),
+      col(parentCol).cast("long").as("parent"))
+    val leaves = t.join(
+      t.select(col("parent").as("id")).where(col("id").isNotNull).distinct(),
+      Seq("id"), "left_anti")
+    var walk = leaves.select(col("id").as("leaf_id"),
+      array(col("id")).as("path"), col("parent").as("cur"))
+    for (_ <- 1 to maxDepth) {
+      walk = walk
+        .join(t.select(col("id").as("cur"), col("parent").as("next")),
+          Seq("cur"), "left")
+        .select(col("leaf_id"),
+          when(col("cur").isNull, col("path"))
+            .otherwise(concat(array(col("cur")), col("path"))).as("path"),
+          when(col("cur").isNull, lit(null).cast("long"))
+            .otherwise(col("next")).as("cur"))
+    }
+    walk.select(col("leaf_id"),
+      when(col("cur").isNull, element_at(col("path"), 1))
+        .otherwise(lit(null).cast("long")).as("root_id"),
+      size(col("path")).cast("long").as("depth"),
+      col("path").as("path_ids"))
+  }
 }

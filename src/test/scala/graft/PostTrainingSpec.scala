@@ -85,6 +85,54 @@ class PostTrainingSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("groupAdvantage: per-group z-scores; std-0 groups pin advantage 0") {
+    val cands = Seq(
+      (1L, 10L, 1.0), (1L, 11L, 2.0), (1L, 12L, 3.0), // mean 2, sd sqrt(2/3)
+      (2L, 20L, 5.0),                                 // single candidate
+      (3L, 30L, 2.0), (3L, 31L, 2.0)                  // all equal: sd exactly 0
+    ).toDF("prompt_id", "cand_id", "reward")
+    val out = PostTraining.groupAdvantage(cands, "prompt_id", "cand_id", "reward")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(0), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    // z-scores of (1,2,3): ±1/sqrt(2/3) = ±1.2247448…, round 6
+    assert(out(10L) == ((1L, 1.0, 3L, -1.224745)))
+    assert(out(11L) == ((1L, 2.0, 3L, 0.0)))
+    assert(out(12L) == ((1L, 3.0, 3L, 1.224745)))
+    assert(out(20L) == ((2L, 5.0, 1L, 0.0)), "single candidate: no signal, not NaN")
+    assert(out(30L)._4 == 0.0 && out(31L)._4 == 0.0, "equal rewards: sd 0 -> 0")
+  }
+
+  test("groupAdvantage: deterministic across repartitionings (ordered fold)") {
+    val cands = (1 to 90).map(i => ((i % 9).toLong, i.toLong, (i * 37 % 13) / 13.0))
+      .toDF("prompt_id", "cand_id", "reward")
+    val a = PostTraining.groupAdvantage(cands.repartition(11), "prompt_id", "cand_id", "reward")
+      .collect().map(_.toSeq).toSet
+    val b = PostTraining.groupAdvantage(cands.coalesce(1), "prompt_id", "cand_id", "reward")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("threadPaths: root-to-leaf paths; deep chains truncate LOUDLY") {
+    // tree: 0 -> (1, 2), 1 -> (3, 4); 5 is an isolated root-leaf;
+    // 10 -> 11 -> 12 -> 13 is a chain deeper than maxDepth = 2
+    val msgs = Seq(
+      (0L, None), (1L, Some(0L)), (2L, Some(0L)), (3L, Some(1L)),
+      (4L, Some(1L)), (5L, None),
+      (10L, None), (11L, Some(10L)), (12L, Some(11L)), (13L, Some(12L))
+    ).toDF("id", "parent")
+    val out = PostTraining.threadPaths(msgs, "id", "parent", maxDepth = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2),
+          r.getSeq[Long](3)))).toMap
+    assert(out.keySet == Set(2L, 3L, 4L, 5L, 13L), "leaves only")
+    assert(out(3L) == ((Some(0L), 3L, Seq(0L, 1L, 3L))))
+    assert(out(2L) == ((Some(0L), 2L, Seq(0L, 2L))))
+    assert(out(5L) == ((Some(5L), 1L, Seq(5L))), "root that is its own leaf")
+    // chain needs 3 walk rounds but maxDepth = 2: partial path, NULL
+    // root — loud truncation, never a silently wrong root
+    assert(out(13L) == ((None, 3L, Seq(11L, 12L, 13L))))
+  }
+
   test("dpoPairs: deterministic across repartitionings") {
     val cands = (1 to 100).map(i => ((i % 10).toLong, i.toLong, (i * 37 % 13) / 13.0))
       .toDF("prompt_id", "doc_id", "score")
