@@ -156,8 +156,11 @@ object PostTraining {
     * (left-anti join on the parent column); paths are built by
     * `maxDepth` bounded walk-up rounds, each ONE equi-join of the
     * frontier against the (id, parent) table — the kCore/pageRank
-    * fixed-rounds discipline, O(maxDepth) shuffles of LEAF-count rows
-    * regardless of corpus size (chat trees are shallow; a thread
+    * fixed-rounds discipline: O(maxDepth) shuffles of LEAF-count rows,
+    * plus one exchange of the (id, parent) projection that Catalyst
+    * reuses across rounds (identical subtree; at fixture scale it
+    * broadcasts instead) regardless of corpus size (chat trees are
+    * shallow; a thread
     * deeper than maxDepth keeps its truncated tail LOUDLY: depth =
     * maxDepth + 1 rows carry a NULL root_id rather than a silently
     * wrong one). Composes with [[renderChat]]: explode the path,
