@@ -2020,6 +2020,78 @@ object Queries {
              |FROM s""".stripMargin)
     )),
 
+    // k-center greedy diversity selection (farthest-point traversal,
+    // the classic 2-approx coreset construction): six rounds, each
+    // picking the point with the largest min squared-L2 distance to
+    // everything selected (ties by id). Each round replays as one
+    // MATERIALIZED CTE pair (min over selected centers is exactly
+    // commutative; the distance is an index-ordered left fold), so the
+    // whole greedy trajectory — ids AND winning distances — is
+    // hash-checked, the q_kcore fixed-rounds discipline applied to
+    // data selection.
+    "q_kcenter_select" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Embeddings.kCenterGreedy(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 6),
+      Some {
+        def dist(e: String, c: String) =
+          s"list_sum([($e.emb[i+1] - $c.emb[i+1]) * ($e.emb[i+1] - $c.emb[i+1]) " +
+            s"for i in range(len($e.emb))])"
+        val rounds = (2 to 6).map { r =>
+          s"""m$r AS MATERIALIZED (SELECT e.vec_id, min(${dist("e", "c")}) AS mind
+             |  FROM n e, c${r - 1} c
+             |  WHERE e.vec_id NOT IN (SELECT vec_id FROM c${r - 1}) GROUP BY 1),
+             |s$r AS MATERIALIZED (SELECT vec_id, mind FROM m$r
+             |  ORDER BY mind DESC, vec_id LIMIT 1),
+             |c$r AS MATERIALIZED (SELECT * FROM c${r - 1}
+             |  UNION ALL SELECT n.vec_id, n.emb FROM n JOIN s$r USING (vec_id))""".stripMargin
+        }.mkString(",\n")
+        val sels = (2 to 6).map(r =>
+          s"UNION ALL SELECT $r, vec_id, round(mind, 6) FROM s$r").mkString("\n")
+        s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+           |s1 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM n),
+           |c1 AS MATERIALIZED (SELECT n.vec_id, n.emb FROM n JOIN s1 USING (vec_id)),
+           |$rounds
+           |SELECT CAST(1 AS INTEGER) AS round, vec_id,
+           |  CAST(0.0 AS DOUBLE) AS min_dist FROM s1
+           |$sels""".stripMargin
+      }
+    )),
+
+    // Greedy maximum-coverage selection over trigram shingles: five
+    // rounds of "pick the doc covering the most uncovered grams" —
+    // the lexical complement of q_kcenter_select, same fixed-rounds
+    // replay (per-round MATERIALIZED winner + accumulated covered-gram
+    // CTEs). Integer gains, id tiebreaks: the whole greedy trajectory
+    // is hash-checked.
+    "q_coverage_select" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Sampling.coverageSelect(
+          Tables.documents(s, dir), "doc_id", "text", k = 5),
+      Some {
+        val rounds = (2 to 5).map { r =>
+          s"""w$r AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS gain
+             |  FROM g WHERE gram NOT IN (SELECT gram FROM c${r - 1})
+             |  GROUP BY 1 ORDER BY gain DESC, id LIMIT 1),
+             |c$r AS MATERIALIZED (SELECT gram FROM c${r - 1}
+             |  UNION ALL SELECT g.gram FROM g JOIN w$r USING (id))""".stripMargin
+        }.mkString(",\n")
+        val sels = (2 to 5).map(r =>
+          s"UNION ALL SELECT $r, id, gain FROM w$r").mkString("\n")
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+           |g0 AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+           |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+           |  ELSE [] END sh FROM w),
+           |g AS (SELECT doc_id AS id, unnest(sh) AS gram FROM g0),
+           |w1 AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS gain
+           |  FROM g GROUP BY 1 ORDER BY gain DESC, id LIMIT 1),
+           |c1 AS MATERIALIZED (SELECT g.gram FROM g JOIN w1 USING (id)),
+           |$rounds
+           |SELECT CAST(1 AS INTEGER) AS round, id, gain FROM w1
+           |$sels""".stripMargin
+      }
+    )),
+
     "q_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
         Tables.documents(s, dir)

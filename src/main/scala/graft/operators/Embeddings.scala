@@ -78,4 +78,54 @@ object Embeddings {
         round(col("s").cast("double") / lit(scale) / col("n").cast("double"), 6)
           .as("value"))
   }
+
+  /** k-center greedy diversity selection (farthest-point traversal —
+    * the classic 2-approximation of k-center, used as the coreset /
+    * diverse-subset construction in data-selection pipelines, e.g.
+    * Sener & Savarese 2018's active-learning k-Center): start from the
+    * lowest id, then k−1 times pick the point with the LARGEST minimum
+    * squared-L2 distance to everything already selected (ties by
+    * lowest id). Returns one row per selection round:
+    * (round, vec_id, min_dist = the max-min distance that won the
+    * round, 0 for the seed).
+    *
+    * Scale + determinism: the selected centers are BOUNDED DRIVER
+    * MODEL STATE (k vectors — the IVF-centroid discipline), each round
+    * is ONE corpus map pass (min distance to ≤k broadcast center
+    * literals, `least` over fused index-ordered folds) ending in a
+    * TakeOrdered top-1, never a full sort; O(k) passes total, k is a
+    * selection budget (tens), never corpus-sized. Squared L2 is an
+    * index-ordered left fold of exact doubles and `min` over centers
+    * is exactly commutative, so every round's argmax replays in SQL
+    * (`q_kcenter_select`'s materialized per-round CTEs). */
+  def kCenterGreedy(df: DataFrame, idCol: String, embCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = df.select(col(idCol).cast("long").as("id"),
+      Similarity.asDouble(col(embCol)).as("emb"))
+    def sqDist(a: org.apache.spark.sql.Column, c: Seq[Double]) =
+      aggregate(zip_with(a, typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _)
+    val first = p.orderBy(col("id")).limit(1).collect().head
+    var centers = Vector((first.getLong(0), first.getSeq[Double](1)))
+    val out = Seq.newBuilder[(Int, Long, Double)]
+    out += ((1, centers.head._1, 0.0))
+    for (r <- 2 to k) {
+      val mind = centers.map { case (_, c) => sqDist(col("emb"), c) }
+        .reduce(least(_, _))
+      val sel = p.filter(!col("id").isInCollection(centers.map(_._1)))
+        .select(col("id"), col("emb"), mind.as("mind"))
+        .orderBy(desc("mind"), asc("id")).limit(1).collect()
+      if (sel.nonEmpty) {
+        val cand = sel.head
+        centers = centers :+ ((cand.getLong(0), cand.getSeq[Double](1)))
+        out += ((r, cand.getLong(0), cand.getDouble(2)))
+      }
+    }
+    out.result().toDF("round", "vec_id", "min_dist")
+      .select(col("round"), col("vec_id"),
+        round(col("min_dist"), 6).as("min_dist"))
+  }
 }

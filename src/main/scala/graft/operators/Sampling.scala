@@ -214,6 +214,47 @@ object Sampling {
       .drop("__gpos", "__gmin")
   }
 
+  /** Greedy maximum-coverage data selection (the classic 1−1/e greedy
+    * for budgeted subset selection): `k` rounds, each picking the
+    * document whose n-gram shingle set covers the most NOT-YET-COVERED
+    * grams, ties by lowest id — the lexical-coverage complement of
+    * [[Embeddings.kCenterGreedy]]'s embedding diversity. Returns one
+    * row per round: (round, id, gain = newly covered gram count).
+    *
+    * Scale shape: the exploded (id, gram) table materializes ONCE
+    * (localCheckpoint — each round re-reads blocks, not the corpus)
+    * and every round is one anti-join against the covered-gram table,
+    * one count agg, and a TakeOrdered top-1 (never a full sort). The
+    * covered set stays DISTRIBUTED — a union of the winners' gram
+    * slices, k bounded — never driver state, unlike the k centers,
+    * because coverage sets are corpus-scale. O(k) passes; k is a
+    * selection budget. Stops early (fewer rows) once every gram is
+    * covered. */
+  def coverageSelect(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, n: Int = 3): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val g = Dedup.shingleSets(docs, idCol, textCol, n)
+      .select(col("id").cast("long").as("id"), explode(col("sh")).as("gram"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, Long, Long)]
+    var covered: DataFrame = null
+    for (r <- 1 to k) {
+      val rem = if (covered == null) g
+        else g.join(covered, Seq("gram"), "left_anti")
+      val top = rem.groupBy("id").agg(count(lit(1)).as("gain"))
+        .orderBy(desc("gain"), asc("id")).limit(1).collect()
+      if (top.nonEmpty) {
+        val id = top.head.getLong(0)
+        out += ((r, id, top.head.getLong(1)))
+        val newCov = g.filter(col("id") === id).select(col("gram"))
+        covered = if (covered == null) newCov else covered.unionByName(newCov)
+      }
+    }
+    out.result().toDF("round", "id", "gain")
+  }
+
   /** Deterministic stratified sampling: exactly min(perStratum, |stratum|)
     * rows from every stratum, chosen by md5 order of the key — a
     * class-balanced subset that is stable across runs, partitionings

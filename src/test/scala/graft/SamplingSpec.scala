@@ -61,6 +61,22 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("coverageSelect: greedy max-coverage with id ties, early stop when covered") {
+    // trigram sets: 1 -> {a_b_c, b_c_d}; 2 -> {a_b_c, b_c_d, c_d_e};
+    // 3 -> {x_y_z, y_z_w}; 4 -> {p_q_r}; 5 duplicates 3 (higher id)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d e"), (3L, "x y z w"),
+      (4L, "p q r"), (5L, "x y z w")
+    ).toDF("doc_id", "text")
+    val out = Sampling.coverageSelect(docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // round 1: doc 2 covers 3 grams; round 2: docs 3 and 5 both add 2,
+    // id breaks to 3; round 3: doc 4 adds 1; then EVERY gram is
+    // covered (doc 1's set ⊂ doc 2's, doc 5's == doc 3's) -> early
+    // stop at 3 rows despite k = 5
+    assert(out == Seq((1, 2L, 3L), (2, 3L, 2L), (3, 4L, 1L)))
+  }
+
   test("mixtureWeights: shares sum to 1, uniform target weight is total/(G*n)") {
     // groups of 1, 3 and 4 units → total 8, G = 3
     val df = Seq(("a", 1L), ("b", 3L), ("c", 4L)).toDF("g", "units")

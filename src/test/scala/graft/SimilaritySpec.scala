@@ -299,6 +299,28 @@ class SimilaritySpec extends SparkSpec {
     assert(run(df.repartition(7)) == out)
   }
 
+  test("kCenterGreedy: farthest-point traversal with id tiebreaks, k beyond pool size") {
+    import spark.implicits._
+    // 1D line embedded in 2D: 0 at x=0, 1 at x=1, 2 at x=10, 3 at x=10
+    // (exact duplicate of 2, higher id). Seed = lowest id (0, d 0);
+    // round 2 picks the farthest point (2: d=100; 3 ties but 2 wins on
+    // id); round 3 picks 1 (min dist to {0,2}: 1) over 3 (min dist 0)
+    val df = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(10.0, 0.0)), (3L, Seq(10.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Embeddings
+      .kCenterGreedy(df, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1, 0L, 0.0), (2, 2L, 100.0), (3, 1L, 1.0)))
+    // k larger than the pool: selection stops when every point is a
+    // center — no crash, no repeats
+    val all = graft.operators.Embeddings
+      .kCenterGreedy(df, "vec_id", "embedding", k = 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(all == Seq(0L, 2L, 1L, 3L))
+  }
+
   test("bitextMarginPairs: matches, ratio margins, and mutual-best flags") {
     // src 1=(1,0) pairs with tgt 11=(1,0); src 2=(0,1) with 13=(0,1);
     // src 3=(0.6,0.8) is collinear with 12 and MUTUAL with it; src 4
