@@ -105,9 +105,10 @@ object Embeddings {
     import spark.implicits._
     val p = df.select(col(idCol).cast("long").as("id"),
       Similarity.asDouble(col(embCol)).as("emb"))
+    // fused squared-L2 kernel — bit-identical to the zip_with fold
+    // (VectorExpressionsSpec pins it), zero allocation per candidate
     def sqDist(a: org.apache.spark.sql.Column, c: Seq[Double]) =
-      aggregate(zip_with(a, typedLit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), _ + _)
+      graft.plans.VectorExpressions.vec_sqdist(a, typedLit(c))
     val first = p.orderBy(col("id")).limit(1).collect().head
     var centers = Vector((first.getLong(0), first.getSeq[Double](1)))
     val out = Seq.newBuilder[(Int, Long, Double)]

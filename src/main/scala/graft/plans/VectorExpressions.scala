@@ -118,6 +118,50 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Σ (aᵢ−bᵢ)² in one fused pass — squared L2, the k-center /
+    * k-means assignment kernel. Same left-to-right summation order as
+    * the `zip_with`+`aggregate` fold and as a DuckDB index
+    * comprehension, so the fused form is bit-identical to both
+    * (pinned in VectorExpressionsSpec). */
+  case class SqDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_sqdist"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = elemAt(left.dataType, x, i) - elemAt(right.dataType, y, i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = ${elemAccessor(left.dataType, a, i)} - ${elemAccessor(right.dataType, b, i)};
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   // Column-level API. Spark 4's Column is connect-agnostic; the classic
   // bridge converts Column <-> catalyst Expression.
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -126,6 +170,8 @@ object VectorExpressions {
     ColumnBridge.column(DotProduct(ex(a), ex(b)))
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(ex(a), ex(b)))
+  def vec_sqdist(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDist(ex(a), ex(b)))
 }
 
 /** Session extension registering the vector functions for SQL use:
@@ -143,6 +189,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[VectorExpressions.CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => VectorExpressions.CosineSimilarity(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[VectorExpressions.SqDist].getName, "vec_sqdist"),
+      (args: Seq[Expression]) => VectorExpressions.SqDist(args(0), args(1))))
     e.injectFunction((
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[TextExpressions.WordNgrams].getName, "word_ngrams"),

@@ -32,6 +32,27 @@ class VectorExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("native sqdist is bit-identical to the zip_with fold; real data agrees") {
+    val a = Similarity.asDouble(col("a")); val b = Similarity.asDouble(col("b"))
+    val rows = vecs.select(
+      VectorExpressions.vec_sqdist(a, b).as("native"),
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _).as("fold"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // and across the 64-dim fixture corpus — every pair of the first 20
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+    val pairs = emb.toDF("ia", "ea").crossJoin(emb.toDF("ib", "eb"))
+      .select(
+        VectorExpressions.vec_sqdist(col("ea"), col("eb")).as("native"),
+        aggregate(zip_with(col("ea"), col("eb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _).as("fold"))
+      .collect()
+    pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("works directly on float arrays without cast") {
     val r = vecs.select(VectorExpressions.vec_dot(col("a"), col("b")).as("d"))
       .filter(col("d").isNotNull).count()
