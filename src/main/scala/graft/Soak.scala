@@ -398,6 +398,20 @@ object Soak {
           emb10.filter(col("vec_id") % 2 === 1),
           "vec_id", "embedding", dims = 64, planesPerTable = 8, tables = 4)
       },
+      run("kcenter_select8") {
+        // 8 farthest-point rounds over 20k vectors: each is one corpus
+        // map pass against <=8 broadcast centers through the fused
+        // vec_sqdist kernel + a TakeOrdered top-1; driver state is 8
+        // vectors. Zero shuffle expected - selection is scan+top-1
+        Embeddings.kCenterGreedy(emb10, "vec_id", "embedding", k = 8)
+      },
+      run("coverage_select5") {
+        // 5 greedy max-coverage rounds over the 10x corpus's exploded
+        // trigram table (localCheckpointed once): per round one
+        // anti-join against the distributed covered set + one count
+        // agg + top-1
+        Sampling.coverageSelect(docs10, "doc_id", "text", k = 5)
+      },
       run("perceptron_train4") {
         // 4 integer-exact training rounds at 10x: each is one
         // map+aggregate corpus pass; driver state is 16 longs/round
