@@ -212,16 +212,13 @@ object Queries {
        |SELECT id_a, id_b, round(score, 6) AS score FROM s WHERE score >= $threshold""".stripMargin
   }
 
-  /** Lexical leg of the RRF-fusion queries: BM25 (k1=1.2, b=0.75) for
-    * 4 fixed 2-term queries over `documents`, top-20 per query under
-    * the (bm25 desc, doc_id) total order. Shared by q_rrf_fusion and
-    * q_rrf_fusion_ann so both fuse the IDENTICAL lexical ranking. */
-  private def rrfLexLeg(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val terms = Seq((0L, "spark"), (0L, "join"), (1L, "merge"), (1L, "table"),
-      (2L, "stream"), (2L, "window"), (3L, "vector"), (3L, "scan"))
-      .toDF("query_id", "t")
-    val docs = Tables.documents(s, dir)
+  /** BM25 (k1=1.2, b=0.75) scores over `docs` for a (query_id, t)
+    * term table → (query_id, doc_id, bm25 = round(Σ contrib, 6)).
+    * The term table is the broadcast side (bounded query sets); the
+    * corpus tokenizes ONCE. Rounding BEFORE any downstream ranking is
+    * the suite's double-sum discipline. Shared by the RRF legs and
+    * the hard-negative miner — one BM25, several consumers. */
+  private def bm25Scores(docs: DataFrame, terms: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     val tok = docs.select(col("doc_id"),
       size(ws).cast("long").as("dl"), explode(ws).as("t"))
@@ -231,7 +228,7 @@ object Queries {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("query_id", "t")))
     val stats = docs.agg(count(lit(1)).as("n"),
       sum(size(split(col("text"), " ")).cast("long")).as("sumdl"))
-    val bm = tf.crossJoin(broadcast(stats))
+    tf.crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sumdl").cast("double") / col("n").cast("double"))
       .withColumn("idf", log(
         (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -242,7 +239,19 @@ object Queries {
             lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("contrib")), 6).as("bm25"))
-    bm.withColumn("rank_lex", row_number().over(
+  }
+
+  /** Lexical leg of the RRF-fusion queries: BM25 for 4 fixed 2-term
+    * queries over `documents`, top-20 per query under the
+    * (bm25 desc, doc_id) total order. Shared by q_rrf_fusion and
+    * q_rrf_fusion_ann so both fuse the IDENTICAL lexical ranking. */
+  private def rrfLexLeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq((0L, "spark"), (0L, "join"), (1L, "merge"), (1L, "table"),
+      (2L, "stream"), (2L, "window"), (3L, "vector"), (3L, "scan"))
+      .toDF("query_id", "t")
+    bm25Scores(Tables.documents(s, dir), terms)
+      .withColumn("rank_lex", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
       .filter(col("rank_lex") <= 20).select("query_id", "doc_id", "rank_lex")
   }
@@ -263,14 +272,12 @@ object Queries {
         coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
         coalesce(col("rank_vec"), lit(0)).as("rank_vec"))
 
-  /** DuckDB twin of [[rrfLexLeg]]: the BM25 CTE chain ending in
-    * `lex(query_id, doc_id, rank_lex)`. No leading WITH / trailing
-    * comma — composed by both RRF oracles. */
-  private val RrfLexCtesSql: String =
-    """qt(query_id, t) AS (SELECT * FROM (VALUES
-      |  (0, 'spark'), (0, 'join'), (1, 'merge'), (1, 'table'),
-      |  (2, 'stream'), (2, 'window'), (3, 'vector'), (3, 'scan')) v(q, t)),
-      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+  /** BM25 (k1=1.2, b=0.75) DuckDB CTE chain from a query-term CTE
+    * named `qt(query_id, t)` to `bm(query_id, doc_id, bm25)` with
+    * round(…, 6) — composed by the RRF oracles and the hard-negative
+    * miner. No leading WITH / trailing comma. */
+  private val Bm25CtesSql: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
       |ft AS (SELECT qt.query_id, tok.doc_id, tok.t FROM tok JOIN qt USING (t)),
       |tf AS (SELECT query_id, doc_id, t, count(*) AS tf FROM ft GROUP BY 1, 2, 3),
@@ -285,8 +292,17 @@ object Queries {
       |       + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
       |  ), 6) AS bm25
       |  FROM tf JOIN dfreq USING (query_id, t) JOIN dl ON dl.doc_id = tf.doc_id
-      |  CROSS JOIN stats GROUP BY 1, 2),
-      |lex AS (SELECT query_id, doc_id, rank_lex FROM (
+      |  CROSS JOIN stats GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB twin of [[rrfLexLeg]]: the fixed 4-query term table +
+    * [[Bm25CtesSql]] + the top-20 `lex(query_id, doc_id, rank_lex)`
+    * ranking. No leading WITH / trailing comma. */
+  private val RrfLexCtesSql: String =
+    """qt(query_id, t) AS (SELECT * FROM (VALUES
+      |  (0, 'spark'), (0, 'join'), (1, 'merge'), (1, 'table'),
+      |  (2, 'stream'), (2, 'window'), (3, 'vector'), (3, 'scan')) v(q, t)),
+      |""".stripMargin + Bm25CtesSql + ",\n" +
+    """lex AS (SELECT query_id, doc_id, rank_lex FROM (
       |  SELECT query_id, doc_id,
       |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
       |  FROM bm) WHERE rank_lex <= 20)""".stripMargin
@@ -4902,6 +4918,55 @@ object Queries {
       },
       Some("WITH " + RrfLexCtesSql + ",\n" + lshVecCtesSql(64, 6, 20) + "\n" +
         RrfFuseSelectSql)
+    )),
+
+    // Hard-negative mining for retrieval training (the DPR recipe):
+    // every 37th doc becomes a query (its first 5 distinct words, the
+    // doc itself the positive); negatives = top-3 OTHER docs by BM25 —
+    // lexically confusable — EXCLUDING the positive's jaccard>=0.8
+    // near-dup cluster, because a near-duplicate of the positive is a
+    // FALSE negative that poisons contrastive training. Composes the
+    // shared bm25Scores kernel with the dedup-cluster table; ranking
+    // on round(bm25, 6) keeps the suite's double-sum discipline, so
+    // every (query, rank, negative, score) row hash-matches.
+    "q_hard_negatives" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val terms = docs.filter(pmod(col("doc_id"), lit(37L)) === 0)
+          .select(col("doc_id").as("query_id"),
+            explode(slice(split(col("text"), " "), 1, 5)).as("t"))
+          .distinct()
+        val clusters = Dedup.duplicateClusters(
+          Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+            .select("id_a", "id_b"))
+        val scored = bm25Scores(docs, terms)
+          .filter(col("doc_id") =!= col("query_id"))
+        scored
+          .join(clusters.toDF("query_id", "q_cl"), Seq("query_id"), "left")
+          .join(clusters.toDF("doc_id", "d_cl"), Seq("doc_id"), "left")
+          .filter(col("q_cl").isNull || col("d_cl").isNull ||
+            col("q_cl") =!= col("d_cl"))
+          .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+            .orderBy(desc("bm25"), asc("doc_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"),
+            col("doc_id").as("neg_id"), col("bm25"))
+      },
+      Some("WITH qt AS (SELECT DISTINCT doc_id AS query_id, unnest(string_split(text, ' ')[1:5]) AS t\n" +
+        "  FROM documents WHERE doc_id % 37 = 0),\n" +
+        Bm25CtesSql + ",\n" + JaccardClusterOracleCtes + ",\n" +
+        """cand AS (SELECT bm.query_id, bm.doc_id, bm.bm25 FROM bm
+          |  WHERE bm.doc_id <> bm.query_id),
+          |kept AS (SELECT c.query_id, c.doc_id, c.bm25 FROM cand c
+          |  LEFT JOIN cl a ON a.doc_id = c.query_id
+          |  LEFT JOIN cl b ON b.doc_id = c.doc_id
+          |  WHERE a.canonical_id IS NULL OR b.canonical_id IS NULL
+          |     OR a.canonical_id <> b.canonical_id)
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id AS neg_id, bm25
+          |FROM (SELECT query_id, doc_id, bm25, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+          |  FROM kept)
+          |WHERE rank <= 3""".stripMargin)
     )),
 
     // k-core decomposition by bounded-round parallel peeling: every
