@@ -4498,6 +4498,57 @@ object Queries {
           |SELECT doc_id, input_ids_csv, target_ids_csv, n_spans FROM sp""".stripMargin)
     )),
 
+    // BERT-style masked-LM examples over real BPE ids — the FOURTH
+    // objective materialization (causal packing, T5 span corruption,
+    // FIM, now MLM): 15% of positions selected by the mlm_-salted
+    // uniform, 80/10/10 mask/random/keep by the mlmr_ draw, the random
+    // replacement id by the mlmv_ draw — input_ids AND labels replay
+    // id-for-id in SQL, so the training examples themselves are under
+    // the gate, not just their mask rate.
+    "q_mlm_mask" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val merges = operators.Bpe.trainMerges(d, "text", rounds = 3)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = operators.Bpe.vocab(d, "text", merges)
+        operators.Bpe.encode(d, "text", "doc_id", merges, vocab)
+          .select(col("doc_id"),
+            operators.Denoise.mlmMask(col("bpe_ids"), col("doc_id"),
+              vocabSize = vocab.size.toLong).as("x"))
+          .select(col("doc_id"),
+            array_join(col("x.input_ids"), ",").as("input_ids_csv"),
+            array_join(col("x.labels"), ",").as("labels_csv"),
+            col("x.n_masked").as("n_masked"))
+      },
+      Some(BpeEncodeOracleCtes + ",\n" +
+        """nv AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM vocab),
+          |mlm0 AS (SELECT doc_id, bpe_ids, vsz,
+          |  [CAST('0x' || substr(md5('mlm_' || CAST(doc_id AS VARCHAR)
+          |     || '_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 15
+          |   for i in range(len(bpe_ids))] AS sel,
+          |  [CAST('0x' || substr(md5('mlmr_' || CAST(doc_id AS VARCHAR)
+          |     || '_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 10
+          |   for i in range(len(bpe_ids))] AS sub
+          |  FROM enc, nv),
+          |ex AS (SELECT doc_id,
+          |  [CASE WHEN NOT sel[i + 1] THEN bpe_ids[i + 1]
+          |        WHEN sub[i + 1] < 8 THEN vsz
+          |        WHEN sub[i + 1] = 8 THEN
+          |          CAST('0x' || substr(md5('mlmv_' || CAST(doc_id AS VARCHAR)
+          |            || '_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % vsz
+          |        ELSE bpe_ids[i + 1] END
+          |   for i in range(len(bpe_ids))] AS input_ids,
+          |  [CASE WHEN sel[i + 1] THEN bpe_ids[i + 1] ELSE -100 END
+          |   for i in range(len(bpe_ids))] AS labels
+          |  FROM mlm0)
+          |SELECT doc_id,
+          |  coalesce(array_to_string(input_ids, ','), '') AS input_ids_csv,
+          |  coalesce(array_to_string(labels, ','), '') AS labels_csv,
+          |  CAST(len([x for x in labels if x <> -100]) AS BIGINT) AS n_masked
+          |FROM ex""".stripMargin)
+    )),
+
     // Fill-in-the-middle (Bavarian et al. 2022) over real BPE ids: the
     // infilling objective's PSM reordering [PRE]prefix[SUF]suffix
     // [MID]middle with deterministic fim_-salted split points — the

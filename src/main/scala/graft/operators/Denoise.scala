@@ -108,4 +108,41 @@ object Denoise {
       array(lit(vocabSize + 2)), mid)
     struct(out.as("fim_ids"), lo.as("fim_lo"), hi.as("fim_hi"))
   }
+
+  /** BERT-style masked-LM example materialization (Devlin et al. 2019
+    * §3.1 — the third member of the objectives family after T5 span
+    * corruption and FIM): `maskPercent`% of token POSITIONS are
+    * selected by the salted-md5 uniform; a selected position becomes
+    * the [MASK] sentinel (= vocabSize) with probability 0.8, a
+    * hash-drawn REAL vocab id with 0.1 (possibly the original — the
+    * standard recipe accepts that), and keeps its token with 0.1.
+    * `labels` carries the original id at selected positions and −100
+    * elsewhere (the ignore_index convention shared with
+    * [[PostTraining.lossMask]]). Returns
+    * struct(input_ids, labels, n_masked).
+    *
+    * Zero-shuffle per-row array arithmetic like [[spanCorrupt]]; the
+    * three draws are [[Sampling.hash32]] over (docId, position) under
+    * distinct salts (`mlm_` select, `mlmr_` 80/10/10 split, `mlmv_`
+    * replacement id), so the exact example — not just its mask rate —
+    * replays in SQL. */
+  def mlmMask(ids: Column, docId: Column, vocabSize: Long,
+      maskPercent: Int = 15): Column = {
+    require(maskPercent >= 1 && maskPercent <= 99,
+      s"maskPercent=$maskPercent out of range")
+    def h(salt: String, i: Column) = Sampling.hash32(
+      concat(docId.cast("string"), lit("_"), i.cast("string")), salt)
+    def selected(i: Column) = pmod(h("mlm_", i), lit(100L)) < maskPercent
+    val inputIds = transform(ids, (t, i) => {
+      val sub = pmod(h("mlmr_", i), lit(10L))
+      when(!selected(i), t)
+        .when(sub < 8, lit(vocabSize))
+        .when(sub === 8, pmod(h("mlmv_", i), lit(vocabSize)))
+        .otherwise(t)
+    })
+    val labels = transform(ids, (t, i) =>
+      when(selected(i), t).otherwise(lit(-100L)))
+    struct(inputIds.as("input_ids"), labels.as("labels"),
+      size(filter(labels, x => x =!= lit(-100L))).cast("long").as("n_masked"))
+  }
 }

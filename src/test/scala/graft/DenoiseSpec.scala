@@ -82,6 +82,48 @@ class DenoiseSpec extends SparkSpec {
     assert(rebuilt === orig, "sentinel substitution must reconstruct")
   }
 
+  test("mlmMask: labels recover originals, unselected positions untouched, 80/10/10 holds") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainMerges(docs, "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = Bpe.vocab(docs, "text", merges)
+    val vsz = vocab.size.toLong
+    val rows = Bpe.encode(docs, "text", "doc_id", merges, vocab)
+      .select(col("doc_id"), col("bpe_ids"),
+        Denoise.mlmMask(col("bpe_ids"), col("doc_id"), vsz).as("x"))
+      .collect()
+    var nSel = 0L; var nTok = 0L; var nMaskTok = 0L; var nChanged = 0L
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](1)
+      val x = r.getStruct(2)
+      val input = x.getSeq[Long](0); val labels = x.getSeq[Long](1)
+      assert(input.length == ids.length && labels.length == ids.length)
+      ids.indices.foreach { i =>
+        if (labels(i) == -100L)
+          assert(input(i) == ids(i), "unselected positions must be untouched")
+        else {
+          assert(labels(i) == ids(i), "labels carry the ORIGINAL id")
+          assert(input(i) == vsz || (input(i) >= 0 && input(i) < vsz),
+            "masked input is the sentinel or a real vocab id")
+          nSel += 1
+          if (input(i) == vsz) nMaskTok += 1
+          else if (input(i) != ids(i)) nChanged += 1
+        }
+      }
+      nTok += ids.length
+      assert(x.getLong(2) == ids.count(_ => true) - labels.count(_ == -100L))
+    }
+    // rates over the whole fixture stream: selection ~15%, of which
+    // ~80% sentinel; wide deterministic bounds (one fixed draw)
+    val selRate = nSel.toDouble / nTok
+    assert(selRate > 0.12 && selRate < 0.18, s"selection rate $selRate")
+    val maskShare = nMaskTok.toDouble / nSel
+    assert(maskShare > 0.7 && maskShare < 0.9, s"sentinel share $maskShare")
+    assert(nChanged > 0, "the 10% random-replacement arm must actually fire")
+  }
+
   test("fim: PSM segments reassemble to the original stream") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = Bpe.trainMerges(docs, "text", rounds = 2)
