@@ -4980,6 +4980,12 @@ object Queries {
     // shared bm25Scores kernel with the dedup-cluster table; ranking
     // on round(bm25, 6) keeps the suite's double-sum discipline, so
     // every (query, rank, negative, score) row hash-matches.
+    // NAMED SCALE CAVEAT: candidate scoring is exhaustive — the tf
+    // table is Σ_q Σ_t df(t) rows, and with common query terms that
+    // approaches |queries|·|docs|. Real billion-doc negative mining
+    // prunes candidates first (impact-ordered postings / WAND, or the
+    // ANN retrieval legs this suite already has); this composition is
+    // the exact-scoring form those candidate generators re-rank.
     "q_hard_negatives" -> ((
       (s: SparkSession, dir: String) => {
         val docs = Tables.documents(s, dir)

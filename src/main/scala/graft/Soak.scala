@@ -412,6 +412,16 @@ object Soak {
         // agg + top-1
         Sampling.coverageSelect(docs10, "doc_id", "text", k = 5)
       },
+      run("thread_paths8") {
+        // tree flattening at 10x: 1000 heap-shaped 50-message trees
+        // (25k leaves), 8 walk rounds — each one frontier equi-join
+        // against the reusable (id, parent) exchange
+        import org.apache.spark.sql.functions.{col, expr}
+        val t = docs10.select(col("doc_id"),
+          expr("CASE WHEN doc_id % 50 = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE (doc_id div 50) * 50 + (doc_id % 50 - 1) div 2 END").as("parent"))
+        PostTraining.threadPaths(t, "doc_id", "parent", maxDepth = 8)
+      },
       run("perceptron_train4") {
         // 4 integer-exact training rounds at 10x: each is one
         // map+aggregate corpus pass; driver state is 16 longs/round
