@@ -5511,6 +5511,81 @@ object Queries {
               |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin)
     )),
 
+    // REAL video under the oracle gate: uncompressed-DIB AVI is the
+    // one video form the JVM decodes exactly with no codec (RIFF parse
+    // + raw bottom-up BGR frames), and a gray DIB frame's luminance
+    // equals its gray level exactly — so every frame hash is pinned to
+    // the SAME hand-derived constants as the PNG dHash fixture, with
+    // no codec trusted anywhere. This closes the video half of the
+    // "pixel-level features for video are stubs" boundary: compressed
+    // codecs remain header-only (the JDK has none), raw video is now a
+    // first-class decoded modality.
+    "q_multimodal_video_dhash" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureVideoDHash()
+        val files = s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("media_id", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) =>
+            operators.Multimodal.MediaBlob(idx(n).toLong, "avi", c) }
+        operators.Multimodal.videoDHashes(blobs)
+          .join(broadcast(nameDf), "media_id")
+          .select(col("name"), col("frame_idx"), col("vdhash"))
+      },
+      Some(s"""SELECT name, frame_idx, vdhash
+              |FROM read_csv('${graft.sources.MediaFixture.expectedVideoDHashCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                        'vdhash':'BIGINT'})""".stripMargin)
+    )),
+
+    // Video near-dup PAIRS: the fourth modality through the pigeonhole
+    // discipline — same-index frames banded on (frame_idx, band,
+    // slice), exact Hamming verify, then a per-pair matching-frame
+    // count. The oracle replays it from the pinned per-frame CSV
+    // (banding is provably equivalent to the plain <=3 filter, as in
+    // the image/audio pairs rows): video_a and video_a_edit share
+    // frames 0/3 exactly and frames 1/2 at Hamming 1 -> 4 matching
+    // frames.
+    "q_multimodal_video_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureVideoDHash()
+        val files = s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("mid", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) =>
+            operators.Multimodal.MediaBlob(idx(n).toLong, "avi", c) }
+        operators.Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
+            minMatchingFrames = 2)
+          .join(broadcast(nameDf.toDF("id_a", "name_a")), "id_a")
+          .join(broadcast(nameDf.toDF("id_b", "name_b")), "id_b")
+          .select("name_a", "name_b", "n_matching_frames")
+      },
+      Some(s"""WITH h AS (SELECT name, frame_idx, vdhash,
+              |    dense_rank() OVER (ORDER BY name) - 1 AS mid
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedVideoDHashCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                          'vdhash':'BIGINT'}))
+              |SELECT a.name AS name_a, b.name AS name_b,
+              |  count(*) AS n_matching_frames
+              |FROM h a JOIN h b
+              |  ON a.frame_idx = b.frame_idx AND a.mid < b.mid
+              |WHERE bit_count(xor(a.vdhash, b.vdhash)) <= 3
+              |GROUP BY 1, 2
+              |HAVING count(*) >= 2""".stripMargin)
+    )),
+
     // The post-training composition end-to-end under ONE oracle —
     // the q_mixture_pipeline discipline applied to the SFT wing:
     // near-dup clusters → leakage-safe 80/10/10 split (cluster-

@@ -322,6 +322,66 @@ object MediaHeaders {
     if (rate <= 0) None else Some(AudioMeta(rate, channels, total))
   }
 
+  // ================= AVI (RIFF) =======================================
+
+  /** AVI video metadata from the AVIMAINHEADER (Microsoft's public
+    * 'AVI RIFF File Reference'): 'RIFF' size 'AVI ' + LIST hdrl whose
+    * avih chunk carries dwTotalFrames at body offset 16, dwWidth at
+    * 32, dwHeight at 36 — all little-endian. Header-only: frame
+    * chunks are never touched (see
+    * [[Multimodal.aviFrames]] for the uncompressed-DIB frame
+    * decoder). Chunks are word-aligned (odd sizes pad one byte). */
+  def avi(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes.length < 12 || !hasMagic(bytes, 0, "RIFF") ||
+        !hasMagic(bytes, 8, "AVI ")) return None
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val sz = leU32(bytes, o + 4)
+      if (hasMagic(bytes, o, "LIST") && hasMagic(bytes, o + 8, "hdrl")) {
+        var p = o + 12
+        val end = math.min(bytes.length.toLong, o + 8 + sz).toInt
+        while (p + 8 <= end) {
+          val csz = leU32(bytes, p + 4)
+          if (hasMagic(bytes, p, "avih") && p + 8 + 40 <= end)
+            return Some(VideoMeta(
+              width = leU32(bytes, p + 8 + 32).toInt,
+              height = leU32(bytes, p + 8 + 36).toInt,
+              nFrames = leU32(bytes, p + 8 + 16).toInt))
+          p += (8 + csz + (csz & 1)).toInt
+        }
+        return None
+      }
+      o += (8 + sz + (sz & 1)).toInt
+    }
+    None
+  }
+
+  /** The '00db' (uncompressed DIB) frame chunk bodies inside LIST
+    * movi, in stream order — the raw-video sibling of [[avi]]; each
+    * body is bottom-up 24-bit BGR rows padded to 4-byte boundaries.
+    * Empty when the container is not RIFF/AVI or has no movi list. */
+  def aviDibFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes.length < 12 || !hasMagic(bytes, 0, "RIFF") ||
+        !hasMagic(bytes, 8, "AVI ")) return Nil
+    val out = Seq.newBuilder[Array[Byte]]
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val sz = leU32(bytes, o + 4)
+      if (hasMagic(bytes, o, "LIST") && hasMagic(bytes, o + 8, "movi")) {
+        var p = o + 12
+        val end = math.min(bytes.length.toLong, o + 8 + sz).toInt
+        while (p + 8 <= end) {
+          val csz = leU32(bytes, p + 4)
+          if (hasMagic(bytes, p, "00db") && p + 8 + csz <= end)
+            out += java.util.Arrays.copyOfRange(bytes, p + 8, (p + 8 + csz).toInt)
+          p += (8 + csz + (csz & 1)).toInt
+        }
+      }
+      o += (8 + sz + (sz & 1)).toInt
+    }
+    out.result()
+  }
+
   private def hasMagic(b: Array[Byte], o: Int, magic: String): Boolean =
     o + magic.length <= b.length &&
       magic.indices.forall(i => (b(o + i) & 0xFF) == (magic.charAt(i) & 0xFF))

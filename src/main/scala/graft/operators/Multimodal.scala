@@ -97,7 +97,7 @@ object Multimodal {
     private val CodedAudioKinds = Set("mp3", "ogg", "opus", "oga", "flac")
 
     /** Video containers parsed by [[MediaHeaders]]. */
-    private val VideoKinds = Set("mp4", "m4v", "mov", "mkv", "webm")
+    private val VideoKinds = Set("mp4", "m4v", "mov", "mkv", "webm", "avi")
 
     /** REAL decode for every supported container. Field mapping per
       * kind: images/video → (width, height, n_frames); audio →
@@ -120,6 +120,7 @@ object Multimodal {
         else if (VideoKinds(kind)) {
           val v = if (kind == "mkv" || kind == "webm")
             MediaHeaders.matroska(blob.content)
+          else if (kind == "avi") MediaHeaders.avi(blob.content)
           else MediaHeaders.mp4(blob.content)
           v.map(m => meta(m.width, m.height, m.nFrames))
         } else if (CodedAudioKinds(kind)) {
@@ -300,44 +301,53 @@ object Multimodal {
   def dHash64(content: Array[Byte]): Option[Long] = try {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     if (img == null) None
-    else {
-      val w = img.getWidth; val h = img.getHeight
-      val cells = Array.ofDim[Long](8, 9)
-      var gy = 0
-      while (gy < 8) {
-        val y0 = gy * h / 8
-        val y1 = math.min(h, math.max(y0 + 1, (gy + 1) * h / 8))
-        var gx = 0
-        while (gx < 9) {
-          val x0 = gx * w / 9
-          val x1 = math.min(w, math.max(x0 + 1, (gx + 1) * w / 9))
-          var sum = 0L; var n = 0L
-          var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) {
-              val rgb = img.getRGB(x, y)
-              sum += (((rgb >> 16) & 0xFF) * 299 +
-                ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
-              n += 1; x += 1
-            }
-            y += 1
-          }
-          cells(gy)(gx) = sum / math.max(1L, n)
-          gx += 1
-        }
-        gy += 1
-      }
-      var bits = 0L
-      var i = 0
-      while (i < 64) {
-        val row = i / 8; val colIdx = i % 8
-        if (cells(row)(colIdx) < cells(row)(colIdx + 1)) bits |= (1L << i)
-        i += 1
-      }
-      Some(bits)
-    }
+    else Some(dHashGrid(img.getWidth, img.getHeight, (x, y) => {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xFF) * 299 +
+        ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+    }))
   } catch { case _: Exception => None }
+
+  /** The dHash bit-assembly over an arbitrary luminance accessor —
+    * shared by the image path (BufferedImage pixels) and the raw
+    * video-frame path ([[frameDHash64]]), so one derivation covers
+    * both fixtures. Identical arithmetic to the original inline form:
+    * integer area-average per 9×8 grid cell, bit i set iff
+    * cell(i/8, i%8) < its right neighbor. */
+  private def dHashGrid(w: Int, h: Int, lum: (Int, Int) => Long): Long = {
+    val cells = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8
+      val y1 = math.min(h, math.max(y0 + 1, (gy + 1) * h / 8))
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9
+        val x1 = math.min(w, math.max(x0 + 1, (gx + 1) * w / 9))
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            sum += lum(x, y)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cells(gy)(gx) = sum / math.max(1L, n)
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val row = i / 8; val colIdx = i % 8
+      if (cells(row)(colIdx) < cells(row)(colIdx + 1)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
 
   /** Batched dHash extraction for image blobs → (media_id, dhash).
     * Non-image/undecodable blobs are dropped HERE, at the explicit
@@ -367,6 +377,116 @@ object Multimodal {
                         maxBucketSize: Int = Int.MaxValue): DataFrame =
     Dedup.hammingPairs64(imageDHashes(blobs), "media_id", "dhash",
       maxHamming, bands, maxBucketSize)
+
+  /** REAL video frame decode for uncompressed-DIB AVI — the one video
+    * form the JVM can decode exactly with no codec (raw '00db' frame
+    * chunks of bottom-up 24-bit BGR rows padded to 4-byte boundaries;
+    * Microsoft's public AVI RIFF layout): returns (width, height,
+    * frame byte arrays) when the container parses, frame count and
+    * dimensions agree, and every frame has the full stride·height
+    * payload — None otherwise (compressed video stays with the
+    * header-only [[MediaHeaders]] parsers: no JDK codec exists, the
+    * honestly-documented boundary). */
+  def aviFrames(content: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] =
+    try {
+      MediaHeaders.avi(content).flatMap { m =>
+        if (m.width <= 0 || m.height <= 0) None
+        else {
+          val stride = ((m.width * 3 + 3) / 4) * 4
+          val frames = MediaHeaders.aviDibFrames(content)
+          // the avih frame count must MATCH the recovered chunks: a
+          // truncated container can keep whole leading frames, and a
+          // silent partial decode is exactly the corrupt-blob hazard
+          // the undecodable->None contract exists for
+          if (frames.nonEmpty && frames.size == m.nFrames &&
+              frames.forall(_.length >= stride * m.height))
+            Some((m.width, m.height, frames))
+          else None
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** dHash of one raw DIB frame: same grid arithmetic as the image
+    * [[dHash64]] ([[dHashGrid]] is shared), over the bottom-up BGR
+    * rows directly — gray frames therefore hash IDENTICALLY to a PNG
+    * of the same pixels, which is how the video fixture pins
+    * hand-derived constants without trusting any codec. */
+  def frameDHash64(w: Int, h: Int, bgr: Array[Byte]): Long = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    dHashGrid(w, h, (x, y) => {
+      val o = (h - 1 - y) * stride + x * 3
+      val b = bgr(o) & 0xFF; val g = bgr(o + 1) & 0xFF; val r = bgr(o + 2) & 0xFF
+      ((r * 299 + g * 587 + b * 114) / 1000).toLong
+    })
+  }
+
+  /** Per-frame perceptual hashes for raw-DIB AVI blobs, sampling every
+    * `everyK`-th frame → (media_id, frame_idx, vdhash) — the video
+    * member of the fingerprint family (image dHash, audio energy hash,
+    * now frame-sequence dHash). Decode + hash are map-side; video
+    * BYTES never shuffle (only id + frame index + 8-byte hash rows
+    * leave the scan); undecodable containers contribute nothing,
+    * loudly countable by an anti-join against the blob table. */
+  def videoDHashes(blobs: Dataset[MediaBlob], everyK: Int = 1): DataFrame = {
+    require(everyK >= 1, "everyK must be positive")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        if (b.kind.toLowerCase == "avi")
+          aviFrames(b.content).toSeq.flatMap { case (w, h, frames) =>
+            frames.iterator.zipWithIndex.collect {
+              case (f, i) if i % everyK == 0 =>
+                (b.media_id, i, frameDHash64(w, h, f))
+            }
+          }
+        else Nil
+      }
+    }.toDF("media_id", "frame_idx", "vdhash")
+  }
+
+  /** Video near-duplicate pairs: two videos pair when at least
+    * `minMatchingFrames` of their same-index sampled frames sit within
+    * `maxHamming` bits — re-encodes and small overlays move few bits
+    * per frame, different material scrambles most frames.
+    *
+    * Scale shape: candidates come from the [[Dedup.hammingPairs64]]
+    * pigeonhole banding with the FRAME INDEX in the bucket key
+    * (frame_idx, band, 16-bit slice) — recall for ≤ maxHamming < 4 is
+    * guaranteed, and a plain frame_idx equi-join (where frame 0 of
+    * EVERY video is one join key, an all-pairs at corpus scale) never
+    * forms. Only (id, idx, hash, band, slice) rows shuffle; video
+    * bytes stay in the scan. `maxBucketSize` is the usual mega-bucket
+    * guard (a flat black intro frame shared by millions of videos). */
+  def videoNearDupPairs(blobs: Dataset[MediaBlob], maxHamming: Int = 3,
+                        everyK: Int = 1, minMatchingFrames: Int = 2,
+                        bands: Int = 4,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
+    require(64 % bands == 0, "bands must divide 64")
+    val bits = 64 / bands
+    val hashes = videoDHashes(blobs, everyK)
+    val banded0 = hashes.select(col("media_id"), col("frame_idx"),
+      col("vdhash"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("vdhash"), b * bits).bitwiseAND((1L << bits) - 1)
+          .as("bv"))): _*)).as("b"))
+      .select(col("media_id"), col("frame_idx"), col("vdhash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val banded = Dedup.capBuckets(banded0,
+      Seq("frame_idx", "band", "bv"), maxBucketSize)
+    banded.toDF("id_a", "frame_idx", "h_a", "band", "bv")
+      .join(banded.toDF("id_b", "frame_idx", "h_b", "band", "bv"),
+        Seq("frame_idx", "band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_idx"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_matching_frames"))
+      .filter(col("n_matching_frames") >= minMatchingFrames)
+  }
 
   /** 64-bit audio energy-delta fingerprint — dHash's audio twin over
     * REAL decoded PCM (16-bit signed WAV/AIFF via javax.sound, the

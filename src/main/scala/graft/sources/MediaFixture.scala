@@ -124,12 +124,69 @@ object MediaFixture {
     "fLaC".getBytes ++ Array[Byte](0, 0, 0, 34) ++ streaminfo
   }
 
+  // ---- RIFF/AVI with uncompressed-DIB frames (public Microsoft
+  // layout; raw 24-bit BGR, bottom-up rows, 4-byte row padding) ----
+
+  private def le32(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
+
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] =
+    id.getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+
+  /** AVI of `frames.size` uncompressed gray frames; `frames(k)(x, y)`
+    * is the gray level of pixel (x, y) in frame k (stored as B=G=R,
+    * so luminance == the gray value exactly — the lumPng trick). */
+  private def aviBytes(w: Int, h: Int,
+                       frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(frames.size.toLong), 0, avih, 16, 4) // dwTotalFrames
+    System.arraycopy(le32(w.toLong), 0, avih, 32, 4)           // dwWidth
+    System.arraycopy(le32(h.toLong), 0, avih, 36, 4)           // dwHeight
+    val strh = "vids".getBytes("ISO-8859-1") ++
+      "DIB ".getBytes("ISO-8859-1") ++ new Array[Byte](48)
+    val bih = new Array[Byte](40) // BITMAPINFOHEADER
+    System.arraycopy(le32(40L), 0, bih, 0, 4)
+    System.arraycopy(le32(w.toLong), 0, bih, 4, 4)
+    System.arraycopy(le32(h.toLong), 0, bih, 8, 4)
+    bih(12) = 1 // biPlanes (LE u16)
+    bih(14) = 24 // biBitCount (LE u16)
+    val hdrl = riffList("hdrl", riffChunk("avih", avih) ++
+      riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", bih)))
+    val stride = ((w * 3 + 3) / 4) * 4
+    val movi = riffList("movi", frames.map { f =>
+      val data = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (f(x, y) & 0xFF).toByte
+        val o = (h - 1 - y) * stride + x * 3 // bottom-up rows
+        data(o) = v; data(o + 1) = v; data(o + 2) = v
+      }
+      riffChunk("00db", data)
+    }.reduce(_ ++ _))
+    "RIFF".getBytes("ISO-8859-1") ++
+      le32((4 + hdrl.length + movi.length).toLong) ++
+      "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+  }
+
+  /** The meta fixture's AVI frame patterns (w=63, h=48 — the dHash
+    * fixture geometry, see [[dhashEntries]] for the derivations). */
+  private def aviMetaFrames: Seq[(Int, Int) => Int] = Seq(
+    (_, _) => 0,
+    (x, _) => x * 255 / 62,
+    (x, _) => if (x < 28) 0 else 255,
+    (x, _) => 255 - x * 255 / 62)
+
   /** (filename, bytes, pinned width, height, n_frames) per container. */
   private def entries: Seq[(String, Array[Byte], Int, Int, Int)] = Seq(
     ("img_320x200.png", pngBytes(320, 200), 320, 200, 1),
     ("audio_8k_mono.wav", wavBytes(8000f, 1, 1234), 8000, 1, 1234),
     ("video_640x360.mp4", mp4Bytes(640, 360, 120), 640, 360, 120),
     ("video_1280x720.mkv", mkvBytes(1280, 720, 50, 25), 1280, 720, 50),
+    ("video_63x48.avi", aviBytes(63, 48, aviMetaFrames), 63, 48, 4),
     ("audio_cbr.mp3", mp3Bytes(10), 44100, 2, 10 * 1152),
     ("audio_opus.ogg", oggOpusBytes(2, 96000L), 48000, 2, 96000),
     ("audio_44k.flac", flacBytes(44100L, 2, 88200L), 44100, 2, 88200))
@@ -263,6 +320,50 @@ object MediaFixture {
     ("two_step.wav", pcmWav(envSamples(w =>
       if (w < 21) 100 else if (w < 43) 1000 else 2000)),
       (1L << 20) | (1L << 42)))
+
+  // ---- video frame-hash fixture (hand-derivable per-frame dHashes) --
+
+  val videoDHashDir: String = s"${FixtureDirs.base}/media_vdhash"
+  val expectedVideoDHashCsvPath: String =
+    s"${FixtureDirs.base}/media_vdhash_expected.csv"
+
+  /** (filename, bytes, HAND-DERIVED per-frame dHash). Frames reuse the
+    * [[dhashEntries]] gray patterns at the same 63×48 geometry, and a
+    * gray DIB frame's luminance equals its gray level exactly, so each
+    * frame's pinned hash is the SAME constant derived for the PNG
+    * fixture — no codec is trusted anywhere:
+    *  - video_a: flat(0), hgrad(-1), half_split(0x0808080808080808),
+    *             hgrad_inv(0)
+    *  - video_a_edit: same sequence with the 1-bit edits of
+    *             hgrad_edit / half_split_edit in frames 1 and 2 —
+    *             the near-dup twin at Hamming 1 per edited frame. */
+  private def videoDHashEntries: Seq[(String, Array[Byte], Seq[Long])] = Seq(
+    ("video_a.avi", aviBytes(63, 48, Seq(
+      (_, _) => 0,
+      (x, _) => x * 255 / 62,
+      (x, _) => if (x < 28) 0 else 255,
+      (x, _) => 255 - x * 255 / 62)),
+      Seq(0L, -1L, 0x0808080808080808L, 0L)),
+    ("video_a_edit.avi", aviBytes(63, 48, Seq(
+      (_, _) => 0,
+      (x, y) => if (y >= 42 && x < 14) 0 else x * 255 / 62,
+      (x, y) => if (x < 28) 0 else if (x < 35 && y < 6) 100 else 255,
+      (x, _) => 255 - x * 255 / 62)),
+      Seq(0L, -1L ^ (1L << 56), 0x0808080808080818L, 0L)))
+
+  /** Write the AVIs + the pinned (name, frame_idx, vdhash) CSV;
+    * returns `videoDHashDir`. */
+  def ensureVideoDHash(): String = {
+    Files.createDirectories(Paths.get(videoDHashDir))
+    val rows = videoDHashEntries.flatMap { case (name, bytes, hashes) =>
+      Files.write(Paths.get(videoDHashDir, name), bytes)
+      hashes.zipWithIndex.map { case (hv, i) => s"$name,$i,$hv" }
+    }
+    Files.write(Paths.get(expectedVideoDHashCsvPath),
+      ("name,frame_idx,vdhash\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    videoDHashDir
+  }
 
   /** Write the fingerprint WAVs + the pinned CSV; returns `audioFpDir`. */
   def ensureAudioFp(): String = {

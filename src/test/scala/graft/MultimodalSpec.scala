@@ -297,6 +297,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aviFrames/videoDHashes: raw-DIB decode, everyK sampling, loud truncation") {
+    val dir = graft.sources.MediaFixture.ensureVideoDHash()
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "video_a.avi"))
+    val Some((w, h, frames)) = Multimodal.aviFrames(bytes)
+    assert(w == 63 && h == 48 && frames.size == 4)
+    // frame 0 is flat gray 0 -> dHash 0 (the PNG fixture's derivation)
+    assert(Multimodal.frameDHash64(w, h, frames.head) == 0L)
+    assert(Multimodal.frameDHash64(w, h, frames(1)) == -1L)
+    // truncated container: None, never an exception or a short decode
+    for (frac <- Seq(2, 3, 10))
+      assert(Multimodal.aviFrames(
+        java.util.Arrays.copyOf(bytes, bytes.length / frac)).isEmpty)
+    // everyK sampling keeps frame indexes 0, 2
+    val blobs = Seq(Multimodal.MediaBlob(7L, "avi", bytes)).toDS()
+    val sampled = Multimodal.videoDHashes(blobs, everyK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sampled == Set((7L, 0), (7L, 2)))
+  }
+
   test("dHash64: TRUNCATED data of a recognized format is None, not an exception") {
     // a real PNG cut mid-stream: ImageIO recognizes the signature and
     // THROWS from the decoder (it returns null only for unrecognized
