@@ -104,6 +104,25 @@ object Soak {
     bos.toByteArray
   }
 
+  /** Map-side raw-DIB AVI for the video near-dup soak: 8 frames of
+    * 96×64, clique = id/10 seeds per-(frame, dHash-cell) gray levels
+    * shared by all 10 copies (clique frame hashes agree); each copy
+    * brightens one cell per frame — few-bit per-frame perturbations,
+    * the image-soak discipline extended to the frame sequence.
+    * ~150 KB per video → ~75 MB of video bytes across 500. */
+  private[graft] def soakAvi(id: Long): Array[Byte] = {
+    val clique = id / 10; val copy = (id % 10).toInt
+    val w = 96; val h = 64 // dHash cells: ~10.7×8 px
+    val frames = (0 until 8).map { f => (x: Int, y: Int) =>
+      val cell = (y / 8) * 9 + math.min(8, x * 9 / w)
+      val base = 20 + ((mix(clique * 7907L + f * 101L + cell) >>> 56).toInt * 3) / 4
+      val px = ((copy + f) % 8) * 12; val py = ((copy + f) % 4) * 16
+      val patch = if (x >= px && x < px + 12 && y >= py && y < py + 16) copy * 4 else 0
+      math.min(255, base + copy + patch)
+    }
+    graft.sources.MediaFixture.aviBytes(w, h, frames)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_soak"
@@ -385,6 +404,18 @@ object Soak {
         val blobs = spark2.range(2000).repartition(32)
           .map(id => Multimodal.MediaBlob(id, "wav", soakWav(id)))
         Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
+      },
+      run("video_near_dup") {
+        // 500 raw-DIB AVIs (~75 MB of video bytes) in 50 cliques of 10
+        // — decode + per-frame dHash map-side, candidates via the
+        // frame-indexed pigeonhole banding; only (id, idx, hash, band,
+        // slice) rows shuffle, video bytes never do
+        val spark2 = docs10.sparkSession
+        import spark2.implicits._
+        val blobs = spark2.range(500).repartition(32)
+          .map(id => Multimodal.MediaBlob(id, "avi", soakAvi(id)))
+        Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
+          minMatchingFrames = 4)
       },
       run("bitext_ann") {
         // ANN bitext mining at 10x: 10k x 10k corpora (even/odd halves

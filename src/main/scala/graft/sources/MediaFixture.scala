@@ -140,9 +140,10 @@ object MediaFixture {
 
   /** AVI of `frames.size` uncompressed gray frames; `frames(k)(x, y)`
     * is the gray level of pixel (x, y) in frame k (stored as B=G=R,
-    * so luminance == the gray value exactly — the lumPng trick). */
-  private def aviBytes(w: Int, h: Int,
-                       frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    * so luminance == the gray value exactly — the lumPng trick).
+    * `private[graft]`: the soak's map-side video generator reuses it. */
+  private[graft] def aviBytes(w: Int, h: Int,
+                              frames: Seq[(Int, Int) => Int]): Array[Byte] = {
     val avih = new Array[Byte](56)
     System.arraycopy(le32(frames.size.toLong), 0, avih, 16, 4) // dwTotalFrames
     System.arraycopy(le32(w.toLong), 0, avih, 32, 4)           // dwWidth
