@@ -222,13 +222,27 @@ object Queries {
     val ws = split(col("text"), " ")
     val tok = docs.select(col("doc_id"),
       size(ws).cast("long").as("dl"), explode(ws).as("t"))
-    val tf = tok.join(broadcast(terms), "t")
-      .groupBy("query_id", "doc_id", "t")
+    // Aggregate per (doc, term) BEFORE fanning out to queries: tf and
+    // df are query-independent, so the query join touches one row per
+    // (doc, matching term) — Σ_q Σ_t df(t) rows — instead of one row
+    // per token OCCURRENCE per query sharing the term (the
+    // |occurrences|×|queries| blowup that made exhaustive scoring pay
+    // ~10× at sf0.1, and a skew bomb on stopword-shaped terms at
+    // 100 TB). The broadcast semi-filter on the distinct query-term
+    // set keeps the aggregation itself to query-relevant tokens only,
+    // and df comes from a per-term count of that same doc-term
+    // aggregate (tiny — bounded by the query vocabulary) joined back
+    // by broadcast, replacing the old 2.4M-row (query_id, t) window.
+    val qvocab = terms.select("t").distinct()
+    val dtf = tok.join(broadcast(qvocab), "t")
+      .groupBy("doc_id", "t")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("query_id", "t")))
+    val dfq = dtf.groupBy("t").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n"),
       sum(size(split(col("text"), " ")).cast("long")).as("sumdl"))
-    tf.crossJoin(broadcast(stats))
+    dtf.join(broadcast(terms), "t")
+      .join(broadcast(dfq), "t")
+      .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sumdl").cast("double") / col("n").cast("double"))
       .withColumn("idf", log(
         (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
