@@ -218,7 +218,7 @@ object Queries {
     * corpus tokenizes ONCE. Rounding BEFORE any downstream ranking is
     * the suite's double-sum discipline. Shared by the RRF legs and
     * the hard-negative miner — one BM25, several consumers. */
-  private def bm25Scores(docs: DataFrame, terms: DataFrame): DataFrame = {
+  private[graft] def bm25Scores(docs: DataFrame, terms: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     val tok = docs.select(col("doc_id"),
       size(ws).cast("long").as("dl"), explode(ws).as("t"))

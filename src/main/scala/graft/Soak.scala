@@ -417,6 +417,27 @@ object Soak {
         Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
           minMatchingFrames = 4)
       },
+      run("hard_negative_mine") {
+        // Exhaustive BM25 hard-negative scoring at 10x docs: ~135
+        // queries (every 370th doc's first-5-words) against 50k docs
+        // through the re-planned bm25Scores kernel — the (doc, term)
+        // aggregate builds behind the broadcast query-vocabulary
+        // semi-filter, df broadcasts back from its per-term count, and
+        // the query fan-out touches AGGREGATED rows only (never the
+        // occurrences x queries token blowup). The cluster-exclusion
+        // leg is soaked separately (duplicate_clusters); this row
+        // isolates the scoring + per-query top-3 rank.
+        import org.apache.spark.sql.expressions.Window
+        val terms = docs10.filter(pmod(col("doc_id"), lit(370L)) === 0)
+          .select(col("doc_id").as("query_id"),
+            explode(slice(split(col("text"), " "), 1, 5)).as("t"))
+          .distinct()
+        Queries.bm25Scores(docs10, terms)
+          .filter(col("doc_id") =!= col("query_id"))
+          .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+            .orderBy(desc("bm25"), asc("doc_id"))))
+          .filter(col("rank") <= 3)
+      },
       run("bitext_ann") {
         // ANN bitext mining at 10x: 10k x 10k corpora (even/odd halves
         // of the perturbed embeddings — true near-identical matches
