@@ -5833,6 +5833,71 @@ object Queries {
            |FROM pd JOIN dom USING (doc_id)""".stripMargin
       }
     )),
+
+    // PMI collocation mining (phrase detection): top-50 adjacent word
+    // pairs by pointwise mutual information over corpus-wide
+    // bigram/unigram counts (Church & Hanks; the word2vec phrase-pass
+    // score). pmi is ONE double expression over exact integer counts
+    // with left-assoc products mirrored in the oracle, rounded to 6
+    // before the total (pmi desc, w1, w2) ranking; the minCount
+    // filter lands before the unigram joins (prunes the hapax tail)
+    // and the top-k is a TakeOrdered, never a global sort.
+    "q_pmi_phrases" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.NgramLM.pmiPhrases(Tables.documents(s, dir), "doc_id",
+          "text", minCount = 5L, topK = 50),
+      Some("""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT unnest(
+             |    [{'w1': w[i], 'w2': w[i + 1]} for i in range(1, len(w))]) AS p
+             |  FROM ws),
+             |uni AS (SELECT unnest(w) AS t FROM ws),
+             |cb AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12 FROM bg
+             |  GROUP BY 1, 2 HAVING count(*) >= 5),
+             |cu AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+             |tot AS (SELECT (SELECT count(*) FROM uni) AS n,
+             |  (SELECT count(*) FROM bg) AS nb)
+             |SELECT w1, w2, c12 AS n_ab,
+             |  round(ln((CAST(c12 AS DOUBLE) * n * n) /
+             |    (CAST(nb AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+             |FROM cb JOIN cu ua ON ua.t = cb.w1 JOIN cu ub ON ub.t = cb.w2
+             |CROSS JOIN tot
+             |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)
+    )),
+
+    // Adamic–Adar link prediction over the order-graph fixture: for
+    // every non-adjacent pair sharing neighbors, Σ_z 1/ln(deg(z)) —
+    // common-neighbor evidence down-weighting hub intermediaries. The
+    // wedge join is the z-keyed adjacency self-join with the NAMED
+    // maxHubDeg cap (each z costs deg(z)² pairs — the quadratic hub
+    // bomb; capped centers are the least-informative contributions by
+    // construction); existing edges leave via one left-anti join on
+    // the canonical pair key; round(Σ, 6) keeps the double-sum
+    // discipline so every (pair, n_common, aa) row hash-matches.
+    "q_link_predict" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(37L)) < 2)
+          .select(pmod(col("o_custkey"), lit(500L)).as("src"),
+            pmod(col("o_orderkey"), lit(500L)).as("dst"))
+        operators.Graph.adamicAdar(e)
+      },
+      Some("""WITH raw AS (SELECT o_custkey % 500 AS s, o_orderkey % 500 AS t
+             |  FROM orders WHERE o_orderkey % 37 < 2),
+             |e0 AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+             |  FROM raw WHERE s <> t),
+             |adj AS (SELECT a AS x, b AS z FROM e0
+             |  UNION ALL SELECT b AS x, a AS z FROM e0),
+             |deg AS (SELECT z, count(*) AS d FROM adj GROUP BY 1),
+             |ctr AS (SELECT adj.x, adj.z, deg.d FROM adj JOIN deg USING (z)
+             |  WHERE deg.d <= 1000),
+             |wg AS (SELECT l.x AS u, r.x AS v, l.d AS dz FROM ctr l
+             |  JOIN ctr r ON l.z = r.z AND l.x < r.x),
+             |nw AS (SELECT u, v, dz FROM wg WHERE NOT EXISTS (
+             |  SELECT 1 FROM e0 WHERE e0.a = wg.u AND e0.b = wg.v))
+             |SELECT u, v, count(*) AS n_common,
+             |  round(sum(1.0 / ln(CAST(dz AS DOUBLE))), 6) AS aa
+             |FROM nw GROUP BY 1, 2""".stripMargin)
+    )),
   )
 
 

@@ -85,4 +85,40 @@ object NgramLM {
         round(expr("aggregate(ps, cast(0 as double), (acc, x) -> acc + x)") /
           col("n_bigrams").cast("double"), 6).as("avg_prob"))
   }
+
+  /** PMI collocation mining (phrase detection): the top-k adjacent
+    * word pairs by pointwise mutual information,
+    * pmi = ln( p(w1,w2) / (p(w1)·p(w2)) ) with p from corpus-wide
+    * bigram/unigram counts — the classic phrase-promotion signal
+    * (Church & Hanks 1990; the word2vec phrase pass scores the same
+    * ratio). Output: (w1, w2, n_ab, pmi), pmi = round(…, 6) computed
+    * as ONE double expression over exact integer counts (left-assoc
+    * products, the engine-mirroring discipline), ranked under the
+    * total (pmi desc, w1, w2) order.
+    *
+    * Scale shape: two decomposable count aggregations (bigram,
+    * unigram) — map-side partials, no windows; the `minCount` filter
+    * lands BEFORE the unigram joins, pruning the hapax tail that
+    * dominates bigram vocabulary at corpus scale; the top-k is a
+    * TakeOrdered, never a global sort. The unigram join is keyed on
+    * the word — vocabulary-sized, so Spark may broadcast it at small
+    * scale and shuffle-join at 100 TB; both are correct. */
+  def pmiPhrases(docs: DataFrame, idCol: String, textCol: String,
+                 minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val bg = bigramTable(docs, idCol, textCol)
+    val uni = docs.select(explode(split(col(textCol), " ")).as("t"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val cu = uni.groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(count(lit(1)).as("n"))
+      .crossJoin(bg.agg(count(lit(1)).as("nb")))
+    cb.join(cu.select(col("t").as("w1"), col("c").as("ca")), "w1")
+      .join(cu.select(col("t").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12").as("n_ab"),
+        round(log((col("c12").cast("double") * col("n") * col("n")) /
+          (col("nb").cast("double") * col("ca") * col("cb"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(topK)
+  }
 }

@@ -130,4 +130,41 @@ class GraphSpec extends SparkSpec {
       checkpointInterval = 2).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+  test("adamicAdar: hand-computed scores on the two-wedge graph") {
+    // 1-3, 2-3, 1-4, 2-4: pair (1,2) has common neighbors {3, 4},
+    // both of degree 2 -> aa = 2/ln(2); pair (3,4) symmetric with
+    // centers 1, 2 of degree 2 -> same score. No other non-adjacent
+    // pair shares a neighbor.
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    val out = Graph.adamicAdar(edges.toDF("src", "dst"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val exp = BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(out((1L, 2L)) == ((2L, exp)))
+    assert(out((3L, 4L)) == ((2L, exp)))
+  }
+
+  test("adamicAdar: existing edges are excluded; hub cap drops wedge centers") {
+    // triangle 1-2-3 plus pendant 4-1: (2,3) adjacent -> excluded even
+    // though they share neighbor 1; (2,4)/(3,4) share only hub 1
+    // (degree 3), so maxHubDeg = 2 must erase them entirely.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L))
+    val full = Graph.adamicAdar(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((2L, 4L), (3L, 4L)), "adjacent pairs never score")
+    val capped = Graph.adamicAdar(edges.toDF("src", "dst"), maxHubDeg = 2L)
+      .count()
+    assert(capped == 0L, "capped hub centers contribute no wedges")
+  }
+
+  test("adamicAdar: deterministic across repartitionings") {
+    val edges = (1L to 60L).map(i => (i, (i * 11) % 60 + 1))
+    val a = Graph.adamicAdar(edges.toDF("src", "dst").repartition(13))
+      .collect().map(_.toSeq).toSet
+    val b = Graph.adamicAdar(edges.toDF("src", "dst").coalesce(1))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }

@@ -37,4 +37,32 @@ class NgramLMSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(scores(100L) > scores(101L))
   }
+  test("pmiPhrases: collocation outranks chance co-occurrence; counts exact") {
+    // "alpha beta" always adjacent (6 times); "gamma" and "delta"
+    // frequent but never adjacent to each other; filler separates.
+    val docs = (0L until 6L).map(i =>
+      (i, s"alpha beta filler$i gamma filler${i + 10} delta end$i"))
+      .toDF("doc_id", "text")
+    val out = NgramLM.pmiPhrases(docs, "doc_id", "text", minCount = 5L,
+      topK = 10).collect()
+    assert(out.head.getString(0) == "alpha" && out.head.getString(1) == "beta",
+      "the planted collocation must rank first")
+    assert(out.head.getLong(2) == 6L)
+    // 7 tokens x 6 docs = 42 tokens, 6 bigrams x 6 docs = 36 bigrams;
+    // PMI of the always-adjacent pair: ln((6/36) / ((6/42)*(6/42)))
+    val exp = BigDecimal(math.log((6.0 * 42 * 42) / (36.0 * 6 * 6)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getDouble(3) == exp)
+    assert(!out.exists(r => r.getString(0) == "gamma" && r.getString(1) == "delta"),
+      "never-adjacent words are not a phrase")
+  }
+
+  test("pmiPhrases: minCount prunes rare pairs; topK bounds output") {
+    val docs = (0L until 6L).map(i => (i, "x y x y x y rare once"))
+      .toDF("doc_id", "text")
+    val out = NgramLM.pmiPhrases(docs, "doc_id", "text", minCount = 7L,
+      topK = 2).collect()
+    assert(out.length <= 2)
+    assert(out.forall(_.getLong(2) >= 7L))
+  }
 }
