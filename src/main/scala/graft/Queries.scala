@@ -5898,6 +5898,47 @@ object Queries {
              |  round(sum(1.0 / ln(CAST(dz AS DOUBLE))), 6) AS aa
              |FROM nw GROUP BY 1, 2""".stripMargin)
     )),
+
+    // Cross-source quantile normalization of the quality score:
+    // per-source classifier scales don't compare, so each doc's score
+    // maps to the GLOBAL score at its within-source quantile — both
+    // ranks come from the range-partitioned groupedPositions machinery
+    // (never a one-task-per-source window), the target position is
+    // exact integer arithmetic ((rn−1)·N div n_s + 1), and the score
+    // itself is the suite's bit-exact integer-division quality signal,
+    // so every calibrated double hash-matches.
+    "q_quantile_normalize" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("score"))
+        operators.Sampling.quantileNormalize(d, "source", "score", "doc_id")
+      },
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH q0 AS (SELECT doc_id, source,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           |  CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS BIGINT) AS nstop,
+           |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nalpha,
+           |  CAST(length(text) AS BIGINT) AS nchars
+           |FROM documents),
+           |c AS (SELECT doc_id, source,
+           |  CAST(4 * least(ntok, 100) * ntok * nchars + 300 * nstop * nchars
+           |       + 300 * nalpha * ntok AS DOUBLE)
+           |  / CAST(1000 * ntok * nchars AS DOUBLE) AS score
+           |FROM q0),
+           |r AS (SELECT doc_id, source, score, row_number()
+           |  OVER (PARTITION BY source ORDER BY score, doc_id) AS rn FROM c),
+           |ns AS (SELECT source, count(*) AS ns FROM c GROUP BY 1),
+           |tot AS (SELECT count(*) AS n FROM c),
+           |g AS (SELECT score AS calibrated, row_number()
+           |  OVER (ORDER BY score, doc_id) AS gr FROM c)
+           |SELECT r.doc_id, r.source, r.score, g.calibrated
+           |FROM r JOIN ns USING (source) CROSS JOIN tot
+           |JOIN g ON g.gr = ((r.rn - 1) * n) // ns + 1""".stripMargin
+      }
+    )),
   )
 
 

@@ -214,6 +214,44 @@ object Sampling {
       .drop("__gpos", "__gmin")
   }
 
+  /** Cross-group quantile normalization of a score column: every row's
+    * score is replaced by the GLOBAL score at the same quantile
+    * position, mapping each group's score distribution onto the pooled
+    * distribution (the rank-based calibration from the microarray
+    * literature, applied to corpus curation: quality classifiers
+    * calibrated per-source don't share a scale, and mixing on raw
+    * scores over- or under-selects whole sources).
+    *
+    * Exact integer discipline: within-group rank rn and global rank g
+    * both come from [[groupedPositions]] under the total
+    * (score, id) order — range exchanges, never a one-task-per-group
+    * window — and the target position is
+    * ((rn − 1) · N) div n_g + 1 (integer div: deterministic, no float
+    * interpolation; always lands in [1, N]). Group sizes and N are
+    * |groups|-row broadcast aggregates. NAMED bound: the product
+    * (rn − 1) · N must fit a signed 64-bit long — exact to ~3e9 rows
+    * per group at 3e9 total; beyond that widen to decimal on both
+    * engine sides.
+    *
+    * Output: (id, group, score, calibrated). */
+  def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+                        idCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(groupCol), col(scoreCol))
+    val ranked = groupedPositions(base, Seq(groupCol),
+      Seq(col(scoreCol), col(idCol)), "__rn")
+    val sizes = base.groupBy(groupCol).agg(count(lit(1)).as("__ns"))
+    val tot = base.agg(count(lit(1)).as("__n"))
+    val global = groupedPositions(base.withColumn("__all", lit(0)),
+        Seq("__all"), Seq(col(scoreCol), col(idCol)), "__g")
+      .select(col("__g"), col(scoreCol).as("calibrated"))
+    ranked.join(broadcast(sizes), groupCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("__g",
+        expr("((__rn - 1) * __n) div __ns + 1"))
+      .join(global, "__g")
+      .select(col(idCol), col(groupCol), col(scoreCol), col("calibrated"))
+  }
+
   /** Greedy maximum-coverage data selection (the classic 1−1/e greedy
     * for budgeted subset selection): `k` rounds, each picking the
     * document whose n-gram shingle set covers the most NOT-YET-COVERED

@@ -245,4 +245,28 @@ class SamplingSpec extends SparkSpec {
         Seq.empty[(Long, Long)].toDF("doc_id", "canonical_id"), 0.6, 0.5)
     }
   }
+  test("quantileNormalize: mismatched group scales land on one distribution") {
+    // group a scores 1..4, group b scores 10x — after calibration both
+    // groups carry the SAME global quantile values: g = (rn-1)*8 div 4
+    // + 1 = {1,3,5,7} -> global scores {1.0, 3.0, 10.0, 30.0}
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),
+      (5L, "b", 10.0), (6L, "b", 20.0), (7L, "b", 30.0), (8L, "b", 40.0))
+      .toDF("doc_id", "source", "score")
+    val out = Sampling.quantileNormalize(df, "source", "score", "doc_id")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val exp = Seq(1.0, 3.0, 10.0, 30.0)
+    assert(out.filter(_._1 == "a").sortBy(_._2).map(_._3).toSeq == exp)
+    assert(out.filter(_._1 == "b").sortBy(_._2).map(_._3).toSeq == exp)
+  }
+
+  test("quantileNormalize: a single group calibrates to itself") {
+    val df = (1L to 9L).map(i => (i, "only", (i * 37 % 10).toDouble))
+      .toDF("doc_id", "source", "score")
+    val out = Sampling.quantileNormalize(df, "source", "score", "doc_id")
+      .collect()
+    assert(out.length == 9)
+    assert(out.forall(r => r.getDouble(2) == r.getDouble(3)),
+      "with one group, rank and global rank coincide")
+  }
 }
