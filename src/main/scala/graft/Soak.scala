@@ -417,6 +417,23 @@ object Soak {
         Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
           minMatchingFrames = 4)
       },
+      run("quantile_normalize") {
+        // Cross-source calibration at 10x: both ranks ride the
+        // range-partitioned groupedPositions exchanges (never a
+        // one-task-per-source window); score = token count (cheap,
+        // deterministic) so the row isolates the rank machinery
+        Sampling.quantileNormalize(
+          docs10.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("double").as("score")),
+          "source", "score", "doc_id")
+      },
+      run("pmi_phrases") {
+        // collocation mining at 10x: two decomposable count
+        // aggregations + TakeOrdered; minCount prunes the hapax tail
+        // before the unigram joins
+        NgramLM.pmiPhrases(docs10, "doc_id", "text", minCount = 50L,
+          topK = 50)
+      },
       run("hard_negative_mine") {
         // Exhaustive BM25 hard-negative scoring at 10x docs: ~135
         // queries (every 370th doc's first-5-words) against 50k docs
