@@ -218,7 +218,15 @@ object Queries {
     * corpus tokenizes ONCE. Rounding BEFORE any downstream ranking is
     * the suite's double-sum discipline. Shared by the RRF legs and
     * the hard-negative miner — one BM25, several consumers. */
-  private[graft] def bm25Scores(docs: DataFrame, terms: DataFrame): DataFrame = {
+  /** `candidates` (query_id, doc_id), when given, restricts scoring to
+    * those pairs BEFORE the contribution sum — the candidate-generator
+    * composition (ANN / impact-pruned retrieval): the semi-join lands
+    * on the aggregated fan-out, so non-candidate pairs never reach the
+    * BM25 arithmetic. Restriction on the pair key commutes with the
+    * per-pair aggregation, so an oracle may equivalently filter AFTER
+    * its bm CTE. */
+  private[graft] def bm25Scores(docs: DataFrame, terms: DataFrame,
+                                candidates: Option[DataFrame] = None): DataFrame = {
     val ws = split(col("text"), " ")
     val tok = docs.select(col("doc_id"),
       size(ws).cast("long").as("dl"), explode(ws).as("t"))
@@ -240,9 +248,11 @@ object Queries {
     val dfq = dtf.groupBy("t").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n"),
       sum(size(split(col("text"), " ")).cast("long")).as("sumdl"))
-    dtf.join(broadcast(terms), "t")
+    val fanned = dtf.join(broadcast(terms), "t")
       .join(broadcast(dfq), "t")
-      .crossJoin(broadcast(stats))
+    val kept = candidates.fold(fanned)(c =>
+      fanned.join(broadcast(c), Seq("query_id", "doc_id"), "left_semi"))
+    kept.crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sumdl").cast("double") / col("n").cast("double"))
       .withColumn("idf", log(
         (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -342,9 +352,11 @@ object Queries {
 
   /** The [[lshOracleSql]] CTE chain re-targeted at composition: ends
     * in `vec(query_id, doc_id, rank_vec)` (top-`k` multi-probe LSH
-    * cosine ranking for query vectors vec_id < 4), no leading WITH —
-    * the ANN vector leg of the fused-retrieval oracle. */
-  private def lshVecCtesSql(dims: Int, planes: Int, k: Int): String = {
+    * cosine ranking for query vectors selected by `queryPred`), no
+    * leading WITH — the ANN vector leg of the fused-retrieval and
+    * ANN-hard-negative oracles. */
+  private def lshVecCtesSql(dims: Int, planes: Int, k: Int,
+                            queryPred: String = "vec_id < 4"): String = {
     val planeRows = (0 until planes).map { p =>
       val vs = (0 until dims).map(d => Similarity.planeComponent(p, d)).mkString(", ")
       s"($p, [$vs])"
@@ -362,7 +374,7 @@ object Queries {
        |pq AS (SELECT vec_id AS query_id, emb AS q_emb, n2 AS q_n2,
        |  unnest(list_prepend(bucket,
        |    [xor(bucket, CAST(1 AS BIGINT) << CAST(pp AS INTEGER)) for pp in range($planes)])) AS bucket
-       |  FROM pc WHERE vec_id < 4),
+       |  FROM pc WHERE $queryPred),
        |ps AS (SELECT DISTINCT pq.query_id, pc.vec_id AS neighbor_id,
        |  list_sum([pc.emb[i+1] * pq.q_emb[i+1] for i in range(len(pc.emb))]) / sqrt(pc.n2 * pq.q_n2) AS score
        |  FROM pc JOIN pq ON pc.bucket = pq.bucket AND pc.vec_id != pq.query_id),
@@ -5027,6 +5039,66 @@ object Queries {
         "  FROM documents WHERE doc_id % 37 = 0),\n" +
         Bm25CtesSql + ",\n" + JaccardClusterOracleCtes + ",\n" +
         """cand AS (SELECT bm.query_id, bm.doc_id, bm.bm25 FROM bm
+          |  WHERE bm.doc_id <> bm.query_id),
+          |kept AS (SELECT c.query_id, c.doc_id, c.bm25 FROM cand c
+          |  LEFT JOIN cl a ON a.doc_id = c.query_id
+          |  LEFT JOIN cl b ON b.doc_id = c.doc_id
+          |  WHERE a.canonical_id IS NULL OR b.canonical_id IS NULL
+          |     OR a.canonical_id <> b.canonical_id)
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id AS neg_id, bm25
+          |FROM (SELECT query_id, doc_id, bm25, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+          |  FROM kept)
+          |WHERE rank <= 3""".stripMargin)
+    )),
+
+    // ANN-candidate hard-negative mining — the scale path the
+    // exhaustive miner's NAMED caveat promises, composed under its own
+    // oracle: candidates come from the multi-probe hyperplane-LSH
+    // retrieval leg (top-50 dense neighbors of each query's embedding
+    // — the DPR shape: dense retrieve, then score), the exact BM25
+    // re-rank runs ONLY on those pairs (the semi-join lands before
+    // the contribution sum inside bm25Scores — non-candidates never
+    // reach the arithmetic), and the same near-dup-cluster exclusion
+    // and top-3 rank follow. Deterministic end-to-end (literal
+    // hyperplanes, exact re-rank), so every triplet hash-matches; the
+    // oracle restricts AFTER its bm CTE, which commutes because the
+    // candidate filter is on the pair key the aggregation groups by.
+    "q_hard_negatives_ann" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val cand = Similarity.lshTopK(emb,
+            emb.filter(pmod(col("vec_id"), lit(37L)) === 0),
+            "vec_id", "embedding", k = 50, dims = 64, planes = 6)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"))
+        val terms = docs.filter(pmod(col("doc_id"), lit(37L)) === 0)
+          .select(col("doc_id").as("query_id"),
+            explode(slice(split(col("text"), " "), 1, 5)).as("t"))
+          .distinct()
+        val clusters = Dedup.duplicateClusters(
+          Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+            .select("id_a", "id_b"))
+        val scored = bm25Scores(docs, terms, Some(cand))
+          .filter(col("doc_id") =!= col("query_id"))
+        scored
+          .join(clusters.toDF("query_id", "q_cl"), Seq("query_id"), "left")
+          .join(clusters.toDF("doc_id", "d_cl"), Seq("doc_id"), "left")
+          .filter(col("q_cl").isNull || col("d_cl").isNull ||
+            col("q_cl") =!= col("d_cl"))
+          .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+            .orderBy(desc("bm25"), asc("doc_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"),
+            col("doc_id").as("neg_id"), col("bm25"))
+      },
+      Some("WITH qt AS (SELECT DISTINCT doc_id AS query_id, unnest(string_split(text, ' ')[1:5]) AS t\n" +
+        "  FROM documents WHERE doc_id % 37 = 0),\n" +
+        Bm25CtesSql + ",\n" +
+        lshVecCtesSql(64, 6, 50, "vec_id % 37 = 0") + ",\n" +
+        JaccardClusterOracleCtes + ",\n" +
+        """cand AS (SELECT bm.query_id, bm.doc_id, bm.bm25 FROM bm
+          |  JOIN vec ON vec.query_id = bm.query_id AND vec.doc_id = bm.doc_id
           |  WHERE bm.doc_id <> bm.query_id),
           |kept AS (SELECT c.query_id, c.doc_id, c.bm25 FROM cand c
           |  LEFT JOIN cl a ON a.doc_id = c.query_id
