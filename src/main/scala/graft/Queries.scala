@@ -5112,6 +5112,42 @@ object Queries {
           |WHERE rank <= 3""".stripMargin)
     )),
 
+    // Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    // scheme): k=5-char rolling hashes, rightmost minimum of every
+    // w=4 window, distinct (pos, hash) selections — the position-aware
+    // fingerprint family member (MinHash/SimHash are bag-of-grams).
+    // All-integer mod-1000003 arithmetic (overflow-free under CHECKED
+    // int64), and the rightmost-min rule is RELATIONAL in both
+    // engines: a doc-keyed window min over the w-following frame, an
+    // equi-join back on the min value with a w-wide position band,
+    // max(pos) per window start.
+    "q_winnow_fingerprints" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Dedup.winnowFingerprints(
+          Tables.documents(s, dir), "doc_id", "text", k = 5, w = 4),
+      Some("""WITH hh AS (SELECT doc_id,
+             |  [list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    [CAST(ascii(text[i + j - 1]) AS BIGINT) for j in range(1, 6)]),
+             |    (acc, c) -> (acc * 131 + c) % 1000003)
+             |   for i in range(1, length(text) - 3)] AS hs
+             |  FROM documents WHERE length(text) >= 8),
+             |h AS (SELECT doc_id, p.pos AS pos, p.hv AS hv FROM (
+             |  SELECT doc_id,
+             |    unnest([{'pos': i, 'hv': hs[i]} for i in range(1, len(hs) + 1)]) AS p
+             |  FROM hh)),
+             |s AS (SELECT doc_id, pos AS q, mn FROM (
+             |  SELECT doc_id, pos,
+             |    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+             |    max(pos) OVER (PARTITION BY doc_id) AS m
+             |  FROM h) WHERE pos <= m - 3)
+             |SELECT DISTINCT doc_id, fp_pos, fp FROM (
+             |  SELECT h.doc_id, s.q, max(h.pos) AS fp_pos, min(s.mn) AS fp
+             |  FROM h JOIN s ON s.doc_id = h.doc_id AND h.hv = s.mn
+             |    AND h.pos >= s.q AND h.pos <= s.q + 3
+             |  GROUP BY 1, 2)""".stripMargin)
+    )),
+
     // k-core decomposition by bounded-round parallel peeling: every
     // peel deletes the ENTIRE sub-k fringe at once (degree agg + two
     // semi-joins, all keyed on vertex ids), and six rounds replay

@@ -747,4 +747,58 @@ object Dedup {
       .select(col("canonical_id"), col("doc_id").as("best_id"),
         round(col("__score"), 6).as("best_score"), col("cluster_size"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS scheme): per-position k-char rolling
+    * hashes, then from every window of `w` consecutive hashes select
+    * the RIGHTMOST minimum; the distinct (position, hash) selections
+    * are the document's fingerprints. Guarantees every shared
+    * substring of length ≥ k + w − 1 yields at least one shared
+    * fingerprint, at ~2/(w+1) sample density — position-aware (unlike
+    * the bag-of-grams MinHash/SimHash family) yet robust to
+    * insertions, which is why it is the plagiarism-detection
+    * standard.
+    *
+    * All-integer and engine-exact: hash = fold (acc·131 + codepoint)
+    * mod 1000003 — the small modulus keeps every intermediate far
+    * below int64 overflow, which engines with CHECKED arithmetic
+    * refuse to wrap. The rightmost-min selection is RELATIONAL, not
+    * procedural: one doc-keyed window min over the w-following frame
+    * (per window start), then an equi-join back on (doc, hash = frame
+    * min) with a w-wide position band and max(pos) per start —
+    * linear×w intermediate, every shuffle doc- or (doc, hash)-keyed;
+    * docs shorter than k + w − 1 have no full window and drop out.
+    *
+    * Output: (id, fp_pos, fp) distinct — 1-based gram position. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashExpr =
+      s"""transform(sequence(1, length($textCol) - ${k - 1}),
+         |  i -> aggregate(
+         |    transform(sequence(1, $k),
+         |      j -> CAST(ascii(substring($textCol, CAST(i + j - 1 AS INT), 1)) AS BIGINT)),
+         |    CAST(0 AS BIGINT),
+         |    (acc, c) -> (acc * 131 + c) % 1000003))""".stripMargin
+    val h = docs
+      .filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol).as("id"), posexplode(expr(hashExpr)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("hv"))
+    val byDoc = Window.partitionBy("id")
+    val frame = byDoc.orderBy("pos").rowsBetween(0, w - 1)
+    val starts = h
+      .withColumn("mn", min("hv").over(frame))
+      .withColumn("m", max("pos").over(byDoc))
+      .filter(col("pos") <= col("m") - (w - 1))
+      .select(col("id").as("sid"), col("pos").as("q"), col("mn"))
+    h.join(starts,
+        col("id") === col("sid") && col("hv") === col("mn") &&
+          col("pos") >= col("q") && col("pos") <= col("q") + (w - 1))
+      .groupBy(col("id"), col("q"))
+      .agg(max("pos").as("fp_pos"), min("mn").as("fp"))
+      .select(col("id").as(idCol), col("fp_pos"), col("fp"))
+      .distinct()
+  }
 }

@@ -276,4 +276,43 @@ class DedupSpec extends SparkSpec {
       "doc_id", "score").collect().map(_.toSeq).toSet
     assert(a == b)
   }
+  test("winnowFingerprints: a shared >= k+w-1 substring yields a shared fingerprint") {
+    // the winnowing guarantee: any common substring of length >=
+    // k + w - 1 = 8 produces at least one common (hash) selection
+    val docs = Seq(
+      (1L, "xxxxTHEQUICKFOXyyyyyy"),
+      (2L, "aaaaaaaTHEQUICKFOXbbb"),
+      (3L, "zzzzzzzzzzzzzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    val f3 = fps.filter(_._1 == 3L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, "shared substring must share a fingerprint")
+    assert((f1 & f3).isEmpty, "no shared 5-gram, no shared fingerprint")
+  }
+
+  test("winnowFingerprints: short docs drop; gap between selections <= w") {
+    val docs = Seq((1L, "1234567"), (2L, "abcdefghijklmnopqrstuvwxyz0123456789"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!out.exists(_._1 == 1L), "len 7 < k + w - 1 = 8 has no full window")
+    val ps = out.filter(_._1 == 2L).map(_._2).sorted
+    assert(ps.nonEmpty)
+    // every window has a winner, so consecutive selected positions
+    // can be at most w apart
+    assert(ps.zip(ps.tail).forall { case (a, b) => b - a <= 4 })
+  }
+
+  test("winnowFingerprints: deterministic across repartitionings") {
+    val docs = (0L until 20L).map(i => (i, s"prefix${i}sometext${i * 7}suffix"))
+      .toDF("doc_id", "text")
+    val a = Dedup.winnowFingerprints(docs.repartition(7), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.winnowFingerprints(docs.coalesce(1), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
