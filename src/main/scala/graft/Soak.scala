@@ -417,6 +417,33 @@ object Soak {
         Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
           minMatchingFrames = 4)
       },
+      run("winnow_fingerprints") {
+        // MOSS winnowing at 10x: ~13M k-gram hashes from 50k docs
+        // through the frame-min window + min-value equi-join; every
+        // shuffle is doc- or (doc, hash)-keyed
+        Dedup.winnowFingerprints(docs10, "doc_id", "text", k = 5, w = 4)
+      },
+      run("hard_negative_ann") {
+        // the DPR composition at 10x: LSH top-50 dense candidates for
+        // ~135 queries, exact BM25 re-rank ONLY on candidate pairs
+        // (the semi-join precedes the contribution sum)
+        import org.apache.spark.sql.expressions.Window
+        // planes grows with log|corpus| (the rrf_fusion_ann scaladoc
+        // rule): 10 planes = 1024 buckets over 50k vectors
+        val cand = Similarity.lshTopK(emb10,
+            emb10.filter(pmod(col("vec_id"), lit(370L)) === 0),
+            "vec_id", "embedding", k = 50, dims = 64, planes = 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"))
+        val terms = docs10.filter(pmod(col("doc_id"), lit(370L)) === 0)
+          .select(col("doc_id").as("query_id"),
+            explode(slice(split(col("text"), " "), 1, 5)).as("t"))
+          .distinct()
+        Queries.bm25Scores(docs10, terms, Some(cand))
+          .filter(col("doc_id") =!= col("query_id"))
+          .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+            .orderBy(desc("bm25"), asc("doc_id"))))
+          .filter(col("rank") <= 3)
+      },
       run("quantile_normalize") {
         // Cross-source calibration at 10x: both ranks ride the
         // range-partitioned groupedPositions exchanges (never a
