@@ -774,15 +774,20 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 5, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Codepoints materialize ONCE per doc: substring(text, i, 1) walks
+    // the UTF8String from the start to find position i (O(i) bytes), so
+    // hashing via per-position substring is O(n²·k) per document — the
+    // split-to-array form keeps the whole hash pass O(n·k).
     val hashExpr =
       s"""transform(sequence(1, length($textCol) - ${k - 1}),
          |  i -> aggregate(
-         |    transform(sequence(1, $k),
-         |      j -> CAST(ascii(substring($textCol, CAST(i + j - 1 AS INT), 1)) AS BIGINT)),
+         |    slice(__cs, CAST(i AS INT), $k),
          |    CAST(0 AS BIGINT),
          |    (acc, c) -> (acc * 131 + c) % 1000003))""".stripMargin
     val h = docs
       .filter(length(col(textCol)) >= k + w - 1)
+      .withColumn("__cs",
+        expr(s"transform(split($textCol, ''), ch -> CAST(ascii(ch) AS BIGINT))"))
       .select(col(idCol).as("id"), posexplode(expr(hashExpr)))
       .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("hv"))
