@@ -5148,6 +5148,74 @@ object Queries {
              |  GROUP BY 1, 2)""".stripMargin)
     )),
 
+    // MOSS-style pairwise overlap report over winnowing fingerprints:
+    // shared distinct-fingerprint counts + containment per doc pair,
+    // with the df <= 20 hub cap excluding common-vocab fingerprints
+    // BEFORE pairing (the adamicAdar cap, applied to plagiarism
+    // detection). Fixture plants a quote: every 11th doc gains a
+    // digit-heavy per-doc passage, and a "plagiarist" copy of its last
+    // 80 chars (clamped — Spark and DuckDB disagree on negative
+    // substring positions) plus a novel tail; the quoted digits are
+    // pair-unique, so planted pairs surface at shared 4-12 against a
+    // background that tops out at 4.
+    "q_winnow_overlap" -> ((
+      (s: SparkSession, dir: String) => {
+        val marked = Tables.documents(s, dir).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"),
+              lit(" q"), (col("doc_id") * col("doc_id") * lit(1009L)).cast("string"),
+              lit("x"), (col("doc_id") * lit(31L) + lit(7L)).cast("string"),
+              lit("y"), (col("doc_id") * lit(7919L) + lit(3L)).cast("string"),
+              lit("z")))
+            .otherwise(col("text")).as("text"))
+        val copies = marked.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(expr("substring(text, greatest(length(text) - 79, 1), 80)"),
+              lit(" wholly novel tail appended")).as("text"))
+        Dedup.winnowOverlap(marked.unionByName(copies), "doc_id", "text",
+          k = 5, w = 4, maxDf = 20L, minShared = 3L)
+      },
+      Some("""WITH marked AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 11 = 0 THEN text || ' q' || CAST(doc_id * doc_id * 1009 AS VARCHAR)
+             |    || 'x' || CAST(doc_id * 31 + 7 AS VARCHAR) || 'y' || CAST(doc_id * 7919 + 3 AS VARCHAR) || 'z'
+             |  ELSE text END AS text FROM documents),
+             |docs AS (SELECT doc_id, text FROM marked
+             |  UNION ALL
+             |  SELECT doc_id + 10000, substring(text, greatest(length(text) - 79, 1), 80) || ' wholly novel tail appended'
+             |  FROM marked WHERE doc_id % 11 = 0),
+             |hh AS (SELECT doc_id,
+             |  [list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    [CAST(ascii(text[i + j - 1]) AS BIGINT) for j in range(1, 6)]),
+             |    (acc, c) -> (acc * 131 + c) % 1000003)
+             |   for i in range(1, length(text) - 3)] AS hs
+             |  FROM docs WHERE length(text) >= 8),
+             |h AS (SELECT doc_id, p.pos AS pos, p.hv AS hv FROM (
+             |  SELECT doc_id,
+             |    unnest([{'pos': i, 'hv': hs[i]} for i in range(1, len(hs) + 1)]) AS p
+             |  FROM hh)),
+             |s AS (SELECT doc_id, pos AS q, mn FROM (
+             |  SELECT doc_id, pos,
+             |    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+             |    max(pos) OVER (PARTITION BY doc_id) AS m
+             |  FROM h) WHERE pos <= m - 3),
+             |fp0 AS (SELECT DISTINCT doc_id, fp_pos, fp FROM (
+             |  SELECT h.doc_id, s.q, max(h.pos) AS fp_pos, min(s.mn) AS fp
+             |  FROM h JOIN s ON s.doc_id = h.doc_id AND h.hv = s.mn
+             |    AND h.pos >= s.q AND h.pos <= s.q + 3
+             |  GROUP BY 1, 2)),
+             |fps AS (SELECT DISTINCT doc_id AS id, fp FROM fp0),
+             |cnt AS (SELECT id, count(*) AS n_fp FROM fps GROUP BY 1),
+             |dfq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+             |rare AS (SELECT f.id, f.fp FROM fps f JOIN dfq ON dfq.fp = f.fp WHERE dfq.df <= 20),
+             |p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+             |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.id < b.id
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT id_a, id_b, shared,
+             |  round(CAST(shared AS DOUBLE) / CAST(least(ca.n_fp, cb.n_fp) AS DOUBLE), 6) AS containment
+             |FROM p JOIN cnt ca ON ca.id = p.id_a JOIN cnt cb ON cb.id = p.id_b""".stripMargin)
+    )),
+
     // k-core decomposition by bounded-round parallel peeling: every
     // peel deletes the ENTIRE sub-k fringe at once (degree agg + two
     // semi-joins, all keyed on vertex ids), and six rounds replay

@@ -806,4 +806,48 @@ object Dedup {
       .select(col("id").as(idCol), col("fp_pos"), col("fp"))
       .distinct()
   }
+
+  /** MOSS-style pairwise overlap report on winnowing fingerprints:
+    * for every document pair sharing ≥ `minShared` distinct
+    * fingerprint values, the shared count and the containment
+    * fraction shared / min(|fps_a|, |fps_b|) — "how much of the
+    * smaller document is covered by material it shares with the
+    * other". Position-aware overlap (a shared fingerprint witnesses a
+    * shared ≥ k-char substring), which is what distinguishes this
+    * report from the bag-of-grams [[jaccardPairs]].
+    *
+    * Scale posture: pair generation is an equi-join on the
+    * fingerprint VALUE, and fingerprints occurring in more than
+    * `maxDf` documents (license headers, boilerplate — the hub keys)
+    * are excluded from pairing BEFORE the join, so per-key fan-out is
+    * ≤ maxDf² and the join never degenerates into the quadratic hub
+    * bomb ([[graft.operators.Graph.adamicAdar]]'s cap, same move).
+    * Containment denominators use each document's FULL distinct
+    * fingerprint count (pre-cap), so the reported fraction is honest
+    * about coverage. Shuffles: one (id)-keyed distinct + counts, one
+    * (fp)-keyed df agg + join, one pair-keyed count — fingerprints
+    * are ints; document text never shuffles past the first scan. */
+  def winnowOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, w: Int = 4, maxDf: Long = 20L,
+                    minShared: Long = 3L): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val cnt = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
+    val df = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+    val rare = fps.join(df.filter(col("df") <= maxDf), "fp")
+      .select(col("id"), col("fp"))
+    val pairs = rare.as("a")
+      .join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(cnt.as("ca"), col("id_a") === col("ca.id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.id"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("ca.n_fp"), col("cb.n_fp")).cast("double"), 6)
+          .as("containment"))
+  }
 }

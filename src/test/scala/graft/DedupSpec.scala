@@ -315,4 +315,55 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("winnowOverlap: a quoted passage pairs the two docs; containment is exact") {
+    // docs 1 and 2 share a long distinctive run; doc 3 is disjoint
+    val quote = "THEQUICKBROWNFOXJUMPSOVER13LAZYDOGS"
+    val docs = Seq(
+      (1L, s"aaaa$quote aaaa"),
+      (2L, s"bbbbbbbb$quote bbbbbbbb"),
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowOverlap(docs, "doc_id", "text",
+      k = 5, w = 4, maxDf = 20L, minShared = 1L).collect()
+    val pair = out.filter(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.length == 1, s"expected exactly the (1,2) pair, got ${out.mkString(",")}")
+    val shared = pair.head.getLong(2)
+    assert(shared >= 3, "a 35-char shared run selects several fingerprints")
+    // recompute containment from the fingerprint table
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val n1 = fps.filter(_._1 == 1L).map(_._2).toSet.size
+    val n2 = fps.filter(_._1 == 2L).map(_._2).toSet.size
+    val expect = BigDecimal(shared.toDouble / math.min(n1, n2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(pair.head.getDouble(3) - expect) < 1e-9)
+    assert(!out.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("winnowOverlap: the df cap excludes boilerplate fingerprints from pairing") {
+    // the same license header in every doc; unique bodies. With
+    // maxDf = 2 the header fingerprints (df = 4) cannot pair anything.
+    val header = "COPYRIGHTNOTICEALLRIGHTSRESERVED2026"
+    val docs = (1L to 4L).map(i =>
+      (i, s"$header body${i * 7919}x${i * i * 1009}y${i * 31 + 7}z"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowOverlap(docs, "doc_id", "text",
+      k = 5, w = 4, maxDf = 2L, minShared = 1L).collect()
+    assert(capped.isEmpty, s"df-capped: ${capped.mkString(",")}")
+    val uncapped = Dedup.winnowOverlap(docs, "doc_id", "text",
+      k = 5, w = 4, maxDf = 100L, minShared = 1L).collect()
+    assert(uncapped.length == 6, "without the cap all 6 header pairs appear")
+  }
+
+  test("winnowOverlap: deterministic across repartitionings") {
+    val docs = (0L until 24L).map(i =>
+      (i, s"sharedcorpusprefix${i % 3}midsection${i * 7919}tail"))
+      .toDF("doc_id", "text")
+    val a = Dedup.winnowOverlap(docs.repartition(7), "doc_id", "text",
+      maxDf = 30L, minShared = 1L).collect().map(_.toSeq).toSet
+    val b = Dedup.winnowOverlap(docs.coalesce(1), "doc_id", "text",
+      maxDf = 30L, minShared = 1L).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
