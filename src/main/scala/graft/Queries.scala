@@ -5216,6 +5216,42 @@ object Queries {
              |FROM p JOIN cnt ca ON ca.id = p.id_a JOIN cnt cb ON cb.id = p.id_b""".stripMargin)
     )),
 
+    // Ed-Join bounded edit-distance self-join: the Spark side runs the
+    // REAL prefix-filtered algorithm (q·d+1 rarest occurrence-keyed
+    // q-grams per doc generate candidates; exact levenshtein verifies),
+    // while the oracle brute-forces the |Δlen| <= maxDist band — so
+    // the hash compare IS the Ed-Join recall proof. Fixture: every
+    // 10th doc gains a one-substitution twin (dist 1) and a
+    // delete-then-append twin (dist 2); the word-salad background
+    // contributes no pairs.
+    "q_edit_distance_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("text"))
+        val sub = base.select((col("doc_id") + 20000).as("doc_id"),
+          concat(expr("substring(text, 1, 10)"), lit("Q"),
+            expr("substring(text, 12, length(text))")).as("text"))
+        val del = base.select((col("doc_id") + 30000).as("doc_id"),
+          concat(expr("substring(text, 1, 5)"),
+            expr("substring(text, 7, length(text))"), lit("Z")).as("text"))
+        Dedup.editDistancePairs(base.unionByName(sub).unionByName(del),
+          "doc_id", "text", maxDist = 2, q = 3)
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+             |sub AS (SELECT doc_id + 20000 AS doc_id,
+             |  substring(text, 1, 10) || 'Q' || substring(text, 12, length(text)) AS text FROM base),
+             |del AS (SELECT doc_id + 30000 AS doc_id,
+             |  substring(text, 1, 5) || substring(text, 7, length(text)) || 'Z' AS text FROM base),
+             |docs AS (SELECT * FROM base UNION ALL SELECT * FROM sub UNION ALL SELECT * FROM del)
+             |SELECT id_a, id_b, dist FROM (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+             |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+             |    AND abs(length(a.text) - length(b.text)) <= 2)
+             |WHERE dist <= 2""".stripMargin)
+    )),
+
     // k-core decomposition by bounded-round parallel peeling: every
     // peel deletes the ENTIRE sub-k fringe at once (degree agg + two
     // semi-joins, all keyed on vertex ids), and six rounds replay

@@ -807,6 +807,79 @@ object Dedup {
       .distinct()
   }
 
+  /** Bounded edit-distance similarity self-join (Ed-Join — Xiao, Wang
+    * & Lin, "Ed-Join: An Efficient Algorithm for Similarity Joins With
+    * Edit Distance Constraints", VLDB 2008): all pairs with
+    * levenshtein ≤ `maxDist`, exactly. A single edit destroys at most
+    * `q` of a string's positional q-grams, so two strings within
+    * `maxDist` edits share all but q·maxDist of the SMALLER multiset —
+    * under any global total order on grams, each string's first
+    * q·maxDist + 1 grams (its prefix) must hit the intersection.
+    * Candidates therefore come from an equi-join on a CONSTANT-size
+    * per-doc prefix of the q·d+1 globally RAREST grams (occurrence
+    * ordinals turn the multiset into a set), plus the |Δlen| ≤ maxDist
+    * band; every candidate is then verified with one exact
+    * `levenshtein` call. The character-edit geometry catches what the
+    * bag-of-grams family can't see: OCR noise, typo variants,
+    * single-field mutations.
+    *
+    * Scale posture: the prefix is q·maxDist + 1 grams per doc
+    * REGARDLESS of length, and the rarity order pushes hub grams
+    * (stopword fragments — the df² blowup) out of every prefix, so the
+    * candidate join shuffles (gram, id, len) triples keyed on rare
+    * grams only; document text moves exactly twice — into the two
+    * sides of the candidate verification join. The length band is
+    * checked inside the join condition, before any text is touched.
+    * NAMED caveat: the prefix guarantee needs min(|G_a|, |G_b|) >
+    * q·maxDist, i.e. length ≥ q·(maxDist + 1); shorter strings keep
+    * ALL their grams in the prefix but two sub-threshold strings can
+    * be within maxDist while sharing zero q-grams (e.g. "ab" vs "ba",
+    * q = 3 — no grams at all), so recall below that length is not
+    * guaranteed. Strings shorter than q are dropped outright. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 2, q: Int = 3): DataFrame = {
+    val prefixLen = q * maxDist + 1
+    val d = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= q)
+    // positional q-grams via one char-array materialization (the
+    // winnowFingerprints lesson: per-position substring() re-walks the
+    // UTF8String — O(n²) per doc; slice + concat_ws is O(n·q))
+    val grams = d
+      .withColumn("__chs", split(col("t"), ""))
+      .select(col("id"), length(col("t")).as("len"), posexplode(expr(
+        s"transform(sequence(1, length(t) - ${q - 1}), " +
+          s"i -> concat_ws('', slice(__chs, CAST(i AS INT), $q)))")))
+      .select(col("id"), col("len"), col("col").as("g"))
+    // occurrence-ordinal keys: the i-th copy of gram g becomes "g#i",
+    // making multiset intersection a plain set intersection
+    val keyed = grams.groupBy("id", "len", "g")
+      .agg(count(lit(1)).cast("int").as("cnt"))
+      .select(col("id"), col("len"), col("g"),
+        explode(expr("sequence(1, cnt)")).as("ord"))
+      .select(col("id"), col("len"),
+        concat(col("g"), lit("#"), col("ord")).as("gk"))
+    val dfreq = keyed.groupBy("gk").agg(count(lit(1)).as("df_g"))
+    val prefixes = keyed.join(dfreq, "gk")
+      .groupBy("id", "len")
+      .agg(sort_array(collect_list(struct(col("df_g"), col("gk")))).as("ord"))
+      .select(col("id"), col("len"),
+        explode(slice(col("ord"), 1, prefixLen)).as("p"))
+      .select(col("id"), col("len"), col("p.gk").as("gk"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.gk") === col("b.gk") && col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(d.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(d.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** MOSS-style pairwise overlap report on winnowing fingerprints:
     * for every document pair sharing ≥ `minShared` distinct
     * fingerprint values, the shared count and the containment

@@ -356,6 +356,65 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.length == 6, "without the cap all 6 header pairs appear")
   }
 
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  test("editDistancePairs: equals the brute-force join on an edit-heavy corpus") {
+    // 12 base strings, each with a substitution, a deletion + append,
+    // and an unrelated sibling — dense enough that prefix filtering
+    // must prove its recall against brute force
+    val base = (0 until 12).map(i => s"the rain in spain falls mainly ${i * 7919} on the plain")
+    val rows = base.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i * 10L, t),
+        (i * 10L + 1, t.updated(4, 'X').toString),
+        (i * 10L + 2, t.substring(0, 8) + t.substring(9) + "Z"),
+        (i * 10L + 3, s"utterly different content number ${i * 104729}"))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 2, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows
+      if ia < ib && math.abs(ta.length - tb.length) <= 2
+      d = lev(ta, tb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.size >= 24, "every base pairs with its two variants")
+  }
+
+  test("editDistancePairs: exact distances; strings shorter than q drop") {
+    val docs = Seq(
+      (1L, "abcdefghijkl"), (2L, "abcQefghijkl"), (3L, "abdefghijklZ"),
+      (4L, "ab"), (5L, "ba")).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 2, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 2L)) == 1, "one substitution")
+    assert(out((1L, 3L)) == 2, "delete + append")
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L),
+      "len < q strings are dropped (named caveat)")
+  }
+
+  test("editDistancePairs: deterministic across repartitionings") {
+    val docs = (0L until 30L).map(i =>
+      (i, s"record number ${i / 3} payload ${i % 3} tail")).toDF("doc_id", "text")
+    val a = Dedup.editDistancePairs(docs.repartition(7), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.editDistancePairs(docs.coalesce(1), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("winnowOverlap: deterministic across repartitionings") {
     val docs = (0L until 24L).map(i =>
       (i, s"sharedcorpusprefix${i % 3}midsection${i * 7919}tail"))
