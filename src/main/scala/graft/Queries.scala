@@ -2614,6 +2614,45 @@ object Queries {
              |FROM p GROUP BY doc_id""".stripMargin)
     )),
 
+    // Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
+    // & Goodman 1998) — the smoothing KenLM defaults to and the CCNet
+    // perplexity filter actually runs: discounted bigram mass
+    // interpolated with the CONTINUATION probability
+    // N1+(.w2)/N1+(..), which demotes frequent-but-narrow words
+    // ("francisco"). D = 0.75 is exact in binary; every per-bigram p
+    // is a fixed-shape IEEE expression over exact integer counts,
+    // unseen contexts fall back to the bare continuation probability
+    // and unseen words to the 1/(N1+(..) + V) floor — all mirrored
+    // here, and the roll-up is the house sorted left fold.
+    "q_kn_lm_score" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val model = operators.NgramLM.fitKN(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+        operators.NgramLM.scoreKN(docs, "doc_id", "text", model)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |iw AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) i FROM w WHERE len(ws) >= 2),
+             |bg AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2 FROM iw),
+             |c12 AS (SELECT w1, w2, count(*) c12 FROM bg WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+             |cx AS (SELECT w1, sum(c12) c1, count(*) n1f FROM c12 GROUP BY 1),
+             |cn AS (SELECT w2, count(*) n1p FROM c12 GROUP BY 1),
+             |nt AS (SELECT count(*) nt FROM c12),
+             |v AS (SELECT count(DISTINCT tok) v FROM (SELECT unnest(ws) tok FROM w WHERE doc_id % 10 = 0)),
+             |p AS (SELECT bg.doc_id,
+             |  CASE WHEN cx.c1 IS NOT NULL THEN
+             |    greatest(CAST(COALESCE(c12.c12, 0) AS DOUBLE) - 0.75, 0.0) / CAST(cx.c1 AS DOUBLE)
+             |    + (0.75 * CAST(cx.n1f AS DOUBLE) / CAST(cx.c1 AS DOUBLE)) *
+             |      COALESCE(CAST(cn.n1p AS DOUBLE) / CAST(nt.nt AS DOUBLE), 1.0 / CAST(nt.nt + v.v AS DOUBLE))
+             |  ELSE COALESCE(CAST(cn.n1p AS DOUBLE) / CAST(nt.nt AS DOUBLE), 1.0 / CAST(nt.nt + v.v AS DOUBLE))
+             |  END AS p
+             |  FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN cx USING (w1) LEFT JOIN cn USING (w2)
+             |  CROSS JOIN nt CROSS JOIN v)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(list_sum(list_sort(list(p))) / CAST(count(*) AS DOUBLE), 6) AS avg_kn_prob
+             |FROM p GROUP BY doc_id""".stripMargin)
+    )),
+
     // Hashed bag-of-words features (the DSIR/fastText hashing trick):
     // dense 16-bucket md5-hashed token counts per document, computed in
     // ONE codegen'd map-side pass — the featurizer for cheap linear

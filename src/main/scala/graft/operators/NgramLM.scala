@@ -86,6 +86,77 @@ object NgramLM {
           col("n_bigrams").cast("double"), 6).as("avg_prob"))
   }
 
+  /** Interpolated Kneser–Ney model state: bigram counts, per-context
+    * totals c(w1·) with distinct-follower counts N1+(w1·), per-word
+    * distinct-predecessor counts N1+(·w2), the distinct-bigram-type
+    * total N1+(··) and the vocabulary size. The two scalars are
+    * bounded model state (two longs to the driver); the tables are
+    * vocabulary-sized. */
+  final case class KNModel(bigrams: DataFrame, contexts: DataFrame,
+                           continuations: DataFrame, nTypes: Long,
+                           vocabSize: Long)
+
+  /** Fit interpolated Kneser–Ney bigram statistics (Kneser & Ney 1995;
+    * Chen & Goodman 1998 — the KenLM default, and the smoothing the
+    * CCNet perplexity filter actually runs). Everything derives from
+    * ONE bigram-type aggregation: c(w1·) and N1+(w1·) roll up from the
+    * type table (map-side partials on token keys), as does N1+(·w2). */
+  def fitKN(reference: DataFrame, idCol: String, textCol: String): KNModel = {
+    val bigrams = bigramTable(reference, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val contexts = bigrams.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
+    val continuations = bigrams.groupBy("w2")
+      .agg(count(lit(1)).as("n1p"))
+    val nTypes = bigrams.count()
+    val vocab = reference
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    KNModel(bigrams, contexts, continuations, nTypes, vocab)
+  }
+
+  /** Per-document interpolated Kneser–Ney score:
+    * (id, n_bigrams, avg_kn_prob), the mean of per-bigram
+    *   p(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · p_cont(w2)
+    * with p_cont(w2) = N1+(·w2)/N1+(··) — the continuation probability
+    * that makes KN the standard: "Francisco" is frequent but follows
+    * almost nothing, so its backoff weight is tiny. D = 0.75 (exact in
+    * binary — the discount arithmetic is bit-reproducible). Unseen
+    * CONTEXTS score the bare continuation probability; unseen WORDS
+    * score the 1/(N1+(··) + V) floor — both choices are deliberate
+    * (the scoring filter needs a total, deterministic function, not a
+    * normalized sampler) and mirrored in the oracle. Per-bigram p is a
+    * fixed-shape IEEE expression over exact integer counts; the
+    * roll-up is the house left fold over the sorted list.
+    *
+    * Scale shape identical to [[score]]: three equi-joins against
+    * vocabulary-sized count tables (AQE broadcasts them when small) +
+    * one per-doc aggregation. */
+  def scoreKN(docs: DataFrame, idCol: String, textCol: String,
+              model: KNModel, discount: Double = 0.75): DataFrame = {
+    val d = lit(discount)
+    val pcont: Column = coalesce(
+      col("n1p").cast("double") / lit(model.nTypes).cast("double"),
+      lit(1.0) / lit(model.nTypes + model.vocabSize).cast("double"))
+    val p: Column = when(col("c1").isNotNull,
+      greatest(coalesce(col("c12"), lit(0L)).cast("double") - d, lit(0.0)) /
+        col("c1").cast("double") +
+        (d * col("n1f").cast("double") / col("c1").cast("double")) * pcont)
+      .otherwise(pcont)
+    bigramTable(docs, idCol, textCol)
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.contexts, Seq("w1"), "left")
+      .join(model.continuations, Seq("w2"), "left")
+      .withColumn("p", p)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(col("p"))).as("ps"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        round(expr("aggregate(ps, cast(0 as double), (acc, x) -> acc + x)") /
+          col("n_bigrams").cast("double"), 6).as("avg_kn_prob"))
+  }
+
   /** PMI collocation mining (phrase detection): the top-k adjacent
     * word pairs by pointwise mutual information,
     * pmi = ln( p(w1,w2) / (p(w1)·p(w2)) ) with p from corpus-wide

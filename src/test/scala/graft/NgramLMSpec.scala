@@ -65,4 +65,52 @@ class NgramLMSpec extends SparkSpec {
     assert(out.length <= 2)
     assert(out.forall(_.getLong(2) >= 7L))
   }
+
+  test("fitKN + scoreKN: interpolated Kneser-Ney, hand-computed") {
+    // reference "a b a c": bigram types (a,b),(b,a),(a,c) each once;
+    // contexts a:(c1=2,n1f=2) b:(1,1); continuations b:1,a:1,c:1;
+    // N1+(..)=3, V=3
+    val ref = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val m = NgramLM.fitKN(ref, "doc_id", "text")
+    assert(m.nTypes == 3L && m.vocabSize == 3L)
+    val docs = Seq(
+      (1L, "a b"),  // seen: max(1-.75,0)/2 + (.75*2/2)*(1/3) = 0.375
+      (2L, "z b"),  // unseen context: pcont(b) = 1/3
+      (3L, "z q"),  // unseen word too: 1/(3+3)
+      (4L, "a z")   // seen context, unseen word: 0 + (.75*2/2)*(1/6) = 0.125
+    ).toDF("doc_id", "text")
+    val out = NgramLM.scoreKN(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out(1L) - 0.375) < 1e-9)
+    assert(math.abs(out(2L) - 0.333333) < 1e-9)
+    assert(math.abs(out(3L) - 0.166667) < 1e-9)
+    assert(math.abs(out(4L) - 0.125) < 1e-9)
+  }
+
+  test("scoreKN: continuation probability demotes high-count narrow-context words") {
+    // "francisco" appears often but ONLY after "san"; "the" appears in
+    // many contexts. After an unseen context, KN must prefer "the".
+    val ref = Seq((0L,
+      "san francisco san francisco san francisco san francisco " +
+        "the cat the dog the bird a the b the c the")).toDF("doc_id", "text")
+    val m = NgramLM.fitKN(ref, "doc_id", "text")
+    val docs = Seq((1L, "zzz the"), (2L, "zzz francisco")).toDF("doc_id", "text")
+    val out = NgramLM.scoreKN(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(2L),
+      s"many-context 'the' (${out(1L)}) must outscore narrow 'francisco' (${out(2L)})")
+  }
+
+  test("scoreKN: deterministic across repartitionings") {
+    val ref = (0L until 40L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11}"))
+      .toDF("doc_id", "text")
+    val docs = (100L until 140L).map(i => (i, s"tok${i % 11} tok${i % 7} tok${i % 13}"))
+      .toDF("doc_id", "text")
+    val m = NgramLM.fitKN(ref, "doc_id", "text")
+    val a = NgramLM.scoreKN(docs.repartition(7), "doc_id", "text", m)
+      .collect().map(_.toSeq).toSet
+    val b = NgramLM.scoreKN(docs.coalesce(1), "doc_id", "text", m)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
