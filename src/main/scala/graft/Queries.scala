@@ -2653,6 +2653,50 @@ object Queries {
              |FROM p GROUP BY doc_id""".stripMargin)
     )),
 
+    // Multinomial naive Bayes language routing: priors + add-one token
+    // likelihoods fit on the doc_id % 10 == 0 slice, argmax posterior
+    // per document. The corpus shares ONE vocabulary across langs, so
+    // the fixture plants two per-lang marker tokens per doc (the
+    // q_code_switch discipline) — the classifier must actually learn
+    // them. Every ln() is rounded to 9 decimals AT BIRTH (ln is not
+    // IEEE-correctly-rounded; round-9 absorbs the cross-engine ulp),
+    // sums are the house sorted fold, ranking uses the round-6 score
+    // with the class tie-break.
+    "q_naive_bayes" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" m"), col("lang"), lit(" m"), col("lang"))
+            .as("text"))
+        operators.Classifier.naiveBayes(
+          d.filter(pmod(col("doc_id"), lit(10)) === 0).select(
+            col("lang").as("label"), col("text")),
+          d, "doc_id", "text", "label")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, text || ' m' || lang || ' m' || lang AS text FROM documents),
+             |tr AS (SELECT lang AS cls, text FROM d WHERE doc_id % 10 = 0),
+             |trtok AS (SELECT cls, unnest(string_split(text, ' ')) t FROM tr),
+             |nd AS (SELECT count(*) n FROM tr),
+             |v AS (SELECT count(DISTINCT t) v FROM trtok),
+             |cl AS (SELECT cls, count(*) n_docs FROM tr GROUP BY 1),
+             |tok AS (SELECT cls, t, count(*) ctc FROM trtok GROUP BY 1, 2),
+             |ctab AS (SELECT cl.cls,
+             |    round(ln(CAST(cl.n_docs AS DOUBLE) / CAST(nd.n AS DOUBLE)), 9) AS prior_ll,
+             |    tc.tc + v.v AS denom
+             |  FROM cl JOIN (SELECT cls, sum(ctc) tc FROM tok GROUP BY 1) tc USING (cls)
+             |  CROSS JOIN nd CROSS JOIN v),
+             |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM d),
+             |sc AS (SELECT dt.doc_id, ctab.cls, ctab.prior_ll,
+             |    round(ln(CAST(COALESCE(tok.ctc, 0) + 1 AS DOUBLE) / CAST(ctab.denom AS DOUBLE)), 9) AS ll
+             |  FROM dt CROSS JOIN ctab LEFT JOIN tok ON tok.cls = ctab.cls AND tok.t = dt.t),
+             |agg AS (SELECT doc_id, cls, prior_ll,
+             |    round(prior_ll + list_sum(list_sort(list(ll))), 6) AS score
+             |  FROM sc GROUP BY 1, 2, 3)
+             |SELECT doc_id, cls AS pred, score FROM (
+             |  SELECT doc_id, cls, score, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY score DESC, cls ASC) rn FROM agg)
+             |WHERE rn = 1""".stripMargin)
+    )),
+
     // Hashed bag-of-words features (the DSIR/fastText hashing trick):
     // dense 16-bucket md5-hashed token counts per document, computed in
     // ONE codegen'd map-side pass — the featurizer for cheap linear

@@ -78,4 +78,63 @@ object Classifier {
       out.result()
     } finally base.unpersist()
   }
+
+  /** Multinomial naive Bayes text classification (train + predict in
+    * one plan) — the generative counterpart to the perceptron: class
+    * priors and add-one-smoothed per-class token likelihoods from a
+    * labeled corpus, then argmax_c [ ln p(c) + Σ_t ln p(t|c) ] per
+    * document. The workhorse for cheap source/language/domain routing
+    * where a linear model is already too much machinery.
+    *
+    * Determinism discipline: `ln` is NOT correctly-rounded by IEEE, so
+    * engines may differ in the last ulp — every per-token and prior
+    * log-likelihood is therefore rounded to 9 decimals AT BIRTH (a
+    * 1-ulp input difference survives the rounding only within ~1e-15
+    * of a boundary), after which the per-document sum is the house
+    * left fold over the SORTED ll list — bit-identical across engines
+    * and partitionings — and ranking uses the round-6 score with the
+    * class name as tie-break.
+    *
+    * Scale shape: training is two token-keyed count aggregations
+    * (map-side partials); the class table (prior + denominator per
+    * class) is literally #classes rows — broadcast; scoring cross-
+    * joins each token against that broadcast, left-joins the
+    * (class, token) likelihood table (vocabulary-sized — AQE
+    * broadcasts it when small), and rolls up per document. Driver
+    * state: two scalars (doc total, vocabulary size) — the bounded
+    * model state discipline. */
+  def naiveBayes(train: DataFrame, docs: DataFrame, idCol: String,
+                 textCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val trTok = train.select(col(labelCol).as("cls"),
+      explode(split(col(textCol), " ")).as("t"))
+    val nDocs = train.count()
+    val vocab = trTok.agg(countDistinct(col("t"))).head().getLong(0)
+    val cls = train.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tok = trTok.groupBy("cls", "t").agg(count(lit(1)).as("ctc"))
+    val classTable = cls
+      .join(tok.groupBy("cls").agg(sum("ctc").as("tc")), "cls")
+      .select(col("cls"),
+        round(log(col("n_docs").cast("double") / lit(nDocs).cast("double")), 9)
+          .as("prior_ll"),
+        (col("tc") + lit(vocab)).as("denom"))
+    val dt = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("t"))
+    val scored = dt
+      .crossJoin(broadcast(classTable))
+      .join(tok, Seq("cls", "t"), "left")
+      .withColumn("ll",
+        round(log((coalesce(col("ctc"), lit(0L)) + 1L).cast("double") /
+          col("denom").cast("double")), 9))
+      .groupBy("id", "cls", "prior_ll")
+      .agg(sort_array(collect_list(col("ll"))).as("lls"))
+      .select(col("id"), col("cls"),
+        round(col("prior_ll") +
+          expr("aggregate(lls, cast(0 as double), (acc, x) -> acc + x)"), 6)
+          .as("score"))
+    val w = Window.partitionBy("id").orderBy(desc("score"), asc("cls"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id").as(idCol), col("cls").as("pred"), col("score"))
+  }
 }

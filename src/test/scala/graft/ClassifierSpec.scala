@@ -54,4 +54,50 @@ class ClassifierSpec extends SparkSpec {
       rows.toDF("x", "y").coalesce(1), col("x"), col("y"), 3, 3)
     assert(a === b, "integer gradients must not depend on partitioning")
   }
+
+  test("naiveBayes: hand-computed two-class scores and argmax") {
+    // train: spam = "buy now", ham = "hello friend hello".
+    // N=2, V=4. spam: T=2, ham: T=3.
+    // score("hello", spam) = ln(1/2) + ln((0+1)/(2+4))
+    // score("hello", ham)  = ln(1/2) + ln((2+1)/(3+4))
+    val train = Seq(("spam", "buy now"), ("ham", "hello friend hello"))
+      .toDF("label", "text")
+    val docs = Seq((1L, "hello"), (2L, "buy")).toDF("doc_id", "text")
+    val out = Classifier.naiveBayes(train, docs, "doc_id", "text", "label")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == "ham" && out(2L)._1 == "spam")
+    def ll(x: Double) = BigDecimal(math.log(x))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected1 = BigDecimal(ll(0.5) + ll(3.0 / 7.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1L)._2 - expected1) < 1e-9)
+  }
+
+  test("naiveBayes: OOV tokens hit the add-one floor, ties break by class name") {
+    val train = Seq(("a", "x y"), ("b", "x y")).toDF("label", "text")
+    val docs = Seq((1L, "zzz")).toDF("doc_id", "text")
+    val out = Classifier.naiveBayes(train, docs, "doc_id", "text", "label").collect()
+    // symmetric classes -> identical scores -> class "a" wins the tie
+    assert(out.length == 1 && out.head.getString(1) == "a")
+  }
+
+  test("naiveBayes: planted class markers dominate; deterministic across partitionings") {
+    val train = (0L until 60L).map { i =>
+      val c = if (i % 2 == 0) "red" else "blue"
+      (c, s"noise${i % 7} filler${i % 5} marker$c marker$c")
+    }.toDF("label", "text")
+    val docs = (0L until 40L).map { i =>
+      val c = if (i % 2 == 0) "red" else "blue"
+      (i, s"noise${i % 7} filler${(i + 1) % 5} marker$c")
+    }.toDF("doc_id", "text")
+    val preds = Classifier.naiveBayes(train, docs, "doc_id", "text", "label")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L until 40L).forall(i =>
+      preds(i) == (if (i % 2 == 0) "red" else "blue")))
+    val a = Classifier.naiveBayes(train.repartition(7), docs.repartition(5),
+      "doc_id", "text", "label").collect().map(_.toSeq).toSet
+    val b = Classifier.naiveBayes(train.coalesce(1), docs.coalesce(1),
+      "doc_id", "text", "label").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
