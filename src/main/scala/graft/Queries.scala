@@ -5369,6 +5369,41 @@ object Queries {
       }
     )),
 
+    // Synchronous label propagation (Raghavan-Albert-Kumara) made
+    // deterministic: most-frequent neighbor label, ties to the
+    // SMALLEST, exactly 4 synchronous rounds from self-labels — the
+    // async/random variant converges faster but is irreproducible by
+    // construction. Same fixture and MATERIALIZED per-round CTE
+    // replay as q_kcore; the argmax is a row_number window in SQL and
+    // a max(struct(cnt, -lbl)) in Spark — identical total orders.
+    "q_label_propagation" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(13L)) < 2)
+          .select(pmod(col("o_custkey"), lit(300L)).as("src"),
+            pmod(col("o_orderkey"), lit(300L)).as("dst"))
+        operators.Graph.labelPropagation(e, rounds = 4)
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""c$i AS MATERIALIZED (SELECT und.a AS id, l.lbl AS nlbl, count(*) AS cnt
+             |  FROM und JOIN l${i - 1} l ON l.id = und.b GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (SELECT id, nlbl AS lbl FROM (
+             |  SELECT id, nlbl, row_number() OVER (
+             |    PARTITION BY id ORDER BY cnt DESC, nlbl ASC) AS rn FROM c$i)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH raw AS (SELECT o_custkey % 300 AS s, o_orderkey % 300 AS t
+           |  FROM orders WHERE o_orderkey % 13 < 2),
+           |und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+           |  SELECT s AS a, t AS b FROM raw WHERE s <> t
+           |  UNION ALL SELECT t, s FROM raw WHERE s <> t)),
+           |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM und),
+           |$rounds
+           |SELECT id, lbl AS community FROM l4""".stripMargin
+      }
+    )),
+
     // Weekly cohort retention over the event stream: entities keyed to
     // their first active ISO week, exact distinct-activity counts per
     // (cohort, week-offset) cell. Both engines truncate weeks to the

@@ -238,6 +238,59 @@ object Graph {
     degrees(cur).select(col("x").as("id"), col("d").as("core_deg"))
   }
 
+  /** Synchronous label propagation community detection (Raghavan,
+    * Albert & Kumara 2007), made deterministic: every node starts
+    * labeled with its own id, and each round relabels EVERY node with
+    * the most frequent label among its neighbors, ties broken by the
+    * SMALLEST label — run for exactly `rounds` synchronous rounds.
+    * The async/random-order variant of the paper converges faster but
+    * is irreproducible by construction; the synchronous fixed-round
+    * form replays exactly in SQL (materialized per-round CTEs, the
+    * kCore discipline). Dense communities collapse onto their minimum
+    * id within a few rounds; the known bipartite-oscillation property
+    * of synchronous LPA is harmless under a fixed round count and
+    * identical in both engines. Output: (id, community).
+    *
+    * Scale shape: the input symmetrizes once (both directions,
+    * distinct); each round is ONE join of the undirected edge list
+    * against current labels on the neighbor key plus two id-keyed
+    * aggregations (label counts, then an argmax via max(struct) — no
+    * window). Labels are single longs per node — the per-round
+    * shuffle carries (id, label, count) triples, never adjacency
+    * lists. `checkpointInterval` bounds plan depth exactly as in
+    * [[pageRank]]. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4,
+                       checkpointInterval: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of range")
+    import graft.core.Checkpoints
+    val dir0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val (und, _) = Checkpoints.eager(
+      dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var lblIds = Seq.empty[Int]
+    for (r <- 1 to rounds) {
+      val next = und
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("id"), col("nlbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        .agg(max(struct(col("cnt"), (-col("nlbl")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("lbl"))
+      if (r % checkpointInterval == 0 && r < rounds) {
+        val (ck, ckIds) = Checkpoints.eager(next)
+        Checkpoints.free(labels, lblIds)
+        labels = ck
+        lblIds = ckIds
+      } else {
+        labels = next
+      }
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Adamic–Adar link prediction: for every non-adjacent vertex pair
     * (u, v) sharing at least one neighbor, score = Σ_z 1/ln(deg(z))
     * over the common neighbors z — the classic common-neighbor

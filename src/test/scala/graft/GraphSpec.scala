@@ -167,4 +167,32 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("labelPropagation: disjoint cliques collapse onto their minimum id") {
+    val clique1 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val clique2 = for (i <- 10L to 13L; j <- 10L to 13L if i < j) yield (i, j)
+    val out = Graph.labelPropagation((clique1 ++ clique2).toDF("src", "dst"),
+      rounds = 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(out(_) == 0L), s"clique1: $out")
+    assert((10L to 13L).forall(out(_) == 10L), s"clique2: $out")
+  }
+
+  test("labelPropagation: orientation-invariant (symmetrized internally)") {
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 9L), (9L, 7L))
+    val rev = fwd.map(_.swap)
+    val a = Graph.labelPropagation(fwd.toDF("src", "dst"), rounds = 3)
+      .collect().map(_.toSeq).toSet
+    val b = Graph.labelPropagation(rev.toDF("src", "dst"), rounds = 3)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("labelPropagation: deterministic across repartitionings") {
+    val edges = (1L to 80L).map(i => (i, (i * 13) % 80 + 1))
+    val a = Graph.labelPropagation(edges.toDF("src", "dst").repartition(11), rounds = 4)
+      .collect().map(_.toSeq).toSet
+    val b = Graph.labelPropagation(edges.toDF("src", "dst").coalesce(1), rounds = 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
