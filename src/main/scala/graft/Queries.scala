@@ -2697,6 +2697,70 @@ object Queries {
              |WHERE rn = 1""".stripMargin)
     )),
 
+    // BLEU-4 + ROUGE-1/2 generation eval (Papineni 2002; Lin 2004):
+    // candidate = first 4/5 of each doc's words + two novel tokens,
+    // reference = the doc — exercising clipping, sub-1 precisions AND
+    // the brevity penalty. Precisions/recalls are exact-rational
+    // round-6; BLEU composes exp/ln (not IEEE-correctly-rounded) and
+    // is rounded to FOUR decimals — the 5e-5 boundary spacing makes a
+    // cross-engine ulp collision ~1e-11 per row.
+    "q_bleu_rouge" -> ((
+      (s: SparkSession, dir: String) => {
+        val prs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            concat(concat_ws(" ",
+              expr("slice(ws, 1, greatest((size(ws)*4) div 5, 1))")),
+              lit(" zqx zqy")).as("cand"),
+            col("text").as("ref"))
+        operators.Eval.bleuRouge(prs, "doc_id", "cand", "ref")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents),
+             |pr AS (SELECT doc_id,
+             |  array_to_string(ws[1:greatest((len(ws)*4)//5, 1)], ' ') || ' zqx zqy' AS cand,
+             |  text AS ref FROM d),
+             |cw AS (SELECT doc_id, string_split(cand, ' ') ws FROM pr),
+             |rw AS (SELECT doc_id, string_split(ref, ' ') ws FROM pr),
+             |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+             |cg AS (SELECT doc_id, n, g, count(*) cc FROM (
+             |  SELECT cw.doc_id, ns.n,
+             |    unnest([array_to_string(ws[i:i+ns.n-1], ' ') for i in range(1, len(ws)-ns.n+2)]) AS g
+             |  FROM cw CROSS JOIN ns WHERE len(ws) >= ns.n) GROUP BY 1, 2, 3),
+             |rg AS (SELECT doc_id, n, g, count(*) rc FROM (
+             |  SELECT rw.doc_id, ns.n,
+             |    unnest([array_to_string(ws[i:i+ns.n-1], ' ') for i in range(1, len(ws)-ns.n+2)]) AS g
+             |  FROM rw CROSS JOIN ns WHERE len(ws) >= ns.n) GROUP BY 1, 2, 3),
+             |j AS (SELECT COALESCE(cg.doc_id, rg.doc_id) doc_id, COALESCE(cg.n, rg.n) n,
+             |    sum(least(COALESCE(cc, 0), COALESCE(rc, 0))) clip,
+             |    sum(COALESCE(cc, 0)) tc, sum(COALESCE(rc, 0)) tr
+             |  FROM cg FULL OUTER JOIN rg
+             |    ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g
+             |  GROUP BY 1, 2),
+             |w AS (SELECT doc_id,
+             |    max(CASE WHEN n = 1 THEN tc END) lc, max(CASE WHEN n = 1 THEN tr END) lr,
+             |    max(CASE WHEN n = 1 THEN clip END) c1, max(CASE WHEN n = 1 THEN tc END) tc1, max(CASE WHEN n = 1 THEN tr END) tr1,
+             |    max(CASE WHEN n = 2 THEN clip END) c2, max(CASE WHEN n = 2 THEN tc END) tc2, max(CASE WHEN n = 2 THEN tr END) tr2,
+             |    max(CASE WHEN n = 3 THEN clip END) c3, max(CASE WHEN n = 3 THEN tc END) tc3, max(CASE WHEN n = 3 THEN tr END) tr3,
+             |    max(CASE WHEN n = 4 THEN clip END) c4, max(CASE WHEN n = 4 THEN tc END) tc4, max(CASE WHEN n = 4 THEN tr END) tr4
+             |  FROM j GROUP BY 1),
+             |p AS (SELECT doc_id, lc, lr,
+             |    CASE WHEN COALESCE(tc1, 0) > 0 THEN CAST(COALESCE(c1, 0) AS DOUBLE) / CAST(tc1 AS DOUBLE) ELSE 0.0 END pp1,
+             |    CASE WHEN COALESCE(tc2, 0) > 0 THEN CAST(COALESCE(c2, 0) AS DOUBLE) / CAST(tc2 AS DOUBLE) ELSE 0.0 END pp2,
+             |    CASE WHEN COALESCE(tc3, 0) > 0 THEN CAST(COALESCE(c3, 0) AS DOUBLE) / CAST(tc3 AS DOUBLE) ELSE 0.0 END pp3,
+             |    CASE WHEN COALESCE(tc4, 0) > 0 THEN CAST(COALESCE(c4, 0) AS DOUBLE) / CAST(tc4 AS DOUBLE) ELSE 0.0 END pp4,
+             |    CASE WHEN COALESCE(tr1, 0) > 0 THEN CAST(COALESCE(c1, 0) AS DOUBLE) / CAST(tr1 AS DOUBLE) ELSE 0.0 END rr1,
+             |    CASE WHEN COALESCE(tr2, 0) > 0 THEN CAST(COALESCE(c2, 0) AS DOUBLE) / CAST(tr2 AS DOUBLE) ELSE 0.0 END rr2
+             |  FROM w)
+             |SELECT doc_id, CAST(lc AS BIGINT) AS len_cand, CAST(lr AS BIGINT) AS len_ref,
+             |  round(pp1, 6) AS p1, round(pp2, 6) AS p2, round(pp3, 6) AS p3, round(pp4, 6) AS p4,
+             |  round(rr1, 6) AS rouge1, round(rr2, 6) AS rouge2,
+             |  round(CASE WHEN pp1 > 0 AND pp2 > 0 AND pp3 > 0 AND pp4 > 0 THEN
+             |    (CASE WHEN lc >= lr THEN 1.0 ELSE exp(1.0 - CAST(lr AS DOUBLE) / CAST(lc AS DOUBLE)) END)
+             |    * exp((ln(pp1) + ln(pp2) + ln(pp3) + ln(pp4)) * 0.25)
+             |  ELSE 0.0 END, 4) AS bleu
+             |FROM p""".stripMargin)
+    )),
+
     // Hashed bag-of-words features (the DSIR/fastText hashing trick):
     // dense 16-bucket md5-hashed token counts per document, computed in
     // ONE codegen'd map-side pass — the featurizer for cheap linear
