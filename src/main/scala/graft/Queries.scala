@@ -2062,6 +2062,48 @@ object Queries {
              |FROM s""".stripMargin)
     )),
 
+    // ABTT dominant-direction projections (Mu & Viswanath, ICLR 2018):
+    // four integer fixed-point power-iteration rounds over the
+    // mean-centered quantized corpus, replayed exactly via
+    // MATERIALIZED per-iteration CTEs. Division is SIGN-SPLIT
+    // everywhere (Spark `div` truncates toward zero, DuckDB `//`
+    // floors — negative operands would silently diverge), floats
+    // quantize via floor(x·2^20) (no rounding-tie ambiguity), and
+    // every sum is order-free int64 — the pageRank determinism
+    // promise applied to linear algebra.
+    "q_embed_top_component" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Embeddings.topComponentFixedPoint(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = 64, iterations = 4)._2,
+      Some {
+        val iters = (1 to 4).map { k =>
+          s"""d$k AS MATERIALIZED (SELECT vec_id,
+             |  CASE WHEN s >= 0 THEN s // 1073741824 ELSE -((-s) // 1073741824) END AS d2
+             |  FROM (SELECT qc.vec_id, sum(qc.qc * x.x) AS s
+             |    FROM qc JOIN x${k - 1} x USING (i) GROUP BY 1)),
+             |s$k AS MATERIALIZED (SELECT qc.i, sum(d.d2 * qc.qc) AS s
+             |  FROM qc JOIN d$k d USING (vec_id) GROUP BY 1),
+             |x$k AS MATERIALIZED (SELECT i,
+             |  CASE WHEN s >= 0 THEN s // dv ELSE -((-s) // dv) END AS x
+             |  FROM s$k, (SELECT greatest(max(abs(s)) // 1048576, 1) AS dv FROM s$k))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS MATERIALIZED (SELECT vec_id, p.i AS i,
+           |  CAST(floor(CAST(p.v AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+           |  FROM (SELECT vec_id,
+           |    unnest([{'i': i, 'v': embedding[i]} for i in range(1, 65)]) AS p
+           |    FROM embeddings)),
+           |m AS MATERIALIZED (SELECT i,
+           |  CASE WHEN sum(q) >= 0 THEN sum(q) // count(*) ELSE -((-sum(q)) // count(*)) END AS mu
+           |  FROM q GROUP BY 1),
+           |qc AS MATERIALIZED (SELECT q.vec_id, q.i, q.q - m.mu AS qc FROM q JOIN m USING (i)),
+           |x0 AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i, CAST(1048576 AS BIGINT) AS x),
+           |$iters
+           |SELECT vec_id, CAST(CASE WHEN s >= 0 THEN s // 1073741824 ELSE -((-s) // 1073741824) END AS BIGINT) AS proj_fp
+           |FROM (SELECT qc.vec_id, sum(qc.qc * x.x) AS s FROM qc JOIN x4 x USING (i) GROUP BY 1)""".stripMargin
+      }
+    )),
+
     // k-center greedy diversity selection (farthest-point traversal,
     // the classic 2-approx coreset construction): six rounds, each
     // picking the point with the largest min squared-L2 distance to

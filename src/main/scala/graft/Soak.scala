@@ -518,6 +518,72 @@ object Soak {
             "ELSE (doc_id div 50) * 50 + (doc_id % 50 - 1) div 2 END").as("parent"))
         PostTraining.threadPaths(t, "doc_id", "parent", maxDepth = 8)
       },
+      run("winnow_overlap") {
+        // the MOSS pair report at 10x: fingerprints from 50k docs,
+        // df <= 20 hub cap BEFORE the fp-keyed self-join — the 10x
+        // corpus raises every common gram's df, so the cap carries
+        // the whole load; only (id, fp) int pairs shuffle
+        Dedup.winnowOverlap(docs10, "doc_id", "text",
+          k = 5, w = 4, maxDf = 20L, minShared = 3L)
+      },
+      run("edit_distance_join") {
+        // Ed-Join at 10x: ~15M occurrence-keyed 3-grams from 50k docs,
+        // constant 7-gram rarity prefixes, candidates from the prefix
+        // equi-join + length band. The 10x corpus's byte-identical
+        // copy sets (~7 copies per doc) are genuine dist-0 cliques, so
+        // verification runs ~100k real levenshtein calls — the
+        // adversarial regime for candidate volume
+        Dedup.editDistancePairs(docs10, "doc_id", "text",
+          maxDist = 2, q = 3)
+      },
+      run("kn_lm_score") {
+        // Kneser-Ney at 10x: fit on the %10 slice (5k docs), score all
+        // 50k — three vocabulary-keyed joins + the sorted-fold roll-up
+        val m = NgramLM.fitKN(
+          docs10.filter(pmod(col("doc_id"), lit(10L)) === 0),
+          "doc_id", "text")
+        NgramLM.scoreKN(docs10, "doc_id", "text", m)
+      },
+      run("naive_bayes") {
+        // 20-class source routing at 10x: two token-keyed count aggs,
+        // a 20-row broadcast class table, the (class, token) x corpus
+        // left join and the per-doc argmax
+        Classifier.naiveBayes(
+          docs10.filter(pmod(col("doc_id"), lit(10L)) === 0)
+            .select(col("source").as("label"), col("text")),
+          docs10, "doc_id", "text", "label")
+      },
+      run("label_propagation4") {
+        // 4 synchronous LPA rounds over the same 1M-edge graph as the
+        // k-core soak: per round one neighbor-keyed join + two id-keyed
+        // aggs shuffling (id, label, count) triples only
+        val ids = docs10.sparkSession.range(1000000L)
+        Graph.labelPropagation(ids.select(
+            pmod(col("id") * 2654435761L, lit(20000L)).as("src"),
+            pmod(col("id") * 40503L + 17L, lit(20000L)).as("dst")),
+          rounds = 4)
+      },
+      run("bleu_rouge") {
+        // generation eval at 10x: 50k (candidate, reference) pairs,
+        // four gram orders exploding in one pass per side, everything
+        // pair-id-keyed
+        val prs = docs10
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            concat(concat_ws(" ",
+              expr("slice(ws, 1, greatest((size(ws)*4) div 5, 1))")),
+              lit(" zqx zqy")).as("cand"),
+            col("text").as("ref"))
+        Eval.bleuRouge(prs, "doc_id", "cand", "ref")
+      },
+      run("abtt_component4") {
+        // integer power iteration at 10x: 20k vectors, 4 rounds — each
+        // one corpus map pass (dot against the broadcast-literal
+        // direction) + bounded partial-vector collects; driver state
+        // is 64 longs
+        Embeddings.topComponentFixedPoint(emb10, "vec_id", "embedding",
+          dim = 64, iterations = 4)._2
+      },
       run("perceptron_train4") {
         // 4 integer-exact training rounds at 10x: each is one
         // map+aggregate corpus pass; driver state is 16 longs/round

@@ -129,4 +129,91 @@ object Embeddings {
       .select(col("round"), col("vec_id"),
         round(col("min_dist"), 6).as("min_dist"))
   }
+
+  /** Top principal direction of an embedding corpus by FIXED-POINT
+    * power iteration, plus each vector's projection onto it — the
+    * "all-but-the-top" (ABTT) post-processing statistic (Mu &
+    * Viswanath, ICLR 2018): subtracting the mean and the dominant
+    * component(s) measurably improves embedding isotropy, and the
+    * dominant-direction projection is itself the corpus's strongest
+    * nuisance axis (frequency). Returns (component, projections):
+    * the final 2^20-scaled direction (driver-side, `dim` longs) and a
+    * (id, proj_fp) DataFrame.
+    *
+    * Determinism: floats quantize to floor(x·2^20) longs at birth
+    * (floor has no tie ambiguity), the mean is centered in integers,
+    * and every iteration is integer-only — dot products are int64
+    * folds, the matvec Σ_v d_v·q_v accumulates per-partition long
+    * arrays (the perceptron discipline: ≤ numPartitions × dim partial
+    * vectors to the driver per round), and rescaling divides by
+    * max|s| via SIGN-SPLIT division (a div b on |a|, sign restored) —
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    * so negative operands would silently diverge; the sign-split form
+    * makes both engines compute the identical quotient. The whole
+    * trajectory replays in SQL via materialized per-iteration CTEs.
+    *
+    * Scale shape: one quantize+center map pass, then per iteration
+    * ONE corpus map pass (dot against the broadcast-literal direction,
+    * O(1) plan size in dim) + one bounded partial-vector collect;
+    * driver state is dim longs. NAMED int64 bound: with unit-scale
+    * embeddings, |d2·q| ≈ 2^43 per vector, so the component sums stay
+    * in int64 up to ~10^6-vector PARTITIONS and ~2^63/(2^43) ≈ 10^6
+    * rows per partial — per-partition partials push the corpus bound
+    * to numPartitions × that; past it, widen the dot downshift. */
+  def topComponentFixedPoint(df: DataFrame, idCol: String, embCol: String,
+                             dim: Int, iterations: Int = 4)
+      : (Seq[Long], DataFrame) = {
+    require(iterations >= 1 && iterations <= 16, "iterations out of range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def sdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+    val q = df.select(col(idCol).cast("long").as("id"),
+      col(embCol).as("e0"))
+      .select(col("id"), expr(
+        "transform(e0, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT))")
+        .as("q"))
+    val meanRows = q.select(posexplode(col("q")))
+      .groupBy("pos").agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val mean: Seq[Long] = meanRows.sortBy(_._1).map { case (_, s, n) =>
+      sdiv(s, n)
+    }.toSeq
+    val qc = q.select(col("id"),
+      zip_with(col("q"), typedLit(mean), (a, b) => a - b).as("qc"))
+      .persist()
+    try {
+      val x = Array.fill(dim)(1L << 20)
+      def dotCol: org.apache.spark.sql.Column = {
+        val xs = x.mkString(",")
+        expr(s"aggregate(zip_with(qc, array($xs), (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      }
+      val d2 = "CASE WHEN dot >= 0 THEN dot div 1073741824 " +
+        "ELSE -((-dot) div 1073741824) END"
+      for (_ <- 1 to iterations) {
+        val partials = qc.select(col("qc"), dotCol.as("dot"))
+          .select(expr(s"transform(qc, c -> ($d2) * c)").as("gx"))
+          .as[Seq[Long]]
+          .mapPartitions { it =>
+            val acc = Array.fill(dim)(0L)
+            var any = false
+            it.foreach { a =>
+              any = true
+              var i = 0
+              while (i < dim) { acc(i) += a(i); i += 1 }
+            }
+            if (any) Iterator.single(acc.toSeq) else Iterator.empty
+          }
+          .collect() // ≤ numPartitions vectors of dim longs — bounded
+        val s = Array.fill(dim)(0L)
+        for (g <- partials; j <- 0 until dim) s(j) += g(j)
+        val divisor = math.max(s.map(v => math.abs(v)).max / 1048576L, 1L)
+        for (j <- 0 until dim) x(j) = sdiv(s(j), divisor)
+      }
+      // the projection re-derives the dot against the FINAL direction
+      val projFinal = qc.select(col("id").as(idCol), dotCol.as("dot"))
+        .select(col(idCol), expr(d2).as("proj_fp"))
+      (x.toSeq, projFinal)
+    } finally qc.unpersist(blocking = false)
+  }
 }

@@ -321,6 +321,54 @@ class SimilaritySpec extends SparkSpec {
     assert(all == Seq(0L, 2L, 1L, 3L))
   }
 
+  test("topComponentFixedPoint: finds the dominant axis; projections align") {
+    import spark.implicits._
+    // strong variance along dim 0, tiny noise on dim 1: the dominant
+    // direction must concentrate on component 0 and projections must
+    // track the dim-0 coordinate's sign and order
+    val df = (0L until 40L).map { i =>
+      val v = (i.toDouble - 19.5) / 20.0 // symmetric, mean ~0
+      (i, Seq(v.toFloat, (0.01 * (i % 3 - 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (comp, proj) = graft.operators.Embeddings
+      .topComponentFixedPoint(df, "vec_id", "embedding", dim = 2)
+    // the rescale divides by floor(max|s| / 2^20), so the dominant
+    // component lands at 2^20 up to the divisor-floor excess
+    assert(math.abs(math.abs(comp(0)) - 1048576L) <= 1024L,
+      s"dominant axis normalizes to full scale: $comp")
+    assert(math.abs(comp(1)) < 100000L, s"noise axis stays small: $comp")
+    val p = proj.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // projections are monotone in the dim-0 coordinate (up to sign)
+    val sgn = math.signum(comp(0).toDouble) *
+      math.signum(p(39L).toDouble - p(0L).toDouble)
+    val ordered = (0L until 39L).forall(i =>
+      (p(i + 1) - p(i)) * (p(39L) - p(0L)) >= 0)
+    assert(ordered, "projections monotone along the dominant axis")
+    assert(sgn != 0.0)
+  }
+
+  test("topComponentFixedPoint: shift-invariant (centering) and repartition-deterministic") {
+    import spark.implicits._
+    val base = (0L until 30L).map { i =>
+      (i, Seq(((i % 7).toDouble / 8.0).toFloat, ((i % 5).toDouble / 8.0).toFloat,
+        ((i % 3).toDouble / 8.0).toFloat))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    // +0.5 quantizes exactly (524288/2^20), so centering must cancel it
+    val shifted = base.map { case (i, e) => (i, e.map(v => v + 0.5f)) }
+      .toDF("vec_id", "embedding")
+    val (c1, p1) = graft.operators.Embeddings
+      .topComponentFixedPoint(df, "vec_id", "embedding", dim = 3)
+    val (c2, p2) = graft.operators.Embeddings
+      .topComponentFixedPoint(shifted, "vec_id", "embedding", dim = 3)
+    assert(c1 == c2, "mean removal cancels an exactly-quantized shift")
+    assert(p1.collect().map(_.toSeq).toSet == p2.collect().map(_.toSeq).toSet)
+    val (c3, p3) = graft.operators.Embeddings
+      .topComponentFixedPoint(df.repartition(7), "vec_id", "embedding", dim = 3)
+    assert(c1 == c3)
+    assert(p1.collect().map(_.toSeq).toSet == p3.collect().map(_.toSeq).toSet)
+  }
+
   test("bitextMarginPairs: matches, ratio margins, and mutual-best flags") {
     // src 1=(1,0) pairs with tgt 11=(1,0); src 2=(0,1) with 13=(0,1);
     // src 3=(0.6,0.8) is collinear with 12 and MUTUAL with it; src 4
