@@ -6375,6 +6375,62 @@ object Queries {
            |JOIN g ON g.gr = ((r.rn - 1) * n) // ns + 1""".stripMargin
       }
     )),
+
+    // Retrieval-ranking metrics (MRR, precision/recall/nDCG@10): the
+    // eval counterpart of the RRF / hard-negative retrieval stack.
+    // The fixture builds runs WITHOUT a ranking window — rank is the
+    // arithmetic bijection (doc_id·7) mod 50 + 1 within each
+    // 50-doc query block (gcd(7,50)=1 keeps ranks unique), and qrels
+    // plant graded rel 1..3 on a residue class, with every 10th query
+    // qrel-free to exercise the zero paths. Precision/recall/MRR are
+    // exact rationals; each DCG term is rounded to 9 AT BIRTH and
+    // summed by a rank-ordered fold (DuckDB list_sum over an ORDER BY
+    // rank list), the [[operators.Eval.retrievalMetrics]] discipline,
+    // so every ndcg double hash-matches.
+    "q_retrieval_metrics" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val runs = d.select(expr("doc_id div 50").as("query_id"),
+            col("doc_id"), expr("(doc_id * 7) % 50 + 1").as("rank"))
+          .filter(col("rank") <= 10)
+        val qrels = d
+          .filter(expr("doc_id % 11 < 4 AND (doc_id div 50) % 10 <> 3"))
+          .select(expr("doc_id div 50").as("query_id"), col("doc_id"),
+            expr("(doc_id % 3) + 1").as("rel"))
+        operators.Eval.retrievalMetrics(runs, qrels,
+          "query_id", "doc_id", "rank", "rel", k = 10)
+      },
+      Some("""WITH runs AS (SELECT doc_id // 50 AS query_id, doc_id,
+             |    (doc_id * 7) % 50 + 1 AS rank FROM documents
+             |  WHERE (doc_id * 7) % 50 + 1 <= 10),
+             |qrels AS (SELECT doc_id // 50 AS query_id, doc_id,
+             |    (doc_id % 3) + 1 AS rel FROM documents
+             |  WHERE doc_id % 11 < 4 AND (doc_id // 50) % 10 <> 3),
+             |j AS (SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel
+             |  FROM runs r LEFT JOIN qrels q USING (query_id, doc_id)),
+             |obs AS (SELECT query_id,
+             |  CAST(sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_ret,
+             |  min(CASE WHEN rel >= 1 THEN rank END) AS first_rel,
+             |  list_sum([round((pow(2.0, x.rel) - 1.0) / log2(CAST(x.rank AS DOUBLE) + 1.0), 9)
+             |    for x in list({'rank': rank, 'rel': rel} ORDER BY rank)]) AS dcg
+             |  FROM j GROUP BY 1),
+             |idl AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel,
+             |  list_sum(list_transform(list_sort(list(rel), 'DESC')[1:10], (r, i) ->
+             |    round((pow(2.0, r) - 1.0) / log2(CAST(i AS DOUBLE) + 1.0), 9))) AS idcg
+             |  FROM qrels GROUP BY 1)
+             |SELECT coalesce(o.query_id, i.query_id) AS query_id,
+             |  coalesce(i.n_rel, 0) AS n_rel,
+             |  coalesce(o.n_rel_ret, 0) AS n_rel_ret,
+             |  round(CASE WHEN o.first_rel IS NOT NULL
+             |    THEN 1.0 / o.first_rel ELSE 0.0 END, 6) AS mrr,
+             |  round(CAST(coalesce(o.n_rel_ret, 0) AS DOUBLE) / 10.0, 6) AS precision_at_10,
+             |  round(CASE WHEN coalesce(i.n_rel, 0) > 0
+             |    THEN CAST(coalesce(o.n_rel_ret, 0) AS DOUBLE) / i.n_rel
+             |    ELSE 0.0 END, 6) AS recall_at_10,
+             |  round(CASE WHEN coalesce(i.idcg, 0) > 0
+             |    THEN coalesce(o.dcg, 0) / i.idcg ELSE 0.0 END, 6) AS ndcg_at_10
+             |FROM obs o FULL OUTER JOIN idl i ON o.query_id = i.query_id""".stripMargin)
+    )),
   )
 
 

@@ -94,4 +94,72 @@ object Eval {
       round(rec(1), 6).as("rouge1"), round(rec(2), 6).as("rouge2"),
       round(bleu, 4).as("bleu"))
   }
+
+  /** Retrieval-ranking metrics per query: MRR, nDCG@k, precision@k and
+    * recall@k — the other half of the eval family ([[bleuRouge]]
+    * scores generation; this scores the retrieval stack the RRF /
+    * hard-negative queries build). `runs` carries (query, doc, rank)
+    * with rank 1-based and unique per query; `qrels` carries
+    * (query, doc, rel) graded relevance (rel ≥ 1 counts as relevant
+    * for MRR/precision/recall; DCG uses the standard (2^rel − 1)
+    * gain).
+    *
+    * Determinism: precision/recall/MRR are exact rationals (round-6).
+    * DCG terms gain/log2(rank + 1) are transcendental, so each term
+    * is rounded to 9 decimals AT BIRTH (the naive-Bayes ln
+    * discipline) and summed by an explicit rank-ordered fold —
+    * bit-identical across engines; nDCG divides the two folded sums
+    * and rounds to 6. The ideal ranking sorts graded rels descending
+    * (a deterministic order — gains alone determine IDCG).
+    *
+    * Scale shape: one left join of runs against qrels on (query, doc)
+    * and two query-keyed aggregations (the observed fold over ranks,
+    * the ideal fold over sorted gains) — every shuffle query-keyed;
+    * queries with no relevant documents report zeros rather than
+    * dropping (mirrored in SQL). */
+  def retrievalMetrics(runs: DataFrame, qrels: DataFrame,
+                       queryCol: String, docCol: String, rankCol: String,
+                       relCol: String, k: Int = 10): DataFrame = {
+    val joined = runs
+      .select(col(queryCol).as("q"), col(docCol).as("d"),
+        col(rankCol).cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .join(qrels.select(col(queryCol).as("q"), col(docCol).as("d"),
+        col(relCol).cast("long").as("rel")), Seq("q", "d"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val observed = joined.groupBy("q")
+      .agg(
+        sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("n_rel_ret"),
+        min(when(col("rel") >= 1, col("rank"))).as("first_rel"),
+        sort_array(collect_list(struct(col("rank"), col("rel")))).as("rr"))
+      .withColumn("dcg", expr(
+        """aggregate(rr, cast(0 as double), (acc, x) ->
+          |  acc + round((pow(2.0, x.rel) - 1.0) / log2(cast(x.rank as double) + 1.0), 9))""".stripMargin))
+    val ideal = qrels
+      .select(col(queryCol).as("q"), col(relCol).cast("long").as("rel"))
+      .filter(col("rel") >= 1)
+      .groupBy("q")
+      .agg(count(lit(1)).as("n_rel"),
+        slice(sort_array(collect_list(col("rel")), asc = false), 1, k).as("ideal"))
+      .withColumn("idcg", expr(
+        """aggregate(zip_with(ideal, sequence(1, size(ideal)), (r, i) -> struct(r, i)),
+          |  cast(0 as double), (acc, x) ->
+          |  acc + round((pow(2.0, x.r) - 1.0) / log2(cast(x.i as double) + 1.0), 9))""".stripMargin))
+    observed.join(ideal, Seq("q"), "full_outer")
+      .select(col("q").as(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_rel_ret"), lit(0L)).as("n_rel_ret"),
+        round(when(col("first_rel").isNotNull,
+          lit(1.0) / col("first_rel").cast("double")).otherwise(lit(0.0)), 6)
+          .as("mrr"),
+        round(coalesce(col("n_rel_ret"), lit(0L)).cast("double") / lit(k.toDouble), 6)
+          .as(s"precision_at_$k"),
+        round(when(coalesce(col("n_rel"), lit(0L)) > 0,
+          coalesce(col("n_rel_ret"), lit(0L)).cast("double") /
+            col("n_rel").cast("double")).otherwise(lit(0.0)), 6)
+          .as(s"recall_at_$k"),
+        round(when(coalesce(col("idcg"), lit(0.0)) > 0,
+          coalesce(col("dcg"), lit(0.0)) / col("idcg")).otherwise(lit(0.0)), 6)
+          .as(s"ndcg_at_$k"))
+  }
 }
