@@ -6431,6 +6431,149 @@ object Queries {
              |    THEN coalesce(o.dcg, 0) / i.idcg ELSE 0.0 END, 6) AS ndcg_at_10
              |FROM obs o FULL OUTER JOIN idl i ON o.query_id = i.query_id""".stripMargin)
     )),
+
+    // Per-group ROC-AUC: the classifier-eval closer. The fixture
+    // derives a 1000-value quantized score (doc_id·37 mod 1000 / 1000
+    // — the integer-ratio double is bit-identical in both engines) and
+    // a label correlated with it through additive deterministic noise
+    // (label = score rung + noise rung ≥ 1000), so per-group AUC is
+    // meaningfully above 0.5 and ~5 docs share each score value —
+    // the tie half-credit path carries real weight. The oracle
+    // computes the SAME exact integer numerator num2 =
+    // Σ pos·(2·negBelow + neg) with one cumulative window (the oracle
+    // replays the algebra, not the two-level prefix-sum plan), then
+    // one division, round-6.
+    "q_auc_roc" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val scored = d.select(
+          expr("doc_id % 4").as("grp"),
+          expr("CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0").as("score"),
+          expr("CASE WHEN (doc_id * 37) % 1000 + (doc_id * 13) % 600 >= 1000 " +
+            "THEN 1 ELSE 0 END").as("label"))
+        operators.Eval.rocAuc(scored, "grp", "score", "label")
+      },
+      Some("""WITH scored AS (SELECT doc_id % 4 AS grp,
+             |    CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS score,
+             |    CASE WHEN (doc_id * 37) % 1000 + (doc_id * 13) % 600 >= 1000
+             |      THEN 1 ELSE 0 END AS label FROM documents),
+             |s AS (SELECT grp, score, sum(label) AS pos, sum(1 - label) AS neg
+             |  FROM scored GROUP BY 1, 2),
+             |c AS (SELECT grp, pos, neg, coalesce(sum(neg) OVER (PARTITION BY grp
+             |    ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0) AS neg_below FROM s)
+             |SELECT grp, CAST(sum(pos) AS BIGINT) AS n_pos,
+             |  CAST(sum(neg) AS BIGINT) AS n_neg,
+             |  CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+             |    round(CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE) /
+             |      CAST(2 * sum(pos) * sum(neg) AS DOUBLE), 6) END AS auc
+             |FROM c GROUP BY 1""".stripMargin)
+    )),
+
+    // Calibration reliability table + ECE + Brier: the fixture plants
+    // a deliberately miscalibrated classifier — the label threshold
+    // (rung + noise >= 750) makes high-confidence bins overshoot their
+    // empirical accuracy — so every gap column carries signal. Scores
+    // are 3-decimal rationals: the DECIMAL(28,9) casts, the squared
+    // Brier terms, and the bin assignment are all exact/bit-identical
+    // cross-engine ([[operators.Eval.calibration]] scaladoc), and the
+    // ECE fold replays in bin order on both sides.
+    "q_calibration" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val scored = d.select(
+          expr("CAST((doc_id * 41) % 1000 AS DOUBLE) / 1000.0").as("score"),
+          expr("CASE WHEN (doc_id * 41) % 1000 + (doc_id * 17) % 500 >= 750 " +
+            "THEN 1 ELSE 0 END").as("label"))
+        operators.Eval.calibration(scored, "score", "label", bins = 10)
+      },
+      Some("""WITH scored AS (SELECT
+             |    CAST((doc_id * 41) % 1000 AS DOUBLE) / 1000.0 AS score,
+             |    CASE WHEN (doc_id * 41) % 1000 + (doc_id * 17) % 500 >= 750
+             |      THEN 1 ELSE 0 END AS lbl FROM documents),
+             |b AS (SELECT greatest(least(CAST(ceil(score * 10) AS BIGINT), 10), 1)
+             |    AS bin, score, lbl FROM scored),
+             |perbin AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(lbl) AS BIGINT) AS n_pos,
+             |    sum(CAST(score AS DECIMAL(28,9))) AS conf_dec,
+             |    sum(CAST(round((score - lbl) * (score - lbl), 9) AS DECIMAL(28,9)))
+             |      AS sq_dec
+             |  FROM b GROUP BY 1),
+             |g AS (SELECT bin, n, n_pos,
+             |    CAST(conf_dec AS DOUBLE) / CAST(n AS DOUBLE) AS avg_conf,
+             |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+             |    sq_dec FROM perbin),
+             |g2 AS (SELECT *, abs(avg_conf - accuracy) AS gap FROM g),
+             |nt AS (SELECT sum(n) AS n_tot FROM perbin),
+             |e AS (SELECT
+             |    list_sum([round(x.n * x.gap / x.nt, 9)
+             |      for x in list({'bin': bin, 'n': n, 'gap': gap, 'nt': n_tot}
+             |        ORDER BY bin)]) AS ece_raw,
+             |    CAST(sum(sq_dec) AS DOUBLE) / CAST(max(n_tot) AS DOUBLE) AS brier_raw
+             |  FROM g2, nt)
+             |SELECT bin, n, n_pos, round(avg_conf, 6) AS avg_conf,
+             |  round(accuracy, 6) AS accuracy, round(gap, 6) AS gap,
+             |  round(ece_raw, 6) AS ece, round(brier_raw, 6) AS brier
+             |FROM g2, e""".stripMargin)
+    )),
+
+    // SQuAD-style QA scoring (exact match + token F1). The fixture
+    // slices each document's word array into an overlapping
+    // (prediction, gold) pair — pred = words 1..12, gold = words 4..15
+    // — so F1 sits strictly between 0 and 1 for typical docs; every
+    // 13th doc predicts the gold slice itself (em = 1) and every 997th
+    // predicts the empty string (the zero path). Both engines split on
+    // a literal single space BEFORE normalization, then normalize
+    // identically inside [[operators.Eval.qaTokenF1]] / the mirrored
+    // SQL.
+    "q_qa_f1" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val pairs = d.select(col("doc_id"),
+          expr("""CASE WHEN doc_id % 997 = 0 THEN ''
+                 |  WHEN doc_id % 13 = 0 THEN concat_ws(' ', slice(split(text, ' '), 4, 12))
+                 |  ELSE concat_ws(' ', slice(split(text, ' '), 1, 12)) END""".stripMargin)
+            .as("pred"),
+          expr("concat_ws(' ', slice(split(text, ' '), 4, 12))").as("gold"))
+        operators.Eval.qaTokenF1(pairs, "doc_id", "pred", "gold")
+      },
+      Some("""WITH pairs AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 997 = 0 THEN ''
+             |      WHEN doc_id % 13 = 0 THEN array_to_string((string_split(text, ' '))[4:15], ' ')
+             |      ELSE array_to_string((string_split(text, ' '))[1:12], ' ') END AS pred,
+             |    array_to_string((string_split(text, ' '))[4:15], ' ') AS gold
+             |  FROM documents),
+             |n AS (SELECT doc_id,
+             |    list_filter(string_split(trim(regexp_replace(lower(pred),
+             |      '[^a-z0-9]+', ' ', 'g')), ' '),
+             |      t -> t <> '' AND t NOT IN ('a', 'an', 'the')) AS pt,
+             |    list_filter(string_split(trim(regexp_replace(lower(gold),
+             |      '[^a-z0-9]+', ' ', 'g')), ' '),
+             |      t -> t <> '' AND t NOT IN ('a', 'an', 'the')) AS gt
+             |  FROM pairs),
+             |pc AS (SELECT doc_id, unnest(pt) AS t FROM n),
+             |pcc AS (SELECT doc_id, t, count(*) AS cp FROM pc GROUP BY 1, 2),
+             |gc AS (SELECT doc_id, unnest(gt) AS t FROM n),
+             |gcc AS (SELECT doc_id, t, count(*) AS cg FROM gc GROUP BY 1, 2),
+             |ov AS (SELECT coalesce(pcc.doc_id, gcc.doc_id) AS doc_id,
+             |    sum(least(coalesce(cp, 0), coalesce(cg, 0))) AS overlap
+             |  FROM pcc FULL OUTER JOIN gcc
+             |    ON pcc.doc_id = gcc.doc_id AND pcc.t = gcc.t GROUP BY 1),
+             |base AS (SELECT doc_id, CAST(pt = gt AS INT) AS em,
+             |    CAST(len(pt) AS BIGINT) AS n_pred, CAST(len(gt) AS BIGINT) AS n_gold
+             |  FROM n)
+             |SELECT b.doc_id, em, n_pred, n_gold,
+             |  CAST(coalesce(overlap, 0) AS BIGINT) AS overlap,
+             |  round(CASE WHEN n_pred > 0
+             |    THEN CAST(coalesce(overlap, 0) AS DOUBLE) / n_pred ELSE 0.0 END, 6)
+             |    AS precision,
+             |  round(CASE WHEN n_gold > 0
+             |    THEN CAST(coalesce(overlap, 0) AS DOUBLE) / n_gold ELSE 0.0 END, 6)
+             |    AS recall,
+             |  round(CASE WHEN n_pred + n_gold = 0 THEN 1.0
+             |    ELSE 2.0 * coalesce(overlap, 0) / (n_pred + n_gold) END, 6) AS f1
+             |FROM base b LEFT JOIN ov USING (doc_id)""".stripMargin)
+    )),
   )
 
 

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generation-evaluation metrics at corpus scale: BLEU (Papineni et
@@ -161,5 +162,175 @@ object Eval {
         round(when(coalesce(col("idcg"), lit(0.0)) > 0,
           coalesce(col("dcg"), lit(0.0)) / col("idcg")).otherwise(lit(0.0)), 6)
           .as(s"ndcg_at_$k"))
+  }
+
+  /** Per-group ROC-AUC over (score, 0/1 label) rows — the classifier
+    * eval that closes the loop on the perceptron / naive-Bayes quality
+    * gates (is the quality score actually separating keep from drop?).
+    * Ties get the standard half credit: AUC = (#concordant pairs +
+    * ½·#tied pairs) / (P·N), computed as the EXACT integer
+    * num2 = Σ_s pos(s)·(2·negBelow(s) + neg(s)) over distinct score
+    * values s, divided once: auc = num2 / (2·P·N) — every count an
+    * order-free int64 sum, one IEEE division, round-6. NAMED int64/2^53
+    * bound: num2 ≤ 2·P·N must fit both int64 and a double mantissa —
+    * exact to ~6e7 positives × 6e7 negatives per group (widen both
+    * engine sides to decimal beyond).
+    *
+    * Scale shape — the textbook formulation ranks ALL rows through one
+    * `ORDER BY score` window. Here the cumulative negative count is a
+    * two-level prefix sum over the (group, score)-AGGREGATED table:
+    * scores map monotonically into `buckets` fixed rungs
+    * (floor(score·B), clamped — any monotone bucketing is correct, so
+    * float edge effects are harmless), bucket totals prefix through a
+    * per-group window of ≤B rows, and the within-bucket remainder
+    * windows over PARTITION BY (group, bucket) — whose cardinality is
+    * the number of DISTINCT scores per rung, bounded by the score
+    * domain (this repo's round-6 quantized scores cap it at
+    * ~1e6/B + 1), never by corpus size. Raw rows shuffle once, keyed
+    * on (group, score), with map-side partials.
+    *
+    * Scores are expected in [0, 1] (outside values clamp into the edge
+    * rungs — still correct, only less parallel). Groups with no
+    * positives or no negatives report NULL auc, never NaN. */
+  def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
+             labelCol: String, buckets: Int = 1000): DataFrame = {
+    val s = df
+      .select(col(groupCol).as("g"), col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("long").as("lbl"))
+      .groupBy("g", "score")
+      .agg(sum(col("lbl")).as("pos"), sum(lit(1L) - col("lbl")).as("neg"))
+      .withColumn("bucket", least(greatest(
+        floor(col("score") * buckets), lit(0L)), lit(buckets - 1L)))
+    val withinW = Window.partitionBy("g", "bucket").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketTotals = s.groupBy("g", "bucket").agg(sum("neg").as("bneg"))
+    val lowerW = Window.partitionBy("g").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lower = bucketTotals
+      .withColumn("neg_lower", coalesce(sum("bneg").over(lowerW), lit(0L)))
+      .drop("bneg")
+    s.withColumn("neg_within", coalesce(sum("neg").over(withinW), lit(0L)))
+      .join(lower, Seq("g", "bucket"))
+      .groupBy("g")
+      .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+        sum(col("pos") * (lit(2L) * (col("neg_lower") + col("neg_within"))
+          + col("neg"))).as("num2"))
+      .select(col("g").as(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("num2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
+          .as("auc"))
+  }
+
+  /** Calibration reliability table + expected calibration error (ECE,
+    * Naeini et al. 2015) + Brier score over (score ∈ [0,1], 0/1 label)
+    * rows — is the quality classifier's confidence honest, or does a
+    * "0.9" bucket hit only 60%? One row per occupied confidence bin
+    * (bin b covers ((b−1)/B, b/B], score 0 lands in bin 1):
+    * (bin, n, n_pos, avg_conf, accuracy, gap, ece, brier) with ece and
+    * brier repeated on every row (corpus-level scalars).
+    *
+    * Determinism: accuracy is an exact rational; avg_conf sums scores
+    * as DECIMAL(28,9) (order-free exact, the q1 discipline — scores
+    * quantized coarser than 9 decimals cast identically in both
+    * engines) then divides once; gap = |avg_conf − accuracy| is a
+    * fixed op sequence on identical bits. ECE folds the ≤B weighted
+    * terms round(n·gap/N, 9) in bin order (bounded by construction:
+    * B ≤ ~100 bins, a collect_list of B structs, never row-shaped
+    * data); Brier sums round((score−label)·(score−label), 9) as
+    * DECIMAL(28,9) — exact for quantized scores, a plain IEEE multiply
+    * (never pow(), whose y=2 path is not guaranteed identical across
+    * engines) — and divides once. Bin assignment ceil(score·B) is
+    * monotone and bit-identical cross-engine (both run the same IEEE
+    * multiply), so float edge effects cannot diverge.
+    *
+    * Scale shape: one bin-keyed aggregation with map-side partials
+    * over a single scan (bin from arithmetic, no ranking), plus a
+    * B-row fold and a 1-row broadcast back. Nothing shuffles but
+    * (bin, partial) rows. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    val base = df.select(col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("long").as("lbl"))
+      .withColumn("bin", greatest(least(ceil(col("score") * bins), lit(bins.toLong)),
+        lit(1L)))
+    val perBin = base.groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum("lbl").as("n_pos"),
+        sum(col("score").cast("decimal(28,9)")).as("conf_sum"),
+        sum(round((col("score") - col("lbl")) * (col("score") - col("lbl")), 9)
+          .cast("decimal(28,9)")).as("sq_sum"))
+      .withColumn("avg_conf",
+        col("conf_sum").cast("double") / col("n").cast("double"))
+      .withColumn("accuracy",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("gap", abs(col("avg_conf") - col("accuracy")))
+    val totals = perBin.groupBy(lit(0).as("__k")).agg(
+        sum("n").as("n_tot"),
+        sum("sq_sum").as("sq_tot"),
+        sort_array(collect_list(struct(col("bin"), col("n"), col("gap"))))
+          .as("bins"))
+      .select(
+        expr("""aggregate(bins, cast(0 as double), (acc, x) ->
+                |  acc + round(x.n * x.gap / n_tot, 9))""".stripMargin).as("ece_raw"),
+        (col("sq_tot").cast("double") / col("n_tot").cast("double")).as("brier_raw"))
+    perBin.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("avg_conf"), 6).as("avg_conf"),
+        round(col("accuracy"), 6).as("accuracy"),
+        round(col("gap"), 6).as("gap"),
+        round(col("ece_raw"), 6).as("ece"),
+        round(col("brier_raw"), 6).as("brier"))
+  }
+
+  /** SQuAD-style extractive-QA scoring per (prediction, gold) pair:
+    * exact match + token-bag F1 (Rajpurkar et al. 2016) — the third
+    * eval mode ([[bleuRouge]] n-gram, [[retrievalMetrics]] ranking,
+    * this one span extraction). Both sides normalize identically:
+    * lowercase, non-alphanumerics to space, split, drop articles
+    * (a/an/the) and empties. overlap = Σ_tok min(count_pred,
+    * count_gold) (the bag clip, the bleuRouge unigram discipline);
+    * precision/recall/F1 are exact integer rationals, one IEEE
+    * division each, round-6; both-empty pairs score F1 = 1 and em
+    * compares the normalized token arrays (SQuAD's no-answer
+    * convention). Zero-path rows never drop: n_pred/n_gold/em come
+    * from the un-exploded base, overlap left-joins in.
+    *
+    * Scale shape: one explode per side into (pair, token) counts and
+    * one pair-keyed full-outer join + roll-up — every shuffle keyed on
+    * the pair id; no pair sees another's tokens. Unicode note: only
+    * [a-z0-9] survives normalization, so engine-specific lowercasing
+    * of exotic code points cannot leak into the token bags. */
+  def qaTokenF1(pairs: DataFrame, idCol: String, predCol: String,
+                goldCol: String): DataFrame = {
+    def normToks(c: Column): Column = filter(
+      split(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")), " "),
+      t => t =!= "" && not(t.isin("a", "an", "the")))
+    val base = pairs.select(col(idCol).as("id"),
+      normToks(col(predCol)).as("pt"), normToks(col(goldCol)).as("gt"))
+    val stats = base.select(col("id"),
+      (col("pt") === col("gt")).cast("int").as("em"),
+      size(col("pt")).cast("long").as("n_pred"),
+      size(col("gt")).cast("long").as("n_gold"))
+    def bag(tokCol: String, side: String) =
+      base.select(col("id"), explode(col(tokCol)).as("t"))
+        .groupBy("id", "t").agg(count(lit(1)).as(s"c_$side"))
+    val overlap = bag("pt", "p").join(bag("gt", "g"), Seq("id", "t"), "full_outer")
+      .groupBy("id")
+      .agg(sum(least(coalesce(col("c_p"), lit(0L)),
+        coalesce(col("c_g"), lit(0L)))).as("overlap"))
+    stats.join(overlap, Seq("id"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .select(col("id").as(idCol), col("em"), col("n_pred"), col("n_gold"),
+        col("overlap"),
+        round(when(col("n_pred") > 0,
+          col("overlap").cast("double") / col("n_pred")).otherwise(lit(0.0)), 6)
+          .as("precision"),
+        round(when(col("n_gold") > 0,
+          col("overlap").cast("double") / col("n_gold")).otherwise(lit(0.0)), 6)
+          .as("recall"),
+        round(when(col("n_pred") + col("n_gold") === 0, lit(1.0))
+          .otherwise(lit(2.0) * col("overlap") /
+            (col("n_pred") + col("n_gold")).cast("double")), 6).as("f1"))
   }
 }

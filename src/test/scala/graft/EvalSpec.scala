@@ -81,6 +81,98 @@ class EvalSpec extends SparkSpec {
       out(2L).getDouble(6) == 0.0, "relevant but never retrieved")
   }
 
+  test("rocAuc: hand-computed with a tie, perfect and reversed groups, NULL path") {
+    // g=1: pos {0.9, 0.5}, neg {0.5, 0.1} -> 3 concordant + 1 tie of 4
+    // pairs = 0.875; g=2 perfectly separated; g=3 perfectly reversed;
+    // g=4 has no negatives -> NULL auc
+    val df = Seq(
+      (1, 0.9, 1), (1, 0.5, 1), (1, 0.5, 0), (1, 0.1, 0),
+      (2, 0.8, 1), (2, 0.7, 1), (2, 0.3, 0),
+      (3, 0.2, 1), (3, 0.9, 0),
+      (4, 0.6, 1), (4, 0.4, 1)).toDF("grp", "score", "label")
+    val out = Eval.rocAuc(df, "grp", "score", "label").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getDouble(3) == 0.875)
+    assert(out(2).getDouble(3) == 1.0)
+    assert(out(3).getDouble(3) == 0.0)
+    assert(out(4).isNullAt(3) && out(4).getLong(1) == 2 && out(4).getLong(2) == 0)
+  }
+
+  test("rocAuc: bucket count is an implementation detail - results identical") {
+    val df = (for (i <- 1L to 400L) yield (
+      i % 3, ((i * 37) % 97).toDouble / 97.0,
+      if ((i * 37) % 97 + i % 31 >= 80) 1 else 0)).toDF("grp", "score", "label")
+    val a = Eval.rocAuc(df.repartition(7), "grp", "score", "label", buckets = 1000)
+      .collect().map(_.toSeq).toSet
+    val b = Eval.rocAuc(df.coalesce(1), "grp", "score", "label", buckets = 3)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    // sanity: noisy-but-correlated labels land strictly between the
+    // degenerate endpoints
+    assert(a.forall { s => val v = s(3).asInstanceOf[Double]; v > 0.5 && v < 1.0 })
+  }
+
+  test("calibration: hand-computed bins, ECE and Brier") {
+    // bin 5 (0.4, 0.5]: scores .45/.45/.5, labels 1/0/0 -> avg_conf
+    // 0.466667, acc 1/3; bin 10: scores .95/.85(->bin 9? no: .85 is bin
+    // 9) - keep to two occupied bins for the hand computation
+    val df = Seq((0.45, 1), (0.45, 0), (0.50, 0), (0.95, 1), (0.95, 1))
+      .toDF("score", "label")
+    val out = Eval.calibration(df, "score", "label", bins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(5L, 10L))
+    val b5 = out(5L)
+    assert(b5.getLong(1) == 3 && b5.getLong(2) == 1)
+    assert(b5.getDouble(3) == 0.466667) // (0.45+0.45+0.5)/3
+    assert(b5.getDouble(4) == 0.333333)
+    assert(b5.getDouble(5) == 0.133333)
+    val b10 = out(10L)
+    assert(b10.getDouble(3) == 0.95 && b10.getDouble(4) == 1.0)
+    assert(b10.getDouble(5) == 0.05)
+    // ece = (3*0.1333... + 2*0.05)/5 = 0.1 ; brier = (0.3025 + 0.2025
+    // + 0.25 + 2*0.0025)/5 = 0.152
+    assert(b5.getDouble(6) == 0.1 && b10.getDouble(6) == 0.1)
+    assert(b5.getDouble(7) == 0.152)
+  }
+
+  test("calibration: perfectly calibrated data has zero gaps; bin edges") {
+    // score 0.0 lands in bin 1 (not bin 0); score 1.0 in bin 10
+    val df = Seq((0.0, 0), (0.0, 0), (1.0, 1), (1.0, 1))
+      .toDF("score", "label")
+    val out = Eval.calibration(df, "score", "label", bins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 10L))
+    assert(out(1L).getDouble(5) == 0.0 && out(10L).getDouble(5) == 0.0)
+    assert(out(1L).getDouble(6) == 0.0 && out(1L).getDouble(7) == 0.0)
+  }
+
+  test("qaTokenF1: normalization, clipping, exact match, empty paths") {
+    val df = Seq(
+      // normalizes to the same tokens: em=1, f1=1
+      (1L, "The Eiffel Tower!", "eiffel   tower"),
+      // partial overlap: pred {new york city}, gold {york city centre}
+      // -> overlap 2, p=2/3, r=2/3, f1=2/3
+      (2L, "New York City", "york city centre"),
+      // clipping: pred {cat cat cat}, gold {cat} -> overlap 1, p=1/3,
+      // r=1, f1=2/(3+1)=0.5
+      (3L, "cat cat cat", "cat"),
+      // empty pred vs non-empty gold
+      (4L, "", "some answer"),
+      // both empty after normalization (articles only)
+      (5L, "the a", "an")).toDF("id", "pred", "gold")
+    val out = Eval.qaTokenF1(df, "id", "pred", "gold").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1 && out(1L).getDouble(7) == 1.0)
+    assert(out(2L).getInt(1) == 0 && out(2L).getLong(4) == 2)
+    assert(out(2L).getDouble(5) == 0.666667 && out(2L).getDouble(7) == 0.666667)
+    assert(out(3L).getLong(4) == 1 && out(3L).getDouble(5) == 0.333333 &&
+      out(3L).getDouble(6) == 1.0 && out(3L).getDouble(7) == 0.5)
+    assert(out(4L).getLong(2) == 0 && out(4L).getDouble(7) == 0.0 &&
+      out(4L).getInt(1) == 0)
+    assert(out(5L).getLong(2) == 0 && out(5L).getLong(3) == 0 &&
+      out(5L).getInt(1) == 1 && out(5L).getDouble(7) == 1.0)
+  }
+
   test("retrievalMetrics: deterministic across repartitionings") {
     val runs = (for (q <- 1L to 10L; rk <- 1 to 8)
       yield (q, (q * 31 + rk * 7) % 40, rk)).toDF("query_id", "doc_id", "rank")
