@@ -6574,6 +6574,42 @@ object Queries {
              |    ELSE 2.0 * coalesce(overlap, 0) / (n_pred + n_gold) END, 6) AS f1
              |FROM base b LEFT JOIN ov USING (doc_id)""".stripMargin)
     )),
+
+    // χ² feature selection: top-15 tokens per language class on the
+    // real documents corpus — the "which tokens identify a language"
+    // pass. All contingency cells are exact int64; χ² is a fixed IEEE
+    // op sequence rounded to 6 BEFORE ranking; the oracle replays the
+    // identical algebra with a plain window (the Spark side ranks
+    // through the range-partitioned groupedPositions machinery
+    // instead — same result, no #classes-task bottleneck).
+    "q_chi2_features" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        operators.Classifier.chi2Features(d, "doc_id", "text", "lang", topK = 15)
+      },
+      Some("""WITH pres AS (SELECT DISTINCT id, cls, t FROM (SELECT doc_id AS id,
+             |    lang AS cls, unnest(string_split(text, ' ')) AS t FROM documents)),
+             |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+             |a AS (SELECT cls, t, CAST(count(*) AS BIGINT) AS a FROM pres GROUP BY 1, 2),
+             |ta AS (SELECT t, CAST(sum(a) AS BIGINT) AS ta FROM a GROUP BY 1),
+             |nc AS (SELECT cls, CAST(count(*) AS BIGINT) AS nc
+             |  FROM (SELECT DISTINCT id, cls FROM pres) GROUP BY 1),
+             |sc AS (SELECT a.cls, a.t AS token, a.a AS df_class, ta.ta AS df_total,
+             |    a.a * (nn.n - ta.ta - nc.nc + a.a)
+             |      - (ta.ta - a.a) * (nc.nc - a.a) AS delta,
+             |    nn.n AS n, ta.ta AS tat, nc.nc AS ncc
+             |  FROM a JOIN ta ON a.t = ta.t JOIN nc ON a.cls = nc.cls, nn),
+             |sc2 AS (SELECT cls, token, df_class, df_total,
+             |    CASE WHEN tat = n OR ncc = n THEN 0.0
+             |      ELSE round(CAST(n AS DOUBLE) * delta * delta /
+             |        CAST(tat * (n - tat) AS DOUBLE) /
+             |        CAST(ncc * (n - ncc) AS DOUBLE), 6) END AS chi2
+             |  FROM sc)
+             |SELECT cls, token, df_class, df_total, chi2, rank FROM (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY cls
+             |    ORDER BY chi2 DESC, token) AS BIGINT) AS rank FROM sc2)
+             |WHERE rank <= 15""".stripMargin)
+    )),
   )
 
 

@@ -137,4 +137,67 @@ object Classifier {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("id").as(idCol), col("cls").as("pred"), col("score"))
   }
+
+  /** χ²-test feature selection: the top-k tokens most associated with
+    * each class by the 2×2 presence contingency test (Manning &
+    * Schütze ch. 5 / scikit-learn's chi2 selector) — the standard
+    * "which features should the router/quality classifier even look
+    * at" pass that precedes [[trainPerceptron]] / [[naiveBayes]] at
+    * corpus scale. Per (token, class): a = docs in class containing
+    * token, b/c/d from the marginals; χ² = N·(ad−bc)² /
+    * ((a+b)(c+d)(a+c)(b+d)), algebraically N·Δ²/(ta·(N−ta)·nc·(N−nc))
+    * with Δ = ad−bc.
+    *
+    * Determinism: Δ and all four marginals are exact int64 (NAMED
+    * bound: products ≤ N²/4 — exact to N ≈ 6e9 docs; widen to decimal
+    * beyond); χ² is a fixed sequence of IEEE ops on those integers —
+    * identical cross-engine — rounded to 6 BEFORE ranking (the house
+    * round-then-rank rule), ties broken by token ascending. Scoped to
+    * OBSERVED (class, token) pairs: a token absent from a class is
+    * never a positive feature for it (χ² is direction-blind, so the
+    * absent pair's score equals the present pair's — selecting it
+    * would pick anti-features); a = 0 rows therefore don't exist by
+    * construction. Zero-information edges (a token in every doc, a
+    * single-class corpus) score 0, never inf/NaN.
+    *
+    * Scale shape: one distinct over (doc, class, token) — the presence
+    * dedup, token-keyed with map-side partials — one (class, token)
+    * count, one token-keyed marginal roll-up, and a #classes-row
+    * broadcast; the per-class ranking goes through
+    * [[Sampling.groupedPositions]]'s RANGE exchange on
+    * (class, −χ², token) — never a row_number window partitioned by
+    * the #classes-value key (the q_length_buckets lesson: a handful of
+    * partitions means a handful of tasks at any cluster size). Driver
+    * state: one scalar (N). */
+  def chi2Features(train: DataFrame, idCol: String, textCol: String,
+                   labelCol: String, topK: Int = 15): DataFrame = {
+    val pres = train.select(col(idCol).as("id"), col(labelCol).as("cls"),
+        explode(split(col(textCol), " ")).as("t"))
+      .distinct()
+    val n = train.select(col(idCol)).distinct().count()
+    val a = pres.groupBy("cls", "t").agg(count(lit(1)).as("a"))
+    val ta = a.groupBy("t").agg(sum("a").as("ta"))
+    val nc = pres.select("id", "cls").distinct()
+      .groupBy("cls").agg(count(lit(1)).as("nc"))
+    val scored = a.join(ta, "t").join(broadcast(nc), "cls")
+      .withColumn("delta",
+        col("a") * (lit(n) - col("ta") - col("nc") + col("a")) -
+          (col("ta") - col("a")) * (col("nc") - col("a")))
+      // a token in EVERY doc (ta = N) or a single-class corpus
+      // (nc = N) has a zero marginal denominator and zero signal:
+      // χ² = 0 by convention, never inf/NaN
+      .withColumn("chi2",
+        when(col("ta") === n || col("nc") === n, lit(0.0))
+          .otherwise(round(
+            lit(n.toDouble) * col("delta") * col("delta") /
+              (col("ta") * (lit(n) - col("ta"))).cast("double") /
+              (col("nc") * (lit(n) - col("nc"))).cast("double"), 6)))
+      .select(col("cls"), col("t").as("token"), col("a").as("df_class"),
+        col("ta").as("df_total"), col("chi2"))
+    Sampling.groupedPositions(scored, Seq("cls"),
+        Seq(negate(col("chi2")), col("token")), "rank")
+      .filter(col("rank") <= topK)
+      .select(col("cls"), col("token"), col("df_class"), col("df_total"),
+        col("chi2"), col("rank"))
+  }
 }

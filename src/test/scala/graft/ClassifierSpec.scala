@@ -100,4 +100,43 @@ class ClassifierSpec extends SparkSpec {
       "doc_id", "text", "label").collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("chi2Features: hand-computed 2x2 table, zero-signal guards") {
+    // apple appears in both A docs and neither B doc: a=2,b=0,c=0,d=2
+    // -> chi2 = 4*(2*2)^2/(2*2*2*2) = 4.0; banana splits evenly ->
+    // delta 0 -> chi2 0; "the" is in EVERY doc -> guard path, chi2 0
+    val docs = Seq(
+      (1L, "the apple banana", "A"), (2L, "the apple cherry", "A"),
+      (3L, "the dog banana", "B"), (4L, "the dog cherry", "B"))
+      .toDF("doc_id", "text", "lang")
+    val out = Classifier.chi2Features(docs, "doc_id", "text", "lang", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("A", "apple")).getDouble(4) == 4.0)
+    assert(out(("A", "apple")).getLong(5) == 1, "apple is A's top feature")
+    assert(out(("B", "dog")).getDouble(4) == 4.0)
+    assert(out(("A", "banana")).getDouble(4) == 0.0)
+    assert(out(("A", "the")).getDouble(4) == 0.0, "every-doc token guarded")
+    assert(out(("A", "apple")).getLong(2) == 2 && out(("A", "apple")).getLong(3) == 2)
+    // observed-pairs scoping: apple never appears under class B
+    assert(!out.contains(("B", "apple")))
+  }
+
+  test("chi2Features: presence not frequency; deterministic across partitionings") {
+    // repeating a token inside one doc must not change any count
+    val docs = Seq(
+      (1L, "x x x y", "A"), (2L, "x y", "A"), (3L, "y z", "B"))
+      .toDF("doc_id", "text", "lang")
+    val out = Classifier.chi2Features(docs, "doc_id", "text", "lang", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("A", "x")).getLong(2) == 2, "df_class counts docs, not tokens")
+    val big = (0L until 120L).map { i =>
+      val c = if (i % 3 == 0) "p" else "q"
+      (i, s"tok${i % 11} tok${(i * 7) % 13} mark$c", c)
+    }.toDF("doc_id", "text", "lang")
+    val a = Classifier.chi2Features(big.repartition(7), "doc_id", "text", "lang")
+      .collect().map(_.toSeq).toSet
+    val b = Classifier.chi2Features(big.coalesce(1), "doc_id", "text", "lang")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
