@@ -103,7 +103,7 @@ object Embeddings {
     require(k >= 1, "k must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val p = df.select(col(idCol).cast("long").as("id"),
+    val p = df.select(Sampling.strictLongId(col(idCol), "kCenterGreedy").as("id"),
       Similarity.asDouble(col(embCol)).as("emb"))
     // fused squared-L2 kernel — bit-identical to the zip_with fold
     // (VectorExpressionsSpec pins it), zero allocation per candidate
@@ -167,7 +167,8 @@ object Embeddings {
     val spark = df.sparkSession
     import spark.implicits._
     def sdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
-    val q = df.select(col(idCol).cast("long").as("id"),
+    val q = df.select(
+      Sampling.strictLongId(col(idCol), "topComponentFixedPoint").as("id"),
       col(embCol).as("e0"))
       .select(col("id"), expr(
         "transform(e0, e -> CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT))")

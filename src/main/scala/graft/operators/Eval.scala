@@ -41,7 +41,13 @@ object Eval {
   def bleuRouge(pairs: DataFrame, idCol: String, candCol: String,
                 refCol: String): DataFrame = {
     def gramTable(textCol: String, side: String): DataFrame = {
-      val ws = split(col(textCol), " ")
+      // split(' ') maps ''/NULL to [""] — a spurious empty-string
+      // unigram that can clip-match an empty token on the other side
+      // (len_cand=1 for an empty candidate). Coalesce NULL text to ''
+      // and drop empty tokens (the qaTokenF1 discipline) so degenerate
+      // pairs score 0 deterministically; mirrored in SQL.
+      val ws = expr(
+        s"filter(split(coalesce(`$textCol`, ''), ' '), t -> t <> '')")
       pairs.select(col(idCol).as("id"), ws.as("ws"))
         .select(col("id"), explode(expr(
           """transform(sequence(1, 4), n -> struct(n AS n,
@@ -69,8 +75,13 @@ object Eval {
             max(when(col("n") === n, col("tc"))).as(s"tc$n"),
             max(when(col("n") === n, col("tr"))).as(s"tr$n"))
         }
-    val wide = perN.groupBy("id")
+    val wide0 = perN.groupBy("id")
       .agg(max(when(col("n") === 1, col("tc"))).as("len_cand"), aggCols: _*)
+    // a pair with zero tokens on BOTH sides contributes no gram rows at
+    // all and would silently vanish — re-attach every input id so the
+    // degenerate pair reports an explicit all-zeros row instead
+    val wide = pairs.select(col(idCol).as("id")).distinct()
+      .join(wide0, Seq("id"), "left")
     def prec(n: Int) = when(coalesce(col(s"tc$n"), lit(0L)) > 0,
       coalesce(col(s"clip$n"), lit(0L)).cast("double") /
         col(s"tc$n").cast("double")).otherwise(lit(0.0))
@@ -89,15 +100,20 @@ object Eval {
         log(col("pp4"))) * lit(0.25)))
       .otherwise(lit(0.0))
     withP.select(col("id").as(idCol),
-      col("len_cand"), col("len_ref"),
+      coalesce(col("len_cand"), lit(0L)).as("len_cand"),
+      coalesce(col("len_ref"), lit(0L)).as("len_ref"),
       round(col("pp1"), 6).as("p1"), round(col("pp2"), 6).as("p2"),
       round(col("pp3"), 6).as("p3"), round(col("pp4"), 6).as("p4"),
       round(rec(1), 6).as("rouge1"), round(rec(2), 6).as("rouge2"),
       round(bleu, 4).as("bleu"))
   }
 
-  /** Retrieval-ranking metrics per query: MRR, nDCG@k, precision@k and
-    * recall@k — the other half of the eval family ([[bleuRouge]]
+  /** Retrieval-ranking metrics per query: MRR@k, nDCG@k, precision@k
+    * and recall@k. MRR is computed AT the cutoff (runs are filtered to
+    * rank ≤ k before first_rel), so a query whose first relevant hit
+    * sits below rank k scores 0 — the column is named `mrr_at_k` to
+    * make the cutoff explicit (MS MARCO convention), not plain MRR.
+    * The rest: — the other half of the eval family ([[bleuRouge]]
     * scores generation; this scores the retrieval stack the RRF /
     * hard-negative queries build). `runs` carries (query, doc, rank)
     * with rank 1-based and unique per query; `qrels` carries
@@ -152,7 +168,7 @@ object Eval {
         coalesce(col("n_rel_ret"), lit(0L)).as("n_rel_ret"),
         round(when(col("first_rel").isNotNull,
           lit(1.0) / col("first_rel").cast("double")).otherwise(lit(0.0)), 6)
-          .as("mrr"),
+          .as(s"mrr_at_$k"),
         round(coalesce(col("n_rel_ret"), lit(0L)).cast("double") / lit(k.toDouble), 6)
           .as(s"precision_at_$k"),
         round(when(coalesce(col("n_rel"), lit(0L)) > 0,

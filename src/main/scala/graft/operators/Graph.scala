@@ -296,8 +296,9 @@ object Graph {
     * over the common neighbors z — the classic common-neighbor
     * predictor that down-weights hub intermediaries (Adamic & Adar,
     * "Friends and neighbors on the Web", 2003). Output:
-    * (u, v, n_common, aa) with u < v, aa = round(Σ, 6) under the
-    * suite's double-sum discipline.
+    * (u, v, n_common, aa) with u < v; each term 1/ln(deg) is rounded
+    * to 9 decimals at birth and the sum is an explicit sorted fold,
+    * rounded to 6 — the suite's transcendental-sum discipline.
     *
     * Scale shape: wedges are enumerated by ONE neighbor-keyed
     * self-join of the adjacency list — each z contributes deg(z)²
@@ -325,8 +326,17 @@ object Graph {
     wedges
       .join(e0.withColumnRenamed("a", "u").withColumnRenamed("b", "v"),
         Seq("u", "v"), "left_anti")
+      // determinism: each wedge term 1/ln(deg) is rounded to 9 AT
+      // BIRTH and summed by a sorted fold (the naive-Bayes ln
+      // discipline) — round-6 AFTER an unordered GROUP-BY double sum
+      // was the one house-rule deviation left in the suite
+      .withColumn("term",
+        round(lit(1.0) / log(col("dz").cast("double")), 9))
       .groupBy("u", "v")
       .agg(count(lit(1)).as("n_common"),
-        round(sum(lit(1.0) / log(col("dz").cast("double"))), 6).as("aa"))
+        sort_array(collect_list(col("term"))).as("terms"))
+      .select(col("u"), col("v"), col("n_common"),
+        round(expr("aggregate(terms, cast(0 as double), (acc, x) -> acc + x)"),
+          6).as("aa"))
   }
 }

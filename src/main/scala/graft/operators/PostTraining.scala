@@ -167,8 +167,9 @@ object PostTraining {
     * alternate roles by position, render. */
   def threadPaths(msgs: DataFrame, idCol: String, parentCol: String,
       maxDepth: Int = 16): DataFrame = {
-    val t = msgs.select(col(idCol).cast("long").as("id"),
-      col(parentCol).cast("long").as("parent"))
+    val t = msgs.select(
+      Sampling.strictLongId(col(idCol), "threadPaths").as("id"),
+      Sampling.strictLongId(col(parentCol), "threadPaths(parent)").as("parent"))
     val leaves = t.join(
       t.select(col("parent").as("id")).where(col("id").isNotNull).distinct(),
       Seq("id"), "left_anti")

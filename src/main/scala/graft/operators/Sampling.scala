@@ -274,7 +274,8 @@ object Sampling {
     val spark = docs.sparkSession
     import spark.implicits._
     val g = Dedup.shingleSets(docs, idCol, textCol, n)
-      .select(col("id").cast("long").as("id"), explode(col("sh")).as("gram"))
+      .select(strictLongId(col("id"), "coverageSelect").as("id"),
+        explode(col("sh")).as("gram"))
       .localCheckpoint()
     val out = Seq.newBuilder[(Int, Long, Long)]
     var covered: DataFrame = null
@@ -463,6 +464,19 @@ object Sampling {
     * priority), biasing multi-stage sampling. Each operator passes its
     * own salt ("wt_", "mix_", "pack_"), mirrored verbatim in the SQL
     * oracles. */
+  /** Strict int64 cast for id columns. kCenterGreedy / coverageSelect /
+    * threadPaths key joins and bounded driver-side model state on long
+    * ids; a plain `cast("long")` silently maps a non-numeric string id
+    * to NULL — surfacing later as an NPE at `getLong`, or worse in
+    * threadPaths, where an unparseable PARENT looks like a NULL parent
+    * and the row is silently promoted to a path root. Fail at the first
+    * bad row instead, carrying the offending value in the error. */
+  def strictLongId(c: Column, ctx: String): Column =
+    when(c.isNotNull && c.cast("long").isNull,
+      raise_error(concat(lit(s"$ctx: non-long-castable id '"),
+        c.cast("string"), lit("' — this operator requires int64 ids"))))
+      .otherwise(c.cast("long"))
+
   def hash32(key: Column, salt: String = ""): Column = {
     val k = if (salt.isEmpty) key.cast("string")
       else concat(lit(salt), key.cast("string"))

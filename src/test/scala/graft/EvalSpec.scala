@@ -49,6 +49,30 @@ class EvalSpec extends SparkSpec {
     assert(a.forall(r => r(5) == 0.0 && r(9) == 0.0))
   }
 
+  test("bleuRouge: empty and NULL texts score explicit zeros, never [\"\"] grams") {
+    // split(' ') maps ''/NULL to [""] — before the filter, an empty
+    // candidate counted ONE empty-string unigram (len_cand=1) that
+    // could clip-match; NULL texts dropped the pair entirely. Both
+    // degenerate shapes must now yield an all-zeros row.
+    val pairs = Seq(
+      (1L, "", "alpha beta"),             // empty candidate
+      (2L, "alpha beta", ""),             // empty reference
+      (3L, "", ""),                       // both empty
+      (4L, null.asInstanceOf[String], "alpha"), // NULL candidate
+      (5L, "alpha", null.asInstanceOf[String])) // NULL reference
+      .toDF("id", "cand", "ref")
+    val rows = Eval.bleuRouge(pairs, "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 5, "every pair keeps a row, including both-empty")
+    for ((id, r) <- rows) {
+      assert(r.getDouble(9) == 0.0, s"bleu($id)")
+      assert(r.getDouble(7) == 0.0 && r.getDouble(8) == 0.0, s"rouge($id)")
+    }
+    assert(rows(1L).getLong(1) == 0 && rows(1L).getLong(2) == 2,
+      "empty cand: len_cand 0, not the [\"\"] artifact's 1")
+    assert(rows(3L).getLong(1) == 0 && rows(3L).getLong(2) == 0)
+  }
+
   test("retrievalMetrics: hand-computed MRR, precision, recall, nDCG") {
     val runs = Seq((1L, 30L, 1), (1L, 10L, 2), (1L, 20L, 3))
       .toDF("query_id", "doc_id", "rank")

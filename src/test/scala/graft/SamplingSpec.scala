@@ -260,6 +260,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(_._1 == "b").sortBy(_._2).map(_._3).toSeq == exp)
   }
 
+  test("strictLongId: numeric strings pass, non-numeric ids fail LOUDLY") {
+    // a plain cast("long") silently nulls 'doc-17' — downstream that is
+    // an NPE at getLong, or a bogus path root in threadPaths
+    val ok = Seq("1", "42").toDF("id")
+      .select(Sampling.strictLongId(col("id"), "spec").as("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ok == Set(1L, 42L))
+    val bad = Seq("1", "doc-17").toDF("id")
+      .select(Sampling.strictLongId(col("id"), "spec").as("id"))
+    val e = intercept[Exception] { bad.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("doc-17")), "error names the bad value")
+    // NULL ids stay NULL (threadPaths roots) rather than erroring
+    val withNull = Seq(Some("7"), None).toDF("id")
+      .select(Sampling.strictLongId(col("id"), "spec").as("id")).collect()
+    assert(withNull.count(_.isNullAt(0)) == 1)
+  }
+
   test("quantileNormalize: a single group calibrates to itself") {
     val df = (1L to 9L).map(i => (i, "only", (i * 37 % 10).toDouble))
       .toDF("doc_id", "source", "score")

@@ -4,6 +4,17 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== README query-count gate =="
+# the count was hand-typed and drifted in rounds 7 AND 8 (ADVICE both
+# times) — compare the declared suite size against the README claim and
+# fail loudly instead of accumulating doc drift
+n_q=$(grep -c '" -> ((' src/main/scala/graft/Queries.scala)
+if ! grep -q "(${n_q} queries" README.md; then
+  echo "FAIL: README.md query count drifted — Queries.scala declares ${n_q}"
+  exit 1
+fi
+echo "ok: ${n_q} queries (README matches)"
+
 echo "== unit/e2e specs =="
 sbt -batch test 2>&1 | grep -E 'Tests:|TESTS FAILED' | tail -2
 
