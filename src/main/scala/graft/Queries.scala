@@ -2761,8 +2761,8 @@ object Queries {
              |pr AS (SELECT doc_id,
              |  array_to_string(ws[1:greatest((len(ws)*4)//5, 1)], ' ') || ' zqx zqy' AS cand,
              |  text AS ref FROM d),
-             |cw AS (SELECT doc_id, string_split(cand, ' ') ws FROM pr),
-             |rw AS (SELECT doc_id, string_split(ref, ' ') ws FROM pr),
+             |cw AS (SELECT doc_id, list_filter(string_split(coalesce(cand, ''), ' '), t -> t <> '') ws FROM pr),
+             |rw AS (SELECT doc_id, list_filter(string_split(coalesce(ref, ''), ' '), t -> t <> '') ws FROM pr),
              |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
              |cg AS (SELECT doc_id, n, g, count(*) cc FROM (
              |  SELECT cw.doc_id, ns.n,
@@ -2793,14 +2793,16 @@ object Queries {
              |    CASE WHEN COALESCE(tr1, 0) > 0 THEN CAST(COALESCE(c1, 0) AS DOUBLE) / CAST(tr1 AS DOUBLE) ELSE 0.0 END rr1,
              |    CASE WHEN COALESCE(tr2, 0) > 0 THEN CAST(COALESCE(c2, 0) AS DOUBLE) / CAST(tr2 AS DOUBLE) ELSE 0.0 END rr2
              |  FROM w)
-             |SELECT doc_id, CAST(lc AS BIGINT) AS len_cand, CAST(lr AS BIGINT) AS len_ref,
-             |  round(pp1, 6) AS p1, round(pp2, 6) AS p2, round(pp3, 6) AS p3, round(pp4, 6) AS p4,
-             |  round(rr1, 6) AS rouge1, round(rr2, 6) AS rouge2,
+             |SELECT pr.doc_id, CAST(COALESCE(lc, 0) AS BIGINT) AS len_cand,
+             |  CAST(COALESCE(lr, 0) AS BIGINT) AS len_ref,
+             |  round(COALESCE(pp1, 0.0), 6) AS p1, round(COALESCE(pp2, 0.0), 6) AS p2,
+             |  round(COALESCE(pp3, 0.0), 6) AS p3, round(COALESCE(pp4, 0.0), 6) AS p4,
+             |  round(COALESCE(rr1, 0.0), 6) AS rouge1, round(COALESCE(rr2, 0.0), 6) AS rouge2,
              |  round(CASE WHEN pp1 > 0 AND pp2 > 0 AND pp3 > 0 AND pp4 > 0 THEN
              |    (CASE WHEN lc >= lr THEN 1.0 ELSE exp(1.0 - CAST(lr AS DOUBLE) / CAST(lc AS DOUBLE)) END)
              |    * exp((ln(pp1) + ln(pp2) + ln(pp3) + ln(pp4)) * 0.25)
              |  ELSE 0.0 END, 4) AS bleu
-             |FROM p""".stripMargin)
+             |FROM pr LEFT JOIN p USING (doc_id)""".stripMargin)
     )),
 
     // Hashed bag-of-words features (the DSIR/fastText hashing trick):
@@ -6036,6 +6038,40 @@ object Queries {
               |HAVING count(*) >= 2""".stripMargin)
     )),
 
+    // MJPEG (COMPRESSED) video frame hashes — the first compressed
+    // codec on the real side of the JDK-has-no-codec boundary: each
+    // '00dc' stream chunk is a standalone baseline JPEG that
+    // [[operators.Jpeg]] entropy-decodes from the public T.81 spec
+    // (huffman + DC prediction, no codec dependency), and dHash runs
+    // on the exact 1/8-scale DC luminance thumbnail. The oracle is
+    // the pinned hand-derived CSV — the constants come from the
+    // 18×8-DC-grid → 9×8-cell derivation in MediaFixture's
+    // mjpegPatterns scaladoc, the same no-codec-trusted scheme the
+    // PNG/DIB fixtures use.
+    "q_multimodal_mjpeg_dhash" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureMjpegDHash()
+        val files = s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("media_id", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) =>
+            operators.Multimodal.MediaBlob(idx(n).toLong, "avi", c) }
+        operators.Multimodal.videoDHashes(blobs)
+          .join(broadcast(nameDf), "media_id")
+          .select(col("name"), col("frame_idx"), col("vdhash"))
+      },
+      Some(s"""SELECT name, frame_idx, vdhash
+              |FROM read_csv('${graft.sources.MediaFixture.expectedMjpegDHashCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                        'vdhash':'BIGINT'})""".stripMargin)
+    )),
+
     // The post-training composition end-to-end under ONE oracle —
     // the q_mixture_pipeline discipline applied to the SFT wing:
     // near-dup clusters → leakage-safe 80/10/10 split (cluster-
@@ -6307,8 +6343,9 @@ object Queries {
     // maxHubDeg cap (each z costs deg(z)² pairs — the quadratic hub
     // bomb; capped centers are the least-informative contributions by
     // construction); existing edges leave via one left-anti join on
-    // the canonical pair key; round(Σ, 6) keeps the double-sum
-    // discipline so every (pair, n_common, aa) row hash-matches.
+    // the canonical pair key; each 1/ln(deg) term rounds to 9 AT
+    // BIRTH and sums by a sorted fold (list_sum over list_sort), so
+    // every (pair, n_common, aa) row hash-matches engine-exactly.
     "q_link_predict" -> ((
       (s: SparkSession, dir: String) => {
         val e = Tables.orders(s, dir)
@@ -6331,7 +6368,7 @@ object Queries {
              |nw AS (SELECT u, v, dz FROM wg WHERE NOT EXISTS (
              |  SELECT 1 FROM e0 WHERE e0.a = wg.u AND e0.b = wg.v))
              |SELECT u, v, count(*) AS n_common,
-             |  round(sum(1.0 / ln(CAST(dz AS DOUBLE))), 6) AS aa
+             |  round(list_sum(list_sort(list(round(1.0 / ln(CAST(dz AS DOUBLE)), 9)))), 6) AS aa
              |FROM nw GROUP BY 1, 2""".stripMargin)
     )),
 
@@ -6422,7 +6459,7 @@ object Queries {
              |  coalesce(i.n_rel, 0) AS n_rel,
              |  coalesce(o.n_rel_ret, 0) AS n_rel_ret,
              |  round(CASE WHEN o.first_rel IS NOT NULL
-             |    THEN 1.0 / o.first_rel ELSE 0.0 END, 6) AS mrr,
+             |    THEN 1.0 / o.first_rel ELSE 0.0 END, 6) AS mrr_at_10,
              |  round(CAST(coalesce(o.n_rel_ret, 0) AS DOUBLE) / 10.0, 6) AS precision_at_10,
              |  round(CASE WHEN coalesce(i.n_rel, 0) > 0
              |    THEN CAST(coalesce(o.n_rel_ret, 0) AS DOUBLE) / i.n_rel

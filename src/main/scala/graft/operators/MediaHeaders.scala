@@ -347,11 +347,19 @@ object MediaHeaders {
               width = leU32(bytes, p + 8 + 32).toInt,
               height = leU32(bytes, p + 8 + 36).toInt,
               nFrames = leU32(bytes, p + 8 + 16).toInt))
-          p += (8 + csz + (csz & 1)).toInt
+          // csz is an UNTRUSTED u32: stepping in Int truncates huge
+          // sizes to a zero/negative stride (hang or AIOOBE). Step in
+          // Long and bail on any non-advancing next offset — the same
+          // corrupt-size guard mp4Children applies via `boxEnd <= o`.
+          val next = p + 8L + csz + (csz & 1L)
+          if (next <= p || next > end) return None
+          p = next.toInt
         }
         return None
       }
-      o += (8 + sz + (sz & 1)).toInt
+      val next = o + 8L + sz + (sz & 1L)
+      if (next <= o || next > bytes.length) return None
+      o = next.toInt
     }
     None
   }
@@ -360,7 +368,14 @@ object MediaHeaders {
     * movi, in stream order — the raw-video sibling of [[avi]]; each
     * body is bottom-up 24-bit BGR rows padded to 4-byte boundaries.
     * Empty when the container is not RIFF/AVI or has no movi list. */
-  def aviDibFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+  def aviDibFrames(bytes: Array[Byte]): Seq[Array[Byte]] =
+    aviStreamChunks(bytes, "00db")
+
+  /** Stream-0 frame chunk bodies of the given fourcc inside LIST movi,
+    * in stream order — '00db' carries uncompressed DIB frames, '00dc'
+    * compressed ones (MJPEG when the strh handler is MJPG; each body
+    * is then a standalone baseline JPEG for [[Jpeg.dcLuma]]). */
+  def aviStreamChunks(bytes: Array[Byte], fourcc: String): Seq[Array[Byte]] = {
     if (bytes.length < 12 || !hasMagic(bytes, 0, "RIFF") ||
         !hasMagic(bytes, 8, "AVI ")) return Nil
     val out = Seq.newBuilder[Array[Byte]]
@@ -372,12 +387,17 @@ object MediaHeaders {
         val end = math.min(bytes.length.toLong, o + 8 + sz).toInt
         while (p + 8 <= end) {
           val csz = leU32(bytes, p + 4)
-          if (hasMagic(bytes, p, "00db") && p + 8 + csz <= end)
+          if (hasMagic(bytes, p, fourcc) && p + 8 + csz <= end)
             out += java.util.Arrays.copyOfRange(bytes, p + 8, (p + 8 + csz).toInt)
-          p += (8 + csz + (csz & 1)).toInt
+          // untrusted-u32 stride guard (see avi()): stop the walk on a
+          // non-advancing next offset instead of hanging/crashing
+          val next = p + 8L + csz + (csz & 1L)
+          p = if (next <= p || next > end) end else next.toInt
         }
       }
-      o += (8 + sz + (sz & 1)).toInt
+      val next = o + 8L + sz + (sz & 1L)
+      if (next <= o || next > bytes.length) return out.result()
+      o = next.toInt
     }
     out.result()
   }

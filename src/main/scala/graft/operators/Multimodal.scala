@@ -152,7 +152,9 @@ object Multimodal {
       * `dim`-bin luminance histogram over the pixels (deterministic,
       * resolution-independent content signature — enough for the
       * embedding-shaped plumbing and for coarse near-dup blocking).
-      * For audio/video/corrupt bytes: the byte-moment STUB below. */
+      * For decodable AVI video (raw-DIB or MJPEG streams): a REAL
+      * luminance histogram over the decoded frames. For audio and
+      * corrupt bytes: the byte-moment STUB below. */
     def features(blob: MediaBlob, dim: Int = 8): MediaFeatures =
       (if (ImageKinds(blob.kind.toLowerCase))
          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.content)))
@@ -173,12 +175,58 @@ object Multimodal {
           }
           val n = math.max(1L, img.getWidth.toLong * img.getHeight)
           MediaFeatures(blob.media_id, hist.map(_.toFloat / n))
+        case None if blob.kind.equalsIgnoreCase("avi") =>
+          aviLumaHistogram(blob, dim).getOrElse(featuresStub(blob, dim))
         case None => featuresStub(blob, dim)
       }
 
+    /** REAL luminance histogram for decodable AVI video, replacing the
+      * byte-moment stub: raw-DIB frames contribute full pixels; MJPEG
+      * frames contribute their DC block means ([[Jpeg.dcLuma]]'s exact
+      * 1/8-scale thumbnail) — content-derived luminance statistics
+      * either way. None only when neither stream decodes (a corrupt
+      * container honestly falls back to the stub). */
+    private def aviLumaHistogram(blob: MediaBlob, dim: Int)
+        : Option[MediaFeatures] = {
+      def normalize(hist: Array[Long], n: Long) =
+        MediaFeatures(blob.media_id, hist.map(_.toFloat / math.max(1L, n)))
+      aviFrames(blob.content).map { case (w, h, frames) =>
+        val stride = ((w * 3 + 3) / 4) * 4
+        val hist = new Array[Long](dim); var n = 0L
+        frames.foreach { f =>
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (h - 1 - y) * stride + x * 3
+              val bb = f(o) & 0xFF; val g = f(o + 1) & 0xFF
+              val r = f(o + 2) & 0xFF
+              val lum = (r * 299 + g * 587 + bb * 114) / 1000
+              hist(math.min(dim - 1, lum * dim / 256)) += 1
+              n += 1; x += 1
+            }
+            y += 1
+          }
+        }
+        normalize(hist, n)
+      }.orElse {
+        aviMjpegDcGrids(blob.content).map { grids =>
+          val hist = new Array[Long](dim); var n = 0L
+          grids.foreach { case (_, _, g) =>
+            g.foreach { v =>
+              hist(math.min(dim - 1, v * dim / 256)) += 1
+              n += 1
+            }
+          }
+          normalize(hist, n)
+        }
+      }
+    }
+
     /** STUB feature extractor: 8 deterministic moments of the byte
-      * stream standing in for an embedding model's output (audio/video
-      * only — images get real pixel histograms). */
+      * stream standing in for an embedding model's output (audio and
+      * undecodable video only — images get real pixel histograms,
+      * decodable AVIs real frame-luminance histograms). */
     def featuresStub(blob: MediaBlob, dim: Int = 8): MediaFeatures = {
       val acc = new Array[Float](dim)
       var i = 0
@@ -406,6 +454,39 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** DC-grid dHash of one baseline JPEG (an MJPEG frame chunk or a
+    * bare .jpg): [[Jpeg.dcLuma]]'s exact 1/8-scale luminance thumbnail
+    * fed through the SAME [[dHashGrid]] area-average arithmetic as
+    * pixels — on block-constant / strong-gradient content (anything a
+    * perceptual hash is robust on by definition) the comparisons
+    * agree with the full-pixel hash, which is how the MJPEG fixture
+    * pins hand-derived constants without trusting any codec. */
+  def jpegDcDHash64(bytes: Array[Byte]): Option[Long] =
+    Jpeg.dcLuma(bytes).map { case (wB, hB, g) =>
+      dHashGrid(wB, hB, (x, y) => g(y * wB + x).toLong)
+    }
+
+  /** REAL frame decode for MJPEG AVI — the first COMPRESSED codec on
+    * the real side of the boundary (each '00dc' stream chunk is a
+    * standalone baseline JPEG; [[Jpeg]] entropy-decodes it from the
+    * T.81 spec with no codec dependency). Returns the per-frame DC
+    * luminance grids when the container parses, the chunk count
+    * matches avih's frame count, and EVERY frame decodes — a silent
+    * partial decode is exactly the corrupt-blob hazard the
+    * undecodable->None contract exists for (see [[aviFrames]]). */
+  def aviMjpegDcGrids(content: Array[Byte])
+      : Option[Seq[(Int, Int, Array[Int])]] =
+    try {
+      MediaHeaders.avi(content).flatMap { m =>
+        val chunks = MediaHeaders.aviStreamChunks(content, "00dc")
+        if (chunks.isEmpty || chunks.size != m.nFrames) None
+        else {
+          val grids = chunks.map(Jpeg.dcLuma)
+          if (grids.forall(_.isDefined)) Some(grids.map(_.get)) else None
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** dHash of one raw DIB frame: same grid arithmetic as the image
     * [[dHash64]] ([[dHashGrid]] is shared), over the bottom-up BGR
     * rows directly — gray frames therefore hash IDENTICALLY to a PNG
@@ -434,11 +515,22 @@ object Multimodal {
     blobs.mapPartitions { it =>
       it.flatMap { b =>
         if (b.kind.toLowerCase == "avi")
-          aviFrames(b.content).toSeq.flatMap { case (w, h, frames) =>
-            frames.iterator.zipWithIndex.collect {
-              case (f, i) if i % everyK == 0 =>
-                (b.media_id, i, frameDHash64(w, h, f))
-            }
+          aviFrames(b.content) match {
+            case Some((w, h, frames)) =>
+              frames.iterator.zipWithIndex.collect {
+                case (f, i) if i % everyK == 0 =>
+                  (b.media_id, i, frameDHash64(w, h, f))
+              }
+            case None =>
+              // compressed stream: the MJPEG path ('00dc' baseline-JPEG
+              // chunks) hashes each frame's DC thumbnail
+              aviMjpegDcGrids(b.content).iterator.flatMap { grids =>
+                grids.iterator.zipWithIndex.collect {
+                  case ((wB, hB, g), i) if i % everyK == 0 =>
+                    (b.media_id, i,
+                      dHashGrid(wB, hB, (x, y) => g(y * wB + x).toLong))
+                }
+              }
           }
         else Nil
       }

@@ -366,6 +366,103 @@ object MediaFixture {
     videoDHashDir
   }
 
+  // ---- MJPEG video fixture (DC-grid dHash over COMPRESSED frames) --
+
+  val mjpegDHashDir: String = s"${FixtureDirs.base}/media_mjpeg"
+  val expectedMjpegDHashCsvPath: String =
+    s"${FixtureDirs.base}/media_mjpeg_expected.csv"
+
+  /** Gray baseline JPEG of the pattern via the JDK's ENCODER (SOF0 +
+    * Annex K tables) — the decoder under test is [[graft.operators.Jpeg]],
+    * written from the T.81 spec; using the JDK only to produce input
+    * keeps encoder and decoder independent. */
+  private def jpegBytes(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, f(x, y) & 0xFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** MJPEG AVI: same RIFF skeleton as [[aviBytes]] but the stream
+    * handler is MJPG and each frame is a standalone baseline JPEG in a
+    * '00dc' chunk — the compressed-codec sibling of the raw-DIB
+    * fixture. `private[graft]`: specs and the soak reuse it. */
+  private[graft] def mjpegAviBytes(w: Int, h: Int,
+                                   frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(frames.size.toLong), 0, avih, 16, 4)
+    System.arraycopy(le32(w.toLong), 0, avih, 32, 4)
+    System.arraycopy(le32(h.toLong), 0, avih, 36, 4)
+    val strh = "vids".getBytes("ISO-8859-1") ++
+      "MJPG".getBytes("ISO-8859-1") ++ new Array[Byte](48)
+    val bih = new Array[Byte](40)
+    System.arraycopy(le32(40L), 0, bih, 0, 4)
+    System.arraycopy(le32(w.toLong), 0, bih, 4, 4)
+    System.arraycopy(le32(h.toLong), 0, bih, 8, 4)
+    bih(12) = 1; bih(14) = 24
+    System.arraycopy("MJPG".getBytes("ISO-8859-1"), 0, bih, 16, 4) // biCompression
+    val hdrl = riffList("hdrl", riffChunk("avih", avih) ++
+      riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", bih)))
+    val movi = riffList("movi",
+      frames.map(f => riffChunk("00dc", jpegBytes(w, h, f))).reduce(_ ++ _))
+    "RIFF".getBytes("ISO-8859-1") ++
+      le32((4 + hdrl.length + movi.length).toLong) ++
+      "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+  }
+
+  /** 144×64 patterns whose DC-grid dHash is HAND-DERIVABLE despite the
+    * lossy codec: the 18×8 DC grid (one value per 8×8 block) maps onto
+    * the 9×8 dHash cells as exact 2-block column pairs (x0 = 2·gx), so
+    *  - flat 128: every block identical → every comparison false → 0
+    *  - ramp x·255/143: block means rise ~14 gray levels/block (~14
+    *    DC quantization steps at the JDK encoder's tables — far above
+    *    rounding), cells strictly increase → all 64 bits → -1
+    *  - half split at x=64 (block boundary): cells 0-3 are identical
+    *    black blocks, 4-8 identical white (identical blocks quantize
+    *    IDENTICALLY, so equality is exact) → single rise at column 3 →
+    *    bit 3 of every row → 0x0808080808080808, the SAME constant the
+    *    PNG/DIB fixtures pin
+    *  - inverse ramp: strictly decreasing → 0. */
+  private def mjpegPatterns: Seq[(Int, Int) => Int] = Seq(
+    (_, _) => 128,
+    (x, _) => x * 255 / 143,
+    (x, _) => if (x < 64) 0 else 255,
+    (x, _) => 255 - x * 255 / 143)
+
+  private def mjpegDHashEntries: Seq[(String, Array[Byte], Seq[Long])] = Seq(
+    ("mjpeg_a.avi", mjpegAviBytes(144, 64, mjpegPatterns),
+      Seq(0L, -1L, 0x0808080808080808L, 0L)),
+    // a second reel so the query output is not a single-file case:
+    // its split sits at x=72 (blocks 0-8 black, 9-17 white) → cells
+    // 0-3 black, cell 4 = blocks {8,9} = mixed ≈128, cells 5-8 white
+    // → TWO rises, (3,4) and (4,5) → bits 3 and 4 of every row.
+    ("mjpeg_b.avi", mjpegAviBytes(144, 64, Seq(
+      (_, _) => 128,
+      (x, _) => if (x < 72) 0 else 255)),
+      Seq(0L, 0x1818181818181818L)))
+
+  /** Write the MJPEG AVIs + the pinned (name, frame_idx, vdhash) CSV;
+    * returns `mjpegDHashDir`. */
+  def ensureMjpegDHash(): String = {
+    Files.createDirectories(Paths.get(mjpegDHashDir))
+    val rows = mjpegDHashEntries.flatMap { case (name, bytes, hashes) =>
+      Files.write(Paths.get(mjpegDHashDir, name), bytes)
+      hashes.zipWithIndex.map { case (hv, i) => s"$name,$i,$hv" }
+    }
+    Files.write(Paths.get(expectedMjpegDHashCsvPath),
+      ("name,frame_idx,vdhash\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    mjpegDHashDir
+  }
+
   /** Write the fingerprint WAVs + the pinned CSV; returns `audioFpDir`. */
   def ensureAudioFp(): String = {
     Files.createDirectories(Paths.get(audioFpDir))

@@ -317,6 +317,83 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled == Set((7L, 0), (7L, 2)))
   }
 
+  test("MJPEG AVI: videoDHashes decodes compressed frames to the pinned constants") {
+    val dir = graft.sources.MediaFixture.ensureMjpegDHash()
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "mjpeg_a.avi"))
+    // raw-DIB path must NOT claim it; the MJPEG path must
+    assert(Multimodal.aviFrames(bytes).isEmpty)
+    val grids = Multimodal.aviMjpegDcGrids(bytes)
+    assert(grids.isDefined && grids.get.size == 4)
+    assert(grids.get.forall { case (wB, hB, g) =>
+      wB == 18 && hB == 8 && g.length == 18 * 8 })
+    val blobs = Seq(Multimodal.MediaBlob(3L, "avi", bytes)).toDS()
+    val hashes = Multimodal.videoDHashes(blobs)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(hashes.map(_._2).toSeq ==
+      Seq(0L, -1L, 0x0808080808080808L, 0L),
+      "DC-grid dHash matches the hand derivation through a real codec")
+    // truncated MJPEG container: None (frame-count check), not partial
+    for (frac <- Seq(2, 3))
+      assert(Multimodal.aviMjpegDcGrids(
+        java.util.Arrays.copyOf(bytes, bytes.length / frac)).isEmpty)
+  }
+
+  test("features: decodable AVI (DIB and MJPEG) gets a REAL luminance histogram") {
+    val mjpeg = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.sources.MediaFixture.ensureMjpegDHash(), "mjpeg_a.avi"))
+    val dib = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.sources.MediaFixture.ensureVideoDHash(), "video_a.avi"))
+    for ((bytes, what) <- Seq((mjpeg, "mjpeg"), (dib, "dib"))) {
+      val blob = Multimodal.MediaBlob(1L, "avi", bytes)
+      val real = Multimodal.MediaBatch.features(blob)
+      val stub = Multimodal.MediaBatch.featuresStub(blob)
+      assert(!real.features.sameElements(stub.features),
+        s"$what: the stub must be unreachable for a decodable AVI")
+      // histogram property the byte-moment stub can't have: sums to ~1
+      val sum = real.features.sum
+      assert(math.abs(sum - 1.0f) < 1e-3, s"$what: normalized histogram, got $sum")
+      // content check: the fixture reels are dark/bright-heavy at the
+      // extremes (flat mid-gray + ramps + split), every bin bounded
+      assert(real.features.forall(v => v >= 0f && v <= 1f))
+    }
+    // corrupt avi still falls back to the stub rather than failing
+    val corrupt = Multimodal.MediaBlob(2L, "avi", Array[Byte](1, 2, 3, 4))
+    val f = Multimodal.MediaBatch.features(corrupt)
+    assert(f.features.sameElements(
+      Multimodal.MediaBatch.featuresStub(corrupt).features))
+  }
+
+  test("avi/aviDibFrames: corrupt u32 chunk sizes terminate, never hang or throw") {
+    // chunk sizes are UNTRUSTED u32s: 0xFFFFFFF8 makes the Int-truncated
+    // step zero (infinite loop) and ~0x7FFFFFF8 makes it negative
+    // (AIOOBE) — the walk must bail like mp4Children's corrupt guard
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def fourcc(s: String) = s.getBytes("ISO-8859-1")
+    def riffAvi(payload: Array[Byte]): Array[Byte] =
+      fourcc("RIFF") ++ le32(payload.length + 4L) ++ fourcc("AVI ") ++ payload
+    for (badSz <- Seq(0xFFFFFFF8L, 0x7FFFFFF8L, 0xFFFFFFFFL)) {
+      // corrupt size in the TOP-level chunk walk
+      val top = riffAvi(fourcc("JUNK") ++ le32(badSz) ++ Array.fill(32)(0.toByte))
+      assert(graft.operators.MediaHeaders.avi(top).isEmpty)
+      assert(graft.operators.MediaHeaders.aviDibFrames(top).isEmpty)
+      // corrupt size INSIDE LIST hdrl (avi's inner walk)
+      val hdrl = riffAvi(fourcc("LIST") ++ le32(64L) ++ fourcc("hdrl") ++
+        fourcc("JUNK") ++ le32(badSz) ++ Array.fill(48)(0.toByte))
+      assert(graft.operators.MediaHeaders.avi(hdrl).isEmpty)
+      // corrupt size INSIDE LIST movi after one VALID frame chunk:
+      // the good frame must survive, the walk must stop at the bad one
+      val frame = Array.fill(12)(7.toByte)
+      val movi = riffAvi(fourcc("LIST") ++ le32(80L) ++ fourcc("movi") ++
+        fourcc("00db") ++ le32(frame.length.toLong) ++ frame ++
+        fourcc("00db") ++ le32(badSz) ++ Array.fill(40)(0.toByte))
+      val got = graft.operators.MediaHeaders.aviDibFrames(movi)
+      assert(got.size == 1 && got.head.sameElements(frame))
+    }
+  }
+
   test("dHash64: TRUNCATED data of a recognized format is None, not an exception") {
     // a real PNG cut mid-stream: ImageIO recognizes the signature and
     // THROWS from the decoder (it returns null only for unrecognized
