@@ -5886,6 +5886,31 @@ object Queries {
               |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
     )),
 
+    // FLAC fingerprints — the second COMPRESSED codec on the real
+    // side, and the stronger oracle: FLAC is LOSSLESS, so
+    // [[operators.Flac]]'s spec-written decode (rice residuals, fixed
+    // predictors, CRC-framed frames) yields PCM bit-identical to the
+    // encoder's input, and the pinned constants are the SAME
+    // hand-derived envelope values as the WAV fixture — flat 0,
+    // ramp -1, step 2^31, two_step bits 20|42 — with zero tolerance.
+    "q_multimodal_flacfp" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureFlacFp()
+        s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (name, content) =>
+            (name, operators.Multimodal.audioFingerprint64(content).get)
+          }
+          .toDF("name", "afp")
+      },
+      Some(s"""SELECT name, afp
+              |FROM read_csv('${graft.sources.MediaFixture.expectedFlacFpCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
+    )),
+
     // Image near-dup PAIRS under the oracle gate: the real decode →
     // dHash → banded-pigeonhole pipeline end-to-end, cross-checked
     // against DuckDB computing xor/bit_count pairs FROM THE PINNED

@@ -123,6 +123,28 @@ object Soak {
     graft.sources.MediaFixture.aviBytes(w, h, frames)
   }
 
+  /** Map-side MJPEG AVI for the compressed-video soak: 6 frames of
+    * 144×64 whose luminance is CONSTANT per 8×8 JPEG block (flat
+    * blocks carry only a DC coefficient, so the lossy codec is
+    * effectively exact and the few-bit clique discipline survives
+    * compression). Clique = id/10 seeds the per-(frame, block) levels
+    * shared by all 10 copies; each copy boosts ONE block per frame by
+    * 24 levels — that block's dHash cell mean moves ~12, flipping at
+    * most its two neighbor comparisons. ~3 KB/frame via the JDK
+    * encoder; decode is [[operators.Jpeg]]'s T.81 DC path. */
+  private[graft] def soakMjpeg(id: Long): Array[Byte] = {
+    val clique = id / 10; val copy = (id % 10).toInt
+    val w = 144; val h = 64
+    val frames = (0 until 6).map { f => (x: Int, y: Int) =>
+      val bx = x / 8; val by = y / 8
+      val base = 20 +
+        ((mix(clique * 131071L + f * 257L + by * 18 + bx) >>> 56).toInt * 3) / 4
+      val patch = if (bx == (copy + f) % 18 && by == (copy + 2 * f) % 8) 24 else 0
+      math.min(255, base + patch)
+    }
+    graft.sources.MediaFixture.mjpegAviBytes(w, h, frames)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_soak"
@@ -599,6 +621,43 @@ object Soak {
         hist.flatMap { case (r, ws) =>
           ws.zipWithIndex.map { case (wv, j) => (r, j, wv) } }
           .toDF("round", "bucket", "w")
+      },
+      run("retrieval_metrics") {
+        // ranking eval at 10x: 50k run rows over 1k query blocks — one
+        // (q, d)-keyed join + two query-keyed aggs; DCG terms round-9
+        // at birth, summed by rank-ordered folds (never a global sort)
+        val runs = docs10.select(expr("doc_id div 50").as("query_id"),
+            col("doc_id"), expr("(doc_id * 7) % 50 + 1").as("rank"))
+          .filter(col("rank") <= 10)
+        val qrels = docs10
+          .filter(expr("doc_id % 11 < 4 AND (doc_id div 50) % 10 <> 3"))
+          .select(expr("doc_id div 50").as("query_id"), col("doc_id"),
+            expr("(doc_id % 3) + 1").as("rel"))
+        Eval.retrievalMetrics(runs, qrels, "query_id", "doc_id",
+          "rank", "rel", k = 10)
+      },
+      run("auc_roc") {
+        // classifier eval at 10x: AUC via the (group, score)-aggregated
+        // two-level prefix sum — the soak proves the shape holds where
+        // an ORDER-BY-score window over 50k raw rows would serialize
+        val scored = docs10.select(expr("doc_id % 4").as("grp"),
+          expr("CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0").as("score"),
+          expr("CASE WHEN (doc_id * 37) % 1000 + (doc_id * 13) % 600 >= 1000 " +
+            "THEN 1 ELSE 0 END").as("label"))
+        Eval.rocAuc(scored, "grp", "score", "label")
+      },
+      run("mjpeg_video_near_dup") {
+        // 600 MJPEG AVIs (~10 MB of compressed video) in 60 cliques of
+        // 10 — the COMPRESSED-codec leg of the video discipline: every
+        // '00dc' frame is entropy-decoded by the T.81 DC path map-side,
+        // candidates via the frame-indexed pigeonhole banding; only
+        // (id, idx, hash, band, slice) rows shuffle, JPEG bytes never do
+        val spark2 = docs10.sparkSession
+        import spark2.implicits._
+        val blobs = spark2.range(600).repartition(32)
+          .map(id => Multimodal.MediaBlob(id, "avi", soakMjpeg(id)))
+        Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
+          minMatchingFrames = 4)
       })
 
     val total = results.map(_._2).sum

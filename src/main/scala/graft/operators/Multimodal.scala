@@ -581,9 +581,10 @@ object Multimodal {
   }
 
   /** 64-bit audio energy-delta fingerprint — dHash's audio twin over
-    * REAL decoded PCM (16-bit signed WAV/AIFF via javax.sound, the
-    * kinds this container can genuinely decode; compressed codecs
-    * stay with the header-only stubs): mix channels, slice the sample
+    * REAL decoded PCM (16-bit signed WAV/AIFF via javax.sound, plus
+    * FLAC through the spec-written [[Flac]] decoder; the remaining
+    * lossy codecs — mp3/ogg — stay with the header-only stubs): mix
+    * channels, slice the sample
     * stream into 65 equal windows, bit i set iff window i+1 carries
     * MORE energy than window i. Re-encodes and small edits preserve
     * the coarse energy envelope (a few bits); different material
@@ -597,6 +598,21 @@ object Multimodal {
   def audioFingerprint64(content: Array[Byte]): Option[Long] = {
     import javax.sound.sampled._
     try {
+      // FLAC: lossless compressed audio through the spec-written
+      // [[Flac]] decoder — the decoded PCM is bit-identical to the
+      // encoder's input, so the fingerprint EQUALS the same samples'
+      // WAV fingerprint (the fixture pins exactly that)
+      if (content.length >= 4 && content(0) == 'f' && content(1) == 'L' &&
+          content(2) == 'a' && content(3) == 'C')
+        return Flac.pcm(content).flatMap { case (_, ch, pcm) =>
+          val n = pcm.length / ch
+          if (n < 65) None
+          else energyDeltaBits(n, i => {
+            var s = 0L; var c = 0
+            while (c < ch) { s += pcm(i * ch + c); c += 1 }
+            s / ch
+          })
+        }
       val ais = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(content))
       val fmt = ais.getFormat
@@ -617,26 +633,33 @@ object Multimodal {
         }
         s / ch
       }
-      val energy = new Array[Long](65)
-      var w = 0
-      while (w < 65) {
-        val i0 = w * n / 65; val i1 = (w + 1) * n / 65
-        var e = 0L; var i = i0
-        while (i < i1) { val s = sample(i); e += s * s; i += 1 }
-        energy(w) = e
-        w += 1
-      }
-      var bits = 0L
-      var i = 0
-      while (i < 64) {
-        if (energy(i + 1) > energy(i)) bits |= (1L << i)
-        i += 1
-      }
-      Some(bits)
+      energyDeltaBits(n, sample)
     } catch { case _: Exception => None }
   }
 
-  private val AudioFpKinds = Set("wav", "wave", "aiff", "aif", "au")
+  /** The 65-window energy envelope → 64 louder-than-previous bits,
+    * shared by the javax.sound (WAV/AIFF) and [[Flac]] paths so one
+    * derivation covers both fixtures. */
+  private def energyDeltaBits(n: Int, sample: Int => Long): Option[Long] = {
+    val energy = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val i0 = w * n / 65; val i1 = (w + 1) * n / 65
+      var e = 0L; var i = i0
+      while (i < i1) { val s = sample(i); e += s * s; i += 1 }
+      energy(w) = e
+      w += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (energy(i + 1) > energy(i)) bits |= (1L << i)
+      i += 1
+    }
+    Some(bits)
+  }
+
+  private val AudioFpKinds = Set("wav", "wave", "aiff", "aif", "au", "flac")
 
   /** Batched audio fingerprints for decodable PCM blobs →
     * (media_id, afp). Same drop-at-the-fingerprint-stage contract as

@@ -322,6 +322,147 @@ object MediaFixture {
       if (w < 21) 100 else if (w < 43) 1000 else 2000)),
       (1L << 20) | (1L << 42)))
 
+  // ---- FLAC fingerprint fixture (lossless COMPRESSED audio) ----
+
+  val audioFlacDir: String = s"${FixtureDirs.base}/media_flacfp"
+  val expectedFlacFpCsvPath: String =
+    s"${FixtureDirs.base}/media_flacfp_expected.csv"
+
+  private final class BitW {
+    private val bos = new java.io.ByteArrayOutputStream()
+    private var buf = 0; private var cnt = 0
+    def bit(v: Int): Unit = {
+      buf = (buf << 1) | (v & 1); cnt += 1
+      if (cnt == 8) { bos.write(buf); buf = 0; cnt = 0 }
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >> i) & 1L).toInt); i -= 1 }
+    }
+    def align(): Unit = while (cnt != 0) bit(0)
+    def snapshot: Array[Byte] = { require(cnt == 0, "unaligned"); bos.toByteArray }
+  }
+  /** CRC-8 poly 0x07 init 0 (FLAC frame-header CRC). */
+  private def flacCrc8(b: Array[Byte]): Int = {
+    var c = 0
+    for (x <- b) {
+      c ^= (x & 0xFF)
+      var i = 0
+      while (i < 8) {
+        c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xFF else (c << 1) & 0xFF
+        i += 1
+      }
+    }
+    c
+  }
+  /** CRC-16 poly 0x8005 init 0 (FLAC frame CRC). */
+  private def flacCrc16(b: Array[Byte]): Int = {
+    var c = 0
+    for (x <- b) {
+      c ^= (x & 0xFF) << 8
+      var i = 0
+      while (i < 8) {
+        c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xFFFF
+            else (c << 1) & 0xFFFF
+        i += 1
+      }
+    }
+    c
+  }
+
+  /** Minimal spec-correct FLAC ENCODER (mono 16-bit): STREAMINFO,
+    * fixed 4096-sample frames, FIXED order-1 subframes (order 0 for a
+    * 1-sample tail) with rice residuals at partition order 0, cost-
+    * minimized rice parameter, real header CRC-8 and frame CRC-16.
+    * Exists only to manufacture fixtures — the DECODER under test is
+    * [[graft.operators.Flac]], and losslessness makes the contract
+    * absolute: decoded PCM must equal `samples` bit-for-bit, and the
+    * energy fingerprint must equal the SAME envelope's WAV constant.
+    * `private[graft]`: specs and the soak reuse it. */
+  private[graft] def flacBytesPcm(samples: Array[Short],
+                                  rate: Int = 8000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("ISO-8859-1"))
+    val si = new BitW
+    si.bits(4096, 16); si.bits(4096, 16) // min/max block size
+    si.bits(0, 24); si.bits(0, 24)       // frame sizes unknown
+    si.bits(rate, 20)
+    si.bits(0, 3)   // channels - 1
+    si.bits(15, 5)  // bps - 1
+    si.bits(samples.length.toLong, 36)   // 144 bits = 18 bytes exactly
+    val siBytes = si.snapshot ++ new Array[Byte](16) // MD5 unset
+    out.write(0x80) // last-metadata flag | type 0 (STREAMINFO)
+    out.write(Array((siBytes.length >> 16).toByte,
+      (siBytes.length >> 8).toByte, siBytes.length.toByte))
+    out.write(siBytes)
+    var pos = 0; var fi = 0
+    while (pos < samples.length) {
+      val bs = math.min(4096, samples.length - pos)
+      val w = new BitW
+      w.bits(0x3FFE, 14); w.bit(0); w.bit(0) // sync, reserved, fixed blocking
+      w.bits(7, 4) // block size: explicit 16-bit at end of header
+      w.bits(0, 4) // sample rate: from STREAMINFO
+      w.bits(0, 4) // channel assignment: 1 independent channel
+      w.bits(4, 3) // 16-bit samples
+      w.bit(0)
+      require(fi < 128, "single-byte frame numbers only")
+      w.bits(fi, 8)        // UTF-8 coded frame number (1-byte form)
+      w.bits(bs - 1, 16)
+      w.bits(flacCrc8(w.snapshot), 8)
+      // FIXED order-1 subframe (order 0 when the tail has one sample)
+      val blk = Array.tabulate(bs)(j => samples(pos + j).toInt)
+      val order = if (bs >= 2) 1 else 0
+      w.bit(0); w.bits(8 | order, 6); w.bit(0) // pad, type 001ooo, no wasted
+      var i = 0
+      while (i < order) { w.bits(blk(i) & 0xFFFF, 16); i += 1 }
+      val zz = Array.tabulate(bs - order) { j =>
+        val r = if (order == 0) blk(j) else blk(j + 1) - blk(j)
+        ((r << 1) ^ (r >> 31)).toLong & 0xFFFFFFFFL
+      }
+      val p = (0 to 14).minBy(pp => zz.map(z => (z >>> pp) + 1 + pp).sum)
+      w.bits(0, 2) // residual method: 4-bit rice
+      w.bits(0, 4) // partition order 0
+      w.bits(p, 4)
+      for (z <- zz) {
+        var q = (z >>> p).toInt
+        while (q > 0) { w.bit(0); q -= 1 }
+        w.bit(1)
+        w.bits(z & ((1L << p) - 1), p)
+      }
+      w.align()
+      w.bits(flacCrc16(w.snapshot), 16)
+      out.write(w.snapshot)
+      pos += bs; fi += 1
+    }
+    out.toByteArray
+  }
+
+  /** (filename, bytes, fingerprint): the SAME envelopes as
+    * [[audioFpEntries]] and therefore the SAME hand-derived constants —
+    * FLAC is lossless, so the decoded PCM is bit-identical to the WAV
+    * fixture's and the energy-delta bits cannot differ. */
+  private def flacFpEntries: Seq[(String, Array[Byte], Long)] = Seq(
+    ("flat_tone.flac", flacBytesPcm(envSamples(_ => 1000)), 0L),
+    ("ramp.flac", flacBytesPcm(envSamples(w => (w + 1) * 10)), -1L),
+    ("step.flac", flacBytesPcm(envSamples(w => if (w < 32) 100 else 2000)),
+      1L << 31),
+    ("two_step.flac", flacBytesPcm(envSamples(w =>
+      if (w < 21) 100 else if (w < 43) 1000 else 2000)),
+      (1L << 20) | (1L << 42)))
+
+  /** Write the FLAC files + the pinned CSV; returns `audioFlacDir`. */
+  def ensureFlacFp(): String = {
+    Files.createDirectories(Paths.get(audioFlacDir))
+    val rows = flacFpEntries.map { case (name, bytes, hash) =>
+      Files.write(Paths.get(audioFlacDir, name), bytes)
+      s"$name,$hash"
+    }
+    Files.write(Paths.get(expectedFlacFpCsvPath),
+      ("name,afp\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    audioFlacDir
+  }
+
   // ---- video frame-hash fixture (hand-derivable per-frame dHashes) --
 
   val videoDHashDir: String = s"${FixtureDirs.base}/media_vdhash"
