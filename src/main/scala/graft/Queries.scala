@@ -5081,6 +5081,65 @@ object Queries {
              |FROM w WHERE cur IS NULL""".stripMargin)
     )),
 
+    // Bradley–Terry preference strengths (MM/Zermelo iteration,
+    // Hunter 2004) — the reward-modeling primitive turning pairwise
+    // preference votes into per-item strengths. The fixture's winner
+    // rule (k·13 mod (a+b+2) ≤ a picks a) makes P(a wins) exactly
+    // (a+1)/(a+b+2) — a TRUE Bradley–Terry process with strength
+    // i+1 — so the fit recovers a monotone ladder, not noise. Six
+    // rounds from p=1 with the virtual-opponent regularization; each
+    // opponent term rounds to 9 AT BIRTH and sums by a sorted fold,
+    // the update re-rounds to 9, so all six p tables replay through
+    // materialized CTEs and every strength hash-matches.
+    "q_bradley_terry" -> ((
+      (s: SparkSession, dir: String) => {
+        val m = Tables.orders(s, dir)
+          .select(pmod(col("o_custkey"), lit(12L)).as("a"),
+            pmod(col("o_orderkey"), lit(12L)).as("b"),
+            col("o_orderkey").as("k"))
+          .filter(col("a") =!= col("b"))
+        val won = pmod(col("k") * 13, col("a") + col("b") + 2) <= col("a")
+        val prefs = m.select(
+          when(won, col("a")).otherwise(col("b")).as("winner"),
+          when(won, col("b")).otherwise(col("a")).as("loser"))
+        operators.PostTraining.bradleyTerry(prefs, "winner", "loser",
+          rounds = 6)
+      },
+      Some {
+        val roundCtes = (1 to 6).map { r =>
+          s"""p$r AS MATERIALIZED (
+             |  SELECT adj.item, round((it.wins + 1.0) /
+             |    (list_sum(list_sort(list(round(adj.n / (pi.p + pj.p), 9)))) +
+             |     round(2.0 / (pi.p + 1.0), 9)), 9) AS p
+             |  FROM adj JOIN p${r - 1} pi ON pi.item = adj.item
+             |  JOIN p${r - 1} pj ON pj.item = adj.opp
+             |  JOIN it ON it.item = adj.item
+             |  GROUP BY adj.item, it.wins, pi.p)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH m0 AS (SELECT o_custkey % 12 AS a, o_orderkey % 12 AS b,
+           |    o_orderkey AS k FROM orders
+           |  WHERE o_custkey % 12 <> o_orderkey % 12),
+           |mw AS (SELECT
+           |    CASE WHEN (k * 13) % (a + b + 2) <= a THEN a ELSE b END AS w,
+           |    CASE WHEN (k * 13) % (a + b + 2) <= a THEN b ELSE a END AS l
+           |  FROM m0),
+           |wn AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+           |  FROM mw GROUP BY 1),
+           |pr AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+           |    CAST(count(*) AS BIGINT) AS n FROM mw GROUP BY 1, 2),
+           |adj AS (SELECT a AS item, b AS opp, n FROM pr
+           |  UNION ALL SELECT b AS item, a AS opp, n FROM pr),
+           |it AS (SELECT DISTINCT adj.item, COALESCE(wn.wins, 0) AS wins
+           |  FROM adj LEFT JOIN wn ON wn.item = adj.item),
+           |p0 AS (SELECT item, 1.0 AS p FROM it),
+           |$roundCtes,
+           |gm AS (SELECT item, CAST(sum(n) AS BIGINT) AS games
+           |  FROM adj GROUP BY 1)
+           |SELECT it.item, it.wins, gm.games, round(p6.p, 6) AS strength
+           |FROM it JOIN gm USING (item) JOIN p6 USING (item)""".stripMargin
+      }
+    )),
+
     // Block-diagonal attention boundaries for packed windows: the
     // (shard, window) → ordered per-doc segment spans a dataloader
     // needs to build the cross-document attention mask over q_pack_bpe's

@@ -191,4 +191,86 @@ object PostTraining {
       size(col("path")).cast("long").as("depth"),
       col("path").as("path_ids"))
   }
+
+  /** Bradley–Terry preference strengths from pairwise outcomes — the
+    * reward-modeling primitive that turns (winner, loser) rows (human
+    * preference votes, model-arena matches, best-of-n comparisons)
+    * into one per-item strength the BT model ties to win odds:
+    * P(i beats j) = p_i / (p_i + p_j).
+    *
+    * Fit is the classic MM / Zermelo iteration (Hunter, "MM algorithms
+    * for generalized Bradley-Terry models", Annals of Statistics
+    * 2004): p'_i = W_i / Σ_j n_ij/(p_i + p_j), run a FIXED `rounds`
+    * times from p = 1, regularized by ONE virtual win and ONE virtual
+    * loss per item against a fixed strength-1 opponent
+    * (p'_i = (W_i + 1) / (Σ_j n_ij/(p_i+p_j) + 2/(p_i+1))): zero-win
+    * or zero-loss items stay finite and positive, and the fixed
+    * virtual opponent anchors the scale, so no normalization step (and
+    * no driver-side scalar) exists at all.
+    *
+    * Determinism: each opponent term n_ij/(p_i+p_j) is rounded to 9
+    * decimals AT BIRTH and summed by a sorted fold (the naive-Bayes
+    * ln discipline — these are data-dependent doubles under an
+    * unordered GROUP BY); the update divides once and re-rounds to 9,
+    * so every round's p table is engine-exact and the whole
+    * trajectory replays through materialized SQL CTEs
+    * (`q_bradley_terry`).
+    *
+    * Scale shape: outcomes aggregate ONCE to (pair, n) / (item, wins)
+    * tables; each round is two item-keyed joins of the pair table
+    * against the current p (items-sized — AQE broadcasts it when
+    * small) plus one item-keyed fold aggregation. Plan depth is
+    * bounded by `checkpointInterval` exactly as in
+    * [[Graph.labelPropagation]]. Output: (item, wins, games,
+    * strength = round(p, 6)). */
+  def bradleyTerry(matches: DataFrame, winnerCol: String, loserCol: String,
+                   rounds: Int = 8, checkpointInterval: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of range")
+    import graft.core.Checkpoints
+    val m = matches.select(col(winnerCol).as("w"), col(loserCol).as("l"))
+      .filter(col("w") =!= col("l"))
+    val wins = m.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
+    // undirected pair game counts, then both directions for the fold
+    val pairs = m.select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val (adj, _) = Checkpoints.eager(
+      pairs.select(col("a").as("item"), col("b").as("opp"), col("n"))
+        .unionByName(pairs.select(col("b").as("item"), col("a").as("opp"),
+          col("n"))))
+    val items = adj.select("item").distinct()
+      .join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
+    var p = items.select(col("item"), lit(1.0).as("p"))
+    var pIds = Seq.empty[Int]
+    for (r <- 1 to rounds) {
+      val next = adj
+        .join(p.select(col("item"), col("p").as("pi")), Seq("item"))
+        .join(p.select(col("item").as("opp"), col("p").as("pj")), Seq("opp"))
+        .withColumn("term", round(col("n") / (col("pi") + col("pj")), 9))
+        .groupBy("item")
+        // first(pi) is order-safe: pi joined on the group key itself,
+        // so every row of the group carries the SAME value
+        .agg(sort_array(collect_list(col("term"))).as("terms"),
+          first(col("pi")).as("pi"))
+        .join(items, Seq("item"))
+        .select(col("item"), round(
+          (col("wins") + lit(1.0)) /
+            (expr("aggregate(terms, cast(0 as double), (acc, x) -> acc + x)") +
+              round(lit(2.0) / (col("pi") + lit(1.0)), 9)), 9).as("p"))
+      if (r % checkpointInterval == 0 && r < rounds) {
+        val (ck, ckIds) = Checkpoints.eager(next)
+        Checkpoints.free(p, pIds)
+        p = ck
+        pIds = ckIds
+      } else {
+        p = next
+      }
+    }
+    val games = adj.groupBy("item").agg(sum(col("n")).as("games"))
+    items.join(games, Seq("item"))
+      .join(p, Seq("item"))
+      .select(col("item"), col("wins"), col("games"),
+        round(col("p"), 6).as("strength"))
+  }
 }

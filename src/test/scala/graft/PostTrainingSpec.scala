@@ -142,4 +142,50 @@ class PostTrainingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("bradleyTerry: hand-computed two-item MM rounds") {
+    // 1 beats 2 three times, 2 beats 1 once: n_12 = 4, W = (3, 1).
+    // Round 1 (p = 1, 1): term = round(4/2, 9) = 2, virtual =
+    // round(2/2, 9) = 1 -> p = (4/3, 2/3) rounded to 9.
+    // Round 2: sum p = 2.0 exactly, so terms stay 2;
+    //   p1 = 4/(2 + round(2/2.333333333, 9)) = 4/2.857142857 = 1.4
+    //   p2 = 2/(2 + round(2/1.666666667, 9)) = 2/3.2          = 0.625
+    val m = (Seq.fill(3)((1L, 2L)) ++ Seq((2L, 1L))).toDF("winner", "loser")
+    val got = PostTraining.bradleyTerry(m, "winner", "loser", rounds = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 4L, 1.4)))
+    assert(got(2L) == ((1L, 4L, 0.625)))
+  }
+
+  test("bradleyTerry: strengths order by skill; zero-win items stay positive") {
+    // a true BT process: P(a beats b) = (a+1)/(a+b+2), skills 1..6
+    val ms = for {
+      a <- 0L to 5L; b <- 0L to 5L if a != b
+      k <- 1L to 40L
+    } yield if ((k * 13) % (a + b + 2) <= a) (a, b) else (b, a)
+    val out = PostTraining.bradleyTerry(ms.toDF("winner", "loser"),
+      "winner", "loser", rounds = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert((0L to 4L).forall(i => out(i) < out(i + 1)),
+      s"monotone ladder expected, got $out")
+    assert(out.values.forall(_ > 0.0))
+    // an item that NEVER wins (add a pure loser 9) stays finite > 0
+    val withLoser = PostTraining.bradleyTerry(
+      (ms ++ Seq.fill(10)((0L, 9L))).toDF("winner", "loser"),
+      "winner", "loser", rounds = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(withLoser(9L) > 0.0 && withLoser(9L) < withLoser(0L))
+  }
+
+  test("bradleyTerry: deterministic across repartitionings (sorted folds)") {
+    val ms = (1 to 300).map(i =>
+      ((i % 7).toLong, ((i * 3) % 7).toLong)).filter(p => p._1 != p._2)
+      .toDF("winner", "loser")
+    val a = PostTraining.bradleyTerry(ms.repartition(11), "winner", "loser",
+      rounds = 5).collect().map(_.toSeq).toSet
+    val b = PostTraining.bradleyTerry(ms.coalesce(1), "winner", "loser",
+      rounds = 5).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
