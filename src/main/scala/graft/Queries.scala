@@ -2432,6 +2432,47 @@ object Queries {
       }
     )),
 
+    // Consistent pseudonymization: same PII value → same surrogate
+    // CORPUS-WIDE (coreference preserved, value not retained). The
+    // fixture plants cross-doc shared emails (user<k mod 7>@…) AND the
+    // substring hazard the longest-match-first ordering exists for:
+    // user3@example.com is a proper substring of xuser3@example.com in
+    // the SAME document, so a short-first fold would corrupt the long
+    // match's surrogate. The oracle replays the sort + fold with
+    // list_sort/list_reduce over identical md5 surrogates.
+    "q_pii_pseudonymize" -> ((
+      (s: SparkSession, dir: String) => {
+        val seeded = concat(col("text"), lit(" contact user"),
+          pmod(col("doc_id"), lit(7L)), lit("@example.com or xuser"),
+          pmod(col("doc_id"), lit(7L)), lit("@example.com ip 10.0.0."),
+          pmod(col("doc_id"), lit(255L)))
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.pseudonymizePii(seeded).as("clean"),
+          size(array_distinct(regexp_extract_all(seeded,
+            lit(TextAnalysis.piiPatterns.map(_._1).mkString("|")), lit(0))))
+            .cast("long").as("n_pii"))
+      },
+      Some {
+        val pat = TextAnalysis.piiPatterns.map(_._1).mkString("|")
+          .replace("'", "''")
+        s"""WITH d AS (SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id % 7 AS VARCHAR) ||
+           |    '@example.com or xuser' || CAST(doc_id % 7 AS VARCHAR) ||
+           |    '@example.com ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) AS t
+           |  FROM documents),
+           |m AS (SELECT doc_id, t,
+           |    list_transform(list_sort(list_transform(
+           |      list_distinct(regexp_extract_all(t, '$pat')),
+           |      x -> {'nl': -length(x), 'm': x})), s -> s.m) AS ms
+           |  FROM d)
+           |SELECT doc_id,
+           |  list_reduce(list_prepend(t, ms), (acc, x) ->
+           |    replace(acc, x, '<pii_' || substr(md5(x), 1, 8) || '>')) AS clean,
+           |  CAST(len(ms) AS BIGINT) AS n_pii
+           |FROM m""".stripMargin
+      }
+    )),
+
     // Collection-level sketches: ONE MinHash signature per SOURCE via
     // the typed MinSigAggregator (min-merge of per-doc signatures ==
     // signature of the source's shingle union), then pairwise Jaccard
@@ -6045,6 +6086,100 @@ object Queries {
               |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
               |FROM h a JOIN h b ON a.mid < b.mid
               |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin)
+    )),
+
+    // CROSS-FORMAT audio near-dup: the WAV and FLAC encodings of the
+    // same envelope pair at Hamming 0 — the fingerprint is over
+    // DECODED PCM, and FLAC decode is lossless, so the same content
+    // dedups regardless of container/codec. This is the point of
+    // content-derived fingerprints: a byte-level dedup can never see
+    // that flat_tone.wav and flat_tone.flac are the same recording.
+    // Oracle: pairwise bit_count over the UNION of the two pinned
+    // CSVs (pigeonhole ≡ plain-filter as in the other pairs rows).
+    "q_audio_crossformat_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d1 = graft.sources.MediaFixture.ensureAudioFp()
+        val d2 = graft.sources.MediaFixture.ensureFlacFp()
+        val files = s.read.format("binaryFile").load(d1, d2)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("mid", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) => operators.Multimodal.MediaBlob(idx(n).toLong,
+            n.substring(n.lastIndexOf('.') + 1), c) }
+        operators.Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
+          .join(broadcast(nameDf.toDF("id_a", "name_a")), "id_a")
+          .join(broadcast(nameDf.toDF("id_b", "name_b")), "id_b")
+          .select("name_a", "name_b", "hamming")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedAudioFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedFlacFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})),
+              |h AS (SELECT name, afp,
+              |    row_number() OVER (ORDER BY name) - 1 AS mid FROM u)
+              |SELECT a.name AS name_a, b.name AS name_b,
+              |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+              |FROM h a JOIN h b ON a.mid < b.mid
+              |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin)
+    )),
+
+    // CROSS-FORMAT video near-dup: the raw-DIB reel (63×48) and the
+    // MJPEG reel (144×64) carry the SAME four patterns, so their
+    // per-frame hashes agree constant-for-constant ACROSS codec AND
+    // resolution — video_a/video_a_edit pair with mjpeg_a at 4
+    // matching frames through two entirely different decode paths
+    // (raw pixels vs T.81 DC grids). mjpeg_b shares only its flat
+    // frame (1 < minMatchingFrames) and stays out. Oracle replays
+    // pairs from the UNION of the two pinned per-frame CSVs.
+    "q_video_crossformat_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d1 = graft.sources.MediaFixture.ensureVideoDHash()
+        val d2 = graft.sources.MediaFixture.ensureMjpegDHash()
+        val files = s.read.format("binaryFile").load(d1, d2)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("mid", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) =>
+            operators.Multimodal.MediaBlob(idx(n).toLong, "avi", c) }
+        operators.Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
+            minMatchingFrames = 2)
+          .join(broadcast(nameDf.toDF("id_a", "name_a")), "id_a")
+          .join(broadcast(nameDf.toDF("id_b", "name_b")), "id_b")
+          .select("name_a", "name_b", "n_matching_frames")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT name, frame_idx, vdhash
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedVideoDHashCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                          'vdhash':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, frame_idx, vdhash
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedMjpegDHashCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                          'vdhash':'BIGINT'})),
+              |h AS (SELECT name, frame_idx, vdhash,
+              |    dense_rank() OVER (ORDER BY name) - 1 AS mid FROM u)
+              |SELECT a.name AS name_a, b.name AS name_b,
+              |  count(*) AS n_matching_frames
+              |FROM h a JOIN h b
+              |  ON a.frame_idx = b.frame_idx AND a.mid < b.mid
+              |WHERE bit_count(xor(a.vdhash, b.vdhash)) <= 3
+              |GROUP BY 1, 2
+              |HAVING count(*) >= 2""".stripMargin)
     )),
 
     // REAL video under the oracle gate: uncompressed-DIB AVI is the

@@ -213,6 +213,33 @@ object TextAnalysis {
       regexp_replace(c, pat, rep)
     }
 
+  /** Consistent PSEUDONYMIZATION: every PII match is replaced by a
+    * surrogate derived from the value itself (`<pii_` + 8 hex of its
+    * md5 + `>`), so the same email/phone/IP maps to the SAME surrogate
+    * corpus-wide. [[redactPii]]'s fixed type tags destroy coreference
+    * — after redaction "Alice emailed Bob" and "Alice emailed Alice"
+    * are indistinguishable, which degrades any training signal built
+    * on entity repetition; the value-derived surrogate preserves the
+    * repetition structure without retaining the value, and needs no
+    * dictionary table to build, shuffle, or leak.
+    *
+    * Replacements apply LONGEST-MATCH-FIRST (matches sorted by
+    * (-length, value) before the fold): one extracted match can be a
+    * proper substring of another extracted elsewhere in the document
+    * (`xa@b.com` contains `a@b.com`), and replacing the short one
+    * first would corrupt the long one's surrogate. Entirely map-side:
+    * regexp_extract_all + an in-row fold of `replace` calls — zero
+    * shuffle, codegen'd. */
+  def pseudonymizePii(text: Column): Column = {
+    val pat = lit(piiPatterns.map(_._1).mkString("|"))
+    val ordered = transform(
+      sort_array(transform(array_distinct(regexp_extract_all(text, pat, lit(0))),
+        m => struct((-length(m)).as("nl"), m.as("m")))),
+      s => s.getField("m"))
+    aggregate(ordered, text, (acc, m) =>
+      replace(acc, m, concat(lit("<pii_"), substring(md5(m), 1, 8), lit(">"))))
+  }
+
   /** Deterministic page-layout synthesis for the line-level quality
     * rules: the fixtures are single-line word soup, so bullet/ellipsis/
     * terminal-punctuation signals would never fire on them. Both

@@ -72,6 +72,31 @@ class TextAnalysisSpec extends SparkSpec {
       "host <IP> keep v1.2 and 2023")
   }
 
+  test("pseudonymizePii: consistent surrogates, longest-match-first, types covered") {
+    def mk(v: String) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      s"<pii_$h>"
+    }
+    // the same value maps to the SAME surrogate wherever it appears
+    val dirty = "a@b.com wrote to c@d.org then a@b.com again at 10.0.0.1"
+    val clean = one(dirty, TextAnalysis.pseudonymizePii(col("text")))
+    assert(clean == s"${mk("a@b.com")} wrote to ${mk("c@d.org")} " +
+      s"then ${mk("a@b.com")} again at ${mk("10.0.0.1")}")
+    // substring hazard: a@b.com is a proper substring of xa@b.com —
+    // short-first replacement would corrupt the longer match
+    val hazard = "xa@b.com and a@b.com"
+    assert(one(hazard, TextAnalysis.pseudonymizePii(col("text"))) ==
+      s"${mk("xa@b.com")} and ${mk("a@b.com")}")
+    // SSN and phone shapes route through the same surrogate scheme
+    assert(one("ssn 123-45-6789 tel 919-555-1234",
+      TextAnalysis.pseudonymizePii(col("text"))) ==
+      s"ssn ${mk("123-45-6789")} tel ${mk("919-555-1234")}")
+    // no PII -> text unchanged
+    assert(one("keep v1.2 and 2023", TextAnalysis.pseudonymizePii(col("text"))) ==
+      "keep v1.2 and 2023")
+  }
+
   test("subwordCount counts ceil(len/4) units per word") {
     // "distributed" (11 chars -> 3) + "db" (2 -> 1)
     assert(one("distributed db", TextAnalysis.subwordCount(col("text"))) == 4L)
