@@ -5122,6 +5122,83 @@ object Queries {
              |FROM w WHERE cur IS NULL""".stripMargin)
     )),
 
+    // Population Stability Index drift monitor: per-source PSI between
+    // a reference and a current snapshot of an arithmetic score whose
+    // CURRENT multiplier depends on the source name — so some sources
+    // drift and some don't, and every psi carries signal. Bucket
+    // counts are exact int64, each (p−q)·ln(p/q) term rounds to 9 AT
+    // BIRTH, and the per-source sum is a bin-ordered fold (the
+    // calibration ECE discipline), so psi hash-matches engine-exactly.
+    "q_drift_psi" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val ref = d.filter(pmod(col("doc_id"), lit(3L)) < 2)
+          .select(col("source"),
+            expr("CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0").as("score"))
+        val cur = d.filter(pmod(col("doc_id"), lit(3L)) === 2)
+          .select(col("source"),
+            expr("CAST((doc_id * (31 + length(source) % 7)) % 1000 AS DOUBLE) / 1000.0")
+              .as("score"))
+        operators.Profile.distributionDrift(ref, cur, "source", "score")
+      },
+      Some("""WITH ref AS (SELECT source,
+             |    CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS score
+             |  FROM documents WHERE doc_id % 3 < 2),
+             |cur AS (SELECT source,
+             |    CAST((doc_id * (31 + length(source) % 7)) % 1000 AS DOUBLE) / 1000.0 AS score
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |rb AS (SELECT source AS g,
+             |    greatest(least(CAST(ceil(score * 10) AS BIGINT), 10), 1) AS b,
+             |    CAST(count(*) AS BIGINT) AS nr FROM ref GROUP BY 1, 2),
+             |cb AS (SELECT source AS g,
+             |    greatest(least(CAST(ceil(score * 10) AS BIGINT), 10), 1) AS b,
+             |    CAST(count(*) AS BIGINT) AS nc FROM cur GROUP BY 1, 2),
+             |j AS (SELECT COALESCE(rb.g, cb.g) AS g, COALESCE(rb.b, cb.b) AS b,
+             |    COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc
+             |  FROM rb FULL OUTER JOIN cb ON rb.g = cb.g AND rb.b = cb.b),
+             |rt AS (SELECT g, CAST(sum(nr) AS BIGINT) AS n_ref FROM rb GROUP BY 1),
+             |ct AS (SELECT g, CAST(sum(nc) AS BIGINT) AS n_cur FROM cb GROUP BY 1),
+             |t AS (SELECT j.g, j.b, rt.n_ref, ct.n_cur,
+             |    greatest(CAST(nr AS DOUBLE) / CAST(n_ref AS DOUBLE), 0.0001) AS p,
+             |    greatest(CAST(nc AS DOUBLE) / CAST(n_cur AS DOUBLE), 0.0001) AS q
+             |  FROM j JOIN rt ON rt.g = j.g JOIN ct ON ct.g = j.g)
+             |SELECT g AS source, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+             |  round(list_sum([x.term FOR x IN
+             |    list({'b': b, 'term': round((p - q) * ln(p / q), 9)} ORDER BY b)]), 6) AS psi
+             |FROM t GROUP BY g""".stripMargin)
+    )),
+
+    // Inverse Cloze Task pairs (Lee et al. 2019): one 8-word window
+    // per doc becomes the pseudo-query, the rest the context; 10% of
+    // docs (an md5 draw, 'ict_k' salt) keep the query inside the
+    // context — the paper's fix for "the answer is never in the
+    // passage". Window choice is a second md5 draw ('ict_q'). All
+    // map-side array arithmetic; the oracle replays both draws and
+    // the slice algebra, so every materialized (query, context) pair
+    // hash-matches verbatim.
+    "q_ict_pairs" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.PostTraining.ictPairs(Tables.documents(s, dir),
+          "doc_id", "text", windowWords = 8, keepQueryPct = 10),
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS ws
+             |  FROM documents),
+             |b AS (SELECT doc_id, ws,
+             |    CAST((len(ws) + 7) // 8 AS BIGINT) AS nw FROM d),
+             |f AS (SELECT doc_id, ws, nw,
+             |    CAST(('0x' || substr(md5('ict_q' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % nw AS q_idx,
+             |    CASE WHEN CAST(('0x' || substr(md5('ict_k' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+             |      THEN 1 ELSE 0 END AS kept
+             |  FROM b WHERE nw >= 2)
+             |SELECT doc_id, q_idx, kept,
+             |  array_to_string(ws[q_idx*8+1 : q_idx*8+8], ' ') AS query,
+             |  CASE WHEN kept = 1 THEN array_to_string(ws, ' ')
+             |       ELSE array_to_string(list_concat(ws[1 : CAST(q_idx*8 AS INTEGER)],
+             |         ws[(q_idx+1)*8+1 : len(ws)]), ' ')
+             |  END AS context
+             |FROM f""".stripMargin)
+    )),
+
     // Bradley–Terry preference strengths (MM/Zermelo iteration,
     // Hunter 2004) — the reward-modeling primitive turning pairwise
     // preference votes into per-item strengths. The fixture's winner

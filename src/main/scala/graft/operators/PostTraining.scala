@@ -192,6 +192,52 @@ object PostTraining {
       col("path").as("path_ids"))
   }
 
+  /** Inverse Cloze Task pairs (Lee et al., "Latent Retrieval for
+    * Weakly Supervised Open Domain Question Answering", ACL 2019) —
+    * the standard self-supervised pretraining data for dense
+    * retrievers: one window of each document becomes the pseudo-QUERY,
+    * the rest becomes the CONTEXT it must retrieve. A deterministic
+    * `keepQueryPct`% of documents keep the query window inside the
+    * context (the paper's trick: without it the model learns "the
+    * answer is never in the passage" and fails on real queries, where
+    * it usually is).
+    *
+    * Windows are fixed `windowWords`-word slices (sentence splitting
+    * is locale- and punctuation-dependent; fixed windows are the
+    * engine-exact choice, and at pretraining scale the distinction
+    * does not matter). Window choice and the keep decision are
+    * [[Sampling.hash32]] draws under distinct salts — the q_mlm_mask
+    * discipline, zero RNG state. Documents with fewer than two
+    * windows cannot form a (query, context) pair and are dropped.
+    *
+    * Scale shape: pure map-side array arithmetic over the split
+    * tokens, zero shuffle; every draw replays in SQL, so
+    * `q_ict_pairs` hash-checks the materialized pairs verbatim. */
+  def ictPairs(docs: DataFrame, idCol: String, textCol: String,
+               windowWords: Int = 16, keepQueryPct: Int = 10): DataFrame = {
+    require(windowWords >= 1, "windowWords must be positive")
+    require(keepQueryPct >= 0 && keepQueryPct <= 100, "keepQueryPct in [0,100]")
+    val w = windowWords
+    val ws = expr(s"filter(split(`$textCol`, ' '), t -> t <> '')")
+    val base = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .withColumn("nw", // Column `/` is double division — use integer div
+        expr(s"CAST((size(ws) + ${w - 1}) div $w AS BIGINT)"))
+      .filter(col("nw") >= 2)
+      .withColumn("q_idx", pmod(Sampling.hash32(col("doc_id"), "ict_q"),
+        col("nw")))
+      .withColumn("kept",
+        (pmod(Sampling.hash32(col("doc_id"), "ict_k"), lit(100L)) <
+          keepQueryPct).cast("int"))
+    base.select(col("doc_id"), col("q_idx"), col("kept"),
+      concat_ws(" ", slice(col("ws"), (col("q_idx") * w + 1).cast("int"),
+        lit(w))).as("query"),
+      when(col("kept") === 1, concat_ws(" ", col("ws")))
+        .otherwise(concat_ws(" ", concat(
+          slice(col("ws"), lit(1), (col("q_idx") * w).cast("int")),
+          slice(col("ws"), ((col("q_idx") + 1) * w + 1).cast("int"),
+            size(col("ws")))))).as("context"))
+  }
+
   /** Bradley–Terry preference strengths from pairwise outcomes — the
     * reward-modeling primitive that turns (winner, loser) rows (human
     * preference votes, model-arena matches, best-of-n comparisons)

@@ -95,4 +95,59 @@ object Profile {
         (col("n_oov").cast("double") / col("n_tokens").cast("double"))
           .as("oov_rate"))
   }
+
+  /** Population Stability Index between a REFERENCE and a CURRENT
+    * snapshot of a score distribution, per group — the standard drift
+    * monitor for quality/classifier scores feeding sampling decisions
+    * (a silent upstream change shifts the score distribution long
+    * before row counts move; PSI > 0.25 is the conventional
+    * "investigate" threshold). psi = Σ_b (p_b − q_b)·ln(p_b/q_b) over
+    * `bins` fixed monotone score rungs (ceil(score·B) clamped to
+    * [1, B] — the calibration binning), with shares floored at
+    * `epsilon` so empty buckets keep the index finite.
+    *
+    * Determinism: bucket counts are exact int64; each share divides
+    * once; each bucket term rounds to 9 AT BIRTH and sums by a
+    * bin-ordered fold (the calibration ECE discipline); psi rounds to
+    * 6. Groups present in only one snapshot are dropped (no
+    * distribution to compare against) — count drift is
+    * [[profile]]/[[schemaDrift]]'s job.
+    *
+    * Scale shape: two (group, bucket)-keyed count aggregations with
+    * map-side partials, one group-keyed join of the ≤B-row bucket
+    * tables, one ≤B-struct fold per group — never a row-level
+    * ref × cur join. */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+                        scoreCol: String, bins: Int = 10,
+                        epsilon: Double = 1e-4): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    def bucketed(df: DataFrame): DataFrame = df.select(
+      col(groupCol).as("g"),
+      greatest(least(ceil(col(scoreCol) * bins).cast("long"),
+        lit(bins.toLong)), lit(1L)).as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("n"))
+    val r = bucketed(ref)
+    val c = bucketed(cur)
+    val rt = r.groupBy("g").agg(sum("n").as("n_ref"))
+    val ct = c.groupBy("g").agg(sum("n").as("n_cur"))
+    r.withColumnRenamed("n", "nr")
+      .join(c.withColumnRenamed("n", "nc"), Seq("g", "b"), "full_outer")
+      .select(col("g"), col("b"),
+        coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+      .join(rt, Seq("g")).join(ct, Seq("g")) // inner: both snapshots only
+      .withColumn("p", greatest(col("nr").cast("double") /
+        col("n_ref").cast("double"), lit(epsilon)))
+      .withColumn("q", greatest(col("nc").cast("double") /
+        col("n_cur").cast("double"), lit(epsilon)))
+      .withColumn("term", round((col("p") - col("q")) *
+        log(col("p") / col("q")), 9))
+      .groupBy("g", "n_ref", "n_cur")
+      .agg(sort_array(collect_list(struct(col("b"), col("term"))))
+        .as("terms"))
+      .select(col("g").as(groupCol), col("n_ref"), col("n_cur"),
+        round(expr(
+          "aggregate(terms, cast(0 as double), (acc, x) -> acc + x.term)"),
+          6).as("psi"))
+  }
 }

@@ -143,6 +143,34 @@ class PostTrainingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ictPairs: window algebra, keep flag, short docs dropped, deterministic") {
+    val docs = (0L until 60L).map(i =>
+      (i, (0 until (i % 30).toInt + 3).map(k => s"w${i}_$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = PostTraining.ictPairs(docs, "doc_id", "text",
+      windowWords = 8, keepQueryPct = 20).collect()
+    // docs with <= 8 words have one window -> dropped
+    val expectIds = (0L until 60L).filter(i => (i % 30) + 3 > 8).toSet
+    assert(out.map(_.getLong(0)).toSet == expectIds)
+    for (r <- out) {
+      val id = r.getLong(0); val qIdx = r.getLong(1); val kept = r.getInt(2)
+      val query = r.getString(3).split(" ").toSeq
+      val context = r.getString(4).split(" ").toSeq
+      val words = (0 until (id % 30).toInt + 3).map(k => s"w${id}_$k")
+      assert(query == words.slice((qIdx * 8).toInt, (qIdx * 8 + 8).toInt),
+        s"doc $id: query is window $qIdx")
+      if (kept == 1) assert(context == words, s"doc $id keeps query in context")
+      else assert(context ==
+        words.take((qIdx * 8).toInt) ++ words.drop((qIdx * 8 + 8).toInt),
+        s"doc $id excludes the query window")
+    }
+    // both keep outcomes occur at 20%-ish on 40+ docs
+    assert(out.exists(_.getInt(2) == 1) && out.exists(_.getInt(2) == 0))
+    val again = PostTraining.ictPairs(docs.repartition(7), "doc_id", "text",
+      windowWords = 8, keepQueryPct = 20).collect().map(_.toSeq).toSet
+    assert(again == out.map(_.toSeq).toSet)
+  }
+
   test("bradleyTerry: hand-computed two-item MM rounds") {
     // 1 beats 2 three times, 2 beats 1 once: n_12 = 4, W = (3, 1).
     // Round 1 (p = 1, 1): term = round(4/2, 9) = 2, virtual =

@@ -49,6 +49,33 @@ class ProfileSpec extends SparkSpec {
     assert(out(3L) == (2L, 1L, 0.5))
   }
 
+  test("distributionDrift: zero PSI on identical data, positive on a shift, one-sided groups dropped") {
+    import org.apache.spark.sql.functions._
+    val ref = (1 to 1000).map(i => ("web", (i % 100) / 100.0)) ++
+      (1 to 500).map(i => ("code", (i % 50) / 50.0)) ++
+      (1 to 100).map(i => ("refonly", i / 100.0))
+    val curSame = (1 to 800).map(i => ("web", (i % 100) / 100.0))
+    val curShift = (1 to 500).map(i => ("code", math.min(0.999, (i % 50) / 50.0 + 0.4)))
+    val out = Profile.distributionDrift(
+      ref.toDF("source", "score"), (curSame ++ curShift).toDF("source", "score"),
+      "source", "score").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(!out.contains("refonly"), "groups in one snapshot only are dropped")
+    // web: same 100-value cycle -> identical bucket shares -> psi 0
+    assert(out("web")._3 == 0.0, s"identical distribution, got ${out("web")}")
+    assert(out("web")._1 == 1000L && out("web")._2 == 800L)
+    // code: +0.4 shift empties the low buckets -> conventional alarm range
+    assert(out("code")._3 > 0.25, s"shifted distribution, got ${out("code")}")
+    // deterministic across repartitionings (bin-ordered fold)
+    val again = Profile.distributionDrift(
+      ref.toDF("source", "score").repartition(7),
+      (curSame ++ curShift).toDF("source", "score").repartition(5),
+      "source", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(again == out.map { case (k, v) => (k, v._3) })
+  }
+
   test("profile: approx distinct lands within HLL bounds on a real column") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val byMode = Seq(false, true).map { exact =>
