@@ -5122,6 +5122,61 @@ object Queries {
              |FROM w WHERE cur IS NULL""".stripMargin)
     )),
 
+    // Preference-transitivity audit: majority-vote tournament over
+    // sparse BT-process votes (the % 101 < 3 filter keeps ~9 votes per
+    // pair, so majority flips create real cycles — 47 of 347 triangles
+    // at sf0.01), then count directed 3-cycles against fully-connected
+    // triples. One wedge join + one closing join; every count is an
+    // exact int64; the rate is one division rounded to 6.
+    "q_preference_cycles" -> ((
+      (s: SparkSession, dir: String) => {
+        val m = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(101L)) < 3)
+          .select(pmod(col("o_custkey"), lit(15L)).as("a"),
+            pmod(col("o_orderkey"), lit(15L)).as("b"),
+            col("o_orderkey").as("k"))
+          .filter(col("a") =!= col("b"))
+        val won = pmod(col("k") * 13, col("a") + col("b") + 2) <= col("a")
+        operators.PostTraining.preferenceCycles(
+          m.select(when(won, col("a")).otherwise(col("b")).as("winner"),
+            when(won, col("b")).otherwise(col("a")).as("loser")),
+          "winner", "loser")
+      },
+      Some("""WITH m0 AS (SELECT o_custkey % 15 AS a, o_orderkey % 15 AS b,
+             |    o_orderkey AS k FROM orders
+             |  WHERE o_orderkey % 101 < 3 AND o_custkey % 15 <> o_orderkey % 15),
+             |mw AS (SELECT
+             |    CASE WHEN (k * 13) % (a + b + 2) <= a THEN a ELSE b END AS w,
+             |    CASE WHEN (k * 13) % (a + b + 2) <= a THEN b ELSE a END AS l
+             |  FROM m0),
+             |v AS (SELECT w, l, count(*) AS n FROM mw GROUP BY 1, 2),
+             |e0 AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+             |    sum(CASE WHEN w < l THEN n ELSE -n END) AS s
+             |  FROM v GROUP BY 1, 2),
+             |e AS (SELECT CASE WHEN s > 0 THEN a ELSE b END AS src,
+             |    CASE WHEN s > 0 THEN b ELSE a END AS dst FROM e0 WHERE s <> 0),
+             |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+             |tri AS (SELECT x.a, x.b, y.b AS c FROM und x JOIN und y ON x.b = y.a
+             |  JOIN und z ON z.a = x.a AND z.b = y.b),
+             |cyc AS (SELECT x.src AS p, y.dst AS q FROM e x
+             |  JOIN e y ON x.dst = y.src
+             |  JOIN e z ON z.src = y.dst AND z.dst = x.src),
+             |s AS (SELECT
+             |    (SELECT count(DISTINCT i) FROM (SELECT w AS i FROM mw
+             |      UNION ALL SELECT l FROM mw)) AS n_items,
+             |    (SELECT count(*) FROM e) AS n_edges,
+             |    (SELECT count(*) FROM tri) AS n_triangles,
+             |    (SELECT count(*) FROM cyc) // 3 AS n_cycles)
+             |SELECT CAST(n_items AS BIGINT) AS n_items,
+             |  CAST(n_edges AS BIGINT) AS n_edges,
+             |  CAST(n_triangles AS BIGINT) AS n_triangles,
+             |  CAST(n_cycles AS BIGINT) AS n_cycles,
+             |  CASE WHEN n_triangles = 0 THEN 0.0
+             |    ELSE round(CAST(n_cycles AS DOUBLE) / n_triangles, 6)
+             |  END AS cyclic_rate
+             |FROM s""".stripMargin)
+    )),
+
     // Population Stability Index drift monitor: per-source PSI between
     // a reference and a current snapshot of an arithmetic score whose
     // CURRENT multiplier depends on the source name — so some sources
@@ -5728,6 +5783,79 @@ object Queries {
              |SELECT user_id, strftime(c0, '%Y-%m-%d') AS cohort,
              |  CAST(date_diff('day', c0, bucket) // 7 AS INTEGER) AS offset
              |FROM a JOIN c USING (user_id)""".stripMargin)
+    )),
+
+    // STREAMING drift gate — the fourth direct streaming correctness
+    // row: weekly score distributions come from the REAL append-mode
+    // windowed aggregation (final counts at watermark close, replayed
+    // through MemoryStream), then each closed window's distribution
+    // scores a PSI against the full slice's batch reference — window
+    // vs corpus, the q_drift_psi discipline (round-9 terms, b-ordered
+    // fold). The oracle recomputes the epoch-aligned 7-day windows
+    // and the PSI algebra entirely in SQL: streaming final counts
+    // must EQUAL batch counts or every downstream double moves.
+    "q_stream_drift" -> ((
+      (s: SparkSession, dir: String) => {
+        val scoreE = expr("CAST((user_id * 37) % 1000 AS DOUBLE) / 1000.0")
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase" && col("user_id") < 300)
+        val counts = graft.streaming.EventStreams.replayScoreDistribution(
+          ev, "ts", scoreE, bins = 10)
+        val ref = ev
+          .select(greatest(least(ceil(scoreE * 10).cast("long"), lit(10L)),
+            lit(1L)).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("nr"))
+        val rt = ref.agg(sum("nr").as("n_ref"))
+        val ct = counts.groupBy("win_start").agg(sum("n").as("n_events"))
+        counts.select("win_start").distinct()
+          .crossJoin(broadcast(ref))
+          .join(counts.withColumnRenamed("n", "nc"), Seq("win_start", "b"),
+            "left")
+          .withColumn("nc", coalesce(col("nc"), lit(0L)))
+          .crossJoin(broadcast(rt))
+          .join(ct, "win_start")
+          .withColumn("p", greatest(col("nr").cast("double") /
+            col("n_ref").cast("double"), lit(1e-4)))
+          .withColumn("q", greatest(col("nc").cast("double") /
+            col("n_events").cast("double"), lit(1e-4)))
+          .withColumn("term", round((col("p") - col("q")) *
+            log(col("p") / col("q")), 9))
+          .groupBy("win_start", "n_events")
+          .agg(sort_array(collect_list(struct(col("b"), col("term"))))
+            .as("terms"))
+          .select(col("win_start"), col("n_events"),
+            round(expr(
+              "aggregate(terms, cast(0 as double), (acc, x) -> acc + x.term)"),
+              6).as("psi"))
+      },
+      Some("""WITH ev AS (SELECT ts,
+             |    CAST((user_id * 37) % 1000 AS DOUBLE) / 1000.0 AS score
+             |  FROM events WHERE event_type = 'purchase' AND user_id < 300),
+             |wb AS (SELECT strftime(DATE '1970-01-01' +
+             |      CAST(CAST(floor(epoch(ts) / 604800) AS BIGINT) * 7 AS INTEGER),
+             |      '%Y-%m-%d') AS win_start,
+             |    greatest(least(CAST(ceil(score * 10) AS BIGINT), 10), 1) AS b
+             |  FROM ev),
+             |wc AS (SELECT win_start, b, CAST(count(*) AS BIGINT) AS nc
+             |  FROM wb GROUP BY 1, 2),
+             |ref AS (SELECT greatest(least(CAST(ceil(score * 10) AS BIGINT), 10), 1) AS b,
+             |    CAST(count(*) AS BIGINT) AS nr FROM ev GROUP BY 1),
+             |rt AS (SELECT CAST(sum(nr) AS BIGINT) AS n_ref FROM ref),
+             |ct AS (SELECT win_start, CAST(sum(nc) AS BIGINT) AS n_events
+             |  FROM wc GROUP BY 1),
+             |grid AS (SELECT w.win_start, ref.b, ref.nr,
+             |    COALESCE(wc.nc, 0) AS nc
+             |  FROM (SELECT DISTINCT win_start FROM wc) w
+             |  CROSS JOIN ref
+             |  LEFT JOIN wc ON wc.win_start = w.win_start AND wc.b = ref.b),
+             |t AS (SELECT g.win_start, g.b, ct.n_events,
+             |    greatest(CAST(g.nr AS DOUBLE) / CAST(rt.n_ref AS DOUBLE), 0.0001) AS p,
+             |    greatest(CAST(g.nc AS DOUBLE) / CAST(ct.n_events AS DOUBLE), 0.0001) AS q
+             |  FROM grid g CROSS JOIN rt JOIN ct ON ct.win_start = g.win_start)
+             |SELECT win_start, max(n_events) AS n_events,
+             |  round(list_sum([x.term FOR x IN
+             |    list({'b': b, 'term': round((p - q) * ln(p / q), 9)} ORDER BY b)]), 6) AS psi
+             |FROM t GROUP BY win_start""".stripMargin)
     )),
 
     // Tokenizer fitness report per source: fertility (BPE tokens per

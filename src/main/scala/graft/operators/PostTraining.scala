@@ -192,6 +192,60 @@ object PostTraining {
       col("path").as("path_ids"))
   }
 
+  /** Preference-data consistency audit: how INTRANSITIVE is the
+    * pairwise preference graph? Majority-vote each pair into a
+    * tournament edge (ties drop), then count directed 3-cycles
+    * (a≻b, b≻c, c≻a) against all fully-connected triples — the cyclic
+    * fraction is a direct annotator-noise measure (a perfectly
+    * consistent ranking has zero cycles; random voting approaches
+    * 1/4), and a high rate says the [[bradleyTerry]] strengths are
+    * averaging contradictions, not revealing a ranking.
+    *
+    * Scale shape: votes aggregate once to per-pair counts (≤ items²
+    * rows — preference items are bounded candidate sets, not
+    * corpus-scale); cycles come from one wedge join of the edge list
+    * with itself plus one closing join — the adamicAdar join geometry
+    * on a majority graph whose degrees are bounded by the item count.
+    * Each directed cycle appears under all 3 rotations, so the count
+    * divides by 3 exactly. Output: one row
+    * (n_items, n_edges, n_triangles, n_cycles, cyclic_rate). */
+  def preferenceCycles(matches: DataFrame, winnerCol: String,
+                       loserCol: String): DataFrame = {
+    val m = matches.select(col(winnerCol).as("w"), col(loserCol).as("l"))
+      .filter(col("w") =!= col("l"))
+    val votes = m.groupBy(col("w"), col("l")).agg(count(lit(1)).as("n"))
+    // majority direction per unordered pair; exact ties carry no edge
+    val e = votes.select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"),
+        when(col("w") < col("l"), col("n")).otherwise(-col("n")).as("s"))
+      .groupBy("a", "b").agg(sum(col("s")).as("s"))
+      .filter(col("s") =!= 0L)
+      .select(when(col("s") > 0, col("a")).otherwise(col("b")).as("src"),
+        when(col("s") > 0, col("b")).otherwise(col("a")).as("dst"))
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    // triangles in the undirected majority graph (a < b < c once each)
+    val tri = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    // directed 3-cycles: each appears under 3 rotations
+    val cyc = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
+      .select(col("x.src").as("p"), col("y.dst").as("q"))
+      .join(e.select(col("src").as("q"), col("dst").as("p")), Seq("p", "q"))
+    val spark = matches.sparkSession
+    import spark.implicits._
+    val items = m.select(col("w").as("i"))
+      .unionByName(m.select(col("l").as("i"))).distinct().count()
+    val nEdges = e.count()
+    val nTri = tri.count()
+    val nCyc = cyc.count() / 3
+    Seq((items, nEdges, nTri, nCyc,
+      if (nTri == 0) 0.0
+      else BigDecimal(nCyc.toDouble / nTri.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_items", "n_edges", "n_triangles", "n_cycles", "cyclic_rate")
+  }
+
   /** Inverse Cloze Task pairs (Lee et al., "Latent Retrieval for
     * Weakly Supervised Open Domain Question Answering", ACL 2019) —
     * the standard self-supervised pretraining data for dense

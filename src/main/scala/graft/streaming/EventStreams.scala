@@ -512,6 +512,82 @@ object EventStreams {
       }
   }
 
+  final case class ScoreEvent(ts: Timestamp, score: Double)
+
+  /** Event-time score-distribution stream: tumbling `windowDur`
+    * windows × fixed monotone score buckets (ceil(score·bins) clamped
+    * to [1, bins] — the calibration binning), FINAL counts emitted in
+    * append mode when the watermark passes each window's end. This is
+    * the streaming half of
+    * [[graft.operators.Profile.distributionDrift]]: a monitoring job
+    * joins each closed window's distribution against a pinned
+    * reference and alarms on PSI without ever re-scanning history.
+    * State is (windows-in-flight × bins) counters — watermark-bounded,
+    * independent of event volume. */
+  def scoreDistributionStream(events: Dataset[ScoreEvent], bins: Int = 10,
+      windowDur: String = "7 days",
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur).as("w"),
+        greatest(least(ceil(col("score") * bins).cast("long"),
+          lit(bins.toLong)), lit(1L)).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("date").cast("string").as("win_start"),
+        col("b"), col("n"))
+  }
+
+  /** Driver-gate replay harness for [[scoreDistributionStream]] (the
+    * [[replayRetention]] scheme): the bounded slice the CALLER selects
+    * is fed in ascending ts order, then ONE sentinel event far past
+    * the last real window pushes the watermark so every real window
+    * emits its final counts — fed twice, because the watermark
+    * computed from batch k only gates emissions in batch k+1. The
+    * sentinel's own window stays open and never reaches the sink, so
+    * the emissions are exactly the batch windowed counts and the
+    * stream output is SQL-oracle-checkable — the fourth direct
+    * streaming correctness row. */
+  def replayScoreDistribution(events: DataFrame, tsCol: String,
+      score: org.apache.spark.sql.Column, bins: Int = 10): DataFrame = {
+    val spark = events.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = events.select(col(tsCol).cast("timestamp"), score.cast("double"))
+      .as[(Timestamp, Double)].collect()
+      .sortBy(_._1.getTime) // counts are order-free; sorting keeps the
+                            // in-order-arrival regime the doc promises
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[ScoreEvent]
+    val sinkName = "graft_replay_score_dist"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = scoreDistributionStream(input.toDS(), bins)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(512).foreach { chunk =>
+        input.addData(chunk.map { case (ts, s) => ScoreEvent(ts, s) })
+        q.processAllAvailable()
+      }
+      val last = rows.lastOption.map(_._1.getTime).getOrElse(0L)
+      val sentinel = ScoreEvent(new Timestamp(last + 40L * 86400 * 1000), 0.5)
+      input.addData(Seq(sentinel)); q.processAllAvailable()
+      input.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // the memory sink's MemoryPlan cannot appear on both sides of a
+    // join (conflicting attribute ids), and downstream PSI scoring
+    // joins the counts against their own window list — materialize
+    // the emissions into a fresh DataFrame. Bounded by construction:
+    // (windows in the slice) × bins rows, never event-volume.
+    val emitted = spark.table(sinkName)
+      .as[(String, Long, Long)].collect().toSeq
+    emitted.toDF("win_start", "b", "n")
+  }
+
   final case class RetEvent(user_id: Long, ts: Timestamp)
   final case class RetActivity(user_id: Long, cohort: String, offset: Int)
   /** Per-user retention state — public so codegen'd encoders reach it:

@@ -143,6 +143,23 @@ class PostTrainingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("preferenceCycles: transitive vs cyclic triangles, ties drop, majority wins") {
+    def run(ms: Seq[(Long, Long)]) =
+      PostTraining.preferenceCycles(ms.toDF("winner", "loser"),
+        "winner", "loser").collect().head
+    // consistent ranking 1 > 2 > 3: one triangle, zero cycles
+    val t = run(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(t.getLong(0) == 3 && t.getLong(1) == 3 &&
+      t.getLong(2) == 1 && t.getLong(3) == 0 && t.getDouble(4) == 0.0)
+    // pure cycle 1 > 2 > 3 > 1: the same triangle, now cyclic
+    val c = run(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(c.getLong(2) == 1 && c.getLong(3) == 1 && c.getDouble(4) == 1.0)
+    // an exact tie drops its pair; the majority direction survives
+    val m = run(Seq((1L, 2L), (2L, 1L),          // tie -> no edge
+      (2L, 3L), (2L, 3L), (3L, 2L)))             // majority 2 > 3
+    assert(m.getLong(1) == 1 && m.getLong(2) == 0, s"got $m")
+  }
+
   test("ictPairs: window algebra, keep flag, short docs dropped, deterministic") {
     val docs = (0L until 60L).map(i =>
       (i, (0 until (i % 30).toInt + 3).map(k => s"w${i}_$k").mkString(" ")))

@@ -293,4 +293,27 @@ class StreamingSpec extends SparkSpec {
       "admission is first-arrival")
     assert(got.count(_.grp == "cold") == 2)
   }
+
+  test("replayScoreDistribution: streaming final counts equal batch windowed counts") {
+    import org.apache.spark.sql.functions._
+    // 3 epoch-aligned weeks of events, scores cycling all 10 buckets
+    val base = 2800L * 7 * 86400 * 1000 // an exact window boundary
+    val rows = (0 until 600).map { i =>
+      (new java.sql.Timestamp(base + i.toLong * 86400 * 1000 * 21 / 600),
+        ((i % 10) + 0.5) / 10.0)
+    }
+    val df = rows.toDF("ts", "score")
+    val got = graft.streaming.EventStreams
+      .replayScoreDistribution(df, "ts", col("score"), bins = 10)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = df.groupBy(
+        window(col("ts"), "7 days")("start").cast("date").cast("string")
+          .as("win_start"),
+        greatest(least(ceil(col("score") * 10).cast("long"), lit(10L)),
+          lit(1L)).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == want, "every real window flushes its FINAL counts")
+    assert(got.keys.map(_._1).toSet.size == 3, "three weekly windows")
+  }
 }
