@@ -5122,6 +5122,70 @@ object Queries {
              |FROM w WHERE cur IS NULL""".stripMargin)
     )),
 
+    // Needle-in-a-haystack probes (the NIAH long-context eval data
+    // generator): first 48 words of each doc as the haystack, one
+    // needle sentence inserted at an md5-drawn depth rung (0..100%),
+    // answer an md5 draw — both draws and the exact insert-position
+    // integer arithmetic replay in SQL, so every probe string
+    // hash-matches verbatim.
+    "q_needle_probes" -> ((
+      (s: SparkSession, dir: String) => operators.Denoise.needleProbes(
+        Tables.documents(s, dir), "doc_id", "text", ctxWords = 48),
+      Some("""WITH d AS (SELECT doc_id,
+             |    (list_filter(string_split(text, ' '), t -> t <> ''))[1:48] AS ws
+             |  FROM documents),
+             |f AS (SELECT doc_id, ws,
+             |    CAST((CAST(('0x' || substr(md5('ndl_d' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 11) * 10 AS INTEGER) AS depth_pct,
+             |    CAST(('0x' || substr(md5('ndl_v' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 AS answer
+             |  FROM d WHERE len(ws) >= 1),
+             |p AS (SELECT doc_id, ws, depth_pct, answer,
+             |    (depth_pct * len(ws)) // 100 AS pos FROM f)
+             |SELECT doc_id, depth_pct, answer,
+             |  array_to_string(list_concat(list_concat(
+             |    ws[1:pos],
+             |    ['the', 'magic', 'number', 'is', CAST(answer AS VARCHAR)]),
+             |    ws[pos+1:len(ws)]), ' ') AS context
+             |FROM p""".stripMargin)
+    )),
+
+    // c-TF-IDF cluster labels (BERTopic's class-based TF-IDF): top-5
+    // distinctive terms per source cluster. Two planted marker tokens
+    // per doc (the q_naive_bayes discipline) make each source's marker
+    // maximally cluster-concentrated AND corpus-rare, so the labeler
+    // must actually rank it first — the rest of the ladder exercises
+    // real rarity re-weighting over the shared vocabulary. ln rounds
+    // to 9 at birth, the product to 6 BEFORE ranking, and the
+    // per-cluster rank rides groupedPositions' range exchange.
+    "q_cluster_labels" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir).select(col("source"),
+          concat(col("text"), lit(" mk"), col("source"), lit(" mk"),
+            col("source")).as("text"))
+        operators.Classifier.clusterLabels(d, "source", "text", topK = 5)
+      },
+      Some("""WITH d AS (SELECT source,
+             |    text || ' mk' || source || ' mk' || source AS text
+             |  FROM documents),
+             |toks AS (SELECT source AS c,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+             |  FROM d),
+             |tf AS (SELECT c, t, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks GROUP BY 1, 2),
+             |ft AS (SELECT t, CAST(count(*) AS BIGINT) AS corpus_tf
+             |  FROM toks GROUP BY 1),
+             |sc AS (SELECT CAST(sum(tf) AS BIGINT) AS total,
+             |    CAST(count(DISTINCT c) AS BIGINT) AS nc FROM tf),
+             |s AS (SELECT c, t, tf, corpus_tf,
+             |    round(tf * round(ln(1.0 +
+             |      (CAST(total AS DOUBLE) / nc) / corpus_tf), 9), 6) AS score
+             |  FROM tf JOIN ft USING (t) CROSS JOIN sc),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY c ORDER BY score DESC, t) AS rank FROM s)
+             |SELECT c AS source, t AS term, tf, corpus_tf, score,
+             |  CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5""".stripMargin)
+    )),
+
     // Preference-transitivity audit: majority-vote tournament over
     // sparse BT-process votes (the % 101 < 3 filter keeps ~9 votes per
     // pair, so majority flips create real cycles — 47 of 347 triangles

@@ -200,4 +200,48 @@ object Classifier {
       .select(col("cls"), col("token"), col("df_class"), col("df_total"),
         col("chi2"), col("rank"))
   }
+
+  /** c-TF-IDF cluster labeling (Grootendorst, "BERTopic: Neural topic
+    * modeling with a class-based TF-IDF procedure", 2022): the top-k
+    * DISTINCTIVE terms per cluster under
+    * ctfidf = tf_{t,c} · ln(1 + A / f_t), with tf_{t,c} the term's
+    * count inside the cluster, f_t its corpus count and A the average
+    * cluster token mass — each cluster is one pseudo-document,
+    * re-weighted by corpus rarity so shared filler drops out and the
+    * surviving terms describe what distinguishes the cluster ITSELF.
+    * The human-readable name layer for any clustering the pipeline
+    * produces: near-dup clusters, semantic LSH clusters, source or
+    * topic buckets.
+    *
+    * Determinism: counts are exact int64; A/f_t composes two IEEE
+    * divisions in a fixed order; the ln rounds to 9 AT BIRTH and the
+    * product to 6 BEFORE ranking (the pmi discipline); the per-cluster
+    * rank goes through [[Sampling.groupedPositions]]'s range exchange
+    * on (cluster, −score, term) — never a cluster-keyed window.
+    *
+    * Scale shape: two token-keyed count aggregations with map-side
+    * partials, one vocabulary-sized term join (AQE-broadcastable),
+    * one 1-row scalar broadcast, then the range-partitioned rank. */
+  def clusterLabels(docs: DataFrame, clusterCol: String, textCol: String,
+                    topK: Int = 5): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val toks = docs.select(col(clusterCol).as("c"),
+      explode(expr(s"filter(split(`$textCol`, ' '), t -> t <> '')")).as("t"))
+    val tf = toks.groupBy("c", "t").agg(count(lit(1)).as("tf"))
+    val ft = toks.groupBy("t").agg(count(lit(1)).as("corpus_tf"))
+    val scalars = tf.agg(sum("tf").as("total"),
+      countDistinct(col("c")).as("nc"))
+    val scored = tf.join(ft, "t")
+      .crossJoin(broadcast(scalars))
+      .withColumn("score", round(col("tf") *
+        round(log(lit(1.0) +
+          (col("total").cast("double") / col("nc").cast("double")) /
+            col("corpus_tf").cast("double")), 9), 6))
+      .select(col("c"), col("t"), col("tf"), col("corpus_tf"), col("score"))
+    Sampling.groupedPositions(scored, Seq("c"),
+        Seq(negate(col("score")), col("t")), "rank")
+      .filter(col("rank") <= topK)
+      .select(col("c").as(clusterCol), col("t").as("term"), col("tf"),
+        col("corpus_tf"), col("score"), col("rank"))
+  }
 }

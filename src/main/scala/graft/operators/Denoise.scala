@@ -145,4 +145,39 @@ object Denoise {
     struct(inputIds.as("input_ids"), labels.as("labels"),
       size(filter(labels, x => x =!= lit(-100L))).cast("long").as("n_masked"))
   }
+
+  /** Needle-in-a-haystack probes — the long-context retrieval eval's
+    * data generator (Kamradt's NIAH protocol): each document's first
+    * `ctxWords` words become a haystack with one needle sentence
+    * ("the magic number is <v>") inserted at a depth drawn from the
+    * eleven fixed rungs 0%, 10%, …, 100%, where the answer <v> is an
+    * md5 draw — evaluating a model sweeps accuracy by depth rung and
+    * context length. Materialized DETERMINISTICALLY: both draws are
+    * [[Sampling.hash32]] under distinct salts, the insert position is
+    * exact integer arithmetic ((depth·n) div 100 words precede the
+    * needle), so every probe replays in SQL (`q_needle_probes`).
+    * Zero-shuffle map-side array arithmetic like the other example
+    * synthesizers here ([[spanCorrupt]]/[[fim]]/[[mlmMask]]). */
+  def needleProbes(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, ctxWords: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
+    require(ctxWords >= 1, "ctxWords must be positive")
+    val ws = expr(
+      s"slice(filter(split(`$textCol`, ' '), t -> t <> ''), 1, $ctxWords)")
+    docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .withColumn("depth_pct",
+        (pmod(Sampling.hash32(col("doc_id"), "ndl_d"), lit(11L)) * 10L)
+          .cast("int"))
+      .withColumn("answer", pmod(Sampling.hash32(col("doc_id"), "ndl_v"),
+        lit(100000L)))
+      .withColumn("pos", expr("(depth_pct * size(ws)) div 100"))
+      .select(col("doc_id"), col("depth_pct"), col("answer"),
+        concat_ws(" ", concat(
+          slice(col("ws"), lit(1), col("pos").cast("int")),
+          array(lit("the"), lit("magic"), lit("number"), lit("is"),
+            col("answer").cast("string")),
+          slice(col("ws"), (col("pos") + 1).cast("int"), size(col("ws")))))
+          .as("context"))
+  }
 }

@@ -139,4 +139,28 @@ class ClassifierSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("clusterLabels: planted markers rank first, shared filler drops, deterministic") {
+    // every doc shares 'the'; each cluster has a frequent private
+    // marker; 'rare' appears once in cluster A only
+    val docs = Seq(
+      ("A", "the ma ma rare"), ("A", "the ma ma"), ("A", "the ma"),
+      ("B", "the mb mb"), ("B", "the mb mb"), ("B", "the mb")).toDF("c", "text")
+    val rows = Classifier.clusterLabels(docs, "c", "text", topK = 2).collect()
+    val out = rows.map(r => ((r.getString(0), r.getLong(5)), r.getString(1))).toMap
+    // markers: max in-cluster tf AND corpus-rare -> rank 1 in each
+    assert(out(("A", 1L)) == "ma" && out(("B", 1L)) == "mb")
+    // hand-computed: A has 9 tokens, B 8 -> A_avg = 17/2 = 8.5;
+    // ma: tf 5, corpus 5 -> round(5 * round(ln(1 + 8.5/5), 9), 6)
+    val maScore = rows.find(r => r.getString(0) == "A" && r.getString(1) == "ma")
+      .get.getDouble(4)
+    val expect = BigDecimal(5.0 * BigDecimal(math.log(1.0 + 8.5 / 5.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(maScore == expect, s"got $maScore want $expect")
+    val again = Classifier.clusterLabels(docs.repartition(5), "c", "text",
+      topK = 2).collect().map(_.toSeq).toSet
+    assert(again == Classifier.clusterLabels(docs.coalesce(1), "c", "text",
+      topK = 2).collect().map(_.toSeq).toSet)
+  }
 }

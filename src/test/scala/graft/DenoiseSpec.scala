@@ -154,4 +154,32 @@ class DenoiseSpec extends SparkSpec {
     }
     assert(nonTrivial > 0, "every split degenerate — the draw is broken")
   }
+
+  test("needleProbes: needle sits at the drawn depth, haystack words survive intact") {
+    import spark.implicits._
+    val docs = (1L to 80L).map(i =>
+      (i, (0 until 30).map(k => s"w${i}_$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Denoise.needleProbes(docs, "doc_id", "text", ctxWords = 20)
+      .collect()
+    assert(out.length == 80)
+    val depths = out.map(_.getInt(1)).toSet
+    assert(depths.subsetOf((0 to 100 by 10).toSet) && depths.size >= 5,
+      s"eleven fixed rungs, several drawn: $depths")
+    for (r <- out) {
+      val id = r.getLong(0); val depth = r.getInt(1); val ans = r.getLong(2)
+      val ctx = r.getString(3).split(" ").toSeq
+      val hay = (0 until 20).map(k => s"w${id}_$k") // ctxWords cap applies
+      val pos = depth * 20 / 100
+      assert(ctx == hay.take(pos) ++
+        Seq("the", "magic", "number", "is", ans.toString) ++ hay.drop(pos),
+        s"doc $id depth $depth")
+      assert(ans >= 0 && ans < 100000)
+    }
+    // short docs keep their full (shorter) haystack
+    val short = Denoise.needleProbes(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 20)
+      .collect().head
+    assert(short.getString(3).split(" ").length == 3 + 5)
+  }
 }
