@@ -646,6 +646,53 @@ object Soak {
             "THEN 1 ELSE 0 END").as("label"))
         Eval.rocAuc(scored, "grp", "score", "label")
       },
+      run("cluster_labels") {
+        // c-TF-IDF naming over the full 10x vocabulary: two token
+        // aggs + the vocabulary join + the range-partitioned rank
+        Classifier.clusterLabels(docs10, "source", "text", topK = 10)
+      },
+      run("bradley_terry8") {
+        // ~450k votes over 100 items, 8 MM rounds — every round is
+        // two items-sized broadcast joins + one fold agg
+        val m = docs10.select(pmod(col("doc_id"), lit(100L)).as("a"),
+            pmod(col("doc_id") * 31 + 7, lit(100L)).as("b"),
+            col("doc_id").as("k"))
+          .filter(col("a") =!= col("b"))
+        val won = pmod(col("k") * 13, col("a") + col("b") + 2) <= col("a")
+        PostTraining.bradleyTerry(
+          m.select(when(won, col("a")).otherwise(col("b")).as("w"),
+            when(won, col("b")).otherwise(col("a")).as("l")),
+          "w", "l", rounds = 8)
+      },
+      run("ict_pairs") {
+        // contrastive view synthesis at 10x: zero-shuffle array math
+        PostTraining.ictPairs(docs10, "doc_id", "text",
+          windowWords = 16, keepQueryPct = 10)
+      },
+      run("pii_pseudonymize") {
+        // regex extraction + longest-first fold over 50k seeded docs:
+        // the op is scan-stage only — shuffle column must read ~0
+        import graft.functions.TextAnalysis
+        docs10.select(col("doc_id"), TextAnalysis.pseudonymizePii(
+          concat(col("text"), lit(" contact user"),
+            pmod(col("doc_id"), lit(7L)), lit("@example.com ip 10.0.0."),
+            pmod(col("doc_id"), lit(255L)))).as("clean"))
+      },
+      run("needle_probes") {
+        Denoise.needleProbes(docs10, "doc_id", "text", ctxWords = 64)
+      },
+      run("drift_psi") {
+        // 10x drift monitor: 20 sources x 10 buckets of exact counts
+        val score = expr("CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0")
+        val score2 =
+          expr("CAST((doc_id * (31 + length(source) % 7)) % 1000 AS DOUBLE) / 1000.0")
+        Profile.distributionDrift(
+          docs10.filter(pmod(col("doc_id"), lit(3L)) < 2)
+            .select(col("source"), score.as("score")),
+          docs10.filter(pmod(col("doc_id"), lit(3L)) === 2)
+            .select(col("source"), score2.as("score")),
+          "source", "score")
+      },
       run("mjpeg_video_near_dup") {
         // 600 MJPEG AVIs (~10 MB of compressed video) in 60 cliques of
         // 10 — the COMPRESSED-codec leg of the video discipline: every
