@@ -2993,6 +2993,52 @@ object Queries {
       }
     )),
 
+    // Fixed-point HITS over the same supplier→customer graph as
+    // q_pagerank: hubs and authorities by mutual reinforcement with
+    // L∞ (max) renormalization after each half-step — floor division
+    // everywhere, so four full iterations (eight half-steps, eight
+    // 1-row max scalars) replay exactly through materialized CTEs.
+    "q_hits" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+        operators.Graph.hits(e, iterations = 4)
+      },
+      Some {
+        val sc = 1000000L
+        val rounds = (1 to 4).map { i =>
+          s"""ar$i AS MATERIALIZED (SELECT nodes.id,
+             |    CAST(COALESCE(s.a, 0) AS BIGINT) AS a
+             |  FROM nodes LEFT JOIN (
+             |    SELECT e.dst AS id, CAST(sum(p.h) AS BIGINT) AS a
+             |    FROM e JOIN h${i - 1} p ON p.id = e.src GROUP BY 1) s
+             |  ON s.id = nodes.id),
+             |a$i AS MATERIALIZED (SELECT id,
+             |    CASE WHEN (SELECT max(a) FROM ar$i) > 0
+             |      THEN (a * $sc) // (SELECT max(a) FROM ar$i)
+             |      ELSE CAST(0 AS BIGINT) END AS a FROM ar$i),
+             |hr$i AS MATERIALIZED (SELECT nodes.id,
+             |    CAST(COALESCE(s.h, 0) AS BIGINT) AS h
+             |  FROM nodes LEFT JOIN (
+             |    SELECT e.src AS id, CAST(sum(p.a) AS BIGINT) AS h
+             |    FROM e JOIN a$i p ON p.id = e.dst GROUP BY 1) s
+             |  ON s.id = nodes.id),
+             |h$i AS MATERIALIZED (SELECT id,
+             |    CASE WHEN (SELECT max(h) FROM hr$i) > 0
+             |      THEN (h * $sc) // (SELECT max(h) FROM hr$i)
+             |      ELSE CAST(0 AS BIGINT) END AS h FROM hr$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |h0 AS (SELECT id, CAST($sc AS BIGINT) AS h FROM nodes),
+           |$rounds
+           |SELECT h.id, h.h AS hub_fp, a.a AS auth_fp
+           |FROM h4 h JOIN a4 a USING (id)""".stripMargin
+      }
+    )),
+
     // EXACT triangle enumeration by degree-ordered orientation: wedges
     // are enumerated only at each vertex's OUT-neighbors under the
     // (degree, id) total order — hub vertices contribute edges as wedge
@@ -5239,6 +5285,55 @@ object Queries {
              |    ELSE round(CAST(n_cycles AS DOUBLE) / n_triangles, 6)
              |  END AS cyclic_rate
              |FROM s""".stripMargin)
+    )),
+
+    // Fleiss' kappa inter-annotator agreement: items are groups of 6
+    // consecutive doc_ids, each "rating" picks the item's own class
+    // 70% of the time (agreement signal) and an id-derived class
+    // otherwise (noise) — so kappa lands well above 0 but below 1 and
+    // any contingency slip moves it. The % 97 filter knocks one rating
+    // out of ~1/16 of the items, exercising the explicit
+    // ratings-per-item contract (those items drop and are REPORTED).
+    // All numerators exact int64; pbar/pe one division each; kappa
+    // composed from the unrounded pair, round-6 at output.
+    "q_fleiss_kappa" -> ((
+      (s: SparkSession, dir: String) => {
+        val item = expr("doc_id div 6")
+        val ratings = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+          .select(item.as("item"),
+            when(pmod(col("doc_id") * 13, lit(10L)) < 7,
+              pmod(item, lit(4L)))
+              .otherwise(pmod(col("doc_id") * 7, lit(4L))).as("category"))
+        operators.Eval.fleissKappa(ratings, "item", "category",
+          ratersPerItem = 6)
+      },
+      Some("""WITH r AS (SELECT doc_id // 6 AS i,
+             |    CASE WHEN (doc_id * 13) % 10 < 7 THEN (doc_id // 6) % 4
+             |         ELSE (doc_id * 7) % 4 END AS c
+             |  FROM documents WHERE doc_id % 97 <> 0),
+             |pi AS (SELECT i, count(*) AS ni FROM r GROUP BY 1),
+             |kept AS (SELECT r.i, r.c FROM r JOIN pi USING (i) WHERE ni = 6),
+             |nij AS (SELECT i, c, CAST(count(*) AS BIGINT) AS nij
+             |  FROM kept GROUP BY 1, 2),
+             |it AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(sum(an) AS BIGINT) AS s_agree
+             |  FROM (SELECT i, sum(nij * nij) - 6 AS an FROM nij GROUP BY 1)),
+             |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+             |    CAST(sum(cj * cj) AS BIGINT) AS s_cj2
+             |  FROM (SELECT c, sum(nij) AS cj FROM nij GROUP BY 1)),
+             |dr AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped_items
+             |  FROM pi WHERE ni <> 6),
+             |x AS (SELECT n_items, n_dropped_items, n_categories,
+             |    CAST(s_agree AS DOUBLE) / CAST(n_items * 6 * 5 AS DOUBLE) AS pbar,
+             |    CAST(s_cj2 AS DOUBLE) /
+             |      CAST((n_items * 6) * (n_items * 6) AS DOUBLE) AS pe
+             |  FROM it CROSS JOIN ct CROSS JOIN dr)
+             |SELECT n_items, n_dropped_items, CAST(6 AS BIGINT) AS n_raters,
+             |  n_categories, round(pbar, 6) AS pbar, round(pe, 6) AS pe,
+             |  CASE WHEN pe < 1 THEN round((pbar - pe) / (1 - pe), 6)
+             |       ELSE 0.0 END AS kappa
+             |FROM x""".stripMargin)
     )),
 
     // Population Stability Index drift monitor: per-source PSI between

@@ -349,4 +349,62 @@ object Eval {
           .otherwise(lit(2.0) * col("overlap") /
             (col("n_pred") + col("n_gold")).cast("double")), 6).as("f1"))
   }
+
+  /** Fleiss' kappa inter-annotator agreement (Fleiss 1971) over
+    * (item, category) rating rows — the preference/label-data QA
+    * scalar that says whether the annotator pool agrees beyond chance
+    * (the companion audit to [[graft.operators.PostTraining
+    * .preferenceCycles]]: cycles measure vote consistency, kappa
+    * measures rater consistency). Fleiss' statistic requires a FIXED
+    * number of ratings per item, so `ratersPerItem` is an explicit
+    * parameter of the contract (the retrievalMetrics cutoff lesson:
+    * name the denominator, don't infer it): items with any other
+    * rating count are dropped and REPORTED in `n_dropped_items` —
+    * never silently blended. One output row: (n_items,
+    * n_dropped_items, n_raters, n_categories, pbar, pe, kappa).
+    *
+    * Determinism: the contingency n_ij is exact int64; the agreement
+    * numerator Σ_i(Σ_j n_ij² − n) and the chance numerator Σ_j c_j²
+    * (c_j = column totals) are exact int64 sums — order-free — and
+    * pbar/pe are then ONE IEEE division each of identical bits in any
+    * engine; kappa = (pbar−pe)/(1−pe) composes those two doubles with
+    * a fixed op sequence, round-6 at output. pe = 1 (every rating in
+    * one category) makes kappa 0/0 — returned as 0.0 and named here.
+    * Overflow bound: c_j ≤ N·n must stay below ~3·10⁹ for c_j² to fit
+    * int64 (the chi2Features bound) — at bigger corpora, kappa over a
+    * stratified item sample is the statistic anyway.
+    *
+    * Scale shape: one item-keyed count (map-side partials) to enforce
+    * the rating-count contract, one (item, category)-keyed count, two
+    * roll-ups to bounded (item / category) keys, then three 1-row
+    * aggregates cross-joined. Nothing row-shaped reaches the driver;
+    * the widest shuffle is the (item, category) contingency. */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+                  categoryCol: String, ratersPerItem: Int): DataFrame = {
+    require(ratersPerItem >= 2, "Fleiss' kappa needs >= 2 ratings per item")
+    val n = ratersPerItem.toLong
+    val base = ratings.select(col(itemCol).as("i"), col(categoryCol).as("c"))
+    val perItem = base.groupBy("i").agg(count(lit(1)).as("ni"))
+    val kept = base.join(perItem.filter(col("ni") === n).select("i"), Seq("i"))
+    val nij = kept.groupBy("i", "c").agg(count(lit(1)).as("nij"))
+    val itemTot = nij.groupBy("i")
+      .agg((sum(col("nij") * col("nij")) - n).as("agree_num"))
+      .agg(count(lit(1)).as("n_items"), sum("agree_num").as("s_agree"))
+    val catTot = nij.groupBy("c").agg(sum("nij").as("cj"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("cj") * col("cj")).as("s_cj2"))
+    val droppedTot = perItem.filter(col("ni") =!= n)
+      .agg(count(lit(1)).as("n_dropped_items"))
+    itemTot.crossJoin(catTot).crossJoin(droppedTot)
+      .withColumn("pbar", col("s_agree").cast("double") /
+        (col("n_items") * n * (n - 1L)).cast("double"))
+      .withColumn("pe", col("s_cj2").cast("double") /
+        ((col("n_items") * n) * (col("n_items") * n)).cast("double"))
+      .select(col("n_items"), col("n_dropped_items"),
+        lit(n).as("n_raters"), col("n_categories"),
+        round(col("pbar"), 6).as("pbar"), round(col("pe"), 6).as("pe"),
+        when(col("pe") < 1.0,
+          round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6))
+          .otherwise(lit(0.0)).as("kappa"))
+  }
 }

@@ -142,6 +142,78 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /** Fixed-point HITS hubs-and-authorities (Kleinberg 1999) over a
+    * directed edge list: a'(v) = Σ_{u→v} h(u), h'(u) = Σ_{u→v} a'(v),
+    * each vector re-normalized after its half-step. The second link
+    * centrality the crawl pipelines actually use next to [[pageRank]]:
+    * directories/link farms light up as HUBS while the pages worth
+    * fetching light up as AUTHORITIES — PageRank alone conflates the
+    * two roles into one score.
+    *
+    * Determinism: same promise as [[pageRank]] — all arithmetic is
+    * exact int64. Classic HITS normalizes by the L2 norm (a square
+    * root — not integer-replayable); this implementation uses the
+    * equally standard L∞ normalization x ← (x·scale) div max(x),
+    * whose fixed point is the same principal eigenvector direction
+    * and which is floor-exact in both engines. max(x) is a 1-row
+    * aggregate broadcast back — bounded driver-free scalar state.
+    * Overflow bound, NAMED: after normalization x ≤ scale, so a raw
+    * sum is ≤ deg_max·scale and the renormalization multiplies by
+    * scale again — deg_max·scale² must stay below 2⁶³ (at the default
+    * scale 10⁶ that allows in/out-degrees to ~9·10⁶; drop scale for
+    * spammier graphs).
+    *
+    * Scale shape per iteration: two edge-keyed equi-joins (shuffle on
+    * src then dst, map-side partial sums) and two 1-row max
+    * aggregates broadcast back; `checkpointInterval` bounds lazy-plan
+    * depth exactly as in [[pageRank]]. Returns (id, hub_fp,
+    * auth_fp). */
+  def hits(edges: DataFrame, iterations: Int = 5,
+           scale: Long = 1000000L,
+           checkpointInterval: Int = 3): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(checkpointInterval >= 1, "checkpoint interval must be positive")
+    import graft.core.Checkpoints
+    val (e, _) = Checkpoints.eager(
+      edges.select(col("src"), col("dst")).distinct())
+    val (nodes, _) = Checkpoints.eager(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+    def renorm(raw: DataFrame, c: String): DataFrame = {
+      val mx = raw.agg(max(col(c)).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"), when(col("mx") > 0,
+          expr(s"($c * ${scale}L) div mx")).otherwise(lit(0L)).as(c))
+    }
+    var hubs = nodes.withColumn("h", lit(scale))
+    var auths: DataFrame = null
+    var hubIds = Seq.empty[Int]
+    for (i <- 1 to iterations) {
+      val aRaw = nodes.join(
+        e.join(hubs.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum("h").as("a")),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+      auths = renorm(aRaw, "a")
+      val hRaw = nodes.join(
+        e.join(auths.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(sum("a").as("h")),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+      val next = renorm(hRaw, "h")
+      if (i % checkpointInterval == 0 && i < iterations) {
+        val (ck, ckIds) = Checkpoints.eager(next)
+        Checkpoints.free(hubs, hubIds)
+        hubs = ck
+        hubIds = ckIds
+      } else {
+        hubs = next
+      }
+    }
+    hubs.join(auths, Seq("id"))
+      .select(col("id"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+  }
+
   /** EXACT triangle enumeration by degree-ordered orientation (the
     * standard distributed formulation): orient every undirected edge
     * from its lower-(degree, id) endpoint to the higher, enumerate

@@ -197,6 +197,33 @@ class EvalSpec extends SparkSpec {
       out(5L).getInt(1) == 1 && out(5L).getDouble(7) == 1.0)
   }
 
+  test("fleissKappa: hand-computed chance-level, perfect, degenerate") {
+    // 3 items x 3 raters, 2 categories: s_agree = 6+2+2 = 10,
+    // pbar = 10/18; column totals 6 and 3 -> pe = 45/81 = 10/18 too:
+    // agreement exactly at chance level -> kappa = 0
+    val chance = Seq((1L, 0L), (1L, 0L), (1L, 0L), (2L, 0L), (2L, 0L),
+      (2L, 1L), (3L, 0L), (3L, 1L), (3L, 1L)).toDF("item", "cat")
+    val c = Eval.fleissKappa(chance, "item", "cat", 3).collect().head
+    assert(c.getLong(0) == 3 && c.getLong(1) == 0 && c.getLong(2) == 3 &&
+      c.getLong(3) == 2)
+    assert(c.getDouble(4) == 0.555556 && c.getDouble(5) == 0.555556 &&
+      c.getDouble(6) == 0.0)
+    // perfect agreement across 2 balanced items -> kappa = 1; the
+    // third item has only 2 ratings and must drop AND be reported
+    val perfect = Seq((1L, 0L), (1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L),
+      (2L, 1L), (9L, 0L), (9L, 1L)).toDF("item", "cat")
+    val p = Eval.fleissKappa(perfect, "item", "cat", 3).collect().head
+    assert(p.getLong(0) == 2 && p.getLong(1) == 1)
+    assert(p.getDouble(4) == 1.0 && p.getDouble(5) == 0.5 &&
+      p.getDouble(6) == 1.0)
+    // every rating in ONE category: pe = 1, kappa defined as 0.0
+    val degen = Seq((1L, 0L), (1L, 0L), (1L, 0L), (2L, 0L), (2L, 0L),
+      (2L, 0L)).toDF("item", "cat")
+    val d = Eval.fleissKappa(degen, "item", "cat", 3).collect().head
+    assert(d.getDouble(4) == 1.0 && d.getDouble(5) == 1.0 &&
+      d.getDouble(6) == 0.0)
+  }
+
   test("retrievalMetrics: deterministic across repartitionings") {
     val runs = (for (q <- 1L to 10L; rk <- 1 to 8)
       yield (q, (q * 31 + rk * 7) % 40, rk)).toDF("query_id", "doc_id", "rank")

@@ -33,6 +33,31 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hits: hand-traced two iterations on a tiny hub/authority chain") {
+    // 1->3, 2->3, 3->4: nodes 1,2 are pure hubs, 3 is the authority
+    // (and a weak hub via 4). With scale=100, two iterations give
+    // hub (100, 100, 25, 0), auth (0, 0, 100, 25) — floor-exact.
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.hits(e, iterations = 2, scale = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((100L, 0L)) && out(2L) == ((100L, 0L)))
+    assert(out(3L) == ((25L, 100L)) && out(4L) == ((0L, 25L)))
+  }
+
+  test("hits: deterministic across repartitionings; values bounded by scale") {
+    val edges = (for (k <- 1L to 300L)
+      yield ((k * 7) % 40, (k * 13) % 37 + 40)).toDF("src", "dst")
+    val a = Graph.hits(edges.repartition(13), iterations = 4)
+      .collect().map(_.toSeq).toSet
+    val b = Graph.hits(edges.coalesce(1), iterations = 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    assert(a.forall { s =>
+      val h = s(1).asInstanceOf[Long]; val au = s(2).asInstanceOf[Long]
+      h >= 0L && h <= 1000000L && au >= 0L && au <= 1000000L
+    })
+  }
+
   test("triangles: exact set on a known graph; dedup, loops, direction ignored") {
     // K4 on {1,2,3,4} (4 triangles) + square 5-6-7-8 (0 triangles) +
     // pendant 4-9; duplicates, reversals and a self-loop must not count
