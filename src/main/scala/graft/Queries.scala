@@ -5944,6 +5944,49 @@ object Queries {
              |FROM a JOIN c USING (user_id)""".stripMargin)
     )),
 
+    // STREAMING sessionization under the hard gate — the fifth direct
+    // streaming row: a bounded user slice replays through the REAL
+    // flatMapGroupsWithState sessionizer in (ts, event_id) order, a
+    // per-user sentinel closes every open session (NoTimeout
+    // semantics: the next same-user event IS the closing signal), and
+    // the emitted sessions must equal q_sessionize's window
+    // formulation row-for-row. total_value is the state machine's
+    // sequential double fold, replayed as a (ts, event_id)-ordered
+    // list_reduce — bit-identical, no rounding.
+    "q_stream_sessionize" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStreams.replaySessionize(
+          Tables.events(s, dir), "user_id", "ts", "event_id", "value",
+          gapMs = 30L * 60 * 1000, maxUsers = 100)
+          .select(col("user_id"), col("n_events"),
+            date_format(col("start"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            date_format(col("end"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_end"),
+            col("total_value")),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+             |              > 30*60*1000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events WHERE user_id < 100
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |),
+             |sess AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+             |  FROM g
+             |)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             |  list_reduce(list(value ORDER BY ts, event_id),
+             |    (a, b) -> a + b) AS total_value
+             |FROM sess GROUP BY user_id, si""".stripMargin)
+    )),
+
     // STREAMING drift gate — the fourth direct streaming correctness
     // row: weekly score distributions come from the REAL append-mode
     // windowed aggregation (final counts at watermark close, replayed

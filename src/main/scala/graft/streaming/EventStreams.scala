@@ -512,6 +512,65 @@ object EventStreams {
       }
   }
 
+  /** Driver-gate replay harness for [[sessionize]] (the
+    * [[replayRetention]] scheme): a bounded user slice's events are
+    * fed through the REAL streaming operator in ascending
+    * (ts, event_id) order, then ONE sentinel event per user — placed
+    * 10·gap past the slice's last timestamp — closes every open
+    * session. No watermark push is needed: [[sessionize]] runs
+    * NoTimeout state, so a session closes exactly when the SAME
+    * user's next event arrives, and the sentinel is that event. The
+    * sentinels' own one-event sessions stay in state and never reach
+    * the append sink, so the emissions are EXACTLY the batch
+    * gap-sessionization of the slice — q_sessionize's window
+    * formulation — making the stream output SQL-oracle-checkable
+    * (the fifth direct streaming correctness row). total_value is the
+    * state machine's sequential double fold in feed order, replayed
+    * in the oracle as a (ts, event_id)-ordered list_reduce — the
+    * grpo fold discipline, bit-identical cross-engine. The collect is
+    * the REPLAY HARNESS, not the operator; `maxUsers` bounds the
+    * gate's cost independent of fixture SF. */
+  def replaySessionize(events: DataFrame, userCol: String, tsCol: String,
+                       eventIdCol: String, valueCol: String, gapMs: Long,
+                       maxUsers: Long = 100): DataFrame = {
+    val spark = events.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = events
+      .select(col(eventIdCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(userCol).cast("long"), col(valueCol).cast("double"))
+      .filter(col(userCol) < maxUsers)
+      .as[(Long, Timestamp, Long, Double)].collect()
+      .sortBy { case (eid, ts, _, _) => (ts.getTime, eid) }
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event]
+    val sinkName = "graft_replay_sessionize"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = sessionize(input.toDS(), gapMs).toDF()
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(512).foreach { chunk =>
+        input.addData(chunk.map { case (eid, ts, u, v) =>
+          Event(eid, ts, u, "replay", v)
+        })
+        q.processAllAvailable()
+      }
+      val lastTs = rows.lastOption.map(_._2.getTime).getOrElse(0L)
+      val closer = new Timestamp(lastTs + 10L * gapMs)
+      // bounded by maxUsers — the same bound the slice itself carries
+      input.addData(rows.map(_._3).distinct.toSeq
+        .map(u => Event(-1L, closer, u, "sentinel", 0.0)))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(sinkName)
+  }
+
   final case class ScoreEvent(ts: Timestamp, score: Double)
 
   /** Event-time score-distribution stream: tumbling `windowDur`

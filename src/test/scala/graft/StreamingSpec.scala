@@ -270,6 +270,27 @@ class StreamingSpec extends SparkSpec {
     assert(s.start == ts(1) && s.end == ts(3))
   }
 
+  test("replaySessionize: sentinel closes every open session, emits the batch result") {
+    // two users, two sessions each under a 5-min gap; without the
+    // per-user sentinel the LAST session of each user would stay open
+    // in state and the replay would under-emit
+    val ev = Seq(
+      (1L, ts(1), 7L, 1.0), (2L, ts(3), 7L, 2.0),   // user 7, session 1
+      (3L, ts(30), 7L, 4.0),                        // user 7, session 2
+      (4L, ts(2), 8L, 9.0),                         // user 8, session 1
+      (5L, ts(40), 8L, 0.5), (6L, ts(41), 8L, 0.25) // user 8, session 2
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = EventStreams.replaySessionize(ev, "user_id", "ts",
+        "event_id", "value", gapMs = 5 * 60 * 1000, maxUsers = 100)
+      .as[EventStreams.Session].collect()
+      .map(s => (s.user_id, s.start) -> ((s.n_events, s.total_value))).toMap
+    assert(out.size == 4) // ALL four sessions emitted, incl. the last per user
+    assert(out((7L, ts(1))) == ((2L, 3.0)))
+    assert(out((7L, ts(30))) == ((1L, 4.0)))
+    assert(out((8L, ts(2))) == ((1L, 9.0)))
+    assert(out((8L, ts(40))) == ((2L, 0.75)))
+  }
+
   test("domainCapStream: saturation persists across micro-batches, arrival order wins") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime
