@@ -6418,6 +6418,33 @@ object Queries {
               |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
     )),
 
+    // G.711 µ-law fingerprints — the THIRD real audio format and the
+    // first LOSSY audio codec on the real side. The constants can't be
+    // inherited like FLAC's (losslessness): they're hand-derived from
+    // the G.711 closed form instead — expand∘compress is monotone and
+    // the envelope levels quantize to DISTINCT values (100→104,
+    // 1000→988, 2000→1980), so the louder-than-previous bits survive
+    // by a full quantizer segment of margin; ramp8 doubles its level
+    // every 8 windows because a linear ramp would NOT survive (µ-law
+    // step sizes above segment 0 exceed the ramp increment).
+    "q_multimodal_mulawfp" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureMulawFp()
+        s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (name, content) =>
+            (name, operators.Multimodal.audioFingerprint64(content).get)
+          }
+          .toDF("name", "afp")
+      },
+      Some(s"""SELECT name, afp
+              |FROM read_csv('${graft.sources.MediaFixture.expectedMulawFpCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
+    )),
+
     // Image near-dup PAIRS under the oracle gate: the real decode →
     // dHash → banded-pigeonhole pipeline end-to-end, cross-checked
     // against DuckDB computing xor/bit_count pairs FROM THE PINNED
@@ -6495,20 +6522,23 @@ object Queries {
               |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin)
     )),
 
-    // CROSS-FORMAT audio near-dup: the WAV and FLAC encodings of the
-    // same envelope pair at Hamming 0 — the fingerprint is over
-    // DECODED PCM, and FLAC decode is lossless, so the same content
-    // dedups regardless of container/codec. This is the point of
-    // content-derived fingerprints: a byte-level dedup can never see
-    // that flat_tone.wav and flat_tone.flac are the same recording.
-    // Oracle: pairwise bit_count over the UNION of the two pinned
+    // CROSS-FORMAT audio near-dup, now across THREE codecs: the PCM
+    // WAV, FLAC and G.711 µ-law encodings of the same envelope pair at
+    // Hamming 0 — the fingerprint is over DECODED PCM, FLAC decode is
+    // lossless, and the µ-law fixture's envelopes survive quantization
+    // by a full segment of margin. This is the point of content-
+    // derived fingerprints: a byte-level dedup can never see that
+    // flat_tone.wav, flat_tone.flac and flat_tone_mulaw.wav are the
+    // same recording — across container, codec AND lossy re-encode.
+    // Oracle: pairwise bit_count over the UNION of the three pinned
     // CSVs (pigeonhole ≡ plain-filter as in the other pairs rows).
     "q_audio_crossformat_pairs" -> ((
       (s: SparkSession, dir: String) => {
         import s.implicits._
         val d1 = graft.sources.MediaFixture.ensureAudioFp()
         val d2 = graft.sources.MediaFixture.ensureFlacFp()
-        val files = s.read.format("binaryFile").load(d1, d2)
+        val d3 = graft.sources.MediaFixture.ensureMulawFp()
+        val files = s.read.format("binaryFile").load(d1, d2, d3)
           .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
             col("content"))
         val names = files.select("name").collect().map(_.getString(0)).sorted
@@ -6530,6 +6560,10 @@ object Queries {
               |  UNION ALL
               |  SELECT name, afp
               |  FROM read_csv('${graft.sources.MediaFixture.expectedFlacFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedMulawFpCsvPath}',
               |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})),
               |h AS (SELECT name, afp,
               |    row_number() OVER (ORDER BY name) - 1 AS mid FROM u)

@@ -582,8 +582,9 @@ object Multimodal {
 
   /** 64-bit audio energy-delta fingerprint — dHash's audio twin over
     * REAL decoded PCM (16-bit signed WAV/AIFF via javax.sound, plus
-    * FLAC through the spec-written [[Flac]] decoder; the remaining
-    * lossy codecs — mp3/ogg — stay with the header-only stubs): mix
+    * FLAC through the spec-written [[Flac]] decoder, G.711 µ-law WAV
+    * through the ITU closed-form expand; the remaining lossy codecs —
+    * mp3/ogg — stay with the header-only stubs): mix
     * channels, slice the sample
     * stream into 65 equal windows, bit i set iff window i+1 carries
     * MORE energy than window i. Re-encodes and small edits preserve
@@ -613,6 +614,22 @@ object Multimodal {
             s / ch
           })
         }
+      // G.711 µ-law WAV (fmt tag 7): the ITU telephony codec, decoded
+      // by the spec's closed-form expand — the THIRD real audio format
+      // and the first LOSSY one; the fixture's envelopes are built so
+      // the louder-than-previous bits survive quantization by a full
+      // segment of margin (derivation at MediaFixture.mulawFpEntries)
+      wavMulawData(content) match {
+        case Some((ch, data)) =>
+          val n = data.length / ch
+          if (n < 65) return None
+          return energyDeltaBits(n, i => {
+            var s = 0L; var c = 0
+            while (c < ch) { s += mulawExpand(data(i * ch + c) & 0xFF); c += 1 }
+            s / ch
+          })
+        case None => ()
+      }
       val ais = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(content))
       val fmt = ais.getFormat
@@ -635,6 +652,52 @@ object Multimodal {
       }
       energyDeltaBits(n, sample)
     } catch { case _: Exception => None }
+  }
+
+  /** RIFF/WAVE walk returning (channels, data bytes) iff the fmt
+    * chunk declares G.711 µ-law (tag 7, 8 bits/sample); None for any
+    * other WAV or non-WAV bytes (those stay on the javax.sound path).
+    * Every chunk size is an UNTRUSTED u32: the step is computed in
+    * Long and must strictly advance (the AVI-walk guard), so corrupt
+    * sizes bail instead of hanging or indexing negatively. */
+  private def wavMulawData(b: Array[Byte]): Option[(Int, Array[Byte])] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+    def u16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    var o = 12L
+    var tag = -1; var ch = -1
+    var data: Array[Byte] = null
+    while (o + 8 <= b.length) {
+      val p = o.toInt
+      val sz = (b(p + 4) & 0xFF).toLong | ((b(p + 5) & 0xFF).toLong << 8) |
+        ((b(p + 6) & 0xFF).toLong << 16) | ((b(p + 7) & 0xFF).toLong << 24)
+      val body = o + 8
+      if (body + sz > b.length) return None
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' &&
+          b(p + 3) == ' ' && sz >= 16) {
+        tag = u16(body.toInt); ch = u16(body.toInt + 2)
+      }
+      if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
+          b(p + 3) == 'a')
+        data = java.util.Arrays.copyOfRange(b, body.toInt, (body + sz).toInt)
+      val next = body + sz + (sz & 1L)
+      if (next <= o) return None
+      o = next
+    }
+    if (tag == 7 && ch >= 1 && data != null && data.nonEmpty)
+      Some((ch, data))
+    else None
+  }
+
+  /** ITU-T G.711 µ-law expand to 16-bit-class linear: the closed form
+    * ((mantissa·8 + 0x84) << exponent) − 0x84 on the complemented
+    * code byte — exact integer arithmetic, monotone in the encoded
+    * magnitude. */
+  private def mulawExpand(code: Int): Long = {
+    val u = (~code) & 0xFF
+    val mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x7)) - 0x84
+    if ((u & 0x80) != 0) -mag.toLong else mag.toLong
   }
 
   /** The 65-window energy envelope → 64 louder-than-previous bits,

@@ -463,6 +463,82 @@ object MediaFixture {
     audioFlacDir
   }
 
+  // ---- G.711 µ-law fingerprint fixture (LOSSY compressed audio) ----
+
+  val audioMulawDir: String = s"${FixtureDirs.base}/media_mulawfp"
+  val expectedMulawFpCsvPath: String =
+    s"${FixtureDirs.base}/media_mulawfp_expected.csv"
+
+  /** ITU-T G.711 µ-law compress of a 16-bit linear sample (BIAS 0x84,
+    * CLIP 32635, complemented output) — fixture-only encoder; the
+    * decoder under test is the expand in [[graft.operators.Multimodal
+    * .audioFingerprint64]]. */
+  private[graft] def mulawCompress(s16: Int): Byte = {
+    var x = s16
+    val sign = if (x < 0) { x = -x; 0x80 } else 0
+    if (x > 32635) x = 32635
+    x += 0x84
+    var exp = 7; var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (x >> (exp + 3)) & 0x0F
+    (~(sign | (exp << 4) | mant)).toByte
+  }
+
+  /** Canonical mono 8 kHz µ-law WAV (fmt tag 7, 8 bits/sample) —
+    * hand-written RIFF so no JDK writer sits between the spec and the
+    * fixture bytes. */
+  private[graft] def mulawWav(samples: Array[Short]): Array[Byte] = {
+    val data = samples.map(s => mulawCompress(s.toInt))
+    val fmt = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(7).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8).array()
+    riffChunk("RIFF",
+      "WAVE".getBytes("ISO-8859-1") ++
+        riffChunk("fmt ", fmt) ++ riffChunk("data", data))
+  }
+
+  /** (filename, bytes, HAND-DERIVED fingerprint). µ-law is LOSSY, so
+    * unlike FLAC the constants are not inherited automatically — they
+    * hold because G.711's expand∘compress is MONOTONE and the
+    * envelopes only use levels that quantize to DISTINCT values
+    * (derived by hand from the closed form ((m·8+132)·2^e − 132):
+    * 100→104, 1000→988, 2000→1980; 32·2^k → 32, 64, 132, 260, 516,
+    * 1028, 2052, 4100, 8196 — strictly increasing). Shared envelopes
+    * therefore pin the SAME constants as the PCM WAV fixture — the
+    * louder-than-previous bits survive the codec by envelope margin,
+    * which is exactly the cross-codec dedup claim:
+    *  - flat      → 0 (constant stays constant)
+    *  - step      → 2^31 (one rise at w=32)
+    *  - two_step  → bits 20|42
+    *  - ramp8     → µ-law-only envelope: amp 32·2^(w/8) doubles every
+    *    8 windows (a (w+1)·10 ramp would NOT survive — µ-law step
+    *    sizes exceed 10 above segment 0, collapsing neighbors; the
+    *    doubling ramp keeps every transition a full quantizer segment
+    *    apart) → rises at w = 8,16,…,64 → bits 7,15,…,63. */
+  private def mulawFpEntries: Seq[(String, Array[Byte], Long)] = Seq(
+    ("flat_tone_mulaw.wav", mulawWav(envSamples(_ => 1000)), 0L),
+    ("step_mulaw.wav", mulawWav(envSamples(w => if (w < 32) 100 else 2000)),
+      1L << 31),
+    ("two_step_mulaw.wav", mulawWav(envSamples(w =>
+      if (w < 21) 100 else if (w < 43) 1000 else 2000)),
+      (1L << 20) | (1L << 42)),
+    ("ramp8_mulaw.wav", mulawWav(envSamples(w => 32 << (w / 8))),
+      0x8080808080808080L))
+
+  /** Write the µ-law WAVs + the pinned CSV; returns `audioMulawDir`. */
+  def ensureMulawFp(): String = {
+    Files.createDirectories(Paths.get(audioMulawDir))
+    val rows = mulawFpEntries.map { case (name, bytes, hash) =>
+      Files.write(Paths.get(audioMulawDir, name), bytes)
+      s"$name,$hash"
+    }
+    Files.write(Paths.get(expectedMulawFpCsvPath),
+      ("name,afp\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    audioMulawDir
+  }
+
   // ---- video frame-hash fixture (hand-derivable per-frame dHashes) --
 
   val videoDHashDir: String = s"${FixtureDirs.base}/media_vdhash"

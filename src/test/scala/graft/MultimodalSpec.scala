@@ -464,6 +464,39 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(ramp.get ^ jittered.get) <= 3)
   }
 
+  test("audioFingerprint64: G.711 mu-law decode hits the hand-derived constants") {
+    import graft.sources.MediaFixture
+    def env(amp: Int => Int) = Array.tabulate(6500)(i => amp(i / 100).toShort)
+    assert(Multimodal.audioFingerprint64(
+      MediaFixture.mulawWav(env(_ => 1000))).contains(0L))
+    assert(Multimodal.audioFingerprint64(
+      MediaFixture.mulawWav(env(w => if (w < 32) 100 else 2000)))
+      .contains(1L << 31))
+    // cross-codec invariance: the mu-law step fingerprint EQUALS the
+    // PCM WAV step fingerprint (the crossformat-pairs claim)
+    assert(Multimodal.audioFingerprint64(
+      envWav(w => if (w < 32) 100 else 2000)) ==
+      Multimodal.audioFingerprint64(
+        MediaFixture.mulawWav(env(w => if (w < 32) 100 else 2000))))
+    // the doubling ramp sets exactly the eight window-run boundaries
+    assert(Multimodal.audioFingerprint64(
+      MediaFixture.mulawWav(env(w => 32 << (w / 8))))
+      .contains(0x8080808080808080L))
+    // a LINEAR ramp does NOT survive the lossy codec: neighbors like
+    // 140 and 150 quantize to the same level (148) above segment 0,
+    // clearing bits — the documented reason the fixture doubles
+    val lin = Multimodal.audioFingerprint64(
+      MediaFixture.mulawWav(env(w => (w + 1) * 10)))
+    assert(lin.isDefined && lin.get != -1L)
+    // corrupt u32 chunk size: total, fast, None — never a hang
+    val bad = MediaFixture.mulawWav(env(_ => 1000))
+    val di = (0 until bad.length - 4).find(i => bad(i) == 'd' &&
+      bad(i + 1) == 'a' && bad(i + 2) == 't' && bad(i + 3) == 'a').get
+    bad(di + 4) = 0xF8.toByte; bad(di + 5) = 0xFF.toByte
+    bad(di + 6) = 0xFF.toByte; bad(di + 7) = 0xFF.toByte
+    assert(Multimodal.audioFingerprint64(bad).isEmpty)
+  }
+
   test("audioNearDupPairs: jittered copy pairs, reversed envelope does not") {
     val blobs = Seq(
       MediaBlob(1L, "wav", envWav(w => (w + 1) * 10)),
