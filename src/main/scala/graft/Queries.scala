@@ -2176,6 +2176,54 @@ object Queries {
       }
     )),
 
+    // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    // 1998): six greedy rounds of λ·rel − (1−λ)·max-dot-to-selected
+    // over the embeddings corpus with an id-derived relevance — the
+    // relevance-aware sibling of q_kcenter_select, same fixed-rounds
+    // MATERIALIZED-CTE replay. The oracle embeds the SCALA-computed
+    // 1−λ double verbatim (0.30000000000000004, not the literal 0.3)
+    // so both engines run identical bits through the score.
+    "q_mmr_select" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Embeddings.mmrSelect(
+          Tables.embeddings(s, dir)
+            .withColumn("rel",
+              expr("CAST((vec_id * 17) % 100 AS DOUBLE) / 100.0")),
+          "vec_id", "embedding", "rel", k = 6, lambda = 0.7),
+      Some {
+        val lam = "0.7"
+        val oneMinus = s"${1.0 - 0.7}"
+        def dotTo(e: String, c: String) =
+          s"list_sum([$e.emb[i+1] * $c.emb[i+1] for i in range(len($e.emb))])"
+        val rounds = (2 to 6).map { r =>
+          s"""m$r AS MATERIALIZED (SELECT e.vec_id, e.rel,
+             |    max(${dotTo("e", "c")}) AS ms
+             |  FROM n e, c${r - 1} c
+             |  WHERE e.vec_id NOT IN (SELECT vec_id FROM c${r - 1})
+             |  GROUP BY 1, 2),
+             |s$r AS MATERIALIZED (SELECT vec_id, rel,
+             |    $lam * rel - $oneMinus * ms AS mmr
+             |  FROM m$r ORDER BY mmr DESC, vec_id LIMIT 1),
+             |c$r AS MATERIALIZED (SELECT * FROM c${r - 1}
+             |  UNION ALL SELECT n.vec_id, n.emb FROM n JOIN s$r USING (vec_id))""".stripMargin
+        }.mkString(",\n")
+        val sels = (2 to 6).map(r =>
+          s"UNION ALL SELECT $r, vec_id, rel, round(mmr, 6) FROM s$r")
+          .mkString("\n")
+        s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+           |    CAST((vec_id * 17) % 100 AS DOUBLE) / 100.0 AS rel
+           |  FROM embeddings),
+           |s1 AS MATERIALIZED (SELECT vec_id, rel, $lam * rel AS mmr
+           |  FROM n ORDER BY rel DESC, vec_id LIMIT 1),
+           |c1 AS MATERIALIZED (SELECT n.vec_id, n.emb
+           |  FROM n JOIN s1 USING (vec_id)),
+           |$rounds
+           |SELECT CAST(1 AS INTEGER) AS round, vec_id, rel,
+           |  round(mmr, 6) AS mmr FROM s1
+           |$sels""".stripMargin
+      }
+    )),
+
     "q_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
         Tables.documents(s, dir)

@@ -130,6 +130,63 @@ object Embeddings {
         round(col("min_dist"), 6).as("min_dist"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein
+    * 1998): k greedy rounds, each picking the candidate maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} dot(d, s) — the standard
+    * relevance-vs-redundancy re-ranker for retrieval results and the
+    * relevance-aware sibling of [[kCenterGreedy]] (which optimizes
+    * diversity alone). The seed round has S = ∅, so its score is
+    * λ·rel by the same formula (max over nothing contributes 0). Pass
+    * L2-normalized embeddings for cosine semantics — the operator
+    * uses the raw dot product. Returns one row per round:
+    * (round, vec_id, rel, mmr), ties broken by lowest id.
+    *
+    * Scale + determinism: the kCenterGreedy discipline exactly — the
+    * selected set is BOUNDED DRIVER MODEL STATE (k vectors, a
+    * selection budget of tens), each round is ONE corpus map pass
+    * (dot against ≤k broadcast center literals through the fused
+    * index-ordered [[graft.plans.VectorExpressions.vec_dot]] fold,
+    * `greatest` over centers exactly commutative) ending in a
+    * TakeOrdered top-1, never a full sort. The score composes rel and
+    * maxsim with a fixed IEEE op sequence, and the SQL replay embeds
+    * the SCALA-computed λ and 1−λ doubles verbatim (1−0.7 is NOT the
+    * literal 0.3 — printing the computed value keeps both engines on
+    * identical bits), so the whole trajectory hash-matches
+    * (`q_mmr_select`'s materialized per-round CTEs). */
+  def mmrSelect(df: DataFrame, idCol: String, embCol: String,
+                relCol: String, k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = df.select(Sampling.strictLongId(col(idCol), "mmrSelect").as("id"),
+      Similarity.asDouble(col(embCol)).as("emb"),
+      col(relCol).cast("double").as("rel"))
+    def dot(a: org.apache.spark.sql.Column, c: Seq[Double]) =
+      graft.plans.VectorExpressions.vec_dot(a, typedLit(c))
+    val first = p.orderBy(desc("rel"), asc("id")).limit(1).collect().head
+    var selected = Vector((first.getLong(0), first.getSeq[Double](1)))
+    val out = Seq.newBuilder[(Int, Long, Double, Double)]
+    out += ((1, first.getLong(0), first.getDouble(2),
+      lambda * first.getDouble(2)))
+    for (r <- 2 to k) {
+      val maxsim = selected.map { case (_, c) => dot(col("emb"), c) }
+        .reduce(greatest(_, _))
+      val score = lit(lambda) * col("rel") - lit(1.0 - lambda) * maxsim
+      val sel = p.filter(!col("id").isInCollection(selected.map(_._1)))
+        .select(col("id"), col("emb"), col("rel"), score.as("mmr"))
+        .orderBy(desc("mmr"), asc("id")).limit(1).collect()
+      if (sel.nonEmpty) {
+        val cand = sel.head
+        selected = selected :+ ((cand.getLong(0), cand.getSeq[Double](1)))
+        out += ((r, cand.getLong(0), cand.getDouble(2), cand.getDouble(3)))
+      }
+    }
+    out.result().toDF("round", "vec_id", "rel", "mmr")
+      .select(col("round"), col("vec_id"), col("rel"),
+        round(col("mmr"), 6).as("mmr"))
+  }
+
   /** Top principal direction of an embedding corpus by FIXED-POINT
     * power iteration, plus each vector's projection onto it — the
     * "all-but-the-top" (ABTT) post-processing statistic (Mu &

@@ -321,6 +321,33 @@ class SimilaritySpec extends SparkSpec {
     assert(all == Seq(0L, 2L, 1L, 3L))
   }
 
+  test("mmrSelect: diversity term skips the redundant duplicate of the seed") {
+    import spark.implicits._
+    // a=(1,0) rel 1.0 seeds; b=(1,0) rel 0.8 is a's DUPLICATE:
+    // mmr(b) = .7*.8 - .3*1 = 0.26 < mmr(c) = .7*.5 - .3*0 = 0.35,
+    // so round 2 picks the orthogonal c despite b's higher relevance;
+    // b only enters in round 3. A pure-relevance top-3 would order
+    // a, b, c — the diversity term is what reorders it.
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), 1.0), (2L, Seq(1.0, 0.0), 0.8),
+      (3L, Seq(0.0, 1.0), 0.5)
+    ).toDF("vec_id", "embedding", "rel")
+    val out = graft.operators.Embeddings
+      .mmrSelect(df, "vec_id", "embedding", "rel", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(out.map(_._2) == Seq(1L, 3L, 2L))
+    assert(out(0)._3 == 0.7 && out(1)._3 == 0.35 && out(2)._3 == 0.26)
+    // k beyond pool size: stops cleanly; deterministic across
+    // partitionings
+    val a = graft.operators.Embeddings
+      .mmrSelect(df.repartition(5), "vec_id", "embedding", "rel", k = 10)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.operators.Embeddings
+      .mmrSelect(df.coalesce(1), "vec_id", "embedding", "rel", k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.size == 3)
+  }
+
   test("topComponentFixedPoint: finds the dominant axis; projections align") {
     import spark.implicits._
     // strong variance along dim 0, tiny noise on dim 1: the dominant
