@@ -4662,6 +4662,88 @@ object Queries {
       }
     )),
 
+    // WordPiece ENCODE — the OTHER subword family (BERT's greedy
+    // longest-prefix-match, vs BPE's bottom-up merges), end-to-end:
+    // frequency-ranked vocab built from the corpus (all chars in both
+    // forms + top-25 pieces by (count, piece)), then every word walks
+    // the greedy automaton. The Spark side is a zero-shuffle left
+    // fold over character positions; the oracle replays the SAME
+    // algorithm through an INDEPENDENT formulation — a per-(word,
+    // position) max-match table followed by 16 materialized join
+    // rounds over DISTINCT words — so agreement checks the algorithm,
+    // not a shared implementation. The planted 27-char word exercises
+    // the EXPLICIT maxWordLen→[UNK] contract (BERT's
+    // max_input_chars_per_word); full charset coverage makes that the
+    // ONLY [UNK] path, by construction. Token sequences pin as
+    // canonical joined strings (the q_bpe_encode scalar-compare
+    // discipline).
+    "q_wordpiece_encode" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" thisisaverylongplantedword"))
+            .as("text"))
+        val vocab = operators.WordPiece.buildVocab(d, "text", topK = 25)
+        operators.WordPiece.encode(d, "doc_id", "text", vocab)
+          .select(col("doc_id"),
+            array_join(col("wp_tokens"), " ").as("wp_seq"), col("n_wp"))
+      },
+      Some {
+        val rounds = (1 to 16).map { r =>
+          s"""r$r AS MATERIALIZED (SELECT r.w, r.pos + m.ml AS pos,
+             |    CASE WHEN r.pos = 0 THEN substr(r.w, 1, m.ml)
+             |         ELSE '##' || substr(r.w, r.pos + 1, m.ml) END AS tok
+             |  FROM r${r - 1} r JOIN m ON m.w = r.w AND m.s = r.pos)""".stripMargin
+        }.mkString(",\n")
+        val emits = (1 to 16).map(r =>
+          s"SELECT w, $r AS rnd, tok FROM r$r").mkString("\nUNION ALL ")
+        s"""WITH d AS (SELECT doc_id,
+           |    text || ' thisisaverylongplantedword' AS text FROM documents),
+           |wt0 AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM d),
+           |wtok AS (SELECT doc_id,
+           |    unnest([{'w': ws[i+1], 'i': i} for i in range(len(ws))],
+           |      recursive := true) FROM wt0),
+           |cs AS (SELECT w FROM wtok WHERE length(w) <= 16),
+           |chars0 AS (SELECT DISTINCT
+           |    unnest([w[i+1] for i in range(len(w))]) AS c FROM cs),
+           |sl AS (SELECT w, s, l FROM
+           |    (SELECT w, unnest([i for i in range(len(w))]) AS s FROM cs)
+           |  CROSS JOIN (VALUES (2), (3), (4)) lv(l)
+           |  WHERE s + l <= len(w)),
+           |top AS (SELECT p FROM (
+           |    SELECT CASE WHEN s = 0 THEN substr(w, 1, l)
+           |      ELSE '##' || substr(w, s + 1, l) END AS p,
+           |      count(*) AS cnt
+           |    FROM sl GROUP BY 1) ORDER BY cnt DESC, p LIMIT 25),
+           |vocab AS (SELECT c AS piece FROM chars0
+           |  UNION SELECT '##' || c FROM chars0
+           |  UNION SELECT p FROM top),
+           |wd AS (SELECT DISTINCT w FROM wtok WHERE length(w) <= 16),
+           |cand AS (SELECT w, s, l FROM
+           |    (SELECT w, unnest([i for i in range(len(w))]) AS s FROM wd)
+           |  CROSS JOIN (VALUES (1), (2), (3), (4)) lv(l)
+           |  WHERE s + l <= len(w)
+           |    AND (CASE WHEN s = 0 THEN substr(w, 1, l)
+           |      ELSE '##' || substr(w, s + 1, l) END)
+           |      IN (SELECT piece FROM vocab)),
+           |m AS MATERIALIZED (SELECT w, s, max(l) AS ml
+           |  FROM cand GROUP BY 1, 2),
+           |r0 AS MATERIALIZED (SELECT w, 0 AS pos FROM wd),
+           |$rounds,
+           |emits AS ($emits),
+           |enc AS (SELECT w, list(tok ORDER BY rnd) AS toks
+           |  FROM emits GROUP BY 1
+           |  UNION ALL SELECT DISTINCT w, ['[UNK]'] FROM wtok
+           |  WHERE length(w) > 16),
+           |dd AS (SELECT t.doc_id,
+           |    flatten(list(e.toks ORDER BY t.i)) AS wp_tokens
+           |  FROM wtok t JOIN enc e USING (w) GROUP BY 1)
+           |SELECT doc_id, array_to_string(wp_tokens, ' ') AS wp_seq,
+           |  CAST(len(wp_tokens) AS BIGINT) AS n_wp
+           |FROM dd""".stripMargin
+      }
+    )),
+
     // BPE ENCODE — the dataloader-facing end of the tokenizer: train
     // the merges, derive the vocab (corpus alphabet in binary order +
     // one id per merge, first-wins on composed collisions), then emit

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenization — the BERT family's encoder (Devlin et al.
+  * 2019; the greedy algorithm is spelled out in the BERT repo's
+  * tokenization code and in Wu et al. 2016's WordPiece description):
+  * per word, repeatedly take the LONGEST vocabulary piece that
+  * prefixes the remainder, prefixing non-initial pieces with "##";
+  * a word that cannot be covered (or exceeds the length contract)
+  * becomes one [UNK] token. Complements [[Bpe]]: BPE applies learned
+  * MERGES bottom-up, WordPiece matches a VOCABULARY top-down — the
+  * two dominant subword families, now both under the oracle.
+  *
+  * Determinism: pure integer/string arithmetic — the greedy walk is a
+  * left fold over character positions (acc = (next position, tokens,
+  * failed)), the longest-match probe is a fixed maxPieceLen..1
+  * cascade of map lookups against the vocab LITERAL, and ties cannot
+  * exist (lengths are distinct by construction). The SQL oracle
+  * replays the walk through an INDEPENDENT formulation — a per-(word,
+  * position) max-match-length table followed by bounded materialized
+  * join rounds — so agreement checks the algorithm, not a shared
+  * implementation.
+  *
+  * Scale shape: encoding is a ZERO-SHUFFLE codegen'd map pass (the
+  * [[Bpe.encode]] discipline — vocab rides the plan as a literal,
+  * bounded model state, nothing joins). Cost per word is
+  * O(len · maxPieceLen) lookups. The length contract is EXPLICIT
+  * (the fleissKappa lesson): words longer than `maxWordLen` encode as
+  * [UNK] — BERT's own max_input_chars_per_word rule — which also
+  * bounds the oracle's replay rounds. */
+object WordPiece {
+
+  /** Encode every single-space-separated word of `textCol` and
+    * flatten to one token-string array per row, plus its length.
+    * `vocab` must contain BOTH forms explicitly ("ab" and "##ab" are
+    * distinct entries, BERT-style); pieces longer than `maxPieceLen`
+    * are never probed (the vocab builder's own cap — probing is a
+    * fixed-length cascade, so the cap is part of the contract). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocab: Seq[String], maxPieceLen: Int = 4,
+             maxWordLen: Int = 16, unk: String = "[UNK]"): DataFrame = {
+    require(maxPieceLen >= 1 && maxWordLen >= 1, "length caps must be positive")
+    val vset = typedLit(vocab.map(p => (p, 1)).toMap)
+    def tokensOf(w: Column): Column = {
+      val init = struct(lit(0).as("pos"),
+        array().cast("array<string>").as("toks"), lit(false).as("failed"))
+      val folded = aggregate(
+        sequence(lit(0), length(w) - 1),
+        init,
+        (acc, i) => {
+          val active = !acc("failed") && (i === acc("pos"))
+          def pieceAt(l: Int): Column = concat(
+            when(i > 0, lit("##")).otherwise(lit("")),
+            w.substr(i + 1, lit(l)))
+          val ml = (maxPieceLen to 1 by -1).foldLeft(lit(0)) { (m, l) =>
+            when(m > 0, m).otherwise(
+              when(i + lit(l) <= length(w) &&
+                element_at(vset, pieceAt(l)).isNotNull, lit(l))
+                .otherwise(lit(0)))
+          }
+          val matched = struct(
+            (i + ml).as("pos"),
+            concat(acc("toks"), array(concat(
+              when(i > 0, lit("##")).otherwise(lit("")),
+              w.substr(i + 1, ml)))).as("toks"),
+            lit(false).as("failed"))
+          val dead = struct(length(w).as("pos"), acc("toks").as("toks"),
+            lit(true).as("failed"))
+          when(!active, acc)
+            .otherwise(when(ml === 0, dead).otherwise(matched))
+        })
+      when(length(w) > maxWordLen || folded("failed"), array(lit(unk)))
+        .otherwise(folded("toks"))
+    }
+    docs.select(col(idCol),
+      flatten(transform(
+        filter(split(col(textCol), " "), w => length(w) > 0),
+        tokensOf(_))).as("wp_tokens"))
+      .withColumn("n_wp", size(col("wp_tokens")).cast("long"))
+  }
+
+  /** Frequency-ranked vocabulary: ALL single characters (both initial
+    * and "##" continuation forms — so charset coverage makes mid-word
+    * failure impossible and [UNK] fires only on the length contract)
+    * plus the `topK` most frequent position-aware pieces of length
+    * 2..maxPieceLen, counted per occurrence over words within the
+    * length contract, ties by piece string. A standard simplification
+    * of WordPiece training (the released BERT vocabs are themselves
+    * frequency-built subword inventories); the operator under test is
+    * the ENCODER — this builder exists so fixtures and oracle derive
+    * the identical vocab from the corpus alone. Driver state: topK +
+    * charset strings (bounded model state, the BPE-merges posture). */
+  def buildVocab(docs: DataFrame, textCol: String, topK: Int = 25,
+                 maxPieceLen: Int = 4, maxWordLen: Int = 16): Seq[String] = {
+    val wtok = docs
+      .select(explode(filter(split(col(textCol), " "),
+        w => length(w) > 0)).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+    val chars = wtok
+      .select(explode(array_distinct(
+        split(trim(regexp_replace(col("w"), "(.)", "$1 ")), " "))).as("c"))
+      .filter(col("c") =!= "")
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val starts = wtok.select(col("w"),
+      explode(sequence(lit(0), length(col("w")) - 1)).as("s"))
+    val pieceCols = (2 to maxPieceLen).map { l =>
+      when(col("s") + l <= length(col("w")),
+        concat(when(col("s") > 0, lit("##")).otherwise(lit("")),
+          col("w").substr(col("s") + 1, lit(l))))
+    }
+    val top = starts
+      .select(explode(array(pieceCols: _*)).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy("p").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("p")).limit(topK)
+      .collect().map(_.getString(0)).toSeq
+    (chars ++ chars.map("##" + _) ++ top).distinct
+  }
+}
