@@ -4744,6 +4744,99 @@ object Queries {
       }
     )),
 
+    // Unigram-LM SEGMENTATION (SentencePiece, Kudo 2018) — the THIRD
+    // subword family: Viterbi finds the GLOBALLY cheapest segmentation
+    // per word under round-9-at-birth ln costs, unlike WordPiece's
+    // greedy walk. The Spark side is a zero-shuffle DP fold; the
+    // oracle replays the DP through an INDEPENDENT relational
+    // formulation — one materialized CTE per character position
+    // (argmin by ORDER BY cost, l DESC: exact ties take the LONGEST
+    // last piece, the named rule) plus a 16-round backtrack chain.
+    // Same planted-word [UNK] length contract as q_wordpiece_encode;
+    // per-doc cost folds in word order (the grpo discipline).
+    "q_unigram_segment" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" thisisaverylongplantedword"))
+            .as("text"))
+        val vocab = operators.Unigram.buildVocab(d, "text", topK = 25)
+        operators.Unigram.encode(d, "doc_id", "text", vocab)
+          .select(col("doc_id"),
+            array_join(col("us_tokens"), " ").as("us_seq"),
+            col("n_us"), col("cost"))
+      },
+      Some {
+        val dpRounds = (1 to 16).map { k =>
+          val branches = (1 to math.min(4, k)).map { l =>
+            val prev = if (k - l == 0) "0.0" else s"b${k - l}.cost"
+            val joinPrev =
+              if (k - l == 0) "" else s" JOIN b${k - l} ON b${k - l}.w = wd.w"
+            s"""SELECT wd.w, $prev + v.cost AS cost, $l AS l
+               |    FROM wd JOIN v ON v.piece = substr(wd.w, ${k - l + 1}, $l)$joinPrev
+               |    WHERE len(wd.w) >= $k""".stripMargin
+          }.mkString("\n    UNION ALL ")
+          s"""b$k AS MATERIALIZED (SELECT w, $k AS j, cost, l FROM (
+             |  SELECT w, cost, l,
+             |    row_number() OVER (PARTITION BY w ORDER BY cost, l DESC) rn
+             |  FROM ($branches)) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        val ballUnion = (1 to 16).map(k => s"SELECT * FROM b$k")
+          .mkString(" UNION ALL ")
+        val btRounds = (1 to 16).map { k =>
+          s"""s$k AS MATERIALIZED (SELECT s.w,
+             |    CASE WHEN s.j > 0 THEN s.j - b.l ELSE s.j END AS j,
+             |    CASE WHEN s.j > 0
+             |      THEN list_append(s.rev, substr(s.w, s.j - b.l + 1, b.l))
+             |      ELSE s.rev END AS rev
+             |  FROM s${k - 1} s LEFT JOIN ball b ON b.w = s.w AND b.j = s.j)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH d AS (SELECT doc_id,
+           |    text || ' thisisaverylongplantedword' AS text FROM documents),
+           |wt0 AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM d),
+           |wtok AS (SELECT doc_id,
+           |    unnest([{'w': ws[i+1], 'i': i} for i in range(len(ws))],
+           |      recursive := true) FROM wt0),
+           |cs AS (SELECT w FROM wtok WHERE length(w) <= 16),
+           |cnts AS (SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT substr(w, s + 1, l) AS p FROM
+           |      (SELECT w, unnest([i for i in range(len(w))]) AS s FROM cs)
+           |    CROSS JOIN (VALUES (1), (2), (3), (4)) lv(l)
+           |    WHERE s + l <= len(w)) GROUP BY 1),
+           |sel AS (SELECT p, cnt FROM cnts WHERE length(p) = 1
+           |  UNION ALL SELECT p, cnt FROM (
+           |    SELECT p, cnt FROM cnts WHERE length(p) >= 2
+           |    ORDER BY cnt DESC, p LIMIT 25)),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM sel),
+           |v AS MATERIALIZED (SELECT p AS piece,
+           |    round(ln(CAST(total AS DOUBLE) / cnt), 9) AS cost
+           |  FROM sel CROSS JOIN tot),
+           |wd AS (SELECT DISTINCT w FROM wtok WHERE length(w) <= 16),
+           |$dpRounds,
+           |ball AS ($ballUnion),
+           |s0 AS (SELECT w, len(w) AS j, CAST([] AS VARCHAR[]) AS rev FROM wd),
+           |$btRounds,
+           |enc AS (SELECT w, list_reverse(rev) AS toks FROM s16
+           |  UNION ALL SELECT DISTINCT w, ['[UNK]'] FROM wtok
+           |  WHERE length(w) > 16),
+           |wcost AS (SELECT b.w, b.cost FROM ball b
+           |    JOIN (SELECT w, len(w) AS n FROM wd) x
+           |    ON b.w = x.w AND b.j = x.n
+           |  UNION ALL SELECT DISTINCT w, 0.0 FROM wtok
+           |  WHERE length(w) > 16),
+           |dd AS (SELECT t.doc_id,
+           |    flatten(list(e.toks ORDER BY t.i)) AS us_tokens,
+           |    list_reduce(list(c.cost ORDER BY t.i),
+           |      (a, b) -> a + b) AS cost_raw
+           |  FROM wtok t JOIN enc e USING (w) JOIN wcost c USING (w)
+           |  GROUP BY 1)
+           |SELECT doc_id, array_to_string(us_tokens, ' ') AS us_seq,
+           |  CAST(len(us_tokens) AS BIGINT) AS n_us,
+           |  round(cost_raw, 6) AS cost
+           |FROM dd""".stripMargin
+      }
+    )),
+
     // BPE ENCODE — the dataloader-facing end of the tokenizer: train
     // the merges, derive the vocab (corpus alphabet in binary order +
     // one id per merge, first-wins on composed collisions), then emit

@@ -693,6 +693,44 @@ object Soak {
             .select(col("source"), score2.as("score")),
           "source", "score")
       },
+      run("hits4") {
+        // 4 HITS iterations on the 1M-edge / 20k-node graph the k-core
+        // and LPA soaks use: per round two edge-keyed joins + two
+        // 1-row max scalars broadcast back — only (id, score) longs
+        // shuffle
+        val ids = docs10.sparkSession.range(1000000L)
+        Graph.hits(ids.select(
+            pmod(col("id") * 2654435761L, lit(20000L)).as("src"),
+            pmod(col("id") * 40503L + 17L, lit(20000L)).as("dst")),
+          iterations = 4)
+      },
+      run("wordpiece_encode") {
+        // the second subword family at 10x: vocab aggregation over the
+        // full corpus, then the greedy fold as a zero-shuffle map pass
+        val vocab = WordPiece.buildVocab(docs10, "text", topK = 25)
+        WordPiece.encode(docs10, "doc_id", "text", vocab)
+      },
+      run("mmr_select8") {
+        // 8 MMR rounds over the 50k embeddings: one corpus map pass
+        // per round against broadcast center literals, TakeOrdered
+        // top-1 — shuffle must stay ~0 (the kcenter signature)
+        Embeddings.mmrSelect(emb10.withColumn("rel",
+            expr("CAST((vec_id * 17) % 100 AS DOUBLE) / 1000.0")),
+          "vec_id", "embedding", "rel", k = 8)
+      },
+      run("fleiss_kappa") {
+        // agreement audit at 10x: item-keyed contingency over 50k
+        // ratings, three 1-row aggregates out
+        Eval.fleissKappa(docs10.select(expr("doc_id div 5").as("item"),
+            pmod(col("doc_id") * 7, lit(4L)).as("cat")),
+          "item", "cat", ratersPerItem = 5)
+      },
+      run("unigram_segment") {
+        // the Viterbi subword family at 10x: vocab aggregation, then
+        // the O(len^2 * L)-per-word DP fold as a zero-shuffle map pass
+        val vocab = Unigram.buildVocab(docs10, "text", topK = 25)
+        Unigram.encode(docs10, "doc_id", "text", vocab)
+      },
       run("mjpeg_video_near_dup") {
         // 600 MJPEG AVIs (~10 MB of compressed video) in 60 cliques of
         // 10 — the COMPRESSED-codec leg of the video discipline: every

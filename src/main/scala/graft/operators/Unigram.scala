@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword segmentation — the SentencePiece family (Kudo
+  * 2018): each word takes the segmentation MINIMIZING total piece
+  * cost, cost(piece) = round(ln(total/cnt), 9), found by Viterbi
+  * dynamic programming over character positions. The THIRD subword
+  * family under the oracle next to [[Bpe]] (bottom-up merges) and
+  * [[WordPiece]] (greedy top-down): unigram is the only one that
+  * optimizes a GLOBAL objective per word, so it can recover from a
+  * locally-attractive prefix that greedy WordPiece would take.
+  *
+  * Determinism: piece costs are round-9 AT BIRTH (computed through
+  * Spark SQL's own round(ln(·),9) on exact integer counts, the
+  * naive-Bayes discipline); each DP cell best[j] = min over ≤L
+  * candidates of best[j−l] + cost — a fixed-order IEEE sum of two
+  * doubles per candidate, compared via struct ordering on
+  * (cost, −l) so exact ties resolve to the LONGEST last piece, a
+  * NAMED rule replayed in SQL as ORDER BY cost, l DESC. The oracle
+  * replays the whole DP through an INDEPENDENT relational
+  * formulation (one materialized CTE per position + a backtrack
+  * chain), the WordPiece cross-check posture.
+  *
+  * Scale shape: encoding is a ZERO-SHUFFLE codegen'd map pass — the
+  * (piece → cost) map rides the plan as a literal (bounded model
+  * state). Per word the DP fold costs O(len·L) lookups and the
+  * backtrack re-derives the table per step, bounding worst-case work
+  * at O(len²·L) ≈ 1k ops for the 16-char contract — named here, flat
+  * per row, nothing joins. Words beyond `maxWordLen` become [UNK]
+  * at cost 0 (the EXPLICIT length contract shared with WordPiece,
+  * which also bounds the oracle's replay rounds). */
+object Unigram {
+
+  /** Frequency-derived unigram vocabulary: every corpus character
+    * (so segmentation is total by construction) plus the `topK` most
+    * frequent pieces of length 2..maxPieceLen, counted per occurrence
+    * over words within the length contract; cost = round(ln(total /
+    * cnt), 9) with total = Σ cnt over the SELECTED vocab. Costs are
+    * computed through Spark SQL's round/ln on a bounded local table
+    * so they carry the exact bits DuckDB's round(ln(·),9) reproduces.
+    * Driver state: |charset| + topK (piece, cost) pairs. */
+  def buildVocab(docs: DataFrame, textCol: String, topK: Int = 25,
+                 maxPieceLen: Int = 4, maxWordLen: Int = 16)
+      : Seq[(String, Double)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wtok = docs
+      .select(explode(filter(split(col(textCol), " "),
+        w => length(w) > 0)).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+    val starts = wtok.select(col("w"),
+      explode(sequence(lit(0), length(col("w")) - 1)).as("s"))
+    val pieceCols = (1 to maxPieceLen).map { l =>
+      when(col("s") + l <= length(col("w")),
+        col("w").substr(col("s") + 1, lit(l)))
+    }
+    val counts = starts
+      .select(explode(array(pieceCols: _*)).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy("p").agg(count(lit(1)).as("cnt"))
+    val singles = counts.filter(length(col("p")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = counts.filter(length(col("p")) >= 2)
+      .orderBy(desc("cnt"), asc("p")).limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sel = (singles ++ multi).toSeq
+    val total = sel.map(_._2).sum
+    // round(ln(total/cnt), 9) through Spark SQL itself — identical
+    // bits to every other round-at-birth ln in the suite
+    sel.toDF("p", "cnt")
+      .select(col("p"),
+        expr(s"round(ln(CAST(${total}L AS DOUBLE) / cnt), 9)").as("cost"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+  }
+
+  /** Viterbi-encode every single-space-separated word and flatten to
+    * (id, us_tokens, n_us, cost): token strings per row, count, and
+    * the summed per-word optimal costs folded in word order. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocab: Seq[(String, Double)], maxPieceLen: Int = 4,
+             maxWordLen: Int = 16, unk: String = "[UNK]"): DataFrame = {
+    require(maxPieceLen >= 1 && maxWordLen >= 1, "length caps must be positive")
+    val cmap = typedLit(vocab.toMap)
+    // forward DP: acc(j) = struct(cost, back) for prefix length j
+    def tbl(w: Column): Column = aggregate(
+      sequence(lit(1), length(w)),
+      array().cast("array<struct<cost:double,back:int>>"),
+      (acc, j) => {
+        val cands = (1 to maxPieceLen).map { l =>
+          val piece = w.substr(j - l + 1, lit(l))
+          val prev = when(j === l, lit(0.0))
+            .otherwise(element_at(acc, j - l).getField("cost"))
+          when(j >= l && element_at(cmap, piece).isNotNull,
+            struct((prev + element_at(cmap, piece)).as("cost"),
+              lit(-l).as("negl")))
+        }
+        val best = coalesce(
+          array_min(filter(array(cands: _*), c => c.isNotNull)),
+          struct(lit(1.0e18).as("cost"), lit(-1).as("negl")))
+        concat(acc, array(struct(best.getField("cost").as("cost"),
+          (-best.getField("negl")).as("back"))))
+      })
+    // backtrack: walk j = len..0 through back pointers, emit reversed
+    def toksOf(w: Column, t: Column): Column = {
+      val init = struct(length(w).as("j"),
+        array().cast("array<string>").as("rev"))
+      val walked = aggregate(
+        sequence(lit(1), length(w)),
+        init,
+        (acc, _) => {
+          val j = acc("j")
+          val b = element_at(t, j).getField("back")
+          when(j <= 0, acc).otherwise(struct(
+            (j - b).as("j"),
+            concat(acc("rev"), array(w.substr(j - b + 1, b))).as("rev")))
+        })
+      reverse(walked("rev"))
+    }
+    def perWord(w: Column): Column = {
+      val t = tbl(w)
+      val wordCost = element_at(t, length(w)).getField("cost")
+      when(length(w) > maxWordLen || wordCost >= 1.0e17,
+        struct(array(lit(unk)).as("toks"), lit(0.0).as("cost")))
+        .otherwise(struct(toksOf(w, t).as("toks"), wordCost.as("cost")))
+    }
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    docs.select(col(idCol),
+      transform(words, perWord(_)).as("pw"))
+      .select(col(idCol),
+        flatten(transform(col("pw"), x => x.getField("toks")))
+          .as("us_tokens"),
+        aggregate(col("pw"), lit(0.0),
+          (a, x) => a + x.getField("cost")).as("cost_raw"))
+      .select(col(idCol), col("us_tokens"),
+        size(col("us_tokens")).cast("long").as("n_us"),
+        round(col("cost_raw"), 6).as("cost"))
+  }
+}
