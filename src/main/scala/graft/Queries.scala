@@ -3087,6 +3087,62 @@ object Queries {
       }
     )),
 
+    // Bounded-radius harmonic centrality: three exact BFS layers over
+    // a sparse 200-node slice of the customer/order key space —
+    // per-layer node counts are exact int64 set sizes (distinct +
+    // anti-join ≡ EXCEPT), and the score is the FIXED three-term
+    // expression n1·1.0 + n2·0.5 + n3·0.333333333 with the 1/r
+    // constants decimal-rounded once and embedded as identical
+    // literals in both engines.
+    "q_harmonic_centrality" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(53L)) < 2)
+          .select(pmod(col("o_custkey"), lit(200L)).as("src"),
+            pmod(col("o_orderkey"), lit(200L)).as("dst"))
+        operators.Graph.harmonicCentrality(e, radius = 3)
+      },
+      Some("""WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS t
+             |  FROM orders WHERE o_orderkey % 53 < 2),
+             |e0 AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+             |  FROM raw WHERE s <> t),
+             |und AS (SELECT a AS src, b AS dst FROM e0
+             |  UNION ALL SELECT b, a FROM e0),
+             |nodes AS (SELECT DISTINCT src AS id FROM und),
+             |v0 AS (SELECT id AS v, id AS u FROM nodes),
+             |f1 AS MATERIALIZED (
+             |  SELECT DISTINCT t.v, und.dst AS u FROM v0 t
+             |    JOIN und ON und.src = t.u
+             |  EXCEPT SELECT v, u FROM v0),
+             |vis1 AS MATERIALIZED (SELECT v, u FROM v0
+             |  UNION ALL SELECT v, u FROM f1),
+             |f2 AS MATERIALIZED (
+             |  SELECT DISTINCT t.v, und.dst AS u FROM f1 t
+             |    JOIN und ON und.src = t.u
+             |  EXCEPT SELECT v, u FROM vis1),
+             |vis2 AS MATERIALIZED (SELECT v, u FROM vis1
+             |  UNION ALL SELECT v, u FROM f2),
+             |f3 AS MATERIALIZED (
+             |  SELECT DISTINCT t.v, und.dst AS u FROM f2 t
+             |    JOIN und ON und.src = t.u
+             |  EXCEPT SELECT v, u FROM vis2),
+             |n AS (SELECT nodes.id,
+             |    CAST(COALESCE(c1.n, 0) AS BIGINT) AS n1,
+             |    CAST(COALESCE(c2.n, 0) AS BIGINT) AS n2,
+             |    CAST(COALESCE(c3.n, 0) AS BIGINT) AS n3
+             |  FROM nodes
+             |  LEFT JOIN (SELECT v, count(*) AS n FROM f1 GROUP BY 1) c1
+             |    ON c1.v = nodes.id
+             |  LEFT JOIN (SELECT v, count(*) AS n FROM f2 GROUP BY 1) c2
+             |    ON c2.v = nodes.id
+             |  LEFT JOIN (SELECT v, count(*) AS n FROM f3 GROUP BY 1) c3
+             |    ON c3.v = nodes.id)
+             |SELECT id, n1, n2, n3,
+             |  CAST(n1 AS DOUBLE) * 1.0 + CAST(n2 AS DOUBLE) * 0.5
+             |    + CAST(n3 AS DOUBLE) * 0.333333333 AS harmonic
+             |FROM n""".stripMargin)
+    )),
+
     // EXACT triangle enumeration by degree-ordered orientation: wedges
     // are enumerated only at each vertex's OUT-neighbors under the
     // (degree, id) total order — hub vertices contribute edges as wedge
@@ -5508,6 +5564,53 @@ object Queries {
              |    ELSE round(CAST(n_cycles AS DOUBLE) / n_triangles, 6)
              |  END AS cyclic_rate
              |FROM s""".stripMargin)
+    )),
+
+    // Luhn validity gate for card-number PII: planted candidates —
+    // a valid plain number, a valid separator-carrying number, and an
+    // off-by-one INVALID twin — are extracted by the shared candidate
+    // regex, normalized, and classified by the exact ISO 7812
+    // checksum fold. Validity gating is what keeps card redaction
+    // from destroying 16-digit order ids: only ~1/10 random digit
+    // runs pass Luhn. Integer arithmetic end-to-end.
+    "q_luhn_filter" -> ((
+      (s: SparkSession, dir: String) => {
+        val planted = when(pmod(col("doc_id"), lit(4L)) === 0,
+            lit(" card 4111111111111111"))
+          .when(pmod(col("doc_id"), lit(4L)) === 1,
+            lit(" card 5500-0000-0000-0004"))
+          .when(pmod(col("doc_id"), lit(4L)) === 2,
+            lit(" card 4111111111111112"))
+          .otherwise(lit(""))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), concat(col("text"), planted).as("text"))
+          .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+            lit(TextAnalysis.cardCandidatePattern), lit(0))).as("m"))
+          .select(col("doc_id"), TextAnalysis.cardDigits(col("m")).as("card"))
+          .select(col("doc_id"), col("card"),
+            TextAnalysis.luhnValid(col("card")).as("valid"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 4 = 0 THEN ' card 4111111111111111'
+             |         WHEN doc_id % 4 = 1 THEN ' card 5500-0000-0000-0004'
+             |         WHEN doc_id % 4 = 2 THEN ' card 4111111111111112'
+             |         ELSE '' END AS text
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(text,
+             |      '\b(?:\d[ -]?){12,18}\d\b')) AS m
+             |  FROM d),
+             |c AS (SELECT doc_id,
+             |    replace(replace(m, '-', ''), ' ', '') AS card FROM m)
+             |SELECT doc_id, card,
+             |  len(card) BETWEEN 13 AND 19 AND
+             |  list_sum([CASE WHEN (i + 1) % 2 = 0 THEN
+             |      CASE WHEN 2 * CAST(card[len(card)-i : len(card)-i] AS INT) > 9
+             |        THEN 2 * CAST(card[len(card)-i : len(card)-i] AS INT) - 9
+             |        ELSE 2 * CAST(card[len(card)-i : len(card)-i] AS INT) END
+             |    ELSE CAST(card[len(card)-i : len(card)-i] AS INT) END
+             |    for i in range(len(card))]) % 10 = 0 AS valid
+             |FROM c""".stripMargin)
     )),
 
     // Fleiss' kappa inter-annotator agreement: items are groups of 6

@@ -240,6 +240,39 @@ object TextAnalysis {
       replace(acc, m, concat(lit("<pii_"), substring(md5(m), 1, 8), lit(">"))))
   }
 
+  /** Luhn checksum (ISO/IEC 7812) over a digits-only string: from the
+    * RIGHTMOST digit, double every second, subtract 9 from doubles
+    * above 9, and require the sum ≡ 0 (mod 10) — plus the 13..19
+    * payment-card length band. The standard false-positive killer for
+    * card-number PII detection: a 16-digit order id matches any digit
+    * regex, but only ~1 in 10 random digit runs passes Luhn, so
+    * validity-gated redaction stops destroying non-PII numerics.
+    * Exact integer fold over character positions — zero shuffle,
+    * replayed in SQL as a position list-sum (integer addition
+    * commutes, no fold discipline needed). */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val s = aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        val d = digits.substr(n - i + 1, lit(1)).cast("int")
+        val v = when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + v
+      })
+    n >= 13 && n <= 19 && pmod(s, lit(10)) === 0
+  }
+
+  /** Card-number candidate pattern: 13–19 digits allowing single
+    * space/dash separators (no lookaround — replays verbatim in
+    * DuckDB). Normalize with [[cardDigits]] before [[luhnValid]]. */
+  val cardCandidatePattern: String = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Strip the separators a card candidate may carry. */
+  def cardDigits(m: Column): Column =
+    regexp_replace(m, "[ -]", "")
+
   /** Deterministic page-layout synthesis for the line-level quality
     * rules: the fixtures are single-line word soup, so bullet/ellipsis/
     * terminal-punctuation signals would never fire on them. Both

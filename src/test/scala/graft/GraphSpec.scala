@@ -58,6 +58,24 @@ class GraphSpec extends SparkSpec {
     })
   }
 
+  test("harmonicCentrality: exact layers on a path graph; direction ignored") {
+    // path 1-2-3-4-5: node 1 sees {2}@1 {3}@2 {4}@3; node 3 sees
+    // {2,4}@1 {1,5}@2 and nothing at 3 — counts exact, constants fixed
+    val e = Seq((1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L)).toDF("src", "dst")
+    val out = Graph.harmonicCentrality(e, radius = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1.0 + 0.5 + 0.333333333)))
+    assert(out(2L) == ((2L, 1L, 1L, 2.0 + 0.5 + 0.333333333)))
+    assert(out(3L) == ((2L, 2L, 0L, 3.0)))
+    assert(out(5L) == out(1L))
+    // deterministic across partitionings
+    val a = Graph.harmonicCentrality(e.repartition(4), radius = 3)
+      .collect().map(_.toSeq).toSet
+    assert(a == Graph.harmonicCentrality(e.coalesce(1), radius = 3)
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("triangles: exact set on a known graph; dedup, loops, direction ignored") {
     // K4 on {1,2,3,4} (4 triangles) + square 5-6-7-8 (0 triangles) +
     // pendant 4-9; duplicates, reversals and a self-loop must not count

@@ -97,6 +97,19 @@ class TextAnalysisSpec extends SparkSpec {
       "keep v1.2 and 2023")
   }
 
+  test("luhnValid: ISO 7812 checksum with the card length band") {
+    def v(s: String): Boolean =
+      one(s, TextAnalysis.luhnValid(col("text"))).asInstanceOf[Boolean]
+    assert(v("4111111111111111"))          // classic valid Visa test number
+    assert(v("5500000000000004"))          // valid Mastercard test number
+    assert(!v("4111111111111112"))         // off-by-one checksum fails
+    assert(!v("49927398716"))              // valid Luhn but 11 digits < 13
+    // separator normalization feeds the validator
+    assert(one("5500-0000-0000 0004",
+      TextAnalysis.luhnValid(TextAnalysis.cardDigits(col("text"))))
+      .asInstanceOf[Boolean])
+  }
+
   test("subwordCount counts ceil(len/4) units per word") {
     // "distributed" (11 chars -> 3) + "db" (2 -> 1)
     assert(one("distributed db", TextAnalysis.subwordCount(col("text"))) == 4L)
