@@ -5566,6 +5566,41 @@ object Queries {
              |FROM s""".stripMargin)
     )),
 
+    // DoReMi-style mixture reweighting (Xie et al. 2023): domains
+    // whose derived loss exceeds the reference get multiplicatively
+    // upweighted by round(exp(η·excess), 9) and the vector
+    // renormalizes through a domain-ordered fold — the reweighting
+    // half of the mixture toolchain (q_mixture_sample consumes such
+    // weights). exp has cross-engine precedent in the BLEU oracle;
+    // η = 0.5 embeds identically in both engines.
+    "q_doremi_weights" -> ((
+      (s: SparkSession, dir: String) => {
+        val dom = Tables.documents(s, dir)
+          .groupBy("source").agg(count(lit(1)).as("cnt"))
+          .select(col("source"),
+            (pmod(col("cnt"), lit(97L)).cast("double") / lit(100.0)
+              + lit(2.0)).as("loss"),
+            (pmod(length(col("source")), lit(5)).cast("double") / lit(10.0)
+              + lit(2.0)).as("ref_loss"),
+            lit(1.0).as("w"))
+        operators.Sampling.doremiReweight(dom, "source", "loss",
+          "ref_loss", "w", eta = 0.5)
+      },
+      Some("""WITH dom AS (SELECT source,
+             |    CAST(count(*) % 97 AS DOUBLE) / 100.0 + 2.0 AS loss,
+             |    CAST(length(source) % 5 AS DOUBLE) / 10.0 + 2.0 AS ref_loss
+             |  FROM documents GROUP BY 1),
+             |b AS (SELECT source AS d,
+             |    greatest(loss - ref_loss, 0.0) AS excess,
+             |    round(1.0 * round(exp(0.5 * greatest(loss - ref_loss, 0.0)), 9), 9) AS raw
+             |  FROM dom),
+             |z AS (SELECT list_reduce(list(raw ORDER BY d),
+             |    (a, b) -> a + b) AS z FROM b)
+             |SELECT d AS source, round(excess, 6) AS excess,
+             |  CASE WHEN z > 0 THEN round(raw / z, 6) ELSE 0.0 END AS weight
+             |FROM b CROSS JOIN z""".stripMargin)
+    )),
+
     // Luhn validity gate for card-number PII: planted candidates —
     // a valid plain number, a valid separator-carrying number, and an
     // off-by-one INVALID twin — are extracted by the shared candidate

@@ -586,4 +586,40 @@ object Sampling {
         .otherwise(array().cast("array<bigint>"))))
       .drop("__reps", weightCol)
   }
+
+  /** One DoReMi-style mixture-weight update (Xie et al. 2023's
+    * Group-DRO step, the multiplicative-weights form): each domain's
+    * weight multiplies by exp(η · excess) where excess = max(0,
+    * loss − ref_loss) — domains the proxy model finds HARDER than the
+    * reference get upweighted — then the vector renormalizes to sum 1.
+    * The reweighting half of the mixture toolchain: feed the output
+    * to [[mixtureResample]] and the corpus physically re-balances.
+    *
+    * Determinism: the multiplier rounds to 9 AT BIRTH
+    * (round(exp(η·excess), 9) — exp has cross-engine precedent in the
+    * BLEU oracle), the raw product re-rounds to 9, and the normalizer
+    * folds the ≤#domains raw weights in DOMAIN ORDER (sorted structs,
+    * the calibration/ECE discipline) before ONE division each,
+    * round-6 at output. η is embedded in the SQL replay as the
+    * Scala-printed double (the mmrSelect lesson). Input is one row
+    * per domain — bounded model state, a broadcast-sized table; the
+    * op is a map + one B-struct fold, nothing corpus-scale. */
+  def doremiReweight(domains: DataFrame, domainCol: String,
+                     lossCol: String, refCol: String, weightCol: String,
+                     eta: Double = 1.0): DataFrame = {
+    val excess = greatest(col(lossCol).cast("double") -
+      col(refCol).cast("double"), lit(0.0))
+    val raw = round(col(weightCol).cast("double") *
+      round(exp(lit(eta) * excess), 9), 9)
+    val base = domains.select(col(domainCol).as("d"), excess.as("excess"),
+      raw.as("raw"))
+    val z = base
+      .agg(sort_array(collect_list(struct(col("d"), col("raw")))).as("xs"))
+      .select(expr(
+        "aggregate(xs, cast(0 as double), (acc, x) -> acc + x.raw)").as("z"))
+    base.crossJoin(broadcast(z))
+      .select(col("d").as(domainCol), round(col("excess"), 6).as("excess"),
+        when(col("z") > 0, round(col("raw") / col("z"), 6))
+          .otherwise(lit(0.0)).as("weight"))
+  }
 }

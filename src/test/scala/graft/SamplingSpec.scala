@@ -288,4 +288,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(2) == r.getDouble(3)),
       "with one group, rank and global rank coincide")
   }
+
+  test("doremiReweight: hard domain upweights, weights renormalize to 1") {
+    // A: excess 1.0 -> raw = round(e^0.5, 9) = 1.648721271; B: loss
+    // below ref -> excess clamps to 0, raw stays 1.0. Z = 2.648721271.
+    val dom = Seq(("A", 3.0, 2.0, 1.0), ("B", 2.0, 2.5, 1.0))
+      .toDF("source", "loss", "ref_loss", "w")
+    val out = Sampling.doremiReweight(dom, "source", "loss", "ref_loss",
+        "w", eta = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(out("A") == ((1.0, 0.622459)))
+    assert(out("B") == ((0.0, 0.377541)))
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+    // equal losses -> uniform weights regardless of eta
+    val eq = Sampling.doremiReweight(
+      Seq(("A", 2.0, 2.0, 1.0), ("B", 2.0, 2.0, 1.0), ("C", 2.0, 2.0, 1.0))
+        .toDF("source", "loss", "ref_loss", "w"),
+      "source", "loss", "ref_loss", "w", eta = 2.0)
+      .collect().map(_.getDouble(2))
+    assert(eq.forall(_ == 0.333333))
+  }
 }
