@@ -5566,6 +5566,92 @@ object Queries {
              |FROM s""".stripMargin)
     )),
 
+    // Verbosity-bias audit: adjacent doc pairs stand in for
+    // (chosen, rejected) preference pairs; per source, how often the
+    // chosen side is simply LONGER and the mean word-count delta —
+    // the length-confound check run before any reward model trains.
+    // Exact int counts, one division each.
+    "q_length_bias" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val ch = d.filter(pmod(col("doc_id"), lit(2L)) === 0)
+          .select(expr("doc_id div 2").as("p"), col("source"),
+            col("text").as("chosen"))
+        val rj = d.filter(pmod(col("doc_id"), lit(2L)) === 1)
+          .select(expr("doc_id div 2").as("p"), col("text").as("rejected"))
+        operators.PostTraining.lengthBiasAudit(ch.join(rj, "p"),
+          "source", "chosen", "rejected")
+      },
+      Some("""WITH ch AS (SELECT doc_id // 2 AS p, source, text AS chosen
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |rj AS (SELECT doc_id // 2 AS p, text AS rejected
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |j AS (SELECT source,
+             |    CAST(len(list_filter(string_split(chosen, ' '),
+             |      w -> w <> '')) AS BIGINT) AS lc,
+             |    CAST(len(list_filter(string_split(rejected, ' '),
+             |      w -> w <> '')) AS BIGINT) AS lr
+             |  FROM ch JOIN rj USING (p))
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(CASE WHEN lc > lr THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_chosen_longer,
+             |  CAST(sum(CASE WHEN lc = lr THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_ties,
+             |  round(CAST(sum(CASE WHEN lc > lr THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS frac_chosen_longer,
+             |  round(CAST(sum(lc - lr) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS mean_len_delta
+             |FROM j GROUP BY 1""".stripMargin)
+    )),
+
+    // Chat-format lint: per-conversation role arrays synthesized with
+    // planted violations — every 5th conversation carries a leading
+    // system turn (allowed), every 7th breaks alternation at turn 1
+    // (which also breaks ends_assistant when the core has 2 turns) —
+    // so every flag fires on a known subset. Zero-shuffle array
+    // arithmetic; each flag separate so a failing corpus says WHY.
+    "q_chat_lint" -> ((
+      (s: SparkSession, dir: String) => {
+        val n = pmod(col("doc_id"), lit(3L)) + 2
+        val core = transform(sequence(lit(0L), n - 1), i =>
+          when(pmod(col("doc_id"), lit(7L)) === 0 && i === 1, lit("user"))
+            .when(pmod(i, lit(2L)) === 0, lit("user"))
+            .otherwise(lit("assistant")))
+        val roles = concat(
+          when(pmod(col("doc_id"), lit(5L)) === 0, array(lit("system")))
+            .otherwise(array().cast("array<string>")), core)
+        operators.PostTraining.chatLint(
+          Tables.documents(s, dir).select(col("doc_id"), roles.as("roles")),
+          "doc_id", "roles")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_concat(
+             |      CASE WHEN doc_id % 5 = 0 THEN ['system']
+             |           ELSE CAST([] AS VARCHAR[]) END,
+             |      [CASE WHEN doc_id % 7 = 0 AND i = 1 THEN 'user'
+             |            WHEN i % 2 = 0 THEN 'user'
+             |            ELSE 'assistant' END
+             |       for i in range(doc_id % 3 + 2)]) AS roles
+             |  FROM documents),
+             |x AS (SELECT doc_id, roles,
+             |    list_filter(roles, x -> x <> 'system') AS ns FROM d)
+             |SELECT doc_id, CAST(len(roles) AS BIGINT) AS n_turns,
+             |  roles[1] AS first_role,
+             |  roles[len(roles)] = 'assistant' AS ends_assistant,
+             |  len([1 for i in range(len(roles))
+             |    if roles[i+1] = 'system' AND i > 0]) = 0 AS system_only_first,
+             |  list_aggregate([ns[i+1] = CASE WHEN i % 2 = 0 THEN 'user'
+             |      ELSE 'assistant' END for i in range(len(ns))],
+             |    'bool_and') AS alternates,
+             |  roles[len(roles)] = 'assistant'
+             |    AND len([1 for i in range(len(roles))
+             |      if roles[i+1] = 'system' AND i > 0]) = 0
+             |    AND list_aggregate([ns[i+1] = CASE WHEN i % 2 = 0
+             |        THEN 'user' ELSE 'assistant' END
+             |      for i in range(len(ns))], 'bool_and') AS valid
+             |FROM x""".stripMargin)
+    )),
+
     // DoReMi-style mixture reweighting (Xie et al. 2023): domains
     // whose derived loss exceeds the reference get multiplicatively
     // upweighted by round(exp(η·excess), 9) and the vector

@@ -45,6 +45,28 @@ object Checkpoints {
     (out, ids)
   }
 
+  /** LAZY localCheckpoint: lineage truncates and blocks persist on
+    * FIRST evaluation — which, for a plan whose scalar subqueries
+    * spawn broadcast jobs (e.g. per-iteration max renormalization),
+    * happens inside the consuming job itself, so no extra
+    * materialization actions run. Two caveats the eager form doesn't
+    * have: (1) NEVER [[free]] a lazy checkpoint before every plan
+    * built on top of it has executed — unpersisted lazy-checkpoint
+    * blocks are non-recomputable (lineage is gone) and downstream
+    * jobs fail; leave them for the harness sweep; (2) the first
+    * evaluation races under concurrent actions — fine on the
+    * single-action-at-a-time driver loops this repo uses. */
+  def lazily(df: DataFrame): (DataFrame, Seq[Int]) = {
+    val out = df.localCheckpoint(eager = false)
+    val ids = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    require(ids.nonEmpty,
+      "localCheckpoint did not produce a LogicalRDD plan — " +
+        "checkpoint-block attribution would silently leak")
+    (out, ids)
+  }
+
   /** Unpersist the blocks behind a superseded checkpoint (non-blocking;
     * safe to call with already-freed ids). */
   def free(df: DataFrame, ids: Seq[Int]): Unit = {

