@@ -5566,6 +5566,36 @@ object Queries {
              |FROM s""".stripMargin)
     )),
 
+    // Unbiased pass@k (the HumanEval estimator): 50 tasks of 10
+    // samples each with an id-derived correctness bit — n−c < k
+    // short-circuits to exactly 1.0, full-fail tasks land at 0, and
+    // the mixed tasks exercise the i-ordered product fold (each term
+    // one division of exact ints; DuckDB list_reduce's first-element
+    // init agrees bitwise with Spark's 1.0 init).
+    "q_pass_at_k" -> ((
+      (s: SparkSession, dir: String) => {
+        val samp = Tables.documents(s, dir)
+          .select(pmod(col("doc_id"), lit(50L)).as("task_id"),
+            (pmod(col("doc_id") * 7 + expr("doc_id div 50"), lit(10L)) <
+              pmod(col("doc_id"), lit(50L)) % 4 + 2).as("ok"))
+        operators.Eval.passAtK(samp, "task_id", "ok", k = 5)
+      },
+      Some("""WITH samp AS (SELECT doc_id % 50 AS task_id,
+             |    (doc_id * 7 + doc_id // 50) % 10 < (doc_id % 50) % 4 + 2 AS ok
+             |  FROM documents),
+             |a AS (SELECT task_id, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+             |  FROM samp GROUP BY 1)
+             |SELECT task_id, n, c,
+             |  CASE WHEN n < 5 THEN NULL
+             |       WHEN n - c < 5 THEN 1.0
+             |       ELSE round(1.0 - list_reduce(
+             |         [CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)
+             |          for i in range(5)], (a, b) -> a * b), 6)
+             |  END AS pass_at_5
+             |FROM a""".stripMargin)
+    )),
+
     // Verbosity-bias audit: adjacent doc pairs stand in for
     // (chosen, rejected) preference pairs; per source, how often the
     // chosen side is simply LONGER and the mean word-count delta —

@@ -350,6 +350,36 @@ object Eval {
             (col("n_pred") + col("n_gold")).cast("double")), 6).as("f1"))
   }
 
+  /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator) per
+    * task over (task, correct) sample rows: with n samples and c
+    * correct, pass@k = 1 − C(n−c, k)/C(n, k), computed numerically
+    * stably as 1 − Π_{i=0..k−1} (n−c−i)/(n−i) — the paper's own
+    * product form. Tasks with fewer than k samples report NULL
+    * (the estimator is undefined there — loud, never a silent clamp),
+    * and n−c < k short-circuits to exactly 1.0 before any float op.
+    *
+    * Determinism: n and c are exact int64; each product term is ONE
+    * IEEE division of exact ints; the product folds in ascending i —
+    * a fixed k-term op sequence replayed in SQL as an i-ordered
+    * list_reduce (init 1.0 vs first-element init agree bitwise:
+    * 1.0·t₀ = t₀). One task-keyed aggregation with map-side partials;
+    * k is a constant. */
+  def passAtK(samples: DataFrame, taskCol: String, correctCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val agg0 = samples.select(col(taskCol).as("t"),
+        col(correctCol).cast("boolean").as("ok"))
+      .groupBy("t").agg(count(lit(1)).as("n"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("c"))
+    val prod = (0 until k).map(i =>
+      (col("n") - col("c") - i).cast("double") / (col("n") - i).cast("double"))
+      .foldLeft(lit(1.0))((acc, t) => acc * t)
+    agg0.select(col("t").as(taskCol), col("n"), col("c"),
+      when(col("n") < k, lit(null).cast("double"))
+        .when(col("n") - col("c") < k, lit(1.0))
+        .otherwise(round(lit(1.0) - prod, 6)).as(s"pass_at_$k"))
+  }
+
   /** Fleiss' kappa inter-annotator agreement (Fleiss 1971) over
     * (item, category) rating rows — the preference/label-data QA
     * scalar that says whether the annotator pool agrees beyond chance

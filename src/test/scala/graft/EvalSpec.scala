@@ -197,6 +197,23 @@ class EvalSpec extends SparkSpec {
       out(5L).getInt(1) == 1 && out(5L).getDouble(7) == 1.0)
   }
 
+  test("passAtK: hand-checked estimator, short-circuits, undefined -> NULL") {
+    // task 1: n=5, c=2 -> pass@2 = 1 - C(3,2)/C(5,2) = 1 - 3/10 = 0.7
+    // task 2: n=4, c=3 -> n-c=1 < 2 -> exactly 1.0 (no float path)
+    // task 3: n=3, c=0 -> 1 - C(3,2)/C(3,2) = 0
+    // task 4: n=1 < k -> NULL (undefined, loud)
+    val samp = (Seq.fill(2)((1L, true)) ++ Seq.fill(3)((1L, false)) ++
+      Seq.fill(3)((2L, true)) ++ Seq((2L, false)) ++
+      Seq.fill(3)((3L, false)) ++ Seq((4L, true)))
+      .toDF("task_id", "ok")
+    val out = Eval.passAtK(samp, "task_id", "ok", k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 0.7)
+    assert(out(2L).getDouble(3) == 1.0)
+    assert(out(3L).getDouble(3) == 0.0)
+    assert(out(4L).isNullAt(3))
+  }
+
   test("fleissKappa: hand-computed chance-level, perfect, degenerate") {
     // 3 items x 3 raters, 2 categories: s_agree = 6+2+2 = 10,
     // pbar = 10/18; column totals 6 and 3 -> pe = 45/81 = 10/18 too:
