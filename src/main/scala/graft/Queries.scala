@@ -5813,6 +5813,60 @@ object Queries {
              |FROM x""".stripMargin)
     )),
 
+    // Krippendorff's alpha (nominal): the ragged-annotation
+    // complement to q_fleiss_kappa — two deterministic knockout
+    // filters make rater counts VARY per unit (3..5, occasionally 1 →
+    // the dropped-and-reported path). D_o's per-unit rationals group
+    // by the bounded rater-count key m so the only non-commutative
+    // sum folds over ≤|{m}| round-9 terms in m order; everything else
+    // is exact int64 with one division each.
+    "q_krippendorff_alpha" -> ((
+      (s: SparkSession, dir: String) => {
+        val item = expr("doc_id div 5")
+        val ratings = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(11L)) >= 2 &&
+            pmod(col("doc_id"), lit(23L)) >= 4)
+          .select(item.as("unit"),
+            when(pmod(col("doc_id") * 13, lit(10L)) < 7,
+              pmod(item, lit(4L)))
+              .otherwise(pmod(col("doc_id") * 7, lit(4L))).as("category"))
+        operators.Eval.krippendorffAlpha(ratings, "unit", "category")
+      },
+      Some("""WITH r AS (SELECT doc_id // 5 AS u,
+             |    CASE WHEN (doc_id * 13) % 10 < 7 THEN (doc_id // 5) % 4
+             |         ELSE (doc_id * 7) % 4 END AS c
+             |  FROM documents
+             |  WHERE doc_id % 11 >= 2 AND doc_id % 23 >= 4),
+             |mu AS (SELECT u, CAST(count(*) AS BIGINT) AS m FROM r GROUP BY 1),
+             |kept AS (SELECT r.u, r.c, mu.m FROM r JOIN mu USING (u)
+             |  WHERE m >= 2),
+             |nuc AS (SELECT u, c, m, CAST(count(*) AS BIGINT) AS nuc
+             |  FROM kept GROUP BY 1, 2, 3),
+             |bym AS (SELECT m, CAST(sum(nuc * (m - nuc)) AS BIGINT) AS s
+             |  FROM nuc GROUP BY 1),
+             |don AS (SELECT list_reduce(
+             |    list(round(CAST(s AS DOUBLE) / (m - 1), 9) ORDER BY m),
+             |    (a, b) -> a + b) AS do_num FROM bym),
+             |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+             |    CAST(sum(m) AS BIGINT) AS n_ratings FROM mu WHERE m >= 2),
+             |dr AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped_units
+             |  FROM mu WHERE m < 2),
+             |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+             |    CAST(sum(nc * (nr.n_ratings - nc)) AS BIGINT) AS de_num
+             |  FROM (SELECT c, CAST(count(*) AS BIGINT) AS nc
+             |    FROM kept GROUP BY 1) x CROSS JOIN nr),
+             |f AS (SELECT n_units, n_dropped_units, n_ratings, n_categories,
+             |    do_num / CAST(n_ratings AS DOUBLE) AS d_o,
+             |    CAST(de_num AS DOUBLE) /
+             |      CAST(n_ratings * (n_ratings - 1) AS DOUBLE) AS d_e
+             |  FROM nr CROSS JOIN don CROSS JOIN ct CROSS JOIN dr)
+             |SELECT n_units, n_dropped_units, n_ratings, n_categories,
+             |  round(d_o, 6) AS d_o, round(d_e, 6) AS d_e,
+             |  CASE WHEN d_e > 0 THEN round(1.0 - d_o / d_e, 6)
+             |       ELSE 0.0 END AS alpha
+             |FROM f""".stripMargin)
+    )),
+
     // Population Stability Index drift monitor: per-source PSI between
     // a reference and a current snapshot of an arithmetic score whose
     // CURRENT multiplier depends on the source name — so some sources
@@ -7617,6 +7671,50 @@ object Queries {
     // Σ pos·(2·negBelow + neg) with one cumulative window (the oracle
     // replays the algebra, not the two-level prefix-sum plan), then
     // one division, round-6.
+    // Average precision (AUPRC, step rule) on the q_auc_roc fixture —
+    // the imbalance-robust companion metric: same (group, score)
+    // aggregation discipline, blocks fold in score-descending order
+    // with round-9 terms, the oracle replays the fold through bounded
+    // windows + an ordered list_reduce. Tie-blocks evaluate precision
+    // at block END (named; no per-order ambiguity).
+    "q_avg_precision" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val scored = d.select(
+          expr("doc_id % 4").as("grp"),
+          expr("CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0").as("score"),
+          expr("CASE WHEN (doc_id * 37) % 1000 + (doc_id * 13) % 600 >= 1000 " +
+            "THEN 1 ELSE 0 END").as("label"))
+        operators.Eval.averagePrecision(scored, "grp", "score", "label")
+      },
+      Some("""WITH scored AS (SELECT doc_id % 4 AS grp,
+             |    CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS score,
+             |    CASE WHEN (doc_id * 37) % 1000 + (doc_id * 13) % 600 >= 1000
+             |      THEN 1 ELSE 0 END AS label FROM documents),
+             |b AS (SELECT grp, score, CAST(sum(label) AS BIGINT) AS pos,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM scored GROUP BY 1, 2),
+             |t AS (SELECT grp, score, pos, n,
+             |    CAST(sum(pos) OVER w AS BIGINT) AS cp,
+             |    CAST(sum(n) OVER w AS BIGINT) AS ca,
+             |    CAST(sum(pos) OVER (PARTITION BY grp) AS BIGINT) AS n_pos,
+             |    CAST(sum(n) OVER (PARTITION BY grp) AS BIGINT) AS n_all
+             |  FROM b
+             |  WINDOW w AS (PARTITION BY grp ORDER BY score DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |tm AS (SELECT grp, score, n_pos, n_all,
+             |    round((CAST(pos AS DOUBLE) / CAST(n_pos AS DOUBLE)) *
+             |      (CAST(cp AS DOUBLE) / CAST(ca AS DOUBLE)), 9) AS term
+             |  FROM t WHERE n_pos > 0)
+             |SELECT grp, n_pos, n_all,
+             |  round(list_reduce(list(term ORDER BY score DESC),
+             |    (a, b) -> a + b), 6) AS ap
+             |FROM tm GROUP BY 1, 2, 3
+             |UNION ALL
+             |SELECT DISTINCT grp, n_pos, n_all, CAST(NULL AS DOUBLE)
+             |FROM t WHERE n_pos = 0""".stripMargin)
+    )),
+
     "q_auc_roc" -> ((
       (s: SparkSession, dir: String) => {
         val d = Tables.documents(s, dir)

@@ -238,6 +238,51 @@ object Eval {
           .as("auc"))
   }
 
+  /** Average precision (AUPRC, the step-rule estimator sklearn's
+    * average_precision_score implements): AP = Σ_k (R_k − R_{k−1})·P_k
+    * over score thresholds, descending — the ranking metric that stays
+    * meaningful under the class imbalance where [[rocAuc]] saturates
+    * (a 0.1%-positive quality corpus scores 0.99 AUC almost for free;
+    * AP still discriminates). Tie handling is EXPLICIT: rows sharing a
+    * score form one threshold block, precision evaluated at the
+    * block's END — the step rule, no trapezoids, no per-order
+    * ambiguity.
+    *
+    * Determinism + scale: raw rows aggregate once on (group, score) —
+    * the rocAuc discipline — so the per-group state is one struct per
+    * DISTINCT score, bounded by the score domain (round-6-quantized
+    * scores in this repo), never corpus size; NAMED like calibration's
+    * B-struct bound. Blocks fold in score-descending order with
+    * round-9 terms (pos_k/n_pos)·(cumpos_k/cumall_k) — exact-int
+    * divisions, fixed sequence — and the SQL replay runs the same
+    * blocks through bounded windows + an ordered list_reduce. Groups
+    * with no positives report NULL, never NaN. */
+  def averagePrecision(df: DataFrame, groupCol: String, scoreCol: String,
+                       labelCol: String): DataFrame = {
+    val s = df.select(col(groupCol).as("g"),
+        col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("long").as("lbl"))
+      .groupBy("g", "score")
+      .agg(sum("lbl").as("pos"), count(lit(1)).as("n"))
+    s.groupBy("g").agg(
+        sum("pos").as("n_pos"), sum("n").as("n_all"),
+        sort_array(collect_list(struct(col("score"), col("pos"), col("n"))),
+          asc = false).as("blocks"))
+      .select(col("g").as(groupCol), col("n_pos"), col("n_all"),
+        when(col("n_pos") > 0, round(aggregate(
+          col("blocks"),
+          struct(lit(0L).as("cp"), lit(0L).as("ca"), lit(0.0).as("ap")),
+          (acc, x) => {
+            val cp = acc("cp") + x.getField("pos")
+            val ca = acc("ca") + x.getField("n")
+            struct(cp.as("cp"), ca.as("ca"),
+              (acc("ap") + round(
+                (x.getField("pos").cast("double") /
+                  col("n_pos").cast("double")) *
+                  (cp.cast("double") / ca.cast("double")), 9)).as("ap"))
+          }).getField("ap"), 6)).as("ap"))
+  }
+
   /** Calibration reliability table + expected calibration error (ECE,
     * Naeini et al. 2015) + Brier score over (score ∈ [0,1], 0/1 label)
     * rows — is the quality classifier's confidence honest, or does a
@@ -409,6 +454,63 @@ object Eval {
     * roll-ups to bounded (item / category) keys, then three 1-row
     * aggregates cross-joined. Nothing row-shaped reaches the driver;
     * the widest shuffle is the (item, category) contingency. */
+  /** Krippendorff's alpha (nominal data) over (unit, category) rating
+    * rows — the agreement coefficient that, unlike [[fleissKappa]],
+    * accepts VARIABLE ratings per unit (real annotation runs are
+    * ragged; Fleiss' fixed-n contract drops off-contract items, alpha
+    * uses them): alpha = 1 − D_o/D_e with
+    * D_o = (1/n)·Σ_u Σ_c n_uc(m_u − n_uc)/(m_u − 1) and
+    * D_e = Σ_c n_c(n − n_c) / (n(n−1)), over units with m_u ≥ 2
+    * (single-rating units carry no agreement information — dropped
+    * and REPORTED, the fleissKappa discipline).
+    *
+    * Determinism: the only non-commutative piece is D_o's sum of
+    * per-unit rationals with DIFFERENT denominators — grouped BY
+    * m_u (distinct rater counts, a bounded handful), the inner
+    * Σ n_uc(m − n_uc) is an exact int64 per m, and the ≤|{m}| terms
+    * round(S_m/(m−1), 9) fold in m order. Everything else is exact
+    * int64 with one division each. NAMED bound: n_c·n must stay
+    * below 2⁶³ (the chi2 bound, n ≤ ~3·10⁹). D_e = 0 (every rating
+    * one category) reports alpha 0.0, named here.
+    *
+    * Scale shape: unit-keyed count, (unit, category)-keyed count, a
+    * roll-up to the bounded m key, three 1-row aggregates cross-
+    * joined — the fleissKappa shape with one extra bounded key. */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+                        categoryCol: String): DataFrame = {
+    val base = ratings.select(col(unitCol).as("u"), col(categoryCol).as("c"))
+    val mu = base.groupBy("u").agg(count(lit(1)).as("m"))
+    val kept = base.join(mu.filter(col("m") >= 2), Seq("u"))
+    val nuc = kept.groupBy("u", "c", "m").agg(count(lit(1)).as("nuc"))
+    val byM = nuc.groupBy("m")
+      .agg(sum(col("nuc") * (col("m") - col("nuc"))).as("s"))
+    val doNum = byM
+      .agg(sort_array(collect_list(struct(col("m"), col("s")))).as("xs"))
+      .select(expr(
+        """aggregate(xs, cast(0 as double), (acc, x) ->
+          |  acc + round(CAST(x.s AS DOUBLE) / (x.m - 1), 9))""".stripMargin)
+        .as("do_num"))
+    val nRow = mu.filter(col("m") >= 2)
+      .agg(count(lit(1)).as("n_units"), sum("m").as("n_ratings"))
+    val dropped = mu.filter(col("m") < 2)
+      .agg(count(lit(1)).as("n_dropped_units"))
+    val catTot = kept.groupBy("c").agg(count(lit(1)).as("nc"))
+      .crossJoin(broadcast(nRow.select(col("n_ratings").as("nr"))))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("nc") * (col("nr") - col("nc"))).as("de_num"))
+    nRow.crossJoin(broadcast(doNum)).crossJoin(broadcast(catTot))
+      .crossJoin(broadcast(dropped))
+      .withColumn("d_o", col("do_num") / col("n_ratings").cast("double"))
+      .withColumn("d_e", col("de_num").cast("double") /
+        (col("n_ratings") * (col("n_ratings") - 1L)).cast("double"))
+      .select(col("n_units"), col("n_dropped_units"), col("n_ratings"),
+        col("n_categories"), round(col("d_o"), 6).as("d_o"),
+        round(col("d_e"), 6).as("d_e"),
+        when(col("d_e") > 0.0,
+          round(lit(1.0) - col("d_o") / col("d_e"), 6))
+          .otherwise(lit(0.0)).as("alpha"))
+  }
+
   def fleissKappa(ratings: DataFrame, itemCol: String,
                   categoryCol: String, ratersPerItem: Int): DataFrame = {
     require(ratersPerItem >= 2, "Fleiss' kappa needs >= 2 ratings per item")

@@ -197,6 +197,23 @@ class EvalSpec extends SparkSpec {
       out(5L).getInt(1) == 1 && out(5L).getDouble(7) == 1.0)
   }
 
+  test("averagePrecision: hand-checked step rule, tie-block END, NULL path") {
+    // group A, distinct scores: (0.9, pos) (0.5 tie-block: pos+neg)
+    // (0.1, neg): blocks desc -> terms (1/2)(1/1) + (1/2)(2/3) + 0
+    // = 0.5 + 0.333333333 = 0.833333
+    val a = Seq(("A", 0.9, 1), ("A", 0.5, 1), ("A", 0.5, 0), ("A", 0.1, 0))
+    // group B: no positives -> NULL
+    val b = Seq(("B", 0.7, 0), ("B", 0.2, 0))
+    // group C: perfect ranking -> AP = 1
+    val c = Seq(("C", 0.8, 1), ("C", 0.6, 1), ("C", 0.3, 0))
+    val out = Eval.averagePrecision((a ++ b ++ c).toDF("g", "score", "lbl"),
+      "g", "score", "lbl").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getDouble(3) == 0.833333)
+    assert(out("B").isNullAt(3))
+    assert(out("C").getDouble(3) == 1.0)
+    assert(out("A").getLong(1) == 2 && out("A").getLong(2) == 4)
+  }
+
   test("passAtK: hand-checked estimator, short-circuits, undefined -> NULL") {
     // task 1: n=5, c=2 -> pass@2 = 1 - C(3,2)/C(5,2) = 1 - 3/10 = 0.7
     // task 2: n=4, c=3 -> n-c=1 < 2 -> exactly 1.0 (no float path)
@@ -212,6 +229,23 @@ class EvalSpec extends SparkSpec {
     assert(out(2L).getDouble(3) == 1.0)
     assert(out(3L).getDouble(3) == 0.0)
     assert(out(4L).isNullAt(3))
+  }
+
+  test("krippendorffAlpha: ragged units, hand-computed 0.5; degenerate De=0") {
+    // u1 [a,a] agree, u2 [a,b] disagree, u3 [b,b,b] agree, u4 [a]
+    // (single rating -> dropped+reported). n=7; Do = 2/7;
+    // De = (3*4 + 4*3)/42 = 4/7; alpha = 1 - 0.5 = 0.5.
+    val r = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"),
+      (3L, "b"), (3L, "b"), (4L, "a")).toDF("u", "c")
+    val out = Eval.krippendorffAlpha(r, "u", "c").collect().head
+    assert(out.getLong(0) == 3 && out.getLong(1) == 1 && out.getLong(2) == 7)
+    assert(out.getLong(3) == 2)
+    assert(out.getDouble(4) == 0.285714 && out.getDouble(5) == 0.571429)
+    assert(out.getDouble(6) == 0.5)
+    // every rating one category: De = 0 -> alpha pinned 0.0
+    val d = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")).toDF("u", "c")
+    assert(Eval.krippendorffAlpha(d, "u", "c").collect().head.getDouble(6)
+      == 0.0)
   }
 
   test("fleissKappa: hand-computed chance-level, perfect, degenerate") {
