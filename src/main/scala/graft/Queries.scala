@@ -6518,6 +6518,34 @@ object Queries {
              |FROM sess GROUP BY user_id, si""".stripMargin)
     )),
 
+    // STREAMING count-min gate — the sixth direct streaming row, and
+    // the first gating a SKETCH: weekly windowed CMS cells from the
+    // real append-mode aggregation (final counts at watermark close,
+    // MemoryStream replay) must equal the batch CMS of each window
+    // cell-for-cell — md5-derived buckets replay verbatim in SQL, so
+    // the whole sketch is hash-checked, proving the streaming form
+    // sees exactly the batch's tokens.
+    "q_stream_heavy_hitters" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStreams.replayWindowedCountMin(
+          Tables.events(s, dir)
+            .filter(col("event_type") === "purchase" && col("user_id") < 400),
+          "ts", concat(lit("u"), pmod(col("user_id"), lit(50L))),
+          d = 4, w = 1024),
+      Some("""WITH ev AS (SELECT ts,
+             |    'u' || CAST(user_id % 50 AS VARCHAR) AS t
+             |  FROM events WHERE event_type = 'purchase' AND user_id < 400),
+             |wb AS (SELECT strftime(DATE '1970-01-01' +
+             |      CAST(CAST(floor(epoch(ts) / 604800) AS BIGINT) * 7 AS INTEGER),
+             |      '%Y-%m-%d') AS win_start, t FROM ev),
+             |rws AS (SELECT unnest([0, 1, 2, 3]) AS r)
+             |SELECT win_start, CAST(rws.r AS INTEGER) AS row,
+             |  CAST('0x' || substr(md5(CAST(rws.r AS VARCHAR) || '_' || wb.t),
+             |    1, 8) AS BIGINT) % 1024 AS bucket,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM wb, rws GROUP BY 1, 2, 3""".stripMargin)
+    )),
+
     // STREAMING drift gate — the fourth direct streaming correctness
     // row: weekly score distributions come from the REAL append-mode
     // windowed aggregation (final counts at watermark close, replayed

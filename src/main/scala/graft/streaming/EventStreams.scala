@@ -425,6 +425,59 @@ object EventStreams {
         col("row"), col("bucket"), col("cnt"))
   }
 
+  final case class TokEvent(ts: Timestamp, token: String)
+
+  /** Driver-gate replay harness for [[windowedCountMin]] (the
+    * [[replayScoreDistribution]] scheme): the bounded slice replays in
+    * ascending ts order, one far-future sentinel token — fed twice,
+    * because batch k's watermark gates batch k+1's emissions — pushes
+    * the watermark past every real window, and the append-mode FINAL
+    * cell counts must equal the batch CMS of each window exactly: CMS
+    * cells are commutative integer counts over md5-derived buckets,
+    * so the streaming sketch is SQL-oracle-checkable cell-for-cell —
+    * the sixth direct streaming correctness row, and the one that
+    * gates a SKETCH rather than rows (count-min never lies about
+    * counts it saw; this proves the windowed streaming form sees
+    * exactly the batch's tokens). */
+  def replayWindowedCountMin(events: DataFrame, tsCol: String,
+      token: org.apache.spark.sql.Column, d: Int = 4, w: Int = 1024,
+      windowDur: String = "7 days"): DataFrame = {
+    val spark = events.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = events.select(col(tsCol).cast("timestamp"),
+        token.cast("string"))
+      .as[(Timestamp, String)].collect()
+      .sortBy(_._1.getTime)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TokEvent]
+    val sinkName = "graft_replay_cms"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = windowedCountMin(input.toDF(), "ts", "token", d, w,
+        watermarkDelay = "0 seconds", windowLength = windowDur)
+      .select(col("window_start").cast("date").cast("string")
+        .as("win_start"), col("row"), col("bucket"), col("cnt"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(512).foreach { chunk =>
+        input.addData(chunk.map { case (ts, t) => TokEvent(ts, t) })
+        q.processAllAvailable()
+      }
+      val last = rows.lastOption.map(_._1.getTime).getOrElse(0L)
+      val sentinel = TokEvent(new Timestamp(last + 40L * 86400 * 1000),
+        "wm_sentinel")
+      input.addData(Seq(sentinel)); q.processAllAvailable()
+      input.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming upsert sink: each micro-batch merges into a parquet
     * key-value table with LAST-writer-wins per key across batches
     * (within a batch, deterministic first-writer-wins by `tieBreak` —

@@ -291,6 +291,32 @@ class StreamingSpec extends SparkSpec {
     assert(out((8L, ts(40))) == ((2L, 0.75)))
   }
 
+  test("replayWindowedCountMin: final cells equal the batch windowed sketch") {
+    import org.apache.spark.sql.functions._
+    // two 7-day windows (day 1 and day 10), colliding tokens in the
+    // first; the streaming final cells must equal a batch recompute
+    // through the SAME bucket expressions
+    def t(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    val ev = Seq((t(1), "a"), (t(1), "a"), (t(2), "b"), (t(10), "c"))
+      .toDF("ts", "tok")
+    val out = EventStreams.replayWindowedCountMin(ev, "ts", col("tok"),
+        d = 2, w = 8).collect().map(_.toSeq).toSet
+    val batch = ev
+      .select(expr("window(ts, '7 days').start").cast("date").cast("string")
+        .as("win_start"), col("tok"))
+      .select(col("win_start"), explode(array((0 until 2).map(i =>
+        struct(lit(i).as("row"),
+          graft.operators.Sketches.bucket(col("tok"), i, 8).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("win_start"), col("rb.row").as("row"),
+        col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(_.toSeq).toSet
+    assert(out == batch && out.nonEmpty)
+    // the sentinel's own window never reaches the sink
+    assert(!out.exists(_.toString.contains("1970-02")))
+  }
+
   test("domainCapStream: saturation persists across micro-batches, arrival order wins") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime
