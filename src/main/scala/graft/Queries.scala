@@ -2745,6 +2745,69 @@ object Queries {
              |FROM p GROUP BY doc_id""".stripMargin)
     )),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020) as ONE
+    // composition: fit the LM on the held-in slice, score every doc,
+    // tercile-rank WITHIN EACH SOURCE on the range-partitioned
+    // groupedPositions (never a per-source window), label
+    // head/middle/tail by integer arithmetic (rn·3 vs n_s), keep
+    // head+middle — the language-stratified quality gate CCNet runs
+    // before anything else sees the crawl. Every stage shares its
+    // standalone operator's shapes; ranking is on round-6 scores with
+    // doc_id tiebreak, so the full per-doc bucket assignment
+    // hash-checks.
+    "q_ccnet_buckets" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val model = operators.NgramLM.fit(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+        val scored = operators.NgramLM.score(docs, "doc_id", "text", model)
+          .join(docs.select("doc_id", "source"), "doc_id")
+        // ascending sort keys only (range exchange): rank desc via
+        // negation, the chi2Features discipline
+        val ranked = operators.Sampling.groupedPositions(scored,
+          Seq("source"), Seq(col("avg_prob") * -1, col("doc_id")), "rn")
+        val sizes = ranked.groupBy("source").agg(count(lit(1)).as("ns"))
+        ranked.join(broadcast(sizes), "source")
+          .select(col("doc_id"), col("source"), col("n_bigrams"),
+            col("avg_prob"), col("rn"),
+            when(col("rn") * 3 <= col("ns"), lit("head"))
+              .when(col("rn") * 3 <= col("ns") * 2, lit("middle"))
+              .otherwise(lit("tail")).as("bucket"),
+            (col("rn") * 3 <= col("ns") * 2).as("kept"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |iw AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) i
+             |  FROM w WHERE len(ws) >= 2),
+             |bg AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2 FROM iw),
+             |c12 AS (SELECT w1, w2, count(*) c12 FROM bg
+             |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) c1 FROM bg
+             |  WHERE doc_id % 10 = 0 GROUP BY 1),
+             |v AS (SELECT count(DISTINCT tok) v FROM
+             |  (SELECT unnest(ws) tok FROM w WHERE doc_id % 10 = 0)),
+             |p AS (SELECT bg.doc_id,
+             |    CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE) /
+             |      CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE) AS p
+             |  FROM bg LEFT JOIN c12 USING (w1, w2)
+             |  LEFT JOIN c1 USING (w1) CROSS JOIN v),
+             |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    round(list_sum(list_sort(list(p))) /
+             |      CAST(count(*) AS DOUBLE), 6) AS avg_prob
+             |  FROM p GROUP BY doc_id),
+             |j AS (SELECT sc.*, d.source FROM sc
+             |  JOIN documents d USING (doc_id)),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY avg_prob DESC, doc_id) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+             |  FROM j)
+             |SELECT doc_id, source, n_bigrams, avg_prob, rn,
+             |  CASE WHEN rn * 3 <= ns THEN 'head'
+             |       WHEN rn * 3 <= ns * 2 THEN 'middle'
+             |       ELSE 'tail' END AS bucket,
+             |  rn * 3 <= ns * 2 AS kept
+             |FROM r""".stripMargin)
+    )),
+
     // Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
     // & Goodman 1998) — the smoothing KenLM defaults to and the CCNet
     // perplexity filter actually runs: discounted bigram mass
