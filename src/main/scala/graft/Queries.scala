@@ -2745,6 +2745,56 @@ object Queries {
              |FROM p GROUP BY doc_id""".stripMargin)
     )),
 
+    // Content-defined chunking dedup: every 7th doc carries the SAME
+    // appended paragraph behind a DIFFERENT prefix — the exact case
+    // fixed-stride passage dedup misses (boundaries shift) and CDC's
+    // self-synchronizing anchors catch: the paragraph's interior
+    // chunks hash identically across all carriers, and the cross-doc
+    // duplicated-chunk report proves it. Anchors are md5-derived
+    // hash32 ≡ 0 (mod 64) over char 8-grams, replayed verbatim.
+    "q_cdc_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), when(pmod(col("doc_id"), lit(7L)) === 0,
+            lit(" the shared boilerplate disclaimer paragraph that " +
+              "repeats verbatim across unrelated documents and must " +
+              "chunk identically regardless of prefix"))
+            .otherwise(lit(""))).as("text"))
+        operators.Dedup.cdcChunks(d, "doc_id", "text")
+          .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"),
+            length(col("chunk")).cast("long").as("clen"))
+          .groupBy("chunk_md5")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"), min("clen").as("chunk_len"))
+          .filter(col("n_docs") > 1)
+      },
+      Some("""WITH d AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 7 = 0 THEN ' the shared boilerplate disclaimer paragraph that repeats verbatim across unrelated documents and must chunk identically regardless of prefix'
+             |         ELSE '' END AS text
+             |  FROM documents),
+             |a AS (SELECT doc_id, text,
+             |    CASE WHEN length(text) >= 8 THEN
+             |      [i + 8 for i in range(length(text) - 7)
+             |       if CAST('0x' || substr(md5('cdc_' || substr(text, i+1, 8)), 1, 8) AS BIGINT) % 64 = 0]
+             |    ELSE [] END AS anchors
+             |  FROM d),
+             |b AS (SELECT doc_id, text,
+             |    list_concat(list_concat([0], anchors),
+             |      [length(text)]) AS bs
+             |  FROM a),
+             |c AS (SELECT doc_id,
+             |    unnest([substr(text, bs[j+1] + 1, bs[j+2] - bs[j+1])
+             |      for j in range(len(bs) - 1)]) AS chunk
+             |  FROM b),
+             |ch AS (SELECT doc_id, md5(chunk) AS chunk_md5,
+             |    CAST(length(chunk) AS BIGINT) AS clen
+             |  FROM c WHERE chunk <> '')
+             |SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_occ,
+             |  CAST(min(clen) AS BIGINT) AS chunk_len
+             |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin)
+    )),
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020) as ONE
     // composition: fit the LM on the held-in slice, score every doc,
     // tercile-rank WITHIN EACH SOURCE on the range-partitioned

@@ -923,4 +923,46 @@ object Dedup {
           least(col("ca.n_fp"), col("cb.n_fp")).cast("double"), 6)
           .as("containment"))
   }
+
+  /** Content-defined chunking (Manber 1994's anchor scheme, the
+    * rsync/backup dedup primitive applied to corpus text): a chunk
+    * boundary falls after every k-gram whose hash32 ≡ 0 (mod m), so
+    * expected chunk length is m characters and — the property byte-
+    * offset chunking can never have — boundaries SELF-SYNCHRONIZE:
+    * two documents sharing a long substring produce IDENTICAL chunks
+    * for its interior regardless of how different their prefixes are,
+    * because an anchor depends only on the k characters under it.
+    * Downstream, a chunk-hash groupBy finds shared boilerplate/quoted
+    * passages across the corpus at sub-document granularity without
+    * any pairwise work (the fixed-stride [[passageDedup]] catches
+    * only aligned repeats; CDC catches SHIFTED ones).
+    *
+    * No min/max chunk clamps: the original anchor scheme is clamp-
+    * free and fully RELATIONAL (min/max clamps make eligibility
+    * depend on the previous boundary — a sequential scan); the
+    * geometric length distribution is named, not hidden. Work is
+    * O(len·k) per doc (every position hashes a k-gram — the
+    * winnowing cost shape); entirely map-side array arithmetic, the
+    * hash is the md5-derived [[Sampling.hash32]] so every boundary
+    * replays verbatim in SQL. Returns one (id, chunk_idx, chunk) row
+    * per chunk; empty chunks (adjacent anchors at the text edge)
+    * drop on both engines. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 8, mod: Int = 64): DataFrame = {
+    require(k >= 2 && mod >= 2, "degenerate chunking parameters")
+    val t = col(textCol)
+    val anchors = when(length(t) >= k,
+      filter(transform(sequence(lit(0), length(t) - k), i =>
+        when(pmod(Sampling.hash32(t.substr(i + 1, lit(k)), "cdc_"),
+          lit(mod.toLong)) === 0, i + k)), x => x.isNotNull))
+      .otherwise(array().cast("array<int>"))
+    val bs2 = concat(array(lit(0)), anchors, array(length(t)))
+    val chunks = filter(transform(sequence(lit(0), size(bs2) - 2), j => {
+      val st = element_at(bs2, j + 1)
+      val en = element_at(bs2, j + 2)
+      t.substr(st + 1, en - st)
+    }), c => length(c) > 0)
+    docs.select(col(idCol), posexplode(chunks))
+      .toDF(idCol, "chunk_idx", "chunk")
+  }
 }

@@ -425,4 +425,32 @@ class DedupSpec extends SparkSpec {
       maxDf = 30L, minShared = 1L).collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("cdcChunks: partition invariant, boundaries self-synchronize") {
+    // the SAME long tail behind two very different prefixes: chunk
+    // concatenation must reconstruct each text exactly (boundaries
+    // partition the string), and the trailing chunks must COINCIDE —
+    // anchors depend only on the k chars under them, so the shared
+    // region re-synchronizes after its first anchor. mod=16 keeps
+    // expected chunk length 16 so the ~300-char tail holds many.
+    val shared = (1 to 12).map(i => s"common segment $i with stable text")
+      .mkString(" ")
+    val df = Seq((1L, "A " + shared),
+      (2L, "a completely different and much longer prefix here " + shared))
+      .toDF("id", "text")
+    val rows = Dedup.cdcChunks(df, "id", "text", k = 8, mod = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val c1 = rows.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val c2 = rows.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    assert(c1.mkString == "A " + shared)
+    assert(c2.mkString ==
+      "a completely different and much longer prefix here " + shared)
+    val m = c1.reverse.zip(c2.reverse).takeWhile { case (x, y) => x == y }.size
+    assert(m >= 2, s"expected >=2 synchronized trailing chunks, got $m")
+    // determinism across partitionings
+    val a = Dedup.cdcChunks(df.repartition(5), "id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a == Dedup.cdcChunks(df.coalesce(1), "id", "text")
+      .collect().map(_.toSeq).toSet)
+  }
 }
