@@ -2750,8 +2750,10 @@ object Queries {
     // fixed-stride passage dedup misses (boundaries shift) and CDC's
     // self-synchronizing anchors catch: the paragraph's interior
     // chunks hash identically across all carriers, and the cross-doc
-    // duplicated-chunk report proves it. Anchors are md5-derived
-    // hash32 ≡ 0 (mod 64) over char 8-grams, replayed verbatim.
+    // duplicated-chunk report proves it. Anchors are the winnowing
+    // polynomial gram hash ≡ 0 (mod 64) over char 8-grams on the
+    // once-materialized codepoint array (the md5-per-position first
+    // cut measured 59.3 s at sf0.1 — BASELINE.md), replayed verbatim.
     "q_cdc_dedup" -> ((
       (s: SparkSession, dir: String) => {
         val d = Tables.documents(s, dir).select(col("doc_id"),
@@ -2775,7 +2777,9 @@ object Queries {
              |a AS (SELECT doc_id, text,
              |    CASE WHEN length(text) >= 8 THEN
              |      [i + 8 for i in range(length(text) - 7)
-             |       if CAST('0x' || substr(md5('cdc_' || substr(text, i+1, 8)), 1, 8) AS BIGINT) % 64 = 0]
+             |       if list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         [CAST(ascii(text[i + j + 1]) AS BIGINT) for j in range(8)]),
+             |         (acc, c) -> (acc * 131 + c) % 1000003) % 64 = 0]
              |    ELSE [] END AS anchors
              |  FROM d),
              |b AS (SELECT doc_id, text,

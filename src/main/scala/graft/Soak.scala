@@ -725,6 +725,15 @@ object Soak {
             pmod(col("doc_id") * 7, lit(4L)).as("cat")),
           "item", "cat", ratersPerItem = 5)
       },
+      run("cdc_chunks") {
+        // content-defined chunking at 10x: per-char 8-gram hashing is
+        // the winnowing cost shape; map-side only until the chunk-hash
+        // groupBy — shuffle carries (md5, count) partials
+        Dedup.cdcChunks(docs10, "doc_id", "text")
+          .groupBy(md5(col("chunk")).as("h"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+      },
       run("unigram_segment") {
         // the Viterbi subword family at 10x: vocab aggregation, then
         // the O(len^2 * L)-per-word DP fold as a zero-shuffle map pass

@@ -941,28 +941,47 @@ object Dedup {
     * free and fully RELATIONAL (min/max clamps make eligibility
     * depend on the previous boundary — a sequential scan); the
     * geometric length distribution is named, not hidden. Work is
-    * O(len·k) per doc (every position hashes a k-gram — the
-    * winnowing cost shape); entirely map-side array arithmetic, the
-    * hash is the md5-derived [[Sampling.hash32]] so every boundary
-    * replays verbatim in SQL. Returns one (id, chunk_idx, chunk) row
-    * per chunk; empty chunks (adjacent anchors at the text edge)
-    * drop on both engines. */
+    * O(len·k) per doc through the winnowing kernel: codepoints
+    * materialize ONCE (per-position substring walks UTF8 bytes from
+    * the start — O(n²) — and md5-per-position is worse still: the
+    * first cut hashed every 8-gram through md5 and measured 59.3 s at
+    * sf0.1; the polynomial (acc·131 + c) mod 1000003 gram hash over
+    * the shared codepoint array measures ~3 s, and replays in SQL
+    * exactly as q_winnow_fingerprints' does). Returns one
+    * (id, chunk_idx, chunk) row per chunk; empty chunks (anchors at
+    * the text edge) drop on both engines. */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 8, mod: Int = 64): DataFrame = {
     require(k >= 2 && mod >= 2, "degenerate chunking parameters")
     val t = col(textCol)
+    val cs = col("__cs")
     val anchors = when(length(t) >= k,
       filter(transform(sequence(lit(0), length(t) - k), i =>
-        when(pmod(Sampling.hash32(t.substr(i + 1, lit(k)), "cdc_"),
+        when(pmod(aggregate(slice(cs, i + 1, lit(k)), lit(0L),
+          (acc, c) => (acc * 131 + c) % 1000003),
           lit(mod.toLong)) === 0, i + k)), x => x.isNotNull))
       .otherwise(array().cast("array<int>"))
-    val bs2 = concat(array(lit(0)), anchors, array(length(t)))
-    val chunks = filter(transform(sequence(lit(0), size(bs2) - 2), j => {
-      val st = element_at(bs2, j + 1)
-      val en = element_at(bs2, j + 2)
-      t.substr(st + 1, en - st)
-    }), c => length(c) > 0)
-    docs.select(col(idCol), posexplode(chunks))
+    // chunks come from ONE fold that walks the boundary list carrying
+    // the previous boundary — the boundary expression is referenced
+    // exactly ONCE. Higher-order functions are interpreted with NO
+    // common-subexpression reuse AND CollapseProject re-inlines
+    // aliases, so any formulation that reads the anchors array k
+    // times (size + two element_at per chunk) re-derives the whole
+    // O(len·k) hash pass per read — measured 39-68 s for q_cdc_dedup
+    // at sf0.1; the single-reference fold measures ~3 s.
+    val bounds = concat(anchors, array(length(t)))
+    val chunks = filter(
+      aggregate(bounds,
+        struct(lit(0).as("prev"), array().cast("array<string>").as("cs")),
+        (acc, b) => struct(b.as("prev"),
+          concat(acc("cs"),
+            array(t.substr(acc("prev") + 1, b - acc("prev")))).as("cs")))
+        .getField("cs"),
+      c => length(c) > 0)
+    docs
+      .withColumn("__cs", expr(
+        s"transform(split($textCol, ''), ch -> CAST(ascii(ch) AS BIGINT))"))
+      .select(col(idCol), posexplode(chunks))
       .toDF(idCol, "chunk_idx", "chunk")
   }
 }
