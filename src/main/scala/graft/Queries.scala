@@ -3011,6 +3011,76 @@ object Queries {
              |FROM pr LEFT JOIN p USING (doc_id)""".stripMargin)
     )),
 
+    // chrF2 character n-gram F-score (Popović, WMT 2015) — the
+    // tokenization-free eval twin of q_bleu_rouge, over the SAME
+    // truncated-candidate pairs. All arithmetic is +,·,/ of exact
+    // integer counts in the same left-to-right order on both engines
+    // (no transcendentals anywhere — unlike BLEU this needs only ONE
+    // rounding tier, round-6 at presentation).
+    "q_chrf" -> ((
+      (s: SparkSession, dir: String) => {
+        val prs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            concat(concat_ws(" ",
+              expr("slice(ws, 1, greatest((size(ws)*4) div 5, 1))")),
+              lit(" zqx zqy")).as("cand"),
+            col("text").as("ref"))
+        operators.Eval.chrF(prs, "doc_id", "cand", "ref")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents),
+             |pr AS (SELECT doc_id,
+             |  array_to_string(ws[1:greatest((len(ws)*4)//5, 1)], ' ') || ' zqx zqy' AS cand,
+             |  text AS ref FROM d),
+             |cs AS (SELECT doc_id, regexp_replace(coalesce(cand, ''), '\s+', '', 'g') s FROM pr),
+             |rs AS (SELECT doc_id, regexp_replace(coalesce(ref, ''), '\s+', '', 'g') s FROM pr),
+             |ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+             |cg AS (SELECT doc_id, n, g, count(*) cc FROM (
+             |  SELECT cs.doc_id, ns.n,
+             |    unnest([substr(s, i, ns.n) for i in range(1, len(s)-ns.n+2)]) AS g
+             |  FROM cs CROSS JOIN ns WHERE len(s) >= ns.n) GROUP BY 1, 2, 3),
+             |rg AS (SELECT doc_id, n, g, count(*) rc FROM (
+             |  SELECT rs.doc_id, ns.n,
+             |    unnest([substr(s, i, ns.n) for i in range(1, len(s)-ns.n+2)]) AS g
+             |  FROM rs CROSS JOIN ns WHERE len(s) >= ns.n) GROUP BY 1, 2, 3),
+             |j AS (SELECT COALESCE(cg.doc_id, rg.doc_id) doc_id, COALESCE(cg.n, rg.n) n,
+             |    sum(least(COALESCE(cc, 0), COALESCE(rc, 0))) clip,
+             |    sum(COALESCE(cc, 0)) tc, sum(COALESCE(rc, 0)) tr
+             |  FROM cg FULL OUTER JOIN rg
+             |    ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g
+             |  GROUP BY 1, 2),
+             |w AS (SELECT doc_id,
+             |    max(CASE WHEN n = 1 THEN tc END) lc, max(CASE WHEN n = 1 THEN tr END) lr,
+             |    max(CASE WHEN n = 1 THEN clip END) c1, max(CASE WHEN n = 1 THEN tc END) tc1, max(CASE WHEN n = 1 THEN tr END) tr1,
+             |    max(CASE WHEN n = 2 THEN clip END) c2, max(CASE WHEN n = 2 THEN tc END) tc2, max(CASE WHEN n = 2 THEN tr END) tr2,
+             |    max(CASE WHEN n = 3 THEN clip END) c3, max(CASE WHEN n = 3 THEN tc END) tc3, max(CASE WHEN n = 3 THEN tr END) tr3,
+             |    max(CASE WHEN n = 4 THEN clip END) c4, max(CASE WHEN n = 4 THEN tc END) tc4, max(CASE WHEN n = 4 THEN tr END) tr4,
+             |    max(CASE WHEN n = 5 THEN clip END) c5, max(CASE WHEN n = 5 THEN tc END) tc5, max(CASE WHEN n = 5 THEN tr END) tr5,
+             |    max(CASE WHEN n = 6 THEN clip END) c6, max(CASE WHEN n = 6 THEN tc END) tc6, max(CASE WHEN n = 6 THEN tr END) tr6
+             |  FROM j GROUP BY 1),
+             |p AS (SELECT doc_id, lc, lr,
+             |    (CASE WHEN COALESCE(tc1, 0) > 0 THEN CAST(COALESCE(c1, 0) AS DOUBLE) / CAST(tc1 AS DOUBLE) ELSE 0.0 END
+             |     + CASE WHEN COALESCE(tc2, 0) > 0 THEN CAST(COALESCE(c2, 0) AS DOUBLE) / CAST(tc2 AS DOUBLE) ELSE 0.0 END
+             |     + CASE WHEN COALESCE(tc3, 0) > 0 THEN CAST(COALESCE(c3, 0) AS DOUBLE) / CAST(tc3 AS DOUBLE) ELSE 0.0 END
+             |     + CASE WHEN COALESCE(tc4, 0) > 0 THEN CAST(COALESCE(c4, 0) AS DOUBLE) / CAST(tc4 AS DOUBLE) ELSE 0.0 END
+             |     + CASE WHEN COALESCE(tc5, 0) > 0 THEN CAST(COALESCE(c5, 0) AS DOUBLE) / CAST(tc5 AS DOUBLE) ELSE 0.0 END
+             |     + CASE WHEN COALESCE(tc6, 0) > 0 THEN CAST(COALESCE(c6, 0) AS DOUBLE) / CAST(tc6 AS DOUBLE) ELSE 0.0 END) / 6.0 AS chrp0,
+             |    (CASE WHEN COALESCE(tr1, 0) > 0 THEN CAST(COALESCE(c1, 0) AS DOUBLE) / CAST(tr1 AS DOUBLE) ELSE 0.0 END
+             |     + CASE WHEN COALESCE(tr2, 0) > 0 THEN CAST(COALESCE(c2, 0) AS DOUBLE) / CAST(tr2 AS DOUBLE) ELSE 0.0 END
+             |     + CASE WHEN COALESCE(tr3, 0) > 0 THEN CAST(COALESCE(c3, 0) AS DOUBLE) / CAST(tr3 AS DOUBLE) ELSE 0.0 END
+             |     + CASE WHEN COALESCE(tr4, 0) > 0 THEN CAST(COALESCE(c4, 0) AS DOUBLE) / CAST(tr4 AS DOUBLE) ELSE 0.0 END
+             |     + CASE WHEN COALESCE(tr5, 0) > 0 THEN CAST(COALESCE(c5, 0) AS DOUBLE) / CAST(tr5 AS DOUBLE) ELSE 0.0 END
+             |     + CASE WHEN COALESCE(tr6, 0) > 0 THEN CAST(COALESCE(c6, 0) AS DOUBLE) / CAST(tr6 AS DOUBLE) ELSE 0.0 END) / 6.0 AS chrr0
+             |  FROM w)
+             |SELECT pr.doc_id, CAST(COALESCE(lc, 0) AS BIGINT) AS len_cand,
+             |  CAST(COALESCE(lr, 0) AS BIGINT) AS len_ref,
+             |  round(COALESCE(chrp0, 0.0), 6) AS chrp,
+             |  round(COALESCE(chrr0, 0.0), 6) AS chrr,
+             |  round(CASE WHEN COALESCE(4.0 * chrp0 + chrr0, 0.0) > 0.0 THEN
+             |    5.0 * chrp0 * chrr0 / (4.0 * chrp0 + chrr0) ELSE 0.0 END, 6) AS chrf
+             |FROM pr LEFT JOIN p USING (doc_id)""".stripMargin)
+    )),
+
     // Hashed bag-of-words features (the DSIR/fastText hashing trick):
     // dense 16-bucket md5-hashed token counts per document, computed in
     // ONE codegen'd map-side pass — the featurizer for cheap linear
@@ -3806,6 +3876,39 @@ object Queries {
              |FROM customer GROUP BY 1""".stripMargin)
     )),
 
+    // t-closeness release audit (Li et al., ICDE 2007) — the third
+    // rung after q_k_anonymize / q_l_diversity: per market segment,
+    // the ordered-EMD between its nation-key distribution and the
+    // global one. All mass terms stay exact int64 numerators over the
+    // common denominator n_g·n (c·n products ≤ n², the named ~3e9-row
+    // bound); ONE final IEEE division makes the double, so the
+    // meets_t comparison is bit-identical across engines.
+    "q_t_closeness" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Privacy.tClosenessAudit(
+          Tables.customer(s, dir), Seq("c_mktsegment"), "c_nationkey",
+          t = 0.2),
+      Some("""WITH b AS (SELECT c_mktsegment qi, c_nationkey v FROM customer WHERE c_nationkey IS NOT NULL),
+             |tot AS (SELECT count(*) n_total, count(DISTINCT v) m_vals FROM b),
+             |vc AS (SELECT v, count(*) c_global FROM b GROUP BY 1),
+             |rk AS (SELECT v, c_global, row_number() OVER (ORDER BY v) v_idx FROM vc),
+             |g AS (SELECT qi, count(*) n_g FROM b GROUP BY 1),
+             |gv AS (SELECT qi, v, count(*) c_group FROM b GROUP BY 1, 2),
+             |grid AS (SELECT g.qi, g.n_g, rk.v_idx, tot.n_total, tot.m_vals,
+             |    COALESCE(gv.c_group, 0) * tot.n_total - rk.c_global * g.n_g AS term_num
+             |  FROM g CROSS JOIN rk CROSS JOIN tot
+             |  LEFT JOIN gv ON gv.qi = g.qi AND gv.v = rk.v),
+             |cum AS (SELECT qi, n_g, m_vals, n_total, v_idx,
+             |    sum(term_num) OVER (PARTITION BY qi ORDER BY v_idx) cum_num
+             |  FROM grid),
+             |e AS (SELECT qi, n_g, m_vals, n_total, sum(abs(cum_num)) emd_num
+             |  FROM cum WHERE v_idx < m_vals GROUP BY 1, 2, 3, 4)
+             |SELECT qi AS c_mktsegment, n_g,
+             |  round(CAST(emd_num AS DOUBLE) / CAST((m_vals - 1) * n_g * n_total AS DOUBLE), 6) AS emd,
+             |  CAST(emd_num AS DOUBLE) / CAST((m_vals - 1) * n_g * n_total AS DOUBLE) <= 0.2 AS meets_t
+             |FROM e""".stripMargin)
+    )),
+
     // The streaming form of the domain cap under the hard gate: replay
     // a bounded slice through the REAL domainCapStream (one int of
     // keyed state per domain) in cap_-hash arrival order, so the
@@ -4199,6 +4302,35 @@ object Queries {
               |FROM read_csv('${graft.sources.WarcFixture.expectedCsvPath}',
               |  header=true, all_varchar=true)""".stripMargin)
     )),
+    // Politeness-budgeted crawl-frontier scheduling — the fetch-side
+    // planning step of the incremental cycle: at most 3 URLs per
+    // domain (politeness cap), the survivors globally cut at the
+    // 40-fetch cycle budget, each domain's picks staggered 5 s apart.
+    // Every ordering is the total (priority DESC, doc_id ASC) order;
+    // the global cut is TakeOrdered, and the fetch_order window runs
+    // over the ALREADY-CUT <= 40 rows (bounded config-sized state).
+    "q_crawl_frontier" -> ((
+      (s: SparkSession, dir: String) => {
+        val cand = Tables.documents(s, dir).select(
+          concat(lit("https://"), col("source"), lit("/d/"), col("doc_id"))
+            .as("url"),
+          col("source").as("domain"), col("n_chars").as("priority"),
+          col("doc_id"))
+        operators.Pipeline.crawlFrontier(cand, "url", "domain", "priority",
+          "doc_id", perDomainCap = 3, cycleCapacity = 40, crawlDelayS = 5)
+      },
+      Some("""WITH cand AS (SELECT 'https://' || source || '/d/' || CAST(doc_id AS VARCHAR) AS url,
+             |  source AS domain, n_chars AS priority, doc_id FROM documents),
+             |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY domain
+             |    ORDER BY priority DESC, doc_id ASC) AS INTEGER) AS rank_in_domain
+             |  FROM cand),
+             |cap AS (SELECT * FROM rk WHERE rank_in_domain <= 3),
+             |fo AS (SELECT *, CAST(row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS INTEGER) AS fetch_order FROM cap)
+             |SELECT url, domain, priority, rank_in_domain, fetch_order,
+             |  CAST((rank_in_domain - 1) * 5 AS BIGINT) AS scheduled_s
+             |FROM fo WHERE fetch_order <= 40""".stripMargin)
+    )),
+
     // Crawl politeness, full RFC 9309 core: the User-agent: * group
     // carries BOTH Allow and Disallow rules with REP's wildcards, and
     // the verdict is longest-match precedence (most pattern octets,
@@ -5480,6 +5612,49 @@ object Queries {
            |FROM (SELECT * FROM rk WHERE rc = 1) ch
            |JOIN (SELECT * FROM rk WHERE rr = 1) rj USING (prompt_id)
            |WHERE ch.doc_id <> rj.doc_id""".stripMargin
+      }
+    )),
+
+    // Best-of-N rejection sampling (RFT / Llama-2-RS): per prompt
+    // bucket, the single top-reward candidate under the (score, id)
+    // total order, with the acceptance gate at 0.55 and the group's
+    // acceptance stats — every prompt emits a row (accepted=false,
+    // never a silent drop). Same integer-ratio reward as q_dpo_pairs,
+    // so both sides compare bit-identical doubles at the threshold.
+    "q_best_of_n" -> ((
+      (s: SparkSession, dir: String) => {
+        val cands = Tables.documents(s, dir)
+          .select(pmod(col("doc_id"), lit(100L)).as("prompt_id"), col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("score"))
+        operators.PostTraining.bestOfN(
+          cands, "prompt_id", "doc_id", "score", threshold = 0.55)
+      },
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH c AS (SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           |  CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS BIGINT) AS nstop,
+           |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nalpha,
+           |  CAST(length(text) AS BIGINT) AS nchars
+           |FROM documents),
+           |sc AS (SELECT doc_id,
+           |  CAST(4 * least(ntok, 100) * ntok * nchars + 300 * nstop * nchars
+           |       + 300 * nalpha * ntok AS DOUBLE)
+           |  / CAST(1000 * ntok * nchars AS DOUBLE) AS score
+           |FROM c),
+           |p AS (SELECT doc_id % 100 AS prompt_id, doc_id, score FROM sc),
+           |rk AS (SELECT prompt_id, doc_id, score,
+           |  row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id ASC) AS rc
+           |FROM p),
+           |st AS (SELECT prompt_id, count(*) AS group_n,
+           |  CAST(sum(CASE WHEN score >= 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+           |FROM p GROUP BY 1)
+           |SELECT rk.prompt_id, rk.doc_id AS best_id, rk.score AS best_reward,
+           |  st.group_n, st.n_accepted,
+           |  round(CAST(st.n_accepted AS DOUBLE) / CAST(st.group_n AS DOUBLE), 6) AS accept_rate,
+           |  rk.score >= 0.55 AS accepted
+           |FROM rk JOIN st USING (prompt_id) WHERE rk.rc = 1""".stripMargin
       }
     )),
 
@@ -7118,6 +7293,32 @@ object Queries {
       },
       Some(s"""SELECT name, afp
               |FROM read_csv('${graft.sources.MediaFixture.expectedMulawFpCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
+    )),
+
+    // IMA ADPCM fingerprints — the FOURTH real audio format and the
+    // second lossy codec on the real side. The fixture is authored at
+    // the BLOCK level (every block header carries the window's
+    // amplitude, every nibble is 0), so by the IMA tables alone the
+    // decode equals envSamples(amp) exactly and the pinned constants
+    // are the SAME hand-derived envelope values as the PCM fixture —
+    // flat 0, ramp -1, step 2^31, two_step bits 20|42 — with zero
+    // tolerance and no encoder anywhere near the expectations.
+    "q_multimodal_adpcmfp" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureAdpcmFp()
+        s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (name, content) =>
+            (name, operators.Multimodal.audioFingerprint64(content).get)
+          }
+          .toDF("name", "afp")
+      },
+      Some(s"""SELECT name, afp
+              |FROM read_csv('${graft.sources.MediaFixture.expectedAdpcmFpCsvPath}',
               |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
     )),
 

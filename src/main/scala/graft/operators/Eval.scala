@@ -539,4 +539,92 @@ object Eval {
           round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6))
           .otherwise(lit(0.0)).as("kappa"))
   }
+
+  /** chrF (Popović, WMT 2015): character n-gram F-score over
+    * (candidate, reference) pairs — the tokenization-free member of
+    * the generation-eval family ([[bleuRouge]] scores word n-grams;
+    * chrF is the standard complement for morphologically rich targets
+    * and the sacrebleu default chrF2).
+    *
+    * Definition used (stated precisely because implementations vary):
+    * whitespace is REMOVED from both sides (the paper's choice), char
+    * n-grams run n = 1..maxN, per-order precision p_n = clipped
+    * matches / candidate grams (0 when the candidate has no order-n
+    * grams) and recall r_n likewise over reference grams; chrP/chrR
+    * are the arithmetic means over ALL maxN orders, and
+    * chrF_β = (1+β²)·chrP·chrR / (β²·chrP + chrR), 0 when the
+    * denominator is 0.
+    *
+    * Determinism: every p_n / r_n is one IEEE division of exact
+    * integer counts; the order-mean and the F compose +,·,/ only (no
+    * transcendentals), in the SAME left-to-right order as the SQL
+    * oracle — bit-identical across engines, round-6 for presentation.
+    *
+    * Scale shape is [[bleuRouge]]'s: one explode per side builds all
+    * maxN orders from a single codepoint pass (substring over the
+    * whitespace-stripped text — O(len·maxN) per doc), counts
+    * aggregate per (pair, n, gram), the two sides full-outer-join on
+    * that key, and the roll-up is pair-keyed throughout — no pair
+    * ever shuffles another pair's grams. */
+  def chrF(pairs: DataFrame, idCol: String, candCol: String,
+           refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1, "maxN must be positive")
+    def gramTable(textCol: String, side: String): DataFrame = {
+      // strip ALL whitespace (space/tab/newline) per the paper, then
+      // slide substrings; NULL text coalesces to '' so degenerate
+      // pairs score explicit zeros (the bleuRouge discipline)
+      pairs.select(col(idCol).as("id"),
+          regexp_replace(coalesce(col(textCol), lit("")), "\\s+", "")
+            .as("s"))
+        .select(col("id"), explode(expr(
+          s"""transform(sequence(1, $maxN), n -> struct(n AS n,
+             |  CASE WHEN length(s) >= n THEN
+             |    transform(sequence(1, length(s) - n + 1),
+             |      i -> substring(s, CAST(i AS INT), n))
+             |  ELSE array() END AS gs))""".stripMargin)).as("e"))
+        .select(col("id"), col("e.n").as("n"), explode(col("e.gs")).as("g"))
+        .groupBy("id", "n", "g").agg(count(lit(1)).as(s"c_$side"))
+    }
+    val cg = gramTable(candCol, "cand")
+    val rg = gramTable(refCol, "ref")
+    val perN = cg.join(rg, Seq("id", "n", "g"), "full_outer")
+      .groupBy("id", "n")
+      .agg(
+        sum(least(coalesce(col("c_cand"), lit(0L)),
+          coalesce(col("c_ref"), lit(0L)))).as("clip"),
+        sum(coalesce(col("c_cand"), lit(0L))).as("tc"),
+        sum(coalesce(col("c_ref"), lit(0L))).as("tr"))
+    // per-order precision/recall, then the order MEAN as an explicit
+    // left-to-right sum of the maxN terms (matching the SQL oracle's
+    // expression order bit-for-bit)
+    val wide0 = perN.groupBy("id").agg(
+      max(when(col("n") === 1, col("tc"))).as("len_cand"),
+      (Seq(max(when(col("n") === 1, col("tr"))).as("len_ref")) ++
+        (1 to maxN).flatMap { n =>
+          Seq(max(when(col("n") === n, col("clip"))).as(s"clip$n"),
+            max(when(col("n") === n, col("tc"))).as(s"tc$n"),
+            max(when(col("n") === n, col("tr"))).as(s"tr$n"))
+        }): _*)
+    val wide = pairs.select(col(idCol).as("id")).distinct()
+      .join(wide0, Seq("id"), "left")
+    def ratio(num: Int => String, den: Int => String)(n: Int) =
+      when(coalesce(col(den(n)), lit(0L)) > 0,
+        coalesce(col(num(n)), lit(0L)).cast("double") /
+          col(den(n)).cast("double")).otherwise(lit(0.0))
+    val pN = ratio(n => s"clip$n", n => s"tc$n") _
+    val rN = ratio(n => s"clip$n", n => s"tr$n") _
+    val chrP = (2 to maxN).foldLeft(pN(1))((acc, n) => acc + pN(n)) /
+      lit(maxN.toDouble)
+    val chrR = (2 to maxN).foldLeft(rN(1))((acc, n) => acc + rN(n)) /
+      lit(maxN.toDouble)
+    val b2 = beta * beta
+    val f = when(lit(b2) * chrP + chrR > 0.0,
+      lit(1.0 + b2) * chrP * chrR / (lit(b2) * chrP + chrR))
+      .otherwise(lit(0.0))
+    wide.select(col("id").as(idCol),
+      coalesce(col("len_cand"), lit(0L)).as("len_cand"),
+      coalesce(col("len_ref"), lit(0L)).as("len_ref"),
+      round(chrP, 6).as("chrp"), round(chrR, 6).as("chrr"),
+      round(f, 6).as("chrf"))
+  }
 }

@@ -630,6 +630,19 @@ object Multimodal {
           })
         case None => ()
       }
+      // IMA/DVI ADPCM WAV (fmt tag 0x11): the 4-bit adaptive-delta
+      // telephony/game codec, decoded by the public IMA step/index
+      // tables — the FOURTH real audio format. Mono only (multi-
+      // channel IMA interleaves 4-byte channel words; None keeps the
+      // boundary loud rather than decoding channels wrong).
+      wavAdpcmData(content) match {
+        case Some((ch, blockAlign, data)) if ch == 1 =>
+          val pcm = imaAdpcmDecodeMono(data, blockAlign)
+          if (pcm.length < 65) return None
+          return energyDeltaBits(pcm.length, i => pcm(i).toLong)
+        case Some(_) => return None
+        case None => ()
+      }
       val ais = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(content))
       val fmt = ais.getFormat
@@ -688,6 +701,96 @@ object Multimodal {
     if (tag == 7 && ch >= 1 && data != null && data.nonEmpty)
       Some((ch, data))
     else None
+  }
+
+  /** RIFF/WAVE walk returning (channels, blockAlign, data bytes) iff
+    * the fmt chunk declares IMA/DVI ADPCM (tag 0x11, 4 bits/sample);
+    * None otherwise. Same untrusted-u32 guards as [[wavMulawData]]. */
+  private def wavAdpcmData(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+    def u16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    var o = 12L
+    var tag = -1; var ch = -1; var blockAlign = -1
+    var data: Array[Byte] = null
+    while (o + 8 <= b.length) {
+      val p = o.toInt
+      val sz = (b(p + 4) & 0xFF).toLong | ((b(p + 5) & 0xFF).toLong << 8) |
+        ((b(p + 6) & 0xFF).toLong << 16) | ((b(p + 7) & 0xFF).toLong << 24)
+      val body = o + 8
+      if (body + sz > b.length) return None
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' &&
+          b(p + 3) == ' ' && sz >= 16) {
+        tag = u16(body.toInt); ch = u16(body.toInt + 2)
+        blockAlign = u16(body.toInt + 12)
+      }
+      if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
+          b(p + 3) == 'a')
+        data = java.util.Arrays.copyOfRange(b, body.toInt, (body + sz).toInt)
+      val next = body + sz + (sz & 1L)
+      if (next <= o) return None
+      o = next
+    }
+    if (tag == 0x11 && ch >= 1 && blockAlign >= 8 && data != null &&
+        data.nonEmpty)
+      Some((ch, blockAlign, data))
+    else None
+  }
+
+  /** The public IMA ADPCM step-size table (89 entries) and index
+    * adjustments — the whole codec state is (predictor, step index). */
+  private val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val imaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Mono IMA ADPCM block decode: each `blockAlign`-byte block opens
+    * with (predictor s16 LE, step index u8, reserved) — the header
+    * value IS the block's first sample — followed by 4-bit deltas,
+    * LOW nibble first (the IMA WAV layout). All-integer state
+    * machine, bit-deterministic; diff = step/8 (+step/4 +step/2 +step
+    * per magnitude bit), sign bit 8 subtracts, predictor clamps to
+    * s16, index clamps to [0, 88]. A trailing partial block decodes
+    * its available bytes (real encoders pad; corrupt tails just end
+    * the stream — the total-parser contract). */
+  private[graft] def imaAdpcmDecodeMono(data: Array[Byte],
+                                 blockAlign: Int): Array[Int] = {
+    val out = Array.newBuilder[Int]
+    var bo = 0
+    while (bo + 4 <= data.length) {
+      val end = math.min(data.length, bo + blockAlign)
+      var pred = ((data(bo + 1) << 8) | (data(bo) & 0xFF)).toShort.toInt
+      var idx = math.min(88, data(bo + 2) & 0xFF)
+      out += pred
+      var p = bo + 4
+      while (p < end) {
+        val byte = data(p) & 0xFF
+        var k = 0
+        while (k < 2) {
+          val nib = if (k == 0) byte & 0x0F else (byte >> 4) & 0x0F
+          val step = imaStepTable(idx)
+          var diff = step >> 3
+          if ((nib & 1) != 0) diff += step >> 2
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 4) != 0) diff += step
+          pred = if ((nib & 8) != 0) math.max(-32768, pred - diff)
+                 else math.min(32767, pred + diff)
+          idx = math.max(0, math.min(88, idx + imaIndexTable(nib)))
+          out += pred
+          k += 1
+        }
+        p += 1
+      }
+      bo += blockAlign
+    }
+    out.result()
   }
 
   /** ITU-T G.711 µ-law expand to 16-bit-class linear: the closed form

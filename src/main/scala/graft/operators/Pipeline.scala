@@ -106,4 +106,48 @@ object Pipeline {
 
     Result(group, db, tables, components)
   }
+
+  /** Politeness-budgeted crawl-frontier scheduling — the fetch-side
+    * planning step of the incremental cycle (the reference's fetch
+    * stage decides WHAT to pull each run; a web-scale corpus does the
+    * same over discovered URLs): from a candidate table of
+    * (url, domain, priority), pick at most `perDomainCap` URLs per
+    * domain (politeness — a cycle never hammers one host), rank the
+    * survivors globally and cut at `cycleCapacity` (the fleet's fetch
+    * budget), and stagger each domain's picks `crawlDelayS` apart
+    * (the robots.txt Crawl-delay convention the [[graft.functions.Web]]
+    * layer parses).
+    *
+    * Every ordering is the total (priority DESC, id ASC) order, so the
+    * schedule is engine-exact. Scale shape: the per-domain ranking is
+    * a domain-partitioned window (one key-partitioned exchange); the
+    * global cut is orderBy+limit = TakeOrdered (O(capacity) per
+    * partition, never a global sort materialization); the fetch_order
+    * numbering windows over the ALREADY-CUT ≤ capacity rows — bounded
+    * config-sized state, the k-center argument, named here. */
+  def crawlFrontier(cands: DataFrame, urlCol: String, domainCol: String,
+      priorityCol: String, idCol: String, perDomainCap: Int,
+      cycleCapacity: Int, crawlDelayS: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(perDomainCap >= 1 && cycleCapacity >= 1 && crawlDelayS >= 0,
+      "need positive caps and a non-negative delay")
+    val perDomain = Window.partitionBy(col(domainCol))
+      .orderBy(col(priorityCol).desc, col(idCol).asc)
+    val capped = cands
+      .withColumn("rank_in_domain", row_number().over(perDomain).cast("int"))
+      .filter(col("rank_in_domain") <= perDomainCap)
+    val cut = capped
+      .orderBy(col(priorityCol).desc, col(idCol).asc)
+      .limit(cycleCapacity)
+    // ≤ cycleCapacity rows from here on: the single-partition window
+    // is over bounded, config-sized state by construction
+    cut.withColumn("fetch_order",
+        row_number().over(Window.orderBy(col(priorityCol).desc,
+          col(idCol).asc)).cast("int"))
+      .select(col(urlCol), col(domainCol), col(priorityCol),
+        col("rank_in_domain"), col("fetch_order"),
+        ((col("rank_in_domain") - 1) * crawlDelayS).cast("long")
+          .as("scheduled_s"))
+  }
 }

@@ -108,6 +108,41 @@ object PostTraining {
         round(col("chosen_score") - col("rejected_score"), 6).as("margin"))
   }
 
+  /** Best-of-N rejection sampling (the RFT / STaR / Llama-2-RS data
+    * step): per prompt, keep the single highest-reward candidate under
+    * the total (reward DESC, id ASC) order, flag whether it clears the
+    * absolute acceptance `threshold`, and report the group's
+    * acceptance stats — the curation step that turns N sampled
+    * rollouts into at most one fine-tuning example each.
+    *
+    * Every prompt emits a row (accepted = false rather than a silent
+    * drop — the caller filters); accept_rate is ONE IEEE division of
+    * two exact counts, so the row hash-matches across engines.
+    *
+    * Scale: the row_number window and the stats aggregate hash-
+    * partition on the SAME prompt key, so the final join of two
+    * 1-row-per-prompt sides is co-partitioned — the candidate table
+    * is never self-joined (the [[dpoPairs]] shape). */
+  def bestOfN(cands: DataFrame, promptCol: String, idCol: String,
+      rewardCol: String, threshold: Double): DataFrame = {
+    val w = Window.partitionBy(col(promptCol))
+      .orderBy(col(rewardCol).desc, col(idCol).asc)
+    val best = cands.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(promptCol), col(idCol).as("best_id"),
+        col(rewardCol).as("best_reward"))
+    val stats = cands.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("group_n"),
+        sum(when(col(rewardCol) >= threshold, 1L).otherwise(0L))
+          .as("n_accepted"))
+    best.join(stats, promptCol)
+      .select(col(promptCol), col("best_id"), col("best_reward"),
+        col("group_n"), col("n_accepted"),
+        round(col("n_accepted").cast("double") /
+          col("group_n").cast("double"), 6).as("accept_rate"),
+        (col("best_reward") >= threshold).as("accepted"))
+  }
+
   /** Group-relative advantage normalization (the GRPO preprocessing
     * step): per prompt group, advantage = (reward − group mean) /
     * group population std — the per-group z-score RL-from-grouped-

@@ -66,4 +66,76 @@ object Privacy {
       .agg(count(lit(1)).as("n"),
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("meets_l", col("n_sensitive") >= l)
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third rung of the release-audit ladder: l-diversity is defeated
+    * by a group whose sensitive values are diverse but SKEWED (99
+    * "flu" + 1 "cancer" vs a population at 50/50). Per QI group, the
+    * Earth Mover's Distance between the group's distribution over an
+    * ORDINAL sensitive attribute and the global one, with the paper's
+    * ordered ground distance:
+    *
+    *   EMD = (1/(m−1)) · Σ_{i<m} | Σ_{j≤i} (p_j − q_j) |
+    *
+    * over the m distinct sensitive values in ascending order.
+    *
+    * Determinism: p_j − q_j = c_gj/n_g − c_j/n is kept as the exact
+    * int64 numerator c_gj·n − c_j·n_g over the common denominator
+    * n_g·n; cumulative sums and |·| stay integer, and ONE final IEEE
+    * division by (m−1)·n_g·n produces the double — bit-identical
+    * across engines (the q_classifier_score fixed-point discipline).
+    * Named bound: c·n products cap at n², int64-safe to n ≈ 3·10⁹
+    * rows — beyond that, pre-aggregate to value counts and scale
+    * both sides down by their gcd (the q_chi2_features caveat).
+    *
+    * Scale shape: m is the SENSITIVE ATTRIBUTE's cardinality (small
+    * by definition for an ordinal release column — this is bounded
+    * model state, the q_vocab_coverage argument, and the one global
+    * window here ranks those m rows only); the dense group×value
+    * grid is G·m rows built by broadcasting the m-row value table
+    * against the group table, the cumulative sum is a QI-partitioned
+    * window, and every shuffle is QI-keyed. */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, t: Double): DataFrame = {
+    require(qiCols.nonEmpty && t > 0, "need QI columns and t > 0")
+    val sens = col(sensitiveCol)
+    val base = df.select(qiCols.map(col) :+ sens: _*)
+      .filter(sens.isNotNull)
+    // global distribution: m distinct values ranked ascending (the
+    // bounded global window — m = attribute cardinality), plus the
+    // global row count as a 1-row cross join
+    val valCounts = base.groupBy(sensitiveCol)
+      .agg(count(lit(1)).as("c_global"))
+    val ranked = valCounts.withColumn("v_idx",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(sens.asc)))
+    val totals = base.agg(count(lit(1)).as("n_total"),
+      countDistinct(sens).as("m_vals"))
+    val groups = base.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_g"))
+    val groupVal = base.groupBy(qiCols.map(col) :+ sens: _*)
+      .agg(count(lit(1)).as("c_group"))
+    // dense G×m grid: every group crossed with the (broadcast) m-row
+    // value table, so zero-count cells contribute their −q_j mass
+    val grid = groups
+      .crossJoin(org.apache.spark.sql.functions.broadcast(ranked))
+      .join(groupVal, qiCols :+ sensitiveCol, "left")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(totals))
+      .withColumn("term_num",
+        coalesce(col("c_group"), lit(0L)) * col("n_total") -
+          col("c_global") * col("n_g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*).orderBy(col("v_idx").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = grid.withColumn("cum_num", sum(col("term_num")).over(w))
+    cum.filter(col("v_idx") < col("m_vals"))
+      .groupBy((qiCols.map(col) :+ col("n_g") :+ col("m_vals") :+
+        col("n_total")): _*)
+      .agg(sum(abs(col("cum_num"))).as("emd_num"))
+      .withColumn("emd0", col("emd_num").cast("double") /
+        ((col("m_vals") - 1L) * col("n_g") * col("n_total")).cast("double"))
+      .select((qiCols.map(col) :+ col("n_g") :+
+        round(col("emd0"), 6).as("emd") :+
+        (col("emd0") <= t).as("meets_t")): _*)
+  }
 }

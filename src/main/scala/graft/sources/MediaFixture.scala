@@ -526,6 +526,78 @@ object MediaFixture {
     ("ramp8_mulaw.wav", mulawWav(envSamples(w => 32 << (w / 8))),
       0x8080808080808080L))
 
+  // ---- IMA ADPCM fingerprint fixture (adaptive-delta compressed) ----
+
+  val audioAdpcmDir: String = s"${FixtureDirs.base}/media_adpcmfp"
+  val expectedAdpcmFpCsvPath: String =
+    s"${FixtureDirs.base}/media_adpcmfp_expected.csv"
+
+  /** Mono 8 kHz IMA/DVI ADPCM WAV (fmt tag 0x11, 4 bits/sample),
+    * hand-authored at the BLOCK level: 260 blocks × blockAlign 16 =
+    * 25 samples per block (header sample + 24 nibble samples), i.e.
+    * FOUR blocks per 100-sample fingerprint window. Every block's
+    * header carries (predictor = amp(window), step index 0) and every
+    * nibble is 0 — so the decode is exact BY THE SPEC'S OWN TABLES:
+    * step index 0 → step 7, nibble 0 → diff = 7>>3 = 0 (predictor
+    * never moves inside a block) and index += indexTable(0) = −1
+    * clamps at 0 (step never grows). The decoded stream is therefore
+    * IDENTICAL to `envSamples(amp)` sample-for-sample, and the pinned
+    * fingerprints are the SAME hand-derived constants as the PCM WAV
+    * fixture — authored nibbles, not an encoder, keep the derivation
+    * honest (the codec under test never produces its own expected
+    * values). A `fact` chunk carries the 6500-sample count per the
+    * WAVE spec for compressed formats. */
+  private[graft] def adpcmWav(amp: Int => Int): Array[Byte] = {
+    val nBlocks = 260; val blockAlign = 16
+    val data = new Array[Byte](nBlocks * blockAlign)
+    var b = 0
+    while (b < nBlocks) {
+      val pred = amp((b * 25) / 100)
+      val o = b * blockAlign
+      data(o) = (pred & 0xFF).toByte
+      data(o + 1) = ((pred >> 8) & 0xFF).toByte
+      // index byte, reserved byte and all 12 nibble bytes stay 0
+      b += 1
+    }
+    val fmt = java.nio.ByteBuffer.allocate(22)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(0x11).putShort(1).putInt(8000).putInt(4100)
+      .putShort(16).putShort(4).putShort(2).putShort(25).array()
+    val fact = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(6500).array()
+    riffChunk("RIFF",
+      "WAVE".getBytes("ISO-8859-1") ++
+        riffChunk("fmt ", fmt) ++ riffChunk("fact", fact) ++
+        riffChunk("data", data))
+  }
+
+  /** (filename, bytes, HAND-DERIVED fingerprint) — constants inherited
+    * from the PCM envelope derivation because the authored blocks
+    * decode to exactly `envSamples(amp)` (see [[adpcmWav]]):
+    * flat → 0, step at w=32 → 2^31, two_step → bits 20|42,
+    * ramp (+10 per window, exact via block headers) → all bits → -1. */
+  private def adpcmFpEntries: Seq[(String, Array[Byte], Long)] = Seq(
+    ("flat_tone_adpcm.wav", adpcmWav(_ => 1000), 0L),
+    ("ramp_adpcm.wav", adpcmWav(w => (w + 1) * 10), -1L),
+    ("step_adpcm.wav", adpcmWav(w => if (w < 32) 100 else 2000), 1L << 31),
+    ("two_step_adpcm.wav", adpcmWav(w =>
+      if (w < 21) 100 else if (w < 43) 1000 else 2000),
+      (1L << 20) | (1L << 42)))
+
+  /** Write the IMA ADPCM WAVs + the pinned CSV; returns
+    * `audioAdpcmDir`. */
+  def ensureAdpcmFp(): String = {
+    Files.createDirectories(Paths.get(audioAdpcmDir))
+    val rows = adpcmFpEntries.map { case (name, bytes, hash) =>
+      Files.write(Paths.get(audioAdpcmDir, name), bytes)
+      s"$name,$hash"
+    }
+    Files.write(Paths.get(expectedAdpcmFpCsvPath),
+      ("name,afp\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    audioAdpcmDir
+  }
+
   /** Write the µ-law WAVs + the pinned CSV; returns `audioMulawDir`. */
   def ensureMulawFp(): String = {
     Files.createDirectories(Paths.get(audioMulawDir))

@@ -59,4 +59,35 @@ class DeltaPrivacySpec extends SparkSpec {
     // residues of 1..20 mod 6: qi 1,2 have 4 rows; qi 0,3,4,5 have 3
     assert(audit(1) && audit(2) && !audit(0) && !audit(5))
   }
+
+  test("tClosenessAudit: hand-computed ordered EMD over exact integers") {
+    // global over values {1,2,3}: counts (3,2,3) of n=8 -> q=(3/8,1/4,3/8)
+    // A (6 rows: 1,1,1,2,2,3): p=(1/2,1/3,1/6); p-q cums 1/8, 5/24
+    //   -> EMD = (3/24+5/24)/2 = 1/6; integer path: |6|+|10| over 96
+    // B (2 rows: 3,3): p=(0,0,1); cums -3/8, -5/8 -> EMD = 1/2
+    val df = Seq(
+      ("A", 1), ("A", 1), ("A", 1), ("A", 2), ("A", 2), ("A", 3),
+      ("B", 3), ("B", 3)).toDF("qi", "v")
+    val out = Privacy.tClosenessAudit(df, Seq("qi"), "v", t = 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(1) == 6 && out("A").getDouble(2) == 0.166667)
+    assert(out("A").getBoolean(3), "1/6 <= t = 0.2")
+    assert(out("B").getLong(1) == 2 && out("B").getDouble(2) == 0.5)
+    assert(!out("B").getBoolean(3), "all mass on one tail value")
+  }
+
+  test("tClosenessAudit: null sensitive rows excluded; EMD bounded by 1") {
+    val df = Seq(("A", java.lang.Integer.valueOf(1)), ("A", null),
+      ("B", java.lang.Integer.valueOf(5)), ("B", java.lang.Integer.valueOf(5)))
+      .toDF("qi", "v")
+    val out = Privacy.tClosenessAudit(df, Seq("qi"), "v", t = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // globals over non-null: {1:1, 5:2} of 3; A=(1,0)/1, B=(0,2)/2
+    // A: p=(1,0), q=(1/3,2/3): cum diff 2/3 -> EMD=(2/3)/1 = 0.666667
+    assert(out("A").getLong(1) == 1)
+    assert(math.abs(out("A").getDouble(2) - 0.666667) < 1e-6)
+    assert(!out("A").getBoolean(3))
+    assert(math.abs(out("B").getDouble(2) - 0.333333) < 1e-6)
+    assert(out("B").getBoolean(3))
+  }
 }

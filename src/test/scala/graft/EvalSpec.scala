@@ -14,6 +14,40 @@ class EvalSpec extends SparkSpec {
     assert(r.getDouble(9) == 1.0)
   }
 
+  test("chrF: identical pair scores 1.0; whitespace is invisible") {
+    val pairs = Seq((1L, "the cat", "the cat"), (2L, "th e cat", "thecat"))
+      .toDF("id", "cand", "ref")
+    val rs = Eval.chrF(pairs, "id", "cand", "ref").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rs(1L).getDouble(3) == 1.0 && rs(1L).getDouble(4) == 1.0 &&
+      rs(1L).getDouble(5) == 1.0)
+    // 'th e cat' and 'thecat' are the SAME char stream after stripping
+    assert(rs(2L).getDouble(5) == 1.0)
+    assert(rs(2L).getLong(1) == 6 && rs(2L).getLong(2) == 6)
+  }
+
+  test("chrF: hand-computed 'ab' vs 'abc' (orders beyond the text score 0)") {
+    // cand grams: a,b | ab; ref: a,b,c | ab,bc | abc
+    // p = (1 + 1 + 0·4)/6 = 1/3; r = (2/3 + 1/2 + 0·4)/6 = 7/36
+    // chrF2 = 5PR/(4P+R) = (35/108)/(55/36) = 7/33
+    val pairs = Seq((1L, "ab", "abc")).toDF("id", "cand", "ref")
+    val r = Eval.chrF(pairs, "id", "cand", "ref").collect().head
+    assert(math.abs(r.getDouble(3) - 1.0 / 3) < 1e-6, "chrP")
+    assert(math.abs(r.getDouble(4) - 7.0 / 36) < 1e-6, "chrR")
+    assert(math.abs(r.getDouble(5) - 7.0 / 33) < 1e-6, "chrF2")
+  }
+
+  test("chrF: empty/NULL candidate scores explicit zeros, row kept") {
+    val pairs = Seq((1L, "", "abc"), (2L, null, "abc"), (3L, "xyz", "abc"))
+      .toDF("id", "cand", "ref")
+    val rs = Eval.chrF(pairs, "id", "cand", "ref").collect()
+    assert(rs.length == 3)
+    val byId = rs.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 0 && byId(1L).getDouble(5) == 0.0)
+    assert(byId(2L).getDouble(5) == 0.0)
+    assert(byId(3L).getDouble(5) == 0.0, "disjoint chars score 0")
+  }
+
   test("bleuRouge: clipping stops the 'the the the' degenerate candidate") {
     // BLEU paper example: p1 = min(7, 2) / 7 = 2/7; no shared bigrams
     val pairs = Seq((1L, "the the the the the the the",

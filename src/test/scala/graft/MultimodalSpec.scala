@@ -497,6 +497,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint64(bad).isEmpty)
   }
 
+  test("audioFingerprint64: IMA ADPCM decode hits the inherited constants") {
+    import graft.sources.MediaFixture
+    // block-authored fixtures decode to exactly envSamples(amp), so
+    // the PCM-derived constants hold with zero tolerance
+    assert(Multimodal.audioFingerprint64(
+      MediaFixture.adpcmWav(_ => 1000)).contains(0L))
+    assert(Multimodal.audioFingerprint64(
+      MediaFixture.adpcmWav(w => if (w < 32) 100 else 2000))
+      .contains(1L << 31))
+    assert(Multimodal.audioFingerprint64(
+      MediaFixture.adpcmWav(w => (w + 1) * 10)).contains(-1L))
+    // cross-codec invariance: ADPCM step == PCM WAV step fingerprint
+    assert(Multimodal.audioFingerprint64(
+      MediaFixture.adpcmWav(w => if (w < 32) 100 else 2000)) ==
+      Multimodal.audioFingerprint64(
+        envWav(w => if (w < 32) 100 else 2000)))
+    // the nibble state machine itself, against a hand-derived trace
+    // (IMA tables on paper): pred=0 idx=0; nib 4 -> diff 7, pred 7,
+    // idx 2; nib 3 -> diff 1+2+4=7, pred 14, idx 1; nib 8 -> diff
+    // 8>>3=1, pred 13, idx 0; nib 15 -> diff 0+1+3+7=11, pred 2, idx 8
+    val block = Array[Byte](0, 0, 0, 0, 0x34, 0xF8.toByte)
+    assert(Multimodal.imaAdpcmDecodeMono(block, 6).toSeq ==
+      Seq(0, 7, 14, 13, 2))
+    // clamp floor: all-sign nibbles from 0 never underflow -32768
+    val down = Array[Byte](0, 0x80.toByte, 0, 0) ++ Array.fill(60)(0xFF.toByte)
+    val dec = Multimodal.imaAdpcmDecodeMono(down, 64)
+    assert(dec.head == -32768 && dec.forall(_ >= -32768))
+    // corrupt u32 chunk size: total, fast, None — never a hang
+    val bad = MediaFixture.adpcmWav(_ => 1000)
+    val di = (0 until bad.length - 4).find(i => bad(i) == 'd' &&
+      bad(i + 1) == 'a' && bad(i + 2) == 't' && bad(i + 3) == 'a').get
+    bad(di + 4) = 0xF8.toByte; bad(di + 5) = 0xFF.toByte
+    bad(di + 6) = 0xFF.toByte; bad(di + 7) = 0xFF.toByte
+    assert(Multimodal.audioFingerprint64(bad).isEmpty)
+    // stereo ADPCM: a loud None (interleaved channel words are not
+    // decoded wrong, they are not decoded at all)
+    val stereo = MediaFixture.adpcmWav(_ => 1000)
+    val fi = (0 until stereo.length - 4).find(i => stereo(i) == 'f' &&
+      stereo(i + 1) == 'm' && stereo(i + 2) == 't').get
+    stereo(fi + 10) = 2
+    assert(Multimodal.audioFingerprint64(stereo).isEmpty)
+  }
+
   test("audioNearDupPairs: jittered copy pairs, reversed envelope does not") {
     val blobs = Seq(
       MediaBlob(1L, "wav", envWav(w => (w + 1) * 10)),

@@ -194,6 +194,39 @@ class PipelineSpec extends SparkSpec {
     assert(!fs.exists(path(s"$d4/t.bak")) && !fs.exists(path(s"$d4/t.staging")))
   }
 
+  test("crawlFrontier: politeness cap, global budget, staggered schedule") {
+    import spark.implicits._
+    // domain a: 5 candidates (cap 2 keeps the top-2 by priority);
+    // domain b: 1; budget 3 then cuts the global tail
+    val cands = Seq(
+      ("u1", "a", 50L, 1L), ("u2", "a", 40L, 2L), ("u3", "a", 30L, 3L),
+      ("u4", "a", 20L, 4L), ("u5", "a", 10L, 5L),
+      ("u6", "b", 35L, 6L), ("u7", "c", 5L, 7L))
+      .toDF("url", "domain", "priority", "id")
+    val out = operators.Pipeline.crawlFrontier(cands, "url", "domain",
+        "priority", "id", perDomainCap = 2, cycleCapacity = 3,
+        crawlDelayS = 10)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getInt(4),
+        r.getLong(5))).sortBy(_._3)
+    // global order: u1(50), u2(40), u6(35) — u3 loses to the domain
+    // cap, u7 to the cycle budget
+    assert(out.toSeq == Seq(("u1", 1, 1, 0L), ("u2", 2, 2, 10L),
+      ("u6", 1, 3, 0L)))
+  }
+
+  test("crawlFrontier: ties break on id; deterministic across partitions") {
+    import spark.implicits._
+    val cands = (1 to 100).map(i =>
+      (s"u$i", s"d${i % 9}", (i % 4).toLong, i.toLong))
+      .toDF("url", "domain", "priority", "id")
+    val a = operators.Pipeline.crawlFrontier(cands, "url", "domain",
+      "priority", "id", 3, 15, 5).collect().map(_.toString).sorted
+    val b = operators.Pipeline.crawlFrontier(cands.repartition(13), "url",
+      "domain", "priority", "id", 3, 15, 5)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.length == 15)
+  }
+
   test("stage skip flags gate load and compress") {
     val bucket = Files.createTempDirectory("graft_bucket2")
     writeZip(bucket, "VR_Snapshot_20240101.zip",

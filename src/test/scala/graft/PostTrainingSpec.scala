@@ -85,6 +85,33 @@ class PostTrainingSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("bestOfN: top-reward winner, acceptance gate, stats per prompt") {
+    val cands = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.1), (1L, 12L, 0.5),
+      (2L, 20L, 0.2), (2L, 21L, 0.3), // nobody clears the bar
+      (3L, 30L, 0.7), (3L, 31L, 0.7)  // exact tie: lower id wins
+    ).toDF("prompt_id", "doc_id", "score")
+    val out = PostTraining.bestOfN(cands, "prompt_id", "doc_id", "score",
+      threshold = 0.5).collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getBoolean(6)))).toMap
+    assert(out(1L) == ((10L, 3L, 2L, 0.666667, true)))
+    // every prompt emits a row — rejection is a FLAG, not a drop
+    assert(out(2L) == ((21L, 2L, 0L, 0.0, false)))
+    assert(out(3L) == ((30L, 2L, 2L, 1.0, true)))
+  }
+
+  test("bestOfN: deterministic across repartitionings") {
+    val cands = (1 to 300).map(i =>
+      ((i % 17).toLong, i.toLong, (i * 31 % 97) / 97.0))
+      .toDF("prompt_id", "doc_id", "score")
+    val a = PostTraining.bestOfN(cands, "prompt_id", "doc_id", "score", 0.5)
+      .collect().map(_.toString).sorted
+    val b = PostTraining.bestOfN(cands.repartition(7), "prompt_id",
+      "doc_id", "score", 0.5).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("groupAdvantage: per-group z-scores; std-0 groups pin advantage 0") {
     val cands = Seq(
       (1L, 10L, 1.0), (1L, 11L, 2.0), (1L, 12L, 3.0), // mean 2, sd sqrt(2/3)
