@@ -7500,6 +7500,86 @@ object Queries {
               |HAVING count(*) >= 2""".stripMargin)
     )),
 
+    // Animated GIF per-frame hashes — the THIRD video container, via
+    // the spec-written LZW decoder ([[operators.Gif]]: variable-width
+    // codes, CLEAR/EOI, sub-block reassembly, compositing — no
+    // ImageIO). The 256-gray palette makes pixel index = gray level,
+    // so every frame pins the SAME constants the PNG fixture derived
+    // by hand; the stream is authored root-codes-only (a valid LZW
+    // choice), keeping the expectations encoder-free.
+    "q_multimodal_gif_dhash" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureGifDHash()
+        val files = s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("media_id", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) =>
+            operators.Multimodal.MediaBlob(idx(n).toLong, "gif", c) }
+        operators.Multimodal.videoDHashes(blobs)
+          .join(broadcast(nameDf), "media_id")
+          .select(col("name"), col("frame_idx"), col("vdhash"))
+      },
+      Some(s"""SELECT name, frame_idx, vdhash
+              |FROM read_csv('${graft.sources.MediaFixture.expectedGifDHashCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                        'vdhash':'BIGINT'})""".stripMargin)
+    )),
+
+    // CROSS-FORMAT video near-dup across THREE containers and THREE
+    // decode paths: the raw-DIB AVI reel, the MJPEG reel (T.81 DC
+    // grids) and the animated GIF reel (LZW) all carry the same four
+    // patterns, so frame hashes agree constant-for-constant and every
+    // reel pairs with every other — byte-level dedup can never see
+    // that gif_a and video_a are the same clip; the content-derived
+    // fingerprint makes it one equi-join.
+    "q_gif_crossformat_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d1 = graft.sources.MediaFixture.ensureVideoDHash()
+        val d2 = graft.sources.MediaFixture.ensureGifDHash()
+        val files = s.read.format("binaryFile").load(d1, d2)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("mid", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) => operators.Multimodal.MediaBlob(idx(n).toLong,
+            n.substring(n.lastIndexOf('.') + 1), c) }
+        operators.Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
+            minMatchingFrames = 2)
+          .join(broadcast(nameDf.toDF("id_a", "name_a")), "id_a")
+          .join(broadcast(nameDf.toDF("id_b", "name_b")), "id_b")
+          .select("name_a", "name_b", "n_matching_frames")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT name, frame_idx, vdhash
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedVideoDHashCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                          'vdhash':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, frame_idx, vdhash
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedGifDHashCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                          'vdhash':'BIGINT'})),
+              |h AS (SELECT name, frame_idx, vdhash,
+              |    dense_rank() OVER (ORDER BY name) - 1 AS mid FROM u)
+              |SELECT a.name AS name_a, b.name AS name_b,
+              |  count(*) AS n_matching_frames
+              |FROM h a JOIN h b
+              |  ON a.frame_idx = b.frame_idx AND a.mid < b.mid
+              |WHERE bit_count(xor(a.vdhash, b.vdhash)) <= 3
+              |GROUP BY 1, 2
+              |HAVING count(*) >= 2""".stripMargin)
+    )),
+
     // REAL video under the oracle gate: uncompressed-DIB AVI is the
     // one video form the JVM decodes exactly with no codec (RIFF parse
     // + raw bottom-up BGR frames), and a gray DIB frame's luminance

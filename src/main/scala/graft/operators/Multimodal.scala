@@ -501,6 +501,24 @@ object Multimodal {
     })
   }
 
+  /** Per-frame dHashes of an animated GIF through the spec-written
+    * [[Gif]] decoder (LZW + compositing, no ImageIO): the composited
+    * W×H canvas of every frame feeds the SAME [[dHashGrid]] area-
+    * average arithmetic as raw-DIB frames and PNG pixels — grayscale-
+    * palette frames therefore hash IDENTICALLY to the same patterns
+    * in the other containers, which is how the GIF fixture pins the
+    * video constants without trusting any codec. */
+  def gifFrameDHashes(content: Array[Byte]): Option[Seq[Long]] =
+    try {
+      Gif.frames(content).map { case (w, h, fs) =>
+        fs.map(px => dHashGrid(w, h, (x, y) => {
+          val rgb = px(y * w + x)
+          (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000L
+        }))
+      }
+    } catch { case _: Exception => None }
+
   /** Per-frame perceptual hashes for raw-DIB AVI blobs, sampling every
     * `everyK`-th frame → (media_id, frame_idx, vdhash) — the video
     * member of the fingerprint family (image dHash, audio energy hash,
@@ -514,7 +532,13 @@ object Multimodal {
     import spark.implicits._
     blobs.mapPartitions { it =>
       it.flatMap { b =>
-        if (b.kind.toLowerCase == "avi")
+        if (b.kind.toLowerCase == "gif")
+          gifFrameDHashes(b.content).iterator.flatMap { hs =>
+            hs.iterator.zipWithIndex.collect {
+              case (hv, i) if i % everyK == 0 => (b.media_id, i, hv)
+            }
+          }
+        else if (b.kind.toLowerCase == "avi")
           aviFrames(b.content) match {
             case Some((w, h, frames)) =>
               frames.iterator.zipWithIndex.collect {

@@ -655,6 +655,116 @@ object MediaFixture {
     videoDHashDir
   }
 
+  // ---- animated-GIF video fixture (LZW-compressed frames) ----------
+
+  val gifDHashDir: String = s"${FixtureDirs.base}/media_gif"
+  val expectedGifDHashCsvPath: String =
+    s"${FixtureDirs.base}/media_gif_expected.csv"
+
+  /** Animated GIF89a from gray frame patterns: 256-entry grayscale
+    * global palette (entry i = (i,i,i) — pixel index IS the gray
+    * level, so decoded luminance equals the pattern exactly), each
+    * frame a full-canvas image with a disposal-1 graphic control.
+    *
+    * The LZW stream is authored ROOT-CODES-ONLY: a CLEAR, then each
+    * pixel as its own 9-bit literal, with a CLEAR every 200 literals
+    * so the decoder's table never reaches the 10-bit boundary, then
+    * EOI. That is valid LZW by the spec (an encoder may emit CLEAR
+    * whenever it likes and is never obliged to use table entries),
+    * and it keeps the fixture's bytes hand-derivable end-to-end: the
+    * decoder under test faces real variable-width machinery (widths,
+    * clears, sub-block reassembly) while the expected pixels remain
+    * the authored patterns BY CONSTRUCTION, not by running any
+    * encoder's compression heuristics. */
+  private[graft] def gifAnimBytes(w: Int, h: Int,
+                                  frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("ISO-8859-1"))
+    out.write(w & 0xFF); out.write(w >> 8)
+    out.write(h & 0xFF); out.write(h >> 8)
+    out.write(0xF7) // GCT present, 8-bit color res, 256 entries
+    out.write(0)    // background index
+    out.write(0)    // aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    frames.foreach { f =>
+      // graphic control: disposal 1 (keep), no transparency
+      out.write(Array[Byte](0x21, 0xF9.toByte, 4, 0x04, 0, 0, 0, 0))
+      out.write(0x2C)
+      out.write(0); out.write(0); out.write(0); out.write(0) // x, y
+      out.write(w & 0xFF); out.write(w >> 8)
+      out.write(h & 0xFF); out.write(h >> 8)
+      out.write(0) // no LCT, not interlaced
+      out.write(8) // LZW min code size
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nAcc = 0
+      def put(code: Int): Unit = {
+        acc |= code.toLong << nAcc; nAcc += 9
+        while (nAcc >= 8) {
+          bits.write((acc & 0xFF).toInt); acc >>= 8; nAcc -= 8
+        }
+      }
+      put(256) // CLEAR
+      var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          put(f(x, y) & 0xFF)
+          n += 1
+          if (n % 200 == 0) put(256)
+          x += 1
+        }
+        y += 1
+      }
+      put(257) // EOI
+      if (nAcc > 0) bits.write((acc & 0xFF).toInt)
+      val payload = bits.toByteArray
+      var p = 0
+      while (p < payload.length) {
+        val len = math.min(255, payload.length - p)
+        out.write(len)
+        out.write(payload, p, len)
+        p += len
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** (filename, bytes, HAND-DERIVED per-frame dHash): the same 63×48
+    * gray patterns as the raw-DIB reel, so each frame's pinned hash
+    * is the SAME constant derived once for the PNG fixture — three
+    * containers, two codecs, one derivation, no codec trusted. */
+  private def gifDHashEntries: Seq[(String, Array[Byte], Seq[Long])] = Seq(
+    ("gif_a.gif", gifAnimBytes(63, 48, Seq(
+      (_, _) => 0,
+      (x, _) => x * 255 / 62,
+      (x, _) => if (x < 28) 0 else 255,
+      (x, _) => 255 - x * 255 / 62)),
+      Seq(0L, -1L, 0x0808080808080808L, 0L)),
+    ("gif_a_edit.gif", gifAnimBytes(63, 48, Seq(
+      (_, _) => 0,
+      (x, y) => if (y >= 42 && x < 14) 0 else x * 255 / 62,
+      (x, y) => if (x < 28) 0 else if (x < 35 && y < 6) 100 else 255,
+      (x, _) => 255 - x * 255 / 62)),
+      Seq(0L, -1L ^ (1L << 56), 0x0808080808080818L, 0L)))
+
+  /** Write the GIFs + the pinned (name, frame_idx, vdhash) CSV;
+    * returns `gifDHashDir`. */
+  def ensureGifDHash(): String = {
+    Files.createDirectories(Paths.get(gifDHashDir))
+    val rows = gifDHashEntries.flatMap { case (name, bytes, hashes) =>
+      Files.write(Paths.get(gifDHashDir, name), bytes)
+      hashes.zipWithIndex.map { case (hv, i) => s"$name,$i,$hv" }
+    }
+    Files.write(Paths.get(expectedGifDHashCsvPath),
+      ("name,frame_idx,vdhash\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    gifDHashDir
+  }
+
   // ---- MJPEG video fixture (DC-grid dHash over COMPRESSED frames) --
 
   val mjpegDHashDir: String = s"${FixtureDirs.base}/media_mjpeg"
