@@ -7296,6 +7296,35 @@ object Queries {
               |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
     )),
 
+    // DTMF demodulation by Goertzel (ITU-T Q.23/Q.24): from raw PCM
+    // to the dialed SYMBOL STRING — audio content extraction, not
+    // envelope comparison. The oracle pins the hand-chosen dial
+    // strings (encode digits → decode digits, end-to-end honest);
+    // the 8x power-margin classifier makes the symbol output robust
+    // to cos/sin last-ulp wobble (pure frames clear it by >30x).
+    "q_audio_dtmf" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureDtmf()
+        val files = s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("media_id", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) =>
+            operators.Multimodal.MediaBlob(idx(n).toLong, "wav", c) }
+        operators.Dtmf.audioDtmf(blobs)
+          .join(broadcast(nameDf), "media_id")
+          .select(col("name"), col("digits"))
+      },
+      Some(s"""SELECT name, digits
+              |FROM read_csv('${graft.sources.MediaFixture.expectedDtmfCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','digits':'VARCHAR'})""".stripMargin)
+    )),
+
     // IMA ADPCM fingerprints — the FOURTH real audio format and the
     // second lossy codec on the real side. The fixture is authored at
     // the BLOCK level (every block header carries the window's

@@ -655,6 +655,65 @@ object MediaFixture {
     videoDHashDir
   }
 
+  // ---- DTMF dial fixture (Goertzel demodulation end-to-end) --------
+
+  val dtmfDir: String = s"${FixtureDirs.base}/media_dtmf"
+  val expectedDtmfCsvPath: String = s"${FixtureDirs.base}/media_dtmf_expected.csv"
+
+  private val DtmfRow = Map('1' -> 697.0, '2' -> 697.0, '3' -> 697.0, 'A' -> 697.0,
+    '4' -> 770.0, '5' -> 770.0, '6' -> 770.0, 'B' -> 770.0,
+    '7' -> 852.0, '8' -> 852.0, '9' -> 852.0, 'C' -> 852.0,
+    '*' -> 941.0, '0' -> 941.0, '#' -> 941.0, 'D' -> 941.0)
+  private val DtmfCol = Map('1' -> 1209.0, '4' -> 1209.0, '7' -> 1209.0, '*' -> 1209.0,
+    '2' -> 1336.0, '5' -> 1336.0, '8' -> 1336.0, '0' -> 1336.0,
+    '3' -> 1477.0, '6' -> 1477.0, '9' -> 1477.0, '#' -> 1477.0,
+    'A' -> 1633.0, 'B' -> 1633.0, 'C' -> 1633.0, 'D' -> 1633.0)
+
+  /** Mono 8 kHz PCM WAV dialing `digits`: 200 ms two-tone bursts
+    * (ITU-T Q.23 row+column pair, amplitude 5000 each) separated by
+    * 150 ms silence, with lead-in/lead-out silence. The EXPECTED
+    * decoder output is the dialed string itself — chosen by hand, so
+    * the oracle never depends on the decoder under test. */
+  private[graft] def dtmfWav(digits: String): Array[Byte] = {
+    val tone = 1600; val gap = 1200
+    val total = gap + digits.length * (tone + gap)
+    val samples = new Array[Short](total)
+    var off = gap
+    digits.foreach { d =>
+      val fr = DtmfRow(d); val fc = DtmfCol(d)
+      var i = 0
+      while (i < tone) {
+        val t = i.toDouble / 8000.0
+        samples(off + i) =
+          ((5000 * math.sin(2 * math.Pi * fr * t)) +
+            (5000 * math.sin(2 * math.Pi * fc * t))).toInt.toShort
+        i += 1
+      }
+      off += tone + gap
+    }
+    pcmWav(samples)
+  }
+
+  private def dtmfEntries: Seq[(String, Array[Byte], String)] = Seq(
+    ("dial_15A9.wav", dtmfWav("15A9"), "15A9"),
+    ("dial_0842.wav", dtmfWav("0842"), "0842"),
+    ("dial_star_hash.wav", dtmfWav("*#06"), "*#06"),
+    ("dial_full_pad.wav", dtmfWav("123A456B789C*0#D"), "123A456B789C*0#D"))
+
+  /** Write the dial WAVs + the pinned (name, digits) CSV; returns
+    * `dtmfDir`. */
+  def ensureDtmf(): String = {
+    Files.createDirectories(Paths.get(dtmfDir))
+    val rows = dtmfEntries.map { case (name, bytes, digits) =>
+      Files.write(Paths.get(dtmfDir, name), bytes)
+      s"$name,$digits"
+    }
+    Files.write(Paths.get(expectedDtmfCsvPath),
+      ("name,digits\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    dtmfDir
+  }
+
   // ---- animated-GIF video fixture (LZW-compressed frames) ----------
 
   val gifDHashDir: String = s"${FixtureDirs.base}/media_gif"
