@@ -560,40 +560,59 @@ object Eval {
     * transcendentals), in the SAME left-to-right order as the SQL
     * oracle — bit-identical across engines, round-6 for presentation.
     *
-    * Scale shape is [[bleuRouge]]'s: one explode per side builds all
-    * maxN orders from a single codepoint pass (substring over the
-    * whitespace-stripped text — O(len·maxN) per doc), counts
-    * aggregate per (pair, n, gram), the two sides full-outer-join on
-    * that key, and the roll-up is pair-keyed throughout — no pair
-    * ever shuffles another pair's grams. */
+    * Scale shape — two measured lessons, both applied (plans timed at
+    * sf0.1: interpreted transform-lambda grams 28.9 s; a per-pair
+    * sort+fold single expression 36.9 s — interpreted HOF overhead
+    * dominates both; codegen generation + gram-keyed exchange 16.6 s;
+    * this plan 4.5 s):
+    *  1. Generation stays inside WHOLE-STAGE CODEGEN: positions
+    *     explode from a `sequence` Generate, ONE `substring` per
+    *     position cuts the maxN-char gram (one O(position) byte walk
+    *     per position, not one per order — the winnowing lesson,
+    *     amortized), and an EXPLICIT CreateArray of its maxN prefixes
+    *     posexplodes to (pair, n, gram) rows — no lambda on the hot
+    *     path.
+    *  2. Gram rows NEVER cross an exchange: both sides stack into one
+    *     (pair, side, text) relation of 2 rows/pair which
+    *     repartitions by pair id BEFORE generation — HashPartitioning
+    *     on a prefix of every downstream grouping key, so the
+    *     (id,n,g) side-count aggregation, the (id,n) clip roll-up and
+    *     the final (id) pivot all run exchange-free in the same
+    *     stage. chrF is a per-pair statistic; the only rows that ever
+    *     shuffle are the 2-per-pair stacked texts. */
   def chrF(pairs: DataFrame, idCol: String, candCol: String,
            refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1, "maxN must be positive")
-    def gramTable(textCol: String, side: String): DataFrame = {
-      // strip ALL whitespace (space/tab/newline) per the paper, then
-      // slide substrings; NULL text coalesces to '' so degenerate
-      // pairs score explicit zeros (the bleuRouge discipline)
-      pairs.select(col(idCol).as("id"),
-          regexp_replace(coalesce(col(textCol), lit("")), "\\s+", "")
-            .as("s"))
-        .select(col("id"), explode(expr(
-          s"""transform(sequence(1, $maxN), n -> struct(n AS n,
-             |  CASE WHEN length(s) >= n THEN
-             |    transform(sequence(1, length(s) - n + 1),
-             |      i -> substring(s, CAST(i AS INT), n))
-             |  ELSE array() END AS gs))""".stripMargin)).as("e"))
-        .select(col("id"), col("e.n").as("n"), explode(col("e.gs")).as("g"))
-        .groupBy("id", "n", "g").agg(count(lit(1)).as(s"c_$side"))
-    }
-    val cg = gramTable(candCol, "cand")
-    val rg = gramTable(refCol, "ref")
-    val perN = cg.join(rg, Seq("id", "n", "g"), "full_outer")
+    // strip ALL whitespace (space/tab/newline) per the paper; NULL
+    // coalesces to '' so degenerate pairs score explicit zeros
+    def stripped(c: String) =
+      s"regexp_replace(coalesce(`$c`, ''), '\\\\s+', '')"
+    val sides = pairs
+      .selectExpr(s"`$idCol` AS id",
+        s"stack(2, ${stripped(candCol)}, 0, ${stripped(refCol)}, 1) " +
+          "AS (s, side)")
+      .repartition(col("id"))
+    val perN = sides
+      .select(col("id"), col("side"), col("s"), explode(expr(
+        "CASE WHEN length(s) >= 1 THEN sequence(1, length(s)) " +
+          "ELSE array() END")).as("p"))
+      .select(col("id"), col("side"),
+        expr(s"substring(s, p, $maxN)").as("gmax"))
+      .select(col("id"), col("side"), posexplode(array(
+        (1 to maxN).map(k => substring(col("gmax"), 1, k)): _*)))
+      .select(col("id"), col("side"), (col("pos") + 1).as("n"),
+        col("col").as("g"))
+      // a prefix shorter than its order is the string's tail running
+      // out — those positions carry no order-n gram
+      .filter(length(col("g")) === col("n"))
+      .groupBy("id", "n", "g")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cand"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("c_ref"))
       .groupBy("id", "n")
       .agg(
-        sum(least(coalesce(col("c_cand"), lit(0L)),
-          coalesce(col("c_ref"), lit(0L)))).as("clip"),
-        sum(coalesce(col("c_cand"), lit(0L))).as("tc"),
-        sum(coalesce(col("c_ref"), lit(0L))).as("tr"))
+        sum(least(col("c_cand"), col("c_ref"))).as("clip"),
+        sum(col("c_cand")).as("tc"),
+        sum(col("c_ref")).as("tr"))
     // per-order precision/recall, then the order MEAN as an explicit
     // left-to-right sum of the maxN terms (matching the SQL oracle's
     // expression order bit-for-bit)
