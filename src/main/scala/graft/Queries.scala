@@ -1128,6 +1128,32 @@ object Queries {
              |FROM m""".stripMargin)
     )),
 
+    // Streaming funnel under the hard gate (seventh direct streaming
+    // row): per-user first-seen timestamps per step in constant keyed
+    // state, depth flushed by a __final__ control event — min-based
+    // state makes the emissions arrival-order-free, so the stream
+    // output equals the batch funnel's strict first-ts chain exactly.
+    "q_stream_funnel" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStreams.replayFunnel(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), maxUsers = 200),
+      Some("""WITH m AS (SELECT user_id,
+             |  min(ts) FILTER (event_type = 'view') t1,
+             |  min(ts) FILTER (event_type = 'click') t2,
+             |  min(ts) FILTER (event_type = 'purchase') t3
+             |  FROM events WHERE user_id < 200 GROUP BY 1)
+             |SELECT user_id,
+             |  CAST(CASE WHEN t1 IS NULL THEN 0
+             |       WHEN t2 IS NULL OR t2 <= t1 THEN 1
+             |       WHEN t3 IS NULL OR t3 <= t2 THEN 2
+             |       ELSE 3 END AS INTEGER) AS depth,
+             |  CAST(CAST(t1 IS NOT NULL AS INTEGER)
+             |     + CAST(t2 IS NOT NULL AS INTEGER)
+             |     + CAST(t3 IS NOT NULL AS INTEGER) AS INTEGER) AS n_steps_seen
+             |FROM m""".stripMargin)
+    )),
+
     // Per-group z-score outliers WITHOUT floating-point variance:
     // on cent-integers, |v-mean| > 3σ  ⟺  (n·v − S)² > 9·(n·Q − S²)
     // with S=Σv, Q=Σv² — pure decimal(38,0) integer arithmetic, exact
@@ -6056,6 +6082,49 @@ object Queries {
              |FROM c""".stripMargin)
     )),
 
+    // High-entropy token scan (the credential/API-key detector the
+    // regex PII pass cannot catch): tokens >= 20 chars scored by
+    // character Shannon entropy, flagged at 3.5 bits. The fixture
+    // plants hex keys (md5-derived, H ~ 3.8) and an all-'a' long
+    // token (H = 0) so both branches of the flag are exercised.
+    // log2 is rounded to 9 AT BIRTH and the sum is a char-ordered
+    // fold (the naive-Bayes discipline); entropy computed per
+    // DISTINCT token then joined back (the Zipf re-plan lesson).
+    "q_secret_entropy" -> ((
+      (s: SparkSession, dir: String) => {
+        val planted = when(pmod(col("doc_id"), lit(13L)) === 0,
+            concat(lit(" sk_"), md5(col("doc_id").cast("string"))))
+          .when(pmod(col("doc_id"), lit(13L)) === 1,
+            lit(" aaaaaaaaaaaaaaaaaaaaaaaa"))
+          .otherwise(lit(""))
+        operators.Curation.secretScan(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), concat(col("text"), planted).as("text")),
+          "doc_id", "text", minLen = 20, minBits = 3.5)
+      },
+      Some("""WITH d AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 13 = 0 THEN ' sk_' || md5(CAST(doc_id AS VARCHAR))
+             |         WHEN doc_id % 13 = 1 THEN ' aaaaaaaaaaaaaaaaaaaaaaaa'
+             |         ELSE '' END AS text FROM documents),
+             |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+             |cand AS (SELECT doc_id, token FROM tk WHERE length(token) >= 20),
+             |dt AS (SELECT DISTINCT token FROM cand),
+             |chs AS (SELECT token,
+             |    unnest([token[i:i] for i in range(1, length(token) + 1)]) AS ch
+             |  FROM dt),
+             |cc AS (SELECT token, ch, count(*) AS c FROM chs GROUP BY 1, 2),
+             |tm AS (SELECT token, ch, c,
+             |    CAST(c AS DOUBLE) * round(log2(CAST(c AS DOUBLE)), 9) AS term
+             |  FROM cc),
+             |e AS (SELECT token, CAST(sum(c) AS BIGINT) AS tok_len,
+             |    round(log2(CAST(sum(c) AS DOUBLE)), 9)
+             |      - list_sum(list(term ORDER BY ch)) / CAST(sum(c) AS DOUBLE) AS h
+             |  FROM tm GROUP BY 1)
+             |SELECT cand.doc_id, cand.token, e.tok_len,
+             |  round(e.h, 6) AS entropy, e.h >= 3.5 AS is_secret
+             |FROM cand JOIN e USING (token)""".stripMargin)
+    )),
+
     // Fleiss' kappa inter-annotator agreement: items are groups of 6
     // consecutive doc_ids, each "rating" picks the item's own class
     // 70% of the time (agreement signal) and an id-derived class
@@ -6688,6 +6757,46 @@ object Queries {
            |$rounds
            |SELECT x AS id, CAST(count(*) AS BIGINT) AS core_deg FROM (
            |  SELECT a AS x FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1""".stripMargin
+      }
+    )),
+
+    // k-truss edge peeling (Cohen 2008) — the edge-level cohesion
+    // rung above q_kcore: per round, drop edges in fewer than k-2
+    // triangles, exactly 3 synchronous rounds, support recounted on
+    // the final edge set. Same fixture as q_kcore; Spark enumerates
+    // triangles through the degree-ordered orientation, the oracle
+    // through plain a<b<c nesting — the triangle SET is identical
+    // either way, so supports replay edge-for-edge.
+    "q_ktruss" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(13L)) < 2)
+          .select(pmod(col("o_custkey"), lit(300L)).as("src"),
+            pmod(col("o_orderkey"), lit(300L)).as("dst"))
+        operators.Graph.kTruss(e, k = 4, rounds = 3)
+      },
+      Some {
+        def tri(i: Int, src: String) =
+          s"""t$i AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM $src e1 JOIN $src e2 ON e2.a = e1.b
+             |  JOIN $src e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |s$i AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM (
+             |  SELECT x AS a, y AS b FROM t$i
+             |  UNION ALL SELECT x, z FROM t$i
+             |  UNION ALL SELECT y, z FROM t$i) GROUP BY 1, 2)""".stripMargin
+        val rounds = (1 to 3).map { i =>
+          tri(i, s"e${i - 1}") + ",\n" +
+            s"""e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+               |  JOIN s$i s ON s.a = e.a AND s.b = e.b AND s.sup >= 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH raw AS (SELECT o_custkey % 300 AS s, o_orderkey % 300 AS t
+           |  FROM orders WHERE o_orderkey % 13 < 2),
+           |e0 AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+           |  FROM raw WHERE s <> t),
+           |$rounds,
+           |${tri(4, "e3")}
+           |SELECT e.a, e.b, COALESCE(s4.sup, CAST(0 AS BIGINT)) AS support
+           |FROM e3 e LEFT JOIN s4 ON s4.a = e.a AND s4.b = e.b""".stripMargin
       }
     )),
 
@@ -7470,6 +7579,59 @@ object Queries {
               |  UNION ALL
               |  SELECT name, afp
               |  FROM read_csv('${graft.sources.MediaFixture.expectedMulawFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})),
+              |h AS (SELECT name, afp,
+              |    row_number() OVER (ORDER BY name) - 1 AS mid FROM u)
+              |SELECT a.name AS name_a, b.name AS name_b,
+              |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+              |FROM h a JOIN h b ON a.mid < b.mid
+              |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin)
+    )),
+
+    // FOUR-codec audio near-dup: PCM WAV, FLAC, G.711 µ-law and IMA
+    // ADPCM encodings of the same envelopes pair at Hamming 0 through
+    // four entirely different decode paths (raw samples, rice
+    // residuals, closed-form expand, adaptive-delta state machine) —
+    // the content-derived fingerprint collapses a recording's whole
+    // codec family onto one dedup key; byte-level hashing sees four
+    // unrelated blobs.
+    "q_audio_crossformat_quad" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d1 = graft.sources.MediaFixture.ensureAudioFp()
+        val d2 = graft.sources.MediaFixture.ensureFlacFp()
+        val d3 = graft.sources.MediaFixture.ensureMulawFp()
+        val d4 = graft.sources.MediaFixture.ensureAdpcmFp()
+        val files = s.read.format("binaryFile").load(d1, d2, d3, d4)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("mid", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) => operators.Multimodal.MediaBlob(idx(n).toLong,
+            n.substring(n.lastIndexOf('.') + 1), c) }
+        operators.Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
+          .join(broadcast(nameDf.toDF("id_a", "name_a")), "id_a")
+          .join(broadcast(nameDf.toDF("id_b", "name_b")), "id_b")
+          .select("name_a", "name_b", "hamming")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedAudioFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedFlacFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedMulawFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedAdpcmFpCsvPath}',
               |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})),
               |h AS (SELECT name, afp,
               |    row_number() OVER (ORDER BY name) - 1 AS mid FROM u)

@@ -165,4 +165,55 @@ object Curation {
 
     spanned.drop("__fp")
   }
+
+  /** High-entropy token scan — the credential/API-key detector every
+    * code-corpus pipeline runs beside the regex PII pass (regexes
+    * catch STRUCTURED secrets like cards and emails; a leaked key is
+    * just a long random string, and Shannon entropy is the standard
+    * detector for it). Tokens of at least `minLen` chars are scored
+    * by per-character entropy H = log2(L) − (Σ c·log2 c)/L bits and
+    * flagged when H ≥ `minBits`; returns every candidate
+    * (id, token, tok_len, entropy, is_secret) so review queues see
+    * the near-misses too.
+    *
+    * Determinism: log2 is not IEEE-correctly-rounded, so every log2
+    * is rounded to 9 decimals AT BIRTH and the Σ is a left fold over
+    * the token's character counts in CHARACTER order (the
+    * naive-Bayes discipline); the final subtraction/division are
+    * exact IEEE ops, making the flag comparison engine-exact.
+    *
+    * Scale shape: the Zipf trick — entropy is computed per DISTINCT
+    * candidate token (long random strings are rare; long REPEATED
+    * tokens are exactly the compressible, low-entropy case) and
+    * joined back to occurrences; char explode, counts and the fold
+    * are all token-keyed. */
+  def secretScan(docs: DataFrame, idCol: String, textCol: String,
+                 minLen: Int = 20, minBits: Double = 3.5): DataFrame = {
+    require(minLen >= 2 && minBits > 0, "need minLen >= 2 and minBits > 0")
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) >= minLen)
+    val distinctToks = toks.select("token").distinct()
+    val counts = distinctToks
+      .select(col("token"), explode(expr(
+        "sequence(1, length(token))")).as("p"))
+      .select(col("token"), expr("substring(token, p, 1)").as("ch"))
+      .groupBy("token", "ch").agg(count(lit(1)).as("c"))
+    val scored = counts
+      .withColumn("term", col("c").cast("double") *
+        round(log2(col("c").cast("double")), 9))
+      .groupBy("token")
+      .agg(sum(col("c")).as("tok_len"),
+        array_sort(collect_list(struct(col("ch"), col("term")))).as("ts"))
+      .withColumn("h",
+        round(log2(col("tok_len").cast("double")), 9) -
+          expr("aggregate(ts, cast(0 as double), (acc, x) -> acc + x.term)") /
+            col("tok_len").cast("double"))
+      .select(col("token"), col("tok_len"),
+        round(col("h"), 6).as("entropy"),
+        (col("h") >= minBits).as("is_secret"))
+    toks.join(scored, "token")
+      .select(col(idCol), col("token"), col("tok_len"), col("entropy"),
+        col("is_secret"))
+  }
 }

@@ -473,4 +473,63 @@ object Graph {
         round(expr("aggregate(terms, cast(0 as double), (acc, x) -> acc + x)"),
           6).as("aa"))
   }
+
+  /** k-truss decomposition by fixed-round support peeling (Cohen,
+    * 2008) — the EDGE-level cohesion rung above [[kCore]]'s
+    * node-level one: each round counts, per surviving edge, the
+    * triangles it closes (its SUPPORT) and drops edges with support
+    * < k−2; a converged result is the maximal subgraph where every
+    * edge sits in ≥ k−2 triangles. Exactly `rounds` synchronous
+    * rounds (the kCore bounded-rounds discipline — no data-dependent
+    * driver loop; an unconverged graph just reports its current
+    * supports, which the final recount makes explicit). Returns
+    * (a, b, support) for surviving edges, support recounted on the
+    * FINAL edge set so the output is self-consistent.
+    *
+    * Scale shape: triangles enumerate once per round through
+    * [[triangles]]'s degree-ordered orientation (wedge fan-out
+    * bounded by Σ d_lo² over LOW-degree endpoints — the standard
+    * hub guard), each triangle expands to its three undirected
+    * edges, and the support aggregation + semi-join filter are both
+    * (a, b)-keyed. Per-round shuffles carry edge pairs and triangle
+    * triples only — never adjacency lists. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 3,
+             checkpointInterval: Int = 2): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3 (k-2 >= 1)")
+    require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of range")
+    import graft.core.Checkpoints
+    def support(e: DataFrame): DataFrame =
+      triangles(e, "a", "b")
+        .select(explode(array(
+          struct(least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b")),
+          struct(least(col("u"), col("w")).as("a"),
+            greatest(col("u"), col("w")).as("b")),
+          struct(least(col("v"), col("w")).as("a"),
+            greatest(col("v"), col("w")).as("b")))).as("ed"))
+        .select(col("ed.a").as("a"), col("ed.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    val (e0, _) = Checkpoints.eager(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    var cur = e0
+    var curIds = Seq.empty[Int]
+    for (r <- 1 to rounds) {
+      val keep = support(cur).filter(col("support") >= k - 2)
+        .select("a", "b")
+      val next = cur.join(keep, Seq("a", "b"), "left_semi")
+      if (r % checkpointInterval == 0 && r < rounds) {
+        val (ck, ckIds) = Checkpoints.eager(next)
+        Checkpoints.free(cur, curIds)
+        cur = ck
+        curIds = ckIds
+      } else {
+        cur = next
+      }
+    }
+    cur.join(support(cur), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
 }

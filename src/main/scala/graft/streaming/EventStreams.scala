@@ -804,4 +804,100 @@ object EventStreams {
     }
     spark.table(sinkName)
   }
+
+  final case class FunnelEvent(user_id: Long, ts: Timestamp,
+                               event_type: String)
+  final case class FunnelState(firstMs: Seq[Long])
+  final case class FunnelDepth(user_id: Long, depth: Int, n_steps_seen: Int)
+
+  /** Streaming funnel analysis: per user, the FIRST-seen timestamp of
+    * each ordered step accumulates in keyed state (one long per step
+    * — constant per user, independent of event volume), and a
+    * `__final__` control event flushes the user's funnel DEPTH: the
+    * longest prefix of steps whose first timestamps strictly
+    * increase, exactly the batch q_funnel semantics (min-based, so
+    * arrival order cannot change the answer — min is order-free).
+    * Out-of-step event types update nothing but keep the user
+    * visible (depth 0 rather than silence). */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   steps: Seq[String]): Dataset[FunnelDepth] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelDepth](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) =>
+          val first = state.getOption.map(_.firstMs.toArray)
+            .getOrElse(Array.fill(steps.length)(-1L))
+          var emit = false
+          batch.foreach { e =>
+            if (e.event_type == "__final__") emit = true
+            else stepIdx.get(e.event_type).foreach { ix =>
+              val t = e.ts.getTime
+              if (first(ix) == -1L || t < first(ix)) first(ix) = t
+            }
+          }
+          state.update(FunnelState(first.toSeq))
+          if (!emit) Iterator.empty
+          else {
+            var depth = 0
+            var prev = Long.MinValue
+            while (depth < steps.length && first(depth) != -1L &&
+                first(depth) > prev) {
+              prev = first(depth); depth += 1
+            }
+            Iterator.single(
+              FunnelDepth(userId, depth, first.count(_ != -1L)))
+          }
+      }
+  }
+
+  /** Driver-gate replay harness for [[funnelStream]] (the
+    * [[replayRetention]] scheme): the bounded user slice's events
+    * replay through the real streaming operator, then one `__final__`
+    * control event per seen user flushes the depths — min-based state
+    * makes the emissions equal the batch funnel's per-user first-ts
+    * comparison chain exactly, so the stream output is
+    * SQL-oracle-checkable. `maxUsers` bounds the gate's cost
+    * independent of fixture SF; the collect is the harness, not the
+    * operator. */
+  def replayFunnel(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   maxUsers: Long = 200): DataFrame = {
+    val spark = events.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = events
+      .select(col(userCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(typeCol).cast("string"))
+      .filter(col(userCol) < maxUsers)
+      .as[(Long, Timestamp, String)].collect()
+      .sortBy { case (u, ts, t) => (ts.getTime, u, t) }
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[FunnelEvent]
+    val sinkName = "graft_replay_funnel"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = funnelStream(input.toDS(), steps).toDF()
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(512).foreach { chunk =>
+        input.addData(chunk.map { case (u, ts, t) => FunnelEvent(u, ts, t) })
+        q.processAllAvailable()
+      }
+      val lastTs = rows.lastOption.map(_._2.getTime).getOrElse(0L)
+      input.addData(rows.map(_._1).distinct.toSeq
+        .map(u => FunnelEvent(u, new Timestamp(lastTs + 1000L), "__final__")))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(sinkName)
+  }
 }

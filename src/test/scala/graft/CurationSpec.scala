@@ -117,4 +117,34 @@ class CurationSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(t6.contains("someone@example.com")) // redaction skipped
   }
+
+  test("secretScan: entropy flags random-ish keys, spares repeated chars") {
+    val docs = Seq(
+      (1L, "short words only here"),
+      (2L, "prefix abcdefghijklmnopqrst suffix"),
+      (3L, "padding aaaaaaaaaaaaaaaaaaaaaaaa end"),
+      (4L, "also abcdefghijklmnopqrst again")
+    ).toDF("doc_id", "text")
+    val out = Curation.secretScan(docs, "doc_id", "text", minLen = 20,
+      minBits = 3.5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == 3, "three candidate occurrences")
+    val byDoc = out.map(t => t._1 -> t).toMap
+    // 20 distinct chars: H = round(log2(20), 9) -> 4.321928
+    assert(byDoc(2L)._4 == 4.321928 && byDoc(2L)._5)
+    assert(byDoc(4L)._4 == 4.321928 && byDoc(4L)._5, "Zipf join-back")
+    assert(byDoc(3L)._4 == 0.0 && !byDoc(3L)._5, "zero-entropy run")
+  }
+
+  test("secretScan: deterministic across repartitionings") {
+    val docs = (1L to 200L).map(i =>
+      (i, s"t ${java.util.UUID.nameUUIDFromBytes(Array(i.toByte)).toString}"))
+      .toDF("doc_id", "text")
+    val a = Curation.secretScan(docs.repartition(7), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val b = Curation.secretScan(docs.coalesce(1), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }

@@ -238,4 +238,35 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("kTruss: the 4-clique survives k=4, a pendant triangle does not") {
+    // K4 on 1..4 (every edge closes 2 triangles) plus a triangle
+    // 4-5-6 hanging off (each of its edges closes only 1)
+    val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)
+    val pendant = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val out = Graph.kTruss((k4 ++ pendant).toDF("src", "dst"), k = 4,
+      rounds = 2).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == k4.toSet, s"got ${out.keySet}")
+    assert(out.values.forall(_ == 2L), "every K4 edge sits in 2 triangles")
+  }
+
+  test("kTruss: support recount on the final set; orientation-invariant") {
+    val fwd = (for (i <- 1L to 5L; j <- 1L to 5L if i < j) yield (i, j))
+    val a = Graph.kTruss(fwd.toDF("src", "dst"), k = 5, rounds = 2)
+      .collect().map(_.toSeq).toSet
+    val b = Graph.kTruss(fwd.map(_.swap).toDF("src", "dst"), k = 5, rounds = 2)
+      .collect().map(_.toSeq).toSet
+    // K5: every edge in 3 triangles -> 5-truss intact either way
+    assert(a == b && a.size == 10 && a.forall(_(2) == 3L))
+  }
+
+  test("kTruss: deterministic across repartitionings") {
+    val edges = (1L to 90L).map(i => (i, (i * 7) % 90 + 1)) ++
+      (1L to 90L).map(i => (i, (i * 11) % 90 + 1))
+    val a = Graph.kTruss(edges.toDF("src", "dst").repartition(13), k = 3,
+      rounds = 2).collect().map(_.toSeq).toSet
+    val b = Graph.kTruss(edges.toDF("src", "dst").coalesce(1), k = 3,
+      rounds = 2).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

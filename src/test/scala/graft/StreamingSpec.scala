@@ -363,4 +363,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "every real window flushes its FINAL counts")
     assert(got.keys.map(_._1).toSet.size == 3, "three weekly windows")
   }
+
+  test("replayFunnel: strict first-ts chain, order-free state, depth-0 kept") {
+    import org.apache.spark.sql.functions._
+    val base = 1700000000000L
+    val ev = Seq(
+      (1L, base + 1000, "view"), (1L, base + 2000, "click"),
+      (1L, base + 3000, "purchase"),
+      (2L, base + 1000, "click"), (2L, base + 2000, "view"),
+      (3L, base + 500, "signup"),
+      (4L, base + 100, "view"), (4L, base + 100, "click")
+    ).toDF("user_id", "ms", "event_type")
+      .select(col("user_id"), (col("ms") / 1000).cast("timestamp").as("ts"),
+        col("event_type"))
+    val out = graft.streaming.EventStreams.replayFunnel(
+      ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), maxUsers = 100)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((3, 3)), "full funnel")
+    assert(out(2L) == ((1, 2)), "click before view breaks the chain at 1")
+    assert(out(3L) == ((0, 0)), "non-step user emits an explicit zero row")
+    assert(out(4L) == ((1, 2)), "equal timestamps are not a strict rise")
+  }
 }
