@@ -4357,6 +4357,131 @@ object Queries {
              |FROM fo WHERE fetch_order <= 40""".stripMargin)
     )),
 
+    // Sitemap-driven incremental fetch candidates (sitemaps.org
+    // protocol): per-source sitemap XML — built deterministically
+    // from the fixture, then PARSED BACK by the regex layer under
+    // test — yields (loc, lastmod) entries, and only entries touched
+    // after the last cycle's cutoff survive as fetch candidates: the
+    // skip-without-a-request half of incremental sync, applied
+    // before any fetch happens.
+    "q_sitemap_candidates" -> ((
+      (s: SparkSession, dir: String) => {
+        val entry = concat(lit("<url><loc>https://"), col("source"),
+          lit("/d/"), col("doc_id"), lit("</loc><lastmod>"),
+          date_format(date_add(to_date(lit("2024-01-01")),
+            pmod(col("doc_id"), lit(60L)).cast("int")), "yyyy-MM-dd"),
+          lit("</lastmod></url>"))
+        val sm = Tables.documents(s, dir).groupBy(col("source"))
+          .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+            concat_ws("", array_sort(collect_list(entry))),
+            lit("</urlset>")).as("xml"))
+        sm.select(col("source"),
+            explode(Web.sitemapEntries(col("xml"))).as("e"))
+          .select(col("source"), col("e.loc").as("loc"),
+            col("e.lastmod").as("lastmod"))
+          .filter(col("lastmod") >= lit("2024-02-15"))
+      },
+      Some("""WITH en AS (SELECT source,
+             |    '<url><loc>https://' || source || '/d/' || CAST(doc_id AS VARCHAR)
+             |    || '</loc><lastmod>'
+             |    || strftime(DATE '2024-01-01' + CAST(doc_id % 60 AS INTEGER), '%Y-%m-%d')
+             |    || '</lastmod></url>' AS u
+             |  FROM documents),
+             |sm AS (SELECT source, '<?xml version="1.0"?><urlset>'
+             |    || array_to_string(list(u ORDER BY u), '') || '</urlset>' AS xml
+             |  FROM en GROUP BY 1),
+             |p AS (SELECT source,
+             |    unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS u
+             |  FROM sm)
+             |SELECT source, trim(regexp_extract(u, '<loc>(.*?)</loc>', 1)) AS loc,
+             |  trim(regexp_extract(u, '<lastmod>(.*?)</lastmod>', 1)) AS lastmod
+             |FROM p
+             |WHERE trim(regexp_extract(u, '<lastmod>(.*?)</lastmod>', 1)) >= '2024-02-15'""".stripMargin)
+    )),
+
+    // Recrawl scheduling from snapshot churn: two synthetic cycles
+    // with SOURCE-DEPENDENT removal cadence diff through
+    // Delta.snapshotDelta, per-source churn rates (one exact division
+    // of int64 counts) map to daily/weekly/monthly recrawl buckets —
+    // the adaptive-frequency policy every production crawler runs on
+    // top of its frontier (q_crawl_frontier schedules WITHIN a cycle;
+    // this decides which cycle a source next joins).
+    "q_recrawl_schedule" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = d
+          .filter(col("doc_id") % (lit(3L) + (length(col("source")) % 4)
+            .cast("long")) =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 0, upper(col("text")))
+              .otherwise(col("text")))
+        val churn = operators.Delta.churn(
+            oldSnap, newSnap, "doc_id", Seq("text", "source"))
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy("source")
+          .agg(
+            sum(when(col("status") === "added", 1L).otherwise(0L))
+              .as("n_added"),
+            sum(when(col("status") === "removed", 1L).otherwise(0L))
+              .as("n_removed"),
+            sum(when(col("status") === "changed", 1L).otherwise(0L))
+              .as("n_changed"))
+        val base = oldSnap.groupBy("source").agg(count(lit(1)).as("n_old"))
+        val rate = (col("n_added") + col("n_removed") + col("n_changed"))
+          .cast("double") / col("n_old").cast("double")
+        base.join(churn, Seq("source"), "left")
+          .select(col("source"), col("n_old"),
+            coalesce(col("n_added"), lit(0L)).as("n_added"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            coalesce(col("n_changed"), lit(0L)).as("n_changed"))
+          .select(col("source"), col("n_old"), col("n_added"),
+            col("n_removed"), col("n_changed"),
+            round(rate, 6).as("churn_rate"),
+            when(rate >= 0.45, lit("daily"))
+              .when(rate >= 0.257, lit("weekly"))
+              .otherwise(lit("monthly")).as("recrawl"))
+      },
+      Some("""WITH o AS (SELECT doc_id, source,
+             |  md5(CASE WHEN text IS NULL THEN 'n' ELSE 'v' END || chr(1)
+             |      || COALESCE(text, '') || chr(1)
+             |      || CASE WHEN source IS NULL THEN 'n' ELSE 'v' END || chr(1)
+             |      || COALESCE(source, '')) AS old_hash
+             |  FROM documents WHERE doc_id % 7 <> 0),
+             |n AS (SELECT doc_id, source,
+             |  md5(CASE WHEN t2 IS NULL THEN 'n' ELSE 'v' END || chr(1)
+             |      || COALESCE(t2, '') || chr(1)
+             |      || CASE WHEN source IS NULL THEN 'n' ELSE 'v' END || chr(1)
+             |      || COALESCE(source, '')) AS new_hash
+             |  FROM (SELECT doc_id, source,
+             |        CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS t2
+             |        FROM documents
+             |        WHERE doc_id % (3 + length(source) % 4) <> 0)),
+             |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             |  CASE WHEN o.doc_id IS NULL THEN 'added'
+             |       WHEN n.doc_id IS NULL THEN 'removed'
+             |       WHEN old_hash = new_hash THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+             |c AS (SELECT d.source,
+             |    CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) n_added,
+             |    CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) n_removed,
+             |    CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) n_changed
+             |  FROM j JOIN documents d ON d.doc_id = j.doc_id
+             |  WHERE status <> 'unchanged' GROUP BY 1),
+             |b AS (SELECT source, count(*) AS n_old FROM o GROUP BY 1),
+             |r AS (SELECT b.source, b.n_old,
+             |    COALESCE(c.n_added, 0) n_added, COALESCE(c.n_removed, 0) n_removed,
+             |    COALESCE(c.n_changed, 0) n_changed
+             |  FROM b LEFT JOIN c USING (source))
+             |SELECT source, n_old, n_added, n_removed, n_changed,
+             |  round(CAST(n_added + n_removed + n_changed AS DOUBLE) / CAST(n_old AS DOUBLE), 6) AS churn_rate,
+             |  CASE WHEN CAST(n_added + n_removed + n_changed AS DOUBLE) / CAST(n_old AS DOUBLE) >= 0.45 THEN 'daily'
+             |       WHEN CAST(n_added + n_removed + n_changed AS DOUBLE) / CAST(n_old AS DOUBLE) >= 0.257 THEN 'weekly'
+             |       ELSE 'monthly' END AS recrawl
+             |FROM r""".stripMargin)
+    )),
+
     // Crawl politeness, full RFC 9309 core: the User-agent: * group
     // carries BOTH Allow and Disallow rules with REP's wildcards, and
     // the verdict is longest-match precedence (most pattern octets,

@@ -145,6 +145,34 @@ object Soak {
     graft.sources.MediaFixture.mjpegAviBytes(w, h, frames)
   }
 
+  /** Animated GIF for the LZW video soak — same clique/copy design as
+    * [[soakMjpeg]] (clique-seeded gray per dHash-grid cell, one
+    * copy-tweaked cell per frame), through the root-codes-only
+    * encoder, so candidates land in per-clique buckets and the LZW
+    * decoder runs over ~real-sized frames map-side. */
+  private[graft] def soakGif(id: Long): Array[Byte] = {
+    val clique = id / 10; val copy = (id % 10).toInt
+    val w = 96; val h = 64
+    val frames = (0 until 6).map { f => (x: Int, y: Int) =>
+      val bx = x / 12; val by = y / 8
+      val base = 20 +
+        ((mix(clique * 131071L + f * 257L + by * 8 + bx) >>> 56).toInt * 3) / 4
+      val patch = if (bx == (copy + f) % 8 && by == (copy + 2 * f) % 8) 24 else 0
+      math.min(255, base + patch)
+    }
+    graft.sources.MediaFixture.gifAnimBytes(w, h, frames)
+  }
+
+  /** DTMF dial WAV for the demodulation soak: 6 id-derived keys per
+    * recording from the full 16-key pad. */
+  private[graft] def soakDial(id: Long): Array[Byte] = {
+    val pad = "123456789*0#ABCD"
+    val digits = (0 until 6).map { i =>
+      pad(((mix(id * 31 + i) >>> 40) & 15).toInt)
+    }.mkString
+    graft.sources.MediaFixture.dtmfWav(digits)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_soak"
@@ -752,6 +780,68 @@ object Soak {
           .map(id => Multimodal.MediaBlob(id, "avi", soakMjpeg(id)))
         Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
           minMatchingFrames = 4)
+      },
+      run("chrf") {
+        // char-gram F at 10x: 50k pairs through the pre-partitioned
+        // exchange-free plan — the only shuffle is 2 rows per pair
+        val prs = docs10
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            concat(concat_ws(" ",
+              expr("slice(ws, 1, greatest((size(ws)*4) div 5, 1))")),
+              lit(" zqx zqy")).as("cand"),
+            col("text").as("ref"))
+        Eval.chrF(prs, "doc_id", "cand", "ref")
+      },
+      run("ktruss_peel") {
+        // 500k edges / 50k nodes, 2 peel rounds + final recount: three
+        // degree-oriented triangle enumerations, wedge fan-out bounded
+        // by the low-degree endpoints
+        val spark2 = docs10.sparkSession
+        val e = spark2.range(500000)
+          .selectExpr("id * 7 % 50000 AS src", "id * 11 % 50000 AS dst")
+        Graph.kTruss(e, k = 4, rounds = 2)
+      },
+      run("secret_scan") {
+        // credential scan at 10x: 50k docs, ~3.8k planted hex keys;
+        // entropy per DISTINCT candidate then join-back (Zipf shape)
+        val marked = docs10.select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(13L)) === 0,
+              concat(lit(" sk_"), md5(col("doc_id").cast("string"))))
+              .otherwise(lit(""))).as("text"))
+        Curation.secretScan(marked, "doc_id", "text")
+      },
+      run("crawl_frontier") {
+        // politeness scheduling at 10x: 50k candidates, 2000/domain,
+        // 10k cycle budget — domain-keyed window + TakeOrdered cut
+        val cand = docs10.select(
+          concat(lit("https://"), col("source"), lit("/d/"), col("doc_id"))
+            .as("url"),
+          col("source").as("domain"), length(col("text")).as("priority"),
+          col("doc_id"))
+        Pipeline.crawlFrontier(cand, "url", "domain", "priority", "doc_id",
+          perDomainCap = 2000, cycleCapacity = 10000, crawlDelayS = 5)
+      },
+      run("gif_video_near_dup") {
+        // 600 animated GIFs (LZW frames) in 60 cliques of 10 — the
+        // third video container through the same frame-indexed
+        // pigeonhole; GIF bytes never shuffle
+        val spark2 = docs10.sparkSession
+        import spark2.implicits._
+        val blobs = spark2.range(600).repartition(32)
+          .map(id => Multimodal.MediaBlob(id, "gif", soakGif(id)))
+        Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
+          minMatchingFrames = 4)
+      },
+      run("dtmf_decode") {
+        // 600 dial recordings demodulated map-side; only (id, digits)
+        // rows leave the scan
+        val spark2 = docs10.sparkSession
+        import spark2.implicits._
+        val blobs = spark2.range(600).repartition(32)
+          .map(id => Multimodal.MediaBlob(id, "wav", soakDial(id)))
+        Dtmf.audioDtmf(blobs)
       })
 
     val total = results.map(_._2).sum

@@ -380,4 +380,21 @@ object Web {
           .otherwise(col("__t2")))
       .drop("__t2", "__t3", "__t4", "__tld", "psl_suffix", "psl3_suffix")
   }
+
+  /** Parse an XML sitemap (sitemaps.org protocol) into its url
+    * entries: array of (loc, lastmod) structs, empty lastmod when the
+    * optional tag is absent. Same engine-portable regex subset as the
+    * rest of this layer (non-greedy groups, no lookaround), `(?s)` so
+    * pretty-printed multi-line sitemaps parse too — feeds the
+    * incremental-fetch planner: entries with lastmod past the last
+    * cycle's cutoff become next cycle's candidates, everything else
+    * is skipped without a request (the fetch half of the reference's
+    * incremental-sync economics, applied before any fetch happens). */
+  def sitemapEntries(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?s)<url>(.*?)</url>"), lit(1)),
+      u => struct(
+        trim(regexp_extract(u, "(?s)<loc>(.*?)</loc>", 1)).as("loc"),
+        trim(regexp_extract(u, "(?s)<lastmod>(.*?)</lastmod>", 1))
+          .as("lastmod")))
 }

@@ -493,8 +493,7 @@ object Graph {
     * edges, and the support aggregation + semi-join filter are both
     * (a, b)-keyed. Per-round shuffles carry edge pairs and triangle
     * triples only — never adjacency lists. */
-  def kTruss(edges: DataFrame, k: Int, rounds: Int = 3,
-             checkpointInterval: Int = 2): DataFrame = {
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3 (k-2 >= 1)")
     require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of range")
     import graft.core.Checkpoints
@@ -513,20 +512,21 @@ object Graph {
       edges.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b")).distinct())
+    // checkpoint EVERY round: `cur` is referenced twice per round
+    // (inside support() and as the semi-join's left side) and the
+    // per-reference cost is a full triangle enumeration — a lazy
+    // chain re-derives 2^rounds times (the q_hits lesson; measured
+    // 67.6 → see BASELINE round-10 notes on the 500k-edge soak graph)
     var cur = e0
     var curIds = Seq.empty[Int]
-    for (r <- 1 to rounds) {
+    for (_ <- 1 to rounds) {
       val keep = support(cur).filter(col("support") >= k - 2)
         .select("a", "b")
-      val next = cur.join(keep, Seq("a", "b"), "left_semi")
-      if (r % checkpointInterval == 0 && r < rounds) {
-        val (ck, ckIds) = Checkpoints.eager(next)
-        Checkpoints.free(cur, curIds)
-        cur = ck
-        curIds = ckIds
-      } else {
-        cur = next
-      }
+      val (ck, ckIds) = Checkpoints.eager(
+        cur.join(keep, Seq("a", "b"), "left_semi"))
+      Checkpoints.free(cur, curIds)
+      cur = ck
+      curIds = ckIds
     }
     cur.join(support(cur), Seq("a", "b"), "left")
       .select(col("a"), col("b"),

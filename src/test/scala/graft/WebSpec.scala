@@ -260,4 +260,26 @@ class WebSpec extends SparkSpec {
       "bot")
     assert(rules === Seq(("/x", false), ("/x/y", true)))
   }
+
+  test("sitemapEntries: url blocks parse to (loc, lastmod); absent lastmod empty") {
+    import org.apache.spark.sql.functions._
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>https://a/x</loc><lastmod>2024-03-01</lastmod></url>" +
+      "<url><loc> https://a/y </loc></url>" +
+      "<url>\n  <loc>https://a/z</loc>\n  <lastmod>2023-12-31</lastmod>\n</url>" +
+      "</urlset>"
+    val out = Seq(xml).toDF("xml")
+      .select(explode(Web.sitemapEntries(col("xml"))).as("e"))
+      .select(col("e.loc"), col("e.lastmod"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.length == 3)
+    assert(out(0) == (("https://a/x", "2024-03-01")))
+    assert(out(1) == (("https://a/y", "")), "trimmed loc; absent lastmod empty")
+    assert(out(2) == (("https://a/z", "2023-12-31")), "multi-line url block")
+    // no url blocks -> empty array, not a null/throw
+    val empty = Seq("<urlset></urlset>").toDF("xml")
+      .select(size(Web.sitemapEntries(col("xml"))).as("n"))
+      .collect().head.getInt(0)
+    assert(empty == 0)
+  }
 }
