@@ -5766,6 +5766,60 @@ object Queries {
       }
     )),
 
+    // Poisson-bootstrap CI on the corpus mean quality score (the
+    // big-data bootstrap — Chamandy et al. 2012): 40 one-pass
+    // resamples via integer inverse-CDF Poisson(1) weights on the
+    // boot_-salted md5 draw (no float boundary in the draw; tail
+    // truncated at w=5, named), scores fixed-pointed to 1e-6 at
+    // birth so every replicate sum commutes exactly; the interval is
+    // exact order statistics (2nd and 39th of the sorted 40 means).
+    "q_bootstrap_ci" -> ((
+      (s: SparkSession, dir: String) => {
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.qualityScore(col("text"))
+            .as("score"))
+        operators.Eval.bootstrapCI(scored, "doc_id", "score",
+          replicates = 40, loIdx = 2, hiIdx = 39)
+      },
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH c AS (SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           |  CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS BIGINT) AS nstop,
+           |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nalpha,
+           |  CAST(length(text) AS BIGINT) AS nchars
+           |FROM documents),
+           |sc AS (SELECT doc_id,
+           |  CAST(4 * least(ntok, 100) * ntok * nchars + 300 * nstop * nchars
+           |       + 300 * nalpha * ntok AS DOUBLE)
+           |  / CAST(1000 * ntok * nchars AS DOUBLE) AS score
+           |FROM c),
+           |x AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+           |  CAST(round(score * 1000000, 0) AS BIGINT) AS x FROM sc),
+           |r AS (SELECT bs.b, x.id, x.x,
+           |    CAST('0x' || substr(md5('boot_' || bs.b || '_' || x.id), 1, 8) AS BIGINT) AS h
+           |  FROM x CROSS JOIN (SELECT unnest(range(40)) AS b) bs),
+           |w AS (SELECT b, x,
+           |    CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
+           |         WHEN h < 3950075421 THEN 2 WHEN h < 4213413783 THEN 3
+           |         WHEN h < 4279248373 THEN 4 ELSE 5 END AS w
+           |  FROM r),
+           |m AS (SELECT b,
+           |    CASE WHEN sum(w) > 0 THEN
+           |      CAST(sum(w * x) AS DOUBLE) / (CAST(sum(w) AS DOUBLE) * 1000000.0)
+           |    ELSE 0.0 END AS mean_b
+           |  FROM w GROUP BY 1),
+           |p AS (SELECT CAST(sum(x) AS DOUBLE)
+           |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS point FROM x),
+           |ms AS (SELECT list_sort(list(mean_b)) AS l FROM m)
+           |SELECT CAST(40 AS INTEGER) AS b_replicates,
+           |  round(p.point, 6) AS point_est,
+           |  round(ms.l[2], 6) AS ci_lo, round(ms.l[39], 6) AS ci_hi
+           |FROM ms CROSS JOIN p""".stripMargin
+      }
+    )),
+
     // Best-of-N rejection sampling (RFT / Llama-2-RS): per prompt
     // bucket, the single top-reward candidate under the (score, id)
     // total order, with the acceptance gate at 0.55 and the group's

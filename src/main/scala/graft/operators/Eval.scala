@@ -540,6 +540,69 @@ object Eval {
           .otherwise(lit(0.0)).as("kappa"))
   }
 
+  /** Poisson-bootstrap confidence interval (the big-data bootstrap:
+    * Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google 2012): every (replicate, row) pair draws an
+    * INDEPENDENT Poisson(1) weight, so B resamples need one pass and
+    * no sampling-with-replacement shuffle — the standard way to put
+    * error bars on a corpus-level metric (mean quality, mean reward)
+    * at any scale. Returns ONE row: (b_replicates, point_est, ci_lo,
+    * ci_hi), the interval being exact order statistics of the B
+    * replicate means at the given 1-based sorted indexes.
+    *
+    * Determinism, three layers:
+    *  - weights come from integer inverse-CDF thresholds on the
+    *    salted 32-bit md5 hash (the [[Sampling.hash32]] draw): the
+    *    cumulative Poisson(1) probabilities ×2^32, compared as plain
+    *    int64 — no float boundary anywhere in the draw. The tail is
+    *    TRUNCATED at w=5 (P ≈ 0.37% of rows absorb it — named, and
+    *    identical in both engines by the same thresholds);
+    *  - `value` is fixed-pointed to 1e-6 resolution AT BIRTH
+    *    (round → int64), so Σ w·x commutes exactly; int64-safe to
+    *    ~1.8e12 row-replicates at |value| ≤ 1 (the q_chi2 bound
+    *    style);
+    *  - each replicate mean is two IEEE ops on exact integers, and
+    *    the CI picks from the SORTED B-element list — bounded model
+    *    state (B ≈ 40), the k-center argument.
+    *
+    * Scale shape: the replicate explode multiplies rows ×B map-side,
+    * but partial aggregation reduces each partition to B (sum, count)
+    * pairs before the exchange — the shuffle carries B·partitions
+    * tiny rows regardless of corpus size. */
+  def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+                  replicates: Int = 40, loIdx: Int = 2,
+                  hiIdx: Int = 39): DataFrame = {
+    require(replicates >= 4 && loIdx >= 1 && hiIdx <= replicates &&
+      loIdx < hiIdx, "need sane replicate/index configuration")
+    // cumulative Poisson(1) CDF × 2^32, floored: P(<=0..4), tail -> 5
+    val th = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L)
+    val base = df.select(col(idCol).cast("string").as("id"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("x"))
+    val rep = base.select(col("id"), col("x"),
+      explode(expr(s"sequence(0, ${replicates - 1})")).as("b"))
+    val h = Sampling.hash32(
+      concat(col("b").cast("string"), lit("_"), col("id")), "boot_")
+    val w = th.zipWithIndex.foldRight(lit(5L): Column) {
+      case ((t, i), rest) => when(h < t, i.toLong).otherwise(rest)
+    }
+    val means = rep.withColumn("w", w)
+      .groupBy("b")
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .select(when(col("sw") > 0,
+        col("swx").cast("double") / (col("sw").cast("double") * 1e6))
+        .otherwise(lit(0.0)).as("mean_b"))
+    val point = base.agg(
+      (sum(col("x")).cast("double") /
+        (count(lit(1)).cast("double") * 1e6)).as("point"))
+    means.agg(sort_array(collect_list(col("mean_b"))).as("ms"))
+      .crossJoin(point)
+      .select(lit(replicates).as("b_replicates"),
+        round(col("point"), 6).as("point_est"),
+        round(element_at(col("ms"), loIdx), 6).as("ci_lo"),
+        round(element_at(col("ms"), hiIdx), 6).as("ci_hi"))
+  }
+
   /** chrF (Popović, WMT 2015): character n-gram F-score over
     * (candidate, reference) pairs — the tokenization-free member of
     * the generation-eval family ([[bleuRouge]] scores word n-grams;

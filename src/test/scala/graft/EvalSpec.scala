@@ -14,6 +14,27 @@ class EvalSpec extends SparkSpec {
     assert(r.getDouble(9) == 1.0)
   }
 
+  test("bootstrapCI: constant metric collapses the interval onto the point") {
+    // every replicate mean of a constant equals the constant, whatever
+    // the Poisson weights drew — the interval MUST be degenerate
+    val df = (1L to 500L).map(i => (i, 0.25)).toDF("id", "v")
+    val r = Eval.bootstrapCI(df, "id", "v", replicates = 40).collect().head
+    assert(r.getInt(0) == 40)
+    assert(r.getDouble(1) == 0.25 && r.getDouble(2) == 0.25 &&
+      r.getDouble(3) == 0.25)
+  }
+
+  test("bootstrapCI: interval brackets the point; deterministic") {
+    val df = (1L to 1000L).map(i => (i, (i % 97).toDouble / 97.0))
+      .toDF("id", "v")
+    val a = Eval.bootstrapCI(df, "id", "v").collect().head
+    assert(a.getDouble(2) <= a.getDouble(1) && a.getDouble(1) <= a.getDouble(3),
+      s"ci_lo <= point <= ci_hi: $a")
+    assert(a.getDouble(3) - a.getDouble(2) < 0.05, "tight at n=1000")
+    val b = Eval.bootstrapCI(df.repartition(7), "id", "v").collect().head
+    assert(a == b, "repartitioning cannot move a single replicate mean")
+  }
+
   test("chrF: identical pair scores 1.0; whitespace is invisible") {
     val pairs = Seq((1L, "the cat", "the cat"), (2L, "th e cat", "thecat"))
       .toDF("id", "cand", "ref")
