@@ -2927,6 +2927,152 @@ object Queries {
              |FROM p GROUP BY doc_id""".stripMargin)
     )),
 
+    // Min-K% prob membership inference (Shi et al. 2023) over the KN
+    // bigram LM: the mean of each doc's lowest 20% bigram
+    // probabilities — docs the LM was FIT on (doc_id % 10 = 0) have
+    // few low-prob bigrams and score high; the member flag is the
+    // scale-free above-corpus-mean rule in pure int64. `ps` is
+    // already the sorted collect, so min-k is a slice of the same
+    // fold q_kn_lm_score pins.
+    "q_min_k_prob" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val model = operators.NgramLM.fitKN(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+        operators.NgramLM.minKProb(docs, "doc_id", "text", model,
+          kPct = 20)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |iw AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) i FROM w WHERE len(ws) >= 2),
+             |bg AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2 FROM iw),
+             |c12 AS (SELECT w1, w2, count(*) c12 FROM bg WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+             |cx AS (SELECT w1, sum(c12) c1, count(*) n1f FROM c12 GROUP BY 1),
+             |cn AS (SELECT w2, count(*) n1p FROM c12 GROUP BY 1),
+             |nt AS (SELECT count(*) nt FROM c12),
+             |v AS (SELECT count(DISTINCT tok) v FROM (SELECT unnest(ws) tok FROM w WHERE doc_id % 10 = 0)),
+             |p AS (SELECT bg.doc_id,
+             |  CASE WHEN cx.c1 IS NOT NULL THEN
+             |    greatest(CAST(COALESCE(c12.c12, 0) AS DOUBLE) - 0.75, 0.0) / CAST(cx.c1 AS DOUBLE)
+             |    + (0.75 * CAST(cx.n1f AS DOUBLE) / CAST(cx.c1 AS DOUBLE)) *
+             |      COALESCE(CAST(cn.n1p AS DOUBLE) / CAST(nt.nt AS DOUBLE), 1.0 / CAST(nt.nt + v.v AS DOUBLE))
+             |  ELSE COALESCE(CAST(cn.n1p AS DOUBLE) / CAST(nt.nt AS DOUBLE), 1.0 / CAST(nt.nt + v.v AS DOUBLE))
+             |  END AS p
+             |  FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN cx USING (w1) LEFT JOIN cn USING (w2)
+             |  CROSS JOIN nt CROSS JOIN v),
+             |g AS (SELECT doc_id, count(*) AS n_bigrams,
+             |    list_sort(list(p)) AS l FROM p GROUP BY 1),
+             |m AS (SELECT doc_id, n_bigrams,
+             |    (n_bigrams * 20 + 99) // 100 AS k,
+             |    list_sum(l[1 : CAST((n_bigrams * 20 + 99) // 100 AS INTEGER)]) AS s
+             |  FROM g),
+             |m2 AS (SELECT doc_id, n_bigrams, k,
+             |    s / CAST(k AS DOUBLE) AS mk,
+             |    CAST(round((s / CAST(k AS DOUBLE)) * 1000000, 0) AS BIGINT) AS mk_int
+             |  FROM m),
+             |tot AS (SELECT CAST(sum(mk_int) AS BIGINT) AS s_total,
+             |    count(*) AS n_total FROM m2)
+             |SELECT doc_id, n_bigrams, CAST(k AS BIGINT) AS k,
+             |  round(mk, 6) AS min_k_avg,
+             |  mk_int * n_total > s_total AS member
+             |FROM m2 CROSS JOIN tot""".stripMargin)
+    )),
+
+    // LLM watermark detection (Kirchenbauer et al. 2023, the red/green
+    // list scheme): a watermarked generator biases each token toward
+    // the "green" quarter of the vocabulary keyed by its predecessor;
+    // the detector needs only the hash rule — per doc, count adjacent
+    // pairs whose wm_-salted hash lands green (h % 4 = 0, gamma=1/4)
+    // and z-score the excess. Natural text hovers near z=0; the flag
+    // at z > 2.5 marks the ~0.6% upper tail (both engines flag the
+    // SAME docs — integer counts, exact 0.25*n, one correctly-rounded
+    // sqrt, one division).
+    "q_watermark_detect" -> ((
+      (s: SparkSession, dir: String) => {
+        val pairs = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ws) - 1), " +
+              "i -> concat_ws(char(1), element_at(ws, CAST(i AS INT)), " +
+              "element_at(ws, CAST(i AS INT) + 1)))")).as("pair"))
+        val h = operators.Sampling.hash32(col("pair"), "wm_")
+        val agg = pairs
+          .select(col("doc_id"), (pmod(h, lit(4L)) === 0).as("green"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("green"), 1L).otherwise(0L)).as("n_green"))
+        val z = (col("n_green").cast("double") -
+          lit(0.25) * col("n_pairs").cast("double")) /
+          sqrt(col("n_pairs").cast("double") * 0.25 * 0.75)
+        agg.select(col("doc_id"), col("n_pairs"), col("n_green"),
+          round(z, 6).as("z"), (z > 2.5).as("watermarked"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |pr AS (SELECT doc_id,
+             |    unnest([ws[i] || chr(1) || ws[i+1] for i in range(1, len(ws))]) AS pair
+             |  FROM w WHERE len(ws) >= 2),
+             |g AS (SELECT doc_id, count(*) AS n_pairs,
+             |    CAST(sum(CASE WHEN CAST('0x' || substr(md5('wm_' || pair), 1, 8) AS BIGINT) % 4 = 0
+             |        THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+             |  FROM pr GROUP BY 1)
+             |SELECT doc_id, n_pairs, n_green,
+             |  round((CAST(n_green AS DOUBLE) - 0.25 * CAST(n_pairs AS DOUBLE))
+             |    / sqrt(CAST(n_pairs AS DOUBLE) * 0.25 * 0.75), 6) AS z,
+             |  (CAST(n_green AS DOUBLE) - 0.25 * CAST(n_pairs AS DOUBLE))
+             |    / sqrt(CAST(n_pairs AS DOUBLE) * 0.25 * 0.75) > 2.5 AS watermarked
+             |FROM g""".stripMargin)
+    )),
+
+    // Distinct-n diversity (Li et al. 2016): per prompt bucket, the
+    // distinct-to-total unigram and bigram ratios over the pooled
+    // candidate texts — the standard mode-collapse check on sampled
+    // generations (all-identical candidates crater distinct-n while
+    // per-candidate quality stays high). Exact integer counts, one
+    // division each.
+    "q_distinct_n" -> ((
+      (s: SparkSession, dir: String) => {
+        val toks = Tables.documents(s, dir)
+          .select(pmod(col("doc_id"), lit(100L)).as("prompt_id"),
+            split(col("text"), " ").as("ws"))
+        val uni = toks.select(col("prompt_id"), explode(col("ws")).as("g"))
+          .groupBy("prompt_id")
+          .agg(count(lit(1)).as("n_uni"),
+            countDistinct(col("g")).as("d_uni"))
+        val bi = toks.filter(size(col("ws")) >= 2)
+          .select(col("prompt_id"), explode(expr(
+            "transform(sequence(1, size(ws) - 1), " +
+              "i -> concat_ws(char(1), element_at(ws, CAST(i AS INT)), " +
+              "element_at(ws, CAST(i AS INT) + 1)))")).as("g"))
+          .groupBy("prompt_id")
+          .agg(count(lit(1)).as("n_bi"), countDistinct(col("g")).as("d_bi"))
+        uni.join(bi, Seq("prompt_id"), "left")
+          .select(col("prompt_id"), col("n_uni"), col("d_uni"),
+            coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+            coalesce(col("d_bi"), lit(0L)).as("d_bi"),
+            round(col("d_uni").cast("double") /
+              col("n_uni").cast("double"), 6).as("distinct1"),
+            when(coalesce(col("n_bi"), lit(0L)) > 0,
+              round(col("d_bi").cast("double") /
+                col("n_bi").cast("double"), 6)).otherwise(lit(0.0))
+              .as("distinct2"))
+      },
+      Some("""WITH t AS (SELECT doc_id % 100 AS prompt_id, string_split(text, ' ') ws FROM documents),
+             |u AS (SELECT prompt_id, count(*) AS n_uni,
+             |    count(DISTINCT g) AS d_uni
+             |  FROM (SELECT prompt_id, unnest(ws) g FROM t) GROUP BY 1),
+             |b AS (SELECT prompt_id, count(*) AS n_bi, count(DISTINCT g) AS d_bi
+             |  FROM (SELECT prompt_id,
+             |      unnest([ws[i] || chr(1) || ws[i+1] for i in range(1, len(ws))]) g
+             |    FROM t WHERE len(ws) >= 2) GROUP BY 1)
+             |SELECT u.prompt_id, u.n_uni, u.d_uni,
+             |  COALESCE(b.n_bi, 0) AS n_bi, COALESCE(b.d_bi, 0) AS d_bi,
+             |  round(CAST(u.d_uni AS DOUBLE) / CAST(u.n_uni AS DOUBLE), 6) AS distinct1,
+             |  CASE WHEN COALESCE(b.n_bi, 0) > 0 THEN
+             |    round(CAST(b.d_bi AS DOUBLE) / CAST(b.n_bi AS DOUBLE), 6)
+             |  ELSE 0.0 END AS distinct2
+             |FROM u LEFT JOIN b USING (prompt_id)""".stripMargin)
+    )),
+
     // Multinomial naive Bayes language routing: priors + add-one token
     // likelihoods fit on the doc_id % 10 == 0 slice, argmax posterior
     // per document. The corpus shares ONE vocabulary across langs, so

@@ -133,8 +133,12 @@ object NgramLM {
     * Scale shape identical to [[score]]: three equi-joins against
     * vocabulary-sized count tables (AQE broadcasts them when small) +
     * one per-doc aggregation. */
-  def scoreKN(docs: DataFrame, idCol: String, textCol: String,
-              model: KNModel, discount: Double = 0.75): DataFrame = {
+  /** Shared KN per-doc kernel: (id, n_bigrams, ps) with `ps` the
+    * doc's bigram probabilities collected SORTED ascending — the
+    * deterministic fold order for [[scoreKN]]'s mean and, for free,
+    * exactly the prefix [[minKProb]] needs. */
+  private def knDocProbs(docs: DataFrame, idCol: String, textCol: String,
+                         model: KNModel, discount: Double): DataFrame = {
     val d = lit(discount)
     val pcont: Column = coalesce(
       col("n1p").cast("double") / lit(model.nTypes).cast("double"),
@@ -152,9 +156,52 @@ object NgramLM {
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         sort_array(collect_list(col("p"))).as("ps"))
+  }
+
+  def scoreKN(docs: DataFrame, idCol: String, textCol: String,
+              model: KNModel, discount: Double = 0.75): DataFrame =
+    knDocProbs(docs, idCol, textCol, model, discount)
       .select(col("id").as(idCol), col("n_bigrams"),
         round(expr("aggregate(ps, cast(0 as double), (acc, x) -> acc + x)") /
           col("n_bigrams").cast("double"), 6).as("avg_kn_prob"))
+
+  /** Min-K% prob membership inference (Shi et al., "Detecting
+    * Pretraining Data from Large Language Models", 2023): a document
+    * the model trained on has FEW low-probability tokens, so the mean
+    * of its lowest k% token probabilities separates members from
+    * non-members far better than the overall mean (which common
+    * high-probability tokens dominate). Here over the [[fitKN]]
+    * bigram LM: per doc, the lowest ceil(kPct%) of its KN bigram
+    * probabilities — `ps` is already collected sorted, so the tail
+    * is a slice — averaged by one exact division. `member` flags
+    * docs whose score exceeds the CORPUS MEAN of the scores (the
+    * paper thresholds on a validation split; a data pipeline has no
+    * labels, and the above-mean rule is scale-free): the comparison
+    * is mk_int·N > Σ mk_int on 1e-6 fixed-pointed scores — pure
+    * int64, no float boundary, no division (int64-safe to ~9e12
+    * docs at score ≤ 1, named).
+    *
+    * Scale shape identical to [[scoreKN]]: three vocab-keyed joins +
+    * one doc-keyed aggregation (the corpus-total side is a 1-row
+    * broadcast); per-doc state is the doc's own bigram list, bounded
+    * by document length. */
+  def minKProb(docs: DataFrame, idCol: String, textCol: String,
+               model: KNModel, discount: Double = 0.75,
+               kPct: Int = 20): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, "kPct must be in [1, 100]")
+    val scored = knDocProbs(docs, idCol, textCol, model, discount)
+      .withColumn("k",
+        expr(s"(n_bigrams * $kPct + 99) div 100").cast("long"))
+      .withColumn("mk",
+        expr("aggregate(slice(ps, 1, CAST(k AS INT)), cast(0 as double), " +
+          "(acc, x) -> acc + x)") / col("k").cast("double"))
+      .withColumn("mk_int", round(col("mk") * 1e6, 0).cast("long"))
+    val totals = scored.agg(sum(col("mk_int")).as("s_total"),
+      count(lit(1)).as("n_total"))
+    scored.crossJoin(org.apache.spark.sql.functions.broadcast(totals))
+      .select(col("id").as(idCol), col("n_bigrams"), col("k"),
+        round(col("mk"), 6).as("min_k_avg"),
+        (col("mk_int") * col("n_total") > col("s_total")).as("member"))
   }
 
   /** PMI collocation mining (phrase detection): the top-k adjacent
