@@ -834,6 +834,38 @@ object Soak {
         Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
           minMatchingFrames = 4)
       },
+      run("bootstrap_ci") {
+        // Poisson bootstrap at 10x: 50k docs x 40 replicates explode
+        // map-side; partial agg reduces the exchange to B-per-partition
+        val scored = docs10.select(col("doc_id"),
+          graft.functions.TextAnalysis.qualityScore(col("text")).as("s"))
+        Eval.bootstrapCI(scored, "doc_id", "s", replicates = 40)
+      },
+      run("watermark_detect") {
+        // green-list z-scores at 10x: pair hash + two counts per doc,
+        // one doc-keyed aggregation
+        val pairs = docs10
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ws) - 1), " +
+              "i -> concat_ws(char(1), element_at(ws, CAST(i AS INT)), " +
+              "element_at(ws, CAST(i AS INT) + 1)))")).as("pair"))
+        val h = Sampling.hash32(col("pair"), "wm_")
+        pairs.select(col("doc_id"), (pmod(h, lit(4L)) === 0).as("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), sum(when(col("g"), 1L).otherwise(0L))
+            .as("ng"))
+      },
+      run("min_k_prob") {
+        // membership inference at 10x: the KN joins + the min-k slice
+        // of the sorted per-doc fold, corpus-mean flag via one 1-row
+        // broadcast
+        val model = NgramLM.fitKN(
+          docs10.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text")
+        NgramLM.minKProb(docs10, "doc_id", "text", model)
+      },
       run("dtmf_decode") {
         // 600 dial recordings demodulated map-side; only (id, digits)
         // rows leave the scan
