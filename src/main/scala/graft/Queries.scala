@@ -6450,6 +6450,80 @@ object Queries {
              |FROM cand JOIN e USING (token)""".stripMargin)
     )),
 
+    // Cohen's kappa — the two-rater member completing the agreement
+    // family (Fleiss = n raters, Krippendorff = arbitrary
+    // missingness). Rater B agrees with rater A (the lang field) 70%
+    // of the time and answers an id-derived class otherwise; every
+    // 97th item drops to NULL, exercising the explicit exclusion
+    // count. Marginal products exact int64; po/pe one division each.
+    "q_cohens_kappa" -> ((
+      (s: SparkSession, dir: String) => {
+        val p = Tables.documents(s, dir).select(col("lang").as("a"),
+          when(pmod(col("doc_id"), lit(97L)) === 0,
+            lit(null).cast("string"))
+            .when(pmod(col("doc_id") * 13, lit(10L)) < 7, col("lang"))
+            .otherwise(concat(lit("l"), pmod(col("doc_id"), lit(4L))))
+            .as("b"))
+        operators.Eval.cohensKappa(p, "a", "b")
+      },
+      Some("""WITH p AS (SELECT lang AS a,
+             |  CASE WHEN doc_id % 97 = 0 THEN NULL
+             |       WHEN (doc_id * 13) % 10 < 7 THEN lang
+             |       ELSE 'l' || CAST(doc_id % 4 AS VARCHAR) END AS b
+             |  FROM documents),
+             |v AS (SELECT a, b FROM p WHERE a IS NOT NULL AND b IS NOT NULL),
+             |ag AS (SELECT count(*) AS n_items,
+             |  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree FROM v),
+             |ma AS (SELECT a AS c, count(*) AS na FROM v GROUP BY 1),
+             |mb AS (SELECT b AS c, count(*) AS nb FROM v GROUP BY 1),
+             |pe AS (SELECT CAST(sum(COALESCE(na, 0) * COALESCE(nb, 0)) AS BIGINT) AS pe_num
+             |  FROM ma FULL OUTER JOIN mb USING (c)),
+             |dr AS (SELECT count(*) AS n_dropped FROM p WHERE a IS NULL OR b IS NULL)
+             |SELECT n_items, n_dropped,
+             |  round(CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE), 6) AS po,
+             |  round(CAST(pe_num AS DOUBLE) / CAST(n_items * n_items AS DOUBLE), 6) AS pe,
+             |  CASE WHEN CAST(pe_num AS DOUBLE) / CAST(n_items * n_items AS DOUBLE) < 1.0 THEN
+             |    round((CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE)
+             |        - CAST(pe_num AS DOUBLE) / CAST(n_items * n_items AS DOUBLE))
+             |      / (1.0 - CAST(pe_num AS DOUBLE) / CAST(n_items * n_items AS DOUBLE)), 6)
+             |  ELSE 0.0 END AS kappa
+             |FROM ag CROSS JOIN pe CROSS JOIN dr""".stripMargin)
+    )),
+
+    // Zipf-law fit — the rank-side power law pairing q_vocab_coverage's
+    // Heaps curve: least-squares ln(freq)-on-ln(rank) over the top 500
+    // ranks (TakeOrdered, never a global sort); each ln rounds to 9 at
+    // birth and all regression sums are rank-ordered folds over the
+    // bounded top-R terms, so slope/intercept compose deterministic
+    // doubles.
+    "q_zipf_fit" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.zipfFit(Tables.documents(s, dir), "text",
+          topR = 500),
+      Some("""WITH f AS (SELECT w, count(*) AS f FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE w <> '' GROUP BY 1),
+             |t AS (SELECT w, f, row_number() OVER (ORDER BY f DESC, w ASC) AS r
+             |  FROM f QUALIFY r <= 500),
+             |l AS (SELECT r, round(ln(CAST(r AS DOUBLE)), 9) AS x,
+             |    round(ln(CAST(f AS DOUBLE)), 9) AS y FROM t),
+             |s AS (SELECT count(*) AS n,
+             |    list_sum(list(x ORDER BY r)) AS sx,
+             |    list_sum(list(y ORDER BY r)) AS sy,
+             |    list_sum(list(x * x ORDER BY r)) AS sxx,
+             |    list_sum(list(x * y ORDER BY r)) AS sxy
+             |  FROM l)
+             |SELECT CAST(n AS BIGINT) AS n_ranks,
+             |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0 THEN
+             |    round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             |      / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) END AS slope,
+             |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0 THEN
+             |    round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+             |        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             |      / CAST(n AS DOUBLE), 6) END AS intercept
+             |FROM s""".stripMargin)
+    )),
+
     // Fleiss' kappa inter-annotator agreement: items are groups of 6
     // consecutive doc_ids, each "rating" picks the item's own class
     // 70% of the time (agreement signal) and an id-derived class

@@ -540,6 +540,39 @@ object Eval {
           .otherwise(lit(0.0)).as("kappa"))
   }
 
+  /** Cohen's kappa (1960) — the PAIRWISE member completing the
+    * agreement family ([[fleissKappa]] handles n raters on a shared
+    * nominal scale, Krippendorff's alpha arbitrary missingness;
+    * Cohen's is the two-rater standard every labeling pipeline
+    * reports first). po = agreement fraction, pe = Σ_c pA(c)·pB(c)
+    * chance agreement from the raters' OWN marginals, κ =
+    * (po − pe)/(1 − pe). All numerators exact int64 (marginal
+    * products ≤ n² — the q_chi2 bound); po and pe are one division
+    * each, κ composes the unrounded pair, round-6 at output;
+    * pe = 1 (a constant pair of raters) pins κ = 0, never NaN.
+    * Items where either label is NULL are EXCLUDED and counted. */
+  def cohensKappa(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val valid = pairs.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val agree = valid.agg(count(lit(1)).as("n_items"),
+      sum(when(col(aCol) === col(bCol), 1L).otherwise(0L)).as("n_agree"))
+    val pe = valid.groupBy(col(aCol).as("c"))
+      .agg(count(lit(1)).as("na"))
+      .join(valid.groupBy(col(bCol).as("c"))
+        .agg(count(lit(1)).as("nb")), Seq("c"), "full_outer")
+      .agg(sum(coalesce(col("na"), lit(0L)) * coalesce(col("nb"), lit(0L)))
+        .as("pe_num"))
+    val dropped = pairs.filter(col(aCol).isNull || col(bCol).isNull)
+      .agg(count(lit(1)).as("n_dropped"))
+    val po = col("n_agree").cast("double") / col("n_items").cast("double")
+    val peD = col("pe_num").cast("double") /
+      (col("n_items") * col("n_items")).cast("double")
+    agree.crossJoin(pe).crossJoin(dropped)
+      .select(col("n_items"), col("n_dropped"),
+        round(po, 6).as("po"), round(peD, 6).as("pe"),
+        when(peD < 1.0, round((po - peD) / (lit(1.0) - peD), 6))
+          .otherwise(lit(0.0)).as("kappa"))
+  }
+
   /** Poisson-bootstrap confidence interval (the big-data bootstrap:
     * Chamandy et al., "Estimating Uncertainty for Massive Data
     * Streams", Google 2012): every (replicate, row) pair draws an

@@ -150,4 +150,65 @@ object Profile {
           "aggregate(terms, cast(0 as double), (acc, x) -> acc + x.term)"),
           6).as("psi"))
   }
+
+  /** Zipf-law fit over the corpus frequency table — the rank-side
+    * power law pairing the Heaps-law vocab curve (q_vocab_coverage):
+    * least-squares slope/intercept of ln(freq) on ln(rank) over the
+    * top `topR` ranks, the standard corpus-health check (natural
+    * text fits slope ≈ −1; template/boilerplate-heavy or synthetic
+    * corpora bend visibly). Returns ONE row
+    * (n_ranks, slope, intercept).
+    *
+    * Determinism: ranks come from a TakeOrdered top-R under the
+    * total (freq DESC, word ASC) order; each ln is rounded to 9 AT
+    * BIRTH and all five regression sums are rank-ordered folds over
+    * the ≤ topR collected terms — bounded, config-sized model state
+    * (the k-center argument), so the closed-form slope/intercept
+    * compose deterministic doubles; round-6 at output. Degenerate
+    * inputs (fewer than 2 distinct ranks) report NULL slope rather
+    * than dividing by zero.
+    *
+    * Scale shape: one token-keyed count aggregation (map-side
+    * partials) → TakeOrdered(topR) — never a global sort; everything
+    * after operates on ≤ topR rows. */
+  def zipfFit(docs: DataFrame, textCol: String, topR: Int = 500): DataFrame = {
+    require(topR >= 2, "need at least 2 ranks to fit")
+    val freqs = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(topR)
+    // rank within the bounded top-R set (single-partition window over
+    // ≤ topR rows — named bounded state)
+    val ranked = freqs.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("w").asc)).cast("long"))
+      .select(
+        round(log(col("r").cast("double")), 9).as("x"),
+        round(log(col("f").cast("double")), 9).as("y"),
+        col("r"))
+    val folded = ranked
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("r"), col("x"), col("y"))))
+          .as("ts"))
+      .select(col("n"),
+        expr("aggregate(ts, cast(0 as double), (acc, t) -> acc + t.x)")
+          .as("sx"),
+        expr("aggregate(ts, cast(0 as double), (acc, t) -> acc + t.y)")
+          .as("sy"),
+        expr("aggregate(ts, cast(0 as double), (acc, t) -> acc + t.x * t.x)")
+          .as("sxx"),
+        expr("aggregate(ts, cast(0 as double), (acc, t) -> acc + t.x * t.y)")
+          .as("sxy"))
+    val nD = col("n").cast("double")
+    val den = nD * col("sxx") - col("sx") * col("sx")
+    val slope = (nD * col("sxy") - col("sx") * col("sy")) / den
+    folded.select(col("n").as("n_ranks"),
+      when(den > 0.0, round(slope, 6)).otherwise(lit(null).cast("double"))
+        .as("slope"),
+      when(den > 0.0,
+        round((col("sy") - slope * col("sx")) / nD, 6))
+        .otherwise(lit(null).cast("double")).as("intercept"))
+  }
 }

@@ -14,6 +14,24 @@ class EvalSpec extends SparkSpec {
     assert(r.getDouble(9) == 1.0)
   }
 
+  test("cohensKappa: hand-computed 2x2 case; NULLs excluded and counted") {
+    // a=(x,x,y,y), b=(x,y,y,y): po=3/4; marginals a:(2,2) b:(1,3)
+    // pe=(2*1+2*3)/16=1/2; kappa=(3/4-1/2)/(1/2)=1/2
+    val pairs = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "y"),
+      ("x", null)).toDF("a", "b")
+    val r = Eval.cohensKappa(pairs, "a", "b").collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 1)
+    assert(r.getDouble(2) == 0.75 && r.getDouble(3) == 0.5 &&
+      r.getDouble(4) == 0.5)
+  }
+
+  test("cohensKappa: constant raters pin kappa 0, never NaN") {
+    val pairs = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val r = Eval.cohensKappa(pairs, "a", "b").collect().head
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 &&
+      r.getDouble(4) == 0.0)
+  }
+
   test("bootstrapCI: constant metric collapses the interval onto the point") {
     // every replicate mean of a constant equals the constant, whatever
     // the Poisson weights drew — the interval MUST be degenerate

@@ -85,4 +85,24 @@ class ProfileSpec extends SparkSpec {
     val (approx, ex) = (byMode(0), byMode(1))
     assert(math.abs(approx - ex).toDouble / ex <= 0.15)
   }
+
+  test("zipfFit: exact power law recovers its slope; degenerate input NULLs") {
+    import org.apache.spark.sql.functions._
+    // freq(w_r) = 2^(10-r) for r = 1..8: ln f = 10 ln2 - r ln2, and
+    // ln r vs r is not linear, so the fit is approximate - but a
+    // STEEP monotone slope must come out strongly negative, and the
+    // same input must fit identically across partitionings
+    val rows = (1 to 8).flatMap(r => Seq.fill(1 << (10 - r))(s"w$r"))
+    val docs = rows.grouped(64).map(_.mkString(" ")).toSeq.toDF("text")
+    val a = operators.Profile.zipfFit(docs, "text", topR = 8).collect().head
+    assert(a.getLong(0) == 8 && a.getDouble(1) < -2.0,
+      s"steep negative slope: $a")
+    val b = operators.Profile.zipfFit(docs.repartition(5), "text", topR = 8)
+      .collect().head
+    assert(a == b, "rank-ordered folds are partitioning-independent")
+    // single distinct word: den = 0 -> NULL slope, loudly not NaN
+    val one = Seq("solo solo solo").toDF("text")
+    val d = operators.Profile.zipfFit(one, "text", topR = 5).collect().head
+    assert(d.getLong(0) == 1 && d.isNullAt(1) && d.isNullAt(2))
+  }
 }
