@@ -295,4 +295,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CodegenFallback"),
       "zorder_key must participate in codegen")
   }
+
+  test("q_chrf: gram rows never cross an exchange (pre-partitioned by pair)") {
+    val p = plan("q_chrf")
+    assertNoCartesian(p, "q_chrf")
+    // the measured re-plan (28.9 -> 4.95 s): ONE repartition of the
+    // 2-rows-per-pair stack + the small distinct-id branch; the
+    // (id,n,g) / (id,n) / (id) aggregations all reuse that
+    // partitioning. Growth here = the exchange-free property broke.
+    assert(exchanges(p) <= 3, s"expected at most 3 exchanges:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q_ktruss: no cartesian; the peel joins stay hash/broadcast") {
+    val p = plan("q_ktruss")
+    assertNoCartesian(p, "q_ktruss")
+  }
+
+  test("q_bootstrap_ci: replicate explode reduces before its exchange") {
+    val p = plan("q_bootstrap_ci")
+    // partial_sum over (b) must appear below the exchange: the xB
+    // explode never ships raw rows
+    assert(p.contains("HashAggregate"), "expected partial aggregation")
+    assert(exchanges(p) <= 3, s"expected at most 3 exchanges:\n$p")
+  }
+
+  test("q_crawl_frontier: global cut is TakeOrdered, never a full sort") {
+    val p = plan("q_crawl_frontier")
+    assertNoCartesian(p, "q_crawl_frontier")
+    assert(p.contains("TakeOrderedAndProject"),
+      "cycle budget should plan as TakeOrderedAndProject")
+  }
 }
