@@ -4474,6 +4474,23 @@ object Queries {
               |FROM read_csv('${graft.sources.WarcFixture.expectedCsvPath}',
               |  header=true, all_varchar=true)""".stripMargin)
     )),
+    // The EIGHTH direct streaming row, and the first through a
+    // PRODUCTION streaming source rather than a MemoryStream harness:
+    // readStream.format("warc") drives the name-watermark
+    // MicroBatchStream (offsets, partition planning, record reader)
+    // end-to-end against the SAME pinned CSV as the batch ingest —
+    // landing directory in, extracted text out, one oracle.
+    "q_stream_warc_ingest" -> ((
+      (s: SparkSession, dir: String) => {
+        graft.sources.WarcFixture.ensure()
+        graft.streaming.EventStreams.replayWarcIngest(
+          s, graft.sources.WarcFixture.warcPath)
+      },
+      Some(s"""SELECT url, CAST(content_length AS BIGINT) AS content_length,
+              |  main_text
+              |FROM read_csv('${graft.sources.WarcFixture.expectedCsvPath}',
+              |  header=true, all_varchar=true)""".stripMargin)
+    )),
     // Politeness-budgeted crawl-frontier scheduling — the fetch-side
     // planning step of the incremental cycle: at most 3 URLs per
     // domain (politeness cap), the survivors globally cut at the
@@ -5641,14 +5658,16 @@ object Queries {
           .orderBy("round").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
         val vocab = operators.Bpe.vocab(d, "text", merges)
-        operators.Bpe.encode(d, "text", "doc_id", merges, vocab)
+        // the corpus-scale explode plan (codegen draws, exchange-free
+        // rebuild) — bit-identical to the Column mlmMask, measured
+        // head-to-head in BASELINE.md round-11 notes
+        operators.Denoise.mlmMaskExamples(
+          operators.Bpe.encode(d, "text", "doc_id", merges, vocab),
+          "bpe_ids", "doc_id", vocabSize = vocab.size.toLong)
           .select(col("doc_id"),
-            operators.Denoise.mlmMask(col("bpe_ids"), col("doc_id"),
-              vocabSize = vocab.size.toLong).as("x"))
-          .select(col("doc_id"),
-            array_join(col("x.input_ids"), ",").as("input_ids_csv"),
-            array_join(col("x.labels"), ",").as("labels_csv"),
-            col("x.n_masked").as("n_masked"))
+            array_join(col("input_ids"), ",").as("input_ids_csv"),
+            array_join(col("labels"), ",").as("labels_csv"),
+            col("n_masked"))
       },
       Some(BpeEncodeOracleCtes + ",\n" +
         """nv AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM vocab),
@@ -7486,11 +7505,13 @@ object Queries {
         val enc = operators.Bpe.encode(d, "text", "doc_id", merges, vocab)
         val counts = enc.select(explode(col("bpe_ids")).as("id"))
           .groupBy("id").agg(count(lit(1)).as("n"))
-        val w = Window.orderBy(desc("n"), asc("id"))
-        val ranked = counts.select(col("id"), col("n"),
-          row_number().over(w).cast("long").as("rank"),
-          sum("n").over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)).as("cum"))
+        // rank + running sum via the range-sliced machinery, NOT two
+        // stacked unpartitioned windows: the vocab table is Heaps'-law
+        // bounded so the old plan was CORRECT, but this one has no
+        // single-task sort at any size (and no WindowExec warning).
+        // (n desc, id asc) expressed as the value order (-n, id).
+        val ranked = operators.Sampling.rankedPrefixSums(counts,
+          Seq(col("n") * -1L, col("id")), col("n"), "rank", "cum")
         val totals = ranked.agg(max("cum").as("total"),
           max("rank").as("vocab_used"))
         val th = Seq(50, 90, 99).toDF("pct")
@@ -7777,6 +7798,31 @@ object Queries {
               |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
     )),
 
+    // Ogg-FLAC fingerprints — the FIFTH real audio container: the
+    // CRC-verified RFC 3533 page walk reassembles packets, the xiph
+    // mapping prefix strips to the NATIVE FLAC stream, and the same
+    // spec-written Flac decoder runs — so the constants are inherited
+    // from the WAV fixture exactly like native FLAC's (losslessness:
+    // the container adds framing, not samples). This closes half the
+    // former "ogg is header-only" stub with zero new codec math.
+    "q_multimodal_oggflacfp" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureOggFlacFp()
+        s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (name, content) =>
+            (name, operators.Multimodal.audioFingerprint64(content).get)
+          }
+          .toDF("name", "afp")
+      },
+      Some(s"""SELECT name, afp
+              |FROM read_csv('${graft.sources.MediaFixture.expectedOggFlacFpCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
+    )),
+
     // G.711 µ-law fingerprints — the THIRD real audio format and the
     // first LOSSY audio codec on the real side. The constants can't be
     // inherited like FLAC's (losslessness): they're hand-derived from
@@ -8040,6 +8086,53 @@ object Queries {
               |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin)
     )),
 
+    // CROSS-FORMAT audio near-dup with the Ogg container in the mix:
+    // wav ↔ flac ↔ ogg-flac carry the SAME envelopes through THREE
+    // container walks (RIFF, native FLAC, CRC-verified Ogg pages) —
+    // byte-level dedup can never see that flat_tone.wav and
+    // flat_tone.ogg are the same recording; the content fingerprint
+    // makes it one banded join.
+    "q_oggflac_crossformat_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d1 = graft.sources.MediaFixture.ensureAudioFp()
+        val d2 = graft.sources.MediaFixture.ensureFlacFp()
+        val d3 = graft.sources.MediaFixture.ensureOggFlacFp()
+        val files = s.read.format("binaryFile").load(d1, d2, d3)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("mid", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) => operators.Multimodal.MediaBlob(idx(n).toLong,
+            n.substring(n.lastIndexOf('.') + 1), c) }
+        operators.Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
+          .join(broadcast(nameDf.toDF("id_a", "name_a")), "id_a")
+          .join(broadcast(nameDf.toDF("id_b", "name_b")), "id_b")
+          .select("name_a", "name_b", "hamming")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedAudioFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedFlacFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedOggFlacFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})),
+              |h AS (SELECT name, afp,
+              |    row_number() OVER (ORDER BY name) - 1 AS mid FROM u)
+              |SELECT a.name AS name_a, b.name AS name_b,
+              |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+              |FROM h a JOIN h b ON a.mid < b.mid
+              |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin)
+    )),
+
     // CROSS-FORMAT video near-dup: the raw-DIB reel (63×48) and the
     // MJPEG reel (144×64) carry the SAME four patterns, so their
     // per-frame hashes agree constant-for-constant ACROSS codec AND
@@ -8277,6 +8370,84 @@ object Queries {
               |FROM read_csv('${graft.sources.MediaFixture.expectedMjpegDHashCsvPath}',
               |  header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
               |                        'vdhash':'BIGINT'})""".stripMargin)
+    )),
+
+    // MJPEG-in-MP4 per-frame hashes — the FOURTH video container, via
+    // the REAL ISO 14496-12 sample-table walk (stsd 'jpeg' entry,
+    // per-sample stsz, stsc run map over two-sample chunks, stco) and
+    // the same T.81 DC decoder as the MJPEG-AVI reel — so the pinned
+    // constants are IDENTICAL to that fixture's (same codec, different
+    // container). Closes the former "mp4 is header-only" stub for a
+    // real codec family.
+    "q_multimodal_mp4_dhash" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureMp4DHash()
+        val files = s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("media_id", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) =>
+            operators.Multimodal.MediaBlob(idx(n).toLong, "mp4", c) }
+        operators.Multimodal.videoDHashes(blobs)
+          .join(broadcast(nameDf), "media_id")
+          .select(col("name"), col("frame_idx"), col("vdhash"))
+      },
+      Some(s"""SELECT name, frame_idx, vdhash
+              |FROM read_csv('${graft.sources.MediaFixture.expectedMp4DHashCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                        'vdhash':'BIGINT'})""".stripMargin)
+    )),
+
+    // CROSS-FORMAT video near-dup across the mp4 ↔ avi boundary: the
+    // MJPEG-AVI reel and the MJPEG-MP4 reel carry the same patterns
+    // through two container walks (RIFF chunk scan vs ISO sample
+    // table) into ONE codec path — mp4_a pairs with mjpeg_a frame-for-
+    // frame; mp4_b/mjpeg_b share only their flat frame and stay out.
+    "q_mp4_crossformat_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d1 = graft.sources.MediaFixture.ensureMjpegDHash()
+        val d2 = graft.sources.MediaFixture.ensureMp4DHash()
+        val files = s.read.format("binaryFile").load(d1, d2)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("mid", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) => operators.Multimodal.MediaBlob(idx(n).toLong,
+            n.substring(n.lastIndexOf('.') + 1), c) }
+        operators.Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
+            minMatchingFrames = 2)
+          .join(broadcast(nameDf.toDF("id_a", "name_a")), "id_a")
+          .join(broadcast(nameDf.toDF("id_b", "name_b")), "id_b")
+          .select("name_a", "name_b", "n_matching_frames")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT name, frame_idx, vdhash
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedMjpegDHashCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                          'vdhash':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, frame_idx, vdhash
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedMp4DHashCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                          'vdhash':'BIGINT'})),
+              |h AS (SELECT name, frame_idx, vdhash,
+              |    dense_rank() OVER (ORDER BY name) - 1 AS mid FROM u)
+              |SELECT a.name AS name_a, b.name AS name_b,
+              |  count(*) AS n_matching_frames
+              |FROM h a JOIN h b
+              |  ON a.frame_idx = b.frame_idx AND a.mid < b.mid
+              |WHERE bit_count(xor(a.vdhash, b.vdhash)) <= 3
+              |GROUP BY 1, 2
+              |HAVING count(*) >= 2""".stripMargin)
     )),
 
     // The post-training composition end-to-end under ONE oracle —

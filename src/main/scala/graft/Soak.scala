@@ -576,6 +576,23 @@ object Soak {
         Dedup.winnowOverlap(docs10, "doc_id", "text",
           k = 5, w = 4, maxDf = 20L, minShared = 3L)
       },
+      run("winnow_overlap_skew") {
+        // ADVERSARIAL hub skew: 2,000 docs share one identical
+        // boilerplate preamble, so each of its winnowed fingerprints
+        // has df ~2000 = maxDf x 100 pre-cap — a naive fp-keyed
+        // self-join would form ~2M pairs PER FINGERPRINT. The df <= 20
+        // exclusion BEFORE the join must bound the candidate set to
+        // the unique-tail fingerprints; the recorded shuffle size is
+        // the proof that the cap (not corpus luck) carries the load.
+        val boiler = "all users must accept the standard terms of " +
+          "service and the privacy policy before continuing to the " +
+          "site contents as described in the legal notice section "
+        val skew = docs10.filter(col("doc_id") < 2000)
+          .select(col("doc_id"),
+            concat(lit(boiler), col("text")).as("text"))
+        Dedup.winnowOverlap(skew, "doc_id", "text",
+          k = 5, w = 4, maxDf = 20L, minShared = 3L)
+      },
       run("edit_distance_join") {
         // Ed-Join at 10x: ~15M occurrence-keyed 3-grams from 50k docs,
         // constant 7-gram rarity prefixes, candidates from the prefix
@@ -585,6 +602,21 @@ object Soak {
         // adversarial regime for candidate volume
         Dedup.editDistancePairs(docs10, "doc_id", "text",
           maxDist = 2, q = 3)
+      },
+      run("edit_distance_skew") {
+        // ADVERSARIAL gram skew for Ed-Join: the same 2,000-doc shared
+        // preamble makes every preamble q-gram's occurrence key carry
+        // df ~2000 — if those grams ever reached the candidate join it
+        // would be a 2000^2 blow-up. The 7-gram RARITY prefix (sorted
+        // by df, ubiquitous grams never selected) is the bound under
+        // test; shuffle size recorded as the evidence.
+        val boiler = "all users must accept the standard terms of " +
+          "service and the privacy policy before continuing to the " +
+          "site contents as described in the legal notice section "
+        val skew = docs10.filter(col("doc_id") < 2000)
+          .select(col("doc_id"),
+            concat(lit(boiler), col("text")).as("text"))
+        Dedup.editDistancePairs(skew, "doc_id", "text", maxDist = 2, q = 3)
       },
       run("kn_lm_score") {
         // Kneser-Ney at 10x: fit on the %10 slice (5k docs), score all

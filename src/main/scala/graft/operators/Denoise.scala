@@ -130,6 +130,11 @@ object Denoise {
       maskPercent: Int = 15): Column = {
     require(maskPercent >= 1 && maskPercent <= 99,
       s"maskPercent=$maskPercent out of range")
+    // NOTE (plan): this Column form runs its three md5 draws inside
+    // interpreted `transform` lambdas — ~10× codegen for the identical
+    // algebra (the chrF lesson). It remains the convenient per-row API
+    // for small/spec use; the corpus-scale path is [[mlmMaskExamples]],
+    // whose draws are bit-identical (same salts, same hash32).
     def h(salt: String, i: Column) = Sampling.hash32(
       concat(docId.cast("string"), lit("_"), i.cast("string")), salt)
     def selected(i: Column) = pmod(h("mlm_", i), lit(100L)) < maskPercent
@@ -144,6 +149,60 @@ object Denoise {
       when(selected(i), t).otherwise(lit(-100L)))
     struct(inputIds.as("input_ids"), labels.as("labels"),
       size(filter(labels, x => x =!= lit(-100L))).cast("long").as("n_masked"))
+  }
+
+  /** Corpus-scale MLM materialization — [[mlmMask]]'s algebra on the
+    * measured chrF plan shape: positions become ROWS via a codegen
+    * `posexplode` Generate, every salted-md5 draw runs inside
+    * whole-stage codegen (never an interpreted lambda), and the
+    * example arrays are rebuilt by ONE doc-keyed aggregate whose
+    * field extraction is `GetArrayStructFields` (codegen), not a
+    * lambda. The input is `repartition(docId)` BEFORE generation, so
+    * the rebuild groupBy is EXCHANGE-FREE (HashPartitioning already
+    * satisfies its distribution) — only the original id rows are ever
+    * hashed across the wire, once.
+    *
+    * Draw algebra is bit-identical to [[mlmMask]] (same salts mlm_/
+    * mlmr_/mlmv_, same hash32, same 80/10/10 split), so the two forms
+    * — and the SQL oracle — agree id-for-id; `q_mlm_mask` kept its
+    * hash across the swap. Empty-id docs survive via posexplode_outer
+    * (one null-position row → empty arrays, n_masked 0), the
+    * spanCorrupt `sequence(0,-1)` lesson in explode form.
+    *
+    * Returns (doc_id, input_ids, labels, n_masked). */
+  def mlmMaskExamples(df: org.apache.spark.sql.DataFrame, idsCol: String,
+      docIdCol: String, vocabSize: Long, maskPercent: Int = 15)
+      : org.apache.spark.sql.DataFrame = {
+    require(maskPercent >= 1 && maskPercent <= 99,
+      s"maskPercent=$maskPercent out of range")
+    val pos = df.repartition(col(docIdCol))
+      .select(col(docIdCol).as("doc_id"),
+        posexplode_outer(col(idsCol)).as(Seq("i", "t")))
+    def h(salt: String) = Sampling.hash32(
+      concat(col("doc_id").cast("string"), lit("_"),
+        col("i").cast("string")), salt)
+    val sel = pmod(h("mlm_"), lit(100L)) < maskPercent
+    val sub = pmod(h("mlmr_"), lit(10L))
+    val inputId = when(!sel, col("t"))
+      .when(sub < 8, lit(vocabSize))
+      .when(sub === 8, pmod(h("mlmv_"), lit(vocabSize)))
+      .otherwise(col("t"))
+    val label = when(sel, col("t")).otherwise(lit(-100L))
+    pos
+      .select(col("doc_id"), col("i"), inputId.as("input_id"),
+        label.as("label"))
+      .groupBy("doc_id")
+      .agg(
+        // the null-position row (empty doc) yields a null struct,
+        // which collect_list SKIPS — the doc still emits, with []
+        sort_array(collect_list(when(col("i").isNotNull,
+          struct(col("i"), col("input_id"), col("label"))))).as("a"),
+        sum(when(col("label") =!= lit(-100L), 1L).otherwise(0L))
+          .as("nm"))
+      .select(col("doc_id"),
+        col("a.input_id").as("input_ids"),
+        col("a.label").as("labels"),
+        coalesce(col("nm"), lit(0L)).as("n_masked"))
   }
 
   /** Needle-in-a-haystack probes — the long-context retrieval eval's

@@ -563,9 +563,17 @@ object Eval {
         .as("pe_num"))
     val dropped = pairs.filter(col(aCol).isNull || col(bCol).isNull)
       .agg(count(lit(1)).as("n_dropped"))
-    val po = col("n_agree").cast("double") / col("n_items").cast("double")
-    val peD = col("pe_num").cast("double") /
-      (col("n_items") * col("n_items")).cast("double")
+    // n_items = 0 (every pair had a NULL side) would make po and pe 0/0
+    // NaN — and NaN < 1.0 is false, so kappa would fall to the
+    // otherwise(0.0) branch while po/pe leak NaN. Pin all three to 0.0
+    // for the empty valid set (the pe = 1 precedent: never NaN).
+    val po = when(col("n_items") > 0,
+      col("n_agree").cast("double") / col("n_items").cast("double"))
+      .otherwise(lit(0.0))
+    val peD = when(col("n_items") > 0,
+      col("pe_num").cast("double") /
+        (col("n_items") * col("n_items")).cast("double"))
+      .otherwise(lit(0.0))
     agree.crossJoin(pe).crossJoin(dropped)
       .select(col("n_items"), col("n_dropped"),
         round(po, 6).as("po"), round(peD, 6).as("pe"),
@@ -610,8 +618,14 @@ object Eval {
     // cumulative Poisson(1) CDF × 2^32, floored: P(<=0..4), tail -> 5
     val th = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
       4279248373L)
-    val base = df.select(col(idCol).cast("string").as("id"),
-      round(col(valueCol) * 1e6, 0).cast("long").as("x"))
+    // NULL values must be excluded OUTRIGHT: a null x is skipped by
+    // sum() in swx/point numerator, but the row would still contribute
+    // its Poisson weight to sw and 1 to the point count — nulls silently
+    // acting as zeros biases every mean. Same explicit exclusion
+    // contract as sampleByWeight.
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("id"),
+        round(col(valueCol) * 1e6, 0).cast("long").as("x"))
     val rep = base.select(col("id"), col("x"),
       explode(expr(s"sequence(0, ${replicates - 1})")).as("b"))
     val h = Sampling.hash32(

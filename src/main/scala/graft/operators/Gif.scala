@@ -63,6 +63,12 @@ object Gif {
             if (o + 6 > b.length || (b(o) & 0xFF) != 4) return None
             val f = b(o + 1) & 0xFF
             disposal = (f >> 2) & 7
+            // Disposal 3 (restore-to-previous) needs a saved canvas we do
+            // not keep; 4-7 are undefined by GIF89a. Decoding either as
+            // "keep" would composite wrong frames and silently corrupt
+            // downstream dHash verdicts — loud None, same boundary as
+            // stereo ADPCM / non-16-bit PCM.
+            if (disposal > 2) return None
             transIndex = if ((f & 1) != 0) b(o + 4) & 0xFF else -1
             o += 5
             if ((b(o) & 0xFF) != 0) return None

@@ -105,6 +105,91 @@ object MediaHeaders {
     }
   }
 
+  /** The per-sample byte ranges of the first trak whose stsd sample
+    * entry is baseline JPEG ('jpeg' — QuickTime/ISO photo-JPEG, one
+    * standalone T.81 image per sample), recovered by the real sample-
+    * table walk (ISO 14496-12 §8.5-8.7): stsz gives each sample's
+    * size, stco the chunk offsets, stsc the (first_chunk,
+    * samples_per_chunk) run-length map; sample k's offset is its
+    * chunk's offset plus the sizes of the samples before it in that
+    * chunk. Total: None when any table is malformed, counts disagree,
+    * or a recovered range leaves the buffer — never a partial frame
+    * list ([[Multimodal.aviFrames]] contract). */
+  def mp4JpegSamples(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes.length < 16) return None
+    val top = mp4Children(bytes, 0L, bytes.length.toLong)
+    if (!top.headOption.exists(t => t._1 == "ftyp" || t._1 == "styp"))
+      return None
+    val moov = top.collectFirst { case ("moov", s, e) => (s, e) }
+      .getOrElse(return None)
+    val traks = mp4Children(bytes, moov._1, moov._2).filter(_._1 == "trak")
+    traks.iterator.map { case (_, ts, te) =>
+      mp4Find(bytes, ts, te, List("mdia", "minf", "stbl")).flatMap {
+        case (ss, se) =>
+          val kids = mp4Children(bytes, ss, se)
+          def box(name: String): Option[(Long, Long)] =
+            kids.collectFirst { case (t, s, e) if t == name => (s, e) }
+          for {
+            (sdS, sdE) <- box("stsd")
+            if sdE - sdS >= 16 && u32(bytes, sdS.toInt + 4) >= 1 &&
+              new String(bytes, sdS.toInt + 12, 4, "ISO-8859-1") == "jpeg"
+            (szS, szE) <- box("stsz")
+            if szE - szS >= 12
+            (scS, scE) <- box("stsc")
+            if scE - scS >= 8
+            (coS, coE) <- box("stco")
+            if coE - coS >= 8
+            samples <- mp4WalkSamples(bytes, szS, szE, scS, scE, coS, coE)
+          } yield samples
+      }
+    }.collectFirst { case Some(s) => s }
+  }
+
+  /** The stsz/stsc/stco walk shared logic of [[mp4JpegSamples]]. */
+  private def mp4WalkSamples(b: Array[Byte], szS: Long, szE: Long,
+      scS: Long, scE: Long, coS: Long, coE: Long)
+      : Option[Seq[Array[Byte]]] = {
+    val uniform = u32(b, szS.toInt + 4)
+    val nSamples = u32(b, szS.toInt + 8)
+    if (nSamples <= 0 || nSamples > Int.MaxValue) return None
+    if (uniform == 0 && szE - szS < 12 + 4L * nSamples) return None
+    def sampleSize(k: Int): Long =
+      if (uniform != 0) uniform else u32(b, (szS + 12 + 4L * k).toInt)
+    val nChunks = u32(b, coS.toInt + 4)
+    if (nChunks <= 0 || coE - coS < 8 + 4L * nChunks) return None
+    val nRuns = u32(b, scS.toInt + 4)
+    if (nRuns <= 0 || scE - scS < 8 + 12L * nRuns) return None
+    // samples-per-chunk for chunk c (1-based): the run with the
+    // greatest first_chunk <= c
+    val runs = (0 until nRuns.toInt).map { r =>
+      val o = (scS + 8 + 12L * r).toInt
+      (u32(b, o), u32(b, o + 4)) // (first_chunk, samples_per_chunk)
+    }
+    if (runs.exists(_._1 <= 0) ||
+        runs.map(_._1) != runs.map(_._1).sorted) return None
+    val out = Seq.newBuilder[Array[Byte]]
+    var k = 0
+    var chunk = 1L
+    while (k < nSamples && chunk <= nChunks) {
+      val spc = runs.takeWhile(_._1 <= chunk).lastOption
+        .map(_._2).getOrElse(return None)
+      if (spc <= 0) return None
+      var off = u32(b, (coS + 8 + 4L * (chunk - 1)).toInt)
+      var j = 0L
+      while (j < spc && k < nSamples) {
+        val sz = sampleSize(k)
+        if (sz <= 0 || off + sz > b.length) return None
+        out += java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
+        off += sz
+        j += 1; k += 1
+      }
+      chunk += 1
+    }
+    // every declared sample must be recovered — a truncated chunk
+    // table keeping whole leading frames is the silent-partial hazard
+    if (k.toLong != nSamples) None else Some(out.result())
+  }
+
   // ================= Matroska / WebM (EBML) ===========================
   //
   // EBML varints: leading zero bits of the first byte give the width;
@@ -300,6 +385,15 @@ object MediaHeaders {
       val channels = u8(bytes, packetStart + 9)
       if (channels <= 0) None
       else Some(AudioMeta(48000, channels, math.max(0L, granule)))
+    } else if (u8(bytes, packetStart) == 0x7F &&
+               hasMagic(bytes, packetStart + 1, "FLAC")) {
+      // Ogg-FLAC mapping: the native fLaC magic + STREAMINFO begin at
+      // packet offset 9 — the existing [[flac]] parser reads them
+      // verbatim (total samples from STREAMINFO, exact; the granule
+      // duplicates it for well-formed streams)
+      if (packetStart + 9 + 42 > bytes.length) None
+      else flac(java.util.Arrays.copyOfRange(
+        bytes, packetStart + 9, math.min(bytes.length, packetStart + 9 + 64)))
     } else None
   }
 
@@ -401,6 +495,110 @@ object MediaHeaders {
     }
     out.result()
   }
+
+  // ================= Ogg page/packet walk (RFC 3533) ==================
+
+  /** Ogg page CRC-32: poly 0x04c11db7, init 0, NOT reflected, no final
+    * xor (RFC 3533 §6 — deliberately not the zlib CRC), computed over
+    * the whole page with the 4 CRC bytes zeroed. */
+  private val oggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var j = 0
+      while (j < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        j += 1
+      }
+      t(i) = r; i += 1
+    }
+    t
+  }
+
+  private def oggPageCrc(b: Array[Byte], off: Int, len: Int): Long = {
+    var r = 0
+    var i = 0
+    while (i < len) {
+      val v = if (i >= 22 && i < 26) 0 else b(off + i) & 0xFF
+      r = (r << 8) ^ oggCrcTable(((r >>> 24) ^ v) & 0xFF)
+      i += 1
+    }
+    r.toLong & 0xFFFFFFFFL
+  }
+
+  /** The logical packets of a single Ogg stream, by the sequential
+    * page walk: capture pattern + version 0 + defined-flags-only on
+    * EVERY page, page CRC VERIFIED (a payload bit flip is loud, not a
+    * wrong decode), lacing values reassembled across page boundaries
+    * (255 continues a packet, <255 terminates; the continued-packet
+    * flag must agree with the walk state), first page must carry BOS
+    * and the stream must END on an EOS page with no dangling partial
+    * packet and no trailing bytes — the total-parser contract: None,
+    * never a truncated packet list. */
+  def oggPackets(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    val cur = new java.io.ByteArrayOutputStream()
+    var inPacket = false
+    var first = true
+    var sawEos = false
+    var o = 0L
+    while (o + 27 <= bytes.length && !sawEos) {
+      val p = o.toInt
+      if (!hasMagic(bytes, p, "OggS") || u8(bytes, p + 4) != 0 ||
+          (u8(bytes, p + 5) & ~0x07) != 0) return None
+      val htype = u8(bytes, p + 5)
+      if (first && (htype & 0x02) == 0) return None
+      if (((htype & 0x01) != 0) != inPacket) return None
+      val nSegs = u8(bytes, p + 26)
+      if (p + 27 + nSegs > bytes.length) return None
+      var payload = 0
+      var i = 0
+      while (i < nSegs) { payload += u8(bytes, p + 27 + i); i += 1 }
+      val bodyOff = p + 27 + nSegs
+      if (bodyOff.toLong + payload > bytes.length) return None
+      if (oggPageCrc(bytes, p, 27 + nSegs + payload) != leU32(bytes, p + 22))
+        return None
+      var segOff = bodyOff
+      i = 0
+      while (i < nSegs) {
+        val l = u8(bytes, p + 27 + i)
+        cur.write(bytes, segOff, l)
+        segOff += l
+        inPacket = true
+        if (l < 255) { out += cur.toByteArray; cur.reset(); inPacket = false }
+        i += 1
+      }
+      sawEos = (htype & 0x04) != 0
+      first = false
+      val next = o + 27L + nSegs + payload
+      if (next <= o) return None
+      o = next
+    }
+    if (!sawEos || inPacket || o != bytes.length) return None
+    Some(out.result())
+  }
+
+  /** Native FLAC stream recovered from an Ogg-FLAC file (the xiph
+    * Ogg-FLAC mapping + RFC 5334): the first packet is
+    * 0x7F "FLAC" major minor nheaders(u16be) followed by the native
+    * 'fLaC' magic + STREAMINFO; subsequent header packets are verbatim
+    * metadata blocks and audio packets verbatim FLAC frames — so the
+    * native stream IS the packet bytes concatenated with the 9-byte
+    * mapping prefix stripped. None unless the pages walk cleanly
+    * ([[oggPackets]]) and the first packet carries the mapping magic. */
+  def oggFlacNative(bytes: Array[Byte]): Option[Array[Byte]] =
+    oggPackets(bytes).flatMap { pkts =>
+      pkts.headOption.filter { p0 =>
+        p0.length > 9 && (p0(0) & 0xFF) == 0x7F &&
+          p0(1) == 'F' && p0(2) == 'L' && p0(3) == 'A' && p0(4) == 'C'
+      }.map { p0 =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(p0, 9, p0.length - 9)
+        pkts.tail.foreach(p => bos.write(p, 0, p.length))
+        bos.toByteArray
+      }
+    }
 
   private def hasMagic(b: Array[Byte], o: Int, magic: String): Boolean =
     o + magic.length <= b.length &&

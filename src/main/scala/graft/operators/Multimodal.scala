@@ -487,6 +487,29 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** REAL frame decode for MJPEG-in-MP4 ('jpeg' photo-JPEG sample
+    * entries — each sample a standalone baseline JPEG): the sample-
+    * table walk ([[MediaHeaders.mp4JpegSamples]]: stsd/stsz/stsc/stco)
+    * recovers every frame's bytes, and [[Jpeg.dcLuma]] decodes each
+    * from the T.81 spec — the SECOND compressed video container on the
+    * real side (the AVI-MJPEG path decodes the identical codec, so the
+    * two containers pin the SAME DC-grid constants). Same all-frames-
+    * or-None contract as [[aviMjpegDcGrids]], plus the stsz count must
+    * agree with the header parse's frame count. */
+  def mp4MjpegDcGrids(content: Array[Byte])
+      : Option[Seq[(Int, Int, Array[Int])]] =
+    try {
+      MediaHeaders.mp4(content).flatMap { m =>
+        MediaHeaders.mp4JpegSamples(content).flatMap { samples =>
+          if (samples.isEmpty || samples.size != m.nFrames) None
+          else {
+            val grids = samples.map(Jpeg.dcLuma)
+            if (grids.forall(_.isDefined)) Some(grids.map(_.get)) else None
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** dHash of one raw DIB frame: same grid arithmetic as the image
     * [[dHash64]] ([[dHashGrid]] is shared), over the bottom-up BGR
     * rows directly — gray frames therefore hash IDENTICALLY to a PNG
@@ -555,6 +578,15 @@ object Multimodal {
                       dHashGrid(wB, hB, (x, y) => g(y * wB + x).toLong))
                 }
               }
+          }
+        else if (Set("mp4", "m4v", "mov")(b.kind.toLowerCase))
+          // MJPEG-in-MP4: T.81 DC grids via the ISO sample-table walk
+          mp4MjpegDcGrids(b.content).iterator.flatMap { grids =>
+            grids.iterator.zipWithIndex.collect {
+              case ((wB, hB, g), i) if i % everyK == 0 =>
+                (b.media_id, i,
+                  dHashGrid(wB, hB, (x, y) => g(y * wB + x).toLong))
+            }
           }
         else Nil
       }
@@ -638,6 +670,24 @@ object Multimodal {
             s / ch
           })
         }
+      // Ogg-FLAC (RFC 5334 + the xiph mapping): the CRC-verified page
+      // walk recovers the NATIVE FLAC stream byte-for-byte
+      // ([[MediaHeaders.oggFlacNative]]), so the same [[Flac]] decoder
+      // — and therefore the same lossless fingerprint constants as the
+      // WAV/FLAC fixtures — covers the ogg container too. Ogg-Vorbis
+      // payloads fail the mapping-magic check and stay header-only.
+      if (content.length >= 4 && content(0) == 'O' && content(1) == 'g' &&
+          content(2) == 'g' && content(3) == 'S')
+        return MediaHeaders.oggFlacNative(content)
+          .flatMap(Flac.pcm).flatMap { case (_, ch, pcm) =>
+            val n = pcm.length / ch
+            if (n < 65) None
+            else energyDeltaBits(n, i => {
+              var s = 0L; var c = 0
+              while (c < ch) { s += pcm(i * ch + c); c += 1 }
+              s / ch
+            })
+          }
       // G.711 µ-law WAV (fmt tag 7): the ITU telephony codec, decoded
       // by the spec's closed-form expand — the THIRD real audio format
       // and the first LOSSY one; the fixture's envelopes are built so
@@ -849,7 +899,8 @@ object Multimodal {
     Some(bits)
   }
 
-  private val AudioFpKinds = Set("wav", "wave", "aiff", "aif", "au", "flac")
+  private val AudioFpKinds =
+    Set("wav", "wave", "aiff", "aif", "au", "flac", "ogg", "oga")
 
   /** Batched audio fingerprints for decodable PCM blobs →
     * (media_id, afp). Same drop-at-the-fingerprint-stage contract as

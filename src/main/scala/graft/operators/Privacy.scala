@@ -128,12 +128,20 @@ object Privacy {
       .partitionBy(qiCols.map(col): _*).orderBy(col("v_idx").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = grid.withColumn("cum_num", sum(col("term_num")).over(w))
-    cum.filter(col("v_idx") < col("m_vals"))
+    // m_vals = 1 (a single global sensitive value): the v_idx < m_vals
+    // filter would drop EVERY grid row and the audit would silently
+    // return no groups — a hole in a release audit. Keep the single
+    // v_idx = 1 row (its term_num is identically 0: c_group = n_g and
+    // c_global = n_total) and pin emd = 0 / meets_t = true, guarding
+    // the (m−1) denominator against 0/0.
+    cum.filter(col("v_idx") < col("m_vals") || col("m_vals") === 1L)
       .groupBy((qiCols.map(col) :+ col("n_g") :+ col("m_vals") :+
         col("n_total")): _*)
       .agg(sum(abs(col("cum_num"))).as("emd_num"))
-      .withColumn("emd0", col("emd_num").cast("double") /
-        ((col("m_vals") - 1L) * col("n_g") * col("n_total")).cast("double"))
+      .withColumn("emd0", when(col("m_vals") > 1L,
+        col("emd_num").cast("double") /
+          ((col("m_vals") - 1L) * col("n_g") * col("n_total")).cast("double"))
+        .otherwise(lit(0.0)))
       .select((qiCols.map(col) :+ col("n_g") :+
         round(col("emd0"), 6).as("emd") :+
         (col("emd0") <= t).as("meets_t")): _*)

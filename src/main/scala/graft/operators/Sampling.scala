@@ -214,6 +214,66 @@ object Sampling {
       .drop("__gpos", "__gmin")
   }
 
+  /** Global 1-based rank AND running int64 prefix sum of `valueCol`
+    * under lexicographic `sortCols` order, WITHOUT an unpartitioned
+    * window: the `row_number() + sum() OVER (ORDER BY …)` pair that a
+    * coverage/CDF query wants, built like [[orderedPositions]] — a
+    * range exchange slices the order, per-slice (partition-LOCAL)
+    * windows rank and prefix-sum in parallel, and each slice's
+    * (row-count, value-sum) offsets are a numPartitions-row driver
+    * scan broadcast back. No task ever sorts more than its range
+    * slice, so the shape survives any table size; the one extra
+    * exchange (window re-clusters by slice id) carries the input
+    * table once.
+    *
+    * `sortCols` must be a total order of VALUE expressions (no
+    * SortOrder — express descending as a negated column, the
+    * [[orderedPositions]] convention) and `valueCol` must be integral
+    * (the exact-int64 running-sum discipline; fixed-point doubles
+    * first). */
+  def rankedPrefixSums(df: DataFrame, sortCols: Seq[Column],
+                       valueCol: Column, rankName: String, cumName: String,
+                       numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val tagged = sortCols.zipWithIndex
+      .foldLeft(df.withColumn("__val", valueCol.cast("long"))) {
+        case (acc, (c, i)) => acc.withColumn(s"__s$i", c)
+      }
+    val sCols = sortCols.indices.map(i => col(s"__s$i"))
+    val sliced = tagged
+      .repartitionByRange(n, sCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = sliced.groupBy("__pid")
+      .agg(count(lit(1)).as("__c"), sum("__val").as("__sv"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cOff = (0 until n).scanLeft(0L) { (acc, pid) =>
+      acc + parts.get(pid).map(_._1).getOrElse(0L) }
+    val vOff = (0 until n).scanLeft(0L) { (acc, pid) =>
+      acc + parts.get(pid).map(_._2).getOrElse(0L) }
+    val offsetsDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList((0 until n).map(pid =>
+        org.apache.spark.sql.Row(pid, cOff(pid), vOff(pid))): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__coff",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__voff",
+          org.apache.spark.sql.types.LongType))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(sCols: _*)
+    sliced.join(broadcast(offsetsDf), "__pid")
+      .withColumn(rankName,
+        col("__coff") + row_number().over(w).cast("long"))
+      .withColumn(cumName, col("__voff") +
+        sum(col("__val")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .drop(sortCols.indices.map(i => s"__s$i") :+
+        "__pid" :+ "__val" :+ "__coff" :+ "__voff": _*)
+  }
+
   /** Cross-group quantile normalization of a score column: every row's
     * score is replaced by the GLOBAL score at the same quantile
     * position, mapping each group's score distribution onto the pooled

@@ -463,6 +463,101 @@ object MediaFixture {
     audioFlacDir
   }
 
+  // ---- Ogg-FLAC fingerprint fixture (RFC 5334 container walk) ----
+
+  val audioOggFlacDir: String = s"${FixtureDirs.base}/media_oggflacfp"
+  val expectedOggFlacFpCsvPath: String =
+    s"${FixtureDirs.base}/media_oggflacfp_expected.csv"
+
+  /** RFC 3533 page CRC-32 (poly 0x04c11db7, init 0, unreflected, no
+    * final xor) — fixture-only encoder side; the verifying decoder is
+    * [[graft.operators.MediaHeaders.oggPackets]]. */
+  private def fixOggCrc(page: Array[Byte]): Int = {
+    var r = 0
+    var i = 0
+    while (i < page.length) {
+      r = (r << 8) ^ {
+        var t = ((r >>> 24) ^ (page(i) & 0xFF)) << 24
+        var j = 0
+        while (j < 8) {
+          t = if ((t & 0x80000000) != 0) (t << 1) ^ 0x04c11db7 else t << 1
+          j += 1
+        }
+        t
+      }
+      i += 1
+    }
+    r
+  }
+
+  /** One Ogg page with REAL lacing (255-runs + terminator — packets
+    * larger than 255 bytes span several segments) and a real CRC,
+    * unlike the crc-0 metadata-only [[oggPage]]: the packet walk under
+    * test verifies both. One packet per page is all the fixture
+    * needs. */
+  private def oggPageLaced(headerType: Int, granule: Long, seq: Int,
+                           packet: Array[Byte]): Array[Byte] = {
+    val lacing = Array.newBuilder[Byte]
+    var rem = packet.length
+    while (rem >= 255) { lacing += 255.toByte; rem -= 255 }
+    lacing += rem.toByte
+    val lac = lacing.result()
+    require(lac.length <= 255, "fixture packet exceeds one page")
+    val bb = java.nio.ByteBuffer
+      .allocate(27 + lac.length + packet.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("OggS".getBytes).put(0.toByte).put(headerType.toByte)
+      .putLong(granule).putInt(777).putInt(seq).putInt(0)
+      .put(lac.length.toByte).put(lac).put(packet)
+    val page = bb.array()
+    val crc = fixOggCrc(page) // CRC field is still zero here
+    page(22) = crc.toByte
+    page(23) = (crc >> 8).toByte
+    page(24) = (crc >> 16).toByte
+    page(25) = (crc >> 24).toByte
+    page
+  }
+
+  /** Ogg-FLAC encapsulation of [[flacBytesPcm]]'s native stream (the
+    * xiph mapping): BOS page carries the 0x7F"FLAC" v1.0 nheaders=0
+    * prefix + fLaC magic + STREAMINFO (the native stream's first 42
+    * bytes); the EOS page carries every audio frame as one packet and
+    * the total-samples granule. Losslessness is inherited — the
+    * recovered native stream is byte-identical. */
+  private[graft] def oggFlacBytesPcm(samples: Array[Short],
+                                     rate: Int = 8000): Array[Byte] = {
+    val native = flacBytesPcm(samples, rate)
+    val p0 = Array(0x7F.toByte) ++ "FLAC".getBytes("ISO-8859-1") ++
+      Array[Byte](1, 0, 0, 0) ++ native.take(42)
+    oggPageLaced(0x02, 0L, 0, p0) ++
+      oggPageLaced(0x04, samples.length.toLong, 1, native.drop(42))
+  }
+
+  /** Same envelopes, same hand-derived constants as [[flacFpEntries]]
+    * and [[audioFpEntries]]: the container adds framing, not samples. */
+  private def oggFlacFpEntries: Seq[(String, Array[Byte], Long)] = Seq(
+    ("flat_tone.ogg", oggFlacBytesPcm(envSamples(_ => 1000)), 0L),
+    ("ramp.ogg", oggFlacBytesPcm(envSamples(w => (w + 1) * 10)), -1L),
+    ("step.ogg", oggFlacBytesPcm(envSamples(w => if (w < 32) 100 else 2000)),
+      1L << 31),
+    ("two_step.ogg", oggFlacBytesPcm(envSamples(w =>
+      if (w < 21) 100 else if (w < 43) 1000 else 2000)),
+      (1L << 20) | (1L << 42)))
+
+  /** Write the Ogg-FLAC files + the pinned CSV; returns
+    * `audioOggFlacDir`. */
+  def ensureOggFlacFp(): String = {
+    Files.createDirectories(Paths.get(audioOggFlacDir))
+    val rows = oggFlacFpEntries.map { case (name, bytes, hash) =>
+      Files.write(Paths.get(audioOggFlacDir, name), bytes)
+      s"$name,$hash"
+    }
+    Files.write(Paths.get(expectedOggFlacFpCsvPath),
+      ("name,afp\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    audioOggFlacDir
+  }
+
   // ---- G.711 µ-law fingerprint fixture (LOSSY compressed audio) ----
 
   val audioMulawDir: String = s"${FixtureDirs.base}/media_mulawfp"
@@ -919,6 +1014,96 @@ object MediaFixture {
       ("name,frame_idx,vdhash\n" + rows.mkString("\n") + "\n")
         .getBytes(StandardCharsets.UTF_8))
     mjpegDHashDir
+  }
+
+  // ---- MJPEG-in-MP4 fixture (ISO 14496-12 sample-table walk) ----
+
+  val mp4DHashDir: String = s"${FixtureDirs.base}/media_mp4"
+  val expectedMp4DHashCsvPath: String =
+    s"${FixtureDirs.base}/media_mp4_expected.csv"
+
+  /** MJPEG-in-MP4: ftyp + mdat of concatenated baseline JPEGs + a moov
+    * whose video trak carries a REAL sample table — 'jpeg' stsd entry,
+    * per-sample stsz sizes, chunks of TWO samples so the stsc run map
+    * and intra-chunk size accumulation are genuinely exercised (an
+    * all-samples-in-one-chunk layout would never walk a second chunk).
+    * Same JDK-encoder frames as [[mjpegAviBytes]]; the decoder under
+    * test is the spec-written [[graft.operators.Jpeg]] behind
+    * [[graft.operators.MediaHeaders.mp4JpegSamples]]. */
+  private[graft] def mp4MjpegBytes(w: Int, h: Int,
+                                   frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    val jpegs = frames.map(f => jpegBytes(w, h, f))
+    val ftyp = mp4Box("ftyp", "isomiso2".getBytes("ISO-8859-1"))
+    val mdat = mp4Box("mdat", jpegs.reduce(_ ++ _))
+    val mdatBodyOff = ftyp.length + 8
+    val chunks = jpegs.grouped(2).toSeq
+    val chunkOffsets = chunks.map(_.map(_.length).sum)
+      .scanLeft(mdatBodyOff)(_ + _).init
+    // stsc run-length map of samples-per-chunk
+    val stscRuns = chunks.map(_.size).zipWithIndex
+      .foldLeft(Vector.empty[(Int, Int)]) { case (acc, (spc, i)) =>
+        if (acc.nonEmpty && acc.last._2 == spc) acc else acc :+ ((i + 1, spc))
+      }
+    val tkhd = java.nio.ByteBuffer.allocate(84)
+      .putInt(76, w << 16).putInt(80, h << 16).array()
+    val stsd = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 16)
+      bb.putInt(4, 1)  // entry_count
+      bb.putInt(8, 16) // sample-entry box size
+      System.arraycopy("jpeg".getBytes("ISO-8859-1"), 0, bb.array(), 12, 4)
+      bb.array()
+    }
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 * jpegs.size)
+      bb.putInt(8, jpegs.size) // sample_size 0 -> per-sample table
+      jpegs.zipWithIndex.foreach { case (j, i) => bb.putInt(12 + 4 * i, j.length) }
+      bb.array()
+    }
+    val stsc = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 12 * stscRuns.size)
+      bb.putInt(4, stscRuns.size)
+      stscRuns.zipWithIndex.foreach { case ((first, spc), i) =>
+        bb.putInt(8 + 12 * i, first)
+        bb.putInt(12 + 12 * i, spc)
+        bb.putInt(16 + 12 * i, 1)
+      }
+      bb.array()
+    }
+    val stco = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 * chunkOffsets.size)
+      bb.putInt(4, chunkOffsets.size)
+      chunkOffsets.zipWithIndex.foreach { case (o, i) => bb.putInt(8 + 4 * i, o) }
+      bb.array()
+    }
+    val stbl = mp4Box("stbl", mp4Box("stsd", stsd) ++ mp4Box("stsz", stsz) ++
+      mp4Box("stsc", stsc) ++ mp4Box("stco", stco))
+    val trak = mp4Box("trak", mp4Box("tkhd", tkhd) ++
+      mp4Box("mdia", mp4Box("minf", stbl)))
+    ftyp ++ mdat ++ mp4Box("moov", trak)
+  }
+
+  /** Same patterns, same hand-derived DC-grid constants as
+    * [[mjpegDHashEntries]]: identical codec, different container. */
+  private def mp4DHashEntries: Seq[(String, Array[Byte], Seq[Long])] = Seq(
+    ("mp4_a.mp4", mp4MjpegBytes(144, 64, mjpegPatterns),
+      Seq(0L, -1L, 0x0808080808080808L, 0L)),
+    ("mp4_b.mp4", mp4MjpegBytes(144, 64, Seq(
+      (_, _) => 128,
+      (x, _) => if (x < 72) 0 else 255)),
+      Seq(0L, 0x1818181818181818L)))
+
+  /** Write the MP4s + the pinned (name, frame_idx, vdhash) CSV;
+    * returns `mp4DHashDir`. */
+  def ensureMp4DHash(): String = {
+    Files.createDirectories(Paths.get(mp4DHashDir))
+    val rows = mp4DHashEntries.flatMap { case (name, bytes, hashes) =>
+      Files.write(Paths.get(mp4DHashDir, name), bytes)
+      hashes.zipWithIndex.map { case (hv, i) => s"$name,$i,$hv" }
+    }
+    Files.write(Paths.get(expectedMp4DHashCsvPath),
+      ("name,frame_idx,vdhash\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    mp4DHashDir
   }
 
   /** Write the fingerprint WAVs + the pinned CSV; returns `audioFpDir`. */

@@ -900,4 +900,30 @@ object EventStreams {
     }
     spark.table(sinkName)
   }
+
+  /** Streaming WARC ingestion — the landing-directory tail
+    * ([[graft.sources.v2.WarcMicroBatchStream]]) driven END-TO-END:
+    * `readStream.format("warc")` over the archive, the exact
+    * normalize/extract transform of the batch `q_warc_ingest`, drained
+    * through a memory sink. This replay is the one production
+    * streaming SOURCE (the others are MemoryStream-fed operators), so
+    * the offset/partition-planning/reader chain itself sits under the
+    * oracle; the multi-landing watermark behavior (a second archive
+    * picked up incrementally, renames at-or-below the watermark
+    * ignored) is spec-pinned in WarcSourceSpec. */
+  def replayWarcIngest(spark: SparkSession, path: String): DataFrame = {
+    val sinkName = "graft_replay_warc_ingest"
+    spark.catalog.dropTempView(sinkName)
+    val stream = spark.readStream.format("warc").load(path)
+      .filter(col("warc_type") === "response")
+      .select(
+        graft.functions.Web.urlNormalize(col("target_uri")).as("url"),
+        col("content_length"),
+        graft.functions.Web.htmlText(col("payload").cast("string"))
+          .as("main_text"))
+    val q = stream.writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
 }

@@ -76,6 +76,20 @@ class DeltaPrivacySpec extends SparkSpec {
     assert(!out("B").getBoolean(3), "all mass on one tail value")
   }
 
+  test("tClosenessAudit: single global sensitive value reports every group") {
+    // m_vals = 1: every group's distribution IS the global one, so the
+    // audit must report emd = 0 / meets_t = true for each group — not
+    // silently return zero rows (the release-audit hole).
+    val df = Seq(("A", 7), ("A", 7), ("B", 7)).toDF("qi", "v")
+    val out = Privacy.tClosenessAudit(df, Seq("qi"), "v", t = 0.1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("A", "B"))
+    assert(out("A").getLong(1) == 2 && out("A").getDouble(2) == 0.0 &&
+      out("A").getBoolean(3))
+    assert(out("B").getLong(1) == 1 && out("B").getDouble(2) == 0.0 &&
+      out("B").getBoolean(3))
+  }
+
   test("tClosenessAudit: null sensitive rows excluded; EMD bounded by 1") {
     val df = Seq(("A", java.lang.Integer.valueOf(1)), ("A", null),
       ("B", java.lang.Integer.valueOf(5)), ("B", java.lang.Integer.valueOf(5)))

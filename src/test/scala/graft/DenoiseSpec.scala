@@ -124,6 +124,32 @@ class DenoiseSpec extends SparkSpec {
     assert(nChanged > 0, "the 10% random-replacement arm must actually fire")
   }
 
+  test("mlmMaskExamples: the explode plan is bit-identical to the Column form") {
+    import spark.implicits._
+    // hand-shaped corpus including an EMPTY id stream: the explode
+    // plan must keep the doc (posexplode_outer), not drop it
+    val enc = Seq(
+      (1L, Seq(3L, 7L, 7L, 2L, 9L, 4L, 1L, 0L, 5L, 8L)),
+      (2L, Seq.empty[Long]),
+      (3L, (0L until 64L).map(i => i % 11)))
+      .toDF("doc_id", "bpe_ids")
+    val viaColumn = enc
+      .select(col("doc_id"),
+        Denoise.mlmMask(col("bpe_ids"), col("doc_id"), 11L).as("x"))
+      .select(col("doc_id"), col("x.input_ids"), col("x.labels"),
+        col("x.n_masked"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val viaExplode = Denoise.mlmMaskExamples(enc, "bpe_ids", "doc_id", 11L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(viaExplode.keySet == Set(1L, 2L, 3L))
+    Seq(1L, 2L, 3L).foreach { id =>
+      val a = viaColumn(id); val b = viaExplode(id)
+      assert(a.getSeq[Long](1) == b.getSeq[Long](1), s"input_ids doc $id")
+      assert(a.getSeq[Long](2) == b.getSeq[Long](2), s"labels doc $id")
+      assert(a.getLong(3) == b.getLong(3), s"n_masked doc $id")
+    }
+  }
+
   test("fim: PSM segments reassemble to the original stream") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = Bpe.trainMerges(docs, "text", rounds = 2)

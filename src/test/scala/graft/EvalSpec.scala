@@ -32,6 +32,27 @@ class EvalSpec extends SparkSpec {
       r.getDouble(4) == 0.0)
   }
 
+  test("cohensKappa: all-NULL pairs pin po/pe/kappa to 0, never NaN") {
+    val pairs = Seq(("x", null), (null, "y"), (null, null))
+      .toDF("a", "b")
+    val r = Eval.cohensKappa(pairs, "a", "b").collect().head
+    assert(r.getLong(0) == 0 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0 &&
+      r.getDouble(4) == 0.0)
+  }
+
+  test("bootstrapCI: NULL values are excluded outright, not zero-weighted") {
+    // 500 rows at 0.25 plus 500 NULLs: a null row must not contribute
+    // its Poisson weight to any denominator — the estimate stays the
+    // constant, exactly as if the nulls were never there
+    val df = (1L to 1000L)
+      .map(i => (i, if (i <= 500) Some(0.25) else None))
+      .toDF("id", "v")
+    val r = Eval.bootstrapCI(df, "id", "v", replicates = 40).collect().head
+    assert(r.getDouble(1) == 0.25 && r.getDouble(2) == 0.25 &&
+      r.getDouble(3) == 0.25)
+  }
+
   test("bootstrapCI: constant metric collapses the interval onto the point") {
     // every replicate mean of a constant equals the constant, whatever
     // the Poisson weights drew — the interval MUST be degenerate

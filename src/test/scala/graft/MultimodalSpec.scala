@@ -540,6 +540,87 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint64(stereo).isEmpty)
   }
 
+  // the fixture's envelope shape: 65 windows of 100 samples each
+  private def envS(amp: Int => Int): Array[Short] =
+    Array.tabulate(6500)(i => amp(i / 100).toShort)
+
+  test("oggPackets: CRC-verified page walk; corruption and truncation are loud") {
+    import graft.operators.MediaHeaders
+    import graft.sources.MediaFixture
+    val ogg = MediaFixture.oggFlacBytesPcm(Array.fill[Short](700)(100))
+    val pkts = MediaHeaders.oggPackets(ogg).get
+    assert(pkts.size == 2)
+    assert((pkts.head(0) & 0xFF) == 0x7F && pkts.head(1) == 'F')
+    // flip one PAYLOAD byte: the page CRC must catch it (never a
+    // silently wrong packet)
+    val flipped = ogg.clone()
+    flipped(flipped.length - 1) = (flipped(flipped.length - 1) ^ 0x01).toByte
+    assert(MediaHeaders.oggPackets(flipped).isEmpty)
+    // drop the EOS page's tail: truncated stream, loud None
+    assert(MediaHeaders.oggPackets(ogg.dropRight(3)).isEmpty)
+    // a non-BOS first page is structural corruption
+    val noBos = ogg.clone(); noBos(5) = 0
+    assert(MediaHeaders.oggPackets(noBos).isEmpty)
+  }
+
+  test("ogg-FLAC: native stream recovery, fingerprint equals the FLAC/WAV one") {
+    import graft.operators.MediaHeaders
+    import graft.sources.MediaFixture
+    val samples = envS(w => if (w < 32) 100 else 2000)
+    val viaOgg = Multimodal.audioFingerprint64(
+      MediaFixture.oggFlacBytesPcm(samples))
+    val viaFlac = Multimodal.audioFingerprint64(
+      MediaFixture.flacBytesPcm(samples))
+    assert(viaOgg.contains(1L << 31), "the hand-derived step constant")
+    assert(viaOgg == viaFlac, "lossless: the container cannot move a bit")
+    // ogg metadata path: rate/channels/total from the embedded STREAMINFO
+    val meta = MediaHeaders.ogg(MediaFixture.oggFlacBytesPcm(samples))
+    assert(meta.contains(MediaHeaders.AudioMeta(8000, 1, samples.length.toLong)))
+    // an ogg-opus stream has no FLAC mapping magic: fingerprint None,
+    // metadata still real via the opus branch
+    assert(MediaHeaders.oggFlacNative("OggS".getBytes ++ Array[Byte](0)).isEmpty)
+  }
+
+  test("mp4JpegSamples: sample-table walk recovers every frame; corrupt is None") {
+    import graft.operators.MediaHeaders
+    import graft.sources.MediaFixture
+    val mp4 = MediaFixture.mp4MjpegBytes(144, 64, Seq(
+      (_, _) => 128, (x, _) => x * 255 / 143, (_, _) => 10))
+    val samples = MediaHeaders.mp4JpegSamples(mp4).get
+    assert(samples.size == 3)
+    // every recovered sample is a standalone JPEG (SOI marker) and
+    // decodes through the T.81 DC decoder
+    assert(samples.forall(s => (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xD8))
+    assert(samples.forall(s => graft.operators.Jpeg.dcLuma(s).isDefined))
+    // truncating mdat keeps leading whole frames: still a loud None
+    // (every DECLARED sample must be recovered)
+    assert(MediaHeaders.mp4JpegSamples(mp4.take(mp4.length / 2)).isEmpty)
+    // a moov without stsd is not a jpeg track — None, not a crash
+    val tkhd = java.nio.ByteBuffer.allocate(84)
+      .putInt(76, 64 << 16).putInt(80, 48 << 16).array()
+    def box(t: String, b: Array[Byte]) = {
+      val bb = java.nio.ByteBuffer.allocate(b.length + 8)
+      bb.putInt(b.length + 8).put(t.getBytes("ISO-8859-1")).put(b)
+      bb.array()
+    }
+    val metaOnly = box("ftyp", "isomiso2".getBytes) ++
+      box("moov", box("trak", box("tkhd", tkhd)))
+    assert(MediaHeaders.mp4JpegSamples(metaOnly).isEmpty)
+  }
+
+  test("mp4 MJPEG: videoDHashes pins the SAME constants as the AVI reel") {
+    import graft.sources.MediaFixture
+    val blobs = Seq(
+      MediaBlob(1L, "mp4", MediaFixture.mp4MjpegBytes(144, 64, Seq(
+        (_, _) => 128,
+        (x, _) => x * 255 / 143,
+        (x, _) => if (x < 64) 0 else 255,
+        (x, _) => 255 - x * 255 / 143)))).toDS()
+    val got = Multimodal.videoDHashes(blobs).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(got == Map(0 -> 0L, 1 -> -1L, 2 -> 0x0808080808080808L, 3 -> 0L))
+  }
+
   test("audioNearDupPairs: jittered copy pairs, reversed envelope does not") {
     val blobs = Seq(
       MediaBlob(1L, "wav", envWav(w => (w + 1) * 10)),

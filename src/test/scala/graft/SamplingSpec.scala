@@ -61,6 +61,31 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("rankedPrefixSums: equals the stacked rank+cumsum window formulation") {
+    // a count-table shape with tied values (ties broken by id) —
+    // descending value expressed as the negated sort column
+    val df = (1L to 200L).map(k => (k, (k * 37 % 11) + 1)).toDF("id", "n")
+    val got = Sampling.rankedPrefixSums(df,
+        Seq(col("n") * -1L, col("id")), col("n"), "rank", "cum",
+        numPartitions = 7)
+      .select("id", "rank", "cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = Window.orderBy(desc("n"), asc("id"))
+    val want = df.select(col("id"),
+        row_number().over(w).cast("long").as("rank"),
+        sum("n").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("cum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    // stable across input partitionings (the globalShuffle contract)
+    val again = Sampling.rankedPrefixSums(df.repartition(13),
+        Seq(col("n") * -1L, col("id")), col("n"), "rank", "cum",
+        numPartitions = 3)
+      .select("id", "rank", "cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == want)
+  }
+
   test("coverageSelect: greedy max-coverage with id ties, early stop when covered") {
     // trigram sets: 1 -> {a_b_c, b_c_d}; 2 -> {a_b_c, b_c_d, c_d_e};
     // 3 -> {x_y_z, y_z_w}; 4 -> {p_q_r}; 5 duplicates 3 (higher id)

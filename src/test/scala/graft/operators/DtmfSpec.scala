@@ -47,6 +47,15 @@ class DtmfSpec extends SparkSpec {
     assert(Dtmf.decode(gap ++ nine ++ gap) == "9")
   }
 
+  test("decode: 45 ms burst needs minFrames=2 (50% hop floor), not default 3") {
+    // 360 samples @ 8 kHz = 45 ms: frames at offsets 0 and 102 are fully
+    // contained (307 ≤ 360), a third is not — so the Q.24-edge burst
+    // decodes at minFrames=2 and is (documentedly) dropped at the default.
+    val burst = tonePair(941.0, 1336.0, 360)
+    assert(Dtmf.decode(burst, minFrames = 2) == "0")
+    assert(Dtmf.decode(burst) == "")
+  }
+
   test("dtmfDigits: full 16-key pad through the WAV container") {
     val all = "123A456B789C*0#D"
     assert(Dtmf.dtmfDigits(MediaFixture.dtmfWav(all)).contains(all))

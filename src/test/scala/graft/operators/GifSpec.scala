@@ -56,6 +56,22 @@ class GifSpec extends SparkSpec {
     assert(fs(1).toSeq == Seq(c0, c0, c0, c1))
   }
 
+  test("frames: disposal 3-7 (restore-previous / undefined) is a loud None") {
+    // same hand-built stream as the disposal-2 test, with the first
+    // GCE's disposal field set to 3 (0x0C = 3 << 2): the decoder keeps
+    // no previous-canvas copy, so decoding as 'keep' would composite a
+    // WRONG frame 2 — total-parser contract says None, never a guess.
+    val b = Array.concat(
+      "GIF89a".getBytes("ISO-8859-1"),
+      Array[Byte](2, 0, 2, 0, 0xF0.toByte, 0, 0),
+      Array[Byte](10, 10, 10, 200.toByte, 200.toByte, 200.toByte),
+      Array[Byte](0x21, 0xF9.toByte, 4, 0x0C, 0, 0, 0, 0), // disposal 3
+      Array[Byte](0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0),
+      Array[Byte](2, 3, 0x44, 0x10, 0x05, 0),
+      Array[Byte](0x3B))
+    assert(Gif.frames(b).isEmpty)
+  }
+
   test("frames: interlaced rows land at their de-interlaced positions") {
     // 1×4, y-gradient values 3,60,120,180 via a 256-gray GCT GIF with
     // the interlace flag: payload rows are written in interlace order
