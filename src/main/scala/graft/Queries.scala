@@ -5610,14 +5610,17 @@ object Queries {
           .orderBy("round").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
         val vocab = operators.Bpe.vocab(d, "text", merges)
-        operators.Bpe.encode(d, "text", "doc_id", merges, vocab)
+        // the one-shuffle explode plan (codegen draws, doc-partitioned
+        // ordinal window, exchange-free rebuild) — bit-identical to
+        // the Column spanCorrupt; measured head-to-head in BASELINE.md
+        // round-11 notes
+        operators.Denoise.spanCorruptExamples(
+          operators.Bpe.encode(d, "text", "doc_id", merges, vocab),
+          "bpe_ids", "doc_id", vocabSize = vocab.size.toLong)
           .select(col("doc_id"),
-            operators.Denoise.spanCorrupt(col("bpe_ids"), col("doc_id"),
-              vocabSize = vocab.size.toLong).as("x"))
-          .select(col("doc_id"),
-            array_join(col("x.input_ids"), ",").as("input_ids_csv"),
-            array_join(col("x.target_ids"), ",").as("target_ids_csv"),
-            col("x.n_spans").as("n_spans"))
+            array_join(col("input_ids"), ",").as("input_ids_csv"),
+            array_join(col("target_ids"), ",").as("target_ids_csv"),
+            col("n_spans"))
       },
       Some(BpeEncodeOracleCtes + ",\n" +
         """nv AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM vocab),
@@ -8406,8 +8409,9 @@ object Queries {
     // CROSS-FORMAT video near-dup across the mp4 ↔ avi boundary: the
     // MJPEG-AVI reel and the MJPEG-MP4 reel carry the same patterns
     // through two container walks (RIFF chunk scan vs ISO sample
-    // table) into ONE codec path — mp4_a pairs with mjpeg_a frame-for-
-    // frame; mp4_b/mjpeg_b share only their flat frame and stay out.
+    // table) into ONE codec path — mp4_a pairs with mjpeg_a and mp4_b
+    // with mjpeg_b frame-for-frame; an _a never pairs with a _b (they
+    // share only the flat frame, 1 < minMatchingFrames).
     "q_mp4_crossformat_pairs" -> ((
       (s: SparkSession, dir: String) => {
         import s.implicits._
@@ -8437,6 +8441,90 @@ object Queries {
               |  UNION ALL
               |  SELECT name, frame_idx, vdhash
               |  FROM read_csv('${graft.sources.MediaFixture.expectedMp4DHashCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                          'vdhash':'BIGINT'})),
+              |h AS (SELECT name, frame_idx, vdhash,
+              |    dense_rank() OVER (ORDER BY name) - 1 AS mid FROM u)
+              |SELECT a.name AS name_a, b.name AS name_b,
+              |  count(*) AS n_matching_frames
+              |FROM h a JOIN h b
+              |  ON a.frame_idx = b.frame_idx AND a.mid < b.mid
+              |WHERE bit_count(xor(a.vdhash, b.vdhash)) <= 3
+              |GROUP BY 1, 2
+              |HAVING count(*) >= 2""".stripMargin)
+    )),
+
+    // MJPEG-in-Matroska per-frame hashes — the FIFTH video container:
+    // the EBML walk recovers each V_MJPEG SimpleBlock's standalone
+    // JPEG (track-number vint, lacing rejected loudly) and the same
+    // T.81 DC decoder runs, so the constants are inherited from the
+    // AVI/MP4 reels once more. This closes the "mkv frame decode is
+    // header-only" half of the former video stub for a real codec.
+    "q_multimodal_mkv_dhash" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureMkvDHash()
+        val files = s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("media_id", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) =>
+            operators.Multimodal.MediaBlob(idx(n).toLong, "mkv", c) }
+        operators.Multimodal.videoDHashes(blobs)
+          .join(broadcast(nameDf), "media_id")
+          .select(col("name"), col("frame_idx"), col("vdhash"))
+      },
+      Some(s"""SELECT name, frame_idx, vdhash
+              |FROM read_csv('${graft.sources.MediaFixture.expectedMkvDHashCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                        'vdhash':'BIGINT'})""".stripMargin)
+    )),
+
+    // TRI-CONTAINER MJPEG near-dup: avi ↔ mp4 ↔ mkv reels of the same
+    // patterns through three container walks (RIFF chunk scan, ISO
+    // sample table, EBML blocks) into one codec path — the three *_a
+    // reels pair pairwise and the three *_b reels pair pairwise (6
+    // rows); an _a never pairs with a _b (only the flat frame is
+    // shared, 1 < minMatchingFrames).
+    "q_mkv_crossformat_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d1 = graft.sources.MediaFixture.ensureMjpegDHash()
+        val d2 = graft.sources.MediaFixture.ensureMp4DHash()
+        val d3 = graft.sources.MediaFixture.ensureMkvDHash()
+        val files = s.read.format("binaryFile").load(d1, d2, d3)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("mid", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) => operators.Multimodal.MediaBlob(idx(n).toLong,
+            n.substring(n.lastIndexOf('.') + 1), c) }
+        operators.Multimodal.videoNearDupPairs(blobs, maxHamming = 3,
+            minMatchingFrames = 2)
+          .join(broadcast(nameDf.toDF("id_a", "name_a")), "id_a")
+          .join(broadcast(nameDf.toDF("id_b", "name_b")), "id_b")
+          .select("name_a", "name_b", "n_matching_frames")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT name, frame_idx, vdhash
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedMjpegDHashCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                          'vdhash':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, frame_idx, vdhash
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedMp4DHashCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
+              |                          'vdhash':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, frame_idx, vdhash
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedMkvDHashCsvPath}',
               |    header=true, columns={'name':'VARCHAR','frame_idx':'INTEGER',
               |                          'vdhash':'BIGINT'})),
               |h AS (SELECT name, frame_idx, vdhash,

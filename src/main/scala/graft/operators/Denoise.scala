@@ -82,6 +82,70 @@ object Denoise {
       nSpans.as("n_spans"))
   }
 
+  /** Corpus-scale span-corruption materialization — [[spanCorrupt]]'s
+    * algebra on the measured explode shape (the chrF / mlmMask
+    * lesson): positions become rows via a codegen `posexplode`, the
+    * block draw runs in whole-stage codegen, the span ORDINAL (the one
+    * cross-row quantity) is a doc-partitioned running sum — after the
+    * up-front `repartition(docId)` both the window and the final
+    * rebuild groupBy are EXCHANGE-FREE, so the whole plan has ONE
+    * shuffle of the raw id rows. Each position row then emits its 1-3
+    * output entries (tag 0 = input stream, 1 = target; subkey k orders
+    * a span's sentinel before its tokens at the same position), and
+    * one aggregate rebuilds both arrays via codegen
+    * `GetArrayStructFields` — no interpreted lambda anywhere.
+    *
+    * Draw algebra is bit-identical to [[spanCorrupt]] (same salt, same
+    * hash32 over (docId, blockIdx), ordinal = masked blocks before
+    * mine): `q_span_corrupt` kept its oracle hash across the swap.
+    * Returns (doc_id, input_ids, target_ids, n_spans). */
+  def spanCorruptExamples(df: org.apache.spark.sql.DataFrame,
+      idsCol: String, docIdCol: String, vocabSize: Long,
+      blockLen: Int = 8, maskEvery: Int = 5, salt: String = "mask_")
+      : org.apache.spark.sql.DataFrame = {
+    val pos = df.repartition(col(docIdCol))
+      .select(col(docIdCol).as("doc_id"),
+        posexplode_outer(col(idsCol)).as(Seq("i", "t")))
+    val b = expr(s"CAST(i div $blockLen AS BIGINT)")
+    val masked = pmod(Sampling.hash32(concat(col("doc_id").cast("string"),
+      lit("_"), b.cast("string")), salt), lit(maskEvery.toLong)) === 0
+    val isStart = pmod(col("i"), lit(blockLen)) === 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // running count of masked block STARTS at or before position i:
+    // inside a masked block this is (my span ordinal + 1), constant
+    // from the block's start on — so sentinel = vocab + cum − 1
+    val withOrd = pos.withColumn("m", masked)
+      .withColumn("cum",
+        sum(when(isStart && masked, 1L).otherwise(0L)).over(w))
+    val sent = lit(vocabSize) + col("cum") - 1L
+    def entry(tag: Int, k: Int, v: Column) =
+      struct(lit(tag).as("tag"), col("i").as("i"), lit(k).as("k"),
+        v.cast("long").as("v"))
+    val entries =
+      when(col("i").isNull,
+        array().cast("array<struct<tag:int,i:int,k:int,v:bigint>>"))
+        .when(!col("m"), array(entry(0, 1, col("t"))))
+        .when(col("m") && isStart, array(
+          entry(0, 0, sent), entry(1, 0, sent), entry(1, 1, col("t"))))
+        .otherwise(array(entry(1, 1, col("t"))))
+    withOrd.select(col("doc_id"), explode_outer(entries).as("e"))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(when(col("e.tag") === 0,
+          struct(col("e.i"), col("e.k"), col("e.v"))))).as("ia"),
+        sort_array(collect_list(when(col("e.tag") === 1,
+          struct(col("e.i"), col("e.k"), col("e.v"))))).as("ta"),
+        sum(when(col("e.tag") === 1 && col("e.k") === 0, 1L)
+          .otherwise(0L)).as("ns"))
+      .select(col("doc_id"),
+        col("ia.v").as("input_ids"),
+        col("ta.v").as("target_ids"),
+        coalesce(col("ns"), lit(0L)).as("n_spans"))
+  }
+
   /** Fill-in-the-middle transformation (Bavarian et al. 2022 — the
     * infilling objective code models train on): split the id stream at
     * two deterministic points into (prefix, middle, suffix) and emit

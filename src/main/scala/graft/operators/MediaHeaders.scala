@@ -313,6 +313,55 @@ object MediaHeaders {
     }
   }
 
+  private val ClusterE = 0x1F43B675L
+  private val SimpleBlockE = 0xA3L
+  private val TrackNumberE = 0xD7L
+  private val CodecIDE = 0x86L
+
+  /** The per-frame JPEG payloads of a Matroska V_MJPEG video track
+    * (each SimpleBlock carries one standalone baseline JPEG — the MJPEG
+    * mapping): Tracks is walked for the video TrackEntry whose CodecID
+    * is exactly "V_MJPEG" (any other codec → None, header-only), then
+    * every Cluster's SimpleBlocks for that track number yield their
+    * payload after the (track vint, s16 timestamp, flags) block header.
+    * LACED blocks are a loud None — decoding lacing wrong would emit
+    * concatenated frames as one; the fixture and real MJPEG muxers use
+    * one frame per block. Same total contract as [[mp4JpegSamples]]. */
+  def matroskaJpegFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    val top = ebmlChildren(bytes, 0, bytes.length)
+    if (!top.exists(_._1 == EbmlHeader)) return None
+    val seg = top.collectFirst { case (Segment, s, e) => (s, e) }
+      .getOrElse(return None)
+    val segKids = ebmlChildren(bytes, seg._1, seg._2)
+    val trackNum = segKids
+      .collectFirst { case (TracksE, ts, te) => (ts, te) }
+      .toSeq.flatMap { case (ts, te) => ebmlChildren(bytes, ts, te) }
+      .collect { case (TrackEntry, s, e) => ebmlChildren(bytes, s, e) }
+      .collectFirst {
+        case kids if kids.exists(_._1 == VideoE) &&
+          kids.collectFirst { case (CodecIDE, a, b2) =>
+            new String(bytes, a, b2 - a, "ISO-8859-1")
+          }.contains("V_MJPEG") =>
+          kids.collectFirst { case (TrackNumberE, a, b2) =>
+            ebmlUInt(bytes, a, b2) }
+      }.flatten.getOrElse(return None)
+    val out = Seq.newBuilder[Array[Byte]]
+    for ((cid, cs, ce) <- segKids if cid == ClusterE;
+         (bid, s, e) <- ebmlChildren(bytes, cs, ce) if bid == SimpleBlockE) {
+      ebmlVint(bytes, s, keepMarker = false) match {
+        case Some((tn, tLen)) if tn == trackNum =>
+          val payload = s + tLen + 3 // s16 rel-timestamp + flags byte
+          if (payload > e) return None
+          if ((u8(bytes, s + tLen + 2) & 0x06) != 0) return None // laced
+          out += java.util.Arrays.copyOfRange(bytes, payload, e)
+        case Some(_) => () // another track's block
+        case None => return None
+      }
+    }
+    val frames = out.result()
+    if (frames.isEmpty) None else Some(frames)
+  }
+
   // ================= MP3 (MPEG-1/2 Layer III frame headers) ===========
 
   private val BitrateV1L3 = // kbps, index 1-14 (0=free, 15=bad)

@@ -510,6 +510,28 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** REAL frame decode for MJPEG-in-Matroska (V_MJPEG SimpleBlocks —
+    * each one standalone baseline JPEG): the EBML walk
+    * ([[MediaHeaders.matroskaJpegFrames]]) recovers every frame and
+    * [[Jpeg.dcLuma]] decodes it — the THIRD container over the same
+    * codec path, so avi/mp4/mkv all pin identical DC-grid constants.
+    * The frame count must agree with the header parse's
+    * duration-derived count ([[MediaHeaders.matroska]]) — the same
+    * all-frames-or-None contract as the other two containers. */
+  def mkvMjpegDcGrids(content: Array[Byte])
+      : Option[Seq[(Int, Int, Array[Int])]] =
+    try {
+      MediaHeaders.matroska(content).flatMap { m =>
+        MediaHeaders.matroskaJpegFrames(content).flatMap { samples =>
+          if (samples.isEmpty || samples.size != m.nFrames) None
+          else {
+            val grids = samples.map(Jpeg.dcLuma)
+            if (grids.forall(_.isDefined)) Some(grids.map(_.get)) else None
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** dHash of one raw DIB frame: same grid arithmetic as the image
     * [[dHash64]] ([[dHashGrid]] is shared), over the bottom-up BGR
     * rows directly — gray frames therefore hash IDENTICALLY to a PNG
@@ -582,6 +604,15 @@ object Multimodal {
         else if (Set("mp4", "m4v", "mov")(b.kind.toLowerCase))
           // MJPEG-in-MP4: T.81 DC grids via the ISO sample-table walk
           mp4MjpegDcGrids(b.content).iterator.flatMap { grids =>
+            grids.iterator.zipWithIndex.collect {
+              case ((wB, hB, g), i) if i % everyK == 0 =>
+                (b.media_id, i,
+                  dHashGrid(wB, hB, (x, y) => g(y * wB + x).toLong))
+            }
+          }
+        else if (Set("mkv", "webm")(b.kind.toLowerCase))
+          // MJPEG-in-Matroska: T.81 DC grids via the EBML block walk
+          mkvMjpegDcGrids(b.content).iterator.flatMap { grids =>
             grids.iterator.zipWithIndex.collect {
               case ((wB, hB, g), i) if i % everyK == 0 =>
                 (b.media_id, i,

@@ -1092,6 +1092,83 @@ object MediaFixture {
       (x, _) => if (x < 72) 0 else 255)),
       Seq(0L, 0x1818181818181818L)))
 
+  // ---- MJPEG-in-Matroska fixture (EBML SimpleBlock walk) ----
+
+  val mkvDHashDir: String = s"${FixtureDirs.base}/media_mkv"
+  val expectedMkvDHashCsvPath: String =
+    s"${FixtureDirs.base}/media_mkv_expected.csv"
+
+  /** EBML size vint of any width (the single-byte [[ebmlEl]] caps at
+    * 126 — JPEG payloads need 2-3 byte sizes). */
+  private def ebmlSize(n: Long): Array[Byte] = {
+    var width = 1
+    while (n >= (1L << (7 * width)) - 1) width += 1
+    val out = new Array[Byte](width)
+    var v = n | (1L << (7 * width))
+    var i = width - 1
+    while (i >= 0) { out(i) = (v & 0xFF).toByte; v >>= 8; i -= 1 }
+    out
+  }
+  private def ebmlElL(id: Long, body: Array[Byte]): Array[Byte] = {
+    val idBytes = BigInt(id).toByteArray.dropWhile(_ == 0)
+    idBytes ++ ebmlSize(body.length.toLong) ++ body
+  }
+
+  /** MJPEG-in-Matroska: EBML header + Segment(Info(scale, duration),
+    * Tracks(track 1, CodecID V_MJPEG, dims, per-frame duration),
+    * one Cluster per frame whose SimpleBlock carries a standalone
+    * baseline JPEG (track vint 0x81, zero relative timestamp,
+    * keyframe flags 0x80, no lacing). Duration is set so the header
+    * parser's duration-derived frame count EQUALS the block count —
+    * the consistency check the decoder enforces. */
+  private[graft] def mkvMjpegBytes(w: Int, h: Int,
+                                   frames: Seq[(Int, Int) => Int],
+                                   fps: Int = 25): Array[Byte] = {
+    val jpegs = frames.map(f => jpegBytes(w, h, f))
+    val nsPerFrame = 1000000000L / fps
+    val video = ebmlEl(0xE0L, ebmlUint(0xB0L, w) ++ ebmlUint(0xBAL, h))
+    val codec = ebmlEl(0x86L, "V_MJPEG".getBytes("ISO-8859-1"))
+    val trackEntry = ebmlElL(0xAEL, ebmlUint(0xD7L, 1) ++ codec ++
+      ebmlUint(0x23E383L, nsPerFrame) ++ video)
+    val tracks = ebmlElL(0x1654AE6BL, trackEntry)
+    val durationTicks = jpegs.size.toDouble * nsPerFrame / 1000000.0
+    val duration = ebmlEl(0x4489L,
+      java.nio.ByteBuffer.allocate(8).putDouble(durationTicks).array())
+    val info = ebmlEl(0x1549A966L, ebmlUint(0x2AD7B1L, 1000000L) ++ duration)
+    val clusters = jpegs.zipWithIndex.map { case (j, i) =>
+      val block = ebmlElL(0xA3L,
+        Array[Byte](0x81.toByte, 0, 0, 0x80.toByte) ++ j)
+      ebmlElL(0x1F43B675L,
+        ebmlUint(0xE7L, i * nsPerFrame / 1000000L) ++ block)
+    }.reduce(_ ++ _)
+    ebmlEl(0x1A45DFA3L, Array.empty[Byte]) ++
+      ebmlElL(0x18538067L, info ++ tracks ++ clusters)
+  }
+
+  /** Same patterns, same hand-derived DC-grid constants as the AVI and
+    * MP4 MJPEG reels: one codec, three containers. */
+  private def mkvDHashEntries: Seq[(String, Array[Byte], Seq[Long])] = Seq(
+    ("mkv_a.mkv", mkvMjpegBytes(144, 64, mjpegPatterns),
+      Seq(0L, -1L, 0x0808080808080808L, 0L)),
+    ("mkv_b.mkv", mkvMjpegBytes(144, 64, Seq(
+      (_, _) => 128,
+      (x, _) => if (x < 72) 0 else 255)),
+      Seq(0L, 0x1818181818181818L)))
+
+  /** Write the MKVs + the pinned (name, frame_idx, vdhash) CSV;
+    * returns `mkvDHashDir`. */
+  def ensureMkvDHash(): String = {
+    Files.createDirectories(Paths.get(mkvDHashDir))
+    val rows = mkvDHashEntries.flatMap { case (name, bytes, hashes) =>
+      Files.write(Paths.get(mkvDHashDir, name), bytes)
+      hashes.zipWithIndex.map { case (hv, i) => s"$name,$i,$hv" }
+    }
+    Files.write(Paths.get(expectedMkvDHashCsvPath),
+      ("name,frame_idx,vdhash\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    mkvDHashDir
+  }
+
   /** Write the MP4s + the pinned (name, frame_idx, vdhash) CSV;
     * returns `mp4DHashDir`. */
   def ensureMp4DHash(): String = {

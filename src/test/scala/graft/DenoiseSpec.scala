@@ -124,6 +124,37 @@ class DenoiseSpec extends SparkSpec {
     assert(nChanged > 0, "the 10% random-replacement arm must actually fire")
   }
 
+  test("spanCorruptExamples: the explode plan is bit-identical to the Column form") {
+    import spark.implicits._
+    // shapes that exercise every branch: multi-block with a partial
+    // tail, an EMPTY stream, single-token (order-0 block), and one
+    // long doc so several blocks mask (ordinals beyond 0)
+    val enc = Seq(
+      (1L, (0L until 45L).map(i => i % 13)),
+      (2L, Seq.empty[Long]),
+      (3L, Seq(7L)),
+      (4L, (0L until 200L).map(i => (i * 3) % 11)))
+      .toDF("doc_id", "bpe_ids")
+    val viaColumn = enc
+      .select(col("doc_id"),
+        Denoise.spanCorrupt(col("bpe_ids"), col("doc_id"), 13L).as("x"))
+      .select(col("doc_id"), col("x.input_ids"), col("x.target_ids"),
+        col("x.n_spans"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val viaExplode = Denoise.spanCorruptExamples(enc, "bpe_ids", "doc_id", 13L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(viaExplode.keySet == Set(1L, 2L, 3L, 4L))
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      val a = viaColumn(id); val b = viaExplode(id)
+      assert(a.getSeq[Long](1) == b.getSeq[Long](1), s"input_ids doc $id")
+      assert(a.getSeq[Long](2) == b.getSeq[Long](2), s"target_ids doc $id")
+      assert(a.getLong(3) == b.getLong(3), s"n_spans doc $id")
+    }
+    // the long doc must actually have several spans, or the ordinal
+    // arithmetic was never exercised
+    assert(viaExplode(4L).getLong(3) >= 2, "need multi-span coverage")
+  }
+
   test("mlmMaskExamples: the explode plan is bit-identical to the Column form") {
     import spark.implicits._
     // hand-shaped corpus including an EMPTY id stream: the explode

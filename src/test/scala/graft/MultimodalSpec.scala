@@ -621,6 +621,37 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Map(0 -> 0L, 1 -> -1L, 2 -> 0x0808080808080808L, 3 -> 0L))
   }
 
+  test("mkv MJPEG: EBML block walk pins the SAME constants; lacing is loud") {
+    import graft.operators.MediaHeaders
+    import graft.sources.MediaFixture
+    val mkv = MediaFixture.mkvMjpegBytes(144, 64, Seq(
+      (_, _) => 128,
+      (x, _) => x * 255 / 143,
+      (x, _) => if (x < 64) 0 else 255,
+      (x, _) => 255 - x * 255 / 143))
+    val frames = MediaHeaders.matroskaJpegFrames(mkv).get
+    assert(frames.size == 4)
+    assert(frames.forall(f => (f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8))
+    val blobs = Seq(MediaBlob(1L, "mkv", mkv)).toDS()
+    val got = Multimodal.videoDHashes(blobs).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(got == Map(0 -> 0L, 1 -> -1L, 2 -> 0x0808080808080808L, 3 -> 0L))
+    // a non-MJPEG codec id stays header-only: loud None
+    val vorbisId = mkv.clone()
+    val at = (0 until mkv.length - 7).find(i =>
+      new String(mkv, i, 7, "ISO-8859-1") == "V_MJPEG").get
+    System.arraycopy("V_MPEG4".getBytes("ISO-8859-1"), 0, vorbisId, at, 7)
+    assert(MediaHeaders.matroskaJpegFrames(vorbisId).isEmpty)
+    // flipping the lacing bits on is a loud None, not a wrong decode
+    val laced = mkv.clone()
+    // first SimpleBlock header: track vint 0x81, ts 0x0000, flags 0x80
+    val sb = (0 until laced.length - 4).find(i =>
+      (laced(i) & 0xFF) == 0x81 && laced(i + 1) == 0 && laced(i + 2) == 0 &&
+        (laced(i + 3) & 0xFF) == 0x80 && (laced(i + 4) & 0xFF) == 0xFF).get
+    laced(sb + 3) = (0x80 | 0x02).toByte
+    assert(MediaHeaders.matroskaJpegFrames(laced).isEmpty)
+  }
+
   test("audioNearDupPairs: jittered copy pairs, reversed envelope does not") {
     val blobs = Seq(
       MediaBlob(1L, "wav", envWav(w => (w + 1) * 10)),

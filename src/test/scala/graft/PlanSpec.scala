@@ -277,14 +277,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_span_corrupt / q_fim: objective materialization is a zero-exchange map") {
+  test("q_fim: objective materialization is a zero-exchange map") {
     // training runs at plan CONSTRUCTION (bounded driver state); the
     // returned example-materialization plan must be scan -> project
-    for (q <- Seq("q_span_corrupt", "q_fim")) {
-      val p = plan(q)
-      assert(exchanges(p) == 0, s"$q must fuse into the scan:\n$p")
-      assert(!p.contains("BatchEvalPython"), s"$q must not use Python UDFs")
-    }
+    val p = plan("q_fim")
+    assert(exchanges(p) == 0, s"q_fim must fuse into the scan:\n$p")
+    assert(!p.contains("BatchEvalPython"), "q_fim must not use Python UDFs")
+  }
+
+  test("q_span_corrupt: the explode re-plan keeps exactly ONE shuffle") {
+    // the round-11 re-plan (3.22 -> 2.09 s, interpreted HOF draws ->
+    // codegen explode): ONE repartition(doc_id) of the raw id rows;
+    // the ordinal window AND the example rebuild both reuse that
+    // partitioning (doc-keyed) — growth here = the exchange-free
+    // window/groupBy property broke
+    val p = plan("q_span_corrupt")
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("BatchEvalPython"),
+      "q_span_corrupt must not use Python UDFs")
+  }
+
+  test("q_mlm_mask: the explode re-plan keeps exactly ONE shuffle") {
+    // same recipe (5.56 -> 2.59 s): repartition(doc_id), codegen
+    // draws, exchange-free rebuild
+    val p = plan("q_mlm_mask")
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("BatchEvalPython"),
+      "q_mlm_mask must not use Python UDFs")
   }
 
   test("q_zorder_layout: one shuffle for the bucket agg, key is codegen'd") {
