@@ -3972,6 +3972,63 @@ object Queries {
              |GROUP BY tf.doc_id""".stripMargin)
     )),
 
+    // Dirichlet-smoothed query likelihood (Zhai & Lafferty, SIGIR
+    // 2001) — the language-modeling retrieval member beside BM25's
+    // probabilistic ranking: score(q,d) = Σ_t ln((tf + μ·cf_t/C) /
+    // (dl + μ)), μ = 2000. EXACT-INT determinism where bm25 accepts
+    // raw-double sums: each log argument is the exact int64 ratio
+    // (tf·C + μ·cf) / ((dl+μ)·C), both ln's round-9 AT BIRTH, and the
+    // per-doc sum has exactly |query| = 2 addends (IEEE a+b = b+a —
+    // the named commutativity bound; 3+ terms would need the sorted
+    // fold). Smoothing means EVERY doc scores against every query
+    // term (tf = 0 contributes ln(μ·cf/C·…)) — the dense fan is a
+    // broadcast of the 2-row term table, one corpus tokenize.
+    // Int64 bound: (dl+μ)·C ≤ 9e18 ⇒ fine to C ~ 1e14 tokens.
+    "q_dirichlet_ql" -> ((
+      (s: SparkSession, dir: String) => {
+        val mu = 2000L
+        val terms = Seq("spark", "join")
+        val docs = Tables.documents(s, dir)
+        val ws = split(col("text"), " ")
+        val dl = docs.select(col("doc_id"), size(ws).cast("long").as("dl"))
+        val cf = docs.select(explode(ws).as("t"))
+          .filter(col("t").isin(terms: _*))
+          .groupBy("t").agg(count(lit(1)).as("cf"))
+        val ctot = docs.agg(
+          sum(size(split(col("text"), " ")).cast("long")).as("c"))
+        val tf = docs.select(col("doc_id"), explode(ws).as("t"))
+          .filter(col("t").isin(terms: _*))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        dl.crossJoin(broadcast(cf))
+          .join(tf, Seq("doc_id", "t"), "left")
+          .crossJoin(broadcast(ctot))
+          .withColumn("contrib",
+            round(log((coalesce(col("tf"), lit(0L)) * col("c") +
+              lit(mu) * col("cf")).cast("double")), 9) -
+            round(log(((col("dl") + lit(mu)) * col("c")).cast("double")), 9))
+          .groupBy("doc_id")
+          .agg(round(sum(col("contrib")), 6).as("ql"))
+      },
+      Some("""WITH dl AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+             |cf AS (SELECT t, CAST(count(*) AS BIGINT) AS cf
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+             |  WHERE t IN ('spark', 'join') GROUP BY 1),
+             |ct AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+             |  FROM documents),
+             |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+             |  WHERE t IN ('spark', 'join') GROUP BY 1, 2)
+             |SELECT dl.doc_id,
+             |  round(sum(
+             |    round(ln(CAST(coalesce(tf.tf, 0) * c + 2000 * cf.cf AS DOUBLE)), 9)
+             |    - round(ln(CAST((dl.dl + 2000) * c AS DOUBLE)), 9)), 6) AS ql
+             |FROM dl CROSS JOIN cf
+             |LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.t = cf.t
+             |CROSS JOIN ct
+             |GROUP BY 1""".stripMargin)
+    )),
+
     // Corpus snapshot diff: yesterday's corpus vs today's, emitting only
     // the churn an incremental pipeline consumes (re-embed `changed`,
     // dedup-check `added`, tombstone `removed`). Both snapshots are
@@ -6429,6 +6486,53 @@ object Queries {
              |FROM c""".stripMargin)
     )),
 
+    // IBAN mod-97 gate (ISO 13616/7064) — the second exact checksum
+    // in the PII family: candidates from the no-lookaround regex,
+    // validity by the running-remainder fold (the big number never
+    // materializes; remainder < 97 at every step, int32-exact in both
+    // engines). Plants two valid IBANs (GB toy-bank example + a real
+    // French format with a letter in the BBAN) and a one-digit-off
+    // invalid, so both branches fire.
+    "q_iban_filter" -> ((
+      (s: SparkSession, dir: String) => {
+        val planted = when(pmod(col("doc_id"), lit(5L)) === 0,
+            lit(" iban GB82WEST12345698765432"))
+          .when(pmod(col("doc_id"), lit(5L)) === 1,
+            lit(" iban FR1420041010050500013M02606"))
+          .when(pmod(col("doc_id"), lit(5L)) === 2,
+            lit(" iban GB82WEST12345678654321"))
+          .otherwise(lit(""))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), concat(col("text"), planted).as("text"))
+          .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+            lit(TextAnalysis.ibanCandidatePattern), lit(0))).as("iban"))
+          .select(col("doc_id"), col("iban"),
+            TextAnalysis.ibanValid(col("iban")).as("valid"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 5 = 0 THEN ' iban GB82WEST12345698765432'
+             |         WHEN doc_id % 5 = 1 THEN ' iban FR1420041010050500013M02606'
+             |         WHEN doc_id % 5 = 2 THEN ' iban GB82WEST12345678654321'
+             |         ELSE '' END AS text
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(text,
+             |      '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b')) AS iban
+             |  FROM d),
+             |r AS (SELECT doc_id, iban, iban[5:] || iban[1:4] AS re FROM m),
+             |dg AS (SELECT doc_id, iban, array_to_string(
+             |    [CASE WHEN c BETWEEN 'A' AND 'Z'
+             |       THEN CAST(unicode(c)-55 AS VARCHAR) ELSE c END
+             |     for c in string_split(re, '')], '') AS digits
+             |  FROM r)
+             |SELECT doc_id, iban,
+             |  len(iban) BETWEEN 15 AND 34
+             |  AND regexp_matches(iban[1:2], '^[A-Z]{2}$')
+             |  AND list_reduce([CAST(x AS INT) for x in string_split(digits, '')],
+             |        (a, b) -> (a * 10 + b) % 97) = 1 AS valid
+             |FROM dg""".stripMargin)
+    )),
+
     // High-entropy token scan (the credential/API-key detector the
     // regex PII pass cannot catch): tokens >= 20 chars scored by
     // character Shannon entropy, flagged at 3.5 bits. The fixture
@@ -6544,6 +6648,97 @@ object Queries {
              |        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
              |      / CAST(n AS DOUBLE), 6) END AS intercept
              |FROM s""".stripMargin)
+    )),
+
+    // Gini concentration of document lengths — the corpus-inequality
+    // number beside the Zipf slope and Heaps curve: ranks from the
+    // range-sliced machinery (never a global-sort window), every sum
+    // decimal(38,0)/HUGEINT, one final division.
+    "q_gini_lengths" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.giniIndex(
+          Tables.documents(s, dir), "n_chars", "doc_id"),
+      Some("""WITH b AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x
+             |  FROM documents),
+             |rk AS (SELECT x,
+             |    CAST(row_number() OVER (ORDER BY x, id) AS BIGINT) AS r
+             |  FROM b)
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(x) AS BIGINT) AS total,
+             |  round(CAST(2 * sum(CAST(r AS HUGEINT) * x)
+             |      - (count(*) + 1) * sum(CAST(x AS HUGEINT)) AS DOUBLE)
+             |    / CAST(count(*) * sum(CAST(x AS HUGEINT)) AS DOUBLE), 6)
+             |    AS gini
+             |FROM rk""".stripMargin)
+    )),
+
+    // Rank correlation (Spearman under the (value, id) total order —
+    // the named tie deviation in Profile.rankCorrelation's scaladoc)
+    // between document length and word count: the monotone-association
+    // audit that Pearson's float sums can't do engine-exactly. Ranks
+    // are exact distinct integers, sum_d2 decimal/HUGEINT, one
+    // division.
+    "q_rank_correlation" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.rankCorrelation(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("n_chars"),
+              size(split(col("text"), " ")).cast("long").as("n_words")),
+          "n_chars", "n_words", "doc_id"),
+      Some("""WITH b AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS xv,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS yv
+             |  FROM documents),
+             |rx AS (SELECT id,
+             |    CAST(row_number() OVER (ORDER BY xv, id) AS BIGINT) AS rx
+             |  FROM b),
+             |ry AS (SELECT id,
+             |    CAST(row_number() OVER (ORDER BY yv, id) AS BIGINT) AS ry
+             |  FROM b),
+             |d AS (SELECT CAST(rx - ry AS HUGEINT) * CAST(rx - ry AS HUGEINT)
+             |    AS d2
+             |  FROM rx JOIN ry USING (id))
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(d2) AS BIGINT) AS sum_d2,
+             |  CASE WHEN count(*) >= 2 THEN
+             |    round(1.0 - CAST(6 * sum(d2) AS DOUBLE)
+             |      / CAST(CAST(count(*) AS HUGEINT)
+             |          * (CAST(count(*) AS HUGEINT) * count(*) - 1) AS DOUBLE), 6)
+             |  END AS rho
+             |FROM d""".stripMargin)
+    )),
+
+    // Two-sample Kolmogorov-Smirnov: English vs non-English document
+    // lengths — the bin-free distribution-shift test beside PSI. Both
+    // cumulative counts ride ONE rankedPrefixSums pass (c_a·2³¹ + c_b
+    // packed into the fold), the decision is the exact-integer form
+    // of the α = 0.05 asymptotic threshold (no sqrt, no float
+    // boundary — decimal/HUGEINT on both sides).
+    "q_ks_lengths" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.ksTest(Tables.documents(s, dir), "n_chars",
+          col("lang") === "en"),
+      Some("""WITH c AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+             |  FROM documents GROUP BY 1),
+             |cum AS (SELECT
+             |    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+             |    CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+             |  FROM c),
+             |tot AS (SELECT max(cum_a) AS na, max(cum_b) AS nb FROM cum),
+             |dn AS (SELECT na, nb,
+             |    max(abs(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na))
+             |      AS d_num
+             |  FROM cum CROSS JOIN tot GROUP BY 1, 2)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CASE WHEN na > 0 AND nb > 0 THEN
+             |    round(CAST(d_num AS DOUBLE)
+             |      / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 6) END AS d,
+             |  CASE WHEN na > 0 AND nb > 0 THEN
+             |    d_num * d_num * 1000000 >
+             |      CAST(1844164 AS HUGEINT) * (na + nb) * na * nb
+             |  END AS reject_05
+             |FROM dn""".stripMargin)
     )),
 
     // Fleiss' kappa inter-annotator agreement: items are groups of 6
@@ -9015,6 +9210,86 @@ object Queries {
              |    round(CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE) /
              |      CAST(2 * sum(pos) * sum(neg) AS DOUBLE), 6) END AS auc
              |FROM c GROUP BY 1""".stripMargin)
+    )),
+
+    // Group-conditional (Mondrian) split conformal prediction (Vovk;
+    // the distribution-free coverage wrapper every LLM-eval stack is
+    // adopting): the %5==0 calibration slice fits, PER SOURCE, a
+    // constant predictor (the exact lower median of the fixed-point
+    // quality score) and the conformal quantile q̂ = the
+    // ⌈(n_g+1)·0.9⌉-th smallest |y − med| (exact order statistic —
+    // integer ceil, never a float quantile); every held-out doc then
+    // gets [med − q̂, med + q̂] and its coverage bit. EVERYTHING is
+    // int64 micro-units — medians and quantiles are rank-selected
+    // values, not interpolations — so both engines agree bit-for-bit.
+    // Ranks ride groupedPositions (range exchange), never a
+    // one-task-per-source window; the per-source (med, q̂) table is
+    // source-cardinality-bounded and broadcasts back. A group too
+    // small for the quantile index (k > n_g) yields NULL bounds — the
+    // honest infinite interval, never a clamp (the pass_at_k rule).
+    "q_conformal_interval" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            round(TextAnalysis.qualityScore(col("text")) * 1e6, 0)
+              .cast("long").as("y"))
+        val cal = d.filter(pmod(col("doc_id"), lit(7L)) === 0)
+        val sizes = cal.groupBy("lang").agg(count(lit(1)).as("n_g"))
+        val med = operators.Sampling.groupedPositions(cal, Seq("lang"),
+            Seq(col("y"), col("doc_id")), "rn")
+          .join(broadcast(sizes), "lang")
+          .filter(col("rn") === expr("(n_g + 1) div 2"))
+          .select(col("lang"), col("y").as("med"))
+        val scored = cal.join(broadcast(med), "lang")
+          .select(col("lang"), col("doc_id"),
+            abs(col("y") - col("med")).as("s"))
+        val qhat = operators.Sampling.groupedPositions(scored, Seq("lang"),
+            Seq(col("s"), col("doc_id")), "rs")
+          .join(broadcast(sizes), "lang")
+          .filter(col("rs") === expr("(9 * (n_g + 1) + 9) div 10"))
+          .select(col("lang"), col("s").as("qhat"))
+        d.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+          .join(broadcast(med), "lang")
+          .join(broadcast(qhat), Seq("lang"), "left")
+          .select(col("doc_id"), col("lang"),
+            (col("med") - col("qhat")).as("lo"),
+            (col("med") + col("qhat")).as("hi"),
+            (col("y") >= col("med") - col("qhat") &&
+              col("y") <= col("med") + col("qhat")).as("covered"))
+      },
+      Some {
+        val allStop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH c AS (SELECT doc_id, lang,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           |  CAST(len([w for w in string_split(text, ' ') if w IN ($allStop)]) AS BIGINT) AS nstop,
+           |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nalpha,
+           |  CAST(length(text) AS BIGINT) AS nchars
+           |FROM documents),
+           |sc AS (SELECT doc_id, lang, CAST(round(
+           |  CAST(4 * least(ntok, 100) * ntok * nchars + 300 * nstop * nchars
+           |       + 300 * nalpha * ntok AS DOUBLE)
+           |  / CAST(1000 * ntok * nchars AS DOUBLE) * 1000000, 0) AS BIGINT) AS y
+           |FROM c),
+           |cal AS (SELECT * FROM sc WHERE doc_id % 7 = 0),
+           |ng AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g FROM cal GROUP BY 1),
+           |rk AS (SELECT lang, y, CAST(row_number() OVER (PARTITION BY lang
+           |    ORDER BY y, doc_id) AS BIGINT) AS rn FROM cal),
+           |med AS (SELECT rk.lang, y AS med FROM rk JOIN ng USING (lang)
+           |  WHERE rn = (n_g + 1) // 2),
+           |scr AS (SELECT cal.lang, cal.doc_id, abs(cal.y - med.med) AS s
+           |  FROM cal JOIN med USING (lang)),
+           |rs AS (SELECT lang, s, CAST(row_number() OVER (PARTITION BY lang
+           |    ORDER BY s, doc_id) AS BIGINT) AS rs FROM scr),
+           |qh AS (SELECT rs.lang, s AS qhat FROM rs JOIN ng USING (lang)
+           |  WHERE rs = (9 * (n_g + 1) + 9) // 10)
+           |SELECT sc.doc_id, sc.lang,
+           |  med.med - qh.qhat AS lo, med.med + qh.qhat AS hi,
+           |  sc.y BETWEEN med.med - qh.qhat AND med.med + qh.qhat AS covered
+           |FROM sc JOIN med ON sc.lang = med.lang
+           |LEFT JOIN qh ON sc.lang = qh.lang
+           |WHERE sc.doc_id % 7 <> 0""".stripMargin
+      }
     )),
 
     // Calibration reliability table + ECE + Brier: the fixture plants

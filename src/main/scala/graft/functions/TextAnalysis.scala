@@ -269,6 +269,42 @@ object TextAnalysis {
     * DuckDB). Normalize with [[cardDigits]] before [[luhnValid]]. */
   val cardCandidatePattern: String = "\\b(?:\\d[ -]?){12,18}\\d\\b"
 
+  /** IBAN mod-97 validity (ISO 13616 / ISO 7064): the SECOND exact
+    * checksum in the PII family ([[luhnValid]] gates card numbers;
+    * this one bank accounts — both kill the regex pass's false
+    * positives). The candidate must already be separator-free and
+    * upper-case. Algorithm exactly as the standard: move the first 4
+    * chars to the end, map A→10…Z→35, and the resulting digit string
+    * ≡ 1 (mod 97). The big number never materializes: the fold keeps
+    * a running remainder < 97, one `(acc·10 + digit) % 97` (or two
+    * steps for a letter's two digits) per character — int32-safe, and
+    * replayed in DuckDB by the same list_reduce fold. Length bound
+    * 15-34 (shortest national format to the ISO max). */
+  def ibanValid(iban: Column): Column = {
+    val n = length(iban)
+    val rearranged = concat(iban.substr(lit(5), n - 4), iban.substr(lit(1), lit(4)))
+    val rem = aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        val c = ascii(rearranged.substr(i, lit(1)))
+        // tens digit of the 2-digit letter value: integer truncation
+        // of an exact small ratio (10..35 over 10) — Column `/` is
+        // double division, so cast back to int explicitly
+        val tens = ((c - 55) / 10).cast("int")
+        when(c >= 65 && c <= 90, // letter -> two digits 10..35
+          pmod(pmod(acc * 10 + tens, lit(97)) * 10 +
+            pmod(c - 55, lit(10)), lit(97)))
+          .otherwise(pmod(acc * 10 + (c - 48), lit(97)))
+      })
+    n >= 15 && n <= 34 &&
+      iban.substr(lit(1), lit(2)).rlike("^[A-Z]{2}$") && rem === 1
+  }
+
+  /** IBAN candidate pattern: two country letters + 2 check digits +
+    * 11-30 alphanumerics (no lookaround — replays in DuckDB). */
+  val ibanCandidatePattern: String = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+
   /** Strip the separators a card candidate may carry. */
   def cardDigits(m: Column): Column =
     regexp_replace(m, "[ -]", "")

@@ -25,22 +25,51 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
               exact: Boolean = false, rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile: no columns given")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"${c}__cnt"),
-        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c), rsd)).as(s"${c}__nd"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+    if (exact) {
+      // EXACT mode: one column-pruned pass per column, each a
+      // value-keyed pre-aggregate. A single agg carrying k exact
+      // countDistinct's would EXPAND every input row k-fold before
+      // aggregating (Spark's multi-distinct rewrite) — measured 4.65 s
+      // on 4 lineitem columns at sf0.1 vs 1.9 s for this shape; at
+      // 100 TB the expand is k extra corpus copies through the first
+      // shuffle, while here each pass scans ONE column and shuffles
+      // only its distinct values (map-side partial distinct).
+      cols.map { c =>
+        df.select(col(c).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("rows"))
+          .agg(
+            sum(when(col("v").isNotNull, col("rows")).otherwise(0L))
+              .as("n_notnull"),
+            sum(when(col("v").isNull, col("rows")).otherwise(0L))
+              .as("n_nulls"),
+            count(when(col("v").isNotNull, 1)).as("n_distinct"),
+            min(col("v")).cast("string").as("min_value"),
+            max(col("v")).cast("string").as("max_value"))
+          .select(lit(c).as("column_name"),
+            // empty-input parity with the count()-based HLL branch:
+            // sums over zero groups are NULL, counts are 0
+            coalesce(col("n_notnull"), lit(0L)).as("n_notnull"),
+            coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      }.reduce(_.unionAll(_))
+    } else {
+      // HLL mode (the 100 TB default): ONE pass over all columns
+      val aggs = cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"${c}__cnt"),
+          count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+          approx_count_distinct(col(c), rsd).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', `${c}__cnt`, `${c}__nulls`, `${c}__nd`, `${c}__min`, `${c}__max`")
+        .mkString(", ")
+      one.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_notnull, n_nulls, n_distinct, min_value, max_value)"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', `${c}__cnt`, `${c}__nulls`, `${c}__nd`, `${c}__min`, `${c}__max`")
-      .mkString(", ")
-    one.select(expr(
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_notnull, n_nulls, n_distinct, min_value, max_value)"))
   }
 
   /** Schema drift between two snapshots of "the same" table — the
@@ -210,5 +239,121 @@ object Profile {
       when(den > 0.0,
         round((col("sy") - slope * col("sx")) / nD, 6))
         .otherwise(lit(null).cast("double")).as("intercept"))
+  }
+
+  /** Gini concentration index of a non-negative int64 measure (token
+    * counts, byte sizes, per-domain shares — the standard corpus-
+    * inequality number next to [[zipfFit]]'s power law): for values
+    * x_(1) ≤ … ≤ x_(n) under the total (x, id) order,
+    * G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx). ONE row out:
+    * (n, total, gini).
+    *
+    * Exact-integer discipline: ranks come from
+    * [[Sampling.rankedPrefixSums]] (range exchange — no global-sort
+    * window at any n), every sum is decimal(38,0) (i·x products reach
+    * n·max_x, far past int64 at corpus scale — the q_outliers
+    * HUGEINT/decimal pairing), and ONE final double division makes
+    * the index. All-zero totals report NULL, never 0/0; any negative
+    * value makes the whole index NULL (loud — Gini is undefined
+    * there — rather than a silently wrong number). */
+  def giniIndex(df: DataFrame, valueCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val ranked = Sampling.rankedPrefixSums(base,
+      Seq(col("x"), col("id")), col("x"), "r", "cum")
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("x") < 0, 1L).otherwise(0L)).as("n_neg"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("r").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+        .as("six"))
+    agg.select(col("n"), col("sx").cast("long").as("total"),
+      when(col("n_neg") > 0, lit(null).cast("double"))
+        .when(col("sx") > 0, round(
+          (lit(2).cast("decimal(38,0)") * col("six") -
+            (col("n") + 1).cast("decimal(38,0)") * col("sx")).cast("double") /
+            (col("n").cast("decimal(38,0)") * col("sx")).cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("gini"))
+  }
+
+  /** Rank correlation between two int64 measures under the
+    * (value, id) TOTAL order — Spearman's ρ with ties broken by id
+    * rather than midranks (named deviation: midranks need a second
+    * per-value aggregate; the total order keeps every rank an exact
+    * distinct integer and the whole statistic engine-exact, and for
+    * continuous-ish measures the two agree to noise). ρ = 1 −
+    * 6·Σd² / (n·(n²−1)), d = rank_x − rank_y. ONE row out:
+    * (n, sum_d2, rho).
+    *
+    * Ranks from two [[Sampling.rankedPrefixSums]] range exchanges
+    * joined back on id; Σd² in decimal(38,0) (≤ n³ — int64 dies at
+    * ~2M rows, the named bound decimals lift); one double division,
+    * round 6; n < 2 reports NULL. */
+  def rankCorrelation(df: DataFrame, xCol: String, yCol: String,
+                      idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      col(xCol).cast("long").as("xv"), col(yCol).cast("long").as("yv"))
+      .filter(col("xv").isNotNull && col("yv").isNotNull)
+    val rx = Sampling.rankedPrefixSums(base, Seq(col("xv"), col("id")),
+      lit(0L), "rx", "__cx").select(col("id"), col("rx"))
+    val ry = Sampling.rankedPrefixSums(base, Seq(col("yv"), col("id")),
+      lit(0L), "ry", "__cy").select(col("id"), col("ry"))
+    val d = rx.join(ry, "id")
+      .select(((col("rx") - col("ry")).cast("decimal(19,0)") *
+        (col("rx") - col("ry")).cast("decimal(19,0)")).as("d2"))
+    d.agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+      .select(col("n"), col("sd2").cast("long").as("sum_d2"),
+        when(col("n") >= 2, round(lit(1.0) -
+          (lit(6).cast("decimal(38,0)") * col("sd2")).cast("double") /
+            (col("n").cast("decimal(38,0)") *
+              (col("n").cast("decimal(38,0)") * col("n") - 1)).cast("double"),
+          6)).otherwise(lit(null).cast("double")).as("rho"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic over an int64 measure
+    * (the distribution-shift test beside [[distributionDrift]]'s PSI:
+    * PSI needs bins, KS is bin-free): D = max_v |F_a(v) − F_b(v)|,
+    * with the max over the pooled distinct values. ONE row out:
+    * (n_a, n_b, d, reject_05) — reject at α = 0.05 by the asymptotic
+    * critical value c = 1.358·√((n_a+n_b)/(n_a·n_b)), compared in
+    * EXACT integer form: D_num²·10⁶ > 1.844164·10⁶·(n_a+n_b)·n_a·n_b
+    * with both sides decimal(38,0) (D_num ≤ n_a·n_b, so the square
+    * needs int128-class width — the q_outliers pairing; no sqrt, no
+    * float threshold).
+    *
+    * Scale shape: one value-keyed count aggregate; BOTH cumulative
+    * counts ride ONE [[Sampling.rankedPrefixSums]] pass by packing
+    * (c_a·2³¹ + c_b) into the fold value and decomposing the running
+    * sum (exact while n_b < 2³¹ and n_a·2³¹ < 2⁶³ — named bounds);
+    * the max is a 1-row aggregate. */
+  def ksTest(df: DataFrame, valueCol: String, inA: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val m = 1L << 31
+    val counts = df.select(col(valueCol).cast("long").as("v"),
+      when(inA, 1L).otherwise(0L).as("a"))
+      .filter(col("v").isNotNull)
+      .groupBy("v")
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val cum = Sampling.rankedPrefixSums(counts, Seq(col("v")),
+      col("ca") * m + col("cb"), "__r", "packed")
+      .select(expr(s"packed div ${m}L").as("cum_a"),
+        pmod(col("packed"), lit(m)).as("cum_b"))
+    val tot = cum.agg(max(col("cum_a")).as("na"), max(col("cum_b")).as("nb"))
+    val dnum = cum.crossJoin(broadcast(tot))
+      .select(abs(col("cum_a").cast("decimal(38,0)") * col("nb") -
+        col("cum_b").cast("decimal(38,0)") * col("na")).as("dn"),
+        col("na"), col("nb"))
+      .groupBy("na", "nb").agg(max(col("dn")).as("d_num"))
+    dnum.select(col("na").as("n_a"), col("nb").as("n_b"),
+      when(col("na") > 0 && col("nb") > 0, round(
+        col("d_num").cast("double") /
+          (col("na").cast("decimal(38,0)") * col("nb")).cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("d"),
+      when(col("na") > 0 && col("nb") > 0,
+        col("d_num") * col("d_num") * 1000000L >
+          lit(1844164L).cast("decimal(38,0)") * (col("na") + col("nb")) *
+            col("na") * col("nb"))
+        .otherwise(lit(null).cast("boolean")).as("reject_05"))
   }
 }

@@ -105,4 +105,60 @@ class ProfileSpec extends SparkSpec {
     val d = operators.Profile.zipfFit(one, "text", topR = 5).collect().head
     assert(d.getLong(0) == 1 && d.isNullAt(1) && d.isNullAt(2))
   }
+
+  test("giniIndex: perfect equality 0, max concentration (n-1)/n, NULL guards") {
+    import org.apache.spark.sql.functions._
+    val eq = (1L to 4L).map(i => (i, 7L)).toDF("id", "x")
+    val a = operators.Profile.giniIndex(eq, "x", "id").collect().head
+    assert(a.getLong(0) == 4 && a.getLong(1) == 28 && a.getDouble(2) == 0.0)
+    // {0,0,0,4}: G = (2*16 - 5*4)/(4*4) = 0.75 = (n-1)/n, hand-derived
+    val conc = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 4L)).toDF("id", "x")
+    val b = operators.Profile.giniIndex(conc, "x", "id").collect().head
+    assert(b.getDouble(2) == 0.75)
+    // all-zero total and any negative value both report NULL, never 0/0
+    val z = Seq((1L, 0L), (2L, 0L)).toDF("id", "x")
+    assert(operators.Profile.giniIndex(z, "x", "id").collect().head.isNullAt(2))
+    val neg = Seq((1L, 5L), (2L, -1L)).toDF("id", "x")
+    assert(operators.Profile.giniIndex(neg, "x", "id")
+      .collect().head.isNullAt(2))
+    // partitioning-independent (range-exchange ranks)
+    val big = (1L to 300L).map(i => (i, i * 31 % 17)).toDF("id", "x")
+    val p1 = operators.Profile.giniIndex(big, "x", "id").collect().head
+    val p2 = operators.Profile.giniIndex(big.repartition(7), "x", "id")
+      .collect().head
+    assert(p1 == p2)
+  }
+
+  test("rankCorrelation: +1 monotone, -1 reversed, hand-computed middle") {
+    val up = (1L to 4L).map(i => (i, i * 10, i * 3)).toDF("id", "x", "y")
+    assert(operators.Profile.rankCorrelation(up, "x", "y", "id")
+      .collect().head.getDouble(2) == 1.0)
+    val down = (1L to 4L).map(i => (i, i * 10, 50 - i * 10)).toDF("id", "x", "y")
+    val d = operators.Profile.rankCorrelation(down, "x", "y", "id")
+      .collect().head
+    assert(d.getLong(1) == 20 && d.getDouble(2) == -1.0,
+      s"d=(-3,-1,1,3) gives sum_d2 20, rho -1: $d")
+    // one swap: x ranks 1,2,3,4 vs y ranks 1,2,4,3 -> sum_d2 = 2,
+    // rho = 1 - 12/60 = 0.8
+    val mid = Seq((1L, 10L, 1L), (2L, 20L, 2L), (3L, 30L, 4L),
+      (4L, 40L, 3L)).toDF("id", "x", "y")
+    assert(operators.Profile.rankCorrelation(mid, "x", "y", "id")
+      .collect().head.getDouble(2) == 0.8)
+  }
+
+  test("ksTest: disjoint samples reject, identical samples do not") {
+    import org.apache.spark.sql.functions._
+    // A={1,2,3,4}, B={11..14}: D=1; 16^2*1e6 = 2.56e8 > 1844164*8*16
+    // = 2.36e8 -> reject (hand-derived exact-integer threshold)
+    val disj = (Seq(1L, 2L, 3L, 4L).map((_, true)) ++
+      Seq(11L, 12L, 13L, 14L).map((_, false))).toDF("v", "ina")
+    val a = operators.Profile.ksTest(disj, "v", col("ina")).collect().head
+    assert(a.getLong(0) == 4 && a.getLong(1) == 4)
+    assert(a.getDouble(2) == 1.0 && a.getBoolean(3))
+    // identical samples: D = 0, no rejection
+    val same = (1L to 40L).flatMap(i => Seq((i, true), (i, false)))
+      .toDF("v", "ina")
+    val b = operators.Profile.ksTest(same, "v", col("ina")).collect().head
+    assert(b.getDouble(2) == 0.0 && !b.getBoolean(3))
+  }
 }

@@ -110,6 +110,17 @@ class TextAnalysisSpec extends SparkSpec {
       .asInstanceOf[Boolean])
   }
 
+  test("ibanValid: ISO 13616 mod-97 with the length band and country prefix") {
+    def v(s: String): Boolean =
+      one(s, TextAnalysis.ibanValid(col("text"))).asInstanceOf[Boolean]
+    assert(v("GB82WEST12345698765432"))       // the standard's own example
+    assert(v("DE89370400440532013000"))       // valid German format
+    assert(v("FR1420041010050500013M02606"))  // letter inside the BBAN
+    assert(!v("GB82WEST12345678654321"))      // checksum off
+    assert(!v("GB82WEST1234569876"))          // hand-check: remainder != 1
+    assert(!v("1234567890123456"))            // no country prefix
+  }
+
   test("subwordCount counts ceil(len/4) units per word") {
     // "distributed" (11 chars -> 3) + "db" (2 -> 1)
     assert(one("distributed db", TextAnalysis.subwordCount(col("text"))) == 4L)
