@@ -8804,14 +8804,20 @@ object Queries {
       (s: SparkSession, dir: String) => {
         val d = Tables.documents(s, dir)
         // Spark's sequence(1, 0) DESCENDS (the Bpe guard) — short docs
-        // must hit the empty-array branch, never the ramp
-        val grams = d.select(col("source"),
+        // must hit the empty-array branch, never the ramp. `ws` is
+        // MATERIALIZED in its own projection before the lambda:
+        // invariant subtrees are NOT hoisted out of HOF lambdas, so
+        // an inline split(text) would re-tokenize the whole doc for
+        // EVERY element_at — 3 full splits per gram, O(n²) per doc
+        // (the mlm/chrF lesson; measured 4.15 → 1.18 s at sf0.1).
+        val grams = d.select(col("source"), split(col("text"), " ").as("ws"))
+          .select(col("source"),
             explode(expr(
-              "case when size(split(text, ' ')) < 3 then array() " +
-                "else transform(sequence(1, size(split(text, ' ')) - 2), " +
-                "i -> concat_ws('_', element_at(split(text, ' '), i), " +
-                "element_at(split(text, ' '), i + 1), " +
-                "element_at(split(text, ' '), i + 2))) end")).as("g"))
+              "case when size(ws) < 3 then array() " +
+                "else transform(sequence(1, size(ws) - 2), " +
+                "i -> concat_ws('_', element_at(ws, i), " +
+                "element_at(ws, i + 1), " +
+                "element_at(ws, i + 2))) end")).as("g"))
         // ONE g-keyed aggregation: collect_set dedups map-side and the
         // per-gram source set is bounded by source cardinality, so the
         // shuffle ships (gram, partial set) once — no corpus-wide
@@ -8894,10 +8900,15 @@ object Queries {
             when(pmod(col("doc_id"), lit(5L)) === 0, lit(" " + esSuf))
               .when(pmod(col("doc_id"), lit(5L)) === 1, lit(" " + deSuf))
               .otherwise(lit(""))))
-        val segs = d.select(col("doc_id"),
+        // ws materialized BEFORE the lambda: an inline split(text)
+        // inside the HOF body re-tokenizes the whole doc per segment
+        // (invariant subtrees are not hoisted — the q_ngram_novelty
+        // 4.15 → 1.18 s lesson)
+        val segs = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
             posexplode(expr(
-              "transform(sequence(0, cast((size(split(text, ' ')) + 9) div 10 as int) - 1), " +
-                "i -> slice(split(text, ' '), i * 10 + 1, 10))")))
+              "transform(sequence(0, cast((size(ws) + 9) div 10 as int) - 1), " +
+                "i -> slice(ws, i * 10 + 1, 10))")))
           .toDF("doc_id", "pos", "seg")
         def hits(lang: String) =
           size(filter(col("seg"),
