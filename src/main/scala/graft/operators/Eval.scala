@@ -46,16 +46,38 @@ object Eval {
       // (len_cand=1 for an empty candidate). Coalesce NULL text to ''
       // and drop empty tokens (the qaTokenF1 discipline) so degenerate
       // pairs score 0 deterministically; mirrored in SQL.
+      //
+      // Gram generation on the explode + window-lead shape (the
+      // round-11 re-plan, measured in BASELINE.md): tokens explode in
+      // codegen, each position's four grams come from three lead()
+      // columns and explicit concat_ws — no interpreted slice-copy
+      // per gram — and the up-front repartition(id) makes the lead
+      // window, the (id,n,g) count, the cross-side join and every
+      // downstream per-id aggregate EXCHANGE-FREE (hash(id) satisfies
+      // each of their clusterings).
       val ws = expr(
         s"filter(split(coalesce(`$textCol`, ''), ' '), t -> t <> '')")
-      pairs.select(col(idCol).as("id"), ws.as("ws"))
-        .select(col("id"), explode(expr(
-          """transform(sequence(1, 4), n -> struct(n AS n,
-            |  CASE WHEN size(ws) >= n THEN
-            |    transform(sequence(1, size(ws) - n + 1),
-            |      i -> concat_ws(' ', slice(ws, CAST(i AS INT), n)))
-            |  ELSE array() END AS gs))""".stripMargin)).as("e"))
-        .select(col("id"), col("e.n").as("n"), explode(col("e.gs")).as("g"))
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("i")
+      val toks = pairs.select(col(idCol).as("id"), ws.as("ws"))
+        .repartition(col("id"))
+        .select(col("id"), posexplode_outer(col("ws")).as(Seq("i", "w")))
+        .withColumn("w1", lead(col("w"), 1).over(wnd))
+        .withColumn("w2", lead(col("w"), 2).over(wnd))
+        .withColumn("w3", lead(col("w"), 3).over(wnd))
+      val entries = array(
+        struct(lit(1).as("n"), col("w").as("g")),
+        struct(lit(2).as("n"), when(col("w1").isNotNull,
+          concat_ws(" ", col("w"), col("w1"))).as("g")),
+        struct(lit(3).as("n"), when(col("w2").isNotNull,
+          concat_ws(" ", col("w"), col("w1"), col("w2"))).as("g")),
+        struct(lit(4).as("n"), when(col("w3").isNotNull,
+          concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"))).as("g")))
+      toks.select(col("id"), explode(entries).as("e"))
+        // null g = a gram past the end (or the empty-side null token
+        // row) — exactly the CASE size(ws) >= n guard of the old plan
+        .filter(col("e.g").isNotNull)
+        .select(col("id"), col("e.n").as("n"), col("e.g").as("g"))
         .groupBy("id", "n", "g").agg(count(lit(1)).as(s"c_$side"))
     }
     val cg = gramTable(candCol, "cand")
