@@ -6650,6 +6650,62 @@ object Queries {
              |FROM s""".stripMargin)
     )),
 
+    // Heaps'-law fit — the vocabulary-GROWTH power law completing the
+    // corpus-law pair with q_zipf_fit: 10 doc-id prefixes each yield
+    // one (ln tokens, ln vocab) point from exact integer cumulative
+    // counts; the fitted slope is the Heaps exponent β (the number a
+    // tokenizer vocab budget extrapolates on).
+    "q_heaps_fit" -> ((
+      (s: SparkSession, dir: String) =>
+        // the synthetic corpus draws from a FIXED vocabulary, which
+        // saturates inside the first prefix (beta would be identically
+        // 0 and the regression unexercised); one planted doc-unique
+        // token per doc gives the vocab a real deterministic growth
+        // curve for the gate — the operator itself is plant-free
+        operators.Profile.heapsFit(
+          Tables.documents(s, dir).withColumn("text",
+            concat(col("text"), lit(" nv"), col("doc_id"))),
+          "doc_id", "text", rungs = 10),
+      Some("""WITH d AS (SELECT doc_id,
+             |    text || ' nv' || CAST(doc_id AS VARCHAR) AS text
+             |  FROM documents),
+             |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+             |tok AS (SELECT doc_id,
+             |    unnest([t for t in string_split(text, ' ') if t <> '']) AS w
+             |  FROM d),
+             |fw AS (SELECT w, min(doc_id) AS f FROM tok GROUP BY 1),
+             |fr AS (SELECT ((f + 1) * 10 + n - 1) // n AS r,
+             |    CAST(count(*) AS BIGINT) AS v_new FROM fw, nd GROUP BY 1),
+             |dt AS (SELECT ((doc_id + 1) * 10 + n - 1) // n AS r,
+             |    CAST(sum(len([t for t in string_split(text, ' ') if t <> ''])) AS BIGINT)
+             |      AS t_new
+             |  FROM d, nd GROUP BY 1),
+             |br AS (SELECT coalesce(fr.r, dt.r) AS r,
+             |    coalesce(v_new, 0) AS v_new, coalesce(t_new, 0) AS t_new
+             |  FROM fr FULL OUTER JOIN dt ON fr.r = dt.r),
+             |cum AS (SELECT a.r, CAST(sum(b.v_new) AS BIGINT) AS v,
+             |    CAST(sum(b.t_new) AS BIGINT) AS t
+             |  FROM br a JOIN br b ON b.r <= a.r GROUP BY 1),
+             |pts AS (SELECT r, round(ln(CAST(t AS DOUBLE)), 9) AS x,
+             |    round(ln(CAST(v AS DOUBLE)), 9) AS y
+             |  FROM cum WHERE v > 0 AND t > 0),
+             |s AS (SELECT count(*) AS n,
+             |    list_sum(list(x ORDER BY r)) AS sx,
+             |    list_sum(list(y ORDER BY r)) AS sy,
+             |    list_sum(list(x * x ORDER BY r)) AS sxx,
+             |    list_sum(list(x * y ORDER BY r)) AS sxy
+             |  FROM pts)
+             |SELECT CAST(n AS BIGINT) AS n_points,
+             |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0 THEN
+             |    round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             |      / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) END AS beta,
+             |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0 THEN
+             |    round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+             |        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             |      / CAST(n AS DOUBLE), 6) END AS ln_k
+             |FROM s""".stripMargin)
+    )),
+
     // Gini concentration of document lengths — the corpus-inequality
     // number beside the Zipf slope and Heaps curve: ranks from the
     // range-sliced machinery (never a global-sort window), every sum

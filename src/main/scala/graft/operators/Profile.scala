@@ -241,6 +241,80 @@ object Profile {
         .otherwise(lit(null).cast("double")).as("intercept"))
   }
 
+  /** Heaps'-law fit V(N) = k·N^β — the vocabulary-GROWTH power law
+    * pairing [[zipfFit]]'s rank-frequency law (the two are the twin
+    * empirical laws every corpus report quotes; β ≈ 0.4-0.6 for
+    * natural text, and the fitted curve is what sizes a tokenizer's
+    * vocab budget as the corpus grows): the corpus is cut into
+    * `rungs` doc-id prefixes, each contributing one (ln N_r, ln V_r)
+    * point — N_r = tokens in the prefix, V_r = distinct words FIRST
+    * seen in it (cumulative) — and the least-squares line over the
+    * rung-ordered points gives (beta = slope, ln_k = intercept).
+    * Returns ONE row (n_points, beta, ln_k).
+    *
+    * Determinism: V_r comes from per-word min(doc_id) bucketed to its
+    * first containing rung — pure integer arithmetic
+    * (((id+1)·rungs + n − 1) div n); each ln rounds to 9 AT BIRTH and
+    * the regression sums are rung-ordered folds (the zipfFit
+    * discipline). Prefixes with zero tokens or zero vocab are
+    * EXCLUDED from the fit (ln undefined — loud, not −inf).
+    *
+    * Scale shape: ONE token pass for the (word → first id) aggregate
+    * (map-side partial min), one doc-level token-count pass; both
+    * reduce to ≤ rungs rows, and the cumulative is a rungs²-row
+    * broadcast self-join — bounded model state, never a window over
+    * corpus rows. Doc ids are assumed to BE the corpus order (the
+    * fixture's contiguous 0..n−1); for arbitrary ids rank first. */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+               rungs: Int = 10): DataFrame = {
+    require(rungs >= 2, "need at least 2 prefix rungs")
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val ws = expr(s"filter(split(`$textCol`, ' '), t -> t <> '')")
+    val firsts = docs
+      .select(col(idCol).cast("long").as("id"), explode(ws).as("w"))
+      .groupBy("w").agg(min(col("id")).as("f"))
+      .crossJoin(broadcast(n))
+      .select(expr(s"((f + 1) * $rungs + nd - 1) div nd").as("r"))
+      .groupBy("r").agg(count(lit(1)).as("v_new"))
+    val docTok = docs
+      .select(col(idCol).cast("long").as("id"), size(ws).cast("long").as("nt"))
+      .crossJoin(broadcast(n))
+      .select(expr(s"((id + 1) * $rungs + nd - 1) div nd").as("r"), col("nt"))
+      .groupBy("r").agg(sum(col("nt")).as("t_new"))
+    val byRung = firsts.join(docTok, Seq("r"), "full_outer")
+      .select(col("r"), coalesce(col("v_new"), lit(0L)).as("v_new"),
+        coalesce(col("t_new"), lit(0L)).as("t_new"))
+    val cum = byRung.as("a")
+      .join(broadcast(byRung.as("b")), col("b.r") <= col("a.r"))
+      .groupBy(col("a.r").as("r"))
+      .agg(sum(col("b.v_new")).as("v"), sum(col("b.t_new")).as("t"))
+    val pts = cum.filter(col("v") > 0 && col("t") > 0)
+      .select(col("r"),
+        round(log(col("t").cast("double")), 9).as("x"),
+        round(log(col("v").cast("double")), 9).as("y"))
+    val folded = pts
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("r"), col("x"), col("y"))))
+          .as("ts"))
+      .select(col("n"),
+        expr("aggregate(ts, cast(0 as double), (acc, t) -> acc + t.x)")
+          .as("sx"),
+        expr("aggregate(ts, cast(0 as double), (acc, t) -> acc + t.y)")
+          .as("sy"),
+        expr("aggregate(ts, cast(0 as double), (acc, t) -> acc + t.x * t.x)")
+          .as("sxx"),
+        expr("aggregate(ts, cast(0 as double), (acc, t) -> acc + t.x * t.y)")
+          .as("sxy"))
+    val nD = col("n").cast("double")
+    val den = nD * col("sxx") - col("sx") * col("sx")
+    val slope = (nD * col("sxy") - col("sx") * col("sy")) / den
+    folded.select(col("n").as("n_points"),
+      when(den > 0.0, round(slope, 6)).otherwise(lit(null).cast("double"))
+        .as("beta"),
+      when(den > 0.0, round((col("sy") - slope * col("sx")) / nD, 6))
+        .otherwise(lit(null).cast("double")).as("ln_k"))
+  }
+
   /** Gini concentration index of a non-negative int64 measure (token
     * counts, byte sizes, per-domain shares — the standard corpus-
     * inequality number next to [[zipfFit]]'s power law): for values

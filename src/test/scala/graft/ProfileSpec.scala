@@ -106,6 +106,35 @@ class ProfileSpec extends SparkSpec {
     assert(d.getLong(0) == 1 && d.isNullAt(1) && d.isNullAt(2))
   }
 
+  test("heapsFit: recovers the exponent of an exactly power-law vocabulary") {
+    import org.apache.spark.sql.functions._
+    // 100 docs; doc d contributes 10 tokens and introduces new words
+    // so that after prefix p the vocab is ~C*(10p)^0.5: new words per
+    // doc chosen as the integer increment of 4*sqrt(10*(d+1))
+    def vocabAt(d: Int) = (4 * math.sqrt(10.0 * (d + 1))).toInt
+    val docs = (0 until 100).map { d =>
+      val newWords = (vocabAt(d - 1) until vocabAt(d)).map(i => s"w$i")
+      val filler = Seq.fill(10 - newWords.size)("w0")
+      (d.toLong, (newWords ++ filler).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = operators.Profile.heapsFit(docs, "doc_id", "text", rungs = 10)
+      .collect().head
+    assert(r.getLong(0) == 10)
+    assert(math.abs(r.getDouble(1) - 0.5) < 0.05,
+      s"beta should recover ~0.5: $r")
+    // partitioning-independent (integer buckets + ordered folds)
+    val r2 = operators.Profile.heapsFit(docs.repartition(7), "doc_id",
+      "text", rungs = 10).collect().head
+    assert(r == r2)
+    // degenerate: a single all-same-word corpus has 1 usable point per
+    // rung but zero x-variance across rungs only if tokens equal too;
+    // one doc -> one point -> den = 0 -> NULL beta, loudly not NaN
+    val one = Seq((0L, "a a a")).toDF("doc_id", "text")
+    val d0 = operators.Profile.heapsFit(one, "doc_id", "text", rungs = 10)
+      .collect().head
+    assert(d0.isNullAt(1) && d0.isNullAt(2))
+  }
+
   test("giniIndex: perfect equality 0, max concentration (n-1)/n, NULL guards") {
     import org.apache.spark.sql.functions._
     val eq = (1L to 4L).map(i => (i, 7L)).toDF("id", "x")
