@@ -6706,6 +6706,48 @@ object Queries {
              |FROM s""".stripMargin)
     )),
 
+    // Word dispersion (Gries DP) over sources for the top-20 words,
+    // with one PLANTED one-source burst ("burstword" appended to
+    // src0's docs, frequent enough to crack the top-20): frequency
+    // alone ranks it beside the evenly-spread core vocabulary; the DP
+    // column separates them — the template-contamination signal.
+    "q_word_dispersion" -> ((
+      (s: SparkSession, dir: String) => {
+        val planted = when(col("source") === "src0",
+          lit(" " + Seq.fill(12)("burstword").mkString(" ")))
+          .otherwise(lit(""))
+        operators.Profile.wordDispersion(
+          Tables.documents(s, dir)
+            .withColumn("text", concat(col("text"), planted)),
+          "text", "source", topK = 20)
+      },
+      Some("""WITH d AS (SELECT source, text ||
+             |    CASE WHEN source = 'src0'
+             |      THEN ' burstword burstword burstword burstword burstword burstword burstword burstword burstword burstword burstword burstword'
+             |      ELSE '' END AS text
+             |  FROM documents),
+             |tok AS (SELECT source AS src,
+             |    unnest([t for t in string_split(text, ' ') if t <> '']) AS w
+             |  FROM d),
+             |cws AS (SELECT w, src, CAST(count(*) AS BIGINT) AS v
+             |  FROM tok GROUP BY 1, 2),
+             |st AS (SELECT src, CAST(count(*) AS BIGINT) AS t_s
+             |  FROM tok GROUP BY 1),
+             |tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM tok),
+             |top AS (SELECT w, CAST(sum(v) AS BIGINT) AS c_w FROM cws
+             |  GROUP BY 1 ORDER BY c_w DESC, w ASC LIMIT 20),
+             |grid AS (SELECT top.w, top.c_w,
+             |    abs(CAST(coalesce(cws.v, 0) AS HUGEINT) * tt.tt
+             |      - CAST(st.t_s AS HUGEINT) * top.c_w) AS term, tt.tt
+             |  FROM top CROSS JOIN st
+             |  LEFT JOIN cws ON cws.w = top.w AND cws.src = st.src
+             |  CROSS JOIN tt)
+             |SELECT w, c_w,
+             |  round(CAST(sum(term) AS DOUBLE)
+             |    / CAST(2 * CAST(c_w AS HUGEINT) * tt AS DOUBLE), 6) AS dp
+             |FROM grid GROUP BY w, c_w, tt""".stripMargin)
+    )),
+
     // Gini concentration of document lengths — the corpus-inequality
     // number beside the Zipf slope and Heaps curve: ranks from the
     // range-sliced machinery (never a global-sort window), every sum

@@ -315,6 +315,50 @@ object Profile {
         .otherwise(lit(null).cast("double")).as("ln_k"))
   }
 
+  /** Word dispersion DP (Gries 2008, "Dispersions and adjusted
+    * frequencies") over a corpus partitioned by `sourceCol`:
+    * DP(w) = ½·Σ_s |v_ws/c_w − t_s/T| — 0 when the word is spread
+    * exactly like the corpus mass, → 1 when it is a one-source burst.
+    * Frequency alone can't see this (a boilerplate token and a core
+    * vocabulary word may count the same); DP is the standard
+    * burstiness complement, and a high-frequency high-DP word is the
+    * classic template-contamination signal. Reports the `topK` most
+    * frequent words under the (count DESC, word ASC) total order.
+    *
+    * Exact arithmetic: each summand is the exact int64 cross-product
+    * |v_ws·T − t_s·c_w| over the common denominator c_w·T, summed in
+    * decimal(38,0) (v·T reaches c_w·T ≈ T² — past int64 at ~3e9
+    * tokens), with ONE double division (2·c_w·T) at the end.
+    *
+    * Scale shape: one (word, source) count aggregation; the per-source
+    * totals are a |sources|-row broadcast; the dense word×source grid
+    * exists only for the topK words (TakeOrdered — never a global
+    * sort), so the absent-source zero terms cost topK·|sources| rows. */
+  def wordDispersion(docs: DataFrame, textCol: String, sourceCol: String,
+                     topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val toks = docs.select(col(sourceCol).as("src"),
+      explode(expr(s"filter(split(`$textCol`, ' '), t -> t <> '')")).as("w"))
+    val cws = toks.groupBy("w", "src").agg(count(lit(1)).as("v"))
+    val srcTot = toks.groupBy("src").agg(count(lit(1)).as("t_s"))
+    val tot = toks.agg(count(lit(1)).as("tt"))
+    val top = cws.groupBy("w").agg(sum(col("v")).as("c_w"))
+      .orderBy(col("c_w").desc, col("w").asc).limit(topK)
+    val grid = top.crossJoin(broadcast(srcTot))
+      .join(cws, Seq("w", "src"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("w"), col("c_w"),
+        abs(coalesce(col("v"), lit(0L)).cast("decimal(19,0)") * col("tt") -
+          col("t_s").cast("decimal(19,0)") * col("c_w")).as("term"),
+        col("tt"))
+    grid.groupBy("w", "c_w", "tt")
+      .agg(sum(col("term")).as("num"))
+      .select(col("w"), col("c_w"),
+        round(col("num").cast("double") /
+          (lit(2).cast("decimal(19,0)") * col("c_w") * col("tt"))
+            .cast("double"), 6).as("dp"))
+  }
+
   /** Gini concentration index of a non-negative int64 measure (token
     * counts, byte sizes, per-domain shares — the standard corpus-
     * inequality number next to [[zipfFit]]'s power law): for values

@@ -135,6 +135,23 @@ class ProfileSpec extends SparkSpec {
     assert(d0.isNullAt(1) && d0.isNullAt(2))
   }
 
+  test("wordDispersion: hand-computed DP; one-source burst scores high") {
+    import org.apache.spark.sql.functions._
+    // A: "x x y y", B: "y y y y" — T=8, t_A=t_B=4.
+    // x: num = |2·8−4·2| + |0·8−4·2| = 16, den = 2·2·8 → DP 0.5
+    // y: num = |2·8−4·6| + |4·8−4·6| = 16, den = 2·6·8 → DP 1/6
+    val docs = Seq(("A", "x x y y"), ("B", "y y y y")).toDF("src", "text")
+    val out = operators.Profile.wordDispersion(docs, "text", "src", topK = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out("x") == (2L, 0.5) && out("y") == (6L, 0.166667), s"$out")
+    // a word spread exactly like the corpus mass disperses to 0
+    val even = Seq(("A", "z z q"), ("B", "z z q")).toDF("src", "text")
+    val o2 = operators.Profile.wordDispersion(even, "text", "src", topK = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(o2("z") == 0.0 && o2("q") == 0.0)
+  }
+
   test("giniIndex: perfect equality 0, max concentration (n-1)/n, NULL guards") {
     import org.apache.spark.sql.functions._
     val eq = (1L to 4L).map(i => (i, 7L)).toDF("id", "x")
