@@ -6706,6 +6706,37 @@ object Queries {
              |FROM s""".stripMargin)
     )),
 
+    // One-pass lexical-diversity panel: TTR, Simpson repeat-rate,
+    // bias-corrected Chao1 richness (the unseen-vocabulary estimate
+    // pairing q_heaps_fit's growth curve) and Good-Turing unseen mass
+    // — all from the single word-count aggregate, exact numerators.
+    "q_lexical_diversity" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.lexicalDiversity(Tables.documents(s, dir), "text"),
+      Some("""WITH c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+             |    SELECT unnest([t for t in string_split(text, ' ') if t <> '']) AS w
+             |    FROM documents) GROUP BY 1),
+             |a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS v,
+             |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             |    sum(CAST(c AS HUGEINT) * (c - 1)) AS rep
+             |  FROM c)
+             |SELECT n AS n_tokens, v AS vocab,
+             |  CASE WHEN n > 0 THEN
+             |    round(CAST(v AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS ttr,
+             |  CASE WHEN n >= 2 THEN
+             |    round(CAST(rep AS DOUBLE)
+             |      / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE), 6)
+             |  ELSE 0.0 END AS simpson,
+             |  round(v + CAST(f1 AS DOUBLE) * (f1 - 1)
+             |    / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+             |  CASE WHEN n > 0 THEN
+             |    round(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             |  ELSE 0.0 END AS gt_unseen
+             |FROM a""".stripMargin)
+    )),
+
     // Word dispersion (Gries DP) over sources for the top-20 words,
     // with one PLANTED one-source burst ("burstword" appended to
     // src0's docs, frequent enough to crack the top-20): frequency

@@ -903,6 +903,80 @@ object Soak {
           "doc_id", "text")
         NgramLM.minKProb(docs10, "doc_id", "text", model)
       },
+      run("heaps_fit") {
+        // vocab-growth fit at 10x: one token pass to (word, min id),
+        // one doc pass, both reduced to 10 rung rows
+        Profile.heapsFit(docs10, "doc_id", "text", rungs = 10)
+      },
+      run("lexical_diversity") {
+        // the one-pass panel at 10x: token agg + 1-row reduce
+        Profile.lexicalDiversity(docs10, "text")
+      },
+      run("word_dispersion") {
+        // (word, source) counts + broadcast source totals; dense grid
+        // only for the TakeOrdered top-20
+        Profile.wordDispersion(docs10, "text", "source", topK = 20)
+      },
+      run("gini_lengths") {
+        // rankedPrefixSums over 50k rows: range exchange + per-slice
+        // windows — the machinery's first 10x row
+        Profile.giniIndex(docs10.select(col("doc_id"),
+          length(col("text")).as("len")), "len", "doc_id")
+      },
+      run("rank_correlation") {
+        Profile.rankCorrelation(docs10.select(col("doc_id"),
+          length(col("text")).as("x"),
+          size(split(col("text"), " ")).cast("long").as("y")),
+          "x", "y", "doc_id")
+      },
+      run("ks_sources") {
+        // both cumulative counts in ONE rankedPrefixSums pass (packed)
+        Profile.ksTest(docs10.select(length(col("text")).as("v"),
+          col("source")), "v", col("source") === "src0")
+      },
+      run("conformal_interval") {
+        // Mondrian split conformal at 10x: two groupedPositions range
+        // exchanges + broadcast per-group (med, qhat)
+        val d = docs10.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("y"))
+        val cal = d.filter(pmod(col("doc_id"), lit(7L)) === 0)
+        val sizes = cal.groupBy("source").agg(count(lit(1)).as("n_g"))
+        val med = Sampling.groupedPositions(cal, Seq("source"),
+            Seq(col("y"), col("doc_id")), "rn")
+          .join(broadcast(sizes), "source")
+          .filter(col("rn") === expr("(n_g + 1) div 2"))
+          .select(col("source"), col("y").as("med"))
+        val scored = cal.join(broadcast(med), "source")
+          .select(col("source"), col("doc_id"),
+            abs(col("y") - col("med")).as("s"))
+        val qhat = Sampling.groupedPositions(scored, Seq("source"),
+            Seq(col("s"), col("doc_id")), "rs")
+          .join(broadcast(sizes), "source")
+          .filter(col("rs") === expr("(9 * (n_g + 1) + 9) div 10"))
+          .select(col("source"), col("s").as("qhat"))
+        d.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+          .join(broadcast(med), "source")
+          .join(broadcast(qhat), Seq("source"), "left")
+          .select(col("doc_id"), col("source"),
+            (col("y") >= col("med") - col("qhat") &&
+              col("y") <= col("med") + col("qhat")).as("covered"))
+      },
+      run("iban_scan") {
+        // map-side checksum gate over the 10x corpus with planted
+        // candidates: regex extract + the mod-97 remainder fold
+        val planted = when(pmod(col("doc_id"), lit(5L)) === 0,
+            lit(" iban GB82WEST12345698765432"))
+          .when(pmod(col("doc_id"), lit(5L)) === 2,
+            lit(" iban GB82WEST12345678654321"))
+          .otherwise(lit(""))
+        docs10.select(col("doc_id"),
+            concat(col("text"), planted).as("text"))
+          .select(col("doc_id"), explode(expr(
+            "regexp_extract_all(text, '\\\\b[A-Z]{2}\\\\d{2}[A-Z0-9]{11,30}\\\\b', 0)"))
+            .as("iban"))
+          .select(col("doc_id"), col("iban"),
+            graft.functions.TextAnalysis.ibanValid(col("iban")).as("valid"))
+      },
       run("dtmf_decode") {
         // 600 dial recordings demodulated map-side; only (id, digits)
         // rows leave the scan

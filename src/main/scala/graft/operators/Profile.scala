@@ -315,6 +315,47 @@ object Profile {
         .otherwise(lit(null).cast("double")).as("ln_k"))
   }
 
+  /** One-pass lexical-diversity panel: token count N, vocabulary V,
+    * type-token ratio V/N, Simpson's repeat-rate Σc(c−1)/(N(N−1)),
+    * the bias-corrected Chao1 richness estimate V + f1(f1−1)/(2(f2+1))
+    * (how much vocabulary the corpus has NOT yet seen — the number a
+    * vocab budget extrapolates with, complementing [[heapsFit]]'s
+    * growth curve), and the Good-Turing unseen-mass estimate f1/N.
+    * ONE row out.
+    *
+    * All numerators exact (c(c−1) summed in decimal(38,0) — Σ is
+    * bounded by N², past int64 at ~3e9 tokens; f1/f2/V plain counts);
+    * each ratio is ONE double division, round-6. N < 2 pins
+    * simpson/gt to 0 rather than 0/0.
+    *
+    * Scale: one token pass → word-keyed count agg (map-side partials)
+    * → a 1-row reduce. */
+  def lexicalDiversity(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(expr(
+        s"filter(split(`$textCol`, ' '), t -> t <> '')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    counts.agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"),
+      sum((col("c") * (col("c") - 1)).cast("decimal(38,0)")).as("rep"))
+      .select(
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("vocab"),
+        when(col("n_tokens") > 0, round(col("vocab").cast("double") /
+          col("n_tokens").cast("double"), 6)).as("ttr"),
+        when(col("n_tokens") >= 2, round(col("rep").cast("double") /
+          (col("n_tokens").cast("decimal(38,0)") * (col("n_tokens") - 1))
+            .cast("double"), 6)).otherwise(lit(0.0)).as("simpson"),
+        round(col("vocab") + col("f1").cast("double") * (col("f1") - 1) /
+          (lit(2.0) * (col("f2") + 1).cast("double")), 6).as("chao1"),
+        when(col("n_tokens") > 0, round(col("f1").cast("double") /
+          col("n_tokens").cast("double"), 6)).otherwise(lit(0.0))
+          .as("gt_unseen"))
+  }
+
   /** Word dispersion DP (Gries 2008, "Dispersions and adjusted
     * frequencies") over a corpus partitioned by `sourceCol`:
     * DP(w) = ½·Σ_s |v_ws/c_w − t_s/T| — 0 when the word is spread

@@ -135,6 +135,22 @@ class ProfileSpec extends SparkSpec {
     assert(d0.isNullAt(1) && d0.isNullAt(2))
   }
 
+  test("lexicalDiversity: hand-computed panel on a tiny corpus") {
+    import org.apache.spark.sql.functions._
+    // tokens: a a a b b c  -> N=6, V=3, f1={c}=1, f2={b}=1,
+    // rep = 3·2 + 2·1 + 0 = 8 -> simpson 8/30 = 0.266667,
+    // ttr 0.5, chao1 = 3 + 1·0/(2·2) = 3, gt = 1/6 = 0.166667
+    val docs = Seq("a a a", "b b c").toDF("text")
+    val r = operators.Profile.lexicalDiversity(docs, "text").collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.266667)
+    assert(r.getDouble(4) == 3.0 && r.getDouble(5) == 0.166667)
+    // two singletons, zero doubletons: chao1 adds f1(f1-1)/2 = 1
+    val d2 = Seq("x y z z z").toDF("text")
+    val r2 = operators.Profile.lexicalDiversity(d2, "text").collect().head
+    assert(r2.getDouble(4) == 4.0, s"chao1 = 3 + 2*1/2 = 4: $r2")
+  }
+
   test("wordDispersion: hand-computed DP; one-source burst scores high") {
     import org.apache.spark.sql.functions._
     // A: "x x y y", B: "y y y y" — T=8, t_A=t_B=4.
