@@ -6779,6 +6779,50 @@ object Queries {
              |FROM grid GROUP BY w, c_w, tt""".stripMargin)
     )),
 
+    // Mann-Whitney U on English vs non-English lengths — the rank-
+    // based LOCATION-shift test completing the two-sample pair with
+    // q_ks_lengths (KS sees any distributional difference; U asks
+    // specifically "does one group run longer"). Doubled midranks
+    // keep every rank sum an exact integer; z composes those exact
+    // ints through one fixed IEEE expression order (sqrt included —
+    // correctly-rounded per IEEE-754, so both engines agree bitwise).
+    "q_mann_whitney" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.mannWhitney(Tables.documents(s, dir), "n_chars",
+          col("lang") === "en"),
+      Some("""WITH c AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+             |  FROM documents GROUP BY 1),
+             |cc AS (SELECT v, ca, cb, ca + cb AS c FROM c),
+             |cum AS (SELECT ca, cb, c,
+             |    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+             |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all
+             |  FROM cc),
+             |a AS (SELECT max(cum_a) AS na, max(cum_all) - max(cum_a) AS nb,
+             |    max(cum_all) AS nn,
+             |    sum(CAST(ca * (2 * cum_all - c + 1) AS HUGEINT)) AS r2a,
+             |    sum(CAST(c * c * c - c AS HUGEINT)) AS tsum
+             |  FROM cum),
+             |b AS (SELECT na, nb, nn,
+             |    r2a - CAST(na AS HUGEINT) * (na + 1) AS u2,
+             |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             |    CAST(nn AS DOUBLE) AS nd, tsum
+             |  FROM a),
+             |z AS (SELECT na, nb, u2,
+             |    nad * nbd / 12.0 * ((nd + 1.0)
+             |      - CAST(tsum AS DOUBLE) / (nd * (nd - 1.0))) AS sigma2,
+             |    CAST(u2 AS DOUBLE) / 2.0 - nad * nbd / 2.0 AS znum
+             |  FROM b)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CAST(u2 AS BIGINT) AS u2_a,
+             |  CASE WHEN na > 0 AND nb > 0 AND sigma2 > 0.0 THEN
+             |    round(znum / sqrt(sigma2), 6) END AS z,
+             |  CASE WHEN na > 0 AND nb > 0 AND sigma2 > 0.0 THEN
+             |    abs(znum / sqrt(sigma2)) > 1.959964 END AS reject_05
+             |FROM z""".stripMargin)
+    )),
+
     // Gini concentration of document lengths — the corpus-inequality
     // number beside the Zipf slope and Heaps curve: ranks from the
     // range-sliced machinery (never a global-sort window), every sum

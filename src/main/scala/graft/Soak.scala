@@ -934,6 +934,11 @@ object Soak {
         Profile.ksTest(docs10.select(length(col("text")).as("v"),
           col("source")), "v", col("source") === "src0")
       },
+      run("mann_whitney") {
+        // the rank-sum sibling: doubled midranks + the packed pass
+        Profile.mannWhitney(docs10.select(length(col("text")).as("v"),
+          col("source")), "v", col("source") === "src0")
+      },
       run("conformal_interval") {
         // Mondrian split conformal at 10x: two groupedPositions range
         // exchanges + broadcast per-group (med, qhat)

@@ -470,6 +470,67 @@ object Profile {
           6)).otherwise(lit(null).cast("double")).as("rho"))
   }
 
+  /** Two-sample Mann-Whitney U (Wilcoxon rank-sum) over an int64
+    * measure — the rank-based LOCATION-shift test beside [[ksTest]]'s
+    * any-difference statistic: U_a = R_a − n_a(n_a+1)/2 with midranks
+    * for ties, z = (U_a − n_a·n_b/2) / σ under the tie-corrected
+    * normal approximation σ² = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))).
+    * ONE row out: (n_a, n_b, u2_a = 2·U_a, z, reject_05).
+    *
+    * Determinism: midranks are half-integers, so the rank sum is kept
+    * DOUBLED (2·midrank = 2·cum − c + 1, exact int64; decimal(38,0)
+    * for the sums — R₂ reaches N², the q_outliers pairing). z and the
+    * 1.959964 flag are IEEE doubles composed from those exact
+    * integers in ONE fixed expression order — +, ·, /, and sqrt are
+    * all correctly-rounded IEEE ops, so both engines produce the
+    * bit-identical double. σ² = 0 (all values tied) reports NULL z,
+    * never 0/0.
+    *
+    * Scale shape: same as [[ksTest]] — one value-keyed count
+    * aggregate, both per-sample counts and the cumulative total in
+    * ONE [[Sampling.rankedPrefixSums]] pass (packed fold), a 1-row
+    * reduce. */
+  def mannWhitney(df: DataFrame, valueCol: String,
+                  inA: org.apache.spark.sql.Column): DataFrame = {
+    val m = 1L << 31
+    val counts = df.select(col(valueCol).cast("long").as("v"),
+      when(inA, 1L).otherwise(0L).as("a"))
+      .filter(col("v").isNotNull)
+      .groupBy("v")
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val cum = Sampling.rankedPrefixSums(counts, Seq(col("v")),
+      col("ca") * m + col("c"), "__r", "packed")
+      .select(col("ca"), col("cb"), col("c"),
+        expr(s"packed div ${m}L").as("cum_a"),
+        pmod(col("packed"), lit(m)).as("cum_all"))
+    val agg = cum.agg(
+      max(col("cum_a")).as("na"),
+      (max(col("cum_all")) - max(col("cum_a"))).as("nb"),
+      max(col("cum_all")).as("nn"),
+      // Σ ca·(2·cum_all − c + 1) = 2·R_a with midranks, exact
+      sum((col("ca") * (lit(2L) * col("cum_all") - col("c") + 1L))
+        .cast("decimal(38,0)")).as("r2a"),
+      sum((col("c") * col("c") * col("c") - col("c"))
+        .cast("decimal(38,0)")).as("tsum"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val nD = col("nn").cast("double")
+    val u2 = col("r2a") - (col("na").cast("decimal(38,0)") *
+      (col("na") + 1))
+    val zNum = u2.cast("double") / lit(2.0) - naD * nbD / lit(2.0)
+    val sigma2 = naD * nbD / lit(12.0) *
+      ((nD + 1.0) - col("tsum").cast("double") / (nD * (nD - 1.0)))
+    val z = zNum / sqrt(sigma2)
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+      u2.cast("long").as("u2_a"),
+      when(col("na") > 0 && col("nb") > 0 && sigma2 > 0.0,
+        round(z, 6)).otherwise(lit(null).cast("double")).as("z"),
+      when(col("na") > 0 && col("nb") > 0 && sigma2 > 0.0,
+        abs(z) > 1.959964).otherwise(lit(null).cast("boolean"))
+        .as("reject_05"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic over an int64 measure
     * (the distribution-shift test beside [[distributionDrift]]'s PSI:
     * PSI needs bins, KS is bin-free): D = max_v |F_a(v) − F_b(v)|,

@@ -208,6 +208,32 @@ class ProfileSpec extends SparkSpec {
       .collect().head.getDouble(2) == 0.8)
   }
 
+  test("mannWhitney: hand-computed U/z with and without ties; shift rejects") {
+    import org.apache.spark.sql.functions._
+    // A={1,2}, B={3,4}: R_a=3, U_a=0 (u2=0); mu = na*nb/2 = 2,
+    // sigma2 = (4/12)*5 = 5/3, z = -2/sqrt(5/3) = -1.549193
+    val a = (Seq(1L, 2L).map((_, true)) ++ Seq(3L, 4L).map((_, false)))
+      .toDF("v", "ina")
+    val r = operators.Profile.mannWhitney(a, "v", col("ina")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getLong(2) == 0)
+    assert(r.getDouble(3) == -1.549193 && !r.getBoolean(4))
+    // ties: A={1,1}, B={1,2}: midrank(1)=2 -> 2R_a=8, u2=2;
+    // tsum=24, sigma2=(4/12)*(5-24/12)=1, z=(1-2)/1 = -1
+    val t = (Seq(1L, 1L).map((_, true)) ++ Seq(1L, 2L).map((_, false)))
+      .toDF("v", "ina")
+    val rt = operators.Profile.mannWhitney(t, "v", col("ina")).collect().head
+    assert(rt.getLong(2) == 2 && rt.getDouble(3) == -1.0)
+    // a clean location shift rejects
+    val s = ((1L to 20L).map((_, true)) ++ (101L to 120L).map((_, false)))
+      .toDF("v", "ina")
+    val rs = operators.Profile.mannWhitney(s, "v", col("ina")).collect().head
+    assert(rs.getLong(2) == 0 && rs.getBoolean(4), s"strong shift: $rs")
+    // all values tied: sigma2 = 0 -> NULL z, loudly not NaN
+    val z0 = (1L to 8L).map(i => (5L, i % 2 == 0)).toDF("v", "ina")
+    assert(operators.Profile.mannWhitney(z0, "v", col("ina"))
+      .collect().head.isNullAt(3))
+  }
+
   test("ksTest: disjoint samples reject, identical samples do not") {
     import org.apache.spark.sql.functions._
     // A={1,2,3,4}, B={11..14}: D=1; 16^2*1e6 = 2.56e8 > 1844164*8*16
