@@ -190,10 +190,16 @@ object Bench {
 
     // Compact single line: suite total + the slowest 40 queries at 2 decimals
     // (~1.3 KB — fits the tail window with margin even as the suite grows).
-    val top = results.sortBy(-_._2).take(40)
+    // "queries_truncated" says EXPLICITLY that the map is a top-N slice:
+    // in round 11 three false regressions (q_pagerank, q_fuzzy_join,
+    // q_min_k_prob) were only clearable from the BENCH_DETAIL files
+    // because nothing in this line said the slow tail was all it showed.
+    val topN = 40
+    val top = results.sortBy(-_._2).take(topN)
       .map { case (k, mn, _, _, _) => "\"" + k + "\":" + f"$mn%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_reprobed":$nReprobed,"queries":$top,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    val truncated = results.size > topN
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_reprobed":$nReprobed,"queries":$top,"queries_truncated":$truncated,"queries_shown":${math.min(topN, results.size)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6528,6 +6528,7 @@ object Queries {
              |SELECT doc_id, iban,
              |  len(iban) BETWEEN 15 AND 34
              |  AND regexp_matches(iban[1:2], '^[A-Z]{2}$')
+             |  AND regexp_matches(iban[3:4], '^[0-9]{2}$')
              |  AND list_reduce([CAST(x AS INT) for x in string_split(digits, '')],
              |        (a, b) -> (a * 10 + b) % 97) = 1 AS valid
              |FROM dg""".stripMargin)
@@ -6802,7 +6803,7 @@ object Queries {
              |a AS (SELECT max(cum_a) AS na, max(cum_all) - max(cum_a) AS nb,
              |    max(cum_all) AS nn,
              |    sum(CAST(ca * (2 * cum_all - c + 1) AS HUGEINT)) AS r2a,
-             |    sum(CAST(c * c * c - c AS HUGEINT)) AS tsum
+             |    sum(CAST(c AS HUGEINT) * c * c - c) AS tsum
              |  FROM cum),
              |b AS (SELECT na, nb, nn,
              |    r2a - CAST(na AS HUGEINT) * (na + 1) AS u2,
@@ -7641,6 +7642,80 @@ object Queries {
              |  CAST(date_diff('day', c0, bucket) // 7 AS INTEGER) AS offset,
              |  count(*) AS n_active
              |FROM a JOIN c USING (e) GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // STREAMING LSH candidate generation under the hard gate — the
+    // ninth direct streaming row, and the first for the production
+    // near-dup path: a bounded document slice replays through the REAL
+    // flatMapGroupsWithState bucket-state operator (bounded-corpus
+    // mode), streamed candidates are verified by the batch exact-
+    // Jaccard verifier, and the result must equal the exhaustive
+    // all-pairs oracle — candidate RECALL parity with the batch LSH
+    // path is exactly what a missed pair would break (the same
+    // exhaustive-oracle discipline as q_dedup_minhash_lsh; per-pair
+    // LSH miss probability < 5e-8 at j >= 0.8). Every 37th slice doc
+    // gains an exact copy at id+10000, so the row is NEVER vacuously
+    // empty (the sf0.1 slice has no organic j >= 0.8 pairs): ~11
+    // planted pairs must surface through the stream at every scale.
+    "q_stream_lsh_candidates" -> ((
+      (s: SparkSession, dir: String) => {
+        val slice = Tables.documents(s, dir)
+          .filter(col("doc_id") < 400).select(col("doc_id"), col("text"))
+        val planted = slice.filter(pmod(col("doc_id"), lit(37)) === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        graft.streaming.EventStreams.replayLshCandidates(
+          slice.unionByName(planted), "doc_id", "text",
+          threshold = 0.8, maxDocs = 20000)
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text FROM documents
+             |  WHERE doc_id < 400 AND doc_id % 37 = 0),
+             |w AS (SELECT doc_id, string_split(text, ' ') ws FROM d),
+             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+             |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+             |  ELSE [] END sh FROM w),
+             |e AS (SELECT doc_id, unnest(sh) s FROM g),
+             |sz AS (SELECT doc_id, len(sh) n FROM g),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+             |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b
+             |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin)
+    )),
+
+    // STREAMING upsert sink under the hard gate — the tenth direct
+    // streaming row, proving the sink's TWO core claims at once: a
+    // bounded event slice runs through the real foreachBatch →
+    // first-writer-wins merge → crash-safe staging swap in
+    // deterministic (ts, event_id)-ordered micro-batches of 256, then
+    // the FINAL batch is deliberately re-delivered (foreachBatch's
+    // at-least-once crash replay) before the table is read. The oracle
+    // replays the chunking arithmetic: per user, the min-event_id row
+    // of the user's last batch. A non-idempotent re-delivery or a
+    // wrong merge priority would duplicate or regress keys and
+    // hash-mismatch.
+    "q_stream_upsert" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStreams.replayUpsert(
+          Tables.events(s, dir), "user_id", "ts", "event_id", "value",
+          chunk = 256, maxUsers = 200)
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("value")),
+      Some("""WITH e AS (SELECT event_id, ts, user_id, value FROM events
+             |  WHERE user_id < 200),
+             |o AS (SELECT event_id, ts, user_id, value,
+             |    (row_number() OVER (ORDER BY ts, event_id) - 1) // 256 AS b
+             |  FROM e),
+             |m AS (SELECT user_id, max(b) AS bm FROM o GROUP BY 1),
+             |r AS (SELECT o.user_id, o.event_id, o.ts, o.value,
+             |    row_number() OVER (PARTITION BY o.user_id
+             |      ORDER BY o.event_id) AS rn
+             |  FROM o JOIN m ON m.user_id = o.user_id AND o.b = m.bm)
+             |SELECT user_id, event_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+             |FROM r WHERE rn = 1""".stripMargin)
     )),
 
     // STREAMING cohort retention under the hard gate (the streaming
@@ -9398,7 +9473,7 @@ object Queries {
 
     // Group-conditional (Mondrian) split conformal prediction (Vovk;
     // the distribution-free coverage wrapper every LLM-eval stack is
-    // adopting): the %5==0 calibration slice fits, PER SOURCE, a
+    // adopting): the %7==0 calibration slice fits, PER SOURCE, a
     // constant predictor (the exact lower median of the fixed-point
     // quality score) and the conformal quantile q̂ = the
     // ⌈(n_g+1)·0.9⌉-th smallest |y − med| (exact order statistic —

@@ -298,7 +298,11 @@ object TextAnalysis {
           .otherwise(pmod(acc * 10 + (c - 48), lit(97)))
       })
     n >= 15 && n <= 34 &&
-      iban.substr(lit(1), lit(2)).rlike("^[A-Z]{2}$") && rem === 1
+      iban.substr(lit(1), lit(2)).rlike("^[A-Z]{2}$") &&
+      // ISO 13616 check digits: positions 3-4 MUST be digits — without
+      // this gate a malformed candidate with letters there ('DEXX...')
+      // still folds and passes mod-97 with probability ~1/97
+      iban.substr(lit(3), lit(2)).rlike("^[0-9]{2}$") && rem === 1
   }
 
   /** IBAN candidate pattern: two country letters + 2 check digits +

@@ -60,7 +60,7 @@ object Dedup {
     * over pre-sorted arrays — no hash sets, and no tripled
     * `array_intersect` when Catalyst pushes the threshold filter into
     * the join condition. */
-  private def verifyJaccard(sets: DataFrame, candidates: DataFrame,
+  private[graft] def verifyJaccard(sets: DataFrame, candidates: DataFrame,
                             threshold: Double,
                             broadcastSets: Boolean = false): DataFrame =
     verifyJaccardAB(sets, sets, candidates, threshold, broadcastSets)
@@ -763,49 +763,37 @@ object Dedup {
     * All-integer and engine-exact: hash = fold (acc·131 + codepoint)
     * mod 1000003 — the small modulus keeps every intermediate far
     * below int64 overflow, which engines with CHECKED arithmetic
-    * refuse to wrap. The rightmost-min selection is RELATIONAL, not
-    * procedural: one doc-keyed window min over the w-following frame
-    * (per window start), then an equi-join back on (doc, hash = frame
-    * min) with a w-wide position band and max(pos) per start —
-    * linear×w intermediate, every shuffle doc- or (doc, hash)-keyed;
-    * docs shorter than k + w − 1 have no full window and drop out.
+    * refuse to wrap.
+    *
+    * Selection runs as ONE codegen'd scan expression
+    * ([[graft.plans.WinnowExpressions]]): a per-document monotonic
+    * deque — O(len) amortized, ZERO exchanges — replacing the earlier
+    * relational plan (gram explode → doc-keyed frame-min window →
+    * equi-join back on the min value with a w-wide position band),
+    * which shuffled the whole ~len-row gram table twice and was the
+    * suite's #1 steady cost. The relational formulation REMAINS the
+    * oracle (q_winnow_fingerprints' DuckDB SQL replays it clause by
+    * clause), so the hash compare is the equivalence proof: rightmost
+    * tie-break via `>=` back-pops, selection positions non-decreasing
+    * so in-kernel consecutive-dedup equals the relational DISTINCT.
+    * Docs shorter than k + w − 1 have no full window and drop out.
+    *
+    * Contract: `idCol` is the document KEY — one row per id (every
+    * caller here feeds a keyed table). Under that contract the
+    * in-kernel dedup makes the output globally distinct with no
+    * exchange; a duplicate-id input would need the old global
+    * DISTINCT back.
     *
     * Output: (id, fp_pos, fp) distinct — 1-based gram position. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = 5, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Codepoints materialize ONCE per doc: substring(text, i, 1) walks
-    // the UTF8String from the start to find position i (O(i) bytes), so
-    // hashing via per-position substring is O(n²·k) per document — the
-    // split-to-array form keeps the whole hash pass O(n·k).
-    val hashExpr =
-      s"""transform(sequence(1, length($textCol) - ${k - 1}),
-         |  i -> aggregate(
-         |    slice(__cs, CAST(i AS INT), $k),
-         |    CAST(0 AS BIGINT),
-         |    (acc, c) -> (acc * 131 + c) % 1000003))""".stripMargin
-    val h = docs
+                         k: Int = 5, w: Int = 4): DataFrame =
+    docs
       .filter(length(col(textCol)) >= k + w - 1)
-      .withColumn("__cs",
-        expr(s"transform(split($textCol, ''), ch -> CAST(ascii(ch) AS BIGINT))"))
-      .select(col(idCol).as("id"), posexplode(expr(hashExpr)))
-      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("hv"))
-    val byDoc = Window.partitionBy("id")
-    val frame = byDoc.orderBy("pos").rowsBetween(0, w - 1)
-    val starts = h
-      .withColumn("mn", min("hv").over(frame))
-      .withColumn("m", max("pos").over(byDoc))
-      .filter(col("pos") <= col("m") - (w - 1))
-      .select(col("id").as("sid"), col("pos").as("q"), col("mn"))
-    h.join(starts,
-        col("id") === col("sid") && col("hv") === col("mn") &&
-          col("pos") >= col("q") && col("pos") <= col("q") + (w - 1))
-      .groupBy(col("id"), col("q"))
-      .agg(max("pos").as("fp_pos"), min("mn").as("fp"))
-      .select(col("id").as(idCol), col("fp_pos"), col("fp"))
-      .distinct()
-  }
+      .select(col(idCol),
+        explode(graft.plans.WinnowExpressions.winnow_fps(col(textCol), k, w))
+          .as("__s"))
+      .select(col(idCol), col("__s.fp_pos").as("fp_pos"),
+        col("__s.fp").as("fp"))
 
   /** Bounded edit-distance similarity self-join (Ed-Join — Xiao, Wang
     * & Lin, "Ed-Join: An Efficient Algorithm for Similarity Joins With

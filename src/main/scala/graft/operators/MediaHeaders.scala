@@ -584,13 +584,18 @@ object MediaHeaders {
     * flag must agree with the walk state), first page must carry BOS
     * and the stream must END on an EOS page with no dangling partial
     * packet and no trailing bytes — the total-parser contract: None,
-    * never a truncated packet list. */
+    * never a truncated packet list. Every page's serial number must
+    * match the BOS page's: a multiplexed/grouped Ogg file (several
+    * logical streams, RFC 3533 §4) would otherwise pass the flag
+    * checks — a mid-stream BOS carries only 0x02 — and interleave
+    * foreign packets into the list. */
   def oggPackets(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
     val out = Seq.newBuilder[Array[Byte]]
     val cur = new java.io.ByteArrayOutputStream()
     var inPacket = false
     var first = true
     var sawEos = false
+    var serial = 0L
     var o = 0L
     while (o + 27 <= bytes.length && !sawEos) {
       val p = o.toInt
@@ -598,6 +603,8 @@ object MediaHeaders {
           (u8(bytes, p + 5) & ~0x07) != 0) return None
       val htype = u8(bytes, p + 5)
       if (first && (htype & 0x02) == 0) return None
+      if (first) serial = leU32(bytes, p + 14)
+      else if (leU32(bytes, p + 14) != serial) return None
       if (((htype & 0x01) != 0) != inPacket) return None
       val nSegs = u8(bytes, p + 26)
       if (p + 27 + nSegs > bytes.length) return None

@@ -669,9 +669,10 @@ object Multimodal {
 
   /** 64-bit audio energy-delta fingerprint — dHash's audio twin over
     * REAL decoded PCM (16-bit signed WAV/AIFF via javax.sound, plus
-    * FLAC through the spec-written [[Flac]] decoder, G.711 µ-law WAV
-    * through the ITU closed-form expand; the remaining lossy codecs —
-    * mp3/ogg — stay with the header-only stubs): mix
+    * FLAC through the spec-written [[Flac]] decoder, Ogg-FLAC through
+    * the CRC-verified page walk into the same decoder, G.711 µ-law WAV
+    * through the ITU closed-form expand; mp3 and Ogg-Vorbis/Opus are
+    * the remaining header-only stubs): mix
     * channels, slice the sample
     * stream into 65 equal windows, bit i set iff window i+1 carries
     * MORE energy than window i. Re-encodes and small edits preserve

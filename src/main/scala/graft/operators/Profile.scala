@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiling — the "describe my table" primitive every
@@ -470,6 +470,23 @@ object Profile {
           6)).otherwise(lit(null).cast("double")).as("rho"))
   }
 
+  /** Loud guard for the c·2³¹ prefix-sum packing ([[mannWhitney]] /
+    * [[ksTest]]): returns `tot` unchanged while it is NULL (empty
+    * input — the downstream aggregate already reports NULLs) or below
+    * `bound`; past the bound it raises instead of letting the packed
+    * running sum wrap silently into a wrong-but-plausible statistic —
+    * the [[Sampling.strictLongId]] precedent applied to a numeric
+    * bound. Package-visible so the spec can forge an overflow with a
+    * tiny bound. */
+  private[graft] def assertPackBound(tot: Column, bound: Long,
+      ctx: String): Column =
+    when(tot.isNull || tot < bound, tot)
+      .otherwise(raise_error(concat(
+        lit(s"$ctx: total count "), tot.cast("string"),
+        lit(s" >= $bound — the c*2^31 prefix-sum packing would wrap; " +
+          "shard the input or widen the pack before trusting this " +
+          "statistic"))))
+
   /** Two-sample Mann-Whitney U (Wilcoxon rank-sum) over an int64
     * measure — the rank-based LOCATION-shift test beside [[ksTest]]'s
     * any-difference statistic: U_a = R_a − n_a(n_a+1)/2 with midranks
@@ -489,7 +506,9 @@ object Profile {
     * Scale shape: same as [[ksTest]] — one value-keyed count
     * aggregate, both per-sample counts and the cumulative total in
     * ONE [[Sampling.rankedPrefixSums]] pass (packed fold), a 1-row
-    * reduce. */
+    * reduce. The c·2³¹ packing is exact only while the TOTAL count
+    * stays below 2³¹ — [[assertPackBound]] raises loudly past it
+    * instead of letting the decomposition wrap silently. */
   def mannWhitney(df: DataFrame, valueCol: String,
                   inA: org.apache.spark.sql.Column): DataFrame = {
     val m = 1L << 31
@@ -511,8 +530,12 @@ object Profile {
       // Σ ca·(2·cum_all − c + 1) = 2·R_a with midranks, exact
       sum((col("ca") * (lit(2L) * col("cum_all") - col("c") + 1L))
         .cast("decimal(38,0)")).as("r2a"),
-      sum((col("c") * col("c") * col("c") - col("c"))
-        .cast("decimal(38,0)")).as("tsum"))
+      // tie term t³−t: the CUBE must be decimal too — an int64 c*c*c
+      // wraps silently (non-ANSI) once a single tie group passes ~2.1M
+      // values, which a 100 TB corpus with an int measure will hit
+      sum(col("c").cast("decimal(38,0)") * col("c") * col("c") - col("c"))
+        .as("tsum"),
+      sum(col("c")).as("tot_n"))
     val naD = col("na").cast("double")
     val nbD = col("nb").cast("double")
     val nD = col("nn").cast("double")
@@ -522,7 +545,10 @@ object Profile {
     val sigma2 = naD * nbD / lit(12.0) *
       ((nD + 1.0) - col("tsum").cast("double") / (nD * (nD - 1.0)))
     val z = zNum / sqrt(sigma2)
-    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+    agg.select(
+      when(assertPackBound(col("tot_n"), m, "mannWhitney").isNotNull,
+        col("na")).as("n_a"),
+      col("nb").as("n_b"),
       u2.cast("long").as("u2_a"),
       when(col("na") > 0 && col("nb") > 0 && sigma2 > 0.0,
         round(z, 6)).otherwise(lit(null).cast("double")).as("z"),
@@ -545,8 +571,11 @@ object Profile {
     * Scale shape: one value-keyed count aggregate; BOTH cumulative
     * counts ride ONE [[Sampling.rankedPrefixSums]] pass by packing
     * (c_a·2³¹ + c_b) into the fold value and decomposing the running
-    * sum (exact while n_b < 2³¹ and n_a·2³¹ < 2⁶³ — named bounds);
-    * the max is a 1-row aggregate. */
+    * sum (exact while n_b < 2³¹ and n_a·2³¹ < 2⁶³); past the bound
+    * [[assertPackBound]] raises LOUDLY on the exact int64 totals —
+    * which are computed independently of the packing, because a
+    * wrapped decomposition stays below 2³¹ by construction; the max
+    * is a 1-row aggregate. */
   def ksTest(df: DataFrame, valueCol: String, inA: org.apache.spark.sql.Column)
       : DataFrame = {
     val m = 1L << 31
@@ -557,15 +586,23 @@ object Profile {
       .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
     val cum = Sampling.rankedPrefixSums(counts, Seq(col("v")),
       col("ca") * m + col("cb"), "__r", "packed")
-      .select(expr(s"packed div ${m}L").as("cum_a"),
+      .select(col("ca"), col("cb"),
+        expr(s"packed div ${m}L").as("cum_a"),
         pmod(col("packed"), lit(m)).as("cum_b"))
-    val tot = cum.agg(max(col("cum_a")).as("na"), max(col("cum_b")).as("nb"))
+    val tot = cum.agg(max(col("cum_a")).as("na"), max(col("cum_b")).as("nb"),
+      // exact int64 totals INDEPENDENT of the packing — the loud bound
+      // check cannot read max(cum_b) (a wrapped decomposition stays
+      // below 2³¹ by construction)
+      (sum(col("ca")) + sum(col("cb"))).as("tot_n"))
     val dnum = cum.crossJoin(broadcast(tot))
       .select(abs(col("cum_a").cast("decimal(38,0)") * col("nb") -
         col("cum_b").cast("decimal(38,0)") * col("na")).as("dn"),
-        col("na"), col("nb"))
-      .groupBy("na", "nb").agg(max(col("dn")).as("d_num"))
-    dnum.select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("na"), col("nb"), col("tot_n"))
+      .groupBy("na", "nb", "tot_n").agg(max(col("dn")).as("d_num"))
+    dnum.select(
+      when(assertPackBound(col("tot_n"), m, "ksTest").isNotNull,
+        col("na")).as("n_a"),
+      col("nb").as("n_b"),
       when(col("na") > 0 && col("nb") > 0, round(
         col("d_num").cast("double") /
           (col("na").cast("decimal(38,0)") * col("nb")).cast("double"), 6))

@@ -362,6 +362,65 @@ object EventStreams {
       }
   }
 
+  /** Driver-gate replay harness for [[lshCandidateStream]] (the
+    * [[replayRetention]] scheme — the ninth direct streaming row): a
+    * bounded document slice is fed in ascending-id chunks through the
+    * REAL flatMapGroupsWithState operator (bounded-corpus mode, no
+    * timeout), and the streamed candidate pairs are then verified with
+    * the batch exact-Jaccard verifier at `threshold` — the SAME
+    * lambda-split the operator's scaladoc promises (approximate recall
+    * online, exact precision offline). With an unsaturatable
+    * `maxPerBucket` (slice ≤ maxDocs docs), the streamed candidate SET
+    * is order-independent and equals the batch [[graft.operators.Dedup
+    * .lshCandidates]] set exactly — every pair of docs sharing any
+    * (band, bandHash) bucket pairs once the later one arrives — so the
+    * verified output must equal the exhaustive all-pairs Jaccard
+    * oracle (per-pair LSH miss probability < 5e-8 at j ≥ 0.8, the
+    * q_dedup_minhash_lsh argument): a missed streamed candidate IS a
+    * hash mismatch. The collect is the replay harness, not the
+    * operator; `maxDocs` bounds the gate's cost independent of SF. */
+  def replayLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.8, numHashes: Int = 128,
+                          bands: Int = 32, n: Int = 3,
+                          maxDocs: Long = 400): DataFrame = {
+    val spark = docs.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val slice = docs.filter(col(idCol) < maxDocs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val rows = slice.as[(Long, String)].collect().sortBy(_._1)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val sinkName = "graft_replay_lsh_candidates"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = lshCandidateStream(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", numHashes, bands, n,
+      maxPerBucket = rows.length + 1) // unsaturatable: recall is exact
+      .toDF()
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(64).foreach { chunk => // several micro-batches, so
+        input.addData(chunk)              // cross-batch state carries
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // arrival is ascending-id, so prior < doc_id; normalize + distinct
+    // (a pair can surface through several shared bands)
+    val cand = spark.table(sinkName)
+      .select(least(col("doc_id"), col("prior_doc_id")).as("id_a"),
+        greatest(col("doc_id"), col("prior_doc_id")).as("id_b"))
+      .distinct()
+    graft.operators.Dedup.verifyJaccard(
+      graft.operators.Dedup.shingleSets(slice, "doc_id", "text", n),
+      cand, threshold).select("id_a", "id_b")
+  }
+
   /** Streaming collection-level MinHash sketches: one signature per
     * (window, group) that estimates the Jaccard overlap of everything
     * the group published in that window — corpus drift / cross-source
@@ -505,21 +564,95 @@ object EventStreams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val target = new org.apache.hadoop.fs.Path(path)
-        val staging = new org.apache.hadoop.fs.Path(path + ".staging")
-        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        graft.core.Catalog.recoverSwap(fs, target, staging)
-        val merged =
-          if (fs.exists(target))
-            graft.operators.Components.mergeFirstWriterWins(
-              Seq(batch, spark.read.parquet(path)), keys, tieBreak)
-          else batch
-        merged.write.mode("overwrite").parquet(staging.toString)
-        graft.core.Catalog.swapInto(fs, staging, target)
-        ()
+        upsertBatch(batch, path, keys, tieBreak)
       }
       .start()
+
+  /** One micro-batch of [[upsertSink]]'s merge — the exact foreachBatch
+    * body, factored out so the replay harness can RE-DELIVER a batch
+    * through the identical code path (foreachBatch's at-least-once
+    * contract re-runs the unacknowledged LAST batch after a crash; the
+    * idempotence claim is that this re-run leaves the table unchanged,
+    * and [[replayUpsert]] proves it under the hard gate). */
+  def upsertBatch(batch: DataFrame, path: String, keys: Seq[String],
+                  tieBreak: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.Catalog.recoverSwap(fs, target, staging)
+    val merged =
+      if (fs.exists(target))
+        graft.operators.Components.mergeFirstWriterWins(
+          Seq(batch, spark.read.parquet(path)), keys, tieBreak)
+      else batch
+    merged.write.mode("overwrite").parquet(staging.toString)
+    graft.core.Catalog.swapInto(fs, staging, target)
+    ()
+  }
+
+  /** Driver-gate replay harness for [[upsertSink]] (the tenth direct
+    * streaming row): a bounded user slice's events are chunked into
+    * deterministic micro-batches in ascending (ts, event_id) order and
+    * run through the REAL sink — foreachBatch → first-writer-wins
+    * merge → crash-safe staging swap per batch — keyed on user_id with
+    * event_id as the in-batch tie-break. Then the LAST micro-batch is
+    * deliberately RE-DELIVERED through [[upsertBatch]] (foreachBatch's
+    * at-least-once replay case: after a crash, the unacknowledged
+    * final batch re-runs against the already-merged table) before the
+    * table is read back — so the oracle comparison proves BOTH the
+    * cross-batch last-writer-wins semantics and the re-delivery
+    * idempotence: a non-idempotent merge would duplicate or regress
+    * keys and hash-mismatch. Per user the surviving row is the
+    * min-event_id row of the user's LAST batch — SQL-replayable from
+    * the deterministic chunking (batch = floor(0-based (ts, event_id)
+    * rank / chunk)). */
+  def replayUpsert(events: DataFrame, userCol: String, tsCol: String,
+                   eventIdCol: String, valueCol: String, chunk: Int = 256,
+                   maxUsers: Long = 200): DataFrame = {
+    val spark = events.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = events
+      .select(col(eventIdCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(userCol).cast("long"), col(valueCol).cast("double"))
+      .filter(col(userCol) < maxUsers)
+      .as[(Long, Timestamp, Long, Double)].collect()
+      .sortBy { case (eid, ts, _, _) => (ts.getTime, eid) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_")
+    val path = s"$dir/table"
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event]
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val keys = Seq("user_id")
+    val tieBreak = Seq(col("event_id"))
+    val stream = input.toDF()
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val q = upsertSink(stream, path, s"$dir/ckpt", keys, tieBreak)
+    val chunks = rows.grouped(chunk).toSeq
+    try {
+      chunks.foreach { c =>
+        input.addData(c.map { case (eid, ts, u, v) =>
+          Event(eid, ts, u, "replay", v)
+        })
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // the deliberate re-delivery: the crash-replayed FINAL batch merges
+    // again through the identical code path — idempotence means the
+    // table the oracle sees is unchanged by this call
+    chunks.lastOption.foreach { c =>
+      upsertBatch(
+        c.toSeq.toDF("event_id", "ts", "user_id", "value")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        path, keys, tieBreak)
+    }
+    spark.read.parquet(path)
+  }
 
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState): a session closes when the next event for

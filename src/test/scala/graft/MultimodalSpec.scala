@@ -561,6 +561,16 @@ class MultimodalSpec extends SparkSpec {
     // a non-BOS first page is structural corruption
     val noBos = ogg.clone(); noBos(5) = 0
     assert(MediaHeaders.oggPackets(noBos).isEmpty)
+    // multiplexed/grouped stream (RFC 3533 §4): a page whose serial
+    // differs from the BOS serial must be a loud None, never a foreign
+    // packet interleaved into the list (the serial check fires BEFORE
+    // the CRC read, so the forge needs no CRC repair)
+    val nSegs = ogg(26) & 0xFF
+    val p2 = 27 + nSegs + (0 until nSegs).map(i => ogg(27 + i) & 0xFF).sum
+    assert((ogg(p2) & 0xFF) == 'O' && ogg(p2 + 1) == 'g', "page-2 offset")
+    val muxed = ogg.clone()
+    muxed(p2 + 14) = (muxed(p2 + 14) ^ 0x01).toByte
+    assert(MediaHeaders.oggPackets(muxed).isEmpty)
   }
 
   test("ogg-FLAC: native stream recovery, fingerprint equals the FLAC/WAV one") {

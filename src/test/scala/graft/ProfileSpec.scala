@@ -249,4 +249,29 @@ class ProfileSpec extends SparkSpec {
     val b = operators.Profile.ksTest(same, "v", col("ina")).collect().head
     assert(b.getDouble(2) == 0.0 && !b.getBoolean(3))
   }
+
+  test("assertPackBound: forged overflow raises loudly, below-bound and " +
+      "empty inputs pass through") {
+    import org.apache.spark.sql.functions._
+    // below the bound: identity on the total
+    val ok = Seq(5L).toDF("t")
+      .select(operators.Profile.assertPackBound(col("t"), 10L, "spec"))
+      .collect().head.getLong(0)
+    assert(ok == 5L)
+    // NULL total (empty-input aggregate shape): passes through as NULL,
+    // never raises — the downstream statistic already reports NULLs
+    val nul = Seq(Tuple1(Option.empty[Long])).toDF("t")
+      .select(operators.Profile.assertPackBound(col("t"), 10L, "spec"))
+      .collect().head
+    assert(nul.isNullAt(0))
+    // at/past the bound: the wrap that WOULD have been silent is a loud
+    // error carrying the context name and the offending total
+    val e = intercept[Exception] {
+      Seq(10L).toDF("t")
+        .select(operators.Profile.assertPackBound(col("t"), 10L, "spec"))
+        .collect()
+    }
+    assert(e.getMessage.contains("spec") || e.getCause != null &&
+      e.getCause.getMessage.contains("spec"), s"got: ${e.getMessage}")
+  }
 }

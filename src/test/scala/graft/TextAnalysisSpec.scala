@@ -119,6 +119,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!v("GB82WEST12345678654321"))      // checksum off
     assert(!v("GB82WEST1234569876"))          // hand-check: remainder != 1
     assert(!v("1234567890123456"))            // no country prefix
+    // letters in the ISO 13616 check-digit positions 3-4: this string
+    // FOLDS to remainder 1 (brute-forced), so only the explicit
+    // digits-only gate rejects it — standalone use must not depend on
+    // the candidate regex having pre-filtered
+    assert(!v("DEDXX0000000000000"))
   }
 
   test("subwordCount counts ceil(len/4) units per word") {
