@@ -8296,6 +8296,79 @@ object Queries {
               |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
     )),
 
+    // MPEG-1 Layer I fingerprints — the first TRANSFORM-coded lossy
+    // audio family on the real side: frame walk, uniform allocation,
+    // closed-form Table B.1 scalefactors and the (2^nb−1)-level
+    // midtread requantization all decode for real; the fingerprint
+    // reads the critically-sampled subband stream (the Table B.3
+    // synthesis window is tabulated spec DATA — the named boundary in
+    // Mpeg.scala). Constants are the SAME hand derivation as the WAV
+    // fixtures: the authored code offsets decode to exactly d, window
+    // energy is exactly 12·d², and the bits compare the d values.
+    "q_multimodal_mp1fp" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureMp1Fp()
+        s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (name, content) =>
+            (name, operators.Multimodal.audioFingerprint64(content).get)
+          }
+          .toDF("name", "afp")
+      },
+      Some(s"""SELECT name, afp
+              |FROM read_csv('${graft.sources.MediaFixture.expectedMp1FpCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
+    )),
+
+    // CROSS-FORMAT audio near-dup with the MPEG-1 leg: wav ↔ flac ↔
+    // mp1 carry the SAME envelopes through a PCM container, a lossless
+    // compressor, and a lossy transform codec's bitstream — the
+    // level-invariant energy-delta fingerprint pairs all three in one
+    // banded join, which byte- or sample-level dedup can never do.
+    "q_mp1_crossformat_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d1 = graft.sources.MediaFixture.ensureAudioFp()
+        val d2 = graft.sources.MediaFixture.ensureFlacFp()
+        val d3 = graft.sources.MediaFixture.ensureMp1Fp()
+        val files = s.read.format("binaryFile").load(d1, d2, d3)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("mid", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) => operators.Multimodal.MediaBlob(idx(n).toLong,
+            n.substring(n.lastIndexOf('.') + 1), c) }
+        operators.Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
+          .join(broadcast(nameDf.toDF("id_a", "name_a")), "id_a")
+          .join(broadcast(nameDf.toDF("id_b", "name_b")), "id_b")
+          .select("name_a", "name_b", "hamming")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedAudioFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedFlacFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedMp1FpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})),
+              |h AS (SELECT name, afp,
+              |    row_number() OVER (ORDER BY name) - 1 AS mid FROM u)
+              |SELECT a.name AS name_a, b.name AS name_b,
+              |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+              |FROM h a JOIN h b ON a.mid < b.mid
+              |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin)
+    )),
+
     // DTMF demodulation by Goertzel (ITU-T Q.23/Q.24): from raw PCM
     // to the dialed SYMBOL STRING — audio content extraction, not
     // envelope comparison. The oracle pins the hand-chosen dial

@@ -165,6 +165,19 @@ object Soak {
 
   /** DTMF dial WAV for the demodulation soak: 6 id-derived keys per
     * recording from the full 16-key pad. */
+  /** MPEG-1 Layer I soak blob: the SAME clique envelope derivation as
+    * [[soakWav]] — so wav id k and mp1 id k fingerprint identically
+    * (the energy-delta bits compare window amplitudes, which both
+    * formats carry exactly) — authored by the fixture's spec-correct
+    * Layer I encoder and decoded by [[Mpeg.layer1SubbandPcm]]. */
+  private[graft] def soakMp1(id: Long): Array[Byte] = {
+    val clique = id / 10; val copy = (id % 10).toInt
+    graft.sources.MediaFixture.mp1Bytes { wdw =>
+      val amp0 = 200 + ((mix(clique * 7919L + wdw) >>> 52).toInt % 1800 + 1800) % 1800
+      if (wdw == (copy * 5 + 7) % 65) amp0 + amp0 / 10 else amp0
+    }
+  }
+
   private[graft] def soakDial(id: Long): Array[Byte] = {
     val pad = "123456789*0#ABCD"
     val digits = (0 until 6).map { i =>
@@ -216,7 +229,14 @@ object Soak {
     val metrics = new core.MetricsListener
     spark.listenerManager.register(metrics)
 
+    // optional diagnostic subset (the bench-filter convention):
+    // SPARK_GRAFT_SOAK_FILTER=regex runs only matching rows — skipped
+    // rows report -1 everywhere so a filtered record can never be
+    // mistaken for a full soak
+    val soakFilter = sys.env.get("SPARK_GRAFT_SOAK_FILTER").map(_.r)
     def run(name: String)(df: => DataFrame): (String, Double, Double, Double) = {
+      if (soakFilter.exists(_.findFirstIn(name).isEmpty))
+        return (name, -1.0, -1.0, -1.0)
       metrics.label(name)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -458,6 +478,20 @@ object Soak {
         import spark2.implicits._
         val blobs = spark2.range(2000).repartition(32)
           .map(id => Multimodal.MediaBlob(id, "wav", soakWav(id)))
+        Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
+      },
+      run("mp1_crossformat_near_dup") {
+        // 1000 WAVs + 1000 MPEG-1 Layer I twins of the same 100
+        // envelope cliques: the transform-codec leg decodes its
+        // bitstream map-side and rides the identical banding join —
+        // pairs BRIDGE the two formats, and audio bytes never shuffle
+        val spark2 = docs10.sparkSession
+        import spark2.implicits._
+        val blobs = spark2.range(2000).repartition(32)
+          .map { id =>
+            if (id < 1000) Multimodal.MediaBlob(id, "wav", soakWav(id))
+            else Multimodal.MediaBlob(id, "mp1", soakMp1(id - 1000))
+          }
         Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
       },
       run("video_near_dup") {

@@ -11,13 +11,38 @@ import org.apache.spark.sql.functions._
   * METADATA decode is REAL for every supported container: javax.imageio
   * reads true width/height for PNG/JPEG/GIF/BMP/TIFF, javax.sound parses
   * WAV/AIFF/AU, and [[MediaHeaders]] parses mp4/mov, mkv/webm, mp3,
-  * ogg/opus, and flac container headers byte-for-byte (header-only —
-  * no codec payload is decoded). Only the pixel/sample-level FEATURE
-  * extractor remains a STUB for non-image kinds (the JDK has no such
-  * codecs): deterministic pseudo-values keep the Spark-side plumbing —
-  * schema, batch shape, partitioning, join-back — real and tested, and
-  * a real decoder (JNI/ONNX/javacv) drops into
+  * ogg/opus, and flac container headers byte-for-byte. Only the
+  * pixel/sample-level FEATURE extractor remains a STUB for kinds with
+  * no in-repo codec: deterministic pseudo-values keep the Spark-side
+  * plumbing — schema, batch shape, partitioning, join-back — real and
+  * tested, and a real decoder (JNI/ONNX/javacv) drops into
   * [[MediaBatch.featuresStub]] without touching the plan structure.
+  *
+  * ==The codec boundary (PERMANENT, named per codec)==
+  * This repo writes decoders from public specs by hand; the line is
+  * drawn where a spec's remaining content is TABULATED DATA or an
+  * inter-frame prediction machine rather than derivable structure.
+  * REAL sample/pixel decode: PNG, GIF (LZW), raw-DIB AVI, MJPEG
+  * (ITU-T T.81 DC) in AVI/MP4/MKV, PCM WAV/AIFF/AU, FLAC (RFC 9639),
+  * Ogg-FLAC (RFC 3533 page walk), G.711 µ-law, IMA ADPCM, DTMF
+  * (Goertzel), and MPEG-1 Layer I to subband domain ([[Mpeg]]).
+  * PERMANENTLY header-only, each with its blocking reason:
+  *  - H.264/HEVC, VP8/VP9, AV1 (in MP4/MKV/WebM): motion-compensated
+  *    inter-frame prediction + arithmetic entropy coding (CABAC /
+  *    bool-coder) — thousands of lines of normative tables and a
+  *    reference-frame state machine; even a keyframe-only decode
+  *    needs the full entropy layer, so no honest partial scope
+  *    exists. A production deployment plugs libavcodec/JNI into
+  *    [[MediaBatch.featuresStub]]; the Spark-side plumbing these
+  *    columns need is already real and tested.
+  *  - MPEG-1 Layers II/III (mp2/mp3 payloads): Layer II's Table B.2
+  *    allocation tables and Layer III's Huffman code tables + IMDCT
+  *    window are spec data; Layer I ([[Mpeg]]) is the family member
+  *    whose bitstream is fully structural, and it IS decoded.
+  *  - Ogg-Vorbis / Opus payloads: setup-header codebook machinery
+  *    (floor/residue) resp. the CELT/SILK hybrid — data-table-bound
+  *    the same way. Ogg-FLAC, the mapping that reuses a decodable
+  *    codec, IS decoded.
   *
   * Scale posture:
   *  - media bytes never go through a shuffle wider than necessary: the
@@ -671,8 +696,13 @@ object Multimodal {
     * REAL decoded PCM (16-bit signed WAV/AIFF via javax.sound, plus
     * FLAC through the spec-written [[Flac]] decoder, Ogg-FLAC through
     * the CRC-verified page walk into the same decoder, G.711 µ-law WAV
-    * through the ITU closed-form expand; mp3 and Ogg-Vorbis/Opus are
-    * the remaining header-only stubs): mix
+    * through the ITU closed-form expand, and MPEG-1 Layer I through
+    * [[Mpeg.layer1SubbandPcm]]'s bitstream decode — subband-domain
+    * energy, the boundary named there; MPEG Layers II/III and
+    * Ogg-Vorbis/Opus are the remaining header-only stubs, each blocked
+    * by tabulated spec DATA, not structure: Layer II's B.2 allocation
+    * tables, Layer III's Huffman tables, Vorbis' floor/residue
+    * codebook machinery): mix
     * channels, slice the sample
     * stream into 65 equal windows, bit i set iff window i+1 carries
     * MORE energy than window i. Re-encodes and small edits preserve
@@ -720,6 +750,26 @@ object Multimodal {
               s / ch
             })
           }
+      // MPEG-1 Audio Layer I (ISO 11172-3): the lossy TRANSFORM-coded
+      // family opened to bitstream depth — allocation, scalefactors
+      // (Table B.1's closed form) and the (2^nb−1)-level midtread
+      // requantization are fully decoded; the fingerprint runs on the
+      // critically-sampled SUBBAND-domain stream because the last
+      // synthesis step needs Table B.3's tabulated window (spec data —
+      // the named boundary in [[Mpeg]]'s scaladoc). The filterbank is
+      // power-complementary, so the energy envelope — all this
+      // fingerprint reads — is preserved; the fixtures pin the same
+      // hand-derived constants as their WAV twins. The sync gate
+      // matches MPEG-1 Layer I unprotected only (b2 = 0xFF); Layer
+      // II/III and MPEG-2 fall through to the header-only stubs.
+      if (content.length >= 3 &&
+          (((content(0) & 0xFF) == 0xFF && (content(1) & 0xFF) == 0xFF) ||
+            (content(0) == 'I' && content(1) == 'D' && content(2) == '3')))
+        return Mpeg.layer1SubbandPcm(content).flatMap { case (_, ch, pcm) =>
+          val n = pcm.length / ch
+          if (n < 65) None
+          else energyDeltaBits(n, i => pcm(i).toLong)
+        }
       // G.711 µ-law WAV (fmt tag 7): the ITU telephony codec, decoded
       // by the spec's closed-form expand — the THIRD real audio format
       // and the first LOSSY one; the fixture's envelopes are built so
@@ -932,7 +982,7 @@ object Multimodal {
   }
 
   private val AudioFpKinds =
-    Set("wav", "wave", "aiff", "aif", "au", "flac", "ogg", "oga")
+    Set("wav", "wave", "aiff", "aif", "au", "flac", "ogg", "oga", "mp1")
 
   /** Batched audio fingerprints for decodable PCM blobs →
     * (media_id, afp). Same drop-at-the-fingerprint-stage contract as

@@ -558,6 +558,81 @@ object MediaFixture {
     audioOggFlacDir
   }
 
+  // ---- MPEG-1 Layer I fingerprint fixture (LOSSY transform audio) ----
+
+  val audioMp1Dir: String = s"${FixtureDirs.base}/media_mp1fp"
+  val expectedMp1FpCsvPath: String =
+    s"${FixtureDirs.base}/media_mp1fp_expected.csv"
+
+  /** Minimal spec-correct MPEG-1 Layer I ENCODER (ISO 11172-3; mono,
+    * 32 kbps @ 32 kHz → 48-byte frames, unprotected): ONE frame per
+    * fingerprint window — 65 frames × 384 subband-domain values =
+    * 24960, so the 65 energy windows align exactly with frame
+    * boundaries. Subband 0 carries the window's constant value at
+    * allocation code 14 (nb = 15) and scalefactor index 3 (sf = 1.0);
+    * subbands 1-31 are unallocated. The DECODER under test is
+    * [[graft.operators.Mpeg.layer1SubbandPcm]].
+    *
+    * Losslessness of the ENVELOPE by construction: the code
+    * c = (2^14 − 1) + d decodes to s'' = 2d/(2^15 − 1), and
+    * round(sf·s''·16384) = round(d·32768/32767) = d exactly for
+    * |d| ≤ 16383 — so each authored window decodes to 12 copies of
+    * exactly d (plus 31×12 zeros) and window energy is exactly 12·d²:
+    * the energy-delta bits are integer comparisons of the authored
+    * d values, the same hand derivation as the WAV twins. */
+  private[graft] def mp1Bytes(windowValue: Int => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until 65).foreach { win =>
+      val d = windowValue(win)
+      require(math.abs(d) <= 16383, s"quantizer offset $d out of range")
+      val w = new BitW
+      w.bits(0xFF, 8)  // sync
+      w.bits(0xFF, 8)  // sync + MPEG-1 + Layer I + no CRC
+      w.bits(1, 4)     // bitrate index 1 = 32 kbps (Layer I table)
+      w.bits(2, 2)     // sample-rate index 2 = 32000 Hz
+      w.bits(0, 1)     // padding
+      w.bits(0, 1)     // private
+      w.bits(3, 2)     // mode 11 = single channel
+      w.bits(0, 2)     // mode extension
+      w.bits(0, 1)     // copyright
+      w.bits(0, 1)     // original
+      w.bits(0, 2)     // emphasis
+      w.bits(14, 4)    // subband 0: allocation code 14 -> nb = 15
+      (1 until 32).foreach(_ => w.bits(0, 4))
+      w.bits(3, 6)     // scalefactor index 3 -> 2*2^(-1) = 1.0
+      (0 until 12).foreach(_ => w.bits((16383 + d).toLong, 15))
+      w.bits(0L, 38)   // ancillary padding to the 48-byte slot length
+      val frame = w.snapshot
+      require(frame.length == 48, s"frame ${frame.length} != 48")
+      out.write(frame, 0, frame.length)
+    }
+    out.toByteArray
+  }
+
+  /** Same envelopes, same hand-derived constants as [[audioFpEntries]]:
+    * window energy is exactly 12·d², so the bits compare the authored
+    * d values directly (see [[mp1Bytes]]). */
+  private def mp1FpEntries: Seq[(String, Array[Byte], Long)] = Seq(
+    ("flat_tone.mp1", mp1Bytes(_ => 1000), 0L),
+    ("ramp.mp1", mp1Bytes(w => (w + 1) * 10), -1L),
+    ("step.mp1", mp1Bytes(w => if (w < 32) 100 else 2000), 1L << 31),
+    ("two_step.mp1", mp1Bytes(w =>
+      if (w < 21) 100 else if (w < 43) 1000 else 2000),
+      (1L << 20) | (1L << 42)))
+
+  /** Write the Layer I files + the pinned CSV; returns [[audioMp1Dir]]. */
+  def ensureMp1Fp(): String = {
+    Files.createDirectories(Paths.get(audioMp1Dir))
+    val rows = mp1FpEntries.map { case (name, bytes, hash) =>
+      Files.write(Paths.get(audioMp1Dir, name), bytes)
+      s"$name,$hash"
+    }
+    Files.write(Paths.get(expectedMp1FpCsvPath),
+      ("name,afp\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    audioMp1Dir
+  }
+
   // ---- G.711 µ-law fingerprint fixture (LOSSY compressed audio) ----
 
   val audioMulawDir: String = s"${FixtureDirs.base}/media_mulawfp"

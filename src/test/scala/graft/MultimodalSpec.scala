@@ -573,6 +573,45 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.oggPackets(muxed).isEmpty)
   }
 
+  test("Mpeg.layer1SubbandPcm: exact subband decode; malformed streams are loud") {
+    import graft.operators.Mpeg
+    import graft.sources.MediaFixture
+    // the fixture encoder authors code offset d per window; the decode
+    // contract is EXACT: round(d·32768/32767) = d for |d| <= 16383
+    val mp1 = MediaFixture.mp1Bytes(w => w + 1)
+    val (rate, ch, pcm) = Mpeg.layer1SubbandPcm(mp1).get
+    assert(rate == 32000 && ch == 1)
+    assert(pcm.length == 65 * 12 * 32)
+    (0 until 65).foreach { f =>
+      (0 until 12).foreach { t =>
+        assert(pcm(f * 384 + t * 32) == f + 1, s"frame $f granule $t")
+        (1 until 32).foreach(sb => assert(pcm(f * 384 + t * 32 + sb) == 0))
+      }
+    }
+    // an ID3v2 prefix (size 0) is skipped, not decoded
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 0) ++ mp1
+    assert(Mpeg.layer1SubbandPcm(id3).get._3.sameElements(pcm))
+    // Layer II header bits: loud None (the B.2 tables are the named
+    // boundary, never a silent wrong decode)
+    val l2 = mp1.clone(); l2(1) = 0xFD.toByte
+    assert(Mpeg.layer1SubbandPcm(l2).isEmpty)
+    // stereo mode: loud None (mono-only layout)
+    val st = mp1.clone(); st(3) = 0x00
+    assert(Mpeg.layer1SubbandPcm(st).isEmpty)
+    // CRC-protected frame: loud None (unverified CRC never skipped)
+    val prot = mp1.clone(); prot(1) = 0xFE.toByte
+    assert(Mpeg.layer1SubbandPcm(prot).isEmpty)
+    // forbidden scalefactor index 63 (bits 160-165 of the frame)
+    val badSf = mp1.clone(); badSf(20) = (badSf(20) | 0xFC).toByte
+    assert(Mpeg.layer1SubbandPcm(badSf).isEmpty)
+    // truncated final frame
+    assert(Mpeg.layer1SubbandPcm(mp1.dropRight(1)).isEmpty)
+    // the fingerprint constants are the WAV hand derivation verbatim
+    assert(Multimodal.audioFingerprint64(
+      MediaFixture.mp1Bytes(w => if (w < 32) 100 else 2000))
+      .contains(1L << 31))
+  }
+
   test("ogg-FLAC: native stream recovery, fingerprint equals the FLAC/WAV one") {
     import graft.operators.MediaHeaders
     import graft.sources.MediaFixture
