@@ -7718,6 +7718,52 @@ object Queries {
              |FROM r WHERE rn = 1""".stripMargin)
     )),
 
+    // STREAMING exact dedup under the hard gate — the eleventh direct
+    // streaming row: a bounded slice replays through the real
+    // dropDuplicatesWithinWatermark state store in occurrence-ordinal
+    // micro-batches (each batch at most one row per key, so the
+    // implementation-defined within-batch survivor can't blur the
+    // claim under test: cross-batch keyed dedup). 750 of the slice's
+    // (user, type) keys repeat, every repeat must be swallowed, and
+    // the survivor must be the first-(ts, event_id) occurrence — the
+    // oracle's rn = 1 row.
+    "q_stream_dedup_watermark" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStreams.replayDedupWithinWatermark(
+          Tables.events(s, dir), "user_id", "event_type", "ts",
+          "event_id", "value", maxUsers = 150),
+      Some("""WITH e AS (SELECT event_id, ts, user_id, event_type, value
+             |  FROM events WHERE user_id < 150),
+             |r AS (SELECT user_id, event_type, event_id, ts, value,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM e)
+             |SELECT user_id, event_type, event_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+             |FROM r WHERE rn = 1""".stripMargin)
+    )),
+
+    // STREAMING interval join under the hard gate — the twelfth direct
+    // streaming row: purchase->click attribution within one hour,
+    // through the real stream-stream inner join whose time-interval
+    // condition is what bounds its state. Inner-append emission is
+    // exactly-once per qualifying pair and chunking-invariant, so the
+    // emitted set must equal the batch interval join verbatim.
+    "q_stream_interval_join" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStreams.replayIntervalJoin(
+          Tables.events(s, dir), "user_id", "ts", "event_id",
+          "event_type", leftType = "purchase", rightType = "click",
+          windowSeconds = 3600, maxUsers = 100),
+      Some("""WITH l AS (SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'purchase' AND user_id < 100),
+             |r AS (SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'click' AND user_id < 100)
+             |SELECT l.user_id, l.event_id AS eid_a, r.event_id AS eid_b
+             |FROM l JOIN r ON l.user_id = r.user_id
+             |  AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 3600 SECOND""".stripMargin)
+    )),
+
     // STREAMING cohort retention under the hard gate (the streaming
     // family's third direct row, after q_stream_passage_dedup and
     // q_stream_domain_cap): a bounded user slice's purchase events are

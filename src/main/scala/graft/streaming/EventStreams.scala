@@ -66,6 +66,128 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Driver-gate replay harness for [[dedupWithinWatermark]] (the
+    * eleventh direct streaming row): a bounded event slice is fed
+    * through the REAL `dropDuplicatesWithinWatermark` state store in
+    * OCCURRENCE-ORDINAL micro-batches — batch k carries every key's
+    * k-th occurrence in (ts, event_id) order — so each batch holds at
+    * most one row per key (within-batch survivor choice is
+    * implementation-defined; this feed removes the ambiguity without
+    * changing what is under test: the CROSS-BATCH keyed dedup state,
+    * which is the operator's whole claim). With the watermark delay
+    * wider than the slice's time span no state evicts mid-replay, so
+    * the survivor per key is exactly its first-(ts, event_id)
+    * occurrence — the SQL oracle's rn = 1 row (eviction/re-admission
+    * is spec territory: StreamingSpec). */
+  def replayDedupWithinWatermark(events: DataFrame, userCol: String,
+                                 typeCol: String, tsCol: String,
+                                 eventIdCol: String, valueCol: String,
+                                 maxUsers: Long = 150): DataFrame = {
+    val spark = events.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = events
+      .select(col(eventIdCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(userCol).cast("long"), col(typeCol).cast("string"),
+        col(valueCol).cast("double"))
+      .filter(col(userCol) < maxUsers)
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+      .sortBy { case (eid, ts, _, _, _) => (ts.getTime, eid) }
+    // occurrence ordinal per (user, type) key, in the sorted order
+    val ord = scala.collection.mutable.HashMap.empty[(Long, String), Int]
+    val batches = rows.groupBy { case (_, _, u, t, _) =>
+      val k = (u, t); val o = ord.getOrElse(k, 0); ord(k) = o + 1; o
+    }.toSeq.sortBy(_._1)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event]
+    val sinkName = "graft_replay_dedup_wm"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = dedupWithinWatermark(input.toDF(), Seq("user_id", "event_type"),
+      watermarkDelay = "3650 days")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { case (_, chunk) =>
+        input.addData(chunk.map { case (eid, ts, u, t, v) =>
+          Event(eid, ts, u, t, v)
+        }.toSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(sinkName)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("value"))
+  }
+
+  /** Driver-gate replay harness for [[intervalJoin]] (the twelfth
+    * direct streaming row): two bounded typed event slices replay
+    * through the REAL stream-stream inner interval join. An inner join
+    * in append mode emits every qualifying (left, right) pair exactly
+    * once as both sides arrive — the OUTPUT SET is chunking-invariant
+    * — and a watermark delay wider than the slice span keeps state
+    * from evicting mid-replay, so the emitted set IS the batch
+    * interval join, which is the SQL oracle verbatim. State-eviction
+    * timing is spec territory; what the gate proves is the join
+    * condition, the key routing, and the no-duplicate-emission
+    * contract of the join state machine. */
+  def replayIntervalJoin(events: DataFrame, userCol: String, tsCol: String,
+                         eventIdCol: String, typeCol: String,
+                         leftType: String, rightType: String,
+                         windowSeconds: Long, maxUsers: Long = 100)
+      : DataFrame = {
+    val spark = events.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def slice(t: String) = events
+      .select(col(eventIdCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(userCol).cast("long"), col(typeCol).cast("string"),
+        lit(0.0).as("v"))
+      .filter(col(userCol) < maxUsers && col(typeCol) === t)
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+      .sortBy { case (eid, ts, _, _, _) => (ts.getTime, eid) }
+    val lRows = slice(leftType)
+    val rRows = slice(rightType)
+    val lIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event]
+    val rIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event]
+    val sinkName = "graft_replay_interval_join"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val l = lIn.toDF().select(col("user_id"), col("ts").as("ts_l"),
+      col("event_id").as("eid_a"))
+    val r = rIn.toDF().select(col("user_id"), col("ts").as("ts_r"),
+      col("event_id").as("eid_b"))
+    val q = intervalJoin(l, r, Seq("user_id"), "ts_l", "ts_r",
+      windowSeconds, watermarkDelay = "3650 days")
+      .select(col("user_id"), col("eid_a"), col("eid_b"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val chunks = math.max(lRows.grouped(256).size, rRows.grouped(256).size)
+      val lc = lRows.grouped(256).toSeq
+      val rc = rRows.grouped(256).toSeq
+      (0 until chunks).foreach { i =>
+        if (i < lc.size)
+          lIn.addData(lc(i).map { case (eid, ts, u, t, v) => Event(eid, ts, u, t, v) }.toSeq)
+        if (i < rc.size)
+          rIn.addData(rc(i).map { case (eid, ts, u, t, v) => Event(eid, ts, u, t, v) }.toSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(sinkName)
+  }
+
   /** Stream-stream interval join: pair each left event with the right
     * events sharing its key whose timestamp falls in
     * `[leftTs, leftTs + windowSeconds)` — funnels, click→conversion
