@@ -6824,6 +6824,48 @@ object Queries {
              |FROM z""".stripMargin)
     )),
 
+    // Kruskal-Wallis H across ALL 20 sources at once — the k-sample
+    // extension completing the rank-test family (MW asks "do these TWO
+    // groups differ in location", KW asks it for k groups in one
+    // statistic). Doubled midranks keep every per-group rank sum an
+    // exact integer; the per-group R²/n terms fold in group-key order
+    // (the bounded-fold discipline); tie cube decimal-first. No reject
+    // flag by design: χ²(k−1) critical values are a table, not a
+    // closed form.
+    "q_kruskal_wallis" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.kruskalWallis(
+          Tables.documents(s, dir), "n_chars", "source"),
+      Some("""WITH b AS (SELECT CAST(n_chars AS BIGINT) AS v, source AS g
+             |  FROM documents),
+             |c AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c_vg
+             |  FROM b GROUP BY 1, 2),
+             |cv AS (SELECT v, CAST(sum(c_vg) AS BIGINT) AS c FROM c GROUP BY 1),
+             |cm AS (SELECT v, c,
+             |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM cv),
+             |p AS (SELECT c.g,
+             |    sum(CAST(c.c_vg * (2 * cm.cum - cm.c + 1) AS HUGEINT)) AS r2g,
+             |    CAST(sum(c.c_vg) AS BIGINT) AS ng
+             |  FROM c JOIN cm ON cm.v = c.v GROUP BY 1),
+             |t AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS tsum,
+             |    CAST(sum(c) AS BIGINT) AS n FROM cv),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             |    list_sum(list(CAST(r2g * r2g AS DOUBLE) / CAST(4 * ng AS DOUBLE)
+             |      ORDER BY g)) AS ssum
+             |  FROM p)
+             |SELECT n_groups, n,
+             |  CASE WHEN n_groups >= 2
+             |    AND (1.0 - CAST(tsum AS DOUBLE)
+             |      / (CAST(n AS DOUBLE) * n * n - n)) > 0.0
+             |  THEN round(
+             |    (12.0 * ssum / (CAST(n AS DOUBLE) * (n + 1.0)) - 3.0 * (n + 1.0))
+             |      / (1.0 - CAST(tsum AS DOUBLE)
+             |          / (CAST(n AS DOUBLE) * n * n - n)), 6)
+             |  END AS h
+             |FROM s CROSS JOIN t""".stripMargin)
+    )),
+
     // Gini concentration of document lengths — the corpus-inequality
     // number beside the Zipf slope and Heaps curve: ranks from the
     // range-sliced machinery (never a global-sort window), every sum

@@ -973,6 +973,12 @@ object Soak {
         Profile.mannWhitney(docs10.select(length(col("text")).as("v"),
           col("source")), "v", col("source") === "src0")
       },
+      run("kruskal_wallis") {
+        // the k-sample extension: all 20 sources in one statistic —
+        // (value, group) counts, one ranked pass, a group-bounded fold
+        Profile.kruskalWallis(docs10.select(length(col("text")).as("v"),
+          col("source")), "v", "source")
+      },
       run("conformal_interval") {
         // Mondrian split conformal at 10x: two groupedPositions range
         // exchanges + broadcast per-group (med, qhat)

@@ -830,23 +830,19 @@ object Dedup {
     val d = docs
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .filter(length(col("t")) >= q)
-    // positional q-grams via one char-array materialization (the
-    // winnowFingerprints lesson: per-position substring() re-walks the
-    // UTF8String — O(n²) per doc; slice + concat_ws is O(n·q))
-    val grams = d
-      .withColumn("__chs", split(col("t"), ""))
-      .select(col("id"), length(col("t")).as("len"), posexplode(expr(
-        s"transform(sequence(1, length(t) - ${q - 1}), " +
-          s"i -> concat_ws('', slice(__chs, CAST(i AS INT), $q)))")))
-      .select(col("id"), col("len"), col("col").as("g"))
-    // occurrence-ordinal keys: the i-th copy of gram g becomes "g#i",
-    // making multiset intersection a plain set intersection
-    val keyed = grams.groupBy("id", "len", "g")
-      .agg(count(lit(1)).cast("int").as("cnt"))
-      .select(col("id"), col("len"), col("g"),
-        explode(expr("sequence(1, cnt)")).as("ord"))
-      .select(col("id"), col("len"),
-        concat(col("g"), lit("#"), col("ord")).as("gk"))
+    // occurrence-ordinal keys — the i-th copy of gram g becomes "g#i",
+    // making multiset intersection a plain set intersection — emitted
+    // directly by one compiled scan kernel
+    // ([[graft.plans.ChunkExpressions.positional_qgram_keys]]): the
+    // ordinal is a PER-DOCUMENT counter, so the old groupBy(id, g)
+    // count + sequence re-explode was a full shuffle of the gram
+    // table spent computing map-side state (plus interpreted
+    // transform lambdas for the grams themselves); the corpus-level
+    // rarity order below still shuffles — that one needs corpus df.
+    val keyed = d
+      .select(col("id"), length(col("t")).as("len"),
+        explode(graft.plans.ChunkExpressions
+          .positional_qgram_keys(col("t"), q)).as("gk"))
     val dfreq = keyed.groupBy("gk").agg(count(lit(1)).as("df_g"))
     val prefixes = keyed.join(dfreq, "gk")
       .groupBy("id", "len")
@@ -928,48 +924,26 @@ object Dedup {
     * No min/max chunk clamps: the original anchor scheme is clamp-
     * free and fully RELATIONAL (min/max clamps make eligibility
     * depend on the previous boundary — a sequential scan); the
-    * geometric length distribution is named, not hidden. Work is
-    * O(len·k) per doc through the winnowing kernel: codepoints
-    * materialize ONCE (per-position substring walks UTF8 bytes from
-    * the start — O(n²) — and md5-per-position is worse still: the
-    * first cut hashed every 8-gram through md5 and measured 59.3 s at
-    * sf0.1; the polynomial (acc·131 + c) mod 1000003 gram hash over
-    * the shared codepoint array measures ~3 s, and replays in SQL
-    * exactly as q_winnow_fingerprints' does). Returns one
+    * geometric length distribution is named, not hidden.
+    *
+    * The per-document pass is one compiled O(len·k) scan kernel
+    * ([[graft.plans.ChunkExpressions.cdc_chunks]]) — history of this
+    * hot path: md5-per-position measured 59.3 s at sf0.1; the
+    * interpreted HOF fold over a shared codepoint array ~3 s (the
+    * round-7 re-plan, whose single-reference-fold discipline the old
+    * body documented); the native kernel retires the interpreted
+    * lambdas entirely, same hash recipe (acc·131 + codepoint) mod
+    * 1000003 — the DuckDB oracle still replays the HOF formulation,
+    * so the hash compare is the equivalence proof. Returns one
     * (id, chunk_idx, chunk) row per chunk; empty chunks (anchors at
     * the text edge) drop on both engines. */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 8, mod: Int = 64): DataFrame = {
     require(k >= 2 && mod >= 2, "degenerate chunking parameters")
-    val t = col(textCol)
-    val cs = col("__cs")
-    val anchors = when(length(t) >= k,
-      filter(transform(sequence(lit(0), length(t) - k), i =>
-        when(pmod(aggregate(slice(cs, i + 1, lit(k)), lit(0L),
-          (acc, c) => (acc * 131 + c) % 1000003),
-          lit(mod.toLong)) === 0, i + k)), x => x.isNotNull))
-      .otherwise(array().cast("array<int>"))
-    // chunks come from ONE fold that walks the boundary list carrying
-    // the previous boundary — the boundary expression is referenced
-    // exactly ONCE. Higher-order functions are interpreted with NO
-    // common-subexpression reuse AND CollapseProject re-inlines
-    // aliases, so any formulation that reads the anchors array k
-    // times (size + two element_at per chunk) re-derives the whole
-    // O(len·k) hash pass per read — measured 39-68 s for q_cdc_dedup
-    // at sf0.1; the single-reference fold measures ~3 s.
-    val bounds = concat(anchors, array(length(t)))
-    val chunks = filter(
-      aggregate(bounds,
-        struct(lit(0).as("prev"), array().cast("array<string>").as("cs")),
-        (acc, b) => struct(b.as("prev"),
-          concat(acc("cs"),
-            array(t.substr(acc("prev") + 1, b - acc("prev")))).as("cs")))
-        .getField("cs"),
-      c => length(c) > 0)
     docs
-      .withColumn("__cs", expr(
-        s"transform(split($textCol, ''), ch -> CAST(ascii(ch) AS BIGINT))"))
-      .select(col(idCol), posexplode(chunks))
+      .select(col(idCol),
+        posexplode(graft.plans.ChunkExpressions
+          .cdc_chunks(col(textCol), k, mod)))
       .toDF(idCol, "chunk_idx", "chunk")
   }
 }

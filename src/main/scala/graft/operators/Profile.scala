@@ -557,6 +557,65 @@ object Profile {
         .as("reject_05"))
   }
 
+  /** Kruskal-Wallis H (one-way rank ANOVA) over an int64 measure — the
+    * k-SAMPLE extension of [[mannWhitney]], same midrank/tie machinery:
+    * H = [12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)] / (1 − Σ(t³−t)/(N³−N)).
+    * ONE row out: (n_groups, n, h).
+    *
+    * Determinism: doubled midranks (2·mid = 2·cum − c + 1) keep every
+    * per-group rank sum an exact integer (R2_g = 2·R_g, so
+    * R_g²/n_g = R2_g²/(4·n_g)); the tie cube is decimal(38,0) BEFORE
+    * multiplying (the [[mannWhitney]] fix); the only non-commutative
+    * double sum — Σ over groups — folds in GROUP-KEY order over the
+    * bounded group list (the Krippendorff fold discipline), and h
+    * composes exact integers through one fixed IEEE expression order.
+    * Named bound: c_vg·(2·cum − c + 1) multiplies in int64 before the
+    * decimal cast — exact while N < ~2³¹ (the [[assertPackBound]]
+    * class of bound; no packing here, so nothing wraps the ranks
+    * themselves). No reject flag: the χ²(k−1) critical value is a
+    * quantile TABLE, not a closed form — callers compare h against
+    * their df's critical value; the engine stays engine-exact.
+    *
+    * Scale shape: one (value, group)-keyed count aggregate, one
+    * value-keyed rollup riding [[Sampling.rankedPrefixSums]], a join
+    * back on the value key, and a groups-bounded 1-row fold. */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    val counts = df.select(col(valueCol).cast("long").as("v"),
+      col(groupCol).cast("string").as("g"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+      .groupBy("v", "g").agg(count(lit(1)).as("c_vg"))
+    val cv = counts.groupBy("v").agg(sum(col("c_vg")).as("c"))
+    val cum = Sampling.rankedPrefixSums(cv, Seq(col("v")), col("c"),
+      "__r", "cum").select(col("v"), col("c").as("cval"), col("cum"))
+    val per = counts.join(cum, "v")
+      .groupBy("g")
+      .agg(sum((col("c_vg") * (lit(2L) * col("cum") - col("cval") + 1L))
+        .cast("decimal(38,0)")).as("r2g"),
+        sum(col("c_vg")).as("ng"))
+    val ties = cv.agg(
+      sum(col("c").cast("decimal(38,0)") * col("c") * col("c") - col("c"))
+        .as("tsum"),
+      sum(col("c")).as("n"))
+    val folded = per
+      .select(struct(col("g"),
+        ((col("r2g") * col("r2g")).cast("double") /
+          (lit(4L) * col("ng")).cast("double")).as("term")).as("s"))
+      .agg(count(lit(1)).as("n_groups"),
+        sort_array(collect_list(col("s"))).as("terms"))
+      .select(col("n_groups"),
+        expr("aggregate(terms, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)")
+          .as("ssum"))
+    val nD = col("n").cast("double")
+    val corr = lit(1.0) - col("tsum").cast("double") / (nD * nD * nD - nD)
+    val hraw = lit(12.0) * col("ssum") / (nD * (nD + lit(1.0))) -
+      lit(3.0) * (nD + lit(1.0))
+    folded.crossJoin(broadcast(ties)).select(
+      col("n_groups"), col("n"),
+      when(col("n_groups") >= 2 && corr > 0.0, round(hraw / corr, 6))
+        .otherwise(lit(null).cast("double")).as("h"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic over an int64 measure
     * (the distribution-shift test beside [[distributionDrift]]'s PSI:
     * PSI needs bins, KS is bin-free): D = max_v |F_a(v) − F_b(v)|,

@@ -453,4 +453,27 @@ class DedupSpec extends SparkSpec {
     assert(a == Dedup.cdcChunks(df.coalesce(1), "id", "text")
       .collect().map(_.toSeq).toSet)
   }
+
+  test("ChunkExpressions kernels: codepoint boundaries and occurrence ordinals") {
+    import org.apache.spark.sql.functions.col
+    // CDC kernel cuts on CODEPOINT boundaries: a supplementary char
+    // (U+1F600, two java chars) must never split, and the chunks must
+    // reassemble the text exactly
+    val uni = "héllo 😀 wörld — " + ("abcdefgh " * 20)
+    val chunks = Seq((1L, uni)).toDF("id", "text")
+    val got = Dedup.cdcChunks(chunks, "id", "text", k = 8, mod = 8)
+      .collect().sortBy(_.getInt(1)).map(_.getString(2))
+    assert(got.mkString == uni, "chunks must partition the text")
+    // Ed-Join keying kernel: the i-th copy of gram g becomes g#i, in
+    // position order — the hand case "abab" has ab twice
+    val keys = Seq(Tuple1("abab")).toDF("t")
+      .select(graft.plans.ChunkExpressions.positional_qgram_keys(col("t"), 2))
+      .collect().head.getSeq[String](0)
+    assert(keys == Seq("ab#1", "ba#1", "ab#2"))
+    // too short for any gram: empty, never null
+    val short = Seq(Tuple1("a")).toDF("t")
+      .select(graft.plans.ChunkExpressions.positional_qgram_keys(col("t"), 2))
+      .collect().head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
 }

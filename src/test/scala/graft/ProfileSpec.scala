@@ -234,6 +234,44 @@ class ProfileSpec extends SparkSpec {
       .collect().head.isNullAt(3))
   }
 
+  test("kruskalWallis: hand-computed H with and without ties") {
+    import org.apache.spark.sql.functions.col
+    // A={1,2}, B={3,4}: ranks 1..4, R_A=3, R_B=7;
+    // H = 12/(4*5)*(9/2 + 49/2) - 3*5 = 0.6*29 - 15 = 2.4 (no ties)
+    val a = (Seq(1L, 2L).map((_, "a")) ++ Seq(3L, 4L).map((_, "b")))
+      .toDF("v", "g")
+    val r = operators.Profile.kruskalWallis(a, "v", "g").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 2.4)
+    // ties: A={1,1}, B={1,2}: midrank(1)=2, midrank(2)=4 ->
+    // R_A=4, R_B=6; H_raw = 12/20*(16/2+36/2) - 15 = 0.6;
+    // tsum = 3^3-3 = 24, corr = 1 - 24/60 = 0.6 -> H = 1.0
+    val t = (Seq(1L, 1L).map((_, "a")) ++ Seq(1L, 2L).map((_, "b")))
+      .toDF("v", "g")
+    val rt = operators.Profile.kruskalWallis(t, "v", "g").collect().head
+    assert(rt.getDouble(2) == 1.0)
+    // all values identical: corr = 0 -> NULL h, loudly not NaN
+    val z = (1L to 6L).map(i => (7L, if (i % 2 == 0) "a" else "b"))
+      .toDF("v", "g")
+    assert(operators.Profile.kruskalWallis(z, "v", "g")
+      .collect().head.isNullAt(2))
+    // one group only: NULL (location shift needs k >= 2)
+    val one = Seq((1L, "a"), (2L, "a")).toDF("v", "g")
+    assert(operators.Profile.kruskalWallis(one, "v", "g")
+      .collect().head.isNullAt(2))
+    // two-group KW must agree with mannWhitney's z: H = z^2 for k=2
+    // (the classic identity, a strong cross-operator check) — compare
+    // at 4 decimals to absorb the two round-6 surfaces
+    val big = ((1L to 20L).map((_, "a")) ++ (8L to 27L).map((_, "b")))
+      .toDF("v", "g")
+    val h = operators.Profile.kruskalWallis(big, "v", "g")
+      .collect().head.getDouble(2)
+    val zv = operators.Profile.mannWhitney(
+      big.withColumn("ina", col("g") === "a"), "v", col("ina"))
+      .collect().head.getDouble(3)
+    assert(math.abs(h - zv * zv) < 5e-4, s"H=$h z^2=${zv * zv}")
+  }
+
   test("ksTest: disjoint samples reject, identical samples do not") {
     import org.apache.spark.sql.functions._
     // A={1,2,3,4}, B={11..14}: D=1; 16^2*1e6 = 2.56e8 > 1844164*8*16
