@@ -87,54 +87,20 @@ object Unigram {
              vocab: Seq[(String, Double)], maxPieceLen: Int = 4,
              maxWordLen: Int = 16, unk: String = "[UNK]"): DataFrame = {
     require(maxPieceLen >= 1 && maxWordLen >= 1, "length caps must be positive")
-    val cmap = typedLit(vocab.toMap)
-    // forward DP: acc(j) = struct(cost, back) for prefix length j
-    def tbl(w: Column): Column = aggregate(
-      sequence(lit(1), length(w)),
-      array().cast("array<struct<cost:double,back:int>>"),
-      (acc, j) => {
-        val cands = (1 to maxPieceLen).map { l =>
-          val piece = w.substr(j - l + 1, lit(l))
-          val prev = when(j === l, lit(0.0))
-            .otherwise(element_at(acc, j - l).getField("cost"))
-          when(j >= l && element_at(cmap, piece).isNotNull,
-            struct((prev + element_at(cmap, piece)).as("cost"),
-              lit(-l).as("negl")))
-        }
-        val best = coalesce(
-          array_min(filter(array(cands: _*), c => c.isNotNull)),
-          struct(lit(1.0e18).as("cost"), lit(-1).as("negl")))
-        concat(acc, array(struct(best.getField("cost").as("cost"),
-          (-best.getField("negl")).as("back"))))
-      })
-    // backtrack: walk j = len..0 through back pointers, emit reversed
-    def toksOf(w: Column, t: Column): Column = {
-      val init = struct(length(w).as("j"),
-        array().cast("array<string>").as("rev"))
-      val walked = aggregate(
-        sequence(lit(1), length(w)),
-        init,
-        (acc, _) => {
-          val j = acc("j")
-          val b = element_at(t, j).getField("back")
-          when(j <= 0, acc).otherwise(struct(
-            (j - b).as("j"),
-            concat(acc("rev"), array(w.substr(j - b + 1, b))).as("rev")))
-        })
-      reverse(walked("rev"))
-    }
-    def perWord(w: Column): Column = {
-      val t = tbl(w)
-      val wordCost = element_at(t, length(w)).getField("cost")
-      when(length(w) > maxWordLen || wordCost >= 1.0e17,
-        struct(array(lit(unk)).as("toks"), lit(0.0).as("cost")))
-        .otherwise(struct(toksOf(w, t).as("toks"), wordCost.as("cost")))
-    }
+    // the Viterbi DP (forward cells + backtrack) is one compiled
+    // kernel per distinct word
+    // ([[graft.plans.TokenizerExpressions.unigram_viterbi]]) — the
+    // fold formulation's exact semantics: struct-min (cost, −l) tie
+    // break to the longest piece via Double.compare, dead cells at
+    // the 1e18 sentinel, the 1e17 [UNK] threshold, IEEE additions in
+    // the identical order; the SQL oracle's independent per-position
+    // CTE replay is unchanged
     val tok = docs.select(col(idCol),
       posexplode(filter(split(col(textCol), " "), w => length(w) > 0)))
       .toDF(idCol, "i", "w")
     val encoded = tok.select("w").distinct()
-      .withColumn("pw", perWord(col("w")))
+      .withColumn("pw", graft.plans.TokenizerExpressions.unigram_viterbi(
+        col("w"), vocab.toMap, maxPieceLen, maxWordLen, unk))
     val perDoc = tok.join(encoded, "w")
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("i"), col("pw")))).as("xs"))

@@ -49,43 +49,18 @@ object WordPiece {
              vocab: Seq[String], maxPieceLen: Int = 4,
              maxWordLen: Int = 16, unk: String = "[UNK]"): DataFrame = {
     require(maxPieceLen >= 1 && maxWordLen >= 1, "length caps must be positive")
-    val vset = typedLit(vocab.map(p => (p, 1)).toMap)
-    def tokensOf(w: Column): Column = {
-      val init = struct(lit(0).as("pos"),
-        array().cast("array<string>").as("toks"), lit(false).as("failed"))
-      val folded = aggregate(
-        sequence(lit(0), length(w) - 1),
-        init,
-        (acc, i) => {
-          val active = !acc("failed") && (i === acc("pos"))
-          def pieceAt(l: Int): Column = concat(
-            when(i > 0, lit("##")).otherwise(lit("")),
-            w.substr(i + 1, lit(l)))
-          val ml = (maxPieceLen to 1 by -1).foldLeft(lit(0)) { (m, l) =>
-            when(m > 0, m).otherwise(
-              when(i + lit(l) <= length(w) &&
-                element_at(vset, pieceAt(l)).isNotNull, lit(l))
-                .otherwise(lit(0)))
-          }
-          val matched = struct(
-            (i + ml).as("pos"),
-            concat(acc("toks"), array(concat(
-              when(i > 0, lit("##")).otherwise(lit("")),
-              w.substr(i + 1, ml)))).as("toks"),
-            lit(false).as("failed"))
-          val dead = struct(length(w).as("pos"), acc("toks").as("toks"),
-            lit(true).as("failed"))
-          when(!active, acc)
-            .otherwise(when(ml === 0, dead).otherwise(matched))
-        })
-      when(length(w) > maxWordLen || folded("failed"), array(lit(unk)))
-        .otherwise(folded("toks"))
-    }
+    // the greedy walk is one compiled kernel per distinct word
+    // ([[graft.plans.TokenizerExpressions.wordpiece_greedy]] — hash
+    // vocab lookups instead of the old interpreted fold probing a
+    // linear-scan map literal; identical longest-match/##/[UNK]
+    // semantics, and the SQL oracle's independent max-match-length
+    // replay is unchanged)
     val tok = docs.select(col(idCol),
       posexplode(filter(split(col(textCol), " "), w => length(w) > 0)))
       .toDF(idCol, "i", "w")
     val encoded = tok.select("w").distinct()
-      .withColumn("toks", tokensOf(col("w")))
+      .withColumn("toks", graft.plans.TokenizerExpressions.wordpiece_greedy(
+        col("w"), vocab.toSet, maxPieceLen, maxWordLen, unk))
     val perDoc = tok.join(encoded, "w")
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("i"), col("toks")))).as("xs"))

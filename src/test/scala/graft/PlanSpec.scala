@@ -345,4 +345,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "cycle budget should plan as TakeOrderedAndProject")
   }
+
+  test("q_winnow_fingerprints: selection is a ZERO-exchange scan kernel") {
+    // the round-12 re-plan: the monotonic-deque expression replaced the
+    // frame-min window + gram equi-join (two shuffles of the ~13M-row
+    // gram table). Growth above zero = the kernel fell out of the plan.
+    val p = plan("q_winnow_fingerprints")
+    assertNoCartesian(p, "q_winnow_fingerprints")
+    assert(exchanges(p) == 0, s"expected a zero-exchange plan:\n$p")
+    assert(p.contains("winnow_fps"), "the native kernel must be in the plan")
+  }
+
+  test("q_cdc_dedup: chunking is map-side; only the chunk-hash agg shuffles") {
+    val p = plan("q_cdc_dedup")
+    assertNoCartesian(p, "q_cdc_dedup")
+    assert(p.contains("cdc_chunks"), "the native kernel must be in the plan")
+    // chunk generation adds nothing: the exchanges are the md5-keyed
+    // aggregate (+ its distinct expand), same as any groupBy report
+    assert(exchanges(p) <= 2, s"expected at most 2 exchanges:\n$p")
+  }
+
+  test("q_edit_distance_join: gram keying is map-side (no ordinal shuffle)") {
+    val p = plan("q_edit_distance_join")
+    assertNoCartesian(p, "q_edit_distance_join")
+    assert(p.contains("positional_qgram_keys"),
+      "the native keying kernel must be in the plan")
+    // the remaining exchanges are the ones the algorithm NEEDS: corpus
+    // df, the rarity-order rollup, the prefix candidate join, and the
+    // two text join-backs — the per-doc ordinal shuffle is gone
+    assert(exchanges(p) <= 9, s"exchange growth:\n$p")
+  }
 }
