@@ -173,19 +173,10 @@ object Bpe {
     * the corpus' information. Same zero-shuffle map-pass shape as
     * [[encode]]. */
   def encodeWords(docs: DataFrame, textCol: String, idCol: String,
-      merges: Seq[(String, String)], vocab: Seq[(String, Long)]): DataFrame = {
-    val vmap = typedLit(vocab.toMap)
-    def wordIds(w: org.apache.spark.sql.Column) = {
-      val sym = merges.foldLeft(trim(regexp_replace(w, "(.)", "$1 "))) {
-        case (c, (pair, merged)) => replace(c, lit(pair), lit(merged))
-      }
-      transform(split(sym, " "), t => element_at(vmap, t))
-    }
+      merges: Seq[(String, String)], vocab: Seq[(String, Long)]): DataFrame =
     docs.select(col(idCol),
-      transform(
-        filter(split(col(textCol), " "), w => length(w) > 0),
-        wordIds(_)).as("bpe_word_ids"))
-  }
+      graft.plans.TokenizerExpressions
+        .bpe_word_ids(col(textCol), merges, vocab).as("bpe_word_ids"))
 
   /** Inverse of [[encodeWords]]: token ids → token strings (reverse
     * vocab map literal), concatenated per word, words joined by one
@@ -202,27 +193,20 @@ object Bpe {
   /** Re-tokenize to the actual BPE token ID SEQUENCE per doc — the
     * dataloader-facing sibling of [[applyMerges]]: per-word symbol
     * split, merges applied in training order, each resulting symbol
-    * looked up in the vocab map. The map is a LITERAL in the plan
-    * (bounded vocab, same as the merge literals), so the whole encode
-    * is a zero-shuffle codegen'd map pass. Empty words (doubled-
-    * separator split artifacts) are dropped identically on both
-    * engines; a symbol missing from the vocab surfaces as a NULL id —
-    * loud, never silently skipped. */
+    * looked up in the vocab. One compiled kernel per document
+    * ([[graft.plans.TokenizerExpressions.bpe_ids]] — hash vocab
+    * probes and java String.replace with the identical left-to-right
+    * non-overlapping semantics as the Spark `replace` chain the SQL
+    * oracles replay), still a zero-shuffle map pass. Empty words
+    * (doubled-separator split artifacts) are dropped identically on
+    * both engines; a symbol missing from the vocab surfaces as a
+    * NULL id — loud, never silently skipped. */
   def encode(docs: DataFrame, textCol: String, idCol: String,
-      merges: Seq[(String, String)], vocab: Seq[(String, Long)]): DataFrame = {
-    val vmap = typedLit(vocab.toMap)
-    def wordIds(w: org.apache.spark.sql.Column) = {
-      val sym = merges.foldLeft(trim(regexp_replace(w, "(.)", "$1 "))) {
-        case (c, (pair, merged)) => replace(c, lit(pair), lit(merged))
-      }
-      transform(split(sym, " "), t => element_at(vmap, t))
-    }
+      merges: Seq[(String, String)], vocab: Seq[(String, Long)]): DataFrame =
     docs.select(col(idCol),
-      flatten(transform(
-        filter(split(col(textCol), " "), w => length(w) > 0),
-        wordIds(_))).as("bpe_ids"))
+      graft.plans.TokenizerExpressions
+        .bpe_ids(col(textCol), merges, vocab).as("bpe_ids"))
       .withColumn("n_bpe", size(col("bpe_ids")).cast("long"))
-  }
 
   /** [[encode]] with GPT-2-style BYTE FALLBACK: a symbol absent from
     * the vocab encodes as its UTF-8 bytes, one id per byte, in the

@@ -206,4 +206,136 @@ object TokenizerExpressions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       UnigramViterbi(org.apache.spark.sql.graftbridge.ColumnBridge.expression(w),
         costs, maxPieceLen, maxWordLen, unk))
+
+  /** One word through the BPE apply chain: codepoints joined by single
+    * spaces, then each learned merge as a literal LEFT-TO-RIGHT
+    * NON-OVERLAPPING string replace in training order —
+    * java.lang.String.replace, the exact semantics of Spark's
+    * `replace` that the fold formulation used and the SQL oracles
+    * replay (including the known string-level quirk that a pair can
+    * match across a symbol boundary when a symbol ENDS with the
+    * pair's left half — faithful, because the oracle has it too). */
+  private def bpeWordIds(word: String,
+                         merges: Array[(String, String)],
+                         vocab: java.util.HashMap[String, java.lang.Long])
+      : Array[Any] = {
+    val sb = new java.lang.StringBuilder(word.length * 2)
+    var si = 0
+    while (si < word.length) {
+      val cp = word.codePointAt(si)
+      if (sb.length > 0) sb.append(' ')
+      sb.appendCodePoint(cp)
+      si += Character.charCount(cp)
+    }
+    var sym = sb.toString
+    var m = 0
+    while (m < merges.length) {
+      sym = sym.replace(merges(m)._1, merges(m)._2)
+      m += 1
+    }
+    val toks = sym.split(" ", -1)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = vocab.get(toks(i)) // null id for OOV — loud, as before
+      i += 1
+    }
+    out
+  }
+
+  /** Flat BPE id stream for a whole document (the [[bpeWordIds]] word
+    * routine over the single-space word split, flattened). */
+  def bpeIds(v: UTF8String, merges: Array[(String, String)],
+             vocab: java.util.HashMap[String, java.lang.Long]): ArrayData = {
+    val words = v.toString.split(" ", -1)
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) {
+        val ids = bpeWordIds(words(i), merges, vocab)
+        var j = 0
+        while (j < ids.length) { out.add(ids(j)); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Word-structured BPE ids: one inner array per word. */
+  def bpeWordIdsDoc(v: UTF8String, merges: Array[(String, String)],
+                    vocab: java.util.HashMap[String, java.lang.Long])
+      : ArrayData = {
+    val words = v.toString.split(" ", -1)
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty)
+        out.add(new GenericArrayData(bpeWordIds(words(i), merges, vocab)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  abstract class BpeEncodeBase extends UnaryExpression {
+    def merges: Seq[(String, String)]
+    def vocab: Seq[(String, Long)]
+    @transient protected lazy val mergeArr: Array[(String, String)] =
+      merges.toArray
+    @transient protected lazy val vmap = {
+      val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+      vocab.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+      m
+    }
+  }
+
+  case class BpeIds(child: Expression, merges: Seq[(String, String)],
+                    vocab: Seq[(String, Long)]) extends BpeEncodeBase {
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "bpe_ids"
+
+    override protected def nullSafeEval(v: Any): Any =
+      bpeIds(v.asInstanceOf[UTF8String], mergeArr, vmap)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mRef = ctx.addReferenceObj("bpeMerges", mergeArr, "scala.Tuple2[]")
+      val vRef = ctx.addReferenceObj("bpeVocab", vmap, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.plans.TokenizerExpressions$$.MODULE$$" +
+          s".bpeIds($input, $mRef, $vRef);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  case class BpeWordIds(child: Expression, merges: Seq[(String, String)],
+                        vocab: Seq[(String, Long)]) extends BpeEncodeBase {
+    override def dataType: DataType =
+      ArrayType(ArrayType(LongType, containsNull = true), containsNull = false)
+    override def prettyName: String = "bpe_word_ids"
+
+    override protected def nullSafeEval(v: Any): Any =
+      bpeWordIdsDoc(v.asInstanceOf[UTF8String], mergeArr, vmap)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mRef = ctx.addReferenceObj("bpeMerges", mergeArr, "scala.Tuple2[]")
+      val vRef = ctx.addReferenceObj("bpeVocab", vmap, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = graft.plans.TokenizerExpressions$$.MODULE$$" +
+          s".bpeWordIdsDoc($input, $mRef, $vRef);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def bpe_ids(text: Column, merges: Seq[(String, String)],
+              vocab: Seq[(String, Long)]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      BpeIds(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        merges, vocab))
+
+  def bpe_word_ids(text: Column, merges: Seq[(String, String)],
+                   vocab: Seq[(String, Long)]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      BpeWordIds(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        merges, vocab))
 }
