@@ -8384,6 +8384,71 @@ object Queries {
               |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
     )),
 
+    // G.711 A-law fingerprints — µ-law's European twin (fmt tag 6,
+    // even-bit-inverted segment/mantissa coding), decoded by the
+    // closed-form expand. Constants hand-derived from the segment
+    // closed form (levels 104/1008/2016; doubling ramp 40..8448
+    // strictly increasing — a linear ramp dies in the 16-wide seg-0
+    // steps), so the louder-than-previous bits survive the codec by
+    // envelope margin.
+    "q_multimodal_alawfp" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val mediaDir = graft.sources.MediaFixture.ensureAlawFp()
+        s.read.format("binaryFile").load(mediaDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (name, content) =>
+            (name, operators.Multimodal.audioFingerprint64(content).get)
+          }
+          .toDF("name", "afp")
+      },
+      Some(s"""SELECT name, afp
+              |FROM read_csv('${graft.sources.MediaFixture.expectedAlawFpCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','afp':'BIGINT'})""".stripMargin)
+    )),
+
+    // CROSS-FORMAT G.711 near-dup: the SAME recordings through BOTH
+    // telephony codings (µ-law's complemented bias form, A-law's
+    // even-bit-inverted segment form) pair in one banded join — the
+    // classic transcoded-call dedup that byte comparison can never do.
+    "q_g711_crossformat_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d1 = graft.sources.MediaFixture.ensureMulawFp()
+        val d2 = graft.sources.MediaFixture.ensureAlawFp()
+        val files = s.read.format("binaryFile").load(d1, d2)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+            col("content"))
+        val names = files.select("name").collect().map(_.getString(0)).sorted
+        val idx = names.zipWithIndex.toMap
+        val nameDf = names.zipWithIndex
+          .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("mid", "name")
+        val blobs = files.as[(String, Array[Byte])]
+          .map { case (n, c) => operators.Multimodal.MediaBlob(idx(n).toLong,
+            "wav", c) }
+        operators.Multimodal.audioNearDupPairs(blobs, maxHamming = 3)
+          .join(broadcast(nameDf.toDF("id_a", "name_a")), "id_a")
+          .join(broadcast(nameDf.toDF("id_b", "name_b")), "id_b")
+          .select("name_a", "name_b", "hamming")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedMulawFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})
+              |  UNION ALL
+              |  SELECT name, afp
+              |  FROM read_csv('${graft.sources.MediaFixture.expectedAlawFpCsvPath}',
+              |    header=true, columns={'name':'VARCHAR','afp':'BIGINT'})),
+              |h AS (SELECT name, afp,
+              |    row_number() OVER (ORDER BY name) - 1 AS mid FROM u)
+              |SELECT a.name AS name_a, b.name AS name_b,
+              |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+              |FROM h a JOIN h b ON a.mid < b.mid
+              |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin)
+    )),
+
     // MPEG-1 Layer I fingerprints — the first TRANSFORM-coded lossy
     // audio family on the real side: frame walk, uniform allocation,
     // closed-form Table B.1 scalefactors and the (2^nb−1)-level

@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions._
   * inter-frame prediction machine rather than derivable structure.
   * REAL sample/pixel decode: PNG, GIF (LZW), raw-DIB AVI, MJPEG
   * (ITU-T T.81 DC) in AVI/MP4/MKV, PCM WAV/AIFF/AU, FLAC (RFC 9639),
-  * Ogg-FLAC (RFC 3533 page walk), G.711 µ-law, IMA ADPCM, DTMF
-  * (Goertzel), and MPEG-1 Layer I to subband domain ([[Mpeg]]).
+  * Ogg-FLAC (RFC 3533 page walk), G.711 µ-law AND A-law, IMA ADPCM,
+  * DTMF (Goertzel), and MPEG-1 Layer I to subband domain ([[Mpeg]]).
   * PERMANENTLY header-only, each with its blocking reason:
   *  - H.264/HEVC, VP8/VP9, AV1 (in MP4/MKV/WebM): motion-compensated
   *    inter-frame prediction + arithmetic entropy coding (CABAC /
@@ -775,13 +775,29 @@ object Multimodal {
       // and the first LOSSY one; the fixture's envelopes are built so
       // the louder-than-previous bits survive quantization by a full
       // segment of margin (derivation at MediaFixture.mulawFpEntries)
-      wavMulawData(content) match {
+      wavG711Data(content, 7) match {
         case Some((ch, data)) =>
           val n = data.length / ch
           if (n < 65) return None
           return energyDeltaBits(n, i => {
             var s = 0L; var c = 0
             while (c < ch) { s += mulawExpand(data(i * ch + c) & 0xFF); c += 1 }
+            s / ch
+          })
+        case None => ()
+      }
+      // G.711 A-law WAV (fmt tag 6): µ-law's even-bits-inverted
+      // European twin, decoded by the same closed-form segment/mantissa
+      // expand — the derivation constants live at
+      // MediaFixture.alawFpEntries (100→104, 1000→1008, 2000→2016,
+      // 32·2^k strictly increasing)
+      wavG711Data(content, 6) match {
+        case Some((ch, data)) =>
+          val n = data.length / ch
+          if (n < 65) return None
+          return energyDeltaBits(n, i => {
+            var s = 0L; var c = 0
+            while (c < ch) { s += alawExpand(data(i * ch + c) & 0xFF); c += 1 }
             s / ch
           })
         case None => ()
@@ -824,12 +840,14 @@ object Multimodal {
   }
 
   /** RIFF/WAVE walk returning (channels, data bytes) iff the fmt
-    * chunk declares G.711 µ-law (tag 7, 8 bits/sample); None for any
-    * other WAV or non-WAV bytes (those stay on the javax.sound path).
+    * chunk declares the requested G.711 format tag (7 = µ-law,
+    * 6 = A-law; both 8 bits/sample); None for any other WAV or
+    * non-WAV bytes (those stay on the javax.sound path).
     * Every chunk size is an UNTRUSTED u32: the step is computed in
     * Long and must strictly advance (the AVI-walk guard), so corrupt
     * sizes bail instead of hanging or indexing negatively. */
-  private def wavMulawData(b: Array[Byte]): Option[(Int, Array[Byte])] = {
+  private def wavG711Data(b: Array[Byte],
+                          wantTag: Int): Option[(Int, Array[Byte])] = {
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
         b(11) != 'E') return None
@@ -854,14 +872,14 @@ object Multimodal {
       if (next <= o) return None
       o = next
     }
-    if (tag == 7 && ch >= 1 && data != null && data.nonEmpty)
+    if (tag == wantTag && ch >= 1 && data != null && data.nonEmpty)
       Some((ch, data))
     else None
   }
 
   /** RIFF/WAVE walk returning (channels, blockAlign, data bytes) iff
     * the fmt chunk declares IMA/DVI ADPCM (tag 0x11, 4 bits/sample);
-    * None otherwise. Same untrusted-u32 guards as [[wavMulawData]]. */
+    * None otherwise. Same untrusted-u32 guards as [[wavG711Data]]. */
   private def wavAdpcmData(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
@@ -957,6 +975,22 @@ object Multimodal {
     val u = (~code) & 0xFF
     val mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x7)) - 0x84
     if ((u & 0x80) != 0) -mag.toLong else mag.toLong
+  }
+
+  /** ITU-T G.711 A-law expand to 16-bit-class linear: XOR the
+    * even-bit mask 0x55, then segment 0 decodes to (mantissa·16 + 8)
+    * and segment s ≥ 1 to ((mantissa·16 + 0x108) << (s−1)) — exact
+    * integer midpoint reconstruction, monotone in the encoded
+    * magnitude; sign bit SET means positive (the A-law convention,
+    * opposite of µ-law's complemented coding). */
+  private[graft] def alawExpand(code: Int): Long = {
+    val a = code ^ 0x55
+    val seg = (a >> 4) & 0x7
+    val mant = a & 0x0F
+    val mag =
+      if (seg == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) mag.toLong else -mag.toLong
   }
 
   /** The 65-window energy envelope → 64 louder-than-previous bits,

@@ -768,6 +768,75 @@ object MediaFixture {
     audioAdpcmDir
   }
 
+  // ---- G.711 A-law fingerprint fixture (the European twin) ----
+
+  val audioAlawDir: String = s"${FixtureDirs.base}/media_alawfp"
+  val expectedAlawFpCsvPath: String =
+    s"${FixtureDirs.base}/media_alawfp_expected.csv"
+
+  /** ITU-T G.711 A-law compress of a 16-bit linear sample (segment/
+    * mantissa coding, even bits inverted by XOR 0x55, sign bit SET for
+    * positive) — fixture-only encoder; the decoder under test is the
+    * expand in [[graft.operators.Multimodal.audioFingerprint64]]. */
+  private[graft] def alawCompress(s16: Int): Byte = {
+    var x = s16
+    val sign = if (x >= 0) 0x80 else { x = -x; 0 }
+    if (x > 32767) x = 32767
+    val (seg, mant) =
+      if (x < 256) (0, x >> 4)
+      else {
+        var s = 1
+        while (s < 7 && x >= (256 << s)) s += 1
+        (s, (x >> (s + 3)) & 0xF)
+      }
+    ((sign | (seg << 4) | mant) ^ 0x55).toByte
+  }
+
+  /** Canonical mono 8 kHz A-law WAV (fmt tag 6, 8 bits/sample). */
+  private[graft] def alawWav(samples: Array[Short]): Array[Byte] = {
+    val data = samples.map(s => alawCompress(s.toInt))
+    val fmt = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(6).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8).array()
+    riffChunk("RIFF",
+      "WAVE".getBytes("ISO-8859-1") ++
+        riffChunk("fmt ", fmt) ++ riffChunk("data", data))
+  }
+
+  /** (filename, bytes, HAND-DERIVED fingerprint). Same posture as
+    * [[mulawFpEntries]]: A-law's expand∘compress is MONOTONE and the
+    * envelope levels quantize to DISTINCT values, derived by hand from
+    * the segment closed form (seg 0: (x & ~0xF) + 8; seg s ≥ 1:
+    * midpoint of the 2^(s+3)-wide step): 100→104, 1000→1008,
+    * 2000→2016, 2200→2240; the doubling ramp 32·2^(w/8) → 40, 72,
+    * 136, 264, 528, 1056, 2112, 4224, 8448 — strictly increasing
+    * (a (w+1)·10 linear ramp would NOT survive: seg-0 steps are 16
+    * wide, collapsing 20 and 30 both to 24). Shared envelopes pin the
+    * SAME constants as the PCM WAV fixture. */
+  private def alawFpEntries: Seq[(String, Array[Byte], Long)] = Seq(
+    ("flat_tone_alaw.wav", alawWav(envSamples(_ => 1000)), 0L),
+    ("step_alaw.wav", alawWav(envSamples(w => if (w < 32) 100 else 2000)),
+      1L << 31),
+    ("two_step_alaw.wav", alawWav(envSamples(w =>
+      if (w < 21) 100 else if (w < 43) 1000 else 2000)),
+      (1L << 20) | (1L << 42)),
+    ("ramp8_alaw.wav", alawWav(envSamples(w => 32 << (w / 8))),
+      0x8080808080808080L))
+
+  /** Write the A-law WAVs + the pinned CSV; returns `audioAlawDir`. */
+  def ensureAlawFp(): String = {
+    Files.createDirectories(Paths.get(audioAlawDir))
+    val rows = alawFpEntries.map { case (name, bytes, hash) =>
+      Files.write(Paths.get(audioAlawDir, name), bytes)
+      s"$name,$hash"
+    }
+    Files.write(Paths.get(expectedAlawFpCsvPath),
+      ("name,afp\n" + rows.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    audioAlawDir
+  }
+
   /** Write the µ-law WAVs + the pinned CSV; returns `audioMulawDir`. */
   def ensureMulawFp(): String = {
     Files.createDirectories(Paths.get(audioMulawDir))

@@ -573,6 +573,37 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.oggPackets(muxed).isEmpty)
   }
 
+  test("A-law: hand-derived quantized levels; fingerprint matches the WAV constant") {
+    import graft.sources.MediaFixture
+    // the scaladoc's derivation table, verified against the fixture
+    // encoder + the decoder under test via a 1-sample roundtrip each:
+    // seg 0 midpoint (x & ~0xF) + 8; seg s >= 1 midpoint of the
+    // 2^(s+3)-wide step
+    val expect = Seq(100 -> 104L, 1000 -> 1008L, 2000 -> 2016L,
+      2200 -> 2240L, 32 -> 40L, 256 -> 264L, 8192 -> 8448L)
+    expect.foreach { case (x, want) =>
+      assert(Multimodal.alawExpand(MediaFixture.alawCompress(x) & 0xFF) == want,
+        s"level $x")
+      assert(Multimodal.alawExpand(MediaFixture.alawCompress(-x) & 0xFF) == -want,
+        s"level -$x")
+    }
+    // step envelope through the REAL decode path: same constant as WAV
+    val step = MediaFixture.alawWav(
+      Array.tabulate[Short](6500)(i => (if (i / 100 < 32) 100 else 2000).toShort))
+    assert(Multimodal.audioFingerprint64(step).contains(1L << 31))
+    // doubling ramp: all 8 rises land on bits 7,15,...,63
+    val ramp = MediaFixture.alawWav(
+      Array.tabulate[Short](6500)(i => (32 << (i / 100 / 8)).toShort))
+    assert(Multimodal.audioFingerprint64(ramp)
+      .contains(0x8080808080808080L))
+    // an A-law file must NOT decode through the mulaw branch (tag gate):
+    // flipping the fmt tag to 9 routes to javax.sound, which fails -> None
+    val bad = step.clone()
+    // fmt tag lives at RIFF(12) + 'fmt '(4) + size(4) = byte 20
+    bad(20) = 9
+    assert(Multimodal.audioFingerprint64(bad).isEmpty)
+  }
+
   test("Mpeg.layer1SubbandPcm: exact subband decode; malformed streams are loud") {
     import graft.operators.Mpeg
     import graft.sources.MediaFixture
