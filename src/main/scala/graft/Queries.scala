@@ -6866,6 +6866,71 @@ object Queries {
              |FROM s CROSS JOIN t""".stripMargin)
     )),
 
+    // Benford's-law first-digit test on document lengths — the
+    // fabricated-data smell test as a profiling operator: exact
+    // integer->string first digits, the nine pinned 12-decimal Benford
+    // masses, chi-square folded in digit order, rejected against the
+    // pinned df=8 critical value 15.50731 (synthetic lengths are NOT
+    // Benford, so the row pins reject=true — a deterministic outcome
+    // either way, which is all the gate needs).
+    "q_benford" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.benfordTest(Tables.documents(s, dir), "n_chars"),
+      Some("""WITH digits(d, p) AS (VALUES
+             |  (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608),
+             |  (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631),
+             |  (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561)),
+             |v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+             |  WHERE n_chars >= 1),
+             |c AS (SELECT CAST(CAST(v AS VARCHAR)[1:1] AS INTEGER) AS d,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM v GROUP BY 1),
+             |f AS (SELECT digits.d, digits.p, COALESCE(c.c, 0) AS c
+             |  FROM digits LEFT JOIN c ON c.d = digits.d),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM f),
+             |s AS (SELECT n, list_sum(list(
+             |    (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) * p)
+             |      * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) * p)
+             |      / (CAST(n AS DOUBLE) * p) ORDER BY d)) AS chi2raw
+             |  FROM f CROSS JOIN t GROUP BY 1)
+             |SELECT n,
+             |  CASE WHEN n > 0 THEN round(chi2raw, 6) END AS chi2,
+             |  CASE WHEN n > 0 THEN chi2raw > 15.50731 END AS reject_05
+             |FROM s""".stripMargin)
+    )),
+
+    // Exact MAD robust outliers on document lengths: rank-selected
+    // lower medians (value + |x - med|), the 3*1.4826 cut compared as
+    // |x - med|*10000 > 44478*MAD — integer arithmetic end to end, no
+    // quantile interpolation, no float boundary anywhere.
+    "q_mad_outliers" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.madOutliers(Tables.documents(s, dir), "n_chars"),
+      Some("""WITH b AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+             |cv AS (SELECT v, count(*) AS c FROM b GROUP BY 1),
+             |cum AS (SELECT v,
+             |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM cv),
+             |t AS (SELECT max(cum) AS nn FROM cum),
+             |m1 AS (SELECT min(v) AS m FROM cum CROSS JOIN t
+             |  WHERE cum >= (nn + 1) // 2),
+             |d AS (SELECT b.v, m1.m, abs(b.v - m1.m) AS dd
+             |  FROM b CROSS JOIN m1),
+             |dc AS (SELECT dd, count(*) AS c FROM d GROUP BY 1),
+             |dcum AS (SELECT dd,
+             |    CAST(sum(c) OVER (ORDER BY dd ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM dc),
+             |t2 AS (SELECT max(cum) AS nn FROM dcum),
+             |m2 AS (SELECT min(dd) AS mad FROM dcum CROSS JOIN t2
+             |  WHERE cum >= (nn + 1) // 2)
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(max(m) AS BIGINT) AS median,
+             |  CAST(max(mad) AS BIGINT) AS mad,
+             |  CAST(sum(CASE WHEN dd * 10000 > 44478 * mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM d CROSS JOIN m2""".stripMargin)
+    )),
+
     // Gini concentration of document lengths — the corpus-inequality
     // number beside the Zipf slope and Heaps curve: ranks from the
     // range-sliced machinery (never a global-sort window), every sum

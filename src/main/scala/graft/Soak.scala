@@ -979,6 +979,14 @@ object Soak {
         Profile.kruskalWallis(docs10.select(length(col("text")).as("v"),
           col("source")), "v", "source")
       },
+      run("benford") {
+        // first-digit profile at 10x: nine counts + a digit-ordered fold
+        Profile.benfordTest(docs10.select(length(col("text")).as("v")), "v")
+      },
+      run("mad_outliers") {
+        // two ranked median selections + one map-side integer cut
+        Profile.madOutliers(docs10.select(length(col("text")).as("v")), "v")
+      },
       run("conformal_interval") {
         // Mondrian split conformal at 10x: two groupedPositions range
         // exchanges + broadcast per-group (med, qhat)

@@ -616,6 +616,95 @@ object Profile {
         .otherwise(lit(null).cast("double")).as("h"))
   }
 
+  /** Benford's-law first-digit test over a positive int64 measure —
+    * the classic fabricated-/truncated-data smell test for warehouse
+    * profiling: observed first-significant-digit counts vs the Benford
+    * masses p_d = log10(1 + 1/d), χ² = Σ (c_d − N·p_d)²/(N·p_d),
+    * rejected at α = 0.05 against the df = 8 critical value. ONE row
+    * out: (n, chi2, reject_05). Values < 1 (zero/negative have no
+    * first significant digit) are dropped — documented, not silent.
+    *
+    * Determinism: the first digit comes from the exact integer→string
+    * cast (identical in both engines — no float formatting anywhere);
+    * the nine Benford masses are PINNED 12-decimal literals (the
+    * 1.959964 convention — mathematical constants, not computed
+    * transcendentals), as is the χ²(8) critical value 15.50731; the
+    * nine χ² terms fold in digit order (the bounded-fold discipline)
+    * and the flag compares the UNROUNDED statistic. */
+  def benfordTest(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probs = Seq(
+      1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+      4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+      7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+    val digits = probs.toDF("d", "p")
+    val counts = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v") >= 1L)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+    val full = broadcast(digits).join(counts, Seq("d"), "left")
+      .select(col("d"), col("p"), coalesce(col("c"), lit(0L)).as("c"))
+    val tot = full.agg(sum(col("c")).as("n"))
+    val cD = col("c").cast("double")
+    val nD = col("n").cast("double")
+    // n = 0 guard INSIDE the term: the empty-input row still carries
+    // nine (d, c=0) rows, and an unguarded 0/0 is a checked-arithmetic
+    // error under ANSI rather than the NULL the output contract wants
+    val term = when(col("n") > 0,
+      ((cD - nD * col("p")) * (cD - nD * col("p"))) / (nD * col("p")))
+      .otherwise(lit(0.0))
+    full.crossJoin(broadcast(tot))
+      .select(struct(col("d"), term.as("term")).as("s"), col("n"))
+      .groupBy("n")
+      .agg(sort_array(collect_list(col("s"))).as("terms"))
+      .select(col("n"),
+        expr("aggregate(terms, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)")
+          .as("chi2raw"))
+      .select(col("n"),
+        when(col("n") > 0, round(col("chi2raw"), 6))
+          .otherwise(lit(null).cast("double")).as("chi2"),
+        when(col("n") > 0, col("chi2raw") > 15.50731)
+          .otherwise(lit(null).cast("boolean")).as("reject_05"))
+  }
+
+  /** Exact robust-outlier summary over an int64 measure: LOWER median
+    * by rank selection, MAD = lower median of |x − med|, outliers at
+    * the 3σ-equivalent cut |x − med| > 3·1.4826·MAD — compared in
+    * EXACT integer form (|x − med|·10000 > 44478·MAD), so the whole
+    * operator is integer arithmetic end to end: no quantile
+    * interpolation, no float threshold, engine-exact by construction.
+    * ONE row out: (n, median, mad, n_outliers).
+    *
+    * Scale shape: two value-keyed count aggregates each riding ONE
+    * [[Sampling.rankedPrefixSums]] pass (median, then MAD), the
+    * selected medians broadcast back as 1-row joins; the outlier count
+    * is a map-side sum. MAD = 0 (over half the values identical)
+    * flags every x ≠ med — the honest degenerate case, named here. */
+  def madOutliers(df: DataFrame, valueCol: String): DataFrame = {
+    val base = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    def lowerMedian(d: DataFrame, cName: String, out: String): DataFrame = {
+      val cv = d.groupBy(cName).agg(count(lit(1)).as("cnt"))
+      val cum = Sampling.rankedPrefixSums(cv, Seq(col(cName)), col("cnt"),
+        "__r", "cum")
+      val tot = cum.agg(max(col("cum")).as("nn"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("cum") >= expr("(nn + 1) div 2"))
+        .agg(min(col(cName)).as(out))
+    }
+    val m1 = lowerMedian(base, "v", "m")
+    val dev = base.crossJoin(broadcast(m1))
+      .select(col("v"), col("m"), abs(col("v") - col("m")).as("dd"))
+    val m2 = lowerMedian(dev.select(col("dd")), "dd", "mad")
+    dev.crossJoin(broadcast(m2))
+      .agg(count(lit(1)).as("n"),
+        max(col("m")).as("median"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dd") * 10000L > lit(44478L) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic over an int64 measure
     * (the distribution-shift test beside [[distributionDrift]]'s PSI:
     * PSI needs bins, KS is bin-free): D = max_v |F_a(v) − F_b(v)|,

@@ -288,6 +288,46 @@ class ProfileSpec extends SparkSpec {
     assert(b.getDouble(2) == 0.0 && !b.getBoolean(3))
   }
 
+  test("benfordTest: hand-computed chi2; a perfect-ish Benford sample passes, " +
+      "a uniform one rejects") {
+    // all-ones sample: c_1 = 90, others 0; chi2 = Σ (c−N·p)²/(N·p)
+    // with N = 90 — dominated by the d=1 term (90 − 27.09)²/27.09
+    val ones = (1L to 90L).map(_ => Tuple1(10L)).toDF("v")
+    val r1 = operators.Profile.benfordTest(ones, "v").collect().head
+    assert(r1.getLong(0) == 90 && r1.getBoolean(2), s"all-ones: $r1")
+    // a sample laid out AT the Benford masses (counts 301, 176, 125,
+    // 97, 79, 67, 58, 51, 46 of 1000) sits near chi2 ~ 0: accept
+    val benfordish = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+      .zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(Tuple1((i + 1) * 100L))
+      }.toDF("v")
+    val r2 = operators.Profile.benfordTest(benfordish, "v").collect().head
+    assert(r2.getLong(0) == 1000 && !r2.getBoolean(2), s"benford-ish: $r2")
+    assert(r2.getDouble(1) < 1.0, s"chi2 should be tiny: ${r2.getDouble(1)}")
+    // values < 1 are dropped, empty input reports NULLs not NaN
+    val none = Seq(Tuple1(0L), Tuple1(-5L)).toDF("v")
+    val r3 = operators.Profile.benfordTest(none, "v").collect().head
+    assert(r3.getLong(0) == 0 && r3.isNullAt(1) && r3.isNullAt(2))
+  }
+
+  test("madOutliers: hand-computed medians; exact integer cut; MAD=0 degenerate") {
+    // {1,2,3,4,100}: lower median 3, |x-3| = {2,1,0,1,97}, MAD = 1;
+    // cut: dd*10000 > 44478 -> only 97 (and 2*10000=20000 < 44478)
+    val a = Seq(1L, 2L, 3L, 4L, 100L).map(Tuple1(_)).toDF("v")
+    val r = operators.Profile.madOutliers(a, "v").collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 3 && r.getLong(2) == 1 &&
+      r.getLong(3) == 1, s"got $r")
+    // even n uses the LOWER median: {1,2,3,4} -> med 2, devs {1,0,1,2},
+    // MAD = lower median of {0,1,1,2} = 1; no dev exceeds 4.4478
+    val b = Seq(1L, 2L, 3L, 4L).map(Tuple1(_)).toDF("v")
+    val rb = operators.Profile.madOutliers(b, "v").collect().head
+    assert(rb.getLong(1) == 2 && rb.getLong(2) == 1 && rb.getLong(3) == 0)
+    // MAD = 0 (majority identical): every x != med flags — named case
+    val c = Seq(5L, 5L, 5L, 9L).map(Tuple1(_)).toDF("v")
+    val rc = operators.Profile.madOutliers(c, "v").collect().head
+    assert(rc.getLong(2) == 0 && rc.getLong(3) == 1)
+  }
+
   test("assertPackBound: forged overflow raises loudly, below-bound and " +
       "empty inputs pass through") {
     import org.apache.spark.sql.functions._
