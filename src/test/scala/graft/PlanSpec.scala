@@ -346,6 +346,20 @@ class PlanSpec extends SparkSpec {
       "cycle budget should plan as TakeOrderedAndProject")
   }
 
+  test("stats family: no unpartitioned windows, bounded exchanges, 1-row " +
+      "broadcasts only") {
+    // mad_outliers runs the ranked median machinery TWICE (value, then
+    // |x − med|), hence its higher bound
+    for ((q, bound) <- Seq("q_kruskal_wallis" -> 8, "q_benford" -> 8,
+        "q_mad_outliers" -> 10, "q_mann_whitney" -> 8, "q_ks_lengths" -> 8)) {
+      val p = plan(q)
+      assertNoCartesian(p, q)
+      assert(!p.contains("WindowExec"), // rankedPrefixSums, never a
+        s"$q plans a window — the rank machinery broke:\n$p") // global sort window
+      assert(exchanges(p) <= bound, s"$q exchange growth:\n$p")
+    }
+  }
+
   test("q_winnow_fingerprints: selection is a ZERO-exchange scan kernel") {
     // the round-12 re-plan: the monotonic-deque expression replaced the
     // frame-min window + gram equi-join (two shuffles of the ~13M-row
