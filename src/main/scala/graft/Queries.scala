@@ -2719,6 +2719,75 @@ object Queries {
              |FROM c, t""".stripMargin)
     )),
 
+    // UniMax per-language budget allocation (Chung et al. 2023): token
+    // budget 8/5 of the corpus, epoch cap 2 — the lang skew (en ~41%
+    // of tokens) lands the waterfill mid-split at EVERY scale: the
+    // four small languages take their full 2-epoch capacity, en is
+    // truncated to the equal-share remainder (~1.03 epochs). Exact
+    // int64 waterfill; the engine folds it inside one k-row struct
+    // array (bounded-fold discipline), the oracle replays it with
+    // window prefix sums — same absorbing capped-iff condition.
+    "q_unimax_budget" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Sampling.unimaxBudget(Tables.documents(s, dir), "lang",
+          TextAnalysis.tokenCount(col("text")),
+          budgetNum = 8L, budgetDen = 5L, maxEpochs = 2L),
+      Some("""WITH c AS (SELECT lang AS g,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_units
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_units) AS BIGINT) * 8 // 5 AS budget,
+             |    CAST(count(*) AS BIGINT) AS k FROM c),
+             |r AS (SELECT g, n_units, n_units * 2 AS cap,
+             |    CAST(row_number() OVER (ORDER BY n_units * 2, g) AS BIGINT) AS i,
+             |    CAST(COALESCE(sum(n_units * 2) OVER (ORDER BY n_units * 2, g
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS cprev
+             |  FROM c),
+             |f AS (SELECT r.*, t.budget, t.k,
+             |    cap * (k - i + 1) < budget - cprev AS capped
+             |  FROM r CROSS JOIN t),
+             |s AS (SELECT CAST(count(*) FILTER (capped) AS BIGINT) AS m,
+             |    CAST(COALESCE(sum(cap) FILTER (capped), 0) AS BIGINT) AS csum
+             |  FROM f)
+             |SELECT g AS lang, n_units, cap AS capacity, capped,
+             |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+             |    ELSE CAST(budget - csum AS DOUBLE) / CAST(k - m AS DOUBLE)
+             |    END, 6) AS alloc,
+             |  round(CASE WHEN n_units > 0 THEN
+             |    (CASE WHEN capped THEN CAST(cap AS DOUBLE)
+             |      ELSE CAST(budget - csum AS DOUBLE) / CAST(k - m AS DOUBLE) END)
+             |    / CAST(n_units AS DOUBLE) END, 6) AS epochs
+             |FROM f CROSS JOIN s""".stripMargin)
+    )),
+
+    // Neyman optimal allocation of a 1000-row annotation sample across
+    // source strata on n_chars — the variance-minimizing design beside
+    // q_unimax_budget's fairness one: strata get sample proportional
+    // to N_h * sigma_h, so a noisy stratum earns more labels than an
+    // equally-sized uniform one. Exact decimal sums -> one fixed IEEE
+    // sigma, weights rounded 9 at birth, stratum-ordered fold.
+    "q_neyman_allocation" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Sampling.neymanAllocation(Tables.documents(s, dir),
+          "source", "n_chars", sampleSize = 1000L),
+      Some("""WITH per AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS nh,
+             |    sum(CAST(n_chars AS HUGEINT)) AS s,
+             |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+             |  FROM documents GROUP BY 1),
+             |w0 AS (SELECT g, nh,
+             |    sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |        / CAST(nh AS DOUBLE)) / CAST(nh AS DOUBLE)) AS sigma
+             |  FROM per),
+             |w1 AS (SELECT g, nh, sigma,
+             |    round(CAST(nh AS DOUBLE) * sigma, 9) AS w FROM w0),
+             |t AS (SELECT list_sum([x.w FOR x IN
+             |    list({'g': g, 'w': w} ORDER BY g)]) AS wsum FROM w1)
+             |SELECT g AS source, nh AS n_rows, round(sigma, 6) AS sigma,
+             |  round(w, 6) AS weight,
+             |  CASE WHEN wsum > 0.0 THEN round(1000.0 * w / wsum, 6) END AS alloc
+             |FROM w1 CROSS JOIN t""".stripMargin)
+    )),
+
     // Out-of-vocabulary profiling: docs with doc_id % 7 == 0 get a
     // doc-unique planted token (df = 1, below the vocabulary cutoff), so
     // their OOV counts are non-trivial while everything else scores 0 —
@@ -6899,6 +6968,169 @@ object Queries {
              |FROM s""".stripMargin)
     )),
 
+    // Cliff's delta on the SAME split as q_mann_whitney (en vs rest on
+    // n_chars) — the effect-SIZE companion to the significance flag: at
+    // corpus scale everything is "significant", delta says whether the
+    // shift matters. Same doubled-midrank one-pass aggregate (ties
+    // cancel exactly in the #{a>b} - #{a<b} difference); magnitude
+    // labelled on the ROUNDED delta at the pinned Romano-et-al
+    // thresholds so both engines label identically.
+    "q_cliffs_delta" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.cliffsDelta(Tables.documents(s, dir), "n_chars",
+          col("lang") === "en"),
+      Some("""WITH c AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+             |  FROM documents GROUP BY 1),
+             |cc AS (SELECT v, ca, cb, ca + cb AS c FROM c),
+             |cum AS (SELECT ca, cb, c,
+             |    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+             |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all
+             |  FROM cc),
+             |a AS (SELECT max(cum_a) AS na, max(cum_all) - max(cum_a) AS nb,
+             |    sum(CAST(ca * (2 * cum_all - c + 1) AS HUGEINT)) AS r2a
+             |  FROM cum),
+             |b AS (SELECT na, nb,
+             |    r2a - CAST(na AS HUGEINT) * (na + 1) AS u2 FROM a),
+             |d AS (SELECT na, nb,
+             |    CASE WHEN na > 0 AND nb > 0 THEN
+             |      round(CAST(u2 - CAST(na AS HUGEINT) * nb AS DOUBLE)
+             |        / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 6) END AS delta
+             |  FROM b)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  delta,
+             |  CASE WHEN delta IS NULL THEN NULL
+             |       WHEN abs(delta) < 0.147 THEN 'negligible'
+             |       WHEN abs(delta) < 0.33 THEN 'small'
+             |       WHEN abs(delta) < 0.474 THEN 'medium'
+             |       ELSE 'large' END AS magnitude
+             |FROM d""".stripMargin)
+    )),
+
+    // Cohen's d + Hedges g on the SAME en-vs-rest split — the
+    // parametric effect size completing the pair with q_cliffs_delta's
+    // ordinal one (reading d and delta together exposes distribution
+    // shape: agreement means near-normal spreads, disagreement means
+    // tails). Exact decimal sums -> one fixed IEEE composition.
+    "q_cohens_d" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.cohensD(Tables.documents(s, dir), "n_chars",
+          col("lang") === "en"),
+      Some("""WITH a AS (SELECT
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+             |    sum(CASE WHEN lang = 'en' THEN CAST(n_chars AS HUGEINT) ELSE 0 END) AS sa,
+             |    sum(CASE WHEN lang <> 'en' THEN CAST(n_chars AS HUGEINT) ELSE 0 END) AS sb,
+             |    sum(CASE WHEN lang = 'en' THEN CAST(n_chars AS HUGEINT) * n_chars ELSE 0 END) AS qa,
+             |    sum(CASE WHEN lang <> 'en' THEN CAST(n_chars AS HUGEINT) * n_chars ELSE 0 END) AS qb
+             |  FROM documents),
+             |m AS (SELECT na, nb,
+             |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+             |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+             |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+             |       / CAST(na AS DOUBLE)
+             |     + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+             |       / CAST(nb AS DOUBLE)))
+             |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) AS sp2
+             |  FROM a),
+             |d AS (SELECT na, nb, ma, mb, sp2,
+             |    (ma - mb) / sqrt(sp2) AS dd FROM m)
+             |SELECT na AS n_a, nb AS n_b,
+             |  CASE WHEN na > 0 THEN round(ma, 6) END AS mean_a,
+             |  CASE WHEN nb > 0 THEN round(mb, 6) END AS mean_b,
+             |  CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0.0
+             |    THEN round(dd, 6) END AS d,
+             |  CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0.0
+             |    THEN round(dd * (1.0 - 3.0
+             |      / (4.0 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) - 9.0)), 6)
+             |  END AS g
+             |FROM d""".stripMargin)
+    )),
+
+    // Mutual information between lang and source — the metadata-audit
+    // statistic: these two dimensions are treated as independent by
+    // every mixture operator upstream, and MI measures whether the
+    // corpus actually is (high MI between a split key and any feature
+    // is leakage). Exact (lang, source) grid counts, every log2 term
+    // rounded to 9 at birth, key-ordered bounded folds.
+    "q_mutual_information" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.mutualInformation(Tables.documents(s, dir),
+          "lang", "source"),
+      Some("""WITH cells AS (SELECT lang AS x, source AS y,
+             |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+             |mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+             |my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+             |mi AS (SELECT list_sum([e.term FOR e IN
+             |    list({'x': cells.x, 'y': cells.y, 'term': round(
+             |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * log2(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+             |          / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9)}
+             |      ORDER BY cells.x, cells.y)]) AS mi_raw
+             |  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+             |hx AS (SELECT list_sum([e.term FOR e IN
+             |    list({'k': x, 'term': round(-1.0
+             |      * (CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * log2(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)), 9)}
+             |      ORDER BY x)]) AS hx_raw
+             |  FROM mx CROSS JOIN tot),
+             |hy AS (SELECT list_sum([e.term FOR e IN
+             |    list({'k': y, 'term': round(-1.0
+             |      * (CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * log2(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)), 9)}
+             |      ORDER BY y)]) AS hy_raw
+             |  FROM my CROSS JOIN tot)
+             |SELECT n, n_cells, round(mi_raw, 6) AS mi,
+             |  round(hx_raw, 6) AS h_x, round(hy_raw, 6) AS h_y,
+             |  CASE WHEN hx_raw > 0.0 AND hy_raw > 0.0
+             |    THEN round(mi_raw / sqrt(hx_raw * hy_raw), 6) END AS nmi
+             |FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin)
+    )),
+
+    // Kendall tau-b between bucketed document length and token count —
+    // the midrank-honest rank correlation beside q_rank_correlation's
+    // id-tie-broken Spearman. Exact on the (x, y) value GRID (~30
+    // cells here): concordant/discordant counts from ONE half-grid
+    // self-join carrying c_i*c_j multiplicities, tie terms from the
+    // marginals — row count never enters the join, the named |G|^2
+    // bound is a bucket-design constant.
+    "q_kendall_tau" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.kendallTau(
+          Tables.documents(s, dir).select(
+            expr("n_chars div 64").as("xb"),
+            expr("size(split(text, ' ')) div 8").cast("long").as("yb")),
+          "xb", "yb"),
+      Some("""WITH cells AS (SELECT n_chars // 64 AS xv,
+             |    len(string_split(text, ' ')) // 8 AS yv,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+             |tx AS (SELECT sum(CAST(t AS HUGEINT) * t) AS stx2
+             |  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY xv)),
+             |ty AS (SELECT sum(CAST(t AS HUGEINT) * t) AS sty2
+             |  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY yv)),
+             |pq AS (SELECT
+             |    COALESCE(sum(CASE WHEN b.yv > a.yv
+             |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS p,
+             |    COALESCE(sum(CASE WHEN b.yv < a.yv
+             |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS q
+             |  FROM cells a JOIN cells b ON b.xv > a.xv)
+             |SELECT n, n_cells,
+             |  CAST(p AS BIGINT) AS concordant, CAST(q AS BIGINT) AS discordant,
+             |  CASE WHEN CAST(CAST(n AS HUGEINT) * n - stx2 AS DOUBLE) > 0.0
+             |        AND CAST(CAST(n AS HUGEINT) * n - sty2 AS DOUBLE) > 0.0
+             |    THEN round(2.0 * CAST(p - q AS DOUBLE)
+             |      / sqrt(CAST(CAST(n AS HUGEINT) * n - stx2 AS DOUBLE)
+             |           * CAST(CAST(n AS HUGEINT) * n - sty2 AS DOUBLE)), 6)
+             |  END AS tau_b
+             |FROM tot, tx, ty, pq""".stripMargin)
+    )),
+
     // Exact MAD robust outliers on document lengths: rank-selected
     // lower medians (value + |x - med|), the 3*1.4826 cut compared as
     // |x - med|*10000 > 44478*MAD — integer arithmetic end to end, no
@@ -7168,6 +7400,54 @@ object Queries {
              |SELECT g AS source, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
              |  round(list_sum([x.term FOR x IN
              |    list({'b': b, 'term': round((p - q) * ln(p / q), 9)} ORDER BY b)]), 6) AS psi
+             |FROM t GROUP BY g""".stripMargin)
+    )),
+
+    // Jensen-Shannon drift on the IDENTICAL ref/cur split as
+    // q_drift_psi — the bounded divergence beside PSI's unbounded one
+    // (JSD needs no epsilon floor and lands in [0,1] with log2, so one
+    // alerting threshold covers metrics of any bucket cardinality;
+    // reading both on the same drift is the point). Exact int64 bucket
+    // counts, per-bucket terms rounded to 9 at birth, bin-ordered fold.
+    "q_drift_jsd" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val ref = d.filter(pmod(col("doc_id"), lit(3L)) < 2)
+          .select(col("source"),
+            expr("CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0").as("score"))
+        val cur = d.filter(pmod(col("doc_id"), lit(3L)) === 2)
+          .select(col("source"),
+            expr("CAST((doc_id * (31 + length(source) % 7)) % 1000 AS DOUBLE) / 1000.0")
+              .as("score"))
+        operators.Profile.jsDivergenceDrift(ref, cur, "source", "score")
+      },
+      Some("""WITH ref AS (SELECT source,
+             |    CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS score
+             |  FROM documents WHERE doc_id % 3 < 2),
+             |cur AS (SELECT source,
+             |    CAST((doc_id * (31 + length(source) % 7)) % 1000 AS DOUBLE) / 1000.0 AS score
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |rb AS (SELECT source AS g,
+             |    greatest(least(CAST(ceil(score * 10) AS BIGINT), 10), 1) AS b,
+             |    CAST(count(*) AS BIGINT) AS nr FROM ref GROUP BY 1, 2),
+             |cb AS (SELECT source AS g,
+             |    greatest(least(CAST(ceil(score * 10) AS BIGINT), 10), 1) AS b,
+             |    CAST(count(*) AS BIGINT) AS nc FROM cur GROUP BY 1, 2),
+             |j AS (SELECT COALESCE(rb.g, cb.g) AS g, COALESCE(rb.b, cb.b) AS b,
+             |    COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc
+             |  FROM rb FULL OUTER JOIN cb ON rb.g = cb.g AND rb.b = cb.b),
+             |rt AS (SELECT g, CAST(sum(nr) AS BIGINT) AS n_ref FROM rb GROUP BY 1),
+             |ct AS (SELECT g, CAST(sum(nc) AS BIGINT) AS n_cur FROM cb GROUP BY 1),
+             |t AS (SELECT j.g, j.b, rt.n_ref, ct.n_cur, j.nr, j.nc,
+             |    CAST(nr AS DOUBLE) / CAST(n_ref AS DOUBLE) AS p,
+             |    CAST(nc AS DOUBLE) / CAST(n_cur AS DOUBLE) AS q
+             |  FROM j JOIN rt ON rt.g = j.g JOIN ct ON ct.g = j.g)
+             |SELECT g AS source, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+             |  round(list_sum([x.term FOR x IN
+             |    list({'b': b, 'term': round(
+             |      (CASE WHEN nr > 0 THEN p * log2(2.0 * p / (p + q)) / 2 ELSE 0.0 END)
+             |      + (CASE WHEN nc > 0 THEN q * log2(2.0 * q / (p + q)) / 2 ELSE 0.0 END),
+             |      9)} ORDER BY b)]), 6) AS jsd
              |FROM t GROUP BY g""".stripMargin)
     )),
 
@@ -9887,6 +10167,66 @@ object Queries {
              |  round(accuracy, 6) AS accuracy, round(gap, 6) AS gap,
              |  round(ece_raw, 6) AS ece, round(brier_raw, 6) AS brier
              |FROM g2, e""".stripMargin)
+    )),
+
+    // Murphy decomposition of the Brier score on the IDENTICAL
+    // synthetic (score, label) pairing as q_calibration — the WHY
+    // behind that row's brier: miscalibration (reliability),
+    // discrimination (resolution), the base-rate floor (uncertainty),
+    // and the within-bin variance that closes the identity
+    // brier = rel - res + unc + within for raw forecasts. Exact
+    // DECIMAL(28,9) bin sums, per-bin terms rounded to 9 at birth,
+    // bin-ordered folds.
+    "q_brier_decomposition" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val scored = d.select(
+          expr("CAST((doc_id * 41) % 1000 AS DOUBLE) / 1000.0").as("score"),
+          expr("CASE WHEN (doc_id * 41) % 1000 + (doc_id * 17) % 500 >= 750 " +
+            "THEN 1 ELSE 0 END").as("label"))
+        operators.Eval.brierDecomposition(scored, "score", "label", bins = 10)
+      },
+      Some("""WITH scored AS (SELECT
+             |    CAST((doc_id * 41) % 1000 AS DOUBLE) / 1000.0 AS score,
+             |    CASE WHEN (doc_id * 41) % 1000 + (doc_id * 17) % 500 >= 750
+             |      THEN 1 ELSE 0 END AS lbl FROM documents),
+             |b AS (SELECT greatest(least(CAST(ceil(score * 10) AS BIGINT), 10), 1)
+             |    AS bin, score, lbl FROM scored),
+             |perbin AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(lbl) AS BIGINT) AS n_pos,
+             |    sum(CAST(score AS DECIMAL(28,9))) AS conf_sum,
+             |    sum(CAST(round((score - lbl) * (score - lbl), 9) AS DECIMAL(28,9)))
+             |      AS sq_sum,
+             |    sum(CAST(round(score * score, 9) AS DECIMAL(28,9))) AS s2_sum
+             |  FROM b GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+             |    CAST(sum(n_pos) AS BIGINT) AS pos_tot, sum(sq_sum) AS sq_tot
+             |  FROM perbin),
+             |t2 AS (SELECT n_tot, sq_tot,
+             |    CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) AS base FROM t),
+             |f AS (SELECT max(n_tot) AS n_tot, max(base) AS base,
+             |    max(CAST(sq_tot AS DOUBLE)) AS sqt,
+             |    list_sum([x.t FOR x IN list({'b': bin, 't': round(
+             |      n * (CAST(conf_sum AS DOUBLE) / n - CAST(n_pos AS DOUBLE) / n)
+             |        * (CAST(conf_sum AS DOUBLE) / n - CAST(n_pos AS DOUBLE) / n)
+             |        / CAST(n_tot AS DOUBLE), 9)} ORDER BY bin)]) AS rel_raw,
+             |    list_sum([x.t FOR x IN list({'b': bin, 't': round(
+             |      n * (CAST(n_pos AS DOUBLE) / n - base)
+             |        * (CAST(n_pos AS DOUBLE) / n - base)
+             |        / CAST(n_tot AS DOUBLE), 9)} ORDER BY bin)]) AS res_raw,
+             |    list_sum([x.t FOR x IN list({'b': bin, 't': round(
+             |      (CAST(s2_sum AS DOUBLE)
+             |       - n * (CAST(conf_sum AS DOUBLE) / n)
+             |           * (CAST(conf_sum AS DOUBLE) / n))
+             |        / CAST(n_tot AS DOUBLE), 9)} ORDER BY bin)]) AS win_raw
+             |  FROM perbin CROSS JOIN t2)
+             |SELECT n_tot AS n, round(base, 6) AS base_rate,
+             |  round(sqt / CAST(n_tot AS DOUBLE), 6) AS brier,
+             |  round(rel_raw, 6) AS reliability,
+             |  round(res_raw, 6) AS resolution,
+             |  round(base * (1.0 - base), 6) AS uncertainty,
+             |  round(win_raw, 6) AS within
+             |FROM f""".stripMargin)
     )),
 
     // SQuAD-style QA scoring (exact match + token F1). The fixture

@@ -987,6 +987,64 @@ object Soak {
         // two ranked median selections + one map-side integer cut
         Profile.madOutliers(docs10.select(length(col("text")).as("v")), "v")
       },
+      run("cliffs_delta") {
+        // effect size at 10x: same one-pass doubled-midrank aggregate
+        // as mann_whitney, second statistic for free
+        Profile.cliffsDelta(docs10.select(length(col("text")).as("v"),
+          col("source")), "v", col("source") === "src0")
+      },
+      run("kendall_tau") {
+        // grid-exact tau-b at 10x: the |G|^2 half-grid join stays a
+        // bucket-design constant no matter the row count
+        Profile.kendallTau(docs10.select(
+          expr("length(text) div 64").as("x"),
+          expr("size(split(text, ' ')) div 8").cast("long").as("y")),
+          "x", "y")
+      },
+      run("drift_jsd") {
+        // bounded divergence at 10x: two (group, bucket) aggregates,
+        // a <=10-row-per-group join, one bin-ordered fold
+        val ref = docs10.filter(pmod(col("doc_id"), lit(3L)) < 2)
+          .select(col("source"),
+            expr("CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0").as("s"))
+        val cur = docs10.filter(pmod(col("doc_id"), lit(3L)) === 2)
+          .select(col("source"),
+            expr("CAST((doc_id * (31 + length(source) % 7)) % 1000 AS DOUBLE) / 1000.0")
+              .as("s"))
+        Profile.jsDivergenceDrift(ref, cur, "source", "s")
+      },
+      run("cohens_d") {
+        // parametric effect size at 10x: ONE scan-level aggregate of
+        // exact decimal sums — the cheapest row in the family
+        Profile.cohensD(docs10.select(length(col("text")).as("v"),
+          col("source")), "v", col("source") === "src0")
+      },
+      run("mutual_information") {
+        // (source, length-bucket) grid at 10x: counts + bounded folds
+        Profile.mutualInformation(docs10.select(col("source"),
+          expr("length(text) div 100").cast("string").as("lb")),
+          "source", "lb")
+      },
+      run("brier_decomposition") {
+        // Murphy terms at 10x: one bin-keyed aggregate + <=10 folds
+        Eval.brierDecomposition(docs10.select(
+          expr("CAST((doc_id * 41) % 1000 AS DOUBLE) / 1000.0").as("s"),
+          expr("CASE WHEN (doc_id * 41) % 1000 + (doc_id * 17) % 500 >= 750 " +
+            "THEN 1 ELSE 0 END").as("l")), "s", "l")
+      },
+      run("neyman_allocation") {
+        // stratified design at 10x: one stratum aggregate + k-row fold
+        Sampling.neymanAllocation(docs10.select(col("source"),
+          length(col("text")).cast("long").as("v")), "source", "v", 1000L)
+      },
+      run("unimax_budget") {
+        // the waterfill at 10x (by source — the 10x table drops lang):
+        // one group aggregate, the whole plan in a k-row array fold —
+        // corpus bytes never reshuffle
+        Sampling.unimaxBudget(docs10, "source",
+          size(split(col("text"), " ")).cast("long"),
+          budgetNum = 8L, budgetDen = 5L, maxEpochs = 2L)
+      },
       run("conformal_interval") {
         // Mondrian split conformal at 10x: two groupedPositions range
         // exchanges + broadcast per-group (med, qhat)

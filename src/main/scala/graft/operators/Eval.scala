@@ -366,6 +366,81 @@ object Eval {
         round(col("brier_raw"), 6).as("brier"))
   }
 
+  /** Murphy (1973) decomposition of the Brier score over the same
+    * binned reliability table as [[calibration]] — the WHY behind a
+    * bad Brier: reliability (miscalibration, want 0), resolution
+    * (discrimination, want large), uncertainty (the base rate's
+    * irreducible floor), plus the within-bin score variance that makes
+    * the identity exact for raw (un-binned) forecasts:
+    * brier = reliability − resolution + uncertainty + within. With
+    * per-bin (n_b, conf_b, acc_b) and base rate ȳ:
+    * REL = Σ n_b(conf_b − acc_b)²/N, RES = Σ n_b(acc_b − ȳ)²/N,
+    * UNC = ȳ(1 − ȳ), WITHIN = Σ (Σs²_b − n_b·conf_b²)/N. ONE row out:
+    * (n, base_rate, brier, reliability, resolution, uncertainty,
+    * within).
+    *
+    * Determinism: per-bin count/Σs/Σs² accumulate exactly (the
+    * [[calibration]] DECIMAL(28,9) discipline — scores quantized
+    * coarser than 9 decimals); every per-bin term rounds to 9 AT
+    * BIRTH and folds in bin order; outputs round 6. The identity is
+    * then engine-exact to the birth-rounds (spec-checked at 1e-8).
+    * Degenerate input (n = 0) reports all-NULL; a constant label
+    * still decomposes (UNC = 0).
+    *
+    * Scale shape: identical to [[calibration]] — one bin-keyed
+    * aggregate with map-side partials, ≤B-struct folds, a 1-row
+    * result. */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+                         labelCol: String, bins: Int = 10): DataFrame = {
+    val base = df.select(col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("long").as("lbl"))
+      .withColumn("bin", greatest(least(ceil(col("score") * bins),
+        lit(bins.toLong)), lit(1L)))
+    val perBin = base.groupBy("bin").agg(
+      count(lit(1)).as("n"),
+      sum("lbl").as("n_pos"),
+      sum(col("score").cast("decimal(28,9)")).as("conf_sum"),
+      sum(round((col("score") - col("lbl")) * (col("score") - col("lbl")), 9)
+        .cast("decimal(28,9)")).as("sq_sum"),
+      sum(round(col("score") * col("score"), 9).cast("decimal(28,9)"))
+        .as("s2_sum"))
+    val conf = col("conf_sum").cast("double") / col("n").cast("double")
+    val acc = col("n_pos").cast("double") / col("n").cast("double")
+    val folded = perBin
+      .groupBy(lit(0).as("__k")).agg(
+        sum("n").as("n_tot"), sum("n_pos").as("pos_tot"),
+        sum("sq_sum").as("sq_tot"),
+        sort_array(collect_list(struct(col("bin"), col("n"),
+          col("n_pos"), col("conf_sum"), col("s2_sum")))).as("bins"))
+    val baseRate = col("pos_tot").cast("double") / col("n_tot").cast("double")
+    val nTotD = "cast(n_tot as double)"
+    folded.select(col("n_tot"), col("sq_tot"), col("bins"),
+        baseRate.as("base"))
+      .select(col("n_tot").as("n"),
+        round(col("base"), 6).as("base_rate"),
+        round(col("sq_tot").cast("double") / col("n_tot").cast("double"), 6)
+          .as("brier"),
+        round(expr(
+          s"""aggregate(bins, cast(0 as double), (acc, x) -> acc + round(
+             |  x.n * (cast(x.conf_sum as double) / x.n
+             |         - cast(x.n_pos as double) / x.n)
+             |      * (cast(x.conf_sum as double) / x.n
+             |         - cast(x.n_pos as double) / x.n) / $nTotD, 9))
+             |""".stripMargin), 6).as("reliability"),
+        round(expr(
+          s"""aggregate(bins, cast(0 as double), (acc, x) -> acc + round(
+             |  x.n * (cast(x.n_pos as double) / x.n - base)
+             |      * (cast(x.n_pos as double) / x.n - base) / $nTotD, 9))
+             |""".stripMargin), 6).as("resolution"),
+        round(col("base") * (lit(1.0) - col("base")), 6).as("uncertainty"),
+        round(expr(
+          s"""aggregate(bins, cast(0 as double), (acc, x) -> acc + round(
+             |  (cast(x.s2_sum as double)
+             |   - x.n * (cast(x.conf_sum as double) / x.n)
+             |         * (cast(x.conf_sum as double) / x.n)) / $nTotD, 9))
+             |""".stripMargin), 6).as("within"))
+  }
+
   /** SQuAD-style extractive-QA scoring per (prediction, gold) pair:
     * exact match + token-bag F1 (Rajpurkar et al. 2016) — the third
     * eval mode ([[bleuRouge]] n-gram, [[retrievalMetrics]] ranking,

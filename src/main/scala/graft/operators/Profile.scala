@@ -487,6 +487,46 @@ object Profile {
           "shard the input or widen the pack before trusting this " +
           "statistic"))))
 
+  /** The c·2³¹ prefix-sum packing modulus shared by [[mannWhitney]] /
+    * [[cliffsDelta]] / [[ksTest]] — exact while the packed count stays
+    * below it, [[assertPackBound]]-guarded everywhere it is used. */
+  private val PackM = 1L << 31
+
+  /** Shared two-sample doubled-midrank aggregate behind [[mannWhitney]]
+    * and [[cliffsDelta]] — ONE row out: (na, nb, nn, r2a = 2·R_a in
+    * decimal(38,0), tsum = Σ(t³−t) in decimal(38,0), tot_n). Both
+    * per-sample cumulative counts ride ONE
+    * [[Sampling.rankedPrefixSums]] pass via the c·2³¹ packing; callers
+    * apply [[assertPackBound]] on tot_n before trusting the split. */
+  private def twoSampleRankAgg(df: DataFrame, valueCol: String,
+      inA: org.apache.spark.sql.Column): DataFrame = {
+    val m = PackM
+    val counts = df.select(col(valueCol).cast("long").as("v"),
+      when(inA, 1L).otherwise(0L).as("a"))
+      .filter(col("v").isNotNull)
+      .groupBy("v")
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val cum = Sampling.rankedPrefixSums(counts, Seq(col("v")),
+      col("ca") * m + col("c"), "__r", "packed")
+      .select(col("ca"), col("cb"), col("c"),
+        expr(s"packed div ${m}L").as("cum_a"),
+        pmod(col("packed"), lit(m)).as("cum_all"))
+    cum.agg(
+      max(col("cum_a")).as("na"),
+      (max(col("cum_all")) - max(col("cum_a"))).as("nb"),
+      max(col("cum_all")).as("nn"),
+      // Σ ca·(2·cum_all − c + 1) = 2·R_a with midranks, exact
+      sum((col("ca") * (lit(2L) * col("cum_all") - col("c") + 1L))
+        .cast("decimal(38,0)")).as("r2a"),
+      // tie term t³−t: the CUBE must be decimal too — an int64 c*c*c
+      // wraps silently (non-ANSI) once a single tie group passes ~2.1M
+      // values, which a 100 TB corpus with an int measure will hit
+      sum(col("c").cast("decimal(38,0)") * col("c") * col("c") - col("c"))
+        .as("tsum"),
+      sum(col("c")).as("tot_n"))
+  }
+
   /** Two-sample Mann-Whitney U (Wilcoxon rank-sum) over an int64
     * measure — the rank-based LOCATION-shift test beside [[ksTest]]'s
     * any-difference statistic: U_a = R_a − n_a(n_a+1)/2 with midranks
@@ -511,31 +551,7 @@ object Profile {
     * instead of letting the decomposition wrap silently. */
   def mannWhitney(df: DataFrame, valueCol: String,
                   inA: org.apache.spark.sql.Column): DataFrame = {
-    val m = 1L << 31
-    val counts = df.select(col(valueCol).cast("long").as("v"),
-      when(inA, 1L).otherwise(0L).as("a"))
-      .filter(col("v").isNotNull)
-      .groupBy("v")
-      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
-      .withColumn("c", col("ca") + col("cb"))
-    val cum = Sampling.rankedPrefixSums(counts, Seq(col("v")),
-      col("ca") * m + col("c"), "__r", "packed")
-      .select(col("ca"), col("cb"), col("c"),
-        expr(s"packed div ${m}L").as("cum_a"),
-        pmod(col("packed"), lit(m)).as("cum_all"))
-    val agg = cum.agg(
-      max(col("cum_a")).as("na"),
-      (max(col("cum_all")) - max(col("cum_a"))).as("nb"),
-      max(col("cum_all")).as("nn"),
-      // Σ ca·(2·cum_all − c + 1) = 2·R_a with midranks, exact
-      sum((col("ca") * (lit(2L) * col("cum_all") - col("c") + 1L))
-        .cast("decimal(38,0)")).as("r2a"),
-      // tie term t³−t: the CUBE must be decimal too — an int64 c*c*c
-      // wraps silently (non-ANSI) once a single tie group passes ~2.1M
-      // values, which a 100 TB corpus with an int measure will hit
-      sum(col("c").cast("decimal(38,0)") * col("c") * col("c") - col("c"))
-        .as("tsum"),
-      sum(col("c")).as("tot_n"))
+    val agg = twoSampleRankAgg(df, valueCol, inA)
     val naD = col("na").cast("double")
     val nbD = col("nb").cast("double")
     val nD = col("nn").cast("double")
@@ -546,7 +562,7 @@ object Profile {
       ((nD + 1.0) - col("tsum").cast("double") / (nD * (nD - 1.0)))
     val z = zNum / sqrt(sigma2)
     agg.select(
-      when(assertPackBound(col("tot_n"), m, "mannWhitney").isNotNull,
+      when(assertPackBound(col("tot_n"), PackM, "mannWhitney").isNotNull,
         col("na")).as("n_a"),
       col("nb").as("n_b"),
       u2.cast("long").as("u2_a"),
@@ -555,6 +571,273 @@ object Profile {
       when(col("na") > 0 && col("nb") > 0 && sigma2 > 0.0,
         abs(z) > 1.959964).otherwise(lit(null).cast("boolean"))
         .as("reject_05"))
+  }
+
+  /** Cliff's delta ordinal effect size over an int64 measure — the
+    * SIZE companion to [[mannWhitney]]'s significance flag (a 100 TB
+    * corpus makes every shift "significant"; δ says whether it
+    * matters): δ = (#{a>b} − #{a<b}) / (n_a·n_b), which the doubled-U
+    * identity collapses to (u2_a − n_a·n_b)/(n_a·n_b) — ties contribute
+    * ½ to U on each side and cancel exactly in the difference, so the
+    * SAME [[twoSampleRankAgg]] one-pass aggregate carries both
+    * statistics. Magnitude labels at the published |δ| thresholds
+    * 0.147 / 0.33 / 0.474 (Romano et al. 2006 — pinned constants, the
+    * 1.959964 class), applied to the ROUNDED δ so both engines label
+    * identically. ONE row out: (n_a, n_b, delta, magnitude).
+    *
+    * Determinism: u2_a and n_a·n_b are exact decimal(38,0); δ is one
+    * IEEE division of their exact difference, round 6. Either sample
+    * empty reports NULL δ and magnitude. Same [[assertPackBound]]
+    * guard as [[mannWhitney]] (the c·2³¹ packing). */
+  def cliffsDelta(df: DataFrame, valueCol: String,
+                  inA: org.apache.spark.sql.Column): DataFrame = {
+    val agg = twoSampleRankAgg(df, valueCol, inA)
+    val u2 = col("r2a") - (col("na").cast("decimal(38,0)") *
+      (col("na") + 1))
+    val nab = col("na").cast("decimal(38,0)") * col("nb")
+    val delta = round((u2 - nab).cast("double") / nab.cast("double"), 6)
+    val absd = abs(delta)
+    agg.select(
+      when(assertPackBound(col("tot_n"), PackM, "cliffsDelta").isNotNull,
+        col("na")).as("n_a"),
+      col("nb").as("n_b"),
+      when(col("na") > 0 && col("nb") > 0, delta)
+        .otherwise(lit(null).cast("double")).as("delta"),
+      when(col("na") > 0 && col("nb") > 0,
+        when(absd < 0.147, "negligible").when(absd < 0.33, "small")
+          .when(absd < 0.474, "medium").otherwise("large"))
+        .otherwise(lit(null).cast("string")).as("magnitude"))
+  }
+
+  /** Cohen's d standardized mean difference over an int64 measure —
+    * the PARAMETRIC effect size beside [[cliffsDelta]]'s ordinal one
+    * (read together: d assumes roughly-normal spreads, δ only ranks;
+    * when they disagree the distribution shape is the story):
+    * d = (mean_a − mean_b) / s_pooled with the pooled variance
+    * s² = [(Σv²_a − S_a²/n_a) + (Σv²_b − S_b²/n_b)] / (n_a + n_b − 2),
+    * plus Hedges' g = d·(1 − 3/(4(n_a+n_b) − 9)) — the small-sample
+    * bias correction (closed form, no tabulated data). ONE row out:
+    * (n_a, n_b, mean_a, mean_b, d, g).
+    *
+    * Determinism: Σv and Σv² accumulate as exact decimal(38,0); every
+    * double composes from those exact integers in ONE fixed IEEE
+    * order, round 6. NAMED BOUND: the decimal→double casts are exact
+    * only below 2⁵³ — Σv² passes that at ~10¹⁶ (e.g. 10⁸ rows of
+    * 4-digit values), past which the last bits of d wobble (never
+    * wrong-by-magnitude; the bound is the cast, not the sum).
+    * n_a < 2, n_b < 2, or zero pooled variance report NULL d/g. */
+  def cohensD(df: DataFrame, valueCol: String,
+              inA: org.apache.spark.sql.Column): DataFrame = {
+    val agg = df.select(col(valueCol).cast("long").as("v"),
+        when(inA, 1L).otherwise(0L).as("a"))
+      .filter(col("v").isNotNull)
+      .agg(
+        sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"),
+        sum(when(col("a") === 1L, col("v").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("sa"),
+        sum(when(col("a") === 0L, col("v").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("sb"),
+        sum(when(col("a") === 1L,
+          col("v").cast("decimal(38,0)") * col("v"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("qa"),
+        sum(when(col("a") === 0L,
+          col("v").cast("decimal(38,0)") * col("v"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("qb"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val ma = col("sa").cast("double") / naD
+    val mb = col("sb").cast("double") / nbD
+    val ssA = col("qa").cast("double") -
+      col("sa").cast("double") * col("sa").cast("double") / naD
+    val ssB = col("qb").cast("double") -
+      col("sb").cast("double") * col("sb").cast("double") / nbD
+    val sp2 = (ssA + ssB) / (naD + nbD - 2.0)
+    val d = (ma - mb) / sqrt(sp2)
+    val g = d * (lit(1.0) - lit(3.0) / (lit(4.0) * (naD + nbD) - 9.0))
+    val ok = col("na") >= 2 && col("nb") >= 2 && sp2 > 0.0
+    agg.select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      when(col("na") > 0, round(ma, 6))
+        .otherwise(lit(null).cast("double")).as("mean_a"),
+      when(col("nb") > 0, round(mb, 6))
+        .otherwise(lit(null).cast("double")).as("mean_b"),
+      when(ok, round(d, 6)).otherwise(lit(null).cast("double")).as("d"),
+      when(ok, round(g, 6)).otherwise(lit(null).cast("double")).as("g"))
+  }
+
+  /** Mutual information between two CATEGORICAL columns — the
+    * metadata-audit statistic ("does source predict lang?" — high MI
+    * between dimensions a sampler treats as independent is a mixture
+    * bug, and between a split key and any feature it is leakage):
+    * MI = Σ_cells (c/n)·log2(c·n/(c_x·c_y)) in bits, with the
+    * marginal entropies H = −Σ (t/n)·log2(t/n) and
+    * NMI = MI/sqrt(H_x·H_y). ONE row out:
+    * (n, n_cells, mi, h_x, h_y, nmi).
+    *
+    * Determinism: all counts exact int64; each cell/marginal term
+    * rounds to 9 AT BIRTH and sums by a key-ordered bounded fold (the
+    * PSI/ECE discipline — log2 is not IEEE-guaranteed identical
+    * across engines, the birth-round absorbs the ulp); mi/h/nmi round
+    * 6. NMI reports NULL when either marginal entropy is 0 (a
+    * constant column carries no information to normalize by).
+    *
+    * Scale shape: one (x, y)-keyed count aggregate with map-side
+    * partials; cells and marginals are CONFIG-BOUNDED (categorical
+    * dims — the named bound), folded as ≤|G|-struct lists, a 1-row
+    * result. Rows never shuffle, only (cell, count) pairs. */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val cells = df.select(col(xCol).cast("string").as("x"),
+      col(yCol).cast("string").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+    // ONE (x, y) shuffle, then the whole statistic — marginals, both
+    // entropies, every cell term — inside a single collected
+    // config-bounded grid array (the unimaxBudget fold shape): the
+    // scan runs once, O(|G|²) marginal re-sums are a bucket-design
+    // constant, and the fold orders are pinned by the sorted array
+    val grid = cells.agg(
+      sort_array(collect_list(struct(col("x"), col("y"), col("c"))))
+        .as("cs"),
+      sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    def marginalEntropy(key: String): String =
+      s"""aggregate(transform(
+         |    sort_array(array_distinct(transform(cs, e -> e.$key))),
+         |    k -> round(-1.0
+         |      * (cast(aggregate(filter(cs, u -> u.$key = k), 0L,
+         |           (a, u) -> a + u.c) as double) / cast(n as double))
+         |      * log2(cast(aggregate(filter(cs, u -> u.$key = k), 0L,
+         |           (a, u) -> a + u.c) as double) / cast(n as double)), 9)),
+         |  cast(0 as double), (acc, t) -> acc + t)""".stripMargin
+    grid.select(col("n"), col("n_cells"),
+        expr(
+          """aggregate(transform(cs, e -> round(
+            |    (cast(e.c as double) / cast(n as double))
+            |    * log2(cast(e.c as double) * cast(n as double)
+            |        / (cast(aggregate(filter(cs, u -> u.x = e.x), 0L,
+            |             (a, u) -> a + u.c) as double)
+            |         * cast(aggregate(filter(cs, u -> u.y = e.y), 0L,
+            |             (a, u) -> a + u.c) as double))), 9)),
+            |  cast(0 as double), (acc, t) -> acc + t)""".stripMargin)
+          .as("mi_raw"),
+        expr(marginalEntropy("x")).as("hx_raw"),
+        expr(marginalEntropy("y")).as("hy_raw"))
+      .select(col("n"), col("n_cells"),
+        round(col("mi_raw"), 6).as("mi"),
+        round(col("hx_raw"), 6).as("h_x"),
+        round(col("hy_raw"), 6).as("h_y"),
+        when(col("hx_raw") > 0.0 && col("hy_raw") > 0.0,
+          round(col("mi_raw") / sqrt(col("hx_raw") * col("hy_raw")), 6))
+          .otherwise(lit(null).cast("double")).as("nmi"))
+  }
+
+  /** Kendall's τ-b rank correlation between two int64 measures, EXACT
+    * on the (x, y) value grid: concordant/discordant pair counts from
+    * one grid self-join restricted to x' > x (each unordered pair
+    * counted once; multiplicities ride as c_i·c_j products, so ROW
+    * count never enters the join), tie terms from the marginals,
+    * τ_b = 2·(P − Q) / sqrt((n² − Σt_x²)·(n² − Σt_y²)) — the doubled
+    * form keeps every operand an exact integer (2(n0−n1) = n² − Σt_x²
+    * since Σt_x = n).
+    *
+    * Scale shape — THE NAMED BOUND: the join is grid × grid, |G|²/2
+    * pairs with |G| = count of distinct (x, y) CELLS, so callers must
+    * bucket continuous measures first (q_kendall_tau walks in with
+    * ~30 cells); the right side broadcasts explicitly — grid size is a
+    * bucket-design constant, never data-scaled. Beside
+    * [[rankCorrelation]]'s Spearman (which is exact per ROW but
+    * tie-broken by id), τ-b is the midrank-honest statistic — the grid
+    * is what makes exact tie handling affordable.
+    *
+    * Determinism: P, Q, Σt², n all exact decimal(38,0)/int64; τ_b is
+    * one fixed IEEE expression over them, round 6. A degenerate
+    * denominator (all x tied or all y tied) reports NULL. ONE row out:
+    * (n, n_cells, concordant, discordant, tau_b). */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.select(col(xCol).cast("long").as("xv"),
+      col(yCol).cast("long").as("yv"))
+      .filter(col("xv").isNotNull && col("yv").isNotNull)
+      .groupBy("xv", "yv").agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_cells"))
+    val tx = cells.groupBy("xv").agg(sum(col("c")).as("t"))
+      .agg(sum(col("t").cast("decimal(38,0)") * col("t")).as("stx2"))
+    val ty = cells.groupBy("yv").agg(sum(col("c")).as("t"))
+      .agg(sum(col("t").cast("decimal(38,0)") * col("t")).as("sty2"))
+    val b = broadcast(cells.select(col("xv").as("bx"),
+      col("yv").as("by"), col("c").as("bc")))
+    val pq = cells.join(b, col("bx") > col("xv"))
+      .agg(
+        coalesce(sum(when(col("by") > col("yv"),
+          col("c").cast("decimal(38,0)") * col("bc"))),
+          lit(0).cast("decimal(38,0)")).as("p"),
+        coalesce(sum(when(col("by") < col("yv"),
+          col("c").cast("decimal(38,0)") * col("bc"))),
+          lit(0).cast("decimal(38,0)")).as("q"))
+    val n2 = col("n").cast("decimal(38,0)") * col("n")
+    val d1 = (n2 - col("stx2")).cast("double")
+    val d2 = (n2 - col("sty2")).cast("double")
+    val tau = round(lit(2.0) * (col("p") - col("q")).cast("double") /
+      sqrt(d1 * d2), 6)
+    tot.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(pq))
+      .select(col("n"), col("n_cells"),
+        col("p").cast("long").as("concordant"),
+        col("q").cast("long").as("discordant"),
+        when(d1 > 0.0 && d2 > 0.0, tau)
+          .otherwise(lit(null).cast("double")).as("tau_b"))
+  }
+
+  /** Jensen-Shannon divergence between a REFERENCE and a CURRENT
+    * score distribution, per group — [[distributionDrift]]'s BOUNDED
+    * companion (PSI is unbounded and needs an epsilon floor on empty
+    * buckets; JSD is finite by construction — a bucket empty on one
+    * side contributes p/2·log2 2 = p/2 — and lands in [0, 1] with
+    * log2, so one alerting threshold works across metrics of any
+    * cardinality). Same fixed monotone binning, jsd =
+    * Σ_b [p·log2(2p/(p+q))/2 + q·log2(2q/(p+q))/2] with 0·log ≡ 0.
+    *
+    * Determinism: bucket counts exact int64, each share divides once,
+    * each bucket term rounds to 9 AT BIRTH and sums by a bin-ordered
+    * fold (the PSI/ECE discipline), jsd rounds to 6. Groups present in
+    * only one snapshot are dropped — count drift is [[profile]]'s job.
+    *
+    * Scale shape: identical to [[distributionDrift]] — two
+    * (group, bucket)-keyed count aggregations, one group-keyed join of
+    * ≤B-row bucket tables, one ≤B-struct fold per group; never a
+    * row-level ref × cur join. */
+  def jsDivergenceDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+                        scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    def bucketed(df: DataFrame): DataFrame = df.select(
+      col(groupCol).as("g"),
+      greatest(least(ceil(col(scoreCol) * bins).cast("long"),
+        lit(bins.toLong)), lit(1L)).as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("n"))
+    val r = bucketed(ref)
+    val c = bucketed(cur)
+    val rt = r.groupBy("g").agg(sum("n").as("n_ref"))
+    val ct = c.groupBy("g").agg(sum("n").as("n_cur"))
+    val p = col("nr").cast("double") / col("n_ref").cast("double")
+    val q = col("nc").cast("double") / col("n_cur").cast("double")
+    r.withColumnRenamed("n", "nr")
+      .join(c.withColumnRenamed("n", "nc"), Seq("g", "b"), "full_outer")
+      .select(col("g"), col("b"),
+        coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+      .join(rt, Seq("g")).join(ct, Seq("g")) // inner: both snapshots only
+      .withColumn("term", round(
+        when(col("nr") > 0,
+          p * log2(lit(2.0) * p / (p + q)) / 2.0).otherwise(0.0) +
+        when(col("nc") > 0,
+          q * log2(lit(2.0) * q / (p + q)) / 2.0).otherwise(0.0), 9))
+      .groupBy("g", "n_ref", "n_cur")
+      .agg(sort_array(collect_list(struct(col("b"), col("term"))))
+        .as("terms"))
+      .select(col("g").as(groupCol), col("n_ref"), col("n_cur"),
+        round(expr(
+          "aggregate(terms, cast(0 as double), (acc, x) -> acc + x.term)"),
+          6).as("jsd"))
   }
 
   /** Kruskal-Wallis H (one-way rank ANOVA) over an int64 measure — the

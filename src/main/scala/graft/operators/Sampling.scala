@@ -515,6 +515,131 @@ object Sampling {
           (col("__groups") * col("n_units")).cast("double")).as("weight"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling"): split a token budget
+    * B = total·budgetNum/budgetDen across groups as UNIFORMLY as
+    * possible, capping each group at `maxEpochs` passes over its own
+    * data — the principled alternative to temperature sampling for
+    * multilingual mixes (small languages get up-sampled, but never
+    * past the epoch cap that makes them memorize). Water-filling in
+    * closed form over the cap-ASCENDING group list: group i (of k,
+    * prefix caps C_{i−1}) is capped iff cap_i·(k−i+1) < B − C_{i−1} —
+    * the condition is ABSORBING once false (caps ascend while the
+    * per-head remainder can only fall), so one indexed pass decides
+    * every group; the m capped groups take their full capacity and the
+    * rest split B − Σcaps equally.
+    *
+    * Determinism: capacities, the budget, prefix sums, and every
+    * capped/uncapped comparison are exact int64 — NAMED BOUND:
+    * cap·k and total·budgetNum must stay below 2⁶³ (at k ≤ 10³ groups
+    * that is ~9·10¹⁵ tokens per group before the comparison wraps —
+    * far past any real mixture config, and the bound is the caller's
+    * budget arithmetic, not corpus size); the equal share is ONE IEEE
+    * division, allocations and epochs round 6.
+    *
+    * Scale shape: one group-keyed count aggregate (map-side partials),
+    * then the whole waterfill runs inside ONE collected k-row struct
+    * array (groups are a config-bounded dimension — languages,
+    * sources; the Krippendorff bounded-fold discipline), re-exploded
+    * to k output rows. The corpus itself never re-shuffles — this
+    * emits the PLAN (per-group allocation + epochs) that
+    * [[temperatureResample]]/[[mixtureSample]]-style executors act on.
+    * Output: (group, n_units, capacity, capped, alloc, epochs). */
+  def unimaxBudget(df: DataFrame, groupCol: String, unit: Column,
+                   budgetNum: Long, budgetDen: Long,
+                   maxEpochs: Long): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val counts = df.groupBy(col(groupCol).as("g"))
+      .agg(sum(unit).as("n_units"))
+      .select(col("g"), col("n_units"),
+        (col("n_units") * maxEpochs).as("cap"))
+    val folded = counts.agg(
+      sort_array(collect_list(struct(col("cap"), col("g"),
+        col("n_units")))).as("cs"),
+      sum(col("n_units")).as("tot"),
+      count(lit(1)).as("k"))
+      .select(col("cs"), col("k"),
+        expr(s"tot * ${budgetNum}L div ${budgetDen}L").as("budget"))
+    // per-group capped flag via the indexed closed form; O(k²) prefix
+    // re-sums inside one k-row array — k is config-bounded
+    val marked = folded.select(col("budget"), col("k"), expr(
+      """transform(cs, (x, i) -> named_struct(
+        |  'g', x.g, 'n_units', x.n_units, 'cap', x.cap,
+        |  'capped', x.cap * (k - i) <
+        |    budget - aggregate(slice(cs, 1, i), 0L, (a, y) -> a + y.cap)))
+        |""".stripMargin).as("cs"))
+    val shared = marked.select(col("budget"), col("k"), col("cs"),
+      expr("size(filter(cs, x -> x.capped))").as("m"),
+      expr("aggregate(filter(cs, x -> x.capped), 0L, (a, y) -> a + y.cap)")
+        .as("csum"))
+    shared.select(col("budget"), col("k"), col("m"), col("csum"),
+        explode(col("cs")).as("x"))
+      .select(col("x.g").as(groupCol),
+        col("x.n_units").as("n_units"),
+        col("x.cap").as("capacity"),
+        col("x.capped").as("capped"),
+        round(when(col("x.capped"), col("x.cap").cast("double"))
+          .otherwise((col("budget") - col("csum")).cast("double") /
+            (col("k") - col("m")).cast("double")), 6).as("alloc"),
+        round(when(col("x.n_units") > 0,
+          when(col("x.capped"), col("x.cap").cast("double"))
+            .otherwise((col("budget") - col("csum")).cast("double") /
+              (col("k") - col("m")).cast("double")) /
+            col("x.n_units").cast("double"))
+          .otherwise(lit(null).cast("double")), 6).as("epochs"))
+  }
+
+  /** Neyman optimal allocation for stratified sampling (Neyman 1934):
+    * split a sample budget n across strata ∝ N_h·σ_h — the
+    * variance-minimizing design beside [[unimaxBudget]]'s fairness
+    * one (allocate MORE to big, NOISY strata; a uniform stratum needs
+    * almost no sample to pin its mean). σ_h is the POPULATION standard
+    * deviation of the measure (the design-phase convention — the
+    * stratum IS the population being sampled):
+    * σ² = (Σv² − S²/N)/N, alloc_h = n·w_h/Σw with w_h = N_h·σ_h.
+    * Output: one row per stratum (stratum, n_rows, sigma, weight,
+    * alloc).
+    *
+    * Determinism: Σv/Σv² exact decimal(38,0) (the [[Profile.cohensD]]
+    * 2⁵³ cast bound, named there); σ and each w_h compose in one
+    * fixed IEEE order, w_h rounds to 9 AT BIRTH, Σw folds in
+    * stratum-key order (bounded-fold discipline), outputs round 6.
+    * All-constant strata everywhere (Σw = 0) report NULL allocs.
+    *
+    * Scale shape: one stratum-keyed aggregate with map-side partials
+    * (strata are a config-bounded dimension), a ≤k-struct fold, a
+    * 1-row broadcast back. Rows never shuffle. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       sampleSize: Long): DataFrame = {
+    require(sampleSize > 0, "sampleSize must be positive")
+    val per = df.select(col(stratumCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy("g").agg(
+        count(lit(1)).as("nh"),
+        sum(col("v").cast("decimal(38,0)")).as("s"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("q"))
+    val nhD = col("nh").cast("double")
+    val sigma = sqrt((col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nhD) / nhD)
+    val weighted = per.select(col("g"), col("nh"), sigma.as("sigma"),
+      round(nhD * sigma, 9).as("w"))
+    val tot = weighted
+      .select(struct(col("g"), col("w")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("ws"))
+      .select(expr(
+        "aggregate(ws, cast(0 as double), (acc, x) -> acc + x.w)")
+        .as("wsum"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("g").as(stratumCol), col("nh").as("n_rows"),
+        round(col("sigma"), 6).as("sigma"),
+        round(col("w"), 6).as("weight"),
+        when(col("wsum") > 0.0,
+          round(lit(sampleSize.toDouble) * col("w") / col("wsum"), 6))
+          .otherwise(lit(null).cast("double")).as("alloc"))
+  }
+
   /** Raw md5-derived 32-bit hash of the key (uniform on [0, 2³²)) — the
     * integer "random" draw every deterministic sampler here is built
     * from. `salt` namespaces the draw PER OPERATOR: without it, a

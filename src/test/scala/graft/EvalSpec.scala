@@ -382,4 +382,31 @@ class EvalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("brierDecomposition: hand-computed Murphy terms; the identity " +
+      "brier = rel - res + unc + within holds") {
+    // two clean bins: scores 0.2/0.2 labels 0, scores 0.8/0.8 labels 1
+    val d = Seq((0.2, 0L), (0.2, 0L), (0.8, 1L), (0.8, 1L))
+      .toDF("score", "lbl")
+    val r = operators.Eval.brierDecomposition(d, "score", "lbl")
+      .collect().head
+    assert(r.getLong(0) == 4 && r.getDouble(1) == 0.5)
+    assert(r.getDouble(2) == 0.04)   // brier
+    assert(r.getDouble(3) == 0.04)   // reliability
+    assert(r.getDouble(4) == 0.25)   // resolution
+    assert(r.getDouble(5) == 0.25)   // uncertainty
+    assert(r.getDouble(6) == 0.0)    // within (constant per bin)
+    // within-bin variance: scores 0.11/0.19 (one bin), labels 0 —
+    // rel = 0.0225, within = 0.0016, res = unc = 0, brier = 0.0241
+    val w = Seq((0.11, 0L), (0.19, 0L)).toDF("score", "lbl")
+    val rw = operators.Eval.brierDecomposition(w, "score", "lbl")
+      .collect().head
+    assert(rw.getDouble(2) == 0.0241 && rw.getDouble(3) == 0.0225)
+    assert(rw.getDouble(4) == 0.0 && rw.getDouble(5) == 0.0)
+    assert(rw.getDouble(6) == 0.0016)
+    // identity to the birth-rounds on both cases
+    for (row <- Seq(r, rw))
+      assert(math.abs(row.getDouble(2) - (row.getDouble(3) -
+        row.getDouble(4) + row.getDouble(5) + row.getDouble(6))) < 1e-8)
+  }
 }

@@ -351,13 +351,39 @@ class PlanSpec extends SparkSpec {
     // mad_outliers runs the ranked median machinery TWICE (value, then
     // |x − med|), hence its higher bound
     for ((q, bound) <- Seq("q_kruskal_wallis" -> 8, "q_benford" -> 8,
-        "q_mad_outliers" -> 10, "q_mann_whitney" -> 8, "q_ks_lengths" -> 8)) {
+        "q_mad_outliers" -> 10, "q_mann_whitney" -> 8, "q_ks_lengths" -> 8,
+        "q_cliffs_delta" -> 8, "q_drift_jsd" -> 8, "q_cohens_d" -> 2,
+        "q_mutual_information" -> 8, "q_brier_decomposition" -> 4,
+        "q_neyman_allocation" -> 4)) {
       val p = plan(q)
       assertNoCartesian(p, q)
       assert(!p.contains("WindowExec"), // rankedPrefixSums, never a
         s"$q plans a window — the rank machinery broke:\n$p") // global sort window
       assert(exchanges(p) <= bound, s"$q exchange growth:\n$p")
     }
+  }
+
+  test("q_kendall_tau: grid join is broadcast nested-loop, no window, " +
+      "no data-scaled exchange") {
+    val p = plan("q_kendall_tau")
+    // the |G|^2 half-grid join must be BNL over a BROADCAST grid —
+    // a CartesianProduct here means the broadcast hint fell off
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+      p.contains("BroadcastExchange"),
+      s"grid self-join should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_kendall_tau cartesian:\n$p")
+    assert(!p.contains("WindowExec"), s"q_kendall_tau window:\n$p")
+  }
+
+  test("q_unimax_budget: waterfill folds in one k-row array — no window, " +
+      "no join, bounded exchanges") {
+    val p = plan("q_unimax_budget")
+    assertNoCartesian(p, "q_unimax_budget")
+    assert(!p.contains("WindowExec"),
+      s"the waterfill must fold inside the array, not a global window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"nothing to join — the plan regressed:\n$p")
+    assert(exchanges(p) <= 3, s"q_unimax_budget exchange growth:\n$p")
   }
 
   test("q_winnow_fingerprints: selection is a ZERO-exchange scan kernel") {

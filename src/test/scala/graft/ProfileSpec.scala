@@ -352,4 +352,126 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("spec") || e.getCause != null &&
       e.getCause.getMessage.contains("spec"), s"got: ${e.getMessage}")
   }
+
+  test("cliffsDelta: hand-computed effect sizes and magnitude labels") {
+    import org.apache.spark.sql.functions.col
+    // A={1,2}, B={3,4}: every a below every b -> delta = -1, large
+    val a = (Seq(1L, 2L).map((_, true)) ++ Seq(3L, 4L).map((_, false)))
+      .toDF("v", "ina")
+    val r = operators.Profile.cliffsDelta(a, "v", col("ina")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == -1.0 && r.getString(3) == "large")
+    // ties cancel in the difference: A={1,1}, B={1,2} -> u2=2, nanb=4,
+    // delta = (2-4)/4 = -0.5 (check directly: #{a>b}=0, #{a<b}=2,
+    // two a=b pairs contribute nothing -> -2/4)
+    val t = (Seq(1L, 1L).map((_, true)) ++ Seq(1L, 2L).map((_, false)))
+      .toDF("v", "ina")
+    assert(operators.Profile.cliffsDelta(t, "v", col("ina"))
+      .collect().head.getDouble(2) == -0.5)
+    // identical samples: delta 0, negligible
+    val z = (Seq(1L, 2L).map((_, true)) ++ Seq(1L, 2L).map((_, false)))
+      .toDF("v", "ina")
+    val rz = operators.Profile.cliffsDelta(z, "v", col("ina")).collect().head
+    assert(rz.getDouble(2) == 0.0 && rz.getString(3) == "negligible")
+    // one sample empty: NULL delta and magnitude, not 0/0
+    val e1 = Seq((1L, true), (2L, true)).toDF("v", "ina")
+    val re = operators.Profile.cliffsDelta(e1, "v", col("ina")).collect().head
+    assert(re.isNullAt(2) && re.isNullAt(3))
+  }
+
+  test("kendallTau: hand-computed tau-b with ties and multiplicities") {
+    // perfect concordance: tau = 1
+    val p = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val rp = operators.Profile.kendallTau(p, "x", "y").collect().head
+    assert(rp.getLong(0) == 3 && rp.getLong(1) == 3)
+    assert(rp.getLong(2) == 3 && rp.getLong(3) == 0)
+    assert(rp.getDouble(4) == 1.0)
+    // one swap: P=2, Q=1, no ties -> tau = (2-1)/3 = 0.333333
+    val s = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("x", "y")
+    assert(operators.Profile.kendallTau(s, "x", "y")
+      .collect().head.getDouble(4) == 0.333333)
+    // balanced ties: P=Q=1 -> tau-b = 0
+    val t = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    assert(operators.Profile.kendallTau(t, "x", "y")
+      .collect().head.getDouble(4) == 0.0)
+    // multiplicities ride the grid: (1,1)x2 + (2,2) -> P = 2*1,
+    // d1 = d2 = 9-5 = 4, tau-b = 2*2/sqrt(16) = 1
+    val m = Seq((1L, 1L), (1L, 1L), (2L, 2L)).toDF("x", "y")
+    val rm = operators.Profile.kendallTau(m, "x", "y").collect().head
+    assert(rm.getLong(0) == 3 && rm.getLong(1) == 2)
+    assert(rm.getLong(2) == 2 && rm.getDouble(4) == 1.0)
+    // all x tied: denominator degenerate -> NULL tau, loudly not NaN
+    val d = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("x", "y")
+    assert(operators.Profile.kendallTau(d, "x", "y")
+      .collect().head.isNullAt(4))
+  }
+
+  test("cohensD: hand-computed d and Hedges g; degenerate cases NULL") {
+    import org.apache.spark.sql.functions.col
+    // A={2,4}, B={1,3}: means 3/2, pooled s2 = 2, d = 1/sqrt(2),
+    // g = d * (1 - 3/(4*4-9)) = d * 4/7
+    val a = (Seq(2L, 4L).map((_, true)) ++ Seq(1L, 3L).map((_, false)))
+      .toDF("v", "ina")
+    val r = operators.Profile.cohensD(a, "v", col("ina")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 0.707107 && r.getDouble(5) == 0.404061)
+    // zero pooled variance: NULL d/g, means still report
+    val z = (Seq(5L, 5L).map((_, true)) ++ Seq(5L, 5L).map((_, false)))
+      .toDF("v", "ina")
+    val rz = operators.Profile.cohensD(z, "v", col("ina")).collect().head
+    assert(rz.getDouble(2) == 5.0 && rz.isNullAt(4) && rz.isNullAt(5))
+    // one side empty: its mean and d NULL
+    val e = Seq((1L, true), (3L, true)).toDF("v", "ina")
+    val re = operators.Profile.cohensD(e, "v", col("ina")).collect().head
+    assert(re.isNullAt(3) && re.isNullAt(4))
+  }
+
+  test("mutualInformation: perfect dependence, independence, constant " +
+      "marginal, and a hand-computed asymmetric case") {
+    // x determines y exactly: mi = h = nmi = 1 bit
+    val p = Seq(("a", "1"), ("b", "2")).toDF("x", "y")
+    val rp = operators.Profile.mutualInformation(p, "x", "y").collect().head
+    assert(rp.getLong(0) == 2 && rp.getLong(1) == 2)
+    assert(rp.getDouble(2) == 1.0 && rp.getDouble(3) == 1.0)
+    assert(rp.getDouble(4) == 1.0 && rp.getDouble(5) == 1.0)
+    // full independence: mi = 0, nmi = 0
+    val ind = Seq(("a", "1"), ("a", "2"), ("b", "1"), ("b", "2"))
+      .toDF("x", "y")
+    val ri = operators.Profile.mutualInformation(ind, "x", "y")
+      .collect().head
+    assert(ri.getDouble(2) == 0.0 && ri.getDouble(5) == 0.0)
+    // constant y: h_y = 0 -> NULL nmi (nothing to normalize by)
+    val c = Seq(("a", "1"), ("b", "1")).toDF("x", "y")
+    val rc = operators.Profile.mutualInformation(c, "x", "y").collect().head
+    assert(rc.getDouble(2) == 0.0 && rc.getDouble(4) == 0.0 && rc.isNullAt(5))
+    // (a,1)x2 + (b,2): mi = 2/3*log2(3/2) + 1/3*log2(3) = 0.918296,
+    // equal to both marginal entropies -> nmi = 1
+    val m = Seq(("a", "1"), ("a", "1"), ("b", "2")).toDF("x", "y")
+    val rm = operators.Profile.mutualInformation(m, "x", "y").collect().head
+    assert(rm.getDouble(2) == 0.918296 && rm.getDouble(3) == 0.918296)
+    assert(rm.getDouble(5) == 1.0)
+  }
+
+  test("jsDivergenceDrift: zero on identical, 1 bit on disjoint, " +
+      "hand value between") {
+    val ref = Seq(("g", 0.05), ("g", 0.05)).toDF("g", "s")
+    // identical distributions -> jsd = 0
+    val same = operators.Profile.jsDivergenceDrift(ref, ref, "g", "s")
+      .collect().head
+    assert(same.getDouble(3) == 0.0)
+    // disjoint buckets -> jsd = 1 (the log2 upper bound)
+    val far = Seq(("g", 0.95), ("g", 0.95)).toDF("g", "s")
+    assert(operators.Profile.jsDivergenceDrift(ref, far, "g", "s")
+      .collect().head.getDouble(3) == 1.0)
+    // p=(1,0) vs q=(1/2,1/2): jsd = 0.5*log2(4/3) + 0.25*log2(2/3)
+    //   + 0.25*log2(2) = 0.311278 (terms rounded to 9 at birth)
+    val half = Seq(("g", 0.05), ("g", 0.15)).toDF("g", "s")
+    assert(operators.Profile.jsDivergenceDrift(ref, half, "g", "s")
+      .collect().head.getDouble(3) == 0.311278)
+    // a group present in only one snapshot is dropped
+    val other = Seq(("h", 0.5)).toDF("g", "s")
+    assert(operators.Profile.jsDivergenceDrift(ref, other, "g", "s")
+      .count() == 0)
+  }
 }

@@ -334,4 +334,45 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getDouble(2))
     assert(eq.forall(_ == 0.333333))
   }
+
+  test("unimaxBudget: hand-computed waterfill — capped, uncapped, and " +
+      "budget-exceeds-capacity") {
+    def run(rows: Seq[(String, Long)], e: Long, num: Long, den: Long) =
+      Sampling.unimaxBudget(rows.toDF("g", "u"), "g", col("u"),
+          budgetNum = num, budgetDen = den, maxEpochs = e)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getBoolean(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+    // units 10/20/70, E=1, B = 100*4/5 = 80: a and b capped at their
+    // full capacity, c truncated to the 50-token remainder
+    val r = run(Seq(("a", 10L), ("b", 20L), ("c", 70L)), 1L, 4L, 5L)
+    assert(r("a") == ((10L, true, 10.0, 1.0)))
+    assert(r("b") == ((20L, true, 20.0, 1.0)))
+    assert(r("c") == ((70L, false, 50.0, 0.714286)))
+    // budget past total capacity: everyone capped at maxEpochs
+    val all = run(Seq(("a", 10L), ("b", 10L)), 2L, 5L, 1L)
+    assert(all("a") == ((20L, true, 20.0, 2.0)))
+    assert(all("b") == ((20L, true, 20.0, 2.0)))
+    // tiny budget: nobody capped, equal shares
+    val none = run(Seq(("a", 10L), ("b", 30L)), 1L, 1L, 4L)
+    assert(none("a") == ((10L, false, 5.0, 0.5)))
+    assert(none("b") == ((30L, false, 5.0, 0.166667)))
+  }
+
+  test("neymanAllocation: allocation tracks N_h*sigma_h; constant " +
+      "strata get zero; all-constant reports NULL") {
+    // A={1,3}: sigma 1, w 2; B={1,5}: sigma 2, w 4; C={7,7}: w 0
+    val d = Seq(("A", 1L), ("A", 3L), ("B", 1L), ("B", 5L),
+      ("C", 7L), ("C", 7L)).toDF("g", "v")
+    val r = Sampling.neymanAllocation(d, "g", "v", sampleSize = 6L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(4)))).toMap
+    assert(r("A") == ((2L, 1.0, 2.0)))
+    assert(r("B") == ((2L, 2.0, 4.0)))
+    assert(r("C") == ((2L, 0.0, 0.0)))
+    // every stratum constant: sum of weights 0 -> NULL allocs, loudly
+    val flat = Seq(("A", 5L), ("A", 5L)).toDF("g", "v")
+    assert(Sampling.neymanAllocation(flat, "g", "v", 10L)
+      .collect().head.isNullAt(4))
+  }
 }
