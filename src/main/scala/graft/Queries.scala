@@ -1359,6 +1359,39 @@ object Queries {
              |FROM events GROUP BY 1, 2""".stripMargin)
     )),
 
+    // Hourly-arrival autocorrelation at lags 1..6 — the seasonality
+    // probe on the events stream: r_k over the COMPLETED hour grid
+    // (missing hours are true zero counts). Multiplying the deviations
+    // through by n keeps every product exact int64/decimal; one IEEE
+    // division per lag. The grid is calendar-sized (720 hours here),
+    // never data-sized.
+    "q_autocorrelation" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.autocorrelation(Tables.events(s, dir), "ts",
+          maxLag = 6),
+      Some("""WITH c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hid,
+             |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(hid) AS h0, max(hid) AS h1 FROM c),
+             |grid AS (SELECT gs.hid, COALESCE(c.c, 0) AS x
+             |  FROM (SELECT unnest(generate_series(h0, h1)) AS hid FROM b) gs
+             |  LEFT JOIN c USING (hid)),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS s FROM grid),
+             |dev AS (SELECT hid, n * x - s AS d, n FROM grid CROSS JOIN st),
+             |den AS (SELECT sum(CAST(d AS HUGEINT) * d) AS den, max(n) AS n
+             |  FROM dev),
+             |lags AS (SELECT unnest(generate_series(1, 6)) AS lag),
+             |num AS (SELECT lag, sum(CAST(a.d AS HUGEINT) * b2.d) AS num
+             |  FROM dev a CROSS JOIN lags
+             |  JOIN dev b2 ON b2.hid = a.hid + lag
+             |  GROUP BY 1)
+             |SELECT lag, n AS n_hours,
+             |  CASE WHEN den > 0
+             |    THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+             |  END AS r
+             |FROM num CROSS JOIN den""".stripMargin)
+    )),
+
     // Dense hourly grid per user with forward fill: buckets with no
     // events inherit the last observed hour's sum (decimal-exact so
     // the filled doubles hash identically). is_gap marks synthesized
@@ -2022,6 +2055,43 @@ object Queries {
            |  / CAST(1000 * ntok * nchars AS DOUBLE) AS score
            |FROM c""".stripMargin
       }
+    )),
+
+    // Flesch reading ease + Flesch-Kincaid grade per document — the
+    // classic readability gate a curation pipeline thresholds on.
+    // Vowel-run syllables (the standard heuristic, floored at 1 per
+    // word), sentence split on [.!?]+ floored at 1 (the fixtures carry
+    // no punctuation, so every doc reads as one sentence — the
+    // syllable/word dimensions still vary per doc); all map-side
+    // array arithmetic, zero exchanges.
+    "q_readability" -> ((
+      (s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.readability(col("text")).as("r"))
+          .select(col("doc_id"), col("r.n_words"), col("r.n_sentences"),
+            col("r.n_syllables"), col("r.fre"), col("r.fk_grade")),
+      Some("""WITH c AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      w -> len(w) > 0)) AS BIGINT) AS n_words,
+             |    greatest(1, CAST(len(list_filter(
+             |      string_split_regex(text, '[.!?]+'),
+             |      s -> len(trim(s)) > 0)) AS BIGINT)) AS n_sentences,
+             |    CAST(list_sum([CASE WHEN len(w) > 0 THEN greatest(1,
+             |        len(regexp_extract_all(lower(w), '[aeiouy]+')))
+             |      ELSE 0 END FOR w IN string_split(text, ' ')]) AS BIGINT)
+             |      AS n_syllables
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  CASE WHEN n_words > 0 THEN round(206.835
+             |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             |    6) END AS fre,
+             |  CASE WHEN n_words > 0 THEN round(
+             |    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             |    - 15.59, 6) END AS fk_grade
+             |FROM c""".stripMargin)
     )),
 
     "q_clean_text" -> ((
@@ -4205,6 +4275,30 @@ object Queries {
              |  round(CAST(emd_num AS DOUBLE) / CAST((m_vals - 1) * n_g * n_total AS DOUBLE), 6) AS emd,
              |  CAST(emd_num AS DOUBLE) / CAST((m_vals - 1) * n_g * n_total AS DOUBLE) <= 0.2 AS meets_t
              |FROM e""".stripMargin)
+    )),
+
+    // Laplace-mechanism DP release of per-source counts (eps = 1,
+    // sensitivity 1) — the fourth privacy operator: k-anon suppresses,
+    // l-div/t-closeness audit, this one PUBLISHES. The inverse-CDF
+    // noise draws from the salted group hash so the release replays
+    // under the gate — the NAMED caveat in Privacy.laplaceCounts:
+    // production swaps the seed for secret randomness, the mechanism
+    // arithmetic is the deployable path.
+    "q_dp_counts" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Privacy.laplaceCounts(Tables.documents(s, dir),
+          "source", epsilon = 1.0),
+      Some("""WITH c AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1),
+             |u AS (SELECT g, n,
+             |    (CAST(CAST('0x' || substr(md5('dp_' || g), 1, 8) AS BIGINT)
+             |       AS DOUBLE) + 0.5) / 4294967296.0 AS u
+             |  FROM c)
+             |SELECT g AS source, CAST(1.0 AS DOUBLE) AS epsilon,
+             |  round(CAST(n AS DOUBLE) + round(-1.0
+             |    * (CASE WHEN u - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+             |    * ln(1.0 - 2.0 * abs(u - 0.5)), 9), 6) AS released
+             |FROM u""".stripMargin)
     )),
 
     // The streaming form of the domain cap under the hard gate: replay
@@ -7183,6 +7277,52 @@ object Queries {
              |    / CAST(count(*) * sum(CAST(x AS HUGEINT)) AS DOUBLE), 6)
              |    AS gini
              |FROM rk""".stripMargin)
+    )),
+
+    // Theil T on per-document token counts with the exact
+    // between/within decomposition by source — Gini's additive sibling
+    // answers WHERE the inequality lives (cross-source skew vs inside
+    // each source) in one row. The row-shaped x*ln(x) sum birth-rounds
+    // to 9 and accumulates as exact DECIMAL(28,9) (order-free, the
+    // calibration trick); the per-group ln terms fold in group order.
+    "q_theil_index" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.theilIndex(
+          Tables.documents(s, dir)
+            .select(col("source"),
+              size(split(col("text"), " ")).cast("long").as("v")),
+          "v", "source"),
+      Some("""WITH b AS (SELECT source AS g,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+             |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+             |per AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             |    sum(CAST(v AS HUGEINT)) AS sg,
+             |    sum(CAST(round(CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE)), 9)
+             |      AS DECIMAL(28,9))) AS lg
+             |  FROM b GROUP BY 1),
+             |t AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS n_groups,
+             |    sum(sg) AS s, sum(lg) AS l FROM per),
+             |f AS (SELECT n, n_groups, s,
+             |    CAST(l AS DOUBLE) / CAST(s AS DOUBLE)
+             |      - ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS theil0,
+             |    list_sum([x.t FOR x IN list({'g': per.g, 't': round(
+             |      (CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+             |      * ln(CAST(sg AS DOUBLE) * CAST(n AS DOUBLE)
+             |          / (CAST(ng AS DOUBLE) * CAST(s AS DOUBLE))), 9)}
+             |      ORDER BY per.g)]) AS between0,
+             |    list_sum([x.t FOR x IN list({'g': per.g, 't': round(
+             |      (CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+             |      * (CAST(lg AS DOUBLE) / CAST(sg AS DOUBLE)
+             |         - ln(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))), 9)}
+             |      ORDER BY per.g)]) AS within0
+             |  FROM per CROSS JOIN t
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT n, n_groups,
+             |  CASE WHEN s > 0 THEN round(theil0, 6) END AS theil,
+             |  CASE WHEN s > 0 THEN round(between0, 6) END AS t_between,
+             |  CASE WHEN s > 0 THEN round(within0, 6) END AS t_within
+             |FROM f""".stripMargin)
     )),
 
     // Rank correlation (Spearman under the (value, id) total order —

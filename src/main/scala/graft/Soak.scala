@@ -1013,6 +1013,24 @@ object Soak {
               .as("s"))
         Profile.jsDivergenceDrift(ref, cur, "source", "s")
       },
+      run("readability") {
+        // per-doc Flesch scores at 10x: one zero-exchange projection
+        docs10.select(col("doc_id"),
+          graft.functions.TextAnalysis.readability(col("text")).as("r"))
+          .select(col("doc_id"), col("r.fre"), col("r.fk_grade"))
+      },
+      run("theil_index") {
+        // between/within decomposition at 10x: one group aggregate
+        // with the order-free decimal x*ln(x) sum, a k-row fold
+        Profile.theilIndex(docs10.select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("v")),
+          "v", "source")
+      },
+      run("dp_counts") {
+        // the Laplace release at 10x: one count aggregate, map-side
+        // noise — groups never reshuffle
+        Privacy.laplaceCounts(docs10, "source", epsilon = 1.0)
+      },
       run("cohens_d") {
         // parametric effect size at 10x: ONE scan-level aggregate of
         // exact decimal sums — the cheapest row in the family

@@ -73,6 +73,48 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Flesch readability counts and scores as one map-side struct:
+    * (n_words, n_sentences, n_syllables, fre, fk_grade) — the classic
+    * corpus-quality signal a curation pipeline thresholds on (Flesch
+    * 1948 reading ease, Kincaid et al. 1975 grade level; both closed
+    * forms over three counts, the constants pinned from the papers —
+    * the 1.959964 class). Words split on single spaces (the house
+    * tokenization); sentences split on [.!?]+ runs, blank segments
+    * dropped, floored at 1 so punctuation-free corpora (this repo's
+    * fixtures) read as one sentence per document rather than dividing
+    * by zero; syllables per word = vowel-group runs ([aeiouy]+ on the
+    * lowercased word), floored at 1 — the standard heuristic, NAMED
+    * approximation (true syllabification needs a dictionary; vowel
+    * runs are within ~10% on English and deterministic everywhere).
+    * Empty text (zero words) yields NULL scores.
+    *
+    * Everything is per-row array arithmetic in one projection — zero
+    * exchanges, codegen-safe, mirrored verbatim in the SQL oracles. */
+  def readability(text: Column): Column = {
+    val ws = split(text, " ")
+    val nWords = size(filter(ws, w => length(w) > 0)).cast("long")
+    val nSents = greatest(lit(1L),
+      size(filter(split(text, "[.!?]+"), s => length(trim(s)) > 0))
+        .cast("long"))
+    val nSyll = aggregate(ws,
+      lit(0L), (acc, w) => acc + when(length(w) > 0,
+        greatest(lit(1),
+          size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))))
+          .cast("long")).otherwise(0L))
+    val wps = nWords.cast("double") / nSents.cast("double")
+    val spw = nSyll.cast("double") / nWords.cast("double")
+    struct(
+      nWords.as("n_words"),
+      nSents.as("n_sentences"),
+      nSyll.as("n_syllables"),
+      when(nWords > 0,
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6))
+        .otherwise(lit(null).cast("double")).as("fre"),
+      when(nWords > 0,
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6))
+        .otherwise(lit(null).cast("double")).as("fk_grade"))
+  }
+
   /** A BPE-ish sub-word count: words are split at letter/digit
     * boundaries and long words count as ceil(len/4) units — a cheap,
     * deterministic proxy for a real tokenizer's token count. */

@@ -146,4 +146,41 @@ object Privacy {
         round(col("emd0"), 6).as("emd") :+
         (col("emd0") <= t).as("meets_t")): _*)
   }
+
+  /** ε-differentially-private count release via the Laplace mechanism
+    * (Dwork et al. 2006): per-group count + Lap(1/ε) noise — the
+    * standard way a pipeline publishes per-source/per-language corpus
+    * statistics without certifying any individual document's presence
+    * (count queries have sensitivity 1, so scale b = 1/ε). Noise by
+    * inverse CDF: u ∈ (0,1) from the salted 32-bit hash of the group
+    * key, noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|).
+    *
+    * NAMED CAVEAT — this is the MECHANISM with a REPLAYABLE seed: the
+    * hash-derived u makes the release deterministic so the oracle gate
+    * can verify the arithmetic, but real DP requires fresh secret
+    * randomness (a replayable seed leaks everything to anyone holding
+    * the salt). Production swaps [[Sampling.hash32]] for a secure RNG;
+    * everything else — sensitivity, scale, inverse CDF — is the
+    * deployable code path.
+    *
+    * Determinism: u = (h + ½)/2³² is exact (h < 2³², never 0 or 1);
+    * the single ln birth-rounds the noise to 9; released rounds 6.
+    * One group-keyed count aggregate, noise map-side — groups never
+    * re-shuffle. */
+  def laplaceCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                    salt: String = "dp_"): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val u = (Sampling.hash32(col("g"), salt).cast("double") + 0.5) /
+      lit(4294967296.0)
+    val c = u - 0.5
+    val noise = round(lit(-1.0 / epsilon) *
+      when(c >= 0, 1.0).otherwise(-1.0) *
+      log(lit(1.0) - lit(2.0) * abs(c)), 9)
+    df.select(col(groupCol).cast("string").as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .select(col("g").as(groupCol),
+        lit(epsilon).as("epsilon"),
+        round(col("n").cast("double") + noise, 6).as("released"))
+  }
 }

@@ -899,6 +899,121 @@ object Profile {
         .otherwise(lit(null).cast("double")).as("h"))
   }
 
+  /** Theil T inequality index over a POSITIVE int64 measure with the
+    * exact between/within-group decomposition — [[giniIndex]]'s
+    * additive sibling (Gini says HOW concentrated; Theil says WHERE:
+    * T = T_between + Σ_g s_g·T_g, so "is the token-count inequality a
+    * cross-source story or inside each source?" is one row):
+    * T = (Σ x·ln x)/S − ln(S/n), T_b = Σ_g (S_g/S)·ln(S_g·n/(n_g·S)),
+    * T_w = Σ_g (S_g/S)·((L_g/S_g) − ln(S_g/n_g)). ONE row out:
+    * (n, n_groups, theil, t_between, t_within) — prefixed names keep
+    * the SQL oracle clear of the BETWEEN keyword; spec checks the
+    * identity.
+    *
+    * Determinism: counts and value sums exact decimal(38,0); the only
+    * row-shaped double sum, Σ x·ln x, birth-rounds each x·ln(x) to 9
+    * and accumulates as DECIMAL(28,9) — exact and ORDER-FREE (the
+    * calibration trick, lifting the bounded-fold requirement off the
+    * hot path); the ≤k per-group terms round 9 at birth and fold in
+    * group-key order; outputs round 6. Zero/negative values are
+    * DROPPED (Theil is undefined there — the named convention;
+    * n counts kept rows only).
+    *
+    * Scale shape: one group-keyed aggregate with map-side partials, a
+    * k-struct fold, a 1-row result. NAMED BOUND: x·ln(x) must fit
+    * DECIMAL(28,9)'s 19 integer digits — safe to x ~ 4·10¹⁷. */
+  def theilIndex(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    val base = df.select(col(valueCol).cast("long").as("v"),
+        col(groupCol).cast("string").as("g"))
+      .filter(col("v").isNotNull && col("v") > 0 && col("g").isNotNull)
+    val per = base.groupBy("g").agg(
+      count(lit(1)).as("ng"),
+      sum(col("v").cast("decimal(38,0)")).as("sg"),
+      sum(round(col("v").cast("double") * log(col("v").cast("double")), 9)
+        .cast("decimal(28,9)")).as("lg"))
+    val folded = per.agg(
+      sum(col("ng")).as("n"), count(lit(1)).as("n_groups"),
+      sum(col("sg")).as("s"), sum(col("lg")).as("l"),
+      sort_array(collect_list(struct(col("g"), col("ng"), col("sg"),
+        col("lg")))).as("gs"))
+    val sD = "cast(s as double)"
+    val nD = "cast(n as double)"
+    folded.select(col("n"), col("n_groups"),
+      when(col("s") > 0, round(
+        col("l").cast("double") / col("s").cast("double") -
+          log(col("s").cast("double") / col("n").cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("theil"),
+      when(col("s") > 0, round(expr(
+        s"""aggregate(gs, cast(0 as double), (acc, x) -> acc + round(
+           |  (cast(x.sg as double) / $sD)
+           |  * ln(cast(x.sg as double) * $nD
+           |      / (cast(x.ng as double) * $sD)), 9))""".stripMargin), 6))
+        .otherwise(lit(null).cast("double")).as("t_between"),
+      when(col("s") > 0, round(expr(
+        s"""aggregate(gs, cast(0 as double), (acc, x) -> acc + round(
+           |  (cast(x.sg as double) / $sD)
+           |  * (cast(x.lg as double) / cast(x.sg as double)
+           |     - ln(cast(x.sg as double) / cast(x.ng as double))), 9))
+           |""".stripMargin), 6))
+        .otherwise(lit(null).cast("double")).as("t_within"))
+  }
+
+  /** Sample autocorrelation of the hourly event-count series at lags
+    * 1..maxLag — the seasonality probe over the `events` stream (a
+    * daily cycle shows as r₂₄ ≫ r₁-noise; a flat ACF says hourly
+    * arrivals are memoryless, so downstream samplers may treat hours
+    * as exchangeable): r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)² over the
+    * COMPLETED hour grid [min, max] (missing hours are true zero
+    * counts, not gaps — the calendar is the population). One row per
+    * lag: (lag, n_hours, r).
+    *
+    * Determinism: multiply through by n² — dev_t = n·x_t − S is an
+    * exact int64 and both Σdev_a·dev_b and Σdev² accumulate as
+    * decimal(38,0); r_k is ONE IEEE division, round 6. Zero variance
+    * (constant series) reports NULL r.
+    *
+    * Scale shape: one hour-keyed count aggregate (map-side partials —
+    * the only row-scaled step), then everything runs on the hour GRID:
+    * sequence-exploded from a 1-row min/max, broadcast-joined to
+    * counts and to itself at +k. NAMED BOUND: the grid is
+    * hours-in-range (720 here, ~9·10⁴ for a decade) — calendar-sized,
+    * never data-sized; n·x must stay below 2⁶³ (hours × per-hour
+    * count ~ 10¹⁹ only past ~10¹⁴ events/hour). */
+  def autocorrelation(df: DataFrame, tsCol: String, maxLag: Int)
+      : DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val counts = df.select(expr(s"unix_timestamp($tsCol) div 3600")
+        .as("hid"))
+      .filter(col("hid").isNotNull)
+      .groupBy("hid").agg(count(lit(1)).as("c"))
+    val bounds = counts.agg(min(col("hid")).as("h0"), max(col("hid")).as("h1"))
+    val grid = bounds
+      .select(explode(sequence(col("h0"), col("h1"))).as("hid"))
+      .join(counts, Seq("hid"), "left")
+      .select(col("hid"), coalesce(col("c"), lit(0L)).as("x"))
+    val stats = grid.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val dev = grid.crossJoin(broadcast(stats))
+      .select(col("hid"), (col("n") * col("x") - col("s")).as("d"),
+        col("n"))
+    val den = dev.agg(
+      sum(col("d").cast("decimal(38,0)") * col("d")).as("den"),
+      max(col("n")).as("n"))
+    val lags = broadcast(df.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag")))
+    val num = dev.crossJoin(lags)
+      .select((col("hid") + col("lag")).as("hid"), col("lag"),
+        col("d").as("da"))
+      .join(broadcast(dev.select(col("hid"), col("d").as("db"))), "hid")
+      .groupBy("lag")
+      .agg(sum(col("da").cast("decimal(38,0)") * col("db")).as("num"))
+    num.crossJoin(broadcast(den))
+      .select(col("lag"), col("n").as("n_hours"),
+        when(col("den") > 0,
+          round(col("num").cast("double") / col("den").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("r"))
+  }
+
   /** Benford's-law first-digit test over a positive int64 measure —
     * the classic fabricated-/truncated-data smell test for warehouse
     * profiling: observed first-significant-digit counts vs the Benford

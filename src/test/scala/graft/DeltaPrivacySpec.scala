@@ -104,4 +104,21 @@ class DeltaPrivacySpec extends SparkSpec {
     assert(math.abs(out("B").getDouble(2) - 0.333333) < 1e-6)
     assert(out("B").getBoolean(3))
   }
+
+  test("laplaceCounts: replayable inverse-CDF Laplace release at " +
+      "python-derived constants; deterministic across runs") {
+    val df = Seq("a", "a", "a", "b").toDF("g")
+    def run() = Privacy.laplaceCounts(df, "g", epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val out = run()
+    // md5("dp_a")[0:8] -> u -> noise: 3 + (-0.365731...) = 2.634269;
+    // md5("dp_b") draws the negative branch: 1 - 1.088454
+    assert(out("a") == 2.634269, s"got ${out("a")}")
+    assert(out("b") == -0.088454, s"got ${out("b")}")
+    assert(run() == out) // the seed is the point: replayable release
+    // scale: eps=0.5 doubles the noise magnitude exactly
+    val wide = Privacy.laplaceCounts(df, "g", epsilon = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs((wide("a") - 3.0) - 2.0 * (out("a") - 3.0)) < 2e-6)
+  }
 }

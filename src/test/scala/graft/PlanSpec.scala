@@ -354,13 +354,21 @@ class PlanSpec extends SparkSpec {
         "q_mad_outliers" -> 10, "q_mann_whitney" -> 8, "q_ks_lengths" -> 8,
         "q_cliffs_delta" -> 8, "q_drift_jsd" -> 8, "q_cohens_d" -> 2,
         "q_mutual_information" -> 8, "q_brier_decomposition" -> 4,
-        "q_neyman_allocation" -> 4)) {
+        "q_neyman_allocation" -> 4, "q_theil_index" -> 4,
+        "q_dp_counts" -> 2, "q_autocorrelation" -> 12)) {
       val p = plan(q)
       assertNoCartesian(p, q)
       assert(!p.contains("WindowExec"), // rankedPrefixSums, never a
         s"$q plans a window — the rank machinery broke:\n$p") // global sort window
       assert(exchanges(p) <= bound, s"$q exchange growth:\n$p")
     }
+  }
+
+  test("q_readability: one zero-exchange projection") {
+    val p = plan("q_readability")
+    assertNoCartesian(p, "q_readability")
+    assert(exchanges(p) == 0, s"readability must stay map-side:\n$p")
+    assert(!p.contains("WindowExec"), s"q_readability window:\n$p")
   }
 
   test("q_kendall_tau: grid join is broadcast nested-loop, no window, " +

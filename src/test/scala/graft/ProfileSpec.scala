@@ -453,6 +453,55 @@ class ProfileSpec extends SparkSpec {
     assert(rm.getDouble(5) == 1.0)
   }
 
+  test("theilIndex: hand-computed T with exact between/within " +
+      "decomposition; identity holds") {
+    // A={1,1}, B={2}: all inequality is BETWEEN groups -> within = 0
+    val d = Seq(("A", 1L), ("A", 1L), ("B", 2L)).toDF("g", "v")
+    val r = operators.Profile.theilIndex(d, "v", "g").collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.058892)   // theil
+    assert(r.getDouble(3) == 0.058892)   // between
+    assert(r.getDouble(4) == 0.0)        // within
+    // perfectly equal corpus: T = 0 everywhere
+    val eq = Seq(("A", 5L), ("A", 5L), ("B", 5L)).toDF("g", "v")
+    val re = operators.Profile.theilIndex(eq, "v", "g").collect().head
+    assert(re.getDouble(2) == 0.0 && re.getDouble(3) == 0.0 &&
+      re.getDouble(4) == 0.0)
+    // zero/negative values are dropped by the named convention
+    val z = Seq(("A", 0L), ("A", 2L), ("B", 2L)).toDF("g", "v")
+    assert(operators.Profile.theilIndex(z, "v", "g")
+      .collect().head.getLong(0) == 2)
+    // identity theil = between + within on a mixed case
+    val m = Seq(("A", 1L), ("A", 3L), ("B", 2L), ("B", 6L)).toDF("g", "v")
+    val rm = operators.Profile.theilIndex(m, "v", "g").collect().head
+    assert(math.abs(rm.getDouble(2) - (rm.getDouble(3) + rm.getDouble(4)))
+      < 1e-5, s"identity: $rm")
+  }
+
+  test("autocorrelation: hand-computed lags; missing hours are zeros; " +
+      "constant series NULL") {
+    import org.apache.spark.sql.functions.expr
+    def ts(secs: Seq[Long]) = secs.toDF("s")
+      .select(expr("timestamp_seconds(s)").as("ts"))
+    // hourly counts [1,2,1,2]: dev = [-2,2,-2,2], den 16 ->
+    // r1 = -12/16, r2 = 8/16
+    val d = ts(Seq(0L, 3600L, 3601L, 7200L, 10800L, 10801L))
+    val r = operators.Profile.autocorrelation(d, "ts", maxLag = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 4 && r(1L).getDouble(2) == -0.75)
+    assert(r(2L).getDouble(2) == 0.5)
+    // a missing middle hour is a TRUE ZERO count: [1,0,1] ->
+    // r1 = -4/6, r2 = 1/6
+    val g = ts(Seq(0L, 7200L))
+    val rg = operators.Profile.autocorrelation(g, "ts", maxLag = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(rg(1L) == -0.666667 && rg(2L) == 0.166667)
+    // constant series: zero variance -> NULL r, loudly not NaN
+    val c = ts(Seq(0L, 3600L, 7200L))
+    assert(operators.Profile.autocorrelation(c, "ts", maxLag = 1)
+      .collect().head.isNullAt(2))
+  }
+
   test("jsDivergenceDrift: zero on identical, 1 bit on disjoint, " +
       "hand value between") {
     val ref = Seq(("g", 0.05), ("g", 0.05)).toDF("g", "s")

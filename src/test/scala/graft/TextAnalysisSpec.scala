@@ -214,4 +214,32 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("readability: hand-computed Flesch scores; sentence and " +
+      "syllable floors; empty text NULL") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "hello world."),          // 2 words, 1 sentence, 3 syllables
+      (2L, "go now. stop here. ok"), // 5 words, 3 sentences, 6 syllables
+      (3L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.readability(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.n_sentences"),
+        col("r.n_syllables"), col("r.fre"), col("r.fk_grade"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val one = out(1L)
+    assert(one.getLong(1) == 2 && one.getLong(2) == 1 && one.getLong(3) == 3)
+    assert(one.getDouble(4) == 77.905 && one.getDouble(5) == 2.89)
+    val two = out(2L)
+    assert(two.getLong(1) == 5 && two.getLong(2) == 3 && two.getLong(3) == 6)
+    assert(two.getDouble(4) == 103.623333 && two.getDouble(5) == -0.78)
+    // zero words: counts zero (sentence floor still 1), NULL scores
+    val z = out(3L)
+    assert(z.getLong(1) == 0 && z.isNullAt(4) && z.isNullAt(5))
+    // a vowel-free token still counts one syllable
+    val v = df.sparkSession.sql("SELECT 'xyz pfft' AS text")
+      .select(TextAnalysis.readability(col("text")).as("r"))
+      .select(col("r.n_syllables")).collect().head.getLong(0)
+    assert(v == 2)
+  }
 }
