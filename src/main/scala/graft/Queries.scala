@@ -1291,6 +1291,38 @@ object Queries {
              |FROM lineitem GROUP BY 1""".stripMargin)
     )),
 
+    // KMV distinct sketch on the SAME column as q_approx_distinct
+    // (l_orderkey) — the exactly-replayable, mergeable alternative
+    // beside HLL (whose raw estimate can only be bound-checked): both
+    // engines replay the identical hash, the identical k-smallest
+    // cut, and the identical division, so the ESTIMATE ITSELF
+    // hash-matches. ~15k/147k distinct keys at the fixture scales
+    // keep the estimator on its real path (never the below-k
+    // degenerate branch); within_bound documents the sketch is
+    // healthy (3 sigma of the 1/sqrt(k-2) relative error).
+    "q_kmv_distinct" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Sketches.kmvDistinct(
+          Tables.lineitem(s, dir).select(col("l_orderkey")),
+          "l_orderkey", k = 256),
+      Some("""WITH h AS (SELECT DISTINCT
+             |    CAST('0x' || substr(md5('kmv_' || CAST(l_orderkey AS VARCHAR)), 1, 8)
+             |      AS BIGINT) AS h
+             |  FROM lineitem),
+             |e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h),
+             |k AS (SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS n_in
+             |  FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
+             |f AS (SELECT n_exact, kth_hash,
+             |    CASE WHEN n_in < 256 THEN CAST(n_exact AS DOUBLE)
+             |      ELSE 255.0 * 4294967296.0 / CAST(kth_hash AS DOUBLE)
+             |    END AS est0
+             |  FROM k CROSS JOIN e)
+             |SELECT 256 AS k, n_exact, kth_hash, round(est0, 6) AS est,
+             |  abs(est0 - CAST(n_exact AS DOUBLE))
+             |    <= 3.0 * CAST(n_exact AS DOUBLE) / sqrt(256.0) AS within_bound
+             |FROM f""".stripMargin)
+    )),
+
     // Mergeable quantile sketch (percentile_approx = KLL-style, the
     // distributed one-pass path). Like q_approx_distinct the sketch
     // VALUE is engine-specific, but its rank-error contract is not:
@@ -8382,6 +8414,46 @@ object Queries {
              |    1, 8) AS BIGINT) % 1024 AS bucket,
              |  CAST(count(*) AS BIGINT) AS cnt
              |FROM wb, rws GROUP BY 1, 2, 3""".stripMargin)
+    )),
+
+    // STREAMING KMV — the thirteenth direct streaming row, second to
+    // gate a SKETCH: distinct user ids replay in ascending order
+    // through the REAL flatMapGroupsWithState operator (bounded k-long
+    // state, map-side pre-cut), emitting the running estimate after
+    // every micro-batch; the oracle replays each prefix's k-smallest
+    // cut and division in SQL. The sf0.01 slice crosses the below-k
+    // exact branch INTO the estimator branch mid-replay (prefixes
+    // 30/60 < k=64 < 90/120/150), so both paths sit under the gate.
+    "q_stream_kmv" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStreams.replayKmv(
+          Tables.events(s, dir), "user_id", k = 64, chunks = 5),
+      Some("""WITH v AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS v
+             |  FROM events),
+             |c AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / 5) AS BIGINT)
+             |    AS chunk FROM v),
+             |r AS (SELECT
+             |    CAST('0x' || substr(md5('kmv_' || CAST(v AS VARCHAR)), 1, 8)
+             |      AS BIGINT) AS h,
+             |    (CAST(row_number() OVER (ORDER BY v) AS BIGINT) - 1) // chunk
+             |      AS b
+             |  FROM v CROSS JOIN c),
+             |ords AS (SELECT DISTINCT b FROM r),
+             |pre AS (SELECT o.b, r2.h FROM ords o JOIN r r2 ON r2.b <= o.b),
+             |rk AS (SELECT b, h,
+             |    CAST(row_number() OVER (PARTITION BY b ORDER BY h) AS BIGINT)
+             |      AS rn,
+             |    CAST(count(*) OVER (PARTITION BY b) AS BIGINT) AS n
+             |  FROM pre),
+             |agg AS (SELECT b, max(n) AS n_pre,
+             |    max(CASE WHEN rn = least(n, 64) THEN h END) AS kth
+             |  FROM rk GROUP BY 1)
+             |SELECT CAST(b + 1 AS INTEGER) AS ord,
+             |  least(n_pre, 64) AS n_state, kth AS kth_hash,
+             |  CASE WHEN n_pre < 64 THEN CAST(n_pre AS DOUBLE)
+             |    ELSE round(63.0 * 4294967296.0 / CAST(kth AS DOUBLE), 6)
+             |  END AS est
+             |FROM agg""".stripMargin)
     )),
 
     // STREAMING drift gate — the fourth direct streaming correctness

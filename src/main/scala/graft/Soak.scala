@@ -1026,6 +1026,12 @@ object Soak {
           size(split(col("text"), " ")).cast("long").as("v")),
           "v", "source")
       },
+      run("kmv_distinct") {
+        // the mergeable distinct sketch at 10x: distinct-hash agg +
+        // one TakeOrdered cut — values never exchange
+        Sketches.kmvDistinct(docs10.select(col("doc_id")), "doc_id",
+          k = 256)
+      },
       run("dp_counts") {
         // the Laplace release at 10x: one count aggregate, map-side
         // noise — groups never reshuffle

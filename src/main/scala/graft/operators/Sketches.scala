@@ -59,4 +59,45 @@ object Sketches {
       .groupBy(col(termCol))
       .agg(min(col("cnt")).as("cms_est"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    * 2002 / Beyer et al. 2007) — the MERGEABLE, exactly-replayable
+    * alternative beside `approx_count_distinct`'s HLL: hash every
+    * value to u ∈ [0, 2³²), keep the k smallest distinct hashes,
+    * estimate D̂ = (k−1)·2³²/h₍ₖ₎. Union of two sketches = the k
+    * smallest of the concatenation — associative and map-side
+    * mergeable, which is the whole point at 100 TB: per-partition
+    * sketches reduce without ever exchanging values. Fewer than k
+    * distinct values means the sketch IS the exact set, so the
+    * estimate degrades to exact (the standard rule). ONE row out:
+    * (k, n_exact, kth_hash, est, within_bound) with within_bound =
+    * |est − exact| ≤ 3·exact/√k (the ±3σ band of the estimator's
+    * 1/√(k−2) relative error — a DETERMINISTIC statement here since
+    * the hash is fixed; it documents the sketch is healthy, not luck).
+    *
+    * Determinism: hashes are exact int64 [[Sampling.hash32]] draws;
+    * the k-th order statistic comes from a global TakeOrdered cut
+    * (never a full sort); the estimate is one IEEE division of exact
+    * integers, round 6. Both engines replay the identical hash, cut,
+    * and division. */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int = 256,
+                  salt: String = "kmv_"): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val hashes = df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .select(Sampling.hash32(col("v"), salt).as("h"))
+      .distinct()
+    val exact = hashes.agg(count(lit(1)).as("n_exact"))
+    val kth = hashes.orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("n_in"))
+    val est = when(col("n_in") < k, col("n_exact").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+        col("kth_hash").cast("double"))
+    kth.crossJoin(broadcast(exact))
+      .select(lit(k).as("k"), col("n_exact"), col("kth_hash"),
+        round(est, 6).as("est"),
+        (abs(est - col("n_exact").cast("double")) <=
+          lit(3.0) * col("n_exact").cast("double") /
+            lit(math.sqrt(k.toDouble))).as("within_bound"))
+  }
 }

@@ -608,6 +608,94 @@ object EventStreams {
 
   final case class TokEvent(ts: Timestamp, token: String)
 
+  final case class KmvState(ord: Int, mins: Array[Long])
+  final case class KmvEstimate(ord: Int, n_state: Long, kth_hash: Long,
+                               est: Double)
+
+  /** Streaming KMV distinct sketch — the streaming form of
+    * [[graft.operators.Sketches.kmvDistinct]]: keyed state is the k
+    * smallest distinct hashes seen so far (k fixed-width longs — the
+    * entire state, forever), and after every micro-batch the operator
+    * emits the running estimate (ord, n_state, kth_hash, est) with the
+    * batch formula D̂ = (k−1)·2³²/h₍ₖ₎ (exact count while fewer than k
+    * distinct hashes exist — the sketch IS the set). Rounding matches
+    * the batch/SQL round(·, 6) exactly (half-up on the shortest
+    * decimal representation — java.math.BigDecimal.valueOf semantics,
+    * which is what Spark's `round` does).
+    *
+    * Scale shape: each partition of each micro-batch forwards only its
+    * k smallest distinct hashes (the map-side pre-cut — KMV union is
+    * associative, so cutting early never changes the merged sketch);
+    * the single-group state task then receives O(k·partitions) longs
+    * per batch, never the data. The in-partition cut uses a set+sort
+    * (fine at k ≤ 4096; swap for a bounded heap if k grows). */
+  def kmvStream(values: DataFrame, valueCol: String, k: Int,
+                salt: String = "kmv_"): Dataset[KmvEstimate] = {
+    require(k >= 2, "k must be >= 2")
+    import values.sparkSession.implicits._
+    val hashes = values
+      .select(graft.operators.Sampling.hash32(col(valueCol), salt).as("h"))
+      .as[Long]
+      .mapPartitions(it => it.toSet.toArray.sorted.take(k).iterator)
+    hashes.groupByKey(_ => 0)
+      .flatMapGroupsWithState[KmvState, KmvEstimate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, batch: Iterator[Long], state: GroupState[KmvState]) =>
+          val prev = state.getOption.getOrElse(KmvState(0, Array.empty))
+          val merged = (prev.mins.toSet ++ batch).toArray.sorted.take(k)
+          val ord = prev.ord + 1
+          state.update(KmvState(ord, merged))
+          val n = merged.length.toLong
+          val kth = if (merged.isEmpty) 0L else merged.last
+          val est =
+            if (n < k) n.toDouble
+            else new java.math.BigDecimal(java.lang.Double.toString(
+                (k - 1).toDouble * 4294967296.0 / kth.toDouble))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+          Iterator.single(KmvEstimate(ord, n, kth, est))
+      }
+  }
+
+  /** Driver-gate replay harness for [[kmvStream]] (the THIRTEENTH
+    * direct streaming row, and the second that gates a SKETCH): the
+    * DISTINCT values of a bounded column slice, in ascending value
+    * order, are cut into `chunks` deterministic micro-batches and fed
+    * through the REAL flatMapGroupsWithState operator — so every
+    * emitted row is the running estimate after a known prefix, and the
+    * SQL oracle replays each prefix's k-smallest-hash cut and division
+    * exactly. A wrong merge, a lost hash, or a broken map-side pre-cut
+    * shifts some prefix's kth hash and hash-mismatches. The collect is
+    * the replay harness, not the operator. */
+  def replayKmv(df: DataFrame, valueCol: String, k: Int,
+                chunks: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .orderBy("v").as[Long].collect()
+    val chunk = math.max(1, math.ceil(vals.length.toDouble / chunks).toInt)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val sinkName = "graft_replay_kmv"
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = kmvStream(input.toDF().select(col("value").as("v")), "v", k)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try {
+      vals.grouped(chunk).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(sinkName)
+  }
+
   /** Driver-gate replay harness for [[windowedCountMin]] (the
     * [[replayScoreDistribution]] scheme): the bounded slice replays in
     * ascending ts order, one far-future sentinel token — fed twice,

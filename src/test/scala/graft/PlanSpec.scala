@@ -364,6 +364,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_kmv_distinct: the k-smallest cut is TakeOrdered, never a " +
+      "full sort") {
+    val p = plan("q_kmv_distinct")
+    assertNoCartesian(p, "q_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k-smallest must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("WindowExec"), s"q_kmv_distinct window:\n$p")
+  }
+
   test("q_readability: one zero-exchange projection") {
     val p = plan("q_readability")
     assertNoCartesian(p, "q_readability")

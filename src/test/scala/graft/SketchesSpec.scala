@@ -46,4 +46,23 @@ class SketchesSpec extends SparkSpec {
     assert(merged.orderBy("row", "bucket").collect().toSeq ==
       whole.orderBy("row", "bucket").collect().toSeq)
   }
+
+  test("kmvDistinct: exact below k, python-derived estimate at k=2, " +
+      "duplicates invisible") {
+    // fewer distinct values than k: the sketch IS the set -> exact
+    val small = (1 to 10).map(_.toString).toDF("v")
+    val rs = Sketches.kmvDistinct(small, "v", k = 256).collect().head
+    assert(rs.getLong(1) == 10 && rs.getDouble(3) == 10.0 &&
+      rs.getBoolean(4))
+    // k=2 over {a,b,c}: second-smallest md5("kmv_"||v) hash is
+    // 1722116737 -> est = 2^32/h2 = 2.494005
+    val d = Seq("a", "b", "c", "a", "c").toDF("v")
+    val r = Sketches.kmvDistinct(d, "v", k = 2).collect().head
+    assert(r.getLong(1) == 3 && r.getLong(2) == 1722116737L)
+    assert(r.getDouble(3) == 2.494005 && r.getBoolean(4))
+    // duplicates never move the sketch: same row as the dedup'd input
+    val r2 = Sketches.kmvDistinct(Seq("a", "b", "c").toDF("v"), "v", k = 2)
+      .collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
 }
