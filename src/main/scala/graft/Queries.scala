@@ -7289,6 +7289,42 @@ object Queries {
              |FROM d CROSS JOIN m2""".stripMargin)
     )),
 
+    // Exact 5%-trimmed and winsorized means of document lengths — the
+    // robust-location pair beside the MAD's robust spread: per-value
+    // interval clipping on the ranked cumulative counts (no row ranks
+    // individually, no quantile interpolation), decimal sums, one IEEE
+    // division each.
+    "q_trimmed_mean" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.trimmedMean(Tables.documents(s, dir), "n_chars",
+          trimNum = 5L, trimDen = 100L),
+      Some("""WITH cv AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+             |cm AS (SELECT v, c,
+             |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      AS cum FROM cv),
+             |t AS (SELECT max(cum) AS n FROM cm),
+             |b AS (SELECT cm.v, cm.c, cm.cum, t.n,
+             |    t.n * 5 // 100 AS lo, t.n - t.n * 5 // 100 AS hi
+             |  FROM cm CROSS JOIN t),
+             |a AS (SELECT max(n) AS n, max(lo) AS lo, max(hi) AS hi,
+             |    sum(CAST(v AS HUGEINT)
+             |      * greatest(0, least(cum, hi) - greatest(cum - c, lo)))
+             |      AS tsum,
+             |    min(CASE WHEN cum >= lo + 1 THEN v END) AS vlo,
+             |    min(CASE WHEN cum >= hi THEN v END) AS vhi
+             |  FROM b)
+             |SELECT n, hi - lo AS n_kept,
+             |  CASE WHEN hi > lo THEN
+             |    round(CAST(tsum AS DOUBLE) / CAST(hi - lo AS DOUBLE), 6)
+             |  END AS trimmed_mean,
+             |  CASE WHEN n > 0 THEN
+             |    round(CAST(tsum + CAST(lo AS HUGEINT) * (vlo + vhi) AS DOUBLE)
+             |      / CAST(n AS DOUBLE), 6)
+             |  END AS winsorized_mean
+             |FROM a""".stripMargin)
+    )),
+
     // Gini concentration of document lengths — the corpus-inequality
     // number beside the Zipf slope and Heaps curve: ranks from the
     // range-sliced machinery (never a global-sort window), every sum
@@ -8181,6 +8217,97 @@ object Queries {
            |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM und),
            |$rounds
            |SELECT id, lbl AS community FROM l4""".stripMargin
+      }
+    )),
+
+    // Degree assortativity of the SAME order-graph as
+    // q_label_propagation — "do hubs link to hubs?" as one exact
+    // Pearson-over-edges number. Every sum is exact decimal over int64
+    // degrees; one fixed IEEE composition, round 6.
+    "q_assortativity" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(13L)) < 2)
+          .select(pmod(col("o_custkey"), lit(300L)).as("src"),
+            pmod(col("o_orderkey"), lit(300L)).as("dst"))
+        operators.Graph.assortativity(e)
+      },
+      Some("""WITH raw AS (SELECT o_custkey % 300 AS s, o_orderkey % 300 AS t
+             |  FROM orders WHERE o_orderkey % 13 < 2),
+             |und AS (SELECT DISTINCT a, b FROM (
+             |  SELECT s AS a, t AS b FROM raw WHERE s <> t
+             |  UNION ALL SELECT t, s FROM raw WHERE s <> t)),
+             |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d
+             |  FROM und GROUP BY 1),
+             |jn AS (SELECT da.d AS j, db.d AS k FROM und
+             |  JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS ecnt,
+             |    sum(CAST(j AS HUGEINT) * k) AS sjk,
+             |    sum(CAST(j AS HUGEINT) + k) AS sjpk,
+             |    sum(CAST(j AS HUGEINT) * j + CAST(k AS HUGEINT) * k) AS sj2k2
+             |  FROM jn),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+             |x AS (SELECT n_nodes, ecnt, sjk, sjpk, sj2k2,
+             |    CAST(sjpk AS DOUBLE) / (2.0 * CAST(ecnt AS DOUBLE)) AS mu
+             |  FROM a CROSS JOIN nn)
+             |SELECT n_nodes, ecnt // 2 AS n_edges,
+             |  CASE WHEN ecnt > 0 AND CAST(sj2k2 AS DOUBLE)
+             |      / (2.0 * CAST(ecnt AS DOUBLE)) - mu * mu > 0.0
+             |    THEN round((CAST(sjk AS DOUBLE) / CAST(ecnt AS DOUBLE) - mu * mu)
+             |      / (CAST(sj2k2 AS DOUBLE) / (2.0 * CAST(ecnt AS DOUBLE))
+             |         - mu * mu), 6)
+             |  END AS r
+             |FROM x""".stripMargin)
+    )),
+
+    // Newman-Girvan modularity of the 4-round label-propagation
+    // communities on the same graph — the NUMBER that grades what LP
+    // found. Computed in the fully-exact integer form
+    // (4m*e_in - sum d_c^2) / (4m^2): one division, no per-community
+    // float fold, so community count can be data-sized.
+    "q_modularity" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(13L)) < 2)
+          .select(pmod(col("o_custkey"), lit(300L)).as("src"),
+            pmod(col("o_orderkey"), lit(300L)).as("dst"))
+        operators.Graph.modularity(e, operators.Graph.labelPropagation(e,
+          rounds = 4))
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""c$i AS MATERIALIZED (SELECT und.a AS id, l.lbl AS nlbl, count(*) AS cnt
+             |  FROM und JOIN l${i - 1} l ON l.id = und.b GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (SELECT id, nlbl AS lbl FROM (
+             |  SELECT id, nlbl, row_number() OVER (
+             |    PARTITION BY id ORDER BY cnt DESC, nlbl ASC) AS rn FROM c$i)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH raw AS (SELECT o_custkey % 300 AS s, o_orderkey % 300 AS t
+           |  FROM orders WHERE o_orderkey % 13 < 2),
+           |und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+           |  SELECT s AS a, t AS b FROM raw WHERE s <> t
+           |  UNION ALL SELECT t, s FROM raw WHERE s <> t)),
+           |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM und),
+           |$rounds,
+           |half AS (SELECT a, b FROM und WHERE a < b),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM half),
+           |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d
+           |  FROM und GROUP BY 1),
+           |ein AS (SELECT CAST(count(*) AS BIGINT) AS e_in FROM half
+           |  JOIN l4 ca ON ca.id = half.a JOIN l4 cb ON cb.id = half.b
+           |  WHERE ca.lbl = cb.lbl),
+           |dsq AS (SELECT sum(CAST(dc AS HUGEINT) * dc) AS sdc2,
+           |    CAST(count(*) AS BIGINT) AS n_communities
+           |  FROM (SELECT l4.lbl, CAST(sum(d) AS BIGINT) AS dc
+           |    FROM deg JOIN l4 ON l4.id = deg.id GROUP BY 1)),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+           |SELECT n_nodes, m AS n_edges, n_communities,
+           |  CASE WHEN m > 0 THEN round(
+           |    CAST(CAST(4 AS HUGEINT) * m * e_in - sdc2 AS DOUBLE)
+           |    / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+           |  END AS modularity
+           |FROM m CROSS JOIN ein CROSS JOIN dsq CROSS JOIN nn""".stripMargin
       }
     )),
 

@@ -1026,6 +1026,26 @@ object Soak {
           size(split(col("text"), " ")).cast("long").as("v")),
           "v", "source")
       },
+      run("trimmed_mean") {
+        // robust location at 10x: one ranked pass + interval clipping
+        Profile.trimmedMean(docs10.select(length(col("text")).as("v")),
+          "v", 5L, 100L)
+      },
+      run("assortativity") {
+        // degree mixing at 10x on a doc-id graph: distinct + degree
+        // agg + two broadcast joins, a 1-row reduce
+        Graph.assortativity(docs10.select(
+          pmod(col("doc_id"), lit(500L)).as("src"),
+          pmod(col("doc_id") * 7L + 3L, lit(500L)).as("dst")))
+      },
+      run("modularity") {
+        // community quality at 10x: the exact integer form — no
+        // per-community fold, communities can be data-sized
+        val e = docs10.select(pmod(col("doc_id"), lit(500L)).as("src"),
+          pmod(col("doc_id") * 7L + 3L, lit(500L)).as("dst"))
+        Graph.modularity(e, e.select(col("src").as("id"),
+          pmod(col("src"), lit(25L)).as("community")).distinct())
+      },
       run("kmv_distinct") {
         // the mergeable distinct sketch at 10x: distinct-hash agg +
         // one TakeOrdered cut — values never exchange

@@ -532,4 +532,103 @@ object Graph {
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
   }
+
+  /** Degree assortativity (Newman 2002) over the undirected simple
+    * graph — the one-number answer to "do hubs link to hubs?" (social
+    * graphs ≈ +0.2, the web ≈ −0.1; a crawl graph's sign drives
+    * frontier-scheduling and sampling choices). Over the
+    * both-directions edge list E (|E| = 2m):
+    * r = [Σjk/|E| − (Σ(j+k)/(2|E|))²] /
+    *     [Σ(j²+k²)/(2|E|) − (Σ(j+k)/(2|E|))²]
+    * with j, k the endpoint degrees — the Pearson correlation of
+    * degrees across edges. ONE row out: (n_nodes, n_edges, r) with
+    * n_edges the UNDIRECTED count |E|/2.
+    *
+    * Determinism: every Σ is an exact decimal(38,0) over int64
+    * degrees; r composes in ONE fixed IEEE order, round 6. A
+    * degree-regular graph (zero variance) reports NULL. Self-loops
+    * dropped, edges deduplicated — the [[labelPropagation]] graph
+    * convention.
+    *
+    * Scale shape: one distinct on edges, one degree aggregate, two
+    * broadcast joins of degrees onto edges, a 1-row reduce — no
+    * iteration, no window. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dir0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = dir0
+      .unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("d"))
+    val joined = und
+      .join(deg.select(col("id").as("src"), col("d").as("j")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("k")), "dst")
+    val agg = joined.agg(
+      count(lit(1)).as("ecnt"),
+      sum(col("j").cast("decimal(38,0)") * col("k")).as("sjk"),
+      sum(col("j").cast("decimal(38,0)") + col("k")).as("sjpk"),
+      sum(col("j").cast("decimal(38,0)") * col("j") +
+        col("k").cast("decimal(38,0)") * col("k")).as("sj2k2"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val eD = col("ecnt").cast("double")
+    val mu = col("sjpk").cast("double") / (lit(2.0) * eD)
+    val num = col("sjk").cast("double") / eD - mu * mu
+    val den = col("sj2k2").cast("double") / (lit(2.0) * eD) - mu * mu
+    agg.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"),
+        expr("ecnt div 2L").as("n_edges"),
+        when(col("ecnt") > 0 && den > 0.0, round(num / den, 6))
+          .otherwise(lit(null).cast("double")).as("r"))
+  }
+
+  /** Newman–Girvan modularity of a community assignment over the
+    * undirected simple graph — the NUMBER that grades what
+    * [[labelPropagation]] found (Q near 0: no better than random;
+    * Q ≳ 0.3: real structure): Q = Σ_c [e_c/m − (d_c/2m)²], computed
+    * here in the fully-exact integer form
+    * Q = (4m·Σe_c − Σd_c²) / (4m²) — one division, NO per-community
+    * float fold, so community count can be data-sized (it is — every
+    * singleton is a community) without any bounded-fold concern.
+    * e_c = undirected within-community edges, d_c = Σ degrees in c.
+    * ONE row out: (n_nodes, n_edges, n_communities, modularity).
+    *
+    * Determinism: Σe_c and Σd_c² exact decimal(38,0); one IEEE
+    * division, round 6. m = 0 reports NULL. Same graph convention as
+    * [[assortativity]].
+    *
+    * Scale shape: the degree/community joins are id-keyed shuffles;
+    * within-community edge counting is ONE join of the a<b edge list
+    * against the community map on both endpoints. */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val dir0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = dir0
+      .unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val half = und.filter(col("src") < col("dst"))
+    val deg = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("d"))
+    val com = communities.select(col("id"), col("community"))
+    val m = half.agg(count(lit(1)).as("m"))
+    val ein = half
+      .join(com.select(col("id").as("src"), col("community").as("ca")), "src")
+      .join(com.select(col("id").as("dst"), col("community").as("cb")), "dst")
+      .filter(col("ca") === col("cb"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("e_in"))
+    val dsq = deg.join(com, "id")
+      .groupBy("community").agg(sum(col("d")).as("dc"))
+      .agg(sum(col("dc").cast("decimal(38,0)") * col("dc")).as("sdc2"),
+        count(lit(1)).as("n_communities"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val q = (lit(4).cast("decimal(38,0)") * col("m") * col("e_in") -
+      col("sdc2")).cast("double") /
+      (lit(4.0) * col("m").cast("double") * col("m").cast("double"))
+    m.crossJoin(broadcast(ein)).crossJoin(broadcast(dsq))
+      .crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), col("m").as("n_edges"),
+        col("n_communities"),
+        when(col("m") > 0, round(q, 6))
+          .otherwise(lit(null).cast("double")).as("modularity"))
+  }
 }

@@ -959,6 +959,59 @@ object Profile {
         .otherwise(lit(null).cast("double")).as("t_within"))
   }
 
+  /** Exact trimmed + winsorized mean over an int64 measure — the
+    * robust-location pair beside [[madOutliers]]' robust-spread (a
+    * heavy-tailed length distribution makes the plain mean a lie;
+    * the trimmed mean drops the tails, the winsorized mean clamps
+    * them, and disagreement between the three IS the tail report):
+    * with n rows and lo = n·trimNum div trimDen cut from EACH side,
+    * trimmed = mean of ranks (lo, n−lo], winsorized = mean with the
+    * bottom lo replaced by the value at rank lo+1 and the top lo by
+    * the value at rank n−lo. ONE row out:
+    * (n, n_kept, trimmed_mean, winsorized_mean).
+    *
+    * Determinism: rank arithmetic is exact per-value interval clipping
+    * on the [[Sampling.rankedPrefixSums]] cumulative counts (value v
+    * contributes min(cum, hi) − max(cum−c, lo) clamped at 0 — no row
+    * ever ranks individually); sums are decimal(38,0); each mean is
+    * ONE IEEE division, round 6. No quantile interpolation, no float
+    * boundary — the [[madOutliers]] discipline.
+    *
+    * Scale shape: one value-keyed count aggregate, one ranked pass,
+    * a 1-row reduce. */
+  def trimmedMean(df: DataFrame, valueCol: String,
+                  trimNum: Long = 5, trimDen: Long = 100): DataFrame = {
+    require(trimNum >= 0 && trimDen > 0 && trimNum * 2 < trimDen,
+      "trim fraction must be in [0, 1/2)")
+    val counts = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = Sampling.rankedPrefixSums(counts, Seq(col("v")), col("c"),
+      "__r", "cum")
+    val tot = cum.agg(max(col("cum")).as("n"))
+    val base = cum.crossJoin(broadcast(tot))
+      .withColumn("lo", expr(s"n * ${trimNum}L div ${trimDen}L"))
+      .withColumn("hi", col("n") - expr(s"n * ${trimNum}L div ${trimDen}L"))
+    val agg = base.agg(
+      max(col("n")).as("n"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+      sum(col("v").cast("decimal(38,0)") *
+        greatest(lit(0L), least(col("cum"), col("hi")) -
+          greatest(col("cum") - col("c"), col("lo")))).as("tsum"),
+      min(when(col("cum") >= col("lo") + 1, col("v"))).as("vlo"),
+      min(when(col("cum") >= col("hi"), col("v"))).as("vhi"))
+    agg.select(col("n"),
+      (col("hi") - col("lo")).as("n_kept"),
+      when(col("hi") > col("lo"),
+        round(col("tsum").cast("double") /
+          (col("hi") - col("lo")).cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("trimmed_mean"),
+      when(col("n") > 0,
+        round((col("tsum") + col("lo").cast("decimal(38,0)") *
+          (col("vlo") + col("vhi"))).cast("double") /
+          col("n").cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("winsorized_mean"))
+  }
+
   /** Sample autocorrelation of the hourly event-count series at lags
     * 1..maxLag — the seasonality probe over the `events` stream (a
     * daily cycle shows as r₂₄ ≫ r₁-noise; a flat ACF says hourly

@@ -269,4 +269,36 @@ class GraphSpec extends SparkSpec {
       rounds = 2).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("assortativity: star is -1, path is -0.5, regular graph NULL") {
+    // star: the hub (deg 3) only touches leaves (deg 1)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val rs = Graph.assortativity(star).collect().head
+    assert(rs.getLong(0) == 4 && rs.getLong(1) == 3)
+    assert(rs.getDouble(2) == -1.0)
+    // path 0-1-2-3: hand-computed -0.5
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.assortativity(path).collect().head.getDouble(2) == -0.5)
+    // 4-cycle: degree-regular -> zero variance -> NULL, loudly not NaN
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    assert(Graph.assortativity(cyc).collect().head.isNullAt(2))
+  }
+
+  test("modularity: two-triangle split 0.357143; one community 0; " +
+      "singletons negative") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (2L, 3L)).toDF("src", "dst")
+    val tri = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L),
+      (5L, 1L)).toDF("id", "community")
+    val r = Graph.modularity(edges, tri).collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 7 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 0.357143)
+    // everything in one community: Q = 0 exactly
+    val one = Seq.tabulate(6)(i => (i.toLong, 0L)).toDF("id", "community")
+    assert(Graph.modularity(edges, one).collect().head.getDouble(3) == 0.0)
+    // all singletons: no internal edges, Q strictly negative
+    val single = Seq.tabulate(6)(i => (i.toLong, i.toLong))
+      .toDF("id", "community")
+    assert(Graph.modularity(edges, single).collect().head.getDouble(3) < 0.0)
+  }
 }

@@ -478,6 +478,30 @@ class ProfileSpec extends SparkSpec {
       < 1e-5, s"identity: $rm")
   }
 
+  test("trimmedMean: exact rank clipping with ties at the boundary; " +
+      "winsorized clamps; trim 0 is the plain mean") {
+    // 1..10 trim 10%: drop {1} and {10} -> 5.5; winsorize -> also 5.5
+    val d = (1L to 10L).toDF("v")
+    val r = operators.Profile.trimmedMean(d, "v", 10L, 100L).collect().head
+    assert(r.getLong(0) == 10 && r.getLong(1) == 8)
+    assert(r.getDouble(2) == 5.5 && r.getDouble(3) == 5.5)
+    // heavy tail {0,0,10,100} trim 25%: trimmed (0+10)/2, winsorized
+    // (0+0+10+10)/4 — both 5; the 100 never leaks in
+    val h = Seq(0L, 0L, 10L, 100L).toDF("v")
+    val rh = operators.Profile.trimmedMean(h, "v", 25L, 100L).collect().head
+    assert(rh.getDouble(2) == 5.0 && rh.getDouble(3) == 5.0)
+    // boundary tie: {1,1,1,9} trim 25% -> both means 1.0 (the tied
+    // value straddles the cut; interval clipping keeps exactly 2)
+    val t = Seq(1L, 1L, 1L, 9L).toDF("v")
+    val rt = operators.Profile.trimmedMean(t, "v", 25L, 100L).collect().head
+    assert(rt.getLong(1) == 2 && rt.getDouble(2) == 1.0 &&
+      rt.getDouble(3) == 1.0)
+    // trim 0: degenerates to the exact mean
+    val z = (1L to 4L).toDF("v")
+    val rz = operators.Profile.trimmedMean(z, "v", 0L, 100L).collect().head
+    assert(rz.getDouble(2) == 2.5 && rz.getDouble(3) == 2.5)
+  }
+
   test("autocorrelation: hand-computed lags; missing hours are zeros; " +
       "constant series NULL") {
     import org.apache.spark.sql.functions.expr
