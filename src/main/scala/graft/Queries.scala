@@ -607,6 +607,29 @@ object Queries {
               |  header=true, all_varchar=true)""".stripMargin)
     )),
 
+    // Tar ingestion beyond the reference's zip (the format crawl dumps
+    // and WebDataset shards actually ship in): a gzip'd TWO-member
+    // ustar archive, dirty rows split across members with per-member
+    // UTF-16 BOMs, through the hand-written checksum-verified header
+    // walk -> concatenated decode -> the SAME repair/parse chain as the
+    // zip path. A reader that mis-frames a member, mis-skips padding,
+    // or decodes the second BOM as data shears rows 3-4 and
+    // hash-mismatches.
+    "q_ingest_tar" -> ((
+      (s: SparkSession, dir: String) => {
+        graft.sources.TarFixture.ensure()
+        val lines = graft.sources.TarSource.lines(s,
+          Seq(graft.sources.TarFixture.tarGzPath),
+          java.nio.charset.Charset.forName("UTF-16"))
+        graft.sources.RawTable.parseLines(s, lines,
+            graft.sources.SourceSpec(encoding = "UTF-16", repair = true))
+          .select(col("county_id"), col("last_name"), col("note"))
+      },
+      Some(s"""SELECT county_id, last_name, note
+              |FROM read_csv('${graft.sources.TarFixture.expectedCsvPath}',
+              |  header=true, all_varchar=true)""".stripMargin)
+    )),
+
     // The reference's WHOLE pipeline (Fetch→Sync→Load→Compress,
     // bin/fetcher.bash:13-24) in one oracle row: a mini-bucket with two
     // differently-shaped zip sources (UTF-16 dirty VR + LATIN1 clean
@@ -1422,6 +1445,143 @@ object Queries {
              |    THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
              |  END AS r
              |FROM num CROSS JOIN den""".stripMargin)
+    )),
+
+    // Mann-Kendall monotone-trend test on the hourly arrival series —
+    // "is ingest volume drifting?" as one nonparametric row beside the
+    // ACF's periodicity probe. S exact int64 from the calendar-bounded
+    // half-grid join, tie-corrected variance in exact decimals, the
+    // continuity-corrected z judged at the pinned 1.959964.
+    "q_mann_kendall" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.mannKendall(Tables.events(s, dir), "ts"),
+      Some("""WITH c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hid,
+             |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(hid) AS h0, max(hid) AS h1 FROM c),
+             |grid AS (SELECT gs.hid, COALESCE(c.c, 0) AS x
+             |  FROM (SELECT unnest(generate_series(h0, h1)) AS hid FROM b) gs
+             |  LEFT JOIN c USING (hid)),
+             |s AS (SELECT CAST(COALESCE(sum(CASE WHEN b2.x > a.x THEN 1
+             |    WHEN b2.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+             |  FROM grid a JOIN grid b2 ON b2.hid > a.hid),
+             |t AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+             |    AS tsum, CAST(sum(t) AS BIGINT) AS n
+             |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM grid
+             |        GROUP BY x)),
+             |v AS (SELECT s, n,
+             |    CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tsum
+             |      AS DOUBLE) / 18.0 AS vars
+             |  FROM s CROSS JOIN t),
+             |z AS (SELECT s, n, vars,
+             |    CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(vars)
+             |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(vars)
+             |      ELSE 0.0 END AS zv
+             |  FROM v)
+             |SELECT n AS n_hours, s,
+             |  CASE WHEN vars > 0.0 THEN round(zv, 6) END AS z,
+             |  CASE WHEN vars > 0.0 THEN
+             |    CASE WHEN abs(zv) > 1.959964 AND s > 0 THEN 'increasing'
+             |      WHEN abs(zv) > 1.959964 AND s < 0 THEN 'decreasing'
+             |      ELSE 'none' END
+             |  END AS trend
+             |FROM z""".stripMargin)
+    )),
+
+    // Theil-Sen robust slope of hourly arrivals — the trend MAGNITUDE
+    // beside Mann-Kendall's direction: lower median of all pairwise
+    // slopes, each fixed-pointed at 1e-6 with the sign-split integer
+    // division (Spark div truncates, DuckDB // floors — they agree
+    // only on non-negative operands), rank-selected exactly.
+    "q_theil_sen" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.theilSen(Tables.events(s, dir), "ts"),
+      Some("""WITH c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hid,
+             |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(hid) AS h0, max(hid) AS h1 FROM c),
+             |grid AS (SELECT gs.hid, COALESCE(c.c, 0) AS x
+             |  FROM (SELECT unnest(generate_series(h0, h1)) AS hid FROM b) gs
+             |  LEFT JOIN c USING (hid)),
+             |sl AS (SELECT CAST(sign(b2.x - a.x) AS BIGINT)
+             |    * ((abs(b2.x - a.x) * 1000000) // (b2.hid - a.hid)) AS v
+             |  FROM grid a JOIN grid b2 ON b2.hid > a.hid),
+             |cv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM sl GROUP BY 1),
+             |cm AS (SELECT v, c,
+             |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      AS cum FROM cv),
+             |t AS (SELECT max(cum) AS np FROM cm),
+             |m AS (SELECT np, v FROM cm CROSS JOIN t
+             |  WHERE cum - c < (np + 1) // 2 AND (np + 1) // 2 <= cum),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM grid)
+             |SELECT n_hours, np AS n_pairs,
+             |  round(CAST(v AS DOUBLE) / 1000000.0, 6) AS slope
+             |FROM n CROSS JOIN m""".stripMargin)
+    )),
+
+    // Hour-of-day seasonality profile + variance-explained eta^2 —
+    // the SHAPE view of the daily cycle the ACF only hints at: 24
+    // bucket rows with the corpus-level strength repeated (the
+    // calibration ECE convention). Exact sums, 24-bounded how-ordered
+    // fold with round-9 terms.
+    "q_seasonality" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.seasonalityStrength(Tables.events(s, dir), "ts"),
+      Some("""WITH c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hid,
+             |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(hid) AS h0, max(hid) AS h1 FROM c),
+             |grid AS (SELECT gs.hid, COALESCE(c.c, 0) AS x
+             |  FROM (SELECT unnest(generate_series(h0, h1)) AS hid FROM b) gs
+             |  LEFT JOIN c USING (hid)),
+             |g2 AS (SELECT hid % 24 AS how, x FROM grid),
+             |per AS (SELECT how, CAST(count(*) AS BIGINT) AS ng,
+             |    CAST(sum(x) AS BIGINT) AS sg,
+             |    sum(CAST(x AS HUGEINT) * x) AS qg
+             |  FROM g2 GROUP BY 1),
+             |t AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+             |    CAST(sum(sg) AS BIGINT) AS s, sum(qg) AS q,
+             |    list_sum([e.t FOR e IN list({'how': how, 't': round(
+             |      CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng, 9)}
+             |      ORDER BY how)]) AS ssg
+             |  FROM per)
+             |SELECT how, ng AS n_hours, sg AS total,
+             |  round(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS mean,
+             |  CASE WHEN CAST(q AS DOUBLE)
+             |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             |      > 0.0
+             |    THEN round((ssg - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |        / CAST(n AS DOUBLE))
+             |      / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |        / CAST(n AS DOUBLE)), 6)
+             |  END AS eta2
+             |FROM per CROSS JOIN t""".stripMargin)
+    )),
+
+    // CUSUM changepoint scan on hourly arrivals — WHERE the level
+    // shifted, completing the temporal family (ACF: periodic? MK/TS:
+    // trending? this: did it JUMP). dev = n*x - S exact int64, the
+    // running sum on the ranked machinery, earliest-hour tie-break,
+    // one division.
+    "q_cusum_changepoint" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Profile.cusumChangepoint(Tables.events(s, dir), "ts"),
+      Some("""WITH c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hid,
+             |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+             |b AS (SELECT min(hid) AS h0, max(hid) AS h1 FROM c),
+             |grid AS (SELECT gs.hid, COALESCE(c.c, 0) AS x
+             |  FROM (SELECT unnest(generate_series(h0, h1)) AS hid FROM b) gs
+             |  LEFT JOIN c USING (hid)),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS s, min(hid) AS h0 FROM grid),
+             |d AS (SELECT hid, n, h0, n * x - s AS d FROM grid CROSS JOIN st),
+             |ck AS (SELECT hid, n, h0,
+             |    CAST(sum(d) OVER (ORDER BY hid ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS ck FROM d),
+             |p AS (SELECT max(abs(ck)) AS peak, max(n) AS n_hours FROM ck),
+             |o AS (SELECT min(hid - h0) AS change_offset
+             |  FROM ck CROSS JOIN p WHERE abs(ck) = peak)
+             |SELECT n_hours, change_offset,
+             |  round(CAST(peak AS DOUBLE) / CAST(n_hours AS DOUBLE), 6)
+             |    AS cusum_peak
+             |FROM p CROSS JOIN o""".stripMargin)
     )),
 
     // Dense hourly grid per user with forward fill: buckets with no

@@ -1026,6 +1026,23 @@ object Soak {
           size(split(col("text"), " ")).cast("long").as("v")),
           "v", "source")
       },
+      run("temporal_family") {
+        // the four temporal statistics over a 10x-replicated event
+        // series (each copy shifted +31 days -> a 7,440-hour grid,
+        // 1M rows): proves the grid stays calendar-sized while the
+        // row side scales 10x
+        val ev10 = core.Tables.events(spark, sfDir)
+          .crossJoin(spark.range(10).toDF("copy"))
+          .select((col("ts") + expr("make_interval(0, 0, 0, 1, 0, 0, 0)")
+            * col("copy") * 31).as("ts"))
+        val a = Profile.mannKendall(ev10, "ts")
+        val b = Profile.theilSen(ev10, "ts")
+        val c = Profile.seasonalityStrength(ev10, "ts")
+        val d = Profile.cusumChangepoint(ev10, "ts")
+        a.crossJoin(b.select(col("slope")))
+          .crossJoin(c.groupBy().agg(max("eta2").as("eta2")))
+          .crossJoin(d.select(col("cusum_peak")))
+      },
       run("trimmed_mean") {
         // robust location at 10x: one ranked pass + interval clipping
         Profile.trimmedMean(docs10.select(length(col("text")).as("v")),

@@ -1033,18 +1033,28 @@ object Profile {
     * hours-in-range (720 here, ~9·10⁴ for a decade) — calendar-sized,
     * never data-sized; n·x must stay below 2⁶³ (hours × per-hour
     * count ~ 10¹⁹ only past ~10¹⁴ events/hour). */
-  def autocorrelation(df: DataFrame, tsCol: String, maxLag: Int)
-      : DataFrame = {
-    require(maxLag >= 1, "maxLag must be >= 1")
+  /** The COMPLETED hourly-count grid shared by the temporal family
+    * ([[autocorrelation]] / [[mannKendall]] / [[theilSen]] /
+    * [[seasonalityStrength]] / [[cusumChangepoint]]): one hour-keyed
+    * count aggregate (the only row-scaled step), sequence-exploded to
+    * the full [min, max] calendar range with missing hours as TRUE
+    * ZERO counts. Grid size is calendar-bounded, never data-sized. */
+  private def hourlyGrid(df: DataFrame, tsCol: String): DataFrame = {
     val counts = df.select(expr(s"unix_timestamp($tsCol) div 3600")
         .as("hid"))
       .filter(col("hid").isNotNull)
       .groupBy("hid").agg(count(lit(1)).as("c"))
     val bounds = counts.agg(min(col("hid")).as("h0"), max(col("hid")).as("h1"))
-    val grid = bounds
+    bounds
       .select(explode(sequence(col("h0"), col("h1"))).as("hid"))
       .join(counts, Seq("hid"), "left")
       .select(col("hid"), coalesce(col("c"), lit(0L)).as("x"))
+  }
+
+  def autocorrelation(df: DataFrame, tsCol: String, maxLag: Int)
+      : DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val grid = hourlyGrid(df, tsCol)
     val stats = grid.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
     val dev = grid.crossJoin(broadcast(stats))
       .select(col("hid"), (col("n") * col("x") - col("s")).as("d"),
@@ -1065,6 +1075,153 @@ object Profile {
         when(col("den") > 0,
           round(col("num").cast("double") / col("den").cast("double"), 6))
           .otherwise(lit(null).cast("double")).as("r"))
+  }
+
+  /** Mann-Kendall trend test over the hourly event-count series — the
+    * nonparametric "is volume drifting?" monitor pairing
+    * [[autocorrelation]]'s seasonality probe (MK asks about MONOTONE
+    * trend, immune to the spikes that wreck a least-squares slope):
+    * S = Σ_{i<j} sign(x_j − x_i) over the completed hour grid,
+    * Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 with the tie
+    * correction, z with the ±1 continuity correction. ONE row out:
+    * (n_hours, s, z, trend ∈ increasing/decreasing/none).
+    *
+    * Determinism: S is an exact int64 from the half-grid join (grid ×
+    * grid on hour order — calendar-bounded, the [[autocorrelation]]
+    * bound); the tie term and Var(S) numerator are exact decimals; z
+    * is one IEEE composition, round 6, judged at the pinned 1.959964.
+    * All values tied reports NULL z/trend, never 0/0. */
+  def mannKendall(df: DataFrame, tsCol: String): DataFrame = {
+    val grid = hourlyGrid(df, tsCol)
+    val b = broadcast(grid.select(col("hid").as("hid2"), col("x").as("x2")))
+    val s = grid.join(b, col("hid2") > col("hid"))
+      .agg(coalesce(sum(signum(col("x2") - col("x")).cast("long")), lit(0L))
+        .as("s"))
+    val ties = grid.groupBy("x").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t").cast("decimal(38,0)") * (col("t") - 1) *
+        (lit(2L) * col("t") + 5)).as("tsum"),
+        sum(col("t")).as("n"))
+    val nD = col("n").cast("decimal(38,0)")
+    val varS = (nD * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tsum"))
+      .cast("double") / 18.0
+    val z = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+      .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    s.crossJoin(broadcast(ties)).select(
+      col("n").as("n_hours"), col("s"),
+      when(varS > 0.0, round(z, 6))
+        .otherwise(lit(null).cast("double")).as("z"),
+      when(varS > 0.0,
+        when(abs(z) > 1.959964 && col("s") > 0, "increasing")
+          .when(abs(z) > 1.959964 && col("s") < 0, "decreasing")
+          .otherwise("none"))
+        .otherwise(lit(null).cast("string")).as("trend"))
+  }
+
+  /** Theil-Sen robust trend slope over the hourly event-count series —
+    * the MAGNITUDE beside [[mannKendall]]'s direction (the median of
+    * all pairwise slopes shrugs off up to ~29% outliers; the pair
+    * report "MK rejects + Theil-Sen says +0.4 docs/hour" is the drift
+    * ticket): slope = lower-median over i<j of (x_j − x_i)/(h_j − h_i),
+    * each pairwise slope fixed-pointed at 1e-6 BEFORE ranking. ONE row
+    * out: (n_hours, n_pairs, slope).
+    *
+    * Determinism: slope_fp = sign(dy)·((|dy|·10⁶) div dx) — the
+    * division runs on NON-NEGATIVE operands and the sign applies
+    * after (the [[Embeddings]] ABTT sign-split discipline: Spark `div`
+    * truncates toward zero, DuckDB `//` floors, and they agree only
+    * away from negatives); the median is the exact rank-selected
+    * lower median over the pair multiset ([[madOutliers]] machinery —
+    * no interpolation). Pair count is calendar-bounded (~n²/2 grid
+    * pairs). */
+  def theilSen(df: DataFrame, tsCol: String): DataFrame = {
+    val grid = hourlyGrid(df, tsCol)
+    val b = broadcast(grid.select(col("hid").as("hid2"), col("x").as("x2")))
+    val slopes = grid.join(b, col("hid2") > col("hid"))
+      .select(expr("CAST(signum(x2 - x) AS BIGINT) * " +
+        "((abs(x2 - x) * 1000000L) div (hid2 - hid))").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = Sampling.rankedPrefixSums(slopes, Seq(col("v")), col("c"),
+      "__r", "cum")
+    val tot = cum.agg(max(col("cum")).as("np"))
+    val med = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") - col("c") < expr("(np + 1) div 2") &&
+        expr("(np + 1) div 2") <= col("cum"))
+      .select(col("np"), col("v"))
+    val n = grid.agg(count(lit(1)).as("n_hours"))
+    n.crossJoin(broadcast(med))
+      .select(col("n_hours"), col("np").as("n_pairs"),
+        round(col("v").cast("double") / 1e6, 6).as("slope"))
+  }
+
+  /** Hour-of-day seasonality profile with the variance-explained
+    * strength η² — the SHAPE companion to [[autocorrelation]]'s lag
+    * view (η² near 1: volume is a clock; near 0: hour-of-day tells
+    * you nothing, so schedulers may treat hours as exchangeable):
+    * one row per hour-of-day bucket (how, n_hours, total, mean) with
+    * η² = SS_between/SS_total = (Σ_g S_g²/n_g − S²/N)/(Q − S²/N)
+    * repeated on every row (the calibration ECE convention).
+    *
+    * Determinism: all sums exact int64/decimal; the 24-bounded
+    * per-group Σ S_g²/n_g terms round to 9 at birth and fold in
+    * how-order; η² is one IEEE composition, round 6 (NULL when the
+    * series is constant — no variance to explain). */
+  def seasonalityStrength(df: DataFrame, tsCol: String): DataFrame = {
+    val grid = hourlyGrid(df, tsCol)
+      .withColumn("how", pmod(col("hid"), lit(24L)))
+    val per = grid.groupBy("how").agg(
+      count(lit(1)).as("ng"),
+      sum(col("x")).as("sg"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("qg"))
+    val folded = per.agg(
+      sum(col("ng")).as("n"), sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+      sort_array(collect_list(struct(col("how"), col("ng"), col("sg"))))
+        .as("gs"))
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val ssb = expr(
+      """aggregate(gs, cast(0 as double), (acc, g) -> acc + round(
+        |  cast(g.sg as double) * cast(g.sg as double) / g.ng, 9))
+        |""".stripMargin) - sD * sD / nD
+    val sst = col("q").cast("double") - sD * sD / nD
+    per.crossJoin(broadcast(folded.select(col("n"), col("s"), col("q"),
+        col("gs"))))
+      .select(col("how"), col("ng").as("n_hours"), col("sg").as("total"),
+        round(col("sg").cast("double") / col("ng").cast("double"), 6)
+          .as("mean"),
+        when(sst > 0.0, round(ssb / sst, 6))
+          .otherwise(lit(null).cast("double")).as("eta2"))
+  }
+
+  /** CUSUM changepoint scan over the hourly event-count series — WHERE
+    * the level shifted, completing the temporal family (ACF: is it
+    * periodic; MK/Theil-Sen: is it trending; this: did it JUMP — the
+    * ingest-pipeline incident detector): the peak of the cumulative
+    * deviation |C_k| = |Σ_{t≤k}(x_t − mean)| and the earliest hour
+    * offset achieving it. ONE row out:
+    * (n_hours, change_offset, cusum_peak).
+    *
+    * Determinism: multiplied through by n — dev = n·x − S is exact
+    * int64, the running C_k rides [[Sampling.rankedPrefixSums]] in
+    * hour order, the argmax breaks ties toward the EARLIEST hour via
+    * one max(struct); cusum_peak = peak/n is one IEEE division,
+    * round 6. A constant series reports peak 0 at offset 0. */
+  def cusumChangepoint(df: DataFrame, tsCol: String): DataFrame = {
+    val grid = hourlyGrid(df, tsCol)
+    val stats = grid.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      min(col("hid")).as("h0"))
+    val dev = grid.crossJoin(broadcast(stats))
+      .select(col("hid"), col("n"), col("h0"),
+        (col("n") * col("x") - col("s")).as("d"))
+    val cum = Sampling.rankedPrefixSums(dev, Seq(col("hid")), col("d"),
+      "__r", "ck")
+    cum.agg(max(col("n")).as("n_hours"),
+        max(struct(abs(col("ck")).as("a"), (col("h0") - col("hid")).as("nh")))
+          .as("m"))
+      .select(col("n_hours"),
+        (-col("m.nh")).as("change_offset"),
+        round(col("m.a").cast("double") / col("n_hours").cast("double"), 6)
+          .as("cusum_peak"))
   }
 
   /** Benford's-law first-digit test over a positive int64 measure —

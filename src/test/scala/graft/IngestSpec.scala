@@ -134,4 +134,52 @@ class IngestSpec extends SparkSpec {
     assert(p.count(_.startsWith("Elections/")) == 9)
     assert(p.contains("Elections/2016") && !p.contains("Elections/2015"))
   }
+
+  test("TarSource: two-member gzip'd ustar concatenates across member " +
+      "boundaries with per-member BOMs; non-regular members skip") {
+    graft.sources.TarFixture.ensure()
+    val lines = graft.sources.TarSource.lines(spark,
+        Seq(graft.sources.TarFixture.tarGzPath),
+        Charset.forName("UTF-16"))
+      .collect()
+    assert(lines.length == 5, lines.mkString("|"))
+    assert(lines.head.startsWith("County ID"))
+    assert(lines(3).contains("MÜLLER") && lines(4).contains("JONES"))
+    // a directory member between two files is skipped whole
+    val out = new ByteArrayOutputStream()
+    out.write(graft.sources.TarFixture.member("a.txt",
+      "h1\tv\nr1\tx\n".getBytes(StandardCharsets.UTF_8)))
+    val dirHeader = graft.sources.TarFixture.member("d/", Array.emptyByteArray)
+      .clone()
+    dirHeader(156) = '5' // typeflag: directory — checksum now stale, so
+    // rebuild it the way the writer does
+    java.util.Arrays.fill(dirHeader, 148, 156, ' '.toByte)
+    val sum = dirHeader.take(512).map(_ & 0xFF).sum
+    System.arraycopy(f"$sum%06o  ".getBytes(StandardCharsets.US_ASCII), 0,
+      dirHeader, 148, 8)
+    out.write(dirHeader)
+    out.write(graft.sources.TarFixture.member("b.txt",
+      "r2\ty\n".getBytes(StandardCharsets.UTF_8)))
+    out.write(new Array[Byte](1024))
+    val p = Files.createTempFile("graft_tar_spec", ".tar")
+    Files.write(p, out.toByteArray)
+    val got = graft.sources.TarSource.lines(spark, Seq(p.toString),
+      StandardCharsets.UTF_8).collect().toSeq
+    assert(got == Seq("h1\tv", "r1\tx", "r2\ty"), got.mkString("|"))
+  }
+
+  test("TarSource: a corrupted header checksum fails loudly, never " +
+      "guesses at framing") {
+    val bytes = graft.sources.TarFixture.archiveBytes.clone()
+    bytes(148) = '7' // stomp the checksum field
+    val p = Files.createTempFile("graft_tar_bad", ".tar")
+    Files.write(p, bytes)
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.TarSource.lines(spark, Seq(p.toString),
+        StandardCharsets.UTF_16).collect()
+    }
+    assert(e.getMessage.contains("checksum") ||
+      Option(e.getCause).exists(_.getMessage.contains("checksum")),
+      s"got: ${e.getMessage}")
+  }
 }

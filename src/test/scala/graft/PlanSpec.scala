@@ -356,7 +356,8 @@ class PlanSpec extends SparkSpec {
         "q_mutual_information" -> 8, "q_brier_decomposition" -> 4,
         "q_neyman_allocation" -> 4, "q_theil_index" -> 4,
         "q_dp_counts" -> 2, "q_autocorrelation" -> 12,
-        "q_trimmed_mean" -> 8, "q_assortativity" -> 10)) {
+        "q_trimmed_mean" -> 8, "q_assortativity" -> 10,
+        "q_mann_kendall" -> 10, "q_cusum_changepoint" -> 10)) {
       val p = plan(q)
       assertNoCartesian(p, q)
       assert(!p.contains("WindowExec"), // rankedPrefixSums, never a

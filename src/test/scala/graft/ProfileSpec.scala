@@ -526,6 +526,88 @@ class ProfileSpec extends SparkSpec {
       .collect().head.isNullAt(2))
   }
 
+  test("mannKendall: hand-computed S/z; strong trend rejects; " +
+      "all-tied NULL") {
+    import org.apache.spark.sql.functions.expr
+    def ts(xs: Seq[Long]) = xs.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c.toInt)(h * 3600L) }.toDF("s")
+      .select(expr("timestamp_seconds(s)").as("ts"))
+    // counts [1,2,3]: S = 3, Var = 66/18, z = 2/sqrt(66/18) = 1.044466
+    val r = operators.Profile.mannKendall(ts(Seq(1L, 2L, 3L)), "ts")
+      .collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 1.044466 && r.getString(3) == "none")
+    // counts 1..10: S = 45, Var = 125, z = 44/sqrt(125) -> increasing
+    val rs = operators.Profile.mannKendall(ts((1L to 10L)), "ts")
+      .collect().head
+    assert(rs.getDouble(2) == 3.93548 && rs.getString(3) == "increasing")
+    // decreasing mirror
+    assert(operators.Profile.mannKendall(ts((1L to 10L).reverse), "ts")
+      .collect().head.getString(3) == "decreasing")
+    // constant series: Var(S) = 0 -> NULL z and trend
+    val rc = operators.Profile.mannKendall(ts(Seq(2L, 2L, 2L)), "ts")
+      .collect().head
+    assert(rc.isNullAt(2) && rc.isNullAt(3))
+  }
+
+  test("theilSen: hand-computed lower-median slopes incl. negative " +
+      "and fractional") {
+    import org.apache.spark.sql.functions.expr
+    def ts(xs: Seq[Long]) = xs.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c.toInt)(h * 3600L) }.toDF("s")
+      .select(expr("timestamp_seconds(s)").as("ts"))
+    // [1,2,5]: slopes {1, 2, 3} -> median 2.0
+    assert(operators.Profile.theilSen(ts(Seq(1L, 2L, 5L)), "ts")
+      .collect().head.getDouble(2) == 2.0)
+    // [5,2,1]: slopes {-3,-2,-1} -> -2.0 (sign-split integer division)
+    assert(operators.Profile.theilSen(ts(Seq(5L, 2L, 1L)), "ts")
+      .collect().head.getDouble(2) == -2.0)
+    // [1,2,2]: slopes {1, 0.5, 0} -> lower median 0.5
+    val r = operators.Profile.theilSen(ts(Seq(1L, 2L, 2L)), "ts")
+      .collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3 && r.getDouble(2) == 0.5)
+  }
+
+  test("seasonalityStrength: eta2 is 1 when hour-of-day determines the " +
+      "count, 0 when the pattern flips day-over-day") {
+    import org.apache.spark.sql.functions.expr
+    def ts(xs: Seq[Long]) = xs.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c.toInt)(h * 3600L) }.toDF("s")
+      .select(expr("timestamp_seconds(s)").as("ts"))
+    // 4 distinct hours, one obs per how bucket: SSB = SST -> eta2 = 1
+    val one = operators.Profile.seasonalityStrength(
+      ts(Seq(1L, 3L, 1L, 3L)), "ts").collect()
+    assert(one.length == 4 && one.forall(_.getDouble(4) == 1.0))
+    // two days, pattern inverted on day 2: every how-mean equals the
+    // grand mean -> eta2 = 0 exactly
+    val flip = (0 until 48).map(h =>
+      if (h < 24) (if (h % 2 == 0) 2L else 0L) + 1L
+      else (if (h % 2 == 0) 0L else 2L) + 1L)
+    val rf = operators.Profile.seasonalityStrength(ts(flip), "ts").collect()
+    assert(rf.length == 24 && rf.forall(_.getDouble(4) == 0.0))
+    // constant series: no variance -> NULL eta2
+    val rc = operators.Profile.seasonalityStrength(ts(Seq(2L, 2L)), "ts")
+      .collect()
+    assert(rc.forall(_.isNullAt(4)))
+  }
+
+  test("cusumChangepoint: the level shift lands at the pre-jump hour; " +
+      "constant series peaks at 0") {
+    import org.apache.spark.sql.functions.expr
+    def ts(xs: Seq[Long]) = xs.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c.toInt)(h * 3600L) }.toDF("s")
+      .select(expr("timestamp_seconds(s)").as("ts"))
+    // [1,1,5,5]: dev = 4x-12 = [-8,-8,8,8], C = [-8,-16,-8,0] ->
+    // peak 16/4 = 4 at offset 1 (the last pre-jump hour)
+    val r = operators.Profile.cusumChangepoint(ts(Seq(1L, 1L, 5L, 5L)), "ts")
+      .collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 1 && r.getDouble(2) == 4.0)
+    // constant: peak 0, earliest offset 0
+    val rc = operators.Profile.cusumChangepoint(ts(Seq(3L, 3L, 3L)), "ts")
+      .collect().head
+    assert(rc.getLong(1) == 0 && rc.getDouble(2) == 0.0)
+  }
+
   test("jsDivergenceDrift: zero on identical, 1 bit on disjoint, " +
       "hand value between") {
     val ref = Seq(("g", 0.05), ("g", 0.05)).toDF("g", "s")
