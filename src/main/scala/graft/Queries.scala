@@ -9127,6 +9127,30 @@ object Queries {
               |  header=true, columns={'name':'VARCHAR','dhash':'BIGINT'})""".stripMargin)
     )),
 
+    // The WebDataset shape under the gate: the SAME dHash PNG corpus,
+    // but delivered as binary members of one tar shard (the format
+    // multimodal training sets actually ship in) through TarSource's
+    // checksum-verified member walk -> the identical PNG decoder. The
+    // oracle is the SAME pinned CSV as q_multimodal_dhash, so the
+    // shard path must reproduce the loose-file path byte-for-byte —
+    // any framing slip corrupts a PNG and the decode fails loudly.
+    "q_ingest_tar_webdataset" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val tarPath = graft.sources.TarFixture.ensureWds()
+        graft.sources.TarSource.members(s, Seq(tarPath))
+          .select(col("name"), col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (name, content) =>
+            (name, operators.Multimodal.dHash64(content).get)
+          }
+          .toDF("name", "dhash")
+      },
+      Some(s"""SELECT name, dhash
+              |FROM read_csv('${graft.sources.MediaFixture.expectedDHashCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','dhash':'BIGINT'})""".stripMargin)
+    )),
+
     // Audio energy fingerprinting under the oracle gate: real PCM
     // decode (javax.sound) → 65-window integer energy envelope →
     // 64 louder-than-previous bits, pinned against HAND-DERIVED

@@ -66,6 +66,136 @@ object TarSource {
       }
   }
 
+  /** Binary members of each archive as (archive, name, content) rows —
+    * the WebDataset shape (image/audio/text files tar'd into shards)
+    * feeding the [[graft.operators.Multimodal]] decoders. Unlike the
+    * line path this MATERIALIZES each member (a decoder needs the
+    * whole byte string), so `maxMemberBytes` bounds the per-row
+    * allocation LOUDLY — a multi-GB member is a sharding bug upstream,
+    * not something to buffer quietly. Same framing rigor as
+    * [[lines]]: verified checksums, non-regular members skipped. */
+  def members(spark: SparkSession, paths: Seq[String],
+              maxMemberBytes: Long = 64L << 20)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val serConf = spark.sparkContext.broadcast {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val m = scala.collection.mutable.Map[String, String]()
+      while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue }
+      m.toMap
+    }
+    spark.createDataset(paths)
+      .repartition(paths.size)
+      .mapPartitions { pathIt =>
+        val conf = new Configuration(false)
+        serConf.value.foreach { case (k, v) => conf.set(k, v) }
+        pathIt.flatMap { p =>
+          val hPath = new Path(p)
+          val fs = hPath.getFileSystem(conf)
+          val raw: InputStream =
+            if (p.endsWith(".gz") || p.endsWith(".tgz"))
+              new GZIPInputStream(fs.open(hPath))
+            else fs.open(hPath)
+          memberBytes(raw, p, maxMemberBytes).map { case (n, b) =>
+            (p, n, b)
+          }
+        }
+      }
+      .toDF("archive", "name", "content")
+  }
+
+  /** Iterator over (name, content) of all regular members. The framing
+    * walk mirrors [[memberLines]]; kept separate because this path
+    * materializes while that one streams. */
+  private[sources] def memberBytes(in: InputStream, ctx: String,
+                                   maxBytes: Long)
+      : Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private val header = new Array[Byte](Block)
+      private var done = false
+      private var nextM: (String, Array[Byte]) = advance()
+
+      private def readFully(buf: Array[Byte], len: Int): Boolean = {
+        var off = 0
+        while (off < len) {
+          val n = in.read(buf, off, len - off)
+          if (n < 0) return false
+          off += n
+        }
+        true
+      }
+
+      private def octal(from: Int, len: Int): Long = {
+        var i = from; val end = from + len; var v = 0L; var seen = false
+        while (i < end) {
+          val b = header(i) & 0xFF
+          if (b >= '0' && b <= '7') { v = v * 8 + (b - '0'); seen = true }
+          else if (b != ' ' && b != 0)
+            throw new IllegalArgumentException(
+              s"$ctx: non-octal byte 0x${b.toHexString} in tar numeric " +
+                s"field at header offset $i")
+          i += 1
+        }
+        if (!seen) throw new IllegalArgumentException(
+          s"$ctx: empty tar numeric field at header offset $from")
+        v
+      }
+
+      private def skipFully(n: Long): Unit = {
+        var left = n
+        while (left > 0) {
+          val s = in.skip(left)
+          if (s <= 0) {
+            if (in.read() < 0) throw new IllegalArgumentException(
+              s"$ctx: truncated tar member data")
+            left -= 1
+          } else left -= s
+        }
+      }
+
+      private def advance(): (String, Array[Byte]) = {
+        while (!done) {
+          if (!readFully(header, Block)) { done = true; in.close(); return null }
+          if (header.forall(_ == 0)) { done = true; in.close(); return null }
+          var sum = 0L; var i = 0
+          while (i < Block) {
+            sum += (if (i >= 148 && i < 156) ' '.toInt else header(i) & 0xFF)
+            i += 1
+          }
+          val stored = octal(148, 8)
+          if (sum != stored) throw new IllegalArgumentException(
+            s"$ctx: tar header checksum mismatch (computed $sum, " +
+              s"stored $stored) — refusing to guess at member framing")
+          val size = octal(124, 12)
+          val typeflag = header(156)
+          val pad = (Block - (size % Block)) % Block
+          if (typeflag == '0' || typeflag == 0) {
+            if (size > maxBytes) throw new IllegalArgumentException(
+              s"$ctx: tar member of $size bytes exceeds maxMemberBytes " +
+                s"$maxBytes — shard the archive upstream")
+            var end = 0
+            while (end < 100 && header(end) != 0) end += 1
+            val name = new String(header, 0, end,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            val data = new Array[Byte](size.toInt)
+            if (!readFully(data, data.length))
+              throw new IllegalArgumentException(
+                s"$ctx: truncated tar member data")
+            skipFully(pad)
+            return (name, data)
+          } else {
+            skipFully(size); skipFully(pad)
+          }
+        }
+        null
+      }
+
+      def hasNext: Boolean = nextM != null
+      def next(): (String, Array[Byte]) = {
+        val m = nextM; nextM = advance(); m
+      }
+    }
+
   /** Iterator over the text lines of all regular members, streaming. */
   private[sources] def memberLines(in: InputStream, cs: Charset,
                                    ctx: String): Iterator[String] =

@@ -168,6 +168,27 @@ class IngestSpec extends SparkSpec {
     assert(got == Seq("h1\tv", "r1\tx", "r2\ty"), got.mkString("|"))
   }
 
+  test("TarSource.members: binary round-trip through a shard; an " +
+      "oversized member fails loudly") {
+    val payload = Array.tabulate[Byte](700)(i => (i % 251).toByte)
+    val out = new ByteArrayOutputStream()
+    out.write(graft.sources.TarFixture.member("bin.dat", payload))
+    out.write(new Array[Byte](1024))
+    val p = Files.createTempFile("graft_tar_bin", ".tar")
+    Files.write(p, out.toByteArray)
+    val got = graft.sources.TarSource.members(spark, Seq(p.toString))
+      .collect()
+    assert(got.length == 1 && got.head.getString(1) == "bin.dat")
+    assert(got.head.getAs[Array[Byte]](2).toSeq == payload.toSeq)
+    // a member past maxMemberBytes is a loud refusal, not a quiet OOM
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.TarSource.members(spark, Seq(p.toString),
+        maxMemberBytes = 100L).collect()
+    }
+    assert(e.getMessage.contains("maxMemberBytes") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxMemberBytes")))
+  }
+
   test("TarSource: a corrupted header checksum fails loudly, never " +
       "guesses at framing") {
     val bytes = graft.sources.TarFixture.archiveBytes.clone()
