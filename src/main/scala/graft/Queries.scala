@@ -1531,7 +1531,7 @@ object Queries {
              |grid AS (SELECT gs.hid, COALESCE(c.c, 0) AS x
              |  FROM (SELECT unnest(generate_series(h0, h1)) AS hid FROM b) gs
              |  LEFT JOIN c USING (hid)),
-             |g2 AS (SELECT hid % 24 AS how, x FROM grid),
+             |g2 AS (SELECT ((hid % 24) + 24) % 24 AS how, x FROM grid),
              |per AS (SELECT how, CAST(count(*) AS BIGINT) AS ng,
              |    CAST(sum(x) AS BIGINT) AS sg,
              |    sum(CAST(x AS HUGEINT) * x) AS qg
@@ -4478,8 +4478,11 @@ object Queries {
     // arithmetic is the deployable path.
     "q_dp_counts" -> ((
       (s: SparkSession, dir: String) =>
+        // salt = the release identifier (now REQUIRED by the operator);
+        // this gate release is the one place a FIXED salt is the point —
+        // the oracle must replay the identical noise
         operators.Privacy.laplaceCounts(Tables.documents(s, dir),
-          "source", epsilon = 1.0),
+          "source", epsilon = 1.0, salt = "dp_"),
       Some("""WITH c AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n
              |  FROM documents GROUP BY 1),
              |u AS (SELECT g, n,
@@ -8564,6 +8567,59 @@ object Queries {
              |FROM r WHERE rn = 1""".stripMargin)
     )),
 
+    // SNAPSHOT-COMMITTED table format under the hard gate — the
+    // incremental cycle on core.SnapshotTable's versioned-manifest
+    // layout (immutable data files + atomic manifest publish): three
+    // deterministic cycles (cyc = event_id % 3) run through the REAL
+    // upsertCycle merge+commit path, the FINAL cycle is deliberately
+    // re-delivered (at-least-once replay: a new version, identical
+    // content), and a reader PINNED before the last two commits is
+    // checked against snapshot 2 exactly — read-under-commit
+    // isolation as a loud in-query invariant, with the end-state
+    // content under the oracle: per user, the min-event_id row of the
+    // user's highest cycle present (last-writer-wins across cycles,
+    // tie-break within).
+    "q_snapshot_table" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Tables.events(s, dir).filter(col("user_id") < 150)
+          .select(col("user_id"), col("event_id"), col("value"),
+            pmod(col("event_id"), lit(3)).as("cyc"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapshot_q").toString + "/table"
+        var pinned: org.apache.spark.sql.DataFrame = null
+        for (c <- 0 to 2) {
+          if (c == 2) pinned = graft.core.SnapshotTable.read(s, root)
+          graft.core.SnapshotTable.upsertCycle(
+            e.filter(col("cyc") === c).drop("cyc"),
+            root, Seq("user_id"), Seq(col("event_id")))
+        }
+        // the crash-replayed final cycle through the identical path:
+        // a NEW version must publish with IDENTICAL rows
+        graft.core.SnapshotTable.upsertCycle(
+          e.filter(col("cyc") === 2).drop("cyc"),
+          root, Seq("user_id"), Seq(col("event_id")))
+        // the reader pinned BEFORE those two commits still sees
+        // snapshot 2 exactly — loud gate failure otherwise
+        def sig(df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)),
+            coalesce(sum(col("event_id")), lit(0L).cast("long"))).collect()(0)
+        val a = sig(pinned)
+        val b = sig(graft.core.SnapshotTable.readVersion(s, root, 2))
+        require(a == b,
+          s"snapshot read-under-commit isolation broke: pinned $a, v2 $b")
+        graft.core.SnapshotTable.read(s, root)
+          .select(col("user_id"), col("event_id"), col("value"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+             |    event_id % 3 AS cyc FROM events WHERE user_id < 150),
+             |m AS (SELECT user_id, max(cyc) AS cm FROM e GROUP BY 1),
+             |r AS (SELECT e.user_id, e.event_id, e.value,
+             |    row_number() OVER (PARTITION BY e.user_id
+             |      ORDER BY e.event_id) AS rn
+             |  FROM e JOIN m ON m.user_id = e.user_id AND e.cyc = m.cm)
+             |SELECT user_id, event_id, value FROM r WHERE rn = 1""".stripMargin)
+    )),
+
     // STREAMING exact dedup under the hard gate — the eleventh direct
     // streaming row: a bounded slice replays through the real
     // dropDuplicatesWithinWatermark state store in occurrence-ordinal
@@ -9140,6 +9196,32 @@ object Queries {
         val tarPath = graft.sources.TarFixture.ensureWds()
         graft.sources.TarSource.members(s, Seq(tarPath))
           .select(col("name"), col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (name, content) =>
+            (name, operators.Multimodal.dHash64(content).get)
+          }
+          .toDF("name", "dhash")
+      },
+      Some(s"""SELECT name, dhash
+              |FROM read_csv('${graft.sources.MediaFixture.expectedDHashCsvPath}',
+              |  header=true, columns={'name':'VARCHAR','dhash':'BIGINT'})""".stripMargin)
+    )),
+
+    // STREAMING tar/WebDataset ingestion under the hard gate — the
+    // FOURTEENTH direct streaming row, and the live half of
+    // q_ingest_tar_webdataset: the SAME dHash PNG corpus split across
+    // two monotonically named shards lands INCREMENTALLY into a fresh
+    // directory tailed by readStream.format("tar") (the WARC
+    // name-watermark offset applied to tar), each landing drained
+    // before the next, then every member decodes through the
+    // identical PNG path. The oracle is the SAME pinned CSV — a shard
+    // re-emitted or missed by the watermark, or any member framing
+    // slip, duplicates/drops/corrupts rows and hash-mismatches.
+    "q_stream_tar_ingest" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val shards = graft.sources.TarFixture.ensureWdsShards()
+        graft.streaming.EventStreams.replayTarIngest(s, shards)
           .as[(String, Array[Byte])]
           .map { case (name, content) =>
             (name, operators.Multimodal.dHash64(content).get)
@@ -10696,8 +10778,11 @@ object Queries {
     // synthetic (score, label) pairing as q_calibration — the WHY
     // behind that row's brier: miscalibration (reliability),
     // discrimination (resolution), the base-rate floor (uncertainty),
-    // and the within-bin variance that closes the identity
-    // brier = rel - res + unc + within for raw forecasts. Exact
+    // and the within-bin moments (score variance MINUS 2x the
+    // score/label covariance) that close the identity
+    // brier = rel - res + unc + within EXACTLY for raw forecasts —
+    // on this fixture labels depend on score inside bins, so the
+    // covariance term is load-bearing (~0.02), not decorative. Exact
     // DECIMAL(28,9) bin sums, per-bin terms rounded to 9 at birth,
     // bin-ordered folds.
     "q_brier_decomposition" -> ((
@@ -10720,7 +10805,8 @@ object Queries {
              |    sum(CAST(score AS DECIMAL(28,9))) AS conf_sum,
              |    sum(CAST(round((score - lbl) * (score - lbl), 9) AS DECIMAL(28,9)))
              |      AS sq_sum,
-             |    sum(CAST(round(score * score, 9) AS DECIMAL(28,9))) AS s2_sum
+             |    sum(CAST(round(score * score, 9) AS DECIMAL(28,9))) AS s2_sum,
+             |    sum(CAST(round(score * lbl, 9) AS DECIMAL(28,9))) AS sy_sum
              |  FROM b GROUP BY 1),
              |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
              |    CAST(sum(n_pos) AS BIGINT) AS pos_tot, sum(sq_sum) AS sq_tot
@@ -10738,9 +10824,12 @@ object Queries {
              |        * (CAST(n_pos AS DOUBLE) / n - base)
              |        / CAST(n_tot AS DOUBLE), 9)} ORDER BY bin)]) AS res_raw,
              |    list_sum([x.t FOR x IN list({'b': bin, 't': round(
-             |      (CAST(s2_sum AS DOUBLE)
-             |       - n * (CAST(conf_sum AS DOUBLE) / n)
-             |           * (CAST(conf_sum AS DOUBLE) / n))
+             |      ((CAST(s2_sum AS DOUBLE)
+             |        - n * (CAST(conf_sum AS DOUBLE) / n)
+             |            * (CAST(conf_sum AS DOUBLE) / n))
+             |       - 2.0 * (CAST(sy_sum AS DOUBLE)
+             |         - n * (CAST(conf_sum AS DOUBLE) / n)
+             |             * (CAST(n_pos AS DOUBLE) / n)))
              |        / CAST(n_tot AS DOUBLE), 9)} ORDER BY bin)]) AS win_raw
              |  FROM perbin CROSS JOIN t2)
              |SELECT n_tot AS n, round(base, 6) AS base_rate,

@@ -1072,7 +1072,7 @@ object Soak {
       run("dp_counts") {
         // the Laplace release at 10x: one count aggregate, map-side
         // noise — groups never reshuffle
-        Privacy.laplaceCounts(docs10, "source", epsilon = 1.0)
+        Privacy.laplaceCounts(docs10, "source", epsilon = 1.0, salt = "dp_")
       },
       run("cohens_d") {
         // parametric effect size at 10x: ONE scan-level aggregate of

@@ -1,0 +1,304 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal snapshot-committed table format over plain parquet — the
+  * transactional completion of the incremental cycle that
+  * [[graft.streaming.EventStreams.upsertSink]]'s staging-swap protocol
+  * deliberately stopped short of (its scaladoc named this format as
+  * the cue at fact scale). The reference's whole economics is
+  * versioned incremental cycles (FetchVersions,
+  * `bin/fetcher.bash:25-35`; S3 `list-object-versions`); this is the
+  * row-level version of the same idea, without adopting Delta/Iceberg.
+  *
+  * Layout under one root directory:
+  * {{{
+  *   <root>/data/<commit-nonce>/part-*.parquet   immutable once published
+  *   <root>/_manifests/v%09d.manifest            one data-file path per line
+  *   <root>/_staging/...                         in-flight writes (orphaned by a crash)
+  * }}}
+  *
+  * THE COMMIT PROTOCOL — why a reader can never see a torn table:
+  *  1. data files are written to a fresh nonce'd directory under
+  *     `data/` that NO manifest references yet; readers cannot reach
+  *     them.
+  *  2. the manifest (the full file list of the new snapshot) is
+  *     written to a temp name and PUBLISHED by one atomic rename to
+  *     `v<N+1>.manifest`. Readers resolve the table as "highest
+  *     committed manifest", so at every instant they see either
+  *     snapshot N or snapshot N+1, both complete.
+  *  3. a crash anywhere before the rename leaves orphan data files and
+  *     a temp manifest — invisible to every reader, reclaimed by
+  *     [[vacuum]]. There is nothing to repair on restart (contrast the
+  *     swap protocol's recoverSwap), because no destructive step ever
+  *     happens: old files are only deleted by an explicit vacuum that
+  *     keeps the last `keepVersions` snapshots readable.
+  *
+  * READ-UNDER-COMMIT ISOLATION: [[read]] pins the manifest's file list
+  * at call time; data files are immutable and survive later commits
+  * (until vacuumed), so a reader planned against snapshot N returns
+  * exactly snapshot N even if commits N+1..N+k land mid-query — the
+  * property the upsert sink's staging swap could not give a concurrent
+  * reader. [[readVersion]] is the same pin at an explicit version
+  * (time travel across the retained window).
+  *
+  * CONCURRENCY: version numbers linearize committers. POSIX rename
+  * over an existing path silently replaces it (last-wins), so after
+  * renaming the committer READS BACK the published manifest and
+  * compares content — a mismatch means another committer took the same
+  * version number, and this commit retries at the next one (bounded
+  * retries, then a loud error). Single-writer-per-table remains the
+  * designed mode; the verify-retry exists so a misconfigured second
+  * writer degrades to serialized commits instead of silent loss.
+  *
+  * 100 TB posture: a commit writes only its own data files plus one
+  * manifest rename — no table-sized rewrite is required by the FORMAT
+  * ([[append]] reuses every prior file; [[commit]] rewrites because a
+  * merge-upsert semantically replaces the table). Manifests are one
+  * line per file: at 256 MB target files, a 100 TB snapshot is a
+  * ~400k-line (~30 MB) manifest — listed once per read plan, never
+  * per row. File-count hygiene stays [[Catalog.compact]]'s job,
+  * applied before commit, not after. */
+object SnapshotTable {
+
+  private val ManifestDir = "_manifests"
+  private val StagingDir = "_staging"
+  private val DataDir = "data"
+  private val ManifestRe = """v(\d{9})\.manifest""".r
+  private val MaxCommitRetries = 5
+
+  private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestPath(root: Path, v: Long): Path =
+    new Path(new Path(root, ManifestDir), f"v$v%09d.manifest")
+
+  /** Highest committed snapshot version, or None for an empty/new
+    * table. Temp manifests (un-renamed) never match the pattern, so a
+    * crash mid-commit is invisible here by construction. */
+  def currentVersion(fs: FileSystem, root: Path): Option[Long] = {
+    val md = new Path(root, ManifestDir)
+    if (!fs.exists(md)) return None
+    val vs = fs.listStatus(md).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(d) => Some(d.toLong)
+        case _ => None
+      }
+    }.toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** All committed versions, ascending — the retained time-travel
+    * window (vacuum trims the front). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val md = new Path(rootP, ManifestDir)
+    if (!fs.exists(md)) return Nil
+    fs.listStatus(md).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(d) => Some(d.toLong)
+        case _ => None
+      }
+    }.toSeq.sorted
+  }
+
+  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
+    val in = fs.open(manifestPath(root, v))
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    } finally in.close()
+  }
+
+  /** The current snapshot, file list PINNED at call time — later
+    * commits do not change what this DataFrame reads. Loud on an
+    * uncommitted table (an empty read would silently launder a
+    * mid-commit crash into "no data"). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable at $root has no committed snapshot — nothing was " +
+        "ever published (a crash mid-first-commit leaves no manifest by design)"))
+    readVersion(spark, root, v)
+  }
+
+  /** Snapshot `v` exactly — time travel within the retained window.
+    * Loud if `v` was vacuumed or never committed. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    if (!fs.exists(manifestPath(rootP, v)))
+      throw new IllegalStateException(
+        s"SnapshotTable at $root has no committed manifest v$v " +
+          "(never committed, or vacuumed past)")
+    val files = readManifest(fs, rootP, v)
+    if (files.isEmpty)
+      // unreachable by construction: even an empty-DataFrame commit
+      // publishes a schema-only part file (publish() requires it), so
+      // a fileless manifest can only mean external tampering
+      throw new IllegalStateException(
+        s"SnapshotTable at $root: manifest v$v lists no files")
+    spark.read.parquet(files.map(f => new Path(rootP, f).toString): _*)
+  }
+
+  /** Write `df`'s parquet files under a fresh unreferenced data
+    * directory and return their root-relative paths. The nonce keeps
+    * concurrent committers (and a crash-then-retry) from colliding on
+    * a directory name. */
+  private def writeDataFiles(spark: SparkSession, fs: FileSystem,
+                             rootP: Path, df: DataFrame): Seq[String] = {
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val staging = new Path(new Path(rootP, StagingDir), nonce)
+    df.write.mode("overwrite").option("compression", "zstd")
+      .parquet(staging.toString)
+    val dataHome = new Path(new Path(rootP, DataDir), nonce)
+    fs.mkdirs(dataHome.getParent)
+    if (!fs.rename(staging, dataHome))
+      sys.error(s"SnapshotTable: could not move staged data $staging " +
+        s"into place at $dataHome")
+    fs.listStatus(dataHome)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"$DataDir/$nonce/${st.getPath.getName}")
+      .sorted.toSeq
+  }
+
+  /** Publish `lines` as the next manifest after `base`. Returns the
+    * committed version. Retries on a lost version race (see the
+    * CONCURRENCY note above). */
+  private def publish(fs: FileSystem, rootP: Path, lines: Seq[String])
+      : Long = {
+    // an EMPTY DataFrame still commits: Spark writes a zero-row
+    // part file carrying the schema, so the manifest is never
+    // fileless (a schema-only snapshot is a legal table state); a
+    // genuinely fileless manifest would mean a writer bug upstream
+    require(lines.nonEmpty,
+      "SnapshotTable: refusing to publish a fileless manifest — even " +
+        "an empty snapshot carries a schema-only part file")
+    val body = lines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val next = currentVersion(fs, rootP).getOrElse(0L) + 1
+      val tmp = new Path(new Path(rootP, ManifestDir),
+        s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+      fs.mkdirs(tmp.getParent)
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      val target = manifestPath(rootP, next)
+      if (fs.rename(tmp, target)) {
+        // POSIX rename REPLACES an existing target silently, so verify
+        // the published content is ours; losing this check would let
+        // two committers share a version number with one silently gone
+        val back = readManifest(fs, rootP, next)
+        if (back == lines) return next
+      } else fs.delete(tmp, false)
+      attempt += 1
+    }
+    sys.error(s"SnapshotTable: lost the commit race $MaxCommitRetries " +
+      s"times at $rootP — a second writer is live; serialize committers")
+  }
+
+  /** Commit `df` as the next FULL snapshot (replace semantics — the
+    * shape a merge-upsert cycle produces). Returns the new version. */
+  def commit(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    publish(fs, rootP, writeDataFiles(spark, fs, rootP, df))
+  }
+
+  /** Commit `df` as an APPEND snapshot: the new manifest lists every
+    * file of the current snapshot plus `df`'s new files — no data is
+    * rewritten, the format's append is manifest-only. Returns the new
+    * version. */
+  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    val prior = currentVersion(fs, rootP)
+      .map(readManifest(fs, rootP, _)).getOrElse(Nil)
+    publish(fs, rootP, prior ++ writeDataFiles(spark, fs, rootP, df))
+  }
+
+  /** One incremental upsert cycle against the snapshot table —
+    * [[graft.streaming.EventStreams.upsertBatch]]'s semantics
+    * (last-writer-wins per key across cycles, deterministic
+    * first-writer-wins by `tieBreak` within a cycle) on the
+    * snapshot-committed layout: merge the batch with the CURRENT
+    * snapshot, commit the merge as the next version. Idempotent in
+    * content: re-delivering a cycle (foreachBatch's at-least-once
+    * crash replay) publishes a new version with IDENTICAL rows.
+    * Concurrent readers keep their pinned snapshot throughout. */
+  def upsertCycle(batch: DataFrame, root: String, keys: Seq[String],
+                  tieBreak: Seq[org.apache.spark.sql.Column] = Nil): Long = {
+    val spark = batch.sparkSession
+    val (fs, rootP) = fsOf(spark, root)
+    val merged = currentVersion(fs, rootP) match {
+      case Some(v) =>
+        graft.operators.Components.mergeFirstWriterWins(
+          Seq(batch, readVersion(spark, root, v)), keys, tieBreak)
+      case None => batch
+    }
+    commit(spark, root, merged)
+  }
+
+  /** Streaming upsert sink on the snapshot layout — the production
+    * scale path [[graft.streaming.EventStreams.upsertSink]]'s scaladoc
+    * pointed at: same foreachBatch merge semantics, but each
+    * micro-batch COMMITS a snapshot instead of swapping the table
+    * directory, so concurrent readers are isolated and history is
+    * queryable until vacuumed. */
+  def upsertSink(stream: DataFrame, root: String, checkpoint: String,
+                 keys: Seq[String],
+                 tieBreak: Seq[org.apache.spark.sql.Column] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertCycle(batch, root, keys, tieBreak)
+        ()
+      }
+      .start()
+
+  /** Reclaim space: keep the newest `keepVersions` manifests, delete
+    * older manifests, every data file no retained manifest references,
+    * and all staging/temp orphans (crashed commits). Readers pinned
+    * inside the retained window are unaffected; `keepVersions` is the
+    * table's read-transaction horizon. Returns
+    * (manifestsDeleted, dataDirsDeleted). */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2)
+      : (Int, Int) = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val (fs, rootP) = fsOf(spark, root)
+    val all = versions(spark, root)
+    val keep = all.takeRight(keepVersions).toSet
+    val referenced: Set[String] = keep.flatMap(readManifest(fs, rootP, _))
+    // nonce-directory granularity: a data dir goes when NONE of its
+    // files is referenced by a retained manifest (files of one commit
+    // share a manifest's fate, so partial references cannot happen)
+    val dataHome = new Path(rootP, DataDir)
+    var dirsDeleted = 0
+    if (fs.exists(dataHome)) fs.listStatus(dataHome).foreach { st =>
+      val nonce = st.getPath.getName
+      if (!referenced.exists(_.startsWith(s"$DataDir/$nonce/"))) {
+        fs.delete(st.getPath, true); dirsDeleted += 1
+      }
+    }
+    var manifestsDeleted = 0
+    val md = new Path(rootP, ManifestDir)
+    if (fs.exists(md)) fs.listStatus(md).foreach { st =>
+      st.getPath.getName match {
+        case ManifestRe(d) if !keep.contains(d.toLong) =>
+          fs.delete(st.getPath, false); manifestsDeleted += 1
+        case n if n.startsWith(".tmp-") =>
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+    val sd = new Path(rootP, StagingDir)
+    if (fs.exists(sd)) { fs.delete(sd, true); () }
+    (manifestsDeleted, dirsDeleted)
+  }
+}

@@ -370,12 +370,19 @@ object Eval {
     * binned reliability table as [[calibration]] — the WHY behind a
     * bad Brier: reliability (miscalibration, want 0), resolution
     * (discrimination, want large), uncertainty (the base rate's
-    * irreducible floor), plus the within-bin score variance that makes
-    * the identity exact for raw (un-binned) forecasts:
+    * irreducible floor), plus the within-bin term that makes the
+    * identity exact for raw (un-binned) forecasts:
     * brier = reliability − resolution + uncertainty + within. With
     * per-bin (n_b, conf_b, acc_b) and base rate ȳ:
     * REL = Σ n_b(conf_b − acc_b)²/N, RES = Σ n_b(acc_b − ȳ)²/N,
-    * UNC = ȳ(1 − ȳ), WITHIN = Σ (Σs²_b − n_b·conf_b²)/N. ONE row out:
+    * UNC = ȳ(1 − ȳ), and WITHIN carries BOTH within-bin moments —
+    * the score variance AND the −2·covariance between score and
+    * label inside the bin:
+    * WITHIN = Σ_b [(Σs²_b − n_b·conf_b²) − 2(Σs_by_b − n_b·conf_b·acc_b)]/N.
+    * (Dropping the covariance term — a common abbreviation — breaks
+    * the identity whenever labels correlate with scores inside a bin,
+    * i.e. for every real forecaster; with it the identity is an
+    * algebraic rearrangement of Σ(s−y)², exact.) ONE row out:
     * (n, base_rate, brier, reliability, resolution, uncertainty,
     * within).
     *
@@ -403,7 +410,11 @@ object Eval {
       sum(round((col("score") - col("lbl")) * (col("score") - col("lbl")), 9)
         .cast("decimal(28,9)")).as("sq_sum"),
       sum(round(col("score") * col("score"), 9).cast("decimal(28,9)"))
-        .as("s2_sum"))
+        .as("s2_sum"),
+      // Σ s·y per bin — the within-bin covariance numerator (y binary,
+      // so this is Σ s over the positives; round-9 at birth like s²)
+      sum(round(col("score") * col("lbl"), 9).cast("decimal(28,9)"))
+        .as("sy_sum"))
     val conf = col("conf_sum").cast("double") / col("n").cast("double")
     val acc = col("n_pos").cast("double") / col("n").cast("double")
     val folded = perBin
@@ -411,7 +422,8 @@ object Eval {
         sum("n").as("n_tot"), sum("n_pos").as("pos_tot"),
         sum("sq_sum").as("sq_tot"),
         sort_array(collect_list(struct(col("bin"), col("n"),
-          col("n_pos"), col("conf_sum"), col("s2_sum")))).as("bins"))
+          col("n_pos"), col("conf_sum"), col("s2_sum"), col("sy_sum"))))
+          .as("bins"))
     val baseRate = col("pos_tot").cast("double") / col("n_tot").cast("double")
     val nTotD = "cast(n_tot as double)"
     folded.select(col("n_tot"), col("sq_tot"), col("bins"),
@@ -435,9 +447,12 @@ object Eval {
         round(col("base") * (lit(1.0) - col("base")), 6).as("uncertainty"),
         round(expr(
           s"""aggregate(bins, cast(0 as double), (acc, x) -> acc + round(
-             |  (cast(x.s2_sum as double)
-             |   - x.n * (cast(x.conf_sum as double) / x.n)
-             |         * (cast(x.conf_sum as double) / x.n)) / $nTotD, 9))
+             |  ((cast(x.s2_sum as double)
+             |    - x.n * (cast(x.conf_sum as double) / x.n)
+             |          * (cast(x.conf_sum as double) / x.n))
+             |   - 2.0d * (cast(x.sy_sum as double)
+             |     - x.n * (cast(x.conf_sum as double) / x.n)
+             |           * (cast(x.n_pos as double) / x.n))) / $nTotD, 9))
              |""".stripMargin), 6).as("within"))
   }
 

@@ -77,9 +77,11 @@ object Mpeg {
     * leading ID3v2 tag is skipped (same syncsafe arithmetic as
     * [[MediaHeaders.mp3]]). None for anything that is not a clean
     * mono MPEG-1 Layer I unprotected stream: wrong sync, MPEG-2,
-    * Layers II/III, CRC-protected frames, stereo modes, forbidden
-    * bitrate/rate/allocation/scalefactor codes, the forbidden all-ones
-    * sample code, rate changes mid-stream, or trailing bytes. */
+    * Layers II/III, CRC-protected frames, stereo modes, free-format
+    * bitrate (index 0 — frame length is encoder-defined, so framing
+    * would be a guess), forbidden bitrate/rate/allocation/scalefactor
+    * codes, the forbidden all-ones sample code, rate changes
+    * mid-stream, or trailing bytes. */
   def layer1SubbandPcm(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     var o = 0L
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&

@@ -44,6 +44,23 @@ import org.apache.spark.sql.functions._
   *    the same way. Ogg-FLAC, the mapping that reuses a decodable
   *    codec, IS decoded.
   *
+  * ==Decision: no checked-in spec tables (settled round 13)==
+  * The PSL snapshot (`resources/graft/psl_snapshot.txt`) was raised as
+  * a precedent for shipping ISO 11172-3 Table B.3 (the 512-tap
+  * synthesis window) as a resource, which would upgrade Layer I to
+  * full PCM. Decided AGAINST, and the distinction is principled, not
+  * convenience: the PSL is a public registry SNAPSHOT — facts about
+  * the world whose ground truth is the registry itself, verifiable
+  * against it line by line. A spec's numeric coefficient table is the
+  * creative content of the standard document; this environment has no
+  * access to the document, so any checked-in table would be
+  * RECONSTRUCTED FROM MEMORY with no way to verify a single
+  * coefficient — and a silently wrong tap in a 512-entry window
+  * produces plausible-but-wrong PCM, the exact failure mode the
+  * from-spec-by-hand rule exists to prevent. The subband-domain
+  * boundary stays; the fingerprint path it feeds is
+  * power-complementarity-sound (see [[Mpeg]]).
+  *
   * Scale posture:
   *  - media bytes never go through a shuffle wider than necessary: the
   *    feature extraction is map-side (`mapPartitions`), emitting compact

@@ -163,12 +163,20 @@ object Privacy {
     * everything else — sensitivity, scale, inverse CDF — is the
     * deployable code path.
     *
+    * `salt` is the RELEASE IDENTIFIER and is deliberately REQUIRED (no
+    * default): the noise is a pure function of (group, salt), so two
+    * releases computed with the SAME salt over different data carry
+    * identical noise per group — subtracting them reveals the exact
+    * count delta, and anyone holding the salt can reconstruct the
+    * noise outright. Give every release a fresh identifier; reusing
+    * one is the deterministic-seed analog of Laplace noise reuse.
+    *
     * Determinism: u = (h + ½)/2³² is exact (h < 2³², never 0 or 1);
     * the single ln birth-rounds the noise to 9; released rounds 6.
     * One group-keyed count aggregate, noise map-side — groups never
     * re-shuffle. */
   def laplaceCounts(df: DataFrame, groupCol: String, epsilon: Double,
-                    salt: String = "dp_"): DataFrame = {
+                    salt: String): DataFrame = {
     require(epsilon > 0, "epsilon must be positive")
     val u = (Sampling.hash32(col("g"), salt).cast("double") + 0.5) /
       lit(4294967296.0)

@@ -740,11 +740,18 @@ object Profile {
     * form keeps every operand an exact integer (2(n0−n1) = n² − Σt_x²
     * since Σt_x = n).
     *
-    * Scale shape — THE NAMED BOUND: the join is grid × grid, |G|²/2
-    * pairs with |G| = count of distinct (x, y) CELLS, so callers must
-    * bucket continuous measures first (q_kendall_tau walks in with
-    * ~30 cells); the right side broadcasts explicitly — grid size is a
-    * bucket-design constant, never data-scaled. Beside
+    * Scale shape — THE NAMED BOUND, now GUARDED: the join is grid ×
+    * grid, |G|²/2 pairs with |G| = count of distinct (x, y) CELLS, so
+    * callers must bucket continuous measures first (q_kendall_tau
+    * walks in with ~30 cells); the right side broadcasts explicitly —
+    * grid size is a bucket-design constant, never data-scaled. An
+    * unbucketed high-cardinality measure (ids, timestamps) would turn
+    * the broadcast + self-join into a driver-killing quadratic plan,
+    * so the grid is counted FIRST and anything over
+    * [[kendallTauMaxCells]] raises with the bucketing hint instead
+    * (the assertPackBound / strictLongId discipline). The count
+    * materializes the cell table once — it is cached for reuse by the
+    * returned plan. Beside
     * [[rankCorrelation]]'s Spearman (which is exact per ROW but
     * tie-broken by id), τ-b is the midrank-honest statistic — the grid
     * is what makes exact tie handling affordable.
@@ -753,11 +760,28 @@ object Profile {
     * one fixed IEEE expression over them, round 6. A degenerate
     * denominator (all x tied or all y tied) reports NULL. ONE row out:
     * (n, n_cells, concordant, discordant, tau_b). */
+  /** Hard ceiling on kendallTau's (x, y) cell grid: 10⁵ cells is
+    * ~5·10⁹ grid-pair products — already the outer edge of a sane
+    * single broadcast join, and far above any designed bucketing. */
+  val kendallTauMaxCells: Long = 100000L
+
   def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df.select(col(xCol).cast("long").as("xv"),
       col(yCol).cast("long").as("yv"))
       .filter(col("xv").isNotNull && col("yv").isNotNull)
       .groupBy("xv", "yv").agg(count(lit(1)).as("c"))
+      .persist()
+    val nCells = cells.count()
+    if (nCells > kendallTauMaxCells) {
+      cells.unpersist()
+      throw new IllegalArgumentException(
+        s"kendallTau: $nCells distinct (x, y) cells exceeds the " +
+          s"$kendallTauMaxCells-cell grid ceiling — the pair join is " +
+          "|G|²/2 on the CELL grid, so bucket continuous or " +
+          "high-cardinality measures first (note both measures are " +
+          "cast('long'): a double measure is silently truncated toward " +
+          "zero before gridding, so bucket in the units you mean)")
+    }
     val tot = cells.agg(sum(col("c")).as("n"),
       count(lit(1)).as("n_cells"))
     val tx = cells.groupBy("xv").agg(sum(col("c")).as("t"))
@@ -1038,9 +1062,18 @@ object Profile {
     * [[seasonalityStrength]] / [[cusumChangepoint]]): one hour-keyed
     * count aggregate (the only row-scaled step), sequence-exploded to
     * the full [min, max] calendar range with missing hours as TRUE
-    * ZERO counts. Grid size is calendar-bounded, never data-sized. */
+    * ZERO counts. Grid size is calendar-bounded, never data-sized.
+    *
+    * Hour ids use FLOOR division — `(u − pmod(u, 3600)) div 3600` is
+    * exact-integer floor for either sign — matching the oracle's
+    * DuckDB `//` on pre-1970 timestamps too (Spark's bare `div`
+    * truncates toward zero, the named sign-split hazard theilSen
+    * documents; fixtures are post-1970 so the two only diverge on
+    * negative epochs, which is exactly when a silent mismatch would
+    * have surfaced). */
   private def hourlyGrid(df: DataFrame, tsCol: String): DataFrame = {
-    val counts = df.select(expr(s"unix_timestamp($tsCol) div 3600")
+    val counts = df.select(
+        expr(s"(unix_timestamp($tsCol) - pmod(unix_timestamp($tsCol), 3600)) div 3600")
         .as("hid"))
       .filter(col("hid").isNotNull)
       .groupBy("hid").agg(count(lit(1)).as("c"))

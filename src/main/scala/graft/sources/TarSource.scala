@@ -24,11 +24,24 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * sum with the checksum field read as spaces, offset 148..155) is
   * VERIFIED and any mismatch, truncated member, or non-octal size
   * fails LOUDLY with the archive path — a silently mis-framed member
-  * would otherwise shear every following line. Non-regular members
-  * (directories, links, PAX/GNU extension blocks — typeflag outside
-  * '0'/NUL) are skipped whole, so archives with metadata blocks still
-  * stream their files. Gzip wrapping is detected by extension
-  * (.tar.gz/.tgz) and handled by the JDK inflater.
+  * would otherwise shear every following line. Member names honor the
+  * ustar PREFIX field (offset 345, 155 bytes, joined with '/') when
+  * the magic says ustar, so paths up to 255 bytes key correctly; a
+  * GNU 'L'/'K' long-name extension member fails LOUDLY instead of
+  * being skipped — skipping it would hand the NEXT member a silently
+  * truncated name, mis-keying WebDataset rows with no error (the same
+  * shear-class bug the checksum guard exists for). Other non-regular
+  * members (directories, links, PAX metadata blocks) are skipped
+  * whole, so archives with metadata blocks still stream their files.
+  * Gzip wrapping is detected by extension (.tar.gz/.tgz) and handled
+  * by the JDK inflater.
+  *
+  * Stream lifetime: the archive input stream closes at EOF on the
+  * happy path, and a task-completion listener closes it regardless —
+  * a downstream `limit`/take that abandons the iterator mid-archive
+  * must not leak the FSDataInputStream for the executor's lifetime
+  * (the Deflater-cleanup precedent in TextAnalysis.compressionRatios;
+  * close() is idempotent, so the double-close at EOF is harmless).
   *
   * Line semantics mirror [[ZipSource.lines]]: members concatenate in
   * archive order, each member decoded with a fresh reader (so a
@@ -57,10 +70,11 @@ object TarSource {
         pathIt.flatMap { p =>
           val hPath = new Path(p)
           val fs = hPath.getFileSystem(conf)
-          val raw: InputStream =
+          val raw: InputStream = ArchiveStreamAudit.wrap(
             if (p.endsWith(".gz") || p.endsWith(".tgz"))
               new GZIPInputStream(fs.open(hPath))
-            else fs.open(hPath)
+            else fs.open(hPath))
+          closeOnTaskEnd(raw)
           memberLines(raw, cs, p)
         }
       }
@@ -78,6 +92,12 @@ object TarSource {
               maxMemberBytes: Long = 64L << 20)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    // a cap above Int.MaxValue would let size.toInt wrap on a >2 GiB
+    // member and mis-frame instead of raising the designed message —
+    // JVM byte arrays are int-indexed, so the cap cannot exceed it
+    require(maxMemberBytes <= Int.MaxValue,
+      s"maxMemberBytes $maxMemberBytes exceeds Int.MaxValue — a tar " +
+        "member materializes as one JVM byte array, which is int-indexed")
     val serConf = spark.sparkContext.broadcast {
       val it = spark.sparkContext.hadoopConfiguration.iterator()
       val m = scala.collection.mutable.Map[String, String]()
@@ -92,10 +112,11 @@ object TarSource {
         pathIt.flatMap { p =>
           val hPath = new Path(p)
           val fs = hPath.getFileSystem(conf)
-          val raw: InputStream =
+          val raw: InputStream = ArchiveStreamAudit.wrap(
             if (p.endsWith(".gz") || p.endsWith(".tgz"))
               new GZIPInputStream(fs.open(hPath))
-            else fs.open(hPath)
+            else fs.open(hPath))
+          closeOnTaskEnd(raw)
           memberBytes(raw, p, maxMemberBytes).map { case (n, b) =>
             (p, n, b)
           }
@@ -103,6 +124,17 @@ object TarSource {
       }
       .toDF("archive", "name", "content")
   }
+
+  /** Close the archive stream when the TASK completes, not only at
+    * EOF: a downstream limit/take may abandon the member iterator
+    * mid-archive, and the EOF-close alone would then leak the open
+    * FSDataInputStream until executor shutdown. close() is idempotent
+    * so the happy-path EOF close composes safely. */
+  private def closeOnTaskEnd(in: InputStream): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit] { _ =>
+        try in.close() catch { case _: java.io.IOException => () }
+      })
 
   /** Iterator over (name, content) of all regular members. The framing
     * walk mirrors [[memberLines]]; kept separate because this path
@@ -169,14 +201,34 @@ object TarSource {
           val size = octal(124, 12)
           val typeflag = header(156)
           val pad = (Block - (size % Block)) % Block
+          // GNU long-name/long-link extension: skipping it would hand
+          // the NEXT member a silently truncated name — mis-keyed rows
+          // with no error. Refuse loudly (the checksum discipline).
+          if (typeflag == 'L' || typeflag == 'K')
+            throw new IllegalArgumentException(
+              s"$ctx: GNU long-name tar extension (typeflag " +
+                s"'${typeflag.toChar}') is not supported — repack with " +
+                "POSIX ustar paths (name 100 + prefix 155 bytes)")
           if (typeflag == '0' || typeflag == 0) {
             if (size > maxBytes) throw new IllegalArgumentException(
               s"$ctx: tar member of $size bytes exceeds maxMemberBytes " +
                 s"$maxBytes — shard the archive upstream")
             var end = 0
             while (end < 100 && header(end) != 0) end += 1
-            val name = new String(header, 0, end,
+            val base = new String(header, 0, end,
               java.nio.charset.StandardCharsets.US_ASCII)
+            // ustar prefix field (offset 345, 155 bytes): the POSIX
+            // home of path bytes beyond the 100-char name field —
+            // ignoring it would truncate long member paths silently
+            val ustar = header(257) == 'u' && header(258) == 's' &&
+              header(259) == 't' && header(260) == 'a' && header(261) == 'r'
+            var pEnd = 345
+            while (pEnd < 500 && header(pEnd) != 0) pEnd += 1
+            val name =
+              if (ustar && pEnd > 345)
+                new String(header, 345, pEnd - 345,
+                  java.nio.charset.StandardCharsets.US_ASCII) + "/" + base
+              else base
             val data = new Array[Byte](size.toInt)
             if (!readFully(data, data.length))
               throw new IllegalArgumentException(

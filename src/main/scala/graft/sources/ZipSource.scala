@@ -29,6 +29,19 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object ZipSource {
 
+  /** Close the underlying stream when the TASK completes, not only at
+    * EOF: a downstream limit/take can abandon the line iterator before
+    * exhaustion, and the on-exhaustion close alone would then leak the
+    * open FSDataInputStream (and the zip inflater's native buffer) for
+    * the executor's lifetime — the Deflater-cleanup precedent in
+    * TextAnalysis.compressionRatios. close() is idempotent, so the
+    * happy-path EOF close composes safely. */
+  private def closeOnTaskEnd(c: java.io.Closeable): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit] { _ =>
+        try c.close() catch { case _: java.io.IOException => () }
+      })
+
   /** All text lines of every entry of each archive, decoded with the
     * given charset. One input partition per archive (zip is not
     * splittable); the header line of the FIRST entry is kept and
@@ -66,7 +79,9 @@ object ZipSource {
           val hPath = new Path(p)
           val fs = hPath.getFileSystem(conf)
           if (!zipped) {
-            val reader = new BufferedReader(new InputStreamReader(fs.open(hPath), cs))
+            val reader = new BufferedReader(new InputStreamReader(
+              ArchiveStreamAudit.wrap(fs.open(hPath)), cs))
+            closeOnTaskEnd(reader)
             new Iterator[String] {
               private var nextLine: String = reader.readLine()
               def hasNext: Boolean = nextLine != null
@@ -78,7 +93,8 @@ object ZipSource {
               }
             }
           } else {
-          val zin = new ZipInputStream(fs.open(hPath))
+          val zin = new ZipInputStream(ArchiveStreamAudit.wrap(fs.open(hPath)))
+          closeOnTaskEnd(zin)
           // Iterator over all lines of all entries, streaming.
           new Iterator[String] {
             private var reader: BufferedReader = _

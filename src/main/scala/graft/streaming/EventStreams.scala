@@ -763,10 +763,15 @@ object EventStreams {
     * [[graft.core.Catalog.recoverSwap]] repairs an interrupted swap
     * at the start of the next batch — so a replayed batch always
     * merges against the pre-crash table instead of rebuilding from
-    * batch-only data. The swap is single-writer, not reader-atomic —
-    * at production scale this per-batch rewrite is the cue to move to
-    * a transactional format, or keep per-key state small
-    * (dimension/state tables, not facts). */
+    * batch-only data. The swap is single-writer, not reader-atomic:
+    * a concurrent reader can catch the rename window. When readers
+    * overlap commits (fact scale), use the snapshot-committed layout
+    * instead — [[graft.core.SnapshotTable.upsertSink]] runs the SAME
+    * merge per micro-batch but publishes each cycle as an immutable
+    * versioned snapshot, so readers keep a consistent pinned view
+    * through any number of commits. This directory-swap sink remains
+    * the right tool for small single-reader state tables (no manifest
+    * bookkeeping, no vacuum). */
   def upsertSink(stream: DataFrame, path: String, checkpoint: String,
                  keys: Seq[String],
                  tieBreak: Seq[org.apache.spark.sql.Column] = Nil)
@@ -1267,6 +1272,40 @@ object EventStreams {
     val q = stream.writeStream.format("memory").queryName(sinkName)
       .outputMode(OutputMode.Append).start()
     try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
+  /** Streaming tar/WebDataset ingestion — the landing-directory tail
+    * ([[graft.sources.v2.TarMicroBatchStream]]) driven END-TO-END with
+    * a real INCREMENTAL landing: the shards land ONE AT A TIME into a
+    * fresh directory, each followed by a processAllAvailable drain, so
+    * the lexicographic name watermark must pick up each newly landed
+    * shard exactly once (a re-emitted or missed shard duplicates or
+    * drops members and the caller's oracle hash-mismatches). Rows are
+    * the member (name, content) pairs — byte-identical to the batch
+    * [[graft.sources.TarSource.members]] read of the same shards,
+    * which is the claim the gate query checks through the shared
+    * pinned-dhash oracle. */
+  def replayTarIngest(spark: SparkSession, shardPaths: Seq[String]): DataFrame = {
+    val sinkName = "graft_replay_tar_ingest"
+    spark.catalog.dropTempView(sinkName)
+    val landing = java.nio.file.Files.createTempDirectory("graft_tar_landing_")
+    val stream = spark.readStream.format("tar").load(landing.toString)
+      .select(col("name"), col("content"))
+    val q = stream.writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try {
+      shardPaths.foreach { p =>
+        val src = java.nio.file.Paths.get(p)
+        // land atomically the way a real shard writer does:
+        // write-temp-then-rename, name above the current watermark
+        val tmp = landing.resolve("." + src.getFileName.toString + ".tmp")
+        java.nio.file.Files.copy(src, tmp)
+        java.nio.file.Files.move(tmp, landing.resolve(src.getFileName.toString),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
     spark.table(sinkName)
   }
 }

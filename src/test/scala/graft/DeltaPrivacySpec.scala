@@ -108,7 +108,7 @@ class DeltaPrivacySpec extends SparkSpec {
   test("laplaceCounts: replayable inverse-CDF Laplace release at " +
       "python-derived constants; deterministic across runs") {
     val df = Seq("a", "a", "a", "b").toDF("g")
-    def run() = Privacy.laplaceCounts(df, "g", epsilon = 1.0)
+    def run() = Privacy.laplaceCounts(df, "g", epsilon = 1.0, salt = "dp_")
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     val out = run()
     // md5("dp_a")[0:8] -> u -> noise: 3 + (-0.365731...) = 2.634269;
@@ -117,7 +117,7 @@ class DeltaPrivacySpec extends SparkSpec {
     assert(out("b") == -0.088454, s"got ${out("b")}")
     assert(run() == out) // the seed is the point: replayable release
     // scale: eps=0.5 doubles the noise magnitude exactly
-    val wide = Privacy.laplaceCounts(df, "g", epsilon = 0.5)
+    val wide = Privacy.laplaceCounts(df, "g", epsilon = 0.5, salt = "dp_")
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(math.abs((wide("a") - 3.0) - 2.0 * (out("a") - 3.0)) < 2e-6)
   }

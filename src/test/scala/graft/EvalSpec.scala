@@ -404,8 +404,23 @@ class EvalSpec extends SparkSpec {
     assert(rw.getDouble(2) == 0.0241 && rw.getDouble(3) == 0.0225)
     assert(rw.getDouble(4) == 0.0 && rw.getDouble(5) == 0.0)
     assert(rw.getDouble(6) == 0.0016)
-    // identity to the birth-rounds on both cases
-    for (row <- Seq(r, rw))
+    // labels CORRELATED with scores inside one bin — the case the
+    // covariance-free abbreviation gets wrong: bin 9 holds (0.9, 1)
+    // and (0.81, 0). Σs² − n·conf² = 0.00405, Σsy − n·conf·acc =
+    // 0.045, within = (0.00405 − 2·0.045)/2 = −0.042975 (a NEGATIVE
+    // within is legal — it is a −2·covariance moment, not a
+    // variance); rel = (0.855 − 0.5)² = 0.126025, res = 0, unc =
+    // 0.25, brier = (0.01 + 0.6561)/2 = 0.33305. Without the
+    // covariance term the identity misses by 2·0.045/2 = 0.045.
+    val cv = Seq((0.9, 1L), (0.81, 0L)).toDF("score", "lbl")
+    val rc = operators.Eval.brierDecomposition(cv, "score", "lbl")
+      .collect().head
+    assert(rc.getDouble(2) == 0.33305 && rc.getDouble(3) == 0.126025)
+    assert(rc.getDouble(4) == 0.0 && rc.getDouble(5) == 0.25)
+    assert(rc.getDouble(6) == -0.042975)
+    // identity to the birth-rounds on all three cases — including the
+    // within-bin-correlated one the old formula failed by 0.045
+    for (row <- Seq(r, rw, rc))
       assert(math.abs(row.getDouble(2) - (row.getDouble(3) -
         row.getDouble(4) + row.getDouble(5) + row.getDouble(6))) < 1e-8)
   }

@@ -203,4 +203,82 @@ class IngestSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("checksum")),
       s"got: ${e.getMessage}")
   }
+
+  /** Clone a fixture header block, mutate it, rebuild the checksum the
+    * way the writer does — the dirHeader precedent above. */
+  private def remint(block: Array[Byte])(mutate: Array[Byte] => Unit): Array[Byte] = {
+    val h = block.clone()
+    mutate(h)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    val sum = h.take(512).map(_ & 0xFF).sum
+    System.arraycopy(f"$sum%06o  ".getBytes(StandardCharsets.US_ASCII), 0,
+      h, 148, 8)
+    h
+  }
+
+  test("TarSource.members: ustar prefix field joins into the member " +
+      "name; a GNU 'L' long-name extension fails loudly") {
+    val data = "x".getBytes(StandardCharsets.UTF_8)
+    val withPrefix = remint(graft.sources.TarFixture.member("leaf.png", data)) { h =>
+      val p = "shard0001/images".getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(p, 0, h, 345, p.length)
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(withPrefix)
+    out.write(new Array[Byte](1024))
+    val p = Files.createTempFile("graft_tar_prefix", ".tar")
+    Files.write(p, out.toByteArray)
+    val got = graft.sources.TarSource.members(spark, Seq(p.toString)).collect()
+    assert(got.length == 1 &&
+      got.head.getString(1) == "shard0001/images/leaf.png", got.mkString("|"))
+    // GNU 'L': skipping it would mis-key the NEXT member silently —
+    // the walk must refuse instead
+    val gnuL = remint(graft.sources.TarFixture.member(
+      "././@LongLink", "a/very/long/path ".getBytes)) { h => h(156) = 'L' }
+    val out2 = new ByteArrayOutputStream()
+    out2.write(gnuL)
+    out2.write(graft.sources.TarFixture.member("truncated.name", data))
+    out2.write(new Array[Byte](1024))
+    val p2 = Files.createTempFile("graft_tar_gnul", ".tar")
+    Files.write(p2, out2.toByteArray)
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.TarSource.members(spark, Seq(p2.toString)).collect()
+    }
+    assert(e.getMessage.contains("long-name") ||
+      Option(e.getCause).exists(_.getMessage.contains("long-name")),
+      s"got: ${e.getMessage}")
+  }
+
+  test("TarSource.members: a cap above Int.MaxValue is refused up " +
+      "front (size.toInt would wrap, mis-framing a >2GiB member)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.TarSource.members(spark, Seq("/nonexistent.tar"),
+        maxMemberBytes = Int.MaxValue.toLong + 1)
+    }
+    assert(e.getMessage.contains("Int.MaxValue"))
+  }
+
+  test("archive streams close at task end, not stream EOF: limit(1) " +
+      "abandons the member iterator mid-archive without leaking") {
+    graft.sources.TarFixture.ensure()
+    val o0 = graft.sources.ArchiveStreamAudit.opened.get()
+    val c0 = graft.sources.ArchiveStreamAudit.closed.get()
+    // tar path: 5 data lines across two members; take 1 and abandon
+    val one = graft.sources.TarSource.lines(spark,
+      Seq(graft.sources.TarFixture.tarGzPath), Charset.forName("UTF-16"))
+      .limit(1).collect()
+    assert(one.length == 1)
+    // zip path: same short-circuit through ZipSource.lines
+    val dir = Files.createTempDirectory("graft_zip_leak")
+    val zp = writeZip(dir, "leak_check.zip", "h\n" + ("r\n" * 5000),
+      StandardCharsets.UTF_8)
+    val zOne = ZipSource.lines(spark, Seq(zp), StandardCharsets.UTF_8)
+      .limit(1).collect()
+    assert(zOne.length == 1)
+    // task-completion listeners run on the task thread before the job
+    // returns, so by now every opened archive stream must be closed
+    val dOpen = graft.sources.ArchiveStreamAudit.opened.get() - o0
+    val dClose = graft.sources.ArchiveStreamAudit.closed.get() - c0
+    assert(dOpen >= 2 && dClose == dOpen, s"opened $dOpen closed $dClose")
+  }
 }

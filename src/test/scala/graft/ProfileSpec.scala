@@ -406,6 +406,20 @@ class ProfileSpec extends SparkSpec {
       .collect().head.isNullAt(4))
   }
 
+  test("kendallTau: an unbucketed high-cardinality measure is refused " +
+      "loudly BEFORE the |G|^2 grid join, with the bucketing hint") {
+    import org.apache.spark.sql.functions.col
+    // forge a grid one past the ceiling: ids as both measures
+    val wide = spark.range(operators.Profile.kendallTauMaxCells + 1)
+      .select(col("id").as("x"), col("id").as("y"))
+    val e = intercept[IllegalArgumentException] {
+      operators.Profile.kendallTau(wide, "x", "y").collect()
+    }
+    assert(e.getMessage.contains("bucket") &&
+      e.getMessage.contains("truncated"),
+      s"got: ${e.getMessage}")
+  }
+
   test("cohensD: hand-computed d and Hedges g; degenerate cases NULL") {
     import org.apache.spark.sql.functions.col
     // A={2,4}, B={1,3}: means 3/2, pooled s2 = 2, d = 1/sqrt(2),

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.core.SnapshotTable
+
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_snap_spec").toString + "/t"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select(col("k").cast("long"), col("v").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("commit/read/versions: full snapshots replace; time travel " +
+      "within the retained window; an empty commit stays readable") {
+    val root = freshRoot()
+    val v1 = SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v2 = SnapshotTable.commit(spark, root,
+      Seq((1L, "a2"), (3L, "c")).toDF("k", "v"))
+    assert(v1 == 1L && v2 == 2L)
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L))
+    assert(rows(SnapshotTable.read(spark, root)) ==
+      Set((1L, "a2"), (3L, "c")))
+    assert(rows(SnapshotTable.readVersion(spark, root, 1)) ==
+      Set((1L, "a"), (2L, "b")))
+    // an empty DataFrame commits as a schema-only snapshot (Spark
+    // writes a zero-row part file) — a legal state that must read
+    // back as 0 rows WITH schema, never as "no table"
+    val v3 = SnapshotTable.commit(spark, root,
+      Seq.empty[(Long, String)].toDF("k", "v"))
+    assert(v3 == 3L && SnapshotTable.read(spark, root).count() == 0L)
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("append is manifest-only: version N+1 references version N's " +
+      "data files verbatim, nothing is rewritten") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataBefore = fs.listStatus(new Path(root, "data")).map(_.getPath.getName).toSet
+    SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("k", "v"))
+    val dataAfter = fs.listStatus(new Path(root, "data")).map(_.getPath.getName).toSet
+    // the old commit's nonce directory survives untouched and one new
+    // nonce directory appears — the append wrote only its own rows
+    assert(dataBefore.subsetOf(dataAfter) && dataAfter.size == dataBefore.size + 1)
+    assert(rows(SnapshotTable.read(spark, root)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("read-under-commit isolation: a reader pinned at snapshot N " +
+      "returns exactly N while commits N+1.. land") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val pinned = SnapshotTable.read(spark, root) // file list pinned HERE
+    SnapshotTable.commit(spark, root, Seq((1L, "CHANGED")).toDF("k", "v"))
+    SnapshotTable.commit(spark, root, Seq((9L, "z")).toDF("k", "v"))
+    // the pinned plan still reads snapshot 1's immutable files
+    assert(rows(pinned) == Set((1L, "a"), (2L, "b")))
+    assert(rows(SnapshotTable.read(spark, root)) == Set((9L, "z")))
+  }
+
+  test("crash mid-commit is invisible: orphan data files and a temp " +
+      "manifest never change what readers see; vacuum reclaims them") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a committer that died between writing data files and the
+    // manifest rename: unreferenced data dir + an un-renamed temp manifest
+    val orphan = new Path(root, "data/deadbeef0000")
+    fs.mkdirs(orphan)
+    val f = fs.create(new Path(orphan, "part-00000.parquet"), true)
+    f.write(Array[Byte](1, 2, 3)); f.close()
+    val tmp = fs.create(new Path(root, "_manifests/.tmp-deadbeef0000"), true)
+    tmp.write("data/deadbeef0000/part-00000.parquet\n".getBytes); tmp.close()
+    // readers: current version and content are untouched
+    assert(SnapshotTable.versions(spark, root) == Seq(1L))
+    assert(rows(SnapshotTable.read(spark, root)) == Set((1L, "a")))
+    // vacuum reclaims the orphans and keeps the live snapshot
+    val (mDel, dDel) = SnapshotTable.vacuum(spark, root, keepVersions = 2)
+    assert(mDel == 0 && dDel == 1)
+    assert(!fs.exists(orphan) &&
+      !fs.exists(new Path(root, "_manifests/.tmp-deadbeef0000")))
+    assert(rows(SnapshotTable.read(spark, root)) == Set((1L, "a")))
+  }
+
+  test("vacuum trims history to keepVersions: old manifests AND their " +
+      "now-unreferenced data go; pinned-in-window reads survive") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotTable.commit(spark, root, Seq((2L, "b")).toDF("k", "v"))
+    SnapshotTable.commit(spark, root, Seq((3L, "c")).toDF("k", "v"))
+    val (mDel, dDel) = SnapshotTable.vacuum(spark, root, keepVersions = 2)
+    assert(mDel == 1 && dDel == 1)
+    assert(SnapshotTable.versions(spark, root) == Seq(2L, 3L))
+    assert(rows(SnapshotTable.readVersion(spark, root, 2)) == Set((2L, "b")))
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.readVersion(spark, root, 1)
+    }
+    assert(e.getMessage.contains("vacuumed") ||
+      e.getMessage.contains("no committed manifest"))
+  }
+
+  test("upsertCycle: last-writer-wins across cycles, tieBreak within; " +
+      "re-delivery publishes a new version with IDENTICAL content") {
+    val root = freshRoot()
+    // cycle 1: keys 1, 2 (key 1 has two rows; min tie-break survives)
+    SnapshotTable.upsertCycle(
+      Seq((1L, 10L, "c1-e10"), (1L, 11L, "c1-e11"), (2L, 20L, "c1-e20"))
+        .toDF("k", "eid", "payload"),
+      root, Seq("k"), Seq(col("eid")))
+    // cycle 2: key 1 updated, key 3 new; key 2 untouched
+    SnapshotTable.upsertCycle(
+      Seq((1L, 30L, "c2-e30"), (3L, 31L, "c2-e31"))
+        .toDF("k", "eid", "payload"),
+      root, Seq("k"), Seq(col("eid")))
+    def table(): Set[(Long, Long, String)] =
+      SnapshotTable.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected = Set((1L, 30L, "c2-e30"), (2L, 20L, "c1-e20"),
+      (3L, 31L, "c2-e31"))
+    assert(table() == expected)
+    val vBefore = SnapshotTable.versions(spark, root).max
+    // at-least-once replay of the final cycle: content must not move
+    SnapshotTable.upsertCycle(
+      Seq((1L, 30L, "c2-e30"), (3L, 31L, "c2-e31"))
+        .toDF("k", "eid", "payload"),
+      root, Seq("k"), Seq(col("eid")))
+    assert(table() == expected)
+    assert(SnapshotTable.versions(spark, root).max == vBefore + 1)
+  }
+
+  test("streaming upsertSink on the snapshot layout: micro-batches " +
+      "commit versions; the final table matches the batch merge") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_snap_ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val q = SnapshotTable.upsertSink(
+      input.toDF().toDF("k", "eid", "payload"), root, ckpt,
+      Seq("k"), Seq(col("eid")))
+    try {
+      input.addData(Seq((1L, 10L, "b0"), (2L, 20L, "b0")))
+      q.processAllAvailable()
+      input.addData(Seq((1L, 30L, "b1"), (3L, 31L, "b1")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 30L, "b1"), (2L, 20L, "b0"), (3L, 31L, "b1")))
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L))
+  }
+}
