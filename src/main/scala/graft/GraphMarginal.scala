@@ -26,6 +26,22 @@ object GraphMarginal {
     val spark = core.Session.local("graft-graph-marginal")
     spark.sparkContext.setLogLevel("WARN")
 
+    // JIT/codegen warmup on a toy graph BEFORE anything is timed: the
+    // bench pins these numbers sit beside come from a long-warm
+    // session (hundreds of queries), so an unwarmed probe would
+    // overstate every algorithm by seconds of first-plan compilation
+    {
+      val toy = spark.range(200)
+        .selectExpr("id % 20 as src", "(id * 7) % 20 as dst")
+      operators.Graph.pageRank(toy, iterations = 5)
+        .write.format("noop").mode("overwrite").save()
+      operators.Graph.hits(toy, iterations = 4)
+        .write.format("noop").mode("overwrite").save()
+      operators.Graph.personalizedPageRank(toy, Seq(1L), iterations = 5)
+        .write.format("noop").mode("overwrite").save()
+      graft.core.Checkpoints.freeAllPersisted(spark)
+    }
+
     val t0 = System.nanoTime()
     val e = core.Tables.lineitem(spark, sfDir)
       .join(core.Tables.orders(spark, sfDir),
