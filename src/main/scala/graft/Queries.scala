@@ -8620,6 +8620,51 @@ object Queries {
              |SELECT user_id, event_id, value FROM r WHERE rn = 1""".stripMargin)
     )),
 
+    // Snapshot CHANGELOG under the hard gate — SnapshotTable.diff, the
+    // "what did cycle N change" companion of q_snapshot_table: two
+    // deterministic per-user states commit as versions 1 and 2 (state
+    // 1: users < 80, eid = min event, n = all events; state 2: users
+    // 20..119, n = events with event_id % 3 = 0), then the keyed
+    // full-outer diff classifies insert (users 80+), delete (users
+    // < 20, carrying LAST-SEEN values) and update (overlap users whose
+    // n or eid moved), dropping identical keys. The oracle replays the
+    // classification with IS DISTINCT FROM — a null-safety slip or a
+    // wrong carried side hash-mismatches.
+    "q_snapshot_diff" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir)
+        val s1 = ev.filter(col("user_id") < 80).groupBy("user_id")
+          .agg(min(col("event_id")).as("eid"), count(lit(1)).as("n"))
+        val s2 = ev.filter(col("user_id") >= 20 && col("user_id") < 120)
+          .groupBy("user_id")
+          .agg(min(col("event_id")).as("eid"),
+            count(when(pmod(col("event_id"), lit(3)) === 0, 1)).as("n"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapdiff_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, s1)
+        graft.core.SnapshotTable.commit(s, root, s2)
+        graft.core.SnapshotTable.diff(s, root, 1L, 2L, Seq("user_id"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(event_id) AS eid,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events WHERE user_id < 80 GROUP BY 1),
+             |s2 AS (SELECT user_id, min(event_id) AS eid,
+             |    CAST(count(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT) AS n
+             |  FROM events WHERE user_id >= 20 AND user_id < 120 GROUP BY 1),
+             |j AS (SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+             |    s1.user_id IS NOT NULL AS a, s2.user_id IS NOT NULL AS b,
+             |    s1.eid AS ea, s1.n AS na, s2.eid AS eb, s2.n AS nb
+             |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+             |SELECT user_id,
+             |  CASE WHEN NOT a THEN 'insert' WHEN NOT b THEN 'delete'
+             |    ELSE 'update' END AS change,
+             |  CASE WHEN NOT b THEN ea ELSE eb END AS eid,
+             |  CASE WHEN NOT b THEN na ELSE nb END AS n
+             |FROM j
+             |WHERE (NOT a) OR (NOT b)
+             |  OR (ea IS DISTINCT FROM eb) OR (na IS DISTINCT FROM nb)""".stripMargin)
+    )),
+
     // STREAMING exact dedup under the hard gate — the eleventh direct
     // streaming row: a bounded slice replays through the real
     // dropDuplicatesWithinWatermark state store in occurrence-ordinal

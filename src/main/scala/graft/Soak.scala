@@ -1157,6 +1157,25 @@ object Soak {
         val blobs = spark2.range(600).repartition(32)
           .map(id => Multimodal.MediaBlob(id, "wav", soakDial(id)))
         Dtmf.audioDtmf(blobs)
+      },
+      run("snapshot_upsert") {
+        // the versioned-manifest incremental cycle at 10x: three
+        // upsert cycles (merge + snapshot commit each) over the 50k-doc
+        // corpus keyed on doc_id, then the keyed diff of the last two
+        // versions. Cost = 3 × (one keyed merge window + one parquet
+        // write + one manifest rename) + one full-outer diff join —
+        // the format itself adds only the rename per cycle.
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_soak_snap").toString + "/t"
+        val base = docs10.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("len"))
+        for (c <- 0L to 2L)
+          graft.core.SnapshotTable.upsertCycle(
+            base.filter(pmod(col("doc_id"), lit(3L)) === c)
+              .withColumn("len", col("len") + c),
+            root, Seq("doc_id"), Seq(col("source")))
+        graft.core.SnapshotTable.diff(root = root, spark = docs10.sparkSession,
+          vFrom = 2L, vTo = 3L, keys = Seq("doc_id"))
       })
 
     val total = results.map(_._2).sum

@@ -262,6 +262,53 @@ object SnapshotTable {
       }
       .start()
 
+  /** Row-level CHANGELOG between two committed snapshots — the "what
+    * did cycle N change" question every incremental consumer asks
+    * (re-embed only updated docs, retract deleted ones downstream),
+    * answered from the retained manifests without any stored delta:
+    * one row per key whose state differs between `vFrom` and `vTo`,
+    * `change ∈ insert | update | delete`, carrying the NEW column
+    * values for insert/update and the LAST-SEEN values for delete.
+    * Keys present in both versions with identical non-key columns emit
+    * nothing. Key columns must be non-null (the upsert path's merge
+    * keys already are); equality is null-safe per column via the
+    * struct comparison.
+    *
+    * Scale shape: ONE full-outer sort-merge join of the two snapshots
+    * keyed on `keys` — both sides shuffle once on the key, nothing
+    * else moves; the per-row struct compare is codegen'd. At 100 TB
+    * this is the honest price of a keyed diff with no stored change
+    * log; consumers that need cheaper deltas should diff adjacent
+    * versions (small merges) rather than distant ones. */
+  def diff(spark: SparkSession, root: String, vFrom: Long, vTo: Long,
+           keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(spark, root, vFrom)
+    val b = readVersion(spark, root, vTo)
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"SnapshotTable.diff: schema changed between v$vFrom " +
+        s"(${a.columns.sorted.mkString(",")}) and v$vTo " +
+        s"(${b.columns.sorted.mkString(",")}) — diff a compatible pair " +
+        "or migrate first")
+    val nonKeys = b.columns.filterNot(keys.contains).toSeq
+    val aSide = a.select((keys.map(col) :+ lit(true).as("__a")) ++
+      nonKeys.map(c => col(c).as(s"__a_$c")): _*)
+    val bSide = b.select((keys.map(col) :+ lit(true).as("__b")) ++
+      nonKeys.map(c => col(c).as(s"__b_$c")): _*)
+    val same = nonKeys.map(c => col(s"__a_$c") <=> col(s"__b_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    aSide.join(bSide, keys, "full_outer")
+      .withColumn("change",
+        when(col("__a").isNull, lit("insert"))
+          .when(col("__b").isNull, lit("delete"))
+          .when(same, lit(null).cast("string"))
+          .otherwise(lit("update")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) ++ Seq(col("change")) ++ nonKeys.map(c =>
+        when(col("change") === "delete", col(s"__a_$c"))
+          .otherwise(col(s"__b_$c")).as(c)): _*)
+  }
+
   /** Reclaim space: keep the newest `keepVersions` manifests, delete
     * older manifests, every data file no retained manifest references,
     * and all staging/temp orphans (crashed commits). Readers pinned

@@ -135,6 +135,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root).max == vBefore + 1)
   }
 
+  test("diff: keyed insert/update/delete changelog between versions; " +
+      "identical keys emit nothing; null-safe column compare") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, Some("a"), 10L), (2L, None, 20L), (3L, Some("c"), 30L),
+        (4L, Some("d"), 40L)).toDF("k", "v", "n"))
+    SnapshotTable.commit(spark, root,
+      Seq((2L, None, 20L),          // unchanged (null-safe: None == None)
+        (3L, Some("c2"), 30L),      // update (v changed)
+        (4L, Some("d"), 41L),       // update (n changed)
+        (5L, None, 50L)).toDF("k", "v", "n")) // insert (null value col)
+    val d = SnapshotTable.diff(spark, root, 1L, 2L, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getLong(3))).toSet
+    assert(d == Set(
+      (1L, "delete", Some("a"), 10L),  // carries last-seen values
+      (3L, "update", Some("c2"), 30L), // carries NEW values
+      (4L, "update", Some("d"), 41L),
+      (5L, "insert", None, 50L)))
+    // schema drift between the diffed pair is refused loudly
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "x")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.diff(spark, root, 2L, 3L, Seq("k"))
+    }
+    assert(e.getMessage.contains("schema changed"))
+  }
+
   test("streaming upsertSink on the snapshot layout: micro-batches " +
       "commit versions; the final table matches the batch merge") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
