@@ -8620,6 +8620,36 @@ object Queries {
              |SELECT user_id, event_id, value FROM r WHERE rn = 1""".stripMargin)
     )),
 
+    // Manifest-level FILE PRUNING under the hard gate — the snapshot
+    // format's scan-planning half: an events slice commits
+    // range-partitioned on user_id with per-file min/max recorded in
+    // the manifest (statsCols), then a key-range read resolves the
+    // file list BEFORE any Spark scan. The in-query require proves
+    // files were actually skipped (kept < total); the oracle proves
+    // the superset contract composed with the row filter loses
+    // nothing — a wrong min/max or an off-by-one bound drops rows and
+    // hash-mismatches.
+    "q_snapshot_prune" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = Tables.events(s, dir).filter(col("user_id") < 200)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .repartitionByRange(8, col("user_id"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapprune_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, base,
+          statsCols = Seq("user_id"))
+        val (total, kept) = graft.core.SnapshotTable.pruneCounts(
+          s, root, "user_id", 40L, 79L)
+        require(kept < total,
+          s"manifest pruning skipped nothing: kept $kept of $total files")
+        graft.core.SnapshotTable.scanPruned(s, root, "user_id", 40L, 79L)
+          .filter(col("user_id").between(40, 79))
+          .select(col("user_id"), col("event_id"), col("value"))
+      },
+      Some("""SELECT user_id, event_id, value FROM events
+             |WHERE user_id BETWEEN 40 AND 79""".stripMargin)
+    )),
+
     // Snapshot CHANGELOG under the hard gate — SnapshotTable.diff, the
     // "what did cycle N change" companion of q_snapshot_table: two
     // deterministic per-user states commit as versions 1 and 2 (state

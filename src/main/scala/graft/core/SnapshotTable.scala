@@ -15,9 +15,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout under one root directory:
   * {{{
   *   <root>/data/<commit-nonce>/part-*.parquet   immutable once published
-  *   <root>/_manifests/v%09d.manifest            one data-file path per line
+  *   <root>/_manifests/v%09d.manifest            one data-file entry per line
   *   <root>/_staging/...                         in-flight writes (orphaned by a crash)
   * }}}
+  *
+  * A manifest ENTRY is the file's root-relative path, optionally
+  * followed by TAB + per-column min/max stats (`col=min:max`,
+  * comma-joined, recorded when the committer passed `statsCols`):
+  * Iceberg's file-pruning idea on one line of text. [[scanPruned]]
+  * keeps only the files whose recorded range intersects the
+  * predicate's — at 100 TB with range-clustered commits (writers
+  * `repartitionByRange` on the stats column; [[Catalog.writeZOrdered]]
+  * for two), a key-range query plans against the handful of files
+  * that can match instead of the whole snapshot, before Spark even
+  * plans the scan. Entries without stats (older manifests, columns
+  * not recorded) are always kept — pruning is strictly a superset
+  * guarantee, never a correctness gate.
   *
   * THE COMMIT PROTOCOL — why a reader can never see a torn table:
   *  1. data files are written to a fresh nonce'd directory under
@@ -105,6 +118,29 @@ object SnapshotTable {
     }.toSeq.sorted
   }
 
+  /** A manifest entry's root-relative file path (the part before the
+    * optional TAB-separated stats). */
+  private def entryPath(line: String): String = {
+    val t = line.indexOf('\t')
+    if (t < 0) line else line.substring(0, t)
+  }
+
+  /** A manifest entry's recorded per-column (min, max) long stats —
+    * empty for entries written without `statsCols`. An empty bound
+    * (all-null column in that file) parses as None = unbounded. */
+  private[core] def entryStats(line: String)
+      : Map[String, (Option[Long], Option[Long])] = {
+    val t = line.indexOf('\t')
+    if (t < 0) return Map.empty
+    line.substring(t + 1).split(',').iterator.filter(_.nonEmpty).map { kv =>
+      val eq = kv.indexOf('=')
+      val Array(lo, hi) = kv.substring(eq + 1).split(":", -1)
+      kv.substring(0, eq) -> (
+        (if (lo.isEmpty) None else Some(lo.toLong)),
+        (if (hi.isEmpty) None else Some(hi.toLong)))
+    }.toMap
+  }
+
   private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
     val in = fs.open(manifestPath(root, v))
     try {
@@ -144,15 +180,21 @@ object SnapshotTable {
       // a fileless manifest can only mean external tampering
       throw new IllegalStateException(
         s"SnapshotTable at $root: manifest v$v lists no files")
-    spark.read.parquet(files.map(f => new Path(rootP, f).toString): _*)
+    spark.read.parquet(files.map(f => new Path(rootP, entryPath(f)).toString): _*)
   }
 
   /** Write `df`'s parquet files under a fresh unreferenced data
-    * directory and return their root-relative paths. The nonce keeps
-    * concurrent committers (and a crash-then-retry) from colliding on
-    * a directory name. */
+    * directory and return their manifest entries (root-relative path,
+    * plus recorded per-file min/max when `statsCols` is non-empty —
+    * ONE extra aggregation job over the just-written files, new data
+    * only, never the table). Stats are LONG-typed (`cast("long")`):
+    * ids, counts, epoch timestamps — the range-pruning cases; a
+    * non-castable column records null bounds and the file is simply
+    * never pruned on it. The nonce keeps concurrent committers (and a
+    * crash-then-retry) from colliding on a directory name. */
   private def writeDataFiles(spark: SparkSession, fs: FileSystem,
-                             rootP: Path, df: DataFrame): Seq[String] = {
+                             rootP: Path, df: DataFrame,
+                             statsCols: Seq[String]): Seq[String] = {
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val staging = new Path(new Path(rootP, StagingDir), nonce)
     df.write.mode("overwrite").option("compression", "zstd")
@@ -162,10 +204,35 @@ object SnapshotTable {
     if (!fs.rename(staging, dataHome))
       sys.error(s"SnapshotTable: could not move staged data $staging " +
         s"into place at $dataHome")
-    fs.listStatus(dataHome)
+    val rels = fs.listStatus(dataHome)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => s"$DataDir/$nonce/${st.getPath.getName}")
       .sorted.toSeq
+    if (statsCols.isEmpty) rels
+    else {
+      import org.apache.spark.sql.functions._
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"__mn_$c"),
+        max(col(c).cast("long")).as(s"__mx_$c")))
+      val byBase = spark.read.parquet(dataHome.toString)
+        .groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => new Path(r.getString(0)).getName -> r).toMap
+      rels.map { rel =>
+        byBase.get(rel.split('/').last) match {
+          case Some(r) =>
+            val s = statsCols.zipWithIndex.map { case (c, i) =>
+              val mn = if (r.isNullAt(1 + 2 * i)) "" else r.getLong(1 + 2 * i).toString
+              val mx = if (r.isNullAt(2 + 2 * i)) "" else r.getLong(2 + 2 * i).toString
+              s"$c=$mn:$mx"
+            }.mkString(",")
+            s"$rel\t$s"
+          // a zero-row part file groups to no row: no stats, never pruned
+          case None => rel
+        }
+      }
+    }
   }
 
   /** Publish `lines` as the next manifest after `base`. Returns the
@@ -205,22 +272,70 @@ object SnapshotTable {
   }
 
   /** Commit `df` as the next FULL snapshot (replace semantics — the
-    * shape a merge-upsert cycle produces). Returns the new version. */
-  def commit(spark: SparkSession, root: String, df: DataFrame): Long = {
+    * shape a merge-upsert cycle produces). `statsCols` records
+    * per-file long min/max in the manifest for [[scanPruned]].
+    * Returns the new version. */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+             statsCols: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsOf(spark, root)
-    publish(fs, rootP, writeDataFiles(spark, fs, rootP, df))
+    publish(fs, rootP, writeDataFiles(spark, fs, rootP, df, statsCols))
   }
 
   /** Commit `df` as an APPEND snapshot: the new manifest lists every
-    * file of the current snapshot plus `df`'s new files — no data is
-    * rewritten, the format's append is manifest-only. Returns the new
-    * version. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    * entry of the current snapshot (prior stats preserved verbatim)
+    * plus `df`'s new files — no data is rewritten, the format's
+    * append is manifest-only. Returns the new version. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+             statsCols: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsOf(spark, root)
     val prior = currentVersion(fs, rootP)
       .map(readManifest(fs, rootP, _)).getOrElse(Nil)
-    publish(fs, rootP, prior ++ writeDataFiles(spark, fs, rootP, df))
+    publish(fs, rootP, prior ++ writeDataFiles(spark, fs, rootP, df, statsCols))
   }
+
+  /** The current snapshot restricted to files whose recorded
+    * `[min, max]` for `colName` intersects `[lo, hi]` (both
+    * inclusive) — manifest-level file pruning, resolved BEFORE Spark
+    * plans any scan. Strictly a SUPERSET of the matching rows:
+    * entries without stats for the column are always kept, so callers
+    * still apply the real row filter; what pruning buys is never
+    * opening the files that cannot match. Use [[pruneCounts]] for the
+    * (total, kept) file accounting. */
+  def scanPruned(spark: SparkSession, root: String, colName: String,
+                 lo: Long, hi: Long): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable at $root has no committed snapshot"))
+    val kept = prunedEntries(readManifest(fs, rootP, v), colName, lo, hi)
+    if (kept.isEmpty)
+      // all files pruned: an empty result with the right schema —
+      // read one file's schema via the full version, filtered to false
+      return readVersion(spark, root, v).limit(0)
+    spark.read.parquet(kept.map(f => new Path(rootP, entryPath(f)).toString): _*)
+  }
+
+  /** (total files, files kept) for a [[scanPruned]] predicate on the
+    * current snapshot — the observability half of pruning. */
+  def pruneCounts(spark: SparkSession, root: String, colName: String,
+                  lo: Long, hi: Long): (Int, Int) = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable at $root has no committed snapshot"))
+    val all = readManifest(fs, rootP, v)
+    (all.size, prunedEntries(all, colName, lo, hi).size)
+  }
+
+  private def prunedEntries(entries: Seq[String], colName: String,
+                            lo: Long, hi: Long): Seq[String] =
+    entries.filter { e =>
+      entryStats(e).get(colName) match {
+        // intersect with missing bounds treated as unbounded (an
+        // all-null file keeps conservatively; its rows cannot satisfy
+        // a range predicate, so the caller's filter drops them)
+        case Some((mn, mx)) => mx.forall(_ >= lo) && mn.forall(_ <= hi)
+        case None => true // no stats recorded: never prune
+      }
+    }
 
   /** One incremental upsert cycle against the snapshot table —
     * [[graft.streaming.EventStreams.upsertBatch]]'s semantics
@@ -232,7 +347,8 @@ object SnapshotTable {
     * crash replay) publishes a new version with IDENTICAL rows.
     * Concurrent readers keep their pinned snapshot throughout. */
   def upsertCycle(batch: DataFrame, root: String, keys: Seq[String],
-                  tieBreak: Seq[org.apache.spark.sql.Column] = Nil): Long = {
+                  tieBreak: Seq[org.apache.spark.sql.Column] = Nil,
+                  statsCols: Seq[String] = Nil): Long = {
     val spark = batch.sparkSession
     val (fs, rootP) = fsOf(spark, root)
     val merged = currentVersion(fs, rootP) match {
@@ -241,7 +357,7 @@ object SnapshotTable {
           Seq(batch, readVersion(spark, root, v)), keys, tieBreak)
       case None => batch
     }
-    commit(spark, root, merged)
+    commit(spark, root, merged, statsCols)
   }
 
   /** Streaming upsert sink on the snapshot layout — the production
@@ -321,7 +437,8 @@ object SnapshotTable {
     val (fs, rootP) = fsOf(spark, root)
     val all = versions(spark, root)
     val keep = all.takeRight(keepVersions).toSet
-    val referenced: Set[String] = keep.flatMap(readManifest(fs, rootP, _))
+    val referenced: Set[String] =
+      keep.flatMap(readManifest(fs, rootP, _).map(entryPath))
     // nonce-directory granularity: a data dir goes when NONE of its
     // files is referenced by a retained manifest (files of one commit
     // share a manifest's fate, so partial references cannot happen)
