@@ -8620,6 +8620,39 @@ object Queries {
              |SELECT user_id, event_id, value FROM r WHERE rn = 1""".stripMargin)
     )),
 
+    // STREAMING snapshot upsert under the hard gate — the FIFTEENTH
+    // direct streaming row: q_stream_upsert's replay protocol (real
+    // foreachBatch micro-batches in deterministic (ts, event_id)
+    // order, final batch deliberately RE-DELIVERED) against the
+    // snapshot-committed layout — every micro-batch publishes a
+    // version, the re-delivery one more with IDENTICAL content, and
+    // the oracle reads the current snapshot: per user, the
+    // min-event_id row of the user's last batch. A different user
+    // slice (120) than q_stream_upsert keeps the two rows
+    // independently falsifiable.
+    "q_stream_snapshot_upsert" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStreams.replaySnapshotUpsert(
+          Tables.events(s, dir), "user_id", "ts", "event_id", "value",
+          chunk = 256, maxUsers = 120)
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("value")),
+      Some("""WITH e AS (SELECT event_id, ts, user_id, value FROM events
+             |  WHERE user_id < 120),
+             |o AS (SELECT event_id, ts, user_id, value,
+             |    (row_number() OVER (ORDER BY ts, event_id) - 1) // 256 AS b
+             |  FROM e),
+             |m AS (SELECT user_id, max(b) AS bm FROM o GROUP BY 1),
+             |r AS (SELECT o.user_id, o.event_id, o.ts, o.value,
+             |    row_number() OVER (PARTITION BY o.user_id
+             |      ORDER BY o.event_id) AS rn
+             |  FROM o JOIN m ON m.user_id = o.user_id AND o.b = m.bm)
+             |SELECT user_id, event_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+             |FROM r WHERE rn = 1""".stripMargin)
+    )),
+
     // Manifest-level FILE PRUNING under the hard gate — the snapshot
     // format's scan-planning half: an events slice commits
     // range-partitioned on user_id with per-file min/max recorded in

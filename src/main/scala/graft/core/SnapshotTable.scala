@@ -378,6 +378,35 @@ object SnapshotTable {
       }
       .start()
 
+  /** Small-file compaction AS A COMMIT: rewrite the current snapshot
+    * into ceil(bytes / targetFileBytes) files (coalesce — a NARROW
+    * repartitioning, no shuffle) and publish the rewrite as the next
+    * version. [[Catalog.compact]]'s directory-swap version of this
+    * must block concurrent readers; here compaction is just another
+    * snapshot — readers pinned on the fragmented version finish
+    * unaffected, and vacuum reclaims it once it leaves the retained
+    * window. No-op (returns None) when the file count is already at
+    * or below the target. Incremental sinks NEED this: every
+    * upsert/append cycle adds files, and at 100 TB the
+    * task-per-tiny-file overhead dominates scans. `statsCols` re-
+    * records pruning stats for the compacted layout (coalesce
+    * preserves row order per partition, but merged files span wider
+    * ranges — re-recording keeps [[scanPruned]] honest). */
+  def compactSnapshot(spark: SparkSession, root: String,
+                      targetFileBytes: Long = 256L * 1024 * 1024,
+                      statsCols: Seq[String] = Nil): Option[Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable at $root has no committed snapshot to compact"))
+    val entries = readManifest(fs, rootP, v)
+    val paths = entries.map(e => new Path(rootP, entryPath(e)))
+    val totalBytes = paths.map(p => fs.getFileStatus(p).getLen).sum
+    val want = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (entries.size <= want) None
+    else Some(commit(spark, root,
+      readVersion(spark, root, v).coalesce(want), statsCols))
+  }
+
   /** Row-level CHANGELOG between two committed snapshots — the "what
     * did cycle N change" question every incremental consumer asks
     * (re-embed only updated docs, retract deleted ones downstream),

@@ -869,6 +869,66 @@ object EventStreams {
     spark.read.parquet(path)
   }
 
+  /** Driver-gate replay harness for
+    * [[graft.core.SnapshotTable.upsertSink]] — [[replayUpsert]]'s
+    * protocol (deterministic (ts, event_id)-ordered micro-batches
+    * through the REAL foreachBatch sink, then the FINAL batch
+    * deliberately RE-DELIVERED before the read) run against the
+    * snapshot-committed layout instead of the directory swap: each
+    * micro-batch publishes a VERSION, the re-delivery publishes one
+    * more with identical content, and the oracle-compared table is
+    * the current snapshot. Proves the snapshot sink's merge
+    * semantics, its at-least-once idempotence, and the format's
+    * read path in one row. */
+  def replaySnapshotUpsert(events: DataFrame, userCol: String, tsCol: String,
+                           eventIdCol: String, valueCol: String,
+                           chunk: Int = 256, maxUsers: Long = 120)
+      : DataFrame = {
+    val spark = events.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = events
+      .select(col(eventIdCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(userCol).cast("long"), col(valueCol).cast("double"))
+      .filter(col(userCol) < maxUsers)
+      .as[(Long, Timestamp, Long, Double)].collect()
+      .sortBy { case (eid, ts, _, _) => (ts.getTime, eid) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_upsert_")
+    val root = s"$dir/table"
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event]
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val keys = Seq("user_id")
+    val tieBreak = Seq(col("event_id"))
+    val stream = input.toDF()
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val q = graft.core.SnapshotTable.upsertSink(
+      stream, root, s"$dir/ckpt", keys, tieBreak)
+    val chunks = rows.grouped(chunk).toSeq
+    try {
+      chunks.foreach { c =>
+        input.addData(c.map { case (eid, ts, u, v) =>
+          Event(eid, ts, u, "replay", v)
+        })
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // the crash-replayed FINAL batch through the identical cycle path:
+    // one more version publishes, with content the oracle proves
+    // unchanged
+    chunks.lastOption.foreach { c =>
+      graft.core.SnapshotTable.upsertCycle(
+        c.toSeq.toDF("event_id", "ts", "user_id", "value")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        root, keys, tieBreak)
+    }
+    graft.core.SnapshotTable.read(spark, root)
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState): a session closes when the next event for
     * the user arrives more than `gapMs` after the previous one; closed

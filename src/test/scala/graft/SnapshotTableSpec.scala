@@ -135,6 +135,32 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root).max == vBefore + 1)
   }
 
+  test("compactSnapshot: the rewrite is just another version — rows " +
+      "identical, fewer files, pinned readers unaffected; no-op when " +
+      "already compact") {
+    val root = freshRoot()
+    // 8 tiny files via round-robin repartition
+    SnapshotTable.commit(spark, root,
+      spark.range(64).selectExpr("id as k", "id as v").repartition(8))
+    val fragmented = SnapshotTable.read(spark, root) // pinned on v1
+    val v = SnapshotTable.compactSnapshot(spark, root,
+      targetFileBytes = Long.MaxValue) // everything fits one file
+    assert(v.contains(2L))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // compacted version lists exactly one data file
+    val files2 = SnapshotTable.readVersion(spark, root, 2L)
+      .select(input_file_name()).distinct().count()
+    assert(files2 == 1L, s"expected 1 compacted file, got $files2")
+    assert(SnapshotTable.readVersion(spark, root, 2L)
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 64L))
+    // the pinned fragmented reader still reads its 8 files
+    assert(fragmented.select(input_file_name()).distinct().count() == 8L)
+    // compacting the compacted table is a no-op
+    assert(SnapshotTable.compactSnapshot(spark, root,
+      targetFileBytes = Long.MaxValue).isEmpty)
+    assert(fs.exists(new Path(root, "_manifests/v000000002.manifest")))
+  }
+
   test("manifest stats + scanPruned: a range predicate opens only the " +
       "files that can match; stat-less entries are never pruned") {
     val root = freshRoot()
