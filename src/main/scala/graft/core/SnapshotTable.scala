@@ -210,6 +210,12 @@ object SnapshotTable {
       .sorted.toSeq
     if (statsCols.isEmpty) rels
     else {
+      // the stats suffix is a text format (TAB, ',' and '=' and ':'
+      // are structural) — refuse names that would corrupt it rather
+      // than write an unparseable manifest
+      statsCols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+        s"SnapshotTable statsCols: column name '$c' is not " +
+          "[A-Za-z0-9_]+ — rename or alias before recording stats"))
       import org.apache.spark.sql.functions._
       val aggs = statsCols.flatMap(c => Seq(
         min(col(c).cast("long")).as(s"__mn_$c"),
@@ -377,6 +383,26 @@ object SnapshotTable {
         ()
       }
       .start()
+
+  /** Z-ORDERED commit: [[Catalog.writeZOrdered]]'s layout trick
+    * composed with the snapshot format — interleave `colA`/`colB`
+    * low bits into a range-partition key so every data file spans a
+    * narrow RECTANGLE of both dimensions, then commit with min/max
+    * stats recorded for BOTH columns. [[scanPruned]] on EITHER
+    * column then skips most files (the two-dimensional pruning
+    * Iceberg gets from OPTIMIZE ZORDER), and parquet's own row-group
+    * stats prune further inside the kept files. One range exchange —
+    * exactly the shuffle any global layout costs. */
+  def commitZOrdered(spark: SparkSession, root: String, df: DataFrame,
+                     colA: String, colB: String, nFiles: Int = 64): Long = {
+    import org.apache.spark.sql.functions.col
+    val laid = df.withColumn("__zkey",
+        graft.plans.LayoutExpressions.zorder_key(col(colA), col(colB)))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+    commit(spark, root, laid, statsCols = Seq(colA, colB))
+  }
 
   /** Small-file compaction AS A COMMIT: rewrite the current snapshot
     * into ceil(bytes / targetFileBytes) files (coalesce — a NARROW

@@ -135,6 +135,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root).max == vBefore + 1)
   }
 
+  test("commitZOrdered: both dimensions prune — a range predicate on " +
+      "EITHER column skips files") {
+    val root = freshRoot()
+    // 4096 points on a 64x64 grid; 16 z-ordered files = 16x16 tiles
+    val grid = spark.range(4096)
+      .selectExpr("id % 64 as x", "id div 64 as y", "id as payload")
+    SnapshotTable.commitZOrdered(spark, root, grid, "x", "y", nFiles = 16)
+    val (tx, kx) = SnapshotTable.pruneCounts(spark, root, "x", 0L, 7L)
+    val (ty, ky) = SnapshotTable.pruneCounts(spark, root, "y", 0L, 7L)
+    assert(tx == 16 && kx < tx, s"x: kept $kx of $tx")
+    assert(ty == 16 && ky < ty, s"y: kept $ky of $ty")
+    // and the pruned scans lose nothing
+    val xs = SnapshotTable.scanPruned(spark, root, "x", 0L, 7L)
+      .filter(col("x") <= 7).count()
+    assert(xs == 8 * 64, s"x rows $xs")
+    val ys = SnapshotTable.scanPruned(spark, root, "y", 0L, 7L)
+      .filter(col("y") <= 7).count()
+    assert(ys == 64 * 8, s"y rows $ys")
+  }
+
   test("compactSnapshot: the rewrite is just another version — rows " +
       "identical, fewer files, pinned readers unaffected; no-op when " +
       "already compact") {
