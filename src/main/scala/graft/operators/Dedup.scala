@@ -597,7 +597,16 @@ object Dedup {
     * (map-side, fixed `bands` rows per doc), written pre-partitioned,
     * and each new batch only shuffles ITSELF. At 100 TB the standing
     * side is the overwhelmingly larger one — re-shuffling it per batch
-    * is the cost this removes. */
+    * is the cost this removes.
+    *
+    * State-store choice, named: a BUCKETED catalog table trades reader
+    * isolation for join co-location — `saveAsTable` metadata is what
+    * lets Spark plan the no-exchange join, and that metadata does not
+    * survive [[graft.core.SnapshotTable]]'s plain-parquet manifests.
+    * When the signature store must be updated while dedup jobs read it
+    * concurrently, commit it as a snapshot table instead and accept
+    * one exchange on the corpus side per join; when the store is
+    * updated between job runs (the common daily cycle), bucketed wins. */
   def persistBandedSignatures(spark: org.apache.spark.sql.SparkSession,
                               db: String, table: String, corpus: DataFrame,
                               idCol: String, textCol: String,
