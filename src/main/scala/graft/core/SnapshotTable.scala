@@ -290,12 +290,26 @@ object SnapshotTable {
   /** Commit `df` as an APPEND snapshot: the new manifest lists every
     * entry of the current snapshot (prior stats preserved verbatim)
     * plus `df`'s new files — no data is rewritten, the format's
-    * append is manifest-only. Returns the new version. */
+    * append is manifest-only. The appended frame's columns must match
+    * the current snapshot's (checked LOUDLY): one manifest mixing
+    * file schemas would make reads silently drop or misalign columns
+    * depending on which file Spark samples first — schema changes go
+    * through a full [[commit]] (replace), never an append. Returns
+    * the new version. */
   def append(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsOf(spark, root)
-    val prior = currentVersion(fs, rootP)
-      .map(readManifest(fs, rootP, _)).getOrElse(Nil)
+    val cur = currentVersion(fs, rootP)
+    cur.foreach { v =>
+      val have = readVersion(spark, root, v).columns.sorted
+      require(have.sameElements(df.columns.sorted),
+        s"SnapshotTable.append: schema mismatch — snapshot v$v has " +
+          s"(${have.mkString(",")}) but the appended frame has " +
+          s"(${df.columns.sorted.mkString(",")}); a mixed-schema " +
+          "manifest reads nondeterministically, so evolve the schema " +
+          "with a full commit instead")
+    }
+    val prior = cur.map(readManifest(fs, rootP, _)).getOrElse(Nil)
     publish(fs, rootP, prior ++ writeDataFiles(spark, fs, rootP, df, statsCols))
   }
 
@@ -484,8 +498,14 @@ object SnapshotTable {
     * older manifests, every data file no retained manifest references,
     * and all staging/temp orphans (crashed commits). Readers pinned
     * inside the retained window are unaffected; `keepVersions` is the
-    * table's read-transaction horizon. Returns
-    * (manifestsDeleted, dataDirsDeleted). */
+    * table's read-transaction horizon.
+    *
+    * WRITER-EXCLUSIVE, named: the staging sweep cannot tell a crashed
+    * commit's orphan from a LIVE committer's in-flight write, so run
+    * vacuum from the table's (single) writer between its own commits —
+    * a victim committer fails loudly at its staging rename (nothing
+    * tears), but that failure is an operational foot-gun, not a
+    * feature. Returns (manifestsDeleted, dataDirsDeleted). */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2)
       : (Int, Int) = {
     require(keepVersions >= 1, "keepVersions must be >= 1")

@@ -51,6 +51,13 @@ class SnapshotTableSpec extends SparkSpec {
     // nonce directory appears — the append wrote only its own rows
     assert(dataBefore.subsetOf(dataAfter) && dataAfter.size == dataBefore.size + 1)
     assert(rows(SnapshotTable.read(spark, root)) == Set((1L, "a"), (2L, "b")))
+    // appending a DIFFERENT schema is refused loudly: one manifest
+    // mixing file schemas would read nondeterministically
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root,
+        Seq((3L, "c", 9L)).toDF("k", "v", "extra"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
   }
 
   test("read-under-commit isolation: a reader pinned at snapshot N " +
