@@ -8653,6 +8653,61 @@ object Queries {
              |FROM r WHERE rn = 1""".stripMargin)
     )),
 
+    // Snapshot CHANGELOG-SINCE under the hard gate —
+    // SnapshotTable.changesSince, the incremental-consumer API: three
+    // deterministic per-user states commit as versions 1..3 and the
+    // consumer catches up from version 1, receiving BOTH per-step
+    // diffs concatenated with the introducing version (a key changed
+    // in both steps appears twice). The oracle replays both
+    // classifications and unions them — a missed step, a net-diff
+    // shortcut, or a wrong version tag changes the row set and
+    // hash-mismatches.
+    "q_snapshot_changes" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir)
+        val s1 = ev.filter(col("user_id") < 60).groupBy("user_id")
+          .agg(count(lit(1)).as("n"))
+        val s2 = ev.filter(col("user_id") < 80).groupBy("user_id")
+          .agg(count(when(pmod(col("event_id"), lit(2)) === 0, 1)).as("n"))
+        val s3 = ev.filter(col("user_id") >= 40 && col("user_id") < 100)
+          .groupBy("user_id")
+          .agg(count(when(pmod(col("event_id"), lit(3)) === 0, 1)).as("n"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapchanges_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, s1)
+        graft.core.SnapshotTable.commit(s, root, s2)
+        graft.core.SnapshotTable.commit(s, root, s3)
+        graft.core.SnapshotTable.changesSince(s, root, 1L, Seq("user_id"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             |  FROM events WHERE user_id < 60 GROUP BY 1),
+             |s2 AS (SELECT user_id,
+             |    CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n
+             |  FROM events WHERE user_id < 80 GROUP BY 1),
+             |s3 AS (SELECT user_id,
+             |    CAST(count(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT) AS n
+             |  FROM events WHERE user_id >= 40 AND user_id < 100 GROUP BY 1),
+             |d12 AS (SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+             |    CASE WHEN s1.user_id IS NULL THEN 'insert'
+             |      WHEN s2.user_id IS NULL THEN 'delete'
+             |      ELSE 'update' END AS change,
+             |    CASE WHEN s2.user_id IS NULL THEN s1.n ELSE s2.n END AS n,
+             |    CAST(2 AS BIGINT) AS version
+             |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+             |  WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+             |    OR (s1.n IS DISTINCT FROM s2.n)),
+             |d23 AS (SELECT COALESCE(s2.user_id, s3.user_id) AS user_id,
+             |    CASE WHEN s2.user_id IS NULL THEN 'insert'
+             |      WHEN s3.user_id IS NULL THEN 'delete'
+             |      ELSE 'update' END AS change,
+             |    CASE WHEN s3.user_id IS NULL THEN s2.n ELSE s3.n END AS n,
+             |    CAST(3 AS BIGINT) AS version
+             |  FROM s2 FULL OUTER JOIN s3 ON s2.user_id = s3.user_id
+             |  WHERE s2.user_id IS NULL OR s3.user_id IS NULL
+             |    OR (s2.n IS DISTINCT FROM s3.n))
+             |SELECT * FROM d12 UNION ALL SELECT * FROM d23""".stripMargin)
+    )),
+
     // Manifest-level FILE PRUNING under the hard gate — the snapshot
     // format's scan-planning half: an events slice commits
     // range-partitioned on user_id with per-file min/max recorded in

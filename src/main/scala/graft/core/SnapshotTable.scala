@@ -494,6 +494,35 @@ object SnapshotTable {
           .otherwise(col(s"__b_$c")).as(c)): _*)
   }
 
+  /** Every row-level change AFTER `sinceVersion` up to the current
+    * snapshot — the incremental-consumer API over [[diff]]: a
+    * downstream job records the last version it processed and calls
+    * this to catch up, getting the concatenated per-step diffs with a
+    * `version` column naming the commit that introduced each change
+    * (so a key updated twice appears twice, in order — a CHANGELOG,
+    * not a net diff; consumers wanting the net state of changed keys
+    * take the max-version row per key, or call [[diff]] directly).
+    * Loud when `sinceVersion` left the retained window — a consumer
+    * that fell behind vacuum must re-bootstrap from a full [[read]],
+    * never silently miss changes. Scale: one keyed full-outer join
+    * per RETAINED step — the retention horizon bounds the work. */
+  def changesSince(spark: SparkSession, root: String, sinceVersion: Long,
+                   keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, root).filter(_ >= sinceVersion)
+    require(vs.headOption.contains(sinceVersion),
+      s"SnapshotTable.changesSince: v$sinceVersion is not in the " +
+        s"retained window (${versions(spark, root).mkString(",")}) — " +
+        "the consumer fell behind vacuum; re-bootstrap from read()")
+    val steps = vs.sliding(2).collect { case Seq(a, b) =>
+      diff(spark, root, a, b, keys).withColumn("version", lit(b))
+    }.toSeq
+    steps.reduceOption(_ unionByName _).getOrElse(
+      // already caught up: an EMPTY changelog with the right schema
+      diff(spark, root, sinceVersion, sinceVersion, keys)
+        .withColumn("version", lit(sinceVersion)).limit(0))
+  }
+
   /** Reclaim space: keep the newest `keepVersions` manifests, delete
     * older manifests, every data file no retained manifest references,
     * and all staging/temp orphans (crashed commits). Readers pinned

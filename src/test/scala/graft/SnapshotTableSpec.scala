@@ -248,6 +248,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e.getMessage.contains("schema changed"))
   }
 
+  test("changesSince: ordered changelog across retained steps; a key " +
+      "updated twice appears per step; caught-up is empty; behind-" +
+      "vacuum is loud") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    SnapshotTable.commit(spark, root, Seq((1L, "a2"), (3L, "c")).toDF("k", "v"))
+    SnapshotTable.commit(spark, root, Seq((1L, "a3"), (3L, "c")).toDF("k", "v"))
+    val got = SnapshotTable.changesSince(spark, root, 1L, Seq("k"))
+      .collect().map(r => (r.getLong(3), r.getLong(0), r.getString(1),
+        r.getString(2))).toSet
+    assert(got == Set(
+      (2L, 1L, "update", "a2"), (2L, 2L, "delete", "b"),
+      (2L, 3L, "insert", "c"),
+      (3L, 1L, "update", "a3")), s"got $got")
+    // caught up: empty with the changelog schema
+    val up = SnapshotTable.changesSince(spark, root, 3L, Seq("k"))
+    assert(up.count() == 0L &&
+      up.columns.toSeq == Seq("k", "change", "v", "version"))
+    // a consumer behind the vacuum horizon must re-bootstrap, loudly
+    SnapshotTable.vacuum(spark, root, keepVersions = 2)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.changesSince(spark, root, 1L, Seq("k"))
+    }
+    assert(e.getMessage.contains("retained window"))
+    // inside the window it still works
+    assert(SnapshotTable.changesSince(spark, root, 2L, Seq("k"))
+      .count() == 1L)
+  }
+
   test("commit race: two concurrent writers interleave and every " +
       "commit lands at a distinct version with intact content " +
       "(verify-retry serializes the last-wins rename)") {
