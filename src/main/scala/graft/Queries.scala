@@ -8653,6 +8653,61 @@ object Queries {
              |FROM r WHERE rn = 1""".stripMargin)
     )),
 
+    // INCREMENTAL-RECOMPUTE capstone on the snapshot format — the
+    // economics the changelog exists for, proven lossless under one
+    // oracle: a corpus commits, a re-crawl cycle upserts (every 10th
+    // even doc's text revised), and the downstream embedding store is
+    // updated INCREMENTALLY — hash-embeddings recomputed ONLY for
+    // changesSince keys, all other docs keeping their v1 vectors.
+    // The oracle computes the FULL recompute over the final state, so
+    // equality proves the incremental path loses nothing: a missed
+    // changelog row, a stale kept vector, or a wrong merge priority
+    // leaves some doc's embedding at the wrong revision and
+    // hash-mismatches.
+    "q_snapshot_incremental_pipeline" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val s1 = d.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+          .select(col("doc_id"), col("source"), col("text").as("txt"))
+        val s2 = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("source"),
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")).as("txt"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapinc_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, s1)
+        graft.core.SnapshotTable.upsertCycle(s2, root, Seq("doc_id"),
+          Seq(col("txt")))
+        // v1 embeddings: the full pass that ran when cycle 1 landed
+        val emb1 = graft.core.SnapshotTable.readVersion(s, root, 1L)
+          .select(col("doc_id"),
+            operators.Sampling.hash32(col("txt"), "emb_").as("emb"))
+        // the incremental path: recompute ONLY the changelog keys
+        // (upsert cycles never delete, so every change row carries the
+        // NEW txt)
+        val changed = graft.core.SnapshotTable
+          .changesSince(s, root, 1L, Seq("doc_id"))
+          .select(col("doc_id"),
+            operators.Sampling.hash32(col("txt"), "emb_").as("emb"))
+        operators.Components.mergeFirstWriterWins(
+          Seq(changed, emb1), Seq("doc_id"), Seq(col("emb")))
+      },
+      Some("""WITH s1 AS (SELECT doc_id, text AS txt FROM documents
+             |  WHERE doc_id % 3 <> 2),
+             |s2 AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+             |      ELSE text END AS txt
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |fin AS (SELECT doc_id, txt FROM s2
+             |  UNION ALL
+             |  SELECT doc_id, txt FROM s1
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM s2))
+             |SELECT doc_id,
+             |  CAST('0x' || substr(md5('emb_' || txt), 1, 8) AS BIGINT) AS emb
+             |FROM fin""".stripMargin)
+    )),
+
     // Snapshot CHANGELOG-SINCE under the hard gate —
     // SnapshotTable.changesSince, the incremental-consumer API: three
     // deterministic per-user states commit as versions 1..3 and the
