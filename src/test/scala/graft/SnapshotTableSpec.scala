@@ -277,6 +277,39 @@ class SnapshotTableSpec extends SparkSpec {
       .count() == 1L)
   }
 
+  test("changelog algebra: applying changesSince(1) as ordered patches " +
+      "to snapshot 1 reconstructs the current snapshot exactly " +
+      "(seeded-random upsert cycles)") {
+    val root = freshRoot()
+    // deterministic pseudo-random cycles over a 30-key space
+    def mix(z0: Long): Long = {
+      var z = z0 * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z ^ (z >>> 31)
+    }
+    def cycle(c: Long) = (0L until 30L)
+      .filter(k => (mix(c * 100 + k) & 3) != 0) // ~3/4 of keys per cycle
+      .map(k => (k, s"v${mix(c * 31 + k) & 0xFF}"))
+    SnapshotTable.commit(spark, root, cycle(1).toDF("k", "v"))
+    for (c <- 2L to 4L)
+      SnapshotTable.upsertCycle(cycle(c).toDF("k", "v"), root, Seq("k"))
+    // replay: fold the ordered changelog over snapshot 1 driver-side
+    val base = SnapshotTable.readVersion(spark, root, 1L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val patches = SnapshotTable.changesSince(spark, root, 1L, Seq("k"))
+      .collect()
+      .map(r => (r.getLong(3), r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val rebuilt = patches.foldLeft(base) { case (st, (_, k, change, v)) =>
+      if (change == "delete") st - k else st + (k -> v)
+    }
+    val current = SnapshotTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt == current, s"rebuilt ${rebuilt.size} keys, " +
+      s"current ${current.size}")
+    assert(patches.nonEmpty && current.size >= 25) // non-vacuous
+  }
+
   test("commit race: two concurrent writers interleave and every " +
       "commit lands at a distinct version with intact content " +
       "(verify-retry serializes the last-wins rename)") {
