@@ -63,7 +63,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * version number, and this commit retries at the next one (bounded
   * retries, then a loud error). Single-writer-per-table remains the
   * designed mode; the verify-retry exists so a misconfigured second
-  * writer degrades to serialized commits instead of silent loss.
+  * writer degrades to serialized commits instead of silent loss. Named
+  * limit: the retry linearizes version NUMBERS, not read-merge-commit
+  * CYCLES — [[upsertCycle]]/[[compactSnapshot]] read the current
+  * snapshot before committing, so two concurrent cyclers can still
+  * lose the earlier merge (the classic lost update). No manifest is
+  * ever torn by this; rows are. One writer per table is the contract,
+  * not an optimization.
   *
   * 100 TB posture: a commit writes only its own data files plus one
   * manifest rename — no table-sized rewrite is required by the FORMAT
@@ -241,9 +247,9 @@ object SnapshotTable {
     }
   }
 
-  /** Publish `lines` as the next manifest after `base`. Returns the
-    * committed version. Retries on a lost version race (see the
-    * CONCURRENCY note above). */
+  /** Publish `lines` as the next manifest. Returns the committed
+    * version. Retries on a lost version race (see the CONCURRENCY
+    * note above). */
   private def publish(fs: FileSystem, rootP: Path, lines: Seq[String])
       : Long = {
     // an EMPTY DataFrame still commits: Spark writes a zero-row
