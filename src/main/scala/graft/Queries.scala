@@ -8653,6 +8653,32 @@ object Queries {
              |FROM r WHERE rn = 1""".stripMargin)
     )),
 
+    // Snapshot COMPACTION under the hard gate — compaction is just
+    // another version: an 8-file fragmented commit rewrites to ONE
+    // file (in-query requires prove the file count actually dropped
+    // and a version actually published), and the oracle proves the
+    // rewrite changed NOTHING about the rows — the invariance that
+    // makes compaction safe to run inside a live incremental cycle.
+    "q_snapshot_compact" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = Tables.events(s, dir).filter(col("user_id") < 100)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .repartition(8)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapcompact_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, base)
+        val v = graft.core.SnapshotTable.compactSnapshot(s, root,
+          targetFileBytes = Long.MaxValue)
+        require(v.contains(2L), s"compaction did not publish: $v")
+        val nf = graft.core.SnapshotTable.read(s, root)
+          .select(input_file_name()).distinct().count()
+        require(nf == 1L, s"expected 1 compacted file, read $nf")
+        graft.core.SnapshotTable.read(s, root)
+      },
+      Some("""SELECT user_id, event_id, value FROM events
+             |WHERE user_id < 100""".stripMargin)
+    )),
+
     // INCREMENTAL-RECOMPUTE capstone on the snapshot format — the
     // economics the changelog exists for, proven lossless under one
     // oracle: a corpus commits, a re-crawl cycle upserts (every 10th
