@@ -26,6 +26,31 @@ class PlanSpec extends SparkSpec {
       s"$name has a nested-loop join without a broadcast side")
   }
 
+  test("snapshot scanPruned: the pruned read is a bare filtered scan — " +
+      "zero exchanges, range predicate pushed to the kept files") {
+    // q_snapshot_prune's own slice is empty at sf0.001 (user_id tops
+    // out at 14 here), so build the same shape on this fixture's range
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_planspec_prune").toString + "/t"
+    val base = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .repartitionByRange(4, col("user_id"))
+    graft.core.SnapshotTable.commit(spark, root, base,
+      statsCols = Seq("user_id"))
+    val (total, kept) = graft.core.SnapshotTable.pruneCounts(
+      spark, root, "user_id", 4L, 9L)
+    assert(kept < total && kept >= 1, s"kept $kept of $total")
+    val p = graft.core.SnapshotTable.scanPruned(spark, root, "user_id", 4L, 9L)
+      .filter(col("user_id").between(4, 9))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // manifest pruning happens BEFORE Spark plans; what remains must be
+    // scan + filter with the predicate at the parquet reader
+    assert(exchanges(p) == 0, s"pruned read must not shuffle:\n$p")
+    assert("PushedFilters: \\[[^\\]]*user_id".r.findFirstIn(p).isDefined,
+      s"user_id range not pushed to the pruned scan:\n$p")
+  }
+
   test("q1_pricing_summary: one shuffle (partial+final agg), filter pushed to scan") {
     val p = plan("q1_pricing_summary")
     assertNoCartesian(p, "q1")
