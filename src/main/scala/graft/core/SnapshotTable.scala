@@ -394,12 +394,13 @@ object SnapshotTable {
     * queryable until vacuumed. */
   def upsertSink(stream: DataFrame, root: String, checkpoint: String,
                  keys: Seq[String],
-                 tieBreak: Seq[org.apache.spark.sql.Column] = Nil)
+                 tieBreak: Seq[org.apache.spark.sql.Column] = Nil,
+                 statsCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertCycle(batch, root, keys, tieBreak)
+        upsertCycle(batch, root, keys, tieBreak, statsCols)
         ()
       }
       .start()
