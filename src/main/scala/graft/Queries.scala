@@ -8653,6 +8653,34 @@ object Queries {
              |FROM r WHERE rn = 1""".stripMargin)
     )),
 
+    // CATEGORICAL manifest pruning under the hard gate — the equality
+    // twin of q_snapshot_prune, and the single most common 100 TB
+    // slice ("read only source=X"): documents commit clustered on
+    // source with per-file category sets recorded, then a source probe
+    // resolves the file list before any Spark scan. The in-query
+    // require proves files were skipped; the oracle proves the
+    // superset contract composed with the row filter loses nothing.
+    "q_snapshot_prune_eq" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .repartition(8, col("source"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snappruneeq_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, base,
+          categoryCols = Seq("source"))
+        val (total, kept) = graft.core.SnapshotTable.pruneCountsEq(
+          s, root, "source", "src7")
+        require(kept < total,
+          s"category pruning skipped nothing: kept $kept of $total files")
+        graft.core.SnapshotTable.scanPrunedEq(s, root, "source", "src7")
+          .filter(col("source") === "src7")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+      },
+      Some("""SELECT doc_id, source, n_chars FROM documents
+             |WHERE source = 'src7'""".stripMargin)
+    )),
+
     // Snapshot COMPACTION under the hard gate — compaction is just
     // another version: an 8-file fragmented commit rewrites to ONE
     // file (in-query requires prove the file count actually dropped

@@ -87,6 +87,13 @@ object SnapshotTable {
   private val ManifestRe = """v(\d{9})\.manifest""".r
   private val MaxCommitRetries = 5
 
+  /** Per-file distinct-value cap for `categoryCols`: a file whose
+    * column exceeds it records NO category section (never pruned) —
+    * category stats are for LOW-cardinality slice columns (lang,
+    * source, split), where a file clustered by the column holds a
+    * handful of values. */
+  val CategoryCap = 16
+
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -133,18 +140,38 @@ object SnapshotTable {
 
   /** A manifest entry's recorded per-column (min, max) long stats —
     * empty for entries written without `statsCols`. An empty bound
-    * (all-null column in that file) parses as None = unbounded. */
+    * (all-null column in that file) parses as None = unbounded.
+    * Category sections (`col#…`) are skipped here. */
   private[core] def entryStats(line: String)
       : Map[String, (Option[Long], Option[Long])] = {
     val t = line.indexOf('\t')
     if (t < 0) return Map.empty
-    line.substring(t + 1).split(',').iterator.filter(_.nonEmpty).map { kv =>
-      val eq = kv.indexOf('=')
-      val Array(lo, hi) = kv.substring(eq + 1).split(":", -1)
-      kv.substring(0, eq) -> (
-        (if (lo.isEmpty) None else Some(lo.toLong)),
-        (if (hi.isEmpty) None else Some(hi.toLong)))
-    }.toMap
+    line.substring(t + 1).split(',').iterator
+      .filter(kv => kv.nonEmpty && kv.contains('=') && !kv.contains('#'))
+      .map { kv =>
+        val eq = kv.indexOf('=')
+        val Array(lo, hi) = kv.substring(eq + 1).split(":", -1)
+        kv.substring(0, eq) -> (
+          (if (lo.isEmpty) None else Some(lo.toLong)),
+          (if (hi.isEmpty) None else Some(hi.toLong)))
+      }.toMap
+  }
+
+  /** A manifest entry's recorded per-column CATEGORY sets (`col#v1|v2`,
+    * values URL-encoded at write) — the categorical twin of
+    * [[entryStats]], recorded when the committer passed
+    * `categoryCols` and the file's distinct count fit the cap. */
+  private[core] def entryCategories(line: String): Map[String, Set[String]] = {
+    val t = line.indexOf('\t')
+    if (t < 0) return Map.empty
+    line.substring(t + 1).split(',').iterator
+      .filter(kv => kv.nonEmpty && kv.contains('#'))
+      .map { kv =>
+        val h = kv.indexOf('#')
+        kv.substring(0, h) -> kv.substring(h + 1).split('|').iterator
+          .filter(_.nonEmpty)
+          .map(java.net.URLDecoder.decode(_, "UTF-8")).toSet
+      }.toMap
   }
 
   private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
@@ -200,7 +227,8 @@ object SnapshotTable {
     * crash-then-retry) from colliding on a directory name. */
   private def writeDataFiles(spark: SparkSession, fs: FileSystem,
                              rootP: Path, df: DataFrame,
-                             statsCols: Seq[String]): Seq[String] = {
+                             statsCols: Seq[String],
+                             categoryCols: Seq[String] = Nil): Seq[String] = {
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val staging = new Path(new Path(rootP, StagingDir), nonce)
     df.write.mode("overwrite").option("compression", "zstd")
@@ -214,32 +242,48 @@ object SnapshotTable {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => s"$DataDir/$nonce/${st.getPath.getName}")
       .sorted.toSeq
-    if (statsCols.isEmpty) rels
+    if (statsCols.isEmpty && categoryCols.isEmpty) rels
     else {
-      // the stats suffix is a text format (TAB, ',' and '=' and ':'
-      // are structural) — refuse names that would corrupt it rather
-      // than write an unparseable manifest
-      statsCols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
-        s"SnapshotTable statsCols: column name '$c' is not " +
+      // the stats suffix is a text format (TAB, ',', '=', ':', '#' and
+      // '|' are structural) — refuse names that would corrupt it rather
+      // than write an unparseable manifest; category VALUES are
+      // URL-encoded, so they carry anything
+      (statsCols ++ categoryCols).foreach(c => require(
+        c.matches("[A-Za-z0-9_]+"),
+        s"SnapshotTable stats/category column name '$c' is not " +
           "[A-Za-z0-9_]+ — rename or alias before recording stats"))
       import org.apache.spark.sql.functions._
       val aggs = statsCols.flatMap(c => Seq(
         min(col(c).cast("long")).as(s"__mn_$c"),
-        max(col(c).cast("long")).as(s"__mx_$c")))
+        max(col(c).cast("long")).as(s"__mx_$c"))) ++
+        categoryCols.map(c =>
+          sort_array(collect_set(col(c).cast("string"))).as(s"__cat_$c"))
       val byBase = spark.read.parquet(dataHome.toString)
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map(r => new Path(r.getString(0)).getName -> r).toMap
+      val catBase = 1 + 2 * statsCols.size
       rels.map { rel =>
         byBase.get(rel.split('/').last) match {
           case Some(r) =>
-            val s = statsCols.zipWithIndex.map { case (c, i) =>
+            val ranges = statsCols.zipWithIndex.map { case (c, i) =>
               val mn = if (r.isNullAt(1 + 2 * i)) "" else r.getLong(1 + 2 * i).toString
               val mx = if (r.isNullAt(2 + 2 * i)) "" else r.getLong(2 + 2 * i).toString
               s"$c=$mn:$mx"
-            }.mkString(",")
-            s"$rel\t$s"
+            }
+            val cats = categoryCols.zipWithIndex.flatMap { case (c, j) =>
+              val vs = r.getSeq[String](catBase + j)
+              // over-cap: record nothing — the file is never pruned on
+              // this column (superset contract); an EMPTY set (all-null
+              // file) records `c#`, which equality-prunes everything —
+              // a null never equals the probe value
+              if (vs.size > CategoryCap) None
+              else Some(s"$c#" + vs.map(
+                java.net.URLEncoder.encode(_, "UTF-8")).mkString("|"))
+            }
+            val s = (ranges ++ cats).mkString(",")
+            if (s.isEmpty) rel else s"$rel\t$s"
           // a zero-row part file groups to no row: no stats, never pruned
           case None => rel
         }
@@ -288,9 +332,11 @@ object SnapshotTable {
     * per-file long min/max in the manifest for [[scanPruned]].
     * Returns the new version. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             categoryCols: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsOf(spark, root)
-    publish(fs, rootP, writeDataFiles(spark, fs, rootP, df, statsCols))
+    publish(fs, rootP,
+      writeDataFiles(spark, fs, rootP, df, statsCols, categoryCols))
   }
 
   /** Commit `df` as an APPEND snapshot: the new manifest lists every
@@ -303,7 +349,8 @@ object SnapshotTable {
     * through a full [[commit]] (replace), never an append. Returns
     * the new version. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             categoryCols: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsOf(spark, root)
     val cur = currentVersion(fs, rootP)
     cur.foreach { v =>
@@ -316,7 +363,8 @@ object SnapshotTable {
           "with a full commit instead")
     }
     val prior = cur.map(readManifest(fs, rootP, _)).getOrElse(Nil)
-    publish(fs, rootP, prior ++ writeDataFiles(spark, fs, rootP, df, statsCols))
+    publish(fs, rootP,
+      prior ++ writeDataFiles(spark, fs, rootP, df, statsCols, categoryCols))
   }
 
   /** The current snapshot restricted to files whose recorded
@@ -326,7 +374,8 @@ object SnapshotTable {
     * entries without stats for the column are always kept, so callers
     * still apply the real row filter; what pruning buys is never
     * opening the files that cannot match. Use [[pruneCounts]] for the
-    * (total, kept) file accounting. */
+    * (total, kept) file accounting, and [[scanPrunedEq]] for the
+    * categorical (equality) twin. */
   def scanPruned(spark: SparkSession, root: String, colName: String,
                  lo: Long, hi: Long): DataFrame = {
     val (fs, rootP) = fsOf(spark, root)
@@ -360,6 +409,44 @@ object SnapshotTable {
         // a range predicate, so the caller's filter drops them)
         case Some((mn, mx)) => mx.forall(_ >= lo) && mn.forall(_ <= hi)
         case None => true // no stats recorded: never prune
+      }
+    }
+
+  /** The current snapshot restricted to files whose recorded CATEGORY
+    * set for `colName` contains `value` — equality pruning for
+    * low-cardinality slice columns (lang, source, split), the single
+    * most common 100 TB access pattern ("read only lang=en"). Same
+    * superset contract as [[scanPruned]]: entries without a category
+    * section for the column are always kept, callers still apply the
+    * row filter. Record the sections by committing with
+    * `categoryCols` after clustering on the column (`repartition` on
+    * it puts each value wholly in a few files). */
+  def scanPrunedEq(spark: SparkSession, root: String, colName: String,
+                   value: String): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable at $root has no committed snapshot"))
+    val kept = prunedEntriesEq(readManifest(fs, rootP, v), colName, value)
+    if (kept.isEmpty) return readVersion(spark, root, v).limit(0)
+    spark.read.parquet(kept.map(f => new Path(rootP, entryPath(f)).toString): _*)
+  }
+
+  /** (total files, files kept) for a [[scanPrunedEq]] probe. */
+  def pruneCountsEq(spark: SparkSession, root: String, colName: String,
+                    value: String): (Int, Int) = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable at $root has no committed snapshot"))
+    val all = readManifest(fs, rootP, v)
+    (all.size, prunedEntriesEq(all, colName, value).size)
+  }
+
+  private def prunedEntriesEq(entries: Seq[String], colName: String,
+                              value: String): Seq[String] =
+    entries.filter { e =>
+      entryCategories(e).get(colName) match {
+        case Some(vs) => vs.contains(value)
+        case None => true // no category recorded: never prune
       }
     }
 

@@ -142,6 +142,33 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root).max == vBefore + 1)
   }
 
+  test("category stats + scanPrunedEq: an equality probe opens only " +
+      "files recording the value; over-cap columns never prune; " +
+      "values round-trip through URL encoding") {
+    val root = freshRoot()
+    // 60 rows over 6 categories, clustered so each of 3 files holds 2
+    val df = spark.range(60)
+      .selectExpr("id as k", "concat('grp,|#', id % 6) as c")
+      .repartition(3, col("c"))
+    SnapshotTable.commit(spark, root, df, categoryCols = Seq("c"))
+    val (total, kept) = SnapshotTable.pruneCountsEq(spark, root, "c", "grp,|#2")
+    assert(total == 3 && kept < total && kept >= 1, s"kept $kept of $total")
+    val rows = SnapshotTable.scanPrunedEq(spark, root, "c", "grp,|#2")
+      .filter(col("c") === "grp,|#2").collect().map(_.getLong(0)).toSet
+    assert(rows == (0L until 60L).filter(_ % 6 == 2).toSet)
+    // a value absent everywhere prunes ALL files but stays readable
+    assert(SnapshotTable.scanPrunedEq(spark, root, "c", "nope").count() == 0L)
+    // over-cap: > CategoryCap distinct values in one file -> no
+    // section -> the file is never pruned on that column
+    val root2 = freshRoot()
+    SnapshotTable.commit(spark, root2,
+      spark.range(100).selectExpr("id as k", "concat('v', id) as c")
+        .coalesce(1),
+      categoryCols = Seq("c"))
+    val (t2, k2) = SnapshotTable.pruneCountsEq(spark, root2, "c", "nope")
+    assert(t2 == 1 && k2 == 1, s"over-cap file must never prune: $k2/$t2")
+  }
+
   test("commitZOrdered: both dimensions prune — a range predicate on " +
       "EITHER column skips files") {
     val root = freshRoot()
