@@ -142,6 +142,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root).max == vBefore + 1)
   }
 
+  test("scanPruned bounds are INCLUSIVE on both ends: probes at a " +
+      "file's exact min/max keep it, one past drop it") {
+    val root = freshRoot()
+    // two files with deterministic stats: k in [0,9] and [10,19]
+    SnapshotTable.commit(spark, root,
+      spark.range(10).selectExpr("id as k").coalesce(1),
+      statsCols = Seq("k"))
+    SnapshotTable.append(spark, root,
+      spark.range(10, 20).selectExpr("id as k").coalesce(1),
+      statsCols = Seq("k"))
+    def kept(lo: Long, hi: Long): Int =
+      SnapshotTable.pruneCounts(spark, root, "k", lo, hi)._2
+    assert(kept(9, 10) == 2)   // touches file 1's max AND file 2's min
+    assert(kept(9, 9) == 1)    // exactly file 1's max
+    assert(kept(10, 15) == 1)  // strictly inside file 2
+    assert(kept(20, 99) == 0)  // one past file 2's max
+    assert(kept(-5, -1) == 0)  // below file 1's min
+    // and the kept==0 read is an empty frame, not an error
+    assert(SnapshotTable.scanPruned(spark, root, "k", 20L, 99L).count() == 0L)
+  }
+
   test("category stats + scanPrunedEq: an equality probe opens only " +
       "files recording the value; over-cap columns never prune; " +
       "values round-trip through URL encoding") {
