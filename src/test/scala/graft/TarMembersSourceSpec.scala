@@ -32,6 +32,24 @@ class TarMembersSourceSpec extends SparkSpec {
     assert(v2 == Seq("vr_part1.txt", "vr_part2.txt") && v2 == obj)
   }
 
+  test("directory and glob loads resolve shard files in sorted order " +
+      "and ignore non-tar neighbors") {
+    val shards = graft.sources.TarFixture.ensureWdsShards()
+    val dir = Files.createTempDirectory("graft_tar_resolve")
+    Files.copy(java.nio.file.Paths.get(shards(0)), dir.resolve("b_shard.tar"))
+    Files.copy(java.nio.file.Paths.get(shards(1)), dir.resolve("a_shard.tar"))
+    Files.write(dir.resolve("notes.txt"), "not a shard".getBytes)
+    val viaDir = spark.read.format("tar").load(dir.toString)
+      .select(col("archive"), col("name")).collect()
+      .map(r => (r.getString(0).split('/').last, r.getString(1)))
+    // both shards read, the .txt neighbor ignored
+    assert(viaDir.map(_._1).distinct.sorted.toSeq ==
+      Seq("a_shard.tar", "b_shard.tar"))
+    val viaGlob = spark.read.format("tar")
+      .load(dir.toString + "/*.tar").count()
+    assert(viaGlob == viaDir.length.toLong)
+  }
+
   test("oversized member fails loudly through the option, and an " +
       "over-Int.MaxValue cap is refused at plan time") {
     val shard = graft.sources.TarFixture.ensureWds()
