@@ -1954,6 +1954,56 @@ object Queries {
              |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin)
     )),
 
+    // q_incremental_dedup_bucketed's SNAPSHOT-STORE twin — same
+    // fixture, same oracle, the OTHER side of the state-store trade
+    // the Dedup scaladoc names: the corpus signatures COMMIT as a
+    // SnapshotTable version (persistBandedSignaturesSnapshot), the
+    // probe joins the PINNED read, and mid-query the store is
+    // re-committed with a decoy subset — the pinned reader's signature
+    // is REQUIRED unchanged (reader isolation, the invariant bucketed
+    // metadata cannot give), and the oracle proves the isolation
+    // detour changed not one surviving pair.
+    "q_incremental_dedup_snapshot" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_dedup_snap_q").toString + "/sigs"
+        Dedup.persistBandedSignaturesSnapshot(s, root, corpus,
+          "doc_id", "text")
+        val store = graft.core.SnapshotTable.read(s, root) // pinned at v1
+        def sig(df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)),
+            coalesce(sum(col("bh").cast("decimal(38,0)")),
+              lit(0).cast("decimal(38,0)"))).collect()(0)
+        val before = sig(store)
+        // the concurrent store update the bucketed layout cannot
+        // isolate a reader from:
+        Dedup.persistBandedSignaturesSnapshot(s, root, corpus.limit(5),
+          "doc_id", "text")
+        val after = sig(store)
+        require(after == before,
+          s"snapshot signature-store reader isolation broke: " +
+            s"$before -> $after")
+        Dedup.minhashJoinPrecomputed(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          store, Dedup.shingleSets(corpus, "doc_id", "text"),
+          "doc_id", "text", threshold = 0.8)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+             |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+             |  ELSE [] END sh FROM w),
+             |e AS (SELECT doc_id, unnest(sh) s FROM g),
+             |sz AS (SELECT doc_id, len(sh) n FROM g),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+             |      FROM e a JOIN e b ON a.s = b.s
+             |      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2)
+             |SELECT id_a, id_b
+             |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin)
+    )),
+
     "q_dedup_simhash" -> ((
       (s: SparkSession, dir: String) =>
         Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -8653,6 +8703,115 @@ object Queries {
              |FROM r WHERE rn = 1""".stripMargin)
     )),
 
+    // STREAMING snapshot CDC under the hard gate — the SIXTEENTH
+    // direct streaming row, and the live completion of the
+    // incremental-recompute story: three deterministic per-user states
+    // commit as TRACKED versions 1..3 while a real
+    // readStream.format("snapshot-changes") stream drains between
+    // commits (version-number offsets over the stored change feed, one
+    // micro-batch per commit). The in-query require holds the emitted
+    // changelog VERBATIM against the batch APIs (v1's bootstrap
+    // inserts + changesSince(v1)); the oracle replays bootstrap and
+    // both per-step diffs in SQL — a re-emitted step, a missed one, or
+    // a wrong version tag duplicates/drops rows and hash-mismatches.
+    "q_stream_snapshot_changes" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir)
+        val s1 = ev.filter(col("user_id") < 50).groupBy("user_id")
+          .agg(count(lit(1)).as("n"))
+        val s2 = ev.filter(col("user_id") < 70).groupBy("user_id")
+          .agg(count(when(pmod(col("event_id"), lit(2)) === 0, 1)).as("n"))
+        val s3 = ev.filter(col("user_id") >= 30 && col("user_id") < 90)
+          .groupBy("user_id")
+          .agg(count(when(pmod(col("event_id"), lit(3)) === 0, 1)).as("n"))
+        val (root, streamed) = graft.streaming.EventStreams
+          .replaySnapshotChanges(s, Seq(s1, s2, s3), Seq("user_id"))
+        // the stream must equal the batch view of the same feed:
+        // bootstrap inserts of v1 plus every retained per-step diff
+        val batch = graft.core.SnapshotTable.readVersion(s, root, 1L)
+          .select(col("user_id"), lit("insert").as("change"), col("n"))
+          .withColumn("version", lit(1L))
+          .unionByName(graft.core.SnapshotTable.changesSince(
+            s, root, 1L, Seq("user_id")))
+        val (nS, nB) = (streamed.count(), batch.count())
+        require(nS == nB && streamed.except(batch).isEmpty &&
+            batch.except(streamed).isEmpty,
+          s"streamed changelog diverged from the batch APIs: $nS " +
+            s"streamed rows vs $nB batch rows")
+        streamed
+      },
+      Some("""WITH s1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             |  FROM events WHERE user_id < 50 GROUP BY 1),
+             |s2 AS (SELECT user_id,
+             |    CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n
+             |  FROM events WHERE user_id < 70 GROUP BY 1),
+             |s3 AS (SELECT user_id,
+             |    CAST(count(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT) AS n
+             |  FROM events WHERE user_id >= 30 AND user_id < 90 GROUP BY 1),
+             |b AS (SELECT user_id, 'insert' AS change, n,
+             |    CAST(1 AS BIGINT) AS version FROM s1),
+             |d12 AS (SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+             |    CASE WHEN s1.user_id IS NULL THEN 'insert'
+             |      WHEN s2.user_id IS NULL THEN 'delete'
+             |      ELSE 'update' END AS change,
+             |    CASE WHEN s2.user_id IS NULL THEN s1.n ELSE s2.n END AS n,
+             |    CAST(2 AS BIGINT) AS version
+             |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+             |  WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+             |    OR (s1.n IS DISTINCT FROM s2.n)),
+             |d23 AS (SELECT COALESCE(s2.user_id, s3.user_id) AS user_id,
+             |    CASE WHEN s2.user_id IS NULL THEN 'insert'
+             |      WHEN s3.user_id IS NULL THEN 'delete'
+             |      ELSE 'update' END AS change,
+             |    CASE WHEN s3.user_id IS NULL THEN s2.n ELSE s3.n END AS n,
+             |    CAST(3 AS BIGINT) AS version
+             |  FROM s2 FULL OUTER JOIN s3 ON s2.user_id = s3.user_id
+             |  WHERE s2.user_id IS NULL OR s3.user_id IS NULL
+             |    OR (s2.n IS DISTINCT FROM s3.n))
+             |SELECT * FROM b
+             |UNION ALL SELECT * FROM d12
+             |UNION ALL SELECT * FROM d23""".stripMargin)
+    )),
+
+    // CDC-DRIVEN MATERIALIZED VIEW under the hard gate — the
+    // SEVENTEENTH direct streaming row, and the capstone the CDC
+    // source exists for: the LIVE twin of
+    // q_snapshot_incremental_pipeline, now WITH deletes. Three corpus
+    // states commit as tracked versions (revisions AND removals) while
+    // a snapshot-changes stream's foreachBatch maintains a derived
+    // embedding store via SnapshotTable.applyChangesCycle — recompute
+    // ONLY changed keys, drop deleted ones — and the final batch is
+    // deliberately RE-DELIVERED (at-least-once idempotence). The
+    // oracle computes the FULL re-embed over the final state: a missed
+    // change, a resurrected deleted key, a stale kept vector, or a
+    // non-idempotent replay all hash-mismatch.
+    "q_stream_cdc_view" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        def rev(c: org.apache.spark.sql.Column) =
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(c, lit(" [rev2]"))).otherwise(c)
+        val s1 = d.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+          .select(col("doc_id"), col("text").as("txt"))
+        val s2 = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), rev(col("text")).as("txt"))
+        val s3 = d.filter(pmod(col("doc_id"), lit(2)) === 0 &&
+            pmod(col("doc_id"), lit(7)) =!= 3)
+          .select(col("doc_id"), rev(col("text")).as("txt"))
+        val derived = graft.streaming.EventStreams.replayCdcView(
+          s, Seq(s1, s2, s3), Seq("doc_id"),
+          df => df.select(col("doc_id"),
+            operators.Sampling.hash32(col("txt"), "emb_").as("emb")))
+        graft.core.SnapshotTable.read(s, derived)
+      },
+      Some("""SELECT doc_id,
+             |  CAST('0x' || substr(md5('emb_' ||
+             |    CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+             |      ELSE text END), 1, 8) AS BIGINT) AS emb
+             |FROM documents
+             |WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3""".stripMargin)
+    )),
+
     // CATEGORICAL manifest pruning under the hard gate — the equality
     // twin of q_snapshot_prune, and the single most common 100 TB
     // slice ("read only source=X"): documents commit clustered on
@@ -8705,6 +8864,49 @@ object Queries {
       },
       Some("""SELECT user_id, event_id, value FROM events
              |WHERE user_id < 100""".stripMargin)
+    )),
+
+    // SCHEMA EVOLUTION on the snapshot format under the hard gate —
+    // append's loud drift refusal now has its exit ramp
+    // (SnapshotTable.evolveAddColumns): v1 commits two columns, a
+    // migration commit materializes a defaulted third, and a
+    // NEW-schema batch appends cleanly on top. In-query requires prove
+    // time travel is untouched (v1 still reads the OLD schema) and the
+    // pre-evolution append would still refuse; the oracle proves the
+    // default materialized into every old row and the append lost
+    // nothing — a wrong default, a dropped row, or a half-applied
+    // projection hash-mismatches.
+    "q_snapshot_evolve" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir)
+        val s1 = ev.filter(col("user_id") < 90).groupBy("user_id")
+          .agg(count(lit(1)).as("n"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapevolve_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, s1)
+        graft.core.SnapshotTable.evolveAddColumns(s, root,
+          Seq("src" -> lit("legacy")))
+        // time travel is untouched by the migration: v1 keeps the
+        // narrow schema
+        val v1Cols = graft.core.SnapshotTable.readVersion(s, root, 1L)
+          .columns.sorted
+        require(v1Cols.sameElements(Array("n", "user_id")),
+          s"evolution rewrote history: v1 reads (${v1Cols.mkString(",")})")
+        val batch2 = ev.filter(col("user_id") >= 90 && col("user_id") < 130)
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+          .withColumn("src", lit("batch2"))
+        graft.core.SnapshotTable.append(s, root, batch2)
+        graft.core.SnapshotTable.read(s, root)
+          .select(col("user_id"), col("n"), col("src"))
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |  'legacy' AS src
+             |FROM events WHERE user_id < 90 GROUP BY 1
+             |UNION ALL
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |  'batch2' AS src
+             |FROM events WHERE user_id >= 90 AND user_id < 130
+             |GROUP BY 1""".stripMargin)
     )),
 
     // INCREMENTAL-RECOMPUTE capstone on the snapshot format — the

@@ -16,6 +16,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   <root>/data/<commit-nonce>/part-*.parquet   immutable once published
   *   <root>/_manifests/v%09d.manifest            one data-file entry per line
+  *   <root>/_manifests/v%09d.lock                exclusive version claims (see CONCURRENCY)
+  *   <root>/_changes/v%09d.changes/part-*.parquet  stored change feed (tracked commits only)
   *   <root>/_staging/...                         in-flight writes (orphaned by a crash)
   * }}}
   *
@@ -56,20 +58,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reader. [[readVersion]] is the same pin at an explicit version
   * (time travel across the retained window).
   *
-  * CONCURRENCY: version numbers linearize committers. POSIX rename
-  * over an existing path silently replaces it (last-wins), so after
-  * renaming the committer READS BACK the published manifest and
-  * compares content — a mismatch means another committer took the same
-  * version number, and this commit retries at the next one (bounded
-  * retries, then a loud error). Single-writer-per-table remains the
-  * designed mode; the verify-retry exists so a misconfigured second
-  * writer degrades to serialized commits instead of silent loss. Named
-  * limit: the retry linearizes version NUMBERS, not read-merge-commit
-  * CYCLES — [[upsertCycle]]/[[compactSnapshot]] read the current
-  * snapshot before committing, so two concurrent cyclers can still
-  * lose the earlier merge (the classic lost update). No manifest is
-  * ever torn by this; rows are. One writer per table is the contract,
-  * not an optimization.
+  * CONCURRENCY: version numbers linearize committers through an
+  * EXCLUSIVE CLAIM — before renaming, a committer creates
+  * `v<N>.lock` with `FileSystem.create(overwrite = false)`, the one
+  * primitive that is atomic-exclusive on every rename-capable
+  * filesystem (HDFS CreateFlag.CREATE, POSIX O_CREAT|O_EXCL). Two
+  * committers therefore can never rename onto the same version: the
+  * loser's claim fails and it retries at the NEXT number (claimed
+  * numbers are skipped, so a crashed claim leaves a harmless HOLE in
+  * the version sequence, reclaimed by [[vacuum]], never a blocked
+  * table). The post-rename read-back stays as a belt-and-braces
+  * invariant check, no longer the primary defense — the pre-claim
+  * design had a TOCTOU window on replace-on-rename filesystems
+  * (rename, read back own content, THEN get silently replaced).
+  * Named limit: claims linearize version NUMBERS, not
+  * read-merge-commit CYCLES — [[upsertCycle]]/[[compactSnapshot]]
+  * read the current snapshot before committing, so two concurrent
+  * cyclers can still lose the earlier merge (the classic lost
+  * update). No manifest is ever torn by this; rows are. One writer
+  * per table is the contract, not an optimization.
+  *
+  * FILESYSTEM CONTRACT, named: the protocol needs (a) atomic-exclusive
+  * `create(overwrite = false)` for the claim and (b) same-directory
+  * `rename` that either moves the temp manifest or fails — HDFS and
+  * POSIX local filesystems give both. S3A gives NEITHER natively
+  * (create is a PUT that last-writer-wins unless the store supports
+  * conditional writes; rename is copy+delete): on object storage,
+  * point the claim+publish at a small HDFS/locking volume, front the
+  * table with an external catalog lock (Hive/Glue/DynamoDB — what
+  * Delta's S3 LogStore and Iceberg's lock-manager do), or enable the
+  * store's conditional-put (If-None-Match) support. Data files are
+  * immutable and nonce-named, so THEY are object-store-safe as-is;
+  * only the manifest publish needs the stronger primitive.
   *
   * 100 TB posture: a commit writes only its own data files plus one
   * manifest rename — no table-sized rewrite is required by the FORMAT
@@ -84,7 +104,10 @@ object SnapshotTable {
   private val ManifestDir = "_manifests"
   private val StagingDir = "_staging"
   private val DataDir = "data"
+  private val ChangesDir = "_changes"
   private val ManifestRe = """v(\d{9})\.manifest""".r
+  private val LockRe = """v(\d{9})\.lock""".r
+  private val ChangesRe = """v(\d{9})\.changes""".r
   private val MaxCommitRetries = 5
 
   /** Per-file distinct-value cap for `categoryCols`: a file whose
@@ -291,9 +314,20 @@ object SnapshotTable {
     }
   }
 
+  private def lockPath(root: Path, v: Long): Path =
+    new Path(new Path(root, ManifestDir), f"v$v%09d.lock")
+
+  /** Atomically claim version `v` — `create(overwrite = false)` is
+    * exclusive on every rename-capable filesystem (see the FILESYSTEM
+    * CONTRACT note). False means another committer holds (or held)
+    * the number. */
+  private def claimVersion(fs: FileSystem, rootP: Path, v: Long): Boolean =
+    try { fs.create(lockPath(rootP, v), false).close(); true }
+    catch { case _: java.io.IOException => false }
+
   /** Publish `lines` as the next manifest. Returns the committed
-    * version. Retries on a lost version race (see the CONCURRENCY
-    * note above). */
+    * version. A contended version number is skipped, never shared
+    * (see the CONCURRENCY note above). */
   private def publish(fs: FileSystem, rootP: Path, lines: Seq[String])
       : Long = {
     // an EMPTY DataFrame still commits: Spark writes a zero-row
@@ -305,38 +339,66 @@ object SnapshotTable {
         "an empty snapshot carries a schema-only part file")
     val body = lines.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    fs.mkdirs(new Path(rootP, ManifestDir))
     var attempt = 0
+    var tried = 0L
     while (attempt < MaxCommitRetries) {
-      val next = currentVersion(fs, rootP).getOrElse(0L) + 1
-      val tmp = new Path(new Path(rootP, ManifestDir),
-        s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
-      fs.mkdirs(tmp.getParent)
-      val out = fs.create(tmp, true)
-      try out.write(body) finally out.close()
-      val target = manifestPath(rootP, next)
-      if (fs.rename(tmp, target)) {
-        // POSIX rename REPLACES an existing target silently, so verify
-        // the published content is ours; losing this check would let
-        // two committers share a version number with one silently gone
+      // skip past both the committed tip and every number we already
+      // found claimed — a crashed claim must not wedge the table
+      val next = math.max(currentVersion(fs, rootP).getOrElse(0L) + 1, tried + 1)
+      tried = next
+      if (claimVersion(fs, rootP, next)) {
+        // the claim is exclusive, so the target name cannot exist:
+        // manifests only ever appear at claimed numbers, claims are
+        // never re-grantable, and vacuum only reclaims locks at or
+        // below the committed tip (next is above it)
+        val tmp = new Path(new Path(rootP, ManifestDir),
+          s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+        val out = fs.create(tmp, true)
+        try out.write(body) finally out.close()
+        val target = manifestPath(rootP, next)
+        if (!fs.rename(tmp, target)) {
+          fs.delete(tmp, false)
+          sys.error(s"SnapshotTable: rename of the claimed manifest " +
+            s"v$next failed at $rootP — the claim rules out a version " +
+            "collision, so this is an environment fault (permissions, " +
+            "filesystem), not a race; nothing was published")
+        }
+        // belt-and-braces: the claim already rules out a collision,
+        // so a mismatch here means the filesystem broke the contract
         val back = readManifest(fs, rootP, next)
-        if (back == lines) return next
-      } else fs.delete(tmp, false)
+        if (back != lines) sys.error(
+          s"SnapshotTable: manifest v$next read back different content " +
+            s"than written at $rootP despite an exclusive claim — the " +
+            "filesystem violated the atomicity contract (see the " +
+            "FILESYSTEM CONTRACT scaladoc; S3A needs an external lock)")
+        return next
+      }
       attempt += 1
     }
-    sys.error(s"SnapshotTable: lost the commit race $MaxCommitRetries " +
-      s"times at $rootP — a second writer is live; serialize committers")
+    sys.error(s"SnapshotTable: could not claim a version after " +
+      s"$MaxCommitRetries attempts at $rootP — a second writer is " +
+      "committing concurrently; serialize committers (one writer per " +
+      "table is the contract)")
   }
 
   /** Commit `df` as the next FULL snapshot (replace semantics — the
     * shape a merge-upsert cycle produces). `statsCols` records
     * per-file long min/max in the manifest for [[scanPruned]].
-    * Returns the new version. */
+    * Non-empty `changeKeys` additionally stores the commit's row-level
+    * changelog for the CDC feed (see [[readChanges]]); change tracking
+    * assumes the table is KEYED on `changeKeys` (unique key per row —
+    * what the upsert path maintains). Returns the new version. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
-             categoryCols: Seq[String] = Nil): Long = {
+             categoryCols: Seq[String] = Nil,
+             changeKeys: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsOf(spark, root)
-    publish(fs, rootP,
+    val prev = currentVersion(fs, rootP)
+    val v = publish(fs, rootP,
       writeDataFiles(spark, fs, rootP, df, statsCols, categoryCols))
+    if (changeKeys.nonEmpty) recordChanges(spark, root, prev, v, changeKeys)
+    v
   }
 
   /** Commit `df` as an APPEND snapshot: the new manifest lists every
@@ -350,21 +412,61 @@ object SnapshotTable {
     * the new version. */
   def append(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
-             categoryCols: Seq[String] = Nil): Long = {
+             categoryCols: Seq[String] = Nil,
+             changeKeys: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsOf(spark, root)
     val cur = currentVersion(fs, rootP)
     cur.foreach { v =>
-      val have = readVersion(spark, root, v).columns.sorted
-      require(have.sameElements(df.columns.sorted),
+      // compare (name, type) pairs, not just names: a same-named
+      // column of a different type (k long -> k string) is exactly the
+      // mixed-schema manifest this guard exists to prevent — which
+      // file Spark samples would decide the read schema
+      def sig(s: org.apache.spark.sql.types.StructType): Seq[String] =
+        s.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+          .sorted.toSeq
+      val have = sig(readVersion(spark, root, v).schema)
+      val got = sig(df.schema)
+      require(have == got,
         s"SnapshotTable.append: schema mismatch — snapshot v$v has " +
           s"(${have.mkString(",")}) but the appended frame has " +
-          s"(${df.columns.sorted.mkString(",")}); a mixed-schema " +
-          "manifest reads nondeterministically, so evolve the schema " +
-          "with a full commit instead")
+          s"(${got.mkString(",")}); a mixed-schema manifest reads " +
+          "nondeterministically, so evolve the schema with " +
+          "evolveAddColumns / a full commit instead")
     }
     val prior = cur.map(readManifest(fs, rootP, _)).getOrElse(Nil)
-    publish(fs, rootP,
+    val v = publish(fs, rootP,
       prior ++ writeDataFiles(spark, fs, rootP, df, statsCols, categoryCols))
+    if (changeKeys.nonEmpty) recordChanges(spark, root, cur, v, changeKeys)
+    v
+  }
+
+  /** Schema evolution as a MIGRATION COMMIT — the exit ramp for
+    * [[append]]'s drift refusal (the reference's add-column evolution,
+    * `SURVEY.md` D1, at row scale): read the current snapshot, project
+    * each `(name, defaultExpr)` onto it, and publish the widened table
+    * as the next FULL version. Old versions keep their old schema
+    * (time travel is untouched — each manifest pins its own files);
+    * appends of the NEW schema then pass the guard. The rewrite cost
+    * is one full-table pass — the honest price of materializing a
+    * default into immutable files; a table too large for that should
+    * carry the column from birth or virtualize the default in a view.
+    *
+    * The migration commit deliberately lands UNTRACKED (no change-feed
+    * entry): a changelog row cannot straddle two schemas, and every
+    * CDC consumer's derived state needs the new column anyway — the
+    * chain gap fails them loudly into the re-bootstrap they require
+    * (see [[readChanges]]). */
+  def evolveAddColumns(spark: SparkSession, root: String,
+                       adds: Seq[(String, org.apache.spark.sql.Column)],
+                       statsCols: Seq[String] = Nil,
+                       categoryCols: Seq[String] = Nil): Long = {
+    require(adds.nonEmpty, "evolveAddColumns: nothing to add")
+    val cur = read(spark, root)
+    adds.foreach { case (n, _) => require(!cur.columns.contains(n),
+      s"evolveAddColumns: column '$n' already exists — evolution only " +
+        "ADDS columns; rewrite semantics beyond that is a plain commit") }
+    val widened = adds.foldLeft(cur) { case (d, (n, c)) => d.withColumn(n, c) }
+    commit(spark, root, widened, statsCols, categoryCols)
   }
 
   /** The current snapshot restricted to files whose recorded
@@ -461,7 +563,8 @@ object SnapshotTable {
     * Concurrent readers keep their pinned snapshot throughout. */
   def upsertCycle(batch: DataFrame, root: String, keys: Seq[String],
                   tieBreak: Seq[org.apache.spark.sql.Column] = Nil,
-                  statsCols: Seq[String] = Nil): Long = {
+                  statsCols: Seq[String] = Nil,
+                  trackChanges: Boolean = false): Long = {
     val spark = batch.sparkSession
     val (fs, rootP) = fsOf(spark, root)
     val merged = currentVersion(fs, rootP) match {
@@ -470,7 +573,8 @@ object SnapshotTable {
           Seq(batch, readVersion(spark, root, v)), keys, tieBreak)
       case None => batch
     }
-    commit(spark, root, merged, statsCols)
+    commit(spark, root, merged, statsCols,
+      changeKeys = if (trackChanges) keys else Nil)
   }
 
   /** Streaming upsert sink on the snapshot layout — the production
@@ -482,15 +586,55 @@ object SnapshotTable {
   def upsertSink(stream: DataFrame, root: String, checkpoint: String,
                  keys: Seq[String],
                  tieBreak: Seq[org.apache.spark.sql.Column] = Nil,
-                 statsCols: Seq[String] = Nil)
+                 statsCols: Seq[String] = Nil,
+                 trackChanges: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertCycle(batch, root, keys, tieBreak, statsCols)
+        upsertCycle(batch, root, keys, tieBreak, statsCols, trackChanges)
         ()
       }
       .start()
+
+  /** Apply one CHANGELOG micro-batch to a DERIVED keyed snapshot
+    * table — the maintenance step of a CDC-driven MATERIALIZED VIEW,
+    * the consumer the `snapshot-changes` stream exists for: `changes`
+    * carries `(keys..., change, source-cols..., version)` rows (the
+    * stored feed's shape); `transform` maps the surviving source rows
+    * to the view's rows (e.g. recompute an embedding). Per key, the
+    * batch's HIGHEST version wins (a micro-batch may carry several
+    * commits' steps for one key — only the net state matters);
+    * insert/update keys are re-derived through `transform`, delete
+    * keys leave the view. Idempotent in content: re-delivering a batch
+    * (foreachBatch's at-least-once crash replay) publishes a new
+    * version with IDENTICAL rows.
+    *
+    * Scale shape: one keyed dedup of the (small) batch, one keyed
+    * anti-join of view × batch-keys, one union, one commit — the view
+    * is never re-derived, only the changed keys are; the whole point
+    * of consuming the feed instead of the table. */
+  def applyChangesCycle(changes: DataFrame, root: String,
+                        keys: Seq[String],
+                        derive: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val spark = changes.sparkSession
+    val net = graft.operators.Components.mergeFirstWriterWins(
+      Seq(changes), keys, Seq(col("version") * -1))
+    val ups = derive(net.filter(col("change") =!= "delete")
+      .drop("change", "version"))
+    val (fs, rootP) = fsOf(spark, root)
+    val merged = currentVersion(fs, rootP) match {
+      case Some(v) =>
+        // drop EVERY batch key from the view (deletes never return,
+        // upserts come back transformed), keep untouched keys as-is
+        readVersion(spark, root, v)
+          .join(net.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(ups)
+      case None => ups
+    }
+    commit(spark, root, merged)
+  }
 
   /** Z-ORDERED commit: [[Catalog.writeZOrdered]]'s layout trick
     * composed with the snapshot format — interleave `colA`/`colB`
@@ -502,14 +646,21 @@ object SnapshotTable {
     * stats prune further inside the kept files. One range exchange —
     * exactly the shuffle any global layout costs. */
   def commitZOrdered(spark: SparkSession, root: String, df: DataFrame,
-                     colA: String, colB: String, nFiles: Int = 64): Long = {
+                     colA: String, colB: String, nFiles: Int = 64,
+                     categoryCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     val laid = df.withColumn("__zkey",
         graft.plans.LayoutExpressions.zorder_key(col(colA), col(colB)))
       .repartitionByRange(nFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
-    commit(spark, root, laid, statsCols = Seq(colA, colB))
+    // categoryCols: a z-ordered corpus usually ALSO carries
+    // low-cardinality slice columns (lang, source) that correlate with
+    // the layout key — recording their per-file sets lets
+    // [[scanPrunedEq]] equality-prune the same files the range stats
+    // already bound
+    commit(spark, root, laid, statsCols = Seq(colA, colB),
+      categoryCols = categoryCols)
   }
 
   /** Small-file compaction AS A COMMIT: rewrite the current snapshot
@@ -617,24 +768,155 @@ object SnapshotTable {
         .withColumn("version", lit(sinceVersion)).limit(0))
   }
 
+  // --- stored change feed (CDC) ---
+
+  private def changesPath(root: Path, v: Long): Path =
+    new Path(new Path(root, ChangesDir), f"v$v%09d.changes")
+
+  /** Store the row-level changelog of commit `v` (diffed against the
+    * version that was current when the commit started, or the full
+    * state as `insert` rows for a table's FIRST commit) under
+    * `_changes/v%09d.changes` — Delta's change-data-feed idea on the
+    * house manifest format: the feed is computed ONCE at commit time
+    * (the upsert cycle already paid the keyed read of the prior
+    * version) and consumers read parquet files, never re-join
+    * snapshots. A `_from-<v>` marker records the predecessor so
+    * consumers can verify the feed is GAP-FREE (see
+    * [[verifyChangeChain]]); files starting with `_` are invisible to
+    * parquet reads. Written staging-first then renamed — a crash
+    * between manifest publish and feed rename leaves a chain gap that
+    * fails consumers loudly, never a torn feed. */
+  private def recordChanges(spark: SparkSession, root: String,
+                            prev: Option[Long], v: Long,
+                            keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val (fs, rootP) = fsOf(spark, root)
+    val step = prev match {
+      case Some(p) => diff(spark, root, p, v, keys)
+      case None =>
+        val full = readVersion(spark, root, v)
+        val nonKeys = full.columns.filterNot(keys.contains).toSeq
+        full.select(keys.map(col) ++ Seq(lit("insert").as("change")) ++
+          nonKeys.map(col): _*)
+    }
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val staging = new Path(new Path(rootP, StagingDir), s"chg-$nonce")
+    step.withColumn("version", lit(v))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(staging.toString)
+    fs.create(new Path(staging, s"_from-${prev.getOrElse(0L)}"), true).close()
+    val target = changesPath(rootP, v)
+    fs.mkdirs(target.getParent)
+    if (!fs.rename(staging, target))
+      sys.error(s"SnapshotTable: could not move the staged change feed " +
+        s"$staging into place at $target")
+  }
+
+  /** Versions with a STORED change feed, ascending. */
+  def changeVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val cd = new Path(rootP, ChangesDir)
+    if (!fs.exists(cd)) return Nil
+    fs.listStatus(cd).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case ChangesRe(d) => Some(d.toLong)
+        case _ => None
+      }
+    }.toSeq.sorted
+  }
+
+  /** The predecessor version change feed `v` was diffed against (0 for
+    * a table's bootstrap feed). */
+  private def changeFrom(fs: FileSystem, rootP: Path, v: Long): Long = {
+    val dir = changesPath(rootP, v)
+    fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith("_from-") =>
+        n.stripPrefix("_from-").toLong }
+      .getOrElse(sys.error(
+        s"SnapshotTable: change feed $dir has no _from marker — " +
+          "externally tampered or written by an incompatible version"))
+  }
+
+  /** Prove the stored feed steps `needed` (ascending) form an unbroken
+    * predecessor chain starting exactly at `since` — LOUD otherwise.
+    * This is what makes the feed trustworthy: an UNTRACKED commit in
+    * the middle (its successor's `_from` skips a version the consumer
+    * never saw) and a feed step VACUUMED from under a slow consumer
+    * both break the chain, and both must force a re-bootstrap from
+    * [[read]] instead of a silent gap. */
+  private[graft] def verifyChangeChain(spark: SparkSession, root: String,
+                                       since: Long,
+                                       needed: Seq[Long]): Unit = {
+    val (fs, rootP) = fsOf(spark, root)
+    var at = since
+    needed.foreach { v =>
+      val f = changeFrom(fs, rootP, v)
+      if (f != at) sys.error(
+        s"SnapshotTable change feed at $root has a GAP: step v$v was " +
+          s"diffed against v$f but the consumer is at v$at — either a " +
+          "commit landed without change tracking or vacuum reclaimed " +
+          "part of the feed; re-bootstrap from read()")
+      at = v
+    }
+  }
+
+  /** Batch read of the STORED change feed strictly after
+    * `sinceVersion` (0 = from the table's bootstrap feed): the
+    * concatenated per-commit changelogs, `(keys..., change,
+    * non-keys..., version)`, chain-verified gap-free. This is
+    * [[changesSince]]'s stored twin — same rows when every commit was
+    * tracked, but read as plain parquet files instead of re-joining
+    * retained snapshots, which is what a CONTINUOUS consumer (the
+    * streaming `snapshot-changes` source) needs: per-trigger cost is
+    * O(changed rows), not O(table). */
+  def readChanges(spark: SparkSession, root: String,
+                  sinceVersion: Long): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val all = changeVersions(spark, root)
+    require(all.nonEmpty,
+      s"SnapshotTable at $root has no stored change feed — commit with " +
+        "changeKeys / trackChanges to record one")
+    val needed = all.filter(_ > sinceVersion)
+    verifyChangeChain(spark, root, sinceVersion, needed)
+    if (needed.isEmpty)
+      spark.read.parquet(changesPath(rootP, all.last).toString).limit(0)
+    else
+      spark.read.parquet(needed.map(changesPath(rootP, _).toString): _*)
+  }
+
   /** Reclaim space: keep the newest `keepVersions` manifests, delete
-    * older manifests, every data file no retained manifest references,
-    * and all staging/temp orphans (crashed commits). Readers pinned
-    * inside the retained window are unaffected; `keepVersions` is the
-    * table's read-transaction horizon.
+    * older manifests (and their lock files and stored change feeds),
+    * every data file no retained manifest references, and staging/temp
+    * orphans (crashed commits) OLDER than `stagingGraceMs`. Readers
+    * pinned inside the retained window are unaffected; `keepVersions`
+    * is the table's read-transaction horizon, and it bounds the change
+    * feed too — a CDC consumer further behind than the window fails
+    * the chain check loudly ([[verifyChangeChain]]).
     *
     * WRITER-EXCLUSIVE, named: the staging sweep cannot tell a crashed
     * commit's orphan from a LIVE committer's in-flight write, so run
     * vacuum from the table's (single) writer between its own commits —
     * a victim committer fails loudly at its staging rename (nothing
     * tears), but that failure is an operational foot-gun, not a
-    * feature. Returns (manifestsDeleted, dataDirsDeleted). */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2)
+    * feature. The grace window de-fangs it: a staging entry younger
+    * than `stagingGraceMs` (default 24 h — longer than any sane
+    * commit) survives the sweep, so a mistimed vacuum can only reclaim
+    * writes that are already dead. Lock files ABOVE the committed tip
+    * are kept unconditionally — they are live or crashed CLAIMS, and
+    * deleting a live one would re-arm the very version collision the
+    * claim protocol exists to prevent (a crashed claim is one 0-byte
+    * file and a version-number hole; both are harmless).
+    * Returns (manifestsDeleted, dataDirsDeleted). */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
+             stagingGraceMs: Long = 24L * 3600 * 1000)
       : (Int, Int) = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
+    require(stagingGraceMs >= 0, "stagingGraceMs must be >= 0")
     val (fs, rootP) = fsOf(spark, root)
     val all = versions(spark, root)
     val keep = all.takeRight(keepVersions).toSet
+    val tip = if (all.isEmpty) 0L else all.max
     val referenced: Set[String] =
       keep.flatMap(readManifest(fs, rootP, _).map(entryPath))
     // nonce-directory granularity: a data dir goes when NONE of its
@@ -654,13 +936,32 @@ object SnapshotTable {
       st.getPath.getName match {
         case ManifestRe(d) if !keep.contains(d.toLong) =>
           fs.delete(st.getPath, false); manifestsDeleted += 1
+        // locks at or below the tip are spent (publish only ever
+        // claims ABOVE the tip, so none of these can be re-granted);
+        // locks above the tip are claims — see the scaladoc
+        case LockRe(d) if d.toLong <= tip && !keep.contains(d.toLong) =>
+          fs.delete(st.getPath, false)
         case n if n.startsWith(".tmp-") =>
           fs.delete(st.getPath, false)
         case _ => ()
       }
     }
+    val cd = new Path(rootP, ChangesDir)
+    if (fs.exists(cd)) fs.listStatus(cd).foreach { st =>
+      st.getPath.getName match {
+        case ChangesRe(d) if !keep.contains(d.toLong) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
     val sd = new Path(rootP, StagingDir)
-    if (fs.exists(sd)) { fs.delete(sd, true); () }
+    if (fs.exists(sd)) {
+      val now = System.currentTimeMillis()
+      fs.listStatus(sd).foreach { st =>
+        if (now - st.getModificationTime > stagingGraceMs)
+          fs.delete(st.getPath, true)
+      }
+    }
     (manifestsDeleted, dirsDeleted)
   }
 }

@@ -604,9 +604,11 @@ object Dedup {
     * lets Spark plan the no-exchange join, and that metadata does not
     * survive [[graft.core.SnapshotTable]]'s plain-parquet manifests.
     * When the signature store must be updated while dedup jobs read it
-    * concurrently, commit it as a snapshot table instead and accept
-    * one exchange on the corpus side per join; when the store is
-    * updated between job runs (the common daily cycle), bucketed wins. */
+    * concurrently, commit it as a snapshot table instead
+    * ([[persistBandedSignaturesSnapshot]] — the OTHER side of the
+    * trade, shipped) and accept one exchange on the corpus side per
+    * join; when the store is updated between job runs (the common
+    * daily cycle), bucketed wins. */
   def persistBandedSignatures(spark: org.apache.spark.sql.SparkSession,
                               db: String, table: String, corpus: DataFrame,
                               idCol: String, textCol: String,
@@ -647,6 +649,32 @@ object Dedup {
     verifyJaccardAB(shingleSets(newBatch, idCol, textCol, n), corpusSets,
       candidates, threshold)
       .select("id_a", "id_b")
+  }
+
+  /** [[persistBandedSignatures]]'s SNAPSHOT-COMMITTED twin — the other
+    * side of the state-store trade that function's scaladoc names:
+    * the banded (id, band, bh) signature store commits as a
+    * [[graft.core.SnapshotTable]] version instead of a bucketed
+    * catalog table, trading the no-exchange join (bucket metadata
+    * doesn't survive plain-parquet manifests, so each incremental join
+    * pays ONE exchange on the corpus side) for READER ISOLATION: a
+    * dedup job that pinned the store with `SnapshotTable.read` keeps
+    * its exact file list while the store re-commits underneath, and
+    * time travel / vacuum horizons apply. Use this when store updates
+    * and dedup reads overlap; use the bucketed store when they
+    * alternate (the common daily cycle). Returns the committed
+    * version; read back with `SnapshotTable.read(spark, root)` and
+    * join via [[minhashJoinPrecomputed]]. */
+  def persistBandedSignaturesSnapshot(spark: org.apache.spark.sql.SparkSession,
+                                      root: String, corpus: DataFrame,
+                                      idCol: String, textCol: String,
+                                      numHashes: Int = 128, bands: Int = 32,
+                                      n: Int = 3): Long = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val banded = bandSignatures(
+      minhashSignatures(corpus, idCol, textCol, numHashes, n),
+      bands, numHashes / bands)
+    graft.core.SnapshotTable.commit(spark, root, banded)
   }
 
   /** Drop rows of over-sized join buckets — the skew guard shared by

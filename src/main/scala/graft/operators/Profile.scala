@@ -750,8 +750,10 @@ object Profile {
     * so the grid is counted FIRST and anything over
     * [[kendallTauMaxCells]] raises with the bucketing hint instead
     * (the assertPackBound / strictLongId discipline). The count
-    * materializes the cell table once — it is cached for reuse by the
-    * returned plan. Beside
+    * materializes the cell table once — it is cached for reuse across
+    * the statistic's aggregations and UNPERSISTED before return (the
+    * one-row result is evaluated eagerly inside this call, so no
+    * returned plan depends on the cache). Beside
     * [[rankCorrelation]]'s Spearman (which is exact per ROW but
     * tie-broken by id), τ-b is the midrank-honest statistic — the grid
     * is what makes exact tie handling affordable.
@@ -766,6 +768,24 @@ object Profile {
   val kendallTauMaxCells: Long = 100000L
 
   def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val (cells, out) = kendallTauPlan(df, xCol, yCol)
+    // ONE row out: evaluate eagerly so the cached cell grid can be
+    // unpersisted HERE on the success path too (it used to survive the
+    // call — a cached-RDD leak per invocation in long-running
+    // services); the caller still gets a DataFrame, just one with no
+    // live dependency on the cache
+    val rows = out.collect()
+    cells.unpersist(false)
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** The lazy (cells, result) pair behind [[kendallTau]], exposed so
+    * the plan audit can pin the broadcast-BNL grid-join shape that the
+    * public API's eager evaluation hides. Callers OWN the returned
+    * `cells` cache — unpersist it after consuming the result. */
+  private[graft] def kendallTauPlan(df: DataFrame, xCol: String,
+                                    yCol: String): (DataFrame, DataFrame) = {
     val cells = df.select(col(xCol).cast("long").as("xv"),
       col(yCol).cast("long").as("yv"))
       .filter(col("xv").isNotNull && col("yv").isNotNull)
@@ -803,13 +823,14 @@ object Profile {
     val d2 = (n2 - col("sty2")).cast("double")
     val tau = round(lit(2.0) * (col("p") - col("q")).cast("double") /
       sqrt(d1 * d2), 6)
-    tot.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+    val out = tot.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
       .crossJoin(broadcast(pq))
       .select(col("n"), col("n_cells"),
         col("p").cast("long").as("concordant"),
         col("q").cast("long").as("discordant"),
         when(d1 > 0.0 && d2 > 0.0, tau)
           .otherwise(lit(null).cast("double")).as("tau_b"))
+    (cells, out)
   }
 
   /** Jensen-Shannon divergence between a REFERENCE and a CURRENT

@@ -219,9 +219,15 @@ object TarSource {
               java.nio.charset.StandardCharsets.US_ASCII)
             // ustar prefix field (offset 345, 155 bytes): the POSIX
             // home of path bytes beyond the 100-char name field —
-            // ignoring it would truncate long member paths silently
+            // ignoring it would truncate long member paths silently.
+            // STRICT POSIX magic only ("ustar\0" + version "00"):
+            // old-GNU archives share the 'ustar' prefix ("ustar  \0")
+            // but put atime/ctime at offset 345, so honoring the
+            // prefix there would prepend garbage bytes to the name —
+            // the silent mis-keying this field exists to prevent
             val ustar = header(257) == 'u' && header(258) == 's' &&
-              header(259) == 't' && header(260) == 'a' && header(261) == 'r'
+              header(259) == 't' && header(260) == 'a' && header(261) == 'r' &&
+              header(262) == 0 && header(263) == '0' && header(264) == '0'
             var pEnd = 345
             while (pEnd < 500 && header(pEnd) != 0) pEnd += 1
             val name =
@@ -332,6 +338,14 @@ object TarSource {
               s"stored $stored) — refusing to guess at member framing")
           val size = octal(124, 12)
           val typeflag = header(156)
+          // same loud GNU long-name refusal as memberBytes — the lines
+          // path ignores names, but one walk silently tolerating what
+          // the other refuses would make the object doc a lie
+          if (typeflag == 'L' || typeflag == 'K')
+            throw new IllegalArgumentException(
+              s"$ctx: GNU long-name tar extension (typeflag " +
+                s"'${typeflag.toChar}') is not supported — repack with " +
+                "POSIX ustar paths (name 100 + prefix 155 bytes)")
           if (typeflag == '0' || typeflag == 0) {
             bounded = new BoundedIn(in, size)
             reader = new BufferedReader(new InputStreamReader(bounded, cs))

@@ -1368,4 +1368,85 @@ object EventStreams {
     } finally q.stop()
     spark.table(sinkName)
   }
+
+  /** Driver-gate replay harness for the snapshot CDC source
+    * ([[graft.sources.v2.SnapshotChangesSource]]): deterministic table
+    * states commit as TRACKED versions 1..k while a live
+    * `readStream.format("snapshot-changes")` stream drains between
+    * commits — each commit's stored feed step becomes one micro-batch
+    * through the version-number offsets. Returns (tableRoot, drained
+    * changelog) so the caller can hold the emitted feed against the
+    * batch APIs (q_stream_snapshot_changes requires verbatim equality
+    * with `changesSince` plus the bootstrap inserts). The first
+    * tracked commit lands BEFORE the stream opens — schema inference
+    * reads the newest stored feed step (the documented contract). */
+  def replaySnapshotChanges(spark: SparkSession, states: Seq[DataFrame],
+                            keys: Seq[String]): (String, DataFrame) = {
+    val sinkName = "graft_replay_snapshot_changes"
+    spark.catalog.dropTempView(sinkName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapcdc_")
+    val root = s"$dir/table"
+    graft.core.SnapshotTable.commit(spark, root, states.head,
+      changeKeys = keys)
+    val stream = spark.readStream.format("snapshot-changes").load(root)
+    val q = stream.writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      states.tail.foreach { st =>
+        graft.core.SnapshotTable.commit(spark, root, st, changeKeys = keys)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    (root, spark.table(sinkName))
+  }
+
+  /** Driver-gate replay harness for a CDC-DRIVEN MATERIALIZED VIEW —
+    * the live twin of q_snapshot_incremental_pipeline, now WITH
+    * deletes: source states commit as tracked versions while a
+    * `snapshot-changes` stream's foreachBatch maintains a derived
+    * keyed view through
+    * [[graft.core.SnapshotTable.applyChangesCycle]] (per batch:
+    * net-state per key, re-derive insert/update keys via `transform`,
+    * drop delete keys). The FINAL batch's changelog is then
+    * deliberately RE-DELIVERED through the identical cycle
+    * (foreachBatch's at-least-once replay) — idempotence means the
+    * view the oracle sees is unchanged by it. Returns the derived
+    * view root (a SnapshotTable). */
+  def replayCdcView(spark: SparkSession, states: Seq[DataFrame],
+                    keys: Seq[String],
+                    transform: DataFrame => DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcview_")
+    val src = s"$dir/source"
+    val derived = s"$dir/derived"
+    graft.core.SnapshotTable.commit(spark, src, states.head,
+      changeKeys = keys)
+    val stream = spark.readStream.format("snapshot-changes").load(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.core.SnapshotTable.applyChangesCycle(
+          batch, derived, keys, transform)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      states.tail.foreach { st =>
+        graft.core.SnapshotTable.commit(spark, src, st, changeKeys = keys)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the crash-replayed FINAL step through the identical cycle path:
+    // one more view version publishes, with content the oracle proves
+    // unchanged
+    val feedVersions = graft.core.SnapshotTable.changeVersions(spark, src)
+    if (feedVersions.size >= 2)
+      graft.core.SnapshotTable.applyChangesCycle(
+        graft.core.SnapshotTable.readChanges(spark, src,
+          feedVersions(feedVersions.size - 2)),
+        derived, keys, transform)
+    derived
+  }
 }

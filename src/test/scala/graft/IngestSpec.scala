@@ -249,6 +249,29 @@ class IngestSpec extends SparkSpec {
       s"got: ${e.getMessage}")
   }
 
+  test("TarSource.members: old-GNU magic ('ustar  \\0') does NOT enable " +
+      "the prefix field — offset 345 holds atime there, and honoring it " +
+      "would prepend garbage to the member name") {
+    val data = "y".getBytes(StandardCharsets.UTF_8)
+    val oldGnu = remint(graft.sources.TarFixture.member("plain.txt", data)) { h =>
+      // old-GNU magic: "ustar  \0" spans 257..264 (no separate version)
+      val m = Array[Byte]('u', 's', 't', 'a', 'r', ' ', ' ', 0)
+      System.arraycopy(m, 0, h, 257, m.length)
+      // --incremental archives put octal atime at 345: non-NUL bytes
+      // that a loose 'ustar' check would read as a path prefix
+      val atime = "12345670123 ".getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(atime, 0, h, 345, atime.length)
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(oldGnu)
+    out.write(new Array[Byte](1024))
+    val p = Files.createTempFile("graft_tar_oldgnu", ".tar")
+    Files.write(p, out.toByteArray)
+    val got = graft.sources.TarSource.members(spark, Seq(p.toString)).collect()
+    assert(got.length == 1 && got.head.getString(1) == "plain.txt",
+      got.mkString("|"))
+  }
+
   test("TarSource.members: a cap above Int.MaxValue is refused up " +
       "front (size.toInt would wrap, mis-framing a >2GiB member)") {
     val e = intercept[IllegalArgumentException] {

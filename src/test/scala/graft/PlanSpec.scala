@@ -409,14 +409,25 @@ class PlanSpec extends SparkSpec {
 
   test("q_kendall_tau: grid join is broadcast nested-loop, no window, " +
       "no data-scaled exchange") {
-    val p = plan("q_kendall_tau")
-    // the |G|^2 half-grid join must be BNL over a BROADCAST grid —
-    // a CartesianProduct here means the broadcast hint fell off
-    assert(p.contains("BroadcastNestedLoopJoin") &&
-      p.contains("BroadcastExchange"),
-      s"grid self-join should broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), s"q_kendall_tau cartesian:\n$p")
-    assert(!p.contains("WindowExec"), s"q_kendall_tau window:\n$p")
+    // the public kendallTau evaluates its one row eagerly (so the cell
+    // cache can be unpersisted leak-free), which hides the join from
+    // the query's plan — audit the lazy builder behind it instead
+    val (cells, out) = graft.operators.Profile.kendallTauPlan(
+      graft.core.Tables.documents(spark, dir).select(
+        org.apache.spark.sql.functions.expr("n_chars div 64").as("xb"),
+        org.apache.spark.sql.functions.expr(
+          "size(split(text, ' ')) div 8").cast("long").as("yb")),
+      "xb", "yb")
+    try {
+      val p = out.queryExecution.executedPlan.toString
+      // the |G|^2 half-grid join must be BNL over a BROADCAST grid —
+      // a CartesianProduct here means the broadcast hint fell off
+      assert(p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("BroadcastExchange"),
+        s"grid self-join should broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"q_kendall_tau cartesian:\n$p")
+      assert(!p.contains("WindowExec"), s"q_kendall_tau window:\n$p")
+    } finally cells.unpersist(false)
   }
 
   test("q_unimax_budget: waterfill folds in one k-row array — no window, " +

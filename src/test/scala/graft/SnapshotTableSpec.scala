@@ -360,7 +360,7 @@ class SnapshotTableSpec extends SparkSpec {
 
   test("commit race: two concurrent writers interleave and every " +
       "commit lands at a distinct version with intact content " +
-      "(verify-retry serializes the last-wins rename)") {
+      "(exclusive lock claims make version sharing impossible)") {
     val root = freshRoot()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -409,5 +409,195 @@ class SnapshotTableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got == Set((1L, 30L, "b1"), (2L, 20L, "b0"), (3L, 31L, "b1")))
     assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L))
+  }
+
+  test("exclusive version claims: a foreign (crashed) claim is SKIPPED, " +
+      "never shared or wedged over — the commit lands at the next free " +
+      "number and the hole stays harmless") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // forge the TOCTOU scenario the old verify-retry could lose: a
+    // second committer claimed v2 (and, say, crashed before renaming)
+    fs.create(new Path(root, "_manifests/v000000002.lock"), false).close()
+    val v = SnapshotTable.commit(spark, root, Seq((2L, "b")).toDF("k", "v"))
+    assert(v == 3L, s"expected the claimed number to be skipped, got v$v")
+    // readers resolve through the hole; v2 simply never existed
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 3L))
+    assert(rows(SnapshotTable.read(spark, root)) == Set((2L, "b")))
+    // vacuum keeps claims ABOVE the tip (live or crashed committers)
+    // and reclaims spent locks at/below it
+    fs.create(new Path(root, "_manifests/v000000009.lock"), false).close()
+    SnapshotTable.vacuum(spark, root, keepVersions = 1)
+    assert(fs.exists(new Path(root, "_manifests/v000000009.lock")))
+    assert(!fs.exists(new Path(root, "_manifests/v000000002.lock")))
+  }
+
+  test("append refuses a same-named column of a DIFFERENT type — the " +
+      "mixed-schema manifest a name-only check would let through") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] {
+      // same column NAMES, but k is now a string: reads would depend
+      // on which file Spark samples for the schema
+      SnapshotTable.append(spark, root, Seq(("1", "b")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("schema mismatch") &&
+      e.getMessage.contains("k:"))
+  }
+
+  test("vacuum staging grace: a FRESH staging entry (a live committer's " +
+      "in-flight write) survives the sweep; an aged orphan is reclaimed") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = new Path(root, "_staging/live-commit")
+    val aged = new Path(root, "_staging/crashed-long-ago")
+    fs.mkdirs(fresh); fs.mkdirs(aged)
+    // age the orphan past the grace window (2 days back)
+    fs.setTimes(aged, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    SnapshotTable.vacuum(spark, root, keepVersions = 2)
+    assert(fs.exists(fresh), "a fresh in-flight staging write was reclaimed")
+    assert(!fs.exists(aged), "an aged staging orphan survived vacuum")
+    // grace 0 = the old unconditional sweep, explicitly opted into
+    SnapshotTable.vacuum(spark, root, keepVersions = 2, stagingGraceMs = 0L)
+    assert(!fs.exists(fresh))
+  }
+
+  test("evolveAddColumns: the migration commit materializes the default " +
+      "into every old row, old versions keep the narrow schema, and the " +
+      "old-schema append refusal flips to the NEW schema") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v2 = SnapshotTable.evolveAddColumns(spark, root,
+      Seq("src" -> lit("legacy")))
+    assert(v2 == 2L)
+    val cur = SnapshotTable.read(spark, root)
+      .select(col("k").cast("long"), col("v"), col("src"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(cur == Set((1L, "a", "legacy"), (2L, "b", "legacy")))
+    // time travel untouched
+    assert(SnapshotTable.readVersion(spark, root, 1L).columns.sorted
+      .sameElements(Array("k", "v")))
+    // the OLD (narrow) schema is now the one append refuses
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root, Seq((3L, "c")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    SnapshotTable.append(spark, root,
+      Seq((3L, "c", "batch2")).toDF("k", "v", "src"))
+    assert(SnapshotTable.read(spark, root).count() == 3L)
+    // an existing column cannot be "added" — that's a rewrite, not
+    // an evolution
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.evolveAddColumns(spark, root, Seq("v" -> lit("x")))
+    }
+    assert(e2.getMessage.contains("already exists"))
+  }
+
+  test("commitZOrdered with categoryCols: the z-ordered layout records " +
+      "category sets too, so an equality probe on the slice column " +
+      "prunes files alongside the range stats") {
+    val root = freshRoot()
+    // lang rides a's HIGH bits (k / 1024), so the z-order rectangles
+    // (narrow a-span per file) each hold one or two lang values —
+    // the realistic "slice column correlates with the layout" shape;
+    // a lang uncorrelated with the z-key would land in every file and
+    // correctly prune nothing
+    val df = spark.range(0, 4096).toDF("k")
+      .select(col("k").cast("long").as("a"),
+        pmod(col("k") * 2654435761L, lit(4096)).cast("long").as("b"),
+        concat(lit("lang"), (col("k") / 1024).cast("long")).as("lang"))
+    SnapshotTable.commitZOrdered(spark, root, df, "a", "b", nFiles = 16,
+      categoryCols = Seq("lang"))
+    val (total, kept) = SnapshotTable.pruneCountsEq(spark, root,
+      "lang", "lang2")
+    assert(kept < total, s"category sets pruned nothing: $kept of $total")
+    val got = SnapshotTable.scanPrunedEq(spark, root, "lang", "lang2")
+      .filter(col("lang") === "lang2").count()
+    assert(got == 1024L, s"superset contract broke: $got rows")
+  }
+
+  test("stored change feed: tracked commits record bootstrap + per-step " +
+      "diffs; readChanges(0) replays them; an UNTRACKED middle commit " +
+      "breaks the chain loudly; vacuum past the window breaks it loudly") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      changeKeys = Seq("k"))
+    SnapshotTable.commit(spark, root, Seq((1L, "a2"), (3L, "c")).toDF("k", "v"),
+      changeKeys = Seq("k"))
+    assert(SnapshotTable.changeVersions(spark, root) == Seq(1L, 2L))
+    val feed = SnapshotTable.readChanges(spark, root, 0L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(feed == Set(
+      (1L, "insert", "a", 1L), (2L, "insert", "b", 1L),
+      (1L, "update", "a2", 2L), (2L, "delete", "b", 2L),
+      (3L, "insert", "c", 2L)))
+    // a consumer already at v1 gets only the step
+    assert(SnapshotTable.readChanges(spark, root, 1L).count() == 3L)
+    // caught up: empty with the feed schema
+    val caughtUp = SnapshotTable.readChanges(spark, root, 2L)
+    assert(caughtUp.count() == 0L &&
+      caughtUp.columns.toSeq == Seq("k", "change", "v", "version"))
+    // an UNTRACKED commit lands, then a tracked one: the chain has a
+    // gap and every consumer behind it must fail into a re-bootstrap
+    SnapshotTable.commit(spark, root, Seq((4L, "d")).toDF("k", "v"))
+    SnapshotTable.commit(spark, root, Seq((4L, "d"), (5L, "e")).toDF("k", "v"),
+      changeKeys = Seq("k"))
+    val e = intercept[RuntimeException] {
+      SnapshotTable.readChanges(spark, root, 2L).collect()
+    }
+    assert(e.getMessage.contains("GAP"))
+    // a consumer at the gap's far side reads on fine
+    assert(SnapshotTable.readChanges(spark, root, 3L).count() > 0L)
+    // vacuum to the newest version only: the early feed is gone and a
+    // slow consumer fails loudly instead of silently missing steps
+    SnapshotTable.vacuum(spark, root, keepVersions = 1)
+    val e2 = intercept[RuntimeException] {
+      SnapshotTable.readChanges(spark, root, 0L).collect()
+    }
+    assert(e2.getMessage.contains("GAP"))
+  }
+
+  test("applyChangesCycle: a changelog batch maintains a derived keyed " +
+      "view — net state per key (highest version wins), deletes leave " +
+      "the view, re-delivery is content-idempotent") {
+    val root = freshRoot()
+    def step(rows: Seq[(Long, String, String, Long)]): Unit = {
+      SnapshotTable.applyChangesCycle(
+        rows.toDF("k", "change", "v", "version"), root, Seq("k"),
+        df => df.select(col("k"), upper(col("v")).as("u")))
+      ()
+    }
+    step(Seq((1L, "insert", "a", 1L), (2L, "insert", "b", 1L)))
+    // one micro-batch carrying TWO commits' steps for key 1 (update at
+    // v2, delete at v3): only the net state may apply
+    val b2 = Seq((1L, "update", "a2", 2L), (1L, "delete", "a2", 3L),
+      (3L, "insert", "c", 3L))
+    step(b2)
+    def view(): Set[(Long, String)] =
+      SnapshotTable.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(view() == Set((2L, "B"), (3L, "C")))
+    // at-least-once re-delivery: a new version, identical rows
+    step(b2)
+    assert(view() == Set((2L, "B"), (3L, "C")))
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L, 3L))
+  }
+
+  test("tracked upsertCycle feed: trackChanges threads the cycle keys " +
+      "through; the stored feed equals changesSince over the same window") {
+    val root = freshRoot()
+    SnapshotTable.upsertCycle(Seq((1L, 10L, "a")).toDF("k", "eid", "p"),
+      root, Seq("k"), Seq(col("eid")), trackChanges = true)
+    SnapshotTable.upsertCycle(
+      Seq((1L, 20L, "a2"), (2L, 21L, "b")).toDF("k", "eid", "p"),
+      root, Seq("k"), Seq(col("eid")), trackChanges = true)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.select(col("k"), col("change"), col("version"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(canon(SnapshotTable.readChanges(spark, root, 1L)) ==
+      canon(SnapshotTable.changesSince(spark, root, 1L, Seq("k"))))
   }
 }

@@ -16,7 +16,21 @@ fi
 echo "ok: ${n_q} queries (README matches)"
 
 echo "== unit/e2e specs =="
-sbt -batch test 2>&1 | grep -E 'Tests:|TESTS FAILED' | tail -2
+t_out=$(sbt -batch test 2>&1 | grep -E 'Tests:|TESTS FAILED' | tail -2)
+printf '%s\n' "$t_out"
+# test-count gate (round-13 advice: the declared count drifted one
+# spec commit behind HEAD) — README declares the suite size; compare
+# against what sbt actually ran, the query-count-gate precedent
+n_t=$(printf '%s\n' "$t_out" | grep -oE 'succeeded [0-9]+' | head -1 | grep -oE '[0-9]+')
+if [ -z "${n_t}" ] || printf '%s' "$t_out" | grep -q 'TESTS FAILED'; then
+  echo "FAIL: test suite did not pass"
+  exit 1
+fi
+if ! grep -q "(${n_t} tests" README.md; then
+  echo "FAIL: README.md test count drifted — sbt test ran ${n_t}"
+  exit 1
+fi
+echo "ok: ${n_t} tests (README matches)"
 
 echo "== oracle @ sf0.01 (the driver's gate) =="
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
