@@ -8840,6 +8840,40 @@ object Queries {
              |WHERE source = 'src7'""".stripMargin)
     )),
 
+    // BLOOM manifest pruning under the hard gate — the point-lookup
+    // third of the stats family (ranges need a clustered layout,
+    // category sets cap at 16 distinct): an UNCLUSTERED-by-key events
+    // slice commits with a per-file Bloom over event_id, then a point
+    // probe resolves the file list before any Spark scan. The in-query
+    // require proves files were skipped; the oracle proves the
+    // superset contract composed with the row filter loses nothing —
+    // a wrong hash on either side drops the row and hash-mismatches.
+    "q_snapshot_prune_bloom" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = Tables.events(s, dir).filter(col("user_id") < 200)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .repartition(8, pmod(col("event_id"), lit(8)))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapbloom_q").toString + "/table"
+        // 32768 bits/file: the sf0.1 slice is ~1.7k distinct ids per
+        // file — inside the bits/8 saturation cap at both gate scales
+        graft.core.SnapshotTable.commit(s, root, base,
+          bloomCols = Seq("event_id"), bloomBits = 32768)
+        val probe = base.agg(min(col("event_id"))).collect()(0).getLong(0)
+        val (total, kept) = graft.core.SnapshotTable.pruneCountsBloom(
+          s, root, "event_id", probe.toString)
+        require(kept < total,
+          s"bloom pruning skipped nothing: kept $kept of $total files")
+        graft.core.SnapshotTable
+          .scanPrunedBloom(s, root, "event_id", probe.toString)
+          .filter(col("event_id") === probe)
+          .select(col("user_id"), col("event_id"), col("value"))
+      },
+      Some("""SELECT user_id, event_id, value FROM events
+             |WHERE user_id < 200 AND event_id =
+             |  (SELECT min(event_id) FROM events WHERE user_id < 200)""".stripMargin)
+    )),
+
     // Snapshot COMPACTION under the hard gate — compaction is just
     // another version: an 8-file fragmented commit rewrites to ONE
     // file (in-query requires prove the file count actually dropped

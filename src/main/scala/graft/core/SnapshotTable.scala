@@ -22,8 +22,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * }}}
   *
   * A manifest ENTRY is the file's root-relative path, optionally
-  * followed by TAB + per-column min/max stats (`col=min:max`,
-  * comma-joined, recorded when the committer passed `statsCols`):
+  * followed by TAB + per-column stats sections, comma-joined:
+  * `col=min:max` long ranges (`statsCols`), `col#v1|v2` category sets
+  * (`categoryCols`), `col~m:k:b64bits` Bloom filters (`bloomCols`) —
   * Iceberg's file-pruning idea on one line of text. [[scanPruned]]
   * keeps only the files whose recorded range intersects the
   * predicate's — at 100 TB with range-clustered commits (writers
@@ -117,6 +118,15 @@ object SnapshotTable {
     * handful of values. */
   val CategoryCap = 16
 
+  /** Default Bloom width (bits) for `bloomCols`, and the saturation
+    * rule: a file records a Bloom section only while its distinct
+    * count stays ≤ bits/8 (k=4 → ~2.4% false-keep rate at the cap);
+    * past that the section is omitted (the file is always kept — the
+    * superset contract), because a saturated Bloom keeps everything
+    * anyway and only bloats the manifest. */
+  val DefaultBloomBits = 2048
+  private val BloomK = 4
+
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -197,6 +207,41 @@ object SnapshotTable {
       }.toMap
   }
 
+  /** A manifest entry's recorded per-column BLOOM sections
+    * (`col~m:k:b64bits`, base64 without padding so '=' stays a range
+    * delimiter) — the point-lookup twin of [[entryStats]], recorded
+    * when the committer passed `bloomCols` and the file's distinct
+    * count stayed under the saturation cap. */
+  private[core] def entryBlooms(line: String)
+      : Map[String, (Int, Int, java.util.BitSet)] = {
+    val t = line.indexOf('\t')
+    if (t < 0) return Map.empty
+    line.substring(t + 1).split(',').iterator
+      .filter(kv => kv.contains('~') && !kv.contains('=') && !kv.contains('#'))
+      .map { kv =>
+        val tl = kv.indexOf('~')
+        val Array(m, k, bits) = kv.substring(tl + 1).split(":", 3)
+        kv.substring(0, tl) -> ((m.toInt, k.toInt,
+          java.util.BitSet.valueOf(
+            java.util.Base64.getDecoder.decode(bits))))
+      }.toMap
+  }
+
+  /** The k deterministic bit positions of `value` in an m-bit Bloom —
+    * double hashing over the md5 halves, identical on writer and
+    * prober by construction (no JVM hash seeds involved). */
+  private def bloomBitsOf(value: String, m: Int, k: Int): Seq[Int] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bb = java.nio.ByteBuffer.wrap(d)
+    val h1 = bb.getLong
+    val h2 = bb.getLong
+    (0 until k).map { i =>
+      val h = h1 + i.toLong * h2
+      (((h % m) + m) % m).toInt
+    }
+  }
+
   private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
     val in = fs.open(manifestPath(root, v))
     try {
@@ -251,11 +296,22 @@ object SnapshotTable {
   private def writeDataFiles(spark: SparkSession, fs: FileSystem,
                              rootP: Path, df: DataFrame,
                              statsCols: Seq[String],
-                             categoryCols: Seq[String] = Nil): Seq[String] = {
+                             categoryCols: Seq[String] = Nil,
+                             bloomCols: Seq[String] = Nil,
+                             bloomBits: Int = DefaultBloomBits): Seq[String] = {
+    require(bloomBits >= 64 && bloomBits % 8 == 0,
+      s"bloomBits must be a multiple of 8 >= 64, got $bloomBits")
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val staging = new Path(new Path(rootP, StagingDir), nonce)
-    df.write.mode("overwrite").option("compression", "zstd")
-      .parquet(staging.toString)
+    val writer = bloomCols.foldLeft(
+      df.write.mode("overwrite").option("compression", "zstd")) {
+      // also enable parquet's OWN bloom filters inside the files: the
+      // manifest bloom prunes FILES before any scan, parquet's prunes
+      // row groups inside the kept ones — the same two-layer compose
+      // as scanPruned's manifest ranges + PushedFilters
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.parquet(staging.toString)
     val dataHome = new Path(new Path(rootP, DataDir), nonce)
     fs.mkdirs(dataHome.getParent)
     if (!fs.rename(staging, dataHome))
@@ -265,28 +321,36 @@ object SnapshotTable {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => s"$DataDir/$nonce/${st.getPath.getName}")
       .sorted.toSeq
-    if (statsCols.isEmpty && categoryCols.isEmpty) rels
+    if (statsCols.isEmpty && categoryCols.isEmpty && bloomCols.isEmpty) rels
     else {
-      // the stats suffix is a text format (TAB, ',', '=', ':', '#' and
-      // '|' are structural) — refuse names that would corrupt it rather
-      // than write an unparseable manifest; category VALUES are
-      // URL-encoded, so they carry anything
-      (statsCols ++ categoryCols).foreach(c => require(
+      // the stats suffix is a text format (TAB, ',', '=', ':', '#',
+      // '~' and '|' are structural) — refuse names that would corrupt
+      // it rather than write an unparseable manifest; category VALUES
+      // are URL-encoded and bloom bits are base64-without-padding, so
+      // they carry anything
+      (statsCols ++ categoryCols ++ bloomCols).foreach(c => require(
         c.matches("[A-Za-z0-9_]+"),
-        s"SnapshotTable stats/category column name '$c' is not " +
+        s"SnapshotTable stats/category/bloom column name '$c' is not " +
           "[A-Za-z0-9_]+ — rename or alias before recording stats"))
       import org.apache.spark.sql.functions._
+      val bloomCap = bloomBits / 8
       val aggs = statsCols.flatMap(c => Seq(
         min(col(c).cast("long")).as(s"__mn_$c"),
         max(col(c).cast("long")).as(s"__mx_$c"))) ++
         categoryCols.map(c =>
-          sort_array(collect_set(col(c).cast("string"))).as(s"__cat_$c"))
+          sort_array(collect_set(col(c).cast("string"))).as(s"__cat_$c")) ++
+        // slice to cap+1: enough to DETECT saturation without shipping
+        // an unbounded per-file value list to the driver
+        bloomCols.map(c =>
+          slice(sort_array(collect_set(col(c).cast("string"))),
+            1, bloomCap + 1).as(s"__blm_$c"))
       val byBase = spark.read.parquet(dataHome.toString)
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map(r => new Path(r.getString(0)).getName -> r).toMap
       val catBase = 1 + 2 * statsCols.size
+      val bloomBase = catBase + categoryCols.size
       rels.map { rel =>
         byBase.get(rel.split('/').last) match {
           case Some(r) =>
@@ -305,7 +369,23 @@ object SnapshotTable {
               else Some(s"$c#" + vs.map(
                 java.net.URLEncoder.encode(_, "UTF-8")).mkString("|"))
             }
-            val s = (ranges ++ cats).mkString(",")
+            val blooms = bloomCols.zipWithIndex.flatMap { case (c, j) =>
+              val vs = r.getSeq[String](bloomBase + j)
+              // saturation: a bloom past bits/8 distinct values keeps
+              // ~everything anyway — record nothing (superset contract)
+              // instead of bloating the manifest; an all-null file's
+              // empty bloom prunes every probe, like the category case
+              if (vs.size > bloomCap) None
+              else {
+                val bs = new java.util.BitSet(bloomBits)
+                vs.foreach(v => bloomBitsOf(v, bloomBits, BloomK)
+                  .foreach(bs.set))
+                Some(s"$c~$bloomBits:$BloomK:" +
+                  java.util.Base64.getEncoder.withoutPadding
+                    .encodeToString(bs.toByteArray))
+              }
+            }
+            val s = (ranges ++ cats ++ blooms).mkString(",")
             if (s.isEmpty) rel else s"$rel\t$s"
           // a zero-row part file groups to no row: no stats, never pruned
           case None => rel
@@ -392,11 +472,14 @@ object SnapshotTable {
   def commit(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
              categoryCols: Seq[String] = Nil,
-             changeKeys: Seq[String] = Nil): Long = {
+             changeKeys: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil,
+             bloomBits: Int = DefaultBloomBits): Long = {
     val (fs, rootP) = fsOf(spark, root)
     val prev = currentVersion(fs, rootP)
     val v = publish(fs, rootP,
-      writeDataFiles(spark, fs, rootP, df, statsCols, categoryCols))
+      writeDataFiles(spark, fs, rootP, df, statsCols, categoryCols,
+        bloomCols, bloomBits))
     if (changeKeys.nonEmpty) recordChanges(spark, root, prev, v, changeKeys)
     v
   }
@@ -413,7 +496,9 @@ object SnapshotTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
              categoryCols: Seq[String] = Nil,
-             changeKeys: Seq[String] = Nil): Long = {
+             changeKeys: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil,
+             bloomBits: Int = DefaultBloomBits): Long = {
     val (fs, rootP) = fsOf(spark, root)
     val cur = currentVersion(fs, rootP)
     cur.foreach { v =>
@@ -435,7 +520,8 @@ object SnapshotTable {
     }
     val prior = cur.map(readManifest(fs, rootP, _)).getOrElse(Nil)
     val v = publish(fs, rootP,
-      prior ++ writeDataFiles(spark, fs, rootP, df, statsCols, categoryCols))
+      prior ++ writeDataFiles(spark, fs, rootP, df, statsCols, categoryCols,
+        bloomCols, bloomBits))
     if (changeKeys.nonEmpty) recordChanges(spark, root, cur, v, changeKeys)
     v
   }
@@ -549,6 +635,52 @@ object SnapshotTable {
       entryCategories(e).get(colName) match {
         case Some(vs) => vs.contains(value)
         case None => true // no category recorded: never prune
+      }
+    }
+
+  /** The current snapshot restricted to files whose recorded BLOOM for
+    * `colName` may contain `value` — POINT-LOOKUP pruning for the
+    * cardinality band the other two stats kinds don't cover: category
+    * sets are exact but cap at [[CategoryCap]] distinct values per
+    * file, min/max ranges need a range-clustered layout; a Bloom
+    * prunes equality probes on an UNCLUSTERED commit up to bits/8
+    * distinct values per file. Past that the section is omitted
+    * (saturation) and the file is always kept — the same superset
+    * contract as the other scans, so callers still apply the row
+    * filter; false positives only cost an extra file open, never a
+    * wrong row. For genuinely unique keys at 100 TB (millions of
+    * distinct values per file) a manifest-resident Bloom cannot be
+    * both small and useful — range-cluster the key and use
+    * [[scanPruned]]; the parquet-native bloom written alongside
+    * (row-group level) still helps inside kept files. `value` is
+    * compared in the same `cast("string")` form the writer hashed. */
+  def scanPrunedBloom(spark: SparkSession, root: String, colName: String,
+                      value: String): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable at $root has no committed snapshot"))
+    val kept = prunedEntriesBloom(readManifest(fs, rootP, v), colName, value)
+    if (kept.isEmpty) return readVersion(spark, root, v).limit(0)
+    spark.read.parquet(kept.map(f => new Path(rootP, entryPath(f)).toString): _*)
+  }
+
+  /** (total files, files kept) for a [[scanPrunedBloom]] probe. */
+  def pruneCountsBloom(spark: SparkSession, root: String, colName: String,
+                       value: String): (Int, Int) = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable at $root has no committed snapshot"))
+    val all = readManifest(fs, rootP, v)
+    (all.size, prunedEntriesBloom(all, colName, value).size)
+  }
+
+  private def prunedEntriesBloom(entries: Seq[String], colName: String,
+                                 value: String): Seq[String] =
+    entries.filter { e =>
+      entryBlooms(e).get(colName) match {
+        case Some((m, k, bits)) =>
+          bloomBitsOf(value, m, k).forall(bits.get)
+        case None => true // no bloom recorded (or saturated): never prune
       }
     }
 

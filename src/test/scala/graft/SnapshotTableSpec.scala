@@ -560,6 +560,44 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("GAP"))
   }
 
+  test("bloom stats + scanPrunedBloom: a point probe opens only files " +
+      "whose bloom may contain the value; a saturated column records " +
+      "nothing and always keeps; absent probes prune") {
+    val root = freshRoot()
+    // 64 keys over 8 hash-clustered files — each file's bloom holds ~8
+    // values, far under the 2048-bit default's 256-distinct cap
+    val df = spark.range(0, 64).toDF("k")
+      .select(col("k").cast("long").as("k"),
+        concat(lit("v"), col("k")).as("v"))
+      .repartition(8, pmod(col("k"), lit(8)))
+    SnapshotTable.commit(spark, root, df, bloomCols = Seq("k"))
+    // hash partitioning may leave some of the 8 partitions empty —
+    // what matters is several files exist and the probe skips most
+    val (total, kept) = SnapshotTable.pruneCountsBloom(spark, root, "k", "13")
+    assert(total >= 2 && kept < total, s"bloom pruned nothing: $kept/$total")
+    // superset contract: the pruned scan composed with the row filter
+    // loses nothing
+    val got = SnapshotTable.scanPrunedBloom(spark, root, "k", "13")
+      .filter(col("k") === 13).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((13L, "v13")))
+    // an absent value prunes (deterministic md5 double-hash bits; at 8
+    // values per 2048-bit bloom a false keep is ~impossible)
+    val (_, keptAbsent) = SnapshotTable.pruneCountsBloom(
+      spark, root, "k", "99999")
+    assert(keptAbsent == 0, s"absent probe kept $keptAbsent files")
+    // SATURATION: 5000 distinct values > bits/8 — no section recorded,
+    // every probe keeps the file (superset, manifest stays small)
+    val rootSat = freshRoot()
+    SnapshotTable.commit(spark, rootSat,
+      spark.range(0, 5000).toDF("k").select(col("k").cast("long").as("k"),
+        lit("x").as("v")).coalesce(1),
+      bloomCols = Seq("k"))
+    val (ts, ks) = SnapshotTable.pruneCountsBloom(
+      spark, rootSat, "k", "99999")
+    assert(ts == 1 && ks == 1, "saturated bloom should never prune")
+  }
+
   test("applyChangesCycle: a changelog batch maintains a derived keyed " +
       "view — net state per key (highest version wins), deletes leave " +
       "the view, re-delivery is content-idempotent") {
