@@ -8874,6 +8874,69 @@ object Queries {
              |  (SELECT min(event_id) FROM events WHERE user_id < 200)""".stripMargin)
     )),
 
+    // COPY-ON-WRITE DELETE under the hard gate — right-to-be-forgotten
+    // on the snapshot format: documents commit clustered on source
+    // with category stats, then deleteWhere(source='src3') rewrites
+    // ONLY the files that hold src3 rows (in-query requires prove some
+    // files were rewritten AND some kept verbatim) and records the
+    // deletions in the change feed (require: the step is pure
+    // deletes). The oracle is the surviving table — a resurrected row,
+    // a lost innocent-bystander row from a rewritten file, or a
+    // half-applied predicate hash-mismatches.
+    "q_snapshot_delete" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .repartition(8, col("source"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapdelete_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, base,
+          categoryCols = Seq("source"), changeKeys = Seq("doc_id"))
+        val (_, rew, kept) = graft.core.SnapshotTable.deleteWhere(
+          s, root, col("source") === "src3",
+          changeKeys = Seq("doc_id"), categoryCols = Seq("source"))
+        require(rew >= 1 && kept >= 1,
+          s"copy-on-write did not hold: rewrote $rew, kept $kept verbatim")
+        val feed = graft.core.SnapshotTable.readChanges(s, root, 1L)
+        val nonDeletes = feed.filter(col("change") =!= "delete").count()
+        require(nonDeletes == 0,
+          s"the delete's changelog carried $nonDeletes non-delete rows")
+        graft.core.SnapshotTable.read(s, root)
+      },
+      Some("""SELECT doc_id, source, n_chars FROM documents
+             |WHERE source <> 'src3'""".stripMargin)
+    )),
+
+    // Version TAGS under the hard gate — the provenance primitive of a
+    // training pipeline ("the exact corpus model X trained on"), and a
+    // retention LEASE: version 1 is tagged, two more states commit,
+    // and vacuum(keepVersions=1) runs — the in-query require proves
+    // the untagged middle was reclaimed while the tagged version
+    // survived the horizon, and the oracle reads the TAG, so a tag
+    // resolving to the wrong version or a vacuum eating a tagged
+    // manifest both fail loudly.
+    "q_snapshot_tag" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir)
+        def state(hi: Int, m: Int) = ev.filter(col("user_id") < hi)
+          .groupBy("user_id")
+          .agg(count(when(pmod(col("event_id"), lit(m)) === 0, 1)).as("n"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snaptag_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, state(70, 1))
+        graft.core.SnapshotTable.tag(s, root, "train-v1", 1L)
+        graft.core.SnapshotTable.commit(s, root, state(90, 2))
+        graft.core.SnapshotTable.commit(s, root, state(110, 3))
+        graft.core.SnapshotTable.vacuum(s, root, keepVersions = 1)
+        val vs = graft.core.SnapshotTable.versions(s, root)
+        require(vs == Seq(1L, 3L),
+          s"tag lease failed: retained versions $vs, expected 1 and 3")
+        graft.core.SnapshotTable.readTag(s, root, "train-v1")
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE user_id < 70 GROUP BY 1""".stripMargin)
+    )),
+
     // Snapshot COMPACTION under the hard gate — compaction is just
     // another version: an 8-file fragmented commit rewrites to ONE
     // file (in-query requires prove the file count actually dropped

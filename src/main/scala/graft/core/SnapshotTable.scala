@@ -729,6 +729,118 @@ object SnapshotTable {
       }
       .start()
 
+  /** Row-level DELETE as a COPY-ON-WRITE commit — the
+    * right-to-be-forgotten operation every training corpus eventually
+    * needs, priced honestly: one scan of the current snapshot finds
+    * the files that actually HOLD matching rows, only those are
+    * rewritten without them, and every untouched file is referenced
+    * verbatim in the new manifest WITH its stats sections preserved
+    * (Delta's copy-on-write delete, minus deletion vectors). At
+    * 100 TB with the delete key clustered (range/category/z-order
+    * layouts this format already records), the rewrite touches the
+    * handful of files the key lives in, not the table. A predicate
+    * matching nothing publishes nothing. Non-empty `changeKeys`
+    * records the deletes in the change feed, so CDC consumers retract
+    * downstream state; rewritten files get fresh stats per the
+    * `statsCols`/`categoryCols`/`bloomCols` passed here. Returns
+    * (version, filesRewritten, filesKeptVerbatim) — version is the
+    * PRIOR version when nothing matched. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  condition: org.apache.spark.sql.Column,
+                  changeKeys: Seq[String] = Nil,
+                  statsCols: Seq[String] = Nil,
+                  categoryCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil,
+                  bloomBits: Int = DefaultBloomBits): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.input_file_name
+    val (fs, rootP) = fsOf(spark, root)
+    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable at $root has no committed snapshot to delete from"))
+    val entries = readManifest(fs, rootP, v)
+    val paths = entries.map(e => new Path(rootP, entryPath(e)).toString)
+    // part-file names carry a UUID, so the base name is a unique key
+    val hit = spark.read.parquet(paths: _*)
+      .filter(condition)
+      .select(input_file_name().as("__f"))
+      .distinct().collect()
+      .map(r => new Path(r.getString(0)).getName).toSet
+    val (touched, untouched) =
+      entries.partition(e => hit.contains(new Path(entryPath(e)).getName))
+    if (touched.isEmpty) return (v, 0, untouched.size)
+    val survivors = spark.read.parquet(
+        touched.map(e => new Path(rootP, entryPath(e)).toString): _*)
+      .filter(!condition)
+    val newEntries = writeDataFiles(spark, fs, rootP, survivors,
+      statsCols, categoryCols, bloomCols, bloomBits)
+    val nv = publish(fs, rootP, untouched ++ newEntries)
+    if (changeKeys.nonEmpty) recordChanges(spark, root, Some(v), nv, changeKeys)
+    (nv, touched.size, untouched.size)
+  }
+
+  // --- named refs (tags) ---
+
+  private val RefsDir = "_refs"
+  private val RefNameRe = "[A-Za-z0-9._-]+"
+
+  private def refPath(root: Path, name: String): Path =
+    new Path(new Path(root, RefsDir), name)
+
+  /** Pin an IMMUTABLE named tag at a committed version — the
+    * provenance primitive a training pipeline needs ("the exact corpus
+    * model X trained on"): [[vacuum]] keeps tagged versions (manifest,
+    * data files, change feed) readable regardless of `keepVersions`,
+    * so a tag is a retention lease, not just a name. Tags are
+    * WRITE-ONCE (`create(overwrite = false)`, the claim primitive):
+    * re-pointing a tag is refused loudly — delete it explicitly with
+    * [[dropTag]] if that is really meant. */
+  def tag(spark: SparkSession, root: String, name: String,
+          version: Long): Unit = {
+    require(name.matches(RefNameRe),
+      s"tag name '$name' is not $RefNameRe")
+    val (fs, rootP) = fsOf(spark, root)
+    if (!fs.exists(manifestPath(rootP, version)))
+      throw new IllegalStateException(
+        s"SnapshotTable at $root has no committed manifest v$version to tag")
+    fs.mkdirs(new Path(rootP, RefsDir))
+    val out = try fs.create(refPath(rootP, name), false)
+      catch { case _: java.io.IOException =>
+        sys.error(s"SnapshotTable tag '$name' already exists at $root — " +
+          "tags are immutable; dropTag it first if re-pointing is meant")
+      }
+    try out.write(version.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** All tags, name → version. */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val rd = new Path(rootP, RefsDir)
+    if (!fs.exists(rd)) return Map.empty
+    fs.listStatus(rd).iterator.filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        st.getPath.getName -> new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      } finally in.close()
+    }.toMap
+  }
+
+  /** The snapshot a tag pins — loud on an unknown tag. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val v = tags(spark, root).getOrElse(name,
+      throw new IllegalStateException(
+        s"SnapshotTable at $root has no tag '$name'"))
+    readVersion(spark, root, v)
+  }
+
+  /** Remove a tag (the version becomes vacuum-eligible again). */
+  def dropTag(spark: SparkSession, root: String, name: String): Boolean = {
+    val (fs, rootP) = fsOf(spark, root)
+    fs.delete(refPath(rootP, name), false)
+  }
+
   /** Apply one CHANGELOG micro-batch to a DERIVED keyed snapshot
     * table — the maintenance step of a CDC-driven MATERIALIZED VIEW,
     * the consumer the `snapshot-changes` stream exists for: `changes`
@@ -1017,8 +1129,9 @@ object SnapshotTable {
       spark.read.parquet(needed.map(changesPath(rootP, _).toString): _*)
   }
 
-  /** Reclaim space: keep the newest `keepVersions` manifests, delete
-    * older manifests (and their lock files and stored change feeds),
+  /** Reclaim space: keep the newest `keepVersions` manifests PLUS
+    * every [[tag]]ged version (a tag is a retention lease), delete
+    * other manifests (and their lock files and stored change feeds),
     * every data file no retained manifest references, and staging/temp
     * orphans (crashed commits) OLDER than `stagingGraceMs`. Readers
     * pinned inside the retained window are unaffected; `keepVersions`
@@ -1047,7 +1160,8 @@ object SnapshotTable {
     require(stagingGraceMs >= 0, "stagingGraceMs must be >= 0")
     val (fs, rootP) = fsOf(spark, root)
     val all = versions(spark, root)
-    val keep = all.takeRight(keepVersions).toSet
+    val keep = all.takeRight(keepVersions).toSet ++
+      tags(spark, root).values.filter(all.contains)
     val tip = if (all.isEmpty) 0L else all.max
     val referenced: Set[String] =
       keep.flatMap(readManifest(fs, rootP, _).map(entryPath))

@@ -560,6 +560,67 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("GAP"))
   }
 
+  test("deleteWhere is copy-on-write: only files holding matching rows " +
+      "are rewritten, untouched entries keep their stats verbatim, " +
+      "tracked deletes land in the change feed, no-match is a no-op") {
+    val root = freshRoot()
+    // the delete key clustered, so it lives in few files
+    val df = spark.range(0, 64).toDF("i")
+      .select(col("i").cast("long").as("k"),
+        concat(lit("g"), pmod(col("i"), lit(4))).as("g"))
+      .repartition(4, col("g"))
+    SnapshotTable.commit(spark, root, df,
+      categoryCols = Seq("g"), changeKeys = Seq("k"))
+    val (v2, rew, kept0) = SnapshotTable.deleteWhere(spark, root,
+      col("g") === "g2", changeKeys = Seq("k"), categoryCols = Seq("g"))
+    assert(v2 == 2L && rew >= 1 && kept0 >= 1,
+      s"copy-on-write did not hold: v$v2 rewrote $rew kept $kept0")
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.count() == 48L &&
+      cur.filter(col("g") === "g2").count() == 0L)
+    // the tracked changelog is exactly the 16 deletions
+    val feed = SnapshotTable.readChanges(spark, root, 1L)
+    assert(feed.count() == 16L &&
+      feed.filter(col("change") =!= "delete").count() == 0L)
+    // untouched files kept their category stats: a surviving slice
+    // still equality-prunes
+    val (t, k2) = SnapshotTable.pruneCountsEq(spark, root, "g", "g1")
+    assert(k2 < t, s"stats lost in the rewrite: kept $k2 of $t")
+    // a predicate matching nothing publishes nothing
+    val (v3, r3, _) = SnapshotTable.deleteWhere(spark, root,
+      col("g") === "nope")
+    assert(v3 == 2L && r3 == 0 &&
+      SnapshotTable.versions(spark, root).max == 2L)
+  }
+
+  test("tags are write-once retention leases: vacuum keeps tagged " +
+      "versions readable past keepVersions; dropTag releases them") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotTable.tag(spark, root, "train-v1", 1L)
+    SnapshotTable.commit(spark, root, Seq((2L, "b")).toDF("k", "v"))
+    SnapshotTable.commit(spark, root, Seq((3L, "c")).toDF("k", "v"))
+    SnapshotTable.vacuum(spark, root, keepVersions = 1)
+    // the untagged middle went; the tagged corpus outlived the horizon
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 3L))
+    assert(rows(SnapshotTable.readTag(spark, root, "train-v1")) ==
+      Set((1L, "a")))
+    val e = intercept[RuntimeException] {
+      SnapshotTable.tag(spark, root, "train-v1", 3L)
+    }
+    assert(e.getMessage.contains("immutable"))
+    intercept[IllegalStateException] {
+      SnapshotTable.readTag(spark, root, "no-such-tag")
+    }
+    // tagging a never-committed version is refused
+    intercept[IllegalStateException] {
+      SnapshotTable.tag(spark, root, "bad", 9L)
+    }
+    SnapshotTable.dropTag(spark, root, "train-v1")
+    SnapshotTable.vacuum(spark, root, keepVersions = 1)
+    assert(SnapshotTable.versions(spark, root) == Seq(3L))
+  }
+
   test("bloom stats + scanPrunedBloom: a point probe opens only files " +
       "whose bloom may contain the value; a saturated column records " +
       "nothing and always keeps; absent probes prune") {
