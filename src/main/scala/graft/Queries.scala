@@ -8812,6 +8812,63 @@ object Queries {
              |WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3""".stripMargin)
     )),
 
+    // CDC-MAINTAINED DEDUP SIGNATURE STORE under the hard gate — the
+    // EIGHTEENTH direct streaming row, closing the loop between the
+    // snapshot CDC source and the incremental-dedup economics: the
+    // standing corpus' banded MinHash store is kept current by the
+    // LIVE change feed (drafts revised, decoy docs inserted then
+    // DELETED — recompute only changed keys via applyChangesCycle with
+    // bandedSignatureRows as the derive step), an in-query require
+    // proves the maintained store row-for-row equals the direct
+    // recompute over the final corpus, and the new-batch probe join
+    // reuses q_incremental_dedup's exhaustive cross-join oracle — a
+    // stale signature, a resurrected decoy, or a missed revision
+    // changes the surviving pairs and hash-mismatches.
+    "q_stream_cdc_dedup_store" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val odds = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("text").as("txt"))
+        val decoys = d.filter(pmod(col("doc_id"), lit(10)) === 2)
+          .select(col("doc_id"), col("text").as("txt"))
+        val s1 = odds.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(9)) === 1,
+              lit("draft pending text")).otherwise(col("txt")).as("txt"))
+          .unionByName(decoys)
+        val s2 = odds.unionByName(decoys)
+        val s3 = odds
+        val storeRoot = graft.streaming.EventStreams.replayCdcView(
+          s, Seq(s1, s2, s3), Seq("doc_id"),
+          df => Dedup.bandedSignatureRows(df, "doc_id", "txt")
+            .withColumnRenamed("id", "doc_id"))
+        val store = graft.core.SnapshotTable.read(s, storeRoot)
+        val direct = Dedup.bandedSignatureRows(odds, "doc_id", "txt")
+          .withColumnRenamed("id", "doc_id")
+        require(store.count() == direct.count() &&
+            store.except(direct).isEmpty && direct.except(store).isEmpty,
+          "the CDC-maintained signature store diverged from the " +
+            "direct recompute over the final corpus")
+        Dedup.minhashJoinPrecomputed(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          store.withColumnRenamed("doc_id", "id"),
+          Dedup.shingleSets(odds, "doc_id", "txt"),
+          "doc_id", "text", threshold = 0.8)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+             |  THEN list_distinct([ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3] for i in range(len(ws)-2)])
+             |  ELSE [] END sh FROM w),
+             |e AS (SELECT doc_id, unnest(sh) s FROM g),
+             |sz AS (SELECT doc_id, len(sh) n FROM g),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+             |      FROM e a JOIN e b ON a.s = b.s
+             |      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2)
+             |SELECT id_a, id_b
+             |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin)
+    )),
+
     // CATEGORICAL manifest pruning under the hard gate — the equality
     // twin of q_snapshot_prune, and the single most common 100 TB
     // slice ("read only source=X"): documents commit clustered on

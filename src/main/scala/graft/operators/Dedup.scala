@@ -669,12 +669,21 @@ object Dedup {
                                       root: String, corpus: DataFrame,
                                       idCol: String, textCol: String,
                                       numHashes: Int = 128, bands: Int = 32,
-                                      n: Int = 3): Long = {
+                                      n: Int = 3): Long =
+    graft.core.SnapshotTable.commit(spark, root,
+      bandedSignatureRows(corpus, idCol, textCol, numHashes, bands, n))
+
+  /** The banded (id, band, bh) LSH join-key rows themselves — the
+    * map-side computation both persisted stores commit, exposed so a
+    * CDC-maintained store ([[graft.core.SnapshotTable.applyChangesCycle]]
+    * with this as the derive step) recomputes signatures for exactly
+    * the changed documents. */
+  def bandedSignatureRows(corpus: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 128, bands: Int = 32,
+                          n: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val banded = bandSignatures(
-      minhashSignatures(corpus, idCol, textCol, numHashes, n),
+    bandSignatures(minhashSignatures(corpus, idCol, textCol, numHashes, n),
       bands, numHashes / bands)
-    graft.core.SnapshotTable.commit(spark, root, banded)
   }
 
   /** Drop rows of over-sized join buckets — the skew guard shared by

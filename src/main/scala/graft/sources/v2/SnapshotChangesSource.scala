@@ -125,7 +125,11 @@ class SnapshotChangesScanBuilder(schema: StructType,
       .map(e => e.getKey -> e.getValue).toMap
     val start = props.get("startversion").map(_.toLong).getOrElse(0L)
     require(start >= 0, s"startVersion must be >= 0, got $start")
-    SnapshotChangesScan(SnapshotChanges.rootOf(props), schema, start, confMap)
+    val maxPerTrigger = props.get("maxversionspertrigger").map(_.toInt)
+    maxPerTrigger.foreach(n => require(n >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $n"))
+    SnapshotChangesScan(SnapshotChanges.rootOf(props), schema, start,
+      maxPerTrigger, confMap)
   }
 }
 
@@ -134,6 +138,7 @@ final case class SnapshotChangeFilePartition(path: String)
 
 final case class SnapshotChangesScan(root: String, schema: StructType,
                                      startVersion: Long,
+                                     maxVersionsPerTrigger: Option[Int],
                                      confMap: Map[String, String])
     extends Scan {
   override def readSchema(): StructType = schema
@@ -146,15 +151,35 @@ final case class SnapshotChangesScan(root: String, schema: StructType,
 /** Version-number offsets over the stored feed — see the class
   * scaladoc. Plan-time listing is safe for the same reason as the
   * name-watermark sources: a (start, end] version interval pins an
-  * immutable set of feed directories. */
+  * immutable set of feed directories.
+  *
+  * ADMISSION CONTROL: `option("maxVersionsPerTrigger", n)` caps each
+  * micro-batch at n feed steps — without it, a consumer catching up
+  * from far behind (or bootstrapping a long-retained table) would
+  * plan ONE batch spanning the whole backlog, serializing recovery
+  * into a single all-or-nothing job; capped, the backlog drains as
+  * checkpointable increments. */
 final class SnapshotChangesMicroBatchStream(scan: SnapshotChangesScan)
-    extends streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends streaming.MicroBatchStream
+    with streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def spark = SparkSession.active
 
   override def initialOffset(): Offset =
     SnapshotVersionOffset(scan.startVersion)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = math.max(start.asInstanceOf[SnapshotVersionOffset].version,
+      scan.startVersion)
+    val avail = SnapshotTable.changeVersions(spark, scan.root)
+      .filter(_ > lo)
+    val took = scan.maxVersionsPerTrigger match {
+      case Some(n) => avail.take(n)
+      case None => avail
+    }
+    SnapshotVersionOffset(if (took.isEmpty) lo else took.max)
+  }
   override def latestOffset(): Offset = {
     val vs = SnapshotTable.changeVersions(spark, scan.root)
     SnapshotVersionOffset(

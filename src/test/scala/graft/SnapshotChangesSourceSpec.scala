@@ -89,6 +89,32 @@ class SnapshotChangesSourceSpec extends SparkSpec {
     assert(got == Set((2L, "insert", 2L)))
   }
 
+  test("maxVersionsPerTrigger: a multi-version backlog drains as " +
+      "MULTIPLE checkpointable micro-batches (one feed step each), " +
+      "with the same rows as the uncapped stream") {
+    val root = freshRoot()
+    for (i <- 1 to 3)
+      SnapshotTable.commit(spark, root,
+        Seq((i.toLong, s"s$i")).toDF("k", "v"), changeKeys = Seq("k"))
+    spark.catalog.dropTempView("snapcdc_adm")
+    val q = spark.readStream.format("snapshot-changes")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.format("memory").queryName("snapcdc_adm")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("change"), col("v"), col("version"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+    assert(canon(spark.table("snapcdc_adm")) ==
+      canon(SnapshotTable.readChanges(spark, root, 0L)))
+    // the cap is the point: the 3-step backlog must NOT arrive as one
+    // all-or-nothing batch
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"backlog drained in $batches batches, cap ignored")
+  }
+
   test("construction is loud on a feed-less table and on non-scalar " +
       "schemas (the documented reader boundary)") {
     val bare = freshRoot()
