@@ -1176,6 +1176,33 @@ object Soak {
             root, Seq("doc_id"), Seq(col("source")))
         graft.core.SnapshotTable.diff(root = root, spark = docs10.sparkSession,
           vFrom = 2L, vTo = 3L, keys = Seq("doc_id"))
+      },
+      run("snapshot_cdc") {
+        // the live-feed cycle at 10x: three TRACKED upsert cycles over
+        // the 50k-doc corpus (each records its changelog at commit
+        // time), then the stored feed read back gap-verified and
+        // APPLIED to a derived view via applyChangesCycle — the CDC
+        // consumer's cost shape: O(changed rows) feed reads + one
+        // keyed anti-join of view x batch keys + the derive over
+        // changed keys only, never a table re-derive.
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_soak_cdc").toString + "/t"
+        val base = docs10.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("len"))
+        for (c <- 0L to 2L)
+          graft.core.SnapshotTable.upsertCycle(
+            base.filter(pmod(col("doc_id"), lit(3L)) === c)
+              .withColumn("len", col("len") + c),
+            root, Seq("doc_id"), Seq(col("source")), trackChanges = true)
+        val view = java.nio.file.Files
+          .createTempDirectory("graft_soak_cdcview").toString + "/v"
+        graft.core.SnapshotTable.applyChangesCycle(
+          graft.core.SnapshotTable.readChanges(
+            docs10.sparkSession, root, 0L),
+          view, Seq("doc_id"),
+          changed => changed.select(col("doc_id"),
+            (col("len") * 2L).as("feat")))
+        graft.core.SnapshotTable.read(docs10.sparkSession, view)
       })
 
     val total = results.map(_._2).sum
