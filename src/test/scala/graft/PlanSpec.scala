@@ -51,6 +51,34 @@ class PlanSpec extends SparkSpec {
       s"user_id range not pushed to the pruned scan:\n$p")
   }
 
+  test("snapshot scanPrunedBloom: the point-probe read is a bare " +
+      "filtered scan — zero exchanges, equality predicate pushed to " +
+      "the kept files") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_planspec_bloom").toString + "/t"
+    val base = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .repartition(4, pmod(col("event_id"), lit(4)))
+    graft.core.SnapshotTable.commit(spark, root, base,
+      bloomCols = Seq("event_id"))
+    val probe = base.agg(org.apache.spark.sql.functions
+      .min(col("event_id"))).collect()(0).getLong(0)
+    val (total, kept) = graft.core.SnapshotTable.pruneCountsBloom(
+      spark, root, "event_id", probe.toString)
+    assert(kept < total && kept >= 1, s"kept $kept of $total")
+    val p = graft.core.SnapshotTable
+      .scanPrunedBloom(spark, root, "event_id", probe.toString)
+      .filter(col("event_id") === probe)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the manifest bloom resolved the file list BEFORE Spark planned;
+    // the equality lands at the parquet reader of the kept files (and
+    // parquet's own bloom, written alongside, prunes row groups there)
+    assert(exchanges(p) == 0, s"bloom-pruned read must not shuffle:\n$p")
+    assert("PushedFilters: \\[[^\\]]*event_id".r.findFirstIn(p).isDefined,
+      s"event_id equality not pushed to the pruned scan:\n$p")
+  }
+
   test("q1_pricing_summary: one shuffle (partial+final agg), filter pushed to scan") {
     val p = plan("q1_pricing_summary")
     assertNoCartesian(p, "q1")
