@@ -8812,6 +8812,42 @@ object Queries {
              |WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3""".stripMargin)
     )),
 
+    // STREAM-TO-STREAM CDC under the hard gate — the NINETEENTH direct
+    // streaming row, and the full production loop as two COMPOSED live
+    // streams: a tracked upsertSink writer commits deterministic
+    // micro-batches (recording the changelog at commit time) while a
+    // snapshot-changes READER stream tails the stored feed and
+    // maintains a derived view via applyChangesCycle, the two drained
+    // alternately. The oracle computes the final upsert table in SQL
+    // (per user, the min-event_id row of the user's last batch): if
+    // any hop — sink merge, feed recording, version offsets, view
+    // apply — lost or duplicated a change, the view diverges and
+    // hash-mismatches. A different user slice (100) than the other
+    // upsert rows keeps it independently falsifiable.
+    "q_stream_to_stream_cdc" -> ((
+      (s: SparkSession, dir: String) => {
+        val view = graft.streaming.EventStreams.replayStreamToStreamCdc(
+          Tables.events(s, dir), "user_id", "ts", "event_id", "value",
+          chunk = 256, maxUsers = 100)
+        graft.core.SnapshotTable.read(s, view)
+          .select(col("user_id"), col("event_id"), col("ts_s"),
+            col("value"))
+      },
+      Some("""WITH e AS (SELECT event_id, ts, user_id, value FROM events
+             |  WHERE user_id < 100),
+             |o AS (SELECT event_id, ts, user_id, value,
+             |    (row_number() OVER (ORDER BY ts, event_id) - 1) // 256 AS b
+             |  FROM e),
+             |m AS (SELECT user_id, max(b) AS bm FROM o GROUP BY 1),
+             |r AS (SELECT o.user_id, o.event_id, o.ts, o.value,
+             |    row_number() OVER (PARTITION BY o.user_id
+             |      ORDER BY o.event_id) AS rn
+             |  FROM o JOIN m ON m.user_id = o.user_id AND o.b = m.bm)
+             |SELECT user_id, event_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+             |FROM r WHERE rn = 1""".stripMargin)
+    )),
+
     // CDC-MAINTAINED DEDUP SIGNATURE STORE under the hard gate — the
     // EIGHTEENTH direct streaming row, closing the loop between the
     // snapshot CDC source and the incremental-dedup economics: the

@@ -1449,4 +1449,73 @@ object EventStreams {
         derived, keys, transform)
     derived
   }
+
+  /** Driver-gate replay harness for the FULL production loop as two
+    * COMPOSED live streams: a tracked
+    * [[graft.core.SnapshotTable.upsertSink]] writer stream commits
+    * deterministic (ts, event_id)-ordered micro-batches (each
+    * recording its changelog at commit time), while a
+    * `snapshot-changes` READER stream tails the stored feed and
+    * maintains a derived view through
+    * [[graft.core.SnapshotTable.applyChangesCycle]] — writer and
+    * reader drained alternately, the CDC stream opened AFTER the
+    * first tracked commit (its bootstrap replay covers it). Returns
+    * the derived-view root: if every hop preserved the changelog, the
+    * view IS the final upsert table. */
+  def replayStreamToStreamCdc(events: DataFrame, userCol: String,
+                              tsCol: String, eventIdCol: String,
+                              valueCol: String, chunk: Int = 256,
+                              maxUsers: Long = 100): String = {
+    val spark = events.sparkSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = events
+      .select(col(eventIdCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(userCol).cast("long"), col(valueCol).cast("double"))
+      .filter(col(userCol) < maxUsers)
+      .as[(Long, Timestamp, Long, Double)].collect()
+      .sortBy { case (eid, ts, _, _) => (ts.getTime, eid) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_s2s_cdc_")
+    val table = s"$dir/table"
+    val view = s"$dir/view"
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event]
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val keys = Seq("user_id")
+    // the CDC reader's documented flat-scalar boundary applies to the
+    // TABLE a stream will tail: carry the timestamp as a formatted
+    // string (epoch longs work equally) instead of a timestamp column
+    val writerQ = graft.core.SnapshotTable.upsertSink(
+      input.toDF().select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("event_id"), col("value")),
+      table, s"$dir/ckpt_w", keys, Seq(col("event_id")),
+      trackChanges = true)
+    val chunks = rows.grouped(chunk).toSeq
+    def feed(c: Seq[(Long, Timestamp, Long, Double)]): Unit = {
+      input.addData(c.map { case (eid, ts, u, v) =>
+        Event(eid, ts, u, "replay", v) })
+      writerQ.processAllAvailable()
+    }
+    var readerQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      feed(chunks.head)
+      readerQ = spark.readStream.format("snapshot-changes").load(table)
+        .writeStream.option("checkpointLocation", s"$dir/ckpt_r")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.core.SnapshotTable.applyChangesCycle(
+            batch, view, keys, identity[DataFrame])
+          ()
+        }
+        .start()
+      readerQ.processAllAvailable()
+      chunks.tail.foreach { c => feed(c); readerQ.processAllAvailable() }
+    } finally {
+      writerQ.stop()
+      if (readerQ != null) readerQ.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    view
+  }
 }
