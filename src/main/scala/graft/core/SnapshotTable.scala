@@ -777,6 +777,67 @@ object SnapshotTable {
     (nv, touched.size, untouched.size)
   }
 
+  /** The newest version committed AT OR BEFORE `asOfMs` — wall-clock
+    * time travel over the retained window, resolved from each
+    * manifest's modification time (set by the publish rename, the
+    * commit's linearization point). Loud when nothing retained is that
+    * old: silently answering with a YOUNGER version would misreport
+    * history, and the honest answers are "vacuumed past" or "table
+    * did not exist yet". */
+  def versionAsOf(spark: SparkSession, root: String, asOfMs: Long): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    val eligible = versions(spark, root)
+      .filter(v => fs.getFileStatus(manifestPath(rootP, v))
+        .getModificationTime <= asOfMs)
+    if (eligible.isEmpty) throw new IllegalStateException(
+      s"SnapshotTable at $root has no retained version committed at or " +
+        s"before $asOfMs — vacuumed past, or the table is younger")
+    eligible.max
+  }
+
+  /** [[readVersion]] at the wall-clock instant `asOfMs`. */
+  def readAsOf(spark: SparkSession, root: String, asOfMs: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, asOfMs))
+
+  /** Operational history — one row per RETAINED version, newest last:
+    * (version, committed_at epoch ms from the manifest's mtime,
+    * n_files, n_bytes from the manifest's own entries, tracked =
+    * whether a change-feed step is stored, tags = comma-joined tag
+    * names pinning the version). The format's DESCRIBE HISTORY,
+    * assembled from manifests alone — the row count is the retention
+    * window, so building it driver-side is bounded by [[vacuum]]'s
+    * horizon, never by table size. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val chg = changeVersions(spark, root).toSet
+    val tagByV = tags(spark, root).toSeq.groupBy(_._2)
+      .map { case (v, ts) => v -> ts.map(_._1).sorted.mkString(",") }
+    val rows = versions(spark, root).map { v =>
+      val entries = readManifest(fs, rootP, v)
+      val bytes = entries.map(e =>
+        fs.getFileStatus(new Path(rootP, entryPath(e))).getLen).sum
+      org.apache.spark.sql.Row(v,
+        fs.getFileStatus(manifestPath(rootP, v)).getModificationTime,
+        entries.size, bytes, chg.contains(v), tagByV.getOrElse(v, ""))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("committed_at",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_bytes",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("tracked",
+          org.apache.spark.sql.types.BooleanType, nullable = false),
+        org.apache.spark.sql.types.StructField("tags",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  }
+
   // --- named refs (tags) ---
 
   private val RefsDir = "_refs"

@@ -593,6 +593,43 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.versions(spark, root).max == 2L)
   }
 
+  test("readAsOf: wall-clock time travel resolves the newest version " +
+      "committed at or before the instant; before-the-table is loud") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotTable.commit(spark, root, Seq((2L, "b")).toDF("k", "v"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pin deterministic commit instants (the publish rename's mtime)
+    val t1 = 1700000000000L
+    fs.setTimes(new Path(root, "_manifests/v000000001.manifest"), t1, -1)
+    fs.setTimes(new Path(root, "_manifests/v000000002.manifest"),
+      t1 + 60000L, -1)
+    assert(SnapshotTable.versionAsOf(spark, root, t1) == 1L)
+    assert(SnapshotTable.versionAsOf(spark, root, t1 + 30000L) == 1L)
+    assert(SnapshotTable.versionAsOf(spark, root, t1 + 60000L) == 2L)
+    assert(rows(SnapshotTable.readAsOf(spark, root, t1 + 30000L)) ==
+      Set((1L, "a")))
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.versionAsOf(spark, root, t1 - 1L)
+    }
+    assert(e.getMessage.contains("no retained version"))
+  }
+
+  test("history: one row per retained version with file/byte counts, " +
+      "change-feed tracking, and pinning tags") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotTable.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      changeKeys = Seq("k"))
+    SnapshotTable.tag(spark, root, "rc1", 2L)
+    SnapshotTable.tag(spark, root, "train-v1", 2L)
+    val h = SnapshotTable.history(spark, root).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(h.forall(r => r.getInt(2) >= 1 && r.getLong(3) > 0L))
+    assert(!h(0).getBoolean(4) && h(1).getBoolean(4)) // tracked flags
+    assert(h(0).getString(5) == "" && h(1).getString(5) == "rc1,train-v1")
+  }
+
   test("tags are write-once retention leases: vacuum keeps tagged " +
       "versions readable past keepVersions; dropTag releases them") {
     val root = freshRoot()
