@@ -61,17 +61,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * CONCURRENCY: version numbers linearize committers through an
   * EXCLUSIVE CLAIM — before renaming, a committer creates
-  * `v<N>.lock` with `FileSystem.create(overwrite = false)`, the one
-  * primitive that is atomic-exclusive on every rename-capable
-  * filesystem (HDFS CreateFlag.CREATE, POSIX O_CREAT|O_EXCL). Two
-  * committers therefore can never rename onto the same version: the
+  * `v<N>.lock` with `FileSystem.create(overwrite = false)`, atomic-
+  * exclusive where the filesystem provides it (HDFS
+  * CreateFlag.CREATE; POSIX O_CREAT|O_EXCL). Two committers
+  * therefore can never rename onto the same version there: the
   * loser's claim fails and it retries at the NEXT number (claimed
   * numbers are skipped, so a crashed claim leaves a harmless HOLE in
   * the version sequence, reclaimed by [[vacuum]], never a blocked
-  * table). The post-rename read-back stays as a belt-and-braces
-  * invariant check, no longer the primary defense — the pre-claim
-  * design had a TOCTOU window on replace-on-rename filesystems
-  * (rename, read back own content, THEN get silently replaced).
+  * table). Hadoop's LOCAL filesystem is weaker — RawLocal/
+  * ChecksumFileSystem implement create(overwrite=false) as a
+  * non-atomic exists-then-create — so there the claim is best-effort
+  * and the post-rename READ-BACK is the real defense: a committer
+  * whose manifest was replaced by a same-number racer sees foreign
+  * content and retries at a later version (contents serialize,
+  * nothing publishes torn). On claim-atomic stores the read-back is
+  * belt-and-braces only.
   * Named limit: claims linearize version NUMBERS, not
   * read-merge-commit CYCLES — [[upsertCycle]]/[[compactSnapshot]]
   * read the current snapshot before committing, so two concurrent
@@ -334,62 +338,95 @@ object SnapshotTable {
           "[A-Za-z0-9_]+ — rename or alias before recording stats"))
       import org.apache.spark.sql.functions._
       val bloomCap = bloomBits / 8
-      val aggs = statsCols.flatMap(c => Seq(
-        min(col(c).cast("long")).as(s"__mn_$c"),
-        max(col(c).cast("long")).as(s"__mx_$c"))) ++
-        categoryCols.map(c =>
-          sort_array(collect_set(col(c).cast("string"))).as(s"__cat_$c")) ++
-        // slice to cap+1: enough to DETECT saturation without shipping
-        // an unbounded per-file value list to the driver
-        bloomCols.map(c =>
-          slice(sort_array(collect_set(col(c).cast("string"))),
-            1, bloomCap + 1).as(s"__blm_$c"))
-      val byBase = spark.read.parquet(dataHome.toString)
-        .groupBy(input_file_name().as("__f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map(r => new Path(r.getString(0)).getName -> r).toMap
-      val catBase = 1 + 2 * statsCols.size
-      val bloomBase = catBase + categoryCols.size
-      rels.map { rel =>
-        byBase.get(rel.split('/').last) match {
-          case Some(r) =>
-            val ranges = statsCols.zipWithIndex.map { case (c, i) =>
-              val mn = if (r.isNullAt(1 + 2 * i)) "" else r.getLong(1 + 2 * i).toString
-              val mx = if (r.isNullAt(2 + 2 * i)) "" else r.getLong(2 + 2 * i).toString
-              s"$c=$mn:$mx"
-            }
-            val cats = categoryCols.zipWithIndex.flatMap { case (c, j) =>
-              val vs = r.getSeq[String](catBase + j)
-              // over-cap: record nothing — the file is never pruned on
-              // this column (superset contract); an EMPTY set (all-null
-              // file) records `c#`, which equality-prunes everything —
-              // a null never equals the probe value
-              if (vs.size > CategoryCap) None
-              else Some(s"$c#" + vs.map(
-                java.net.URLEncoder.encode(_, "UTF-8")).mkString("|"))
-            }
-            val blooms = bloomCols.zipWithIndex.flatMap { case (c, j) =>
-              val vs = r.getSeq[String](bloomBase + j)
-              // saturation: a bloom past bits/8 distinct values keeps
-              // ~everything anyway — record nothing (superset contract)
-              // instead of bloating the manifest; an all-null file's
-              // empty bloom prunes every probe, like the category case
-              if (vs.size > bloomCap) None
-              else {
-                val bs = new java.util.BitSet(bloomBits)
-                vs.foreach(v => bloomBitsOf(v, bloomBits, BloomK)
-                  .foreach(bs.set))
-                Some(s"$c~$bloomBits:$BloomK:" +
-                  java.util.Base64.getEncoder.withoutPadding
-                    .encodeToString(bs.toByteArray))
-              }
-            }
-            val s = (ranges ++ cats ++ blooms).mkString(",")
-            if (s.isEmpty) rel else s"$rel\t$s"
-          // a zero-row part file groups to no row: no stats, never pruned
-          case None => rel
+      val written = spark.read.parquet(dataHome.toString)
+      // job 1: per-file long min/max — constant-size aggregation state
+      val rangeByBase =
+        if (statsCols.isEmpty) Map.empty[String, org.apache.spark.sql.Row]
+        else {
+          val aggs = statsCols.flatMap(c => Seq(
+            min(col(c).cast("long")).as(s"__mn_$c"),
+            max(col(c).cast("long")).as(s"__mx_$c")))
+          written.groupBy(input_file_name().as("__f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .map(r => new Path(r.getString(0)).getName -> r).toMap
         }
+      // job 2: per-(file, column) distinct VALUE SETS for category and
+      // bloom sections, EXECUTOR-BOUNDED: unpivot → distinct → rank →
+      // cap happens BEFORE any collect_set, so a genuinely high-
+      // cardinality column spills through the hash-distinct and the
+      // rank sort instead of accumulating its full per-file set in one
+      // aggregation buffer (a pre-round-15 slice() bounded only the
+      // driver transfer, not the executor-side accumulation — an
+      // ADVICE-flagged OOM risk). collect_set then sees at most
+      // maxCap+2 rows per group.
+      val setColNames = (categoryCols ++ bloomCols).distinct
+      val maxCap = math.max(if (categoryCols.nonEmpty) CategoryCap else 0,
+        if (bloomCols.nonEmpty) bloomCap else 0)
+      val setsByKey =
+        if (setColNames.isEmpty) Map.empty[(String, String), Seq[String]]
+        else {
+          val pairs = setColNames.map(c => written.select(
+            input_file_name().as("__f"), lit(c).as("__c"),
+            col(c).cast("string").as("__v"))).reduce(_ union _)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("__f", "__c").orderBy(col("__v").asc_nulls_first)
+          // cap+2 ranked distinct values suffice to DETECT saturation
+          // for every per-kind cap k ≤ maxCap, even when one kept slot
+          // is the null marker: non-null distinct ≤ k keeps the whole
+          // set (≤ k+1 rows incl. null survive the filter); non-null
+          // distinct > k keeps ≥ k+1 non-null values, tripping the
+          // size check below either way
+          pairs.distinct()
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= maxCap + 2)
+            .groupBy("__f", "__c")
+            .agg(sort_array(collect_set(col("__v"))).as("__vs"))
+            .collect()
+            .map(r => (new Path(r.getString(0)).getName, r.getString(1)) ->
+              r.getSeq[String](2)).toMap
+        }
+      rels.map { rel =>
+        // a zero-row part file appears in NO group of either job: no
+        // stats sections, never pruned (superset contract)
+        val base = rel.split('/').last
+        val ranges = rangeByBase.get(base).toSeq.flatMap { r =>
+          statsCols.zipWithIndex.map { case (c, i) =>
+            val mn = if (r.isNullAt(1 + 2 * i)) "" else r.getLong(1 + 2 * i).toString
+            val mx = if (r.isNullAt(2 + 2 * i)) "" else r.getLong(2 + 2 * i).toString
+            s"$c=$mn:$mx"
+          }
+        }
+        val cats = categoryCols.flatMap { c =>
+          setsByKey.get((base, c)).flatMap { vs =>
+            // over-cap: record nothing — the file is never pruned on
+            // this column (superset contract); an EMPTY set (all-null
+            // file) records `c#`, which equality-prunes everything —
+            // a null never equals the probe value
+            if (vs.size > CategoryCap) None
+            else Some(s"$c#" + vs.map(
+              java.net.URLEncoder.encode(_, "UTF-8")).mkString("|"))
+          }
+        }
+        val blooms = bloomCols.flatMap { c =>
+          setsByKey.get((base, c)).flatMap { vs =>
+            // saturation: a bloom past bits/8 distinct values keeps
+            // ~everything anyway — record nothing (superset contract)
+            // instead of bloating the manifest; an all-null file's
+            // empty bloom prunes every probe, like the category case
+            if (vs.size > bloomCap) None
+            else {
+              val bs = new java.util.BitSet(bloomBits)
+              vs.foreach(v => bloomBitsOf(v, bloomBits, BloomK)
+                .foreach(bs.set))
+              Some(s"$c~$bloomBits:$BloomK:" +
+                java.util.Base64.getEncoder.withoutPadding
+                  .encodeToString(bs.toByteArray))
+            }
+          }
+        }
+        val s = (ranges ++ cats ++ blooms).mkString(",")
+        if (s.isEmpty) rel else s"$rel\t$s"
       }
     }
   }
@@ -398,12 +435,22 @@ object SnapshotTable {
     new Path(new Path(root, ManifestDir), f"v$v%09d.lock")
 
   /** Atomically claim version `v` — `create(overwrite = false)` is
-    * exclusive on every rename-capable filesystem (see the FILESYSTEM
+    * exclusive on HDFS and POSIX-backed stores (see the FILESYSTEM
     * CONTRACT note). False means another committer holds (or held)
-    * the number. */
+    * the number — CONTENTION, distinguished from environment faults
+    * (permissions, transient FS errors), which are RETHROWN: swallowing
+    * them as "claimed" would burn retry attempts on version-number
+    * holes and misreport a broken filesystem as a concurrent writer. */
   private def claimVersion(fs: FileSystem, rootP: Path, v: Long): Boolean =
     try { fs.create(lockPath(rootP, v), false).close(); true }
-    catch { case _: java.io.IOException => false }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException =>
+        // RawLocalFileSystem reports an existing target as a bare
+        // IOException — verify before classifying as contention
+        if (fs.exists(lockPath(rootP, v))) false else throw e
+    }
 
   /** Publish `lines` as the next manifest. Returns the committed
     * version. A contended version number is skipped, never shared
@@ -444,15 +491,17 @@ object SnapshotTable {
             "collision, so this is an environment fault (permissions, " +
             "filesystem), not a race; nothing was published")
         }
-        // belt-and-braces: the claim already rules out a collision,
-        // so a mismatch here means the filesystem broke the contract
+        // belt-and-braces read-back: on HDFS/POSIX the claim rules out
+        // a collision, so this always matches. On a filesystem whose
+        // create(overwrite=false) is a non-atomic exists-then-create
+        // (Hadoop's RawLocal/ChecksumFileSystem), two committers can
+        // both "claim" the same number and the later rename replaces
+        // the earlier manifest — the loser sees foreign content here.
+        // Its own content was then never published, so RETRY at a later
+        // version (both writers' contents serialize, nothing is lost)
+        // instead of crashing a legal best-effort-local-FS race.
         val back = readManifest(fs, rootP, next)
-        if (back != lines) sys.error(
-          s"SnapshotTable: manifest v$next read back different content " +
-            s"than written at $rootP despite an exclusive claim — the " +
-            "filesystem violated the atomicity contract (see the " +
-            "FILESYSTEM CONTRACT scaladoc; S3A needs an external lock)")
-        return next
+        if (back == lines) return next
       }
       attempt += 1
     }
@@ -767,9 +816,16 @@ object SnapshotTable {
     val (touched, untouched) =
       entries.partition(e => hit.contains(new Path(entryPath(e)).getName))
     if (touched.isEmpty) return (v, 0, untouched.size)
+    // survivors are the rows where the predicate is NOT TRUE — a row
+    // where the condition evaluates to NULL (e.g. a null in the probed
+    // column) was not asked to be deleted, and `!condition` would be
+    // NULL too, silently dropping it from the rewrite (and the change
+    // feed would then propagate that loss to CDC consumers); Delta's
+    // copy-on-write delete keeps not-true rows for exactly this reason
     val survivors = spark.read.parquet(
         touched.map(e => new Path(rootP, entryPath(e)).toString): _*)
-      .filter(!condition)
+      .filter(!org.apache.spark.sql.functions.coalesce(
+        condition, org.apache.spark.sql.functions.lit(false)))
     val newEntries = writeDataFiles(spark, fs, rootP, survivors,
       statsCols, categoryCols, bloomCols, bloomBits)
     val nv = publish(fs, rootP, untouched ++ newEntries)
@@ -880,9 +936,13 @@ object SnapshotTable {
     fs.listStatus(rd).iterator.filter(_.isFile).map { st =>
       val in = fs.open(st.getPath)
       try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        st.getPath.getName -> new String(buf, 0, math.max(n, 0),
+        // loop to EOF — a single read() may return short on Hadoop
+        // streams, truncating the version string into a wrong parse
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        st.getPath.getName -> new String(bos.toByteArray,
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong
       } finally in.close()
     }.toMap

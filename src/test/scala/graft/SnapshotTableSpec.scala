@@ -593,6 +593,29 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.versions(spark, root).max == 2L)
   }
 
+  test("deleteWhere keeps NOT-TRUE rows: a row where the predicate " +
+      "evaluates to NULL (null in the probed column) survives the " +
+      "rewrite and never enters the change feed") {
+    val root = freshRoot()
+    // k=0..5 in one file; v is null for even k — deleting v === "x3"
+    // must drop ONLY k=3, not the nulls sharing its file
+    val df = Seq[(Long, Option[String])](
+      0L -> None, 1L -> Some("x1"), 2L -> None,
+      3L -> Some("x3"), 4L -> None, 5L -> Some("x5")
+    ).toDF("k", "v").coalesce(1)
+    SnapshotTable.commit(spark, root, df, changeKeys = Seq("k"))
+    val (v2, rew, _) = SnapshotTable.deleteWhere(spark, root,
+      col("v") === "x3", changeKeys = Seq("k"))
+    assert(v2 == 2L && rew == 1)
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.count() == 5L, "null-predicate rows were silently dropped")
+    assert(cur.filter(col("v").isNull).count() == 3L)
+    val feed = SnapshotTable.readChanges(spark, root, 1L)
+    assert(feed.count() == 1L &&
+      feed.select("k").as[Long].head() == 3L,
+      "the changelog propagated more than the requested delete")
+  }
+
   test("readAsOf: wall-clock time travel resolves the newest version " +
       "committed at or before the instant; before-the-table is loud") {
     val root = freshRoot()
