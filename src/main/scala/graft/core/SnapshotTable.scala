@@ -76,12 +76,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * content and retries at a later version (contents serialize,
   * nothing publishes torn). On claim-atomic stores the read-back is
   * belt-and-braces only.
-  * Named limit: claims linearize version NUMBERS, not
-  * read-merge-commit CYCLES — [[upsertCycle]]/[[compactSnapshot]]
-  * read the current snapshot before committing, so two concurrent
-  * cyclers can still lose the earlier merge (the classic lost
-  * update). No manifest is ever torn by this; rows are. One writer
-  * per table is the contract, not an optimization.
+  * Claims linearize version NUMBERS; read-merge-commit CYCLES are
+  * additionally VALIDATED: [[upsertCycle]], [[upsertTargeted]],
+  * [[compactSnapshot]], [[deleteWhere]] and [[applyChangesCycle]]
+  * carry their base version into [[publishValidated]], which commits
+  * at EXACTLY base+1 (the claim is the compare-and-swap) and reports
+  * a conflict otherwise — the caller then re-reads, re-merges and
+  * retries, so two concurrent cyclers SERIALIZE instead of losing
+  * the earlier merge (Iceberg's commit validation). [[append]]
+  * validates too — its manifest union is a read-modify-write of the
+  * file list. Plain [[commit]] (replace semantics — last writer wins
+  * by intent) stays unvalidated and skips past contended numbers.
+  * Named residual:
+  * a committer that crashes between claim and rename leaves a hole
+  * that unvalidated writers skip but validated cyclers refuse loudly
+  * (see [[publishValidated]]'s remediation message) — skipping a
+  * hole silently is exactly the lost update validation exists to
+  * prevent.
   *
   * FILESYSTEM CONTRACT, named: the protocol needs (a) atomic-exclusive
   * `create(overwrite = false)` for the claim and (b) same-directory
@@ -452,6 +463,35 @@ object SnapshotTable {
         if (fs.exists(lockPath(rootP, v))) false else throw e
     }
 
+  /** Write `lines` to a temp manifest and atomically rename it onto
+    * version `v` (which the caller must have claimed); returns the
+    * READ-BACK lines. On HDFS/POSIX the claim rules out a collision,
+    * so the read-back always matches. On a filesystem whose
+    * create(overwrite=false) is a non-atomic exists-then-create
+    * (Hadoop's RawLocal/ChecksumFileSystem), two committers can both
+    * "claim" the same number and the later rename replaces the
+    * earlier manifest — the loser sees foreign content in the
+    * read-back, meaning its own content was never published, and must
+    * retry. */
+  private def renameIntoManifest(fs: FileSystem, rootP: Path, v: Long,
+                                 lines: Seq[String]): Seq[String] = {
+    val body = lines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val tmp = new Path(new Path(rootP, ManifestDir),
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try out.write(body) finally out.close()
+    val target = manifestPath(rootP, v)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      sys.error(s"SnapshotTable: rename of the claimed manifest " +
+        s"v$v failed at $rootP — the claim rules out a version " +
+        "collision, so this is an environment fault (permissions, " +
+        "filesystem), not a race; nothing was published")
+    }
+    readManifest(fs, rootP, v)
+  }
+
   /** Publish `lines` as the next manifest. Returns the committed
     * version. A contended version number is skipped, never shared
     * (see the CONCURRENCY note above). */
@@ -464,8 +504,6 @@ object SnapshotTable {
     require(lines.nonEmpty,
       "SnapshotTable: refusing to publish a fileless manifest — even " +
         "an empty snapshot carries a schema-only part file")
-    val body = lines.mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     fs.mkdirs(new Path(rootP, ManifestDir))
     var attempt = 0
     var tried = 0L
@@ -474,41 +512,119 @@ object SnapshotTable {
       // found claimed — a crashed claim must not wedge the table
       val next = math.max(currentVersion(fs, rootP).getOrElse(0L) + 1, tried + 1)
       tried = next
-      if (claimVersion(fs, rootP, next)) {
-        // the claim is exclusive, so the target name cannot exist:
-        // manifests only ever appear at claimed numbers, claims are
-        // never re-grantable, and vacuum only reclaims locks at or
-        // below the committed tip (next is above it)
-        val tmp = new Path(new Path(rootP, ManifestDir),
-          s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
-        val out = fs.create(tmp, true)
-        try out.write(body) finally out.close()
-        val target = manifestPath(rootP, next)
-        if (!fs.rename(tmp, target)) {
-          fs.delete(tmp, false)
-          sys.error(s"SnapshotTable: rename of the claimed manifest " +
-            s"v$next failed at $rootP — the claim rules out a version " +
-            "collision, so this is an environment fault (permissions, " +
-            "filesystem), not a race; nothing was published")
-        }
-        // belt-and-braces read-back: on HDFS/POSIX the claim rules out
-        // a collision, so this always matches. On a filesystem whose
-        // create(overwrite=false) is a non-atomic exists-then-create
-        // (Hadoop's RawLocal/ChecksumFileSystem), two committers can
-        // both "claim" the same number and the later rename replaces
-        // the earlier manifest — the loser sees foreign content here.
-        // Its own content was then never published, so RETRY at a later
-        // version (both writers' contents serialize, nothing is lost)
-        // instead of crashing a legal best-effort-local-FS race.
-        val back = readManifest(fs, rootP, next)
-        if (back == lines) return next
-      }
+      // the claim is exclusive, so the target name cannot exist:
+      // manifests only ever appear at claimed numbers, claims are
+      // never re-grantable, and vacuum only reclaims locks at or
+      // below the committed tip (next is above it)
+      if (claimVersion(fs, rootP, next) &&
+          renameIntoManifest(fs, rootP, next, lines) == lines)
+        return next
       attempt += 1
     }
     sys.error(s"SnapshotTable: could not claim a version after " +
       s"$MaxCommitRetries attempts at $rootP — a second writer is " +
       "committing concurrently; serialize committers (one writer per " +
       "table is the contract)")
+  }
+
+  /** A validated publish's outcome: [[Committed]] at base+1, or
+    * [[Conflicted]] — another committer moved the table past the
+    * caller's base, so its merge is stale and must be rebased
+    * (re-read, re-merge, retry). */
+  private sealed trait ValidatedResult
+  private case class Committed(version: Long) extends ValidatedResult
+  private case object Conflicted extends ValidatedResult
+
+  /** How long a validated publish waits for a contended claim at
+    * base+1 to turn into a manifest before declaring the claimer
+    * crashed. Claims are held for milliseconds (between claim and
+    * rename), so 10 s separates a slow committer from a dead one. */
+  private[core] val StaleClaimWaitMs = 10000L
+
+  /** Publish `lines` at EXACTLY base+1, iff the table still stands at
+    * `base` — the compare-and-swap a read-merge-commit cycle needs to
+    * be serializable (Iceberg's commit validation on the house
+    * format). The exclusive claim at base+1 is the linearization
+    * point: a competing committer either claimed base+1 first (we
+    * wait for its manifest, then report [[Conflicted]] so the caller
+    * rebases) or must claim ≥ base+2, where ITS validation fails and
+    * IT rebases on top of us. Named cost: a committer that crashes
+    * between claim and rename wedges validated commits at this base —
+    * reported LOUDLY after [[StaleClaimWaitMs]] with the remediation,
+    * never as a silent skip (skipping is exactly the lost update this
+    * path exists to prevent). */
+  private def publishValidated(fs: FileSystem, rootP: Path,
+                               base: Option[Long], lines: Seq[String])
+      : ValidatedResult = {
+    require(lines.nonEmpty,
+      "SnapshotTable: refusing to publish a fileless manifest — even " +
+        "an empty snapshot carries a schema-only part file")
+    if (currentVersion(fs, rootP) != base) return Conflicted
+    val want = base.getOrElse(0L) + 1
+    fs.mkdirs(new Path(rootP, ManifestDir))
+    if (!claimVersion(fs, rootP, want)) {
+      // base+1 is claimed by someone else: a LIVE committer publishes
+      // within milliseconds (then we conflict and rebase); a crashed
+      // one never will — wait bounded, watching the TABLE, not just
+      // the claimed number (the other committer may publish at a
+      // different number if it was an unvalidated writer skipping
+      // holes)
+      val deadline = System.currentTimeMillis() + StaleClaimWaitMs
+      while (System.currentTimeMillis() < deadline) {
+        if (currentVersion(fs, rootP) != base) return Conflicted
+        Thread.sleep(50)
+      }
+      sys.error(s"SnapshotTable: validated commit at $rootP cannot " +
+        s"proceed — v$want is claimed but no manifest appeared within " +
+        s"${StaleClaimWaitMs}ms and the table still stands at " +
+        s"v${base.getOrElse(0L)}; a committer crashed between claim " +
+        "and publish. Confirm the claimer is dead, delete " +
+        f"_manifests/v$want%09d.lock, and retry (an unvalidated " +
+        "commit/append can skip past the hole, at the cost of the " +
+        "lost-update check)")
+    }
+    // claimed base+1: rename and read back. A mismatch means a
+    // best-effort-local-FS racer replaced our manifest — our content
+    // was never published, so rebase like any other conflict.
+    if (renameIntoManifest(fs, rootP, want, lines) == lines)
+      Committed(want)
+    else Conflicted
+  }
+
+  /** Retry budget for validated cycles: how many times a
+    * read-merge-commit cycle rebases onto a moved table before
+    * failing loudly (each retry re-reads, re-merges, re-writes its
+    * data files — the orphans of lost attempts are vacuum's to
+    * reclaim). */
+  private val MaxRebaseRetries = 10
+
+  /** Run one read-merge-commit CYCLE serializably: `attempt` sees the
+    * current base version and returns either `Right(lines, out)` —
+    * the manifest to publish at base+1 — or `Left(out)` — a no-op
+    * against this base (nothing publishes). On conflict the whole
+    * attempt re-runs against the new base. This is the rebase loop
+    * under every cycle API ([[upsertCycle]], [[upsertTargeted]],
+    * [[compactSnapshot]], [[deleteWhere]], [[applyChangesCycle]]).
+    * Returns (Some(committedVersion) | None-for-no-op, out). */
+  private def rebaseLoop[A](fs: FileSystem, rootP: Path)
+      (attempt: Option[Long] => Either[A, (Seq[String], A)])
+      : (Option[Long], A) = {
+    var tries = 0
+    while (tries < MaxRebaseRetries) {
+      val base = currentVersion(fs, rootP)
+      attempt(base) match {
+        case Left(out) => return (None, out)
+        case Right((lines, out)) =>
+          publishValidated(fs, rootP, base, lines) match {
+            case Committed(v) => return (Some(v), out)
+            case Conflicted => tries += 1
+          }
+      }
+    }
+    sys.error(s"SnapshotTable: a read-merge-commit cycle at $rootP " +
+      s"lost the commit race $MaxRebaseRetries times in a row — " +
+      "another writer is committing continuously; back off or " +
+      "serialize the cyclers")
   }
 
   /** Commit `df` as the next FULL snapshot (replace semantics — the
@@ -549,30 +665,35 @@ object SnapshotTable {
              bloomCols: Seq[String] = Nil,
              bloomBits: Int = DefaultBloomBits): Long = {
     val (fs, rootP) = fsOf(spark, root)
-    val cur = currentVersion(fs, rootP)
-    cur.foreach { v =>
-      // compare (name, type) pairs, not just names: a same-named
-      // column of a different type (k long -> k string) is exactly the
-      // mixed-schema manifest this guard exists to prevent — which
-      // file Spark samples would decide the read schema
-      def sig(s: org.apache.spark.sql.types.StructType): Seq[String] =
-        s.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
-          .sorted.toSeq
-      val have = sig(readVersion(spark, root, v).schema)
-      val got = sig(df.schema)
-      require(have == got,
-        s"SnapshotTable.append: schema mismatch — snapshot v$v has " +
-          s"(${have.mkString(",")}) but the appended frame has " +
-          s"(${got.mkString(",")}); a mixed-schema manifest reads " +
-          "nondeterministically, so evolve the schema with " +
-          "evolveAddColumns / a full commit instead")
+    // the new data files don't depend on the base version — write them
+    // ONCE; only the manifest union re-runs on a rebase (an append is
+    // a read-modify-write of the file LIST, so it validates like the
+    // cycles: two concurrent appends must both survive into the tip)
+    val newEntries = writeDataFiles(spark, fs, rootP, df, statsCols,
+      categoryCols, bloomCols, bloomBits)
+    val (v, base) = rebaseLoop(fs, rootP) { base =>
+      base.foreach { bv =>
+        // compare (name, type) pairs, not just names: a same-named
+        // column of a different type (k long -> k string) is exactly
+        // the mixed-schema manifest this guard exists to prevent —
+        // which file Spark samples would decide the read schema
+        def sig(s: org.apache.spark.sql.types.StructType): Seq[String] =
+          s.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+            .sorted.toSeq
+        val have = sig(readVersion(spark, root, bv).schema)
+        val got = sig(df.schema)
+        require(have == got,
+          s"SnapshotTable.append: schema mismatch — snapshot v$bv has " +
+            s"(${have.mkString(",")}) but the appended frame has " +
+            s"(${got.mkString(",")}); a mixed-schema manifest reads " +
+            "nondeterministically, so evolve the schema with " +
+            "evolveAddColumns / a full commit instead")
+      }
+      val prior = base.map(readManifest(fs, rootP, _)).getOrElse(Nil)
+      Right((prior ++ newEntries, base))
     }
-    val prior = cur.map(readManifest(fs, rootP, _)).getOrElse(Nil)
-    val v = publish(fs, rootP,
-      prior ++ writeDataFiles(spark, fs, rootP, df, statsCols, categoryCols,
-        bloomCols, bloomBits))
-    if (changeKeys.nonEmpty) recordChanges(spark, root, cur, v, changeKeys)
-    v
+    if (changeKeys.nonEmpty) recordChanges(spark, root, base, v.get, changeKeys)
+    v.get
   }
 
   /** Schema evolution as a MIGRATION COMMIT — the exit ramp for
@@ -738,24 +859,35 @@ object SnapshotTable {
     * (last-writer-wins per key across cycles, deterministic
     * first-writer-wins by `tieBreak` within a cycle) on the
     * snapshot-committed layout: merge the batch with the CURRENT
-    * snapshot, commit the merge as the next version. Idempotent in
-    * content: re-delivering a cycle (foreachBatch's at-least-once
-    * crash replay) publishes a new version with IDENTICAL rows.
-    * Concurrent readers keep their pinned snapshot throughout. */
+    * snapshot, commit the merge as the next version, VALIDATED —
+    * concurrent cyclers rebase instead of losing the earlier merge.
+    * Idempotent in content: re-delivering a cycle (foreachBatch's
+    * at-least-once crash replay) publishes a new version with
+    * IDENTICAL rows. Concurrent readers keep their pinned snapshot
+    * throughout.
+    *
+    * WRITE AMPLIFICATION, named: this path REWRITES the whole merged
+    * table every cycle — the right shape when a cycle also wants a
+    * fresh global layout (stats re-clustered), and an O(table) cost
+    * everywhere else. The scale path is [[upsertTargeted]], which
+    * rewrites only the files actually holding batch keys. */
   def upsertCycle(batch: DataFrame, root: String, keys: Seq[String],
                   tieBreak: Seq[org.apache.spark.sql.Column] = Nil,
                   statsCols: Seq[String] = Nil,
                   trackChanges: Boolean = false): Long = {
     val spark = batch.sparkSession
     val (fs, rootP) = fsOf(spark, root)
-    val merged = currentVersion(fs, rootP) match {
-      case Some(v) =>
-        graft.operators.Components.mergeFirstWriterWins(
-          Seq(batch, readVersion(spark, root, v)), keys, tieBreak)
-      case None => batch
+    val (v, base) = rebaseLoop(fs, rootP) { base =>
+      val merged = base match {
+        case Some(bv) =>
+          graft.operators.Components.mergeFirstWriterWins(
+            Seq(batch, readVersion(spark, root, bv)), keys, tieBreak)
+        case None => batch
+      }
+      Right((writeDataFiles(spark, fs, rootP, merged, statsCols), base))
     }
-    commit(spark, root, merged, statsCols,
-      changeKeys = if (trackChanges) keys else Nil)
+    if (trackChanges) recordChanges(spark, root, base, v.get, keys)
+    v.get
   }
 
   /** Streaming upsert sink on the snapshot layout — the production
@@ -803,34 +935,44 @@ object SnapshotTable {
                   bloomBits: Int = DefaultBloomBits): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.input_file_name
     val (fs, rootP) = fsOf(spark, root)
-    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
-      s"SnapshotTable at $root has no committed snapshot to delete from"))
-    val entries = readManifest(fs, rootP, v)
-    val paths = entries.map(e => new Path(rootP, entryPath(e)).toString)
-    // part-file names carry a UUID, so the base name is a unique key
-    val hit = spark.read.parquet(paths: _*)
-      .filter(condition)
-      .select(input_file_name().as("__f"))
-      .distinct().collect()
-      .map(r => new Path(r.getString(0)).getName).toSet
-    val (touched, untouched) =
-      entries.partition(e => hit.contains(new Path(entryPath(e)).getName))
-    if (touched.isEmpty) return (v, 0, untouched.size)
-    // survivors are the rows where the predicate is NOT TRUE — a row
-    // where the condition evaluates to NULL (e.g. a null in the probed
-    // column) was not asked to be deleted, and `!condition` would be
-    // NULL too, silently dropping it from the rewrite (and the change
-    // feed would then propagate that loss to CDC consumers); Delta's
-    // copy-on-write delete keeps not-true rows for exactly this reason
-    val survivors = spark.read.parquet(
-        touched.map(e => new Path(rootP, entryPath(e)).toString): _*)
-      .filter(!org.apache.spark.sql.functions.coalesce(
-        condition, org.apache.spark.sql.functions.lit(false)))
-    val newEntries = writeDataFiles(spark, fs, rootP, survivors,
-      statsCols, categoryCols, bloomCols, bloomBits)
-    val nv = publish(fs, rootP, untouched ++ newEntries)
-    if (changeKeys.nonEmpty) recordChanges(spark, root, Some(v), nv, changeKeys)
-    (nv, touched.size, untouched.size)
+    val (nv, out) = rebaseLoop[(Long, Int, Int)](fs, rootP) { base =>
+      val bv = base.getOrElse(throw new IllegalStateException(
+        s"SnapshotTable at $root has no committed snapshot to delete from"))
+      val entries = readManifest(fs, rootP, bv)
+      val paths = entries.map(e => new Path(rootP, entryPath(e)).toString)
+      // part-file names carry a UUID, so the base name is a unique key
+      val hit = spark.read.parquet(paths: _*)
+        .filter(condition)
+        .select(input_file_name().as("__f"))
+        .distinct().collect()
+        .map(r => new Path(r.getString(0)).getName).toSet
+      val (touched, untouched) =
+        entries.partition(e => hit.contains(new Path(entryPath(e)).getName))
+      if (touched.isEmpty) Left((bv, 0, untouched.size))
+      else {
+        // survivors are the rows where the predicate is NOT TRUE — a
+        // row where the condition evaluates to NULL (e.g. a null in
+        // the probed column) was not asked to be deleted, and
+        // `!condition` would be NULL too, silently dropping it from
+        // the rewrite (and the change feed would then propagate that
+        // loss to CDC consumers); Delta's copy-on-write delete keeps
+        // not-true rows for exactly this reason
+        val survivors = spark.read.parquet(
+            touched.map(e => new Path(rootP, entryPath(e)).toString): _*)
+          .filter(!org.apache.spark.sql.functions.coalesce(
+            condition, org.apache.spark.sql.functions.lit(false)))
+        val newEntries = writeDataFiles(spark, fs, rootP, survivors,
+          statsCols, categoryCols, bloomCols, bloomBits)
+        Right((untouched ++ newEntries, (bv, touched.size, untouched.size)))
+      }
+    }
+    val (bv, touchedN, untouchedN) = out
+    nv match {
+      case Some(v) =>
+        if (changeKeys.nonEmpty) recordChanges(spark, root, Some(bv), v, changeKeys)
+        (v, touchedN, untouchedN)
+      case None => (bv, touchedN, untouchedN)
+    }
   }
 
   /** The newest version committed AT OR BEFORE `asOfMs` — wall-clock
@@ -989,16 +1131,19 @@ object SnapshotTable {
     val ups = derive(net.filter(col("change") =!= "delete")
       .drop("change", "version"))
     val (fs, rootP) = fsOf(spark, root)
-    val merged = currentVersion(fs, rootP) match {
-      case Some(v) =>
-        // drop EVERY batch key from the view (deletes never return,
-        // upserts come back transformed), keep untouched keys as-is
-        readVersion(spark, root, v)
-          .join(net.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(ups)
-      case None => ups
+    val (v, _) = rebaseLoop[Unit](fs, rootP) { base =>
+      val merged = base match {
+        case Some(bv) =>
+          // drop EVERY batch key from the view (deletes never return,
+          // upserts come back transformed), keep untouched keys as-is
+          readVersion(spark, root, bv)
+            .join(net.select(keys.map(col): _*), keys, "left_anti")
+            .unionByName(ups)
+        case None => ups
+      }
+      Right((writeDataFiles(spark, fs, rootP, merged, Nil), ()))
     }
-    commit(spark, root, merged)
+    v.get
   }
 
   /** Z-ORDERED commit: [[Catalog.writeZOrdered]]'s layout trick
@@ -1046,15 +1191,19 @@ object SnapshotTable {
                       targetFileBytes: Long = 256L * 1024 * 1024,
                       statsCols: Seq[String] = Nil): Option[Long] = {
     val (fs, rootP) = fsOf(spark, root)
-    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
-      s"SnapshotTable at $root has no committed snapshot to compact"))
-    val entries = readManifest(fs, rootP, v)
-    val paths = entries.map(e => new Path(rootP, entryPath(e)))
-    val totalBytes = paths.map(p => fs.getFileStatus(p).getLen).sum
-    val want = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    if (entries.size <= want) None
-    else Some(commit(spark, root,
-      readVersion(spark, root, v).coalesce(want), statsCols))
+    val (v, _) = rebaseLoop[Unit](fs, rootP) { base =>
+      val bv = base.getOrElse(throw new IllegalStateException(
+        s"SnapshotTable at $root has no committed snapshot to compact"))
+      val entries = readManifest(fs, rootP, bv)
+      val paths = entries.map(e => new Path(rootP, entryPath(e)))
+      val totalBytes = paths.map(p => fs.getFileStatus(p).getLen).sum
+      val want = math.max(1,
+        math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      if (entries.size <= want) Left(())
+      else Right((writeDataFiles(spark, fs, rootP,
+        readVersion(spark, root, bv).coalesce(want), statsCols), ()))
+    }
+    v
   }
 
   /** Row-level CHANGELOG between two committed snapshots — the "what

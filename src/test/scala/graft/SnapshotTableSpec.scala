@@ -433,6 +433,89 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!fs.exists(new Path(root, "_manifests/v000000002.lock")))
   }
 
+  test("validated cycles serialize: two concurrent upsertCyclers rebase " +
+      "instead of losing the earlier merge — zero lost rows and a " +
+      "gap-free version sequence") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((0L, "base")).toDF("k", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def cycler(tag: String, ks: Range) = scala.concurrent.Future {
+      ks.foreach { i =>
+        SnapshotTable.upsertCycle(
+          Seq((i.toLong, tag)).toDF("k", "v"), root, Seq("k"))
+      }
+    }
+    val fa = cycler("a", 1 to 5); val fb = cycler("b", 11 to 15)
+    scala.concurrent.Await.result(fa,
+      scala.concurrent.duration.Duration(300, "s"))
+    scala.concurrent.Await.result(fb,
+      scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    // the lost-update shape this protocol closes: pre-validation, a
+    // cycler merging against a stale base would drop the other's keys
+    val want = Set(0L -> "base") ++
+      (1 to 5).map(i => i.toLong -> "a") ++
+      (11 to 15).map(i => i.toLong -> "b")
+    assert(rows(SnapshotTable.read(spark, root)) == want,
+      "a concurrent cycler's merge was lost")
+    // validated publishes land at exactly base+1: no version holes
+    assert(SnapshotTable.versions(spark, root) == (1L to 11L))
+  }
+
+  test("a crashed claim at base+1 wedges validated cycles LOUDLY with " +
+      "remediation, never as a silent skip; an unvalidated commit can " +
+      "skip past the hole and cycles then resume") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // forge a committer that claimed v2 and crashed before renaming
+    fs.create(new Path(root, "_manifests/v000000002.lock"), false).close()
+    val e = intercept[RuntimeException] {
+      SnapshotTable.upsertCycle(
+        Seq((2L, "b")).toDF("k", "v"), root, Seq("k"))
+    }
+    assert(e.getMessage.contains("no manifest appeared"),
+      s"wrong failure: ${e.getMessage}")
+    // the documented escape hatch: an unvalidated commit skips the
+    // hole, and the next validated cycle proceeds from the new tip
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    val v = SnapshotTable.upsertCycle(
+      Seq((2L, "b")).toDF("k", "v"), root, Seq("k"))
+    assert(v == 4L && rows(SnapshotTable.read(spark, root)) ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("concurrent appends both survive into the tip: the manifest " +
+      "union is a read-modify-write, so appends validate and rebase " +
+      "like cycles") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, Seq((0L, "base")).toDF("k", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def appender(tag: String, ks: Range) = scala.concurrent.Future {
+      ks.foreach { i =>
+        SnapshotTable.append(spark, root,
+          Seq((i.toLong, tag)).toDF("k", "v"))
+      }
+    }
+    val fa = appender("a", 1 to 4); val fb = appender("b", 11 to 14)
+    scala.concurrent.Await.result(fa,
+      scala.concurrent.duration.Duration(300, "s"))
+    scala.concurrent.Await.result(fb,
+      scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    val want = Set(0L -> "base") ++
+      (1 to 4).map(i => i.toLong -> "a") ++
+      (11 to 14).map(i => i.toLong -> "b")
+    assert(rows(SnapshotTable.read(spark, root)) == want,
+      "a concurrent append's files were dropped from the tip")
+    assert(SnapshotTable.versions(spark, root) == (1L to 9L))
+  }
+
   test("append refuses a same-named column of a DIFFERENT type — the " +
       "mixed-schema manifest a name-only check would let through") {
     val root = freshRoot()
