@@ -8967,6 +8967,60 @@ object Queries {
              |  (SELECT min(event_id) FROM events WHERE user_id < 200)""".stripMargin)
     )),
 
+    // TARGETED KEYED UPSERT under the hard gate — upsertCycle's merge
+    // semantics WITHOUT its O(table) write amplification: a re-crawl
+    // batch revising one source's docs rewrites ONLY the files whose
+    // keys it hits (deleteWhere's manifest-prune + targeted-COW
+    // discipline applied to the merge). In-query requires prove the
+    // copy-on-write shape (some rewritten, some kept), that every
+    // untouched v1 file is referenced BY NAME in v2's manifest, and
+    // that the batch-scoped change feed carries only the revised
+    // keys' updates. The oracle is the merged table — a dropped
+    // bystander row from a rewritten file, a stale kept row, or a
+    // missed batch key hash-mismatches.
+    "q_snapshot_upsert_targeted" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("n_chars"))
+          .repartition(8, col("source"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapupsert_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, base,
+          categoryCols = Seq("source"), changeKeys = Seq("doc_id"))
+        val batch = Tables.documents(s, dir)
+          .filter(col("source") === "src3")
+          .select(col("doc_id"), col("source"),
+            (col("n_chars").cast("long") + 1000L).as("n_chars"))
+        val (v2, rew, kept) = graft.core.SnapshotTable.upsertTargeted(
+          batch, root, Seq("doc_id"),
+          categoryCols = Seq("source"), trackChanges = true)
+        require(v2 == 2L && rew >= 1 && kept >= 1,
+          s"targeted COW did not hold: v$v2 rewrote $rew, kept $kept")
+        def files(v: Long) = graft.core.SnapshotTable
+          .readVersion(s, root, v).select(input_file_name())
+          .distinct().collect().map(_.getString(0)).toSet
+        val verbatim = (files(1L) intersect files(2L)).size
+        // input_file_name() cannot observe zero-row part files (empty
+        // hash partitions) — they are untouched by construction (no
+        // rows, no keys), so account for them via the manifest count
+        val zeroRow = graft.core.SnapshotTable.history(s, root)
+          .filter(col("version") === 1L).select("n_files")
+          .head().getInt(0) - files(1L).size
+        require(verbatim == kept - zeroRow,
+          s"expected ${kept - zeroRow} untouched v1 files referenced " +
+            s"verbatim in v2, found $verbatim")
+        val feed = graft.core.SnapshotTable.readChanges(s, root, 1L)
+        require(feed.filter(col("change") =!= "update").count() == 0L,
+          "the targeted upsert's changelog carried non-update rows")
+        graft.core.SnapshotTable.read(s, root)
+      },
+      Some("""SELECT doc_id, source,
+             |  CAST(CASE WHEN source = 'src3' THEN n_chars + 1000
+             |       ELSE n_chars END AS BIGINT) AS n_chars
+             |FROM documents""".stripMargin)
+    )),
+
     // COPY-ON-WRITE DELETE under the hard gate — right-to-be-forgotten
     // on the snapshot format: documents commit clustered on source
     // with category stats, then deleteWhere(source='src3') rewrites
@@ -8994,6 +9048,47 @@ object Queries {
         val nonDeletes = feed.filter(col("change") =!= "delete").count()
         require(nonDeletes == 0,
           s"the delete's changelog carried $nonDeletes non-delete rows")
+        graft.core.SnapshotTable.read(s, root)
+      },
+      Some("""SELECT doc_id, source, n_chars FROM documents
+             |WHERE source <> 'src3'""".stripMargin)
+    )),
+
+    // MERGE-ON-READ DELETE (deletion vectors) under the hard gate —
+    // the scattered-delete complement of q_snapshot_delete's
+    // copy-on-write: the SAME predicate deletes with ZERO data-file
+    // rewrites — matching rows land as positional tombstones in a
+    // _dv/ sidecar and every read anti-joins them out (Delta DVs /
+    // Iceberg v2 position deletes on the house format). In-query
+    // requires prove the zero-rewrite shape (v2's manifest = v1's
+    // data entries + exactly the new DV files, via history's file
+    // counts) and a pure-delete changelog; the oracle is the
+    // surviving table, so a tombstone mapped to the wrong row
+    // ordinal, a resurrected row, or an over-wide match
+    // hash-mismatches against the COW twin's own oracle.
+    "q_snapshot_delete_dv" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .repartition(8, col("source"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapdeletedv_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, base,
+          categoryCols = Seq("source"), changeKeys = Seq("doc_id"))
+        val (v2, n, dvFiles) = graft.core.SnapshotTable.deleteWhereDV(
+          s, root, col("source") === "src3", changeKeys = Seq("doc_id"))
+        require(v2 == 2L && n >= 1 && dvFiles >= 1,
+          s"merge-on-read did not hold: v$v2 tombstoned $n in $dvFiles files")
+        val nf = graft.core.SnapshotTable.history(s, root)
+          .select("version", "n_files").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        require(nf(2L) == nf(1L) + dvFiles,
+          s"expected zero data rewrites: v1 ${nf(1L)} files, " +
+            s"v2 ${nf(2L)} with $dvFiles DV sidecars")
+        val feed = graft.core.SnapshotTable.readChanges(s, root, 1L)
+        require(feed.count() == n &&
+            feed.filter(col("change") =!= "delete").count() == 0L,
+          "the DV delete's changelog was not exactly the tombstoned rows")
         graft.core.SnapshotTable.read(s, root)
       },
       Some("""SELECT doc_id, source, n_chars FROM documents

@@ -18,8 +18,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   <root>/_manifests/v%09d.manifest            one data-file entry per line
   *   <root>/_manifests/v%09d.lock                exclusive version claims (see CONCURRENCY)
   *   <root>/_changes/v%09d.changes/part-*.parquet  stored change feed (tracked commits only)
+  *   <root>/_dv/<commit-nonce>/part-*.parquet    deletion-vector sidecars ([[deleteWhereDV]])
   *   <root>/_staging/...                         in-flight writes (orphaned by a crash)
   * }}}
+  *
+  * DELETES come in both industry shapes: [[deleteWhere]] is
+  * copy-on-write (rewrites only the files holding matching rows —
+  * right when deletes cluster with the layout), [[deleteWhereDV]] is
+  * merge-on-read (positional tombstones in a `_dv/` sidecar, zero
+  * data-file rewrites — right for scattered point deletes), and
+  * [[compactSnapshot]] folds tombstones back into clean files.
   *
   * A manifest ENTRY is the file's root-relative path, optionally
   * followed by TAB + per-column stats sections, comma-joined:
@@ -121,6 +129,7 @@ object SnapshotTable {
   private val StagingDir = "_staging"
   private val DataDir = "data"
   private val ChangesDir = "_changes"
+  private val DvDir = "_dv"
   private val ManifestRe = """v(\d{9})\.manifest""".r
   private val LockRe = """v(\d{9})\.lock""".r
   private val ChangesRe = """v(\d{9})\.changes""".r
@@ -179,12 +188,69 @@ object SnapshotTable {
     }.toSeq.sorted
   }
 
+  /** (name, type) schema signature for compatibility checks — a
+    * same-named column of a DIFFERENT type is exactly the
+    * mixed-schema manifest these guards exist to prevent (which file
+    * Spark samples would decide the read schema); column ORDER is
+    * free (parquet reads match by name). */
+  private def schemaSig(s: org.apache.spark.sql.types.StructType): Seq[String] =
+    s.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+      .sorted.toSeq
+
   /** A manifest entry's root-relative file path (the part before the
     * optional TAB-separated stats). */
   private def entryPath(line: String): String = {
     val t = line.indexOf('\t')
     if (t < 0) line else line.substring(0, t)
   }
+
+  /** Split manifest entries into (data entries, deletion-vector
+    * entries). DV entries are ordinary manifest lines whose path
+    * lives under `_dv/` — committed, time-traveled and vacuumed like
+    * data, but applied as tombstones at read time instead of scanned
+    * as rows (see [[deleteWhereDV]]). */
+  private def splitEntries(entries: Seq[String]): (Seq[String], Seq[String]) =
+    entries.partition(e => !entryPath(e).startsWith(s"$DvDir/"))
+
+  /** Read `dataEntries` with positional identity attached —
+    * `__graft_fn` (file base name; part names carry a UUID, so it is
+    * unique) and `__graft_ri` (row ordinal within the file, parquet's
+    * `_metadata.row_index`) — and `dvEntries`' tombstones already
+    * EXCLUDED via one anti-join on that identity (the DV side is tiny
+    * relative to data, so AQE broadcasts it). The core of every
+    * DV-aware read; callers drop the identity columns unless they
+    * need them (hit detection, tombstone writing). */
+  private def readWithPos(spark: SparkSession, rootP: Path,
+                          dataEntries: Seq[String],
+                          dvEntries: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val data = spark.read.parquet(
+        dataEntries.map(e => new Path(rootP, entryPath(e)).toString): _*)
+      .select(col("*"),
+        element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as("__graft_fn"),
+        col("_metadata.row_index").as("__graft_ri"))
+    if (dvEntries.isEmpty) data
+    else data.join(
+      spark.read.parquet(
+          dvEntries.map(e => new Path(rootP, entryPath(e)).toString): _*)
+        .select(col("file_name").as("__graft_fn"),
+          col("row_index").as("__graft_ri")),
+      Seq("__graft_fn", "__graft_ri"), "left_anti")
+  }
+
+  /** Read `dataEntries` as plain rows with `dvEntries` applied. The
+    * DV-free path stays a bare parquet scan — no metadata columns, no
+    * join — so tables that never used [[deleteWhereDV]] keep their
+    * exact pre-DV plans. */
+  private def readEntriesWithDv(spark: SparkSession, rootP: Path,
+                                dataEntries: Seq[String],
+                                dvEntries: Seq[String]): DataFrame =
+    if (dvEntries.isEmpty)
+      spark.read.parquet(
+        dataEntries.map(e => new Path(rootP, entryPath(e)).toString): _*)
+    else readWithPos(spark, rootP, dataEntries, dvEntries)
+      .drop("__graft_fn", "__graft_ri")
 
   /** A manifest entry's recorded per-column (min, max) long stats —
     * empty for entries written without `statsCols`. An empty bound
@@ -290,13 +356,14 @@ object SnapshotTable {
         s"SnapshotTable at $root has no committed manifest v$v " +
           "(never committed, or vacuumed past)")
     val files = readManifest(fs, rootP, v)
-    if (files.isEmpty)
+    val (dataE, dvE) = splitEntries(files)
+    if (dataE.isEmpty)
       // unreachable by construction: even an empty-DataFrame commit
       // publishes a schema-only part file (publish() requires it), so
-      // a fileless manifest can only mean external tampering
+      // a dataless manifest can only mean external tampering
       throw new IllegalStateException(
-        s"SnapshotTable at $root: manifest v$v lists no files")
-    spark.read.parquet(files.map(f => new Path(rootP, entryPath(f)).toString): _*)
+        s"SnapshotTable at $root: manifest v$v lists no data files")
+    readEntriesWithDv(spark, rootP, dataE, dvE)
   }
 
   /** Write `df`'s parquet files under a fresh unreferenced data
@@ -464,17 +531,20 @@ object SnapshotTable {
     }
 
   /** Write `lines` to a temp manifest and atomically rename it onto
-    * version `v` (which the caller must have claimed); returns the
-    * READ-BACK lines. On HDFS/POSIX the claim rules out a collision,
-    * so the read-back always matches. On a filesystem whose
-    * create(overwrite=false) is a non-atomic exists-then-create
-    * (Hadoop's RawLocal/ChecksumFileSystem), two committers can both
-    * "claim" the same number and the later rename replaces the
-    * earlier manifest — the loser sees foreign content in the
-    * read-back, meaning its own content was never published, and must
-    * retry. */
+    * version `v` (which the caller must have claimed); returns
+    * whether OUR content is what got published. On HDFS/POSIX the
+    * claim rules out a collision, so this is always true. On a
+    * filesystem whose create(overwrite=false) is a non-atomic
+    * exists-then-create (Hadoop's RawLocal/ChecksumFileSystem), two
+    * committers can both "claim" the same number — depending on the
+    * store's rename semantics the loser either fails the rename
+    * (target already exists) or replaces-and-is-replaced; both
+    * surface here as `false` (rename-refused with an existing target,
+    * or a foreign read-back), meaning our content was never
+    * published and the caller must retry. A rename failure with NO
+    * target present is a genuine environment fault and stays loud. */
   private def renameIntoManifest(fs: FileSystem, rootP: Path, v: Long,
-                                 lines: Seq[String]): Seq[String] = {
+                                 lines: Seq[String]): Boolean = {
     val body = lines.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = new Path(new Path(rootP, ManifestDir),
@@ -484,12 +554,13 @@ object SnapshotTable {
     val target = manifestPath(rootP, v)
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
+      if (fs.exists(target)) return false // a same-number racer won
       sys.error(s"SnapshotTable: rename of the claimed manifest " +
-        s"v$v failed at $rootP — the claim rules out a version " +
-        "collision, so this is an environment fault (permissions, " +
-        "filesystem), not a race; nothing was published")
+        s"v$v failed at $rootP with no competing manifest present — " +
+        "an environment fault (permissions, filesystem), not a race; " +
+        "nothing was published")
     }
-    readManifest(fs, rootP, v)
+    readManifest(fs, rootP, v) == lines
   }
 
   /** Publish `lines` as the next manifest. Returns the committed
@@ -517,7 +588,7 @@ object SnapshotTable {
       // never re-grantable, and vacuum only reclaims locks at or
       // below the committed tip (next is above it)
       if (claimVersion(fs, rootP, next) &&
-          renameIntoManifest(fs, rootP, next, lines) == lines)
+          renameIntoManifest(fs, rootP, next, lines))
         return next
       attempt += 1
     }
@@ -583,10 +654,10 @@ object SnapshotTable {
         "commit/append can skip past the hole, at the cost of the " +
         "lost-update check)")
     }
-    // claimed base+1: rename and read back. A mismatch means a
-    // best-effort-local-FS racer replaced our manifest — our content
+    // claimed base+1: rename and read back. A non-publish means a
+    // best-effort-local-FS racer beat us to the number — our content
     // was never published, so rebase like any other conflict.
-    if (renameIntoManifest(fs, rootP, want, lines) == lines)
+    if (renameIntoManifest(fs, rootP, want, lines))
       Committed(want)
     else Conflicted
   }
@@ -673,15 +744,8 @@ object SnapshotTable {
       categoryCols, bloomCols, bloomBits)
     val (v, base) = rebaseLoop(fs, rootP) { base =>
       base.foreach { bv =>
-        // compare (name, type) pairs, not just names: a same-named
-        // column of a different type (k long -> k string) is exactly
-        // the mixed-schema manifest this guard exists to prevent —
-        // which file Spark samples would decide the read schema
-        def sig(s: org.apache.spark.sql.types.StructType): Seq[String] =
-          s.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
-            .sorted.toSeq
-        val have = sig(readVersion(spark, root, bv).schema)
-        val got = sig(df.schema)
+        val have = schemaSig(readVersion(spark, root, bv).schema)
+        val got = schemaSig(df.schema)
         require(have == got,
           s"SnapshotTable.append: schema mismatch — snapshot v$bv has " +
             s"(${have.mkString(",")}) but the appended frame has " +
@@ -739,12 +803,13 @@ object SnapshotTable {
     val (fs, rootP) = fsOf(spark, root)
     val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
       s"SnapshotTable at $root has no committed snapshot"))
-    val kept = prunedEntries(readManifest(fs, rootP, v), colName, lo, hi)
+    val (dataE, dvE) = splitEntries(readManifest(fs, rootP, v))
+    val kept = prunedEntries(dataE, colName, lo, hi)
     if (kept.isEmpty)
       // all files pruned: an empty result with the right schema —
       // read one file's schema via the full version, filtered to false
       return readVersion(spark, root, v).limit(0)
-    spark.read.parquet(kept.map(f => new Path(rootP, entryPath(f)).toString): _*)
+    readEntriesWithDv(spark, rootP, kept, dvE)
   }
 
   /** (total files, files kept) for a [[scanPruned]] predicate on the
@@ -754,7 +819,7 @@ object SnapshotTable {
     val (fs, rootP) = fsOf(spark, root)
     val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
       s"SnapshotTable at $root has no committed snapshot"))
-    val all = readManifest(fs, rootP, v)
+    val all = splitEntries(readManifest(fs, rootP, v))._1
     (all.size, prunedEntries(all, colName, lo, hi).size)
   }
 
@@ -784,9 +849,10 @@ object SnapshotTable {
     val (fs, rootP) = fsOf(spark, root)
     val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
       s"SnapshotTable at $root has no committed snapshot"))
-    val kept = prunedEntriesEq(readManifest(fs, rootP, v), colName, value)
+    val (dataE, dvE) = splitEntries(readManifest(fs, rootP, v))
+    val kept = prunedEntriesEq(dataE, colName, value)
     if (kept.isEmpty) return readVersion(spark, root, v).limit(0)
-    spark.read.parquet(kept.map(f => new Path(rootP, entryPath(f)).toString): _*)
+    readEntriesWithDv(spark, rootP, kept, dvE)
   }
 
   /** (total files, files kept) for a [[scanPrunedEq]] probe. */
@@ -795,7 +861,7 @@ object SnapshotTable {
     val (fs, rootP) = fsOf(spark, root)
     val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
       s"SnapshotTable at $root has no committed snapshot"))
-    val all = readManifest(fs, rootP, v)
+    val all = splitEntries(readManifest(fs, rootP, v))._1
     (all.size, prunedEntriesEq(all, colName, value).size)
   }
 
@@ -829,9 +895,10 @@ object SnapshotTable {
     val (fs, rootP) = fsOf(spark, root)
     val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
       s"SnapshotTable at $root has no committed snapshot"))
-    val kept = prunedEntriesBloom(readManifest(fs, rootP, v), colName, value)
+    val (dataE, dvE) = splitEntries(readManifest(fs, rootP, v))
+    val kept = prunedEntriesBloom(dataE, colName, value)
     if (kept.isEmpty) return readVersion(spark, root, v).limit(0)
-    spark.read.parquet(kept.map(f => new Path(rootP, entryPath(f)).toString): _*)
+    readEntriesWithDv(spark, rootP, kept, dvE)
   }
 
   /** (total files, files kept) for a [[scanPrunedBloom]] probe. */
@@ -840,7 +907,7 @@ object SnapshotTable {
     val (fs, rootP) = fsOf(spark, root)
     val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
       s"SnapshotTable at $root has no committed snapshot"))
-    val all = readManifest(fs, rootP, v)
+    val all = splitEntries(readManifest(fs, rootP, v))._1
     (all.size, prunedEntriesBloom(all, colName, value).size)
   }
 
@@ -890,12 +957,152 @@ object SnapshotTable {
     v.get
   }
 
+  /** How many distinct batch-key values [[upsertTargeted]] will
+    * collect to probe manifest Blooms driver-side. Probing costs
+    * files × keys × k bit tests on the driver — trivial under this
+    * cap, unbounded without one; a larger batch skips the Bloom
+    * pre-prune and relies on the scan-side semi-join. */
+  private val BloomProbeMaxKeys = 256
+
+  /** One incremental upsert cycle that rewrites ONLY the files
+    * actually holding batch keys — [[deleteWhere]]'s manifest-prune +
+    * targeted-copy-on-write discipline applied to the keyed merge,
+    * killing [[upsertCycle]]'s O(table) write amplification: a 1k-row
+    * micro-batch against a 100 TB table touches the handful of files
+    * its keys live in, appends the new-key rows as fresh files, and
+    * references every other entry VERBATIM with its stats preserved.
+    * Same semantics as [[upsertCycle]] (last-writer-wins per key
+    * across cycles, `tieBreak` first-writer-wins within the batch),
+    * same content-idempotence under at-least-once redelivery, same
+    * validated rebase-retry under concurrent cyclers.
+    *
+    * Finding the touched files is itself sublinear when the table has
+    * layout: per-file key ranges ([[scanPruned]]'s stats) bound the
+    * candidates when the batch's keys are long-castable, and recorded
+    * Blooms are probed driver-side for small batches (≤
+    * [[BloomProbeMaxKeys]] distinct keys). Without layout the
+    * hit-detection scan reads the candidates' KEY COLUMNS only
+    * (column-pruned) and semi-joins the batch — far cheaper than the
+    * full-rewrite it replaces, and the scan side Spark broadcasts the
+    * small batch under AQE. `trackChanges` records the change feed
+    * from the batch-scoped diff (O(batch + touched)), never a
+    * whole-table join.
+    *
+    * Returns (version, filesRewritten, filesKeptVerbatim). */
+  def upsertTargeted(batch: DataFrame, root: String, keys: Seq[String],
+                     tieBreak: Seq[org.apache.spark.sql.Column] = Nil,
+                     statsCols: Seq[String] = Nil,
+                     categoryCols: Seq[String] = Nil,
+                     bloomCols: Seq[String] = Nil,
+                     bloomBits: Int = DefaultBloomBits,
+                     trackChanges: Boolean = false): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "upsertTargeted needs merge keys")
+    val spark = batch.sparkSession
+    val (fs, rootP) = fsOf(spark, root)
+    // resolve within-batch duplicates ONCE, outside the rebase loop —
+    // the same (priority, tieBreak) ordering upsertCycle's merge uses
+    val resolved = graft.operators.Components
+      .mergeFirstWriterWins(Seq(batch), keys, tieBreak)
+    val batchKeys = resolved.select(keys.map(col): _*).distinct()
+    val (nv, out) =
+      rebaseLoop[(Long, Int, Int, () => DataFrame)](fs, rootP) {
+        case None =>
+          // first commit: the batch IS the table; the feed step is the
+          // batch as inserts
+          val lines = writeDataFiles(spark, fs, rootP, resolved,
+            statsCols, categoryCols, bloomCols, bloomBits)
+          val nonKeys = resolved.columns.filterNot(keys.contains).toSeq
+          Right((lines, (0L, 0, 0, () => resolved.select(
+            keys.map(col) ++ Seq(lit("insert").as("change")) ++
+              nonKeys.map(col): _*))))
+        case Some(bv) =>
+          val have = schemaSig(readVersion(spark, root, bv).schema)
+          val got = schemaSig(resolved.schema)
+          require(have == got,
+            s"upsertTargeted: schema mismatch — snapshot v$bv has " +
+              s"(${have.mkString(",")}) but the batch has " +
+              s"(${got.mkString(",")}); evolve with evolveAddColumns " +
+              "or a full commit first")
+          val (entries, dvE) = splitEntries(readManifest(fs, rootP, bv))
+          val keyCol = keys.head
+          // manifest pre-prune on the FIRST key: recorded ranges bound
+          // candidates when the batch's keys cast to long...
+          val rangeCands =
+            if (!entries.exists(e => entryStats(e).contains(keyCol))) entries
+            else {
+              val r = resolved.agg(min(col(keyCol).cast("long")),
+                max(col(keyCol).cast("long"))).head()
+              if (r.isNullAt(0) || r.isNullAt(1)) entries
+              else prunedEntries(entries, keyCol, r.getLong(0), r.getLong(1))
+            }
+          // ...and recorded Blooms prune point-wise for small batches
+          val cands =
+            if (!rangeCands.exists(e => entryBlooms(e).contains(keyCol)))
+              rangeCands
+            else {
+              val probe = resolved.select(col(keyCol).cast("string"))
+                .filter(col(keyCol).isNotNull)
+                .distinct().limit(BloomProbeMaxKeys + 1)
+                .collect().map(_.getString(0))
+              if (probe.length > BloomProbeMaxKeys) rangeCands
+              else rangeCands.filter { e =>
+                entryBlooms(e).get(keyCol) match {
+                  case Some((m, k, bits)) =>
+                    probe.exists(v => bloomBitsOf(v, m, k).forall(bits.get))
+                  case None => true
+                }
+              }
+            }
+          // hit detection: which candidate files actually HOLD a batch
+          // key — key columns only (column-pruned scan), semi-joined
+          // against the (small) batch key set; DV-aware, so a key that
+          // survives only as a tombstone cannot touch its file
+          val hit: Set[String] =
+            if (cands.isEmpty) Set.empty
+            else readWithPos(spark, rootP, cands, dvE)
+              .select(keys.map(col) :+ col("__graft_fn"): _*)
+              .join(batchKeys, keys, "left_semi")
+              .select("__graft_fn").distinct().collect()
+              .map(_.getString(0)).toSet
+          val (touched, untouched) =
+            entries.partition(e => hit.contains(new Path(entryPath(e)).getName))
+          val touchedRows =
+            if (touched.isEmpty) readVersion(spark, root, bv).limit(0)
+            else readEntriesWithDv(spark, rootP, touched, dvE)
+          // targeted merge: batch keys leave the touched files (the
+          // batch's row wins), everything else in them survives; the
+          // resolved batch lands as fresh files
+          val newData = touchedRows.join(batchKeys, keys, "left_anti")
+            .unionByName(resolved)
+          val newEntries = writeDataFiles(spark, fs, rootP, newData,
+            statsCols, categoryCols, bloomCols, bloomBits)
+          // the feed step is batch-scoped: old state of batch keys is
+          // exactly the touched files' matched rows (hit detection
+          // guarantees no other file holds a batch key); upserts never
+          // delete, so diffOf emits insert/update only
+          val prevMatched = touchedRows.join(batchKeys, keys, "left_semi")
+          Right((untouched ++ dvE ++ newEntries,
+            (bv, touched.size, untouched.size,
+              () => diffOf(prevMatched, resolved, keys))))
+      }
+    val (prevV, touchedN, untouchedN, stepThunk) = out
+    val v = nv.get
+    // base-version data files are immutable and outlive the commit, so
+    // evaluating the step lazily here still reads consistent state
+    if (trackChanges) recordChangesStep(spark, root, prevV, v, stepThunk())
+    (v, touchedN, untouchedN)
+  }
+
   /** Streaming upsert sink on the snapshot layout — the production
     * scale path [[graft.streaming.EventStreams.upsertSink]]'s scaladoc
     * pointed at: same foreachBatch merge semantics, but each
     * micro-batch COMMITS a snapshot instead of swapping the table
     * directory, so concurrent readers are isolated and history is
-    * queryable until vacuumed. */
+    * queryable until vacuumed. Routed through [[upsertTargeted]]:
+    * per-trigger cost is O(batch + touched files), never O(table) —
+    * a micro-batch sink that rewrote the whole table each trigger
+    * would be write-amplification-bound at fact scale. */
   def upsertSink(stream: DataFrame, root: String, checkpoint: String,
                  keys: Seq[String],
                  tieBreak: Seq[org.apache.spark.sql.Column] = Nil,
@@ -905,7 +1112,8 @@ object SnapshotTable {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertCycle(batch, root, keys, tieBreak, statsCols, trackChanges)
+        upsertTargeted(batch, root, keys, tieBreak, statsCols,
+          trackChanges = trackChanges)
         ()
       }
       .start()
@@ -933,21 +1141,22 @@ object SnapshotTable {
                   categoryCols: Seq[String] = Nil,
                   bloomCols: Seq[String] = Nil,
                   bloomBits: Int = DefaultBloomBits): (Long, Int, Int) = {
-    import org.apache.spark.sql.functions.input_file_name
+    import org.apache.spark.sql.functions._
     val (fs, rootP) = fsOf(spark, root)
     val (nv, out) = rebaseLoop[(Long, Int, Int)](fs, rootP) { base =>
       val bv = base.getOrElse(throw new IllegalStateException(
         s"SnapshotTable at $root has no committed snapshot to delete from"))
-      val entries = readManifest(fs, rootP, bv)
-      val paths = entries.map(e => new Path(rootP, entryPath(e)).toString)
-      // part-file names carry a UUID, so the base name is a unique key
-      val hit = spark.read.parquet(paths: _*)
+      val (dataE, dvE) = splitEntries(readManifest(fs, rootP, bv))
+      // DV-aware source: an already-tombstoned row can neither
+      // re-match (touching a file needlessly) nor resurrect into the
+      // rewrite. Part-file names carry a UUID, so the base name is a
+      // unique key.
+      val hit = readWithPos(spark, rootP, dataE, dvE)
         .filter(condition)
-        .select(input_file_name().as("__f"))
-        .distinct().collect()
-        .map(r => new Path(r.getString(0)).getName).toSet
+        .select(col("__graft_fn"))
+        .distinct().collect().map(_.getString(0)).toSet
       val (touched, untouched) =
-        entries.partition(e => hit.contains(new Path(entryPath(e)).getName))
+        dataE.partition(e => hit.contains(new Path(entryPath(e)).getName))
       if (touched.isEmpty) Left((bv, 0, untouched.size))
       else {
         // survivors are the rows where the predicate is NOT TRUE — a
@@ -957,13 +1166,16 @@ object SnapshotTable {
         // the rewrite (and the change feed would then propagate that
         // loss to CDC consumers); Delta's copy-on-write delete keeps
         // not-true rows for exactly this reason
-        val survivors = spark.read.parquet(
-            touched.map(e => new Path(rootP, entryPath(e)).toString): _*)
-          .filter(!org.apache.spark.sql.functions.coalesce(
-            condition, org.apache.spark.sql.functions.lit(false)))
+        val survivors = readEntriesWithDv(spark, rootP, touched, dvE)
+          .filter(!coalesce(condition, lit(false)))
         val newEntries = writeDataFiles(spark, fs, rootP, survivors,
           statsCols, categoryCols, bloomCols, bloomBits)
-        Right((untouched ++ newEntries, (bv, touched.size, untouched.size)))
+        // DV entries carry forward verbatim; tombstones naming the
+        // rewritten files go stale-but-harmless (those file names left
+        // the manifest, the anti-join matches nothing) until a
+        // compaction folds everything clean
+        Right((untouched ++ dvE ++ newEntries,
+          (bv, touched.size, untouched.size)))
       }
     }
     val (bv, touchedN, untouchedN) = out
@@ -972,6 +1184,84 @@ object SnapshotTable {
         if (changeKeys.nonEmpty) recordChanges(spark, root, Some(bv), v, changeKeys)
         (v, touchedN, untouchedN)
       case None => (bv, touchedN, untouchedN)
+    }
+  }
+
+  /** Row-level DELETE as MERGE-ON-READ deletion vectors — the
+    * complement of [[deleteWhere]]'s copy-on-write for the scattered-
+    * delete shape (GDPR keys spread across many fat files), where COW
+    * would rewrite a whole file per point delete: NO data file is
+    * rewritten at all. Matching rows are recorded as positional
+    * tombstones `(file_name, row_index)` in a small parquet sidecar
+    * under `_dv/`, referenced by the new manifest like any entry, and
+    * every read ([[read]]/[[readVersion]]/[[scanPruned]]*) anti-joins
+    * them out (Delta's deletion vectors / Iceberg v2 position deletes,
+    * on the house format). The read-side price is one broadcast
+    * anti-join per scan until [[compactSnapshot]] folds the tombstones
+    * back into clean data files; sidecars accumulate per delete, so
+    * compact on the same cadence as small files. Time travel, stats
+    * pruning (tombstoned rows only ever OVER-keep a file — the
+    * superset contract holds), the validated rebase loop and vacuum
+    * all compose unchanged. Rows where `condition` is NULL are kept,
+    * like [[deleteWhere]]. Non-empty `changeKeys` records the deleted
+    * rows in the change feed from the matched set — O(matched), never
+    * a table diff. Returns (version, tombstonedRows, dvFilesAdded) —
+    * the PRIOR version and zero counts when nothing matched. */
+  def deleteWhereDV(spark: SparkSession, root: String,
+                    condition: org.apache.spark.sql.Column,
+                    changeKeys: Seq[String] = Nil): (Long, Long, Int) = {
+    import org.apache.spark.sql.functions._
+    val (fs, rootP) = fsOf(spark, root)
+    val (nv, out) =
+      rebaseLoop[(Long, Long, Int, () => DataFrame)](fs, rootP) { base =>
+        val bv = base.getOrElse(throw new IllegalStateException(
+          s"SnapshotTable at $root has no committed snapshot to delete from"))
+        val (dataE, dvE) = splitEntries(readManifest(fs, rootP, bv))
+        // DV-aware matching: a row already tombstoned cannot be
+        // re-deleted (its change-feed row would double-retract)
+        val matched = readWithPos(spark, rootP, dataE, dvE)
+          .filter(condition)
+        // one sidecar file per delete operation: tombstones are tiny
+        // (two columns), and the repartition keeps the matching SCAN
+        // parallel while collapsing only the small write
+        val nonce = java.util.UUID.randomUUID().toString.take(12)
+        val staging = new Path(new Path(rootP, StagingDir), s"dv-$nonce")
+        matched.select(col("__graft_fn").as("file_name"),
+            col("__graft_ri").as("row_index"))
+          .repartition(1)
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(staging.toString)
+        val n = spark.read.parquet(staging.toString).count()
+        if (n == 0L) { fs.delete(staging, true); Left((bv, 0L, 0, null)) }
+        else {
+          val dvHome = new Path(new Path(rootP, DvDir), nonce)
+          fs.mkdirs(dvHome.getParent)
+          if (!fs.rename(staging, dvHome))
+            sys.error(s"SnapshotTable: could not move staged deletion " +
+              s"vector $staging into place at $dvHome")
+          val newDv = fs.listStatus(dvHome)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(st => s"$DvDir/$nonce/${st.getPath.getName}")
+            .sorted.toSeq
+          // feed step: the matched rows as deletes — lazy, and still
+          // consistent post-commit (base data files are immutable)
+          val step = () => {
+            val nonKeys = matched.columns
+              .filterNot(c => changeKeys.contains(c) ||
+                c == "__graft_fn" || c == "__graft_ri").toSeq
+            matched.select(changeKeys.map(col) ++
+              Seq(lit("delete").as("change")) ++ nonKeys.map(col): _*)
+          }
+          Right((dataE ++ dvE ++ newDv, (bv, n, newDv.size, step)))
+        }
+      }
+    val (bv, n, dvFiles, stepThunk) = out
+    nv match {
+      case Some(v) =>
+        if (changeKeys.nonEmpty)
+          recordChangesStep(spark, root, bv, v, stepThunk())
+        (v, n, dvFiles)
+      case None => (bv, n, dvFiles)
     }
   }
 
@@ -1123,7 +1413,11 @@ object SnapshotTable {
     * of consuming the feed instead of the table. */
   def applyChangesCycle(changes: DataFrame, root: String,
                         keys: Seq[String],
-                        derive: DataFrame => DataFrame): Long = {
+                        derive: DataFrame => DataFrame,
+                        statsCols: Seq[String] = Nil,
+                        categoryCols: Seq[String] = Nil,
+                        bloomCols: Seq[String] = Nil,
+                        bloomBits: Int = DefaultBloomBits): Long = {
     import org.apache.spark.sql.functions._
     val spark = changes.sparkSession
     val net = graft.operators.Components.mergeFirstWriterWins(
@@ -1141,7 +1435,11 @@ object SnapshotTable {
             .unionByName(ups)
         case None => ups
       }
-      Right((writeDataFiles(spark, fs, rootP, merged, Nil), ()))
+      // stats/category/bloom sections recorded per cycle, so the
+      // CDC-maintained view prunes like any hand-committed table —
+      // no dedicated stats pass needed downstream
+      Right((writeDataFiles(spark, fs, rootP, merged, statsCols,
+        categoryCols, bloomCols, bloomBits), ()))
     }
     v.get
   }
@@ -1194,12 +1492,15 @@ object SnapshotTable {
     val (v, _) = rebaseLoop[Unit](fs, rootP) { base =>
       val bv = base.getOrElse(throw new IllegalStateException(
         s"SnapshotTable at $root has no committed snapshot to compact"))
-      val entries = readManifest(fs, rootP, bv)
-      val paths = entries.map(e => new Path(rootP, entryPath(e)))
+      val (dataE, dvE) = splitEntries(readManifest(fs, rootP, bv))
+      val paths = dataE.map(e => new Path(rootP, entryPath(e)))
       val totalBytes = paths.map(p => fs.getFileStatus(p).getLen).sum
       val want = math.max(1,
         math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      if (entries.size <= want) Left(())
+      // deletion vectors FORCE a compaction pass even at a good file
+      // count: folding tombstones back into clean data files is the
+      // read-amplification payoff this operation exists for
+      if (dataE.size <= want && dvE.isEmpty) Left(())
       else Right((writeDataFiles(spark, fs, rootP,
         readVersion(spark, root, bv).coalesce(want), statsCols), ()))
     }
@@ -1226,7 +1527,6 @@ object SnapshotTable {
     * versions (small merges) rather than distant ones. */
   def diff(spark: SparkSession, root: String, vFrom: Long, vTo: Long,
            keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions._
     val a = readVersion(spark, root, vFrom)
     val b = readVersion(spark, root, vTo)
     require(a.columns.sorted.sameElements(b.columns.sorted),
@@ -1234,6 +1534,16 @@ object SnapshotTable {
         s"(${a.columns.sorted.mkString(",")}) and v$vTo " +
         s"(${b.columns.sorted.mkString(",")}) — diff a compatible pair " +
         "or migrate first")
+    diffOf(a, b, keys)
+  }
+
+  /** [[diff]]'s frame-level core — the keyed insert/update/delete
+    * changelog from `a` to `b`, for callers that already hold the two
+    * states (e.g. [[upsertTargeted]]'s batch-scoped step, where `a` is
+    * only the touched files' matched rows, never the table). */
+  private def diffOf(a: DataFrame, b: DataFrame, keys: Seq[String])
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
     val nonKeys = b.columns.filterNot(keys.contains).toSeq
     val aSide = a.select((keys.map(col) :+ lit(true).as("__a")) ++
       nonKeys.map(c => col(c).as(s"__a_$c")): _*)
@@ -1304,7 +1614,6 @@ object SnapshotTable {
                             prev: Option[Long], v: Long,
                             keys: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
-    val (fs, rootP) = fsOf(spark, root)
     val step = prev match {
       case Some(p) => diff(spark, root, p, v, keys)
       case None =>
@@ -1313,12 +1622,27 @@ object SnapshotTable {
         full.select(keys.map(col) ++ Seq(lit("insert").as("change")) ++
           nonKeys.map(col): _*)
     }
+    recordChangesStep(spark, root, prev.getOrElse(0L), v, step)
+  }
+
+  /** Store a PRECOMPUTED changelog step for commit `v` (diffed against
+    * `prevV`) — [[recordChanges]]' core, taken directly by callers
+    * that already know their change set ([[upsertTargeted]]'s step is
+    * O(batch + touched files), and re-deriving it through [[diff]]'s
+    * full-outer table join would reinstate exactly the O(table) read
+    * the targeted path exists to avoid). `step` must carry the feed
+    * shape `(keys..., change, non-keys...)`. */
+  private def recordChangesStep(spark: SparkSession, root: String,
+                                prevV: Long, v: Long,
+                                step: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val (fs, rootP) = fsOf(spark, root)
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val staging = new Path(new Path(rootP, StagingDir), s"chg-$nonce")
     step.withColumn("version", lit(v))
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(staging.toString)
-    fs.create(new Path(staging, s"_from-${prev.getOrElse(0L)}"), true).close()
+    fs.create(new Path(staging, s"_from-$prevV"), true).close()
     val target = changesPath(rootP, v)
     fs.mkdirs(target.getParent)
     if (!fs.rename(staging, target))
@@ -1443,6 +1767,14 @@ object SnapshotTable {
     if (fs.exists(dataHome)) fs.listStatus(dataHome).foreach { st =>
       val nonce = st.getPath.getName
       if (!referenced.exists(_.startsWith(s"$DataDir/$nonce/"))) {
+        fs.delete(st.getPath, true); dirsDeleted += 1
+      }
+    }
+    // deletion-vector sidecars sweep by the same nonce-directory rule
+    val dvHome = new Path(rootP, DvDir)
+    if (fs.exists(dvHome)) fs.listStatus(dvHome).foreach { st =>
+      val nonce = st.getPath.getName
+      if (!referenced.exists(_.startsWith(s"$DvDir/$nonce/"))) {
         fs.delete(st.getPath, true); dirsDeleted += 1
       }
     }

@@ -699,6 +699,189 @@ class SnapshotTableSpec extends SparkSpec {
       "the changelog propagated more than the requested delete")
   }
 
+  test("upsertTargeted rewrites ONLY files holding batch keys: result " +
+      "identical to upsertCycle's full merge, untouched entries " +
+      "referenced verbatim with stats preserved, and the stored feed " +
+      "step matches the full-diff feed") {
+    val rootT = freshRoot(); val rootC = freshRoot()
+    def mkBase() = spark.range(0, 64).toDF("i")
+      .select(col("i").cast("long").as("k"),
+        concat(lit("v"), col("i")).as("v"))
+      .repartitionByRange(4, col("k"))
+    SnapshotTable.commit(spark, rootT, mkBase(),
+      statsCols = Seq("k"), changeKeys = Seq("k"))
+    SnapshotTable.commit(spark, rootC, mkBase(),
+      statsCols = Seq("k"), changeKeys = Seq("k"))
+    // updates hit one file's range (k=1..3), inserts are new keys;
+    // k=1 is duplicated within the batch to exercise the tieBreak
+    val batch = Seq((1L, "dup-lo"), (1L, "dup-hi"), (2L, "u2"),
+      (3L, "u3"), (100L, "n100"), (101L, "n101")).toDF("k", "v")
+    val (v, rew, kept) = SnapshotTable.upsertTargeted(batch, rootT,
+      Seq("k"), Seq(col("v")), statsCols = Seq("k"), trackChanges = true)
+    SnapshotTable.upsertCycle(batch, rootC,
+      Seq("k"), Seq(col("v")), Seq("k"), trackChanges = true)
+    assert(v == 2L)
+    // only the file whose range holds k=1..3 was rewritten
+    assert(rew == 1 && kept == 3, s"targeted COW: rewrote $rew kept $kept")
+    assert(rows(SnapshotTable.read(spark, rootT)) ==
+      rows(SnapshotTable.read(spark, rootC)),
+      "targeted merge diverged from the full-rewrite merge")
+    // untouched entries survive by NAME into the new manifest
+    def files(root: String, ver: Long) =
+      SnapshotTable.readVersion(spark, root, ver)
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSet
+    assert((files(rootT, 1L) intersect files(rootT, 2L)).size == kept,
+      "untouched files were not referenced verbatim")
+    // ...with their stats: a range probe into an untouched file's keys
+    // still prunes the rewritten + appended files
+    val (tot, keptFiles) = SnapshotTable.pruneCounts(spark, rootT, "k", 40, 41)
+    assert(keptFiles < tot, s"stats lost: kept $keptFiles of $tot")
+    // the batch-scoped feed step equals the full-diff feed: 3 updates
+    // (k=1 resolved to the tieBreak winner), 2 inserts, zero deletes
+    def feed(root: String) = SnapshotTable.readChanges(spark, root, 1L)
+      .select("k", "change", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed(rootT) == feed(rootC), "targeted feed step diverged")
+    assert(feed(rootT) == Set((1L, "update", "dup-hi"),
+      (2L, "update", "u2"), (3L, "update", "u3"),
+      (100L, "insert", "n100"), (101L, "insert", "n101")))
+  }
+
+  test("upsertTargeted on a bloom-recorded key column: the driver-side " +
+      "bloom probe narrows candidates for a small batch; merge result " +
+      "and second-cycle feed chain stay exact") {
+    val root = freshRoot()
+    // unclustered commit (hash partitions) — ranges are useless here,
+    // blooms are the pruning path
+    val base = spark.range(0, 64).toDF("i")
+      .select(concat(lit("d"), col("i")).as("k"),
+        col("i").cast("long").as("n"))
+      .repartition(8)
+    SnapshotTable.commit(spark, root, base,
+      bloomCols = Seq("k"), changeKeys = Seq("k"))
+    val b1 = Seq(("d7", 700L), ("d8", 800L)).toDF("k", "n")
+    val (v2, rew1, _) = SnapshotTable.upsertTargeted(b1, root, Seq("k"),
+      bloomCols = Seq("k"), trackChanges = true)
+    assert(v2 == 2L && rew1 >= 1 && rew1 <= 2)
+    // a second cycle inserting a brand-new key touches NOTHING (the
+    // blooms prove no file can hold it) — zero rewrites, pure append
+    val b2 = Seq(("d999", 9990L)).toDF("k", "n")
+    val (v3, rew2, kept2) = SnapshotTable.upsertTargeted(b2, root,
+      Seq("k"), bloomCols = Seq("k"), trackChanges = true)
+    assert(v3 == 3L && rew2 == 0, s"new-key upsert rewrote $rew2 files")
+    assert(kept2 > 0)
+    val got = SnapshotTable.read(spark, root)
+      .filter(col("k").isin("d7", "d8", "d999"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("d7", 700L), ("d8", 800L), ("d999", 9990L)))
+    assert(SnapshotTable.read(spark, root).count() == 65L)
+    // the chain is gap-free across targeted cycles
+    val feed = SnapshotTable.readChanges(spark, root, 1L)
+    assert(feed.count() == 3L &&
+      feed.filter(col("change") === "insert").count() == 1L)
+  }
+
+  test("deleteWhereDV is merge-on-read: zero data files rewritten, " +
+      "result identical to the COW delete, NULL-predicate rows kept, " +
+      "time travel intact, tracked deletes in the feed, no-match no-op") {
+    val rootDv = freshRoot(); val rootCow = freshRoot()
+    def mkBase() = spark.range(0, 64).toDF("i")
+      .select(col("i").cast("long").as("k"),
+        concat(lit("g"), pmod(col("i"), lit(4))).as("g"),
+        when(pmod(col("i"), lit(8)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("p"), col("i"))).as("p"))
+      .repartition(4, col("g"))
+    SnapshotTable.commit(spark, rootDv, mkBase(), changeKeys = Seq("k"))
+    SnapshotTable.commit(spark, rootCow, mkBase(), changeKeys = Seq("k"))
+    // predicate is NULL where p is null — those rows must survive both
+    val cond = col("p").startsWith("p1") && col("g") === "g2"
+    val (v2, n, dvFiles) = SnapshotTable.deleteWhereDV(spark, rootDv,
+      cond, changeKeys = Seq("k"))
+    SnapshotTable.deleteWhere(spark, rootCow, cond, changeKeys = Seq("k"))
+    assert(v2 == 2L && n > 0 && dvFiles >= 1)
+    def all(root: String) = SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(all(rootDv) == all(rootCow),
+      "merge-on-read diverged from copy-on-write on the same predicate")
+    // ZERO data rewrites: v2's manifest references exactly v1's data
+    // files (parsed fs-level — input_file_name cannot span the DV
+    // anti-join's two sources)
+    def dataFiles(root: String, v: Long): Set[String] = {
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new Path(root, f"_manifests/v$v%09d.manifest"))
+      val txt = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      txt.split("\n").map(_.trim).filter(_.nonEmpty)
+        .map(_.split('\t').head).filterNot(_.startsWith("_dv/")).toSet
+    }
+    assert(dataFiles(rootDv, 1L) == dataFiles(rootDv, 2L),
+      "the DV delete rewrote or dropped a data file")
+    // time travel: v1 still shows the deleted rows
+    assert(SnapshotTable.readVersion(spark, rootDv, 1L).count() == 64L)
+    // the feed carries exactly the deletes
+    val feed = SnapshotTable.readChanges(spark, rootDv, 1L)
+    assert(feed.count() == n &&
+      feed.filter(col("change") =!= "delete").count() == 0L)
+    // pruned scans apply the tombstones too (scan is a superset, the
+    // caller's row filter composes on top)
+    val got = SnapshotTable.scanPrunedEq(spark, rootDv, "g", "g2")
+      .filter(col("g") === "g2").count()
+    assert(got == SnapshotTable.read(spark, rootDv)
+      .filter(col("g") === "g2").count())
+    // no-match publishes nothing
+    val (v3, n3, f3) = SnapshotTable.deleteWhereDV(spark, rootDv,
+      col("g") === "nope")
+    assert(v3 == 2L && n3 == 0L && f3 == 0 &&
+      SnapshotTable.versions(spark, rootDv).max == 2L)
+  }
+
+  test("DV lifecycle composes: a second DV delete stacks, upsertTargeted " +
+      "on a DV'd table neither resurrects nor re-counts tombstones, " +
+      "compaction folds DVs into clean files, vacuum reclaims sidecars") {
+    val root = freshRoot()
+    val base = spark.range(0, 40).toDF("i")
+      .select(col("i").cast("long").as("k"),
+        concat(lit("v"), col("i")).as("v"))
+      .repartitionByRange(4, col("k"))
+    SnapshotTable.commit(spark, root, base, statsCols = Seq("k"))
+    val (_, n1, _) = SnapshotTable.deleteWhereDV(spark, root, col("k") < 3)
+    val (_, n2, _) = SnapshotTable.deleteWhereDV(spark, root,
+      col("k") >= 37L)
+    assert(n1 == 3L && n2 == 3L)
+    assert(SnapshotTable.read(spark, root).count() == 34L)
+    // upsert a key whose file carries tombstones: the tombstoned rows
+    // stay gone, the live row updates, nothing resurrects
+    val (_, rew, _) = SnapshotTable.upsertTargeted(
+      Seq((5L, "v5-new"), (1L, "v1-back")).toDF("k", "v"), root, Seq("k"),
+      statsCols = Seq("k"))
+    assert(rew == 1, s"expected one touched file, rewrote $rew")
+    val after = SnapshotTable.read(spark, root)
+    assert(after.count() == 35L) // 34 live + k=1 re-inserted
+    assert(after.filter(col("k") === 1L).select("v").head().getString(0)
+      == "v1-back")
+    assert(after.filter(col("k") === 2L).count() == 0L,
+      "a tombstoned row resurrected through the targeted rewrite")
+    // compaction folds: fewer files, no _dv references, rows identical
+    val before = after.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val cv = SnapshotTable.compactSnapshot(spark, root,
+      targetFileBytes = Long.MaxValue)
+    assert(cv.nonEmpty, "DVs present must force a compaction pass")
+    val folded = SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(folded == before)
+    // vacuum to the folded tip: the _dv sidecar directories go
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    SnapshotTable.vacuum(spark, root, keepVersions = 1)
+    val dvHome = new Path(root, "_dv")
+    assert(!fs.exists(dvHome) || fs.listStatus(dvHome).isEmpty,
+      "vacuum left unreferenced deletion-vector sidecars")
+    assert(SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == before)
+  }
+
   test("readAsOf: wall-clock time travel resolves the newest version " +
       "committed at or before the instant; before-the-table is loud") {
     val root = freshRoot()
@@ -826,6 +1009,36 @@ class SnapshotTableSpec extends SparkSpec {
     step(b2)
     assert(view() == Set((2L, "B"), (3L, "C")))
     assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L, 3L))
+  }
+
+  test("applyChangesCycle threads manifest stats to the maintained view: " +
+      "the CDC-driven materialized view range- and bloom-prunes with no " +
+      "dedicated stats pass") {
+    val root = freshRoot()
+    def step(rows: Seq[(Long, String, String, Long)]): Unit = {
+      SnapshotTable.applyChangesCycle(
+        rows.toDF("k", "change", "v", "version"), root, Seq("k"),
+        df => df.select(col("k"), upper(col("v")).as("u"))
+          .repartitionByRange(4, col("k")),
+        statsCols = Seq("k"), bloomCols = Seq("u"))
+      ()
+    }
+    step((1L to 64L).map(i => (i, "insert", s"x$i", 1L)))
+    step(Seq((1L, "update", "y1", 2L), (100L, "insert", "y100", 2L)))
+    // range stats recorded by the MAINTAINER: a narrow key probe opens
+    // a strict subset of the view's files
+    val (tot, kept) = SnapshotTable.pruneCounts(spark, root, "k", 40, 41)
+    assert(kept < tot && kept >= 1, s"view range stats: kept $kept of $tot")
+    // bloom recorded on the DERIVED column too: an absent value prunes
+    // everything a bloom was recorded for
+    val (tb, kb) = SnapshotTable.pruneCountsBloom(spark, root, "u", "nope")
+    assert(kb < tb, s"view bloom stats: kept $kb of $tb")
+    // and the maintained content is still exact
+    val got = SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = ((2L to 64L).map(i => (i, s"X$i")) ++
+      Seq((1L, "Y1"), (100L, "Y100"))).toSet
+    assert(got == want)
   }
 
   test("tracked upsertCycle feed: trackChanges threads the cycle keys " +
