@@ -20,8 +20,48 @@ import org.apache.spark.sql.DataFrame
   * [[free]] drops a superseded generation's blocks by id;
   * [[freeAllPersisted]] is the harness-level sweep between independent
   * queries.
+  *
+  * BACKEND CHOICE, named: `localCheckpoint` blocks live in
+  * NON-REPLICATED executor storage and are NON-RECOMPUTABLE once
+  * lineage truncates — on local[N] that's free (one JVM, nothing to
+  * lose), but on a real cluster one lost executor mid-iteration fails
+  * the whole iterative job (pagerank, kCore, label propagation,
+  * pointer-jumping all checkpoint per generation). Set
+  * `spark.graft.checkpoint.backend=reliable` (plus
+  * `spark.graft.checkpoint.dir=<fault-tolerant path>`, or a pre-set
+  * `SparkContext.setCheckpointDir`) to route [[eager]]/[[lazily]]
+  * through `Dataset.checkpoint` — data lands in the reliable store
+  * and survives executor loss, at the price of a write per
+  * checkpoint. The [[free]]/[[freeAllPersisted]] hygiene is
+  * backend-agnostic (reliable checkpoints leave no persistent blocks
+  * to leak; freeing their ids is a harmless no-op).
   */
 object Checkpoints {
+
+  private def backendOf(df: DataFrame): String =
+    df.sparkSession.conf.get("spark.graft.checkpoint.backend", "local")
+
+  private def ensureReliableDir(df: DataFrame): Unit = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir = df.sparkSession.conf.get("spark.graft.checkpoint.dir", "")
+      require(dir.nonEmpty,
+        "spark.graft.checkpoint.backend=reliable needs " +
+          "spark.graft.checkpoint.dir (or SparkContext.setCheckpointDir) " +
+          "— a reliable checkpoint with nowhere to write is a config bug")
+      sc.setCheckpointDir(dir)
+    }
+  }
+
+  private def idsOf(out: DataFrame): Seq[Int] = {
+    val ids = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    require(ids.nonEmpty,
+      "checkpoint did not produce a LogicalRDD plan — " +
+        "checkpoint-block attribution would silently leak")
+    ids
+  }
 
   /** Eagerly localCheckpoint `df`, returning the checkpointed frame
     * plus the persistent-RDD ids backing it (pass to [[free]] once a
@@ -35,14 +75,14 @@ object Checkpoints {
     * then unpersist LIVE localCheckpoint blocks, which are
     * non-recomputable (lineage truncated) and fail downstream jobs. */
   def eager(df: DataFrame): (DataFrame, Seq[Int]) = {
-    val out = df.localCheckpoint()
-    val ids = out.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    val out = backendOf(df) match {
+      case "local" => df.localCheckpoint()
+      case "reliable" => ensureReliableDir(df); df.checkpoint()
+      case other => sys.error(
+        s"unknown spark.graft.checkpoint.backend '$other' — " +
+          "use 'local' (default) or 'reliable'")
     }
-    require(ids.nonEmpty,
-      "localCheckpoint did not produce a LogicalRDD plan — " +
-        "checkpoint-block attribution would silently leak")
-    (out, ids)
+    (out, idsOf(out))
   }
 
   /** LAZY localCheckpoint: lineage truncates and blocks persist on
@@ -57,14 +97,14 @@ object Checkpoints {
     * evaluation races under concurrent actions — fine on the
     * single-action-at-a-time driver loops this repo uses. */
   def lazily(df: DataFrame): (DataFrame, Seq[Int]) = {
-    val out = df.localCheckpoint(eager = false)
-    val ids = out.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    val out = backendOf(df) match {
+      case "local" => df.localCheckpoint(eager = false)
+      case "reliable" => ensureReliableDir(df); df.checkpoint(eager = false)
+      case other => sys.error(
+        s"unknown spark.graft.checkpoint.backend '$other' — " +
+          "use 'local' (default) or 'reliable'")
     }
-    require(ids.nonEmpty,
-      "localCheckpoint did not produce a LogicalRDD plan — " +
-        "checkpoint-block attribution would silently leak")
-    (out, ids)
+    (out, idsOf(out))
   }
 
   /** Unpersist the blocks behind a superseded checkpoint (non-blocking;

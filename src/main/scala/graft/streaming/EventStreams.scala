@@ -1416,18 +1416,25 @@ object EventStreams {
     * view root (a SnapshotTable). */
   def replayCdcView(spark: SparkSession, states: Seq[DataFrame],
                     keys: Seq[String],
-                    transform: DataFrame => DataFrame): String = {
+                    transform: DataFrame => DataFrame,
+                    viewStatsCols: Seq[String] = Nil,
+                    viewCategoryCols: Seq[String] = Nil,
+                    viewBloomCols: Seq[String] = Nil): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdcview_")
     val src = s"$dir/source"
     val derived = s"$dir/derived"
     graft.core.SnapshotTable.commit(spark, src, states.head,
       changeKeys = keys)
     val stream = spark.readStream.format("snapshot-changes").load(src)
+    // the view*Cols thread manifest stats/category/bloom sections into
+    // every maintained commit, so the CDC-driven view prunes like a
+    // hand-committed table with no dedicated stats pass
     val q = stream.writeStream
       .option("checkpointLocation", s"$dir/ckpt")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.core.SnapshotTable.applyChangesCycle(
-          batch, derived, keys, transform)
+          batch, derived, keys, transform,
+          viewStatsCols, viewCategoryCols, viewBloomCols)
         ()
       }
       .start()
@@ -1446,7 +1453,8 @@ object EventStreams {
       graft.core.SnapshotTable.applyChangesCycle(
         graft.core.SnapshotTable.readChanges(spark, src,
           feedVersions(feedVersions.size - 2)),
-        derived, keys, transform)
+        derived, keys, transform,
+        viewStatsCols, viewCategoryCols, viewBloomCols)
     derived
   }
 

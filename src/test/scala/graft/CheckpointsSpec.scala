@@ -26,6 +26,40 @@ class CheckpointsSpec extends SparkSpec {
       "freed ids should leave the persistent-RDD registry")
   }
 
+  test("reliable backend: eager/lazily route through Dataset.checkpoint " +
+      "(survives executor loss on a real cluster), results unchanged, " +
+      "and an iterative operator under it matches the local backend") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_reliable_ckpt").toString
+    val localRanks = graft.operators.Graph.pageRank(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst"),
+      iterations = 6, checkpointInterval = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.checkpoint.backend", "reliable")
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      val (df, ids) = Checkpoints.eager((1L to 100L).toDF("k"))
+      assert(df.count() == 100 && ids.nonEmpty)
+      // reliable checkpoints live in the checkpoint dir, not in
+      // persistent blocks — free is a harmless no-op on their ids
+      Checkpoints.free(df, ids)
+      assert(df.count() == 100, "reliable checkpoint must survive free")
+      val (lz, _) = Checkpoints.lazily((1L to 30L).toDF("k"))
+      assert(lz.agg(sum(col("k"))).as[Long].head() == 30L * 31 / 2)
+      // an iterative operator (checkpoints per generation) is
+      // hash-unchanged under the reliable backend
+      val reliableRanks = graft.operators.Graph.pageRank(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst"),
+        iterations = 6, checkpointInterval = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliableRanks == localRanks,
+        "backend choice changed an iterative result")
+    } finally {
+      spark.conf.set("spark.graft.checkpoint.backend", "local")
+      spark.conf.unset("spark.graft.checkpoint.dir")
+    }
+  }
+
   test("interleaved checkpoints: freeing one leaves the other readable") {
     val (a, aIds) = Checkpoints.eager((1L to 50L).toDF("k"))
     val (b, bIds) = Checkpoints.eager((1L to 70L).toDF("k"))
