@@ -1177,6 +1177,41 @@ object Soak {
         graft.core.SnapshotTable.diff(root = root, spark = docs10.sparkSession,
           vFrom = 2L, vTo = 3L, keys = Seq("doc_id"))
       },
+      run("snapshot_targeted") {
+        // the write-amplification claim measured at 10x: a 50k-doc
+        // corpus commits range-clustered with key stats, then a SMALL
+        // re-crawl batch (~1/64 of keys) upserts through the TARGETED
+        // path — manifest ranges bound the candidates, only the files
+        // holding batch keys rewrite, everything else is referenced
+        // verbatim. The in-run require pins the shape (kept > rewritten)
+        // so a regression back to O(table) rewriting fails the soak,
+        // not just slows it.
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_soak_targeted").toString + "/t"
+        val base = docs10.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("len"))
+          .repartitionByRange(16, col("doc_id"))
+        graft.core.SnapshotTable.commit(docs10.sparkSession, root, base,
+          statsCols = Seq("doc_id"))
+        // a re-crawl batch confined to the low key range — the shape
+        // the range-clustered layout exists for (a uniform key sample
+        // would touch every file and rightly rewrite them all). Derived
+        // from the COMMITTED snapshot, not the 10x source frame: the
+        // upsert machinery evaluates its batch several times (guard,
+        // range agg, hit join, write), and each evaluation must read
+        // the 3-column parquet, not re-explode 50k documents
+        val snap = graft.core.SnapshotTable.read(docs10.sparkSession, root)
+        val mx = snap.agg(max(col("doc_id"))).head().getLong(0)
+        val batch = snap.filter(col("doc_id") <= mx / 16L)
+          .withColumn("len", col("len") + 7L)
+        val (_, rew, kept) = graft.core.SnapshotTable.upsertTargeted(
+          batch, root, Seq("doc_id"), Seq(col("source")),
+          statsCols = Seq("doc_id"))
+        require(rew >= 1 && kept > rew,
+          s"targeted upsert lost its COW shape at 10x: rewrote $rew, " +
+            s"kept $kept")
+        graft.core.SnapshotTable.read(docs10.sparkSession, root)
+      },
       run("snapshot_cdc") {
         // the live-feed cycle at 10x: three TRACKED upsert cycles over
         // the 50k-doc corpus (each records its changelog at commit

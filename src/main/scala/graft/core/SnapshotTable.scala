@@ -1001,10 +1001,24 @@ object SnapshotTable {
     val spark = batch.sparkSession
     val (fs, rootP) = fsOf(spark, root)
     // resolve within-batch duplicates ONCE, outside the rebase loop —
-    // the same (priority, tieBreak) ordering upsertCycle's merge uses
-    val resolved = graft.operators.Components
-      .mergeFirstWriterWins(Seq(batch), keys, tieBreak)
-    val batchKeys = resolved.select(keys.map(col): _*).distinct()
+    // the same (priority, tieBreak) ordering upsertCycle's merge uses.
+    // CHECKPOINTED: the cycle evaluates the batch several times (key
+    // guard, range agg, bloom probe, hit join, data write, feed step,
+    // plus every rebase), and a batch with expensive lineage (a fresh
+    // crawl's parse/join) must pay that lineage exactly once.
+    val (resolved, resolvedIds) = Checkpoints.eager(
+      graft.operators.Components
+        .mergeFirstWriterWins(Seq(batch), keys, tieBreak))
+    try {
+      // the keyed-table contract, enforced loudly: a NULL merge key
+      // would bypass the semi/anti joins below (SQL null never equals)
+      // and DUPLICATE instead of replacing — a silent divergence from
+      // upsertCycle's window merge, which groups nulls together
+      require(resolved.filter(
+          keys.map(col(_).isNull).reduce(_ || _)).limit(1).isEmpty,
+        s"upsertTargeted: batch carries NULL in a merge key " +
+          s"(${keys.mkString(",")}) — keyed tables require non-null keys")
+      val batchKeys = resolved.select(keys.map(col): _*).distinct()
     val (nv, out) =
       rebaseLoop[(Long, Int, Int, () => DataFrame)](fs, rootP) {
         case None =>
@@ -1086,12 +1100,13 @@ object SnapshotTable {
             (bv, touched.size, untouched.size,
               () => diffOf(prevMatched, resolved, keys))))
       }
-    val (prevV, touchedN, untouchedN, stepThunk) = out
-    val v = nv.get
-    // base-version data files are immutable and outlive the commit, so
-    // evaluating the step lazily here still reads consistent state
-    if (trackChanges) recordChangesStep(spark, root, prevV, v, stepThunk())
-    (v, touchedN, untouchedN)
+      val (prevV, touchedN, untouchedN, stepThunk) = out
+      val v = nv.get
+      // base-version data files are immutable and outlive the commit,
+      // so evaluating the step lazily here still reads consistent state
+      if (trackChanges) recordChangesStep(spark, root, prevV, v, stepThunk())
+      (v, touchedN, untouchedN)
+    } finally Checkpoints.free(resolved, resolvedIds)
   }
 
   /** Streaming upsert sink on the snapshot layout — the production

@@ -51,6 +51,33 @@ class PlanSpec extends SparkSpec {
       s"user_id range not pushed to the pruned scan:\n$p")
   }
 
+  test("snapshot DV plan split: a DV-free table reads as a bare scan " +
+      "(no join, zero exchanges); a DV'd table anti-joins a BROADCAST " +
+      "tombstone side, never a shuffle") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_planspec_dv").toString + "/t"
+    val base = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+    graft.core.SnapshotTable.commit(spark, root, base)
+    def planOf(): String = graft.core.SnapshotTable.read(spark, root)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the pre-DV contract: tables that never used deleteWhereDV keep
+    // their exact join-free scan plans
+    val clean = planOf()
+    assert(!clean.contains("Join") && exchanges(clean) == 0,
+      s"DV-free snapshot read must be a bare scan:\n$clean")
+    val (_, n, _) = graft.core.SnapshotTable.deleteWhereDV(spark, root,
+      col("event_id") % 97 === 0)
+    assert(n > 0)
+    val dv = planOf()
+    assert(dv.contains("BroadcastHashJoin") && dv.contains("LeftAnti"),
+      s"DV read must broadcast-anti-join the tombstones:\n$dv")
+    assert(!dv.contains("SortMergeJoin"),
+      s"tombstone application must never sort-merge:\n$dv")
+  }
+
   test("snapshot scanPrunedBloom: the point-probe read is a bare " +
       "filtered scan — zero exchanges, equality predicate pushed to " +
       "the kept files") {
