@@ -33,8 +33,11 @@ import org.apache.spark.sql.DataFrame
   * through `Dataset.checkpoint` — data lands in the reliable store
   * and survives executor loss, at the price of a write per
   * checkpoint. The [[free]]/[[freeAllPersisted]] hygiene is
-  * backend-agnostic (reliable checkpoints leave no persistent blocks
-  * to leak; freeing their ids is a harmless no-op).
+  * backend-agnostic: reliable checkpoints leave no persistent BLOCKS,
+  * but they do leave FILES, and [[free]] deletes a superseded
+  * generation's checkpoint files along with any blocks — without
+  * that, per-generation iterative loops would grow the checkpoint
+  * directory without bound.
   */
 object Checkpoints {
 
@@ -107,11 +110,30 @@ object Checkpoints {
     (out, idsOf(out))
   }
 
-  /** Unpersist the blocks behind a superseded checkpoint (non-blocking;
-    * safe to call with already-freed ids). */
+  /** Release a SUPERSEDED checkpoint generation: unpersist its
+    * block-manager blocks (local backend; non-blocking, safe with
+    * already-freed ids) AND delete its reliable-checkpoint files
+    * (reliable backend — nothing else ever removes them, so without
+    * this sweep a per-generation iterative loop or a per-micro-batch
+    * sink would grow the checkpoint directory linearly forever). The
+    * freed DataFrame is DEAD either way — local blocks are
+    * non-recomputable and the reliable files are gone — so free only
+    * once every plan built on it has executed. */
   def free(df: DataFrame, ids: Seq[Int]): Unit = {
-    val persisted = df.sparkSession.sparkContext.getPersistentRDDs
+    val sc = df.sparkSession.sparkContext
+    val persisted = sc.getPersistentRDDs
     ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach { rdd =>
+      if (ids.contains(rdd.id)) rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        // best-effort: a failed delete leaves a file the next sweep or
+        // an operator rm can reclaim; it must not fail the job
+        try p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+        catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** Drop EVERY persistent RDD in the session — for harness code

@@ -79,11 +79,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table). Hadoop's LOCAL filesystem is weaker — RawLocal/
   * ChecksumFileSystem implement create(overwrite=false) as a
   * non-atomic exists-then-create — so there the claim is best-effort
-  * and the post-rename READ-BACK is the real defense: a committer
-  * whose manifest was replaced by a same-number racer sees foreign
-  * content and retries at a later version (contents serialize,
-  * nothing publishes torn). On claim-atomic stores the read-back is
-  * belt-and-braces only.
+  * and the defense is the PUBLISH step: a same-number racer's rename
+  * is refused (the target exists) or its read-back shows foreign
+  * content; the loser retries at a later version. Honest limit: on a
+  * store that both lacks atomic claims AND replaces on rename, two
+  * racers could in principle each read back their own content before
+  * the other's rename lands (a TOCTOU window) — local FS is a
+  * convenience tier, not the contract; production tables belong on a
+  * claim-atomic store (see FILESYSTEM CONTRACT). On claim-atomic
+  * stores the read-back is belt-and-braces only.
   * Claims linearize version NUMBERS; read-merge-commit CYCLES are
   * additionally VALIDATED: [[upsertCycle]], [[upsertTargeted]],
   * [[compactSnapshot]], [[deleteWhere]] and [[applyChangesCycle]]
@@ -417,13 +421,17 @@ object SnapshotTable {
       import org.apache.spark.sql.functions._
       val bloomCap = bloomBits / 8
       val written = spark.read.parquet(dataHome.toString)
-      // job 1: per-file long min/max — constant-size aggregation state
+      // job 1: per-file long min/max — constant-size aggregation
+      // state. try_cast, not cast: under ANSI (Spark's default) a
+      // malformed value in a statsCol would otherwise FAIL the whole
+      // commit, where the documented contract is "a non-castable
+      // column records null bounds and is simply never pruned"
       val rangeByBase =
         if (statsCols.isEmpty) Map.empty[String, org.apache.spark.sql.Row]
         else {
           val aggs = statsCols.flatMap(c => Seq(
-            min(col(c).cast("long")).as(s"__mn_$c"),
-            max(col(c).cast("long")).as(s"__mx_$c")))
+            min(expr(s"try_cast($c AS BIGINT)")).as(s"__mn_$c"),
+            max(expr(s"try_cast($c AS BIGINT)")).as(s"__mx_$c")))
           written.groupBy(input_file_name().as("__f"))
             .agg(aggs.head, aggs.tail: _*)
             .collect()
@@ -736,6 +744,21 @@ object SnapshotTable {
              bloomCols: Seq[String] = Nil,
              bloomBits: Int = DefaultBloomBits): Long = {
     val (fs, rootP) = fsOf(spark, root)
+    def checkSchema(bv: Long): Unit = {
+      val have = schemaSig(readVersion(spark, root, bv).schema)
+      val got = schemaSig(df.schema)
+      require(have == got,
+        s"SnapshotTable.append: schema mismatch — snapshot v$bv has " +
+          s"(${have.mkString(",")}) but the appended frame has " +
+          s"(${got.mkString(",")}); a mixed-schema manifest reads " +
+          "nondeterministically, so evolve the schema with " +
+          "evolveAddColumns / a full commit instead")
+    }
+    // fail-fast pre-check BEFORE the (possibly huge) data write — a
+    // mismatched append must not strand a full frame of orphan files
+    // for vacuum; the in-loop check re-runs per rebase in case the
+    // schema moved under us
+    currentVersion(fs, rootP).foreach(checkSchema)
     // the new data files don't depend on the base version — write them
     // ONCE; only the manifest union re-runs on a rebase (an append is
     // a read-modify-write of the file LIST, so it validates like the
@@ -743,16 +766,7 @@ object SnapshotTable {
     val newEntries = writeDataFiles(spark, fs, rootP, df, statsCols,
       categoryCols, bloomCols, bloomBits)
     val (v, base) = rebaseLoop(fs, rootP) { base =>
-      base.foreach { bv =>
-        val have = schemaSig(readVersion(spark, root, bv).schema)
-        val got = schemaSig(df.schema)
-        require(have == got,
-          s"SnapshotTable.append: schema mismatch — snapshot v$bv has " +
-            s"(${have.mkString(",")}) but the appended frame has " +
-            s"(${got.mkString(",")}); a mixed-schema manifest reads " +
-            "nondeterministically, so evolve the schema with " +
-            "evolveAddColumns / a full commit instead")
-      }
+      base.foreach(checkSchema)
       val prior = base.map(readManifest(fs, rootP, _)).getOrElse(Nil)
       Right((prior ++ newEntries, base))
     }
@@ -1041,13 +1055,21 @@ object SnapshotTable {
           val (entries, dvE) = splitEntries(readManifest(fs, rootP, bv))
           val keyCol = keys.head
           // manifest pre-prune on the FIRST key: recorded ranges bound
-          // candidates when the batch's keys cast to long...
+          // candidates ONLY when EVERY batch key casts to long — a
+          // mixed batch (say "500" and "legacy-1") must not prune on
+          // the castable keys' range alone, or the files holding the
+          // non-castable key would escape hit detection and the key
+          // would silently duplicate instead of replacing
           val rangeCands =
             if (!entries.exists(e => entryStats(e).contains(keyCol))) entries
             else {
-              val r = resolved.agg(min(col(keyCol).cast("long")),
-                max(col(keyCol).cast("long"))).head()
-              if (r.isNullAt(0) || r.isNullAt(1)) entries
+              // try_cast: ANSI cast would fail the cycle on the first
+              // non-numeric key instead of skipping the prune
+              val kc = expr(s"try_cast($keyCol AS BIGINT)")
+              val r = resolved.agg(min(kc), max(kc),
+                count(col(keyCol)), count(kc)).head()
+              if (r.isNullAt(0) || r.isNullAt(1) ||
+                  r.getLong(2) != r.getLong(3)) entries
               else prunedEntries(entries, keyCol, r.getLong(0), r.getLong(1))
             }
           // ...and recorded Blooms prune point-wise for small batches
@@ -1117,7 +1139,13 @@ object SnapshotTable {
     * queryable until vacuumed. Routed through [[upsertTargeted]]:
     * per-trigger cost is O(batch + touched files), never O(table) —
     * a micro-batch sink that rewrote the whole table each trigger
-    * would be write-amplification-bound at fact scale. */
+    * would be write-amplification-bound at fact scale.
+    *
+    * PRECONDITION (inherited from the targeted path, and LOUD): merge
+    * keys must be non-null — a micro-batch carrying a null key fails
+    * the batch and stops the query, rather than silently duplicating
+    * the null-key group. A stream that can emit null keys must filter
+    * or repair them before this sink. */
   def upsertSink(stream: DataFrame, root: String, checkpoint: String,
                  keys: Seq[String],
                  tieBreak: Seq[org.apache.spark.sql.Column] = Nil,

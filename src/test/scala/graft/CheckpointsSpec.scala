@@ -40,10 +40,19 @@ class CheckpointsSpec extends SparkSpec {
     try {
       val (df, ids) = Checkpoints.eager((1L to 100L).toDF("k"))
       assert(df.count() == 100 && ids.nonEmpty)
-      // reliable checkpoints live in the checkpoint dir, not in
-      // persistent blocks — free is a harmless no-op on their ids
+      // reliable checkpoints live as FILES in the checkpoint dir —
+      // free must delete them (nothing else ever does), or every
+      // superseded generation leaks storage forever
+      val ckptFiles = df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(_.getCheckpointFile)
+      assert(ckptFiles.nonEmpty, "eager(reliable) must checkpoint to files")
       Checkpoints.free(df, ids)
-      assert(df.count() == 100, "reliable checkpoint must survive free")
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(ckptFiles.forall(f =>
+        !fs.exists(new org.apache.hadoop.fs.Path(f))),
+        "free must delete a superseded reliable checkpoint's files")
       val (lz, _) = Checkpoints.lazily((1L to 30L).toDF("k"))
       assert(lz.agg(sum(col("k"))).as[Long].head() == 30L * 31 / 2)
       // an iterative operator (checkpoints per generation) is

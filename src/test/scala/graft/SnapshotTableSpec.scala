@@ -782,6 +782,31 @@ class SnapshotTableSpec extends SparkSpec {
       feed.filter(col("change") === "insert").count() == 1L)
   }
 
+  test("upsertTargeted range pre-prune is castability-safe: a batch " +
+      "mixing long-castable and non-castable string keys still finds " +
+      "every file — no silent key duplication") {
+    val root = freshRoot()
+    // numeric-string keys range-clustered by their long cast, plus one
+    // legacy key whose cast is null, stats recorded on the key column
+    val base = (1 to 64).map(i => (i.toString, s"v$i")).toDF("k", "v")
+      .unionByName(Seq(("legacy-1", "old")).toDF("k", "v"))
+      .repartitionByRange(4, expr("try_cast(k AS BIGINT)"))
+    SnapshotTable.commit(spark, root, base, statsCols = Seq("k"))
+    // the castable key's range (500) is beyond every file's stats — a
+    // prune keyed on castable min/max alone would skip legacy-1's file
+    // and duplicate the key instead of replacing it
+    val batch = Seq(("500", "new500"), ("legacy-1", "refreshed"))
+      .toDF("k", "v")
+    SnapshotTable.upsertTargeted(batch, root, Seq("k"),
+      statsCols = Seq("k"))
+    val cur = SnapshotTable.read(spark, root)
+    val legacy = cur.filter(col("k") === "legacy-1")
+      .collect().map(_.getString(1)).toSeq
+    assert(legacy == Seq("refreshed"),
+      s"legacy key must be replaced exactly once, got $legacy")
+    assert(cur.count() == 66L)
+  }
+
   test("deleteWhereDV is merge-on-read: zero data files rewritten, " +
       "result identical to the COW delete, NULL-predicate rows kept, " +
       "time travel intact, tracked deletes in the feed, no-match no-op") {
