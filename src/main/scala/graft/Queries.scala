@@ -9095,6 +9095,76 @@ object Queries {
              |WHERE source <> 'src3'""".stripMargin)
     )),
 
+    // TARGETED ROW UPDATE under the hard gate — in-place repair priced
+    // like the COW delete: updateWhere(source='src3', n_chars += 1000)
+    // rewrites ONLY the files holding src3 rows with the set column
+    // swapped under when(condition), references everything else
+    // verbatim, and records the touched-diff feed (pure updates).
+    // Deliberately shares q_snapshot_upsert_targeted's oracle: two
+    // different mutations (keyed merge vs predicate update) must land
+    // on the identical final state, so a divergence in either
+    // machinery hash-mismatches the same SQL.
+    "q_snapshot_update" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("n_chars"))
+          .repartition(8, col("source"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapupdate_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, base,
+          categoryCols = Seq("source"), changeKeys = Seq("doc_id"))
+        val (v2, rew, kept) = graft.core.SnapshotTable.updateWhere(
+          s, root, col("source") === "src3",
+          Seq("n_chars" -> (col("n_chars") + 1000L)),
+          changeKeys = Seq("doc_id"), categoryCols = Seq("source"))
+        require(v2 == 2L && rew >= 1 && kept >= 1,
+          s"targeted update did not hold: v$v2 rewrote $rew, kept $kept")
+        val feed = graft.core.SnapshotTable.readChanges(s, root, 1L)
+        require(feed.filter(col("change") =!= "update").count() == 0L,
+          "the update's changelog carried non-update rows")
+        graft.core.SnapshotTable.read(s, root)
+      },
+      Some("""SELECT doc_id, source,
+             |  CAST(CASE WHEN source = 'src3' THEN n_chars + 1000
+             |       ELSE n_chars END AS BIGINT) AS n_chars
+             |FROM documents""".stripMargin)
+    )),
+
+    // RESTORE (rollback) under the hard gate — a bad commit undone as
+    // a MANIFEST-ONLY publish: three states commit, restore(v1)
+    // republishes v1's manifest lines verbatim as v4 (in-query
+    // requires prove zero data movement via history's file counts and
+    // that the rolled-back state stays time-travelable), and the
+    // oracle reads the tip — a restore that re-derived, dropped stats,
+    // or pointed at the wrong version hash-mismatches.
+    "q_snapshot_restore" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir)
+        def state(hi: Int, m: Int) = ev.filter(col("user_id") < hi)
+          .groupBy("user_id")
+          .agg(count(when(pmod(col("event_id"), lit(m)) === 0, 1)).as("n"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snaprestore_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, state(70, 1))
+        graft.core.SnapshotTable.commit(s, root, state(90, 2))
+        graft.core.SnapshotTable.commit(s, root, state(110, 3))
+        val v4 = graft.core.SnapshotTable.restore(s, root, 1L)
+        require(v4 == 4L, s"restore published v$v4, expected v4")
+        val nf = graft.core.SnapshotTable.history(s, root)
+          .select("version", "n_files").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        require(nf(4L) == nf(1L),
+          s"restore moved data: v1 ${nf(1L)} files, v4 ${nf(4L)}")
+        // the rolled-back tip stays auditable
+        require(graft.core.SnapshotTable.readVersion(s, root, 3L)
+            .count() > 0L, "the bad version must stay time-travelable")
+        graft.core.SnapshotTable.read(s, root)
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE user_id < 70 GROUP BY 1""".stripMargin)
+    )),
+
     // Version TAGS under the hard gate — the provenance primitive of a
     // training pipeline ("the exact corpus model X trained on"), and a
     // retention LEASE: version 1 is tagged, two more states commit,

@@ -1308,6 +1308,102 @@ object SnapshotTable {
     }
   }
 
+  /** ROLLBACK as a manifest-only commit — Delta RESTORE / Iceberg
+    * rollback on the house format: publish `toVersion`'s manifest
+    * lines (data entries, stats sections, deletion vectors — all
+    * verbatim) as the NEXT version. No data moves or rewrites: the
+    * restored files are immutable and still on disk as long as
+    * `toVersion` is retained (vacuum keeps the new tip's references
+    * alive from the commit on). History stays append-only — the bad
+    * versions remain time-travelable until vacuumed, which is what
+    * makes restore auditable instead of destructive. Serializes with
+    * concurrent cyclers through the validated publish. Non-empty
+    * `changeKeys` records the restore's row-level effect in the
+    * change feed (one keyed diff of tip vs target — the honest price
+    * of keeping CDC consumers consistent across a rollback; restores
+    * are rare). Returns the new version. */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+              changeKeys: Seq[String] = Nil): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    if (!fs.exists(manifestPath(rootP, toVersion)))
+      throw new IllegalStateException(
+        s"SnapshotTable at $root has no committed manifest v$toVersion " +
+          "to restore (never committed, or vacuumed past)")
+    val lines = readManifest(fs, rootP, toVersion)
+    val (v, base) = rebaseLoop(fs, rootP) { base =>
+      Right((lines, base))
+    }
+    if (changeKeys.nonEmpty)
+      recordChanges(spark, root, base, v.get, changeKeys)
+    v.get
+  }
+
+  /** Row-level UPDATE as a TARGETED copy-on-write commit — the
+    * in-place-repair operation (fix a mislabeled source, bump a
+    * schema-stable derived column) priced like [[deleteWhere]]: one
+    * DV-aware scan finds the files actually HOLDING rows where
+    * `condition` is TRUE, only those are rewritten with each `sets`
+    * column replaced by `when(condition, expr).otherwise(old)`, and
+    * every untouched entry is referenced verbatim with stats
+    * preserved. `sets` columns must already exist (schema changes go
+    * through [[evolveAddColumns]]). NULL-condition rows are left
+    * unchanged, like the deletes. Non-empty `changeKeys` records the
+    * feed from the touched files' before/after diff — O(touched),
+    * never a table join. Returns (version, filesRewritten,
+    * filesKeptVerbatim) — the PRIOR version when nothing matched. */
+  def updateWhere(spark: SparkSession, root: String,
+                  condition: org.apache.spark.sql.Column,
+                  sets: Seq[(String, org.apache.spark.sql.Column)],
+                  changeKeys: Seq[String] = Nil,
+                  statsCols: Seq[String] = Nil,
+                  categoryCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil,
+                  bloomBits: Int = DefaultBloomBits): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    require(sets.nonEmpty, "updateWhere: nothing to set")
+    val (fs, rootP) = fsOf(spark, root)
+    val (nv, out) =
+      rebaseLoop[(Long, Int, Int, () => DataFrame)](fs, rootP) { base =>
+        val bv = base.getOrElse(throw new IllegalStateException(
+          s"SnapshotTable at $root has no committed snapshot to update"))
+        val (dataE, dvE) = splitEntries(readManifest(fs, rootP, bv))
+        sets.foreach { case (n, _) =>
+          require(
+            readVersion(spark, root, bv).columns.contains(n),
+            s"updateWhere: column '$n' does not exist — updates never " +
+              "change the schema; evolveAddColumns first") }
+        val hit = readWithPos(spark, rootP, dataE, dvE)
+          .filter(condition)
+          .select(col("__graft_fn"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val (touched, untouched) =
+          dataE.partition(e => hit.contains(new Path(entryPath(e)).getName))
+        if (touched.isEmpty) Left((bv, 0, untouched.size, null))
+        else {
+          val oldRows = readEntriesWithDv(spark, rootP, touched, dvE)
+          // NOT-TRUE rows pass through unchanged (NULL-safe, like the
+          // deletes); TRUE rows get each set column replaced
+          val newRows = sets.foldLeft(oldRows) { case (d, (n, e)) =>
+            d.withColumn(n,
+              when(coalesce(condition, lit(false)), e).otherwise(col(n)))
+          }
+          val newEntries = writeDataFiles(spark, fs, rootP, newRows,
+            statsCols, categoryCols, bloomCols, bloomBits)
+          Right((untouched ++ dvE ++ newEntries,
+            (bv, touched.size, untouched.size,
+              () => diffOf(oldRows, newRows, changeKeys))))
+        }
+      }
+    val (bv, touchedN, untouchedN, stepThunk) = out
+    nv match {
+      case Some(v) =>
+        if (changeKeys.nonEmpty)
+          recordChangesStep(spark, root, bv, v, stepThunk())
+        (v, touchedN, untouchedN)
+      case None => (bv, touchedN, untouchedN)
+    }
+  }
+
   /** The newest version committed AT OR BEFORE `asOfMs` — wall-clock
     * time travel over the retained window, resolved from each
     * manifest's modification time (set by the publish rename, the

@@ -907,6 +907,82 @@ class SnapshotTableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet == before)
   }
 
+  test("restore is a manifest-only rollback: the tip returns to an old " +
+      "version's exact content referencing its files verbatim, the bad " +
+      "version stays time-travelable, and a tracked restore feeds CDC " +
+      "the net rollback diff") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), changeKeys = Seq("k"))
+    SnapshotTable.upsertCycle(
+      Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), root, Seq("k"),
+      trackChanges = true)
+    val v3 = SnapshotTable.restore(spark, root, 1L, changeKeys = Seq("k"))
+    assert(v3 == 3L)
+    assert(rows(SnapshotTable.read(spark, root)) ==
+      Set((1L, "a"), (2L, "b")))
+    // manifest-only: v3 is byte-identical to v1's manifest (entries,
+    // stats, everything) — zero data was written or moved
+    def manifest(v: Long): String = {
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new Path(root, f"_manifests/v$v%09d.manifest"))
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(manifest(1L) == manifest(3L),
+      "restore must republish the target manifest verbatim")
+    // the rolled-back state remains auditable until vacuumed
+    assert(rows(SnapshotTable.readVersion(spark, root, 2L)) ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // CDC consumers see the rollback as a net diff, chain intact
+    val feed = SnapshotTable.readChanges(spark, root, 2L)
+      .select("k", "change", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set((2L, "update", "b"), (3L, "delete", "c")))
+  }
+
+  test("updateWhere is a targeted COW repair: only files holding " +
+      "TRUE-condition rows rewrite, NULL-condition rows pass through " +
+      "unchanged, the feed is the touched diff, no-match is a no-op") {
+    val root = freshRoot()
+    val base = spark.range(0, 64).toDF("i")
+      .select(col("i").cast("long").as("k"),
+        concat(lit("g"), pmod(col("i"), lit(4))).as("g"),
+        when(pmod(col("i"), lit(8)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("q"), pmod(col("i"), lit(16)))).as("q"),
+        col("i").cast("long").as("n"))
+      .repartition(4, col("g"))
+    SnapshotTable.commit(spark, root, base,
+      categoryCols = Seq("g"), changeKeys = Seq("k"))
+    // q === "q2" hits k ∈ {2,18,34,50} — all in g2's single file; the
+    // null-q rows sharing that file must pass through unchanged
+    val (v2, rew, kept) = SnapshotTable.updateWhere(spark, root,
+      col("q") === "q2", Seq("n" -> (col("n") + 1000L)),
+      changeKeys = Seq("k"), categoryCols = Seq("g"))
+    assert(v2 == 2L && rew == 1 && kept >= 2,
+      s"targeted update: rewrote $rew kept $kept")
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.filter(col("n") >= 1000L).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 18L, 34L, 50L))
+    assert(cur.filter(col("q").isNull && col("n") >= 1000L).count() == 0L,
+      "a NULL-condition row was updated")
+    assert(cur.count() == 64L)
+    // the feed is exactly the four updates, with NEW values
+    val feed = SnapshotTable.readChanges(spark, root, 1L)
+    assert(feed.count() == 4L &&
+      feed.filter(col("change") =!= "update").count() == 0L &&
+      feed.select(org.apache.spark.sql.functions.min("n"))
+        .head().getLong(0) == 1002L)
+    // untouched files keep their category stats
+    val (t, k2) = SnapshotTable.pruneCountsEq(spark, root, "g", "g1")
+    assert(k2 < t)
+    // nothing matched → nothing published
+    val (v3, r3, _) = SnapshotTable.updateWhere(spark, root,
+      col("q") === "zzz", Seq("n" -> lit(0L)))
+    assert(v3 == 2L && r3 == 0 &&
+      SnapshotTable.versions(spark, root).max == 2L)
+  }
+
   test("readAsOf: wall-clock time travel resolves the newest version " +
       "committed at or before the instant; before-the-table is loud") {
     val root = freshRoot()
