@@ -53,6 +53,48 @@ class SnapshotChangesSourceSpec extends SparkSpec {
       streamed.contains((1L, "delete", "a2", 3L)))
   }
 
+  test("mutation feeds compose through one LIVE stream: a targeted " +
+      "upsert's updates, a DV delete's retractions and a restore's net " +
+      "diff all drain into a CDC-maintained view that tracks the tip") {
+    val root = freshRoot()
+    val view = Files.createTempDirectory("graft_snapcdc_view").toString + "/v"
+    val ckpt = Files.createTempDirectory("graft_snapcdc_ck").toString
+    SnapshotTable.commit(spark, root,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v"),
+      changeKeys = Seq("k"))
+    val q = spark.readStream.format("snapshot-changes").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        SnapshotTable.applyChangesCycle(batch, view, Seq("k"),
+          df => df.select(col("k"), upper(col("v")).as("u")))
+        ()
+      }.start()
+    def viewRows(): Set[(Long, String)] =
+      SnapshotTable.read(spark, view).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    try {
+      q.processAllAvailable()
+      // a targeted upsert's batch-scoped feed step
+      SnapshotTable.upsertTargeted(
+        Seq((2L, "v2x"), (9L, "v9")).toDF("k", "v"), root, Seq("k"),
+        trackChanges = true)
+      q.processAllAvailable()
+      assert(viewRows() == ((1L to 8L).map(i => (i, s"V$i")).toSet
+        - (2L -> "V2") + (2L -> "V2X") + (9L -> "V9")))
+      // a DV delete's tombstones arrive as retractions
+      SnapshotTable.deleteWhereDV(spark, root,
+        col("k") >= 7L, changeKeys = Seq("k"))
+      q.processAllAvailable()
+      assert(viewRows().map(_._1) == (1L to 6L).toSet,
+        "the DV delete's feed must retract the tombstoned keys")
+      // a tracked restore rolls the view back with the table
+      SnapshotTable.restore(spark, root, 1L, changeKeys = Seq("k"))
+      q.processAllAvailable()
+      assert(viewRows() == (1L to 8L).map(i => (i, s"V$i")).toSet,
+        "the restore's net diff must roll the view back to v1's state")
+    } finally q.stop()
+  }
+
   test("chain gap fails the RUNNING query loudly: an untracked commit " +
       "in the middle must never be silently skipped over") {
     val root = freshRoot()
