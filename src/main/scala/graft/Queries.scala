@@ -8848,6 +8848,81 @@ object Queries {
              |FROM r WHERE rn = 1""".stripMargin)
     )),
 
+    // COMPOSED MUTATION FEED under the hard gate — the TWENTIETH
+    // direct streaming row, promoting the SnapshotChangesSourceSpec
+    // scenario to the oracle: ONE live `snapshot-changes` stream
+    // maintains a derived view while the source table mutates through
+    // THREE different machineries in sequence — upsertTargeted's
+    // batch-scoped feed step (revisions + brand-new keys),
+    // deleteWhereDV's tombstone retractions, and a tracked restore's
+    // net rollback diff. A mid-stream require proves the delete hop
+    // actually landed (the tombstoned keys LEFT the view before the
+    // restore brought them back); the oracle is the batch replay of
+    // the same mutation sequence (final table = the post-upsert
+    // state, since the restore rolls the delete back), so a feed row
+    // lost, double-applied, or mis-versioned at ANY hop leaves the
+    // view diverged and hash-mismatches.
+    "q_stream_cdc_composed" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Tables.documents(s, dir)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_cdc_composed_q").toString
+        val root = s"$tmp/table"
+        val view = s"$tmp/view"
+        val base = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("n_chars"))
+        graft.core.SnapshotTable.commit(s, root, base,
+          changeKeys = Seq("doc_id"))
+        val q = s.readStream.format("snapshot-changes").load(root)
+          .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                           _: Long) =>
+            graft.core.SnapshotTable.applyChangesCycle(
+              batch, view, Seq("doc_id"),
+              df => df.select(col("doc_id"),
+                (col("n_chars") * 2L).as("feat")))
+            ()
+          }.start()
+        try {
+          q.processAllAvailable()
+          // hop 1: a targeted upsert — every 6th doc revised, plus a
+          // disjoint slice of brand-new keys
+          val up = d.filter(pmod(col("doc_id"), lit(6)) === 0)
+            .select(col("doc_id"), col("source"),
+              (col("n_chars").cast("long") + 500L).as("n_chars"))
+            .unionByName(d.filter(pmod(col("doc_id"), lit(3)) === 1 &&
+                pmod(col("doc_id"), lit(5)) === 0)
+              .select(col("doc_id"), col("source"),
+                col("n_chars").cast("long").as("n_chars")))
+          graft.core.SnapshotTable.upsertTargeted(up, root,
+            Seq("doc_id"), trackChanges = true)
+          q.processAllAvailable()
+          // hop 2: scattered DV deletes retract through the feed
+          graft.core.SnapshotTable.deleteWhereDV(s, root,
+            pmod(col("doc_id"), lit(9)) === 0,
+            changeKeys = Seq("doc_id"))
+          q.processAllAvailable()
+          require(graft.core.SnapshotTable.read(s, view)
+              .filter(pmod(col("doc_id"), lit(9)) === 0)
+              .limit(1).isEmpty,
+            "the DV delete's feed did not retract from the live view")
+          // hop 3: a tracked restore to the post-upsert state rolls
+          // the view back with the table
+          graft.core.SnapshotTable.restore(s, root, 2L,
+            changeKeys = Seq("doc_id"))
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.core.SnapshotTable.read(s, view)
+      },
+      Some("""SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 6 = 0 THEN (n_chars + 500) * 2
+             |       ELSE n_chars * 2 END AS BIGINT) AS feat
+             |FROM documents
+             |WHERE doc_id % 3 = 0
+             |   OR (doc_id % 3 = 1 AND doc_id % 5 = 0)""".stripMargin)
+    )),
+
     // CDC-MAINTAINED DEDUP SIGNATURE STORE under the hard gate — the
     // EIGHTEENTH direct streaming row, closing the loop between the
     // snapshot CDC source and the incremental-dedup economics: the
@@ -9211,7 +9286,7 @@ object Queries {
         graft.core.SnapshotTable.commit(s, root, base)
         val v = graft.core.SnapshotTable.compactSnapshot(s, root,
           targetFileBytes = Long.MaxValue)
-        require(v.contains(2L), s"compaction did not publish: $v")
+        require(v.map(_._1).contains(2L), s"compaction did not publish: $v")
         val nf = graft.core.SnapshotTable.read(s, root)
           .select(input_file_name()).distinct().count()
         require(nf == 1L, s"expected 1 compacted file, read $nf")
@@ -9219,6 +9294,73 @@ object Queries {
       },
       Some("""SELECT user_id, event_id, value FROM events
              |WHERE user_id < 100""".stripMargin)
+    )),
+
+    // TARGETED (binpack) COMPACTION under the hard gate — the
+    // complement of q_snapshot_compact's full-rewrite fixture, proving
+    // compaction scales: a mixed layout (two FAT files, two SMALL
+    // appends) takes a DV point-delete whose tombstone lands in fat
+    // file 1, and compactSnapshot folds it by rewriting ONLY the
+    // tombstoned fat file and the two smalls — the in-query requires
+    // prove the CLEAN fat file's name survives into the new manifest
+    // verbatim (one small sidecar must never force a table rewrite)
+    // and that no sidecar is referenced afterwards. The oracle is the
+    // surviving table: a row lost from a rewritten file, a resurrected
+    // tombstone, or a clean file dropped from the manifest all
+    // hash-mismatch.
+    "q_snapshot_compact_targeted" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapbinpack_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root,
+          ev.filter(col("user_id") < 80).coalesce(1))
+        graft.core.SnapshotTable.append(s, root,
+          ev.filter(col("user_id") >= 80 && col("user_id") < 160)
+            .coalesce(1))
+        graft.core.SnapshotTable.append(s, root,
+          ev.filter(col("user_id") >= 160 && col("user_id") < 165)
+            .coalesce(1))
+        graft.core.SnapshotTable.append(s, root,
+          ev.filter(col("user_id") >= 165 && col("user_id") < 170)
+            .coalesce(1))
+        // manifest-derived file list (root-relative): input_file_name()
+        // is unavailable once the DV anti-join is in the read plan —
+        // the documented multi-source boundary
+        def files() = graft.core.SnapshotTable.dataFiles(s, root)
+        // size-derived threshold: target = the smaller fat file, so
+        // both fats clear the 3/4 bar and both 5-user appends do not —
+        // the same split at every SF
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def len(p: String) = fsys.getFileStatus(
+          new org.apache.hadoop.fs.Path(root, p)).getLen
+        val bySize = files().map(p => p -> len(p)).sortBy(-_._2)
+        val target = bySize(1)._2
+        require(bySize(2)._2 < target - target / 4,
+          "fixture drift: the small appends are not under threshold")
+        val (_, nDel, dvAdded) = graft.core.SnapshotTable.deleteWhereDV(
+          s, root, col("user_id") === 5L)
+        require(nDel >= 1L && dvAdded == 1,
+          s"DV fixture: $nDel rows, $dvAdded sidecars")
+        val before = files().toSet
+        val res = graft.core.SnapshotTable.compactSnapshot(s, root,
+          targetFileBytes = target)
+        require(res.isDefined, "tombstone + small files must compact")
+        val (_, rew, kept) = res.get
+        require(rew == 3 && kept == 1,
+          s"binpack lost its shape: rewrote $rew, kept $kept")
+        val survived = before intersect files().toSet
+        require(survived.size == 1,
+          s"expected exactly the clean fat file verbatim, got " +
+            s"${survived.size}")
+        require(graft.core.SnapshotTable.dvFileCount(s, root) == 0,
+          "compaction left live sidecar references")
+        graft.core.SnapshotTable.read(s, root)
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE user_id < 170 AND user_id <> 5""".stripMargin)
     )),
 
     // SCHEMA EVOLUTION on the snapshot format under the hard gate —

@@ -1213,31 +1213,104 @@ object Soak {
         graft.core.SnapshotTable.read(docs10.sparkSession, root)
       },
       run("snapshot_cdc") {
-        // the live-feed cycle at 10x: three TRACKED upsert cycles over
-        // the 50k-doc corpus (each records its changelog at commit
-        // time), then the stored feed read back gap-verified and
-        // APPLIED to a derived view via applyChangesCycle — the CDC
-        // consumer's cost shape: O(changed rows) feed reads + one
-        // keyed anti-join of view x batch keys + the derive over
-        // changed keys only, never a table re-derive.
+        // the live-feed cycle at 10x: a TRACKED bootstrap commit over
+        // the 50k-doc corpus, then a low-range re-crawl upserted
+        // through the TARGETED path (batch-scoped changelog), the
+        // stored feed read back gap-verified and APPLIED to a derived
+        // view via applyChangesCycle — which is itself TARGETED: the
+        // bootstrap apply range-clusters the view with key stats, so
+        // the incremental apply hit-detects the handful of view files
+        // holding the batch's keys, COW-rewrites only those, and
+        // references the rest verbatim. The in-run require pins
+        // kept > rewritten per trigger — a regression back to
+        // O(view)-per-batch maintenance fails the soak, not just
+        // slows it.
+        val s2 = docs10.sparkSession
         val root = java.nio.file.Files
           .createTempDirectory("graft_soak_cdc").toString + "/t"
         val base = docs10.select(col("doc_id"), col("source"),
           length(col("text")).cast("long").as("len"))
-        for (c <- 0L to 2L)
-          graft.core.SnapshotTable.upsertCycle(
-            base.filter(pmod(col("doc_id"), lit(3L)) === c)
-              .withColumn("len", col("len") + c),
-            root, Seq("doc_id"), Seq(col("source")), trackChanges = true)
+        graft.core.SnapshotTable.commit(s2, root, base,
+          statsCols = Seq("doc_id"), changeKeys = Seq("doc_id"))
+        val snap = graft.core.SnapshotTable.read(s2, root)
+        val mx = snap.agg(max(col("doc_id"))).head().getLong(0)
+        graft.core.SnapshotTable.upsertTargeted(
+          snap.filter(col("doc_id") <= mx / 16L)
+            .withColumn("len", col("len") + 7L),
+          root, Seq("doc_id"), Seq(col("source")),
+          statsCols = Seq("doc_id"), trackChanges = true)
         val view = java.nio.file.Files
           .createTempDirectory("graft_soak_cdcview").toString + "/v"
+        def derive(changed: DataFrame): DataFrame =
+          changed.select(col("doc_id"), (col("len") * 2L).as("feat"))
+            .repartitionByRange(16, col("doc_id"))
         graft.core.SnapshotTable.applyChangesCycle(
-          graft.core.SnapshotTable.readChanges(
-            docs10.sparkSession, root, 0L),
-          view, Seq("doc_id"),
-          changed => changed.select(col("doc_id"),
-            (col("len") * 2L).as("feat")))
-        graft.core.SnapshotTable.read(docs10.sparkSession, view)
+          graft.core.SnapshotTable.readChanges(s2, root, 0L)
+            .filter(col("version") === 1L),
+          view, Seq("doc_id"), derive, statsCols = Seq("doc_id"))
+        val (_, rew, kept) = graft.core.SnapshotTable.applyChangesCycle(
+          graft.core.SnapshotTable.readChanges(s2, root, 1L),
+          view, Seq("doc_id"), derive, statsCols = Seq("doc_id"))
+        require(rew >= 1 && kept > rew,
+          s"CDC view maintenance lost its targeted shape at 10x: " +
+            s"rewrote $rew, kept $kept")
+        graft.core.SnapshotTable.read(s2, view)
+      },
+      run("snapshot_contention") {
+        // the validated-commit protocol at REAL data volume: two
+        // concurrent cyclers each run three targeted upsert cycles
+        // against ONE 50k-doc table (disjoint key halves, so the
+        // final state is deterministic under any interleaving). The
+        // rebase loop must serialize them — zero lost updates (both
+        // halves' final revisions present), exactly one version per
+        // cycle (6 on top of the base), and the bounded retry budget
+        // never trips at contention-under-load.
+        val s2 = docs10.sparkSession
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_soak_race").toString + "/t"
+        val base = docs10.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("len"))
+          .repartitionByRange(16, col("doc_id"))
+        graft.core.SnapshotTable.commit(s2, root, base,
+          statsCols = Seq("doc_id"))
+        val snap = graft.core.SnapshotTable.read(s2, root)
+        val mx = snap.agg(max(col("doc_id"))).head().getLong(0)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        def cycler(parity: Long): Thread = {
+          val t = new Thread(() => {
+            try {
+              for (c <- 1L to 3L)
+                graft.core.SnapshotTable.upsertTargeted(
+                  snap.filter(pmod(col("doc_id"), lit(2L)) === parity &&
+                      col("doc_id") <= mx / 8L)
+                    .withColumn("len", col("len") + 100L * parity + c),
+                  root, Seq("doc_id"), Seq(col("source")),
+                  statsCols = Seq("doc_id"))
+            } catch { case e: Throwable => errs.add(e) }
+          })
+          t.setName(s"soak-cycler-$parity"); t.start(); t
+        }
+        val ts = Seq(cycler(0L), cycler(1L))
+        ts.foreach(_.join())
+        require(errs.isEmpty,
+          s"concurrent cyclers failed: ${errs.peek()}")
+        val vs = graft.core.SnapshotTable.versions(s2, root)
+        require(vs.size == 7,
+          s"expected 7 serialized versions (1 base + 6 cycles), got " +
+            s"${vs.size}")
+        // exact final state: each touched key's len = base + 100*parity
+        // + 3 (its cycler's LAST cycle), untouched keys unchanged — a
+        // lost update from either cycler diverges
+        val after = graft.core.SnapshotTable.read(s2, root)
+        val expected = snap.withColumn("len",
+          when(col("doc_id") <= mx / 8L,
+            col("len") + lit(100L) * pmod(col("doc_id"), lit(2L)) + 3L)
+            .otherwise(col("len")))
+        val lost = expected.except(after).count()
+        val extra = after.except(expected).count()
+        require(lost == 0L && extra == 0L,
+          s"lost updates under contention: $lost missing, $extra stray")
+        after
       })
 
     val total = results.map(_._2).sum

@@ -452,9 +452,18 @@ object SnapshotTable {
       val setsByKey =
         if (setColNames.isEmpty) Map.empty[(String, String), Seq[String]]
         else {
-          val pairs = setColNames.map(c => written.select(
-            input_file_name().as("__f"), lit(c).as("__c"),
-            col(c).cast("string").as("__v"))).reduce(_ union _)
+          // ONE scan, unpivoted in-row: a union of per-column selects
+          // would re-read the freshly written files once per recorded
+          // column (k scans for k category/bloom columns) — the
+          // explode emits the same (file, column, value) rows from a
+          // single pass
+          val pairs = written.select(
+              input_file_name().as("__f"),
+              explode(array(setColNames.map(c =>
+                struct(lit(c).as("__c"),
+                  col(c).cast("string").as("__v"))): _*)).as("__e"))
+            .select(col("__f"), col("__e.__c").as("__c"),
+              col("__e.__v").as("__v"))
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("__f", "__c").orderBy(col("__v").asc_nulls_first)
           // cap+2 ranked distinct values suffice to DETECT saturation
@@ -978,6 +987,69 @@ object SnapshotTable {
     * pre-prune and relies on the scan-side semi-join. */
   private val BloomProbeMaxKeys = 256
 
+  /** Partition snapshot data `entries` into (touched, untouched) by
+    * whether each file actually HOLDS one of `batchKeys`' key tuples —
+    * the shared hit-detection core of [[upsertTargeted]] and
+    * [[applyChangesCycle]]: recorded range stats bound the candidates
+    * when every batch key is long-castable, recorded Blooms prune
+    * point-wise for small batches (≤ [[BloomProbeMaxKeys]] distinct
+    * keys), and the surviving candidates are read KEY COLUMNS ONLY
+    * (column-pruned, DV-aware — a key surviving only as a tombstone
+    * cannot touch its file) and semi-joined against the batch keys.
+    * `batchKeys` must be the batch's DISTINCT, non-null key tuples. */
+  private def detectTouched(spark: SparkSession, rootP: Path,
+                            entries: Seq[String], dvE: Seq[String],
+                            keys: Seq[String], batchKeys: DataFrame)
+      : (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    val keyCol = keys.head
+    // manifest pre-prune on the FIRST key: recorded ranges bound
+    // candidates ONLY when EVERY batch key casts to long — a mixed
+    // batch (say "500" and "legacy-1") must not prune on the castable
+    // keys' range alone, or the files holding the non-castable key
+    // would escape hit detection and the key would silently duplicate
+    // instead of replacing
+    val rangeCands =
+      if (!entries.exists(e => entryStats(e).contains(keyCol))) entries
+      else {
+        // try_cast: ANSI cast would fail the cycle on the first
+        // non-numeric key instead of skipping the prune
+        val kc = expr(s"try_cast($keyCol AS BIGINT)")
+        val r = batchKeys.agg(min(kc), max(kc),
+          count(col(keyCol)), count(kc)).head()
+        if (r.isNullAt(0) || r.isNullAt(1) ||
+            r.getLong(2) != r.getLong(3)) entries
+        else prunedEntries(entries, keyCol, r.getLong(0), r.getLong(1))
+      }
+    // ...and recorded Blooms prune point-wise for small batches
+    val cands =
+      if (!rangeCands.exists(e => entryBlooms(e).contains(keyCol)))
+        rangeCands
+      else {
+        val probe = batchKeys.select(col(keyCol).cast("string"))
+          .filter(col(keyCol).isNotNull)
+          .distinct().limit(BloomProbeMaxKeys + 1)
+          .collect().map(_.getString(0))
+        if (probe.length > BloomProbeMaxKeys) rangeCands
+        else rangeCands.filter { e =>
+          entryBlooms(e).get(keyCol) match {
+            case Some((m, k, bits)) =>
+              probe.exists(v => bloomBitsOf(v, m, k).forall(bits.get))
+            case None => true
+          }
+        }
+      }
+    // hit detection: which candidate files actually HOLD a batch key
+    val hit: Set[String] =
+      if (cands.isEmpty) Set.empty
+      else readWithPos(spark, rootP, cands, dvE)
+        .select(keys.map(col) :+ col("__graft_fn"): _*)
+        .join(batchKeys, keys, "left_semi")
+        .select("__graft_fn").distinct().collect()
+        .map(_.getString(0)).toSet
+    entries.partition(e => hit.contains(new Path(entryPath(e)).getName))
+  }
+
   /** One incremental upsert cycle that rewrites ONLY the files
     * actually holding batch keys — [[deleteWhere]]'s manifest-prune +
     * targeted-copy-on-write discipline applied to the keyed merge,
@@ -1053,56 +1125,8 @@ object SnapshotTable {
               s"(${got.mkString(",")}); evolve with evolveAddColumns " +
               "or a full commit first")
           val (entries, dvE) = splitEntries(readManifest(fs, rootP, bv))
-          val keyCol = keys.head
-          // manifest pre-prune on the FIRST key: recorded ranges bound
-          // candidates ONLY when EVERY batch key casts to long — a
-          // mixed batch (say "500" and "legacy-1") must not prune on
-          // the castable keys' range alone, or the files holding the
-          // non-castable key would escape hit detection and the key
-          // would silently duplicate instead of replacing
-          val rangeCands =
-            if (!entries.exists(e => entryStats(e).contains(keyCol))) entries
-            else {
-              // try_cast: ANSI cast would fail the cycle on the first
-              // non-numeric key instead of skipping the prune
-              val kc = expr(s"try_cast($keyCol AS BIGINT)")
-              val r = resolved.agg(min(kc), max(kc),
-                count(col(keyCol)), count(kc)).head()
-              if (r.isNullAt(0) || r.isNullAt(1) ||
-                  r.getLong(2) != r.getLong(3)) entries
-              else prunedEntries(entries, keyCol, r.getLong(0), r.getLong(1))
-            }
-          // ...and recorded Blooms prune point-wise for small batches
-          val cands =
-            if (!rangeCands.exists(e => entryBlooms(e).contains(keyCol)))
-              rangeCands
-            else {
-              val probe = resolved.select(col(keyCol).cast("string"))
-                .filter(col(keyCol).isNotNull)
-                .distinct().limit(BloomProbeMaxKeys + 1)
-                .collect().map(_.getString(0))
-              if (probe.length > BloomProbeMaxKeys) rangeCands
-              else rangeCands.filter { e =>
-                entryBlooms(e).get(keyCol) match {
-                  case Some((m, k, bits)) =>
-                    probe.exists(v => bloomBitsOf(v, m, k).forall(bits.get))
-                  case None => true
-                }
-              }
-            }
-          // hit detection: which candidate files actually HOLD a batch
-          // key — key columns only (column-pruned scan), semi-joined
-          // against the (small) batch key set; DV-aware, so a key that
-          // survives only as a tombstone cannot touch its file
-          val hit: Set[String] =
-            if (cands.isEmpty) Set.empty
-            else readWithPos(spark, rootP, cands, dvE)
-              .select(keys.map(col) :+ col("__graft_fn"): _*)
-              .join(batchKeys, keys, "left_semi")
-              .select("__graft_fn").distinct().collect()
-              .map(_.getString(0)).toSet
           val (touched, untouched) =
-            entries.partition(e => hit.contains(new Path(entryPath(e)).getName))
+            detectTouched(spark, rootP, entries, dvE, keys, batchKeys)
           val touchedRows =
             if (touched.isEmpty) readVersion(spark, root, bv).limit(0)
             else readEntriesWithDv(spark, rootP, touched, dvE)
@@ -1343,9 +1367,12 @@ object SnapshotTable {
     * schema-stable derived column) priced like [[deleteWhere]]: one
     * DV-aware scan finds the files actually HOLDING rows where
     * `condition` is TRUE, only those are rewritten with each `sets`
-    * column replaced by `when(condition, expr).otherwise(old)`, and
-    * every untouched entry is referenced verbatim with stats
-    * preserved. `sets` columns must already exist (schema changes go
+    * column replaced by `when(condition, expr).otherwise(old)` — all
+    * sets applied in ONE projection against the original row, so the
+    * condition and every set's right-hand side see PRE-update values
+    * even when they reference another set column (SQL UPDATE
+    * semantics) — and every untouched entry is referenced verbatim
+    * with stats preserved. `sets` columns must already exist (schema changes go
     * through [[evolveAddColumns]]). NULL-condition rows are left
     * unchanged, like the deletes. Non-empty `changeKeys` records the
     * feed from the touched files' before/after diff — O(touched),
@@ -1361,6 +1388,9 @@ object SnapshotTable {
                   bloomBits: Int = DefaultBloomBits): (Long, Int, Int) = {
     import org.apache.spark.sql.functions._
     require(sets.nonEmpty, "updateWhere: nothing to set")
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"updateWhere: duplicate set column in " +
+        s"(${sets.map(_._1).mkString(",")}) — one expression per column")
     val (fs, rootP) = fsOf(spark, root)
     val (nv, out) =
       rebaseLoop[(Long, Int, Int, () => DataFrame)](fs, rootP) { base =>
@@ -1382,11 +1412,22 @@ object SnapshotTable {
         else {
           val oldRows = readEntriesWithDv(spark, rootP, touched, dvE)
           // NOT-TRUE rows pass through unchanged (NULL-safe, like the
-          // deletes); TRUE rows get each set column replaced
-          val newRows = sets.foldLeft(oldRows) { case (d, (n, e)) =>
-            d.withColumn(n,
-              when(coalesce(condition, lit(false)), e).otherwise(col(n)))
-          }
+          // deletes); TRUE rows get each set column replaced — in ONE
+          // projection, so the condition AND every set's right-hand
+          // side resolve against the ORIGINAL row (SQL UPDATE
+          // semantics). A sequential withColumn chain would re-resolve
+          // them against already-updated columns: for
+          // SET status='done', ts=x WHERE status='pending', the second
+          // withColumn's condition re-reads the REWRITTEN status,
+          // evaluates false, and ts silently keeps its old value.
+          val setBy = sets.toMap
+          val newRows = oldRows.select(oldRows.columns.toSeq.map { c =>
+            setBy.get(c) match {
+              case Some(e) => when(coalesce(condition, lit(false)), e)
+                .otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }: _*)
           val newEntries = writeDataFiles(spark, fs, rootP, newRows,
             statsCols, categoryCols, bloomCols, bloomBits)
           Right((untouched ++ dvE ++ newEntries,
@@ -1544,43 +1585,81 @@ object SnapshotTable {
     * insert/update keys are re-derived through `transform`, delete
     * keys leave the view. Idempotent in content: re-delivering a batch
     * (foreachBatch's at-least-once crash replay) publishes a new
-    * version with IDENTICAL rows.
+    * version with IDENTICAL rows (the re-delivered keys' files
+    * rewrite again, to the same content).
     *
-    * Scale shape: one keyed dedup of the (small) batch, one keyed
-    * anti-join of view × batch-keys, one union, one commit — the view
-    * is never re-derived, only the changed keys are; the whole point
-    * of consuming the feed instead of the table. */
+    * Scale shape — [[upsertTargeted]]'s discipline, NOT a view
+    * rewrite: one keyed dedup of the (small) batch, then hit-detect
+    * the view files actually HOLDING batch keys (manifest range +
+    * Bloom pre-prune, column-pruned DV-aware key scan semi-joined
+    * against the batch keys), COW-rewrite ONLY those files with the
+    * batch keys removed (feed deletes never return, upserts come back
+    * re-derived as fresh rows in the rewrite), and reference every
+    * other entry VERBATIM with its stats preserved. Per trigger the
+    * maintained view pays O(batch + touched files), never O(view) —
+    * a 1k-row feed step against a 100 TB derived view touches the
+    * handful of files its keys live in. Give the view layout on the
+    * key (`statsCols`/`bloomCols` on it) and the hit detection is
+    * sublinear in FILES too, not just bytes.
+    *
+    * Returns (version, filesRewritten, filesKeptVerbatim). */
   def applyChangesCycle(changes: DataFrame, root: String,
                         keys: Seq[String],
                         derive: DataFrame => DataFrame,
                         statsCols: Seq[String] = Nil,
                         categoryCols: Seq[String] = Nil,
                         bloomCols: Seq[String] = Nil,
-                        bloomBits: Int = DefaultBloomBits): Long = {
+                        bloomBits: Int = DefaultBloomBits): (Long, Int, Int) = {
     import org.apache.spark.sql.functions._
     val spark = changes.sparkSession
-    val net = graft.operators.Components.mergeFirstWriterWins(
-      Seq(changes), keys, Seq(col("version") * -1))
-    val ups = derive(net.filter(col("change") =!= "delete")
-      .drop("change", "version"))
-    val (fs, rootP) = fsOf(spark, root)
-    val (v, _) = rebaseLoop[Unit](fs, rootP) { base =>
-      val merged = base match {
-        case Some(bv) =>
-          // drop EVERY batch key from the view (deletes never return,
-          // upserts come back transformed), keep untouched keys as-is
-          readVersion(spark, root, bv)
-            .join(net.select(keys.map(col): _*), keys, "left_anti")
-            .unionByName(ups)
-        case None => ups
+    // net state per key ONCE, outside the rebase loop; checkpointed —
+    // the cycle evaluates it several times (key guard, hit join per
+    // rebase, the derive under the data write), and the feed step may
+    // carry expensive lineage
+    val (net, netIds) = Checkpoints.eager(
+      graft.operators.Components.mergeFirstWriterWins(
+        Seq(changes), keys, Seq(col("version") * -1)))
+    try {
+      // the keyed-table contract, loud like upsertTargeted's: a NULL
+      // key would bypass the semi/anti joins (SQL null never equals)
+      // and strand stale view rows instead of replacing them
+      require(net.filter(
+          keys.map(col(_).isNull).reduce(_ || _)).limit(1).isEmpty,
+        s"applyChangesCycle: feed batch carries NULL in a key " +
+          s"(${keys.mkString(",")}) — keyed views require non-null keys")
+      val ups = derive(net.filter(col("change") =!= "delete")
+        .drop("change", "version"))
+      val batchKeys = net.select(keys.map(col): _*).distinct()
+      val (fs, rootP) = fsOf(spark, root)
+      val (v, out) = rebaseLoop[(Int, Int)](fs, rootP) { base =>
+        // stats/category/bloom sections recorded per cycle, so the
+        // CDC-maintained view prunes like any hand-committed table —
+        // no dedicated stats pass needed downstream
+        base match {
+          case Some(bv) =>
+            val (entries, dvE) = splitEntries(readManifest(fs, rootP, bv))
+            val (touched, untouched) =
+              detectTouched(spark, rootP, entries, dvE, keys, batchKeys)
+            val touchedRows =
+              if (touched.isEmpty) readVersion(spark, root, bv).limit(0)
+              else readEntriesWithDv(spark, rootP, touched, dvE)
+            // drop EVERY batch key from the touched files (deletes
+            // never return, upserts come back re-derived), keep the
+            // files' other rows; untouched entries never move
+            val merged = touchedRows
+              .join(batchKeys, keys, "left_anti")
+              .unionByName(ups)
+            val newEntries = writeDataFiles(spark, fs, rootP, merged,
+              statsCols, categoryCols, bloomCols, bloomBits)
+            Right((untouched ++ dvE ++ newEntries,
+              (touched.size, untouched.size)))
+          case None =>
+            Right((writeDataFiles(spark, fs, rootP, ups, statsCols,
+              categoryCols, bloomCols, bloomBits), (0, 0)))
+        }
       }
-      // stats/category/bloom sections recorded per cycle, so the
-      // CDC-maintained view prunes like any hand-committed table —
-      // no dedicated stats pass needed downstream
-      Right((writeDataFiles(spark, fs, rootP, merged, statsCols,
-        categoryCols, bloomCols, bloomBits), ()))
-    }
-    v.get
+      (v.get, out._1, out._2)
+    } finally Checkpoints.free(net, netIds)
   }
 
   /** Z-ORDERED commit: [[Catalog.writeZOrdered]]'s layout trick
@@ -1610,40 +1689,130 @@ object SnapshotTable {
       categoryCols = categoryCols)
   }
 
-  /** Small-file compaction AS A COMMIT: rewrite the current snapshot
-    * into ceil(bytes / targetFileBytes) files (coalesce — a NARROW
-    * repartitioning, no shuffle) and publish the rewrite as the next
-    * version. [[Catalog.compact]]'s directory-swap version of this
-    * must block concurrent readers; here compaction is just another
-    * snapshot — readers pinned on the fragmented version finish
-    * unaffected, and vacuum reclaims it once it leaves the retained
-    * window. No-op (returns None) when the file count is already at
-    * or below the target. Incremental sinks NEED this: every
-    * upsert/append cycle adds files, and at 100 TB the
-    * task-per-tiny-file overhead dominates scans. `statsCols` re-
-    * records pruning stats for the compacted layout (coalesce
-    * preserves row order per partition, but merged files span wider
-    * ranges — re-recording keeps [[scanPruned]] honest). */
+  /** TARGETED small-file compaction AS A COMMIT (Iceberg's
+    * rewrite-data-files binpack on the house format): rewrite ONLY
+    * (a) files carrying LIVE deletion-vector tombstones — folding the
+    * tombstones into clean data — and (b) under-threshold files
+    * (< 3/4 of `targetFileBytes`, binpacked together into
+    * ceil(bytes / targetFileBytes) outputs via coalesce, a NARROW
+    * repartitioning); every already-compact clean file is referenced
+    * VERBATIM with its stats sections preserved. A full-table rewrite
+    * here would make [[deleteWhereDV]]'s zero-rewrite promise a
+    * deferred O(table) cost — one small tombstone sidecar must only
+    * ever rewrite the files it actually names. Compaction is just
+    * another snapshot: readers pinned on the fragmented version
+    * finish unaffected, and vacuum reclaims it once it leaves the
+    * retained window. The committed manifest drops ALL sidecar
+    * entries — every live tombstone's file is in the rewrite set by
+    * construction, so surviving sidecars would be stale; a manifest
+    * whose sidecars are ALL stale already (their files left via
+    * [[deleteWhere]]/[[upsertTargeted]] rewrites) publishes a
+    * MANIFEST-ONLY commit shedding them. No-op (returns None) when
+    * there is nothing to fold and fewer than two under-threshold
+    * files. Incremental sinks NEED this: every upsert/append cycle
+    * adds files, and at 100 TB the task-per-tiny-file overhead
+    * dominates scans. `statsCols` records pruning stats for the
+    * rewritten files (merged files span wider ranges — re-recording
+    * keeps [[scanPruned]] honest; untouched files keep the stats they
+    * had). Returns Some((version, filesRewritten, filesKeptVerbatim))
+    * when a commit published. */
   def compactSnapshot(spark: SparkSession, root: String,
                       targetFileBytes: Long = 256L * 1024 * 1024,
-                      statsCols: Seq[String] = Nil): Option[Long] = {
+                      statsCols: Seq[String] = Nil)
+      : Option[(Long, Int, Int)] = {
+    require(targetFileBytes >= 1L, "targetFileBytes must be >= 1")
     val (fs, rootP) = fsOf(spark, root)
-    val (v, _) = rebaseLoop[Unit](fs, rootP) { base =>
+    val (v, out) = rebaseLoop[(Int, Int)](fs, rootP) { base =>
       val bv = base.getOrElse(throw new IllegalStateException(
         s"SnapshotTable at $root has no committed snapshot to compact"))
       val (dataE, dvE) = splitEntries(readManifest(fs, rootP, bv))
-      val paths = dataE.map(e => new Path(rootP, entryPath(e)))
-      val totalBytes = paths.map(p => fs.getFileStatus(p).getLen).sum
-      val want = math.max(1,
-        math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      // deletion vectors FORCE a compaction pass even at a good file
-      // count: folding tombstones back into clean data files is the
-      // read-amplification payoff this operation exists for
-      if (dataE.size <= want && dvE.isEmpty) Left(())
-      else Right((writeDataFiles(spark, fs, rootP,
-        readVersion(spark, root, bv).coalesce(want), statsCols), ()))
+      // LIVE tombstoned files: sidecar-named files still in the
+      // manifest (a rewrite by deleteWhere/upsertTargeted leaves a
+      // sidecar's names stale-but-harmless — those must not force
+      // anything). The sidecars are tiny; collecting their distinct
+      // file names is bounded by the delete volume, never the table.
+      val dvHit: Set[String] =
+        if (dvE.isEmpty) Set.empty
+        else {
+          val present = dataE.map(e => new Path(entryPath(e)).getName).toSet
+          spark.read.parquet(
+              dvE.map(e => new Path(rootP, entryPath(e)).toString): _*)
+            .select("file_name").distinct().collect()
+            .map(_.getString(0)).toSet.intersect(present)
+        }
+      // binpack split: DV-bearing files rewrite regardless of size
+      // (folding is the point); clean files rewrite only when under
+      // 3/4 of target (Iceberg's min-file-size default) AND there are
+      // at least two of them to merge
+      val minBytes = targetFileBytes - targetFileBytes / 4
+      val sized = dataE.map(e =>
+        e -> fs.getFileStatus(new Path(rootP, entryPath(e))).getLen)
+      val (small, fat) = sized.partition { case (e, len) =>
+        dvHit.contains(new Path(entryPath(e)).getName) || len < minBytes
+      }
+      if (dvHit.isEmpty && small.size < 2) {
+        // nothing to fold or merge; shed all-stale sidecars with a
+        // manifest-only commit so reads stop paying their anti-join
+        if (dvE.nonEmpty) Right((dataE, (0, dataE.size)))
+        else Left((0, dataE.size))
+      } else {
+        val touched = small.map(_._1)
+        val untouched = fat.map(_._1)
+        val want = math.max(1, math.ceil(
+          small.map(_._2).sum.toDouble / targetFileBytes).toInt)
+        val folded = readEntriesWithDv(spark, rootP, touched, dvE)
+          .coalesce(want)
+        val newEntries = writeDataFiles(spark, fs, rootP, folded, statsCols)
+        Right((untouched ++ newEntries, (touched.size, untouched.size)))
+      }
     }
-    v
+    v.map(ver => (ver, out._1, out._2))
+  }
+
+  /** Root-relative DATA-file paths of the current snapshot's manifest
+    * — the file-level observability API (Delta's DESCRIBE DETAIL /
+    * `inputFiles` idea), resolved from the manifest WITHOUT planning a
+    * scan: usable while deletion vectors are live, where
+    * `input_file_name()` is unavailable on the joined read plan
+    * (Spark refuses the expression over multi-source plans). The
+    * verbatim-reference proofs (which files survived a targeted
+    * rewrite) read THIS, not the scan. */
+  def dataFiles(spark: SparkSession, root: String): Seq[String] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable at $root has no committed snapshot"))
+    splitEntries(readManifest(fs, rootP, v))._1.map(entryPath)
+  }
+
+  /** Deletion-vector sidecar FILES the current snapshot references —
+    * the read-amplification meter for [[deleteWhereDV]]: every scan
+    * pays one anti-join while any sidecar is live, and each delete
+    * operation adds one more, so the count is the policy knob
+    * [[compactIfDvHeavy]] bounds. */
+  def dvFileCount(spark: SparkSession, root: String): Int = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable at $root has no committed snapshot"))
+    splitEntries(readManifest(fs, rootP, v))._2.size
+  }
+
+  /** Policy hook bounding [[deleteWhereDV]]'s read amplification: run
+    * [[compactSnapshot]] iff the current snapshot references MORE than
+    * `maxDvFiles` sidecar files — the scheduled-maintenance shape
+    * (call it after each delete, or on the vacuum cadence) that keeps
+    * the per-scan anti-join cost bounded by POLICY instead of operator
+    * discipline. With the targeted binpack underneath, the triggered
+    * pass rewrites only the tombstoned and under-threshold files,
+    * never the table. Returns None when under the bound or when
+    * compaction had nothing to do. */
+  def compactIfDvHeavy(spark: SparkSession, root: String,
+                       maxDvFiles: Int = 8,
+                       targetFileBytes: Long = 256L * 1024 * 1024,
+                       statsCols: Seq[String] = Nil)
+      : Option[(Long, Int, Int)] = {
+    require(maxDvFiles >= 0, "maxDvFiles must be >= 0")
+    if (dvFileCount(spark, root) <= maxDvFiles) None
+    else compactSnapshot(spark, root, targetFileBytes, statsCols)
   }
 
   /** Row-level CHANGELOG between two committed snapshots — the "what
@@ -1877,10 +2046,14 @@ object SnapshotTable {
     * vacuum from the table's (single) writer between its own commits —
     * a victim committer fails loudly at its staging rename (nothing
     * tears), but that failure is an operational foot-gun, not a
-    * feature. The grace window de-fangs it: a staging entry younger
-    * than `stagingGraceMs` (default 24 h — longer than any sane
-    * commit) survives the sweep, so a mistimed vacuum can only reclaim
-    * writes that are already dead. Lock files ABOVE the committed tip
+    * feature. The grace window de-fangs it: a staging entry — and an
+    * UNREFERENCED `data/`/`_dv/` nonce dir, which an in-flight commit
+    * renames into place BEFORE its manifest publishes (and may hold
+    * there through the rebase/stale-claim wait) — younger than
+    * `stagingGraceMs` (default 24 h — longer than any sane commit)
+    * survives the sweep, so a mistimed vacuum can only reclaim writes
+    * that are already dead; reclaiming a just-vacuumed version's data
+    * is merely DEFERRED to the next sweep past the grace. Lock files ABOVE the committed tip
     * are kept unconditionally — they are live or crashed CLAIMS, and
     * deleting a live one would re-arm the very version collision the
     * claim protocol exists to prevent (a crashed claim is one 0-byte
@@ -1898,14 +2071,24 @@ object SnapshotTable {
     val tip = if (all.isEmpty) 0L else all.max
     val referenced: Set[String] =
       keep.flatMap(readManifest(fs, rootP, _).map(entryPath))
+    val sweepNow = System.currentTimeMillis()
     // nonce-directory granularity: a data dir goes when NONE of its
     // files is referenced by a retained manifest (files of one commit
-    // share a manifest's fate, so partial references cannot happen)
+    // share a manifest's fate, so partial references cannot happen).
+    // The grace window applies HERE too, not just to _staging: a
+    // committer renames its data (and [[deleteWhereDV]] its sidecar)
+    // into place BEFORE publishing the manifest — and may sit in the
+    // rebase/stale-claim wait for seconds — so an unreferenced nonce
+    // dir younger than the grace can be an in-flight commit, and
+    // deleting it would leave the about-to-publish manifest pointing
+    // at missing files. Older unreferenced dirs are genuinely dead
+    // (crashed or vacuumed-past commits).
     val dataHome = new Path(rootP, DataDir)
     var dirsDeleted = 0
     if (fs.exists(dataHome)) fs.listStatus(dataHome).foreach { st =>
       val nonce = st.getPath.getName
-      if (!referenced.exists(_.startsWith(s"$DataDir/$nonce/"))) {
+      if (!referenced.exists(_.startsWith(s"$DataDir/$nonce/")) &&
+          sweepNow - st.getModificationTime > stagingGraceMs) {
         fs.delete(st.getPath, true); dirsDeleted += 1
       }
     }
@@ -1913,7 +2096,8 @@ object SnapshotTable {
     val dvHome = new Path(rootP, DvDir)
     if (fs.exists(dvHome)) fs.listStatus(dvHome).foreach { st =>
       val nonce = st.getPath.getName
-      if (!referenced.exists(_.startsWith(s"$DvDir/$nonce/"))) {
+      if (!referenced.exists(_.startsWith(s"$DvDir/$nonce/")) &&
+          sweepNow - st.getModificationTime > stagingGraceMs) {
         fs.delete(st.getPath, true); dirsDeleted += 1
       }
     }
@@ -1943,9 +2127,8 @@ object SnapshotTable {
     }
     val sd = new Path(rootP, StagingDir)
     if (fs.exists(sd)) {
-      val now = System.currentTimeMillis()
       fs.listStatus(sd).foreach { st =>
-        if (now - st.getModificationTime > stagingGraceMs)
+        if (sweepNow - st.getModificationTime > stagingGraceMs)
           fs.delete(st.getPath, true)
       }
     }

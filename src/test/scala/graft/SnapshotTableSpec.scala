@@ -88,8 +88,14 @@ class SnapshotTableSpec extends SparkSpec {
     // readers: current version and content are untouched
     assert(SnapshotTable.versions(spark, root) == Seq(1L))
     assert(rows(SnapshotTable.read(spark, root)) == Set((1L, "a")))
-    // vacuum reclaims the orphans and keeps the live snapshot
-    val (mDel, dDel) = SnapshotTable.vacuum(spark, root, keepVersions = 2)
+    // default grace shields the fresh-looking orphan (it is
+    // indistinguishable from an in-flight commit's pre-publish data);
+    // past the grace, vacuum reclaims it
+    val (mDel0, dDel0) = SnapshotTable.vacuum(spark, root, keepVersions = 2)
+    assert(mDel0 == 0 && dDel0 == 0 && fs.exists(orphan),
+      "a fresh unreferenced data dir must survive the default grace")
+    val (mDel, dDel) = SnapshotTable.vacuum(spark, root, keepVersions = 2,
+      stagingGraceMs = 0L)
     assert(mDel == 0 && dDel == 1)
     assert(!fs.exists(orphan) &&
       !fs.exists(new Path(root, "_manifests/.tmp-deadbeef0000")))
@@ -102,7 +108,8 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "v"))
     SnapshotTable.commit(spark, root, Seq((2L, "b")).toDF("k", "v"))
     SnapshotTable.commit(spark, root, Seq((3L, "c")).toDF("k", "v"))
-    val (mDel, dDel) = SnapshotTable.vacuum(spark, root, keepVersions = 2)
+    val (mDel, dDel) = SnapshotTable.vacuum(spark, root, keepVersions = 2,
+      stagingGraceMs = 0L)
     assert(mDel == 1 && dDel == 1)
     assert(SnapshotTable.versions(spark, root) == Seq(2L, 3L))
     assert(rows(SnapshotTable.readVersion(spark, root, 2)) == Set((2L, "b")))
@@ -220,7 +227,10 @@ class SnapshotTableSpec extends SparkSpec {
     val fragmented = SnapshotTable.read(spark, root) // pinned on v1
     val v = SnapshotTable.compactSnapshot(spark, root,
       targetFileBytes = Long.MaxValue) // everything fits one file
-    assert(v.contains(2L))
+    assert(v.map(_._1).contains(2L))
+    // binpack accounting: all 8 under-threshold files rewrote, none
+    // was fat enough to keep
+    assert(v.map(v3 => (v3._2, v3._3)).contains((8, 0)))
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // compacted version lists exactly one data file
     val files2 = SnapshotTable.readVersion(spark, root, 2L)
@@ -896,10 +906,11 @@ class SnapshotTableSpec extends SparkSpec {
     val folded = SnapshotTable.read(spark, root).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(folded == before)
-    // vacuum to the folded tip: the _dv sidecar directories go
+    // vacuum to the folded tip: the _dv sidecar directories go (grace
+    // 0 — in this test nothing is in flight)
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    SnapshotTable.vacuum(spark, root, keepVersions = 1)
+    SnapshotTable.vacuum(spark, root, keepVersions = 1, stagingGraceMs = 0L)
     val dvHome = new Path(root, "_dv")
     assert(!fs.exists(dvHome) || fs.listStatus(dvHome).isEmpty,
       "vacuum left unreferenced deletion-vector sidecars")
@@ -1155,5 +1166,186 @@ class SnapshotTableSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(canon(SnapshotTable.readChanges(spark, root, 1L)) ==
       canon(SnapshotTable.changesSince(spark, root, 1L, Seq("k"))))
+  }
+
+  test("updateWhere applies ALL sets against the ORIGINAL row (SQL " +
+      "UPDATE semantics): a condition referencing a set column and a " +
+      "set RHS reading another set column both see pre-update values") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "pending", 0L, 10L), (2L, "done", 0L, 20L),
+        (3L, "pending", 0L, 30L)).toDF("k", "status", "ts", "n"))
+    // the canonical trap: SET status='done', ts=99 WHERE
+    // status='pending' — a sequential withColumn chain rewrites
+    // status first, the re-resolved condition then misses, and ts
+    // silently stays 0; the third set reads `n` (not itself updated
+    // here) plus `ts`, which MUST be the old ts (0), not 99
+    val (v2, rew, _) = SnapshotTable.updateWhere(spark, root,
+      col("status") === "pending",
+      Seq("status" -> lit("done"), "ts" -> lit(99L),
+        "n" -> (col("n") + col("ts"))))
+    assert(v2 == 2L && rew >= 1)
+    val got = SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, "done", 99L, 10L), (2L, "done", 0L, 20L),
+      (3L, "done", 99L, 30L)),
+      s"sets resolved against updated columns: $got")
+    // duplicate set columns are refused loudly (toMap would silently
+    // keep one)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhere(spark, root, col("k") === 1L,
+        Seq("n" -> lit(1L), "n" -> lit(2L)))
+    }
+    assert(e.getMessage.contains("duplicate set column"))
+  }
+
+  test("applyChangesCycle is TARGETED: a small feed batch rewrites only " +
+      "the view files holding its keys, references the rest verbatim " +
+      "with stats intact, and a NULL feed key is refused loudly") {
+    val root = freshRoot()
+    def step(rows: Seq[(Long, String, String, Long)]) =
+      SnapshotTable.applyChangesCycle(
+        rows.toDF("k", "change", "v", "version"), root, Seq("k"),
+        df => df.select(col("k"), upper(col("v")).as("u"))
+          .repartitionByRange(4, col("k")),
+        statsCols = Seq("k"))
+    step((1L to 64L).map(i => (i, "insert", s"x$i", 1L)))
+    def files(v: Long): Set[String] =
+      SnapshotTable.readVersion(spark, root, v)
+        .select(input_file_name()).distinct().collect()
+        .map(_.getString(0)).toSet
+    val v1Files = files(1L)
+    assert(v1Files.size == 4)
+    // a 3-key batch confined to the LOW key range: one file holds all
+    // of them, the other three reference verbatim
+    val (v2, rew, kept) = step(Seq((1L, "update", "y1", 2L),
+      (2L, "delete", "x2", 2L), (3L, "update", "y3", 2L)))
+    assert(v2 == 2L && rew == 1 && kept == 3,
+      s"targeted view maintenance: rewrote $rew kept $kept")
+    assert((v1Files intersect files(2L)).size == 3,
+      "untouched view files must survive into v2 verbatim")
+    // kept files keep their recorded range stats: a high-key probe
+    // still opens a strict subset
+    val (tot, keptF) = SnapshotTable.pruneCounts(spark, root, "k", 60L, 60L)
+    assert(keptF < tot, s"view range stats after targeted cycle: " +
+      s"$keptF of $tot")
+    val got = SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = ((4L to 64L).map(i => (i, s"X$i")) ++
+      Seq((1L, "Y1"), (3L, "Y3"))).toSet
+    assert(got == want)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.applyChangesCycle(
+        Seq((Option.empty[Long], "insert", "z", 3L))
+          .toDF("k", "change", "v", "version"),
+        root, Seq("k"), df => df.select(col("k"), col("v").as("u")))
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
+  test("compactSnapshot binpacks: DV-bearing and under-threshold files " +
+      "rewrite (tombstones folded), already-compact clean files are " +
+      "referenced verbatim — one sidecar never forces a table rewrite") {
+    val root = freshRoot()
+    // md5 payloads: incompressible, so the 20k-row files are reliably
+    // fat (hundreds of KiB) and the 50-row appends reliably small
+    val fat1 = spark.range(0L, 20000L)
+      .selectExpr("id as k", "md5(concat('v', id)) as v").coalesce(1)
+    SnapshotTable.commit(spark, root, fat1)
+    SnapshotTable.append(spark, root, spark.range(20000L, 20050L)
+      .selectExpr("id as k", "md5(concat('v', id)) as v").coalesce(1))
+    SnapshotTable.append(spark, root, spark.range(20050L, 20100L)
+      .selectExpr("id as k", "md5(concat('v', id)) as v").coalesce(1))
+    SnapshotTable.append(spark, root, spark.range(30000L, 50000L)
+      .selectExpr("id as k", "md5(concat('v', id)) as v").coalesce(1))
+    // a point delete lands a tombstone in fat file 1
+    val (_, nDel, dvAdded) = SnapshotTable.deleteWhereDV(spark, root,
+      col("k") === 25L)
+    assert(nDel == 1L && dvAdded == 1)
+    assert(SnapshotTable.dvFileCount(spark, root) == 1)
+    // manifest-derived file list: input_file_name() is unavailable on
+    // the DV-joined read plan (the documented multi-source boundary)
+    def files(): Set[String] = SnapshotTable.dataFiles(spark, root).toSet
+    val before = files()
+    // target 64 KiB: both 20k-row files are fat (>= 48 KiB), the two
+    // 50-row appends are small; fat file 1 must rewrite anyway (it
+    // carries the tombstone), fat file 2 must survive verbatim
+    val res = SnapshotTable.compactSnapshot(spark, root,
+      targetFileBytes = 64L * 1024)
+    assert(res.isDefined, "tombstones + small files must compact")
+    val (_, rew, kept) = res.get
+    assert(rew == 3 && kept == 1, s"binpack: rewrote $rew kept $kept")
+    val after = files()
+    assert((before intersect after).size == 1,
+      "exactly the clean fat file must survive into the new manifest " +
+        "verbatim")
+    // tombstones folded: no sidecar referenced, the deleted row gone,
+    // everything else intact
+    assert(SnapshotTable.dvFileCount(spark, root) == 0)
+    val ks = SnapshotTable.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(!ks.contains(25L) && ks.size == 40099 &&
+      ks.contains(49999L) && ks.contains(20099L))
+  }
+
+  test("compactSnapshot sheds ALL-STALE sidecars with a manifest-only " +
+      "commit: no data rewrite, reads stop paying the DV anti-join") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, spark.range(0L, 40L)
+      .selectExpr("id as k", "concat('v', id) as v")
+      .repartitionByRange(4, col("k")), statsCols = Seq("k"))
+    SnapshotTable.deleteWhereDV(spark, root, col("k") === 5L)
+    // a COW delete rewrites the same low-range file: the sidecar's
+    // file name leaves the manifest — stale-but-harmless
+    val (_, rewDel, _) = SnapshotTable.deleteWhere(spark, root,
+      col("k") === 7L)
+    assert(rewDel == 1)
+    assert(SnapshotTable.dvFileCount(spark, root) == 1,
+      "the stale sidecar is still referenced before compaction")
+    def files(): Set[String] = SnapshotTable.dataFiles(spark, root).toSet
+    val before = files()
+    // targetFileBytes=1: nothing is under threshold, no LIVE
+    // tombstones — the only work is dropping the stale sidecar refs
+    val res = SnapshotTable.compactSnapshot(spark, root,
+      targetFileBytes = 1L)
+    assert(res.isDefined && res.get._2 == 0,
+      s"manifest-only shed expected, got $res")
+    assert(files() == before, "a manifest-only shed moved data")
+    assert(SnapshotTable.dvFileCount(spark, root) == 0)
+    assert(SnapshotTable.read(spark, root).count() == 38L)
+    // and now fully clean: nothing to do at all
+    assert(SnapshotTable.compactSnapshot(spark, root,
+      targetFileBytes = 1L).isEmpty)
+  }
+
+  test("compactIfDvHeavy bounds DV read amplification by policy: under " +
+      "the cap it does nothing, over it the targeted pass folds every " +
+      "sidecar; fresh _dv dirs survive vacuum's default grace") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root, spark.range(0L, 40L)
+      .selectExpr("id as k", "concat('v', id) as v")
+      .repartitionByRange(4, col("k")))
+    for (k <- Seq(1L, 11L, 21L))
+      SnapshotTable.deleteWhereDV(spark, root, col("k") === k)
+    assert(SnapshotTable.dvFileCount(spark, root) == 3)
+    assert(SnapshotTable.compactIfDvHeavy(spark, root, maxDvFiles = 4)
+      .isEmpty, "under the cap must be a no-op")
+    assert(SnapshotTable.dvFileCount(spark, root) == 3)
+    val res = SnapshotTable.compactIfDvHeavy(spark, root, maxDvFiles = 2)
+    assert(res.isDefined && SnapshotTable.dvFileCount(spark, root) == 0)
+    assert(SnapshotTable.read(spark, root).count() == 37L)
+    // the folded-away sidecar DIRS: unreferenced now, but younger than
+    // the grace — a racing committer's pre-publish sidecar looks the
+    // same, so default vacuum keeps them; grace 0 reclaims
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    SnapshotTable.vacuum(spark, root, keepVersions = 1)
+    val dvHome = new Path(root, "_dv")
+    assert(fs.exists(dvHome) && fs.listStatus(dvHome).nonEmpty,
+      "a fresh unreferenced _dv dir must survive the default grace")
+    SnapshotTable.vacuum(spark, root, keepVersions = 1,
+      stagingGraceMs = 0L)
+    assert(!fs.exists(dvHome) || fs.listStatus(dvHome).isEmpty)
   }
 }
