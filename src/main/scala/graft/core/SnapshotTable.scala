@@ -744,15 +744,35 @@ object SnapshotTable {
     * the current snapshot's (checked LOUDLY): one manifest mixing
     * file schemas would make reads silently drop or misalign columns
     * depending on which file Spark samples first — schema changes go
-    * through a full [[commit]] (replace), never an append. Returns
-    * the new version. */
+    * through a full [[commit]] (replace), never an append.
+    *
+    * A TRACKED append (`changeKeys` non-empty) records its changelog
+    * as the appended rows themselves, as inserts — O(batch), read
+    * back from the just-written files, never a table diff — which is
+    * exact precisely when the appended keys are NEW. That is also the
+    * keyed-table contract: append is file-level, so a colliding key
+    * would silently DUPLICATE (not replace), breaking every keyed
+    * consumer downstream — tracked appends therefore hit-detect the
+    * batch keys against the base (the [[upsertTargeted]] machinery:
+    * stats/Bloom-pruned, column-pruned key scan) and REFUSE loudly on
+    * a collision; a colliding batch belongs in [[upsertTargeted]].
+    * Returns the new version. */
   def append(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
              categoryCols: Seq[String] = Nil,
              changeKeys: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil,
              bloomBits: Int = DefaultBloomBits): Long = {
+    import org.apache.spark.sql.functions._
     val (fs, rootP) = fsOf(spark, root)
+    if (changeKeys.nonEmpty)
+      // the keyed contract, loud like the cycles': a NULL key cannot
+      // be tracked (and would break the very consumers the feed is for)
+      require(df.filter(
+          changeKeys.map(col(_).isNull).reduce(_ || _)).limit(1).isEmpty,
+        s"SnapshotTable.append: tracked append carries NULL in a key " +
+          s"(${changeKeys.mkString(",")}) — keyed tables require " +
+          "non-null keys")
     def checkSchema(bv: Long): Unit = {
       val have = schemaSig(readVersion(spark, root, bv).schema)
       val got = schemaSig(df.schema)
@@ -763,23 +783,47 @@ object SnapshotTable {
           "nondeterministically, so evolve the schema with " +
           "evolveAddColumns / a full commit instead")
     }
-    // fail-fast pre-check BEFORE the (possibly huge) data write — a
+    def checkDisjoint(bv: Long): Unit = if (changeKeys.nonEmpty) {
+      val (entries, dvE) = splitEntries(readManifest(fs, rootP, bv))
+      val bk = df.select(changeKeys.map(col): _*).distinct()
+      val (touched, _) =
+        detectTouched(spark, rootP, entries, dvE, changeKeys, bk)
+      require(touched.isEmpty,
+        s"SnapshotTable.append: tracked append carries keys already " +
+          s"present in snapshot v$bv (${touched.size} file(s) hit) — " +
+          "append is file-level and would DUPLICATE them; route " +
+          "colliding batches through upsertTargeted")
+    }
+    // fail-fast pre-checks BEFORE the (possibly huge) data write — a
     // mismatched append must not strand a full frame of orphan files
-    // for vacuum; the in-loop check re-runs per rebase in case the
-    // schema moved under us
-    currentVersion(fs, rootP).foreach(checkSchema)
+    // for vacuum; the in-loop checks re-run per rebase in case the
+    // table moved under us
+    currentVersion(fs, rootP).foreach { bv =>
+      checkSchema(bv); checkDisjoint(bv)
+    }
     // the new data files don't depend on the base version — write them
     // ONCE; only the manifest union re-runs on a rebase (an append is
     // a read-modify-write of the file LIST, so it validates like the
     // cycles: two concurrent appends must both survive into the tip)
     val newEntries = writeDataFiles(spark, fs, rootP, df, statsCols,
       categoryCols, bloomCols, bloomBits)
-    val (v, base) = rebaseLoop(fs, rootP) { base =>
-      base.foreach(checkSchema)
+    val (v, _) = rebaseLoop(fs, rootP) { base =>
+      base.foreach { bv => checkSchema(bv); checkDisjoint(bv) }
       val prior = base.map(readManifest(fs, rootP, _)).getOrElse(Nil)
       Right((prior ++ newEntries, base))
     }
-    if (changeKeys.nonEmpty) recordChanges(spark, root, base, v.get, changeKeys)
+    if (changeKeys.nonEmpty) {
+      // the feed step is the appended rows as inserts, read back from
+      // the just-written files — O(batch) with no lineage re-pay, and
+      // exact by the disjointness guard above
+      val written = spark.read.parquet(
+        newEntries.map(e => new Path(rootP, entryPath(e)).toString): _*)
+      val nonKeys = written.columns.filterNot(changeKeys.contains).toSeq
+      recordChangesStep(spark, root,
+        v.get - 1, v.get,
+        written.select(changeKeys.map(col) ++
+          Seq(lit("insert").as("change")) ++ nonKeys.map(col): _*))
+    }
     v.get
   }
 

@@ -1168,6 +1168,45 @@ class SnapshotTableSpec extends SparkSpec {
       canon(SnapshotTable.changesSince(spark, root, 1L, Seq("k"))))
   }
 
+  test("tracked append: the feed is the appended rows as inserts " +
+      "(O(batch), matching the manifest-diff twin), a colliding key " +
+      "is refused loudly, and untracked appends stay file-level") {
+    val root = freshRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), changeKeys = Seq("k"))
+    SnapshotTable.append(spark, root,
+      Seq((3L, "c"), (4L, "d")).toDF("k", "v"), changeKeys = Seq("k"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("change"), col("v"), col("version"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+    val feed = canon(SnapshotTable.readChanges(spark, root, 1L))
+    assert(feed == Set((3L, "insert", "c", 2L), (4L, "insert", "d", 2L)))
+    // the O(batch) stored feed equals the O(table) manifest-diff twin
+    assert(feed == canon(
+      SnapshotTable.changesSince(spark, root, 1L, Seq("k"))))
+    // a colliding tracked append would DUPLICATE the key (append is
+    // file-level) — refused before any data is written
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root, Seq((2L, "x")).toDF("k", "v"),
+        changeKeys = Seq("k"))
+    }
+    assert(e.getMessage.contains("already present"))
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L))
+    // a NULL key cannot be tracked
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root,
+        Seq((Option.empty[Long], "z")).toDF("k", "v"),
+        changeKeys = Seq("k"))
+    }
+    assert(e2.getMessage.contains("NULL"))
+    // untracked append keeps the file-level contract: the collision
+    // is the caller's (documented) responsibility
+    SnapshotTable.append(spark, root, Seq((2L, "x")).toDF("k", "v"))
+    assert(SnapshotTable.read(spark, root).count() == 5L)
+  }
+
   test("updateWhere applies ALL sets against the ORIGINAL row (SQL " +
       "UPDATE semantics): a condition referencing a set column and a " +
       "set RHS reading another set column both see pre-update values") {
