@@ -9315,15 +9315,15 @@ object Queries {
         val root = java.nio.file.Files
           .createTempDirectory("graft_snapbinpack_q").toString + "/table"
         graft.core.SnapshotTable.commit(s, root,
-          ev.filter(col("user_id") < 80).coalesce(1))
+          ev.filter(col("user_id") < 60).coalesce(1))
         graft.core.SnapshotTable.append(s, root,
-          ev.filter(col("user_id") >= 80 && col("user_id") < 160)
+          ev.filter(col("user_id") >= 60 && col("user_id") < 120)
             .coalesce(1))
         graft.core.SnapshotTable.append(s, root,
-          ev.filter(col("user_id") >= 160 && col("user_id") < 165)
+          ev.filter(col("user_id") >= 120 && col("user_id") < 125)
             .coalesce(1))
         graft.core.SnapshotTable.append(s, root,
-          ev.filter(col("user_id") >= 165 && col("user_id") < 170)
+          ev.filter(col("user_id") >= 125 && col("user_id") < 130)
             .coalesce(1))
         // manifest-derived file list (root-relative): input_file_name()
         // is unavailable once the DV anti-join is in the read plan —
@@ -9360,7 +9360,7 @@ object Queries {
         graft.core.SnapshotTable.read(s, root)
       },
       Some("""SELECT event_id, user_id, value FROM events
-             |WHERE user_id < 170 AND user_id <> 5""".stripMargin)
+             |WHERE user_id < 130 AND user_id <> 5""".stripMargin)
     )),
 
     // SCHEMA EVOLUTION on the snapshot format under the hard gate —
