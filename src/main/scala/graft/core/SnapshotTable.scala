@@ -32,8 +32,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A manifest ENTRY is the file's root-relative path, optionally
   * followed by TAB + per-column stats sections, comma-joined:
   * `col=min:max` long ranges (`statsCols`), `col#v1|v2` category sets
-  * (`categoryCols`), `col~m:k:b64bits` Bloom filters (`bloomCols`) —
-  * Iceberg's file-pruning idea on one line of text. [[scanPruned]]
+  * (`categoryCols`), `col~m:k:b64bits` Bloom filters (`bloomCols`),
+  * and a `!bytes` FILE-SIZE section (always recorded by current
+  * writers — the '!' cannot collide with a column name, which is
+  * `[A-Za-z0-9_]+`) — Iceberg's file-pruning idea on one line of
+  * text. The size section makes compaction planning and
+  * [[history]]'s byte accounting MANIFEST-ONLY: at 400k files a
+  * per-file `getFileStatus` sweep is 400k NameNode/S3 HEAD calls,
+  * where the writer knew every length at commit time for free.
+  * Entries without it (older manifests, hand-built DV lines) fall
+  * back to the filesystem. [[scanPruned]]
   * keeps only the files whose recorded range intersects the
   * predicate's — at 100 TB with range-clustered commits (writers
   * `repartitionByRange` on the stats column; [[Catalog.writeZOrdered]]
@@ -275,6 +283,17 @@ object SnapshotTable {
       }.toMap
   }
 
+  /** A manifest entry's recorded FILE SIZE (`!bytes`) — None for
+    * entries written before the size section existed (and for
+    * hand-assembled DV lines); callers fall back to the filesystem. */
+  private[core] def entryBytes(line: String): Option[Long] = {
+    val t = line.indexOf('\t')
+    if (t < 0) return None
+    line.substring(t + 1).split(',').iterator
+      .collectFirst { case kv if kv.startsWith("!") =>
+        kv.substring(1).toLong }
+  }
+
   /** A manifest entry's recorded per-column CATEGORY sets (`col#v1|v2`,
     * values URL-encoded at write) — the categorical twin of
     * [[entryStats]], recorded when the committer passed
@@ -403,11 +422,18 @@ object SnapshotTable {
     if (!fs.rename(staging, dataHome))
       sys.error(s"SnapshotTable: could not move staged data $staging " +
         s"into place at $dataHome")
-    val rels = fs.listStatus(dataHome)
+    val lenByRel: Map[String, Long] = fs.listStatus(dataHome)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"$DataDir/$nonce/${st.getPath.getName}")
-      .sorted.toSeq
-    if (statsCols.isEmpty && categoryCols.isEmpty && bloomCols.isEmpty) rels
+      .map(st => s"$DataDir/$nonce/${st.getPath.getName}" -> st.getLen)
+      .toMap
+    val rels = lenByRel.keys.toSeq.sorted
+    // the size section is free (the listing above already returned
+    // every length) and always recorded — compaction planning and
+    // history's byte accounting then never sweep the filesystem
+    def sized(rel: String, sections: Seq[String]): String =
+      s"$rel\t${(sections :+ s"!${lenByRel(rel)}").mkString(",")}"
+    if (statsCols.isEmpty && categoryCols.isEmpty && bloomCols.isEmpty)
+      rels.map(sized(_, Nil))
     else {
       // the stats suffix is a text format (TAB, ',', '=', ':', '#',
       // '~' and '|' are structural) — refuse names that would corrupt
@@ -520,8 +546,7 @@ object SnapshotTable {
             }
           }
         }
-        val s = (ranges ++ cats ++ blooms).mkString(",")
-        if (s.isEmpty) rel else s"$rel\t$s"
+        sized(rel, ranges ++ cats ++ blooms)
       }
     }
   }
@@ -1352,7 +1377,7 @@ object SnapshotTable {
               s"vector $staging into place at $dvHome")
           val newDv = fs.listStatus(dvHome)
             .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-            .map(st => s"$DvDir/$nonce/${st.getPath.getName}")
+            .map(st => s"$DvDir/$nonce/${st.getPath.getName}\t!${st.getLen}")
             .sorted.toSeq
           // feed step: the matched rows as deletes — lazy, and still
           // consistent post-commit (base data files are immutable)
@@ -1526,8 +1551,8 @@ object SnapshotTable {
       .map { case (v, ts) => v -> ts.map(_._1).sorted.mkString(",") }
     val rows = versions(spark, root).map { v =>
       val entries = readManifest(fs, rootP, v)
-      val bytes = entries.map(e =>
-        fs.getFileStatus(new Path(rootP, entryPath(e))).getLen).sum
+      val bytes = entries.map(e => entryBytes(e).getOrElse(
+        fs.getFileStatus(new Path(rootP, entryPath(e))).getLen)).sum
       org.apache.spark.sql.Row(v,
         fs.getFileStatus(manifestPath(rootP, v)).getModificationTime,
         entries.size, bytes, chg.contains(v), tagByV.getOrElse(v, ""))
@@ -1789,8 +1814,11 @@ object SnapshotTable {
       // 3/4 of target (Iceberg's min-file-size default) AND there are
       // at least two of them to merge
       val minBytes = targetFileBytes - targetFileBytes / 4
-      val sized = dataE.map(e =>
-        e -> fs.getFileStatus(new Path(rootP, entryPath(e))).getLen)
+      // recorded sizes when present (manifest-only planning — no
+      // per-file filesystem sweep), getFileStatus only for pre-size
+      // manifests
+      val sized = dataE.map(e => e -> entryBytes(e).getOrElse(
+        fs.getFileStatus(new Path(rootP, entryPath(e))).getLen))
       val (small, fat) = sized.partition { case (e, len) =>
         dvHit.contains(new Path(entryPath(e)).getName) || len < minBytes
       }
