@@ -1238,18 +1238,32 @@ object SnapshotTable {
     * keys must be non-null — a micro-batch carrying a null key fails
     * the batch and stops the query, rather than silently duplicating
     * the null-key group. A stream that can emit null keys must filter
-    * or repair them before this sink. */
+    * or repair them before this sink.
+    *
+    * MAINTENANCE, wired in instead of remembered: every targeted
+    * trigger appends fresh files, so a long-running sink fragments the
+    * table — `compactEvery` > 0 runs the targeted binpack
+    * ([[compactSnapshot]]) after every that-many batches, INSIDE the
+    * foreachBatch (the sink is the table's single writer, so the
+    * compaction cycle serializes with the upserts for free). On a
+    * tracked sink the compaction commit records an EMPTY feed step,
+    * keeping the CDC chain gap-free. */
   def upsertSink(stream: DataFrame, root: String, checkpoint: String,
                  keys: Seq[String],
                  tieBreak: Seq[org.apache.spark.sql.Column] = Nil,
                  statsCols: Seq[String] = Nil,
-                 trackChanges: Boolean = false)
+                 trackChanges: Boolean = false,
+                 compactEvery: Int = 0,
+                 compactTargetBytes: Long = 256L * 1024 * 1024)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         upsertTargeted(batch, root, keys, tieBreak, statsCols,
           trackChanges = trackChanges)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          compactSnapshot(batch.sparkSession, root, compactTargetBytes,
+            statsCols, changeKeys = if (trackChanges) keys else Nil)
         ()
       }
       .start()
@@ -1783,11 +1797,16 @@ object SnapshotTable {
     * dominates scans. `statsCols` records pruning stats for the
     * rewritten files (merged files span wider ranges — re-recording
     * keeps [[scanPruned]] honest; untouched files keep the stats they
-    * had). Returns Some((version, filesRewritten, filesKeptVerbatim))
-    * when a commit published. */
+    * had). On a TRACKED table pass `changeKeys` so the published
+    * commit records an EMPTY feed step (compaction changes no rows)
+    * instead of an absent one — an absent step is a chain GAP that
+    * fails CDC consumers loudly by design. Returns
+    * Some((version, filesRewritten, filesKeptVerbatim)) when a commit
+    * published. */
   def compactSnapshot(spark: SparkSession, root: String,
                       targetFileBytes: Long = 256L * 1024 * 1024,
-                      statsCols: Seq[String] = Nil)
+                      statsCols: Seq[String] = Nil,
+                      changeKeys: Seq[String] = Nil)
       : Option[(Long, Int, Int)] = {
     require(targetFileBytes >= 1L, "targetFileBytes must be >= 1")
     val (fs, rootP) = fsOf(spark, root)
@@ -1836,6 +1855,20 @@ object SnapshotTable {
           .coalesce(want)
         val newEntries = writeDataFiles(spark, fs, rootP, folded, statsCols)
         Right((untouched ++ newEntries, (touched.size, untouched.size)))
+      }
+    }
+    // a TRACKED table's compaction must keep the change chain
+    // unbroken: the commit changes no rows, so its feed step is EMPTY
+    // — schema-shaped, zero rows — rather than absent (an absent step
+    // is a chain GAP that fails every CDC consumer loudly, by design)
+    v.foreach { ver =>
+      if (changeKeys.nonEmpty) {
+        import org.apache.spark.sql.functions._
+        val cur = readVersion(spark, root, ver)
+        val nonKeys = cur.columns.filterNot(changeKeys.contains).toSeq
+        recordChangesStep(spark, root, ver - 1, ver,
+          cur.limit(0).select(changeKeys.map(col) ++
+            Seq(lit("insert").as("change")) ++ nonKeys.map(col): _*))
       }
     }
     v.map(ver => (ver, out._1, out._2))

@@ -421,6 +421,46 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L))
   }
 
+  test("upsertSink compactEvery: the sink compacts its own fragments " +
+      "on cadence, a tracked compaction records an EMPTY feed step so " +
+      "the CDC chain stays gap-free, and the content is untouched") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_snap_ckptc").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val q = SnapshotTable.upsertSink(
+      input.toDF().toDF("k", "eid", "payload"), root, ckpt,
+      Seq("k"), Seq(col("eid")), trackChanges = true, compactEvery = 2)
+    try {
+      // four triggers with disjoint keys: every upsert appends files,
+      // batches 2 and 4 are followed by an inline binpack pass
+      for (b <- 0L until 4L) {
+        input.addData(Seq((b * 2, 10L + b, s"b$b"), (b * 2 + 1, 20L + b, s"b$b")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // versions: 4 upserts + 2 compaction commits = 6
+    assert(SnapshotTable.versions(spark, root).size == 6,
+      s"expected 6 versions, got ${SnapshotTable.versions(spark, root)}")
+    // the table compacted: the tip references fewer files than the
+    // 4-upsert accumulation would have
+    assert(SnapshotTable.dataFiles(spark, root).size <
+      SnapshotTable.history(spark, root)
+        .orderBy(col("version")).select("n_files").collect()
+        .map(_.getInt(0)).max,
+      "compaction never reduced the file count")
+    val got = SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == (0L until 8L).map(k => (k, s"b${k / 2}")).toSet)
+    // CDC chain gap-free across the compaction commits, and the
+    // compaction steps are EMPTY (no row ever changed by them)
+    val feed = SnapshotTable.readChanges(spark, root, 0L)
+    assert(feed.filter(col("change") =!= "insert").count() == 0L)
+    assert(feed.count() == 8L,
+      "compaction feed steps must be empty; upserts exactly 8 inserts")
+  }
+
   test("exclusive version claims: a foreign (crashed) claim is SKIPPED, " +
       "never shared or wedged over — the commit lands at the next free " +
       "number and the hole stays harmless") {
