@@ -1913,11 +1913,13 @@ object SnapshotTable {
   def compactIfDvHeavy(spark: SparkSession, root: String,
                        maxDvFiles: Int = 8,
                        targetFileBytes: Long = 256L * 1024 * 1024,
-                       statsCols: Seq[String] = Nil)
+                       statsCols: Seq[String] = Nil,
+                       changeKeys: Seq[String] = Nil)
       : Option[(Long, Int, Int)] = {
     require(maxDvFiles >= 0, "maxDvFiles must be >= 0")
     if (dvFileCount(spark, root) <= maxDvFiles) None
-    else compactSnapshot(spark, root, targetFileBytes, statsCols)
+    else compactSnapshot(spark, root, targetFileBytes, statsCols,
+      changeKeys)
   }
 
   /** Row-level CHANGELOG between two committed snapshots — the "what
