@@ -9296,6 +9296,46 @@ object Queries {
              |WHERE user_id < 100""".stripMargin)
     )),
 
+    // TRANSPARENT DATA SKIPPING under the hard gate — the
+    // manifest-backed FileIndex (SnapshotFileIndex): a PLAIN
+    // `.filter(...)` on SnapshotTable.table reaches the index through
+    // Spark's pushed-down data filters and opens only the files whose
+    // recorded range sections admit the predicate — no scanPruned*
+    // call anywhere. The in-query require reads the EXECUTED scan's
+    // numFiles metric (row counts cannot distinguish file skipping
+    // from parquet row-group pruning) and demands a strict subset;
+    // the oracle recomputes the same filter in SQL, so pruning that
+    // drops a matching file (or a wrongly-kept duplicate) is a hash
+    // mismatch, not just a slow plan.
+    "q_snapshot_index" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("n_chars"))
+          .repartitionByRange(8, col("doc_id"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snapidx_q").toString + "/table"
+        graft.core.SnapshotTable.commit(s, root, base,
+          statsCols = Seq("doc_id"))
+        val mx = base.agg(max(col("doc_id"))).head().getLong(0)
+        val k = mx / 8L
+        val probe = graft.core.SnapshotTable.table(s, root)
+          .filter(col("doc_id") <= k)
+        probe.collect()
+        val n = probe.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.map(_.metrics("numFiles").value).sum
+        require(n >= 1 && n < 8,
+          s"transparent pruning opened $n of 8 files")
+        graft.core.SnapshotTable.table(s, root)
+          .filter(col("doc_id") <= k)
+      },
+      Some("""SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+             |FROM documents
+             |WHERE doc_id <= (SELECT max(doc_id) // 8 FROM documents)"""
+        .stripMargin)
+    )),
+
     // TARGETED (binpack) COMPACTION under the hard gate — the
     // complement of q_snapshot_compact's full-rewrite fixture, proving
     // compaction scales: a mixed layout (two FAT files, two SMALL

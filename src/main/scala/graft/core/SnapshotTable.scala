@@ -286,7 +286,7 @@ object SnapshotTable {
   /** A manifest entry's recorded FILE SIZE (`!bytes`) — None for
     * entries written before the size section existed (and for
     * hand-assembled DV lines); callers fall back to the filesystem. */
-  private[core] def entryBytes(line: String): Option[Long] = {
+  private[graft] def entryBytes(line: String): Option[Long] = {
     val t = line.indexOf('\t')
     if (t < 0) return None
     line.substring(t + 1).split(',').iterator
@@ -387,6 +387,42 @@ object SnapshotTable {
       throw new IllegalStateException(
         s"SnapshotTable at $root: manifest v$v lists no data files")
     readEntriesWithDv(spark, rootP, dataE, dvE)
+  }
+
+  /** The current snapshot as a DataFrame whose SCAN prunes files
+    * TRANSPARENTLY: the relation is built over a manifest-backed
+    * [[graft.sources.SnapshotFileIndex]], so any filter Spark pushes
+    * down reaches the index and skips the files whose recorded
+    * range/category/Bloom sections cannot match — `table(...).filter
+    * (col("k") === 42)` plans the same file set as an explicit
+    * [[scanPrunedBloom]] probe, with no special API on the read path
+    * (the Delta/Iceberg data-skipping integration on the house
+    * format). The scan itself is Spark's native vectorized parquet
+    * reader; file list and sizes come from the manifest, so planning
+    * performs no per-file filesystem calls. Falls back to the plain
+    * [[read]] when the snapshot carries LIVE deletion vectors (the
+    * MOR anti-join wraps the whole scan and Spark does not push
+    * filters through the join's probe side; compact first, or accept
+    * unpruned scans until then — documented MOR read price). */
+  def table(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = currentVersion(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"SnapshotTable at $root has no committed snapshot"))
+    val (dataE, dvE) = splitEntries(readManifest(fs, rootP, v))
+    if (dvE.nonEmpty) return readVersion(spark, root, v)
+    val index = graft.sources.SnapshotFileIndex(spark, rootP, dataE)
+    val schema = spark.read.parquet(
+      new Path(rootP, entryPath(dataE.head)).toString).schema
+    val relation = org.apache.spark.sql.execution.datasources
+      .HadoopFsRelation(
+        index,
+        partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+        dataSchema = schema,
+        bucketSpec = None,
+        fileFormat = new org.apache.spark.sql.execution.datasources
+          .parquet.ParquetFileFormat(),
+        options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
   }
 
   /** Write `df`'s parquet files under a fresh unreferenced data
@@ -1872,6 +1908,112 @@ object SnapshotTable {
       }
     }
     v.map(ver => (ver, out._1, out._2))
+  }
+
+  /** Can a file possibly hold rows matching `filter`? — the
+    * Catalyst-filter twin of the scanPruned* family, evaluated against
+    * ONE manifest entry's recorded sections, used by
+    * [[graft.sources.SnapshotFileIndex]] to turn Spark's pushed-down
+    * data filters into file skipping with no explicit scanPruned call.
+    * Strictly a SUPERSET decision (`true` = keep): untranslatable
+    * shapes, columns without sections, and non-integral literals all
+    * keep the file — Spark still applies the row filter on top, so a
+    * kept-too-much file costs a file open, never a wrong row.
+    *
+    * Translated shapes: `=`/`<=>` (range ∩ category ∩ bloom — the
+    * category/bloom probe uses the literal's `cast("string")` form,
+    * matching what the writer hashed), `<`,`<=`,`>`,`>=` on integral
+    * literals (recorded long ranges), `IN` (any value may match),
+    * `AND` (both sides must keep), `OR` (either side keeps). `NOT`
+    * and everything else keep unconditionally. */
+  private[graft] def entryMayMatch(entry: String,
+      filter: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    // the literal's long value when exact (integral types only — a
+    // double's truncation under try_cast is sound for equality but
+    // subtle for open ranges; keep is always safe, so keep)
+    def asLong(l: Literal): Option[Long] = l.dataType match {
+      case ByteType => Some(l.value.asInstanceOf[Byte].toLong)
+      case ShortType => Some(l.value.asInstanceOf[Short].toLong)
+      case IntegerType => Some(l.value.asInstanceOf[Int].toLong)
+      case LongType => Some(l.value.asInstanceOf[Long])
+      case StringType =>
+        val s = l.value.toString
+        if (s.matches("-?\\d{1,18}")) Some(s.toLong) else None
+      case _ => None
+    }
+    // the literal in the writer's category/bloom hash form
+    // (`col.cast("string")`); None for types whose cast form we do
+    // not reproduce byte-exactly (float/double/date/timestamp)
+    def asString(l: Literal): Option[String] = l.dataType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           BooleanType =>
+        Option(l.value).map(_.toString)
+      case _ => None
+    }
+    def eqKeep(name: String, l: Literal): Boolean = {
+      if (l.value == null) return true // null-safe-eq-null: stats blind
+      val rangeKeep = asLong(l) match {
+        case Some(v) => entryStats(entry).get(name) match {
+          case Some((mn, mx)) => mx.forall(_ >= v) && mn.forall(_ <= v)
+          case None => true
+        }
+        case None => true
+      }
+      val catKeep = asString(l) match {
+        case Some(s) => entryCategories(entry).get(name) match {
+          case Some(vs) => vs.contains(s)
+          case None => true
+        }
+        case None => true
+      }
+      val bloomKeep = asString(l) match {
+        case Some(s) => entryBlooms(entry).get(name) match {
+          case Some((m, k, bits)) => bloomBitsOf(s, m, k).forall(bits.get)
+          case None => true
+        }
+        case None => true
+      }
+      rangeKeep && catKeep && bloomKeep
+    }
+    def rangeKeep(name: String, lo: Option[Long], hi: Option[Long])
+        : Boolean =
+      entryStats(entry).get(name) match {
+        case Some((mn, mx)) =>
+          lo.forall(l => mx.forall(_ >= l)) &&
+            hi.forall(h => mn.forall(_ <= h))
+        case None => true
+      }
+    filter match {
+      case And(l, r) => entryMayMatch(entry, l) && entryMayMatch(entry, r)
+      case Or(l, r) => entryMayMatch(entry, l) || entryMayMatch(entry, r)
+      case EqualTo(a: AttributeReference, l: Literal) => eqKeep(a.name, l)
+      case EqualTo(l: Literal, a: AttributeReference) => eqKeep(a.name, l)
+      case EqualNullSafe(a: AttributeReference, l: Literal) => eqKeep(a.name, l)
+      case EqualNullSafe(l: Literal, a: AttributeReference) => eqKeep(a.name, l)
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        asLong(l).forall(v => rangeKeep(a.name, Some(v + 1), None))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        asLong(l).forall(v => rangeKeep(a.name, Some(v), None))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        asLong(l).forall(v => rangeKeep(a.name, None, Some(v - 1)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        asLong(l).forall(v => rangeKeep(a.name, None, Some(v)))
+      // literal-on-the-left comparisons, mirrored
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        asLong(l).forall(v => rangeKeep(a.name, None, Some(v - 1)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        asLong(l).forall(v => rangeKeep(a.name, None, Some(v)))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        asLong(l).forall(v => rangeKeep(a.name, Some(v + 1), None))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        asLong(l).forall(v => rangeKeep(a.name, Some(v), None))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.isEmpty || vs.exists(v => eqKeep(a.name, v.asInstanceOf[Literal]))
+      case _ => true
+    }
   }
 
   /** Root-relative DATA-file paths of the current snapshot's manifest
