@@ -2012,6 +2012,13 @@ object SnapshotTable {
         asLong(l).forall(v => rangeKeep(a.name, Some(v), None))
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         vs.isEmpty || vs.exists(v => eqKeep(a.name, v.asInstanceOf[Literal]))
+      // the optimizer rewrites IN lists past
+      // spark.sql.optimizer.inSetConversionThreshold (default 10) to
+      // InSet over INTERNAL values — re-wrap them as typed literals
+      // so a 50-key lookup still prunes
+      case InSet(a: AttributeReference, hset) =>
+        hset.isEmpty ||
+          hset.exists(v => eqKeep(a.name, Literal(v, a.dataType)))
       case _ => true
     }
   }

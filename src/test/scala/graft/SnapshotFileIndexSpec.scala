@@ -57,6 +57,9 @@ class SnapshotFileIndexSpec extends SparkSpec {
     check(col("k").between(150L, 170L), 2)
     check(col("k") === 5L || col("k") === 395L, 2) // OR unions keeps
     check(col("k").isin(5L, 205L), 2)
+    // a 12-element IN converts to InSet (threshold 10) — still pruned
+    check(col("k").isin(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L,
+      11L, 12L), 1)
     // untranslatable predicate: every file kept, result still exact
     check(col("v").startsWith("a"), 4)
     // absent key: bloom prunes everything — zero files, empty result
